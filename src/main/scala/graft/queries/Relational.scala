@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator coverage (SURVEY.md §2.D): the full query surface
+  * the reference inherits from its host engine, expressed with the
+  * DataFrame API so Catalyst plans it (pushdown, broadcast, AQE), and
+  * oracle-checked against DuckDB over the driver's TPC-H-ish testdata.
+  *
+  * Numeric discipline: monetary doubles are cast to DECIMAL before
+  * aggregation on BOTH sides so sums are exact and independent of
+  * partial-aggregation order (double summation order differs between a
+  * 32-way Spark partial agg and DuckDB, which would flip low bits and
+  * break hash equality at any scale factor).
+  *
+  * Every query ends in a deterministic ORDER BY over a unique key set so
+  * row order is stable; nullable sort keys say NULLS FIRST explicitly in
+  * the oracle because DuckDB's ASC default (NULLS LAST) differs from
+  * Spark's (nulls first).
+  *
+  * Scale notes (100 TB): all joins here are either broadcast (dims) or
+  * shuffle-on-key with partial aggregation pushed below the shuffle;
+  * none materializes an unbounded intermediate on the driver.
+  */
+object Relational {
+  import Q.t
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def d18(c: Column): Column = c.cast(DecimalType(18, 2))
+  // Keep sums at their natural scale: a scale-reducing cast would round,
+  // and Spark (HALF_UP) vs DuckDB disagree on exact-half values.
+  private def d4(c: Column): Column = c.cast(DecimalType(27, 4))
+  private def d6(c: Column): Column = c.cast(DecimalType(30, 6))
+  private val DEC = "DECIMAL(12,2)"
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; with spark.sql.legacy.parquet.nanosAsLong it arrives as a
+    * LongType of epoch-nanos. Integer-divide (ts is ~1.7e18, beyond
+    * double's 2^53 exact range) then reinterpret as micros.
+    */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val qs: Map[String, Q] = Map(
+    // ---- full-scan aggregation with filter pushdown (TPC-H Q1 shape) ----
+    "rel_agg_pricing" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(li("l_shipdate") <= lit("1998-09-02 00:00:00"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            d18(sum(dec(col("l_quantity")))).as("sum_qty"),
+            d18(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            d4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
+            d6(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(DecimalType(18, 4)) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS $DEC)) AS DECIMAL(18,2)) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS $DEC)) AS DECIMAL(18,2)) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC))) AS DECIMAL(27,4)) AS sum_disc_price,
+        CAST(sum(CAST(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC)) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS $DEC))) AS DECIMAL(30,6)) AS sum_charge,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- 5-way star join, dims broadcast (TPC-H Q5 shape) ----
+    "rel_join_star_revenue" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o  = t(s, dir, "orders")
+        val c  = t(s, dir, "customer")
+        val n  = t(s, dir, "nation")
+        val r  = t(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .where(r("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(
+            d4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC))) AS DECIMAL(27,4)) AS revenue,
+        count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- window functions: ranking + running frame ----
+    "rel_window_topk_per_cust" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.select(
+            col("o_custkey"), col("o_orderkey"),
+            dec(col("o_totalprice")).as("price"),
+            row_number().over(w).as("rn"),
+            d18(sum(dec(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_total"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some(s"""SELECT * FROM (
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS $DEC) AS price,
+          row_number() OVER w AS rn,
+          CAST(sum(CAST(o_totalprice AS $DEC)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // ---- left-semi join (EXISTS) ----
+    "rel_semi_join" -> Q(
+      (s, dir) => {
+        val o  = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- left-anti join (NOT EXISTS) ----
+    "rel_anti_join" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_no_orders"))
+      },
+      Some("""SELECT count(*) AS n_no_orders FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ---- rollup grouping sets ----
+    "rel_rollup" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), d18(sum(dec(col("l_quantity")))).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS $DEC)) AS DECIMAL(18,2)) AS qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ---- cube grouping sets ----
+    "rel_cube" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---- set operators ----
+    "rel_setops" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val withOrders = o.select(col("o_custkey").as("custkey")).distinct()
+        val richCust   = c.where(col("c_acctbal") > 3000).select(col("c_custkey").as("custkey"))
+        val both    = withOrders.intersect(richCust).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+        val onlyRich = richCust.except(withOrders).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+        val all     = withOrders.union(richCust).agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
+        both.union(onlyRich).union(all).select("op", "n").orderBy("op")
+      },
+      Some("""WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        rc AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 3000)
+        SELECT 'intersect' AS op, count(*) AS n FROM (SELECT custkey FROM wo INTERSECT SELECT custkey FROM rc)
+        UNION ALL SELECT 'except', count(*) FROM (SELECT custkey FROM rc EXCEPT SELECT custkey FROM wo)
+        UNION ALL SELECT 'union_all', count(*) FROM (SELECT custkey FROM wo UNION ALL SELECT custkey FROM rc)
+        ORDER BY op""")),
+
+    // ---- theta/range join (equi key + interval predicate) ----
+    "rel_range_join" -> Q(
+      (s, dir) => {
+        val o  = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(li,
+            li("l_orderkey") === o("o_orderkey") &&
+            li("l_shipdate") >= o("o_orderdate") &&
+            li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .agg(count(lit(1)).as("n_within_30d"))
+      },
+      Some("""SELECT count(*) AS n_within_30d FROM orders JOIN lineitem
+        ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= o_orderdate + INTERVAL 30 DAY""")),
+
+    // ---- top-k (TakeOrderedAndProject) ----
+    "rel_topk" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+          .orderBy(col("price").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some(s"""SELECT o_orderkey, CAST(o_totalprice AS $DEC) AS price FROM orders
+        ORDER BY price DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ---- date bucketing + string scalars ----
+    "rel_month_rollup" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"), d18(sum(dec(col("o_totalprice")))).as("sum_total"))
+          .orderBy("month"),
+      Some(s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS $DEC)) AS DECIMAL(18,2)) AS sum_total
+        FROM orders GROUP BY 1 ORDER BY month""")),
+
+    // ---- string/math scalar surface ----
+    "rel_scalar_funcs" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            upper(substring(col("c_name"), 1, 8)).as("name8"),
+            length(col("c_name")).cast("long").as("name_len"),
+            concat(col("c_mktsegment"), lit("#"), col("c_nationkey").cast("string")).as("seg_nat"),
+            floor(col("c_acctbal")).cast("long").as("bal_floor"),
+            dec(abs(col("c_acctbal"))).as("bal_abs"))
+          .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, upper(substr(c_name, 1, 8)) AS name8,
+        CAST(length(c_name) AS BIGINT) AS name_len,
+        c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_nat,
+        CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+        CAST(abs(c_acctbal) AS $DEC) AS bal_abs
+        FROM customer ORDER BY c_custkey""")),
+
+    // ---- distinct aggregation ----
+    "rel_count_distinct" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- approx distinct (HLL): asserted within 5% of exact ----
+    "rel_approx_distinct" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey")).as("apx"))
+          .select(
+            col("exact_parts"),
+            (abs(col("apx") - col("exact_parts")).cast("double") / col("exact_parts") < 0.05).as("approx_ok")),
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok FROM lineitem""")),
+
+    // ---- full outer join with nulls ----
+    "rel_full_outer" -> Q(
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val rich = t(s, dir, "customer").where(col("c_acctbal") > 4500)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+        n.join(rich, n("n_nationkey") === rich("c_nationkey"), "full_outer")
+          .select(col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_rich"))
+          .orderBy(col("n_name").asc_nulls_first)
+      },
+      Some("""SELECT n_name, coalesce(cnt, 0) AS n_rich FROM nation
+        FULL OUTER JOIN (SELECT c_nationkey, count(*) AS cnt FROM customer
+                         WHERE c_acctbal > 4500 GROUP BY c_nationkey) r
+        ON n_nationkey = c_nationkey ORDER BY n_name NULLS FIRST""")),
+
+    // ---- collect_list + sort (list agg, rendered as string) ----
+    "rel_list_agg" -> Q(
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- explode / UNNEST ----
+    "rel_explode_tokens" -> Q(
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(explode(split(col("p_name"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy("token"),
+      Some("""SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part) t
+        GROUP BY token ORDER BY token""")),
+
+    // ---- scalar subquery ----
+    "rel_scalar_subquery" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val avgP = o.agg(avg(col("o_totalprice")).as("avg_price"))
+        o.crossJoin(broadcast(avgP))
+          .where(col("o_totalprice") > col("avg_price"))
+          .agg(count(lit(1)).as("n_above_avg"))
+      },
+      Some("""SELECT count(*) AS n_above_avg FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""")),
+
+    // ---- pivot (conditional aggregation) ----
+    "rel_pivot" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("A", "N", "R"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+        count(*) FILTER (WHERE l_returnflag = 'A') AS "A",
+        count(*) FILTER (WHERE l_returnflag = 'N') AS "N",
+        count(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- time-bucketed event aggregation (events table) ----
+    "rel_events_hourly" -> Q(
+      (s, dir) =>
+        eventsTs(s, dir)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), d18(sum(dec(col("value")))).as("sum_value"))
+          .orderBy("hour", "event_type"),
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS $DEC)) AS DECIMAL(18,2)) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- JSON extraction (events.props) ----
+    "rel_json_extract" -> Q(
+      (s, dir) =>
+        eventsTs(s, dir)
+          .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+          .orderBy("k"),
+      Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
+        FROM events GROUP BY k ORDER BY k"""))
+  )
+}
