@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kernel implementations of the reference's scalar surface, byte-level
+  * over UTF8String so Catalyst codegen can call them directly (static
+  * forwarders) inside whole-stage-generated code.
+  *
+  * Semantics mirror wheretrue/exon-duckdb
+  * (`exon/src/exon/sequence_functions/module.cpp`,
+  * `sam_functions/module.cpp`, `fastq_functions/module.cpp`,
+  * `gff_functions/module.cpp`); see each method's note. Invalid input
+  * throws (the reference's tests pin error behavior), NULL handling is
+  * done by the calling expression (null in → null out).
+  */
+object SeqOps {
+
+  private def fail(fn: String, msg: String): Nothing =
+    throw new IllegalArgumentException(s"$fn: $msg")
+
+  /** DNA complement: A<->T, C<->G; anything else throws.
+    * Ref: sequence_functions/module.cpp:81-129. */
+  def complement(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var i = 0
+    while (i < in.length) {
+      out(i) = (in(i): @unchecked) match {
+        case 'A' => 'T'
+        case 'T' => 'A'
+        case 'C' => 'G'
+        case 'G' => 'C'
+        case c   => fail("complement", s"invalid nucleotide '${c.toChar}'")
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** DNA -> RNA: T -> U. Ref: sequence_functions/module.cpp:215-261. */
+  def transcribe(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var i = 0
+    while (i < in.length) {
+      out(i) = (in(i): @unchecked) match {
+        case 'T'                 => 'U'
+        case c @ ('A' | 'C' | 'G') => c
+        case c => fail("transcribe", s"invalid nucleotide '${c.toChar}'")
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** RNA -> DNA: U -> T. Ref: sequence_functions/module.cpp:168-213. */
+  def reverseTranscribe(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var i = 0
+    while (i < in.length) {
+      out(i) = (in(i): @unchecked) match {
+        case 'U'                 => 'T'
+        case c @ ('A' | 'C' | 'G') => c
+        case c => fail("reverse_transcribe", s"invalid nucleotide '${c.toChar}'")
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Reference-faithful `reverse_complement`: the reference maps
+    * A->C, T->G, C->A, G->T with NO reversal — this is NOT the
+    * biological reverse complement ('GGGG' -> 'TTTT', biology says
+    * 'CCCC'), but its golden tests enshrine it
+    * (sequence_functions/module.cpp:30-79), so we replicate it and flag
+    * it here. */
+  def reverseComplement(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var i = 0
+    while (i < in.length) {
+      out(i) = (in(i): @unchecked) match {
+        case 'A' => 'C'
+        case 'T' => 'G'
+        case 'C' => 'A'
+        case 'G' => 'T'
+        case c   => fail("reverse_complement", s"invalid nucleotide '${c.toChar}'")
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** (#G + #C) / length as float; 0.0 for the empty string. Non-ACGT
+    * bytes simply don't count (the reference only validates G/C/A/T
+    * implicitly). Ref: sequence_functions/module.cpp:131-166 — minus its
+    * early-return and constant-vector bugs, which we deliberately do not
+    * replicate. */
+  def gcContent(s: UTF8String): Float = {
+    val in = s.getBytes
+    if (in.length == 0) return 0.0f
+    var gc = 0
+    var i = 0
+    while (i < in.length) {
+      val c = in(i)
+      if (c == 'G' || c == 'C') gc += 1
+      i += 1
+    }
+    (gc.toDouble / in.length.toDouble).toFloat
+  }
+
+  /** Standard genetic code, 64 codons; '*' = stop.
+    * Ref: sequence_functions/module.cpp:263-370. */
+  private val CodonTable: Map[String, Char] = Map(
+    "TTT" -> 'F', "TTC" -> 'F', "TTA" -> 'L', "TTG" -> 'L',
+    "CTT" -> 'L', "CTC" -> 'L', "CTA" -> 'L', "CTG" -> 'L',
+    "ATT" -> 'I', "ATC" -> 'I', "ATA" -> 'I', "ATG" -> 'M',
+    "GTT" -> 'V', "GTC" -> 'V', "GTA" -> 'V', "GTG" -> 'V',
+    "TCT" -> 'S', "TCC" -> 'S', "TCA" -> 'S', "TCG" -> 'S',
+    "CCT" -> 'P', "CCC" -> 'P', "CCA" -> 'P', "CCG" -> 'P',
+    "ACT" -> 'T', "ACC" -> 'T', "ACA" -> 'T', "ACG" -> 'T',
+    "GCT" -> 'A', "GCC" -> 'A', "GCA" -> 'A', "GCG" -> 'A',
+    "TAT" -> 'Y', "TAC" -> 'Y', "TAA" -> '*', "TAG" -> '*',
+    "CAT" -> 'H', "CAC" -> 'H', "CAA" -> 'Q', "CAG" -> 'Q',
+    "AAT" -> 'N', "AAC" -> 'N', "AAA" -> 'K', "AAG" -> 'K',
+    "GAT" -> 'D', "GAC" -> 'D', "GAA" -> 'E', "GAG" -> 'E',
+    "TGT" -> 'C', "TGC" -> 'C', "TGA" -> '*', "TGG" -> 'W',
+    "CGT" -> 'R', "CGC" -> 'R', "CGA" -> 'R', "CGG" -> 'R',
+    "AGT" -> 'S', "AGC" -> 'S', "AGA" -> 'R', "AGG" -> 'R',
+    "GGT" -> 'G', "GGC" -> 'G', "GGA" -> 'G', "GGG" -> 'G')
+
+  /** Exposed for oracle-SQL generation (graft.queries.ScalarFns). */
+  def codonPairs: Seq[(String, Char)] = CodonTable.toSeq.sortBy(_._1)
+
+  def translateDnaToAa(s: UTF8String): UTF8String = {
+    val seq = s.toString
+    if (seq.length % 3 != 0)
+      fail("translate_dna_to_aa", s"sequence length ${seq.length} is not divisible by 3")
+    val out = new StringBuilder(seq.length / 3)
+    var i = 0
+    while (i < seq.length) {
+      val codon = seq.substring(i, i + 3)
+      out += CodonTable.getOrElse(codon, fail("translate_dna_to_aa", s"unknown codon '$codon'"))
+      i += 3
+    }
+    UTF8String.fromString(out.result())
+  }
+
+  /** '1M2S' -> [{op:'M',len:1},{op:'S',len:2}]; invalid format throws.
+    * Ref: sam_functions/module.cpp:32-75 + rust sam_functions.rs:114-131. */
+  def parseCigar(s: UTF8String): ArrayData = {
+    val cig = s.toString
+    if (cig.isEmpty) fail("parse_cigar", "empty CIGAR")
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < cig.length) {
+      val start = i
+      while (i < cig.length && cig.charAt(i).isDigit) i += 1
+      if (i == start || i == cig.length)
+        fail("parse_cigar", s"invalid CIGAR '$cig'")
+      val len = java.lang.Integer.parseInt(cig.substring(start, i))
+      val op = cig.charAt(i)
+      if ("MIDNSHP=X".indexOf(op) < 0)
+        fail("parse_cigar", s"invalid CIGAR op '$op' in '$cig'")
+      ops += new GenericInternalRow(Array[Any](UTF8String.fromString(op.toString), len))
+      i += 1
+    }
+    new GenericArrayData(ops.toArray)
+  }
+
+  /** Trim leading/trailing Insertion ops and return
+    * (sequence_start, sequence_end, trimmed sequence).
+    * Ref: sam_functions/module.cpp:77-115 + rust sam_functions.rs:161-200:
+    * start = len(first op) if it is I else 0; end = len(seq) - len(last op)
+    * if it is I else len(seq). */
+  def extractFromCigar(seq: UTF8String, cigar: UTF8String): InternalRow = {
+    val parsed = parseCigar(cigar)
+    val n = parsed.numElements()
+    val first = parsed.getStruct(0, 2)
+    val last = parsed.getStruct(n - 1, 2)
+    val sLen = seq.numChars()
+    val start = if (first.getUTF8String(0).toString == "I") first.getInt(1) else 0
+    val end = if (last.getUTF8String(0).toString == "I") sLen - last.getInt(1) else sLen
+    new GenericInternalRow(Array[Any](start, end, seq.substringSQL(start + 1, end - start)))
+  }
+
+  /** Phred+33 decode: each char c -> c - 33.
+    * Ref: fastq_functions/module.cpp:28-54. */
+  def qualityScoreStringToList(s: UTF8String): ArrayData = {
+    val in = s.getBytes
+    val out = new Array[Int](in.length)
+    var i = 0
+    while (i < in.length) { out(i) = in(i) - 33; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  /** 'k1=v1;k2=v2[;]' -> map; throws unless each non-empty segment is
+    * exactly k=v. Ref: gff_functions/module.cpp:29-84. */
+  def gffParseAttributes(s: UTF8String): MapData = {
+    val txt = s.toString
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    txt.split(";").foreach { seg0 =>
+      val seg = seg0.trim
+      if (seg.nonEmpty) {
+        val eq = seg.indexOf('=')
+        if (eq <= 0 || eq != seg.lastIndexOf('=') || eq == seg.length - 1)
+          fail("gff_parse_attributes", s"attribute segment '$seg' is not key=value")
+        keys += UTF8String.fromString(seg.substring(0, eq))
+        vals += UTF8String.fromString(seg.substring(eq + 1))
+      }
+    }
+    ArrayBasedMapData(keys.toArray, vals.toArray)
+  }
+}
