@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All oracle-checkable queries, grouped by module. */
   def registry: Map[String, Q] =
-    Relational.qs ++ ScalarFns.qs
+    Relational.qs ++ ScalarFns.qs ++ FormatScans.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

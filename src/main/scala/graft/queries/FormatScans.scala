@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftIO
+
+/** Oracle-matrix entries for the file-format sources (SURVEY.md §2.A).
+  *
+  * DuckDB cannot read these formats, so each oracle is the golden result
+  * as literal ANSI SQL — same idea as the reference's inline sqllogictest
+  * goldens. Fixtures are this repo's synthetic corpus (FIXTURES.md
+  * shapes) addressed absolutely so the driver's Verify run finds them.
+  */
+object FormatScans {
+
+  private val F = "/root/repo/src/test/resources/fixtures"
+
+  val qs: Map[String, Q] = Map(
+
+    "fmt_fasta_scan" -> Q(
+      (s, _) => GraftIO.read_fasta(s, s"$F/fasta/test.fasta.gz").orderBy("id"),
+      Some("""SELECT 'r1' AS id, 'first record' AS description, 'ATCGATCGGGCC' AS sequence
+        UNION ALL SELECT 'r2', NULL, 'TTTTACGT' ORDER BY id""")),
+
+    "fmt_fasta_dir_scan" -> Q(
+      (s, _) => GraftIO.read_fasta(s, s"$F/fasta_dir").groupBy()
+        .agg(count(lit(1)).as("n"), array_join(sort_array(collect_list(col("id"))), ",").as("ids")),
+      Some("SELECT 4 AS n, 'd1,d2,d3,d4' AS ids")),
+
+    "fmt_fastq_scan" -> Q(
+      (s, _) => GraftIO.read_fastq(s, s"$F/fastq/test.fastq").orderBy("name"),
+      Some("""SELECT 'q1' AS name, 'read one' AS description, 'GATTACAGATTACA' AS sequence, 'IIIIIIIIIIIIII' AS quality_scores
+        UNION ALL SELECT 'q2', NULL, 'ACGTACGTACGTAC', '!!##%%%%++55??' ORDER BY name""")),
+
+    "fmt_gff_scan" -> Q(
+      (s, _) => GraftIO.read_gff(s, s"$F/gff/test.gff")
+        .selectExpr("seqname", "type", "start", "end", "score", "strand", "phase",
+          "attributes['gene_id'][0] AS gene_id",
+          "array_join(attributes['gene_name'], ',') AS gene_names")
+        .orderBy("seqname"),
+      Some("""SELECT 'sq0' AS seqname, 'gene' AS type, CAST(8 AS BIGINT) AS start, CAST(13 AS BIGINT) AS "end",
+          CAST(NULL AS REAL) AS score, '+' AS strand, CAST(NULL AS VARCHAR) AS phase,
+          'g1' AS gene_id, 'alpha' AS gene_names
+        UNION ALL SELECT 'sq1', 'gene', 8, 14, CAST(0.1 AS REAL), '+', '0', 'g2', 'alpha,beta'
+        ORDER BY seqname""")),
+
+    "fmt_gtf_scan" -> Q(
+      (s, _) => GraftIO.read_gtf(s, s"$F/gtf/test.gtf")
+        .selectExpr("seqname", "type", "start", "end", "frame",
+          "attributes['gene_id'][0] AS gene_id",
+          "attributes['transcript_id'][0] AS transcript_id")
+        .orderBy("start"),
+      Some("""SELECT 'chr1' AS seqname, 'exon' AS type, CAST(11869 AS BIGINT) AS start, CAST(12227 AS BIGINT) AS "end",
+          CAST(NULL AS VARCHAR) AS frame, 'G0001' AS gene_id, 'T0001' AS transcript_id
+        UNION ALL SELECT 'chr1', 'exon', 12613, 12721, NULL, 'G0001', 'T0002'
+        ORDER BY start""")),
+
+    "fmt_bed_scan" -> Q(
+      (s, _) => GraftIO.read_bed_file(s, s"$F/bed/test12.bed"),
+      Some("""SELECT 'sq0' AS reference_sequence_name, CAST(8 AS BIGINT) AS start, CAST(13 AS BIGINT) AS "end",
+        CAST(NULL AS VARCHAR) AS name, CAST(NULL AS BIGINT) AS score, CAST(NULL AS VARCHAR) AS strand,
+        CAST(8 AS BIGINT) AS thick_start, CAST(13 AS BIGINT) AS thick_end, CAST(NULL AS VARCHAR) AS color,
+        CAST(2 AS BIGINT) AS block_count, '2,1' AS block_sizes, '0,3' AS block_starts""")),
+
+    "fmt_sam_scan" -> Q(
+      (s, _) => GraftIO.read_sam_file_records(s, s"$F/sam/example.sam").orderBy("name"),
+      Some("""SELECT 'r001' AS name, 99 AS flag, 'ref1' AS reference, CAST(1 AS BIGINT) AS start,
+          CAST(10 AS BIGINT) AS "end", '0' AS mapping_quality, '10M' AS cigar, 'ref1' AS mate_reference,
+          'CGAGCTCGGT' AS sequence, '!!!!!!!!!!' AS quality_score
+        UNION ALL SELECT 'r002', 147, 'ref1', 25, 32, '30', '5M2I3M', 'ref1', 'ACGTACGTAC', 'IIIIIIIIII'
+        UNION ALL SELECT 'r003', 4, NULL, NULL, NULL, NULL, NULL, NULL, 'AAAA', NULL
+        ORDER BY name""")),
+
+    "fmt_hmm_scan" -> Q(
+      (s, _) => GraftIO.read_hmm_dom_tbl_out(s, s"$F/hmm/test.domtblout")
+        .selectExpr("target_name", "target_accession", "tlen", "evalue", "accuracy", "description")
+        .orderBy("target_name"),
+      Some("""SELECT 't1' AS target_name, 'PF00001.1' AS target_accession, CAST(120 AS BIGINT) AS tlen,
+          CAST(1.2e-10 AS DOUBLE) AS evalue, CAST(0.91 AS DOUBLE) AS accuracy, 'first target' AS description
+        UNION ALL SELECT 't2', NULL, 80, 2.5e-05, 0.85, 'second target with words'
+        ORDER BY target_name"""))
+  )
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.core._
+
+/** All registered formats. */
+object Formats {
+  def all: Seq[GraftFormat] =
+    Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
+      HmmDomTabFormat)
+
+  def byName(name: String): GraftFormat =
+    all.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown graft format '$name'"))
+
+  /** Bare-path dispatch set: the reference's replacement scan handles
+    * FASTA/FASTQ/GFF/SAM/BAM/VCF/BCF/GenBank/HMM/mzML but NOT BED or GTF
+    * (arrow_table_function/module.cpp:336-379) — replicated exactly. */
+  def autoDispatch: Seq[GraftFormat] = all.filterNot(f => f.name == "bed" || f.name == "gtf")
+
+  def forPath(path: String, options: Map[String, String]): GraftFormat = {
+    val (_, stripped) = Compression.of(path, options)
+    val ext = stripped.substring(stripped.lastIndexOf('.') + 1).toLowerCase
+    autoDispatch.find(_.extensions.contains(ext)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot infer a graft format from '$path' (extension '$ext')"))
+  }
+}
+
+// One DataSourceRegister per format => spark.read.format("fasta") etc.
+class FastaDataSource extends GraftDataSource(FastaFormat)
+class FastqDataSource extends GraftDataSource(FastqFormat)
+class GffDataSource extends GraftDataSource(GffFormat)
+class GtfDataSource extends GraftDataSource(GtfFormat)
+class BedDataSource extends GraftDataSource(BedFormat)
+class SamDataSource extends GraftDataSource(SamFormat)
+class HmmDomTabDataSource extends GraftDataSource(HmmDomTabFormat)
+
+/** The bare-path provider: `spark.read.format("exon").load(path)`
+  * dispatches on the file extension (compression suffix stripped), the
+  * Spark analog of the reference's replacement scan (SURVEY.md §3.2). */
+class ExonDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "exon"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def delegate(options: CaseInsensitiveStringMap): GraftDataSource = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("format 'exon' requires a path"))
+    val fmt = Formats.forPath(path, options.asCaseSensitiveMap().asScala.toMap)
+    new GraftDataSource(fmt) {}
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    delegate(options).inferSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val fmt = Formats.forPath(properties.get("path"), properties.asScala.toMap)
+    GraftTable(fmt, schema, properties.asScala.toMap)
+  }
+}
+
+/** Scala convenience API mirroring the reference's table functions. */
+object GraftIO {
+  private def rd(spark: SparkSession, fmt: String, path: String,
+                 options: Map[String, String]): DataFrame =
+    spark.read.format(fmt).options(options).load(path)
+
+  def read_fasta(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "fasta", path, options)
+  def read_fastq(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "fastq", path, options)
+  def read_gff(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "gff", path, options)
+  def read_gtf(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "gtf", path, options)
+  def read_bed_file(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bed", path, options)
+  def read_sam_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "sam", path, options)
+  def read_hmm_dom_tbl_out(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "hmmdomtab", path, options)
+  /** Bare-path auto-dispatch (replacement scan analog). */
+  def read_auto(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "exon", path, options)
+}

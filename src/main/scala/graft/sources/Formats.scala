@@ -1,0 +1,334 @@
+package graft.sources
+
+import java.io.InputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.core._
+
+private[sources] object P {
+  def s(v: String): UTF8String = if (v == null) null else UTF8String.fromString(v)
+  def dotNull(v: String): String = if (v == null || v == ".") null else v
+  def arr(vs: Seq[Any]): GenericArrayData = new GenericArrayData(vs.toArray)
+
+  /** Iterate lines of a split with the Hadoop boundary protocol. */
+  def lines(split: GraftSplit, in: InputStream): Iterator[(Long, String)] =
+    new LineReader(in, split.start, if (split.end == Long.MaxValue) Long.MaxValue else split.end)
+
+  /** Simple whole-stream lines (non-splittable formats). */
+  def allLines(in: InputStream): Iterator[String] =
+    new LineReader(in, 0, Long.MaxValue).map(_._2)
+}
+
+/** FASTA: '>'-headed records, sequence over following lines.
+  * Ref schema: test_fasta_scan.test (id, description, sequence).
+  * Splittable: a ranged split claims records whose header-line offset is
+  * in (start, end] — headers sync the same way lines do. */
+object FastaFormat extends GraftFormat {
+  override def name = "fasta"
+  override def extensions = Seq("fasta", "fa", "fna")
+  override def splittable = true
+  override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("description", StringType),
+      StructField("sequence", StringType)))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    val it = new LineReader(in, split.start, Long.MaxValue).buffered
+    new Iterator[Array[Any]] {
+      private def syncToHeader(): Unit =
+        while (it.hasNext && !it.head._2.startsWith(">")) it.next()
+      syncToHeader()
+      override def hasNext: Boolean =
+        it.hasNext && it.head._1 <= split.end && it.head._2.startsWith(">")
+      override def next(): Array[Any] = {
+        val (_, header) = it.next()
+        val body = header.substring(1)
+        val sp = body.indexOf(' ')
+        val (id, desc) = if (sp < 0) (body, null) else (body.substring(0, sp), body.substring(sp + 1))
+        val seq = new StringBuilder
+        while (it.hasNext && !it.head._2.startsWith(">")) seq ++= it.next()._2.trim
+        Array[Any](P.s(id), P.s(desc), P.s(seq.result()))
+      }
+    }
+  }
+}
+
+/** FASTQ: 4-line records (@name desc / seq / + / qual).
+  * Ref schema: test_fastq_scan.test. Not byte-splittable ('@' is a legal
+  * quality character, so record starts can't be synced structurally);
+  * parallelism comes from one partition per file. */
+object FastqFormat extends GraftFormat {
+  override def name = "fastq"
+  override def extensions = Seq("fastq", "fq")
+  override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("sequence", StringType),
+      StructField("quality_scores", StringType)))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    val it = P.allLines(in).filter(_.nonEmpty)
+    new Iterator[Array[Any]] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Array[Any] = {
+        val header = it.next()
+        require(header.startsWith("@"), s"malformed FASTQ record header '$header'")
+        val body = header.substring(1)
+        val sp = body.indexOf(' ')
+        val (nm, desc) = if (sp < 0) (body, null) else (body.substring(0, sp), body.substring(sp + 1))
+        val seq = it.next()
+        val plus = it.next()
+        require(plus.startsWith("+"), s"malformed FASTQ separator '$plus'")
+        val qual = it.next()
+        Array[Any](P.s(nm), P.s(desc), P.s(seq), P.s(qual))
+      }
+    }
+  }
+}
+
+/** GFF3 / GTF: 9-column TSV; they differ in the 8th column's name
+  * (phase vs frame) and the attributes grammar (k=v;… vs key "value";…).
+  * Ref: test_gff_scan.test / test_gtf_scan.test — attributes surface as
+  * MAP<STRING, ARRAY<STRING>>. */
+abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat {
+  override def splittable = true
+  override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("seqname", StringType),
+      StructField("source", StringType),
+      StructField("type", StringType),
+      StructField("start", LongType),
+      StructField("end", LongType),
+      StructField("score", FloatType),
+      StructField("strand", StringType),
+      StructField(col8, StringType),
+      StructField("attributes", MapType(StringType, ArrayType(StringType)))))
+
+  protected def parseAttributes(raw: String): ArrayBasedMapData
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] =
+    P.lines(split, in)
+      .map(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val c = line.split("\t", -1)
+        require(c.length >= 9, s"$name line has ${c.length} columns: '$line'")
+        Array[Any](
+          P.s(c(0)), P.s(c(1)), P.s(c(2)),
+          java.lang.Long.parseLong(c(3)),
+          java.lang.Long.parseLong(c(4)),
+          Option(P.dotNull(c(5))).map(java.lang.Float.parseFloat).orNull,
+          P.s(P.dotNull(c(6))),
+          P.s(P.dotNull(c(7))),
+          parseAttributes(c(8)))
+      }
+}
+
+object GffFormat extends GffLikeFormat("gff", "phase") {
+  override def extensions = Seq("gff", "gff3")
+  /** `k=v;k2=a,b` -> {k:[v], k2:[a,b]} */
+  override protected def parseAttributes(raw: String): ArrayBasedMapData = {
+    val pairs = raw.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { seg =>
+      val eq = seg.indexOf('=')
+      require(eq > 0, s"bad GFF attribute '$seg'")
+      val k = seg.substring(0, eq)
+      val vs = seg.substring(eq + 1).split(",").toSeq
+      (P.s(k), P.arr(vs.map(P.s)))
+    }.toSeq
+    ArrayBasedMapData(pairs.map(_._1).toArray[Any], pairs.map(_._2).toArray[Any])
+  }
+}
+
+object GtfFormat extends GffLikeFormat("gtf", "frame") {
+  override def extensions = Seq("gtf")
+  /** `key "value"; key2 "v2";` -> {key:[value],…}; repeated keys append. */
+  override protected def parseAttributes(raw: String): ArrayBasedMapData = {
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    raw.split(";").iterator.map(_.trim).filter(_.nonEmpty).foreach { seg =>
+      val sp = seg.indexOf(' ')
+      require(sp > 0, s"bad GTF attribute '$seg'")
+      val k = seg.substring(0, sp)
+      val v = seg.substring(sp + 1).trim.stripPrefix("\"").stripSuffix("\"")
+      grouped.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += v
+    }
+    ArrayBasedMapData(
+      grouped.keys.map(P.s).toArray[Any],
+      grouped.values.map(vs => P.arr(vs.toSeq.map(P.s))).toArray[Any])
+  }
+}
+
+/** BED 3-12: TSV, 0-based half-open in the file, surfaced 1-based like
+  * the reference (file start 7 -> output 8; test_bed_io.test). Missing
+  * trailing columns -> NULL; '.' -> NULL; score 0 and color 0 -> NULL. */
+object BedFormat extends GraftFormat {
+  override def name = "bed"
+  override def extensions = Seq("bed")
+  override def splittable = true
+  override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("reference_sequence_name", StringType),
+      StructField("start", LongType),
+      StructField("end", LongType),
+      StructField("name", StringType),
+      StructField("score", LongType),
+      StructField("strand", StringType),
+      StructField("thick_start", LongType),
+      StructField("thick_end", LongType),
+      StructField("color", StringType),
+      StructField("block_count", LongType),
+      StructField("block_sizes", StringType),
+      StructField("block_starts", StringType)))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] =
+    P.lines(split, in)
+      .map(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("track") && !l.startsWith("browser"))
+      .map { line =>
+        val c = line.split("\t", -1)
+        def at(i: Int): String = if (i < c.length) P.dotNull(c(i)) else null
+        def longAt(i: Int, shift: Long = 0): Any =
+          Option(at(i)).map(v => java.lang.Long.parseLong(v) + shift).orNull
+        val score: Any = at(4) match {
+          case null => null
+          case v => val n = java.lang.Long.parseLong(v); if (n == 0) null else n
+        }
+        val color = at(8) match { case null | "0" => null; case v => v }
+        Array[Any](
+          P.s(c(0)), longAt(1, 1), longAt(2), P.s(at(3)), score, P.s(at(5)),
+          longAt(6, 1), longAt(7), P.s(color), longAt(9), P.s(at(10)), P.s(at(11)))
+      }
+}
+
+/** SAM text alignments. Ref schema (10 cols): test_sam_record_scan.test;
+  * `end` = start + CIGAR reference span - 1 (M/D/N/=/X consume
+  * reference); mapping_quality 255 -> NULL (unavailable per SAM spec);
+  * mate_reference '=' resolves to the read's own reference. */
+object SamFormat extends GraftFormat {
+  override def name = "sam"
+  override def extensions = Seq("sam")
+  override def splittable = true
+  override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
+    SamFormat.recordSchema
+  val recordSchema: StructType =
+    StructType(Seq(
+      StructField("name", StringType),
+      StructField("flag", IntegerType),
+      StructField("reference", StringType),
+      StructField("start", LongType),
+      StructField("end", LongType),
+      StructField("mapping_quality", StringType),
+      StructField("cigar", StringType),
+      StructField("mate_reference", StringType),
+      StructField("sequence", StringType),
+      StructField("quality_score", StringType)))
+
+  /** Reference-consuming CIGAR span; -1 when cigar is '*'/invalid. */
+  def referenceSpan(cigar: String): Long = {
+    if (cigar == null || cigar == "*") return -1
+    var span = 0L
+    var i = 0
+    while (i < cigar.length) {
+      var n = 0L
+      val st = i
+      while (i < cigar.length && cigar.charAt(i).isDigit) { n = n * 10 + (cigar.charAt(i) - '0'); i += 1 }
+      if (i == st || i >= cigar.length) return -1
+      val op = cigar.charAt(i)
+      if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X') span += n
+      i += 1
+    }
+    span
+  }
+
+  def parseLine(line: String): Array[Any] = {
+    val c = line.split("\t", -1)
+    require(c.length >= 11, s"SAM record has ${c.length} columns")
+    val flag = java.lang.Integer.parseInt(c(1))
+    val ref = if (c(2) == "*") null else c(2)
+    val pos = java.lang.Long.parseLong(c(3))
+    val cigar = if (c(5) == "*") null else c(5)
+    val span = referenceSpan(c(5))
+    val endV: Any = if (pos == 0 || span < 0) null else pos + span - 1
+    val mapq = if (c(4) == "255") null else c(4)
+    val mateRef = c(6) match {
+      case "=" => ref
+      case "*" => null
+      case v   => v
+    }
+    Array[Any](
+      P.s(c(0)), flag, P.s(ref), if (pos == 0) null else pos, endV,
+      P.s(mapq), P.s(cigar), P.s(mateRef),
+      P.s(if (c(9) == "*") null else c(9)),
+      P.s(if (c(10) == "*") null else c(10)))
+  }
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] =
+    P.lines(split, in)
+      .map(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("@"))
+      .map(parseLine)
+}
+
+/** HMMER3 --domtblout: whitespace-aligned 23-column table, '#' comments;
+  * the 23rd column (description) is the line remainder. Ref:
+  * test_hmm_scan.test over test.pfam.hmmout. */
+object HmmDomTabFormat extends GraftFormat {
+  override def name = "hmmdomtab"
+  override def extensions = Seq("hmmdomtab", "hmmout", "domtblout")
+  override def splittable = true
+  override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("target_name", StringType),
+      StructField("target_accession", StringType),
+      StructField("tlen", LongType),
+      StructField("query_name", StringType),
+      StructField("accession", StringType),
+      StructField("qlen", LongType),
+      StructField("evalue", DoubleType),
+      StructField("sequence_score", DoubleType),
+      StructField("bias", DoubleType),
+      StructField("domain_number", LongType),
+      StructField("ndom", LongType),
+      StructField("conditional_evalue", DoubleType),
+      StructField("independent_evalue", DoubleType),
+      StructField("domain_score", DoubleType),
+      StructField("domain_bias", DoubleType),
+      StructField("hmm_from", LongType),
+      StructField("hmm_to", LongType),
+      StructField("ali_from", LongType),
+      StructField("ali_to", LongType),
+      StructField("env_from", LongType),
+      StructField("env_to", LongType),
+      StructField("accuracy", DoubleType),
+      StructField("description", StringType)))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] =
+    P.lines(split, in)
+      .map(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val c = line.split("\\s+", 23)
+        require(c.length >= 22, s"domtblout line has ${c.length} columns")
+        def l_(i: Int): Any = java.lang.Long.parseLong(c(i))
+        def d_(i: Int): Any = java.lang.Double.parseDouble(c(i))
+        // HMMER writes '-' for a missing accession.
+        def acc(i: Int): String = if (c(i) == "-") null else c(i)
+        Array[Any](
+          P.s(c(0)), P.s(acc(1)), l_(2), P.s(c(3)), P.s(acc(4)), l_(5),
+          d_(6), d_(7), d_(8), l_(9), l_(10), d_(11), d_(12), d_(13), d_(14),
+          l_(15), l_(16), l_(17), l_(18), l_(19), l_(20), d_(21),
+          if (c.length > 22) P.s(c(22).trim) else null)
+      }
+}

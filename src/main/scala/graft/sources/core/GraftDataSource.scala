@@ -1,0 +1,161 @@
+package graft.sources.core
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 TableProvider for one GraftFormat. Mirrors the reference's
+  * generic table function (bind = inferSchema, init = planInputPartitions,
+  * scan = PartitionReader) with Catalyst handling projection pushdown.
+  */
+abstract class GraftDataSource(format: GraftFormat)
+    extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = format.name
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      // DataFrameReader.load(paths: _*) encodes a JSON array of strings.
+      json.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, s"format '${format.name}' requires a path")
+    all
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val files = pathsOf(options).flatMap(GraftFiles.resolve(_, conf)).map(_.getPath)
+    format.schema(files, conf, options.asCaseSensitiveMap().asScala.toMap)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    GraftTable(format, schema, properties.asScala.toMap)
+}
+
+final case class GraftTable(format: GraftFormat, tableSchema: StructType,
+                            options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String =
+    s"${format.name}(${options.getOrElse("path", options.getOrElse("paths", "?"))})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    GraftScanBuilder(format, tableSchema, options)
+}
+
+final case class GraftScanBuilder(format: GraftFormat, full: StructType,
+                                  options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Accept simple filters for reader-side evaluation but report them all
+    * back so Spark re-applies them — the reader-side pass is purely an
+    * early-skip optimization (same division of labor as the reference,
+    * where DataFusion re-evaluates pushed predicates; correctness never
+    * depends on the source's filter implementation). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FilterEval.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = GraftScan(format, full, required, pushed, options)
+}
+
+final case class GraftScan(format: GraftFormat, full: StructType, required: StructType,
+                           filters: Array[Filter], options: Map[String, String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan(${format.name}, cols=[${required.fieldNames.mkString(",")}], " +
+      s"filters=[${filters.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val paths = Seq(options.get("path"), options.get("paths")).flatten
+    val files = paths.flatMap(GraftFiles.resolve(_, conf))
+    files.flatMap { st =>
+      val path = st.getPath.toString
+      val len = st.getLen
+      val (codec, _) = Compression.of(path, options)
+      if (format.splittable && codec == "none" && len > maxSplit) {
+        // One partition per ~maxSplit bytes; parser syncs to record start.
+        val n = math.ceil(len.toDouble / maxSplit).toInt
+        (0 until n).map { i =>
+          val s = i.toLong * maxSplit
+          GraftInputPartition(path, s, math.min(s + maxSplit, len), len)
+        }
+      } else {
+        Seq(GraftInputPartition(path, 0, Long.MaxValue, len))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(format, full, required, filters, options)
+}
+
+final case class GraftInputPartition(path: String, start: Long, end: Long,
+                                     fileLen: Long) extends InputPartition
+
+final case class GraftReaderFactory(format: GraftFormat, full: StructType,
+                                    required: StructType, filters: Array[Filter],
+                                    options: Map[String, String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val conf = new Configuration() // local/default FS; SerializableConfiguration if cluster confs matter
+    val raw = GraftFiles.open(p.path, conf)
+    val (codec, _) = Compression.of(p.path, options)
+    val ranged = p.start != 0 || p.end != Long.MaxValue
+    if (ranged) {
+      require(codec == "none", "ranged split over compressed input")
+      raw.seek(p.start) // LineReader expects the stream positioned at split start
+    }
+    val stream = if (ranged) raw.stream else Compression.wrap(raw.stream, codec)
+    val split = GraftSplit(p.path, p.start, if (ranged) p.end else Long.MaxValue, p.fileLen)
+
+    val fullIter = format.read(split, full, stream, options)
+    val fieldIdx = required.fieldNames.map(full.fieldIndex)
+    val pred = FilterEval.build(filters, full)
+    val it = fullIter
+      .filter(pred)
+      .map { vals =>
+        val out = new Array[Any](fieldIdx.length)
+        var i = 0
+        while (i < fieldIdx.length) { out(i) = vals(fieldIdx(i)); i += 1 }
+        new GenericInternalRow(out): InternalRow
+      }
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
+      override def get(): InternalRow = current
+      override def close(): Unit = stream.close()
+    }
+  }
+}

@@ -1,0 +1,143 @@
+package graft.sources.core
+
+import java.io.InputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.types.StructType
+
+/** One genomic file format (SURVEY.md §2.A). A format contributes its
+  * schema (static for most; VCF infers from the file header) and a
+  * full-schema record iterator over one split of one file.
+  *
+  * The Spark analog of the reference's single generic Arrow-stream scan
+  * (exon/src/exon/arrow_table_function/module.cpp): here the "bind" is
+  * TableProvider.inferSchema, the "scan" is a DSv2 Batch whose
+  * InputPartitions are files (or byte ranges of splittable files), and
+  * the parser runs inside executors.
+  */
+trait GraftFormat extends Serializable {
+  def name: String
+
+  /** Extensions (without compression suffix) this format claims, for the
+    * bare-path auto-dispatch provider. */
+  def extensions: Seq[String]
+
+  /** Whether uncompressed files can be read by byte range. Line-oriented
+    * formats sync to the next newline (Hadoop LineRecordReader protocol);
+    * FASTA additionally syncs to the next '>' header. At 100 TB this is
+    * the difference between one task per file and one task per 128 MB.
+    */
+  def splittable: Boolean = false
+
+  /** Schema; `paths` lets header-driven formats (VCF) peek at a file. */
+  def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType
+
+  /** Parse one (decompressed for non-splittable; raw-seekable for
+    * splittable) split into full-schema rows of Catalyst values
+    * (UTF8String / primitives / ArrayData / MapData). */
+  def read(split: GraftSplit, schema: StructType, stream: InputStream,
+           options: Map[String, String]): Iterator[Array[Any]]
+}
+
+/** One unit of parallel work: a file, or a byte range of one. */
+final case class GraftSplit(path: String, start: Long, end: Long, fileLen: Long)
+
+object Compression {
+  /** (codec, pathWithoutCompressionSuffix); codec from the final
+    * extension unless forced via the `compression` option — mirrors the
+    * reference's auto-detect + named-parameter override
+    * (rust/src/arrow_reader.rs:60-91). */
+  def of(path: String, options: Map[String, String]): (String, String) = {
+    val forced = options.get("compression").map(_.toLowerCase)
+    val lower = path.toLowerCase
+    val (auto, stripped) =
+      if (lower.endsWith(".gz")) ("gzip", path.dropRight(3))
+      else if (lower.endsWith(".gzip")) ("gzip", path.dropRight(5))
+      else if (lower.endsWith(".zst")) ("zstd", path.dropRight(4))
+      else if (lower.endsWith(".zstd")) ("zstd", path.dropRight(5))
+      else ("none", path)
+    forced match {
+      case Some("auto") | None => (auto, stripped)
+      case Some(c)             => (c, stripped)
+    }
+  }
+
+  def wrap(in: InputStream, codec: String): InputStream = codec match {
+    case "none" => in
+    case "gzip" =>
+      // Multi-member aware (BGZF = concatenated gzip members).
+      new MultiMemberGzipInputStream(in)
+    case "zstd" => new com.github.luben.zstd.ZstdInputStream(in)
+    case other  => throw new IllegalArgumentException(s"unknown compression '$other'")
+  }
+}
+
+/** java.util.zip.GZIPInputStream stops at the first member boundary for
+  * some stream shapes; this wrapper keeps reading members until true EOF,
+  * which BGZF (BAM/bgzipped VCF) requires. */
+final class MultiMemberGzipInputStream(raw: InputStream) extends InputStream {
+  private val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
+  private var gz = new java.util.zip.GZIPInputStream(buffered, 1 << 16)
+  private var eof = false
+
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    val n = read(one, 0, 1)
+    if (n < 0) -1 else one(0) & 0xff
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (eof) return -1
+    var n = gz.read(b, off, len)
+    while (n < 0 && !eof) {
+      // member finished; more bytes in the underlying stream?
+      buffered.mark(1)
+      if (buffered.read() < 0) { eof = true }
+      else {
+        buffered.reset()
+        gz = new java.util.zip.GZIPInputStream(buffered, 1 << 16)
+        n = gz.read(b, off, len)
+      }
+    }
+    if (eof) -1 else n
+  }
+
+  override def close(): Unit = { gz.close(); raw.close() }
+}
+
+object GraftFiles {
+  /** Expand a path/glob/directory into concrete files (mirrors the
+    * reference's directory-scan support, test_fasta_scan.test "Test
+    * glob"). Runs on the driver at plan time. */
+  def resolve(pathSpec: String, conf: Configuration): Seq[FileStatus] = {
+    val path = new Path(pathSpec)
+    val fs = path.getFileSystem(conf)
+    val globbed = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+    if (globbed.isEmpty)
+      throw new java.io.FileNotFoundException(s"no files match '$pathSpec'")
+    globbed.flatMap { st =>
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+        while (it.hasNext) {
+          val f = it.next()
+          if (!f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")) buf += f
+        }
+        buf.toSeq.sortBy(_.getPath.toString)
+      } else Seq(st)
+    }
+  }
+
+  def open(path: String, conf: Configuration): FSDataStream = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    new FSDataStream(fs.open(p))
+  }
+}
+
+/** Thin wrapper so parsers can seek before reading a ranged split. */
+final class FSDataStream(val in: org.apache.hadoop.fs.FSDataInputStream) {
+  def seek(pos: Long): Unit = in.seek(pos)
+  def stream: InputStream = in
+}
