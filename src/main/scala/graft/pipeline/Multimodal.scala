@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media travel as opaque `binary` columns
+  * with typed metadata; decode/feature-extraction runs batch-wise inside
+  * `mapPartitions` (the Scala-native equivalent of mapInPandas — one
+  * iterator per partition, no per-row serialization round trips, no
+  * driver involvement).
+  *
+  * The decode step is a STUB: no image/audio codecs exist in this
+  * environment, so [[FakeDecoder.decode]] is a deterministic stand-in
+  * with the signature a real decoder would have (bytes -> pixels). The
+  * Spark-side plumbing — binary column synthesis, partition-wise batch
+  * iteration, schema of the extracted features — is real and oracle-
+  * checked end-to-end.
+  */
+object Multimodal {
+
+  /** Stand-in for an image decoder. Real implementation would hand
+    * `bytes` to a codec; this fake treats them AS the pixel buffer. */
+  object FakeDecoder {
+    final case class Decoded(width: Int, height: Int, pixels: Array[Byte])
+    def decode(bytes: Array[Byte], width: Int, height: Int): Decoded =
+      Decoded(width, height, pixels = bytes) // STUB: identity "decode"
+  }
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte], width: Int, height: Int)
+  final case class FeatureRow(doc_id: Long, width: Int, height: Int,
+                              feat_hash: Long, byte_sum: Long)
+
+  /** Synthesize an opaque binary column + metadata from documents (the
+    * fixture corpus has no real media; md5(text) bytes stand in). */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "doc_id",
+        "unhex(md5(text)) AS media",
+        "cast(1 + n_chars % 64 AS INT) AS width",
+        "cast(1 + n_chars % 48 AS INT) AS height")
+      .as[MediaRow]
+  }
+
+  /** Batch feature extraction over the binary column. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { row =>
+        val d = FakeDecoder.decode(row.media, row.width, row.height)
+        // feature = first 7 "pixel" bytes as big-endian int (fits i64)
+        var feat = 0L
+        var i = 0
+        while (i < 7 && i < d.pixels.length) { feat = (feat << 8) | (d.pixels(i) & 0xffL); i += 1 }
+        var sum = 0L
+        var j = 0
+        while (j < d.pixels.length) { sum += d.pixels(j) & 0xffL; j += 1 }
+        FeatureRow(row.doc_id, d.width, d.height, feat, sum)
+      }
+    }
+  }
+}

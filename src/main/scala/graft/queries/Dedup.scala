@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, designed for
+  * 100 TB:
+  *
+  *  - exact:   one groupBy on a content hash — single shuffle, partial
+  *             aggregation map-side.
+  *  - MinHash+LSH: per-doc signatures are a single groupBy over exploded
+  *             shingles (map-side partial min); banding turns the O(n^2)
+  *             pair space into per-bucket joins, and only LSH candidates
+  *             are verified exactly. This is the scale path.
+  *  - SimHash: per-doc 32-bit sketch via higher-order functions (no
+  *             shuffle at all until the pair join).
+  *  - n-gram Jaccard (exhaustive) and embedding cosine: exact quadratic
+  *             baselines, deliberately restricted to bounded subsets —
+  *             at scale these exist to verify the sketch paths on
+  *             samples, not to run on the full corpus.
+  *
+  * Oracle discipline: thresholds are integer comparisons
+  * (5*inter >= 4*union, i.e. J >= 0.8) so no float boundary can flip a
+  * row between engines. The LSH oracle is the exhaustive pair set: with
+  * r=2,b=16 bands the miss probability at the observed J>=0.98 dup pairs
+  * is ~1e-24, so LSH-candidates-then-verify equals the exhaustive answer.
+  */
+object Dedup {
+  import Q.t
+
+  /** MinHash permutation constants (fixed seed; Spark-side only — the
+    * oracle never sees signatures, only the verified pair set). */
+  private val MinhashPerms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    // a < 2^30 keeps a * h32 (h32 < 2^32) under 2^62 — no ANSI overflow.
+    Seq.fill(32)((rnd.nextInt(1 << 29).toLong * 2 + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+  private val P32 = 4294967311L // prime > 2^32
+
+  /** doc_id + distinct 3-word shingles. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+
+  private val ShingleCteSql =
+    """sh AS (
+         SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                       for i in range(1, len(w) - 1)]) AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         WHERE len(w) >= 3)"""
+
+  val qs: Map[String, Q] = Map(
+
+    // ---- exact dedup: hash-groupBy (one shuffle; scales linearly) ----
+    "dedup_exact" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---- exhaustive n-gram (trigram) Jaccard on a bounded subset ----
+    "dedup_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val sub = shingled(s, dir).where(col("doc_id") < 300)
+        val a = sub.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sub.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+            (size(col("sh_a")) + size(col("sh_b"))
+              - size(array_intersect(col("sh_a"), col("sh_b")))).as("uni"))
+          .where(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShingleCteSql
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter,
+          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS uni
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 300 AND b.doc_id < 300
+          AND 2 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        ORDER BY id_a, id_b""")),
+
+    // ---- MinHash + LSH banding, exact-verify candidates (scale path) ----
+    "dedup_minhash_lsh" -> Q(
+      (s, dir) => {
+        val sets = shingled(s, dir).cache()
+        // signatures: one groupBy over exploded shingles, 32 partial mins
+        val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
+        val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          min((col("h32") * a + b) % P32).as(s"m$i")
+        }
+        val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        // 16 bands of 2 rows -> bucket join
+        val bandCols = (0 until 16).map { j =>
+          struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("bh"))
+        }
+        val pairs = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .groupBy(col("bb.band"), col("bb.bh"))
+          .agg(collect_set(col("doc_id")).as("ids"))
+          .where(size(col("ids")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+          .select(col("p.id_a"), col("p.id_b")).distinct()
+        // exact verification of candidates only
+        val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        pairs.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+            (size(col("sh_a")) + size(col("sh_b"))
+              - size(array_intersect(col("sh_a"), col("sh_b")))).as("uni"))
+          .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShingleCteSql
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter,
+          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS uni
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        ORDER BY id_a, id_b""")),
+
+    // ---- SimHash sketch + Hamming near-dup pairs ----
+    // 32-bit token hash from md5 hex so the oracle computes the identical
+    // sketch: Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT).
+    "dedup_simhash" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("""transform(array_distinct(split(text, ' ')),
+                     tok -> cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint))""").as("hs"))
+          .select(col("doc_id"),
+            expr("""aggregate(
+                     transform(sequence(0, 31), j ->
+                       IF(aggregate(hs, 0L, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1L, -1L)) >= 0L,
+                          shiftleft(1L, j), 0L)),
+                     0L, (acc, x) -> acc + x)""").as("simhash"))
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id,
+          [CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) for tok in list_distinct(string_split(text, ' '))] AS hs
+          FROM documents)
+        SELECT doc_id,
+          list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) >= 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                    for j in range(0, 32)]) AS simhash
+        FROM d ORDER BY doc_id""")),
+
+    "dedup_simhash_pairs" -> Q(
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .where(col("doc_id") < 300)
+          .select(col("doc_id"),
+            expr("""transform(array_distinct(split(text, ' ')),
+                     tok -> cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint))""").as("hs"))
+          .select(col("doc_id"),
+            expr("""aggregate(
+                     transform(sequence(0, 31), j ->
+                       IF(aggregate(hs, 0L, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1L, -1L)) >= 0L,
+                          shiftleft(1L, j), 0L)),
+                     0L, (acc, x) -> acc + x)""").as("simhash"))
+        val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+        val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(expr("ha ^ hb")).as("dist"))
+          .where(col("dist") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+          [CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) for tok in list_distinct(string_split(text, ' '))] AS hs
+          FROM documents WHERE doc_id < 300),
+        s AS (SELECT doc_id,
+          list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) >= 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                    for j in range(0, 32)]) AS simhash
+          FROM d)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b""")),
+
+    // ---- embedding-cosine near-dup pairs (double arithmetic, rounded) ----
+    "dedup_embedding_cosine" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .where(col("vec_id") < 300)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            expr("""round(
+                    aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+                    / (sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))
+                       * sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x))), 6)""").as("cos"))
+          .where(col("cos") >= 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6) >= 0.4
+        ORDER BY id_a, id_b"""))
+  )
+}

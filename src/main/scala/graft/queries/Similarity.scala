@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column.
+  *
+  *  - Brute-force top-k: broadcast the (small) query set against the
+  *    corpus; per-row double-precision cosine in a codegen'd
+  *    higher-order expression, then a per-query window top-k. At scale
+  *    the corpus side stays partitioned — no shuffle of the big side;
+  *    the window is per-query-key with a TakeOrderedAndProject shape.
+  *  - LSH-bucketed (random hyperplane signs): the scale path; buckets
+  *    shrink the candidate set so the expensive exact re-rank touches a
+  *    fraction of the corpus. Spark-side only (hyperplanes are seeded
+  *    constants); its recall against brute force is spec-tested, and its
+  *    oracle-facing guarantee is "results are a subset of the corpus
+  *    with correctly computed cosines", checked by re-ranking.
+  */
+object Similarity {
+  import Q.t
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  private val CosSql =
+    """round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+       / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))
+          * sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))), 6)"""
+
+  /** Deterministic ±1 hyperplanes, 16 planes x 64 dims (seeded). */
+  private val Planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    Array.fill(16, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  val qs: Map[String, Q] = Map(
+
+    // ---- brute-force cosine top-k (oracle-checked baseline) ----
+    "ann_bruteforce_topk" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 10)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+          scored AS (
+            SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM e CROSS JOIN q WHERE vec_id <> q_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                     FROM scored)
+        SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""")),
+
+    // ---- LSH-bucketed ANN: bucket join + exact re-rank of candidates ----
+    // Oracle checks the re-ranked cosines and candidate-subset property
+    // by recomputing cosine for the emitted (q, neighbor) pairs.
+    "ann_lsh_bucketed" -> Q(
+      (s, dir) => {
+        val planesSql = Planes.map(p => s"array(${p.mkString(", ")})").mkString("array(", ", ", ")")
+        val e = vecs(s, dir)
+          .withColumn("planes", expr(planesSql))
+          .withColumn("bucket", expr(
+            """aggregate(transform(sequence(0, 15), j ->
+                 IF(aggregate(zip_with(planes[j], v, (p, x) -> p * x), 0D, (acc, x) -> acc + x) >= 0D,
+                    shiftleft(1L, j), 0L)),
+               0L, (acc, x) -> acc + x)"""))
+          .drop("planes")
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        // candidates: same bucket OR Hamming-1 bucket (probe radius 1)
+        e.join(broadcast(q),
+            col("vec_id") =!= col("q_id") &&
+            bit_count(expr("bucket ^ qb")) <= 1)
+          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+          // oracle re-derives cos for emitted pairs; bucket choice itself
+          // is Spark-side (seeded planes), so emit only verifiable cols
+          .select("q_id", "vec_id", "cos", "rn")
+      },
+      None),
+
+    // ---- group-wise centroid similarity (aggregation over vectors) ----
+    "ann_label_centroids" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir).withColumn("i", expr("sequence(0, size(v) - 1)"))
+        // per-label mean vector: explode (vec, dim) then two-level agg
+        val centroids = e
+          .select(col("label"), explode(arrays_zip(col("i"), col("v"))).as("z"))
+          .groupBy(col("label"), col("z.i").as("dim"))
+          .agg(avg(col("z.v")).as("m"), count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(round(sum(expr("m * m")), 6).as("centroid_sq_norm"),
+            max(col("n")).as("n_vectors"))
+          .orderBy("label")
+        centroids
+      },
+      Some("""WITH unnested AS (
+          -- embedding dim is fixed at 64 (DuckDB's range() can't be
+          -- lateral over len(embedding))
+          SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) AS t(i)),
+        centroid AS (
+          SELECT label, dim, avg(x) AS m, count(*) AS n
+          FROM unnested GROUP BY label, dim)
+        SELECT label, round(sum(m * m), 6) AS centroid_sq_norm, max(n) AS n_vectors
+        FROM centroid GROUP BY label ORDER BY label"""))
+  )
+}

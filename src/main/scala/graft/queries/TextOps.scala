@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword heuristic), quality scoring, token counting, and document
+  * fingerprinting (k-gram winnowing minimum). All are per-row
+  * higher-order-function expressions — no shuffle, full codegen, scale
+  * linearly with the corpus.
+  */
+object TextOps {
+  import Q.t
+
+  /** (lang, stopword list) — tiny on purpose; the operator is the
+    * mechanism, sized for codegen (the real lists would be ~100 words). */
+  private val StopLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una"))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val qs: Map[String, Q] = Map(
+
+    // ---- language ID: argmax of stopword hits, deterministic tie-break ----
+    "text_language_id" -> Q(
+      (s, dir) => {
+        val scores = StopLists.map { case (lang, ws) =>
+          expr(s"size(array_intersect(toks, array(${sqlList(ws)})))").as(s"s_$lang")
+        }
+        val caseChain = StopLists.map { case (lang, _) =>
+          s"WHEN best = s_$lang THEN '$lang'"
+        }.mkString(" ")
+        t(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(Seq(col("doc_id"), col("lang")) ++ scores: _*)
+          .withColumn("best", greatest(StopLists.map(l => col(s"s_${l._1}")): _*))
+          .selectExpr("doc_id", "lang",
+            s"CASE WHEN best = 0 THEN 'und' $caseChain END AS predicted")
+          .withColumn("agrees", col("predicted") === col("lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val scoreExprs = StopLists.map { case (lang, ws) =>
+          s"len(list_intersect(string_split(text, ' '), [${sqlList(ws)}])) AS s_$lang"
+        }.mkString(", ")
+        val caseChain = StopLists.map { case (lang, _) =>
+          s"WHEN best = s_$lang THEN '$lang'"
+        }.mkString(" ")
+        val greatest = s"greatest(${StopLists.map(l => s"s_${l._1}").mkString(", ")})"
+        s"""WITH d AS (SELECT doc_id, lang, $scoreExprs FROM documents),
+          p AS (SELECT doc_id, lang, $greatest AS best, * EXCLUDE (doc_id, lang) FROM d)
+          SELECT doc_id, lang,
+            CASE WHEN best = 0 THEN 'und' $caseChain END AS predicted,
+            (CASE WHEN best = 0 THEN 'und' $caseChain END) = lang AS agrees
+          FROM p ORDER BY doc_id"""
+      }),
+
+    // ---- quality scoring: structural ratios + a combined score ----
+    "text_quality" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .selectExpr(
+            "doc_id",
+            "length(text) AS n_chars_m",
+            "size(toks) AS n_tokens",
+            "round(cast(length(regexp_replace(text, '[^a-z]', '')) as double) / length(text), 6) AS alpha_ratio",
+            """round(cast(size(array_intersect(toks, array('the', 'a', 'and', 'of', 'to', 'in', 'is'))) as double)
+               / size(toks), 6) AS stop_ratio""",
+            "round(cast(length(text) as double) / size(toks), 6) AS mean_tok_len")
+          .withColumn("quality_ok",
+            col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("mean_tok_len") <= 12)
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          length(text) AS n_chars_m,
+          len(string_split(text, ' ')) AS n_tokens,
+          round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+          round(CAST(len(list_intersect(string_split(text, ' '), ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS DOUBLE)
+                / len(string_split(text, ' ')), 6) AS stop_ratio,
+          round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS mean_tok_len,
+          len(string_split(text, ' ')) >= 10
+            AND round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) >= 0.5
+            AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) <= 12 AS quality_ok
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- token counting: whitespace + BPE-ish regex segmentation ----
+    "text_token_count" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .selectExpr(
+            "doc_id",
+            "size(split(text, ' ')) AS ws_tokens",
+            "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS re_tokens",
+            "length(text) AS n_chars_m")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          len(string_split(text, ' ')) AS ws_tokens,
+          len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+          length(text) AS n_chars_m
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- fingerprint: winnowing minimum over 4-gram window hashes ----
+    "text_fingerprint" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 4)
+          .selectExpr("doc_id",
+            """array_min(transform(sequence(0, size(w) - 4),
+                 i -> cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])), 1, 8), 16, 10) as bigint)
+               )) AS fingerprint""")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          list_min([CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 8)) AS BIGINT)
+                    for i in range(1, len(w) - 2)]) AS fingerprint
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 4 ORDER BY doc_id"""))
+  )
+}
