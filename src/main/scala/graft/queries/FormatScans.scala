@@ -70,6 +70,64 @@ object FormatScans {
         UNION ALL SELECT 'r003', 4, NULL, NULL, NULL, NULL, NULL, NULL, 'AAAA', NULL
         ORDER BY name""")),
 
+    "fmt_vcf_scan" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/test.vcf.gz")
+        .selectExpr("chrom", "pos", "id", "ref", "array_join(alt, ',') AS alts",
+          "qual", "filter", "info.indel AS indel", "info.dp AS dp",
+          "cast(round(info.af[0], 4) as double) AS af0")
+        .orderBy("chrom", "pos"),
+      Some("""SELECT '1' AS chrom, CAST(101 AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS id, 'G' AS ref, '<*>' AS alts,
+          CAST(0 AS REAL) AS qual, CAST(NULL AS VARCHAR) AS filter, CAST(NULL AS BOOLEAN) AS indel, 1 AS dp, CAST(NULL AS DOUBLE) AS af0
+        UNION ALL SELECT '1', 205, 'rs77', 'A', 'C,T', CAST(29.5 AS REAL), 'PASS', NULL, 14, 0.5
+        UNION ALL SELECT '1', 990, NULL, 'T', 'TA', CAST(12 AS REAL), NULL, true, 7, NULL
+        UNION ALL SELECT '2', 55, NULL, 'C', 'G', CAST(8 AS REAL), 'q10', NULL, 3, NULL
+        UNION ALL SELECT '2', 777, NULL, 'GG', 'G', CAST(3.5 AS REAL), NULL, true, 2, 1.0
+        ORDER BY chrom, pos""")),
+
+    "fmt_vcf_query_region" -> Q(
+      (s, _) => GraftIO.vcf_query(s, s"$F/vcf/test.vcf.gz", "1:200-999")
+        .selectExpr("chrom", "pos", "ref").orderBy("pos"),
+      Some("""SELECT '1' AS chrom, CAST(205 AS BIGINT) AS pos, 'A' AS ref
+        UNION ALL SELECT '1', 990, 'T' ORDER BY pos""")),
+
+    "fmt_genbank_scan" -> Q(
+      (s, _) => GraftIO.read_genbank(s, s"$F/genbank/test.gb")
+        .selectExpr("name", "accession", "topology", "sequence", "size(features) AS n_features",
+          "features[0].qualifiers['organism'] AS organism")
+        .orderBy("accession"),
+      Some("""SELECT 'GRAFT001' AS name, 'GRAFT001' AS accession, 'circular' AS topology,
+          'gttaacgtacgtacgtacgtacgt' AS sequence, 2 AS n_features, 'synthetic construct' AS organism
+        UNION ALL SELECT 'GRAFT002', 'GRAFT002', 'linear', 'acgtacgtacgt', 1, 'synthetic construct'
+        ORDER BY accession""")),
+
+    "fmt_mzml_scan" -> Q(
+      (s, _) => GraftIO.read_mzml(s, s"$F/mzml/test.mzML")
+        .selectExpr("id",
+          "array_join(transform(mz.mz, x -> cast(x as string)), ',') AS mzs",
+          "array_join(transform(intensity.intensity, x -> cast(x as string)), ',') AS intensities",
+          "array_join(transform(wavelength.wavelength, x -> cast(x as string)), ',') AS wavelengths")
+        .orderBy("id"),
+      Some("""SELECT 'chromatogram=0' AS id, CAST(NULL AS VARCHAR) AS mzs, CAST(NULL AS VARCHAR) AS intensities,
+          '0.0,7.0,14.0' AS wavelengths
+        UNION ALL SELECT 'declaration=0 collection=0 scan=0', '100.0,200.0,300.5', '15.0,10.0,1.0', NULL
+        ORDER BY id""")),
+
+    "fmt_bam_scan" -> Q(
+      (s, _) => GraftIO.read_bam_file_records(s, s"$F/bam/test.bam")
+        .selectExpr("name", "flag", "reference", "start", "end", "mapping_quality",
+          "cigar", "mate_reference", "substring(sequence, 1, 10) AS seq10")
+        .orderBy("name"),
+      Some("""SELECT 'b001' AS name, 99 AS flag, 'ref1' AS reference, CAST(1 AS BIGINT) AS start,
+          CAST(10 AS BIGINT) AS "end", '0' AS mapping_quality, '10M' AS cigar, 'ref1' AS mate_reference, 'CGAGCTCGGT' AS seq10
+        UNION ALL SELECT 'b002', 147, 'ref1', 25, 32, '30', '5M2I3M', 'ref1', 'ACGTACGTAC'
+        UNION ALL SELECT 'b003', 83, 'chr1', 12203704, 12217173, '60', '55M13394N21M', 'chr1', 'AAAAAAAAAA'
+        ORDER BY name""")),
+
+    "fmt_bam_query_region" -> Q(
+      (s, _) => GraftIO.bam_query(s, s"$F/bam/test.bam", "chr1")
+        .selectExpr("name", "start", "end"),
+      Some("""SELECT 'b003' AS name, CAST(12203704 AS BIGINT) AS start, CAST(12217173 AS BIGINT) AS "end"""")),
+
     "fmt_hmm_scan" -> Q(
       (s, _) => GraftIO.read_hmm_dom_tbl_out(s, s"$F/hmm/test.domtblout")
         .selectExpr("target_name", "target_accession", "tlen", "evalue", "accuracy", "description")

@@ -17,7 +17,7 @@ import graft.sources.core._
 object Formats {
   def all: Seq[GraftFormat] =
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
-      HmmDomTabFormat)
+      HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -45,6 +45,10 @@ class GtfDataSource extends GraftDataSource(GtfFormat)
 class BedDataSource extends GraftDataSource(BedFormat)
 class SamDataSource extends GraftDataSource(SamFormat)
 class HmmDomTabDataSource extends GraftDataSource(HmmDomTabFormat)
+class VcfDataSource extends GraftDataSource(VcfFormat)
+class GenBankDataSource extends GraftDataSource(GenBankFormat)
+class MzmlDataSource extends GraftDataSource(MzmlFormat)
+class BamDataSource extends GraftDataSource(BamFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -83,6 +87,13 @@ object GraftIO {
   def read_bed_file(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bed", path, options)
   def read_sam_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "sam", path, options)
   def read_hmm_dom_tbl_out(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "hmmdomtab", path, options)
+  def read_vcf_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "vcf", path, options)
+  def read_genbank(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "genbank", path, options)
+  def read_mzml(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "mzml", path, options)
+  def read_bam_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bam", path, options)
+  /** Indexed-region query analogs (phase 1: scan + region filter). */
+  def vcf_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "vcf", path, Map("region" -> region))
+  def bam_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bam", path, Map("region" -> region))
   /** Bare-path auto-dispatch (replacement scan analog). */
   def read_auto(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "exon", path, options)
 }

@@ -100,7 +100,7 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
     files.flatMap { st =>
       val path = st.getPath.toString
       val len = st.getLen
-      val (codec, _) = Compression.of(path, options)
+      val codec = format.forcedCodec.getOrElse(Compression.of(path, options)._1)
       if (format.splittable && codec == "none" && len > maxSplit) {
         // One partition per ~maxSplit bytes; parser syncs to record start.
         val n = math.ceil(len.toDouble / maxSplit).toInt
@@ -130,7 +130,7 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
     val p = partition.asInstanceOf[GraftInputPartition]
     val conf = new Configuration() // local/default FS; SerializableConfiguration if cluster confs matter
     val raw = GraftFiles.open(p.path, conf)
-    val (codec, _) = Compression.of(p.path, options)
+    val codec = format.forcedCodec.getOrElse(Compression.of(p.path, options)._1)
     val ranged = p.start != 0 || p.end != Long.MaxValue
     if (ranged) {
       require(codec == "none", "ranged split over compressed input")

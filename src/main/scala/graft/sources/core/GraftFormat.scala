@@ -30,6 +30,10 @@ trait GraftFormat extends Serializable {
     */
   def splittable: Boolean = false
 
+  /** Codec forced by the format itself regardless of extension (BAM is
+    * always BGZF = concatenated gzip members). */
+  def forcedCodec: Option[String] = None
+
   /** Schema; `paths` lets header-driven formats (VCF) peek at a file. */
   def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType
 
