@@ -59,6 +59,7 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
+    AlignmentFunctions.registerAll(spark)
   }
 
   // ---- Column API (usable without SQL registration) ----

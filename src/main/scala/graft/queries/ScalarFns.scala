@@ -158,6 +158,24 @@ object ScalarFns {
         CAST(key % 100 AS VARCHAR) AS score_s
         FROM d ORDER BY key""")),
 
+    // gap-affine alignment: self-alignment and a 2-char text extension
+    // have closed-form CIGARs/scores (nM / nM2D, 0 / -(open+2*ext))
+    "fn_alignment" -> Q(
+      (s, dir) =>
+        dna(s, dir).selectExpr(
+          "key",
+          "alignment_string(seq, seq) AS cig_self",
+          "cast(alignment_score(seq, seq) as double) AS score_self",
+          "alignment_string_wfa_gap_affine(seq, concat(seq, 'AC')) AS cig_ext",
+          "cast(alignment_score_wfa_gap_affine(seq, concat(seq, 'AC')) as double) AS score_ext")
+          .orderBy("key"),
+      Some(s"""$BaseCte SELECT key,
+        CAST(length(seq) AS VARCHAR) || 'M' AS cig_self,
+        CAST(0 AS DOUBLE) AS score_self,
+        CAST(length(seq) AS VARCHAR) || 'M2D' AS cig_ext,
+        CAST(-10 AS DOUBLE) AS score_ext
+        FROM d ORDER BY key""")),
+
     // version literal
     "fn_version" -> Q(
       (s, dir) => {
