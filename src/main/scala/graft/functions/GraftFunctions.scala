@@ -47,7 +47,11 @@ object GraftFunctions {
     "extract_from_cigar" -> (e => ExtractFromCigar(e(0), e(1))),
     "quality_score_string_to_list" -> (e => QualityScoreStringToList(e.head)),
     "gff_parse_attributes" -> (e => GffParseAttributes(e.head)),
-    "exondb_version" -> (_ => Literal(ExonDbVersion))) ++
+    "exondb_version" -> (_ => Literal(ExonDbVersion)),
+    // graft-native pipeline kernels (sketches + cosine)
+    "graft_simhash32" -> (e => SimHash32(e.head)),
+    "graft_min_gram_hash" -> (e => MinGramHash(e(0), e(1))),
+    "graft_cosine_sim" -> (e => CosineSim(e(0), e(1)))) ++
     samFlagBits.map { case (name, bit) =>
       name -> ((e: Seq[Expression]) =>
         Not(EqualTo(BitwiseAnd(Cast(e.head, IntegerType), Literal(bit)), Literal(0))))

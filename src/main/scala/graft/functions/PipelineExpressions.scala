@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd expressions over the PipelineKernels (sketches + cosine). */
+
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash32 requires ARRAY<STRING>, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    PipelineKernels.simHash32(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PipelineKernels.simHash32($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash32 = copy(child = c)
+  override def prettyName: String = "graft_simhash32"
+}
+
+case class MinGramHash(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(_: StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"min_gram_hash requires (ARRAY<STRING>, INT), got $t")
+  }
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    PipelineKernels.minGramHash(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.PipelineKernels.minGramHash($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinGramHash =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_min_gram_hash"
+}
+
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cosine_sim requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got $t")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PipelineKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PipelineKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine_sim"
+}

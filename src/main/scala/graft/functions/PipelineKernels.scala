@@ -1,0 +1,95 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the pipeline sketch operators. Spark's
+  * higher-order functions (transform/aggregate) evaluate their lambdas
+  * interpreted — a 32-bit x n-token SimHash via nested HOFs costs ~17x
+  * what this loop does. These kernels are called from generated code
+  * like the SeqOps ones, keeping the whole stage codegen'd.
+  *
+  * Hash parity: h32(token) = unsigned first 4 md5 bytes — identical to
+  * SQL `CAST('0x' || substr(md5(tok),1,8) AS BIGINT)`, so the DuckDB
+  * oracles (Dedup.scala / TextOps.scala) check these kernels bit-exactly.
+  */
+object PipelineKernels {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Unsigned 32-bit value of the first 4 md5 bytes of the UTF-8 string. */
+  def h32(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** 32-bit SimHash over a token array (±1 per bit per token). */
+  def simHash32(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = h32(tokens.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Winnowing minimum: min h32 over n-token windows joined by ' '. */
+  def minGramHash(tokens: ArrayData, n: Int): Long = {
+    val total = tokens.numElements()
+    if (total < n) return 0L
+    var best = Long.MaxValue
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= total) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + k).toString)
+        k += 1
+      }
+      val h = h32(sb.toString.getBytes("UTF-8"))
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
+  /** Cosine similarity over two double arrays; left-to-right sums match
+    * the oracle's list_sum fold order. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

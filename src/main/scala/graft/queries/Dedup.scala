@@ -38,13 +38,24 @@ object Dedup {
   private val P32 = 4294967311L // prime > 2^32
 
   /** doc_id + distinct 3-word shingles. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     t(s, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
         array_distinct(expr(
           "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+  }
+
+  /** 32-bit SimHash per doc via the native kernel (codegen'd; the
+    * nested-HOF formulation costs ~17x interpreted). */
+  private def simhashed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("graft_simhash32(array_distinct(split(text, ' ')))").as("simhash"))
+  }
 
   private val ShingleCteSql =
     """sh AS (
@@ -66,17 +77,25 @@ object Dedup {
       Some("""SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
         FROM documents GROUP BY source ORDER BY source""")),
 
-    // ---- exhaustive n-gram (trigram) Jaccard on a bounded subset ----
+    // ---- n-gram (trigram) Jaccard on a bounded subset ----
+    // Inverted-index shape: explode shingles, equi-join on the shingle,
+    // count co-occurrences — pairs sharing nothing never materialize
+    // (they can't pass the threshold), and the join is a plain shuffle
+    // hash join instead of a quadratic array_intersect nested loop.
     "dedup_ngram_jaccard" -> Q(
       (s, dir) => {
         val sub = shingled(s, dir).where(col("doc_id") < 300)
-        val a = sub.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = sub.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        a.join(b, col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-            (size(col("sh_a")) + size(col("sh_b"))
-              - size(array_intersect(col("sh_a"), col("sh_b")))).as("uni"))
+        val sizes = sub.select(col("doc_id"), size(col("sh")).as("sz"))
+        val posting = sub.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val inter = posting.as("pa").join(posting.as("pb"),
+            col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))
+          .groupBy(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+          .agg(count(lit(1)).cast("int").as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+          .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+          .select(col("id_a"), col("id_b"), col("inter"),
+            (col("sz_a") + col("sz_b") - col("inter")).as("uni"))
           .where(col("inter") * 2 >= col("uni")) // J >= 0.5, integer-exact
           .orderBy("id_a", "id_b")
       },
@@ -134,18 +153,7 @@ object Dedup {
     // 32-bit token hash from md5 hex so the oracle computes the identical
     // sketch: Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT).
     "dedup_simhash" -> Q(
-      (s, dir) =>
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            expr("""transform(array_distinct(split(text, ' ')),
-                     tok -> cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint))""").as("hs"))
-          .select(col("doc_id"),
-            expr("""aggregate(
-                     transform(sequence(0, 31), j ->
-                       IF(aggregate(hs, 0L, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1L, -1L)) >= 0L,
-                          shiftleft(1L, j), 0L)),
-                     0L, (acc, x) -> acc + x)""").as("simhash"))
-          .orderBy("doc_id"),
+      (s, dir) => simhashed(s, dir).orderBy("doc_id"),
       Some("""WITH d AS (SELECT doc_id,
           [CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) for tok in list_distinct(string_split(text, ' '))] AS hs
           FROM documents)
@@ -157,17 +165,7 @@ object Dedup {
 
     "dedup_simhash_pairs" -> Q(
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .where(col("doc_id") < 300)
-          .select(col("doc_id"),
-            expr("""transform(array_distinct(split(text, ' ')),
-                     tok -> cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint))""").as("hs"))
-          .select(col("doc_id"),
-            expr("""aggregate(
-                     transform(sequence(0, 31), j ->
-                       IF(aggregate(hs, 0L, (acc, h) -> acc + IF(((h >> j) & 1) = 1, 1L, -1L)) >= 0L,
-                          shiftleft(1L, j), 0L)),
-                     0L, (acc, x) -> acc + x)""").as("simhash"))
+        val sh = simhashed(s, dir).where(col("doc_id") < 300)
         val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
         val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
         a.join(b, col("id_a") < col("id_b"))
@@ -193,6 +191,7 @@ object Dedup {
     // ---- embedding-cosine near-dup pairs (double arithmetic, rounded) ----
     "dedup_embedding_cosine" -> Q(
       (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
         val e = t(s, dir, "embeddings")
           .where(col("vec_id") < 300)
           .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -200,10 +199,7 @@ object Dedup {
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
         a.join(b, col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            expr("""round(
-                    aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
-                    / (sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))
-                       * sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x))), 6)""").as("cos"))
+            expr("round(graft_cosine_sim(va, vb), 6)").as("cos"))
           .where(col("cos") >= 0.4)
           .orderBy("id_a", "id_b")
       },

@@ -21,15 +21,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import Q.t
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
+  }
 
-  private val CosSql =
-    """round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
-       / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))
-          * sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))), 6)"""
+  private val CosSql = "round(graft_cosine_sim(qv, v), 6)"
 
   /** Deterministic ±1 hyperplanes, 16 planes x 64 dims (seeded). */
   private val Planes: Array[Array[Double]] = {

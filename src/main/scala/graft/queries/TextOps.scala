@@ -104,15 +104,14 @@ object TextOps {
 
     // ---- fingerprint: winnowing minimum over 4-gram window hashes ----
     "text_fingerprint" -> Q(
-      (s, dir) =>
+      (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
         t(s, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 4)
-          .selectExpr("doc_id",
-            """array_min(transform(sequence(0, size(w) - 4),
-                 i -> cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])), 1, 8), 16, 10) as bigint)
-               )) AS fingerprint""")
-          .orderBy("doc_id"),
+          .selectExpr("doc_id", "graft_min_gram_hash(w, 4) AS fingerprint")
+          .orderBy("doc_id")
+      },
       Some("""SELECT doc_id,
           list_min([CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 8)) AS BIGINT)
                     for i in range(1, len(w) - 2)]) AS fingerprint
