@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that keep these plans
+  * viable at 100 TB must hold structurally, not by luck. A plan that
+  * reads all columns for a 2-column projection, or sort-merge-joins a
+  * 25-row dimension, is wrong even if it returns correct rows.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  private val SF = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan
+  }
+
+  private def fullPlanString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("rel_agg_pricing: filter and pruning reach the parquet scan") {
+    val plan = fullPlanString(SparkEntry.queries("rel_agg_pricing")(spark, SF))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    // only the 7 needed columns in ReadSchema, not all 11
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_suppkey") && !read.contains("l_orderkey"), read)
+  }
+
+  test("rel_join_star_revenue: dimension joins are broadcast, not sort-merge") {
+    val plan = fullPlanString(SparkEntry.queries("rel_join_star_revenue")(spark, SF))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected 4 broadcast hash joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dimension join fell back to sort-merge:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scalar-function pipeline") {
+    val plan = fullPlanString(SparkEntry.queries("fn_sequence_ops")(spark, SF))
+    // the '*(n)' prefix marks whole-stage-codegen'd operators; the
+    // Project evaluating our expressions must carry it
+    val projLine = plan.linesIterator.find(l => l.contains("Project") && l.contains("complement"))
+    assert(projLine.exists(_.contains("*(")), s"scalar Project not codegen'd:\n$plan")
+  }
+
+  test("format scan pushes pruning into the DSv2 scan description") {
+    val df = graft.sources.GraftIO
+      .read_fasta(spark, "src/test/resources/fixtures/fasta/test.fasta")
+      .selectExpr("id")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("id"))
+  }
+
+  test("minhash LSH: no quadratic nested-loop join in the plan") {
+    val plan = fullPlanString(SparkEntry.queries("dedup_minhash_lsh")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
