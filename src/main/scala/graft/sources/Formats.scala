@@ -32,6 +32,7 @@ object FastaFormat extends GraftFormat {
   override def name = "fasta"
   override def extensions = Seq("fasta", "fa", "fna")
   override def splittable = true
+  override def formatter: Option[RecordFormatter] = Some(FastaFormatter)
   override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
     StructType(Seq(
       StructField("id", StringType),
@@ -67,6 +68,7 @@ object FastaFormat extends GraftFormat {
 object FastqFormat extends GraftFormat {
   override def name = "fastq"
   override def extensions = Seq("fastq", "fq")
+  override def formatter: Option[RecordFormatter] = Some(FastqFormatter)
   override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
     StructType(Seq(
       StructField("name", StringType),
@@ -136,6 +138,7 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
 
 object GffFormat extends GffLikeFormat("gff", "phase") {
   override def extensions = Seq("gff", "gff3")
+  override def formatter: Option[RecordFormatter] = Some(GffFormatter)
   /** `k=v;k2=a,b` -> {k:[v], k2:[a,b]} */
   override protected def parseAttributes(raw: String): ArrayBasedMapData = {
     val pairs = raw.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { seg =>

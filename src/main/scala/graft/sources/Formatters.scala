@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.core.RecordFormatter
+
+/** Writers' record renderers (reference §2.B: the commented COPY tests
+  * document FASTA/FASTQ/GFF writing; recreated here for round-trips). */
+
+object FastaFormatter extends RecordFormatter {
+  override def fileExtension = ".fasta"
+  override def format(row: InternalRow, schema: StructType): String = {
+    val id = row.getUTF8String(0)
+    val desc = if (row.isNullAt(1)) null else row.getUTF8String(1)
+    val seq = row.getUTF8String(2)
+    val sb = new java.lang.StringBuilder(">").append(id)
+    if (desc != null) sb.append(' ').append(desc)
+    sb.append('\n').append(seq).append('\n').toString
+  }
+}
+
+object FastqFormatter extends RecordFormatter {
+  override def fileExtension = ".fastq"
+  override def format(row: InternalRow, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder("@").append(row.getUTF8String(0))
+    if (!row.isNullAt(1)) sb.append(' ').append(row.getUTF8String(1))
+    sb.append('\n').append(row.getUTF8String(2)).append("\n+\n")
+      .append(row.getUTF8String(3)).append('\n')
+    sb.toString
+  }
+}
+
+object GffFormatter extends RecordFormatter {
+  override def fileExtension = ".gff"
+  override def format(row: InternalRow, schema: StructType): String = {
+    def s(i: Int): String = if (row.isNullAt(i)) "." else row.getUTF8String(i).toString
+    val start = row.getLong(3)
+    val end = row.getLong(4)
+    val score = if (row.isNullAt(5)) "." else row.getFloat(5).toString
+    val attrs =
+      if (row.isNullAt(8)) "."
+      else {
+        val m = row.getMap(8)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        (0 until m.numElements()).map { i =>
+          val vs = vals.getArray(i)
+          val joined = (0 until vs.numElements()).map(vs.getUTF8String(_).toString).mkString(",")
+          s"${keys.getUTF8String(i)}=$joined"
+        }.mkString(";")
+      }
+    s"${s(0)}\t${s(1)}\t${s(2)}\t$start\t$end\t$score\t${s(6)}\t${s(7)}\t$attrs\n"
+  }
+}

@@ -8,9 +8,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,14 +49,40 @@ abstract class GraftDataSource(format: GraftFormat)
 }
 
 final case class GraftTable(format: GraftFormat, tableSchema: StructType,
-                            options: Map[String, String]) extends Table with SupportsRead {
+                            options: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"${format.name}(${options.getOrElse("path", options.getOrElse("paths", "?"))})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (format.formatter.isDefined)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     GraftScanBuilder(format, tableSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val fmt = format.formatter.getOrElse(
+      throw new UnsupportedOperationException(s"format '${format.name}' is read-only"))
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException("write requires a path"))
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = {
+          if (doTruncate) {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(new Configuration())
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+          GraftBatchWrite(fmt, info.schema(), path,
+            options ++ Option(info.options().get("compression")).map("compression" -> _))
+        }
+      }
+    }
+  }
 }
 
 final case class GraftScanBuilder(format: GraftFormat, full: StructType,

@@ -34,6 +34,9 @@ trait GraftFormat extends Serializable {
     * always BGZF = concatenated gzip members). */
   def forcedCodec: Option[String] = None
 
+  /** Writer support (None = read-only format). */
+  def formatter: Option[RecordFormatter] = None
+
   /** Schema; `paths` lets header-driven formats (VCF) peek at a file. */
   def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType
 
