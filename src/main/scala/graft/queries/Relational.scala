@@ -35,6 +35,7 @@ object Relational {
   private def d4(c: Column): Column = c.cast(DecimalType(27, 4))
   private def d6(c: Column): Column = c.cast(DecimalType(30, 6))
   private val DEC = "DECIMAL(12,2)"
+  private[queries] val DEC_SQL = DEC
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; with spark.sql.legacy.parquet.nanosAsLong it arrives as a

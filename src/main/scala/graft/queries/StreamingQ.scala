@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (beyond the batch-only reference): the
+  * same hourly event aggregation as rel_events_hourly, executed as a
+  * file-source stream -> windowed aggregation -> memory sink, drained
+  * synchronously. The oracle is the batch-equivalent SQL — streaming
+  * results must equal the batch answer exactly (complete output mode).
+  *
+  * Scale shape: the file source at 100 TB paces itself with
+  * maxFilesPerTrigger; the windowed agg keeps state per (window,
+  * event_type) only, and a production deployment would use append mode
+  * + watermark to bound state — complete mode here is what makes the
+  * run-to-completion oracle comparison exact.
+  */
+object StreamingQ {
+  import Relational.DEC_SQL
+
+  val qs: Map[String, Q] = Map(
+    "stream_events_hourly" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val tbl = "graft_stream_events_hourly"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        // the file stream source wants a directory; stage the single
+        // parquet file into one (harness detail, not a scale path —
+        // a real deployment streams from an arriving-files directory)
+        val staged = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"),
+          staged.resolve("events.parquet"))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = stream.writeStream.outputMode("complete")
+          .format("memory").queryName(tbl).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(tbl).orderBy("hour", "event_type")
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+  )
+}
