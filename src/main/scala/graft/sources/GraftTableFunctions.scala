@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.core.{GraftDataSource, GraftFormat, GraftTable}
+
+/** SQL table-valued functions mirroring the reference's registration
+  * surface (exon_extension.cpp:47-77):
+  *
+  *   SELECT * FROM read_fasta('f.fasta', compression => 'gzip')
+  *   SELECT * FROM vcf_query('x.vcf.gz', '1:200-999')
+  *   SELECT * FROM read_auto('f.fasta.gz')   -- replacement-scan analog
+  *
+  * Each builder resolves at analysis time to a DSv2 relation over the
+  * same GraftTable the DataFrame API uses — one implementation, two
+  * query surfaces.
+  */
+object GraftTableFunctions {
+
+  private def lit(e: Expression, what: String): String = e.eval(null) match {
+    case u: UTF8String => u.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def relation(fmt: GraftFormat, opts: Map[String, String]): LogicalPlan = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val files = graft.sources.core.GraftFiles.resolve(opts("path"), conf).map(_.getPath)
+    val schema = fmt.schema(files, conf, opts)
+    val table = GraftTable(fmt, schema, opts)
+    DataSourceV2Relation.create(table, None, None,
+      new CaseInsensitiveStringMap(scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava))
+  }
+
+  /** (path [, compression]) with named-argument support. */
+  private def scanBuilder(fmt: GraftFormat)(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty, s"read_${fmt.name} requires a path argument")
+    val opts = scala.collection.mutable.Map("path" -> lit(args.head, "path"))
+    args.tail.foreach {
+      case NamedArgumentExpression(key, value) => opts(key.toLowerCase) = lit(value, key)
+      case e => opts("compression") = lit(e, "compression")
+    }
+    relation(fmt, opts.toMap)
+  }
+
+  private def queryBuilder(fmt: GraftFormat)(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, s"${fmt.name}_query requires (path, region)")
+    relation(fmt, Map("path" -> lit(args(0), "path"), "region" -> lit(args(1), "region")))
+  }
+
+  private def autoBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty, "read_auto requires a path argument")
+    val path = lit(args.head, "path")
+    relation(Formats.forPath(path, Map.empty), Map("path" -> path))
+  }
+
+  /** TVF name per format, mirroring the reference's function names. */
+  val scanNames: Map[String, String] = Map(
+    "fasta" -> "read_fasta", "fastq" -> "read_fastq", "gff" -> "read_gff",
+    "gtf" -> "read_gtf", "bed" -> "read_bed_file",
+    "sam" -> "read_sam_file_records", "bam" -> "read_bam_file_records",
+    "vcf" -> "read_vcf_file_records", "genbank" -> "read_genbank",
+    "mzml" -> "read_mzml", "hmmdomtab" -> "read_hmm_dom_tbl_out")
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    Formats.all.foreach { fmt =>
+      scanNames.get(fmt.name).foreach { tvf =>
+        reg.createOrReplaceTempFunction(tvf, scanBuilder(fmt), "scala_udf")
+      }
+    }
+    reg.createOrReplaceTempFunction("vcf_query", queryBuilder(VcfFormat), "scala_udf")
+    reg.createOrReplaceTempFunction("bam_query", queryBuilder(BamFormat), "scala_udf")
+    reg.createOrReplaceTempFunction("read_auto", autoBuilder, "scala_udf")
+  }
+}

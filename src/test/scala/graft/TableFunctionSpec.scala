@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftTableFunctions
+
+/** SQL TVF surface: the reference's `SELECT * FROM read_x(...)` shape. */
+class TableFunctionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  private val F = "src/test/resources/fixtures"
+
+  private def sqlRows(q: String) = {
+    GraftTableFunctions.registerAll(spark)
+    spark.sql(q).collect()
+  }
+
+  test("read_fasta TVF with WHERE pushback") {
+    val rows = sqlRows(s"SELECT id, sequence FROM read_fasta('$F/fasta/test.fasta') WHERE id = 'a' OR id = 'r2'")
+    assert(rows.map(_.toSeq).toSeq == Seq(Seq("r2", "TTTTACGT")))
+  }
+
+  test("read_fasta TVF with compression named argument") {
+    assert(sqlRows(s"SELECT count(*) AS n FROM read_fasta('$F/fasta/test_forced.fasta.gzip', compression => 'gzip')")
+      .head.getLong(0) == 2)
+  }
+
+  test("count over every scan TVF") {
+    val cases = Seq(
+      s"read_fastq('$F/fastq/test.fastq')" -> 2,
+      s"read_gff('$F/gff/test.gff')" -> 2,
+      s"read_gtf('$F/gtf/test.gtf')" -> 2,
+      s"read_bed_file('$F/bed/test3.bed')" -> 3,
+      s"read_sam_file_records('$F/sam/example.sam')" -> 3,
+      s"read_bam_file_records('$F/bam/test.bam')" -> 3,
+      s"read_vcf_file_records('$F/vcf/test.vcf.gz')" -> 5,
+      s"read_genbank('$F/genbank/test.gb')" -> 2,
+      s"read_mzml('$F/mzml/test.mzML')" -> 2,
+      s"read_hmm_dom_tbl_out('$F/hmm/test.domtblout')" -> 2)
+    cases.foreach { case (tvf, n) =>
+      assert(sqlRows(s"SELECT count(*) AS n FROM $tvf").head.getLong(0) == n.toLong, tvf)
+    }
+  }
+
+  test("region query TVFs") {
+    assert(sqlRows(s"SELECT count(*) AS n FROM vcf_query('$F/vcf/test.vcf.gz', '1')").head.getLong(0) == 3)
+    assert(sqlRows(s"SELECT count(*) AS n FROM bam_query('$F/bam/test.bam', 'ref1')").head.getLong(0) == 2)
+  }
+
+  test("read_auto dispatches by extension, excluding BED/GTF") {
+    assert(sqlRows(s"SELECT count(*) AS n FROM read_auto('$F/fasta/test.fasta.gz')").head.getLong(0) == 2)
+    assertThrows[Exception](sqlRows(s"SELECT count(*) FROM read_auto('$F/bed/test3.bed')"))
+  }
+}
