@@ -90,6 +90,20 @@ object FormatScans {
       Some("""SELECT '1' AS chrom, CAST(205 AS BIGINT) AS pos, 'A' AS ref
         UNION ALL SELECT '1', 990, 'T' ORDER BY pos""")),
 
+    "fmt_bcf_scan" -> Q(
+      (s, _) => GraftIO.read_bcf_file_records(s, s"$F/vcf/test.bcf")
+        .selectExpr("chrom", "pos", "id", "ref", "array_join(alt, ',') AS alts",
+          "qual", "filter", "info.indel AS indel", "info.dp AS dp",
+          "cast(round(info.af[0], 4) as double) AS af0")
+        .orderBy("chrom", "pos"),
+      Some("""SELECT '1' AS chrom, CAST(101 AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS id, 'G' AS ref, '<*>' AS alts,
+          CAST(0 AS REAL) AS qual, CAST(NULL AS VARCHAR) AS filter, CAST(NULL AS BOOLEAN) AS indel, 1 AS dp, CAST(NULL AS DOUBLE) AS af0
+        UNION ALL SELECT '1', 205, 'rs77', 'A', 'C,T', CAST(29.5 AS REAL), 'PASS', NULL, 14, 0.5
+        UNION ALL SELECT '1', 990, NULL, 'T', 'TA', CAST(12 AS REAL), NULL, true, 7, NULL
+        UNION ALL SELECT '2', 55, NULL, 'C', 'G', CAST(8 AS REAL), 'q10', NULL, 3, NULL
+        UNION ALL SELECT '2', 777, NULL, 'GG', 'G', CAST(3.5 AS REAL), NULL, true, 2, 1.0
+        ORDER BY chrom, pos""")),
+
     "fmt_genbank_scan" -> Q(
       (s, _) => GraftIO.read_genbank(s, s"$F/genbank/test.gb")
         .selectExpr("name", "accession", "topology", "sequence", "size(features) AS n_features",

@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.io.{DataInputStream, EOFException, InputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.core._
+
+/** BCF2 (binary VCF): BGZF stream, "BCF\2\x" magic, embedded VCF text
+  * header (reused for schema inference — same ##INFO-driven struct as
+  * the VCF source), then little-endian records with BCF typed encoding
+  * (descriptor byte: low nibble = type 0=missing,1=int8,2=int16,
+  * 3=int32,5=float,7=char; high nibble = count, 15 = typed-int count
+  * follows). FILTER/INFO keys resolve through the header dictionary
+  * (order of ##FILTER/##INFO/##FORMAT appearance, PASS implicitly 0);
+  * contigs through ##contig order. Output rows are identical in shape
+  * to the VCF source (reference: test_vcf_record_scan.test runs the
+  * same goldens against both), and the `region` option gives bcf_query.
+  */
+object BcfFormat extends GraftFormat {
+  override def name = "bcf"
+  override def extensions = Seq("bcf")
+  override def forcedCodec: Option[String] = Some("gzip")
+
+  private def headerText(in: DataInputStream): String = {
+    val magic = new Array[Byte](5) // "BCF" + major + minor
+    in.readFully(magic)
+    require(magic(0) == 'B' && magic(1) == 'C' && magic(2) == 'F',
+      "not a BCF stream")
+    val lText = readIntLE(in)
+    val text = new Array[Byte](lText)
+    in.readFully(text)
+    new String(text, StandardCharsets.UTF_8).takeWhile(_ != '\u0000')
+  }
+
+  private def readIntLE(in: DataInputStream): Int = {
+    val a = in.read(); val b = in.read(); val c = in.read(); val d = in.read()
+    if ((a | b | c | d) < 0) throw new EOFException
+    a | (b << 8) | (c << 16) | (d << 24)
+  }
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType = {
+    val raw = GraftFiles.open(paths.head.toString, conf)
+    val in = new DataInputStream(Compression.wrap(raw.stream, "gzip"))
+    try {
+      val header = headerText(in).linesIterator.toSeq
+      val infos = VcfFormat.parseHeaderInfo(header)
+      val infoStruct = StructType(infos.map(f => StructField(f.id.toLowerCase, f.sparkType)))
+      StructType(Seq(
+        StructField("chrom", StringType),
+        StructField("pos", LongType),
+        StructField("id", StringType),
+        StructField("ref", StringType),
+        StructField("alt", ArrayType(StringType)),
+        StructField("qual", FloatType),
+        StructField("filter", StringType),
+        StructField("info", infoStruct)))
+    } finally in.close()
+  }
+
+  /** Shared FILTER/INFO/FORMAT dictionary + contig dictionary. */
+  private def dictionaries(header: Seq[String]): (IndexedSeq[String], IndexedSeq[String]) = {
+    val IdRe = """##(?:FILTER|INFO|FORMAT)=<ID=([^,>]+).*""".r
+    val ContigRe = """##contig=<ID=([^,>]+).*""".r
+    val dict = scala.collection.mutable.LinkedHashSet[String]("PASS")
+    val contigs = scala.collection.mutable.ArrayBuffer.empty[String]
+    header.foreach {
+      case IdRe(id)     => dict += id
+      case ContigRe(id) => contigs += id
+      case _            =>
+    }
+    (dict.toIndexedSeq, contigs.toIndexedSeq)
+  }
+
+  private val MissingQual = java.lang.Float.intBitsToFloat(0x7f800001)
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
+    val header = headerText(d).linesIterator.toSeq
+    val (dict, contigs) = dictionaries(header)
+    val infoSchema = schema("info").dataType.asInstanceOf[StructType]
+    val region = options.get("region").map(VcfFormat.parseRegion)
+
+    new Iterator[Array[Any]] {
+      private var nextRow: Array[Any] = _
+      advance()
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null) {
+          val rec = try decode() catch { case _: EOFException => return }
+          if (passes(rec)) nextRow = rec
+        }
+      }
+
+      private def passes(vals: Array[Any]): Boolean = region match {
+        case None => true
+        case Some((chr, lo, hi)) =>
+          vals(0).asInstanceOf[UTF8String].toString == chr && {
+            val p = vals(1).asInstanceOf[Long]
+            p >= lo && p <= hi
+          }
+      }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = { val r = nextRow; advance(); r }
+
+      private def decode(): Array[Any] = {
+        val lShared = readIntLE(d)
+        val lIndiv = readIntLE(d)
+        val shared = new Array[Byte](lShared)
+        d.readFully(shared)
+        d.skipBytes(lIndiv) // genotypes not surfaced (parity with scan schema)
+        val bb = ByteBuffer.wrap(shared).order(ByteOrder.LITTLE_ENDIAN)
+
+        val rid = bb.getInt
+        val pos0 = bb.getInt
+        bb.getInt // rlen
+        val qual = bb.getFloat
+        val nAlleleInfo = bb.getInt
+        val nInfo = nAlleleInfo & 0xffff
+        val nAllele = nAlleleInfo >>> 16
+        bb.getInt // n_fmt << 24 | n_sample
+
+        val id = readString(bb)
+        val alleles = (0 until nAllele).map(_ => readString(bb))
+        val filters = readIntVector(bb)
+        val infoKv = (0 until nInfo).map { _ =>
+          val key = readTypedInt(bb)
+          val (tpe, count) = readDescriptor(bb)
+          (dict(key).toLowerCase, readValues(bb, tpe, count))
+        }.toMap
+
+        val infoVals = infoSchema.fields.map { f =>
+          f.dataType match {
+            case BooleanType =>
+              if (infoKv.contains(f.name)) java.lang.Boolean.TRUE else null
+            case IntegerType =>
+              infoKv.get(f.name).flatMap(_.headOption).map(v => Int.box(v.asInstanceOf[Number].intValue())).orNull
+            case FloatType =>
+              infoKv.get(f.name).flatMap(_.headOption).map(v => Float.box(v.asInstanceOf[Number].floatValue())).orNull
+            case StringType =>
+              infoKv.get(f.name).flatMap(_.headOption).map(v => UTF8String.fromString(v.toString)).orNull
+            case ArrayType(et, _) =>
+              infoKv.get(f.name).map { vs =>
+                new GenericArrayData(vs.map { v =>
+                  et match {
+                    case IntegerType => Int.box(v.asInstanceOf[Number].intValue()): Any
+                    case FloatType   => Float.box(v.asInstanceOf[Number].floatValue()): Any
+                    case _           => UTF8String.fromString(v.toString): Any
+                  }
+                }.toArray)
+              }.orNull
+            case _ => null
+          }
+        }
+
+        val filterStr: Any =
+          if (filters.isEmpty) null
+          else UTF8String.fromString(filters.map(dict(_)).mkString(";"))
+
+        Array[Any](
+          UTF8String.fromString(if (rid >= 0 && rid < contigs.length) contigs(rid) else rid.toString),
+          (pos0 + 1).toLong,
+          if (id.isEmpty || id == ".") null else UTF8String.fromString(id),
+          UTF8String.fromString(alleles.headOption.getOrElse("")),
+          new GenericArrayData(alleles.drop(1).map(a => UTF8String.fromString(a): Any).toArray),
+          if (java.lang.Float.floatToRawIntBits(qual) == 0x7f800001) null else Float.box(qual),
+          filterStr,
+          new GenericInternalRow(infoVals.toArray[Any]))
+      }
+    }
+  }
+
+  // ---- BCF typed decoding ----
+
+  private def readDescriptor(bb: ByteBuffer): (Int, Int) = {
+    val desc = bb.get() & 0xff
+    val tpe = desc & 0xf
+    var count = desc >>> 4
+    if (count == 15) count = readTypedInt(bb)
+    (tpe, count)
+  }
+
+  private def readTypedInt(bb: ByteBuffer): Int = {
+    val (tpe, count) = readDescriptor(bb)
+    require(count == 1, s"expected scalar typed int, count=$count")
+    readOneInt(bb, tpe)
+  }
+
+  private def readOneInt(bb: ByteBuffer, tpe: Int): Int = tpe match {
+    case 1 => bb.get().toInt
+    case 2 => bb.getShort.toInt
+    case 3 => bb.getInt
+    case t => throw new IllegalArgumentException(s"not an int type: $t")
+  }
+
+  private def readString(bb: ByteBuffer): String = {
+    val (tpe, count) = readDescriptor(bb)
+    if (count == 0) return ""
+    require(tpe == 7, s"expected char type, got $tpe")
+    val bytes = new Array[Byte](count)
+    bb.get(bytes)
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  private def readIntVector(bb: ByteBuffer): Seq[Int] = {
+    val (tpe, count) = readDescriptor(bb)
+    if (count == 0) Seq.empty
+    else (0 until count).map(_ => readOneInt(bb, tpe))
+  }
+
+  /** Values of an INFO entry as boxed numbers/strings. */
+  private def readValues(bb: ByteBuffer, tpe: Int, count: Int): Seq[Any] = tpe match {
+    case 0 => Seq.empty // MISSING (Flag)
+    case 1 | 2 | 3 => (0 until count).map(_ => Int.box(readOneInt(bb, tpe)))
+    case 5 => (0 until count).map(_ => Float.box(bb.getFloat))
+    case 7 =>
+      val bytes = new Array[Byte](count)
+      bb.get(bytes)
+      Seq(new String(bytes, StandardCharsets.UTF_8))
+    case t => throw new IllegalArgumentException(s"unknown BCF type $t")
+  }
+}

@@ -17,7 +17,7 @@ import graft.sources.core._
 object Formats {
   def all: Seq[GraftFormat] =
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
-      HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat)
+      HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -49,6 +49,7 @@ class VcfDataSource extends GraftDataSource(VcfFormat)
 class GenBankDataSource extends GraftDataSource(GenBankFormat)
 class MzmlDataSource extends GraftDataSource(MzmlFormat)
 class BamDataSource extends GraftDataSource(BamFormat)
+class BcfDataSource extends GraftDataSource(BcfFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -91,6 +92,8 @@ object GraftIO {
   def read_genbank(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "genbank", path, options)
   def read_mzml(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "mzml", path, options)
   def read_bam_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bam", path, options)
+  def read_bcf_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bcf", path, options)
+  def bcf_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bcf", path, Map("region" -> region))
   /** Indexed-region query analogs (phase 1: scan + region filter). */
   def vcf_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "vcf", path, Map("region" -> region))
   def bam_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bam", path, Map("region" -> region))

@@ -64,7 +64,8 @@ object GraftTableFunctions {
     "fasta" -> "read_fasta", "fastq" -> "read_fastq", "gff" -> "read_gff",
     "gtf" -> "read_gtf", "bed" -> "read_bed_file",
     "sam" -> "read_sam_file_records", "bam" -> "read_bam_file_records",
-    "vcf" -> "read_vcf_file_records", "genbank" -> "read_genbank",
+    "vcf" -> "read_vcf_file_records", "bcf" -> "read_bcf_file_records",
+    "genbank" -> "read_genbank",
     "mzml" -> "read_mzml", "hmmdomtab" -> "read_hmm_dom_tbl_out")
 
   def registerAll(spark: SparkSession): Unit = {
@@ -76,6 +77,7 @@ object GraftTableFunctions {
     }
     reg.createOrReplaceTempFunction("vcf_query", queryBuilder(VcfFormat), "scala_udf")
     reg.createOrReplaceTempFunction("bam_query", queryBuilder(BamFormat), "scala_udf")
+    reg.createOrReplaceTempFunction("bcf_query", queryBuilder(BcfFormat), "scala_udf")
     reg.createOrReplaceTempFunction("read_auto", autoBuilder, "scala_udf")
   }
 }

@@ -69,6 +69,24 @@ class BinaryFormatsSpec extends AnyFunSuite {
     assert(GraftIO.bam_query(spark, s"$F/bam/test.bam", "chr1:1-100").count() == 0)
   }
 
+  test("bcf: typed-encoding decode matches the VCF golden rows") {
+    val df = GraftIO.read_bcf_file_records(spark, s"$F/vcf/test.bcf")
+    assert(df.schema("info").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("indel", "dp", "af"))
+    val got = df.selectExpr("chrom", "pos", "id", "ref", "alt", "qual", "filter",
+      "info.indel", "info.dp", "info.af").orderBy("chrom", "pos").collect()
+    assert(got.length == 5)
+    assert(got(0).toSeq == Seq("1", 101L, null, "G", Seq("<*>"), 0.0f, null, null, 1, null))
+    assert(got(1).toSeq == Seq("1", 205L, "rs77", "A", Seq("C", "T"), 29.5f, "PASS", null, 14, Seq(0.5f, 0.25f)))
+    assert(got(2).toSeq == Seq("1", 990L, null, "T", Seq("TA"), 12.0f, null, true, 7, null))
+    assert(got(3).toSeq == Seq("2", 55L, null, "C", Seq("G"), 8.0f, "q10", null, 3, null))
+  }
+
+  test("bcf_query region semantics") {
+    assert(GraftIO.bcf_query(spark, s"$F/vcf/test.bcf", "1").count() == 3)
+    assert(GraftIO.bcf_query(spark, s"$F/vcf/test.bcf", "1:200-999").count() == 2)
+  }
+
   test("bare-path dispatch covers the new formats") {
     assert(GraftIO.read_auto(spark, s"$F/vcf/test.vcf.gz").count() == 5)
     assert(GraftIO.read_auto(spark, s"$F/genbank/test.gb").count() == 2)
