@@ -149,6 +149,45 @@ object Dedup {
         WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
         ORDER BY id_a, id_b""")),
 
+    // ---- dedup as a corpus filter: drop the higher id of each J>=0.8
+    //      pair found by MinHash+LSH (keep-lowest policy) ----
+    "dedup_filtered_corpus" -> Q(
+      (s, dir) => {
+        val sets = shingled(s, dir)
+        val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
+        val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          min((col("h32") * a + b) % P32).as(s"m$i")
+        }
+        val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bandCols = (0 until 16).map { j =>
+          struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("bh"))
+        }
+        val cand = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .groupBy(col("bb.band"), col("bb.bh"))
+          .agg(collect_set(col("doc_id")).as("ids"))
+          .where(size(col("ids")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+          .select(col("p.id_a"), col("p.id_b")).distinct()
+        val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        val dropIds = cand.join(a, "id_a").join(b, "id_b")
+          .where(size(array_intersect(col("sh_a"), col("sh_b"))) * 5 >=
+            (size(col("sh_a")) + size(col("sh_b"))
+              - size(array_intersect(col("sh_a"), col("sh_b")))) * 4)
+          .select(col("id_b").as("doc_id")).distinct()
+        t(s, dir, "documents")
+          .join(dropIds, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+      },
+      Some(s"""WITH $ShingleCteSql,
+        drops AS (SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+        SELECT count(*) AS n_kept, sum(doc_id) AS id_checksum
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)""")),
+
     // ---- SimHash sketch + Hamming near-dup pairs ----
     // 32-bit token hash from md5 hex so the oracle computes the identical
     // sketch: Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT).

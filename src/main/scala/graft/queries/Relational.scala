@@ -346,6 +346,50 @@ object Relational {
         CAST(sum(CAST(value AS $DEC)) AS DECIMAL(18,2)) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- correlated scalar subquery (TPC-H Q17 shape) ----
+    // l_quantity is integral, so avg = exact_integer_sum / count is the
+    // same double in both engines; the 0.2x threshold compare is safe.
+    "rel_correlated_avg" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").where(col("p_brand") === "Brand#17").select("p_partkey")
+        val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .join(avgQ, li("l_partkey") === avgQ("ap_partkey"))
+          .where(col("l_quantity") < col("avg_qty") * 0.2)
+          .agg(d18(sum(dec(col("l_extendedprice")))).as("sum_price"), count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT CAST(sum(CAST(l_extendedprice AS $DEC)) AS DECIMAL(18,2)) AS sum_price,
+        count(*) AS n FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#17'
+          AND l_quantity < (SELECT avg(l_quantity) * 0.2 FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""")),
+
+    // ---- exact interpolated percentiles ----
+    "rel_percentile" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("round(percentile(l_quantity, 0.5), 4)").as("p50"),
+            expr("round(percentile(l_quantity, 0.95), 4)").as("p95"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- UNION with distinct semantics ----
+    "rel_union_distinct" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val big = o.where(col("o_totalprice") > 50000).select(col("o_custkey").as("ck"))
+        val urgent = o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("ck"))
+        big.union(urgent).distinct().agg(count(lit(1)).as("n_custs"))
+      },
+      Some("""SELECT count(*) AS n_custs FROM (
+        SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 50000
+        UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""")),
+
     // ---- JSON extraction (events.props) ----
     "rel_json_extract" -> Q(
       (s, dir) =>

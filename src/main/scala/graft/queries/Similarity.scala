@@ -96,6 +96,35 @@ object Similarity {
       },
       None),
 
+    // ---- IVF-style ANN: coarse partition (label) limits the scan ----
+    // The inverted-file structure here is the existing label column (at
+    // scale: trained k-means centroids); the probe searches only the
+    // query's own cell, so the exact re-rank touches |corpus|/k vectors.
+    "ann_ivf_topk" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("label").as("q_label"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        e.join(broadcast(q),
+            col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 5),
+          scored AS (
+            SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM e JOIN q ON e.label = q.q_label AND vec_id <> q_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                     FROM scored)
+        SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""")),
+
     // ---- group-wise centroid similarity (aggregation over vectors) ----
     "ann_label_centroids" -> Q(
       (s, dir) => {
