@@ -110,10 +110,24 @@ final case class GraftScanBuilder(format: GraftFormat, full: StructType,
 
 final case class GraftScan(format: GraftFormat, full: StructType, required: StructType,
                            filters: Array[Filter], options: Map[String, String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size-based estimate (the analog of the reference's
+    * ArrowScanCardinality hint) so Catalyst can pick broadcast sides
+    * when a genomic table joins a small one. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long =
+      try {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        Seq(options.get("path"), options.get("paths")).flatten
+          .flatMap(GraftFiles.resolve(_, conf)).map(_.getLen).sum
+      } catch { case _: Exception => Long.MaxValue }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def description(): String =
     s"GraftScan(${format.name}, cols=[${required.fieldNames.mkString(",")}], " +
       s"filters=[${filters.mkString(",")}])"
