@@ -104,6 +104,14 @@ object FormatScans {
         UNION ALL SELECT '2', 777, NULL, 'GG', 'G', CAST(3.5 AS REAL), NULL, true, 2, 1.0
         ORDER BY chrom, pos""")),
 
+    // tabix-indexed fast path (chunk-pruned BGZF reads); golden derived
+    // independently from the fixture generator's record stream
+    "fmt_vcf_query_indexed" -> Q(
+      (s, _) => GraftIO.vcf_query(s, s"$F/vcf/indexed.vcf.gz", "1:100000-500000")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos_sum"),
+          sum(col("info.dp")).as("dp_sum")),
+      Some("SELECT CAST(38 AS BIGINT) AS n, CAST(10981885 AS BIGINT) AS pos_sum, CAST(1121 AS BIGINT) AS dp_sum")),
+
     "fmt_genbank_scan" -> Q(
       (s, _) => GraftIO.read_genbank(s, s"$F/genbank/test.gb")
         .selectExpr("name", "accession", "topology", "sequence", "size(features) AS n_features",

@@ -142,25 +142,51 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
       val path = st.getPath.toString
       val len = st.getLen
       val codec = format.forcedCodec.getOrElse(Compression.of(path, options)._1)
-      if (format.splittable && codec == "none" && len > maxSplit) {
-        // One partition per ~maxSplit bytes; parser syncs to record start.
-        val n = math.ceil(len.toDouble / maxSplit).toInt
-        (0 until n).map { i =>
-          val s = i.toLong * maxSplit
-          GraftInputPartition(path, s, math.min(s + maxSplit, len), len)
-        }
-      } else {
-        Seq(GraftInputPartition(path, 0, Long.MaxValue, len))
+      indexedChunks(path, conf) match {
+        case Some(chunks) =>
+          // index-driven pruning: one partition per merged BGZF chunk;
+          // executors read only the blocks the index says can match
+          chunks.map(c => GraftInputPartition(path, c._1, c._2, len, bgzfChunk = true))
+        case None =>
+          if (format.splittable && codec == "none" && len > maxSplit) {
+            // One partition per ~maxSplit bytes; parser syncs to record start.
+            val n = math.ceil(len.toDouble / maxSplit).toInt
+            (0 until n).map { i =>
+              val s = i.toLong * maxSplit
+              GraftInputPartition(path, s, math.min(s + maxSplit, len), len)
+            }
+          } else {
+            Seq(GraftInputPartition(path, 0, Long.MaxValue, len))
+          }
       }
     }.toArray
   }
+
+  /** Tabix fast path: a region query over a bgzipped file with a
+    * sibling .tbi resolves to merged virtual-offset chunks (the
+    * reference's vcf_query uses noodles' tabix the same way; phase-1
+    * scan+filter remains the fallback and the correctness baseline —
+    * the region filter is still applied to chunk rows, so the index
+    * only ever prunes I/O, never changes results). */
+  private def indexedChunks(path: String, conf: Configuration): Option[Seq[(Long, Long)]] =
+    options.get("region").flatMap { r =>
+      if (!path.toLowerCase.endsWith(".gz")) None
+      else graft.sources.TabixIndex.load(path, conf).flatMap { idx =>
+        val (chr, lo, hi) = graft.sources.VcfFormat.parseRegion(r)
+        val beg0 = math.max(lo - 1, 0)
+        val end0 = math.min(hi, 1L << 29) // binning scheme ceiling
+        if (!idx.names.contains(chr)) Some(Seq.empty)
+        else Some(idx.query(chr, beg0, end0).map(c => (c.beg, c.end)))
+      }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(format, full, required, filters, options)
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long,
-                                     fileLen: Long) extends InputPartition
+                                     fileLen: Long, bgzfChunk: Boolean = false)
+    extends InputPartition
 
 final case class GraftReaderFactory(format: GraftFormat, full: StructType,
                                     required: StructType, filters: Array[Filter],
@@ -172,13 +198,17 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
     val conf = new Configuration() // local/default FS; SerializableConfiguration if cluster confs matter
     val raw = GraftFiles.open(p.path, conf)
     val codec = format.forcedCodec.getOrElse(Compression.of(p.path, options)._1)
-    val ranged = p.start != 0 || p.end != Long.MaxValue
+    val ranged = !p.bgzfChunk && (p.start != 0 || p.end != Long.MaxValue)
     if (ranged) {
       require(codec == "none", "ranged split over compressed input")
       raw.seek(p.start) // LineReader expects the stream positioned at split start
     }
-    val stream = if (ranged) raw.stream else Compression.wrap(raw.stream, codec)
-    val split = GraftSplit(p.path, p.start, if (ranged) p.end else Long.MaxValue, p.fileLen)
+    val stream =
+      if (p.bgzfChunk) new BgzfRangeStream(raw, p.start, p.end) // index chunk, pre-decompressed
+      else if (ranged) raw.stream
+      else Compression.wrap(raw.stream, codec)
+    val split = GraftSplit(p.path, if (ranged) p.start else 0,
+      if (ranged) p.end else Long.MaxValue, p.fileLen)
 
     val fullIter = format.read(split, full, stream, options)
     val fieldIdx = required.fieldNames.map(full.fieldIndex)

@@ -9,10 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("extensions inject scalar functions and TVFs into a fresh session") {
+    // getOrCreate() would return the suite-shared session (extensions
+    // only apply at session construction) — force a new session over
+    // the same SparkContext
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions works on a reused SparkContext; the equivalent
+    // spark.sql.extensions=graft.GraftExtensions is a static conf and
+    // applies when the context itself is launched with it
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
@@ -21,6 +30,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT count(*) FROM read_fasta('src/test/resources/fixtures/fasta/test.fasta')")
         .collect()(0).getLong(0) == 2L)
       assert(s.sql("SELECT exondb_version()").collect()(0).getString(0) == "0.3.9")
-    } finally () // keep shared context; session reuses the test JVM's SparkContext
+    } finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
   }
 }

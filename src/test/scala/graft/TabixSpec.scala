@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftIO
+import graft.sources.core.GraftInputPartition
+
+/** Tabix-indexed region pruning: the fast path must (a) return exactly
+  * the rows the full-scan+filter baseline returns, and (b) plan only
+  * index-chunk partitions instead of reading the whole file. */
+class TabixSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  private val P = "src/test/resources/fixtures/vcf/indexed.vcf.gz"
+
+  private def partitions(df: org.apache.spark.sql.DataFrame): Seq[GraftInputPartition] = {
+    df.collect()
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .head.scan.toBatch.planInputPartitions().toSeq.map(_.asInstanceOf[GraftInputPartition])
+  }
+
+  private def baseline(region: String): Seq[String] = {
+    val (chr, lo, hi) = graft.sources.VcfFormat.parseRegion(region)
+    GraftIO.read_vcf_file_records(spark, P)
+      .where(s"chrom = '$chr' AND pos >= $lo AND pos <= $hi")
+      .selectExpr("chrom", "pos", "info.dp").collect().map(_.toString).sorted.toSeq
+  }
+
+  test("indexed query == scan+filter baseline across region shapes") {
+    for (region <- Seq("1", "2", "1:100000-500000", "2:1-2000", "1:1596930-1596930", "1:9999999-19999999")) {
+      val got = GraftIO.vcf_query(spark, P, region)
+        .selectExpr("chrom", "pos", "info.dp").collect().map(_.toString).sorted.toSeq
+      assert(got == baseline(region), region)
+    }
+    assert(GraftIO.vcf_query(spark, P, "chrX").count() == 0)
+  }
+
+  test("narrow region plans few chunk partitions; whole contig plans many") {
+    val narrow = partitions(GraftIO.vcf_query(spark, P, "1:100000-110000"))
+    assert(narrow.nonEmpty && narrow.forall(_.bgzfChunk))
+    val whole = partitions(GraftIO.vcf_query(spark, P, "1"))
+    assert(narrow.map(p => p.end - p.start).sum < whole.map(p => p.end - p.start).sum,
+      s"narrow=${narrow.length} whole=${whole.length}")
+    // unindexed sibling file keeps the fallback single-partition plan
+    val fallback = partitions(GraftIO.vcf_query(spark, "src/test/resources/fixtures/vcf/test.vcf.gz", "1"))
+    assert(fallback.forall(!_.bgzfChunk))
+  }
+}
