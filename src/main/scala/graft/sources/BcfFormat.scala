@@ -66,6 +66,21 @@ object BcfFormat extends GraftFormat {
     } finally in.close()
   }
 
+  /** CSI fast path (falls back to scan+filter). rid comes from the BCF
+    * header's ##contig order, read on the driver at plan time. */
+  override def regionChunks(path: String, region: String,
+                            conf: Configuration): Option[Seq[(Long, Long)]] =
+    CsiIndex.load(path, conf).map { idx =>
+      val (chr, lo, hi) = VcfFormat.parseRegion(region)
+      val raw = GraftFiles.open(path, conf)
+      val contigs =
+        try dictionaries(headerText(new DataInputStream(
+          Compression.wrap(raw.stream, "gzip"))).linesIterator.toSeq)._2
+        finally raw.in.close()
+      idx.queryByRid(contigs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, 1L << 29))
+        .map(c => (c.beg, c.end))
+    }
+
   /** Shared FILTER/INFO/FORMAT dictionary + contig dictionary. */
   private def dictionaries(header: Seq[String]): (IndexedSeq[String], IndexedSeq[String]) = {
     val IdRe = """##(?:FILTER|INFO|FORMAT)=<ID=([^,>]+).*""".r
@@ -85,7 +100,14 @@ object BcfFormat extends GraftFormat {
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
     val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
-    val header = headerText(d).linesIterator.toSeq
+    // an index chunk starts at a record boundary; re-read the header
+    // (dictionaries + schema source) from the file head separately
+    val header =
+      if (split.bgzfChunk) {
+        val raw = GraftFiles.open(split.path, new Configuration())
+        try headerText(new DataInputStream(Compression.wrap(raw.stream, "gzip"))).linesIterator.toSeq
+        finally raw.in.close()
+      } else headerText(d).linesIterator.toSeq
     val (dict, contigs) = dictionaries(header)
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
     val region = options.get("region").map(VcfFormat.parseRegion)

@@ -6,35 +6,46 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
-import graft.sources.core.{Bgzf, GraftFiles}
+import graft.sources.core.Bgzf
 
-/** Tabix (.tbi) index decoding + region-to-chunk resolution — the
-  * reference's indexed-region fast path (rust vcf_query via noodles
-  * tabix; SURVEY.md §3.3), reimplemented from the published htslib
-  * format: BGZF payload, magic "TBI\1", R-tree bins (reg2bin scheme,
-  * 16 kb leaves) with chunk lists of virtual offsets plus a 16 kb
-  * linear index for lower-bound pruning.
+/** Binning-index machinery shared by tabix (.tbi), BAM (.bai) and CSI
+  * (.csi) — the reference's indexed-region fast path (noodles-backed
+  * vcf_query/bam_query/bcf_query; SURVEY.md section 3.3), reimplemented
+  * from the published htslib formats: an R-tree of bins over genomic
+  * intervals, each bin holding chunk lists of BGZF virtual offsets,
+  * plus (tbi/bai) a 16 kb linear index for lower-bound pruning.
   */
-object TabixIndex {
+object BinnedIndex {
 
   final case class Chunk(beg: Long, end: Long)
-  final case class RefIndex(bins: Map[Int, Seq[Chunk]], linear: Array[Long])
-  final case class Index(names: IndexedSeq[String], refs: IndexedSeq[RefIndex]) {
+  final case class RefIndex(bins: Map[Int, Seq[Chunk]], linear: Array[Long],
+                            loffsets: Map[Int, Long] = Map.empty)
 
-    /** Merged chunk ranges overlapping [beg0, end0) on `seq`. */
-    def query(seq: String, beg0: Long, end0: Long): Seq[Chunk] = {
+  final case class Index(names: IndexedSeq[String], refs: IndexedSeq[RefIndex],
+                         minShift: Int = 14, depth: Int = 5) {
+
+    def queryByName(seq: String, beg0: Long, end0: Long): Seq[Chunk] = {
       val rid = names.indexOf(seq)
-      if (rid < 0) return Seq.empty
+      if (rid < 0) Seq.empty // unknown contig: provably empty
+      else queryByRid(rid, beg0, end0)
+    }
+
+    /** Merged chunk ranges overlapping [beg0, end0) on reference rid. */
+    def queryByRid(rid: Int, beg0: Long, end0: Long): Seq[Chunk] = {
+      if (rid < 0 || rid >= refs.length) return Seq.empty
       val ref = refs(rid)
-      val minVoff = {
-        val w = (beg0 >> 14).toInt
-        if (ref.linear.isEmpty) 0L
-        else ref.linear(math.min(math.max(w, 0), ref.linear.length - 1))
-      }
+      val minVoff =
+        if (ref.linear.nonEmpty) {
+          val w = (beg0 >> minShift).toInt
+          ref.linear(math.min(math.max(w, 0), ref.linear.length - 1))
+        } else {
+          // CSI: loffset of the lowest overlapping leaf bin
+          val leaf = leafBase + (beg0 >> minShift).toInt
+          ref.loffsets.getOrElse(leaf, 0L)
+        }
       val chunks = reg2bins(beg0, end0).flatMap(ref.bins.get).flatten
         .filter(_.end > minVoff)
         .sortBy(_.beg)
-      // merge adjacent/overlapping ranges so each becomes one partition
       val merged = scala.collection.mutable.ArrayBuffer.empty[Chunk]
       chunks.foreach { c =>
         if (merged.nonEmpty && c.beg <= merged.last.end)
@@ -43,45 +54,66 @@ object TabixIndex {
       }
       merged.toSeq
     }
+
+    private def leafBase: Int = ((1 << (depth * 3)) - 1) / 7
+
+    /** Generalized reg2bins for (minShift, depth); the classic scheme is
+      * minShift=14, depth=5 (bins 0..37449). */
+    def reg2bins(beg: Long, end0: Long): Seq[Int] = {
+      val end = end0 - 1
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var l = 0
+      var t = 0
+      var s = minShift + depth * 3
+      while (l <= depth) {
+        val b = t + (beg >> s).toInt
+        val e = t + (end >> s).toInt
+        out ++= (b to e)
+        s -= 3
+        t += 1 << (l * 3)
+        l += 1
+      }
+      out.toSeq
+    }
   }
 
-  /** Standard UCSC binning: bins overlapping [beg, end), 0-based. */
-  def reg2bins(beg: Long, end0: Long): Seq[Int] = {
-    val end = end0 - 1
-    val out = scala.collection.mutable.ArrayBuffer[Int](0)
-    out ++= ((1 + (beg >> 26)).toInt to (1 + (end >> 26)).toInt)
-    out ++= ((9 + (beg >> 23)).toInt to (9 + (end >> 23)).toInt)
-    out ++= ((73 + (beg >> 20)).toInt to (73 + (end >> 20)).toInt)
-    out ++= ((585 + (beg >> 17)).toInt to (585 + (end >> 17)).toInt)
-    out ++= ((4681 + (beg >> 14)).toInt to (4681 + (end >> 14)).toInt)
-    out.toSeq
+  private[sources] def readAll(p: Path, conf: Configuration): Array[Byte] = {
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](1 << 16)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
   }
 
-  def reg2bin(beg: Long, end0: Long): Int = {
-    val end = end0 - 1
-    if (beg >> 14 == end >> 14) (4681 + (beg >> 14)).toInt
-    else if (beg >> 17 == end >> 17) (585 + (beg >> 17)).toInt
-    else if (beg >> 20 == end >> 20) (73 + (beg >> 20)).toInt
-    else if (beg >> 23 == end >> 23) (9 + (beg >> 23)).toInt
-    else if (beg >> 26 == end >> 26) (1 + (beg >> 26)).toInt
-    else 0
-  }
+  private[sources] def exists(p: Path, conf: Configuration): Boolean =
+    p.getFileSystem(conf).exists(p)
 
-  /** Load `<path>.tbi` if present. */
+  private[sources] def readBins(bb: ByteBuffer, nBin: Int,
+                                withLoffset: Boolean): (Map[Int, Seq[Chunk]], Map[Int, Long]) = {
+    val bins = Map.newBuilder[Int, Seq[Chunk]]
+    val loffs = Map.newBuilder[Int, Long]
+    (0 until nBin).foreach { _ =>
+      val bin = bb.getInt
+      if (withLoffset) loffs += bin -> bb.getLong
+      val nChunk = bb.getInt
+      bins += bin -> (0 until nChunk).map(_ => Chunk(bb.getLong, bb.getLong))
+    }
+    (bins.result(), loffs.result())
+  }
+}
+
+/** Tabix .tbi: BGZF payload, magic "TBI\1", named references. */
+object TabixIndex {
+  import BinnedIndex._
+
   def load(dataPath: String, conf: Configuration): Option[Index] = {
     val p = new Path(dataPath + ".tbi")
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val compressed =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](1 << 16)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        buf.toByteArray
-      } finally in.close()
-    val bb = ByteBuffer.wrap(Bgzf.inflateAll(compressed)).order(ByteOrder.LITTLE_ENDIAN)
+    if (!exists(p, conf)) return None
+    val bb = ByteBuffer.wrap(Bgzf.inflateAll(readAll(p, conf))).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.get() == 'T' && bb.get() == 'B' && bb.get() == 'I' && bb.get() == 1,
       s"bad tabix magic in $p")
     val nRef = bb.getInt
@@ -90,18 +122,60 @@ object TabixIndex {
     val nameBytes = new Array[Byte](lNm)
     bb.get(nameBytes)
     val names = new String(nameBytes, StandardCharsets.UTF_8)
-      .split('\u0000').toIndexedSeq.filter(_.nonEmpty) // NUL-separated
+      .split('\u0000').toIndexedSeq.filter(_.nonEmpty)
     val refs = (0 until nRef).map { _ =>
-      val nBin = bb.getInt
-      val bins = (0 until nBin).map { _ =>
-        val bin = bb.getInt
-        val nChunk = bb.getInt
-        bin -> (0 until nChunk).map(_ => Chunk(bb.getLong, bb.getLong))
-      }.toMap
-      val nIntv = bb.getInt
-      val linear = Array.fill(nIntv)(bb.getLong)
+      val (bins, _) = readBins(bb, bb.getInt, withLoffset = false)
+      val linear = Array.fill(bb.getInt)(bb.getLong)
       RefIndex(bins, linear)
     }
     Some(Index(names, refs))
+  }
+}
+
+/** BAM .bai: plain (un-bgzipped) binary, magic "BAI\1", unnamed refs
+  * (resolved through the BAM header's reference dictionary). The
+  * optional pseudo-bin 37450 carries metadata, not intervals — skipped.
+  */
+object BaiIndex {
+  import BinnedIndex._
+
+  def load(dataPath: String, conf: Configuration): Option[Index] = {
+    val p = new Path(dataPath + ".bai")
+    if (!exists(p, conf)) return None
+    val bb = ByteBuffer.wrap(readAll(p, conf)).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B' && bb.get() == 'A' && bb.get() == 'I' && bb.get() == 1,
+      s"bad BAI magic in $p")
+    val nRef = bb.getInt
+    val refs = (0 until nRef).map { _ =>
+      val (bins0, _) = readBins(bb, bb.getInt, withLoffset = false)
+      val bins = bins0 - 37450 // metadata pseudo-bin
+      val linear = Array.fill(bb.getInt)(bb.getLong)
+      RefIndex(bins, linear)
+    }
+    Some(Index(IndexedSeq.empty, refs))
+  }
+}
+
+/** CSI .csi: BGZF payload, magic "CSI\1", parameterized (min_shift,
+  * depth), per-bin loffset instead of a linear index; unnamed refs. */
+object CsiIndex {
+  import BinnedIndex._
+
+  def load(dataPath: String, conf: Configuration): Option[Index] = {
+    val p = new Path(dataPath + ".csi")
+    if (!exists(p, conf)) return None
+    val bb = ByteBuffer.wrap(Bgzf.inflateAll(readAll(p, conf))).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'C' && bb.get() == 'S' && bb.get() == 'I' && bb.get() == 1,
+      s"bad CSI magic in $p")
+    val minShift = bb.getInt
+    val depth = bb.getInt
+    val lAux = bb.getInt
+    bb.position(bb.position() + lAux)
+    val nRef = bb.getInt
+    val refs = (0 until nRef).map { _ =>
+      val (bins, loffs) = readBins(bb, bb.getInt, withLoffset = true)
+      RefIndex(bins, Array.emptyLongArray, loffs)
+    }
+    Some(Index(IndexedSeq.empty, refs, minShift, depth))
   }
 }

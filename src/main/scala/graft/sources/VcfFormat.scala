@@ -74,6 +74,17 @@ object VcfFormat extends GraftFormat {
       StructField("info", infoStruct)))
   }
 
+  /** Tabix fast path for bgzipped VCF (falls back to scan+filter). */
+  override def regionChunks(path: String, region: String,
+                            conf: Configuration): Option[Seq[(Long, Long)]] = {
+    if (!path.toLowerCase.endsWith(".gz")) return None
+    TabixIndex.load(path, conf).map { idx =>
+      val (chr, lo, hi) = parseRegion(region)
+      idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, 1L << 29))
+        .map(c => (c.beg, c.end))
+    }
+  }
+
   /** Region grammar: 'chr' or 'chr:start-end' (1-based inclusive). */
   def parseRegion(r: String): (String, Long, Long) = r.split(":", 2) match {
     case Array(chr)         => (chr, 1L, Long.MaxValue)

@@ -162,23 +162,12 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
     }.toArray
   }
 
-  /** Tabix fast path: a region query over a bgzipped file with a
-    * sibling .tbi resolves to merged virtual-offset chunks (the
-    * reference's vcf_query uses noodles' tabix the same way; phase-1
-    * scan+filter remains the fallback and the correctness baseline —
-    * the region filter is still applied to chunk rows, so the index
-    * only ever prunes I/O, never changes results). */
+  /** Index fast path, delegated to the format (tabix for VCF, BAI for
+    * BAM, CSI for BCF — the reference's noodles-backed indexed queries,
+    * SURVEY.md §3.3). Phase-1 scan+filter remains the fallback and the
+    * correctness baseline. */
   private def indexedChunks(path: String, conf: Configuration): Option[Seq[(Long, Long)]] =
-    options.get("region").flatMap { r =>
-      if (!path.toLowerCase.endsWith(".gz")) None
-      else graft.sources.TabixIndex.load(path, conf).flatMap { idx =>
-        val (chr, lo, hi) = graft.sources.VcfFormat.parseRegion(r)
-        val beg0 = math.max(lo - 1, 0)
-        val end0 = math.min(hi, 1L << 29) // binning scheme ceiling
-        if (!idx.names.contains(chr)) Some(Seq.empty)
-        else Some(idx.query(chr, beg0, end0).map(c => (c.beg, c.end)))
-      }
-    }
+    options.get("region").flatMap(format.regionChunks(path, _, conf))
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(format, full, required, filters, options)
@@ -208,7 +197,7 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
       else if (ranged) raw.stream
       else Compression.wrap(raw.stream, codec)
     val split = GraftSplit(p.path, if (ranged) p.start else 0,
-      if (ranged) p.end else Long.MaxValue, p.fileLen)
+      if (ranged) p.end else Long.MaxValue, p.fileLen, bgzfChunk = p.bgzfChunk)
 
     val fullIter = format.read(split, full, stream, options)
     val fieldIdx = required.fieldNames.map(full.fieldIndex)

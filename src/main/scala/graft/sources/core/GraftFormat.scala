@@ -37,6 +37,14 @@ trait GraftFormat extends Serializable {
   /** Writer support (None = read-only format). */
   def formatter: Option[RecordFormatter] = None
 
+  /** Index-driven fast path: when a region query can be served from a
+    * sibling index file (.tbi/.bai/.csi), return the merged BGZF
+    * virtual-offset chunks to scan; None = full scan + filter fallback.
+    * The region filter is always applied to chunk rows, so an index can
+    * only prune I/O, never change results. */
+  def regionChunks(path: String, region: String,
+                   conf: org.apache.hadoop.conf.Configuration): Option[Seq[(Long, Long)]] = None
+
   /** Schema; `paths` lets header-driven formats (VCF) peek at a file. */
   def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType
 
@@ -47,8 +55,12 @@ trait GraftFormat extends Serializable {
            options: Map[String, String]): Iterator[Array[Any]]
 }
 
-/** One unit of parallel work: a file, or a byte range of one. */
-final case class GraftSplit(path: String, start: Long, end: Long, fileLen: Long)
+/** One unit of parallel work: a file, a byte range of one, or an
+  * index-resolved BGZF chunk (stream already decompressed and positioned
+  * at a record boundary; binary formats that need their file header
+  * must re-read it separately — see BamFormat). */
+final case class GraftSplit(path: String, start: Long, end: Long, fileLen: Long,
+                            bgzfChunk: Boolean = false)
 
 object Compression {
   /** (codec, pathWithoutCompressionSuffix); codec from the final

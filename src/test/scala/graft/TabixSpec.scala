@@ -36,6 +36,36 @@ class TabixSpec extends AnyFunSuite {
     assert(GraftIO.vcf_query(spark, P, "chrX").count() == 0)
   }
 
+  test("BAI-indexed bam_query == scan+filter baseline") {
+    val bam = "src/test/resources/fixtures/bam/indexed.bam"
+    for (region <- Seq("ref1", "chr1", "chr1:1000000-9000000", "ref1:1-5000", "chr1:39999999-40000000")) {
+      val got = GraftIO.bam_query(spark, bam, region)
+        .selectExpr("name", "start", "end").collect().map(_.toString).sorted.toSeq
+      val (chr, lo, hi) = graft.sources.VcfFormat.parseRegion(region)
+      val base = GraftIO.read_bam_file_records(spark, bam)
+        .where(s"reference = '$chr' AND start <= ${hi}L AND coalesce(end, start) >= ${lo}L")
+        .selectExpr("name", "start", "end").collect().map(_.toString).sorted.toSeq
+      assert(got == base, region)
+    }
+    val parts = partitions(GraftIO.bam_query(spark, bam, "chr1:1000000-9000000"))
+    assert(parts.nonEmpty && parts.forall(_.bgzfChunk))
+  }
+
+  test("CSI-indexed bcf_query == scan+filter baseline") {
+    val bcf = "src/test/resources/fixtures/vcf/indexed.bcf"
+    for (region <- Seq("1", "2", "1:2000000-20000000", "2:1-5000")) {
+      val got = GraftIO.bcf_query(spark, bcf, region)
+        .selectExpr("chrom", "pos", "info.dp").collect().map(_.toString).sorted.toSeq
+      val (chr, lo, hi) = graft.sources.VcfFormat.parseRegion(region)
+      val base = GraftIO.read_bcf_file_records(spark, bcf)
+        .where(s"chrom = '$chr' AND pos >= ${lo}L AND pos <= ${hi}L")
+        .selectExpr("chrom", "pos", "info.dp").collect().map(_.toString).sorted.toSeq
+      assert(got == base, region)
+    }
+    val parts = partitions(GraftIO.bcf_query(spark, bcf, "1:2000000-20000000"))
+    assert(parts.nonEmpty && parts.forall(_.bgzfChunk))
+  }
+
   test("narrow region plans few chunk partitions; whole contig plans many") {
     val narrow = partitions(GraftIO.vcf_query(spark, P, "1:100000-110000"))
     assert(narrow.nonEmpty && narrow.forall(_.bgzfChunk))
