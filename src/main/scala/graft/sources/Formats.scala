@@ -62,12 +62,20 @@ object FastaFormat extends GraftFormat {
 }
 
 /** FASTQ: 4-line records (@name desc / seq / + / qual).
-  * Ref schema: test_fastq_scan.test. Not byte-splittable ('@' is a legal
-  * quality character, so record starts can't be synced structurally);
-  * parallelism comes from one partition per file. */
+  * Ref schema: test_fastq_scan.test.
+  *
+  * Byte-splittable with a structural resync: '@' is a legal quality
+  * character, so a bare "line starts with '@'" sync is unsafe. A record
+  * start is recognized as line(i) starting '@' AND line(i+2) starting
+  * '+' AND line(i+1) not starting '+' — a quality line that happens to
+  * start with '@' is followed by the NEXT record's header (not a '+'
+  * line two later), so the pattern cannot match one line early. Split
+  * ownership mirrors the Hadoop line protocol: a split claims records
+  * whose header offset is in (start, end]. */
 object FastqFormat extends GraftFormat {
   override def name = "fastq"
   override def extensions = Seq("fastq", "fq")
+  override def splittable = true
   override def formatter: Option[RecordFormatter] = Some(FastqFormatter)
   override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
     StructType(Seq(
@@ -78,19 +86,36 @@ object FastqFormat extends GraftFormat {
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
-    val it = P.allLines(in).filter(_.nonEmpty)
+    val it = new LineReader(in, split.start, Long.MaxValue)
+      .filter(_._2.nonEmpty).buffered
+    val lookahead = scala.collection.mutable.Queue.empty[(Long, String)]
+    def peek(k: Int): Option[(Long, String)] = {
+      while (lookahead.length <= k && it.hasNext) lookahead += it.next()
+      if (lookahead.length > k) Some(lookahead(k)) else None
+    }
+    def pop(): (Long, String) = { peek(0); lookahead.dequeue() }
+    def atRecordStart: Boolean =
+      peek(0).exists(_._2.startsWith("@")) &&
+        !peek(1).exists(_._2.startsWith("+")) &&
+        peek(2).exists(_._2.startsWith("+"))
+
     new Iterator[Array[Any]] {
-      override def hasNext: Boolean = it.hasNext
+      private def sync(): Unit = {
+        if (split.start != 0) while (peek(0).isDefined && !atRecordStart) pop()
+      }
+      sync()
+      override def hasNext: Boolean =
+        peek(0).exists(_._1 <= split.end) && atRecordStart
       override def next(): Array[Any] = {
-        val header = it.next()
+        val (_, header) = pop()
         require(header.startsWith("@"), s"malformed FASTQ record header '$header'")
         val body = header.substring(1)
         val sp = body.indexOf(' ')
         val (nm, desc) = if (sp < 0) (body, null) else (body.substring(0, sp), body.substring(sp + 1))
-        val seq = it.next()
-        val plus = it.next()
+        val seq = pop()._2
+        val plus = pop()._2
         require(plus.startsWith("+"), s"malformed FASTQ separator '$plus'")
-        val qual = it.next()
+        val qual = pop()._2
         Array[Any](P.s(nm), P.s(desc), P.s(seq), P.s(qual))
       }
     }

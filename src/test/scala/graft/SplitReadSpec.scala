@@ -59,6 +59,23 @@ class SplitReadSpec extends AnyFunSuite {
     assert(whole.length == 200)
   }
 
+  test("fastq: splits resync on the @/+ structural pattern, incl. '@' quality lines") {
+    val content = (1 to 300).map { i =>
+      // quality line deliberately starts with '@' every third record
+      val q = if (i % 3 == 0) "@" + "I" * 9 else "I" * 10
+      s"@read$i desc$i\nACGTACGTAC\n+\n$q\n"
+    }.mkString
+    val path = tmpFile("big.fastq", content)
+    val whole = GraftIO.read_fastq(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(64) {
+      val df = GraftIO.read_fastq(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 300)
+  }
+
   test("sam: ranged splits skip header lines only at file start") {
     val header = "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:100000\n"
     val body = (1 to 300).map { i =>
