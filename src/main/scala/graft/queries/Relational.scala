@@ -365,6 +365,39 @@ object Relational {
         WHERE p_brand = 'Brand#17'
           AND l_quantity < (SELECT avg(l_quantity) * 0.2 FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""")),
 
+    // ---- group-min join-back (TPC-H Q2 shape) ----
+    "rel_min_join_back" -> Q(
+      (s, dir) => {
+        val p = t(s, dir, "part").withColumn("price", dec(col("p_retailprice")))
+        val mins = p.groupBy(col("p_type").as("mt")).agg(min(col("price")).as("min_price"))
+        p.join(broadcast(mins), p("p_type") === mins("mt") && p("price") === mins("min_price"))
+          .select(col("p_type"), col("p_partkey"), col("min_price"))
+          .orderBy("p_type", "p_partkey")
+      },
+      Some(s"""SELECT p_type, p_partkey, CAST(p_retailprice AS $DEC) AS min_price
+        FROM part WHERE CAST(p_retailprice AS $DEC) =
+          (SELECT min(CAST(p2.p_retailprice AS $DEC)) FROM part p2 WHERE p2.p_type = part.p_type)
+        ORDER BY p_type, p_partkey""")),
+
+    // ---- chained EXISTS + NOT EXISTS (TPC-H Q21 shape) ----
+    "rel_multi_exists" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val late = li.select(col("l_orderkey").as("lk"), col("l_shipdate"))
+        val big = li.where(col("l_quantity") > 49).select(col("l_orderkey").as("bk"))
+        o.join(late, o("o_orderkey") === late("lk") &&
+            late("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+          .join(big, o("o_orderkey") === big("bk"), "left_anti")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+          AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- exact interpolated percentiles ----
     "rel_percentile" -> Q(
       (s, dir) =>
