@@ -162,7 +162,7 @@ object Dedup {
     //      pair found by MinHash+LSH (keep-lowest policy) ----
     "dedup_filtered_corpus" -> Q(
       (s, dir) => {
-        val sets = shingled(s, dir)
+        val sets = shingled(s, dir).cache() // referenced by sigs + both verify sides
         val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
           .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
         val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
