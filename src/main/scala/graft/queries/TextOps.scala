@@ -102,6 +102,44 @@ object TextOps {
           length(text) AS n_chars_m
         FROM documents ORDER BY doc_id""")),
 
+    // ---- TF-IDF: inverted-index aggregation + per-doc top terms ----
+    // Two shuffles total (term stats, then per-doc window); the document
+    // side never collects — the same shape ranks terms over any corpus
+    // size. ln() on exact integer counts is deterministic across engines.
+    "text_tfidf_top_terms" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val n = docs.count() // corpus size: driver-side scalar, one jobs
+        val tf = docs.where(col("doc_id") < 100)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = docs
+          .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+        tf.join(df, "term")
+          .withColumn("tfidf", expr(s"round(tf * ln(($n + 1.0) / (df + 1.0)), 6)"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("doc_id", "rn", "term", "tf", "df", "tfidf")
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH tf AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id < 100),
+        tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+        dfc AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+                GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, tfc.term, tf, df,
+            round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
+          FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+                   FROM scored)
+        SELECT doc_id, rn, term, tf, df, tfidf FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
     // ---- fingerprint: winnowing minimum over 4-gram window hashes ----
     "text_fingerprint" -> Q(
       (s, dir) => {
