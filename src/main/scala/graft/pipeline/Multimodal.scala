@@ -43,6 +43,39 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  final case class VideoRow(doc_id: Long, frames: Array[Array[Byte]])
+  final case class SampledRow(doc_id: Long, n_frames: Int, n_sampled: Int,
+                              first_byte_sum: Long)
+
+  /** Synthesize a "video" as an array of opaque frame buffers (md5 of
+    * text+index stands in for decoded frames). */
+  def videoTable(s: SparkSession, dir: String): Dataset[VideoRow] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "doc_id",
+        "transform(sequence(0, cast(4 + doc_id % 12 AS INT)), i -> unhex(md5(concat(text, i)))) AS frames")
+      .as[VideoRow]
+  }
+
+  /** Frame sampling (every k-th frame) + per-frame feature, batch-wise:
+    * the frames array never leaves the executor, and the stubbed
+    * per-frame decode is the seam where a real codec would sit. */
+  def sampleFrames(videos: Dataset[VideoRow], every: Int): Dataset[SampledRow] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { batch =>
+      batch.map { v =>
+        val sampled = v.frames.zipWithIndex.collect { case (f, i) if i % every == 0 => f }
+        var sum = 0L
+        sampled.foreach { f =>
+          val d = FakeDecoder.decode(f, 4, 4)
+          sum += d.pixels(0) & 0xffL
+        }
+        SampledRow(v.doc_id, v.frames.length, sampled.length, sum)
+      }
+    }
+  }
+
   /** Batch feature extraction over the binary column. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._

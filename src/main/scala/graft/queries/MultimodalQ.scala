@@ -19,6 +19,19 @@ object MultimodalQ {
           CAST(1 + n_chars % 48 AS INTEGER) AS height,
           CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) AS feat_hash,
           list_sum([CAST(('0x' || substr(md5(text), 2 * i - 1, 2)) AS BIGINT) for i in range(1, 17)]) AS byte_sum
+        FROM documents ORDER BY doc_id""")),
+
+    // frame sampling: every 4th frame of a (4 + doc_id%12 + 1)-frame
+    // "video"; the oracle recomputes frame-0 bytes from md5 hex
+    "mm_frame_sample" -> Q(
+      (s, dir) =>
+        Multimodal.sampleFrames(Multimodal.videoTable(s, dir), every = 4)
+          .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(5 + doc_id % 12 AS INTEGER) AS n_frames,
+          CAST((5 + doc_id % 12 + 3) // 4 AS INTEGER) AS n_sampled,
+          list_sum([CAST(('0x' || substr(md5(text || CAST(i * 4 AS VARCHAR)), 1, 2)) AS BIGINT)
+                    for i in range(0, CAST((5 + doc_id % 12 + 3) // 4 AS BIGINT))]) AS first_byte_sum
         FROM documents ORDER BY doc_id"""))
   )
 }

@@ -54,16 +54,17 @@ object VcfFormat extends GraftFormat {
     val in = Compression.wrap(raw.stream, codec)
     try {
       val it = new LineReader(in, 0, Long.MaxValue).map(_._2)
-      it.takeWhile(_.startsWith("#")).filter(_.startsWith("##")).toList
+      it.takeWhile(_.startsWith("#")).toList
     } finally in.close()
   }
 
   override def schema(paths: Seq[Path], conf: Configuration,
                       options: Map[String, String]): StructType = {
-    val infos = parseHeaderInfo(headerOf(paths.head, conf, options))
+    val header = headerOf(paths.head, conf, options)
+    val infos = parseHeaderInfo(header.filter(_.startsWith("##")))
     val infoStruct = StructType(infos.map(f =>
       StructField(f.id.toLowerCase, f.sparkType)))
-    StructType(Seq(
+    val base = Seq(
       StructField("chrom", StringType),
       StructField("pos", LongType),
       StructField("id", StringType),
@@ -71,7 +72,17 @@ object VcfFormat extends GraftFormat {
       StructField("alt", ArrayType(StringType)),
       StructField("qual", FloatType),
       StructField("filter", StringType),
-      StructField("info", infoStruct)))
+      StructField("info", infoStruct))
+    // sample columns are declared by the #CHROM header line: 9th field
+    // is FORMAT, the rest are sample names -> raw genotype strings
+    val hasSamples = header.lastOption
+      .filter(_.startsWith("#CHROM"))
+      .exists(_.split("\t").length > 8)
+    StructType(
+      if (hasSamples)
+        base :+ StructField("format", StringType) :+
+          StructField("genotypes", ArrayType(StringType))
+      else base)
   }
 
   /** Tabix fast path for bgzipped VCF (falls back to scan+filter). */
@@ -97,11 +108,12 @@ object VcfFormat extends GraftFormat {
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
+    val withSamples = schema.fieldNames.contains("genotypes")
     val region = options.get("region").map(parseRegion)
     new LineReader(in, 0, Long.MaxValue)
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(parseRecord(_, infoSchema))
+      .map(parseRecord(_, infoSchema, withSamples))
       .filter { vals =>
         region match {
           case None => true
@@ -121,7 +133,8 @@ object VcfFormat extends GraftFormat {
     case _ => UTF8String.fromString(raw)
   }
 
-  private def parseRecord(line: String, infoSchema: StructType): Array[Any] = {
+  private def parseRecord(line: String, infoSchema: StructType,
+                          withSamples: Boolean): Array[Any] = {
     val c = line.split("\t", -1)
     require(c.length >= 8, s"VCF record has ${c.length} columns")
     val infoKv: Map[String, String] =
@@ -136,7 +149,7 @@ object VcfFormat extends GraftFormat {
         case dt          => infoKv.get(f.name).map(typedInfoValue(_, dt)).orNull
       }
     }
-    Array[Any](
+    val base = Array[Any](
       UTF8String.fromString(c(0)),
       java.lang.Long.parseLong(c(1)),
       if (c(2) == ".") null else UTF8String.fromString(c(2)),
@@ -146,5 +159,9 @@ object VcfFormat extends GraftFormat {
       if (c(5) == ".") null else java.lang.Float.parseFloat(c(5)),
       if (c(6) == ".") null else UTF8String.fromString(c(6)),
       new GenericInternalRow(infoVals.toArray[Any]))
+    if (!withSamples) base
+    else base ++ Array[Any](
+      if (c.length > 8) UTF8String.fromString(c(8)) else null,
+      new GenericArrayData(c.drop(9).map(g => UTF8String.fromString(g): Any)))
   }
 }

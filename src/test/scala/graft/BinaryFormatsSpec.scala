@@ -24,6 +24,16 @@ class BinaryFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("vcf with samples: format + raw genotype columns from #CHROM header") {
+    val df = GraftIO.read_vcf_file_records(spark, s"$F/vcf/samples.vcf")
+    assert(df.columns.takeRight(2).toSeq == Seq("format", "genotypes"))
+    val got = df.selectExpr("pos", "format", "genotypes[0]", "genotypes[1]").orderBy("pos").collect()
+    assert(got(0).toSeq == Seq(100L, "GT:GQ", "0/1:99", "1/1:42"))
+    assert(got(1).toSeq == Seq(200L, "GT:GQ", "0/0:10", "0/1:77"))
+    // sample-less files keep the 8-column schema
+    assert(!GraftIO.read_vcf_file_records(spark, s"$F/vcf/test.vcf").columns.contains("genotypes"))
+  }
+
   test("vcf_query region semantics") {
     assert(GraftIO.vcf_query(spark, s"$F/vcf/test.vcf.gz", "1").count() == 3)
     assert(GraftIO.vcf_query(spark, s"$F/vcf/test.vcf.gz", "2").count() == 2)

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftIO
+import graft.sources.core.FilterEval
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Edge-of-format hardening: CRLF, missing trailing newline, empty
+  * files, missing paths, and the conservative filter-eval contract. */
+class RobustnessSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private def tmpFile(name: String, content: String): String = {
+    val d = Files.createTempDirectory("graft-robust")
+    val p = d.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("CRLF line endings parse identically to LF") {
+    val lf = tmpFile("a.gff", "sq0\tg\tgene\t1\t5\t.\t+\t.\tgene_id=x\n")
+    val crlf = tmpFile("b.gff", "sq0\tg\tgene\t1\t5\t.\t+\t.\tgene_id=x\r\n")
+    assert(GraftIO.read_gff(spark, lf).collect().toSeq ==
+      GraftIO.read_gff(spark, crlf).collect().toSeq)
+  }
+
+  test("missing trailing newline keeps the final record") {
+    val p = tmpFile("c.fasta", ">only record\nACGT") // no trailing \n
+    val rows = GraftIO.read_fasta(spark, p).collect()
+    assert(rows.length == 1 && rows(0).getString(2) == "ACGT")
+  }
+
+  test("empty file yields zero rows, not an error") {
+    val p = tmpFile("d.bed", "")
+    assert(GraftIO.read_bed_file(spark, p).count() == 0)
+  }
+
+  test("missing path fails with a clear error (reference parity)") {
+    val e = intercept[Exception] {
+      GraftIO.read_fasta(spark, "/nonexistent/nope.fasta").count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("FilterEval never drops a matching row (conservative contract)") {
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType)))
+    def ev(f: Filter, s: String, n: java.lang.Long): Boolean =
+      FilterEval.build(Array(f), schema)(
+        Array[Any](if (s == null) null else UTF8String.fromString(s), n))
+    assert(ev(EqualTo("s", "x"), "x", 1L))
+    assert(!ev(EqualTo("s", "x"), "y", 1L))
+    assert(ev(GreaterThan("n", 5L), "a", 6L))
+    assert(!ev(GreaterThan("n", 5L), "a", 5L))
+    assert(ev(IsNull("s"), null, 1L))
+    assert(!ev(IsNotNull("s"), null, 1L))
+    // unknown column / unsupported comparison: keep the row
+    assert(ev(EqualTo("missing_col", "x"), "y", 1L))
+    assert(ev(EqualTo("n", "not_a_number"), "y", 1L))
+    assert(ev(Or(EqualTo("s", "x"), EqualTo("missing_col", 1)), "y", 1L))
+    // And short-circuits to definite-false even with one unknown side
+    assert(!ev(And(EqualTo("s", "x"), EqualTo("missing_col", 1)), "y", 1L))
+  }
+}
