@@ -30,10 +30,26 @@ object Similarity {
 
   private val CosSql = "round(graft_cosine_sim(qv, v), 6)"
 
-  /** Deterministic ±1 hyperplanes, 16 planes x 64 dims (seeded). */
-  private val Planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(1234)
-    Array.fill(16, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  /** Deterministic ±1 hyperplanes, 16 planes x 64 dims. Signs derive
+    * from md5 parity of "p{j}_{d}" so the DuckDB oracle can recompute
+    * the identical planes (and therefore identical buckets — the dot
+    * products fold in the same dimension order, so even the sign of a
+    * near-zero projection matches bit-for-bit). */
+  private def planeSign(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b0 = md.digest(s"p${j}_$d".getBytes("UTF-8"))(0)
+    if (((b0 >> 4) & 1) == 1) 1.0 else -1.0
+  }
+  private val Planes: Array[Array[Double]] = Array.tabulate(16, 64)(planeSign)
+
+  /** DuckDB expression for the same bucket of a vector column `v`. */
+  private def bucketSql(v: String): String = {
+    val bits = (0 until 16).map { j =>
+      s"""(CASE WHEN list_sum([CASE WHEN CAST(('0x' || substr(md5('p${j}_' || CAST(d - 1 AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 1
+                 THEN $v[d] ELSE -$v[d] END for d in range(1, 65)]) >= 0
+           THEN ${1L << j} ELSE 0 END)"""
+    }
+    bits.mkString("(", " + ", ")")
   }
 
   val qs: Map[String, Q] = Map(
@@ -90,11 +106,19 @@ object Similarity {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") <= 5)
           .orderBy("q_id", "rn")
-          // oracle re-derives cos for emitted pairs; bucket choice itself
-          // is Spark-side (seeded planes), so emit only verifiable cols
           .select("q_id", "vec_id", "cos", "rn")
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+          q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),
+          scored AS (
+            SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM b JOIN q ON vec_id <> q_id AND bit_count(xor(bucket, qb)) <= 1),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                     FROM scored)
+        SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     // ---- IVF-style ANN: coarse partition (label) limits the scan ----
     // The inverted-file structure here is the existing label column (at

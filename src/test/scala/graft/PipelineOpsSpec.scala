@@ -21,10 +21,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"LSH precision vs brute-force top-10 too low: $hits/${lsh.length}")
   }
 
-  test("every query name is unique and oracle coverage is high") {
+  test("every query name is unique and every query has an oracle") {
     val total = SparkEntry.queries.size
     val withOracle = SparkEntry.oracleSql.size
     assert(total == SparkEntry.registry.size)
-    assert(withOracle.toDouble / total >= 0.9, s"$withOracle/$total oracles")
+    assert(withOracle == total, s"$withOracle/$total oracles")
   }
 }
