@@ -197,6 +197,57 @@ object Dedup {
         SELECT count(*) AS n_kept, sum(doc_id) AS id_checksum
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)""")),
 
+    // ---- near-dup clusters: connected components over the J>=0.8
+    //      pair graph (iterative min-label propagation; converges in
+    //      O(component diameter) joins, each a plain shuffle — the
+    //      standard distributed CC shape). Oracle: recursive CTE
+    //      computing min reachable id per node. ----
+    "dedup_components" -> Q(
+      (s, dir) => {
+        val sets = shingled(s, dir)
+        val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        // exhaustive pairs on this bounded corpus; at scale the edge
+        // list comes from dedup_minhash_lsh's candidates instead
+        val pairs = a.join(b, col("id_a") < col("id_b"))
+          .where(size(array_intersect(col("sh_a"), col("sh_b"))) * 5 >=
+            (size(col("sh_a")) + size(col("sh_b"))
+              - size(array_intersect(col("sh_a"), col("sh_b")))) * 4)
+          .select("id_a", "id_b")
+        val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+          .toDF("src", "dst").cache()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 12) {
+          val propagated = labels.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"), col("label"))
+            .union(labels)
+            .groupBy("node").agg(min(col("label")).as("label"))
+          val changed = propagated.as("p")
+            .join(labels.as("l"), col("p.node") === col("l.node"))
+            .where(col("p.label") =!= col("l.label")).limit(1).count()
+          labels = propagated.cache()
+          converged = changed == 0
+          iter += 1
+        }
+        labels.select(col("node").as("doc_id"), col("label").as("component"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $ShingleCteSql,
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, min(label) AS component
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
     // ---- SimHash sketch + Hamming near-dup pairs ----
     // 32-bit token hash from md5 hex so the oracle computes the identical
     // sketch: Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT).
