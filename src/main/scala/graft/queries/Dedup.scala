@@ -66,6 +66,38 @@ object Dedup {
         expr("graft_simhash32(array_distinct(split(text, ' ')))").as("simhash"))
   }
 
+  /** MinHash+LSH candidate generation + exact verification: the shared
+    * scale path behind dedup_minhash_lsh / dedup_filtered_corpus /
+    * dedup_components. Returns verified (id_a, id_b, inter, uni) with
+    * J >= 0.8 (integer-exact threshold). */
+  private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingled(s, dir).cache()
+    val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
+    val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h32") * a + b) % P32).as(s"m$i")
+    }
+    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 16).map { j =>
+      struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("bh"))
+    }
+    val cand = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bh"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, HotBucketCap))
+      .select(explode(expr(
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))
+          - size(array_intersect(col("sh_a"), col("sh_b")))).as("uni"))
+      .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
+  }
+
   private val ShingleCteSql =
     """sh AS (
          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -119,37 +151,7 @@ object Dedup {
 
     // ---- MinHash + LSH banding, exact-verify candidates (scale path) ----
     "dedup_minhash_lsh" -> Q(
-      (s, dir) => {
-        val sets = shingled(s, dir).cache()
-        // signatures: one groupBy over exploded shingles, 32 partial mins
-        val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-          .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
-        val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
-          min((col("h32") * a + b) % P32).as(s"m$i")
-        }
-        val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        // 16 bands of 2 rows -> bucket join
-        val bandCols = (0 until 16).map { j =>
-          struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("bh"))
-        }
-        val pairs = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-          .groupBy(col("bb.band"), col("bb.bh"))
-          .agg(collect_set(col("doc_id")).as("ids"))
-          .where(size(col("ids")).between(2, HotBucketCap))
-          .select(explode(expr(
-            "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-          .select(col("p.id_a"), col("p.id_b")).distinct()
-        // exact verification of candidates only
-        val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        pairs.join(a, "id_a").join(b, "id_b")
-          .select(col("id_a"), col("id_b"),
-            size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-            (size(col("sh_a")) + size(col("sh_b"))
-              - size(array_intersect(col("sh_a"), col("sh_b")))).as("uni"))
-          .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => lshVerifiedPairs(s, dir).orderBy("id_a", "id_b"),
       Some(s"""WITH $ShingleCteSql
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter,
@@ -162,29 +164,7 @@ object Dedup {
     //      pair found by MinHash+LSH (keep-lowest policy) ----
     "dedup_filtered_corpus" -> Q(
       (s, dir) => {
-        val sets = shingled(s, dir).cache() // referenced by sigs + both verify sides
-        val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-          .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
-        val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
-          min((col("h32") * a + b) % P32).as(s"m$i")
-        }
-        val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        val bandCols = (0 until 16).map { j =>
-          struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("bh"))
-        }
-        val cand = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-          .groupBy(col("bb.band"), col("bb.bh"))
-          .agg(collect_set(col("doc_id")).as("ids"))
-          .where(size(col("ids")).between(2, HotBucketCap))
-          .select(explode(expr(
-            "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-          .select(col("p.id_a"), col("p.id_b")).distinct()
-        val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        val dropIds = cand.join(a, "id_a").join(b, "id_b")
-          .where(size(array_intersect(col("sh_a"), col("sh_b"))) * 5 >=
-            (size(col("sh_a")) + size(col("sh_b"))
-              - size(array_intersect(col("sh_a"), col("sh_b")))) * 4)
+        val dropIds = lshVerifiedPairs(s, dir)
           .select(col("id_b").as("doc_id")).distinct()
         t(s, dir, "documents")
           .join(dropIds, Seq("doc_id"), "left_anti")
@@ -204,16 +184,7 @@ object Dedup {
     //      computing min reachable id per node. ----
     "dedup_components" -> Q(
       (s, dir) => {
-        val sets = shingled(s, dir)
-        val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        // exhaustive pairs on this bounded corpus; at scale the edge
-        // list comes from dedup_minhash_lsh's candidates instead
-        val pairs = a.join(b, col("id_a") < col("id_b"))
-          .where(size(array_intersect(col("sh_a"), col("sh_b"))) * 5 >=
-            (size(col("sh_a")) + size(col("sh_b"))
-              - size(array_intersect(col("sh_a"), col("sh_b")))) * 4)
-          .select("id_a", "id_b")
+        val pairs = lshVerifiedPairs(s, dir).select("id_a", "id_b")
         val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
           .toDF("src", "dst").cache()
         var labels = edges.select(col("src").as("node")).distinct()
