@@ -423,6 +423,37 @@ object Relational {
         SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 50000
         UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""")),
 
+    // ---- as-of join: most recent prior 'error' per 'click', per user ----
+    // Composed from built-ins (preference order (a)): one running-max
+    // window over the time-ordered union — a single shuffle on the key,
+    // no custom strategy needed. The oracle uses DuckDB's native ASOF
+    // JOIN, so two completely different formulations must agree.
+    "rel_asof_join" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        eventsTs(s, dir)
+          .where(col("event_type").isin("click", "error"))
+          .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS ts_us")
+          .withColumn("last_err_us",
+            max(when(col("event_type") === "error", col("ts_us"))).over(w))
+          .where(col("event_type") === "click")
+          .selectExpr("event_id", "user_id",
+            "date_format(timestamp_micros(ts_us), 'yyyy-MM-dd HH:mm:ss') AS click_ts",
+            "date_format(timestamp_micros(last_err_us), 'yyyy-MM-dd HH:mm:ss') AS last_error_ts",
+            "CAST((ts_us - last_err_us) div 1000000 AS BIGINT) AS gap_s")
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+          strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS last_error_ts,
+          (epoch_us(c.ts) - epoch_us(e.ts)) // 1000000 AS gap_s
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts >= e.ts
+        ORDER BY c.event_id""")),
+
     // ---- JSON extraction (events.props) ----
     "rel_json_extract" -> Q(
       (s, dir) =>
