@@ -95,8 +95,6 @@ object BcfFormat extends GraftFormat {
     (dict.toIndexedSeq, contigs.toIndexedSeq)
   }
 
-  private val MissingQual = java.lang.Float.intBitsToFloat(0x7f800001)
-
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
     val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))

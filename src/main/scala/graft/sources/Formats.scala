@@ -164,14 +164,33 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
 object GffFormat extends GffLikeFormat("gff", "phase") {
   override def extensions = Seq("gff", "gff3")
   override def formatter: Option[RecordFormatter] = Some(GffFormatter)
-  /** `k=v;k2=a,b` -> {k:[v], k2:[a,b]} */
+
+  /** GFF3 %XX escapes in attribute values (the spec reserves ;=,& and
+    * tab inside values); invalid escapes pass through untouched. */
+  private def pctDecode(v: String): String = {
+    if (v.indexOf('%') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length &&
+          Character.digit(v.charAt(i + 1), 16) >= 0 &&
+          Character.digit(v.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `k=v;k2=a,b` -> {k:[v], k2:[a,b]}, values %XX-decoded. */
   override protected def parseAttributes(raw: String): ArrayBasedMapData = {
     val pairs = raw.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { seg =>
       val eq = seg.indexOf('=')
       require(eq > 0, s"bad GFF attribute '$seg'")
       val k = seg.substring(0, eq)
       val vs = seg.substring(eq + 1).split(",").toSeq
-      (P.s(k), P.arr(vs.map(P.s)))
+      (P.s(k), P.arr(vs.map(v => P.s(pctDecode(v)))))
     }.toSeq
     ArrayBasedMapData(pairs.map(_._1).toArray[Any], pairs.map(_._2).toArray[Any])
   }

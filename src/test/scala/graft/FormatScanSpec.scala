@@ -60,6 +60,17 @@ class FormatScanSpec extends AnyFunSuite {
     assert(got(1).toSeq == Seq("sq1", "graft", "gene", 8L, 14L, 0.1f, "+", "0", "g2", Seq("alpha", "beta")))
   }
 
+  test("gff attribute values are percent-decoded (GFF3 escapes)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-pct")
+    val p = d.resolve("pct.gff")
+    java.nio.file.Files.writeString(p,
+      "sq0\tg\tgene\t1\t5\t.\t+\t.\tnote=a%2Cb%3Bc;plain=x%ZZ\n")
+    val got = GraftIO.read_gff(spark, p.toString)
+      .selectExpr("attributes['note'][0]", "attributes['plain'][0]").collect()(0)
+    assert(got.getString(0) == "a,b;c")   // %2C -> ',' ; %3B -> ';'
+    assert(got.getString(1) == "x%ZZ")    // invalid escape passes through
+  }
+
   test("gtf scan: frame column + quoted attributes") {
     val df = GraftIO.read_gtf(spark, s"$F/gtf/test.gtf")
     assert(df.columns.toSeq.contains("frame"))

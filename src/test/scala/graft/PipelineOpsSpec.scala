@@ -23,7 +23,6 @@ class PipelineOpsSpec extends AnyFunSuite {
     // duplicate every vector scaled by 3x: same projection signs
     val doubled = e.union(e.select(col("vec_id") + 100000,
       expr("transform(v, x -> x * 3.0)").as("v")))
-    val planesSqlField = SparkEntry.queries("ann_lsh_bucketed") // ensure module init
     val bucketExpr =
       """aggregate(transform(sequence(0, 15), j ->
            IF(aggregate(zip_with(planes[j], v, (p, x) -> p * x), 0D, (acc, x) -> acc + x) >= 0D,
