@@ -76,6 +76,34 @@ object Multimodal {
     }
   }
 
+  final case class ResizedRow(doc_id: Long, out_w: Int, out_h: Int, pixel_sum: Long)
+
+  /** Nearest-neighbor "resize" of the opaque pixel buffer to out_w x
+    * out_h — the index arithmetic is the real resize kernel shape; the
+    * pixels are the stub decoder's. */
+  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { row =>
+        val d = FakeDecoder.decode(row.media, row.width, row.height)
+        val n = d.pixels.length
+        var sum = 0L
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            // nearest-neighbor source index over the flat buffer
+            val src = ((y.toLong * n / outH + x.toLong * n / (outW.toLong * outH)) % n).toInt
+            sum += d.pixels(src) & 0xffL
+            x += 1
+          }
+          y += 1
+        }
+        ResizedRow(row.doc_id, outW, outH, sum)
+      }
+    }
+  }
+
   /** Batch feature extraction over the binary column. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._

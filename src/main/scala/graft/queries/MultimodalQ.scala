@@ -32,6 +32,21 @@ object MultimodalQ {
           CAST((5 + doc_id % 12 + 3) // 4 AS INTEGER) AS n_sampled,
           list_sum([CAST(('0x' || substr(md5(text || CAST(i * 4 AS VARCHAR)), 1, 2)) AS BIGINT)
                     for i in range(0, CAST((5 + doc_id % 12 + 3) // 4 AS BIGINT))]) AS first_byte_sum
+        FROM documents ORDER BY doc_id""")),
+
+    // nearest-neighbor resize of the 16-byte stub buffer to 2x2: the
+    // oracle replays the same index arithmetic over the md5 hex bytes
+    "mm_resize" -> Q(
+      (s, dir) =>
+        Multimodal.resize(Multimodal.mediaTable(s, dir), outW = 2, outH = 2)
+          .toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id, 2 AS out_w, 2 AS out_h,
+          -- nearest-neighbor sources for 2x2 over 16 bytes: (8y+4x)%16
+          -- = indices 0, 4, 8, 12 -> hex offsets 1, 9, 17, 25
+          CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT)
+          + CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)
+          + CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT)
+          + CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT) AS pixel_sum
         FROM documents ORDER BY doc_id"""))
   )
 }
