@@ -76,6 +76,19 @@ class SplitReadSpec extends AnyFunSuite {
     assert(whole.length == 300)
   }
 
+  test("directory of N files plans N partitions (compressed, unsplittable)") {
+    val d = Files.createTempDirectory("graft-manyfiles")
+    (1 to 6).foreach { i =>
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(d.resolve(s"f$i.fasta.gz")))
+      out.write(s">r$i\nACGT\n".getBytes)
+      out.close()
+    }
+    val df = GraftIO.read_fasta(spark, d.toString)
+    assert(df.rdd.getNumPartitions == 6)
+    assert(df.count() == 6)
+  }
+
   test("sam: ranged splits skip header lines only at file start") {
     val header = "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:100000\n"
     val body = (1 to 300).map { i =>
