@@ -121,6 +121,40 @@ object Relational {
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
         ) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
+    // ---- range-frame window (rolling 30 days) + lag analytics ----
+    "rel_window_range" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+            dec(col("o_totalprice")).as("price"))
+        val wRange = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-30, Window.currentRow)
+        val wRows = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day").asc, col("o_orderkey").asc)
+        o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+            count(lit(1)).over(wRange).as("n_30d"),
+            d18(sum(col("price")).over(wRange)).as("sum_30d"),
+            lag(col("o_orderkey"), 1).over(wRows).as("prev_order"),
+            lead(col("o_orderkey"), 1).over(wRows).as("next_order"))
+          .where(col("o_custkey") < 300)
+          .orderBy("o_custkey", "day", "o_orderkey")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, day,
+          count(*) OVER wr AS n_30d,
+          CAST(sum(price) OVER wr AS DECIMAL(18,2)) AS sum_30d,
+          lag(o_orderkey, 1) OVER wo AS prev_order,
+          lead(o_orderkey, 1) OVER wo AS next_order
+        FROM (SELECT o_custkey, o_orderkey,
+                datediff('day', DATE '1995-01-01', o_orderdate) AS day,
+                CAST(o_totalprice AS $DEC) AS price
+              FROM orders)
+        WHERE o_custkey < 300
+        WINDOW wr AS (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
+               wo AS (PARTITION BY o_custkey ORDER BY day ASC, o_orderkey ASC)
+        ORDER BY o_custkey, day, o_orderkey""")),
+
     // ---- left-semi join (EXISTS) ----
     "rel_semi_join" -> Q(
       (s, dir) => {
