@@ -212,14 +212,42 @@ object Relational {
         val both    = withOrders.intersect(richCust).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
         val onlyRich = richCust.except(withOrders).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
         val all     = withOrders.union(richCust).agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
-        both.union(onlyRich).union(all).select("op", "n").orderBy("op")
+        val allOrders = o.select(col("o_custkey").as("custkey"))
+        val interAll = allOrders.intersectAll(richCust).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val exceptAll = allOrders.exceptAll(richCust).agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        both.union(onlyRich).union(all).union(interAll).union(exceptAll)
+          .select("op", "n").orderBy("op")
       },
       Some("""WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        ao AS (SELECT o_custkey AS custkey FROM orders),
         rc AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 3000)
         SELECT 'intersect' AS op, count(*) AS n FROM (SELECT custkey FROM wo INTERSECT SELECT custkey FROM rc)
         UNION ALL SELECT 'except', count(*) FROM (SELECT custkey FROM rc EXCEPT SELECT custkey FROM wo)
         UNION ALL SELECT 'union_all', count(*) FROM (SELECT custkey FROM wo UNION ALL SELECT custkey FROM rc)
+        UNION ALL SELECT 'intersect_all', count(*) FROM (SELECT custkey FROM ao INTERSECT ALL SELECT custkey FROM rc)
+        UNION ALL SELECT 'except_all', count(*) FROM (SELECT custkey FROM ao EXCEPT ALL SELECT custkey FROM rc)
         ORDER BY op""")),
+
+    // ---- peer-based ranking functions (ties deterministic) ----
+    "rel_window_ranks" -> Q(
+      (s, dir) => {
+        val w = Window.orderBy(col("l_quantity").asc)
+        t(s, dir, "lineitem")
+          .select(col("l_quantity"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .distinct()
+          .orderBy("l_quantity")
+      },
+      Some("""SELECT DISTINCT l_quantity,
+          rank() OVER w AS rnk,
+          dense_rank() OVER w AS drnk,
+          round(percent_rank() OVER w, 6) AS prnk,
+          round(cume_dist() OVER w, 6) AS cd
+        FROM lineitem WINDOW w AS (ORDER BY l_quantity ASC)
+        ORDER BY l_quantity""")),
 
     // ---- theta/range join (equi key + interval predicate) ----
     "rel_range_join" -> Q(
