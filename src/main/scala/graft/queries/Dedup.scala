@@ -189,6 +189,10 @@ object Dedup {
           .toDF("src", "dst").cache()
         var labels = edges.select(col("src").as("node")).distinct()
           .withColumn("label", col("node"))
+        // labels only ever decrease, so the label sum strictly decreases
+        // until the fixpoint — a single-stage aggregate is the
+        // convergence check (no join needed)
+        var prevSum = Long.MinValue
         var converged = false
         var iter = 0
         while (!converged && iter < 12) {
@@ -196,11 +200,13 @@ object Dedup {
             .select(col("dst").as("node"), col("label"))
             .union(labels)
             .groupBy("node").agg(min(col("label")).as("label"))
-          val changed = propagated.as("p")
-            .join(labels.as("l"), col("p.node") === col("l.node"))
-            .where(col("p.label") =!= col("l.label")).limit(1).count()
-          labels = propagated.cache()
-          converged = changed == 0
+            .cache()
+          val sum0 = propagated.selectExpr("coalesce(sum(label), 0) AS s")
+            .collect()(0).getLong(0)
+          labels.unpersist()
+          labels = propagated
+          converged = sum0 == prevSum
+          prevSum = sum0
           iter += 1
         }
         labels.select(col("node").as("doc_id"), col("label").as("component"))
