@@ -19,8 +19,8 @@ import graft.sources.core._
   *
   * A `region` option gives bam_query semantics: reads overlapping
   * 'chr[:start-end]' (1-based, end from the CIGAR reference span) —
-  * phase 1 full scan + filter; .bai-driven block pruning is the phase-2
-  * fast path.
+  * served from .bai chunk pruning when the index exists, full
+  * scan + filter otherwise.
   */
 object BamFormat extends GraftFormat {
   override def name = "bam"

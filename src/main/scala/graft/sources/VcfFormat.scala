@@ -21,8 +21,8 @@ import graft.sources.core._
   * Field names are lowercased like the reference's output.
   *
   * A `region` option ('chr' or 'chr:start-end') gives the vcf_query
-  * semantics; phase 1 evaluates it as a scan filter (oracle-correct;
-  * .tbi-driven split pruning is the phase-2 fast path).
+  * semantics: .tbi-driven chunk pruning when the index exists, always
+  * re-filtered at scan time (the index only prunes I/O).
   */
 object VcfFormat extends GraftFormat {
   override def name = "vcf"
