@@ -92,7 +92,14 @@ final case class GraftScanBuilder(format: GraftFormat, full: StructType,
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
 
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  /** Prune at the TOP level only: Catalyst may hand us a nested-pruned
+    * schema (e.g. info struct narrowed to one field), but the parsers
+    * emit full nested values — honoring a narrowed struct would shift
+    * ordinals and silently misread sibling fields. Declaring the full
+    * nested field in readSchema() makes Spark project the narrow view
+    * above the scan instead. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(requiredSchema.fields.map(f => full(full.fieldIndex(f.name))))
 
   /** Accept simple filters for reader-side evaluation but report them all
     * back so Spark re-applies them — the reader-side pass is purely an

@@ -34,6 +34,14 @@ class BinaryFormatsSpec extends AnyFunSuite {
     assert(!GraftIO.read_vcf_file_records(spark, s"$F/vcf/test.vcf").columns.contains("genotypes"))
   }
 
+  test("nested-field-only projection reads the right struct ordinal") {
+    // regression: nested schema pruning narrowed `info` to one field but
+    // the parser emitted the full struct, shifting ordinals
+    val got = GraftIO.read_vcf_file_records(spark, s"$F/vcf/test.vcf")
+      .selectExpr("info.dp").where("pos = 205").collect()
+    assert(got(0).getInt(0) == 14)
+  }
+
   test("vcf_query region semantics") {
     assert(GraftIO.vcf_query(spark, s"$F/vcf/test.vcf.gz", "1").count() == 3)
     assert(GraftIO.vcf_query(spark, s"$F/vcf/test.vcf.gz", "2").count() == 2)
