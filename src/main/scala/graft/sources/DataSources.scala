@@ -70,8 +70,10 @@ class ExonDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val fmt = Formats.forPath(properties.get("path"), properties.asScala.toMap)
-    GraftTable(fmt, schema, properties.asScala.toMap)
+    val props = properties.asScala.toMap
+    val path = props.getOrElse("path",
+      throw new IllegalArgumentException("format 'exon' requires a path"))
+    GraftTable(Formats.forPath(path, props), schema, props)
   }
 }
 

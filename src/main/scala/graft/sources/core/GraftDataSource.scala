@@ -27,12 +27,7 @@ abstract class GraftDataSource(format: GraftFormat)
   override def supportsExternalMetadata(): Boolean = true
 
   private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
-    val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
-      // DataFrameReader.load(paths: _*) encodes a JSON array of strings.
-      json.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-    }
-    val all = single ++ multi
+    val all = GraftFiles.pathSpecs(options.asCaseSensitiveMap().asScala.toMap)
     require(all.nonEmpty, s"format '${format.name}' requires a path")
     all
   }
@@ -129,7 +124,7 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
     private val bytes: Long =
       try {
         val conf = SparkSession.active.sessionState.newHadoopConf()
-        Seq(options.get("path"), options.get("paths")).flatten
+        GraftFiles.pathSpecs(options)
           .flatMap(GraftFiles.resolve(_, conf)).map(_.getLen).sum
       } catch { case _: Exception => Long.MaxValue }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -143,8 +138,7 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val paths = Seq(options.get("path"), options.get("paths")).flatten
-    val files = paths.flatMap(GraftFiles.resolve(_, conf))
+    val files = GraftFiles.pathSpecs(options).flatMap(GraftFiles.resolve(_, conf))
     files.flatMap { st =>
       val path = st.getPath.toString
       val len = st.getLen

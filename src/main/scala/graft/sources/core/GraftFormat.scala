@@ -126,6 +126,17 @@ final class MultiMemberGzipInputStream(raw: InputStream) extends InputStream {
 }
 
 object GraftFiles {
+  /** Path specs from DSv2 options: `path` (single) and/or `paths`
+    * (DataFrameReader.load(paths: _*) encodes a JSON string array). */
+  def pathSpecs(options: Map[String, String]): Seq[String] = {
+    val single = options.get("path").toSeq
+    val multi = options.get("paths").toSeq.flatMap { json =>
+      json.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    }
+    single ++ multi
+  }
+
   /** Expand a path/glob/directory into concrete files (mirrors the
     * reference's directory-scan support, test_fasta_scan.test "Test
     * glob"). Runs on the driver at plan time. */

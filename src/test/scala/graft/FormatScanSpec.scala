@@ -31,6 +31,14 @@ class FormatScanSpec extends AnyFunSuite {
       Seq("d1", "d2", "d3", "d4"))
   }
 
+  test("multi-path load unions the files") {
+    val df = spark.read.format("fasta")
+      .load(s"$F/fasta_dir/a.fasta.gz", s"$F/fasta_dir/b.fasta.gz")
+    assert(df.count() == 4)
+    assert(df.select("id").orderBy("id").collect().map(_.getString(0)).toSeq ==
+      Seq("d1", "d2", "d3", "d4"))
+  }
+
   test("fasta filter pushdown still returns exact rows") {
     val df = GraftIO.read_fasta(spark, s"$F/fasta/test.fasta").where("id = 'r2'")
     assert(rows(df) == Seq(Seq("r2", null, "TTTTACGT")))
