@@ -28,6 +28,10 @@ final class LineReader(in: InputStream, splitStart: Long, splitEnd: Long)
   private var pos: Long = splitStart
   private var nextLine: (Long, String) = _
   private var done = false
+  /** per-line byte accumulator, decoded as UTF-8 once per line (a
+    * per-byte toChar would mangle multi-byte sequences); declared before
+    * the constructor statements below that already read lines. */
+  private val lineBuf = new java.io.ByteArrayOutputStream(120)
 
   if (splitStart != 0) readLine() // discard partial first line
   advance()
@@ -41,7 +45,7 @@ final class LineReader(in: InputStream, splitStart: Long, splitEnd: Long)
   /** Read one line starting at `pos`; null at EOF. */
   private def readLine(): String = {
     if (bufPos >= bufLen && !fill()) return null
-    val sb = new java.lang.StringBuilder(80)
+    lineBuf.reset()
     var found = false
     while (!found) {
       if (bufPos >= bufLen && !fill()) {
@@ -51,10 +55,10 @@ final class LineReader(in: InputStream, splitStart: Long, splitEnd: Long)
         bufPos += 1
         pos += 1
         if (b == '\n') found = true
-        else if (b != '\r') sb.append(b.toChar)
+        else if (b != '\r') lineBuf.write(b)
       }
     }
-    sb.toString
+    lineBuf.toString("UTF-8")
   }
 
   private def advance(): Unit = {

@@ -36,6 +36,15 @@ class RobustnessSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(2) == "ACGT")
   }
 
+  test("multi-byte UTF-8 survives line parsing") {
+    val p = tmpFile("u.gff",
+      "sq0\tgraft\tgene\t1\t5\t.\t+\t.\tgene_name=über_café;note=測試\n")
+    val got = GraftIO.read_gff(spark, p)
+      .selectExpr("attributes['gene_name'][0]", "attributes['note'][0]").collect()(0)
+    assert(got.getString(0) == "über_café")
+    assert(got.getString(1) == "測試")
+  }
+
   test("empty file yields zero rows, not an error") {
     val p = tmpFile("d.bed", "")
     assert(GraftIO.read_bed_file(spark, p).count() == 0)
