@@ -305,6 +305,32 @@ object Relational {
         CAST(abs(c_acctbal) AS $DEC) AS bal_abs
         FROM customer ORDER BY c_custkey""")),
 
+    // ---- wider string-function battery ----
+    "rel_string_funcs2" -> Q(
+      (s, dir) =>
+        t(s, dir, "part")
+          .selectExpr(
+            "p_partkey",
+            "lpad(p_brand, 12, '*') AS padded",
+            "rpad(p_type, 10, '.') AS rpadded",
+            "reverse(p_name) AS rev",
+            "repeat(p_brand, 2) AS doubled",
+            "trim(concat('  ', p_name, '  ')) AS trimmed",
+            "replace(p_name, ' ', '_') AS snake",
+            "instr(p_name, 'e') AS first_e",
+            "split_part(p_name, ' ', 1) AS first_word")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+          lpad(p_brand, 12, '*') AS padded,
+          rpad(p_type, 10, '.') AS rpadded,
+          reverse(p_name) AS rev,
+          repeat(p_brand, 2) AS doubled,
+          trim('  ' || p_name || '  ') AS trimmed,
+          replace(p_name, ' ', '_') AS snake,
+          CAST(instr(p_name, 'e') AS INTEGER) AS first_e,
+          split_part(p_name, ' ', 1) AS first_word
+        FROM part ORDER BY p_partkey""")),
+
     // ---- distinct aggregation ----
     "rel_count_distinct" -> Q(
       (s, dir) =>
