@@ -72,9 +72,12 @@ object Aligner {
   def cost(pattern: String, text: String, pen: Penalties): Int =
     suffixCosts(pattern, text, pen)(0)(0)(M)
 
-  /** WFA-style score: negated penalty, as Float. */
+  /** WFA-style score: negated penalty, as Float. Negate the Int BEFORE
+    * widening: `-cost(...).toFloat` parses as `-(cost.toFloat)` and turns
+    * a zero-penalty perfect alignment into -0.0f, which renders as "-0.0"
+    * and breaks hash comparison against the oracle's 0.0. */
   def score(pattern: String, text: String, pen: Penalties): Float =
-    -cost(pattern, text, pen).toFloat
+    (-cost(pattern, text, pen)).toFloat
 
   /** Run-length-compressed CIGAR of one optimal alignment, match runs
     * extended greedily from the front. */

@@ -174,7 +174,7 @@ object Dedup {
         drops AS (SELECT DISTINCT b.doc_id
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
-        SELECT count(*) AS n_kept, sum(doc_id) AS id_checksum
+        SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)""")),
 
     // ---- near-dup clusters: connected components over the J>=0.8
@@ -234,9 +234,9 @@ object Dedup {
           [CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) for tok in list_distinct(string_split(text, ' '))] AS hs
           FROM documents)
         SELECT doc_id,
-          list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) >= 0
+          CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) >= 0
                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-                    for j in range(0, 32)]) AS simhash
+                    for j in range(0, 32)]) AS BIGINT) AS simhash
         FROM d ORDER BY doc_id""")),
 
     "dedup_simhash_pairs" -> Q(

@@ -18,7 +18,7 @@ object MultimodalQ {
           CAST(1 + n_chars % 64 AS INTEGER) AS width,
           CAST(1 + n_chars % 48 AS INTEGER) AS height,
           CAST(('0x' || substr(md5(text), 1, 14)) AS BIGINT) AS feat_hash,
-          list_sum([CAST(('0x' || substr(md5(text), 2 * i - 1, 2)) AS BIGINT) for i in range(1, 17)]) AS byte_sum
+          CAST(list_sum([CAST(('0x' || substr(md5(text), 2 * i - 1, 2)) AS BIGINT) for i in range(1, 17)]) AS BIGINT) AS byte_sum
         FROM documents ORDER BY doc_id""")),
 
     // frame sampling: every 4th frame of a (4 + doc_id%12 + 1)-frame
@@ -30,8 +30,8 @@ object MultimodalQ {
       Some("""SELECT doc_id,
           CAST(5 + doc_id % 12 AS INTEGER) AS n_frames,
           CAST((5 + doc_id % 12 + 3) // 4 AS INTEGER) AS n_sampled,
-          list_sum([CAST(('0x' || substr(md5(text || CAST(i * 4 AS VARCHAR)), 1, 2)) AS BIGINT)
-                    for i in range(0, CAST((5 + doc_id % 12 + 3) // 4 AS BIGINT))]) AS first_byte_sum
+          CAST(list_sum([CAST(('0x' || substr(md5(text || CAST(i * 4 AS VARCHAR)), 1, 2)) AS BIGINT)
+                    for i in range(0, CAST((5 + doc_id % 12 + 3) // 4 AS BIGINT))]) AS BIGINT) AS first_byte_sum
         FROM documents ORDER BY doc_id""")),
 
     // nearest-neighbor resize of the 16-byte stub buffer to 2x2: the

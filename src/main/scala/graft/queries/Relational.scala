@@ -16,6 +16,16 @@ import org.apache.spark.sql.types.DecimalType
   * 32-way Spark partial agg and DuckDB, which would flip low bits and
   * break hash equality at any scale factor).
   *
+  * Emission discipline (round-2 driver-gate lesson): the final SELECT
+  * casts every DECIMAL column to DOUBLE on BOTH sides. The driver's
+  * hasher reads the Spark parquet via pandas (DECIMAL -> Decimal objects,
+  * which stringify with trailing zeros: "253942.00") but the oracle via
+  * duckdb's pandas bridge (DECIMAL -> float64: "253942.0"), so any exact
+  * decimal whose last scale digit is 0 hash-mismatches even though the
+  * values are equal. Casting the exact decimal result to DOUBLE at the
+  * very end is deterministic (IEEE nearest on both engines, sums still
+  * computed exactly in decimal) and renders identically.
+  *
   * Every query ends in a deterministic ORDER BY over a unique key set so
   * row order is stable; nullable sort keys say NULLS FIRST explicitly in
   * the oracle because DuckDB's ASC default (NULLS LAST) differs from
@@ -29,6 +39,8 @@ object Relational {
   import Q.t
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Final-emission cast: exact decimal -> DOUBLE (see emission discipline). */
+  private def fin(c: Column): Column = c.cast("double")
   private def d18(c: Column): Column = c.cast(DecimalType(18, 2))
   // Keep sums at their natural scale: a scale-reducing cast would round,
   // and Spark (HALF_UP) vs DuckDB disagree on exact-half values.
@@ -55,18 +67,18 @@ object Relational {
         li.filter(li("l_shipdate") <= lit("1998-09-02 00:00:00"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            d18(sum(dec(col("l_quantity")))).as("sum_qty"),
-            d18(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-            d4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
-            d6(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(DecimalType(18, 4)) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+            fin(d18(sum(dec(col("l_quantity"))))).as("sum_qty"),
+            fin(d18(sum(dec(col("l_extendedprice"))))).as("sum_base_price"),
+            fin(d4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))).as("sum_disc_price"),
+            fin(d6(sum((dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast(DecimalType(18, 4)) * (lit(1) + dec(col("l_tax")))))).as("sum_charge"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS $DEC)) AS DECIMAL(18,2)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS $DEC)) AS DECIMAL(18,2)) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC))) AS DECIMAL(27,4)) AS sum_disc_price,
-        CAST(sum(CAST(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC)) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS $DEC))) AS DECIMAL(30,6)) AS sum_charge,
+        CAST(CAST(sum(CAST(l_quantity AS $DEC)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS $DEC)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC))) AS DECIMAL(27,4)) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC)) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS $DEC))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
         count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
@@ -86,12 +98,12 @@ object Relational {
           .where(r("r_name") === "ASIA")
           .groupBy("n_name")
           .agg(
-            d4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+            fin(d4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("n_name")
       },
       Some(s"""SELECT n_name,
-        CAST(sum(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC))) AS DECIMAL(27,4)) AS revenue,
+        CAST(CAST(sum(CAST(l_extendedprice AS $DEC) * (1 - CAST(l_discount AS $DEC))) AS DECIMAL(27,4)) AS DOUBLE) AS revenue,
         count(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -107,17 +119,17 @@ object Relational {
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         o.select(
             col("o_custkey"), col("o_orderkey"),
-            dec(col("o_totalprice")).as("price"),
+            fin(dec(col("o_totalprice"))).as("price"),
             row_number().over(w).as("rn"),
-            d18(sum(dec(col("o_totalprice")))
-              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_total"))
+            fin(d18(sum(dec(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))).as("running_total"))
           .where(col("rn") <= 3)
           .orderBy("o_custkey", "rn")
       },
       Some(s"""SELECT * FROM (
-        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS $DEC) AS price,
+        SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS $DEC) AS DOUBLE) AS price,
           row_number() OVER w AS rn,
-          CAST(sum(CAST(o_totalprice AS $DEC)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+          CAST(CAST(sum(CAST(o_totalprice AS $DEC)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
         ) WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
@@ -134,7 +146,7 @@ object Relational {
           .orderBy(col("day").asc, col("o_orderkey").asc)
         o.select(col("o_custkey"), col("o_orderkey"), col("day"),
             count(lit(1)).over(wRange).as("n_30d"),
-            d18(sum(col("price")).over(wRange)).as("sum_30d"),
+            fin(d18(sum(col("price")).over(wRange))).as("sum_30d"),
             lag(col("o_orderkey"), 1).over(wRows).as("prev_order"),
             lead(col("o_orderkey"), 1).over(wRows).as("next_order"))
           .where(col("o_custkey") < 300)
@@ -142,7 +154,7 @@ object Relational {
       },
       Some(s"""SELECT o_custkey, o_orderkey, day,
           count(*) OVER wr AS n_30d,
-          CAST(sum(price) OVER wr AS DECIMAL(18,2)) AS sum_30d,
+          CAST(CAST(sum(price) OVER wr AS DECIMAL(18,2)) AS DOUBLE) AS sum_30d,
           lag(o_orderkey, 1) OVER wo AS prev_order,
           lead(o_orderkey, 1) OVER wo AS next_order
         FROM (SELECT o_custkey, o_orderkey,
@@ -184,10 +196,10 @@ object Relational {
       (s, dir) =>
         t(s, dir, "lineitem")
           .rollup("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("n"), d18(sum(dec(col("l_quantity")))).as("qty"))
+          .agg(count(lit(1)).as("n"), fin(d18(sum(dec(col("l_quantity"))))).as("qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
-        CAST(sum(CAST(l_quantity AS $DEC)) AS DECIMAL(18,2)) AS qty
+        CAST(CAST(sum(CAST(l_quantity AS $DEC)) AS DECIMAL(18,2)) AS DOUBLE) AS qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
@@ -269,10 +281,10 @@ object Relational {
     "rel_topk" -> Q(
       (s, dir) =>
         t(s, dir, "orders")
-          .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+          .select(col("o_orderkey"), fin(dec(col("o_totalprice"))).as("price"))
           .orderBy(col("price").desc, col("o_orderkey").asc)
           .limit(10),
-      Some(s"""SELECT o_orderkey, CAST(o_totalprice AS $DEC) AS price FROM orders
+      Some(s"""SELECT o_orderkey, CAST(CAST(o_totalprice AS $DEC) AS DOUBLE) AS price FROM orders
         ORDER BY price DESC, o_orderkey ASC LIMIT 10""")),
 
     // ---- date bucketing + string scalars ----
@@ -280,10 +292,10 @@ object Relational {
       (s, dir) =>
         t(s, dir, "orders")
           .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
-          .agg(count(lit(1)).as("n_orders"), d18(sum(dec(col("o_totalprice")))).as("sum_total"))
+          .agg(count(lit(1)).as("n_orders"), fin(d18(sum(dec(col("o_totalprice"))))).as("sum_total"))
           .orderBy("month"),
       Some(s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-        count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS $DEC)) AS DECIMAL(18,2)) AS sum_total
+        count(*) AS n_orders, CAST(CAST(sum(CAST(o_totalprice AS $DEC)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_total
         FROM orders GROUP BY 1 ORDER BY month""")),
 
     // ---- string/math scalar surface ----
@@ -296,13 +308,13 @@ object Relational {
             length(col("c_name")).cast("long").as("name_len"),
             concat(col("c_mktsegment"), lit("#"), col("c_nationkey").cast("string")).as("seg_nat"),
             floor(col("c_acctbal")).cast("long").as("bal_floor"),
-            dec(abs(col("c_acctbal"))).as("bal_abs"))
+            fin(dec(abs(col("c_acctbal")))).as("bal_abs"))
           .orderBy("c_custkey"),
       Some(s"""SELECT c_custkey, upper(substr(c_name, 1, 8)) AS name8,
         CAST(length(c_name) AS BIGINT) AS name_len,
         c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_nat,
         CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
-        CAST(abs(c_acctbal) AS $DEC) AS bal_abs
+        CAST(CAST(abs(c_acctbal) AS $DEC) AS DOUBLE) AS bal_abs
         FROM customer ORDER BY c_custkey""")),
 
     // ---- wider string-function battery ----
@@ -427,11 +439,11 @@ object Relational {
           .groupBy(
             date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), d18(sum(dec(col("value")))).as("sum_value"))
+          .agg(count(lit(1)).as("n"), fin(d18(sum(dec(col("value"))))).as("sum_value"))
           .orderBy("hour", "event_type"),
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         event_type, count(*) AS n,
-        CAST(sum(CAST(value AS $DEC)) AS DECIMAL(18,2)) AS sum_value
+        CAST(CAST(sum(CAST(value AS $DEC)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
     // ---- correlated scalar subquery (TPC-H Q17 shape) ----
@@ -446,9 +458,9 @@ object Relational {
         li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
           .join(avgQ, li("l_partkey") === avgQ("ap_partkey"))
           .where(col("l_quantity") < col("avg_qty") * 0.2)
-          .agg(d18(sum(dec(col("l_extendedprice")))).as("sum_price"), count(lit(1)).as("n"))
+          .agg(fin(d18(sum(dec(col("l_extendedprice"))))).as("sum_price"), count(lit(1)).as("n"))
       },
-      Some(s"""SELECT CAST(sum(CAST(l_extendedprice AS $DEC)) AS DECIMAL(18,2)) AS sum_price,
+      Some(s"""SELECT CAST(CAST(sum(CAST(l_extendedprice AS $DEC)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
         count(*) AS n FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#17'
           AND l_quantity < (SELECT avg(l_quantity) * 0.2 FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""")),
@@ -459,10 +471,10 @@ object Relational {
         val p = t(s, dir, "part").withColumn("price", dec(col("p_retailprice")))
         val mins = p.groupBy(col("p_type").as("mt")).agg(min(col("price")).as("min_price"))
         p.join(broadcast(mins), p("p_type") === mins("mt") && p("price") === mins("min_price"))
-          .select(col("p_type"), col("p_partkey"), col("min_price"))
+          .select(col("p_type"), col("p_partkey"), fin(col("min_price")).as("min_price"))
           .orderBy("p_type", "p_partkey")
       },
-      Some(s"""SELECT p_type, p_partkey, CAST(p_retailprice AS $DEC) AS min_price
+      Some(s"""SELECT p_type, p_partkey, CAST(CAST(p_retailprice AS $DEC) AS DOUBLE) AS min_price
         FROM part WHERE CAST(p_retailprice AS $DEC) =
           (SELECT min(CAST(p2.p_retailprice AS $DEC)) FROM part p2 WHERE p2.p_type = part.p_type)
         ORDER BY p_type, p_partkey""")),

@@ -52,7 +52,8 @@ object Sessionize {
           .select(col("user_id"), col("sid"),
             date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
             col("n_events"),
-            (col("sum_value_cents").cast(DecimalType(18, 0)) / 100).cast(DecimalType(18, 2)).as("sum_value"))
+            (col("sum_value_cents").cast(DecimalType(18, 0)) / 100).cast(DecimalType(18, 2))
+              .cast("double").as("sum_value"))
           .orderBy("user_id", "sid")
       },
       Some("""WITH m AS (
@@ -67,7 +68,7 @@ object Sessionize {
         SELECT user_id, CAST(sid AS INTEGER) AS sid,
           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
           count(*) AS n_events,
-          CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DECIMAL(18,2)) AS sum_value
+          CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         FROM g GROUP BY user_id, sid ORDER BY user_id, sid"""))
   )
 }

@@ -42,7 +42,8 @@ object StreamingQ {
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("sum_value"))
+            sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+              .cast(DoubleType).as("sum_value"))
           .select(
             date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
             col("event_type"), col("n"), col("sum_value"))
@@ -53,7 +54,7 @@ object StreamingQ {
       },
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         event_type, count(*) AS n,
-        CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS sum_value
+        CAST(CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
   )
 }

@@ -32,6 +32,14 @@ class AlignmentSpec extends AnyFunSuite {
     assert(one("alignment_score('AACC','AACC')") == 0.0f)
   }
 
+  test("perfect-alignment score is +0.0, not -0.0 (sign bit clear)") {
+    // -0.0f == 0.0f is true, so compare representations: 1/-0.0 = -Inf.
+    val v = one("alignment_score('AACC','AACC')").asInstanceOf[Float]
+    assert(1.0f / v > 0.0f, s"score must be +0.0, got ${java.lang.Float.floatToRawIntBits(v).toHexString}")
+    val direct = graft.functions.Aligner.score("AACC", "AACC", graft.functions.Aligner.Penalties())
+    assert(1.0f / direct > 0.0f)
+  }
+
   test("score reflects penalties (one mismatch = -4 by default)") {
     assert(one("alignment_score('AACC','AACT')") == -4.0f)
     assert(one("alignment_score('AACC','AAACC')") == -8.0f) // open 6 + ext 2
