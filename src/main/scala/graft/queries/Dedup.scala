@@ -37,14 +37,6 @@ object Dedup {
   }
   private val P32 = 4294967311L // prime > 2^32
 
-  /** Skew guard: an LSH bucket of b docs costs b^2 candidate pairs, so a
-    * stop-shingle-dominated bucket can single-handedly blow up the join.
-    * Buckets above the cap are dropped — at this corpus's scale the cap
-    * is far above any real bucket (max observed: 3), and at 100 TB it
-    * bounds worst-case work; dropped buckets can only lose candidates
-    * whose every other band is also hot, which the J>=0.8 verify would
-    * reject with overwhelming probability anyway. */
-  private val HotBucketCap = 1000
 
   /** doc_id + distinct 3-word shingles. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
@@ -81,13 +73,16 @@ object Dedup {
     val bandCols = (0 until 16).map { j =>
       struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("bh"))
     }
-    val cand = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .groupBy(col("bb.band"), col("bb.bh"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .where(size(col("ids")).between(2, HotBucketCap))
-      .select(explode(expr(
-        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+    // Candidate pairs via an equi-self-join on the bucket key. Unlike a
+    // per-bucket collect_set + pair explosion (one task owns the whole
+    // bucket; needs a cap that silently DROPS hot buckets), the join
+    // produces the exact candidate set and a stop-shingle-skewed bucket
+    // is split across tasks by AQE's skew-join handling — pathological
+    // skew degrades speed, never results.
+    val bucketed = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.bb") === col("y.bb") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
     val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
@@ -96,6 +91,50 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b"))
           - size(array_intersect(col("sh_a"), col("sh_b")))).as("uni"))
       .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
+  }
+
+  /** Distributed connected components by min-label propagation with
+    * pointer doubling: each round relabels via graph edges AND via the
+    * current label chain (node -> label(label(node))), so convergence
+    * takes O(log diameter) rounds instead of O(diameter) — a
+    * diameter-4096 path converges in ~12 rounds. Labels only ever
+    * decrease, so the label sum strictly decreases until the fixpoint and
+    * a single 1-row aggregate is the convergence check. Runs to TRUE
+    * convergence; if the (absurd) round bound trips, it throws rather
+    * than return partially-propagated labels.
+    *
+    * Input: undirected pair list (id_a, id_b); output: (node, label)
+    * where label = min node id reachable. */
+  private[queries] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("ea", "eb")
+    val sym = edges.union(edges.select(col("eb"), col("ea"))).toDF("src", "dst").cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var prevSum = Long.MinValue
+    var converged = false
+    var rounds = 0
+    val MaxRounds = 64 // log2-scale: diameter would need to exceed 2^64
+    while (!converged) {
+      if (rounds >= MaxRounds)
+        throw new IllegalStateException(
+          s"connected components failed to converge after $MaxRounds doubling rounds")
+      val viaEdges = labels.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+      val viaChain = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
+      val propagated = viaEdges.union(viaChain).union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .cache()
+      val sum0 = propagated.selectExpr("coalesce(sum(label), 0) AS s")
+        .collect()(0).getLong(0)
+      labels.unpersist()
+      labels = propagated
+      converged = sum0 == prevSum
+      prevSum = sum0
+      rounds += 1
+    }
+    labels
   }
 
   private val ShingleCteSql =
@@ -185,31 +224,8 @@ object Dedup {
     "dedup_components" -> Q(
       (s, dir) => {
         val pairs = lshVerifiedPairs(s, dir).select("id_a", "id_b")
-        val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-          .toDF("src", "dst").cache()
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
-        // labels only ever decrease, so the label sum strictly decreases
-        // until the fixpoint — a single-stage aggregate is the
-        // convergence check (no join needed)
-        var prevSum = Long.MinValue
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 12) {
-          val propagated = labels.join(edges, col("node") === col("src"))
-            .select(col("dst").as("node"), col("label"))
-            .union(labels)
-            .groupBy("node").agg(min(col("label")).as("label"))
-            .cache()
-          val sum0 = propagated.selectExpr("coalesce(sum(label), 0) AS s")
-            .collect()(0).getLong(0)
-          labels.unpersist()
-          labels = propagated
-          converged = sum0 == prevSum
-          prevSum = sum0
-          iter += 1
-        }
-        labels.select(col("node").as("doc_id"), col("label").as("component"))
+        connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("label").as("component"))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $ShingleCteSql,

@@ -12,7 +12,12 @@ final case class Q(
     oracle: Option[String] = None)
 
 object Q {
-  /** `spark.read.parquet` over one driver-generated testdata table. */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
+  /** `spark.read.parquet` over one driver-generated testdata table.
+    * Pins session UTC so timestamp-derived results (date_format,
+    * date_trunc, string-vs-timestamp filters) cannot depend on whatever
+    * session the harness hands us — the oracle always evaluates in UTC. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 }

@@ -23,6 +23,7 @@ object StreamingQ {
     "stream_events_hourly" -> Q(
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
         val schema = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),

@@ -72,7 +72,7 @@ object BamFormat extends GraftFormat {
       val refs =
         try readHeader(new DataInputStream(Compression.wrap(raw.stream, "gzip")))
         finally raw.in.close()
-      idx.queryByRid(refs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, 1L << 29))
+      idx.queryByRid(refs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, idx.maxPos))
         .map(c => (c.beg, c.end))
     }
 
@@ -85,7 +85,7 @@ object BamFormat extends GraftFormat {
     val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
     val refs =
       if (split.bgzfChunk) {
-        val raw = GraftFiles.open(split.path, new Configuration())
+        val raw = GraftFiles.open(split.path, split.conf)
         try readHeader(new DataInputStream(Compression.wrap(raw.stream, "gzip")))
         finally raw.in.close()
       } else readHeader(d)

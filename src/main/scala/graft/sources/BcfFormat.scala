@@ -54,7 +54,7 @@ object BcfFormat extends GraftFormat {
       val header = headerText(in).linesIterator.toSeq
       val infos = VcfFormat.parseHeaderInfo(header)
       val infoStruct = StructType(infos.map(f => StructField(f.id.toLowerCase, f.sparkType)))
-      StructType(Seq(
+      val base = Seq(
         StructField("chrom", StringType),
         StructField("pos", LongType),
         StructField("id", StringType),
@@ -62,7 +62,17 @@ object BcfFormat extends GraftFormat {
         StructField("alt", ArrayType(StringType)),
         StructField("qual", FloatType),
         StructField("filter", StringType),
-        StructField("info", infoStruct)))
+        StructField("info", infoStruct))
+      // sample columns declared by the embedded #CHROM line, VCF-parity:
+      // raw FORMAT string + one rendered genotype string per sample
+      val hasSamples = header.lastOption
+        .filter(_.startsWith("#CHROM"))
+        .exists(_.split("\t").length > 8)
+      StructType(
+        if (hasSamples)
+          base :+ StructField("format", StringType) :+
+            StructField("genotypes", ArrayType(StringType))
+        else base)
     } finally in.close()
   }
 
@@ -77,7 +87,7 @@ object BcfFormat extends GraftFormat {
         try dictionaries(headerText(new DataInputStream(
           Compression.wrap(raw.stream, "gzip"))).linesIterator.toSeq)._2
         finally raw.in.close()
-      idx.queryByRid(contigs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, 1L << 29))
+      idx.queryByRid(contigs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, idx.maxPos))
         .map(c => (c.beg, c.end))
     }
 
@@ -102,12 +112,13 @@ object BcfFormat extends GraftFormat {
     // (dictionaries + schema source) from the file head separately
     val header =
       if (split.bgzfChunk) {
-        val raw = GraftFiles.open(split.path, new Configuration())
+        val raw = GraftFiles.open(split.path, split.conf)
         try headerText(new DataInputStream(Compression.wrap(raw.stream, "gzip"))).linesIterator.toSeq
         finally raw.in.close()
       } else headerText(d).linesIterator.toSeq
     val (dict, contigs) = dictionaries(header)
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
+    val withSamples = schema.fieldNames.contains("genotypes")
     val region = options.get("region").map(VcfFormat.parseRegion)
 
     new Iterator[Array[Any]] {
@@ -139,7 +150,9 @@ object BcfFormat extends GraftFormat {
         val lIndiv = readIntLE(d)
         val shared = new Array[Byte](lShared)
         d.readFully(shared)
-        d.skipBytes(lIndiv) // genotypes not surfaced (parity with scan schema)
+        val indiv =
+          if (withSamples) { val a = new Array[Byte](lIndiv); d.readFully(a); a }
+          else { d.skipBytes(lIndiv); null } // sample-less scan schema
         val bb = ByteBuffer.wrap(shared).order(ByteOrder.LITTLE_ENDIAN)
 
         val rid = bb.getInt
@@ -149,7 +162,9 @@ object BcfFormat extends GraftFormat {
         val nAlleleInfo = bb.getInt
         val nInfo = nAlleleInfo & 0xffff
         val nAllele = nAlleleInfo >>> 16
-        bb.getInt // n_fmt << 24 | n_sample
+        val nFmtSample = bb.getInt
+        val nSample = nFmtSample & 0xffffff
+        val nFmt = nFmtSample >>> 24
 
         val id = readString(bb)
         val alleles = (0 until nAllele).map(_ => readString(bb))
@@ -188,7 +203,7 @@ object BcfFormat extends GraftFormat {
           if (filters.isEmpty) null
           else UTF8String.fromString(filters.map(dict(_)).mkString(";"))
 
-        Array[Any](
+        val base = Array[Any](
           UTF8String.fromString(if (rid >= 0 && rid < contigs.length) contigs(rid) else rid.toString),
           (pos0 + 1).toLong,
           if (id.isEmpty || id == ".") null else UTF8String.fromString(id),
@@ -197,8 +212,83 @@ object BcfFormat extends GraftFormat {
           if (java.lang.Float.floatToRawIntBits(qual) == 0x7f800001) null else Float.box(qual),
           filterStr,
           new GenericInternalRow(infoVals.toArray[Any]))
+        if (!withSamples) base
+        else {
+          val (fmt, gts) = decodeGenotypes(indiv, nFmt, nSample, dict)
+          base ++ Array[Any](fmt, gts)
+        }
       }
     }
+  }
+
+  // ---- FORMAT/sample decoding (VCF-parity rendered strings) ----
+
+  /** Decode the per-sample block into ("GT:GQ", ["0/1:99", "1/1:42"]) —
+    * the same raw-string surface the VCF source exposes (noodles decodes
+    * typed genotypes in the reference; here they render back to VCF text
+    * so both sources agree record-for-record). */
+  private def decodeGenotypes(indiv: Array[Byte], nFmt: Int, nSample: Int,
+                              dict: IndexedSeq[String]): (Any, Any) = {
+    val bb = ByteBuffer.wrap(indiv).order(ByteOrder.LITTLE_ENDIAN)
+    val keys = new Array[String](nFmt)
+    val perSample = Array.fill(nSample)(new Array[String](nFmt))
+    var f = 0
+    while (f < nFmt) {
+      val key = dict(readTypedInt(bb))
+      keys(f) = key
+      val (tpe, count) = readDescriptor(bb)
+      var s = 0
+      while (s < nSample) {
+        perSample(s)(f) = renderFmtValue(bb, tpe, count, isGt = key == "GT")
+        s += 1
+      }
+      f += 1
+    }
+    (UTF8String.fromString(keys.mkString(":")),
+      new GenericArrayData(perSample.map(fs =>
+        UTF8String.fromString(fs.mkString(":")): Any).toArray[Any]))
+  }
+
+  /** One sample's value vector for one FORMAT field, rendered as VCF
+    * text. Width-specific MISSING sentinels render '.'; END_OF_VECTOR
+    * sentinels (padding for ragged vectors) truncate. */
+  private def renderFmtValue(bb: ByteBuffer, tpe: Int, count: Int, isGt: Boolean): String = {
+    if (tpe == 7) { // char: fixed-width string, NUL-padded
+      val bytes = new Array[Byte](count)
+      bb.get(bytes)
+      val s = new String(bytes, StandardCharsets.UTF_8).takeWhile(_ != '\u0000')
+      return if (s.isEmpty) "." else s
+    }
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var ended = false
+    while (i < count) {
+      val (raw, missing, end) = tpe match {
+        case 1 => val v = bb.get().toInt; (v.toLong, v == -128, v == -127)
+        case 2 => val v = bb.getShort.toInt; (v.toLong, v == -32768, v == -32767)
+        case 3 => val v = bb.getInt; (v.toLong, v == Int.MinValue, v == Int.MinValue + 1)
+        case 5 => // raw carries the FLOAT BITS, not the value
+          val bits = bb.getInt
+          (bits.toLong & 0xffffffffL, bits == 0x7f800001, bits == 0x7f800002)
+        case t => throw new IllegalArgumentException(s"unknown BCF FORMAT type $t")
+      }
+      if (!end && !ended) {
+        if (isGt) {
+          if (i > 0) sb.append(if ((raw & 1) == 1) '|' else '/')
+          if (missing || raw == 0) sb.append('.')
+          else sb.append((raw >> 1) - 1)
+        } else {
+          if (i > 0) sb.append(',')
+          if (missing) sb.append('.')
+          else if (tpe == 5) {
+            val v = java.lang.Float.intBitsToFloat((raw & 0xffffffffL).toInt)
+            sb.append(if (v == math.floor(v) && math.abs(v) < 1e7) v.toLong.toString else v.toString)
+          } else sb.append(raw)
+        }
+      } else ended = true
+      i += 1
+    }
+    if (sb.length == 0) "." else sb.toString
   }
 
   // ---- BCF typed decoding ----

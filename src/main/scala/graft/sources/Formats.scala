@@ -190,7 +190,7 @@ object GffFormat extends GffLikeFormat("gff", "phase") {
       require(eq > 0, s"bad GFF attribute '$seg'")
       val k = seg.substring(0, eq)
       val vs = seg.substring(eq + 1).split(",").toSeq
-      (P.s(k), P.arr(vs.map(v => P.s(pctDecode(v)))))
+      (P.s(pctDecode(k)), P.arr(vs.map(v => P.s(pctDecode(v)))))
     }.toSeq
     ArrayBasedMapData(pairs.map(_._1).toArray[Any], pairs.map(_._2).toArray[Any])
   }

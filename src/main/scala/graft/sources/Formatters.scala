@@ -33,6 +33,26 @@ object FastqFormatter extends RecordFormatter {
 
 object GffFormatter extends RecordFormatter {
   override def fileExtension = ".gff"
+
+  /** GFF3 reserved characters must be percent-encoded in attribute keys
+    * and values, or a value containing ';' / '=' / ',' / tab re-parses as
+    * extra separators; the reader percent-decodes, so enc∘dec = id. */
+  private def enc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach {
+      case '%'  => sb.append("%25")
+      case ';'  => sb.append("%3B")
+      case '='  => sb.append("%3D")
+      case ','  => sb.append("%2C")
+      case '&'  => sb.append("%26")
+      case '\t' => sb.append("%09")
+      case '\n' => sb.append("%0A")
+      case '\r' => sb.append("%0D")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
   override def format(row: InternalRow, schema: StructType): String = {
     def s(i: Int): String = if (row.isNullAt(i)) "." else row.getUTF8String(i).toString
     val start = row.getLong(3)
@@ -46,8 +66,9 @@ object GffFormatter extends RecordFormatter {
         val vals = m.valueArray()
         (0 until m.numElements()).map { i =>
           val vs = vals.getArray(i)
-          val joined = (0 until vs.numElements()).map(vs.getUTF8String(_).toString).mkString(",")
-          s"${keys.getUTF8String(i)}=$joined"
+          val joined = (0 until vs.numElements())
+            .map(j => enc(vs.getUTF8String(j).toString)).mkString(",")
+          s"${enc(keys.getUTF8String(i).toString)}=$joined"
         }.mkString(";")
       }
     s"${s(0)}\t${s(1)}\t${s(2)}\t$start\t$end\t$score\t${s(6)}\t${s(7)}\t$attrs\n"

@@ -24,6 +24,12 @@ object BinnedIndex {
   final case class Index(names: IndexedSeq[String], refs: IndexedSeq[RefIndex],
                          minShift: Int = 14, depth: Int = 5) {
 
+    /** Largest position this index can address: 2^29 for the classic
+      * (14,5) tbi/bai scheme, but a CSI with deeper parameters covers
+      * contigs beyond 512 Mbp — clamping a query to 2^29 there would
+      * silently drop matching records past it. */
+    def maxPos: Long = 1L << (minShift + 3 * depth)
+
     def queryByName(seq: String, beg0: Long, end0: Long): Seq[Chunk] = {
       val rid = names.indexOf(seq)
       if (rid < 0) Seq.empty // unknown contig: provably empty

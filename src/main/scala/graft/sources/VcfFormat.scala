@@ -91,7 +91,7 @@ object VcfFormat extends GraftFormat {
     if (!path.toLowerCase.endsWith(".gz")) return None
     TabixIndex.load(path, conf).map { idx =>
       val (chr, lo, hi) = parseRegion(region)
-      idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, 1L << 29))
+      idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
         .map(c => (c.beg, c.end))
     }
   }

@@ -67,13 +67,22 @@ final case class GraftTable(format: GraftFormat, tableSchema: StructType,
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
+          val hconf = SparkSession.active.sessionState.newHadoopConf()
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(hconf)
           if (doTruncate) {
-            val p = new org.apache.hadoop.fs.Path(path)
-            val fs = p.getFileSystem(new Configuration())
             if (fs.exists(p)) fs.delete(p, true)
+          } else if (fs.exists(p) && fs.listStatus(p).exists(st =>
+              !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))) {
+            // the reference's COPY semantics: refuse to add to an existing
+            // non-empty target unless FORCE is given (test_fasta_copy.test)
+            require(options.get("force").exists(_.equalsIgnoreCase("true")),
+              s"target '$path' already contains data; pass option force=true " +
+                "to append, or use mode(\"overwrite\") to replace (COPY ... FORCE semantics)")
           }
           GraftBatchWrite(fmt, info.schema(), path,
-            options ++ Option(info.options().get("compression")).map("compression" -> _))
+            options ++ Option(info.options().get("compression")).map("compression" -> _),
+            new org.apache.spark.util.SerializableConfiguration(hconf))
         }
       }
     }
@@ -171,7 +180,9 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
     options.get("region").flatMap(format.regionChunks(path, _, conf))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(format, full, required, filters, options)
+    GraftReaderFactory(format, full, required, filters, options,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long,
@@ -180,12 +191,15 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
 
 final case class GraftReaderFactory(format: GraftFormat, full: StructType,
                                     required: StructType, filters: Array[Filter],
-                                    options: Map[String, String])
+                                    options: Map[String, String],
+                                    sconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    val conf = new Configuration() // local/default FS; SerializableConfiguration if cluster confs matter
+    // session Hadoop conf shipped from the driver: spark.hadoop.* (s3a
+    // credentials, endpoints, ...) must reach executor-side FS access
+    val conf = sconf.value
     val raw = GraftFiles.open(p.path, conf)
     val codec = format.forcedCodec.getOrElse(Compression.of(p.path, options)._1)
     val ranged = !p.bgzfChunk && (p.start != 0 || p.end != Long.MaxValue)
@@ -198,7 +212,8 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
       else if (ranged) raw.stream
       else Compression.wrap(raw.stream, codec)
     val split = GraftSplit(p.path, if (ranged) p.start else 0,
-      if (ranged) p.end else Long.MaxValue, p.fileLen, bgzfChunk = p.bgzfChunk)
+      if (ranged) p.end else Long.MaxValue, p.fileLen, bgzfChunk = p.bgzfChunk,
+      conf = conf)
 
     val fullIter = format.read(split, full, stream, options)
     val fieldIdx = required.fieldNames.map(full.fieldIndex)

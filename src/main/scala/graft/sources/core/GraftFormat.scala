@@ -58,9 +58,15 @@ trait GraftFormat extends Serializable {
 /** One unit of parallel work: a file, a byte range of one, or an
   * index-resolved BGZF chunk (stream already decompressed and positioned
   * at a record boundary; binary formats that need their file header
-  * must re-read it separately — see BamFormat). */
+  * must re-read it separately — see BamFormat). `conf` is the executor's
+  * view of the session Hadoop configuration (shipped by the scan
+  * factory), so header re-reads hit the same filesystem/credentials as
+  * the main stream — a bare `new Configuration()` would drop
+  * spark.hadoop.* settings on a real cluster. Constructed executor-side;
+  * never serialized. */
 final case class GraftSplit(path: String, start: Long, end: Long, fileLen: Long,
-                            bgzfChunk: Boolean = false)
+                            bgzfChunk: Boolean = false,
+                            conf: Configuration = new Configuration())
 
 object Compression {
   /** (codec, pathWithoutCompressionSuffix); codec from the final
@@ -94,10 +100,30 @@ object Compression {
 
 /** java.util.zip.GZIPInputStream stops at the first member boundary for
   * some stream shapes; this wrapper keeps reading members until true EOF,
-  * which BGZF (BAM/bgzipped VCF) requires. */
+  * which BGZF (BAM/bgzipped VCF) requires.
+  *
+  * Leftover recovery: when the JDK gives up on member concatenation
+  * (inflater remaining <= 26 and available() == 0), up to 18 read-ahead
+  * bytes of the NEXT member are still sitting in the inflater's buffer
+  * after the 8-byte trailer. Losing them makes the next member's header
+  * unreadable, so they are pushed back onto the source before the next
+  * GZIPInputStream is constructed. */
 final class MultiMemberGzipInputStream(raw: InputStream) extends InputStream {
-  private val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
-  private var gz = new java.util.zip.GZIPInputStream(buffered, 1 << 16)
+  private val pushback = new java.io.PushbackInputStream(
+    new java.io.BufferedInputStream(raw, 1 << 16), 64)
+
+  /** Exposes the inflater's unconsumed bytes at member end. readTrailer
+    * consumes the 8-byte trailer logically but does not advance the
+    * inflater, so bytes past the first 8 belong to the next member. */
+  private final class MemberStream extends java.util.zip.GZIPInputStream(pushback, 1 << 16) {
+    def leftoverAfterTrailer: Array[Byte] = {
+      val n = inf.getRemaining
+      if (n <= 8) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(buf, len - n + 8, len)
+    }
+  }
+
+  private var gz = new MemberStream
   private var eof = false
 
   override def read(): Int = {
@@ -110,12 +136,14 @@ final class MultiMemberGzipInputStream(raw: InputStream) extends InputStream {
     if (eof) return -1
     var n = gz.read(b, off, len)
     while (n < 0 && !eof) {
-      // member finished; more bytes in the underlying stream?
-      buffered.mark(1)
-      if (buffered.read() < 0) { eof = true }
+      // member finished; recover read-ahead, then check for another member
+      val left = gz.leftoverAfterTrailer
+      if (left.nonEmpty) pushback.unread(left)
+      val probe = pushback.read()
+      if (probe < 0) eof = true
       else {
-        buffered.reset()
-        gz = new java.util.zip.GZIPInputStream(buffered, 1 << 16)
+        pushback.unread(probe)
+        gz = new MemberStream
         n = gz.read(b, off, len)
       }
     }
