@@ -157,6 +157,94 @@ object FormatScans {
       Some("""SELECT 't1' AS target_name, 'PF00001.1' AS target_accession, CAST(120 AS BIGINT) AS tlen,
           CAST(1.2e-10 AS DOUBLE) AS evalue, CAST(0.91 AS DOUBLE) AS accuracy, 'first target' AS description
         UNION ALL SELECT 't2', NULL, 80, 2.5e-05, 0.85, 'second target with words'
-        ORDER BY target_name"""))
+        ORDER BY target_name""")),
+
+    // CSI-indexed BCF region query (reference bcf_query_function/module.cpp):
+    // only index-pruned BGZF chunks are decompressed. Golden derived from the
+    // fixture generator's record stream, cross-checked against the full-scan
+    // + filter path in TabixSpec.
+    "fmt_bcf_query_region" -> Q(
+      (s, _) => GraftIO.bcf_query(s, s"$F/vcf/indexed.bcf", "1:2000000-20000000")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos_sum"),
+          sum(col("info.dp")).as("dp_sum")),
+      Some("SELECT CAST(83 AS BIGINT) AS n, CAST(756709974 AS BIGINT) AS pos_sum, CAST(2397 AS BIGINT) AS dp_sum")),
+
+    // Replacement-scan analog (reference arrow_table_function/module.cpp:320-382):
+    // bare paths dispatch on extension with the compression suffix stripped.
+    "fmt_auto_dispatch" -> Q(
+      (s, _) => {
+        val fa = GraftIO.read_auto(s, s"$F/fasta/test.fasta.gz")
+          .select(lit("fasta").as("fmt"), col("id").as("key"))
+        val fq = GraftIO.read_auto(s, s"$F/fastq/test.fastq")
+          .select(lit("fastq").as("fmt"), col("name").as("key"))
+        val sm = GraftIO.read_auto(s, s"$F/sam/example.sam")
+          .select(lit("sam").as("fmt"), col("name").as("key"))
+        fa.union(fq).union(sm).groupBy("fmt")
+          .agg(count(lit(1)).as("n"),
+            array_join(sort_array(collect_list(col("key"))), ",").as("keys"))
+          .orderBy("fmt")
+      },
+      Some("""SELECT 'fasta' AS fmt, CAST(2 AS BIGINT) AS n, 'r1,r2' AS keys
+        UNION ALL SELECT 'fastq', 2, 'q1,q2'
+        UNION ALL SELECT 'sam', 3, 'r001,r002,r003' ORDER BY fmt""")),
+
+    // Writer surface end-to-end (reference's commented COPY TO semantics,
+    // test_fasta_copy.test): write all three writable formats to a scratch
+    // dir, read back through the same sources, golden on the round-tripped
+    // content. Exercises the staged task-commit protocol under the gate.
+    "fmt_writer_roundtrip" -> Q(
+      (s, _) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_wrt").toString
+        GraftIO.read_fasta(s, s"$F/fasta/test.fasta.gz")
+          .write.mode("overwrite").option("compression", "gzip").format("fasta").save(s"$dir/fa")
+        GraftIO.read_fastq(s, s"$F/fastq/test.fastq")
+          .write.mode("overwrite").format("fastq").save(s"$dir/fq")
+        GraftIO.read_gff(s, s"$F/gff/test.gff")
+          .write.mode("overwrite").format("gff").save(s"$dir/gff")
+        val fa = GraftIO.read_fasta(s, s"$dir/fa", Map("compression" -> "gzip"))
+          .select(lit("fasta").as("fmt"), col("id").as("key"),
+            length(col("sequence")).cast("long").as("len"))
+        val fq = GraftIO.read_fastq(s, s"$dir/fq")
+          .select(lit("fastq").as("fmt"), col("name").as("key"),
+            length(col("quality_scores")).cast("long").as("len"))
+        val gf = GraftIO.read_gff(s, s"$dir/gff")
+          .select(lit("gff").as("fmt"), col("seqname").as("key"),
+            (col("end") - col("start")).as("len"))
+        fa.union(fq).union(gf).orderBy("fmt", "key")
+      },
+      Some("""SELECT 'fasta' AS fmt, 'r1' AS key, CAST(12 AS BIGINT) AS len
+        UNION ALL SELECT 'fasta', 'r2', 8
+        UNION ALL SELECT 'fastq', 'q1', 14
+        UNION ALL SELECT 'fastq', 'q2', 14
+        UNION ALL SELECT 'gff', 'sq0', 5
+        UNION ALL SELECT 'gff', 'sq1', 6 ORDER BY fmt, key""")),
+
+    // FORMAT/sample decoding through the gate (reference schema includes
+    // genotypes, test_vcf_record_scan.test): text VCF surface...
+    "fmt_vcf_genotypes" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/samples.vcf")
+        .selectExpr("chrom", "pos", "ref", "array_join(alt, ',') AS alts",
+          "qual", "filter", "info.dp AS dp", "format",
+          "array_join(genotypes, '|') AS gts")
+        .orderBy("pos"),
+      Some("""SELECT '1' AS chrom, CAST(100 AS BIGINT) AS pos, 'A' AS ref, 'C' AS alts,
+          CAST(50 AS REAL) AS qual, 'PASS' AS filter, 10 AS dp, 'GT:GQ' AS format,
+          '0/1:99|1/1:42' AS gts
+        UNION ALL SELECT '1', 200, 'G', 'T', CAST(30 AS REAL), 'PASS', 5, 'GT:GQ', '0/0:10|0/1:77'
+        ORDER BY pos""")),
+
+    // ...and the binary BCF surface must decode to the identical strings
+    // (BcfFormat.decodeGenotypes — VCF-parity rendering of typed values).
+    "fmt_bcf_genotypes" -> Q(
+      (s, _) => GraftIO.read_bcf_file_records(s, s"$F/vcf/samples.bcf")
+        .selectExpr("chrom", "pos", "ref", "array_join(alt, ',') AS alts",
+          "qual", "filter", "info.dp AS dp", "format",
+          "array_join(genotypes, '|') AS gts")
+        .orderBy("pos"),
+      Some("""SELECT '1' AS chrom, CAST(100 AS BIGINT) AS pos, 'A' AS ref, 'C' AS alts,
+          CAST(50 AS REAL) AS qual, 'PASS' AS filter, 10 AS dp, 'GT:GQ' AS format,
+          '0/1:99|1/1:42' AS gts
+        UNION ALL SELECT '1', 200, 'G', 'T', CAST(30 AS REAL), 'PASS', 5, 'GT:GQ', '0/0:10|0/1:77'
+        ORDER BY pos"""))
   )
 }
