@@ -63,7 +63,15 @@ object Dedup {
     * dedup_components. Returns verified (id_a, id_b, inter, uni) with
     * J >= 0.8 (integer-exact threshold). */
   private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val sets = shingled(s, dir).cache()
+    // localCheckpoint, not cache: both materialize once, but checkpoint
+    // blocks are released by the ContextCleaner as soon as the plan is
+    // unreferenced (cache() pins them for the session), and the truncated
+    // lineage stops the self-join below from re-deriving each side.
+    // Trade-off at cluster scale: no lineage means an executor loss costs
+    // a stage retry from the checkpoint job instead of a partition
+    // recompute — acceptable for a 2-job window; a multi-hour pipeline
+    // would use reliable checkpointing to the DFS instead.
+    val sets = shingled(s, dir).localCheckpoint()
     val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
     val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
@@ -79,7 +87,12 @@ object Dedup {
     // produces the exact candidate set and a stop-shingle-skewed bucket
     // is split across tasks by AQE's skew-join handling — pathological
     // skew degrades speed, never results.
+    // Checkpointed so the 32xmin signature aggregate runs ONCE: Catalyst
+    // plans the two join sides independently (no ReusedExchange fires —
+    // one side is a broadcast, the other a hash exchange) and would
+    // otherwise recompute the whole shingle->hash->agg pipeline per side.
     val bucketed = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .localCheckpoint()
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.bb") === col("y.bb") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
@@ -123,9 +136,13 @@ object Dedup {
       val viaChain = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), col("b.label").as("label"))
+      // localCheckpoint doubles as per-round lineage truncation: without
+      // it each round's plan nests the previous round's, and the driver
+      // pays quadratic planning time by round ~10. Superseded rounds'
+      // blocks are freed by the ContextCleaner once unreferenced.
       val propagated = viaEdges.union(viaChain).union(labels)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint()
       val sum0 = propagated.selectExpr("coalesce(sum(label), 0) AS s")
         .collect()(0).getLong(0)
       labels.unpersist()
@@ -134,6 +151,7 @@ object Dedup {
       prevSum = sum0
       rounds += 1
     }
+    sym.unpersist()
     labels
   }
 

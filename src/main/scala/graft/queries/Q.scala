@@ -15,7 +15,13 @@ object Q {
   /** `spark.read.parquet` over one driver-generated testdata table.
     * Pins session UTC so timestamp-derived results (date_format,
     * date_trunc, string-vs-timestamp filters) cannot depend on whatever
-    * session the harness hands us — the oracle always evaluates in UTC. */
+    * session the harness hands us — the oracle always evaluates in UTC.
+    *
+    * NOTE: this is a deliberate session-level side effect, acceptable
+    * only because every query in this registry assumes UTC. If these
+    * queries are extracted into a standalone library, drop this line and
+    * pin `spark.sql.session.timeZone=UTC` at SparkSession build instead —
+    * a library function must not silently rewrite its caller's session. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/$name.parquet")

@@ -229,6 +229,9 @@ object BcfFormat extends GraftFormat {
     * so both sources agree record-for-record). */
   private def decodeGenotypes(indiv: Array[Byte], nFmt: Int, nSample: Int,
                               dict: IndexedSeq[String]): (Any, Any) = {
+    // a site-only record (n_fmt=0) mirrors a VCF line with no column 9:
+    // null format, zero genotype entries — not "" strings
+    if (nFmt == 0) return (null, new GenericArrayData(Array.empty[Any]))
     val bb = ByteBuffer.wrap(indiv).order(ByteOrder.LITTLE_ENDIAN)
     val keys = new Array[String](nFmt)
     val perSample = Array.fill(nSample)(new Array[String](nFmt))

@@ -109,8 +109,12 @@ object Compression {
   * unreadable, so they are pushed back onto the source before the next
   * GZIPInputStream is constructed. */
 final class MultiMemberGzipInputStream(raw: InputStream) extends InputStream {
+  // pushback capacity = the inflater buffer size: on truncated/garbage
+  // trailing data the JDK's own concatenation attempt can leave up to a
+  // full buffer (not just 26 bytes) unconsumed, and an undersized
+  // pushback would turn that into an opaque "Push back buffer is full"
   private val pushback = new java.io.PushbackInputStream(
-    new java.io.BufferedInputStream(raw, 1 << 16), 64)
+    new java.io.BufferedInputStream(raw, 1 << 16), 1 << 16)
 
   /** Exposes the inflater's unconsumed bytes at member end. readTrailer
     * consumes the 8-byte trailer logically but does not advance the

@@ -3,8 +3,26 @@
 samples.vcf (2 records, FORMAT GT:GQ, samples s1/s2) — from the published
 BCF2.2 spec encoding. Dev tool; run once, commit the output.
 """
-import gzip
 import struct
+import zlib
+
+
+def bgzf_block(data):
+    """One BGZF block: gzip member with the BC/BSIZE extra subfield."""
+    raw = zlib.compress(data, 9)[2:-4]  # raw deflate (strip zlib wrapper)
+    bsize = 18 + len(raw) + 8  # header + deflate + crc32/isize
+    header = struct.pack('<4BIBBHBBHH',
+                         0x1f, 0x8b, 8, 4,      # magic, CM=deflate, FLG=FEXTRA
+                         0, 0, 0xff,            # mtime, XFL, OS
+                         6,                     # XLEN
+                         ord('B'), ord('C'), 2, # BC subfield, SLEN=2
+                         bsize - 1)             # BSIZE
+    return header + raw + struct.pack('<II', zlib.crc32(data), len(data))
+
+
+# the spec's fixed 28-byte EOF marker (an empty BGZF block)
+BGZF_EOF = bytes.fromhex(
+    '1f8b08040000000000ff0600424302001b0003000000000000000000')
 
 HEADER = (
     b'##fileformat=VCFv4.2\n'
@@ -55,5 +73,5 @@ body += record(199, 'G', 'T', 30.0, 5, [(2, 2), (2, 4)], [10, 77])
 
 out = 'src/test/resources/fixtures/vcf/samples.bcf'
 with open(out, 'wb') as f:
-    f.write(gzip.compress(body))
+    f.write(bgzf_block(body) + BGZF_EOF)
 print(f'wrote {out}')
