@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -52,6 +54,77 @@ object StreamingQ {
           .format("memory").queryName(tbl).start()
         try q.processAllAvailable() finally q.stop()
         s.table(tbl).orderBy("hour", "event_type")
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*) AS n,
+        CAST(CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // The production-shape variant: append output mode + a 2 h watermark,
+    // so state is BOUNDED — a window's state is dropped once the
+    // watermark passes its end, which is what makes this runnable against
+    // an unbounded 100 TB event stream (the complete-mode entry above is
+    // the harness-exact formulation, with unbounded state).
+    //
+    // Append-mode emission is deliberately late: a window is emitted by
+    // the first batch that runs AFTER the watermark (computed at the end
+    // of an earlier batch) has passed its end. To drain every real window
+    // deterministically, the staged directory carries two far-future
+    // sentinel rows in separate files with increasing mtimes
+    // (maxFilesPerTrigger=1 => three ordered batches): batch 2's sentinel
+    // advances the watermark past every real window, batch 3's sentinel
+    // triggers their emission. The sentinels' own windows stay open and
+    // are excluded from the result; the oracle is the same batch SQL as
+    // the complete-mode entry — append + watermark must lose nothing on
+    // a bounded input.
+    "stream_events_hourly_append" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val tbl = "graft_stream_events_hourly_append"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = java.nio.file.Files.createTempDirectory("graft-stream-append")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"),
+          staged.resolve("events.parquet"))
+        // two sentinel files (2100-01-01, 2100-01-02), mtime-ordered after
+        // the data file so the file source schedules them as later batches
+        import s.implicits._
+        val sentinelTmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
+        Seq(1, 2).foreach { i =>
+          val tsNanos = (4102444800L + (i - 1) * 86400L) * 1000000000L
+          val one = sentinelTmp.resolve(s"s$i")
+          Seq((0L, tsNanos, 0L, "sentinel", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("overwrite").parquet(one.toString)
+          val part = java.nio.file.Files.list(one).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dest = staged.resolve(s"sentinel$i.parquet")
+          java.nio.file.Files.copy(part, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
+        }
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+              .cast(DoubleType).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = stream.writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(tbl).where(col("event_type") =!= "sentinel")
+          .orderBy("hour", "event_type")
       },
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         event_type, count(*) AS n,
