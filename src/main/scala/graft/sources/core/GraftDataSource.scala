@@ -80,8 +80,9 @@ final case class GraftTable(format: GraftFormat, tableSchema: StructType,
               s"target '$path' already contains data; pass option force=true " +
                 "to append, or use mode(\"overwrite\") to replace (COPY ... FORCE semantics)")
           }
-          GraftBatchWrite(fmt, info.schema(), path,
-            options ++ Option(info.options().get("compression")).map("compression" -> _),
+          val writeOpts = Seq("compression", "partitionby")
+            .flatMap(k => Option(info.options().get(k)).map(k -> _))
+          GraftBatchWrite(fmt, info.schema(), path, options ++ writeOpts,
             new org.apache.spark.util.SerializableConfiguration(hconf))
         }
       }

@@ -18,9 +18,10 @@ trait RecordFormatter extends Serializable {
   def fileExtension: String
 }
 
-/** Commit message: where the task attempt staged its bytes and where the
-  * file belongs once the job commits. */
-final case class GraftWriteCommit(tempPath: String, finalPath: String)
+/** Commit message: where the task attempt staged its bytes and where
+  * each file belongs once the job commits (one entry per partition
+  * directory the task wrote into). */
+final case class GraftWriteCommit(files: Seq[(String, String)])
     extends WriterCommitMessage
 
 /** DSv2 BatchWrite: one part file per task partition, optional
@@ -47,11 +48,13 @@ final case class GraftBatchWrite(formatter: RecordFormatter, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(sconf.value)
     messages.foreach {
-      case GraftWriteCommit(temp, dest) =>
-        val t = new Path(temp)
+      case GraftWriteCommit(files) => files.foreach { case (temp, dest) =>
         val d = new Path(dest)
-        if (!fs.rename(t, d))
+        val parent = d.getParent
+        if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+        if (!fs.rename(new Path(temp), d))
           throw new java.io.IOException(s"commit failed renaming $temp -> $dest")
+      }
       case _ =>
     }
     val staging = new Path(path, "_temporary")
@@ -77,31 +80,65 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
       case Some("zstd") => ".zst"
       case _            => ""
     })
-    // taskId in the staging name keeps concurrent attempts of the same
-    // partition (speculation, retry) from clobbering each other; only
-    // the attempt whose message reaches commit() gets renamed into place
-    val fileName = f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}$ext"
-    val temp = new Path(new Path(path, "_temporary"), s"$taskId-$fileName")
-    val dest = new Path(path, fileName)
-    val fs = temp.getFileSystem(sconf.value)
-    val rawOut: OutputStream = fs.create(temp, true)
-    val out: OutputStream = codec match {
-      case Some("gzip") => new java.util.zip.GZIPOutputStream(rawOut, 1 << 16)
-      case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(rawOut)
-      case Some(other)  => throw new IllegalArgumentException(s"unknown compression '$other'")
-      case None         => new BufferedOutputStream(rawOut, 1 << 16)
+    // Hive-style layout keys from the `partitionBy` option. Partition
+    // columns stay IN the rendered records (the formats' schemas are
+    // fixed, and parse . write = id must hold on read-back); the
+    // directory tree exists for path pruning and per-key lifecycle at
+    // 100 TB. Callers should repartition by the same keys first so each
+    // task holds few open files — the same contract as Spark's own
+    // dynamic partition writes.
+    val partCols: Seq[Int] =
+      options.get("partitionby").orElse(options.get("partitionBy")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(schema.fieldIndex)
+    val fs = new Path(path).getFileSystem(sconf.value)
+
+    def hiveEscape(s: String): String =
+      s.flatMap(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c.toString
+                     else f"%%${c.toInt}%02X")
+
+    def keyOf(record: InternalRow): String =
+      partCols.map { i =>
+        val f = schema(i)
+        val v = if (record.isNullAt(i)) null else record.get(i, f.dataType)
+        s"${f.name}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else hiveEscape(v.toString)}"
+      }.mkString("/")
+
+    def openStream(key: String): (OutputStream, Path, Path) = {
+      // taskId in the staging name keeps concurrent attempts of the same
+      // partition (speculation, retry) from clobbering each other; only
+      // the attempt whose message reaches commit() gets renamed into place
+      val fileName = f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}$ext"
+      val destDir = if (key.isEmpty) new Path(path) else new Path(path, key)
+      val temp = new Path(new Path(path, "_temporary"),
+        s"$taskId-${if (key.isEmpty) "" else key.replace('/', '%') + "-"}$fileName")
+      val dest = new Path(destDir, fileName)
+      val rawOut: OutputStream = fs.create(temp, true)
+      val out: OutputStream = codec match {
+        case Some("gzip") => new java.util.zip.GZIPOutputStream(rawOut, 1 << 16)
+        case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(rawOut)
+        case Some(other)  => throw new IllegalArgumentException(s"unknown compression '$other'")
+        case None         => new BufferedOutputStream(rawOut, 1 << 16)
+      }
+      (out, temp, dest)
     }
 
     new DataWriter[InternalRow] {
-      override def write(record: InternalRow): Unit =
+      private val streams = scala.collection.mutable.LinkedHashMap.empty[String, (OutputStream, Path, Path)]
+      override def write(record: InternalRow): Unit = {
+        val k = keyOf(record)
+        val out = streams.getOrElseUpdate(k, openStream(k))._1
         out.write(formatter.format(record, schema).getBytes("UTF-8"))
+      }
       override def commit(): WriterCommitMessage = {
-        out.close()
-        GraftWriteCommit(temp.toString, dest.toString)
+        streams.values.foreach(_._1.close())
+        GraftWriteCommit(streams.values.map(s => (s._2.toString, s._3.toString)).toSeq)
       }
       override def abort(): Unit = {
-        out.close()
-        if (fs.exists(temp)) fs.delete(temp, false)
+        streams.values.foreach { case (out, temp, _) =>
+          out.close()
+          if (fs.exists(temp)) fs.delete(temp, false)
+        }
       }
       override def close(): Unit = ()
     }
