@@ -14,8 +14,8 @@ object SparkEntry {
   /** All oracle-checkable queries, grouped by module. */
   def registry: Map[String, Q] =
     Relational.qs ++ ScalarFns.qs ++ FormatScans.qs ++
-      Dedup.qs ++ TextOps.qs ++ Similarity.qs ++ MultimodalQ.qs ++
-      StreamingQ.qs ++ Sessionize.qs
+      Dedup.qs ++ TextOps.qs ++ PipelineOps.qs ++ Similarity.qs ++
+      MultimodalQ.qs ++ StreamingQ.qs ++ Sessionize.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

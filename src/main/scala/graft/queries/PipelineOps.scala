@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenizer — beyond the per-document scoring in
+  * [[TextOps]] and the near-dup machinery in [[Dedup]]:
+  *
+  *  - benchmark decontamination: drop training documents that share an
+  *    n-gram with the held-out eval set (the standard 13-gram protocol,
+  *    here 5-grams to suit the synthetic corpus). Inverted-index shape:
+  *    explode distinct n-grams, LEFT SEMI join train grams against eval
+  *    grams — the quadratic doc×doc space never materializes and the
+  *    join shuffles on the gram key, so it scales like a word count.
+  *  - stratified sampling: deterministic per-source rate via a content
+  *    hash bucket, NOT rand() — reproducible across runs/retries/engines
+  *    (same reason Spark's own TABLESAMPLE is unusable for lineage-
+  *    stable corpus splits). No shuffle beyond the final stats agg.
+  *  - composed C4-style cleaning: quality gates + language filter +
+  *    exact-dedup (keep lowest doc_id per content hash) fused into one
+  *    pass — one window shuffle on the content hash, then the stats agg.
+  *
+  * Oracle discipline: hash buckets via the md5-hex identity
+  * (Spark `conv(substr(md5(x),1,8),16,10)` == DuckDB
+  * `CAST('0x'||substr(md5(x),1,8) AS BIGINT)`); aggregates cast to
+  * BIGINT on both sides; double comparisons only on exact IEEE division
+  * results.
+  */
+object PipelineOps {
+  import Q.t
+
+  val qs: Map[String, Q] = Map(
+
+    // ---- benchmark decontamination via 5-gram overlap ----
+    "pipe_decontaminate" -> Q(
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 5)
+          .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+            "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+            .as("g"))
+        // eval split: every 97th doc stands in for the benchmark set
+        val evalGrams = grams.where(col("doc_id") % 97 === 0).select("g").distinct()
+        grams.where(col("doc_id") % 97 =!= 0)
+          .join(evalGrams, Seq("g"), "left_semi")
+          .select("doc_id", "source").distinct()
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_contaminated"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, source,
+            unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                                  for i in range(1, len(w) - 3)])) AS g
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 5),
+        e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        c AS (SELECT DISTINCT doc_id, source FROM g
+              WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM e))
+        SELECT source, count(*) AS n_contaminated, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM c GROUP BY source ORDER BY source""")),
+
+    // ---- deterministic stratified sampling (10% per source) ----
+    "pipe_stratified_sample" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("bucket",
+            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("bucket") < 10, 1L).otherwise(0L)).as("n_sampled"),
+            sum(when(col("bucket") < 10, col("doc_id"))).as("sample_checksum"))
+          .orderBy("source"),
+      Some("""WITH d AS (SELECT source, doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT source, count(*) AS n_total,
+          CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          CAST(sum(CASE WHEN bucket < 10 THEN doc_id END) AS BIGINT) AS sample_checksum
+        FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- composed C4-style cleaning pass ----
+    "pipe_c4_filter" -> Q(
+      (s, dir) => {
+        val scored = t(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("alpha_ratio",
+            expr("cast(length(regexp_replace(text, '[^a-z]', '')) as double) / length(text)"))
+          .withColumn("mean_tok_len", expr("cast(length(text) as double) / size(toks)"))
+        val clean = scored.where(col("lang") === "en" &&
+          col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("mean_tok_len") <= 12)
+        val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+        clean.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("tok_checksum"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH q AS (SELECT doc_id, source, text,
+            len(string_split(text, ' ')) AS n_tokens,
+            CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+            CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len
+          FROM documents WHERE lang = 'en'),
+        clean AS (SELECT * FROM q
+          WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND mean_tok_len <= 12),
+        keep AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM clean)
+        SELECT source, count(*) AS n_kept,
+          CAST(sum(n_tokens) AS BIGINT) AS tok_checksum,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM keep WHERE rn = 1 GROUP BY source ORDER BY source"""))
+  )
+}

@@ -64,4 +64,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("minhash LSH: signature aggregate is materialized once, not per join side") {
+    // the band-bucket self-join would otherwise recompute the 32xmin
+    // aggregate on each side (no ReusedExchange fires across a
+    // broadcast/hash exchange pair) — lshVerifiedPairs checkpoints the
+    // buckets, so the final plan must contain NO min-signature pipeline
+    val plan = fullPlanString(SparkEntry.queries("dedup_minhash_lsh")(spark, SF))
+    assert(!plan.contains("partial_min"),
+      s"signature aggregate recomputed inside the pair join:\n${plan.take(4000)}")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed bucket scan:\n${plan.take(4000)}")
+  }
+
+  test("pipe_decontaminate: gram join is a semi join, no doc-by-doc pair space") {
+    val plan = fullPlanString(SparkEntry.queries("pipe_decontaminate")(spark, SF))
+    assert(plan.contains("LeftSemi"), s"expected semi join on the gram key:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
