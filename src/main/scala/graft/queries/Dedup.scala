@@ -182,9 +182,20 @@ object Dedup {
     // hash join instead of a quadratic array_intersect nested loop.
     "dedup_ngram_jaccard" -> Q(
       (s, dir) => {
-        val sub = shingled(s, dir).where(col("doc_id") < 300)
-        val sizes = sub.select(col("doc_id"), size(col("sh")).as("sz"))
-        val posting = sub.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        // Row-level distinct instead of array_distinct-then-explode: the
+        // HOF array pipeline is CodegenFallback, and evaluating it under
+        // Generate measured ~12x slower than exploding raw shingles and
+        // deduping (doc_id, shingle) rows — which shuffles the same data
+        // the posting join shuffles anyway.
+        val posting = t(s, dir, "documents")
+          .where(col("doc_id") < 300)
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("shingle"))
+          .distinct()
+          .localCheckpoint() // 3 consumers: both join sides + sizes
+        val sizes = posting.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
         val inter = posting.as("pa").join(posting.as("pb"),
             col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))
           .groupBy(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
