@@ -35,12 +35,19 @@ object PipelineOps {
     // ---- benchmark decontamination via 5-gram overlap ----
     "pipe_decontaminate" -> Q(
       (s, dir) => {
+        // explode raw grams then dedupe rows — array_distinct under a
+        // Generate is CodegenFallback and measured ~12x slower (see the
+        // dedup_ngram_jaccard note); the distinct shuffles what the semi
+        // join shuffles anyway. Checkpointed: the eval and train branches
+        // both read it.
         val grams = t(s, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 5)
-          .select(col("doc_id"), col("source"), explode(array_distinct(expr(
-            "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+          .select(col("doc_id"), col("source"), explode(expr(
+            "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
             .as("g"))
+          .distinct()
+          .localCheckpoint()
         // eval split: every 97th doc stands in for the benchmark set
         val evalGrams = grams.where(col("doc_id") % 97 === 0).select("g").distinct()
         grams.where(col("doc_id") % 97 =!= 0)
