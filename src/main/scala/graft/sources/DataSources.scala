@@ -101,4 +101,18 @@ object GraftIO {
   def bam_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bam", path, Map("region" -> region))
   /** Bare-path auto-dispatch (replacement scan analog). */
   def read_auto(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "exon", path, options)
+
+  /** COPY ... TO STDOUT analog (the reference's commented
+    * test_fasta_copy.test stdout cases): render each row to the
+    * format's text representation, one element per record, trailing
+    * record terminator stripped. Distributed — the caller decides
+    * whether to collect/show (the stdout part) or write elsewhere. */
+  def render_text(df: DataFrame, format: String): org.apache.spark.sql.Dataset[String] = {
+    val fmt = Formats.byName(format).formatter.getOrElse(
+      throw new UnsupportedOperationException(s"format '$format' has no text rendering"))
+    val schema = df.schema
+    val rendered = df.queryExecution.toRdd.mapPartitions(
+      _.map(row => fmt.format(row, schema).stripLineEnd))
+    df.sparkSession.createDataset(rendered)(org.apache.spark.sql.Encoders.STRING)
+  }
 }

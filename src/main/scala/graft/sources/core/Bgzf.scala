@@ -146,3 +146,78 @@ final class BgzfRangeStream(raw: FSDataStream, startVoff: Long, endVoff: Long)
 
   override def close(): Unit = raw.in.close()
 }
+
+/** BGZF writer: payload chunked into <=64 KiB blocks, each a gzip member
+  * carrying the BC/BSIZE extra subfield, closed with the spec's 28-byte
+  * EOF marker — output is readable by htslib/bgzip/tabix tooling and by
+  * any plain multi-member gzip reader. One instance per part file
+  * (executor-local); blocks are the compression unit, so a future
+  * indexer can address them by virtual offset.
+  */
+final class BgzfOutputStream(out: java.io.OutputStream) extends java.io.OutputStream {
+  private val MaxPayload = 0xff00 // htslib's block payload bound
+  private val buf = new Array[Byte](MaxPayload)
+  private var n = 0
+  private val deflater = new java.util.zip.Deflater(
+    java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw deflate
+  private val comp = new Array[Byte](MaxPayload + 1024)
+  private var closed = false
+
+  override def write(b: Int): Unit = {
+    buf(n) = b.toByte; n += 1
+    if (n == MaxPayload) flushBlock()
+  }
+
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    var o = off; var l = len
+    while (l > 0) {
+      val c = math.min(l, MaxPayload - n)
+      System.arraycopy(b, o, buf, n, c)
+      n += c; o += c; l -= c
+      if (n == MaxPayload) flushBlock()
+    }
+  }
+
+  private def flushBlock(): Unit = if (n > 0) {
+    deflater.reset()
+    deflater.setInput(buf, 0, n)
+    deflater.finish()
+    var clen = 0
+    while (!deflater.finished()) clen += deflater.deflate(comp, clen, comp.length - clen)
+    val crc = new java.util.zip.CRC32()
+    crc.update(buf, 0, n)
+    val bsize = 18 + clen + 8
+    require(bsize - 1 <= 0xffff, s"BGZF block overflow ($bsize)")
+    val h = java.nio.ByteBuffer.allocate(18).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    h.put(0x1f.toByte).put(0x8b.toByte).put(8.toByte).put(4.toByte) // magic, deflate, FEXTRA
+    h.putInt(0).put(0.toByte).put(0xff.toByte)                      // mtime, XFL, OS=unknown
+    h.putShort(6.toShort)                                           // XLEN
+    h.put('B'.toByte).put('C'.toByte).putShort(2.toShort)           // BC subfield, SLEN
+    h.putShort((bsize - 1).toShort)                                 // BSIZE
+    out.write(h.array())
+    out.write(comp, 0, clen)
+    val t = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    t.putInt(crc.getValue.toInt).putInt(n)
+    out.write(t.array())
+    n = 0
+  }
+
+  override def flush(): Unit = { flushBlock(); out.flush() }
+
+  override def close(): Unit = if (!closed) {
+    closed = true
+    flushBlock()
+    out.write(BgzfOutputStream.EofMarker)
+    out.flush()
+    deflater.end()
+    out.close()
+  }
+}
+
+object BgzfOutputStream {
+  /** The spec's fixed EOF sentinel: an empty BGZF block. */
+  val EofMarker: Array[Byte] = Array(
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06, 0x00,
+    0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00).map(_.toByte)
+}

@@ -90,7 +90,7 @@ object Compression {
 
   def wrap(in: InputStream, codec: String): InputStream = codec match {
     case "none" => in
-    case "gzip" =>
+    case "gzip" | "bgzf" =>
       // Multi-member aware (BGZF = concatenated gzip members).
       new MultiMemberGzipInputStream(in)
     case "zstd" => new com.github.luben.zstd.ZstdInputStream(in)

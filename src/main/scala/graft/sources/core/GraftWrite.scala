@@ -76,9 +76,9 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val codec = options.get("compression").map(_.toLowerCase).filter(_ != "none")
     val ext = formatter.fileExtension + (codec match {
-      case Some("gzip") => ".gz"
-      case Some("zstd") => ".zst"
-      case _            => ""
+      case Some("gzip") | Some("bgzf") => ".gz" // bgzf IS gzip on the wire
+      case Some("zstd")                => ".zst"
+      case _                           => ""
     })
     // Hive-style layout keys from the `partitionBy` option. Partition
     // columns stay IN the rendered records (the formats' schemas are
@@ -116,6 +116,7 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
       val rawOut: OutputStream = fs.create(temp, true)
       val out: OutputStream = codec match {
         case Some("gzip") => new java.util.zip.GZIPOutputStream(rawOut, 1 << 16)
+        case Some("bgzf") => new BgzfOutputStream(new BufferedOutputStream(rawOut, 1 << 16))
         case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(rawOut)
         case Some(other)  => throw new IllegalArgumentException(s"unknown compression '$other'")
         case None         => new BufferedOutputStream(rawOut, 1 << 16)

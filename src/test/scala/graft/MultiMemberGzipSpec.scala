@@ -49,4 +49,25 @@ class MultiMemberGzipSpec extends AnyFunSuite {
     val withEmpty = member("a") ++ member("") ++ member("b")
     assert(drain(new MultiMemberGzipInputStream(new StingyStream(withEmpty))) == "ab")
   }
+
+  test("truncated/garbage trailing data raises a real error, not 'push back buffer is full'") {
+    // mid-member truncation: the JDK's concatenation probe can leave up
+    // to a full inflater buffer unconsumed; the pushback must absorb it
+    val full = member("x" * 100000) ++ member("tail")
+    val truncated = full.take(full.length - 37)
+    val ex = intercept[java.io.IOException] {
+      drain(new MultiMemberGzipInputStream(new ByteArrayInputStream(truncated)))
+    }
+    assert(!ex.getMessage.contains("Push back buffer is full"), ex.getMessage)
+  }
+
+  test("bgzf writer output decodes through the multi-member reader") {
+    val payload = ("line-" * 5000).getBytes("UTF-8") // spans blocks? no: 25KB, 1 block + EOF
+    val bos = new ByteArrayOutputStream()
+    val bgzf = new graft.sources.core.BgzfOutputStream(bos)
+    bgzf.write(payload)
+    bgzf.close()
+    assert(drain(new MultiMemberGzipInputStream(
+      new StingyStream(bos.toByteArray))) == new String(payload, "UTF-8"))
+  }
 }

@@ -61,6 +61,51 @@ class WriterRoundTripSpec extends AnyFunSuite {
     assert(back.orderBy("name").collect().toSeq == src.orderBy("name").collect().toSeq)
   }
 
+  test("render_text: COPY TO STDOUT analog renders records as format text") {
+    val src = GraftIO.read_fasta(spark, "src/test/resources/fixtures/fasta/test.fasta")
+    val out = GraftIO.render_text(src, "fasta").collect().sorted
+    assert(out.toSeq == Seq(">r1 first record\nATCGATCGGGCC", ">r2\nTTTTACGT"))
+    val gff = GraftIO.read_gff(spark, "src/test/resources/fixtures/gff/test.gff")
+    val gffOut = GraftIO.render_text(gff, "gff").collect()
+    assert(gffOut.length == 2 && gffOut.forall(_.split("\t").length == 9))
+  }
+
+  test("bgzf writer: spec-conformant blocks, EOF marker, round-trips; >64KiB spans blocks") {
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("description", StringType),
+      StructField("sequence", StringType)))
+    // one sequence > the 64 KiB BGZF payload bound forces multi-block
+    val big = "ACGT" * 40000 // 160 KB
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("big", null, big), Row("small", "d", "TTAA")), 1), schema)
+    val dir = tmp()
+    df.write.mode("overwrite").option("compression", "bgzf").format("fasta").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".fasta.gz")).get
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    // ends with the 28-byte EOF sentinel
+    assert(bytes.takeRight(28).sameElements(
+      graft.sources.core.BgzfOutputStream.EofMarker))
+    // every block parses through the repo's own BGZF block reader, and
+    // the payload re-assembles to the rendered file
+    val in = new java.io.ByteArrayInputStream(bytes)
+    val outBuf = new java.io.ByteArrayOutputStream()
+    var blocks = 0
+    var blk = graft.sources.core.Bgzf.readBlock(in)
+    while (blk != null) {
+      outBuf.write(blk._2)
+      blocks += 1
+      blk = graft.sources.core.Bgzf.readBlock(in)
+    }
+    assert(blocks >= 3, s"expected multi-block output + EOF, got $blocks") // 2+ data blocks, 1 empty EOF
+    assert(outBuf.toString("UTF-8").contains("small"))
+    // and the normal gzip read path round-trips it
+    val back = GraftIO.read_fasta(spark, dir).orderBy("id").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("big", "small"))
+    assert(back(0).getString(2) == big)
+  }
+
   test("partitioned write: hive-style 2-key tree, content round-trips") {
     val src = GraftIO.read_gff(spark, "src/test/resources/fixtures/gff/test.gff")
     val dir = tmp()
