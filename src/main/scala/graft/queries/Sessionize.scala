@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -20,6 +22,14 @@ object Sessionize {
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
   final case class Session(user_id: Long, sid: Int, session_start_us: Long,
                            n_events: Long, sum_value_cents: Long)
+
+  /** Streaming variants' per-row input (ts duplicated as a TimestampType
+    * column for the watermark and as exact micros for the gap logic —
+    * java.sql.Timestamp.getTime would truncate to millis). */
+  final case class SEv(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
+  /** One open session per user, carried across micro-batches. */
+  final case class OpenSession(sid: Int, start_us: Long, prev_us: Long,
+                               n: Long, cents: Long)
 
   val qs: Map[String, Q] = Map(
     "stream_sessionize" -> Q(
@@ -49,6 +59,120 @@ object Sessionize {
           out
         }
         sessions.toDF()
+          .select(col("user_id"), col("sid"),
+            date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n_events"),
+            (col("sum_value_cents").cast(DecimalType(18, 0)) / 100).cast(DecimalType(18, 2))
+              .cast("double").as("sum_value"))
+          .orderBy("user_id", "sid")
+      },
+      Some("""WITH m AS (
+          SELECT user_id, ts, value,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+                      > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) IS NULL
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sid
+              FROM m)
+        SELECT user_id, CAST(sid AS INTEGER) AS sid,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          count(*) AS n_events,
+          CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        FROM g GROUP BY user_id, sid ORDER BY user_id, sid""")),
+
+    // The PRODUCTION streaming shape: flatMapGroupsWithState with
+    // event-time timeouts. State per user = the one open session; a gap
+    // inside a batch closes and emits immediately, the trailing open
+    // session is flushed when the WATERMARK passes its end + gap (the
+    // EventTimeTimeout), so state is bounded by active users and no
+    // session is held forever. Determinism on a bounded input: the
+    // events are staged time-split (all of batch k precedes batch k+1,
+    // so per-user order is monotone across batches) and two far-future
+    // sentinel files advance the watermark and then trigger the timeout
+    // sweep. The oracle is the SAME batch SQL as stream_sessionize —
+    // the stateful streaming formulation must lose nothing.
+    "stream_sessionize_state" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val tbl = "graft_stream_sessionize_state"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+
+        val staged = java.nio.file.Files.createTempDirectory("graft-sess-state")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sess-tmp")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val midNanos = raw.selectExpr("cast(avg(ts) as bigint)").collect()(0).getLong(0)
+        def stage(dfName: String, i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+          val one = tmp.resolve(dfName)
+          df.coalesce(1).write.mode("overwrite").parquet(one.toString)
+          val part = java.nio.file.Files.list(one).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dest = staged.resolve(f"b$i%02d.parquet")
+          java.nio.file.Files.copy(part, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
+        }
+        stage("h1", 0, raw.where(col("ts") < midNanos))
+        stage("h2", 1, raw.where(col("ts") >= midNanos))
+        Seq(2, 3).foreach { i =>
+          val tsNanos = (4102444800L + (i - 2) * 86400L) * 1000000000L
+          stage(s"s$i", i, Seq((-1L, tsNanos, -1L, "sentinel", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        }
+
+        val gapUs = GapMicros
+        val stream = s.readStream
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts",
+            "ts div 1000 AS ts_us", "value")
+          .withWatermark("ts", "1 minute")
+          .as[SEv]
+
+        val sessions = stream.groupByKey(_.user_id)
+          .flatMapGroupsWithState[OpenSession, Session](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (uid: Long, it: Iterator[SEv], state: GroupState[OpenSession]) =>
+              if (state.hasTimedOut) {
+                // watermark passed the open session's end + gap: final flush
+                val o = state.get
+                state.remove()
+                Iterator.single(Session(uid, o.sid, o.start_us, o.n, o.cents))
+              } else {
+                val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
+                val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+                var cur = state.getOption
+                evs.foreach { e =>
+                  cur match {
+                    case Some(o) if e.ts_us - o.prev_us <= gapUs =>
+                      cur = Some(o.copy(prev_us = e.ts_us, n = o.n + 1,
+                        cents = o.cents + math.round(e.value * 100)))
+                    case Some(o) =>
+                      closed += Session(uid, o.sid, o.start_us, o.n, o.cents)
+                      cur = Some(OpenSession(o.sid + 1, e.ts_us, e.ts_us, 1,
+                        math.round(e.value * 100)))
+                    case None =>
+                      cur = Some(OpenSession(0, e.ts_us, e.ts_us, 1,
+                        math.round(e.value * 100)))
+                  }
+                }
+                cur.foreach { o =>
+                  state.update(o)
+                  state.setTimeoutTimestamp(o.prev_us / 1000 + gapUs / 1000)
+                }
+                closed.iterator
+              }
+          }
+
+        val q = sessions.toDF().writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(tbl)
+          .where(col("user_id") >= 0) // sentinel rows never sessionize
           .select(col("user_id"), col("sid"),
             date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
             col("n_events"),
