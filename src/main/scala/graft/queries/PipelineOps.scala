@@ -89,6 +89,33 @@ object PipelineOps {
           CAST(sum(CASE WHEN bucket < 10 THEN doc_id END) AS BIGINT) AS sample_checksum
         FROM d GROUP BY source ORDER BY source""")),
 
+    // ---- repetition scoring (Gopher-style duplicate n-gram fraction) ----
+    // Per-row HOF projection (no shuffle); repeated boilerplate pushes
+    // the duplicate-trigram fraction up, a standard pre-training quality
+    // gate alongside text_quality's structural ratios.
+    "pipe_repetition" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 3)
+          .selectExpr("doc_id",
+            "size(w) - 2 AS n_grams",
+            "size(array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS n_distinct")
+          .withColumn("rep_ratio",
+            expr("round(1.0d - cast(n_distinct as double) / n_grams, 6)"))
+          .withColumn("repetitive", col("rep_ratio") > 0.2)
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, len(w) - 2 AS n_grams,
+               len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])) AS n_distinct
+              FROM d WHERE len(w) >= 3)
+        SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+          CAST(n_distinct AS INTEGER) AS n_distinct,
+          round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_ratio,
+          (round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) > 0.2) AS repetitive
+        FROM g ORDER BY doc_id""")),
+
     // ---- composed C4-style cleaning pass ----
     "pipe_c4_filter" -> Q(
       (s, dir) => {
