@@ -194,7 +194,7 @@ object FormatScans {
     // content. Exercises the staged task-commit protocol under the gate.
     "fmt_writer_roundtrip" -> Q(
       (s, _) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_wrt").toString
+        val dir = Stage.tempDir("graft_wrt").toString
         GraftIO.read_fasta(s, s"$F/fasta/test.fasta.gz")
           .write.mode("overwrite").option("compression", "gzip").format("fasta").save(s"$dir/fa")
         GraftIO.read_fastq(s, s"$F/fastq/test.fastq")

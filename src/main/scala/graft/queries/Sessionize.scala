@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -101,26 +99,18 @@ object Sessionize {
         val tbl = "graft_stream_sessionize_state"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
 
-        val staged = java.nio.file.Files.createTempDirectory("graft-sess-state")
-        val tmp = java.nio.file.Files.createTempDirectory("graft-sess-tmp")
+        val staged = Stage.tempDir("graft-sess-state")
+        val scratch = Stage.tempDir("graft-sess-tmp")
         val raw = s.read.parquet(s"$dir/events.parquet")
         val midNanos = raw.selectExpr("cast(avg(ts) as bigint)").collect()(0).getLong(0)
-        def stage(dfName: String, i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
-          val one = tmp.resolve(dfName)
-          df.coalesce(1).write.mode("overwrite").parquet(one.toString)
-          val part = java.nio.file.Files.list(one).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          val dest = staged.resolve(f"b$i%02d.parquet")
-          java.nio.file.Files.copy(part, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
-        }
-        stage("h1", 0, raw.where(col("ts") < midNanos))
-        stage("h2", 1, raw.where(col("ts") >= midNanos))
+        Stage.parquetFile(raw.where(col("ts") < midNanos), scratch, staged, "b00.parquet", 0)
+        Stage.parquetFile(raw.where(col("ts") >= midNanos), scratch, staged, "b01.parquet", 1)
         Seq(2, 3).foreach { i =>
           val tsNanos = (4102444800L + (i - 2) * 86400L) * 1000000000L
-          stage(s"s$i", i, Seq((-1L, tsNanos, -1L, "sentinel", 0.0, ""))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+          Stage.parquetFile(
+            Seq((-1L, tsNanos, -1L, "sentinel", 0.0, ""))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+            scratch, staged, f"b$i%02d.parquet", i)
         }
 
         val gapUs = GapMicros
@@ -138,9 +128,16 @@ object Sessionize {
             OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
             (uid: Long, it: Iterator[SEv], state: GroupState[OpenSession]) =>
               if (state.hasTimedOut) {
-                // watermark passed the open session's end + gap: final flush
+                // watermark passed the open session's end + gap: final
+                // flush. A TOMBSTONE (n=0, carrying the next sid, no
+                // timeout) replaces the state instead of removing it —
+                // a returning user must continue the per-user session
+                // numbering, not restart at 0. Stable sids require
+                // remembering one counter per user ever seen; that O(1)
+                // residue is the information-theoretic floor, and it is
+                // what the batch oracle's running-sum numbering implies.
                 val o = state.get
-                state.remove()
+                state.update(OpenSession(o.sid + 1, 0, 0, 0, 0))
                 Iterator.single(Session(uid, o.sid, o.start_us, o.n, o.cents))
               } else {
                 val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
@@ -148,21 +145,23 @@ object Sessionize {
                 var cur = state.getOption
                 evs.foreach { e =>
                   cur match {
-                    case Some(o) if e.ts_us - o.prev_us <= gapUs =>
+                    case Some(o) if o.n > 0 && e.ts_us - o.prev_us <= gapUs =>
                       cur = Some(o.copy(prev_us = e.ts_us, n = o.n + 1,
                         cents = o.cents + math.round(e.value * 100)))
-                    case Some(o) =>
+                    case Some(o) if o.n > 0 =>
                       closed += Session(uid, o.sid, o.start_us, o.n, o.cents)
                       cur = Some(OpenSession(o.sid + 1, e.ts_us, e.ts_us, 1,
                         math.round(e.value * 100)))
-                    case None =>
-                      cur = Some(OpenSession(0, e.ts_us, e.ts_us, 1,
-                        math.round(e.value * 100)))
+                    case tomb =>
+                      // fresh user (None) or tombstone (n=0): next sid
+                      cur = Some(OpenSession(tomb.map(_.sid).getOrElse(0),
+                        e.ts_us, e.ts_us, 1, math.round(e.value * 100)))
                   }
                 }
                 cur.foreach { o =>
                   state.update(o)
-                  state.setTimeoutTimestamp(o.prev_us / 1000 + gapUs / 1000)
+                  if (o.n > 0)
+                    state.setTimeoutTimestamp(o.prev_us / 1000 + gapUs / 1000)
                 }
                 closed.iterator
               }

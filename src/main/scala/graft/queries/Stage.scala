@@ -1,0 +1,51 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.DataFrame
+
+/** Harness-side file staging shared by the streaming entries and the
+  * writer round-trip: scratch directories are tracked and removed on JVM
+  * exit (repeated bench/gate runs in one driver must not grow /tmp by a
+  * dataset copy per invocation), and directory listings go through
+  * File.listFiles (Files.list leaks the directory fd unless closed).
+  */
+object Stage {
+
+  private val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.synchronized(dirs.toList).foreach(deleteRecursively)))
+  }
+
+  def tempDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    dirs.synchronized { dirs += d }
+    d
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    try {
+      val f = p.toFile
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(c => deleteRecursively(c.toPath))
+      f.delete(): Unit
+    } catch { case _: Exception => }
+
+  /** Write `df` as ONE parquet file at `destDir/name`, with an mtime
+    * `order` steps in the future so a maxFilesPerTrigger=1 file stream
+    * schedules the staged files as separate, ordered micro-batches. */
+  def parquetFile(df: DataFrame, scratch: Path, destDir: Path,
+                  name: String, order: Int): Unit = {
+    val one = scratch.resolve(s"w_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(one.toString)
+    val part = Option(one.toFile.listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $one"))
+    val dest = destDir.resolve(name)
+    Files.copy(part.toPath, dest)
+    Files.setLastModifiedTime(dest,
+      FileTime.fromMillis(System.currentTimeMillis() + order * 10000L)): Unit
+  }
+}

@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -35,7 +33,7 @@ object StreamingQ {
         // the file stream source wants a directory; stage the single
         // parquet file into one (harness detail, not a scale path —
         // a real deployment streams from an arriving-files directory)
-        val staged = java.nio.file.Files.createTempDirectory("graft-stream")
+        val staged = Stage.tempDir("graft-stream")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(dir, "events.parquet"),
           staged.resolve("events.parquet"))
@@ -87,26 +85,20 @@ object StreamingQ {
           StructField("value", DoubleType), StructField("props", StringType)))
         val tbl = "graft_stream_events_hourly_append"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
-        val staged = java.nio.file.Files.createTempDirectory("graft-stream-append")
+        val staged = Stage.tempDir("graft-stream-append")
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(dir, "events.parquet"),
           staged.resolve("events.parquet"))
         // two sentinel files (2100-01-01, 2100-01-02), mtime-ordered after
         // the data file so the file source schedules them as later batches
         import s.implicits._
-        val sentinelTmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
+        val scratch = Stage.tempDir("graft-sentinel")
         Seq(1, 2).foreach { i =>
           val tsNanos = (4102444800L + (i - 1) * 86400L) * 1000000000L
-          val one = sentinelTmp.resolve(s"s$i")
-          Seq((0L, tsNanos, 0L, "sentinel", 0.0, ""))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1).write.mode("overwrite").parquet(one.toString)
-          val part = java.nio.file.Files.list(one).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          val dest = staged.resolve(s"sentinel$i.parquet")
-          java.nio.file.Files.copy(part, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 10000L))
+          Stage.parquetFile(
+            Seq((0L, tsNanos, 0L, "sentinel", 0.0, ""))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+            scratch, staged, s"sentinel$i.parquet", i)
         }
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")

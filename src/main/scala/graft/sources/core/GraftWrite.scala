@@ -124,7 +124,30 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
       (out, temp, dest)
     }
 
-    new DataWriter[InternalRow] {
+    // abort usually runs AFTER an I/O failure: close/delete of one key's
+    // stream must not stop cleanup of the others or mask the root cause
+    def quietClean(s: (OutputStream, Path, Path)): Unit = {
+      try s._1.close() catch { case _: Exception => }
+      try if (fs.exists(s._2)) fs.delete(s._2, false) catch { case _: Exception => }
+    }
+
+    if (partCols.isEmpty) {
+      // fast path: one eagerly-opened stream, no per-record key work.
+      // Eager also means a zero-record task still commits an EMPTY part
+      // file — an overwrite with an empty frame must leave a readable
+      // (0-row) target, not a missing directory.
+      val s = openStream("")
+      new DataWriter[InternalRow] {
+        override def write(record: InternalRow): Unit =
+          s._1.write(formatter.format(record, schema).getBytes("UTF-8"))
+        override def commit(): WriterCommitMessage = {
+          s._1.close()
+          GraftWriteCommit(Seq((s._2.toString, s._3.toString)))
+        }
+        override def abort(): Unit = quietClean(s)
+        override def close(): Unit = ()
+      }
+    } else new DataWriter[InternalRow] {
       private val streams = scala.collection.mutable.LinkedHashMap.empty[String, (OutputStream, Path, Path)]
       override def write(record: InternalRow): Unit = {
         val k = keyOf(record)
@@ -135,12 +158,7 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
         streams.values.foreach(_._1.close())
         GraftWriteCommit(streams.values.map(s => (s._2.toString, s._3.toString)).toSeq)
       }
-      override def abort(): Unit = {
-        streams.values.foreach { case (out, temp, _) =>
-          out.close()
-          if (fs.exists(temp)) fs.delete(temp, false)
-        }
-      }
+      override def abort(): Unit = streams.values.foreach(quietClean)
       override def close(): Unit = ()
     }
   }

@@ -63,15 +63,26 @@ class HadoopConfPropagationSpec extends AnyFunSuite {
   test("writer BatchWrite ships the cluster conf too") {
     spark.sparkContext.hadoopConfiguration.set("graft.test.marker", "w-7")
     try {
+      // build the REAL write path (newWriteBuilder -> toBatch) and
+      // inspect the SerializableConfiguration embedded in the
+      // GraftBatchWrite it produces — asserting on a freshly built
+      // newHadoopConf() would stay green even if the builder regressed
+      // to `new Configuration()`
       val dir = java.nio.file.Files.createTempDirectory("graft-conf").resolve("o").toString
-      val df = GraftIO.read_fasta(spark, "src/test/resources/fixtures/fasta/test.fasta")
-      df.write.mode("overwrite").format("fasta").save(dir)
-      // the write path built its SerializableConfiguration from the same
-      // session; verify at the API seam used by GraftBatchWrite.commit
-      val hconf = spark.sessionState.newHadoopConf()
-      assert(hconf.get("graft.test.marker") == "w-7")
-      val back = GraftIO.read_fasta(spark, dir).count()
-      assert(back == 2)
+      val path = "src/test/resources/fixtures/fasta/test.fasta"
+      val fastaSchema = GraftIO.read_fasta(spark, path).schema
+      val table = GraftTable(FastaFormat, fastaSchema, Map("path" -> dir))
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())
+      val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "t"
+        override def schema(): org.apache.spark.sql.types.StructType = fastaSchema
+        override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap = opts
+      }
+      val batch = table.newWriteBuilder(info).build().toBatch
+        .asInstanceOf[GraftBatchWrite]
+      val shipped = roundTrip(batch)
+      assert(shipped.sconf.value.get("graft.test.marker") == "w-7")
     } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.marker")
   }
 }

@@ -61,6 +61,17 @@ class WriterRoundTripSpec extends AnyFunSuite {
     assert(back.orderBy("name").collect().toSeq == src.orderBy("name").collect().toSeq)
   }
 
+  test("overwrite with an empty frame leaves a readable 0-row target") {
+    val src = GraftIO.read_fasta(spark, "src/test/resources/fixtures/fasta/test.fasta")
+    val dir = tmp()
+    src.write.mode("overwrite").format("fasta").save(dir)
+    assert(GraftIO.read_fasta(spark, dir).count() == 2)
+    // overwrite truncates; an empty result must still commit part files
+    src.where(org.apache.spark.sql.functions.lit(false))
+      .write.mode("overwrite").format("fasta").save(dir)
+    assert(GraftIO.read_fasta(spark, dir).count() == 0)
+  }
+
   test("render_text: COPY TO STDOUT analog renders records as format text") {
     val src = GraftIO.read_fasta(spark, "src/test/resources/fixtures/fasta/test.fasta")
     val out = GraftIO.render_text(src, "fasta").collect().sorted
