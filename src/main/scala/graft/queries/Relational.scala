@@ -60,6 +60,32 @@ object Relational {
   }
 
   val qs: Map[String, Q] = Map(
+    // ---- LATERAL correlated subquery (per-customer top-2 orders) ----
+    // Exercises Catalyst's DecorrelateInnerQuery path for a correlated
+    // LIMIT subquery — planned as a ranked window join, never a
+    // per-outer-row re-execution. Ties broken by o_orderkey so the
+    // top-2 cut is engine-independent.
+    "rel_lateral_topn" -> Q(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("g_customer")
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_total
+          FROM g_customer c,
+          LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_total
+                   FROM g_orders o WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          WHERE c.c_custkey < 50
+          ORDER BY c.c_custkey, o_total DESC, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_total
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_total
+                 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 50
+        ORDER BY c.c_custkey, o_total DESC, t.o_orderkey""")),
+
     // ---- full-scan aggregation with filter pushdown (TPC-H Q1 shape) ----
     "rel_agg_pricing" -> Q(
       (s, dir) => {
