@@ -219,6 +219,30 @@ object FormatScans {
         UNION ALL SELECT 'gff', 'sq0', 5
         UNION ALL SELECT 'gff', 'sq1', 6 ORDER BY fmt, key""")),
 
+    // COPY TO STDOUT analog through the gate: distributed per-record
+    // rendering, golden is the literal format text.
+    "fmt_render_text" -> Q(
+      (s, _) => GraftIO.render_text(
+          GraftIO.read_fasta(s, s"$F/fasta/test.fasta"), "fasta")
+        .toDF("rendered").orderBy("rendered"),
+      Some("""SELECT '>r1 first record' || chr(10) || 'ATCGATCGGGCC' AS rendered
+        UNION ALL SELECT '>r2' || chr(10) || 'TTTTACGT' ORDER BY rendered""")),
+
+    // Hive-layout partitioned write through the gate: the key subtree is
+    // independently readable and the whole tree round-trips.
+    "fmt_writer_partitioned" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_wrtp").toString
+        GraftIO.read_gff(s, s"$F/gff/test.gff").write.mode("overwrite")
+          .option("partitionBy", "seqname,type").format("gff").save(dir)
+        val all = GraftIO.read_gff(s, dir)
+          .agg(count(lit(1)).as("n_total"), sum(col("start")).as("start_sum"))
+        val sq0 = GraftIO.read_gff(s, s"$dir/seqname=sq0/type=gene")
+          .agg(count(lit(1)).as("n_sq0"))
+        all.crossJoin(sq0) // 1-row x 1-row
+      },
+      Some("SELECT CAST(2 AS BIGINT) AS n_total, CAST(16 AS BIGINT) AS start_sum, CAST(1 AS BIGINT) AS n_sq0")),
+
     // FORMAT/sample decoding through the gate (reference schema includes
     // genotypes, test_vcf_record_scan.test): text VCF surface...
     "fmt_vcf_genotypes" -> Q(
