@@ -26,6 +26,10 @@ object BamFormat extends GraftFormat {
   override def name = "bam"
   override def extensions = Seq("bam")
   override def forcedCodec: Option[String] = Some("gzip")
+  /** Not text-splittable, but BGZF-block-splittable: tasks sync to a
+    * block header and find the first record boundary with a validated
+    * prologue guesser (see guessRecordStart). */
+  override def bgzfSplittable: Boolean = true
 
   override def schema(paths: Seq[Path], conf: Configuration,
                       options: Map[String, String]): StructType = SamFormat.recordSchema
@@ -76,19 +80,40 @@ object BamFormat extends GraftFormat {
         .map(c => (c.beg, c.end))
     }
 
+  private def regionPasses(vals: Array[Any],
+                           region: Option[(String, Long, Long)]): Boolean = region match {
+    case None => true
+    case Some((chr, lo, hi)) =>
+      val ref = vals(2)
+      val start = vals(3)
+      val end = vals(4)
+      ref != null && ref.asInstanceOf[UTF8String].toString == chr && start != null && {
+        val s = start.asInstanceOf[Long]
+        val e = if (end == null) s else end.asInstanceOf[Long]
+        s <= hi && e >= lo
+      }
+  }
+
+  /** Reference dictionary re-read from the file head (for streams that
+    * do not start at the BAM header). */
+  private def refsFromHead(split: GraftSplit): Array[String] = {
+    val raw = GraftFiles.open(split.path, split.conf)
+    try readHeader(new DataInputStream(Compression.wrap(raw.stream, "gzip")))
+    finally raw.in.close()
+  }
+
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
+    if (split.bgzfSplit)
+      return readBgzfSplit(split, in.asInstanceOf[graft.sources.core.BgzfBlockStream], options)
     // `in` is the BGZF-decompressed stream (gzip codec on .bam paths is
     // forced by the data source for the 'bam' format name). For an
     // index chunk the stream starts at a record boundary, so the
     // reference dictionary is re-read from the file head separately.
     val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
     val refs =
-      if (split.bgzfChunk) {
-        val raw = GraftFiles.open(split.path, split.conf)
-        try readHeader(new DataInputStream(Compression.wrap(raw.stream, "gzip")))
-        finally raw.in.close()
-      } else readHeader(d)
+      if (split.bgzfChunk) refsFromHead(split)
+      else readHeader(d)
 
     val region = options.get("region").map(VcfFormat.parseRegion)
 
@@ -101,21 +126,8 @@ object BamFormat extends GraftFormat {
         nextRow = null
         while (nextRow == null && !done) {
           val rec = try decodeRecord(d, refs) catch { case _: EOFException => done = true; null }
-          if (rec != null && passes(rec)) nextRow = rec
+          if (rec != null && regionPasses(rec, region)) nextRow = rec
         }
-      }
-
-      private def passes(vals: Array[Any]): Boolean = region match {
-        case None => true
-        case Some((chr, lo, hi)) =>
-          val ref = vals(2)
-          val start = vals(3)
-          val end = vals(4)
-          ref != null && ref.asInstanceOf[UTF8String].toString == chr && start != null && {
-            val s = start.asInstanceOf[Long]
-            val e = if (end == null) s else end.asInstanceOf[Long]
-            s <= hi && e >= lo
-          }
       }
 
       override def hasNext: Boolean = nextRow != null
@@ -123,9 +135,145 @@ object BamFormat extends GraftFormat {
     }
   }
 
+  /** How far to scan for a record boundary before declaring the split
+    * unreadable — bounds guesser work; records larger than this would
+    * need an index-driven split instead. */
+  private val MaxGuessScan = 8L << 20
+
+  /** Byte-range split of a BGZF BAM. Ownership mirrors the line
+    * protocol's anchor rule: a record belongs to the split whose range
+    * contains the start of the block holding the byte BEFORE the record
+    * (its predecessor's last byte) — records beginning exactly at a
+    * block boundary route to the earlier split, which reads past its end
+    * until anchors leave its range; the later split skips its guessed
+    * first record when that record's anchor block precedes the range. */
+  private def readBgzfSplit(split: GraftSplit,
+                            bs: graft.sources.core.BgzfBlockStream,
+                            options: Map[String, String]): Iterator[Array[Any]] = {
+    val startCoff = split.start >>> 16
+    val endCoff = (split.end + 1) >>> 16
+    val region = options.get("region").map(VcfFormat.parseRegion)
+
+    var initialAnchor = -1L // voff of the byte before window offset 0
+    val refs =
+      if (split.start == 0) {
+        // stream is at the file head: consume the header in place (exact
+        // byte accounting — no read-ahead buffering) so the window below
+        // starts at the first record
+        val r = readHeader(new DataInputStream(bs))
+        initialAnchor = bs.lastByteVoff
+        r
+      } else refsFromHead(split)
+
+    val win = new graft.sources.core.BgzfWindow(bs)
+    var cursor: Long =
+      if (split.start == 0) 0L
+      else guessRecordStart(win, refs.length)
+    if (cursor < 0) return Iterator.empty
+
+    def anchorOf(c: Long): Long = if (c == 0) initialAnchor else win.voffAt(c - 1)
+
+    // guessed entry: skip records anchored in a block before our range
+    // (the previous split reads past its end and owns them)
+    if (split.start != 0) {
+      var skipping = true
+      while (skipping && win.ensure(cursor + 4)) {
+        val a = anchorOf(cursor)
+        if (a < 0 || (a >>> 16) < startCoff) {
+          val bsz = win.i32(cursor)
+          if (!win.ensure(cursor + 4 + bsz)) return Iterator.empty
+          cursor += 4 + bsz
+          win.trimBefore(cursor - 1)
+        } else skipping = false
+      }
+    }
+
+    new Iterator[Array[Any]] {
+      private var nextRow: Array[Any] = _
+      private var done = false
+      advance()
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && !done) {
+          if (!win.ensure(cursor + 4)) {
+            if (win.end != cursor) throw new EOFException("truncated BAM record header")
+            done = true
+          } else {
+            val a = anchorOf(cursor)
+            if (a >= 0 && (a >>> 16) >= endCoff) { done = true }
+            else {
+              val bsz = win.i32(cursor)
+              if (!win.ensure(cursor + 4 + bsz)) throw new EOFException("truncated BAM record")
+              val body = win.copy(cursor + 4, bsz)
+              cursor += 4 + bsz
+              win.trimBefore(cursor - 1)
+              val rec = decodeBody(body, refs)
+              if (regionPasses(rec, region)) nextRow = rec
+            }
+          }
+        }
+      }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = { val r = nextRow; advance(); r }
+    }
+  }
+
+  /** First plausible BAM record start at or after window offset 0:
+    * validates the fixed 32-byte prologue (reference ids in range, name
+    * length, non-negative lengths, payload fits block_size, NUL-terminated
+    * read name, legal CIGAR op codes) and requires the implied NEXT
+    * record to chain (or land exactly on EOF) — the same heuristic the
+    * htslib family uses for index-free BAM splitting; a false positive
+    * needs two adjacent forged prologues. Returns -1 when the stream ends
+    * before any boundary (split past the last record). */
+  private def guessRecordStart(win: graft.sources.core.BgzfWindow, nRef: Int): Long = {
+    var k = 0L
+    while (k < MaxGuessScan) {
+      if (!win.ensure(k + 36)) return -1
+      if (plausibleRecord(win, k, nRef, depth = 2)) return k
+      k += 1
+    }
+    throw new IllegalStateException(
+      s"no BAM record boundary within $MaxGuessScan bytes of a BGZF split point")
+  }
+
+  private def plausibleRecord(win: graft.sources.core.BgzfWindow, k: Long,
+                              nRef: Int, depth: Int): Boolean = {
+    if (!win.ensure(k + 36)) return win.atEof && win.end == k // clean chain end at EOF
+    val bsz = win.i32(k)
+    if (bsz < 32 || bsz > (1 << 24)) return false
+    val refId = win.i32(k + 4)
+    if (refId < -1 || refId >= nRef) return false
+    if (win.i32(k + 8) < -1) return false // pos
+    val lName = win.u8(k + 12)
+    if (lName < 1) return false
+    val nCig = win.u16(k + 16)
+    val lSeq = win.i32(k + 20)
+    if (lSeq < 0 || lSeq > (1 << 28)) return false
+    val nextRef = win.i32(k + 24)
+    if (nextRef < -1 || nextRef >= nRef) return false
+    if (win.i32(k + 28) < -1) return false // next_pos
+    if (32L + lName + 4L * nCig + (lSeq + 1) / 2 + lSeq > bsz) return false
+    if (!win.ensure(k + 36 + lName + 4L * math.min(nCig, 4))) return false
+    if (win.u8(k + 36 + lName - 1) != 0) return false // read name NUL
+    var i = 0
+    while (i < math.min(nCig, 4)) {
+      if ((win.u8(k + 36 + lName + 4L * i) & 0xf) > 8) return false
+      i += 1
+    }
+    if (depth == 0) true
+    else plausibleRecord(win, k + 4 + bsz, nRef, depth - 1)
+  }
+
   def decodeRecord(d: DataInputStream, refs: Array[String]): Array[Any] = {
     val blockSize = readIntLE(d)
     val body = readFully(d, blockSize)
+    decodeBody(body, refs)
+  }
+
+  def decodeBody(body: Array[Byte], refs: Array[String]): Array[Any] = {
     val bb = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val refId = bb.getInt
     val pos0 = bb.getInt // 0-based

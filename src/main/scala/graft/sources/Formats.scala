@@ -15,9 +15,22 @@ private[sources] object P {
   def dotNull(v: String): String = if (v == null || v == ".") null else v
   def arr(vs: Seq[Any]): GenericArrayData = new GenericArrayData(vs.toArray)
 
-  /** Iterate lines of a split with the Hadoop boundary protocol. */
-  def lines(split: GraftSplit, in: InputStream): Iterator[(Long, String)] =
-    new LineReader(in, split.start, if (split.end == Long.MaxValue) Long.MaxValue else split.end)
+  /** Iterate lines of a split with the Hadoop boundary protocol.
+    * Positions are raw byte offsets for plain streams and anchor voffs
+    * for BGZF block splits — same protocol, different coordinates. */
+  def lines(split: GraftSplit, in: InputStream): Iterator[(Long, String)] = in match {
+    case bs: BgzfBlockStream => new VoffLineReader(bs, split.start, split.end)
+    case _ =>
+      new LineReader(in, split.start, if (split.end == Long.MaxValue) Long.MaxValue else split.end)
+  }
+
+  /** Like `lines` but without the end bound: record-structured formats
+    * (FASTA/FASTQ) bound at record starts themselves and must read body
+    * lines past the split end. */
+  def linesUnbounded(split: GraftSplit, in: InputStream): Iterator[(Long, String)] = in match {
+    case bs: BgzfBlockStream => new VoffLineReader(bs, split.start, Long.MaxValue)
+    case _ => new LineReader(in, split.start, Long.MaxValue)
+  }
 
   /** Simple whole-stream lines (non-splittable formats). */
   def allLines(in: InputStream): Iterator[String] =
@@ -41,7 +54,7 @@ object FastaFormat extends GraftFormat {
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
-    val it = new LineReader(in, split.start, Long.MaxValue).buffered
+    val it = P.linesUnbounded(split, in).buffered
     new Iterator[Array[Any]] {
       private def syncToHeader(): Unit =
         while (it.hasNext && !it.head._2.startsWith(">")) it.next()
@@ -86,7 +99,7 @@ object FastqFormat extends GraftFormat {
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
-    val it = new LineReader(in, split.start, Long.MaxValue)
+    val it = P.linesUnbounded(split, in)
       .filter(_._2.nonEmpty).buffered
     val lookahead = scala.collection.mutable.Queue.empty[(Long, String)]
     def peek(k: Int): Option[(Long, String)] = {

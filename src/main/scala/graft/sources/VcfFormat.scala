@@ -27,6 +27,10 @@ import graft.sources.core._
 object VcfFormat extends GraftFormat {
   override def name = "vcf"
   override def extensions = Seq("vcf")
+  /** Line-oriented records: plain .vcf splits by byte range, bgzipped
+    * .vcf.gz by BGZF block range (headers live at the file head and are
+    * '#'-filtered in every split). */
+  override def splittable = true
 
   final case class InfoField(id: String, number: String, vcfType: String) {
     def single: Boolean = number == "1" || number == "0"
@@ -110,7 +114,12 @@ object VcfFormat extends GraftFormat {
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
     val withSamples = schema.fieldNames.contains("genotypes")
     val region = options.get("region").map(parseRegion)
-    new LineReader(in, 0, Long.MaxValue)
+    // index-chunk streams are pre-bounded (voff range), so they read
+    // whole; ranged/bgzf splits apply the line ownership protocol
+    val lineIt =
+      if (split.bgzfChunk) new LineReader(in, 0, Long.MaxValue)
+      else P.lines(split, in)
+    lineIt
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(parseRecord(_, infoSchema, withSamples))

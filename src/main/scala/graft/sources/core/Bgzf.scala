@@ -77,6 +77,229 @@ object Bgzf {
     }
     out.toByteArray
   }
+
+  /** Parse a BGZF block header at buf(off): returns BSIZE (total
+    * compressed block length) or -1 if not a valid header. Checks the
+    * gzip magic, FEXTRA flag, and walks the extra subfields for BC/BSIZE
+    * — the triple that distinguishes BGZF from both plain gzip and
+    * arbitrary payload bytes. */
+  def headerBsize(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (off + 14 > len) return -1
+    if ((buf(off) & 0xff) != 0x1f || (buf(off + 1) & 0xff) != 0x8b ||
+        buf(off + 2) != 8 || (buf(off + 3) & 4) == 0) return -1
+    val xlen = (buf(off + 10) & 0xff) | ((buf(off + 11) & 0xff) << 8)
+    if (off + 12 + xlen > len) return -1
+    var i = off + 12
+    val end = off + 12 + xlen
+    while (i + 4 <= end) {
+      val si1 = buf(i) & 0xff
+      val si2 = buf(i + 1) & 0xff
+      val slen = (buf(i + 2) & 0xff) | ((buf(i + 3) & 0xff) << 8)
+      if (si1 == 66 && si2 == 67 && slen == 2 && i + 6 <= end)
+        return ((buf(i + 4) & 0xff) | ((buf(i + 5) & 0xff) << 8)) + 1
+      i += 4 + slen
+    }
+    -1
+  }
+
+  /** Driver-side probe: does this file start with a BGZF block? Reads at
+    * most 4 KB once; the property that licenses byte-range splitting of
+    * a compressed file (plain gzip streams cannot be entered mid-way,
+    * BGZF blocks can). */
+  def isBgzf(path: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val raw = GraftFiles.open(path, conf)
+    try {
+      val buf = new Array[Byte](4096)
+      var got = 0
+      var n = 0
+      while (got < buf.length && n >= 0) {
+        n = raw.stream.read(buf, got, buf.length - got)
+        if (n > 0) got += n
+      }
+      headerBsize(buf, 0, got) > 0
+    } catch { case _: Exception => false } finally raw.in.close()
+  }
+
+  /** First BGZF block boundary at or after `from`, bounded by `until`
+    * (exclusive): the executor-side sync that turns an arbitrary planner
+    * byte offset into a decompressable entry point. A candidate offset is
+    * accepted only when its header parses AND the next block header (or
+    * exact file end) sits BSIZE bytes later — a forged 18-byte chained
+    * pair inside deflate payload is vanishingly unlikely. Returns -1 when
+    * no boundary starts in [from, until) (the range is interior to one
+    * block; that block's owner is the earlier split). */
+  def syncToBlock(raw: FSDataStream, from: Long, until: Long, fileLen: Long): Long = {
+    if (from == 0) return 0
+    // any interior offset is within 64 KiB of the next boundary (BSIZE is
+    // 16-bit); window = scan range + one max block + header slack
+    val scanLimit = math.min(until, math.min(from + 0x10000L + 1, fileLen))
+    if (scanLimit <= from) return -1
+    val winLen = (math.min(fileLen, from + 2L * 0x10000 + 4096) - from).toInt
+    val win = new Array[Byte](winLen)
+    raw.seek(from)
+    var got = 0
+    var n = 0
+    while (got < winLen && n >= 0) {
+      n = raw.stream.read(win, got, winLen - got)
+      if (n > 0) got += n
+    }
+    var k = 0
+    val kMax = (scanLimit - from).toInt
+    while (k < kMax) {
+      val bsize = headerBsize(win, k, got)
+      if (bsize > 0) {
+        val nxt = k + bsize
+        if (from + nxt == fileLen) return from + k
+        if (from + nxt < fileLen && headerBsize(win, nxt, got) > 0) return from + k
+      }
+      k += 1
+    }
+    -1
+  }
+}
+
+/** Decompressed stream over consecutive BGZF blocks from a block boundary
+  * to file EOF, exposing virtual-offset positions (coff<<16|intra, the
+  * tabix addressing scheme). Bulk reads never cross a block boundary, so
+  * callers can attribute every returned byte to its block — the
+  * bookkeeping that lets split ownership be decided in compressed-file
+  * coordinates. This is the executor-side engine of index-free parallel
+  * scans over bgzipped files (the reference's single-producer Arrow
+  * stream, exon arrow_table_function/module.cpp:36, is the serial design
+  * this replaces). */
+final class BgzfBlockStream(raw: FSDataStream, startCoff: Long) extends InputStream {
+  private var blockCoff: Long = startCoff
+  private var nextCoff: Long = startCoff
+  private var block: Array[Byte] = _
+  private var pos = 0
+  private var eof = false
+  /** voff of the last byte returned; -1 before the first read. */
+  var lastByteVoff: Long = -1L
+
+  raw.seek(startCoff)
+  loadBlock()
+
+  private def loadBlock(): Unit = {
+    blockCoff = nextCoff
+    Bgzf.readBlock(raw.stream) match {
+      case null => eof = true; block = null
+      case (clen, data) =>
+        nextCoff = blockCoff + clen
+        block = data
+        pos = 0
+        if (data.length == 0) loadBlock() // skip EOF-marker/empty blocks
+    }
+  }
+
+  /** voff of the byte the next read returns; Long.MaxValue at EOF. */
+  def nextVoff: Long =
+    if (eof) Long.MaxValue
+    else if (pos >= block.length) nextCoff << 16
+    else (blockCoff << 16) | pos.toLong
+
+  override def read(): Int = {
+    if (eof) return -1
+    if (pos >= block.length) { loadBlock(); if (eof) return -1 }
+    val b = block(pos) & 0xff
+    lastByteVoff = (blockCoff << 16) | pos.toLong
+    pos += 1
+    b
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (eof) return -1
+    if (pos >= block.length) { loadBlock(); if (eof) return -1 }
+    val n = math.min(len, block.length - pos)
+    System.arraycopy(block, pos, b, off, n)
+    pos += n
+    lastByteVoff = (blockCoff << 16) | (pos - 1).toLong
+    n
+  }
+
+  override def close(): Unit = raw.in.close()
+}
+
+/** Buffered random-access window over a BgzfBlockStream's decompressed
+  * bytes with per-byte voff attribution and front-trimming — the bounded
+  * working set a BAM split reader needs to guess a record boundary and
+  * then parse records that straddle blocks. Memory is O(largest record +
+  * one block), not O(split). */
+final class BgzfWindow(bs: BgzfBlockStream) {
+  private final case class Chunk(startAbs: Long, voff: Long, bytes: Array[Byte])
+  private val chunks = new java.util.ArrayDeque[Chunk]()
+  private var endAbs = 0L
+  private var eofSeen = false
+  private var hint: Chunk = _ // last chunk hit — sequential access is O(1)
+
+  /** Buffer until absolute offset `upTo` (exclusive) is available;
+    * false when EOF intervenes first. */
+  def ensure(upTo: Long): Boolean = {
+    while (endAbs < upTo && !eofSeen) {
+      val v = bs.nextVoff
+      val buf = new Array[Byte](1 << 16)
+      val n = bs.read(buf) // block-bounded: one chunk = one voff run
+      if (n < 0) eofSeen = true
+      else {
+        chunks.addLast(Chunk(endAbs, v,
+          if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)))
+        endAbs += n
+      }
+    }
+    endAbs >= upTo
+  }
+
+  def end: Long = endAbs
+  def atEof: Boolean = eofSeen
+
+  /** Drop buffered chunks wholly before `abs`. */
+  def trimBefore(abs: Long): Unit = {
+    while (!chunks.isEmpty && {
+      val c = chunks.peekFirst
+      c.startAbs + c.bytes.length <= abs
+    }) {
+      val dropped = chunks.removeFirst()
+      if (hint eq dropped) hint = null
+    }
+  }
+
+  private def chunkOf(abs: Long): Chunk = {
+    val h = hint
+    if (h != null && abs >= h.startAbs && abs < h.startAbs + h.bytes.length) return h
+    val it = chunks.iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (abs >= c.startAbs && abs < c.startAbs + c.bytes.length) { hint = c; return c }
+    }
+    throw new IllegalStateException(s"window offset $abs not buffered")
+  }
+
+  def u8(abs: Long): Int = {
+    val c = chunkOf(abs)
+    c.bytes((abs - c.startAbs).toInt) & 0xff
+  }
+  def u16(abs: Long): Int = u8(abs) | (u8(abs + 1) << 8)
+  def i32(abs: Long): Int =
+    u8(abs) | (u8(abs + 1) << 8) | (u8(abs + 2) << 16) | (u8(abs + 3) << 24)
+
+  /** voff of the byte at absolute offset `abs` (same-block arithmetic —
+    * chunks never span blocks). */
+  def voffAt(abs: Long): Long = {
+    val c = chunkOf(abs)
+    c.voff + (abs - c.startAbs)
+  }
+
+  def copy(abs: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var done = 0
+    while (done < len) {
+      val c = chunkOf(abs + done)
+      val o = (abs + done - c.startAbs).toInt
+      val n = math.min(len - done, c.bytes.length - o)
+      System.arraycopy(c.bytes, o, out, done, n)
+      done += n
+    }
+    out
+  }
 }
 
 /** An InputStream over the BGZF-decompressed bytes of [startVoff,

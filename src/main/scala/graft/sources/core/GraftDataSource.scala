@@ -166,6 +166,19 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
               val s = i.toLong * maxSplit
               GraftInputPartition(path, s, math.min(s + maxSplit, len), len)
             }
+          } else if (format.bgzfSplittable && (codec == "gzip" || codec == "bgzf") &&
+              len > maxSplit && Bgzf.isBgzf(path, conf)) {
+            // BGZF is block-addressable: one partition per ~maxSplit
+            // COMPRESSED bytes; executors sync to the next block header
+            // and apply the anchor-voff ownership protocol. This is what
+            // keeps a single 100 GB .bam/.vcf.gz from serializing a
+            // cluster into one task.
+            val n = math.ceil(len.toDouble / maxSplit).toInt
+            (0 until n).map { i =>
+              val s = i.toLong * maxSplit
+              GraftInputPartition(path, s, math.min(s + maxSplit, len), len,
+                bgzfSplit = true)
+            }
           } else {
             Seq(GraftInputPartition(path, 0, Long.MaxValue, len))
           }
@@ -187,7 +200,8 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long,
-                                     fileLen: Long, bgzfChunk: Boolean = false)
+                                     fileLen: Long, bgzfChunk: Boolean = false,
+                                     bgzfSplit: Boolean = false)
     extends InputPartition
 
 final case class GraftReaderFactory(format: GraftFormat, full: StructType,
@@ -203,10 +217,31 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
     val conf = sconf.value
     val raw = GraftFiles.open(p.path, conf)
     val codec = format.forcedCodec.getOrElse(Compression.of(p.path, options)._1)
-    val ranged = !p.bgzfChunk && (p.start != 0 || p.end != Long.MaxValue)
+    val ranged = !p.bgzfChunk && !p.bgzfSplit && (p.start != 0 || p.end != Long.MaxValue)
     if (ranged) {
       require(codec == "none", "ranged split over compressed input")
       raw.seek(p.start) // LineReader expects the stream positioned at split start
+    }
+    if (p.bgzfSplit) {
+      // executor-side sync: first BGZF block header in [start, end); a
+      // range interior to one block owns nothing (the block belongs to
+      // the split containing its start)
+      val sync = Bgzf.syncToBlock(raw, p.start, p.end, p.fileLen)
+      if (sync < 0) {
+        raw.in.close()
+        return new PartitionReader[InternalRow] {
+          override def next(): Boolean = false
+          override def get(): InternalRow = throw new NoSuchElementException
+          override def close(): Unit = ()
+        }
+      }
+      val stream = new BgzfBlockStream(raw, sync)
+      // split bounds in voff coordinates: [S<<16, (E<<16)-1] — an anchor
+      // voff is <= (E<<16)-1 iff its block starts before E
+      val split = GraftSplit(p.path,
+        if (p.start == 0) 0L else p.start << 16, (p.end << 16) - 1,
+        p.fileLen, bgzfSplit = true, conf = conf)
+      return buildReader(stream, split)
     }
     val stream =
       if (p.bgzfChunk) new BgzfRangeStream(raw, p.start, p.end) // index chunk, pre-decompressed
@@ -215,6 +250,11 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
     val split = GraftSplit(p.path, if (ranged) p.start else 0,
       if (ranged) p.end else Long.MaxValue, p.fileLen, bgzfChunk = p.bgzfChunk,
       conf = conf)
+    buildReader(stream, split)
+  }
+
+  private def buildReader(stream: java.io.InputStream,
+                          split: GraftSplit): PartitionReader[InternalRow] = {
 
     val fullIter = format.read(split, full, stream, options)
     val fieldIdx = required.fieldNames.map(full.fieldIndex)

@@ -30,6 +30,15 @@ trait GraftFormat extends Serializable {
     */
   def splittable: Boolean = false
 
+  /** Whether BGZF-compressed files of this format can be read by
+    * compressed byte range (tasks sync to the next BGZF block header;
+    * line formats then apply the anchor-voff line protocol, BAM uses a
+    * record-start guesser). Defaults to the text splittability — BGZF is
+    * block-addressable by design, so a bgzipped file of a splittable
+    * format stays splittable. Without this, one large .bam / .vcf.gz is
+    * a single task: the first wall a 100 TB user hits. */
+  def bgzfSplittable: Boolean = splittable
+
   /** Codec forced by the format itself regardless of extension (BAM is
     * always BGZF = concatenated gzip members). */
   def forcedCodec: Option[String] = None
@@ -66,6 +75,7 @@ trait GraftFormat extends Serializable {
   * never serialized. */
 final case class GraftSplit(path: String, start: Long, end: Long, fileLen: Long,
                             bgzfChunk: Boolean = false,
+                            bgzfSplit: Boolean = false,
                             conf: Configuration = new Configuration())
 
 object Compression {

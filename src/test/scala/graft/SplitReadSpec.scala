@@ -89,6 +89,187 @@ class SplitReadSpec extends AnyFunSuite {
     assert(df.count() == 6)
   }
 
+  // ---- BGZF block splits: one large .vcf.gz/.bam parallelizes across ----
+  // ---- tasks that sync to block headers (VERDICT r3 ask #1)         ----
+
+  /** Write `bytes` as BGZF, cutting a block after every `slice` bytes —
+    * small multi-block files whose record/block alignment we control. */
+  private def bgzfWrite(path: java.nio.file.Path, bytes: Array[Byte], slice: Int): Unit = {
+    val out = new graft.sources.core.BgzfOutputStream(Files.newOutputStream(path))
+    var i = 0
+    while (i < bytes.length) {
+      val n = math.min(slice, bytes.length - i)
+      out.write(bytes, i, n)
+      out.flush() // force a block boundary here
+      i += n
+    }
+    out.close()
+  }
+
+  private def vcfText: String = {
+    val header = "##fileformat=VCFv4.2\n" +
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">\n" +
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    header + (1 to 400).map { i =>
+      s"chr${i % 3}\t${i * 10}\tid$i\tA\tG\t${i % 50}.0\tPASS\tDP=$i"
+    }.mkString("", "\n", "\n")
+  }
+
+  test("vcf.gz (BGZF): block splits == single split, lines straddling blocks") {
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("big.vcf.gz")
+    bgzfWrite(p, vcfText.getBytes("UTF-8"), slice = 97) // lines cross blocks
+    val whole = GraftIO.read_vcf_file_records(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(512) {
+      val df = GraftIO.read_vcf_file_records(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5, "expected many BGZF split partitions")
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 400)
+  }
+
+  test("vcf.gz (BGZF): every line starting exactly at a block boundary") {
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("aligned.vcf.gz")
+    // one line per block: the anchor protocol's hardest case (a split's
+    // first line is complete, not partial — owned by the PREVIOUS task)
+    val out = new graft.sources.core.BgzfOutputStream(Files.newOutputStream(p))
+    vcfText.split("\n").foreach { l => out.write((l + "\n").getBytes("UTF-8")); out.flush() }
+    out.close()
+    val whole = GraftIO.read_vcf_file_records(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(700) {
+      val df = GraftIO.read_vcf_file_records(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 400)
+  }
+
+  test("plain .vcf: byte-range splits == single split") {
+    val path = tmpFile("big.vcf", vcfText)
+    val whole = GraftIO.read_vcf_file_records(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(256) {
+      val df = GraftIO.read_vcf_file_records(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 400)
+  }
+
+  test("fasta.gz (BGZF): block splits sync '>' records across blocks") {
+    val content = (1 to 200).map { i =>
+      s">rec$i desc$i\n${"ACGT" * (i % 5 + 1)}\nGG\n"
+    }.mkString
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("big.fasta.gz")
+    bgzfWrite(p, content.getBytes("UTF-8"), slice = 61)
+    val whole = GraftIO.read_fasta(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(300) {
+      val df = GraftIO.read_fasta(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 200)
+  }
+
+  /** Minimal BAM encoder for fixtures (header + records, uncompressed
+    * payload; BGZF framing added by bgzfWrite). */
+  private def bamBytes(n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("BAM".getBytes); bos.write(1)
+    val text = "@HD\tVN:1.6\n"
+    i32(text.length); bos.write(text.getBytes)
+    i32(1) // n_ref
+    i32(5); bos.write("ref1".getBytes); bos.write(0); i32(100000000)
+    (1 to n).foreach { i =>
+      val name = "r%04d".format(i) // fixed width -> fixed record length
+      val nameZ = name.getBytes.length + 1
+      val lSeq = 10
+      val blockSize = 32 + nameZ + 4 * 1 + (lSeq + 1) / 2 + lSeq
+      i32(blockSize)
+      i32(0)       // refID
+      i32(i * 7)   // pos (0-based)
+      bos.write(nameZ); bos.write(60) // l_read_name, mapq
+      u16(0)       // bin
+      u16(1)       // n_cigar
+      u16(if (i % 4 == 0) 16 else 0) // flag
+      i32(lSeq)
+      i32(-1); i32(-1); i32(0) // next_refID, next_pos, tlen
+      bos.write(name.getBytes); bos.write(0)
+      i32((lSeq << 4) | 0) // 10M
+      // ACGTACGTAC -> nibbles 1,2,4,8 repeating
+      bos.write(0x12); bos.write(0x48); bos.write(0x12); bos.write(0x48); bos.write(0x12)
+      (0 until lSeq).foreach(_ => bos.write(30 + (i % 10)))
+    }
+    bos.toByteArray
+  }
+
+  test("bam (BGZF): splits guess record boundaries, records straddle blocks") {
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("big.bam")
+    bgzfWrite(p, bamBytes(400), slice = 113) // ~60 B records cross 113 B blocks
+    val whole = GraftIO.read_bam_file_records(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(800) {
+      val df = GraftIO.read_bam_file_records(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5, "expected many BGZF split partitions")
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 400)
+  }
+
+  test("bam (BGZF): every record starting exactly at a block boundary") {
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("aligned.bam")
+    val bytes = bamBytes(300)
+    // block-align each record: header in its own block, then one record
+    // per block — exercises the anchor-skip rule at every boundary
+    val out = new graft.sources.core.BgzfOutputStream(Files.newOutputStream(p))
+    val headerLen = bytes.length - {
+      // records are the tail; recompute their total from the encoder
+      val one = bamBytes(1); val zero = bamBytes(0)
+      300 * (one.length - zero.length)
+    }
+    out.write(bytes, 0, headerLen); out.flush()
+    var off = headerLen
+    val recLen = (bytes.length - headerLen) / 300
+    while (off < bytes.length) {
+      val n = math.min(recLen, bytes.length - off)
+      out.write(bytes, off, n); out.flush()
+      off += n
+    }
+    out.close()
+    val whole = GraftIO.read_bam_file_records(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(500) {
+      val df = GraftIO.read_bam_file_records(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 300)
+  }
+
+  test("bam (BGZF): splits smaller than one block (interior splits own nothing)") {
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("bigblock.bam")
+    bgzfWrite(p, bamBytes(200), slice = 4000) // few large blocks
+    val whole = GraftIO.read_bam_file_records(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(300) { // many splits land inside one block
+      GraftIO.read_bam_file_records(spark, p.toString).collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 200)
+  }
+
   test("sam: ranged splits skip header lines only at file start") {
     val header = "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:100000\n"
     val body = (1 to 300).map { i =>
