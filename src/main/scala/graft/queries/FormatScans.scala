@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.sources.GraftIO
 
@@ -170,23 +171,51 @@ object FormatScans {
       Some("SELECT CAST(83 AS BIGINT) AS n, CAST(756709974 AS BIGINT) AS pos_sum, CAST(2397 AS BIGINT) AS dp_sum")),
 
     // Replacement-scan analog (reference arrow_table_function/module.cpp:320-382):
-    // bare paths dispatch on extension with the compression suffix stripped.
+    // bare paths dispatch on extension with the compression suffix
+    // stripped — ALL 10 dispatchable formats through the gate, plus the
+    // negative case: BED and GTF bare paths must NOT dispatch (reference
+    // parity, module.cpp:336-379).
     "fmt_auto_dispatch" -> Q(
       (s, _) => {
-        val fa = GraftIO.read_auto(s, s"$F/fasta/test.fasta.gz")
-          .select(lit("fasta").as("fmt"), col("id").as("key"))
-        val fq = GraftIO.read_auto(s, s"$F/fastq/test.fastq")
-          .select(lit("fastq").as("fmt"), col("name").as("key"))
-        val sm = GraftIO.read_auto(s, s"$F/sam/example.sam")
-          .select(lit("sam").as("fmt"), col("name").as("key"))
-        fa.union(fq).union(sm).groupBy("fmt")
+        def row(fmt: String, df: org.apache.spark.sql.DataFrame, key: Column) =
+          df.select(lit(fmt).as("fmt"), key.cast("string").as("key"))
+        val rows = Seq(
+          row("fasta", GraftIO.read_auto(s, s"$F/fasta/test.fasta.gz"), col("id")),
+          row("fastq", GraftIO.read_auto(s, s"$F/fastq/test.fastq"), col("name")),
+          row("gff", GraftIO.read_auto(s, s"$F/gff/test.gff"), col("type")),
+          row("sam", GraftIO.read_auto(s, s"$F/sam/example.sam"), col("name")),
+          row("bam", GraftIO.read_auto(s, s"$F/bam/test.bam"), col("name")),
+          row("vcf", GraftIO.read_auto(s, s"$F/vcf/test.vcf.gz"), col("pos")),
+          row("bcf", GraftIO.read_auto(s, s"$F/vcf/test.bcf"), col("pos")),
+          row("genbank", GraftIO.read_auto(s, s"$F/genbank/test.gb"), col("accession")),
+          row("hmmdomtab", GraftIO.read_auto(s, s"$F/hmm/test.domtblout"), col("domain_number")),
+          row("mzml", GraftIO.read_auto(s, s"$F/mzml/test.mzML"), col("id")))
+        // negative dispatch checks run at plan time on the driver
+        def rejected(path: String): String =
+          try { GraftIO.read_auto(s, path); "dispatched" }
+          catch { case _: IllegalArgumentException => "rejected" }
+        val neg = row("zz_bed", GraftIO.read_gff(s, s"$F/gff/test.gff").limit(1),
+            lit(rejected(s"$F/bed/test3.bed")))
+          .union(row("zz_gtf", GraftIO.read_gff(s, s"$F/gff/test.gff").limit(1),
+            lit(rejected(s"$F/gtf/test.gtf"))))
+        rows.reduce(_ union _).union(neg).groupBy("fmt")
           .agg(count(lit(1)).as("n"),
             array_join(sort_array(collect_list(col("key"))), ",").as("keys"))
           .orderBy("fmt")
       },
-      Some("""SELECT 'fasta' AS fmt, CAST(2 AS BIGINT) AS n, 'r1,r2' AS keys
+      Some("""SELECT 'bam' AS fmt, CAST(3 AS BIGINT) AS n, 'b001,b002,b003' AS keys
+        UNION ALL SELECT 'bcf', 5, '101,205,55,777,990'
+        UNION ALL SELECT 'fasta', 2, 'r1,r2'
         UNION ALL SELECT 'fastq', 2, 'q1,q2'
-        UNION ALL SELECT 'sam', 3, 'r001,r002,r003' ORDER BY fmt""")),
+        UNION ALL SELECT 'genbank', 2, 'GRAFT001,GRAFT002'
+        UNION ALL SELECT 'gff', 2, 'gene,gene'
+        UNION ALL SELECT 'hmmdomtab', 2, '1,1'
+        UNION ALL SELECT 'mzml', 2, 'chromatogram=0,declaration=0 collection=0 scan=0'
+        UNION ALL SELECT 'sam', 3, 'r001,r002,r003'
+        UNION ALL SELECT 'vcf', 5, '101,205,55,777,990'
+        UNION ALL SELECT 'zz_bed', 1, 'rejected'
+        UNION ALL SELECT 'zz_gtf', 1, 'rejected'
+        ORDER BY fmt""")),
 
     // Writer surface end-to-end (reference's commented COPY TO semantics,
     // test_fasta_copy.test): write all three writable formats to a scratch
@@ -269,6 +298,27 @@ object FormatScans {
           CAST(50 AS REAL) AS qual, 'PASS' AS filter, 10 AS dp, 'GT:GQ' AS format,
           '0/1:99|1/1:42' AS gts
         UNION ALL SELECT '1', 200, 'G', 'T', CAST(30 AS REAL), 'PASS', 5, 'GT:GQ', '0/0:10|0/1:77'
-        ORDER BY pos"""))
+        ORDER BY pos""")),
+
+    // ##FORMAT-driven typed genotype structs (genotypes_typed[0].gq
+    // without string parsing — the analytics shape; VERDICT r3 ask #3),
+    // proven identical on the text and binary surfaces with one golden.
+    "fmt_vcf_genotypes_typed" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/samples.vcf")
+        .selectExpr("pos", "genotypes_typed[0].gt AS gt0", "genotypes_typed[0].gq AS gq0",
+          "genotypes_typed[1].gt AS gt1", "genotypes_typed[1].gq AS gq1")
+        .where("genotypes_typed[1].gq > 20")
+        .orderBy("pos"),
+      Some("""SELECT CAST(100 AS BIGINT) AS pos, '0/1' AS gt0, 99 AS gq0, '1/1' AS gt1, 42 AS gq1
+        UNION ALL SELECT 200, '0/0', 10, '0/1', 77 ORDER BY pos""")),
+
+    "fmt_bcf_genotypes_typed" -> Q(
+      (s, _) => GraftIO.read_bcf_file_records(s, s"$F/vcf/samples.bcf")
+        .selectExpr("pos", "genotypes_typed[0].gt AS gt0", "genotypes_typed[0].gq AS gq0",
+          "genotypes_typed[1].gt AS gt1", "genotypes_typed[1].gq AS gq1")
+        .where("genotypes_typed[1].gq > 20")
+        .orderBy("pos"),
+      Some("""SELECT CAST(100 AS BIGINT) AS pos, '0/1' AS gt0, 99 AS gq0, '1/1' AS gt1, 42 AS gq1
+        UNION ALL SELECT 200, '0/0', 10, '0/1', 77 ORDER BY pos"""))
   )
 }

@@ -98,10 +98,18 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id").asc)
-        // candidates: same bucket OR Hamming-1 bucket (probe radius 1)
-        e.join(broadcast(q),
+        // candidates: same bucket OR Hamming-1 bucket (probe radius 1).
+        // Each query explodes into its 17 probe keys (itself + one per
+        // flipped bit) and joins on bucket EQUALITY: a BroadcastHashJoin
+        // the corpus side streams through, instead of the nested-loop
+        // scan a bit_count(bucket^qb)<=1 predicate forces — the shape
+        // that stays linear when the query set grows at 100 TB. Probe
+        // keys are distinct, so no pair duplicates.
+        val qProbes = q.withColumn("probe", explode(expr(
+          "concat(array(qb), transform(sequence(0, 15), j -> qb ^ shiftleft(1L, j)))")))
+        e.join(broadcast(qProbes),
             col("vec_id") =!= col("q_id") &&
-            bit_count(expr("bucket ^ qb")) <= 1)
+            col("bucket") === col("probe"))
           .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") <= 5)

@@ -70,8 +70,9 @@ object BcfFormat extends GraftFormat {
         .exists(_.split("\t").length > 8)
       StructType(
         if (hasSamples)
-          base :+ StructField("format", StringType) :+
-            StructField("genotypes", ArrayType(StringType))
+          base ++ (Seq(StructField("format", StringType),
+            StructField("genotypes", ArrayType(StringType))) ++
+            VcfFormat.typedGenotypesSchema(header.filter(_.startsWith("##"))))
         else base)
     } finally in.close()
   }
@@ -119,6 +120,8 @@ object BcfFormat extends GraftFormat {
     val (dict, contigs) = dictionaries(header)
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
     val withSamples = schema.fieldNames.contains("genotypes")
+    val typedStruct = schema.fields.find(_.name == "genotypes_typed")
+      .map(_.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType])
     val region = options.get("region").map(VcfFormat.parseRegion)
 
     new Iterator[Array[Any]] {
@@ -215,7 +218,17 @@ object BcfFormat extends GraftFormat {
         if (!withSamples) base
         else {
           val (fmt, gts) = decodeGenotypes(indiv, nFmt, nSample, dict)
-          base ++ Array[Any](fmt, gts)
+          val withFmt = base ++ Array[Any](fmt, gts)
+          typedStruct match {
+            case None     => withFmt
+            case Some(st) =>
+              // typed structs derive from the SAME rendered strings the
+              // text source parses — identical values by construction
+              val fmtStr = if (fmt == null) null else fmt.asInstanceOf[UTF8String].toString
+              val gtStrs = gts.asInstanceOf[GenericArrayData].array
+                .map(v => v.asInstanceOf[UTF8String].toString).toSeq
+              withFmt :+ VcfFormat.typedGenotypes(fmtStr, gtStrs, st)
+          }
         }
       }
     }

@@ -47,9 +47,51 @@ object VcfFormat extends GraftFormat {
   }
 
   private val InfoRe = """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*""".r
+  private val FmtRe = """##FORMAT=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*""".r
 
   def parseHeaderInfo(headerLines: Seq[String]): Seq[InfoField] =
     headerLines.collect { case InfoRe(id, num, tpe) => InfoField(id, num, tpe) }
+
+  /** ##FORMAT declarations, typed with the same rules as ##INFO —
+    * drives the `genotypes_typed` struct schema. */
+  def parseHeaderFormat(headerLines: Seq[String]): Seq[InfoField] =
+    headerLines.collect { case FmtRe(id, num, tpe) => InfoField(id, num, tpe) }
+
+  /** The analytics-friendly genotype shape (`genotypes_typed[0].gq > 20`
+    * without string parsing): one struct per sample, fields from the
+    * ##FORMAT declarations. The reference's noodles-backed schema models
+    * genotypes as nested typed data (exon crate;
+    * test_vcf_record_scan.test exercises a subset); the text and binary
+    * sources here share THIS conversion from the VCF-parity string
+    * surface, so their typed values are identical by construction. */
+  def typedGenotypesSchema(headerLines: Seq[String]): Option[StructField] = {
+    val fmts = parseHeaderFormat(headerLines)
+    if (fmts.isEmpty) None
+    else Some(StructField("genotypes_typed", ArrayType(
+      StructType(fmts.map(f => StructField(f.id.toLowerCase, f.sparkType))))))
+  }
+
+  /** Typed structs from the rendered surface: record FORMAT keys align
+    * sample sub-fields positionally; fields absent from this record's
+    * FORMAT (or '.') are NULL. */
+  def typedGenotypes(format: String, gts: Seq[String], st: StructType): GenericArrayData = {
+    if (format == null) return new GenericArrayData(Array.empty[Any])
+    val keys = format.split(":").map(_.toLowerCase)
+    val idx = st.fields.map(f => keys.indexOf(f.name))
+    new GenericArrayData(gts.map { g =>
+      val parts = g.split(":", -1)
+      val vals = new Array[Any](st.fields.length)
+      var i = 0
+      while (i < st.fields.length) {
+        val j = idx(i)
+        vals(i) =
+          if (j < 0 || j >= parts.length || parts(j) == "." || parts(j).isEmpty) null
+          else typedInfoValue(parts(j), st.fields(i).dataType)
+        i += 1
+      }
+      new GenericInternalRow(vals): Any
+    }.toArray)
+  }
 
   private def headerOf(path: Path, conf: Configuration,
                        options: Map[String, String]): Seq[String] = {
@@ -84,8 +126,9 @@ object VcfFormat extends GraftFormat {
       .exists(_.split("\t").length > 8)
     StructType(
       if (hasSamples)
-        base :+ StructField("format", StringType) :+
-          StructField("genotypes", ArrayType(StringType))
+        base ++ (Seq(StructField("format", StringType),
+          StructField("genotypes", ArrayType(StringType))) ++
+          typedGenotypesSchema(header.filter(_.startsWith("##"))))
       else base)
   }
 
@@ -113,6 +156,8 @@ object VcfFormat extends GraftFormat {
                     options: Map[String, String]): Iterator[Array[Any]] = {
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
     val withSamples = schema.fieldNames.contains("genotypes")
+    val typedStruct = schema.fields.find(_.name == "genotypes_typed")
+      .map(_.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType])
     val region = options.get("region").map(parseRegion)
     // index-chunk streams are pre-bounded (voff range), so they read
     // whole; ranged/bgzf splits apply the line ownership protocol
@@ -122,7 +167,7 @@ object VcfFormat extends GraftFormat {
     lineIt
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(parseRecord(_, infoSchema, withSamples))
+      .map(parseRecord(_, infoSchema, withSamples, typedStruct))
       .filter { vals =>
         region match {
           case None => true
@@ -143,7 +188,8 @@ object VcfFormat extends GraftFormat {
   }
 
   private def parseRecord(line: String, infoSchema: StructType,
-                          withSamples: Boolean): Array[Any] = {
+                          withSamples: Boolean,
+                          typedStruct: Option[StructType]): Array[Any] = {
     val c = line.split("\t", -1)
     require(c.length >= 8, s"VCF record has ${c.length} columns")
     val infoKv: Map[String, String] =
@@ -169,8 +215,15 @@ object VcfFormat extends GraftFormat {
       if (c(6) == ".") null else UTF8String.fromString(c(6)),
       new GenericInternalRow(infoVals.toArray[Any]))
     if (!withSamples) base
-    else base ++ Array[Any](
-      if (c.length > 8) UTF8String.fromString(c(8)) else null,
-      new GenericArrayData(c.drop(9).map(g => UTF8String.fromString(g): Any)))
+    else {
+      val withFmt = base ++ Array[Any](
+        if (c.length > 8) UTF8String.fromString(c(8)) else null,
+        new GenericArrayData(c.drop(9).map(g => UTF8String.fromString(g): Any)))
+      typedStruct match {
+        case None     => withFmt
+        case Some(st) =>
+          withFmt :+ typedGenotypes(if (c.length > 8) c(8) else null, c.drop(9).toSeq, st)
+      }
+    }
   }
 }

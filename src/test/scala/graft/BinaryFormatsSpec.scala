@@ -26,12 +26,29 @@ class BinaryFormatsSpec extends AnyFunSuite {
 
   test("vcf with samples: format + raw genotype columns from #CHROM header") {
     val df = GraftIO.read_vcf_file_records(spark, s"$F/vcf/samples.vcf")
-    assert(df.columns.takeRight(2).toSeq == Seq("format", "genotypes"))
+    assert(df.columns.takeRight(3).toSeq == Seq("format", "genotypes", "genotypes_typed"))
     val got = df.selectExpr("pos", "format", "genotypes[0]", "genotypes[1]").orderBy("pos").collect()
     assert(got(0).toSeq == Seq(100L, "GT:GQ", "0/1:99", "1/1:42"))
     assert(got(1).toSeq == Seq(200L, "GT:GQ", "0/0:10", "0/1:77"))
     // sample-less files keep the 8-column schema
     assert(!GraftIO.read_vcf_file_records(spark, s"$F/vcf/test.vcf").columns.contains("genotypes"))
+  }
+
+  test("typed genotypes: ##FORMAT-driven structs, identical across VCF and BCF") {
+    for (p <- Seq("samples.vcf", "samples.bcf")) {
+      val df =
+        if (p.endsWith(".bcf")) GraftIO.read_bcf_file_records(spark, s"$F/vcf/$p")
+        else GraftIO.read_vcf_file_records(spark, s"$F/vcf/$p")
+      val et = df.schema("genotypes_typed").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(et.fieldNames.toSeq == Seq("gt", "gq"), p)
+      assert(et("gq").dataType == org.apache.spark.sql.types.IntegerType, p)
+      val got = df.selectExpr("pos", "genotypes_typed[0].gt", "genotypes_typed[0].gq",
+        "genotypes_typed[1].gt", "genotypes_typed[1].gq").orderBy("pos").collect()
+      assert(got(0).toSeq == Seq(100L, "0/1", 99, "1/1", 42), p)
+      assert(got(1).toSeq == Seq(200L, "0/0", 10, "0/1", 77), p)
+    }
   }
 
   test("nested-field-only projection reads the right struct ordinal") {

@@ -77,6 +77,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected checkpointed bucket scan:\n${plan.take(4000)}")
   }
 
+  test("ann_lsh_bucketed: probe join is a hash join on bucket, not a nested loop") {
+    // the Hamming<=1 probe is expressed as query-side explosion into 17
+    // bucket keys + equi-join; a bit_count(bucket^qb) predicate would
+    // force a BroadcastNestedLoopJoin — quadratic in the query set
+    val plan = fullPlanString(SparkEntry.queries("ann_lsh_bucketed")(spark, SF))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN probe fell back to nested loop:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast hash join on the probe bucket:\n${plan.take(4000)}")
+  }
+
   test("pipe_decontaminate: gram join is a semi join, no doc-by-doc pair space") {
     val plan = fullPlanString(SparkEntry.queries("pipe_decontaminate")(spark, SF))
     assert(plan.contains("LeftSemi"), s"expected semi join on the gram key:\n${plan.take(4000)}")
