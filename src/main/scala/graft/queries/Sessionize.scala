@@ -29,6 +29,46 @@ object Sessionize {
   final case class OpenSession(sid: Int, start_us: Long, prev_us: Long,
                                n: Long, cents: Long)
 
+  /** Streaming session builder over a (user_id, ts_us, value)-sorted
+    * event iterator: emits a Session as each one closes, holding O(1)
+    * state (current session counters only) — never a whole user. This is
+    * what keeps one hot key (bot traffic) from buffering unbounded
+    * events in a task at 100 TB; `it.toArray` per group was the prior
+    * shape and OOMs exactly there. Pure function so the no-buffering
+    * property is spec-testable with a lazy generator (SessionizeSpec). */
+  def sessionIterator(rows: Iterator[Ev]): Iterator[Session] = new Iterator[Session] {
+    private val buf = scala.collection.mutable.Queue.empty[Session]
+    private var inited = false
+    private var uid = 0L
+    private var sid = 0
+    private var start = 0L
+    private var n = 0L
+    private var cents = 0L
+    private var prev = Long.MinValue
+    private var finished = false
+
+    private def flush(): Unit = if (n > 0) { buf += Session(uid, sid, start, n, cents); n = 0; cents = 0 }
+
+    private def pump(): Unit = {
+      while (buf.isEmpty && rows.hasNext) {
+        val e = rows.next()
+        if (!inited || e.user_id != uid) {
+          flush() // closes the previous user's open session (old uid)
+          inited = true; uid = e.user_id; sid = -1; prev = Long.MinValue
+        }
+        if (prev == Long.MinValue || e.ts_us - prev > GapMicros) {
+          flush(); sid += 1; start = e.ts_us
+        }
+        // exact cents (value has 2 decimals) keep sums engine-exact
+        n += 1; cents += math.round(e.value * 100); prev = e.ts_us
+      }
+      if (buf.isEmpty && !rows.hasNext && !finished) { finished = true; flush() }
+    }
+
+    override def hasNext: Boolean = { pump(); buf.nonEmpty }
+    override def next(): Session = { pump(); buf.dequeue() }
+  }
+
   val qs: Map[String, Q] = Map(
     "stream_sessionize" -> Q(
       (s, dir) => {
@@ -37,25 +77,14 @@ object Sessionize {
         val ev = Q.t(s, dir, "events")
           .selectExpr("user_id", "ts div 1000 AS ts_us", "value")
           .as[Ev]
-        val sessions = ev.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
-          val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var sid = -1
-          var start = 0L
-          var n = 0L
-          var cents = 0L
-          var prev = Long.MinValue
-          def flush(): Unit = if (n > 0) out += Session(uid, sid, start, n, cents)
-          evs.foreach { e =>
-            if (prev == Long.MinValue || e.ts_us - prev > GapMicros) {
-              flush(); sid += 1; start = e.ts_us; n = 0; cents = 0
-            }
-            // exact cents (value has 2 decimals) keep sums engine-exact
-            n += 1; cents += math.round(e.value * 100); prev = e.ts_us
-          }
-          flush()
-          out
-        }
+        // secondary sort: co-locate each user, order events within the
+        // partition, then a single streaming pass — the hot-key-safe
+        // formulation of groupByKey(...).flatMapGroups(it.toArray)
+        val sessions = ev
+          .repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("ts_us"), col("value"))
+          .as[Ev]
+          .mapPartitions(sessionIterator)
         sessions.toDF()
           .select(col("user_id"), col("sid"),
             date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -99,18 +128,19 @@ object Sessionize {
         val tbl = "graft_stream_sessionize_state"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
 
-        val staged = Stage.tempDir("graft-sess-state")
-        val scratch = Stage.tempDir("graft-sess-tmp")
-        val raw = s.read.parquet(s"$dir/events.parquet")
-        val midNanos = raw.selectExpr("cast(avg(ts) as bigint)").collect()(0).getLong(0)
-        Stage.parquetFile(raw.where(col("ts") < midNanos), scratch, staged, "b00.parquet", 0)
-        Stage.parquetFile(raw.where(col("ts") >= midNanos), scratch, staged, "b01.parquet", 1)
-        Seq(2, 3).foreach { i =>
-          val tsNanos = (4102444800L + (i - 2) * 86400L) * 1000000000L
-          Stage.parquetFile(
-            Seq((-1L, tsNanos, -1L, "sentinel", 0.0, ""))
-              .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-            scratch, staged, f"b$i%02d.parquet", i)
+        val staged = Stage.staged(s"graft-sess-state:$dir") { d =>
+          val scratch = Stage.tempDir("graft-sess-tmp")
+          val raw = s.read.parquet(s"$dir/events.parquet")
+          val midNanos = raw.selectExpr("cast(avg(ts) as bigint)").collect()(0).getLong(0)
+          Stage.parquetFile(raw.where(col("ts") < midNanos), scratch, d, "b00.parquet", 0)
+          Stage.parquetFile(raw.where(col("ts") >= midNanos), scratch, d, "b01.parquet", 1)
+          Seq(2, 3).foreach { i =>
+            val tsNanos = (4102444800L + (i - 2) * 86400L) * 1000000000L
+            Stage.parquetFile(
+              Seq((-1L, tsNanos, -1L, "sentinel", 0.0, ""))
+                .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+              scratch, d, f"b$i%02d.parquet", i)
+          }
         }
 
         val gapUs = GapMicros

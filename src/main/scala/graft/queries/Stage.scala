@@ -25,6 +25,25 @@ object Stage {
     d
   }
 
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  /** Driver-lifetime seconds spent inside staged() builders — surfaced
+    * separately by Bench so stream_* timings measure micro-batch
+    * execution, not harness file staging. */
+  @volatile var stagingSeconds: Double = 0.0
+
+  /** Staged input directory memoized per key: the builder (file copies,
+    * sentinel writes, midpoint scans) runs ONCE per driver; bench
+    * warm-up and the measured pass reuse the same directory. Keys must
+    * include the source dir so different scale factors stage apart. */
+  def staged(key: String)(build: Path => Unit): Path =
+    stagedDirs.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val d = tempDir(key.replaceAll("[^A-Za-z0-9_-]", "_"))
+      build(d)
+      stagingSeconds += (System.nanoTime() - t0) / 1e9
+      d
+    })
+
   private def deleteRecursively(p: Path): Unit =
     try {
       val f = p.toFile
