@@ -71,7 +71,7 @@ object Dedup {
     // a stage retry from the checkpoint job instead of a partition
     // recompute — acceptable for a 2-job window; a multi-hour pipeline
     // would use reliable checkpointing to the DFS instead.
-    val sets = shingled(s, dir).localCheckpoint()
+    val sets = shingled(s, dir).transform(Q.barrier)
     val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
     val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
@@ -92,7 +92,7 @@ object Dedup {
     // one side is a broadcast, the other a hash exchange) and would
     // otherwise recompute the whole shingle->hash->agg pipeline per side.
     val bucketed = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .localCheckpoint()
+      .transform(Q.barrier)
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.bb") === col("y.bb") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
@@ -142,7 +142,7 @@ object Dedup {
       // blocks are freed by the ContextCleaner once unreferenced.
       val propagated = viaEdges.union(viaChain).union(labels)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .transform(Q.barrier)
       val sum0 = propagated.selectExpr("coalesce(sum(label), 0) AS s")
         .collect()(0).getLong(0)
       labels.unpersist()
@@ -194,7 +194,7 @@ object Dedup {
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("shingle"))
           .distinct()
-          .localCheckpoint() // 3 consumers: both join sides + sizes
+          .transform(Q.barrier) // 3 consumers: both join sides + sizes
         val sizes = posting.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
         val inter = posting.as("pa").join(posting.as("pb"),
             col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))

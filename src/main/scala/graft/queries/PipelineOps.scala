@@ -47,7 +47,7 @@ object PipelineOps {
             "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
             .as("g"))
           .distinct()
-          .localCheckpoint()
+          .transform(Q.barrier)
         // eval split: every 97th doc stands in for the benchmark set
         val evalGrams = grams.where(col("doc_id") % 97 === 0).select("g").distinct()
         grams.where(col("doc_id") % 97 =!= 0)
@@ -120,6 +120,10 @@ object PipelineOps {
     "pipe_c4_filter" -> Q(
       (s, dir) => {
         val scored = t(s, dir, "documents")
+          // empty-text guard: Spark's non-ANSI 0/0 is NULL (row silently
+          // filtered) while DuckDB yields NaN — excluding empty docs
+          // explicitly keeps the edge case engine-independent
+          .where(length(col("text")) > 0)
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("alpha_ratio",
@@ -140,7 +144,7 @@ object PipelineOps {
             len(string_split(text, ' ')) AS n_tokens,
             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
             CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len
-          FROM documents WHERE lang = 'en'),
+          FROM documents WHERE lang = 'en' AND length(text) > 0),
         clean AS (SELECT * FROM q
           WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND mean_tok_len <= 12),
         keep AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM clean)

@@ -13,17 +13,24 @@ final case class Q(
 
 object Q {
   /** `spark.read.parquet` over one driver-generated testdata table.
-    * Pins session UTC so timestamp-derived results (date_format,
-    * date_trunc, string-vs-timestamp filters) cannot depend on whatever
-    * session the harness hands us — the oracle always evaluates in UTC.
     *
-    * NOTE: this is a deliberate session-level side effect, acceptable
-    * only because every query in this registry assumes UTC. If these
-    * queries are extracted into a standalone library, drop this line and
-    * pin `spark.sql.session.timeZone=UTC` at SparkSession build instead —
-    * a library function must not silently rewrite its caller's session. */
-  def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    * Timestamp-derived results (date_format, date_trunc,
+    * string-vs-timestamp filters) assume `spark.sql.session.timeZone =
+    * UTC`, pinned at SparkSession BUILD by every entry point (Verify,
+    * Bench, SparkTestSession) — not here: a library function must not
+    * silently rewrite its caller's session. Entries that manage their
+    * own streaming sessions still pin explicitly where they also set
+    * other session state. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-  }
+
+  /** Materialize-once + lineage-truncation barrier. Reliable checkpoint
+    * when the session has a checkpoint dir configured (survives executor
+    * loss / dynamic-allocation decommission — the fault-tolerance
+    * contract a 100 TB run wants), localCheckpoint otherwise (gate and
+    * bench: executor-local blocks, no DFS round-trip; an executor loss
+    * costs a job retry, acceptable in a single-machine harness). */
+  def barrier(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 }

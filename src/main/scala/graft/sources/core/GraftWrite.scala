@@ -42,8 +42,15 @@ final case class GraftBatchWrite(formatter: RecordFormatter, schema: StructType,
                                  sconf: SerializableConfiguration)
     extends BatchWrite {
 
+  /** Per-job staging namespace `_temporary/<writeId>`: two concurrent
+    * jobs appending to the same target (force=true) sweep only their own
+    * staged files on commit/abort — a shared `_temporary` would let one
+    * job delete the other's in-flight staging mid-write. */
+  private val writeId: String = UUID.randomUUID().toString.take(12)
+  private def stagingRoot = new Path(new Path(path, "_temporary"), writeId)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftWriterFactory(formatter, schema, path, options, sconf)
+    GraftWriterFactory(formatter, schema, path, options, sconf, writeId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(sconf.value)
@@ -57,20 +64,34 @@ final case class GraftBatchWrite(formatter: RecordFormatter, schema: StructType,
       }
       case _ =>
     }
-    val staging = new Path(path, "_temporary")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+    // the partitioned path opens streams lazily, so an empty frame can
+    // commit zero files — the target must still exist and read as 0 rows
+    // (same zero-row guarantee the non-partitioned fast path gives via
+    // its eagerly-opened stream)
+    if (!fs.exists(new Path(path))) fs.mkdirs(new Path(path))
+    cleanupTempRoot(fs)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(sconf.value)
-    val staging = new Path(path, "_temporary")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+    cleanupTempRoot(fs)
+  }
+
+  /** Remove `_temporary` itself once no job's namespace remains (the
+    * non-recursive delete fails harmlessly while another job is live). */
+  private def cleanupTempRoot(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val root = new Path(path, "_temporary")
+    try if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, false): Unit
+    catch { case _: Exception => }
   }
 }
 
 final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructType,
                                     path: String, options: Map[String, String],
-                                    sconf: SerializableConfiguration)
+                                    sconf: SerializableConfiguration,
+                                    writeId: String)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -93,9 +114,18 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
         .map(schema.fieldIndex)
     val fs = new Path(path).getFileSystem(sconf.value)
 
-    def hiveEscape(s: String): String =
-      s.flatMap(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c.toString
-                     else f"%%${c.toInt}%02X")
+    // escape the UTF-8 BYTES of a non-safe char, one %XX per byte
+    // (Hive's ESCAPE_CHAR convention) — escaping the code point would
+    // emit variable-width sequences like %4E2D that partition-path
+    // parsers mis-decode
+    def hiveEscape(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      s.foreach { c =>
+        if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') sb.append(c)
+        else c.toString.getBytes("UTF-8").foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      }
+      sb.toString
+    }
 
     def keyOf(record: InternalRow): String =
       partCols.map { i =>
@@ -110,7 +140,7 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
       // the attempt whose message reaches commit() gets renamed into place
       val fileName = f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}$ext"
       val destDir = if (key.isEmpty) new Path(path) else new Path(path, key)
-      val temp = new Path(new Path(path, "_temporary"),
+      val temp = new Path(new Path(new Path(path, "_temporary"), writeId),
         s"$taskId-${if (key.isEmpty) "" else key.replace('/', '%') + "-"}$fileName")
       val dest = new Path(destDir, fileName)
       val rawOut: OutputStream = fs.create(temp, true)

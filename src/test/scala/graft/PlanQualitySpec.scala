@@ -94,4 +94,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"expected semi join on the gram key:\n${plan.take(4000)}")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("codegen sweep: no graft expression in the fn_*/text_* battery falls back to interpreted eval") {
+    // the ngram episode (round 3) showed CodegenFallback creeping in
+    // silently under Generate; this sweeps every scalar/text entry and
+    // fails if any graft-authored expression lacks doGenCode, or if the
+    // Project evaluating one sits outside a WholeStageCodegen span
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.execution.{InputAdapter, ProjectExec, WholeStageCodegenExec}
+    val names = SparkEntry.queries.keys.filter(n =>
+      n.startsWith("fn_") || n.startsWith("text_")).toSeq.sorted
+    assert(names.nonEmpty)
+    names.foreach { name =>
+      val plan = executed(SparkEntry.queries(name)(spark, SF))
+      // 1) no graft-authored CodegenFallback expressions anywhere
+      val fallbacks = plan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case e: CodegenFallback if e.getClass.getName.startsWith("graft") =>
+            e.getClass.getSimpleName
+        })
+      }.flatten.distinct
+      assert(fallbacks.isEmpty, s"$name: graft expressions without codegen: $fallbacks")
+      // 2) every Project evaluating a graft expression is codegen'd
+      def graftProject(p: ProjectExec): Boolean =
+        p.projectList.exists(_.collectFirst {
+          case e if e.getClass.getName.startsWith("graft") => e
+        }.isDefined)
+      val naked = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(p: org.apache.spark.sql.execution.SparkPlan, inWsc: Boolean): Unit = p match {
+        case w: WholeStageCodegenExec => w.children.foreach(walk(_, inWsc = true))
+        case a: InputAdapter          => a.children.foreach(walk(_, inWsc = false))
+        case pr: ProjectExec =>
+          if (!inWsc && graftProject(pr)) naked += pr.verboseString(2)
+          pr.children.foreach(walk(_, inWsc))
+        case other => other.children.foreach(walk(_, inWsc))
+      }
+      walk(plan, inWsc = false)
+      assert(naked.isEmpty,
+        s"$name: graft-expression Project outside WholeStageCodegen:\n${naked.mkString("\n")}")
+    }
+  }
 }

@@ -72,6 +72,35 @@ class WriterRoundTripSpec extends AnyFunSuite {
     assert(GraftIO.read_fasta(spark, dir).count() == 0)
   }
 
+  test("partitioned overwrite with an empty frame leaves a readable 0-row target") {
+    // the partitioned path opens streams lazily (no rows -> no files);
+    // commit must still create the root directory, matching the
+    // non-partitioned path's zero-row guarantee
+    val src = GraftIO.read_gff(spark, "src/test/resources/fixtures/gff/test.gff")
+    val dir = tmp()
+    src.write.mode("overwrite").option("partitionBy", "seqname").format("gff").save(dir)
+    assert(GraftIO.read_gff(spark, dir).count() == 2)
+    src.where(org.apache.spark.sql.functions.lit(false))
+      .write.mode("overwrite").option("partitionBy", "seqname").format("gff").save(dir)
+    assert(GraftIO.read_gff(spark, dir).count() == 0)
+  }
+
+  test("multi-byte partition values escape per UTF-8 byte (Hive convention)") {
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("description", StringType),
+      StructField("sequence", StringType)))
+    // '→' (U+2192) is not a letter: must escape as its UTF-8 bytes
+    // %E2%86%92, never the code-point form %2192
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a", "x→y", "ACGT")), 1), schema)
+    val dir = tmp()
+    df.write.mode("overwrite").option("partitionBy", "description")
+      .format("fasta").save(dir)
+    val names = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(names.toSeq == Seq("description=x%E2%86%92y"), names.mkString(","))
+    assert(GraftIO.read_fasta(spark, dir).count() == 1)
+  }
+
   test("render_text: COPY TO STDOUT analog renders records as format text") {
     val src = GraftIO.read_fasta(spark, "src/test/resources/fixtures/fasta/test.fasta")
     val out = GraftIO.render_text(src, "fasta").collect().sorted
