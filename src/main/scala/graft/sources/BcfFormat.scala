@@ -28,6 +28,11 @@ object BcfFormat extends GraftFormat {
   override def name = "bcf"
   override def extensions = Seq("bcf")
   override def forcedCodec: Option[String] = Some("gzip")
+  /** BGZF-block-splittable like BAM: tasks sync to a block header and
+    * find the first record with a validated-prologue guesser (the
+    * header's exact sample count makes BCF prologues even more
+    * discriminating than BAM's). */
+  override def bgzfSplittable: Boolean = true
 
   private def headerText(in: DataInputStream): String = {
     val magic = new Array[Byte](5) // "BCF" + major + minor
@@ -108,14 +113,21 @@ object BcfFormat extends GraftFormat {
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
-    val d = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
-    // an index chunk starts at a record boundary; re-read the header
-    // (dictionaries + schema source) from the file head separately
+    // an index chunk or byte-range split starts at a record boundary or
+    // mid-stream; re-read the header (dictionaries + schema source) from
+    // the file head separately. A bgzfSplit at file start consumes the
+    // header in place (exact byte accounting, no read-ahead buffering)
+    // so the record window starts right after it.
+    val d =
+      if (split.bgzfSplit) null
+      else new DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
     val header =
-      if (split.bgzfChunk) {
+      if (split.bgzfChunk || (split.bgzfSplit && split.start != 0)) {
         val raw = GraftFiles.open(split.path, split.conf)
         try headerText(new DataInputStream(Compression.wrap(raw.stream, "gzip"))).linesIterator.toSeq
         finally raw.in.close()
+      } else if (split.bgzfSplit) {
+        headerText(new DataInputStream(in)).linesIterator.toSeq
       } else headerText(d).linesIterator.toSeq
     val (dict, contigs) = dictionaries(header)
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
@@ -124,39 +136,17 @@ object BcfFormat extends GraftFormat {
       .map(_.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType])
     val region = options.get("region").map(VcfFormat.parseRegion)
 
-    new Iterator[Array[Any]] {
-      private var nextRow: Array[Any] = _
-      advance()
-
-      private def advance(): Unit = {
-        nextRow = null
-        while (nextRow == null) {
-          val rec = try decode() catch { case _: EOFException => return }
-          if (passes(rec)) nextRow = rec
+    def passes(vals: Array[Any]): Boolean = region match {
+      case None => true
+      case Some((chr, lo, hi)) =>
+        vals(0).asInstanceOf[UTF8String].toString == chr && {
+          val p = vals(1).asInstanceOf[Long]
+          p >= lo && p <= hi
         }
-      }
+    }
 
-      private def passes(vals: Array[Any]): Boolean = region match {
-        case None => true
-        case Some((chr, lo, hi)) =>
-          vals(0).asInstanceOf[UTF8String].toString == chr && {
-            val p = vals(1).asInstanceOf[Long]
-            p >= lo && p <= hi
-          }
-      }
-
-      override def hasNext: Boolean = nextRow != null
-      override def next(): Array[Any] = { val r = nextRow; advance(); r }
-
-      private def decode(): Array[Any] = {
-        val lShared = readIntLE(d)
-        val lIndiv = readIntLE(d)
-        val shared = new Array[Byte](lShared)
-        d.readFully(shared)
-        val indiv =
-          if (withSamples) { val a = new Array[Byte](lIndiv); d.readFully(a); a }
-          else { d.skipBytes(lIndiv); null } // sample-less scan schema
-        val bb = ByteBuffer.wrap(shared).order(ByteOrder.LITTLE_ENDIAN)
+    def decodeArrays(shared: Array[Byte], indiv: Array[Byte]): Array[Any] = {
+      val bb = ByteBuffer.wrap(shared).order(ByteOrder.LITTLE_ENDIAN)
 
         val rid = bb.getInt
         val pos0 = bb.getInt
@@ -230,8 +220,151 @@ object BcfFormat extends GraftFormat {
               withFmt :+ VcfFormat.typedGenotypes(fmtStr, gtStrs, st)
           }
         }
+    }
+
+    if (split.bgzfSplit)
+      return readBgzfSplit(split, in.asInstanceOf[BgzfBlockStream], header,
+        withSamples, decodeArrays, passes)
+
+    new Iterator[Array[Any]] {
+      private var nextRow: Array[Any] = _
+      advance()
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null) {
+          val rec = try decode() catch { case _: EOFException => return }
+          if (passes(rec)) nextRow = rec
+        }
+      }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = { val r = nextRow; advance(); r }
+
+      private def decode(): Array[Any] = {
+        val lShared = readIntLE(d)
+        val lIndiv = readIntLE(d)
+        val shared = new Array[Byte](lShared)
+        d.readFully(shared)
+        val indiv =
+          if (withSamples) { val a = new Array[Byte](lIndiv); d.readFully(a); a }
+          else { d.skipBytes(lIndiv); null } // sample-less scan schema
+        decodeArrays(shared, indiv)
       }
     }
+  }
+
+  /** How far to scan for a record boundary before declaring the split
+    * unreadable (mirrors BamFormat.MaxGuessScan). */
+  private val MaxGuessScan = 8L << 20
+
+  /** Byte-range split of a BGZF BCF — same anchor-ownership protocol as
+    * the BAM split reader: a record belongs to the split whose range
+    * contains the start of the block holding the byte BEFORE it. */
+  private def readBgzfSplit(split: GraftSplit, bs: BgzfBlockStream,
+                            header: Seq[String], withSamples: Boolean,
+                            decodeArrays: (Array[Byte], Array[Byte]) => Array[Any],
+                            passes: Array[Any] => Boolean): Iterator[Array[Any]] = {
+    val startCoff = split.start >>> 16
+    val endCoff = (split.end + 1) >>> 16
+    val nContig = dictionaries(header)._2.length
+    // the #CHROM line pins the exact per-record sample count — the
+    // strongest prologue validation signal BCF offers the guesser
+    val nSamples = header.lastOption.filter(_.startsWith("#CHROM"))
+      .map(l => math.max(0, l.split("\t").length - 9)).getOrElse(0)
+
+    // at file start the header was already consumed from the stream
+    var initialAnchor = if (split.start == 0) bs.lastByteVoff else -1L
+    val win = new BgzfWindow(bs)
+    var cursor: Long =
+      if (split.start == 0) 0L
+      else guessRecordStart(win, nContig, nSamples)
+    if (cursor < 0) return Iterator.empty
+
+    def anchorOf(c: Long): Long = if (c == 0) initialAnchor else win.voffAt(c - 1)
+
+    if (split.start != 0) {
+      var skipping = true
+      while (skipping && win.ensure(cursor + 8)) {
+        val a = anchorOf(cursor)
+        if (a < 0 || (a >>> 16) < startCoff) {
+          val len = 8L + win.i32(cursor) + win.i32(cursor + 4)
+          if (!win.ensure(cursor + len)) return Iterator.empty
+          cursor += len
+          win.trimBefore(cursor - 1)
+        } else skipping = false
+      }
+    }
+
+    new Iterator[Array[Any]] {
+      private var nextRow: Array[Any] = _
+      private var done = false
+      advance()
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && !done) {
+          if (!win.ensure(cursor + 8)) {
+            if (win.end != cursor) throw new EOFException("truncated BCF record header")
+            done = true
+          } else {
+            val a = anchorOf(cursor)
+            if (a >= 0 && (a >>> 16) >= endCoff) { done = true }
+            else {
+              val lShared = win.i32(cursor)
+              val lIndiv = win.i32(cursor + 4)
+              if (!win.ensure(cursor + 8 + lShared + lIndiv))
+                throw new EOFException("truncated BCF record")
+              val shared = win.copy(cursor + 8, lShared)
+              val indiv =
+                if (withSamples) win.copy(cursor + 8 + lShared, lIndiv) else null
+              cursor += 8L + lShared + lIndiv
+              win.trimBefore(cursor - 1)
+              val rec = decodeArrays(shared, indiv)
+              if (passes(rec)) nextRow = rec
+            }
+          }
+        }
+      }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = { val r = nextRow; advance(); r }
+    }
+  }
+
+  /** First plausible BCF record start at or after window offset 0:
+    * validates the fixed 32-byte prologue (lengths in range, rid within
+    * the contig dictionary, positions sane, and — decisively — the
+    * record's n_sample equal to the header's sample count) and requires
+    * the implied next record to chain or land exactly on EOF. */
+  private def guessRecordStart(win: BgzfWindow, nContig: Int, nSamples: Int): Long = {
+    var k = 0L
+    while (k < MaxGuessScan) {
+      if (!win.ensure(k + 32)) return -1
+      if (plausibleRecord(win, k, nContig, nSamples, depth = 2)) return k
+      k += 1
+    }
+    throw new IllegalStateException(
+      s"no BCF record boundary within $MaxGuessScan bytes of a BGZF split point")
+  }
+
+  private def plausibleRecord(win: BgzfWindow, k: Long, nContig: Int,
+                              nSamples: Int, depth: Int): Boolean = {
+    if (!win.ensure(k + 32)) return win.atEof && win.end == k // clean chain end
+    val lShared = win.i32(k)
+    if (lShared < 24 || lShared > (1 << 24)) return false
+    val lIndiv = win.i32(k + 4)
+    if (lIndiv < 0 || lIndiv > (1 << 26)) return false
+    val rid = win.i32(k + 8)
+    if (rid < 0 || rid >= nContig) return false
+    if (win.i32(k + 12) < -1) return false // pos
+    if (win.i32(k + 16) < 0) return false  // rlen
+    val nai = win.i32(k + 24)
+    if ((nai >>> 16) < 1 || (nai & 0xffff) > 4096) return false // n_allele, n_info
+    val nfs = win.i32(k + 28)
+    if ((nfs & 0xffffff) != nSamples || (nfs >>> 24) > 64) return false
+    if (depth == 0) true
+    else plausibleRecord(win, k + 8L + lShared + lIndiv, nContig, nSamples, depth - 1)
   }
 
   // ---- FORMAT/sample decoding (VCF-parity rendered strings) ----

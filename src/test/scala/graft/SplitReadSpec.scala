@@ -270,6 +270,95 @@ class SplitReadSpec extends AnyFunSuite {
     assert(whole.length == 200)
   }
 
+  /** Minimal BCF2 encoder (header + records with typed encoding, two
+    * samples, GT:GQ) — the byte layout tools/make_samples_bcf.py uses,
+    * scaled to many records for split testing. */
+  private def bcfBytes(n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    val header = ("##fileformat=VCFv4.2\n" +
+      "##FILTER=<ID=PASS,Description=\"p\">\n" +
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">\n" +
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"g\">\n" +
+      "##FORMAT=<ID=GQ,Number=1,Type=Integer,Description=\"q\">\n" +
+      "##contig=<ID=1>\n" +
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\n\u0000")
+      .getBytes("UTF-8")
+    bos.write("BCF".getBytes); bos.write(2); bos.write(2)
+    i32(header.length); bos.write(header)
+    def rec(i: Int): (Array[Byte], Array[Byte]) = {
+      val sh = new java.io.ByteArrayOutputStream()
+      def s32(v: Int): Unit = {
+        sh.write(v & 0xff); sh.write((v >> 8) & 0xff)
+        sh.write((v >> 16) & 0xff); sh.write((v >> 24) & 0xff)
+      }
+      s32(0); s32(i * 10 - 1); s32(1)                  // rid, pos0, rlen
+      s32(java.lang.Float.floatToIntBits((i % 50).toFloat)) // qual
+      s32((2 << 16) | 1)                               // n_allele=2, n_info=1
+      s32((2 << 24) | 2)                               // n_fmt=2, n_sample=2
+      sh.write(0x07)                                   // ID missing
+      sh.write(0x17); sh.write('A'); sh.write(0x17); sh.write('G') // alleles
+      sh.write(0x11); sh.write(0x00)                   // FILTER [PASS]
+      sh.write(0x11); sh.write(1); sh.write(0x11); sh.write(i % 100) // INFO DP
+      val ind = new java.io.ByteArrayOutputStream()
+      ind.write(0x11); ind.write(2)                    // FORMAT key GT
+      ind.write(0x21)                                  // int8 x2 (diploid)
+      ind.write(2); ind.write(if (i % 2 == 0) 4 else 2) // 0/1 or 0/0
+      ind.write(4); ind.write(4)
+      ind.write(0x11); ind.write(3)                    // FORMAT key GQ
+      ind.write(0x11)                                  // int8 x1
+      ind.write(i % 90 + 1); ind.write((i * 7) % 90 + 1)
+      (sh.toByteArray, ind.toByteArray)
+    }
+    (1 to n).foreach { i =>
+      val (sh, ind) = rec(i)
+      i32(sh.length); i32(ind.length); bos.write(sh); bos.write(ind)
+    }
+    bos.toByteArray
+  }
+
+  test("bcf (BGZF): splits guess record boundaries, records straddle blocks") {
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("big.bcf")
+    bgzfWrite(p, bcfBytes(400), slice = 73) // ~45 B records cross 73 B blocks
+    val whole = GraftIO.read_bcf_file_records(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(600) {
+      val df = GraftIO.read_bcf_file_records(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5, "expected many BGZF split partitions")
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 400)
+  }
+
+  test("bcf (BGZF): every record starting exactly at a block boundary") {
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("aligned.bcf")
+    val bytes = bcfBytes(300)
+    val headerLen = bcfBytes(0).length
+    val recLen = (bytes.length - headerLen) / 300
+    val out = new graft.sources.core.BgzfOutputStream(Files.newOutputStream(p))
+    out.write(bytes, 0, headerLen); out.flush()
+    var off = headerLen
+    while (off < bytes.length) {
+      val k = math.min(recLen, bytes.length - off)
+      out.write(bytes, off, k); out.flush()
+      off += k
+    }
+    out.close()
+    val whole = GraftIO.read_bcf_file_records(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(400) {
+      val df = GraftIO.read_bcf_file_records(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 300)
+  }
+
   test("sam: ranged splits skip header lines only at file start") {
     val header = "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:100000\n"
     val body = (1 to 300).map { i =>
