@@ -116,6 +116,8 @@ object BamFormat extends GraftFormat {
       else readHeader(d)
 
     val region = options.get("region").map(VcfFormat.parseRegion)
+    val wantSeq = split.needs("sequence")
+    val wantQual = split.needs("quality_score")
 
     new Iterator[Array[Any]] {
       private var nextRow: Array[Any] = _
@@ -125,7 +127,8 @@ object BamFormat extends GraftFormat {
       private def advance(): Unit = {
         nextRow = null
         while (nextRow == null && !done) {
-          val rec = try decodeRecord(d, refs) catch { case _: EOFException => done = true; null }
+          val rec = try decodeRecord(d, refs, wantSeq, wantQual)
+            catch { case _: EOFException => done = true; null }
           if (rec != null && regionPasses(rec, region)) nextRow = rec
         }
       }
@@ -153,6 +156,8 @@ object BamFormat extends GraftFormat {
     val startCoff = split.start >>> 16
     val endCoff = (split.end + 1) >>> 16
     val region = options.get("region").map(VcfFormat.parseRegion)
+    val wantSeq = split.needs("sequence")
+    val wantQual = split.needs("quality_score")
 
     var initialAnchor = -1L // voff of the byte before window offset 0
     val refs =
@@ -208,7 +213,7 @@ object BamFormat extends GraftFormat {
               val body = win.copy(cursor + 4, bsz)
               cursor += 4 + bsz
               win.trimBefore(cursor - 1)
-              val rec = decodeBody(body, refs)
+              val rec = decodeBody(body, refs, wantSeq, wantQual)
               if (regionPasses(rec, region)) nextRow = rec
             }
           }
@@ -267,13 +272,25 @@ object BamFormat extends GraftFormat {
     else plausibleRecord(win, k + 4 + bsz, nRef, depth - 1)
   }
 
-  def decodeRecord(d: DataInputStream, refs: Array[String]): Array[Any] = {
+  def decodeRecord(d: DataInputStream, refs: Array[String]): Array[Any] =
+    decodeRecord(d, refs, wantSeq = true, wantQual = true)
+
+  def decodeRecord(d: DataInputStream, refs: Array[String],
+                   wantSeq: Boolean, wantQual: Boolean): Array[Any] = {
     val blockSize = readIntLE(d)
     val body = readFully(d, blockSize)
-    decodeBody(body, refs)
+    decodeBody(body, refs, wantSeq, wantQual)
   }
 
-  def decodeBody(body: Array[Byte], refs: Array[String]): Array[Any] = {
+  def decodeBody(body: Array[Byte], refs: Array[String]): Array[Any] =
+    decodeBody(body, refs, wantSeq = true, wantQual = true)
+
+  /** wantSeq/wantQual: runtime pruning from Catalyst's projection — the
+    * 4-bit sequence unpack and quality re-encode dominate decode CPU, so
+    * a count(*) or flag-only scan skips them (slots stay, ordinals
+    * fixed). */
+  def decodeBody(body: Array[Byte], refs: Array[String],
+                 wantSeq: Boolean, wantQual: Boolean): Array[Any] = {
     val bb = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val refId = bb.getInt
     val pos0 = bb.getInt // 0-based
@@ -300,21 +317,25 @@ object BamFormat extends GraftFormat {
       if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X') refSpan += len
       i += 1
     }
-    val seqSb = new java.lang.StringBuilder(lSeq)
-    i = 0
-    while (i < (lSeq + 1) / 2) {
-      val b = bb.get() & 0xff
-      seqSb.append(SeqCode.charAt(b >>> 4))
-      if (seqSb.length() < lSeq) seqSb.append(SeqCode.charAt(b & 0xf))
-      i += 1
-    }
-    val qualSb = new java.lang.StringBuilder(lSeq)
+    val seqSb = new java.lang.StringBuilder(if (wantSeq) lSeq else 0)
+    if (wantSeq) {
+      i = 0
+      while (i < (lSeq + 1) / 2) {
+        val b = bb.get() & 0xff
+        seqSb.append(SeqCode.charAt(b >>> 4))
+        if (seqSb.length() < lSeq) seqSb.append(SeqCode.charAt(b & 0xf))
+        i += 1
+      }
+    } else bb.position(bb.position() + (lSeq + 1) / 2)
+    val qualSb = new java.lang.StringBuilder(if (wantQual) lSeq else 0)
     var missingQual = false
-    i = 0
-    while (i < lSeq) {
-      val q = bb.get() & 0xff
-      if (q == 0xff) missingQual = true else qualSb.append((q + 33).toChar)
-      i += 1
+    if (wantQual) {
+      i = 0
+      while (i < lSeq) {
+        val q = bb.get() & 0xff
+        if (q == 0xff) missingQual = true else qualSb.append((q + 33).toChar)
+        i += 1
+      }
     }
     // remaining bytes = optional tags; tolerated, not surfaced (parity
     // with the reference's 10-column scan schema)
@@ -334,7 +355,7 @@ object BamFormat extends GraftFormat {
       if (mapq == 255) null else UTF8String.fromString(mapq.toString),
       if (cigar == null) null else UTF8String.fromString(cigar),
       if (mateRef == null) null else UTF8String.fromString(mateRef),
-      if (lSeq == 0) null else UTF8String.fromString(seqSb.toString),
-      if (missingQual || lSeq == 0) null else UTF8String.fromString(qualSb.toString))
+      if (!wantSeq || lSeq == 0) null else UTF8String.fromString(seqSb.toString),
+      if (!wantQual || missingQual || lSeq == 0) null else UTF8String.fromString(qualSb.toString))
   }
 }

@@ -132,8 +132,15 @@ object BcfFormat extends GraftFormat {
     val (dict, contigs) = dictionaries(header)
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
     val withSamples = schema.fieldNames.contains("genotypes")
+    val hasTyped = schema.fieldNames.contains("genotypes_typed")
+    // runtime pruning: skip decode work for unprojected expensive
+    // columns (rows stay full-schema shaped)
     val typedStruct = schema.fields.find(_.name == "genotypes_typed")
       .map(_.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType])
+      .filter(_ => split.needs("genotypes_typed"))
+    val wantInfo = split.needs("info")
+    val wantGts = typedStruct.isDefined ||
+      split.needs("format") || split.needs("genotypes")
     val region = options.get("region").map(VcfFormat.parseRegion)
 
     def passes(vals: Array[Any]): Boolean = region match {
@@ -162,11 +169,14 @@ object BcfFormat extends GraftFormat {
         val id = readString(bb)
         val alleles = (0 until nAllele).map(_ => readString(bb))
         val filters = readIntVector(bb)
-        val infoKv = (0 until nInfo).map { _ =>
-          val key = readTypedInt(bb)
-          val (tpe, count) = readDescriptor(bb)
-          (dict(key).toLowerCase, readValues(bb, tpe, count))
-        }.toMap
+        // info is the tail of the shared block: when pruned, stop walking
+        val infoKv =
+          if (!wantInfo) Map.empty[String, Seq[Any]]
+          else (0 until nInfo).map { _ =>
+            val key = readTypedInt(bb)
+            val (tpe, count) = readDescriptor(bb)
+            (dict(key).toLowerCase, readValues(bb, tpe, count))
+          }.toMap
 
         val infoVals = infoSchema.fields.map { f =>
           f.dataType match {
@@ -206,11 +216,15 @@ object BcfFormat extends GraftFormat {
           filterStr,
           new GenericInternalRow(infoVals.toArray[Any]))
         if (!withSamples) base
-        else {
+        else if (!wantGts) {
+          // genotype surface pruned: keep the slots, skip the decode
+          base ++ (if (hasTyped) Array[Any](null, null, null) else Array[Any](null, null))
+        } else {
           val (fmt, gts) = decodeGenotypes(indiv, nFmt, nSample, dict)
           val withFmt = base ++ Array[Any](fmt, gts)
-          typedStruct match {
-            case None     => withFmt
+          if (!hasTyped) withFmt
+          else typedStruct match {
+            case None     => withFmt :+ null // typed pruned, strings kept
             case Some(st) =>
               // typed structs derive from the SAME rendered strings the
               // text source parses — identical values by construction
@@ -224,7 +238,7 @@ object BcfFormat extends GraftFormat {
 
     if (split.bgzfSplit)
       return readBgzfSplit(split, in.asInstanceOf[BgzfBlockStream], header,
-        withSamples, decodeArrays, passes)
+        withSamples && wantGts, decodeArrays, passes)
 
     new Iterator[Array[Any]] {
       private var nextRow: Array[Any] = _
@@ -247,8 +261,8 @@ object BcfFormat extends GraftFormat {
         val shared = new Array[Byte](lShared)
         d.readFully(shared)
         val indiv =
-          if (withSamples) { val a = new Array[Byte](lIndiv); d.readFully(a); a }
-          else { d.skipBytes(lIndiv); null } // sample-less scan schema
+          if (withSamples && wantGts) { val a = new Array[Byte](lIndiv); d.readFully(a); a }
+          else { d.skipBytes(lIndiv); null } // sample-less or pruned scan
         decodeArrays(shared, indiv)
       }
     }

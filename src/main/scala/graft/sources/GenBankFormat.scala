@@ -20,6 +20,12 @@ import graft.sources.core._
 object GenBankFormat extends GraftFormat {
   override def name = "genbank"
   override def extensions = Seq("gb", "gbk", "genbank")
+  /** Records sync on 'LOCUS'-headed lines the way FASTA syncs on '>':
+    * content lines are indented or digit-prefixed, so a line starting
+    * 'LOCUS' is unambiguously a record head. A split claims records
+    * whose LOCUS line position is within its range; plain byte ranges
+    * and BGZF block splits both apply. */
+  override def splittable = true
 
   override def schema(paths: Seq[Path], conf: Configuration,
                       options: Map[String, String]): StructType =
@@ -36,11 +42,18 @@ object GenBankFormat extends GraftFormat {
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
-    val lines = new LineReader(in, 0, Long.MaxValue).map(_._2).buffered
+    val tagged = P.linesUnbounded(split, in).buffered
+    // the record parser below only needs line text; positions matter
+    // solely at the LOCUS sync points where split ownership is decided
+    val lines = new scala.collection.BufferedIterator[String] {
+      override def head: String = tagged.head._2
+      override def hasNext: Boolean = tagged.hasNext
+      override def next(): String = tagged.next()._2
+    }
     new Iterator[Array[Any]] {
       override def hasNext: Boolean = {
-        while (lines.hasNext && !lines.head.startsWith("LOCUS")) lines.next()
-        lines.hasNext
+        while (tagged.hasNext && !tagged.head._2.startsWith("LOCUS")) tagged.next()
+        tagged.hasNext && tagged.head._1 <= split.end
       }
       override def next(): Array[Any] = {
         require(hasNext, "no more GenBank records")

@@ -156,8 +156,14 @@ object VcfFormat extends GraftFormat {
                     options: Map[String, String]): Iterator[Array[Any]] = {
     val infoSchema = schema("info").dataType.asInstanceOf[StructType]
     val withSamples = schema.fieldNames.contains("genotypes")
+    val hasTyped = schema.fieldNames.contains("genotypes_typed")
+    // runtime pruning: skip the parse work for unprojected expensive
+    // columns (rows stay full-schema shaped — ordinals must not shift)
     val typedStruct = schema.fields.find(_.name == "genotypes_typed")
       .map(_.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType])
+      .filter(_ => split.needs("genotypes_typed"))
+    val wantInfo = split.needs("info")
+    val wantGts = split.needs("genotypes") || split.needs("format")
     val region = options.get("region").map(parseRegion)
     // index-chunk streams are pre-bounded (voff range), so they read
     // whole; ranged/bgzf splits apply the line ownership protocol
@@ -167,7 +173,7 @@ object VcfFormat extends GraftFormat {
     lineIt
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(parseRecord(_, infoSchema, withSamples, typedStruct))
+      .map(parseRecord(_, infoSchema, withSamples, hasTyped, typedStruct, wantInfo, wantGts))
       .filter { vals =>
         region match {
           case None => true
@@ -188,22 +194,27 @@ object VcfFormat extends GraftFormat {
   }
 
   private def parseRecord(line: String, infoSchema: StructType,
-                          withSamples: Boolean,
-                          typedStruct: Option[StructType]): Array[Any] = {
+                          withSamples: Boolean, hasTyped: Boolean,
+                          typedStruct: Option[StructType],
+                          wantInfo: Boolean, wantGts: Boolean): Array[Any] = {
     val c = line.split("\t", -1)
     require(c.length >= 8, s"VCF record has ${c.length} columns")
-    val infoKv: Map[String, String] =
-      if (c(7) == "." || c(7).isEmpty) Map.empty
-      else c(7).split(";").iterator.map { seg =>
-        val eq = seg.indexOf('=')
-        if (eq < 0) (seg.toLowerCase, "") else (seg.substring(0, eq).toLowerCase, seg.substring(eq + 1))
-      }.toMap
-    val infoVals = infoSchema.fields.map { f =>
-      f.dataType match {
-        case BooleanType => if (infoKv.contains(f.name)) java.lang.Boolean.TRUE else null
-        case dt          => infoKv.get(f.name).map(typedInfoValue(_, dt)).orNull
+    val infoVals: Array[Any] =
+      if (!wantInfo) new Array[Any](infoSchema.length)
+      else {
+        val infoKv: Map[String, String] =
+          if (c(7) == "." || c(7).isEmpty) Map.empty
+          else c(7).split(";").iterator.map { seg =>
+            val eq = seg.indexOf('=')
+            if (eq < 0) (seg.toLowerCase, "") else (seg.substring(0, eq).toLowerCase, seg.substring(eq + 1))
+          }.toMap
+        infoSchema.fields.map[Any] { f =>
+          f.dataType match {
+            case BooleanType => if (infoKv.contains(f.name)) java.lang.Boolean.TRUE else null
+            case dt          => infoKv.get(f.name).map(typedInfoValue(_, dt)).orNull
+          }
+        }
       }
-    }
     val base = Array[Any](
       UTF8String.fromString(c(0)),
       java.lang.Long.parseLong(c(1)),
@@ -213,17 +224,21 @@ object VcfFormat extends GraftFormat {
       else new GenericArrayData(c(4).split(",").map(a => UTF8String.fromString(a): Any)),
       if (c(5) == ".") null else java.lang.Float.parseFloat(c(5)),
       if (c(6) == ".") null else UTF8String.fromString(c(6)),
-      new GenericInternalRow(infoVals.toArray[Any]))
+      new GenericInternalRow(infoVals))
     if (!withSamples) base
     else {
-      val withFmt = base ++ Array[Any](
-        if (c.length > 8) UTF8String.fromString(c(8)) else null,
-        new GenericArrayData(c.drop(9).map(g => UTF8String.fromString(g): Any)))
-      typedStruct match {
-        case None     => withFmt
-        case Some(st) =>
-          withFmt :+ typedGenotypes(if (c.length > 8) c(8) else null, c.drop(9).toSeq, st)
-      }
+      val withFmt = base ++ (
+        if (!wantGts) Array[Any](null, null)
+        else Array[Any](
+          if (c.length > 8) UTF8String.fromString(c(8)) else null,
+          new GenericArrayData(c.drop(9).map(g => UTF8String.fromString(g): Any))))
+      if (hasTyped) {
+        typedStruct match {
+          case None     => withFmt :+ null // pruned: slot kept, work skipped
+          case Some(st) =>
+            withFmt :+ typedGenotypes(if (c.length > 8) c(8) else null, c.drop(9).toSeq, st)
+        }
+      } else withFmt
     }
   }
 }

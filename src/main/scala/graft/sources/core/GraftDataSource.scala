@@ -215,6 +215,9 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
     // session Hadoop conf shipped from the driver: spark.hadoop.* (s3a
     // credentials, endpoints, ...) must reach executor-side FS access
     val conf = sconf.value
+    // projection + pushed-filter references: parsers may skip the work
+    // of materializing any other top-level column
+    val needed = Some(required.fieldNames.toSet ++ filters.flatMap(_.references))
     val raw = GraftFiles.open(p.path, conf)
     val codec = format.forcedCodec.getOrElse(Compression.of(p.path, options)._1)
     val ranged = !p.bgzfChunk && !p.bgzfSplit && (p.start != 0 || p.end != Long.MaxValue)
@@ -240,7 +243,7 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
       // voff is <= (E<<16)-1 iff its block starts before E
       val split = GraftSplit(p.path,
         if (p.start == 0) 0L else p.start << 16, (p.end << 16) - 1,
-        p.fileLen, bgzfSplit = true, conf = conf)
+        p.fileLen, bgzfSplit = true, conf = conf, neededCols = needed)
       return buildReader(stream, split)
     }
     val stream =
@@ -249,7 +252,7 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
       else Compression.wrap(raw.stream, codec)
     val split = GraftSplit(p.path, if (ranged) p.start else 0,
       if (ranged) p.end else Long.MaxValue, p.fileLen, bgzfChunk = p.bgzfChunk,
-      conf = conf)
+      conf = conf, neededCols = needed)
     buildReader(stream, split)
   }
 

@@ -76,7 +76,16 @@ trait GraftFormat extends Serializable {
 final case class GraftSplit(path: String, start: Long, end: Long, fileLen: Long,
                             bgzfChunk: Boolean = false,
                             bgzfSplit: Boolean = false,
-                            conf: Configuration = new Configuration())
+                            conf: Configuration = new Configuration(),
+                            neededCols: Option[Set[String]] = None) {
+  /** Runtime column-needs from Catalyst's pruning (projection + pushed
+    * filter references). Parsers still emit full-schema rows — ordinals
+    * must not shift — but may SKIP THE WORK of materializing expensive
+    * unneeded columns (VCF info struct / genotype strings, BAM
+    * sequence/quality decode): declared pruning in ReadSchema is only
+    * half the win when parse CPU dominates a 100 TB scan. None = all. */
+  def needs(col: String): Boolean = neededCols.forall(_.contains(col))
+}
 
 object Compression {
   /** (codec, pathWithoutCompressionSuffix); codec from the final

@@ -51,6 +51,25 @@ class BinaryFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime parse pruning: narrow projections skip decode work but keep values exact") {
+    // these exercise the split.needs() skip paths (info / genotype /
+    // seq+qual decode elision) — values must be identical to full reads
+    assert(GraftIO.read_vcf_file_records(spark, s"$F/vcf/samples.vcf")
+      .select("pos").orderBy("pos").collect().map(_.getLong(0)).toSeq == Seq(100L, 200L))
+    assert(GraftIO.read_bcf_file_records(spark, s"$F/vcf/samples.bcf")
+      .select("pos").orderBy("pos").collect().map(_.getLong(0)).toSeq == Seq(100L, 200L))
+    val bam = GraftIO.read_bam_file_records(spark, s"$F/bam/test.bam")
+      .selectExpr("name", "flag").orderBy("name").collect()
+    assert(bam.length == 3 && bam.forall(r => r.getString(0).nonEmpty))
+    // projecting ONLY the expensive columns still decodes them
+    val gq = GraftIO.read_bcf_file_records(spark, s"$F/vcf/samples.bcf")
+      .selectExpr("genotypes_typed[1].gq AS gq").orderBy("gq").collect().map(_.getInt(0))
+    assert(gq.toSeq == Seq(42, 77))
+    val sq = GraftIO.read_bam_file_records(spark, s"$F/bam/test.bam")
+      .selectExpr("sequence").where("sequence IS NOT NULL").count()
+    assert(sq > 0)
+  }
+
   test("nested-field-only projection reads the right struct ordinal") {
     // regression: nested schema pruning narrowed `info` to one field but
     // the parser emitted the full struct, shifting ordinals

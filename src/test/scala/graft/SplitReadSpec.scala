@@ -359,6 +359,46 @@ class SplitReadSpec extends AnyFunSuite {
     assert(whole.length == 300)
   }
 
+  private def genbankText(n: Int): String =
+    (1 to n).map { i =>
+      f"""LOCUS       REC$i%04d                 24 bp    DNA     linear SYN 01-JAN-2026
+         |DEFINITION  synthetic record $i%d for split testing.
+         |ACCESSION   REC$i%04d
+         |FEATURES             Location/Qualifiers
+         |     source          1..24
+         |                     /organism="synthetic construct"
+         |ORIGIN
+         |        1 gttaacgtac gtacgtacgt acgt
+         |//
+         |""".stripMargin
+    }.mkString
+
+  test("genbank: byte-range splits sync to LOCUS record heads") {
+    val path = tmpFile("big.gb", genbankText(150))
+    val whole = GraftIO.read_genbank(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(256) {
+      val df = GraftIO.read_genbank(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 150)
+  }
+
+  test("genbank.gz (BGZF): block splits sync multi-line records") {
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("big.gb.gz")
+    bgzfWrite(p, genbankText(150).getBytes("UTF-8"), slice = 89)
+    val whole = GraftIO.read_genbank(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(700) {
+      val df = GraftIO.read_genbank(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 150)
+  }
+
   test("sam: ranged splits skip header lines only at file start") {
     val header = "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:100000\n"
     val body = (1 to 300).map { i =>
