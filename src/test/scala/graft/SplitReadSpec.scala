@@ -359,6 +359,23 @@ class SplitReadSpec extends AnyFunSuite {
     assert(whole.length == 300)
   }
 
+  test("plain gzip (non-BGZF) larger than maxSplit stays ONE partition") {
+    // a plain gzip stream cannot be entered mid-way: splitting it would
+    // corrupt records, so the isBgzf probe must gate the split planner
+    val d = Files.createTempDirectory("graft-plaingz")
+    val p = d.resolve("big.vcf.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+    out.write(vcfText.getBytes("UTF-8"))
+    out.close()
+    val rows = withMaxSplit(512) {
+      val df = GraftIO.read_vcf_file_records(spark, p.toString)
+      assert(df.rdd.getNumPartitions == 1,
+        "plain gzip must not be byte-range split")
+      df.count()
+    }
+    assert(rows == 400)
+  }
+
   private def genbankText(n: Int): String =
     (1 to n).map { i =>
       f"""LOCUS       REC$i%04d                 24 bp    DNA     linear SYN 01-JAN-2026
