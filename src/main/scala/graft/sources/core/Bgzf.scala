@@ -191,7 +191,11 @@ final class BgzfBlockStream(raw: FSDataStream, startCoff: Long) extends InputStr
     }
   }
 
-  /** voff of the byte the next read returns; Long.MaxValue at EOF. */
+  /** voff of the byte the next read returns; Long.MaxValue at EOF.
+    * CAUTION: at a block boundary this reports the offset of the next
+    * RAW block, which may be an empty/EOF-marker block that read() will
+    * skip — for exact attribution derive positions from `lastByteVoff`
+    * after reading instead (VoffLineReader.fill, BgzfWindow.ensure). */
   def nextVoff: Long =
     if (eof) Long.MaxValue
     else if (pos >= block.length) nextCoff << 16
@@ -235,12 +239,13 @@ final class BgzfWindow(bs: BgzfBlockStream) {
     * false when EOF intervenes first. */
   def ensure(upTo: Long): Boolean = {
     while (endAbs < upTo && !eofSeen) {
-      val v = bs.nextVoff
       val buf = new Array[Byte](1 << 16)
       val n = bs.read(buf) // block-bounded: one chunk = one voff run
       if (n < 0) eofSeen = true
       else {
-        chunks.addLast(Chunk(endAbs, v,
+        // chunk voff from the last byte read — exact even across
+        // skipped empty/EOF-marker blocks (concatenated BGZF)
+        chunks.addLast(Chunk(endAbs, bs.lastByteVoff - (n - 1),
           if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)))
         endAbs += n
       }

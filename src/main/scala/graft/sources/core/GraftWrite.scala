@@ -120,9 +120,17 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
     // parsers mis-decode
     def hiveEscape(s: String): String = {
       val sb = new java.lang.StringBuilder(s.length)
-      s.foreach { c =>
-        if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') sb.append(c)
-        else c.toString.getBytes("UTF-8").foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      var i = 0
+      while (i < s.length) {
+        // iterate by code point: escaping a surrogate half in isolation
+        // would mangle supplementary chars (emoji) into '?' bytes
+        val cp = s.codePointAt(i)
+        val w = Character.charCount(cp)
+        if (Character.isLetterOrDigit(cp) || cp == '.' || cp == '-' || cp == '_')
+          sb.append(s, i, i + w)
+        else s.substring(i, i + w).getBytes("UTF-8")
+          .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+        i += w
       }
       sb.toString
     }

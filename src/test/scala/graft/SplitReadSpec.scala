@@ -359,6 +359,34 @@ class SplitReadSpec extends AnyFunSuite {
     assert(whole.length == 300)
   }
 
+  test("concatenated BGZF (EOF markers mid-file) splits without loss or double-reads") {
+    // `cat a.vcf.gz b.vcf.gz` leaves an empty EOF-marker block mid-file;
+    // the decoder skips it, and split ownership must attribute bytes to
+    // the REAL block after the marker, not the marker's offset — the
+    // stale-voff shape that double-reads when a boundary lands between
+    val all = vcfText.split("\n")
+    val (head, tail) = all.splitAt(200 + 3) // header lines + 200 records
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("concat.vcf.gz")
+    val bos = new java.io.ByteArrayOutputStream()
+    for (part <- Seq(head, tail)) {
+      val out = new graft.sources.core.BgzfOutputStream(bos)
+      part.foreach { l => out.write((l + "\n").getBytes("UTF-8")); out.flush() }
+      out.close() // writes the EOF marker -> marker sits mid-file after part 1
+    }
+    Files.write(p, bos.toByteArray)
+    val whole = GraftIO.read_vcf_file_records(spark, p.toString).collect().map(_.toString).sorted
+    assert(whole.length == 400)
+    for (maxSplit <- Seq(333L, 700L, 1024L)) {
+      val split = withMaxSplit(maxSplit) {
+        val df = GraftIO.read_vcf_file_records(spark, p.toString)
+        assert(df.rdd.getNumPartitions > 3)
+        df.collect().map(_.toString).sorted
+      }
+      assert(split.toSeq == whole.toSeq, s"maxSplit=$maxSplit")
+    }
+  }
+
   test("plain gzip (non-BGZF) larger than maxSplit stays ONE partition") {
     // a plain gzip stream cannot be entered mid-way: splitting it would
     // corrupt records, so the isBgzf probe must gate the split planner
