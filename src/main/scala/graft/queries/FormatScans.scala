@@ -221,6 +221,46 @@ object FormatScans {
     // test_fasta_copy.test): write all three writable formats to a scratch
     // dir, read back through the same sources, golden on the round-tripped
     // content. Exercises the staged task-commit protocol under the gate.
+    // BGZF block-boundary split scan through the gate: a generated
+    // multi-block .vcf.gz (one line per block, the alignment-edge shape)
+    // is read under a small maxPartitionBytes so the scan fans out
+    // across byte-range tasks; values must equal the single-task read.
+    // parts_fanned_out proves the parallel plan actually engaged.
+    "fmt_bgzf_split_scan" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-bgzf-gate") { d =>
+          val out = new graft.sources.core.BgzfOutputStream(
+            java.nio.file.Files.newOutputStream(d.resolve("big.vcf.gz")))
+          val header = "##fileformat=VCFv4.2\n" +
+            "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">\n" +
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+          val lines = header + (1 to 400).map { i =>
+            s"chr${i % 3}\t${i * 10}\tid$i\tA\tG\t${i % 50}.0\tPASS\tDP=$i"
+          }.mkString("", "\n", "\n")
+          lines.split("\n").foreach { l =>
+            out.write((l + "\n").getBytes("UTF-8")); out.flush()
+          }
+          out.close()
+        }
+        val k = "spark.sql.files.maxPartitionBytes"
+        val old = s.conf.get(k)
+        s.conf.set(k, "700")
+        try {
+          val df = GraftIO.read_vcf_file_records(s, staged.resolve("big.vcf.gz").toString)
+          val parts = df.rdd.getNumPartitions
+          df.groupBy("chrom")
+            .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos_sum"),
+              sum(col("info.dp")).as("dp_sum"))
+            .withColumn("parts_fanned_out", lit(parts > 5))
+            .orderBy("chrom")
+        } finally s.conf.set(k, old)
+      },
+      Some("""SELECT 'chr0' AS chrom, CAST(133 AS BIGINT) AS n, CAST(267330 AS BIGINT) AS pos_sum,
+          CAST(26733 AS BIGINT) AS dp_sum, true AS parts_fanned_out
+        UNION ALL SELECT 'chr1', 134, 268670, 26867, true
+        UNION ALL SELECT 'chr2', 133, 266000, 26600, true
+        ORDER BY chrom""")),
+
     "fmt_writer_roundtrip" -> Q(
       (s, _) => {
         val dir = Stage.tempDir("graft_wrt").toString
