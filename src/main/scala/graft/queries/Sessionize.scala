@@ -29,6 +29,43 @@ object Sessionize {
   final case class OpenSession(sid: Int, start_us: Long, prev_us: Long,
                                n: Long, cents: Long)
 
+  /** The flatMapGroupsWithState body shared by the gate entry and the
+    * restart-recovery spec: one open session per user carried in state,
+    * gap-close inside a batch, timeout-flush when the watermark passes
+    * end + gap, tombstone (n=0) preserving the per-user sid counter. */
+  def stateFn(gapUs: Long): (Long, Iterator[SEv],
+      org.apache.spark.sql.streaming.GroupState[OpenSession]) => Iterator[Session] =
+    (uid, it, state) =>
+      if (state.hasTimedOut) {
+        val o = state.get
+        state.update(OpenSession(o.sid + 1, 0, 0, 0, 0))
+        Iterator.single(Session(uid, o.sid, o.start_us, o.n, o.cents))
+      } else {
+        val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
+        val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var cur = state.getOption
+        evs.foreach { e =>
+          cur match {
+            case Some(o) if o.n > 0 && e.ts_us - o.prev_us <= gapUs =>
+              cur = Some(o.copy(prev_us = e.ts_us, n = o.n + 1,
+                cents = o.cents + math.round(e.value * 100)))
+            case Some(o) if o.n > 0 =>
+              closed += Session(uid, o.sid, o.start_us, o.n, o.cents)
+              cur = Some(OpenSession(o.sid + 1, e.ts_us, e.ts_us, 1,
+                math.round(e.value * 100)))
+            case tomb =>
+              cur = Some(OpenSession(tomb.map(_.sid).getOrElse(0),
+                e.ts_us, e.ts_us, 1, math.round(e.value * 100)))
+          }
+        }
+        cur.foreach { o =>
+          state.update(o)
+          if (o.n > 0)
+            state.setTimeoutTimestamp(o.prev_us / 1000 + gapUs / 1000)
+        }
+        closed.iterator
+      }
+
   /** Streaming session builder over a (user_id, ts_us, value)-sorted
     * event iterator: emits a Session as each one closes, holding O(1)
     * state (current session counters only) — never a whole user. This is
@@ -153,49 +190,16 @@ object Sessionize {
           .withWatermark("ts", "1 minute")
           .as[SEv]
 
+        // state body = stateFn: watermark-timeout flush, TOMBSTONE (n=0,
+        // carrying the next sid) instead of removal — a returning user
+        // must continue the per-user session numbering, not restart at
+        // 0; that O(1) residue per user ever seen is the
+        // information-theoretic floor the batch oracle's running-sum
+        // numbering implies. Shared with StatefulStreamingSpec's
+        // restart-recovery case.
         val sessions = stream.groupByKey(_.user_id)
           .flatMapGroupsWithState[OpenSession, Session](
-            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-            (uid: Long, it: Iterator[SEv], state: GroupState[OpenSession]) =>
-              if (state.hasTimedOut) {
-                // watermark passed the open session's end + gap: final
-                // flush. A TOMBSTONE (n=0, carrying the next sid, no
-                // timeout) replaces the state instead of removing it —
-                // a returning user must continue the per-user session
-                // numbering, not restart at 0. Stable sids require
-                // remembering one counter per user ever seen; that O(1)
-                // residue is the information-theoretic floor, and it is
-                // what the batch oracle's running-sum numbering implies.
-                val o = state.get
-                state.update(OpenSession(o.sid + 1, 0, 0, 0, 0))
-                Iterator.single(Session(uid, o.sid, o.start_us, o.n, o.cents))
-              } else {
-                val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
-                val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-                var cur = state.getOption
-                evs.foreach { e =>
-                  cur match {
-                    case Some(o) if o.n > 0 && e.ts_us - o.prev_us <= gapUs =>
-                      cur = Some(o.copy(prev_us = e.ts_us, n = o.n + 1,
-                        cents = o.cents + math.round(e.value * 100)))
-                    case Some(o) if o.n > 0 =>
-                      closed += Session(uid, o.sid, o.start_us, o.n, o.cents)
-                      cur = Some(OpenSession(o.sid + 1, e.ts_us, e.ts_us, 1,
-                        math.round(e.value * 100)))
-                    case tomb =>
-                      // fresh user (None) or tombstone (n=0): next sid
-                      cur = Some(OpenSession(tomb.map(_.sid).getOrElse(0),
-                        e.ts_us, e.ts_us, 1, math.round(e.value * 100)))
-                  }
-                }
-                cur.foreach { o =>
-                  state.update(o)
-                  if (o.n > 0)
-                    state.setTimeoutTimestamp(o.prev_us / 1000 + gapUs / 1000)
-                }
-                closed.iterator
-              }
-          }
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn(gapUs))
 
         val q = sessions.toDF().writeStream.outputMode("append")
           .format("memory").queryName(tbl).start()

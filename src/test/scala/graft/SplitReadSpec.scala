@@ -444,6 +444,43 @@ class SplitReadSpec extends AnyFunSuite {
     assert(whole.length == 150)
   }
 
+  test("split fuzz: random block/split geometry agrees with single-task reads (seed 42)") {
+    // sweeps the (block size, split size) plane the hand-picked cases
+    // can't cover: tiny blocks, blocks >> splits, co-prime sizes
+    val rnd = new scala.util.Random(42)
+    val d = Files.createTempDirectory("graft-fuzz")
+    val vcfWhole = {
+      val p = d.resolve("w.vcf.gz")
+      bgzfWrite(p, vcfText.getBytes("UTF-8"), slice = 10000)
+      GraftIO.read_vcf_file_records(spark, p.toString).collect().map(_.toString).sorted.toSeq
+    }
+    for (trial <- 1 to 4) {
+      val slice = 40 + rnd.nextInt(500)
+      val maxSplit = 150 + rnd.nextInt(2500)
+      val p = d.resolve(s"vcf$trial.vcf.gz")
+      bgzfWrite(p, vcfText.getBytes("UTF-8"), slice)
+      val split = withMaxSplit(maxSplit) {
+        GraftIO.read_vcf_file_records(spark, p.toString).collect().map(_.toString).sorted.toSeq
+      }
+      assert(split == vcfWhole, s"vcf trial $trial slice=$slice maxSplit=$maxSplit")
+    }
+    val bamWhole = {
+      val p = d.resolve("w.bam")
+      bgzfWrite(p, bamBytes(300), slice = 10000)
+      GraftIO.read_bam_file_records(spark, p.toString).collect().map(_.toString).sorted.toSeq
+    }
+    for (trial <- 1 to 4) {
+      val slice = 30 + rnd.nextInt(400)
+      val maxSplit = 150 + rnd.nextInt(2000)
+      val p = d.resolve(s"bam$trial.bam")
+      bgzfWrite(p, bamBytes(300), slice)
+      val split = withMaxSplit(maxSplit) {
+        GraftIO.read_bam_file_records(spark, p.toString).collect().map(_.toString).sorted.toSeq
+      }
+      assert(split == bamWhole, s"bam trial $trial slice=$slice maxSplit=$maxSplit")
+    }
+  }
+
   test("sam: ranged splits skip header lines only at file start") {
     val header = "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:100000\n"
     val body = (1 to 300).map { i =>

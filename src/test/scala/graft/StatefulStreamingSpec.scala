@@ -67,4 +67,71 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(spark.table(name).count() >= want.size) // saw per-batch updates
   }
+
+  test("sessionize state survives a query RESTART via checkpoint (exactly-once file sink)") {
+    // The production crash/redeploy shape: phase 1 processes early
+    // events and stops; phase 2 restarts the SAME checkpoint with new
+    // files. A session straddling the restart (events on both sides
+    // within the gap) must merge into ONE session — only recovered
+    // state can do that — and nothing may duplicate in the file sink.
+    import spark.implicits._
+    import graft.queries.Sessionize
+    import graft.queries.Sessionize.{OpenSession, SEv, Session}
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    val inDir = Files.createTempDirectory("graft-restart-in")
+    val outDir = Files.createTempDirectory("graft-restart-out")
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt")
+    val scratch = Files.createTempDirectory("graft-restart-tmp")
+
+    val gapUs = 30L * 60 * 1000 * 1000
+    val t0 = 1700000000000000L // micros
+    def stageFile(rows: Seq[(Long, Long, Double)], name: String, order: Int): Unit =
+      graft.queries.Stage.parquetFile(
+        rows.toDF("user_id", "ts_us", "value"), scratch, inDir, name, order)
+
+    def start() = {
+      val stream = spark.readStream
+        .schema("user_id LONG, ts_us LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .selectExpr("user_id", "timestamp_micros(ts_us) AS ts", "ts_us", "value")
+        .withWatermark("ts", "1 minute")
+        .as[SEv]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[OpenSession, Session](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          Sessionize.stateFn(gapUs))
+      stream.toDF().writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+    }
+
+    // phase 1: user 1 starts a session, user 2 completes one
+    stageFile(Seq((1L, t0, 1.0), (1L, t0 + 10L * 60 * 1000000, 2.0),
+      (2L, t0, 5.0)), "b00.parquet", 0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 (after restart): user 1 CONTINUES within the gap, then two
+    // far-future sentinels advance the watermark and trigger timeouts
+    stageFile(Seq((1L, t0 + 20L * 60 * 1000000, 4.0)), "b01.parquet", 1)
+    stageFile(Seq((-1L, 4102444800000000L, 0.0)), "b02.parquet", 2)
+    stageFile(Seq((-1L, 4102531200000000L, 0.0)), "b03.parquet", 3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir.toString)
+      .where(col("user_id") >= 0)
+      .select("user_id", "sid", "session_start_us", "n_events", "sum_value_cents")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // user 1: ONE merged 3-event session spanning the restart (state
+    // recovered); user 2: one single-event session. No duplicates.
+    assert(got == Seq(
+      (1L, 0, t0, 3L, 700L),
+      (2L, 0, t0, 1L, 500L)), s"got $got")
+  }
 }
