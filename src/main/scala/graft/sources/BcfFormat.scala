@@ -288,7 +288,7 @@ object BcfFormat extends GraftFormat {
       .map(l => math.max(0, l.split("\t").length - 9)).getOrElse(0)
 
     // at file start the header was already consumed from the stream
-    var initialAnchor = if (split.start == 0) bs.lastByteVoff else -1L
+    val initialAnchor = if (split.start == 0) bs.lastByteVoff else -1L
     val win = new BgzfWindow(bs)
     var cursor: Long =
       if (split.start == 0) 0L

@@ -229,7 +229,7 @@ final class BgzfBlockStream(raw: FSDataStream, startCoff: Long) extends InputStr
   * then parse records that straddle blocks. Memory is O(largest record +
   * one block), not O(split). */
 final class BgzfWindow(bs: BgzfBlockStream) {
-  private final case class Chunk(startAbs: Long, voff: Long, bytes: Array[Byte])
+  import BgzfWindow.Chunk
   private val chunks = new java.util.ArrayDeque[Chunk]()
   private var endAbs = 0L
   private var eofSeen = false
@@ -305,6 +305,10 @@ final class BgzfWindow(bs: BgzfBlockStream) {
     }
     out
   }
+}
+
+object BgzfWindow {
+  private final case class Chunk(startAbs: Long, voff: Long, bytes: Array[Byte])
 }
 
 /** An InputStream over the BGZF-decompressed bytes of [startVoff,
