@@ -176,6 +176,24 @@ class SplitReadSpec extends AnyFunSuite {
     assert(whole.length == 200)
   }
 
+  test("fastq.gz (BGZF): structural @/+ resync over block splits") {
+    val content = (1 to 300).map { i =>
+      val q = if (i % 3 == 0) "@" + "I" * 9 else "I" * 10 // '@' quality lines
+      s"@read$i desc$i\nACGTACGTAC\n+\n$q\n"
+    }.mkString
+    val d = Files.createTempDirectory("graft-bgzf")
+    val p = d.resolve("big.fastq.gz")
+    bgzfWrite(p, content.getBytes("UTF-8"), slice = 53)
+    val whole = GraftIO.read_fastq(spark, p.toString).collect().map(_.toString).sorted
+    val split = withMaxSplit(400) {
+      val df = GraftIO.read_fastq(spark, p.toString)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 300)
+  }
+
   /** Minimal BAM encoder for fixtures (header + records, uncompressed
     * payload; BGZF framing added by bgzfWrite). */
   private def bamBytes(n: Int): Array[Byte] = {
