@@ -36,6 +36,35 @@ class TabixSpec extends AnyFunSuite {
     assert(GraftIO.vcf_query(spark, P, "chrX").count() == 0)
   }
 
+  test("region query WITHOUT an index parallelizes over BGZF splits, same results") {
+    // un-indexed bgzipped VCF larger than maxPartitionBytes: the region
+    // fallback is a parallel block-split scan + filter, not one task
+    val header = "##fileformat=VCFv4.2\n" +
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">\n" +
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    val body = (1 to 400).map(i => s"chr${i % 2}\t${i * 5}\t.\tA\tG\t1.0\tPASS\tDP=$i")
+      .mkString("", "\n", "\n")
+    val d = java.nio.file.Files.createTempDirectory("graft-noidx")
+    val p = d.resolve("noidx.vcf.gz")
+    val out = new graft.sources.core.BgzfOutputStream(java.nio.file.Files.newOutputStream(p))
+    (header + body).split("\n").foreach { l =>
+      out.write((l + "\n").getBytes("UTF-8")); out.flush()
+    }
+    out.close()
+    val k = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, "700")
+    try {
+      val df = GraftIO.vcf_query(spark, p.toString, "chr1:500-1500")
+      assert(df.rdd.getNumPartitions > 5, "expected block-split fallback scan")
+      val got = df.selectExpr("pos").collect().map(_.getLong(0)).sorted
+      // chr1 rows are odd i (i*5 odd-indexed): pos in [500,1500] with pos=5i, i odd
+      val want = (1 to 400).filter(i => i % 2 == 1 && i * 5 >= 500 && i * 5 <= 1500)
+        .map(_ * 5L).toArray
+      assert(got.toSeq == want.toSeq)
+    } finally spark.conf.set(k, old)
+  }
+
   test("BAI-indexed bam_query == scan+filter baseline") {
     val bam = "src/test/resources/fixtures/bam/indexed.bam"
     for (region <- Seq("ref1", "chr1", "chr1:1000000-9000000", "ref1:1-5000", "chr1:39999999-40000000")) {
