@@ -242,18 +242,19 @@ object FormatScans {
           }
           out.close()
         }
-        val k = "spark.sql.files.maxPartitionBytes"
-        val old = s.conf.get(k)
-        s.conf.set(k, "700")
-        try {
-          val df = GraftIO.read_vcf_file_records(s, staged.resolve("big.vcf.gz").toString)
-          val parts = df.rdd.getNumPartitions
-          df.groupBy("chrom")
-            .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos_sum"),
-              sum(col("info.dp")).as("dp_sum"))
-            .withColumn("parts_fanned_out", lit(parts > 5))
-            .orderBy("chrom")
-        } finally s.conf.set(k, old)
+        // maxSplitBytes as a READ OPTION, not a set-then-restored session
+        // conf: the returned DataFrame re-plans when the harness executes
+        // it, and an option travels with the relation — so the split path
+        // is exercised by the gate run itself, not only by the eager
+        // parts probe below
+        val df = GraftIO.read_vcf_file_records(s,
+          staged.resolve("big.vcf.gz").toString, Map("maxSplitBytes" -> "700"))
+        val parts = df.rdd.getNumPartitions
+        df.groupBy("chrom")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos_sum"),
+            sum(col("info.dp")).as("dp_sum"))
+          .withColumn("parts_fanned_out", lit(parts > 5))
+          .orderBy("chrom")
       },
       Some("""SELECT 'chr0' AS chrom, CAST(133 AS BIGINT) AS n, CAST(267330 AS BIGINT) AS pos_sum,
           CAST(26733 AS BIGINT) AS dp_sum, true AS parts_fanned_out

@@ -138,117 +138,46 @@ object BamFormat extends GraftFormat {
     }
   }
 
-  /** How far to scan for a record boundary before declaring the split
-    * unreadable — bounds guesser work; records larger than this would
-    * need an index-driven split instead. */
-  private val MaxGuessScan = 8L << 20
-
-  /** Byte-range split of a BGZF BAM. Ownership mirrors the line
-    * protocol's anchor rule: a record belongs to the split whose range
-    * contains the start of the block holding the byte BEFORE the record
-    * (its predecessor's last byte) — records beginning exactly at a
-    * block boundary route to the earlier split, which reads past its end
-    * until anchors leave its range; the later split skips its guessed
-    * first record when that record's anchor block precedes the range. */
+  /** Byte-range split of a BGZF BAM over the shared anchor-ownership
+    * driver (core.BgzfRecordSplit) — this format contributes only the
+    * framing: 4-byte block_size prefix, the prologue plausibility check,
+    * and the record decoder. */
   private def readBgzfSplit(split: GraftSplit,
                             bs: graft.sources.core.BgzfBlockStream,
                             options: Map[String, String]): Iterator[Array[Any]] = {
-    val startCoff = split.start >>> 16
-    val endCoff = (split.end + 1) >>> 16
     val region = options.get("region").map(VcfFormat.parseRegion)
     val wantSeq = split.needs("sequence")
     val wantQual = split.needs("quality_score")
-
-    var initialAnchor = -1L // voff of the byte before window offset 0
     val refs =
       if (split.start == 0) {
         // stream is at the file head: consume the header in place (exact
-        // byte accounting — no read-ahead buffering) so the window below
-        // starts at the first record
-        val r = readHeader(new DataInputStream(bs))
-        initialAnchor = bs.lastByteVoff
-        r
+        // byte accounting — no read-ahead buffering) so the record
+        // window starts right after it
+        readHeader(new DataInputStream(bs))
       } else refsFromHead(split)
 
-    val win = new graft.sources.core.BgzfWindow(bs)
-    var cursor: Long =
-      if (split.start == 0) 0L
-      else guessRecordStart(win, refs.length)
-    if (cursor < 0) return Iterator.empty
-
-    def anchorOf(c: Long): Long = if (c == 0) initialAnchor else win.voffAt(c - 1)
-
-    // guessed entry: skip records anchored in a block before our range
-    // (the previous split reads past its end and owns them)
-    if (split.start != 0) {
-      var skipping = true
-      while (skipping && win.ensure(cursor + 4)) {
-        val a = anchorOf(cursor)
-        if (a < 0 || (a >>> 16) < startCoff) {
-          val bsz = win.i32(cursor)
-          if (!win.ensure(cursor + 4 + bsz)) return Iterator.empty
-          cursor += 4 + bsz
-          win.trimBefore(cursor - 1)
-        } else skipping = false
-      }
-    }
-
-    new Iterator[Array[Any]] {
-      private var nextRow: Array[Any] = _
-      private var done = false
-      advance()
-
-      private def advance(): Unit = {
-        nextRow = null
-        while (nextRow == null && !done) {
-          if (!win.ensure(cursor + 4)) {
-            if (win.end != cursor) throw new EOFException("truncated BAM record header")
-            done = true
-          } else {
-            val a = anchorOf(cursor)
-            if (a >= 0 && (a >>> 16) >= endCoff) { done = true }
-            else {
-              val bsz = win.i32(cursor)
-              if (!win.ensure(cursor + 4 + bsz)) throw new EOFException("truncated BAM record")
-              val body = win.copy(cursor + 4, bsz)
-              cursor += 4 + bsz
-              win.trimBefore(cursor - 1)
-              val rec = decodeBody(body, refs, wantSeq, wantQual)
-              if (regionPasses(rec, region)) nextRow = rec
-            }
-          }
-        }
-      }
-
-      override def hasNext: Boolean = nextRow != null
-      override def next(): Array[Any] = { val r = nextRow; advance(); r }
-    }
+    graft.sources.core.BgzfRecordSplit.iterator(split, bs,
+      minRecordBytes = 37, prefixBytes = 4,
+      plausible = (w, k) => plausibleRecord(w, k, refs.length, depth = 2),
+      recordLen = (w, c) => 4L + w.i32(c),
+      decode = (w, c, len) =>
+        decodeBody(w.copy(c + 4, (len - 4).toInt), refs, wantSeq, wantQual))
+      .filter(regionPasses(_, region))
   }
 
-  /** First plausible BAM record start at or after window offset 0:
-    * validates the fixed 32-byte prologue (reference ids in range, name
-    * length, non-negative lengths, payload fits block_size, NUL-terminated
-    * read name, legal CIGAR op codes) and requires the implied NEXT
-    * record to chain (or land exactly on EOF) — the same heuristic the
-    * htslib family uses for index-free BAM splitting; a false positive
-    * needs two adjacent forged prologues. Returns -1 when the stream ends
-    * before any boundary (split past the last record). */
-  private def guessRecordStart(win: graft.sources.core.BgzfWindow, nRef: Int): Long = {
-    var k = 0L
-    while (k < MaxGuessScan) {
-      if (!win.ensure(k + 36)) return -1
-      if (plausibleRecord(win, k, nRef, depth = 2)) return k
-      k += 1
-    }
-    throw new IllegalStateException(
-      s"no BAM record boundary within $MaxGuessScan bytes of a BGZF split point")
-  }
-
+  /** Plausibility of a BAM record start at window offset k: validates
+    * the fixed 32-byte prologue (reference ids in range, name length,
+    * non-negative lengths, payload fits block_size, NUL-terminated read
+    * name, legal CIGAR op codes) and requires the implied NEXT record to
+    * chain (or land exactly on EOF) — the same heuristic the htslib
+    * family uses for index-free BAM splitting; a false positive needs
+    * two adjacent forged prologues. Records too large to buffer for
+    * chaining (long-read data) are accepted on the prologue alone. */
   private def plausibleRecord(win: graft.sources.core.BgzfWindow, k: Long,
                               nRef: Int, depth: Int): Boolean = {
     if (!win.ensure(k + 36)) return win.atEof && win.end == k // clean chain end at EOF
     val bsz = win.i32(k)
-    if (bsz < 32 || bsz > (1 << 24)) return false
+    if (bsz < 32 || bsz > (1 << 28)) return false
     val refId = win.i32(k + 4)
     if (refId < -1 || refId >= nRef) return false
     if (win.i32(k + 8) < -1) return false // pos
@@ -268,7 +197,8 @@ object BamFormat extends GraftFormat {
       if ((win.u8(k + 36 + lName + 4L * i) & 0xf) > 8) return false
       i += 1
     }
-    if (depth == 0) true
+    if (depth == 0 ||
+        4L + bsz > graft.sources.core.BgzfRecordSplit.MaxChainLookahead) true
     else plausibleRecord(win, k + 4 + bsz, nRef, depth - 1)
   }
 

@@ -268,107 +268,46 @@ object BcfFormat extends GraftFormat {
     }
   }
 
-  /** How far to scan for a record boundary before declaring the split
-    * unreadable (mirrors BamFormat.MaxGuessScan). */
-  private val MaxGuessScan = 8L << 20
-
-  /** Byte-range split of a BGZF BCF — same anchor-ownership protocol as
-    * the BAM split reader: a record belongs to the split whose range
-    * contains the start of the block holding the byte BEFORE it. */
+  /** Byte-range split of a BGZF BCF over the shared anchor-ownership
+    * driver (core.BgzfRecordSplit): this format contributes the 8-byte
+    * (l_shared, l_indiv) framing, the prologue check, and the decoder. */
   private def readBgzfSplit(split: GraftSplit, bs: BgzfBlockStream,
                             header: Seq[String], withSamples: Boolean,
                             decodeArrays: (Array[Byte], Array[Byte]) => Array[Any],
                             passes: Array[Any] => Boolean): Iterator[Array[Any]] = {
-    val startCoff = split.start >>> 16
-    val endCoff = (split.end + 1) >>> 16
     val nContig = dictionaries(header)._2.length
     // the #CHROM line pins the exact per-record sample count — the
     // strongest prologue validation signal BCF offers the guesser
     val nSamples = header.lastOption.filter(_.startsWith("#CHROM"))
       .map(l => math.max(0, l.split("\t").length - 9)).getOrElse(0)
 
-    // at file start the header was already consumed from the stream
-    val initialAnchor = if (split.start == 0) bs.lastByteVoff else -1L
-    val win = new BgzfWindow(bs)
-    var cursor: Long =
-      if (split.start == 0) 0L
-      else guessRecordStart(win, nContig, nSamples)
-    if (cursor < 0) return Iterator.empty
-
-    def anchorOf(c: Long): Long = if (c == 0) initialAnchor else win.voffAt(c - 1)
-
-    if (split.start != 0) {
-      var skipping = true
-      while (skipping && win.ensure(cursor + 8)) {
-        val a = anchorOf(cursor)
-        if (a < 0 || (a >>> 16) < startCoff) {
-          val len = 8L + win.i32(cursor) + win.i32(cursor + 4)
-          if (!win.ensure(cursor + len)) return Iterator.empty
-          cursor += len
-          win.trimBefore(cursor - 1)
-        } else skipping = false
-      }
-    }
-
-    new Iterator[Array[Any]] {
-      private var nextRow: Array[Any] = _
-      private var done = false
-      advance()
-
-      private def advance(): Unit = {
-        nextRow = null
-        while (nextRow == null && !done) {
-          if (!win.ensure(cursor + 8)) {
-            if (win.end != cursor) throw new EOFException("truncated BCF record header")
-            done = true
-          } else {
-            val a = anchorOf(cursor)
-            if (a >= 0 && (a >>> 16) >= endCoff) { done = true }
-            else {
-              val lShared = win.i32(cursor)
-              val lIndiv = win.i32(cursor + 4)
-              if (!win.ensure(cursor + 8 + lShared + lIndiv))
-                throw new EOFException("truncated BCF record")
-              val shared = win.copy(cursor + 8, lShared)
-              val indiv =
-                if (withSamples) win.copy(cursor + 8 + lShared, lIndiv) else null
-              cursor += 8L + lShared + lIndiv
-              win.trimBefore(cursor - 1)
-              val rec = decodeArrays(shared, indiv)
-              if (passes(rec)) nextRow = rec
-            }
-          }
-        }
-      }
-
-      override def hasNext: Boolean = nextRow != null
-      override def next(): Array[Any] = { val r = nextRow; advance(); r }
-    }
+    BgzfRecordSplit.iterator(split, bs,
+      minRecordBytes = 32, prefixBytes = 8,
+      plausible = (w, k) => plausibleRecord(w, k, nContig, nSamples, depth = 2),
+      recordLen = (w, c) => 8L + w.i32(c) + w.i32(c + 4),
+      decode = (w, c, _) => {
+        val lShared = w.i32(c)
+        val lIndiv = w.i32(c + 4)
+        val shared = w.copy(c + 8, lShared)
+        val indiv = if (withSamples) w.copy(c + 8 + lShared, lIndiv) else null
+        decodeArrays(shared, indiv)
+      })
+      .filter(passes)
   }
 
-  /** First plausible BCF record start at or after window offset 0:
-    * validates the fixed 32-byte prologue (lengths in range, rid within
-    * the contig dictionary, positions sane, and — decisively — the
-    * record's n_sample equal to the header's sample count) and requires
-    * the implied next record to chain or land exactly on EOF. */
-  private def guessRecordStart(win: BgzfWindow, nContig: Int, nSamples: Int): Long = {
-    var k = 0L
-    while (k < MaxGuessScan) {
-      if (!win.ensure(k + 32)) return -1
-      if (plausibleRecord(win, k, nContig, nSamples, depth = 2)) return k
-      k += 1
-    }
-    throw new IllegalStateException(
-      s"no BCF record boundary within $MaxGuessScan bytes of a BGZF split point")
-  }
-
+  /** Plausibility of a BCF record start at window offset k: validates
+    * the fixed 32-byte prologue (lengths in range, rid within the
+    * contig dictionary, positions sane, and — decisively — the record's
+    * n_sample equal to the header's sample count) and requires the
+    * implied next record to chain or land exactly on EOF; records too
+    * large to buffer for chaining are accepted on the prologue alone. */
   private def plausibleRecord(win: BgzfWindow, k: Long, nContig: Int,
                               nSamples: Int, depth: Int): Boolean = {
     if (!win.ensure(k + 32)) return win.atEof && win.end == k // clean chain end
     val lShared = win.i32(k)
-    if (lShared < 24 || lShared > (1 << 24)) return false
+    if (lShared < 24 || lShared > (1 << 28)) return false
     val lIndiv = win.i32(k + 4)
-    if (lIndiv < 0 || lIndiv > (1 << 26)) return false
+    if (lIndiv < 0 || lIndiv > (1 << 28)) return false
     val rid = win.i32(k + 8)
     if (rid < 0 || rid >= nContig) return false
     if (win.i32(k + 12) < -1) return false // pos
@@ -377,7 +316,8 @@ object BcfFormat extends GraftFormat {
     if ((nai >>> 16) < 1 || (nai & 0xffff) > 4096) return false // n_allele, n_info
     val nfs = win.i32(k + 28)
     if ((nfs & 0xffffff) != nSamples || (nfs >>> 24) > 64) return false
-    if (depth == 0) true
+    if (depth == 0 ||
+        8L + lShared + lIndiv > BgzfRecordSplit.MaxChainLookahead) true
     else plausibleRecord(win, k + 8L + lShared + lIndiv, nContig, nSamples, depth - 1)
   }
 

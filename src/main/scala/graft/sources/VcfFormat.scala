@@ -165,12 +165,10 @@ object VcfFormat extends GraftFormat {
     val wantInfo = split.needs("info")
     val wantGts = split.needs("genotypes") || split.needs("format")
     val region = options.get("region").map(parseRegion)
-    // index-chunk streams are pre-bounded (voff range), so they read
-    // whole; ranged/bgzf splits apply the line ownership protocol
-    val lineIt =
-      if (split.bgzfChunk) new LineReader(in, 0, Long.MaxValue)
-      else P.lines(split, in)
-    lineIt
+    // P.lines handles every split shape: index-chunk streams carry
+    // (0, MaxValue) bounds (pre-bounded by BgzfRangeStream), ranged and
+    // BGZF splits apply the line ownership protocol
+    P.lines(split, in)
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(parseRecord(_, infoSchema, withSamples, hasTyped, typedStruct, wantInfo, wantGts))

@@ -103,37 +103,51 @@ object Bgzf {
   }
 
   /** Driver-side probe: does this file start with a BGZF block? Reads at
-    * most 4 KB once; the property that licenses byte-range splitting of
-    * a compressed file (plain gzip streams cannot be entered mid-way,
+    * most 4 KB once per (path, length) — cached, since planInputPartitions
+    * runs per action and a large table would otherwise pay one serial
+    * remote open per file per plan (the probe is a pure function of the
+    * immutable file). The property licenses byte-range splitting of a
+    * compressed file (plain gzip streams cannot be entered mid-way,
     * BGZF blocks can). */
-  def isBgzf(path: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
-    val raw = GraftFiles.open(path, conf)
-    try {
-      val buf = new Array[Byte](4096)
-      var got = 0
-      var n = 0
-      while (got < buf.length && n >= 0) {
-        n = raw.stream.read(buf, got, buf.length - got)
-        if (n > 0) got += n
-      }
-      headerBsize(buf, 0, got) > 0
-    } catch { case _: Exception => false } finally raw.in.close()
-  }
+  private val bgzfProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** First BGZF block boundary at or after `from`, bounded by `until`
-    * (exclusive): the executor-side sync that turns an arbitrary planner
-    * byte offset into a decompressable entry point. A candidate offset is
-    * accepted only when its header parses AND the next block header (or
-    * exact file end) sits BSIZE bytes later — a forged 18-byte chained
-    * pair inside deflate payload is vanishingly unlikely. Returns -1 when
-    * no boundary starts in [from, until) (the range is interior to one
-    * block; that block's owner is the earlier split). */
-  def syncToBlock(raw: FSDataStream, from: Long, until: Long, fileLen: Long): Long = {
-    if (from == 0) return 0
+  def isBgzf(path: String, fileLen: Long,
+             conf: org.apache.hadoop.conf.Configuration): Boolean =
+    bgzfProbeCache.computeIfAbsent(s"$path:$fileLen", _ => {
+      val raw = GraftFiles.open(path, conf)
+      try {
+        val buf = new Array[Byte](4096)
+        var got = 0
+        var n = 0
+        while (got < buf.length && n >= 0) {
+          n = raw.stream.read(buf, got, buf.length - got)
+          if (n > 0) got += n
+        }
+        headerBsize(buf, 0, got) > 0
+      } catch { case _: Exception => false } finally raw.in.close()
+    })
+
+  /** Executor-side sync + open in ONE read: finds the first BGZF block
+    * boundary at or after `from` (bounded by `until`, exclusive) and
+    * returns a decompressing stream positioned there, serving the rest
+    * of the probe window before touching the source again — one ranged
+    * read per task, not two. A candidate offset is accepted only when
+    * its header parses AND the next block header (or exact file end)
+    * sits BSIZE bytes later — a forged 18-byte chained pair inside
+    * deflate payload is vanishingly unlikely. None when no boundary
+    * starts in [from, until) (the range is interior to one block; that
+    * block's owner is the earlier split). */
+  def openSynced(raw: FSDataStream, from: Long, until: Long,
+                 fileLen: Long): Option[BgzfBlockStream] = {
+    if (from == 0) {
+      raw.seek(0)
+      return Some(new BgzfBlockStream(raw.stream, 0, () => raw.in.close()))
+    }
     // any interior offset is within 64 KiB of the next boundary (BSIZE is
     // 16-bit); window = scan range + one max block + header slack
     val scanLimit = math.min(until, math.min(from + 0x10000L + 1, fileLen))
-    if (scanLimit <= from) return -1
+    if (scanLimit <= from) return None
     val winLen = (math.min(fileLen, from + 2L * 0x10000 + 4096) - from).toInt
     val win = new Array[Byte](winLen)
     raw.seek(from)
@@ -149,12 +163,19 @@ object Bgzf {
       val bsize = headerBsize(win, k, got)
       if (bsize > 0) {
         val nxt = k + bsize
-        if (from + nxt == fileLen) return from + k
-        if (from + nxt < fileLen && headerBsize(win, nxt, got) > 0) return from + k
+        val chained = (from + nxt == fileLen) ||
+          (from + nxt < fileLen && headerBsize(win, nxt, got) > 0)
+        if (chained) {
+          // window tail first, then the source (already positioned at
+          // from + got by the sequential reads above)
+          val in = new java.io.SequenceInputStream(
+            new java.io.ByteArrayInputStream(win, k, got - k), raw.stream)
+          return Some(new BgzfBlockStream(in, from + k, () => raw.in.close()))
+        }
       }
       k += 1
     }
-    -1
+    None
   }
 }
 
@@ -167,7 +188,8 @@ object Bgzf {
   * scans over bgzipped files (the reference's single-producer Arrow
   * stream, exon arrow_table_function/module.cpp:36, is the serial design
   * this replaces). */
-final class BgzfBlockStream(raw: FSDataStream, startCoff: Long) extends InputStream {
+final class BgzfBlockStream(in: InputStream, startCoff: Long,
+                            closeUnderlying: () => Unit) extends InputStream {
   private var blockCoff: Long = startCoff
   private var nextCoff: Long = startCoff
   private var block: Array[Byte] = _
@@ -176,12 +198,13 @@ final class BgzfBlockStream(raw: FSDataStream, startCoff: Long) extends InputStr
   /** voff of the last byte returned; -1 before the first read. */
   var lastByteVoff: Long = -1L
 
-  raw.seek(startCoff)
+  // `in` must already be positioned at the block boundary `startCoff`
+  // (Bgzf.openSynced arranges this without a second source read)
   loadBlock()
 
   private def loadBlock(): Unit = {
     blockCoff = nextCoff
-    Bgzf.readBlock(raw.stream) match {
+    Bgzf.readBlock(in) match {
       case null => eof = true; block = null
       case (clen, data) =>
         nextCoff = blockCoff + clen
@@ -211,6 +234,7 @@ final class BgzfBlockStream(raw: FSDataStream, startCoff: Long) extends InputStr
   }
 
   override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0 // InputStream contract; must not touch state
     if (eof) return -1
     if (pos >= block.length) { loadBlock(); if (eof) return -1 }
     val n = math.min(len, block.length - pos)
@@ -220,7 +244,7 @@ final class BgzfBlockStream(raw: FSDataStream, startCoff: Long) extends InputStr
     n
   }
 
-  override def close(): Unit = raw.in.close()
+  override def close(): Unit = closeUnderlying()
 }
 
 /** Buffered random-access window over a BgzfBlockStream's decompressed
@@ -309,6 +333,115 @@ final class BgzfWindow(bs: BgzfBlockStream) {
 
 object BgzfWindow {
   private final case class Chunk(startAbs: Long, voff: Long, bytes: Array[Byte])
+}
+
+/** Shared machinery for byte-range splits of BGZF-framed RECORD formats
+  * (BAM, BCF). One copy of the correctness-critical protocol — record
+  * guessing with trim-as-you-scan, the skip of records anchored before
+  * the range, the anchor-ownership stop — parameterized by the format's
+  * framing: minimum record size, length-prefix width, a prologue
+  * plausibility check, the record length at a cursor, and the decoder.
+  *
+  * Ownership: a record belongs to the split whose compressed range
+  * contains the start of the block holding the byte BEFORE it (its
+  * predecessor's last byte) — records beginning exactly at a block
+  * boundary route to the earlier split, which reads past its end until
+  * anchors leave its range.
+  */
+object BgzfRecordSplit {
+
+  /** Guessing scan bound. Window memory stays bounded (trimmed as the
+    * scan advances); records larger than this cannot be synced past. */
+  val MaxGuessScan: Long = 64L << 20
+
+  /** Chain-validation lookahead bound: a candidate whose implied record
+    * is larger than this is accepted on prologue checks alone rather
+    * than buffering hundreds of MB to find the next prologue (the same
+    * trade the htslib-family guessers make for long-read data). */
+  val MaxChainLookahead: Long = 8L << 20
+
+  def guess(win: BgzfWindow, minRecordBytes: Int,
+            plausible: (BgzfWindow, Long) => Boolean): Long = {
+    var k = 0L
+    while (k < MaxGuessScan) {
+      if (!win.ensure(k + minRecordBytes)) return -1 // no record fits before EOF
+      if (plausible(win, k)) return k
+      k += 1
+      if ((k & 0xffff) == 0) win.trimBefore(k) // bound memory on long scans
+    }
+    throw new IllegalStateException(
+      s"no record boundary within $MaxGuessScan bytes of a BGZF split point — " +
+        "a file with records this large needs an indexed read or a " +
+        "maxSplitBytes read option of at least the file size")
+  }
+
+  def iterator(split: GraftSplit, bs: BgzfBlockStream,
+               minRecordBytes: Int, prefixBytes: Int,
+               plausible: (BgzfWindow, Long) => Boolean,
+               recordLen: (BgzfWindow, Long) => Long,
+               decode: (BgzfWindow, Long, Long) => Array[Any]): Iterator[Array[Any]] = {
+    val startCoff = split.start >>> 16
+    val endCoff = (split.end + 1) >>> 16
+    // at file start the caller has already consumed the format header
+    // from the stream, so window offset 0 is the first record and its
+    // anchor is the header's last byte
+    val initialAnchor = if (split.start == 0) bs.lastByteVoff else -1L
+    val win = new BgzfWindow(bs)
+    def anchorOf(c: Long): Long = if (c == 0) initialAnchor else win.voffAt(c - 1)
+
+    var cursor = 0L
+    if (split.start != 0) {
+      cursor = guess(win, minRecordBytes, plausible)
+      if (cursor < 0) return Iterator.empty
+      // skip records anchored in a block before our range (the previous
+      // split reads past its end and owns them)
+      var skipping = true
+      while (skipping && win.ensure(cursor + prefixBytes)) {
+        val a = anchorOf(cursor)
+        if (a < 0 || (a >>> 16) < startCoff) {
+          val len = recordLen(win, cursor)
+          if (!win.ensure(cursor + len)) return Iterator.empty
+          cursor += len
+          win.trimBefore(cursor - 1)
+        } else skipping = false
+      }
+    }
+
+    new Iterator[Array[Any]] {
+      private var nextRow: Array[Any] = _
+      private var done = false
+      advance()
+
+      private def advance(): Unit = {
+        nextRow = null
+        if (done) return
+        if (!win.ensure(cursor + prefixBytes)) {
+          if (win.end != cursor)
+            throw new java.io.EOFException("truncated record at BGZF stream end")
+          done = true
+        } else {
+          val a = anchorOf(cursor)
+          if (a >= 0 && (a >>> 16) >= endCoff) { done = true }
+          else {
+            val len = recordLen(win, cursor)
+            if (!win.ensure(cursor + len))
+              throw new java.io.EOFException("truncated record body at BGZF stream end")
+            val rec = decode(win, cursor, len)
+            cursor += len
+            win.trimBefore(cursor - 1)
+            nextRow = rec
+          }
+        }
+      }
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = {
+        val r = nextRow
+        advance()
+        r
+      }
+    }
+  }
 }
 
 /** An InputStream over the BGZF-decompressed bytes of [startVoff,

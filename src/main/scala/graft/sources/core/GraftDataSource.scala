@@ -147,7 +147,12 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    // per-read override of the split size: a read option travels WITH
+    // the relation (the session conf is read at plan time of every
+    // downstream action, so a set-then-restore around a returned
+    // DataFrame silently re-plans under the restored value)
+    val maxSplit = options.get("maxsplitbytes").orElse(options.get("maxSplitBytes"))
+      .map(_.toLong).getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
     val files = GraftFiles.pathSpecs(options).flatMap(GraftFiles.resolve(_, conf))
     files.flatMap { st =>
       val path = st.getPath.toString
@@ -167,7 +172,7 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
               GraftInputPartition(path, s, math.min(s + maxSplit, len), len)
             }
           } else if (format.bgzfSplittable && (codec == "gzip" || codec == "bgzf") &&
-              len > maxSplit && Bgzf.isBgzf(path, conf)) {
+              len > maxSplit && Bgzf.isBgzf(path, len, conf)) {
             // BGZF is block-addressable: one partition per ~maxSplit
             // COMPRESSED bytes; executors sync to the next block header
             // and apply the anchor-voff ownership protocol. This is what
@@ -226,25 +231,25 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
       raw.seek(p.start) // LineReader expects the stream positioned at split start
     }
     if (p.bgzfSplit) {
-      // executor-side sync: first BGZF block header in [start, end); a
-      // range interior to one block owns nothing (the block belongs to
-      // the split containing its start)
-      val sync = Bgzf.syncToBlock(raw, p.start, p.end, p.fileLen)
-      if (sync < 0) {
-        raw.in.close()
-        return new PartitionReader[InternalRow] {
-          override def next(): Boolean = false
-          override def get(): InternalRow = throw new NoSuchElementException
-          override def close(): Unit = ()
-        }
+      // executor-side sync + open in one read: first BGZF block header
+      // in [start, end); a range interior to one block owns nothing
+      // (the block belongs to the split containing its start)
+      Bgzf.openSynced(raw, p.start, p.end, p.fileLen) match {
+        case None =>
+          raw.in.close()
+          return new PartitionReader[InternalRow] {
+            override def next(): Boolean = false
+            override def get(): InternalRow = throw new NoSuchElementException
+            override def close(): Unit = ()
+          }
+        case Some(stream) =>
+          // split bounds in voff coordinates: [S<<16, (E<<16)-1] — an
+          // anchor voff is <= (E<<16)-1 iff its block starts before E
+          val split = GraftSplit(p.path,
+            if (p.start == 0) 0L else p.start << 16, (p.end << 16) - 1,
+            p.fileLen, bgzfSplit = true, conf = conf, neededCols = needed)
+          return buildReader(stream, split)
       }
-      val stream = new BgzfBlockStream(raw, sync)
-      // split bounds in voff coordinates: [S<<16, (E<<16)-1] — an anchor
-      // voff is <= (E<<16)-1 iff its block starts before E
-      val split = GraftSplit(p.path,
-        if (p.start == 0) 0L else p.start << 16, (p.end << 16) - 1,
-        p.fileLen, bgzfSplit = true, conf = conf, neededCols = needed)
-      return buildReader(stream, split)
     }
     val stream =
       if (p.bgzfChunk) new BgzfRangeStream(raw, p.start, p.end) // index chunk, pre-decompressed
