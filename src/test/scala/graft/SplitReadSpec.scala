@@ -405,6 +405,21 @@ class SplitReadSpec extends AnyFunSuite {
     }
   }
 
+  test("maxSplitBytes read option splits without touching the session conf") {
+    // the per-relation form survives downstream re-planning (a
+    // set-then-restored session conf does not — the gate entry
+    // fmt_bgzf_split_scan depends on this)
+    val d = Files.createTempDirectory("graft-opt")
+    val p = d.resolve("opt.vcf.gz")
+    bgzfWrite(p, vcfText.getBytes("UTF-8"), slice = 97)
+    val whole = GraftIO.read_vcf_file_records(spark, p.toString).collect().map(_.toString).sorted
+    val df = GraftIO.read_vcf_file_records(spark, p.toString, Map("maxSplitBytes" -> "512"))
+    assert(df.rdd.getNumPartitions > 5, "read option did not reach the split planner")
+    assert(df.collect().map(_.toString).sorted.toSeq == whole.toSeq)
+    // session conf untouched
+    assert(spark.conf.get("spark.sql.files.maxPartitionBytes") != "512")
+  }
+
   test("plain gzip (non-BGZF) larger than maxSplit stays ONE partition") {
     // a plain gzip stream cannot be entered mid-way: splitting it would
     // corrupt records, so the isBgzf probe must gate the split planner
