@@ -78,6 +78,68 @@ object StreamingQ {
     // are excluded from the result; the oracle is the same batch SQL as
     // the complete-mode entry — append + watermark must lose nothing on
     // a bounded input.
+    // Streaming EXACT DEDUP chained into the windowed aggregation —
+    // the production shape for deduplicating an unbounded event stream:
+    // dropDuplicatesWithinWatermark keys state by event_id and DROPS a
+    // key's state once the watermark passes its event time (bounded by
+    // in-flight window, not stream length), then the same bounded-state
+    // hourly aggregation runs downstream (two chained stateful
+    // operators, append mode). Input is staged TWICE (every event
+    // arrives in two micro-batches) so the dedup provably removes a
+    // 100% duplicate load; the oracle is the plain batch aggregation of
+    // the single copy.
+    "stream_dedup_exact" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val tbl = "graft_stream_dedup_exact"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        import s.implicits._
+        val staged = Stage.staged(s"graft-stream-dedup:$dir") { d =>
+          // the same file twice -> every event is a cross-batch duplicate
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "events.parquet"), d.resolve("events_a.parquet"))
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "events.parquet"), d.resolve("events_b.parquet"))
+          java.nio.file.Files.setLastModifiedTime(d.resolve("events_b.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+          val scratch = Stage.tempDir("graft-dedup-sentinel")
+          Seq(1, 2).foreach { i =>
+            val tsNanos = (4102444800L + (i - 1) * 86400L) * 1000000000L
+            Stage.parquetFile(
+              Seq((-i.toLong, tsNanos, 0L, "sentinel", 0.0, ""))
+                .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+              scratch, d, s"sentinel$i.parquet", i + 1)
+          }
+        }
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+              .cast(DoubleType).as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"), col("sum_value"))
+        val q = stream.writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(tbl).where(col("event_type") =!= "sentinel")
+          .orderBy("hour", "event_type")
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, count(*) AS n,
+        CAST(CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
     "stream_events_hourly_append" -> Q(
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
