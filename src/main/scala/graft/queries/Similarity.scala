@@ -157,6 +157,66 @@ object Similarity {
                      FROM scored)
         SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""")),
 
+    // ---- trained IVF: k-means coarse quantizer (2 Lloyd rounds) ----
+    // The production IVF cell structure ann_ivf_topk's label column
+    // stands in for: deterministic seeds (8 lowest vec_ids), then each
+    // Lloyd round is assign (corpus x broadcast(8 centroids), argmin of
+    // L2 with (distance, cid) tie-break) + update (posexplode dims,
+    // per-cell per-dim mean). Centroids stay a DataFrame end-to-end —
+    // no driver collect; the corpus never shuffles for assignment, only
+    // the k x 64 centroid aggregation does. Distances round to 6 and
+    // means to 9 decimals so both engines agree bit-for-bit despite
+    // different summation orders.
+    "ann_kmeans_ivf" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir).select("vec_id", "v")
+        val seeds = e.orderBy("vec_id").limit(8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        def assign(centroids: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+          e.crossJoin(broadcast(centroids))
+            .withColumn("d", expr(
+              "round(aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x), 6)"))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select(col("vec_id"), col("cid"), col("v"))
+        }
+        def update(assigned: DataFrame): DataFrame =
+          assigned
+            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+            .groupBy("cid", "dim").agg(round(avg(col("x")), 9).as("m"))
+            .groupBy("cid")
+            .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
+        val c1 = update(assign(seeds))
+        assign(c1).groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+          .join(c1, "cid")
+          .select(col("cid"), col("n_vectors"),
+            expr("round(aggregate(transform(cv, m -> m * m), 0D, (a, x) -> a + x), 6)")
+              .as("centroid_sq_norm"))
+          .orderBy("cid")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        d1 AS (SELECT e.vec_id, s.cid, e.v,
+                 round(list_sum([(e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN seeds s),
+        a1 AS (SELECT vec_id, cid, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+               WHERE rn = 1),
+        m1 AS (SELECT cid, i - 1 AS dim, round(avg(v[i]), 9) AS m
+               FROM a1, range(1, 65) AS t(i) GROUP BY cid, i),
+        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c.cid,
+                 round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+               WHERE rn = 1)
+        SELECT a2.cid AS cid, count(*) AS n_vectors,
+          round(list_sum([m * m for m in c1.cv]), 6) AS centroid_sq_norm
+        FROM a2 JOIN c1 ON a2.cid = c1.cid
+        GROUP BY a2.cid, c1.cv ORDER BY a2.cid""")),
+
     // ---- group-wise centroid similarity (aggregation over vectors) ----
     "ann_label_centroids" -> Q(
       (s, dir) => {
