@@ -113,20 +113,31 @@ object Bgzf {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   def isBgzf(path: String, fileLen: Long,
-             conf: org.apache.hadoop.conf.Configuration): Boolean =
-    bgzfProbeCache.computeIfAbsent(s"$path:$fileLen", _ => {
-      val raw = GraftFiles.open(path, conf)
+             conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val key = s"$path:$fileLen"
+    val cached = bgzfProbeCache.get(key)
+    if (cached != null) return cached
+    // transient I/O errors are NOT cached: a single hiccup must not
+    // permanently disable splitting for the driver's lifetime
+    val probed: Option[Boolean] =
       try {
-        val buf = new Array[Byte](4096)
-        var got = 0
-        var n = 0
-        while (got < buf.length && n >= 0) {
-          n = raw.stream.read(buf, got, buf.length - got)
-          if (n > 0) got += n
-        }
-        headerBsize(buf, 0, got) > 0
-      } catch { case _: Exception => false } finally raw.in.close()
-    })
+        val raw = GraftFiles.open(path, conf)
+        try {
+          val buf = new Array[Byte](4096)
+          var got = 0
+          var n = 0
+          while (got < buf.length && n >= 0) {
+            n = raw.stream.read(buf, got, buf.length - got)
+            if (n > 0) got += n
+          }
+          Some(headerBsize(buf, 0, got) > 0)
+        } finally raw.in.close()
+      } catch { case _: Exception => None }
+    probed match {
+      case Some(v) => bgzfProbeCache.put(key, v); v
+      case None    => false
+    }
+  }
 
   /** Executor-side sync + open in ONE read: finds the first BGZF block
     * boundary at or after `from` (bounded by `until`, exclusive) and
@@ -367,7 +378,9 @@ object BgzfRecordSplit {
       if (!win.ensure(k + minRecordBytes)) return -1 // no record fits before EOF
       if (plausible(win, k)) return k
       k += 1
-      if ((k & 0xffff) == 0) win.trimBefore(k) // bound memory on long scans
+      // bound memory on long scans — keep k-1: the caller's first
+      // anchorOf(cursor) reads the byte before the found record
+      if ((k & 0xffff) == 0) win.trimBefore(k - 1)
     }
     throw new IllegalStateException(
       s"no record boundary within $MaxGuessScan bytes of a BGZF split point — " +

@@ -151,8 +151,10 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
     // the relation (the session conf is read at plan time of every
     // downstream action, so a set-then-restore around a returned
     // DataFrame silently re-plans under the restored value)
-    val maxSplit = options.get("maxsplitbytes").orElse(options.get("maxSplitBytes"))
-      .map(_.toLong).getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
+    val maxSplit = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxsplitbytes") => v.toLong
+    }.getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
+    require(maxSplit > 0, s"maxSplitBytes must be positive, got $maxSplit")
     val files = GraftFiles.pathSpecs(options).flatMap(GraftFiles.resolve(_, conf))
     files.flatMap { st =>
       val path = st.getPath.toString

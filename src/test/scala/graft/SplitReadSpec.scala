@@ -418,6 +418,15 @@ class SplitReadSpec extends AnyFunSuite {
     assert(df.collect().map(_.toString).sorted.toSeq == whole.toSeq)
     // session conf untouched
     assert(spark.conf.get("spark.sql.files.maxPartitionBytes") != "512")
+    // DSv2 options are conventionally case-insensitive
+    assert(GraftIO.read_vcf_file_records(spark, p.toString,
+      Map("MAXSPLITBYTES" -> "512")).rdd.getNumPartitions > 5)
+    // invalid values fail fast, not as silent empty/huge plans
+    val err = intercept[IllegalArgumentException] {
+      GraftIO.read_vcf_file_records(spark, p.toString,
+        Map("maxSplitBytes" -> "-1")).rdd.getNumPartitions
+    }
+    assert(err.getMessage.contains("positive"))
   }
 
   test("plain gzip (non-BGZF) larger than maxSplit stays ONE partition") {
