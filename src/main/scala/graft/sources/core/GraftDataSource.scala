@@ -133,9 +133,19 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes: Long =
       try {
-        val conf = SparkSession.active.sessionState.newHadoopConf()
-        GraftFiles.pathSpecs(options)
+        val session = SparkSession.active
+        val conf = session.sessionState.newHadoopConf()
+        val raw = GraftFiles.pathSpecs(options)
           .flatMap(GraftFiles.resolve(_, conf)).map(_.getLen).sum
+        // compressed files underreport their in-memory row size; scale
+        // by Spark's own fileCompressionFactor knob so a ~30 MB-of-rows
+        // bgzf file is not mistaken for a 9 MB broadcast candidate
+        val codec = format.forcedCodec.getOrElse(
+          Compression.of(GraftFiles.pathSpecs(options).headOption.getOrElse(""), options)._1)
+        val factor =
+          if (codec == "none") 1.0
+          else math.max(1.0, session.sessionState.conf.fileCompressionFactor)
+        math.min(Long.MaxValue / 2, (raw * factor).toLong)
       } catch { case _: Exception => Long.MaxValue }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()

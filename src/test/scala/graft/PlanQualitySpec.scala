@@ -95,6 +95,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("compressed scan statistics honor fileCompressionFactor") {
+    // compressed bytes understate row size ~4x; a bgzf table must not
+    // masquerade as a broadcast candidate when the user sets Spark's
+    // compensation knob (default 1.0 = vanilla Spark semantics)
+    val path = "src/test/resources/fixtures/fasta/test.fasta.gz"
+    def sizeOf(): BigInt = graft.sources.GraftIO.read_fasta(spark, path)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val k = "spark.sql.sources.fileCompressionFactor"
+    val base = sizeOf()
+    spark.conf.set(k, "4.0")
+    try assert(sizeOf() == base * 4, s"base=$base scaled=${sizeOf()}")
+    finally spark.conf.set(k, "1.0")
+  }
+
   test("codegen sweep: no graft expression in the fn_*/text_* battery falls back to interpreted eval") {
     // the ngram episode (round 3) showed CodegenFallback creeping in
     // silently under Generate; this sweeps every scalar/text entry and
