@@ -521,6 +521,36 @@ class SplitReadSpec extends AnyFunSuite {
       }
       assert(split == bamWhole, s"bam trial $trial slice=$slice maxSplit=$maxSplit")
     }
+    val bcfWhole = {
+      val p = d.resolve("w.bcf")
+      bgzfWrite(p, bcfBytes(300), slice = 10000)
+      GraftIO.read_bcf_file_records(spark, p.toString).collect().map(_.toString).sorted.toSeq
+    }
+    for (trial <- 1 to 3) {
+      val slice = 30 + rnd.nextInt(300)
+      val maxSplit = 150 + rnd.nextInt(1500)
+      val p = d.resolve(s"bcf$trial.bcf")
+      bgzfWrite(p, bcfBytes(300), slice)
+      val split = withMaxSplit(maxSplit) {
+        GraftIO.read_bcf_file_records(spark, p.toString).collect().map(_.toString).sorted.toSeq
+      }
+      assert(split == bcfWhole, s"bcf trial $trial slice=$slice maxSplit=$maxSplit")
+    }
+    val gbWhole = {
+      val p = d.resolve("w.gb.gz")
+      bgzfWrite(p, genbankText(100).getBytes("UTF-8"), slice = 10000)
+      GraftIO.read_genbank(spark, p.toString).collect().map(_.toString).sorted.toSeq
+    }
+    for (trial <- 1 to 3) {
+      val slice = 40 + rnd.nextInt(300)
+      val maxSplit = 150 + rnd.nextInt(1500)
+      val p = d.resolve(s"gb$trial.gb.gz")
+      bgzfWrite(p, genbankText(100).getBytes("UTF-8"), slice)
+      val split = withMaxSplit(maxSplit) {
+        GraftIO.read_genbank(spark, p.toString).collect().map(_.toString).sorted.toSeq
+      }
+      assert(split == gbWhole, s"genbank trial $trial slice=$slice maxSplit=$maxSplit")
+    }
   }
 
   test("sam: ranged splits skip header lines only at file start") {
