@@ -172,15 +172,18 @@ object Similarity {
         val e = vecs(s, dir).select("vec_id", "v")
         val seeds = e.orderBy("vec_id").limit(8)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
-        def assign(centroids: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        // argmin as min(struct(d, cid, v)) rather than a per-vec window:
+        // the lexicographic min combines MAP-SIDE, so the shuffle carries
+        // |corpus| rows, not |corpus| x k (the window formulation ships
+        // every scored pair to the exchange). (d, cid) is unique per
+        // vector, so v never participates in the ordering.
+        def assign(centroids: DataFrame): DataFrame =
           e.crossJoin(broadcast(centroids))
             .withColumn("d", expr(
               "round(aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x), 6)"))
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1)
-            .select(col("vec_id"), col("cid"), col("v"))
-        }
+            .groupBy("vec_id")
+            .agg(min(struct(col("d"), col("cid"), col("v"))).as("best"))
+            .select(col("vec_id"), col("best.cid").as("cid"), col("best.v").as("v"))
         def update(assigned: DataFrame): DataFrame =
           assigned
             .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
