@@ -89,6 +89,85 @@ object PipelineOps {
           CAST(sum(CASE WHEN bucket < 10 THEN doc_id END) AS BIGINT) AS sample_checksum
         FROM d GROUP BY source ORDER BY source""")),
 
+    // ---- end-to-end curation: the composed production pipeline ----
+    // quality filter -> exact dedup keep-first -> decontaminate (ANTI
+    // join on the 5-gram inverted index) -> deterministic stratified
+    // sample. Each stage is individually gated above/below; this entry
+    // proves the stages COMPOSE with the same engine-exact semantics —
+    // the shape of a real curated-corpus materialization, all shuffles
+    // keyed (content hash, gram, source), no pair space anywhere.
+    "pipe_curation_e2e" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .where(col("lang") === "en" && length(col("text")) > 0)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("w")))
+          .where(col("n_tokens") >= 10 &&
+            expr("cast(length(regexp_replace(text, '[^a-z]', '')) as double) / length(text)") >= 0.5 &&
+            expr("cast(length(text) as double) / size(w)") <= 12)
+        val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+        val deduped = base.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .transform(Q.barrier) // grams + final agg both read it
+        val grams = deduped
+          .where(size(col("w")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+            .as("g"))
+          .distinct()
+        val evalGrams = t(s, dir, "documents")
+          .where(col("doc_id") % 97 === 0)
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 5)
+          .select(explode(expr(
+            "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+            .as("g"))
+          .distinct()
+        val contaminated = grams.join(evalGrams, Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        deduped
+          .where(col("doc_id") % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("bucket",
+            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+          .where(col("bucket") < 60)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_curated"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(col("n_tokens")).as("tok_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, source, text, string_split(text, ' ') AS w,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+          WHERE lang = 'en' AND length(text) > 0
+            AND len(string_split(text, ' ')) >= 10
+            AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.5
+            AND CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) <= 12),
+        deduped AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM base)
+          WHERE rn = 1),
+        g AS (SELECT doc_id,
+                unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                                      for i in range(1, len(w) - 3)])) AS g
+              FROM deduped WHERE len(w) >= 5),
+        e AS (SELECT DISTINCT
+                unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                                      for i in range(1, len(w) - 3)])) AS g
+              FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)
+              WHERE len(w) >= 5),
+        contaminated AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM e)),
+        curated AS (
+          SELECT * FROM deduped
+          WHERE doc_id % 97 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+            AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 60)
+        SELECT source, count(*) AS n_curated,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+          CAST(sum(n_tokens) AS BIGINT) AS tok_checksum
+        FROM curated GROUP BY source ORDER BY source""")),
+
     // ---- repetition scoring (Gopher-style duplicate n-gram fraction) ----
     // Per-row HOF projection (no shuffle); repeated boilerplate pushes
     // the duplicate-trigram fraction up, a standard pre-training quality

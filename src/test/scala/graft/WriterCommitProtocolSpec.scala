@@ -62,6 +62,29 @@ class WriterCommitProtocolSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "_temporary").exists())
   }
 
+  test("concurrent jobs on one target stage in disjoint namespaces") {
+    // two BatchWrites appending to the same directory: job B's
+    // commit/abort must sweep only its own _temporary/<writeId> — with a
+    // shared staging dir it would delete job A's in-flight file and A's
+    // later rename would fail (the ADVICE r3 concurrency finding)
+    val (bwA, dir) = freshWrite()
+    val bwB = GraftBatchWrite(FastaFormat.formatter.get, schema, dir, Map.empty,
+      new SerializableConfiguration(new org.apache.hadoop.conf.Configuration()))
+    val wA = bwA.createBatchWriterFactory(null).createWriter(0, 1L)
+    val wB = bwB.createBatchWriterFactory(null).createWriter(0, 2L)
+    wA.write(row("jobA", "AAAA"))
+    wB.write(row("jobB", "CCCC"))
+    val msgB = wB.commit()
+    bwB.commit(Array(msgB)) // sweeps only B's namespace
+    val msgA = wA.commit()
+    bwA.commit(Array(msgA)) // A's staged file must still exist to rename
+    val contents = visibleFiles(dir)
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8")).sorted
+    assert(contents.length == 2, contents)
+    assert(contents.exists(_.contains("jobA")) && contents.exists(_.contains("jobB")))
+    assert(!new java.io.File(dir, "_temporary").exists(), "_temporary not cleaned up")
+  }
+
   test("job abort leaves no visible data") {
     val (bw, dir) = freshWrite()
     val factory = bw.createBatchWriterFactory(null)
