@@ -35,8 +35,7 @@ object Bench {
     // (Stage.staged memoizes per driver), so the measured pass times
     // micro-batch execution, not file copies.
     SparkEntry.queries.keys.take(3).foreach(runOnce)
-    Seq("stream_events_hourly", "stream_events_hourly_append",
-      "stream_sessionize", "stream_sessionize_state").foreach(runOnce)
+    SparkEntry.queries.keys.filter(_.startsWith("stream_")).foreach(runOnce)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> runOnce(n))

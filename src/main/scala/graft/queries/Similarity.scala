@@ -172,18 +172,25 @@ object Similarity {
         val e = vecs(s, dir).select("vec_id", "v")
         val seeds = e.orderBy("vec_id").limit(8)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
-        // argmin as min(struct(d, cid, v)) rather than a per-vec window:
-        // the lexicographic min combines MAP-SIDE, so the shuffle carries
-        // |corpus| rows, not |corpus| x k (the window formulation ships
-        // every scored pair to the exchange). (d, cid) is unique per
-        // vector, so v never participates in the ordering.
-        def assign(centroids: DataFrame): DataFrame =
-          e.crossJoin(broadcast(centroids))
-            .withColumn("d", expr(
-              "round(aggregate(zip_with(v, cv, (x, c) -> (x - c) * (x - c)), 0D, (a, x) -> a + x), 6)"))
-            .groupBy("vec_id")
-            .agg(min(struct(col("d"), col("cid"), col("v"))).as("best"))
-            .select(col("vec_id"), col("best.cid").as("cid"), col("best.v").as("v"))
+        // MAP-ONLY assignment: the k centroids pack into ONE broadcast
+        // row (collect_list of 8 structs) and the argmin happens inside
+        // a single per-row expression — array_min over (distance, cid)
+        // structs is the lexicographic minimum, ties to the lowest cid.
+        // No shuffle, no window, no agg buffer copying the vector; the
+        // corpus is touched once per round. (A per-vec window shuffles
+        // |corpus| x k scored pairs; a min(struct(..., v)) aggregation
+        // copies the 64-double array on every buffer update — both
+        // measured slower.)
+        def assign(centroids: DataFrame): DataFrame = {
+          val packed = centroids.agg(
+            expr("collect_list(struct(cid, cv))").as("cs"))
+          e.crossJoin(broadcast(packed))
+            .withColumn("best", expr(
+              """array_min(transform(cs, c -> struct(
+                   round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
+                   c.cid AS cid)))"""))
+            .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
+        }
         def update(assigned: DataFrame): DataFrame =
           assigned
             .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
