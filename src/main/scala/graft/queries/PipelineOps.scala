@@ -30,6 +30,13 @@ import org.apache.spark.sql.expressions.Window
 object PipelineOps {
   import Q.t
 
+  /** 5-gram expansion over a pre-split word array `w` — ONE definition
+    * for every entry that shingles (decontamination, curation): a gram
+    * width/tokenization change edits one place, keeping the Spark side
+    * and the (necessarily stringly) DuckDB oracles reviewable together. */
+  private val Gram5 =
+    "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+
   val qs: Map[String, Q] = Map(
 
     // ---- benchmark decontamination via 5-gram overlap ----
@@ -44,7 +51,7 @@ object PipelineOps {
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 5)
           .select(col("doc_id"), col("source"), explode(expr(
-            "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+            Gram5))
             .as("g"))
           .distinct()
           .transform(Q.barrier)
@@ -109,10 +116,12 @@ object PipelineOps {
         val deduped = base.withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .transform(Q.barrier) // grams + final agg both read it
+        // no n-gram length guard needed: the quality gate above already
+        // enforces n_tokens >= 10 (the unfiltered evalGrams branch below
+        // is where the >= 5 guard is load-bearing)
         val grams = deduped
-          .where(size(col("w")) >= 5)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+            Gram5))
             .as("g"))
           .distinct()
         val evalGrams = t(s, dir, "documents")
@@ -120,7 +129,7 @@ object PipelineOps {
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 5)
           .select(explode(expr(
-            "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+            Gram5))
             .as("g"))
           .distinct()
         val contaminated = grams.join(evalGrams, Seq("g"), "left_semi")
@@ -151,7 +160,7 @@ object PipelineOps {
         g AS (SELECT doc_id,
                 unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
                                       for i in range(1, len(w) - 3)])) AS g
-              FROM deduped WHERE len(w) >= 5),
+              FROM deduped),
         e AS (SELECT DISTINCT
                 unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
                                       for i in range(1, len(w) - 3)])) AS g

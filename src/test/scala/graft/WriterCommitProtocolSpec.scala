@@ -83,6 +83,25 @@ class WriterCommitProtocolSpec extends AnyFunSuite {
     assert(contents.length == 2, contents)
     assert(contents.exists(_.contains("jobA")) && contents.exists(_.contains("jobB")))
     assert(!new java.io.File(dir, "_temporary").exists(), "_temporary not cleaned up")
+
+    // abort variant: job D ABORTING must not destroy job C's in-flight
+    // staging either
+    val bwC = GraftBatchWrite(FastaFormat.formatter.get, schema, dir, Map("force" -> "true"),
+      new SerializableConfiguration(new org.apache.hadoop.conf.Configuration()))
+    val bwD = GraftBatchWrite(FastaFormat.formatter.get, schema, dir, Map("force" -> "true"),
+      new SerializableConfiguration(new org.apache.hadoop.conf.Configuration()))
+    val wC = bwC.createBatchWriterFactory(null).createWriter(0, 3L)
+    val wD = bwD.createBatchWriterFactory(null).createWriter(0, 4L)
+    wC.write(row("jobC", "TTTT"))
+    wD.write(row("jobD", "GGGG"))
+    wD.abort()
+    bwD.abort(Array.empty)
+    val msgC = wC.commit()
+    bwC.commit(Array(msgC))
+    val after = visibleFiles(dir)
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(after.exists(_.contains("jobC")), "aborting job D destroyed job C's staging")
+    assert(!after.exists(_.contains("jobD")), "aborted job D leaked data")
   }
 
   test("job abort leaves no visible data") {
