@@ -26,10 +26,13 @@ object Stage {
   }
 
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, Path]()
-  /** Driver-lifetime seconds spent inside staged() builders — surfaced
+  /** Driver-lifetime nanos spent inside staged() builders — surfaced
     * separately by Bench so stream_* timings measure micro-batch
-    * execution, not harness file staging. */
-  @volatile var stagingSeconds: Double = 0.0
+    * execution, not harness file staging. LongAdder: concurrent
+    * builders (computeIfAbsent on distinct keys) must not lose updates
+    * the way a volatile read-modify-write would. */
+  private val stagingNanos = new java.util.concurrent.atomic.LongAdder
+  def stagingSeconds: Double = stagingNanos.sum / 1e9
 
   /** Staged input directory memoized per key: the builder (file copies,
     * sentinel writes, midpoint scans) runs ONCE per driver; bench
@@ -40,7 +43,7 @@ object Stage {
       val t0 = System.nanoTime()
       val d = tempDir(key.replaceAll("[^A-Za-z0-9_-]", "_"))
       build(d)
-      stagingSeconds += (System.nanoTime() - t0) / 1e9
+      stagingNanos.add(System.nanoTime() - t0)
       d
     })
 

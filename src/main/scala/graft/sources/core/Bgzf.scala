@@ -48,9 +48,18 @@ object Bgzf {
       val inf = new Inflater(true)
       inf.setInput(cdata)
       var off = 0
-      while (off < isize && !inf.finished()) off += inf.inflate(out, off, isize - off)
+      var stalled = false
+      while (off < isize && !inf.finished() && !stalled) {
+        val n = inf.inflate(out, off, isize - off)
+        // a truncated deflate payload makes inflate() return 0 with all
+        // input consumed but the stream unfinished — fail the task
+        // instead of spinning
+        if (n == 0 && inf.needsInput()) stalled = true else off += n
+      }
       inf.end()
-      require(off == isize, s"BGZF block inflated $off of $isize bytes")
+      if (stalled || off != isize)
+        throw new java.io.EOFException(
+          s"truncated BGZF block: inflated $off of $isize bytes")
     }
     (bsize, out)
   }
@@ -103,18 +112,22 @@ object Bgzf {
   }
 
   /** Driver-side probe: does this file start with a BGZF block? Reads at
-    * most 4 KB once per (path, length) — cached, since planInputPartitions
-    * runs per action and a large table would otherwise pay one serial
-    * remote open per file per plan (the probe is a pure function of the
-    * immutable file). The property licenses byte-range splitting of a
+    * most 4 KB once per (path, length, mtime) — cached, since
+    * planInputPartitions runs per action and a large table would
+    * otherwise pay one serial remote open per file per plan. The mtime
+    * in the key catches a file overwritten in place at the same byte
+    * length; the size cap keeps a long-lived driver over a huge catalog
+    * from growing the map without bound (the probe is cheap, eviction
+    * just re-probes). The property licenses byte-range splitting of a
     * compressed file (plain gzip streams cannot be entered mid-way,
     * BGZF blocks can). */
+  private val bgzfProbeCacheCap = 65536
   private val bgzfProbeCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  def isBgzf(path: String, fileLen: Long,
+  def isBgzf(path: String, fileLen: Long, mtime: Long,
              conf: org.apache.hadoop.conf.Configuration): Boolean = {
-    val key = s"$path:$fileLen"
+    val key = s"$path:$fileLen:$mtime"
     val cached = bgzfProbeCache.get(key)
     if (cached != null) return cached
     // transient I/O errors are NOT cached: a single hiccup must not
@@ -134,7 +147,9 @@ object Bgzf {
         } finally raw.in.close()
       } catch { case _: Exception => None }
     probed match {
-      case Some(v) => bgzfProbeCache.put(key, v); v
+      case Some(v) =>
+        if (bgzfProbeCache.size >= bgzfProbeCacheCap) bgzfProbeCache.clear()
+        bgzfProbeCache.put(key, v); v
       case None    => false
     }
   }

@@ -178,19 +178,19 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
         case None =>
           if (format.splittable && codec == "none" && len > maxSplit) {
             // One partition per ~maxSplit bytes; parser syncs to record start.
-            val n = math.ceil(len.toDouble / maxSplit).toInt
+            val n = splitCount(path, len, maxSplit)
             (0 until n).map { i =>
               val s = i.toLong * maxSplit
               GraftInputPartition(path, s, math.min(s + maxSplit, len), len)
             }
           } else if (format.bgzfSplittable && (codec == "gzip" || codec == "bgzf") &&
-              len > maxSplit && Bgzf.isBgzf(path, len, conf)) {
+              len > maxSplit && Bgzf.isBgzf(path, len, st.getModificationTime, conf)) {
             // BGZF is block-addressable: one partition per ~maxSplit
             // COMPRESSED bytes; executors sync to the next block header
             // and apply the anchor-voff ownership protocol. This is what
             // keeps a single 100 GB .bam/.vcf.gz from serializing a
             // cluster into one task.
-            val n = math.ceil(len.toDouble / maxSplit).toInt
+            val n = splitCount(path, len, maxSplit)
             (0 until n).map { i =>
               val s = i.toLong * maxSplit
               GraftInputPartition(path, s, math.min(s + maxSplit, len), len,
@@ -201,6 +201,18 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
           }
       }
     }.toArray
+  }
+
+  /** A tiny maxSplitBytes against a huge file must reject the
+    * configuration, not saturate `.toInt` at Int.MaxValue and try to
+    * materialize ~2^31 partition objects on the driver. 4M partitions
+    * per file is already far beyond any sane plan. */
+  private def splitCount(path: String, len: Long, maxSplit: Long): Int = {
+    val n = (len + maxSplit - 1) / maxSplit
+    require(n <= (1L << 22),
+      s"maxSplitBytes=$maxSplit yields $n partitions for $path " +
+        s"($len bytes); raise maxSplitBytes")
+    n.toInt
   }
 
   /** Index fast path, delegated to the format (tabix for VCF, BAI for

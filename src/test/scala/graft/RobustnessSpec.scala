@@ -76,4 +76,44 @@ class RobustnessSpec extends AnyFunSuite {
     // And short-circuits to definite-false even with one unknown side
     assert(!ev(And(EqualTo("s", "x"), EqualTo("missing_col", 1)), "y", 1L))
   }
+
+  test("truncated BGZF deflate payload fails cleanly, never hangs") {
+    // a block whose header promises more uncompressed bytes than its
+    // (truncated) deflate stream can produce: inflate() returns 0 with
+    // needsInput — the reader must throw, not spin the task forever
+    val payload = ("ACGT" * 300).getBytes("UTF-8")
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    defl.setInput(payload); defl.finish()
+    val cbuf = new Array[Byte](payload.length * 2)
+    val clen = defl.deflate(cbuf)
+    defl.end()
+    val cut = clen / 2 // truncated deflate stream
+    val bsize = 12 + 6 + cut + 8
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 4, 0, 0, 0, 0, 0, 0xff.toByte))
+    bos.write(Array[Byte](6, 0, 66, 67, 2, 0)) // XLEN=6, BC subfield
+    bos.write((bsize - 1) & 0xff); bos.write(((bsize - 1) >> 8) & 0xff)
+    bos.write(cbuf, 0, cut)
+    bos.write(new Array[Byte](4)) // crc (unchecked)
+    val isz = payload.length
+    bos.write(Array[Byte](isz.toByte, (isz >> 8).toByte, (isz >> 16).toByte, (isz >> 24).toByte))
+    val e = intercept[java.io.EOFException] {
+      graft.sources.core.Bgzf.readBlock(new java.io.ByteArrayInputStream(bos.toByteArray))
+    }
+    assert(e.getMessage.contains("truncated BGZF block"))
+  }
+
+  test("tiny maxSplitBytes against a large file rejects, not 2^31 partitions") {
+    val d = Files.createTempDirectory("graft-manysplit")
+    val p = d.resolve("big.fasta")
+    val sb = new StringBuilder()
+    var i = 0
+    while (sb.length < (5 << 20)) { sb.append(s">r$i\n").append("ACGT" * 16).append('\n'); i += 1 }
+    Files.writeString(p, sb.toString)
+    val e = intercept[IllegalArgumentException] {
+      GraftIO.read_fasta(spark, p.toString, Map("maxSplitBytes" -> "1"))
+        .rdd.getNumPartitions
+    }
+    assert(e.getMessage.contains("partitions"))
+  }
 }
