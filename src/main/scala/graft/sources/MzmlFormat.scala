@@ -26,6 +26,15 @@ import graft.sources.core._
 object MzmlFormat extends GraftFormat {
   override def name = "mzml"
   override def extensions = Seq("mzml")
+  /** Byte-range splits via structural resync to `<spectrum`/
+    * `<chromatogram` start tags ('<' cannot occur in base64 payloads or
+    * raw in XML values — see XmlRecordSlicer). A large uncompressed
+    * .mzML scans one task per ~maxSplit bytes instead of one per file. */
+  override def splittable = true
+  /** BGZF voff coordinates are not plumbed through the XML slicer, and
+    * real-world mzML is plain-gzipped if at all — keep compressed files
+    * single-task rather than claim an untested protocol. */
+  override def bgzfSplittable = false
 
   override def schema(paths: Seq[Path], conf: Configuration,
                       options: Map[String, String]): StructType = {
