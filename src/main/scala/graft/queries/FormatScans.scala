@@ -262,6 +262,58 @@ object FormatScans {
         UNION ALL SELECT 'chr2', 133, 266000, 26600, true
         ORDER BY chrom""")),
 
+    "fmt_mzml_split_scan" -> Q(
+      (s, _) => {
+        // Byte-range fan-out over one large uncompressed mzML: the
+        // XmlRecordSlicer ownership protocol (resync to <spectrum/
+        // <chromatogram start tags) must reproduce the single-task rows
+        // exactly. Payload sums are integer-valued doubles, so FP
+        // addition is exact in any partition order.
+        val staged = Stage.staged("graft-mzml-gate") { d =>
+          val sb = new StringBuilder
+          def b64(vs: Array[Double]): String = {
+            val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            vs.foreach(bb.putDouble)
+            java.util.Base64.getEncoder.encodeToString(bb.array())
+          }
+          sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+          sb.append("<mzML xmlns=\"http://psi.hupo.org/ms/mzml\" version=\"1.1.0\">\n")
+          sb.append("<run id=\"r0\"><spectrumList count=\"120\">\n")
+          for (i <- 1 to 120) {
+            sb.append(s"""<spectrum index="${i - 1}" id="scan=$i" defaultArrayLength="3">""")
+            sb.append("<binaryDataArrayList count=\"2\">")
+            sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000514\"/>")
+            sb.append("<binary>").append(b64(Array(i.toDouble, i + 100.0, i + 200.0))).append("</binary></binaryDataArray>")
+            sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000515\"/>")
+            sb.append("<binary>").append(b64(Array(i * 2.0, i * 2.0 + 1))).append("</binary></binaryDataArray>")
+            sb.append("</binaryDataArrayList></spectrum>\n")
+            if (i % 4 == 0) {
+              val j = i / 4
+              sb.append(s"""<chromatogram index="${j - 1}" id="chrom=$j">""")
+              sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000617\"/>")
+              sb.append("<binary>").append(b64(Array(j.toDouble, j + 5.0))).append("</binary></binaryDataArray>")
+              sb.append("</chromatogram>\n")
+            }
+          }
+          sb.append("</spectrumList></run>\n</mzML>\n")
+          java.nio.file.Files.writeString(d.resolve("big.mzML"), sb.toString)
+        }
+        val df = GraftIO.read_mzml(s, staged.resolve("big.mzML").toString,
+          Map("maxSplitBytes" -> "4000"))
+        val parts = df.rdd.getNumPartitions
+        df.agg(
+            count(lit(1)).as("n"),
+            sum(expr("size(mz.mz)")).as("mz_n"),
+            sum(expr("aggregate(mz.mz, 0D, (a, x) -> a + x)")).as("mz_sum"),
+            sum(expr("aggregate(intensity.intensity, 0D, (a, x) -> a + x)")).as("int_sum"),
+            sum(expr("aggregate(wavelength.wavelength, 0D, (a, x) -> a + x)")).as("wl_sum"))
+          .withColumn("parts_fanned_out", lit(parts > 5))
+      },
+      Some("""SELECT CAST(150 AS BIGINT) AS n, CAST(360 AS BIGINT) AS mz_n,
+          CAST(57780 AS DOUBLE) AS mz_sum, CAST(29160 AS DOUBLE) AS int_sum,
+          CAST(1080 AS DOUBLE) AS wl_sum, true AS parts_fanned_out""")),
+
     "fmt_writer_roundtrip" -> Q(
       (s, _) => {
         val dir = Stage.tempDir("graft_wrt").toString

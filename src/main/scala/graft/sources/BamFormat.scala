@@ -127,9 +127,12 @@ object BamFormat extends GraftFormat {
       private def advance(): Unit = {
         nextRow = null
         while (nextRow == null && !done) {
-          val rec = try decodeRecord(d, refs, wantSeq, wantQual)
-            catch { case _: EOFException => done = true; null }
-          if (rec != null && regionPasses(rec, region)) nextRow = rec
+          // no EOFException catch: decodeRecord returns null only at a
+          // clean record boundary; truncation exceptions must fail the
+          // task, not end the iterator
+          val rec = decodeRecord(d, refs, wantSeq, wantQual)
+          if (rec == null) done = true
+          else if (regionPasses(rec, region)) nextRow = rec
         }
       }
 
@@ -205,9 +208,21 @@ object BamFormat extends GraftFormat {
   def decodeRecord(d: DataInputStream, refs: Array[String]): Array[Any] =
     decodeRecord(d, refs, wantSeq = true, wantQual = true)
 
+  /** One alignment record, or null at the clean end of the stream.
+    *
+    * Clean end is EOF exactly at a record boundary — before the first
+    * byte of block_size. EOF anywhere else (inside the length, inside
+    * the body via readFully, or an inflater EOFException from a
+    * truncated gzip stream) propagates and fails the task: a corrupt
+    * input must never be reported as a successful scan of fewer rows. */
   def decodeRecord(d: DataInputStream, refs: Array[String],
                    wantSeq: Boolean, wantQual: Boolean): Array[Any] = {
-    val blockSize = readIntLE(d)
+    val a = d.read()
+    if (a < 0) return null
+    val b = d.read(); val c = d.read(); val e = d.read()
+    if ((b | c | e) < 0)
+      throw new java.util.zip.ZipException("EOF inside BAM record length")
+    val blockSize = a | (b << 8) | (c << 16) | (e << 24)
     val body = readFully(d, blockSize)
     decodeBody(body, refs, wantSeq, wantQual)
   }

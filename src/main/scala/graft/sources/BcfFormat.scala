@@ -247,7 +247,12 @@ object BcfFormat extends GraftFormat {
       private def advance(): Unit = {
         nextRow = null
         while (nextRow == null) {
-          val rec = try decode() catch { case _: EOFException => return }
+          // no EOFException catch: decode() returns null only at a clean
+          // record boundary; a truncation exception (mid-length,
+          // mid-body, or an inflater EOF from a cut gzip stream) must
+          // fail the task, never end the iterator early
+          val rec = decode()
+          if (rec == null) return
           if (passes(rec)) nextRow = rec
         }
       }
@@ -255,8 +260,14 @@ object BcfFormat extends GraftFormat {
       override def hasNext: Boolean = nextRow != null
       override def next(): Array[Any] = { val r = nextRow; advance(); r }
 
+      /** One record, or null at EOF exactly on a record boundary. */
       private def decode(): Array[Any] = {
-        val lShared = readIntLE(d)
+        val a = d.read()
+        if (a < 0) return null
+        val b = d.read(); val c = d.read(); val e = d.read()
+        if ((b | c | e) < 0)
+          throw new java.util.zip.ZipException("EOF inside BCF record length")
+        val lShared = a | (b << 8) | (c << 16) | (e << 24)
         val lIndiv = readIntLE(d)
         val shared = new Array[Byte](lShared)
         d.readFully(shared)

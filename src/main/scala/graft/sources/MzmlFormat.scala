@@ -45,92 +45,127 @@ object MzmlFormat extends GraftFormat {
       wrapped("mz"), wrapped("intensity"), wrapped("wavelength")))
   }
 
+  /** Record element names a byte-range split syncs to. */
+  private val RecordNames = Set("spectrum", "chromatogram")
+
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
+    // Byte-range split: the stream arrives seek()ed to split.start; the
+    // slicer re-frames it as a well-formed document of exactly this
+    // split's owned records (synthetic <splitRoot> wrapper — an unknown
+    // element name, so the StAX loop below passes it through). The
+    // whole-file case parses the raw stream directly: it may be
+    // compressed, and real mzML headers/footers carry elements the
+    // slicer would drop.
+    val ranged = split.start != 0 || split.end != Long.MaxValue
+    val stream =
+      if (ranged) XmlRecordSlicer.asDocumentStream(in, split.start, split.end, RecordNames)
+      else in
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_COALESCING, true)
     factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    val r = factory.createXMLStreamReader(in)
+    val r = factory.createXMLStreamReader(stream)
 
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
-    var id: String = null
-    var inRecord = false
-    var arrays: Map[String, Array[Double]] = Map.empty
-    // per binaryDataArray state
-    var kind: String = null
-    var bits = 64
-    var zlib = false
-    var b64: String = null
+    // Lazy pull parser: one row is materialized at a time — an mzML row
+    // holds full decoded double arrays (the largest rows in the system),
+    // so buffering a whole split would hold every spectrum's peaks on
+    // heap at once.
+    new Iterator[Array[Any]] {
+      private var id: String = null
+      private var inRecord = false
+      private var arrays: Map[String, Array[Double]] = Map.empty
+      // per binaryDataArray state
+      private var kind: String = null
+      private var bits = 64
+      private var zlib = false
+      private var b64: String = null
+      private var closed = false
+      private var nextRow: Array[Any] = _
 
-    def flushArray(): Unit = {
-      if (kind != null && b64 != null) {
-        var bytes = Base64.getDecoder.decode(b64.replaceAll("\\s", ""))
-        if (zlib) {
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(bytes)
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          while (!inf.finished()) {
-            val n = inf.inflate(tmp)
-            if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated zlib block")
-            buf.write(tmp, 0, n)
+      advance()
+
+      private def flushArray(): Unit = {
+        if (kind != null && b64 != null) {
+          var bytes = Base64.getDecoder.decode(b64.replaceAll("\\s", ""))
+          if (zlib) {
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(bytes)
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val n = inf.inflate(tmp)
+              if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated zlib block")
+              buf.write(tmp, 0, n)
+            }
+            bytes = buf.toByteArray
           }
-          bytes = buf.toByteArray
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          val vals =
+            if (bits == 64) { val a = new Array[Double](bytes.length / 8); var i = 0; while (i < a.length) { a(i) = bb.getDouble(i * 8); i += 1 }; a }
+            else { val a = new Array[Double](bytes.length / 4); var i = 0; while (i < a.length) { a(i) = bb.getFloat(i * 4).toDouble; i += 1 }; a }
+          arrays += (kind -> vals)
         }
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        val vals =
-          if (bits == 64) { val a = new Array[Double](bytes.length / 8); var i = 0; while (i < a.length) { a(i) = bb.getDouble(i * 8); i += 1 }; a }
-          else { val a = new Array[Double](bytes.length / 4); var i = 0; while (i < a.length) { a(i) = bb.getFloat(i * 4).toDouble; i += 1 }; a }
-        arrays += (kind -> vals)
+        kind = null; bits = 64; zlib = false; b64 = null
       }
-      kind = null; bits = 64; zlib = false; b64 = null
-    }
 
-    def flushRecord(): Unit = {
-      def struct(n: String): Any = arrays.get(n) match {
-        case Some(a) => new GenericInternalRow(Array[Any](new GenericArrayData(a)))
-        case None    => null
+      private def buildRow(): Array[Any] = {
+        def struct(n: String): Any = arrays.get(n) match {
+          case Some(a) => new GenericInternalRow(Array[Any](new GenericArrayData(a)))
+          case None    => null
+        }
+        val row = Array[Any](UTF8String.fromString(id),
+          struct("mz"), struct("intensity"), struct("wavelength"))
+        id = null; arrays = Map.empty
+        row
       }
-      out += Array[Any](UTF8String.fromString(id),
-        struct("mz"), struct("intensity"), struct("wavelength"))
-      id = null; arrays = Map.empty
-    }
 
-    try {
-      while (r.hasNext) {
-        r.next() match {
-          case XMLStreamConstants.START_ELEMENT =>
-            r.getLocalName match {
-              case "spectrum" | "chromatogram" =>
-                inRecord = true
-                id = r.getAttributeValue(null, "id")
-              case "binaryDataArray" if inRecord =>
-                kind = null; bits = 64; zlib = false; b64 = null
-              case "cvParam" if inRecord =>
-                r.getAttributeValue(null, "accession") match {
-                  case "MS:1000514" => kind = "mz"
-                  case "MS:1000515" => kind = "intensity"
-                  case "MS:1000617" => kind = "wavelength"
-                  case "MS:1000523" => bits = 64
-                  case "MS:1000521" => bits = 32
-                  case "MS:1000574" => zlib = true
-                  case _            =>
+      private def advance(): Unit = {
+        nextRow = null
+        if (closed) return
+        try {
+          while (nextRow == null && r.hasNext) {
+            r.next() match {
+              case XMLStreamConstants.START_ELEMENT =>
+                r.getLocalName match {
+                  case "spectrum" | "chromatogram" =>
+                    inRecord = true
+                    id = r.getAttributeValue(null, "id")
+                  case "binaryDataArray" if inRecord =>
+                    kind = null; bits = 64; zlib = false; b64 = null
+                  case "cvParam" if inRecord =>
+                    r.getAttributeValue(null, "accession") match {
+                      case "MS:1000514" => kind = "mz"
+                      case "MS:1000515" => kind = "intensity"
+                      case "MS:1000617" => kind = "wavelength"
+                      case "MS:1000523" => bits = 64
+                      case "MS:1000521" => bits = 32
+                      case "MS:1000574" => zlib = true
+                      case _            =>
+                    }
+                  case "binary" if inRecord =>
+                    b64 = r.getElementText
+                  case _ =>
                 }
-              case "binary" if inRecord =>
-                b64 = r.getElementText
+              case XMLStreamConstants.END_ELEMENT =>
+                r.getLocalName match {
+                  case "binaryDataArray" if inRecord => flushArray()
+                  case "spectrum" | "chromatogram" if inRecord =>
+                    inRecord = false
+                    nextRow = buildRow()
+                  case _ =>
+                }
               case _ =>
             }
-          case XMLStreamConstants.END_ELEMENT =>
-            r.getLocalName match {
-              case "binaryDataArray" if inRecord => flushArray()
-              case "spectrum" | "chromatogram" if inRecord =>
-                flushRecord(); inRecord = false
-              case _ =>
-            }
-          case _ =>
-        }
+          }
+        } finally if (nextRow == null) { closed = true; r.close() }
       }
-    } finally r.close()
-    out.iterator
+
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Array[Any] = {
+        val row = nextRow
+        advance()
+        row
+      }
+    }
   }
 }

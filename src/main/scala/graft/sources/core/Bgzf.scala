@@ -11,7 +11,14 @@ import java.util.zip.Inflater
 object Bgzf {
 
   /** Reads one BGZF block at the stream's current position.
-    * Returns (compressedLength, uncompressedBytes) or null at EOF. */
+    * Returns (compressedLength, uncompressedBytes) or null at EOF.
+    *
+    * Truncation/corruption mid-block throws ZipException, deliberately
+    * NOT EOFException: the BAM/BCF record decoders treat EOFException
+    * from their DataInputStream as the clean end-of-records signal, so
+    * an EOFException from here would be absorbed as a normal stream end
+    * and a corrupt 100 GB input would silently yield partial results
+    * instead of a failed task. */
   def readBlock(in: InputStream): (Int, Array[Byte]) = {
     val header = new Array[Byte](12)
     var got = 0
@@ -19,7 +26,7 @@ object Bgzf {
       val n = in.read(header, got, 12 - got)
       if (n < 0) {
         if (got == 0) return null
-        throw new java.io.EOFException("truncated BGZF header")
+        throw new java.util.zip.ZipException("truncated BGZF header")
       }
       got += n
     }
@@ -58,7 +65,7 @@ object Bgzf {
       }
       inf.end()
       if (stalled || off != isize)
-        throw new java.io.EOFException(
+        throw new java.util.zip.ZipException(
           s"truncated BGZF block: inflated $off of $isize bytes")
     }
     (bsize, out)
@@ -69,7 +76,7 @@ object Bgzf {
     var got = 0
     while (got < n) {
       val r = in.read(buf, got, n - got)
-      if (r < 0) throw new java.io.EOFException("truncated BGZF block")
+      if (r < 0) throw new java.util.zip.ZipException("truncated BGZF block")
       got += r
     }
     buf

@@ -21,6 +21,14 @@ import java.io.InputStream
   * structural argument Hadoop's classic XmlInputFormat relies on. '>'
   * IS legal inside attribute values, so the start-tag scan is
   * quote-aware; self-closing records (`<spectrum …/>`) are handled.
+  * Comments and CDATA sections are skipped wholesale when encountered
+  * from a clean scan position, both between records (a commented-out
+  * `<spectrum` is not a record start) and inside one (a `</spectrum>`
+  * inside CDATA does not close the record). Known restriction, shared
+  * with Hadoop's XmlInputFormat: a split boundary landing INSIDE a
+  * comment/CDATA section cannot be detected from the bytes alone, so
+  * record-looking text within could be mis-framed; mzML producers do
+  * not emit such content.
   *
   * This is what keeps one large uncompressed .mzML from serializing a
   * cluster into a single task (reference analog: the single-producer
@@ -84,13 +92,58 @@ final class XmlRecordSlicer(in: InputStream, splitStart: Long, splitEnd: Long,
         var nb = nextByte()
         while (isNameByte(nb) && name.length < 32) { name.append(nb.toChar); nb = nextByte() }
         if (nb < 0) { done = true; return }
-        if (recordNames.contains(name.toString) && isNameEnd(nb)) {
+        if (name.length == 0 && nb == '!') skipBangMarkup(null)
+        else if (recordNames.contains(name.toString) && isNameEnd(nb)) {
           if (tagStart > splitEnd) { done = true; return }
           if (owned(tagStart)) nextRecord = captureRecord(name.toString, nb)
           else skipRecord(name.toString, nb)
         } else if (nb == '<') reprocess = nb
       }
     }
+  }
+
+  private def nextMirrored(out: java.io.ByteArrayOutputStream): Int = {
+    val b = nextByte()
+    if (out != null && b >= 0) out.write(b)
+    b
+  }
+
+  /** After "<!" has been consumed: swallow a comment (`<!-- … -->`) or
+    * CDATA section (`<![CDATA[ … ]]>`) so their content is never
+    * mistaken for record start/close tags. Bytes are mirrored to `out`
+    * when capturing (the StAX parser handles them fine — they just must
+    * not drive this scanner's tag matching). Any other `<!` markup
+    * (DOCTYPE — absent from mzML) falls back to plain scanning after
+    * the disambiguating byte. EOF inside a section throws: the section
+    * started inside this split's bytes, so its end must be present. */
+  private def skipBangMarkup(out: java.io.ByteArrayOutputStream): Unit = {
+    val d0 = nextMirrored(out)
+    if (d0 == '-') {
+      if (nextMirrored(out) != '-') return // not a comment after all
+      var dashes = 0
+      while (true) {
+        val c = nextMirrored(out)
+        if (c < 0) throw new java.io.EOFException("unterminated XML comment")
+        if (c == '-') dashes += 1
+        else if (c == '>' && dashes >= 2) return
+        else dashes = 0
+      }
+    } else if (d0 == '[') {
+      val tag = "CDATA["
+      var i = 0
+      while (i < tag.length) {
+        if (nextMirrored(out) != tag.charAt(i)) return // not CDATA
+        i += 1
+      }
+      var brackets = 0
+      while (true) {
+        val c = nextMirrored(out)
+        if (c < 0) throw new java.io.EOFException("unterminated CDATA section")
+        if (c == ']') brackets += 1
+        else if (c == '>' && brackets >= 2) return
+        else brackets = 0
+      }
+    } // other `<!` markup: resume the caller's scan
   }
 
   /** Consume one record starting after `<name` with terminator `first`;
@@ -130,6 +183,7 @@ final class XmlRecordSlicer(in: InputStream, splitStart: Long, splitEnd: Long,
         if (b == '>') closed = true
         else if (!(b == ' ' || b == '\t' || b == '\n' || b == '\r')) m = if (b == '<') 1 else 0
       } else if (b == close(m)) m += 1
+      else if (m == 1 && b == '!') { skipBangMarkup(if (capture) out else null); m = 0 }
       else m = if (b == '<') 1 else 0
     }
     if (capture) out.toByteArray else null

@@ -116,6 +116,17 @@ class FormatScanSpec extends AnyFunSuite {
     assert(r.getAs[String]("description") == "first target")
   }
 
+  test("fmt_mzml_split_scan gate entry matches its golden aggregate") {
+    val df = SparkEntry.registry("fmt_mzml_split_scan").fn(spark, "unused")
+    val r = df.head()
+    assert(r.getLong(0) == 150L)   // 120 spectra + 30 chromatograms
+    assert(r.getLong(1) == 360L)   // 3 m/z values per spectrum
+    assert(r.getDouble(2) == 57780.0)
+    assert(r.getDouble(3) == 29160.0)
+    assert(r.getDouble(4) == 1080.0)
+    assert(r.getBoolean(5), "expected >5 input partitions via maxSplitBytes")
+  }
+
   test("column pruning reaches the scan") {
     val df = GraftIO.read_fasta(spark, s"$F/fasta/test.fasta").select("id")
     val scans = df.queryExecution.executedPlan.collect {

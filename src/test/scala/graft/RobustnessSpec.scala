@@ -97,10 +97,35 @@ class RobustnessSpec extends AnyFunSuite {
     bos.write(new Array[Byte](4)) // crc (unchecked)
     val isz = payload.length
     bos.write(Array[Byte](isz.toByte, (isz >> 8).toByte, (isz >> 16).toByte, (isz >> 24).toByte))
-    val e = intercept[java.io.EOFException] {
+    // ZipException, not EOFException: BAM/BCF decoders treat EOFException
+    // as the clean end-of-records signal and would absorb corruption
+    val e = intercept[java.util.zip.ZipException] {
       graft.sources.core.Bgzf.readBlock(new java.io.ByteArrayInputStream(bos.toByteArray))
     }
     assert(e.getMessage.contains("truncated BGZF block"))
+  }
+
+  test("mid-file BGZF truncation fails the BAM scan, never silently truncates") {
+    // a valid BAM cut mid-block: the decoder's record-boundary
+    // EOFException handler must NOT absorb the ZipException from the
+    // corrupt block — fewer rows with rc=0 is the worst failure mode a
+    // 100 GB scan can have
+    val src = java.nio.file.Paths.get("src/test/resources/fixtures/bam/test.bam")
+    val bytes = java.nio.file.Files.readAllBytes(src)
+    val d = Files.createTempDirectory("graft-trunc")
+    val cutAt = bytes.length / 2
+    val p = d.resolve("cut.bam")
+    java.nio.file.Files.write(p, java.util.Arrays.copyOfRange(bytes, 0, cutAt))
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.GraftIO.read_bam_file_records(spark, p.toString).count()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(e).exists {
+      case _: java.util.zip.ZipException => true
+      case _: java.io.EOFException => true // truncated header path
+      case _ => false
+    }, s"expected a truncation failure, got: ${causes(e).map(_.getClass.getName)}")
   }
 
   test("tiny maxSplitBytes against a large file rejects, not 2^31 partitions") {

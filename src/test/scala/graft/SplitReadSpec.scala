@@ -553,6 +553,75 @@ class SplitReadSpec extends AnyFunSuite {
     }
   }
 
+  /** A synthetic mzML with n spectra + n/4 chromatograms, zlib'd and
+    * plain base64 payloads, comments and CDATA decoys — the shapes the
+    * XmlRecordSlicer split protocol must survive. */
+  private def mzmlText(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+    sb.append("<mzML xmlns=\"http://psi.hupo.org/ms/mzml\" version=\"1.1.0\">\n")
+    sb.append("  <!-- synthetic fixture - dashes - and <angle> text -->\n")
+    sb.append("  <run id=\"r0\"><spectrumList count=\"").append(n).append("\">\n")
+    def b64doubles(vs: Array[Double]): String = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    for (i <- 1 to n) {
+      val mz = Array.tabulate(3 + i % 5)(j => 100.0 * j + i)
+      val inten = Array.tabulate(3 + i % 5)(j => i * 1.0 + j)
+      sb.append(s"""    <spectrum index="${i - 1}" id="scan=$i" defaultArrayLength="${mz.length}">\n""")
+      if (i % 7 == 0) sb.append("      <!-- noise </spectrum> decoy -->\n")
+      sb.append("      <binaryDataArrayList count=\"2\">\n")
+      sb.append("        <binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000514\"/>")
+      sb.append("<binary>").append(b64doubles(mz)).append("</binary></binaryDataArray>\n")
+      sb.append("        <binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000515\"/>")
+      sb.append("<binary>").append(b64doubles(inten)).append("</binary></binaryDataArray>\n")
+      sb.append("      </binaryDataArrayList>\n")
+      if (i % 11 == 0) sb.append("      <userParam value=\"a&gt;b\"><![CDATA[ fake </spectrum> close ]]></userParam>\n")
+      sb.append("    </spectrum>\n")
+      if (i % 4 == 0) {
+        val wl = Array.tabulate(4)(j => 7.0 * j + i)
+        sb.append(s"""    <chromatogram index="${i / 4 - 1}" id="chrom=${i / 4}">""")
+        sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000617\"/>")
+        sb.append("<binary>").append(b64doubles(wl)).append("</binary></binaryDataArray>")
+        sb.append("</chromatogram>\n")
+      }
+    }
+    sb.append("  </spectrumList></run>\n</mzML>\n")
+    sb.toString
+  }
+
+  test("mzml: byte-range splits sync to spectrum/chromatogram starts") {
+    val path = tmpFile("big.mzML", mzmlText(80))
+    val whole = GraftIO.read_mzml(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(700) {
+      val df = GraftIO.read_mzml(spark, path)
+      assert(df.rdd.getNumPartitions > 5, "expected many input partitions")
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 80 + 20)
+    // decoded payloads survive the split path, not just row counts
+    val row = GraftIO.read_mzml(spark, path, Map("maxSplitBytes" -> "700"))
+      .where("id = 'scan=3'").selectExpr("mz.mz", "intensity.intensity").head()
+    assert(row.getSeq[Double](0) == Seq(3.0, 103.0, 203.0, 303.0, 403.0, 503.0))
+    assert(row.getSeq[Double](1) == Seq(3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
+  }
+
+  test("mzml: every split size from tiny to whole-file agrees") {
+    val text = mzmlText(12)
+    val path = tmpFile("sweep.mzML", text)
+    val whole = GraftIO.read_mzml(spark, path).collect().map(_.toString).sorted.toSeq
+    for (maxSplit <- Seq(97L, 256L, 1024L, 4096L, text.length.toLong)) {
+      val split = withMaxSplit(maxSplit)(
+        GraftIO.read_mzml(spark, path).collect().map(_.toString).sorted.toSeq)
+      assert(split == whole, s"maxSplit=$maxSplit")
+    }
+    assert(whole.length == 12 + 3)
+  }
+
   test("sam: ranged splits skip header lines only at file start") {
     val header = "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:100000\n"
     val body = (1 to 300).map { i =>
