@@ -37,18 +37,31 @@ object Bench {
     SparkEntry.queries.keys.take(3).foreach(runOnce)
     SparkEntry.queries.keys.filter(_.startsWith("stream_")).foreach(runOnce)
 
+    // Median-of-N capture: three rounds drifted on untouched queries
+    // (BENCH_NOTES r2/r3/r5 — co-tenant noise up to +46% on a single
+    // pass), so the recorded per-query number is the median of N full
+    // passes and the raw per-pass totals ride along for attribution.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> runOnce(n))
+    val perPass: Seq[Seq[(String, Double)]] =
+      (1 to passes).map(_ => names.map(n => n -> runOnce(n)))
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val results = names.map(n => n -> median(perPass.map(_.toMap.apply(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val passTotals = perPass.map(p => f"${p.map(_._2).filter(_ >= 0).sum}%.4f")
+      .mkString("[", ",", "]")
     val staging = graft.queries.Stage.stagingSeconds
     // Complete per-query JSON -> bench_full.json (the capture of stdout
     // is tail-truncated at 2000 chars, which a 90+-query map overflows —
     // BENCH_r03's parse failure); stdout carries it too for logs.
     // "note", not "metric": only the compact final line below may match
     // a '"metric"' grep, or the capture would race two candidates
-    val full = f"""{"note":"full per-query map","value":$total%.4f,"total_s":$total%.4f,"staging_s":$staging%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = f"""{"note":"full per-query map (median of $passes passes)","value":$total%.4f,"total_s":$total%.4f,"pass_totals":$passTotals,"staging_s":$staging%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
@@ -58,7 +71,7 @@ object Bench {
     // slowest queries; the complete map lives in bench_full.json.
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.4f,"total_s":$total%.4f,"staging_s":$staging%.2f,"unit":"sec","n_queries":${results.size},"queries":$top,"full":"bench_full.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"total_s":$total%.4f,"pass_totals":$passTotals,"staging_s":$staging%.2f,"unit":"sec","n_queries":${results.size},"queries":$top,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -239,6 +239,144 @@ object PipelineOps {
         SELECT source, count(*) AS n_kept,
           CAST(sum(n_tokens) AS BIGINT) AS tok_checksum,
           CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM keep WHERE rn = 1 GROUP BY source ORDER BY source"""))
+        FROM keep WHERE rn = 1 GROUP BY source ORDER BY source""")),
+
+    // ---- PII redaction (emails + IPv4) ----
+    // The synthetic corpus carries no PII, so each engine deterministically
+    // augments the text with a doc_id-derived fake email and IP first —
+    // both sides compute the same augmented string, so the oracle
+    // meaningfully checks the regex kernels (count + global replace),
+    // which is the part a redaction pass can get wrong across engines
+    // (Java regex vs RE2: patterns below avoid lookaround and \b).
+    // Per-row projection, no shuffle until the stats agg — at 100 TB this
+    // is a map-only pass over the corpus.
+    "pipe_pii_redact" -> Q(
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        t(s, dir, "documents")
+          .withColumn("aug", expr(
+            "concat(text, ' contact user', cast(doc_id as string), " +
+              "'@mail.example.com from 10.0.', cast(doc_id % 256 as string), '.7 end')"))
+          // functions API, not expr(): Spark's SQL parser unescapes
+          // backslashes inside string literals, which would silently turn
+          // the regex '\.' into '.' and diverge from the DuckDB oracle
+          .withColumn("n_emails", regexp_count(col("aug"), lit(email)))
+          .withColumn("n_ips", regexp_count(col("aug"), lit(ip)))
+          .withColumn("red",
+            regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"), ip, "<IP>"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_emails")).as("emails_redacted"),
+            sum(col("n_ips")).as("ips_redacted"),
+            sum(length(col("red"))).as("red_len_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS aug
+          FROM documents),
+        r AS (SELECT source,
+            len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+            len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+            regexp_replace(regexp_replace(aug,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS red
+          FROM d)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+          CAST(sum(n_ips) AS BIGINT) AS ips_redacted,
+          CAST(sum(length(red)) AS BIGINT) AS red_len_checksum
+        FROM r GROUP BY source ORDER BY source""")),
+
+    // ---- document chunking with overlap (context-window prep) ----
+    // Fixed 50-token windows, stride 40 (10-token overlap) — the standard
+    // pre-tokenizer chunking for embedding/retrieval corpora. Pure per-row
+    // explode (no shuffle before the ORDER BY): output scales by the
+    // overlap factor, never by pair space. Chunk identity is checked by
+    // md5 of the joined token slice on both engines.
+    "pipe_chunk_overlap" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, size(w) - 1, 40)")).as("start"))
+          .selectExpr("doc_id",
+            "CAST(start div 40 AS INT) AS chunk_idx",
+            "size(slice(w, start + 1, 50)) AS n_chunk_tokens",
+            "md5(concat_ws(' ', slice(w, start + 1, 50))) AS chunk_hash")
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE length(text) > 0),
+        c AS (SELECT doc_id, w, unnest(range(0, len(w), 40)) AS start FROM d)
+        SELECT doc_id, CAST(start // 40 AS INTEGER) AS chunk_idx,
+          CAST(len(w[start + 1 : least(start + 50, len(w))]) AS INTEGER) AS n_chunk_tokens,
+          md5(array_to_string(w[start + 1 : least(start + 50, len(w))], ' ')) AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // ---- token-budget sequence packing ----
+    // Contiguous deterministic packing: within each source shard, docs in
+    // doc_id order fill 512-token bins by running total; a doc belongs to
+    // the bin its cumulative count ends in. One keyed window shuffle
+    // (partitioned by source — at 100 TB the shard key is whatever the
+    // corpus is already bucketed by), no global sort, no driver state.
+    // First-fit-decreasing packs tighter but is inherently sequential;
+    // contiguous-fill is the shape that parallelizes, and determinism
+    // (retries, engine ports) is the property training-data prep needs.
+    "pipe_pack_sequences" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("cum", sum(col("n_tokens")).over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("bin", expr("CAST((cum - 1) div 512 AS INT)"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source", "bin"),
+      Some("""WITH d AS (SELECT source, doc_id,
+            len(string_split(text, ' ')) AS n_tokens FROM documents),
+        c AS (SELECT source, doc_id, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT source, CAST((cum - 1) // 512 AS INTEGER) AS bin,
+          count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM c GROUP BY source, bin ORDER BY source, bin""")),
+
+    // ---- deterministic corpus shuffle + sharding ----
+    // Training-order randomization that survives retries and engine
+    // ports: shard and intra-shard position both derive from a content-
+    // independent md5 key (seeded by a literal), not rand(). One keyed
+    // shuffle (8 shards; real runs use thousands); the position-weighted
+    // checksum pins the exact permutation, not just membership.
+    "pipe_corpus_shuffle" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("k", md5(concat(col("doc_id").cast("string"), lit(":seed42"))))
+          .withColumn("shard",
+            expr("cast(conv(substr(k, 1, 8), 16, 10) as bigint) % 8"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("k"))))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(col("pos") * col("doc_id")).as("perm_checksum"))
+          .orderBy("shard"),
+      Some("""WITH k AS (SELECT doc_id,
+            md5(CAST(doc_id AS VARCHAR) || ':seed42') AS k FROM documents),
+        s AS (SELECT doc_id, k,
+            CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS shard FROM k),
+        p AS (SELECT shard, doc_id,
+            row_number() OVER (PARTITION BY shard ORDER BY k) AS pos FROM s)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+          CAST(sum(pos * doc_id) AS BIGINT) AS perm_checksum
+        FROM p GROUP BY shard ORDER BY shard"""))
   )
 }

@@ -303,6 +303,50 @@ object Relational {
         AND l_shipdate >= o_orderdate
         AND l_shipdate <= o_orderdate + INTERVAL 30 DAY""")),
 
+    // ---- bin-keyed interval overlap join (the genomics overlap shape) ----
+    // rel_range_join above has an equi key (orderkey), so Catalyst plans a
+    // keyed join. THIS is the other case: interval overlap where the only
+    // equi attribute (chrom) has few values and huge groups — bedtools-
+    // intersect over chromosomes, the reference's native domain. A naive
+    // per-chrom join degenerates to per-group O(n*m); the scalable shape
+    // explodes each interval into fixed-width bins (W=4096 s, ~2 bins per
+    // interval) and equi-joins on (chrom, bin) — candidate pairs are only
+    // those sharing a bin. Each overlapping pair is counted exactly once
+    // WITHOUT a distinct: it is credited to the bin containing the
+    // overlap's start, greatest(a_s, b_s) div W — a bin both sides
+    // provably generated (the overlap start lies inside both intervals).
+    // Shuffle is keyed by (chrom, bin): fine-grained, skew-splittable by
+    // AQE; no BroadcastNestedLoopJoin anywhere (gated in PlanQualitySpec).
+    "rel_interval_bin_join" -> Q(
+      (s, dir) => {
+        val W = 4096L
+        val ev = eventsTs(s, dir)
+        def side(et: String, len: Int, p: String) = ev
+          .where(col("event_type") === et)
+          .selectExpr(s"event_id AS ${p}_id", "user_id % 16 AS chrom",
+            s"unix_micros(ts) div 1000000 AS ${p}_s")
+          .withColumn(s"${p}_e", col(s"${p}_s") + len)
+          .withColumn("bin", explode(expr(s"sequence(${p}_s div $W, ${p}_e div $W)")))
+        side("click", 3600, "a")
+          .join(side("view", 2700, "b"), Seq("chrom", "bin"))
+          .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+            col("bin") === expr(s"greatest(a_s, b_s) div $W"))
+          .groupBy("chrom")
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(col("a_id") + col("b_id")).as("pair_checksum"))
+          .orderBy("chrom")
+      },
+      Some("""WITH a AS (SELECT event_id AS a_id, user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS a_s, epoch_us(ts) // 1000000 + 3600 AS a_e
+          FROM events WHERE event_type = 'click'),
+        b AS (SELECT event_id AS b_id, user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS b_s, epoch_us(ts) // 1000000 + 2700 AS b_e
+          FROM events WHERE event_type = 'view')
+        SELECT a.chrom AS chrom, count(*) AS n_overlaps,
+          CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
+        FROM a JOIN b ON a.chrom = b.chrom AND a_s <= b_e AND b_s <= a_e
+        GROUP BY a.chrom ORDER BY chrom""")),
+
     // ---- top-k (TakeOrderedAndProject) ----
     "rel_topk" -> Q(
       (s, dir) =>

@@ -89,6 +89,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast hash join on the probe bucket:\n${plan.take(4000)}")
   }
 
+  test("rel_interval_bin_join: overlap join is equi on (chrom, bin), no nested loop") {
+    // the point of the bin explosion is that the planner sees equi keys;
+    // a raw overlap predicate over chrom-only would plan a per-chrom
+    // nested loop — quadratic in rows-per-chromosome at genomics scale
+    val plan = fullPlanString(SparkEntry.queries("rel_interval_bin_join")(spark, SF))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to nested loop:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pipe_decontaminate: gram join is a semi join, no doc-by-doc pair space") {
     val plan = fullPlanString(SparkEntry.queries("pipe_decontaminate")(spark, SF))
     assert(plan.contains("LeftSemi"), s"expected semi join on the gram key:\n${plan.take(4000)}")
