@@ -332,6 +332,52 @@ object Dedup {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
                 / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6) >= 0.4
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ---- segment-level duplication stats (the dup_line_frac signal) ----
+    // Whole-doc dedup misses boilerplate repeated INSIDE otherwise-unique
+    // documents (headers, navboxes, license blurbs) — the standard
+    // curation signal is the fraction of a doc's lines duplicated
+    // elsewhere in the corpus (RefinedWeb/CCNet's dup_line_frac). The
+    // synthetic corpus has no newlines, so "lines" are fixed 10-word
+    // segments. Shape: explode segments, ONE groupBy (hash, source) that
+    // collapses the corpus to distinct (segment, source) counts, then a
+    // hash-partitioned window to get corpus-wide occurrence — the second
+    // shuffle moves only distinct segment hashes, not the corpus. At
+    // 100 TB both shuffles are keyed by content hash: uniform,
+    // AQE-splittable, no pair space anywhere.
+    "dedup_segment_stats" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("source"), col("w"),
+            explode(expr("sequence(0, size(w) - 1, 10)")).as("i"))
+          .selectExpr("doc_id", "source",
+            "md5(concat_ws(' ', slice(w, i + 1, 10))) AS h")
+          .groupBy("h", "source")
+          .agg(count(lit(1)).as("n_hs"), sum(col("doc_id")).as("id_sum"))
+          .withColumn("n_occ", sum(col("n_hs")).over(Window.partitionBy("h")))
+          .groupBy("source")
+          .agg(sum(col("n_hs")).as("n_segs"),
+            sum(when(col("n_occ") > 1, col("n_hs")).otherwise(0L)).as("n_dup_segs"),
+            sum(col("id_sum")).as("id_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+          FROM documents WHERE length(text) > 0),
+        c AS (SELECT doc_id, source, w, unnest(range(0, len(w), 10)) AS i FROM d),
+        s AS (SELECT doc_id, source,
+            md5(array_to_string(w[i + 1 : least(i + 10, len(w))], ' ')) AS h
+          FROM c),
+        g AS (SELECT h, source, count(*) AS n_hs, sum(doc_id) AS id_sum
+          FROM s GROUP BY h, source),
+        t AS (SELECT h, source, n_hs, id_sum,
+            sum(n_hs) OVER (PARTITION BY h) AS n_occ FROM g)
+        SELECT source, CAST(sum(n_hs) AS BIGINT) AS n_segs,
+          CAST(sum(CASE WHEN n_occ > 1 THEN n_hs ELSE 0 END) AS BIGINT) AS n_dup_segs,
+          CAST(sum(id_sum) AS BIGINT) AS id_checksum
+        FROM t GROUP BY source ORDER BY source"""))
   )
 }

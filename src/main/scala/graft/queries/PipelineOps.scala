@@ -377,6 +377,54 @@ object PipelineOps {
         SELECT shard, count(*) AS n_docs,
           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
           CAST(sum(pos * doc_id) AS BIGINT) AS perm_checksum
-        FROM p GROUP BY shard ORDER BY shard"""))
+        FROM p GROUP BY shard ORDER BY shard""")),
+
+    // ---- decontamination via Bloom prefilter + exact verify ----
+    // Same answer as pipe_decontaminate, different physical plan — the
+    // one that wins at 100 TB: the semi-join there shuffles EVERY train
+    // gram on the gram key; here the corpus is never shuffled at all
+    // until ~nothing is left. Phase 1 builds an exact Bloom filter over
+    // the (small) eval gram set with df.stat.bloomFilter — a tree
+    // aggregate that ships only the filter bits to the driver, never the
+    // grams. Phase 2 broadcasts those bits (~1.2 MB at fpp=0.01 for 1M
+    // grams — vs broadcasting the gram STRINGS, 50-100x larger) and
+    // drops clean grams map-side. Phase 3 exact-joins only the
+    // survivors (true hits + ~1% false positives), so Bloom FPs die
+    // before the answer: the oracle is the exact decontamination SQL,
+    // not an approximation. The mightContain UDF breaks codegen for one
+    // filter — the trade is a full corpus shuffle for a black-box map,
+    // measured worth it (the BloomDecontamSpec pins candidate counts).
+    "pipe_decontam_bloom" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 5)
+        val evalGrams = Q.barrier(
+          docs.where(col("doc_id") % 97 === 0)
+            .select(explode(expr(Gram5)).as("g")).distinct())
+        val bf = evalGrams.stat.bloomFilter("g", 1000L * 1000L, 0.01)
+        val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
+        docs.where(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("source"), explode(expr(Gram5)).as("g"))
+          .where(mightContain(col("g")))
+          .join(evalGrams, Seq("g"), "left_semi")
+          .select("doc_id", "source").distinct()
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_contaminated"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, source,
+            unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                                  for i in range(1, len(w) - 3)])) AS g
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 5),
+        e AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        c AS (SELECT DISTINCT doc_id, source FROM g
+              WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM e))
+        SELECT source, count(*) AS n_contaminated, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM c GROUP BY source ORDER BY source"""))
   )
 }

@@ -347,6 +347,113 @@ object Relational {
         FROM a JOIN b ON a.chrom = b.chrom AND a_s <= b_e AND b_s <= a_e
         GROUP BY a.chrom ORDER BY chrom""")),
 
+    // ---- interval merge (the bedtools-merge sweep) ----
+    // Collapse overlapping intervals per chromosome into maximal covered
+    // regions: sort by start, an interval opens a new region iff its
+    // start exceeds the running max end of everything before it, region
+    // id = running count of opens. Two window passes over ONE
+    // (chrom)-keyed sort — no self-join, no pair space. Group identity is
+    // order-insensitive under (s, e) ties, so the result is deterministic
+    // without a unique tiebreaker. At 100 TB the sweep is per-chromosome
+    // sequential by nature; chrom count bounds parallelism, which is why
+    // production splits by (chrom, range) and stitches boundaries — the
+    // overlap-join above (bin-keyed) is the fine-grained-parallel
+    // alternative when the downstream op allows it (noted in SCALE.md).
+    "rel_interval_merge" -> Q(
+      (s, dir) => {
+        val ev = eventsTs(s, dir)
+        val iv = ev.where(col("event_type") === "click")
+          .selectExpr("user_id % 16 AS chrom",
+            "unix_micros(ts) div 1000000 AS s")
+          .withColumn("e", col("s") + 1800)
+        val w = Window.partitionBy("chrom").orderBy(col("s"), col("e"))
+        val prevMax = max(col("e"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        iv.withColumn("opens",
+            when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+          .withColumn("grp", sum(col("opens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("chrom", "grp")
+          .agg(min(col("s")).as("region_start"),
+            max(col("e")).as("region_end"),
+            count(lit(1)).as("n_intervals"))
+          .groupBy("chrom")
+          .agg(count(lit(1)).as("n_regions"),
+            sum(col("region_end") - col("region_start")).as("covered_span"),
+            max(col("n_intervals")).as("max_cluster"))
+          .orderBy("chrom")
+      },
+      Some("""WITH iv AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 1800 AS e
+          FROM events WHERE event_type = 'click'),
+        f AS (SELECT chrom, s, e,
+            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY chrom ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+              THEN 1 ELSE 0 END AS opens
+          FROM iv),
+        g AS (SELECT chrom, s, e,
+            sum(opens) OVER (PARTITION BY chrom ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM f),
+        r AS (SELECT chrom, grp, min(s) AS region_start, max(e) AS region_end,
+            count(*) AS n_intervals
+          FROM g GROUP BY chrom, grp)
+        SELECT chrom, count(*) AS n_regions,
+          CAST(sum(region_end - region_start) AS BIGINT) AS covered_span,
+          CAST(max(n_intervals) AS BIGINT) AS max_cluster
+        FROM r GROUP BY chrom ORDER BY chrom""")),
+
+    // ---- interval coverage depth (the genomecov sweep-line) ----
+    // Per-base (here per-second) depth without materializing per-base
+    // rows: each interval contributes +1 at its start and -1 at its end,
+    // deltas collapse by (chrom, pos) — making the running sum
+    // order-independent — and the prefix sum over position IS the depth
+    // of the segment [pos, next pos). Aggregating seg_len by depth gives
+    // covered span, peak depth, and the depth integral (== total interval
+    // seconds, a free self-check) in one pass. Shuffle cost: one groupBy
+    // (chrom, pos) + one (chrom)-keyed window sort, independent of depth
+    // or interval length — the per-base explode a naive version does
+    // would be 900x more rows here.
+    "rel_interval_coverage" -> Q(
+      (s, dir) => {
+        val ev = eventsTs(s, dir)
+        val iv = ev.where(col("event_type") === "view")
+          .selectExpr("user_id % 16 AS chrom",
+            "unix_micros(ts) div 1000000 AS s")
+          .withColumn("e", col("s") + 900)
+        val deltas = iv.select(col("chrom"), col("s").as("pos"), lit(1L).as("delta"))
+          .unionAll(iv.select(col("chrom"), col("e").as("pos"), lit(-1L).as("delta")))
+          .groupBy("chrom", "pos").agg(sum(col("delta")).as("d"))
+        val w = Window.partitionBy("chrom").orderBy("pos")
+        deltas
+          .withColumn("depth", sum(col("d"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("seg_len", lead(col("pos"), 1).over(w) - col("pos"))
+          .where(col("seg_len").isNotNull && col("depth") > 0)
+          .groupBy("chrom")
+          .agg(sum(col("seg_len")).as("covered_sec"),
+            max(col("depth")).as("max_depth"),
+            sum(col("seg_len") * col("depth")).as("depth_sec"))
+          .orderBy("chrom")
+      },
+      Some("""WITH iv AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 900 AS e
+          FROM events WHERE event_type = 'view'),
+        d AS (SELECT chrom, pos, sum(delta) AS d FROM (
+            SELECT chrom, s AS pos, 1 AS delta FROM iv
+            UNION ALL SELECT chrom, e AS pos, -1 AS delta FROM iv)
+          GROUP BY chrom, pos),
+        r AS (SELECT chrom, pos, d,
+            sum(d) OVER (PARTITION BY chrom ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth,
+            lead(pos) OVER (PARTITION BY chrom ORDER BY pos) - pos AS seg_len
+          FROM d)
+        SELECT chrom, CAST(sum(seg_len) AS BIGINT) AS covered_sec,
+          CAST(max(depth) AS BIGINT) AS max_depth,
+          CAST(sum(seg_len * depth) AS BIGINT) AS depth_sec
+        FROM r WHERE seg_len IS NOT NULL AND depth > 0
+        GROUP BY chrom ORDER BY chrom""")),
+
     // ---- top-k (TakeOrderedAndProject) ----
     "rel_topk" -> Q(
       (s, dir) =>

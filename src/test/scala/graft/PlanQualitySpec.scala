@@ -105,6 +105,48 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("interval merge/coverage: single-sort window sweeps, no self-join") {
+    // both sweeps must plan as window passes over ONE keyed sort — any
+    // Join node means the plan degenerated to the quadratic shape the
+    // sweep exists to avoid
+    Seq("rel_interval_merge", "rel_interval_coverage").foreach { name =>
+      val plan = executed(SparkEntry.queries(name)(spark, SF))
+      val joins = plan.toString.linesIterator.count(_.contains("Join"))
+      assert(joins == 0, s"$name: expected a join-free window sweep:\n${plan.toString.take(4000)}")
+      assert(plan.toString.contains("Window"), s"$name: no Window node")
+    }
+  }
+
+  test("pipe_decontam_bloom: bloom prefilter sits below the first shuffle") {
+    // the point of the bloom phase is that the corpus is filtered
+    // MAP-SIDE: the UDF filter must be a descendant of the scan with no
+    // Exchange between them — if a shuffle sneaks below it, the plan has
+    // the semi-join's cost plus the bloom's, the worst of both
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides stage contents behind leaf QueryStageExec nodes; flatten
+    // through them so "below" means below in the REAL dataflow
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(executed(SparkEntry.queries("pipe_decontam_bloom")(spark, SF)))
+    val udfFilters = all.collect {
+      case f: FilterExec if f.condition.toString.contains("UDF") => f
+    }
+    assert(udfFilters.nonEmpty, s"no bloom UDF filter in plan")
+    udfFilters.foreach { f =>
+      val below = flatten(f.child)
+      assert(!below.exists(p => p.isInstanceOf[Exchange] || p.isInstanceOf[QueryStageExec]),
+        s"shuffle below the bloom prefilter:\n${f.toString.take(4000)}")
+    }
+  }
+
   test("compressed scan statistics honor fileCompressionFactor") {
     // compressed bytes understate row size ~4x; a bgzf table must not
     // masquerade as a broadcast candidate when the user sets Spark's
