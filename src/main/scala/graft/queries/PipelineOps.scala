@@ -425,6 +425,40 @@ object PipelineOps {
         c AS (SELECT DISTINCT doc_id, source FROM g
               WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM e))
         SELECT source, count(*) AS n_contaminated, CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM c GROUP BY source ORDER BY source"""))
+        FROM c GROUP BY source ORDER BY source""")),
+
+    // ---- domain-mixture weights ----
+    // Training mixes reweight domains toward a target distribution; the
+    // uniform-target weight for source s is total_tokens / (k *
+    // tokens_s) — sample-with-weight w_s equalizes expected token mass.
+    // One per-source agg (map-side partial) then a k-row unpartitioned
+    // window for the totals: the corpus is read once, the window moves k
+    // rows. All inputs to the emitted doubles are exact BIGINTs and each
+    // double is produced by the same single operation on both engines,
+    // so IEEE determinism carries the oracle.
+    "pipe_mixture_weights" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+          .withColumn("total_tokens", sum(col("src_tokens")).over(Window.partitionBy()))
+          .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+          .select(col("source"), col("n_docs"), col("src_tokens"),
+            (col("src_tokens").cast("double") / col("total_tokens").cast("double"))
+              .as("actual_share"),
+            (col("total_tokens").cast("double") / (col("k") * col("src_tokens")).cast("double"))
+              .as("uniform_weight"))
+          .orderBy("source"),
+      Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+            sum(len(string_split(text, ' '))) AS src_tokens
+          FROM documents GROUP BY source),
+        t AS (SELECT source, n_docs, src_tokens,
+            sum(src_tokens) OVER () AS total_tokens,
+            count(*) OVER () AS k FROM s)
+        SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
+          CAST(src_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
+          CAST(total_tokens AS DOUBLE) / CAST(k * src_tokens AS DOUBLE) AS uniform_weight
+        FROM t ORDER BY source"""))
   )
 }

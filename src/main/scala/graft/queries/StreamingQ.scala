@@ -187,6 +187,67 @@ object StreamingQ {
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         event_type, count(*) AS n,
         CAST(CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- stream-stream event-time join ----
+    // The remaining stateful-operator family: an inner join of two
+    // unbounded streams (clicks x views per user, view within the 10 min
+    // before the click), which at 100 TB only works because BOTH sides
+    // carry watermarks and the join condition bounds event-time distance
+    // — Spark derives a state watermark from the pair and purges each
+    // side's buffered rows once no future match is possible. That is the
+    // property this entry exercises; the oracle (the same join in batch
+    // SQL) proves the streamed answer loses nothing. Drain exactness:
+    // both sides read the SAME single staged file, so every row of both
+    // sides is present from micro-batch 1 — inner joins emit eagerly and
+    // state purge (watermark-driven, end-of-batch) can never outrun an
+    // arrival. The memory sink holds raw pairs; the batch-side summary
+    // aggregation after the drain is just result compaction.
+    "stream_stream_join" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val tbl = "graft_stream_stream_join"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = Stage.staged(s"graft-stream:$dir") { d =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "events.parquet"),
+            d.resolve("events.parquet")): Unit
+        }
+        def side(et: String, p: String) = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .where(col("event_type") === et)
+          .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+            timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+          .withWatermark(s"${p}_ts", "2 hours")
+        val joined = side("click", "c").join(side("view", "v"),
+          col("c_user") === col("v_user") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("v_ts") <= col("c_ts"))
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(tbl)
+          .groupBy((col("c_user") % 16).as("ubucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("c_id") + col("v_id")).as("pair_checksum"))
+          .orderBy("ubucket")
+      },
+      // epoch_us on the oracle side: Spark joins on micro-truncated
+      // timestamps (parquet nanos -> ts div 1000), so the oracle must
+      // compare at micros too or a nano-offset boundary pair could flip
+      Some("""SELECT c.user_id % 16 AS ubucket, count(*) AS n_pairs,
+          CAST(sum(c.event_id + v.event_id) AS BIGINT) AS pair_checksum
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+          AND c.event_type = 'click' AND v.event_type = 'view'
+          AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000
+          AND epoch_us(v.ts) <= epoch_us(c.ts)
+        GROUP BY 1 ORDER BY ubucket"""))
   )
 }

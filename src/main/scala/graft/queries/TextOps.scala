@@ -154,6 +154,44 @@ object TextOps {
           list_min([CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 8)) AS BIGINT)
                     for i in range(1, len(w) - 2)]) AS fingerprint
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        WHERE len(w) >= 4 ORDER BY doc_id"""))
+        WHERE len(w) >= 4 ORDER BY doc_id""")),
+
+    // ---- unigram-frequency rarity score (the LM-perplexity proxy) ----
+    // CCNet-style quality filtering scores each doc under a corpus
+    // language model; the exact-arithmetic analog of a unigram LM is
+    // token-frequency statistics: per doc, the sum / min / mean of each
+    // token's corpus-wide count. (A log-prob sum would be the literal
+    // perplexity, but float log sums are summation-order-dependent and
+    // libm-implementation-dependent across engines — the INTEGER
+    // frequency stats carry the same ranking signal and are exactly
+    // reproducible, which is the property a curation pipeline needs for
+    // lineage-stable filtering.) Two passes: vocab = one (tok) groupBy
+    // whose result is vocabulary-sized, then a BROADCAST join back onto
+    // the token stream — the corpus itself is never shuffled (gated in
+    // PlanQualitySpec); the per-doc agg shuffles doc-keyed rows once.
+    "text_unigram_rarity" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        toks.join(broadcast(vocab), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("c")).as("freq_sum"),
+            min(col("c")).as("rarest"))
+          .withColumn("mean_freq",
+            col("freq_sum").cast("double") / col("n_toks").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE length(text) > 0),
+        v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+        SELECT t.doc_id AS doc_id, count(*) AS n_toks,
+          CAST(sum(v.c) AS BIGINT) AS freq_sum,
+          CAST(min(v.c) AS BIGINT) AS rarest,
+          CAST(CAST(sum(v.c) AS BIGINT) AS DOUBLE) / count(*) AS mean_freq
+        FROM toks t JOIN v USING (tok)
+        GROUP BY t.doc_id ORDER BY doc_id"""))
   )
 }

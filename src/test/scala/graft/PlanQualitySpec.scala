@@ -105,6 +105,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("text_unigram_rarity: vocab rejoins the token stream by broadcast") {
+    // the vocab side is vocabulary-sized (bounded), the token stream is
+    // corpus-sized (unbounded): a sort-merge join would shuffle the
+    // whole corpus on the token key for nothing
+    val plan = fullPlanString(SparkEntry.queries("text_unigram_rarity")(spark, SF))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join not broadcast:\n${plan.take(4000)}")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled on token key:\n${plan.take(4000)}")
+  }
+
   test("interval merge/coverage: single-sort window sweeps, no self-join") {
     // both sweeps must plan as window passes over ONE keyed sort — any
     // Join node means the plan degenerated to the quadratic shape the

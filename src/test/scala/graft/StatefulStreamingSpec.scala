@@ -16,6 +16,60 @@ class StatefulStreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkTestSession.get
 
+  test("stream-stream join purges both sides' buffered state at the watermark") {
+    // THE scale property of stream_stream_join: with watermarks on both
+    // sides and a time-bounded condition, Spark derives a state
+    // watermark and REMOVES buffered rows that can no longer match —
+    // without it, a 100 TB stream buffers forever. Two micro-batches 10
+    // simulated hours apart; the 2 h watermark must evict batch-1 rows
+    // during batch 2.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val scratch = graft.queries.Stage.tempDir("ssj-scratch")
+    val dir = graft.queries.Stage.tempDir("ssj-input")
+    val t0 = 1700000000L // epoch seconds
+    def rows(base: Long, idBase: Long) = (0 until 100).map { i =>
+      (idBase + i, (base + i) * 1000000L, (i % 10).toLong,
+        if (i % 2 == 0) "click" else "view", 1.0, "")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    graft.queries.Stage.parquetFile(rows(t0, 0), scratch, dir, "b1.parquet", 1)
+    graft.queries.Stage.parquetFile(rows(t0 + 36000, 1000), scratch, dir, "b2.parquet", 2)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def side(et: String, p: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .where(col("event_type") === et)
+      .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+        timestamp_micros(col("ts_us")).as(s"${p}_ts"))
+      .withWatermark(s"${p}_ts", "2 hours")
+    val joined = side("click", "c").join(side("view", "v"),
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("v_ts") <= col("c_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_state_test").start()
+    try {
+      q.processAllAvailable()
+      val ops = q.recentProgress.flatMap(_.stateOperators)
+      assert(ops.exists(_.operatorName.contains("symmetricHashJoin")),
+        s"no stream-stream join operator in progress: ${ops.map(_.operatorName).mkString(",")}")
+      // batch 1 buffers 100 rows across the two sides (50 clicks + 50
+      // views); every one must be evicted once batch 2's event times
+      // push the watermark past them
+      val removed = ops.map(_.numRowsRemoved).sum
+      assert(removed >= 100, s"watermark removed only $removed buffered rows")
+      // final retained state is the last batch only, not the stream
+      val lastTotal = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(lastTotal <= 120, s"state retained $lastTotal rows — unbounded buffering")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ssj_state_test")
+    }
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
