@@ -59,6 +59,67 @@ object Relational {
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Click events as (chrom, s, e, weight) intervals — shared input of
+    * the two interval-merge entries. */
+  private def clickIntervals(s: SparkSession, dir: String): DataFrame =
+    eventsTs(s, dir).where(col("event_type") === "click")
+      .selectExpr("user_id % 16 AS chrom", "unix_micros(ts) div 1000000 AS s")
+      .withColumn("e", col("s") + 1800)
+      .withColumn("weight", lit(1L))
+
+  /** One contiguous-merge sweep: collapse overlapping-or-touching
+    * (chrom, s, e, weight) intervals into (chrom, region_start,
+    * region_end, n_intervals = sum weight). With `bucketWidth` the
+    * sweep partitions by (chrom, s div width) — parallel within a
+    * chromosome, at the price of unstitched regions across bucket
+    * boundaries, which a second weight-carrying sweep with
+    * bucketWidth=None repairs (contiguous merge is associative).
+    * Exposed package-wide so IntervalOpsSpec can property-check both
+    * configurations against a brute-force merge. */
+  private[graft] def mergeSweep(iv: DataFrame, bucketWidth: Option[Long]): DataFrame = {
+    val bucketed = bucketWidth match {
+      case Some(bw) => iv.withColumn("bucket", expr(s"s div $bw"))
+      case None => iv.withColumn("bucket", lit(0L))
+    }
+    val w = Window.partitionBy("chrom", "bucket").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    bucketed
+      .withColumn("opens", when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("chrom", "bucket", "grp")
+      .agg(min(col("s")).as("region_start"), max(col("e")).as("region_end"),
+        sum(col("weight")).as("n_intervals"))
+      .select("chrom", "region_start", "region_end", "n_intervals")
+  }
+
+  private[graft] def summarizeRegions(regions: DataFrame): DataFrame =
+    regions.groupBy("chrom")
+      .agg(count(lit(1)).as("n_regions"),
+        sum(col("region_end") - col("region_start")).as("covered_span"),
+        max(col("n_intervals")).as("max_cluster"))
+      .orderBy("chrom")
+
+  private val MergeOracleSql =
+    """WITH iv AS (SELECT user_id % 16 AS chrom,
+          epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 1800 AS e
+        FROM events WHERE event_type = 'click'),
+      f AS (SELECT chrom, s, e,
+          CASE WHEN s > coalesce(max(e) OVER (PARTITION BY chrom ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+            THEN 1 ELSE 0 END AS opens
+        FROM iv),
+      g AS (SELECT chrom, s, e,
+          sum(opens) OVER (PARTITION BY chrom ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM f),
+      r AS (SELECT chrom, grp, min(s) AS region_start, max(e) AS region_end,
+          count(*) AS n_intervals
+        FROM g GROUP BY chrom, grp)
+      SELECT chrom, count(*) AS n_regions,
+        CAST(sum(region_end - region_start) AS BIGINT) AS covered_span,
+        CAST(max(n_intervals) AS BIGINT) AS max_cluster
+      FROM r GROUP BY chrom ORDER BY chrom"""
+
   val qs: Map[String, Q] = Map(
     // ---- LATERAL correlated subquery (per-customer top-2 orders) ----
     // Exercises Catalyst's DecorrelateInnerQuery path for a correlated
@@ -347,6 +408,27 @@ object Relational {
         FROM a JOIN b ON a.chrom = b.chrom AND a_s <= b_e AND b_s <= a_e
         GROUP BY a.chrom ORDER BY chrom""")),
 
+    // ---- interval merge, range-bucketed (the 100 TB shape) ----
+    // Same answer as rel_interval_merge (same oracle), different plan:
+    // the plain sweep's parallelism is bounded by chromosome count, so
+    // a single-chromosome corpus runs one task. Here the sweep runs per
+    // (chrom, start-bucket) — parallelism = chrom x buckets — and a
+    // second sweep merges the per-bucket REGIONS per chromosome.
+    // Correct because contiguous merge is associative: two intervals
+    // that overlap across a bucket boundary yield bucket-level regions
+    // that overlap, which the region sweep (orders of magnitude fewer
+    // rows) then joins. This is the stitching described in SCALE.md,
+    // executed as a plan instead of prose; IntervalOpsSpec
+    // property-checks both plans against a brute-force merge.
+    "rel_interval_merge_scalable" -> Q(
+      (s, dir) => {
+        val iv = clickIntervals(s, dir)
+        summarizeRegions(mergeSweep(mergeSweep(iv, bucketWidth = Some(16384L))
+          .selectExpr("chrom", "region_start AS s", "region_end AS e",
+            "n_intervals AS weight"), bucketWidth = None))
+      },
+      Some(MergeOracleSql)),
+
     // ---- interval merge (the bedtools-merge sweep) ----
     // Collapse overlapping intervals per chromosome into maximal covered
     // regions: sort by start, an interval opens a new region iff its
@@ -360,48 +442,8 @@ object Relational {
     // overlap-join above (bin-keyed) is the fine-grained-parallel
     // alternative when the downstream op allows it (noted in SCALE.md).
     "rel_interval_merge" -> Q(
-      (s, dir) => {
-        val ev = eventsTs(s, dir)
-        val iv = ev.where(col("event_type") === "click")
-          .selectExpr("user_id % 16 AS chrom",
-            "unix_micros(ts) div 1000000 AS s")
-          .withColumn("e", col("s") + 1800)
-        val w = Window.partitionBy("chrom").orderBy(col("s"), col("e"))
-        val prevMax = max(col("e"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        iv.withColumn("opens",
-            when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
-          .withColumn("grp", sum(col("opens"))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy("chrom", "grp")
-          .agg(min(col("s")).as("region_start"),
-            max(col("e")).as("region_end"),
-            count(lit(1)).as("n_intervals"))
-          .groupBy("chrom")
-          .agg(count(lit(1)).as("n_regions"),
-            sum(col("region_end") - col("region_start")).as("covered_span"),
-            max(col("n_intervals")).as("max_cluster"))
-          .orderBy("chrom")
-      },
-      Some("""WITH iv AS (SELECT user_id % 16 AS chrom,
-            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 1800 AS e
-          FROM events WHERE event_type = 'click'),
-        f AS (SELECT chrom, s, e,
-            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY chrom ORDER BY s, e
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
-              THEN 1 ELSE 0 END AS opens
-          FROM iv),
-        g AS (SELECT chrom, s, e,
-            sum(opens) OVER (PARTITION BY chrom ORDER BY s, e
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-          FROM f),
-        r AS (SELECT chrom, grp, min(s) AS region_start, max(e) AS region_end,
-            count(*) AS n_intervals
-          FROM g GROUP BY chrom, grp)
-        SELECT chrom, count(*) AS n_regions,
-          CAST(sum(region_end - region_start) AS BIGINT) AS covered_span,
-          CAST(max(n_intervals) AS BIGINT) AS max_cluster
-        FROM r GROUP BY chrom ORDER BY chrom""")),
+      (s, dir) => summarizeRegions(mergeSweep(clickIntervals(s, dir), bucketWidth = None)),
+      Some(MergeOracleSql)),
 
     // ---- interval coverage depth (the genomecov sweep-line) ----
     // Per-base (here per-second) depth without materializing per-base

@@ -248,6 +248,77 @@ object StreamingQ {
           AND c.event_type = 'click' AND v.event_type = 'view'
           AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000
           AND epoch_us(v.ts) <= epoch_us(c.ts)
+        GROUP BY 1 ORDER BY ubucket""")),
+
+    // ---- stream-stream LEFT OUTER join ----
+    // The harder join mode: an unmatched click can only be emitted (with
+    // a null view side) once the watermark proves no matching view can
+    // still arrive — so unlike the inner entry, the drain NEEDS the
+    // sentinel protocol. Each sentinel file carries one far-future click
+    // AND one far-future view (user_id = -1, matches nothing): both
+    // sides' watermark nodes advance (multipleWatermarkPolicy = min
+    // takes the LAGGING side), batch 2 pushes the watermark past every
+    // real event, batch 3 triggers the null-side emissions. Sentinels
+    // filter out of the result by user sign; the oracle is the plain
+    // batch LEFT JOIN — streamed outer results must lose nothing and
+    // invent nothing.
+    "stream_stream_left_join" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val tbl = "graft_stream_stream_left_join"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        import s.implicits._
+        val staged = Stage.staged(s"graft-stream-louter:$dir") { d =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "events.parquet"),
+            d.resolve("events.parquet"))
+          val scratch = Stage.tempDir("graft-louter-sentinel")
+          Seq(1, 2).foreach { i =>
+            val tsNanos = (4102444800L + (i - 1) * 86400L) * 1000000000L
+            Stage.parquetFile(
+              Seq((-i.toLong, tsNanos, -1L, "click", 0.0, ""),
+                  (-i.toLong, tsNanos, -1L, "view", 0.0, ""))
+                .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+              scratch, d, s"sentinel$i.parquet", i)
+          }
+        }
+        def side(et: String, p: String) = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .where(col("event_type") === et)
+          .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+            timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+          .withWatermark(s"${p}_ts", "2 hours")
+        val joined = side("click", "c").join(side("view", "v"),
+          col("c_user") === col("v_user") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("v_ts") <= col("c_ts"),
+          "left_outer")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(tbl).where(col("c_user") >= 0)
+          .groupBy((col("c_user") % 16).as("ubucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("v_id")).as("n_matched"),
+            sum(when(col("v_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+            sum(col("c_id") + coalesce(col("v_id"), lit(0L))).as("checksum"))
+          .orderBy("ubucket")
+      },
+      Some("""SELECT c.user_id % 16 AS ubucket, count(*) AS n_rows,
+          count(v.event_id) AS n_matched,
+          CAST(sum(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+          CAST(sum(c.event_id + coalesce(v.event_id, 0)) AS BIGINT) AS checksum
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id
+          AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000
+          AND epoch_us(v.ts) <= epoch_us(c.ts)
         GROUP BY 1 ORDER BY ubucket"""))
   )
 }

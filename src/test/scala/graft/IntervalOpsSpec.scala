@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property check for the interval-merge sweeps: on seeded random
+  * inputs, the plain per-chrom sweep and the bucketed+stitched sweep
+  * (rel_interval_merge_scalable's plan) must both equal a brute-force
+  * reference merge — including interval counts per merged region. The
+  * random generator deliberately produces dense overlap, exact
+  * touching (s == prev e), bucket-boundary straddlers and duplicate
+  * intervals, the cases where an off-by-one in the open condition or a
+  * missed stitch would show.
+  */
+class IntervalOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private def brute(data: Seq[(Long, Long, Long, Long)]): Set[(Long, Long, Long, Long)] =
+    data.groupBy(_._1).flatMap { case (chrom, ivs) =>
+      val sorted = ivs.map(t => (t._2, t._3, t._4)).sortBy(t => (t._1, t._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for ((s0, e0, w) <- sorted) {
+        out.lastOption match {
+          case Some((rs, re, cnt)) if s0 <= re =>
+            out(out.size - 1) = (rs, math.max(re, e0), cnt + w)
+          case _ => out += ((s0, e0, w))
+        }
+      }
+      out.map { case (rs, re, c) => (chrom, rs, re, c) }
+    }.toSet
+
+  private def regions(d: DataFrame): Set[(Long, Long, Long, Long)] =
+    d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("plain and bucketed+stitched sweeps equal brute-force merge on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(200)
+      val data = (0 until n).map { _ =>
+        val chrom = rnd.nextInt(3).toLong
+        val s0 = rnd.nextInt(2000).toLong
+        // ~1 in 5 intervals ends exactly on a likely neighbor start
+        val len = if (rnd.nextInt(5) == 0) 0L else 1L + rnd.nextInt(300)
+        (chrom, s0, s0 + len, 1L)
+      }
+      val df = data.toDF("chrom", "s", "e", "weight")
+      val expect = brute(data)
+      val plain = regions(graft.queries.Relational.mergeSweep(df, bucketWidth = None))
+      assert(plain == expect, s"trial $trial: plain sweep diverged from brute force")
+      // bucket width 256 guarantees many boundary straddlers at pos<=2300
+      val stitched = regions(graft.queries.Relational.mergeSweep(
+        graft.queries.Relational.mergeSweep(df, bucketWidth = Some(256L))
+          .selectExpr("chrom", "region_start AS s", "region_end AS e",
+            "n_intervals AS weight"),
+        bucketWidth = None))
+      assert(stitched == expect, s"trial $trial: bucketed+stitched sweep diverged")
+    }
+  }
+}

@@ -119,7 +119,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // both sweeps must plan as window passes over ONE keyed sort — any
     // Join node means the plan degenerated to the quadratic shape the
     // sweep exists to avoid
-    Seq("rel_interval_merge", "rel_interval_coverage").foreach { name =>
+    Seq("rel_interval_merge", "rel_interval_merge_scalable",
+        "rel_interval_coverage").foreach { name =>
       val plan = executed(SparkEntry.queries(name)(spark, SF))
       val joins = plan.toString.linesIterator.count(_.contains("Join"))
       assert(joins == 0, s"$name: expected a join-free window sweep:\n${plan.toString.take(4000)}")
