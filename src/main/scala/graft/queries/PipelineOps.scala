@@ -459,6 +459,62 @@ object PipelineOps {
         SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
           CAST(src_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
           CAST(total_tokens AS DOUBLE) / CAST(k * src_tokens AS DOUBLE) AS uniform_weight
-        FROM t ORDER BY source"""))
+        FROM t ORDER BY source""")),
+
+    // ---- canonical-document selection per near-dup cluster ----
+    // The keep-policy real dedup pipelines run: within each near-dup
+    // cluster (connected components over the verified J>=0.8 LSH pair
+    // graph), keep the HIGHEST-QUALITY member, not the lowest id —
+    // dedup_filtered_corpus's keep-lowest is the simple baseline; this
+    // composes clustering + scoring + per-cluster argmax end-to-end.
+    // Quality = n_chars (integer, deterministic; the stand-in for a
+    // model score), ties broken by doc_id. Shapes: CC is O(log d)
+    // keyed-join rounds over the (tiny) pair graph; singleton docs
+    // never enter it (LEFT join + coalesce assigns each its own
+    // cluster); the argmax is one window over cluster id — cluster
+    // sizes are bounded by near-dup neighborhoods, not the corpus.
+    "pipe_canonical_selection" -> Q(
+      (s, dir) => {
+        val comps = Dedup.connectedComponents(
+            Dedup.lshVerifiedPairs(s, dir).select("id_a", "id_b"))
+          .select(col("node").as("doc_id"), col("label").as("component"))
+        val ranked = t(s, dir, "documents")
+          .join(comps, Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("component")
+              .orderBy(col("n_chars").desc, col("doc_id").asc)))
+        ranked.where(col("rn") === 1)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_canonical"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(col("n_chars")).as("quality_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH RECURSIVE sh AS (
+          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w) - 1)]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 3),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node AS doc_id, min(label) AS component
+          FROM reach GROUP BY node),
+        scored AS (SELECT d.doc_id, d.source, d.n_chars,
+            coalesce(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c USING (doc_id)),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY component
+            ORDER BY n_chars DESC, doc_id ASC) AS rn FROM scored)
+        SELECT source, count(*) AS n_canonical,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+          CAST(sum(n_chars) AS BIGINT) AS quality_checksum
+        FROM ranked WHERE rn = 1 GROUP BY source ORDER BY source"""))
   )
 }
