@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Public, DataFrame-in / DataFrame-out entry points for the corpus
+  * operators the gate queries exercise over the test tables — the API a
+  * user calls on their OWN tables. Each delegates to the same
+  * implementation the oracle-checked `SparkEntry` entries run, so the
+  * correctness gate covers this surface too; only column adaptation
+  * happens here.
+  *
+  * All operators are shuffle-keyed and driver-light by construction
+  * (see SCALE.md): near-dup candidate generation is banded LSH (no
+  * pair space), components converge in O(log diameter) keyed-join
+  * rounds, interval merge is a window sweep with optional within-key
+  * range-bucketing.
+  */
+object CorpusOps {
+
+  /** Verified near-duplicate pairs over 3-word shingles via
+    * MinHash(32)+LSH(16x2) candidate banding and exact verification.
+    * Input: any frame with an integral id column and a string text
+    * column. Output: (id_a, id_b, inter, uni) with Jaccard >= 4/5,
+    * integer-exact (`5*inter >= 4*uni`).
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    graft.queries.Dedup.lshVerifiedPairsOf(
+      graft.queries.Dedup.shingleSets(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"))))
+
+  /** Connected components of an undirected pair list (first two columns
+    * = edge endpoints): returns (node, label) with label = min reachable
+    * id. Min-label propagation with pointer doubling — O(log diameter)
+    * rounds, each a keyed shuffle; converges or throws, never returns
+    * partial labels.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val c = pairs.columns
+    graft.queries.Dedup.connectedComponents(
+      pairs.select(col(c(0)).cast("long"), col(c(1)).cast("long")))
+  }
+
+  /** Drop train documents that share a `gramWidth`-gram with the eval
+    * set (benchmark decontamination), returning the CLEAN train rows
+    * with all their columns. Physical plan is the 100 TB one: an exact
+    * Bloom filter over the eval grams is broadcast and applied
+    * map-side — the train corpus is never shuffled — and only the
+    * surviving ~fpp fraction reaches the exact verify join, so the
+    * answer is exact (no false negatives exist; false positives die in
+    * the verify join).
+    */
+  def bloomDecontaminate(train: DataFrame, evalDocs: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         gramWidth: Int = 5,
+                         expectedEvalGrams: Long = 1000L * 1000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val contaminated = graft.queries.PipelineOps.bloomContaminated(
+      train = train.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      evalDocs = evalDocs.select(col(textCol).as("text")),
+      gramWidth = gramWidth, keep = Seq("doc_id"),
+      expectedEvalGrams = expectedEvalGrams, fpp = fpp)
+    train.join(contaminated.select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Merge overlapping-or-touching intervals per key (bedtools merge).
+    * Input columns: key `chrom`, bounds `s`/`e` (long). Output:
+    * (chrom, region_start, region_end, n_intervals). With
+    * `bucketWidth = Some(w)` the sweep partitions by (chrom, s div w)
+    * and a second sweep stitches bucket-boundary regions — same answer
+    * (merge is associative; property-checked in IntervalOpsSpec),
+    * parallel WITHIN a key instead of bounded by key count.
+    */
+  def mergeIntervals(intervals: DataFrame,
+                     bucketWidth: Option[Long] = None): DataFrame = {
+    val iv = intervals.select(col("chrom"), col("s"), col("e"))
+      .withColumn("weight", lit(1L))
+    val first = graft.queries.Relational.mergeSweep(iv, bucketWidth)
+    bucketWidth match {
+      case None => first
+      case Some(_) => graft.queries.Relational.mergeSweep(
+        first.selectExpr("chrom", "region_start AS s", "region_end AS e",
+          "n_intervals AS weight"), bucketWidth = None)
+    }
+  }
+}

@@ -38,15 +38,19 @@ object Dedup {
   private val P32 = 4294967311L // prime > 2^32
 
 
-  /** doc_id + distinct 3-word shingles. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(s)
-    t(s, dir, "documents")
+  /** doc_id + distinct 3-word shingles from any (doc_id, text) frame. */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
         array_distinct(expr(
           "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+
+  /** doc_id + distinct 3-word shingles. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    shingleSets(t(s, dir, "documents"))
   }
 
   /** 32-bit SimHash per doc via the native kernel (codegen'd; the
@@ -62,7 +66,13 @@ object Dedup {
     * scale path behind dedup_minhash_lsh / dedup_filtered_corpus /
     * dedup_components. Returns verified (id_a, id_b, inter, uni) with
     * J >= 0.8 (integer-exact threshold). */
-  private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairsOf(shingled(s, dir))
+
+  /** Core of the MinHash+LSH scale path over any shingle-set frame
+    * (doc_id, sh: array&lt;string&gt;) — see [[graft.pipeline.CorpusOps]]
+    * for the public entry point. */
+  private[graft] def lshVerifiedPairsOf(shingles: DataFrame): DataFrame = {
     // localCheckpoint, not cache: both materialize once, but checkpoint
     // blocks are released by the ContextCleaner as soon as the plan is
     // unreferenced (cache() pins them for the session), and the truncated
@@ -71,7 +81,7 @@ object Dedup {
     // a stage retry from the checkpoint job instead of a partition
     // recompute — acceptable for a 2-job window; a multi-hour pipeline
     // would use reliable checkpointing to the DFS instead.
-    val sets = shingled(s, dir).transform(Q.barrier)
+    val sets = shingles.transform(Q.barrier)
     val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
     val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
@@ -118,7 +128,7 @@ object Dedup {
     *
     * Input: undirected pair list (id_a, id_b); output: (node, label)
     * where label = min node id reachable. */
-  private[queries] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("ea", "eb")
     val sym = edges.union(edges.select(col("eb"), col("ea"))).toDF("src", "dst").cache()
     var labels = sym.select(col("src").as("node")).distinct()

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -30,12 +31,41 @@ import org.apache.spark.sql.expressions.Window
 object PipelineOps {
   import Q.t
 
-  /** 5-gram expansion over a pre-split word array `w` — ONE definition
-    * for every entry that shingles (decontamination, curation): a gram
-    * width/tokenization change edits one place, keeping the Spark side
-    * and the (necessarily stringly) DuckDB oracles reviewable together. */
-  private val Gram5 =
-    "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+  /** n-gram expansion over a pre-split word array `w`. */
+  private[graft] def gramExpr(n: Int): String = {
+    val terms = (0 until n).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
+    s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $terms))"
+  }
+
+  /** 5-gram expansion — ONE definition for every entry that shingles
+    * (decontamination, curation): a gram width/tokenization change
+    * edits one place, keeping the Spark side and the (necessarily
+    * stringly) DuckDB oracles reviewable together. */
+  private val Gram5 = gramExpr(5)
+
+  /** Bloom-prefiltered exact decontamination core (see the
+    * pipe_decontam_bloom entry comment for the plan rationale): returns
+    * the DISTINCT `keep` columns of train docs sharing a `gramWidth`-gram
+    * with the eval set. Exact answer — Bloom false positives die in the
+    * verify join, false negatives don't exist. Public entry:
+    * [[graft.pipeline.CorpusOps.bloomDecontaminate]]. */
+  private[graft] def bloomContaminated(train: DataFrame, evalDocs: DataFrame,
+      gramWidth: Int, keep: Seq[String],
+      expectedEvalGrams: Long, fpp: Double): DataFrame = {
+    def withGrams(df: DataFrame) =
+      df.withColumn("w", split(col("text"), " "))
+        .where(size(col("w")) >= gramWidth)
+    val evalGrams = Q.barrier(withGrams(evalDocs)
+      .select(explode(expr(gramExpr(gramWidth))).as("g")).distinct())
+    val bf = evalGrams.stat.bloomFilter("g", expectedEvalGrams, fpp)
+    val bfB = evalGrams.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
+    withGrams(train)
+      .select(keep.map(col) :+ explode(expr(gramExpr(gramWidth))).as("g"): _*)
+      .where(mightContain(col("g")))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(keep.head, keep.tail: _*).distinct()
+  }
 
   val qs: Map[String, Q] = Map(
 
@@ -397,19 +427,11 @@ object PipelineOps {
     "pipe_decontam_bloom" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .where(size(col("w")) >= 5)
-        val evalGrams = Q.barrier(
-          docs.where(col("doc_id") % 97 === 0)
-            .select(explode(expr(Gram5)).as("g")).distinct())
-        val bf = evalGrams.stat.bloomFilter("g", 1000L * 1000L, 0.01)
-        val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-        val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
-        docs.where(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), col("source"), explode(expr(Gram5)).as("g"))
-          .where(mightContain(col("g")))
-          .join(evalGrams, Seq("g"), "left_semi")
-          .select("doc_id", "source").distinct()
+        bloomContaminated(
+            train = docs.where(col("doc_id") % 97 =!= 0),
+            evalDocs = docs.where(col("doc_id") % 97 === 0),
+            gramWidth = 5, keep = Seq("doc_id", "source"),
+            expectedEvalGrams = 1000L * 1000L, fpp = 0.01)
           .groupBy("source")
           .agg(count(lit(1)).as("n_contaminated"),
             sum(col("doc_id")).as("id_checksum"))

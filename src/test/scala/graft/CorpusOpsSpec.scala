@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public CorpusOps facade must work on arbitrary user frames, not
+  * just the gate's testdata layout: renamed id/text columns, int ids,
+  * inline data. Semantics are pinned by tiny hand-checkable cases (the
+  * heavy property/oracle coverage lives with the underlying impls).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  test("nearDupPairs finds an exact duplicate under renamed columns") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10, base),
+      (11, base),                                    // exact dup of 10
+      (12, "one two three four five six seven eight nine ten"),
+      (13, "completely different words entirely here now then forever maybe so"))
+      .toDF("my_id", "body")
+    val pairs = graft.pipeline.CorpusOps.nearDupPairs(docs, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)))
+  }
+
+  test("connectedComponents labels chains transitively") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val labels = graft.pipeline.CorpusOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("bloomDecontaminate drops exactly the overlapping docs, keeps all columns") {
+    import spark.implicits._
+    val evalSet = Seq("held out benchmark question about gamma rays and dark matter")
+      .toDF("body")
+    val train = Seq(
+      (1, "clean document with its own unique words nothing shared at all", "web"),
+      // contains the eval 5-gram "benchmark question about gamma rays"
+      (2, "a leaked benchmark question about gamma rays appears here verbatim", "web"),
+      (3, "short", "books")) // under gramWidth, trivially clean
+      .toDF("id", "body", "src")
+    val clean = graft.pipeline.CorpusOps.bloomDecontaminate(
+      train, evalSet, idCol = "id", textCol = "body")
+    assert(clean.columns.toSeq == Seq("id", "body", "src"))
+    assert(clean.select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
+  }
+
+  test("mergeIntervals merges touching intervals, bucketed or not") {
+    import spark.implicits._
+    val iv = Seq((0L, 10L, 20L), (0L, 20L, 30L), (0L, 45L, 50L), (1L, 5L, 6L))
+      .toDF("chrom", "s", "e")
+    val expect = Set((0L, 10L, 30L, 2L), (0L, 45L, 50L, 1L), (1L, 5L, 6L, 1L))
+    def got(bw: Option[Long]) =
+      graft.pipeline.CorpusOps.mergeIntervals(iv, bw)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got(None) == expect)
+    assert(got(Some(16L)) == expect) // buckets split the [10,30] merge
+  }
+}
