@@ -70,6 +70,74 @@ class StatefulStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream join state survives a query RESTART via checkpoint") {
+    // The redeploy contract: click rows buffered before a shutdown must
+    // still match view rows that arrive after the restart. Phase 1
+    // processes only file 1 (clicks + views at t0) and stops; file 2
+    // (clicks + views at t0+5min, inside the 10 min window) appears
+    // while the query is DOWN; phase 2 restarts from the same
+    // checkpoint. Cross-phase pairs can only come from recovered join
+    // state, and the parquet sink must not duplicate phase-1 pairs.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val scratch = graft.queries.Stage.tempDir("ssjr-scratch")
+    val inDir = graft.queries.Stage.tempDir("ssjr-input")
+    val outDir = graft.queries.Stage.tempDir("ssjr-out")
+    val ckpt = graft.queries.Stage.tempDir("ssjr-ckpt")
+    val t0 = 1700000000L
+    def mk(base: Long, idBase: Long) = (0 until 20).map { i =>
+      // clicks (even i) and views (odd i) share users 0-4
+      (idBase + i, (base + i % 5) * 1000000L, ((i / 2) % 5).toLong,
+        if (i % 2 == 0) "click" else "view", 1.0, "")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    graft.queries.Stage.parquetFile(mk(t0, 0), scratch, inDir, "b1.parquet", 1)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def joined() = {
+      def side(et: String, p: String) = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .where(col("event_type") === et)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          timestamp_micros(col("ts_us")).as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "2 hours")
+      side("click", "c").join(side("view", "v"),
+        col("c_user") === col("v_user") &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("v_ts") <= col("c_ts"))
+        .select("c_id", "v_id")
+    }
+    def run(): Unit = {
+      val q = joined().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", outDir.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()                                                     // phase 1
+    graft.queries.Stage.parquetFile(mk(t0 + 300, 100), scratch, inDir, "b2.parquet", 2)
+    run()                                                     // phase 2, same checkpoint
+    val got = spark.read.parquet(outDir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val all = mk(t0, 0).unionAll(mk(t0 + 300, 100))
+    val c = all.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("cu"),
+        col("ts_us").as("cts"))
+    val v = all.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("vu"),
+        col("ts_us").as("vts"))
+    val want = c.join(v, col("cu") === col("vu") &&
+        col("vts") >= col("cts") - 600L * 1000000L && col("vts") <= col("cts"))
+      .select("c_id", "v_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    // the proof the state was RECOVERED, not recomputed: some matches
+    // straddle the restart (phase-1 click x phase-2 view)
+    assert(want.exists { case (cid, vid) => cid >= 100 && vid < 100 },
+      "test setup produced no cross-restart pairs")
+  }
+
   test("mapGroupsWithState accumulates across micro-batches") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
