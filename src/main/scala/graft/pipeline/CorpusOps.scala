@@ -43,6 +43,29 @@ object CorpusOps {
       pairs.select(col(c(0)).cast("long"), col(c(1)).cast("long")))
   }
 
+  /** Keep the best row of each near-dup cluster (the production
+    * keep-policy): clusters = connected components over `pairs` (two
+    * id columns, e.g. the output of [[nearDupPairs]]); within each
+    * cluster the row maximizing `qualityCol` wins, ties broken by
+    * lowest id; docs in no pair are their own cluster and always kept.
+    * Returns the surviving rows with all their columns.
+    */
+  def canonicalPerCluster(docs: DataFrame, pairs: DataFrame,
+                          qualityCol: String,
+                          idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs)
+      .select(col("node").as(idCol), col("label").as("__component"))
+    docs.join(comps, Seq(idCol), "left")
+      .withColumn("__component",
+        coalesce(col("__component"), col(idCol).cast("long")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__component")
+          .orderBy(col(qualityCol).desc, col(idCol).asc)))
+      .where(col("__rn") === 1)
+      .drop("__component", "__rn")
+  }
+
   /** Drop train documents that share a `gramWidth`-gram with the eval
     * set (benchmark decontamination), returning the CLEAN train rows
     * with all their columns. Physical plan is the 100 TB one: an exact

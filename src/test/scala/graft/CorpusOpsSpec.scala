@@ -34,6 +34,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("canonicalPerCluster keeps the best-quality member, singletons untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 10), (2L, "b", 99), (3L, "c", 50),   // cluster {1,2,3} -> keep 2
+      (7L, "d", 1))                                  // singleton -> kept
+      .toDF("doc_id", "body", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = graft.pipeline.CorpusOps.canonicalPerCluster(docs, pairs, "score")
+    assert(kept.columns.toSeq == Seq("doc_id", "body", "score"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 7L))
+  }
+
   test("bloomDecontaminate drops exactly the overlapping docs, keeps all columns") {
     import spark.implicits._
     val evalSet = Seq("held out benchmark question about gamma rays and dark matter")
