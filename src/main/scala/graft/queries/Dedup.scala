@@ -69,6 +69,25 @@ object Dedup {
   private[queries] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     lshVerifiedPairsOf(shingled(s, dir))
 
+  /** (doc_id, bb) banded MinHash bucket keys of a shingle-set frame —
+    * 32 permutation mins folded into 16 two-row bands; docs with
+    * J >= 0.8 collide in some band with near-certainty (see the class
+    * comment). This IS the LSH index: at scale it is computed once and
+    * persisted, then self-joined (full dedup) or probed by a new batch
+    * (incremental dedup). */
+  private def bandBucketsOf(sets: DataFrame): DataFrame = {
+    val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
+    val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h32") * a + b) % P32).as(s"m$i")
+    }
+    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 16).map { j =>
+      struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+  }
+
   /** Core of the MinHash+LSH scale path over any shingle-set frame
     * (doc_id, sh: array&lt;string&gt;) — see [[graft.pipeline.CorpusOps]]
     * for the public entry point. */
@@ -82,15 +101,6 @@ object Dedup {
     // recompute — acceptable for a 2-job window; a multi-hour pipeline
     // would use reliable checkpointing to the DFS instead.
     val sets = shingles.transform(Q.barrier)
-    val hashed = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h32", expr("xxhash64(shingle) & 4294967295"))
-    val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h32") * a + b) % P32).as(s"m$i")
-    }
-    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until 16).map { j =>
-      struct(lit(j).as("band"), xxhash64(col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("bh"))
-    }
     // Candidate pairs via an equi-self-join on the bucket key. Unlike a
     // per-bucket collect_set + pair explosion (one task owns the whole
     // bucket; needs a cap that silently DROPS hot buckets), the join
@@ -101,8 +111,7 @@ object Dedup {
     // plans the two join sides independently (no ReusedExchange fires —
     // one side is a broadcast, the other a hash exchange) and would
     // otherwise recompute the whole shingle->hash->agg pipeline per side.
-    val bucketed = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .transform(Q.barrier)
+    val bucketed = bandBucketsOf(sets).transform(Q.barrier)
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.bb") === col("y.bb") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
@@ -388,6 +397,60 @@ object Dedup {
         SELECT source, CAST(sum(n_hs) AS BIGINT) AS n_segs,
           CAST(sum(CASE WHEN n_occ > 1 THEN n_hs ELSE 0 END) AS BIGINT) AS n_dup_segs,
           CAST(sum(id_sum) AS BIGINT) AS id_checksum
-        FROM t GROUP BY source ORDER BY source"""))
+        FROM t GROUP BY source ORDER BY source""")),
+
+    // ---- incremental dedup: a new batch probed against the corpus ----
+    // The production shape full-corpus dedup can't give you: a daily
+    // crawl delta is deduped AGAINST the existing corpus, not within
+    // itself. The corpus's banded-MinHash buckets are the LSH index (at
+    // scale: computed once, persisted, reused every batch — here rebuilt
+    // because the gate is stateless); the batch's buckets are tiny and
+    // BROADCAST onto it, so the corpus stream is never reshuffled by the
+    // probe, and cost per batch is O(|corpus| map + |batch| index work).
+    // Exact dups are caught by a content-hash join on the same
+    // broadcast-batch shape (also covers docs too short to shingle);
+    // near-dups by band collision + exact Jaccard verify at J >= 0.8.
+    // Emits each contaminated batch doc with its lowest-id corpus match.
+    "dedup_incremental" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isBatch = col("doc_id") % 10 === 7 // deterministic 10% "delta"
+        val sets = shingleSets(docs).transform(Q.barrier)
+        val buckets = bandBucketsOf(sets).transform(Q.barrier)
+        val cand = buckets.where(!isBatch)
+          .select(col("doc_id").as("corpus_id"), col("bb"))
+          .join(broadcast(buckets.where(isBatch)
+            .select(col("doc_id").as("batch_id"), col("bb"))), Seq("bb"))
+          .select("batch_id", "corpus_id").distinct()
+        val near = cand
+          .join(broadcast(sets.where(isBatch)
+            .select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))), "batch_id")
+          .join(sets.where(!isBatch)
+            .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+          .select(col("batch_id"), col("corpus_id"),
+            size(array_intersect(col("sh_b"), col("sh_c"))).as("inter"),
+            (size(col("sh_b")) + size(col("sh_c"))
+              - size(array_intersect(col("sh_b"), col("sh_c")))).as("uni"))
+          .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
+          .select("batch_id", "corpus_id")
+        val mh = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("mh"))
+        val exact = mh.where(!isBatch).select(col("doc_id").as("corpus_id"), col("mh"))
+          .join(broadcast(mh.where(isBatch)
+            .select(col("doc_id").as("batch_id"), col("mh"))), Seq("mh"))
+          .select("batch_id", "corpus_id")
+        near.union(exact)
+          .groupBy("batch_id").agg(min(col("corpus_id")).as("dup_of"))
+          .orderBy("batch_id")
+      },
+      Some(s"""WITH $ShingleCteSql,
+        nearp AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+          FROM sh b JOIN sh c ON b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+            AND 5 * len(list_intersect(b.sh, c.sh)) >= 4 * (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))),
+        exactp AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+          FROM documents b JOIN documents c
+            ON b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 AND md5(b.text) = md5(c.text))
+        SELECT batch_id, min(corpus_id) AS dup_of
+        FROM (SELECT * FROM nearp UNION ALL SELECT * FROM exactp)
+        GROUP BY batch_id ORDER BY batch_id"""))
   )
 }

@@ -89,6 +89,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast hash join on the probe bucket:\n${plan.take(4000)}")
   }
 
+  test("dedup_incremental: batch probes broadcast onto the corpus index, no corpus reshuffle") {
+    // the scale contract of incremental dedup: the batch side (buckets,
+    // shingle sets, content hashes) is broadcast onto the corpus stream,
+    // so a daily delta never reshuffles the corpus; a sort-merge probe
+    // or a nested loop would mean per-batch corpus movement
+    val plan = fullPlanString(SparkEntry.queries("dedup_incremental")(spark, SF))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"expected broadcast probes for buckets/verify/exact, got $broadcasts:\n${plan.take(4000)}")
+  }
+
   test("rel_interval_bin_join: overlap join is equi on (chrom, bin), no nested loop") {
     // the point of the bin explosion is that the planner sees equi keys;
     // a raw overlap predicate over chrom-only would plan a per-chrom
