@@ -147,6 +147,51 @@ object Relational {
         WHERE c.c_custkey < 50
         ORDER BY c.c_custkey, o_total DESC, t.o_orderkey""")),
 
+    // ---- bucketed co-located join: pay the shuffle once, at write ----
+    // THE 100 TB join technique the other rel_* entries don't show: both
+    // tables are written bucketed (and sorted) by the join key, so every
+    // subsequent join/aggregation on that key is EXCHANGE-FREE — the
+    // scan's HashPartitioning(custkey, 8) satisfies the join's and the
+    // group-by's distribution directly. At scale this turns the nightly
+    // fact-to-fact join from the dominant shuffle into a local merge.
+    // repartition(8, key) before the write uses the same murmur3-pmod
+    // hash as the bucket spec, so each bucket lands as ONE file and the
+    // sorted-scan stays valid (no per-task Sort either). The merge hint
+    // keeps the small gate-scale dimension from being broadcast, which
+    // would hide the property being demonstrated; plan-gated: zero
+    // Exchange below the SortMergeJoin.
+    "rel_bucketed_join" -> Q(
+      (s, dir) => {
+        def bucketed(df: DataFrame, key: String, table: String): DataFrame = {
+          // a fresh in-memory catalog + a persistent warehouse dir means
+          // overwrite mode alone can hit LOCATION_ALREADY_EXISTS from a
+          // previous session's files — clear both catalog and location
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), table)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+          df.repartition(8, col(key)).write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key).format("parquet").saveAsTable(table)
+          s.table(table)
+        }
+        val cust = bucketed(t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          "c_custkey", "g_buck_customer")
+        val ord = bucketed(t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+          "o_custkey", "g_buck_orders")
+        ord.hint("merge").join(cust, col("o_custkey") === col("c_custkey"))
+          .where(col("c_custkey") < 200)
+          .groupBy("c_custkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            fin(d18(sum(dec(col("o_totalprice"))))).as("total_spend"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+          CAST(CAST(sum(CAST(o_totalprice AS $DEC)) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey < 200
+        GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""")),
+
     // ---- full-scan aggregation with filter pushdown (TPC-H Q1 shape) ----
     "rel_agg_pricing" -> Q(
       (s, dir) => {

@@ -89,6 +89,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast hash join on the probe bucket:\n${plan.take(4000)}")
   }
 
+  test("rel_bucketed_join: co-located join and agg run with zero exchange below the join") {
+    // the write-once-bucketed contract: scan partitioning satisfies the
+    // join AND the group-by, so neither plans a shuffle — the property
+    // that turns a 100 TB fact-to-fact join into a local merge
+    // string-level checks on the AQE final plan (collect() does not
+    // traverse into finalized query stages)
+    val str = fullPlanString(SparkEntry.queries("rel_bucketed_join")(spark, SF))
+    val finalPlan = str.split("== Initial Plan ==").head
+    assert(finalPlan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over bucketed scans:\n$finalPlan")
+    assert(finalPlan.contains("Bucketed: true"), s"scan did not use bucketing:\n$finalPlan")
+    // the join AND the group-by reuse the scan partitioning: the only
+    // exchange anywhere is the output orderBy's range exchange
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(finalPlan).toList
+    assert(exchanges == List("Exchange rangepartitioning"),
+      s"expected only the orderBy range exchange, got $exchanges:\n$finalPlan")
+  }
+
   test("dedup_incremental: batch probes broadcast onto the corpus index, no corpus reshuffle") {
     // the scale contract of incremental dedup: the batch side (buckets,
     // shingle sets, content hashes) is broadcast onto the corpus stream,
@@ -100,6 +118,16 @@ class PlanQualitySpec extends AnyFunSuite {
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 3,
       s"expected broadcast probes for buckets/verify/exact, got $broadcasts:\n${plan.take(4000)}")
+  }
+
+  test("ann_pq_adc: codebook and LUT stay broadcast; the corpus never sort-merges") {
+    // PQ's scale contract: encode is a map against a broadcast packed
+    // codebook and ADC is a map against a broadcast LUT — if either
+    // join degrades to sort-merge the corpus reshuffles per query batch
+    val plan = fullPlanString(SparkEntry.queries("ann_pq_adc")(spark, SF))
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side join fell back to sort-merge:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), s"expected broadcast codebook/LUT:\n${plan.take(4000)}")
   }
 
   test("rel_interval_bin_join: overlap join is equi on (chrom, bin), no nested loop") {
