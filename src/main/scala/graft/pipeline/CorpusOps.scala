@@ -66,6 +66,26 @@ object CorpusOps {
       .drop("__component", "__rn")
   }
 
+  /** Incremental dedup — the daily-delta shape: drop `batch` rows that
+    * duplicate a `corpus` doc, exactly (content-hash equality, covers
+    * docs too short to shingle) or nearly (MinHash-band collision +
+    * exact Jaccard >= 0.8 over 3-word shingles). Returns the CLEAN
+    * batch rows with all their columns. The batch side is broadcast
+    * onto the corpus stream, so the corpus is never reshuffled —
+    * per-delta cost is a map over the corpus plus index work on the
+    * batch.
+    */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    def adapt(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val dups = graft.queries.Dedup
+      .incrementalDupMatches(adapt(batch), adapt(corpus))
+      .select(col("batch_id").as(idCol))
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** Drop train documents that share a `gramWidth`-gram with the eval
     * set (benchmark decontamination), returning the CLEAN train rows
     * with all their columns. Physical plan is the 100 TB one: an exact

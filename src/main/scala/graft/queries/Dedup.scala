@@ -125,6 +125,43 @@ object Dedup {
       .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
   }
 
+  /** Incremental-dedup core: which `batch` docs (doc_id, text) duplicate
+    * a `corpus` doc — exact (content-hash equality, covers docs too
+    * short to shingle) or near (band collision + exact Jaccard >= 0.8).
+    * Returns (batch_id, dup_of = lowest matching corpus id). The batch
+    * side (buckets, shingle sets, hashes) is broadcast onto the corpus
+    * stream: per-delta cost is a map over the corpus plus index work on
+    * the batch, never a corpus reshuffle. At scale the corpus buckets
+    * are the persisted LSH index, computed once and reused every batch
+    * (rebuilt per call here — the gate is stateless). Public entry:
+    * [[graft.pipeline.CorpusOps.dedupAgainstCorpus]]. */
+  private[graft] def incrementalDupMatches(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val b = batch.select(col("doc_id"), col("text"))
+    val c = corpus.select(col("doc_id"), col("text"))
+    // each side's shingle sets feed its buckets AND the verify join
+    val setsB = shingleSets(b).transform(Q.barrier)
+    val setsC = shingleSets(c).transform(Q.barrier)
+    val cand = bandBucketsOf(setsC).select(col("doc_id").as("corpus_id"), col("bb"))
+      .join(broadcast(bandBucketsOf(setsB)
+        .select(col("doc_id").as("batch_id"), col("bb"))), Seq("bb"))
+      .select("batch_id", "corpus_id").distinct()
+    val near = cand
+      .join(broadcast(setsB.select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))), "batch_id")
+      .join(setsC.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        size(array_intersect(col("sh_b"), col("sh_c"))).as("inter"),
+        (size(col("sh_b")) + size(col("sh_c"))
+          - size(array_intersect(col("sh_b"), col("sh_c")))).as("uni"))
+      .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
+      .select("batch_id", "corpus_id")
+    val exact = c.select(col("doc_id").as("corpus_id"), md5(col("text").cast("binary")).as("mh"))
+      .join(broadcast(b.select(col("doc_id").as("batch_id"),
+        md5(col("text").cast("binary")).as("mh"))), Seq("mh"))
+      .select("batch_id", "corpus_id")
+    near.union(exact)
+      .groupBy("batch_id").agg(min(col("corpus_id")).as("dup_of"))
+  }
+
   /** Distributed connected components by min-label propagation with
     * pointer doubling: each round relabels via graph edges AND via the
     * current label chain (node -> label(label(node))), so convergence
@@ -415,31 +452,7 @@ object Dedup {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val isBatch = col("doc_id") % 10 === 7 // deterministic 10% "delta"
-        val sets = shingleSets(docs).transform(Q.barrier)
-        val buckets = bandBucketsOf(sets).transform(Q.barrier)
-        val cand = buckets.where(!isBatch)
-          .select(col("doc_id").as("corpus_id"), col("bb"))
-          .join(broadcast(buckets.where(isBatch)
-            .select(col("doc_id").as("batch_id"), col("bb"))), Seq("bb"))
-          .select("batch_id", "corpus_id").distinct()
-        val near = cand
-          .join(broadcast(sets.where(isBatch)
-            .select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))), "batch_id")
-          .join(sets.where(!isBatch)
-            .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
-          .select(col("batch_id"), col("corpus_id"),
-            size(array_intersect(col("sh_b"), col("sh_c"))).as("inter"),
-            (size(col("sh_b")) + size(col("sh_c"))
-              - size(array_intersect(col("sh_b"), col("sh_c")))).as("uni"))
-          .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
-          .select("batch_id", "corpus_id")
-        val mh = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("mh"))
-        val exact = mh.where(!isBatch).select(col("doc_id").as("corpus_id"), col("mh"))
-          .join(broadcast(mh.where(isBatch)
-            .select(col("doc_id").as("batch_id"), col("mh"))), Seq("mh"))
-          .select("batch_id", "corpus_id")
-        near.union(exact)
-          .groupBy("batch_id").agg(min(col("corpus_id")).as("dup_of"))
+        incrementalDupMatches(docs.where(isBatch), docs.where(!isBatch))
           .orderBy("batch_id")
       },
       Some(s"""WITH $ShingleCteSql,

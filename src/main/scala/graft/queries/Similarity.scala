@@ -52,6 +52,61 @@ object Similarity {
     bits.mkString("(", " + ", ")")
   }
 
+  /** PQ-ADC shared machinery (ann_pq_adc / ann_ivfpq_topk): codebook =
+    * K=4 centroids per 8-dim subspace, 1 Lloyd round from deterministic
+    * seeds (the 4 lowest vec_ids); distances round to 6 / means to 9 so
+    * the DuckDB oracle replays identically. Returns
+    *  - codes: (vec_id, label, codes[8]) — the compressed corpus,
+    *    m-ordered, built map-only against the packed broadcast codebook;
+    *  - lut:   (q_id, q_label, dt[8][4]) — per-query subspace distance
+    *    tables for the 5 query vectors, one broadcastable row each. */
+  private def pqCodesAndLut(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = vecs(s, dir)
+    // (vec_id, label, m, sv): the 8-dim subvectors; consumed by seeds,
+    // Lloyd assign, encode, and the query LUT — barrier it
+    val sub = e.select(col("vec_id"), col("label"), explode(expr(
+        "transform(sequence(0, 7), m -> named_struct('m', m, 'sv', slice(v, m * 8 + 1, 8)))")).as("z"))
+      .select(col("vec_id"), col("label"), col("z.m").as("m"), col("z.sv").as("sv"))
+      .transform(Q.barrier)
+    val seedIds = e.orderBy("vec_id").limit(4).select("vec_id")
+    val seedCb = sub.join(broadcast(seedIds), "vec_id")
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    // map-only argmin against the packed per-subspace codebook (the
+    // ann_kmeans_ivf shape: ties break to the lowest cid)
+    def assign(cb: DataFrame): DataFrame = {
+      val packed = cb.groupBy("m").agg(
+        expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
+      sub.join(broadcast(packed), "m")
+        .withColumn("best", expr(
+          """array_min(transform(cs, c -> struct(
+               round(aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
+               c.cid AS cid)))"""))
+        .select(col("vec_id"), col("label"), col("m"), col("sv"), col("best.cid").as("cid"))
+    }
+    val cb = assign(seedCb)
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy("m", "cid", "dim").agg(round(avg(col("x")), 9).as("mu"))
+      .groupBy("m", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), p -> p.mu)").as("cv"))
+      .transform(Q.barrier)
+    val codes = assign(cb).groupBy("vec_id", "label")
+      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)").as("codes"))
+    val lut = sub.where(col("vec_id") < 5).join(broadcast(cb), "m")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("m"), col("cid"),
+        expr("round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6)").as("d"))
+      .groupBy("q_id", "q_label", "m")
+      .agg(expr("array_sort(collect_list(struct(cid, d)))").as("dl"))
+      .groupBy("q_id", "q_label")
+      .agg(expr("transform(array_sort(collect_list(struct(m, dl))), p -> p.dl)").as("dt"))
+    (codes, lut)
+  }
+
+  /** ADC distance: LUT-sum over the code array, folded per-row in fixed
+    * subspace order (deterministic summation, final round to 6). */
+  private val AdcExpr = expr(
+    """round(aggregate(sequence(0, 7), 0D,
+         (acc, m) -> acc + filter(dt[m], p -> p.cid = codes[m])[0].d), 6)""")
+
   val qs: Map[String, Q] = Map(
 
     // ---- brute-force cosine top-k (oracle-checked baseline) ----
@@ -247,53 +302,12 @@ object Similarity {
     // error is the point); the oracle replays the identical PQ pipeline.
     "ann_pq_adc" -> Q(
       (s, dir) => {
-        val e = vecs(s, dir).select("vec_id", "v")
-        // (vec_id, m, sv): the 8-dim subvectors; consumed by seeds,
-        // Lloyd assign, encode, and the query LUT — barrier it
-        val sub = e.select(col("vec_id"), explode(expr(
-            "transform(sequence(0, 7), m -> named_struct('m', m, 'sv', slice(v, m * 8 + 1, 8)))")).as("z"))
-          .select(col("vec_id"), col("z.m").as("m"), col("z.sv").as("sv"))
-          .transform(Q.barrier)
-        val seedIds = e.orderBy("vec_id").limit(4).select("vec_id")
-        val seedCb = sub.join(broadcast(seedIds), "vec_id")
-          .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-        // map-only argmin against the packed per-subspace codebook (the
-        // ann_kmeans_ivf shape: ties break to the lowest cid)
-        def assign(cb: DataFrame): DataFrame = {
-          val packed = cb.groupBy("m").agg(
-            expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
-          sub.join(broadcast(packed), "m")
-            .withColumn("best", expr(
-              """array_min(transform(cs, c -> struct(
-                   round(aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
-                   c.cid AS cid)))"""))
-            .select(col("vec_id"), col("m"), col("sv"), col("best.cid").as("cid"))
-        }
-        val cb = assign(seedCb)
-          .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
-          .groupBy("m", "cid", "dim").agg(round(avg(col("x")), 9).as("mu"))
-          .groupBy("m", "cid")
-          .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), p -> p.mu)").as("cv"))
-          .transform(Q.barrier)
-        // the compressed corpus: 8 small codes per vector, m-ordered
-        val codes = assign(cb).groupBy("vec_id")
-          .agg(expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)").as("codes"))
-        // per-query LUT: dt[m] = codebook distances of subspace m,
-        // cid-keyed; 5 queries x 8 subspaces x 4 centroids, broadcast
-        val dtab = sub.where(col("vec_id") < 5).join(broadcast(cb), "m")
-          .select(col("vec_id").as("q_id"), col("m"), col("cid"),
-            expr("round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6)").as("d"))
-          .groupBy("q_id", "m")
-          .agg(expr("array_sort(collect_list(struct(cid, d)))").as("dl"))
-          .groupBy("q_id")
-          .agg(expr("transform(array_sort(collect_list(struct(m, dl))), p -> p.dl)").as("dt"))
+        val (codes, dtab) = pqCodesAndLut(s, dir)
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("ad").asc, col("vec_id").asc)
         codes.crossJoin(broadcast(dtab))
           .where(col("vec_id") =!= col("q_id"))
-          .withColumn("ad", expr(
-            """round(aggregate(sequence(0, 7), 0D,
-                 (acc, m) -> acc + filter(dt[m], p -> p.cid = codes[m])[0].d), 6)"""))
+          .withColumn("ad", AdcExpr)
           .select("q_id", "vec_id", "ad")
           .withColumn("rn", row_number().over(w))
           .where(col("rn") <= 5)
@@ -323,6 +337,57 @@ object Similarity {
           FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 5),
         adc AS (SELECT q.q_id, x.vec_id, round(sum(q.d), 6) AS ad
           FROM codes x JOIN qd q ON x.m = q.m AND x.cid = q.cid
+          WHERE x.vec_id <> q.q_id
+          GROUP BY q.q_id, x.vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)
+        SELECT q_id, vec_id, ad, rn FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // ---- IVF-PQ: coarse cell restriction + compressed-code scan ----
+    // The composed production layout: IVF bounds WHICH vectors a query
+    // touches (its own cell — here the label column, standing in for
+    // trained coarse centroids exactly as in ann_ivf_topk), PQ bounds
+    // the BYTES per touched vector (8 codes + a broadcast LUT). The
+    // probe is an equi-join on the cell key, so each query streams
+    // |corpus|/k codes, map-only; at 1e9+ vectors this is the shape
+    // where the whole index lives in executor memory and a query costs
+    // milliseconds, not a scan.
+    "ann_ivfpq_topk" -> Q(
+      (s, dir) => {
+        val (codes, lut) = pqCodesAndLut(s, dir)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("ad").asc, col("vec_id").asc)
+        codes.join(broadcast(lut),
+            col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+          .withColumn("ad", AdcExpr)
+          .select("q_id", "vec_id", "ad")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        sub AS (SELECT vec_id, label, m, v[m*8+1 : m*8+8] AS sv FROM e, range(0, 8) AS t(m)),
+        seeds AS (SELECT m, vec_id AS cid, sv AS cv FROM sub
+          WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+        d0 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+            round(list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) for i in range(1, 9)]), 6) AS d
+          FROM sub s JOIN seeds c ON s.m = c.m),
+        a0 AS (SELECT vec_id, m, sv, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM d0)
+          WHERE rn = 1),
+        mu AS (SELECT m, cid, i AS dim, round(avg(sv[i]), 9) AS mval
+          FROM a0, range(1, 9) AS t(i) GROUP BY m, cid, i),
+        cb AS (SELECT m, cid, list(mval ORDER BY dim) AS cv FROM mu GROUP BY m, cid),
+        d1 AS (SELECT s.vec_id, s.label, s.m, c.cid,
+            round(list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) for i in range(1, 9)]), 6) AS d
+          FROM sub s JOIN cb c ON s.m = c.m),
+        codes AS (SELECT vec_id, label, m, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM d1)
+          WHERE rn = 1),
+        qd AS (SELECT s.vec_id AS q_id, s.label AS q_label, s.m, c.cid,
+            round(list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) for i in range(1, 9)]), 6) AS d
+          FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 5),
+        adc AS (SELECT q.q_id, x.vec_id, round(sum(q.d), 6) AS ad
+          FROM codes x JOIN qd q ON x.m = q.m AND x.cid = q.cid AND x.label = q.q_label
           WHERE x.vec_id <> q.q_id
           GROUP BY q.q_id, x.vec_id),
         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adc)

@@ -46,6 +46,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 7L))
   }
 
+  test("dedupAgainstCorpus drops exact and near dups of corpus docs, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+      (101L, "short"), // too short to shingle
+      (102L, "completely unrelated corpus content about astrophysics and galaxies"))
+      .toDF("id", "body")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning sun"), // exact dup of 100
+      (2L, "short"),                                                          // exact dup of 101 (unshingleable)
+      (3L, "the quick brown fox jumps over the lazy dog in the morning fog"), // near dup of 100
+      (4L, "a genuinely novel document that matches nothing in the corpus"))
+      .toDF("id", "body")
+    val clean = graft.pipeline.CorpusOps.dedupAgainstCorpus(
+      batch, corpus, idCol = "id", textCol = "body")
+    assert(clean.columns.toSeq == Seq("id", "body"))
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet == Set(4L))
+  }
+
   test("bloomDecontaminate drops exactly the overlapping docs, keeps all columns") {
     import spark.implicits._
     val evalSet = Seq("held out benchmark question about gamma rays and dark matter")

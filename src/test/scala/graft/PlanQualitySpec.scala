@@ -124,10 +124,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // PQ's scale contract: encode is a map against a broadcast packed
     // codebook and ADC is a map against a broadcast LUT — if either
     // join degrades to sort-merge the corpus reshuffles per query batch
-    val plan = fullPlanString(SparkEntry.queries("ann_pq_adc")(spark, SF))
-    assert(!plan.contains("SortMergeJoin"), s"corpus-side join fell back to sort-merge:\n${plan.take(4000)}")
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastExchange"), s"expected broadcast codebook/LUT:\n${plan.take(4000)}")
+    for (entry <- Seq("ann_pq_adc", "ann_ivfpq_topk")) {
+      val plan = fullPlanString(SparkEntry.queries(entry)(spark, SF))
+      assert(!plan.contains("SortMergeJoin"),
+        s"$entry: corpus-side join fell back to sort-merge:\n${plan.take(4000)}")
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("BroadcastExchange"),
+        s"$entry: expected broadcast codebook/LUT:\n${plan.take(4000)}")
+    }
   }
 
   test("rel_interval_bin_join: overlap join is equi on (chrom, bin), no nested loop") {
