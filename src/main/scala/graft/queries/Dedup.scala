@@ -125,6 +125,49 @@ object Dedup {
       .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
   }
 
+  /** Per-row MinHash signature (array of the 32 permutation mins) as one
+    * SQL expression over a shingle-array column `sh` — the map-only
+    * formulation of the signature aggregate for rows arriving on a
+    * stream. Identical constants and arithmetic to [[bandBucketsOf]]
+    * (xxhash64 & 2^32-1, a*h+b mod P over the same distinct shingles),
+    * so stream-computed and index-computed bucket keys collide
+    * identically. */
+  private[graft] val PerRowMinhashSql: String = MinhashPerms.map { case (a, b) =>
+    s"array_min(transform(sh, g -> ((xxhash64(g) & 4294967295) * $a + $b) % $P32))"
+  }.mkString("array(", ", ", ")")
+
+  /** Band keys over a 32-min signature column `ms` (same 16x2 banding
+    * and field types as [[bandBucketsOf]]). */
+  private[graft] val PerRowBandsSql: String =
+    "transform(sequence(0, 15), j -> named_struct('band', j, 'bh', xxhash64(ms[2*j], ms[2*j+1])))"
+
+  /** The persisted corpus-side dedup index, materialized once: shingle
+    * sets, banded LSH buckets, and content hashes — what an incremental
+    * (batch or streaming) delta probes against. */
+  private[graft] def corpusDedupIndex(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val sets = shingleSets(corpus).transform(Q.barrier)
+    val buckets = bandBucketsOf(sets).transform(Q.barrier)
+    val hashes = corpus
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("mh"))
+      .transform(Q.barrier)
+    (sets, buckets, hashes)
+  }
+
+  /** Oracle for the %10=7 batch-vs-corpus split — exhaustive cross-set
+    * pair scan; shared by dedup_incremental and stream_dedup_incremental
+    * (same answer, batch vs streaming execution). Lazy: ShingleCteSql is
+    * declared further down this object. */
+  private[graft] lazy val IncrementalOracleSql: String = s"""WITH $ShingleCteSql,
+        nearp AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+          FROM sh b JOIN sh c ON b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+            AND 5 * len(list_intersect(b.sh, c.sh)) >= 4 * (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))),
+        exactp AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+          FROM documents b JOIN documents c
+            ON b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 AND md5(b.text) = md5(c.text))
+        SELECT batch_id, min(corpus_id) AS dup_of
+        FROM (SELECT * FROM nearp UNION ALL SELECT * FROM exactp)
+        GROUP BY batch_id ORDER BY batch_id"""
+
   /** Incremental-dedup core: which `batch` docs (doc_id, text) duplicate
     * a `corpus` doc — exact (content-hash equality, covers docs too
     * short to shingle) or near (band collision + exact Jaccard >= 0.8).
@@ -455,15 +498,6 @@ object Dedup {
         incrementalDupMatches(docs.where(isBatch), docs.where(!isBatch))
           .orderBy("batch_id")
       },
-      Some(s"""WITH $ShingleCteSql,
-        nearp AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
-          FROM sh b JOIN sh c ON b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-            AND 5 * len(list_intersect(b.sh, c.sh)) >= 4 * (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))),
-        exactp AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
-          FROM documents b JOIN documents c
-            ON b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 AND md5(b.text) = md5(c.text))
-        SELECT batch_id, min(corpus_id) AS dup_of
-        FROM (SELECT * FROM nearp UNION ALL SELECT * FROM exactp)
-        GROUP BY batch_id ORDER BY batch_id"""))
+      Some(IncrementalOracleSql))
   )
 }

@@ -189,6 +189,65 @@ object StreamingQ {
         CAST(CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- streaming incremental dedup against a static corpus index ----
+    // The streaming sibling of dedup_incremental, and the shape a live
+    // ingest pipeline actually runs: documents arrive on a stream and
+    // are probed against the PERSISTED corpus index (shingle sets, LSH
+    // buckets, content hashes — materialized once, reused every
+    // micro-batch). Everything on the stream side is per-row map work:
+    // the 32-min MinHash signature folds inside one expression (no
+    // signature aggregate, so NO streaming state anywhere — no
+    // watermark, no state store; stream-static inner joins are
+    // stateless), and the per-row band keys collide with the index's
+    // batch-computed keys because the arithmetic is shared
+    // (Dedup.PerRowMinhashSql). The delta is staged as two mtime-ordered
+    // files so matches provably emit across separate micro-batches; the
+    // oracle is the same exhaustive cross-set scan as dedup_incremental
+    // — streaming must find exactly the batch answer.
+    "stream_dedup_incremental" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val docs = Q.t(s, dir, "documents")
+        val tbl = "graft_stream_dedup_incremental"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = Stage.staged(s"graft-stream-incdedup:$dir") { d =>
+          val scratch = Stage.tempDir("graft-incdedup-scratch")
+          val batch = docs.where(col("doc_id") % 10 === 7)
+          Stage.parquetFile(batch.where(col("doc_id") % 20 === 7), scratch, d, "delta_a.parquet", 1)
+          Stage.parquetFile(batch.where(col("doc_id") % 20 === 17), scratch, d, "delta_b.parquet", 2)
+        }
+        val (setsC, bucketsC, hashesC) =
+          Dedup.corpusDedupIndex(docs.where(col("doc_id") % 10 =!= 7))
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+        val near = Dedup.shingleSets(stream)
+          .withColumn("ms", expr(Dedup.PerRowMinhashSql))
+          .withColumn("bb", explode(expr(Dedup.PerRowBandsSql)))
+          .select(col("doc_id").as("batch_id"), col("sh"), col("bb"))
+          .join(bucketsC.select(col("doc_id").as("corpus_id"), col("bb")), Seq("bb"))
+          .join(setsC.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+            Seq("corpus_id"))
+          .select(col("batch_id"), col("corpus_id"),
+            size(array_intersect(col("sh"), col("sh_c"))).as("inter"),
+            (size(col("sh")) + size(col("sh_c"))
+              - size(array_intersect(col("sh"), col("sh_c")))).as("uni"))
+          .where(col("inter") * 5 >= col("uni") * 4) // J >= 0.8
+          .select("batch_id", "corpus_id")
+        val exact = stream
+          .select(col("doc_id").as("batch_id"), md5(col("text").cast("binary")).as("mh"))
+          .join(hashesC.select(col("doc_id").as("corpus_id"), col("mh")), Seq("mh"))
+          .select("batch_id", "corpus_id")
+        val q = near.union(exact).writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try q.processAllAvailable() finally q.stop()
+        // post-drain compaction only (band-collision duplicates collapse)
+        s.table(tbl).groupBy("batch_id")
+          .agg(min(col("corpus_id")).as("dup_of"))
+          .orderBy("batch_id")
+      },
+      Some(Dedup.IncrementalOracleSql)),
+
     // ---- stream-stream event-time join ----
     // The remaining stateful-operator family: an inner join of two
     // unbounded streams (clicks x views per user, view within the 10 min
