@@ -45,6 +45,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     lsh.foreach(r => assert(r.getInt(3) >= 1 && r.getInt(3) <= 5))
   }
 
+  test("PQ-ADC and IVF-PQ agree on shared machinery; cells are respected") {
+    import org.apache.spark.sql.functions._
+    // ADC distances come from the same codebook/LUT in both entries, so
+    // for any (query, vector) pair both emit, the distance must match
+    val pq = SparkEntry.queries("ann_pq_adc")(spark, SF)
+      .select(col("q_id"), col("vec_id"), col("ad")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = SparkEntry.queries("ann_ivfpq_topk")(spark, SF).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      pq.get(key).foreach { ad =>
+        assert(ad == r.getDouble(2), s"ADC mismatch for $key: $ad vs ${r.getDouble(2)}")
+      }
+    }
+    // IVF restriction: every emitted neighbor shares the query's cell
+    val labels = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    ivfpq.foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"IVF-PQ crossed cells: ${r.getLong(0)} -> ${r.getLong(1)}")
+    }
+    // per-query ranks are 1..k with non-decreasing approx distance
+    ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to byRank.length))
+      assert(byRank.map(_.getDouble(2)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a <= b; case _ => true })
+    }
+  }
+
   test("every query name is unique and every query has an oracle") {
     val total = SparkEntry.queries.size
     val withOracle = SparkEntry.oracleSql.size

@@ -203,45 +203,6 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("AQE splits a skewed join partition instead of one task owning the hot key") {
-    // the 100 TB skew story this library relies on (hot LSH buckets,
-    // hot users in sessionize, hot join keys): no manual salting —
-    // AQE's OptimizeSkewedJoin splits the oversized partition into
-    // parallel tasks. Prove it fires on a synthetic 95%-one-key join
-    // with test-scaled thresholds, and that results stay exact.
-    import org.apache.spark.sql.functions.{col, md5, when, lit}
-    val s = spark
-    val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
-    val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
-    try {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
-      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
-      val fact = s.range(0, 200000).select(
-        when(col("id") < 190000, 7L).otherwise(col("id") % 32).as("k"),
-        md5(col("id").cast("string")).as("pad"))
-      val dim = s.range(0, 64).select(col("id").as("k"), md5(col("id").cast("string")).as("name"))
-      // the join is the terminal stage: a keyed aggregate directly above
-      // it would make OptimizeSkewedJoin refuse (splitting the skewed
-      // partition would break the output partitioning the parent reuses)
-      // keep the pad in the output so pruning can't shrink the shuffle
-      val joined = fact.join(dim, "k").select(col("k"), col("pad"))
-      val total = joined.collect().length
-      assert(total == 200000, s"skew-join lost rows: $total")
-      val str = joined.queryExecution.executedPlan.toString
-      assert(str.contains("skew=true"),
-        s"OptimizeSkewedJoin did not fire on the hot partition:\n${str.take(4000)}")
-    } finally saved.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
-  }
-
   test("compressed scan statistics honor fileCompressionFactor") {
     // compressed bytes understate row size ~4x; a bgzf table must not
     // masquerade as a broadcast candidate when the user sets Spark's
