@@ -65,6 +65,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(clean.select("id").collect().map(_.getLong(0)).toSet == Set(4L))
   }
 
+  test("dedupAgainstCorpus: empty corpus keeps everything, empty batch stays empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "some document text here for the corpus"),
+      (2L, "short")).toDF("id", "body")
+    val none = Seq.empty[(Long, String)].toDF("id", "body")
+    val keptAll = graft.pipeline.CorpusOps.dedupAgainstCorpus(docs, none, "id", "body")
+    assert(keptAll.count() == 2)
+    val empty = graft.pipeline.CorpusOps.dedupAgainstCorpus(none, docs, "id", "body")
+    assert(empty.count() == 0)
+  }
+
   test("bloomDecontaminate drops exactly the overlapping docs, keeps all columns") {
     import spark.implicits._
     val evalSet = Seq("held out benchmark question about gamma rays and dark matter")
