@@ -26,6 +26,42 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 11L, 1), (10L, 12L, 2)))
   }
 
+  test("pqTopK: an exact duplicate of the query always ranks first") {
+    // the ADC-minimum theorem: a duplicate's codes are the argmin of the
+    // query's own LUT rows, so its LUT-sum is the global minimum —
+    // quantization error can never rank anything STRICTLY above it.
+    // (Vectors sharing the duplicate's codes tie exactly — ADC sees
+    // codes, not vectors — so assert on the distance, not the id.)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    // 90..92 duplicate 0..2 exactly
+    val corpus = (base ++ (0 until 3).map(i => (90L + i, base(i)._2)))
+      .toDF("id", "emb")
+    val queries = corpus.where("id < 3")
+    val rows = graft.pipeline.VectorOps.pqTopK(
+      corpus, queries, k = 50, subspaces = 2, centroids = 4,
+      idCol = "id", vecCol = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    (0 until 3).foreach { i =>
+      val mine = rows.filter(_._1 == i.toLong)
+      val top1Ad = mine.find(_._4 == 1).get._3
+      val dupAd = mine.find(_._2 == 90L + i).get._3
+      assert(dupAd == top1Ad, s"query $i: duplicate ad $dupAd above rank-1 ad $top1Ad")
+      assert(top1Ad >= 0.0)
+    }
+  }
+
+  test("pqTopK rejects a vector length not divisible by the subspace count") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.VectorOps.pqTopK(df, df, k = 1, subspaces = 2,
+        idCol = "id", vecCol = "emb")
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
   test("ivfTopK searches only the query's cell") {
     val out = graft.pipeline.VectorOps.ivfTopK(
       vecsDf, vecsDf.where("id = 10"), k = 3, cellCol = "cell",
