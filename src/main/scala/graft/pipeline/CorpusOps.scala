@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** The dedup/component operators key their shuffles and labels on
+    * long ids; a non-integral id column would cast to null and silently
+    * corrupt results (every row in one null partition, joins matching
+    * nothing) — fail loudly instead. */
+  private def requireIntegralId(df: DataFrame, idCol: String, method: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"CorpusOps.$method requires an integral id column; '$idCol' is " +
+        s"${dt.simpleString}. Derive one first (e.g. xxhash64 of a string key, " +
+        "or monotonically_increasing_id with a join back).")
+  }
+
   /** Verified near-duplicate pairs over 3-word shingles via
     * MinHash(32)+LSH(16x2) candidate banding and exact verification.
     * Input: any frame with an integral id column and a string text
@@ -25,11 +38,13 @@ object CorpusOps {
     * integer-exact (`5*inter >= 4*uni`).
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
+                   textCol: String = "text"): DataFrame = {
+    requireIntegralId(docs, idCol, "nearDupPairs")
     graft.queries.Dedup.lshVerifiedPairsOf(
       graft.queries.Dedup.shingleSets(
         docs.select(col(idCol).cast("long").as("doc_id"),
           col(textCol).as("text"))))
+  }
 
   /** Connected components of an undirected pair list (first two columns
     * = edge endpoints): returns (node, label) with label = min reachable
@@ -39,6 +54,8 @@ object CorpusOps {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val c = pairs.columns
+    requireIntegralId(pairs, c(0), "connectedComponents")
+    requireIntegralId(pairs, c(1), "connectedComponents")
     graft.queries.Dedup.connectedComponents(
       pairs.select(col(c(0)).cast("long"), col(c(1)).cast("long")))
   }
@@ -54,6 +71,7 @@ object CorpusOps {
                           qualityCol: String,
                           idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireIntegralId(docs, idCol, "canonicalPerCluster")
     val comps = connectedComponents(pairs)
       .select(col("node").as(idCol), col("label").as("__component"))
     docs.join(comps, Seq(idCol), "left")
@@ -78,6 +96,8 @@ object CorpusOps {
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    requireIntegralId(batch, idCol, "dedupAgainstCorpus")
+    requireIntegralId(corpus, idCol, "dedupAgainstCorpus")
     def adapt(df: DataFrame) = df.select(
       col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
     val dups = graft.queries.Dedup

@@ -6,21 +6,28 @@ import org.apache.spark.sql.functions._
 
 /** Public, DataFrame-in / DataFrame-out similarity search over an
   * embedding column (`array<float>` or `array<double>`) — the API a
-  * user calls on their OWN vector tables; the gate entries in
-  * [[graft.queries.Similarity]] exercise the same plan shapes against
-  * the oracle.
+  * user calls on their OWN vector tables. The PQ machinery here is THE
+  * implementation the oracle-checked `ann_pq_adc` / `ann_ivfpq_topk`
+  * gate entries run (graft.queries.Similarity delegates to
+  * [[pqMachinery]]), so the correctness gate covers this code path.
   *
   * Scale contract (see SCALE.md): the corpus side never shuffles — the
   * query set broadcasts (brute force), or the probe is an equi-join on
-  * a cell key (IVF) — and the only wide operation is the per-query
-  * top-k window.
+  * a cell key (IVF), or the scan folds a broadcast LUT over 1-byte
+  * codes (PQ) — and the only wide operation is the per-query top-k
+  * window.
   */
 object VectorOps {
+
+  /** Backtick-quote a user-supplied column name for splicing into a SQL
+    * expression string (names with spaces/dots/hyphens; embedded
+    * backticks doubled per the SQL rule). */
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
 
   private def asVec(df: DataFrame, idCol: String, vecCol: String,
                     extra: Seq[(String, String)] = Nil): DataFrame =
     df.select(col(idCol).cast("long").as("__id") +:
-      expr(s"transform($vecCol, x -> cast(x as double))").as("__v") +:
+      expr(s"transform(${q(vecCol)}, x -> cast(x as double))").as("__v") +:
       extra.map { case (c, a) => col(c).as(a) }: _*)
 
   private val Cos =
@@ -29,18 +36,24 @@ object VectorOps {
           * sqrt(aggregate(transform(__v, x -> x * x), 0D, (a, x) -> a + x)))"""
 
   /** Exact cosine top-k: for every query row, the `k` most similar
-    * corpus rows (self-matches by id excluded). Output: (query id
-    * `q_id`, corpus id `id`, `cos`, rank `rn`). The query set is
-    * broadcast — size it accordingly (thousands, not millions); the
-    * corpus streams through map-side scoring into a per-query top-k.
+    * corpus rows. Output: (query id `q_id`, corpus id `id`, `cos`,
+    * rank `rn`). The query set is broadcast — size it accordingly
+    * (thousands, not millions); the corpus streams through map-side
+    * scoring into a per-query top-k.
+    *
+    * `excludeSelfIds` (default true) drops corpus rows whose id equals
+    * the query's id — right when querying a table against itself; pass
+    * false when the query table has its own id space, or corpus rows
+    * that legitimately share a query id would silently vanish.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     excludeSelfIds: Boolean = true): DataFrame = {
     val c = asVec(corpus, idCol, vecCol)
-    val q = asVec(queries, idCol, vecCol)
+    val qs = asVec(queries, idCol, vecCol)
       .select(col("__id").as("__qid"), col("__v").as("__qv"))
-    rank(c.crossJoin(broadcast(q)), k)
+    rank(c.crossJoin(broadcast(qs)), k, excludeSelfIds)
   }
 
   /** IVF-restricted cosine top-k: rows carry a coarse cell key
@@ -53,24 +66,25 @@ object VectorOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               cellCol: String,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              excludeSelfIds: Boolean = true): DataFrame = {
     val c = asVec(corpus, idCol, vecCol, Seq(cellCol -> "__cell"))
-    val q = asVec(queries, idCol, vecCol, Seq(cellCol -> "__qcell"))
+    val qs = asVec(queries, idCol, vecCol, Seq(cellCol -> "__qcell"))
       .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__qcell"))
-    rank(c.join(broadcast(q), col("__cell") === col("__qcell")), k)
+    rank(c.join(broadcast(qs), col("__cell") === col("__qcell")), k, excludeSelfIds)
   }
 
-  /** Product-quantization top-k (the `ann_pq_adc` gate shape on user
-    * tables): each corpus vector compresses to `subspaces` codebook
-    * codes — `dim * 4` bytes become `subspaces` bytes — and queries
-    * rank by asymmetric distance (their per-subspace distance LUT,
-    * broadcast, folded over the code array per row). The codebook is
-    * `centroids` centroids per subspace, trained with one Lloyd round
-    * from the `centroids` lowest-id corpus vectors. Approximate by
-    * design: ranks reflect quantized distances (`ad`, squared L2), not
-    * exact ones — measure recall against [[bruteForceTopK]] on a
-    * sample. Requires the vector length to be divisible by
-    * `subspaces`; corpus and queries must share that length.
+  /** Product-quantization top-k: each corpus vector compresses to
+    * `subspaces` codebook codes — `dim * 4` bytes become `subspaces`
+    * bytes — and queries rank by asymmetric distance (their
+    * per-subspace distance LUT, broadcast, folded over the code array
+    * per row). The codebook is `centroids` centroids per subspace,
+    * trained with one Lloyd round from the `centroids` lowest-id
+    * corpus vectors. Approximate by design: ranks reflect quantized
+    * squared-L2 (`ad`), not exact distances — measure recall against
+    * [[bruteForceTopK]] on a sample. The vector length must be
+    * divisible by `subspaces` and uniform across corpus and queries
+    * (checked per row, loudly).
     *
     * Scale contract: encode and scan are map-only against broadcast
     * codebook/LUT — the corpus never shuffles; only the bounded
@@ -79,63 +93,113 @@ object VectorOps {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              subspaces: Int = 8, centroids: Int = 4,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding",
+             excludeSelfIds: Boolean = true): DataFrame = {
     val c = asVec(corpus, idCol, vecCol)
-    val dim = c.select(size(col("__v"))).head().getInt(0)
-    require(dim % subspaces == 0, s"vector length $dim not divisible by $subspaces subspaces")
-    val sd = dim / subspaces
-    def subs(df: DataFrame): DataFrame = df.select(col("__id"), explode(expr(
-        s"transform(sequence(0, ${subspaces - 1}), m -> named_struct('m', m, 'sv', slice(__v, m * $sd + 1, $sd)))")).as("z"))
-      .select(col("__id"), col("z.m").as("m"), col("z.sv").as("sv"))
-    val sub = subs(c).transform(graft.queries.Q.barrier)
-    val seedIds = c.orderBy("__id").limit(centroids).select("__id")
-    val seedCb = sub.join(broadcast(seedIds), "__id")
-      .select(col("m"), col("__id").as("cid"), col("sv").as("cv"))
-    def assign(cb: DataFrame, sv: DataFrame): DataFrame = {
-      val packed = cb.groupBy("m").agg(
-        expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
-      sv.join(broadcast(packed), "m")
-        .withColumn("best", expr(
-          """array_min(transform(cs, c -> struct(
-               aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x) AS d,
-               c.cid AS cid)))"""))
-        .select(col("__id"), col("m"), col("sv"), col("best.cid").as("cid"))
+    val dim = c.select(size(col("__v"))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => // empty corpus: empty result, correct schema
+        return c.sparkSession.emptyDataFrame
+          .select(lit(0L).as("q_id"), lit(0L).as("id"),
+            lit(0.0).as("ad"), lit(0).as("rn")).limit(0)
     }
-    val cb = assign(seedCb, sub)
-      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy("m", "cid", "dim").agg(avg(col("x")).as("mu"))
-      .groupBy("m", "cid")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), p -> p.mu)").as("cv"))
-      .transform(graft.queries.Q.barrier)
-    val codes = assign(cb, sub).groupBy("__id")
-      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)").as("codes"))
-    val q = asVec(queries, idCol, vecCol)
+    require(dim % subspaces == 0,
+      s"vector length $dim not divisible by $subspaces subspaces")
+    val qs = asVec(queries, idCol, vecCol)
       .select(col("__id").as("__qid"), col("__v").as("__qv"))
-    val lut = subs(q.select(col("__qid").as("__id"), col("__qv").as("__v")))
-      .join(broadcast(cb), "m")
-      .select(col("__id").as("__qid"), col("m"), col("cid"),
-        expr("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)").as("d"))
-      .groupBy("__qid", "m")
-      .agg(expr("array_sort(collect_list(struct(cid, d)))").as("dl"))
-      .groupBy("__qid")
-      .agg(expr("transform(array_sort(collect_list(struct(m, dl))), p -> p.dl)").as("dt"))
+    val (codes, lut) = pqMachinery(checkDim(c, "__v", dim),
+      checkDim(qs, "__qv", dim), subspaces, dim / subspaces, centroids,
+      distRound = None, meanRound = None)
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("ad").asc, col("__id").asc)
     codes.crossJoin(broadcast(lut))
-      .where(col("__id") =!= col("__qid"))
-      .withColumn("ad", expr(
-        s"""aggregate(sequence(0, ${subspaces - 1}), 0D,
-             (acc, m) -> acc + filter(dt[m], p -> p.cid = codes[m])[0].d)"""))
+      .where(if (excludeSelfIds) col("__id") =!= col("__qid") else lit(true))
+      .withColumn("ad", adcExpr(subspaces, distRound = None))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("__qid").as("q_id"), col("__id").as("id"), col("ad"), col("rn"))
   }
 
-  private def rank(scored: DataFrame, k: Int): DataFrame = {
+  /** Per-row loud length check — a FILTER, not a projected assertion,
+    * so the optimizer cannot prune it (assert_true returns null on
+    * pass, throws on violation). */
+  private def checkDim(df: DataFrame, v: String, dim: Int): DataFrame =
+    df.where(expr(
+      s"assert_true(size($v) = $dim, 'vector length mismatch: expected $dim, got ' || size($v)) is null"))
+
+  /** ADC distance: LUT-sum over the code array, folded per-row in fixed
+    * subspace order (deterministic summation). The oracle-facing gate
+    * entries round to 6 decimals so DuckDB agrees bit-for-bit; the
+    * facade keeps full precision. */
+  private[graft] def adcExpr(subspaces: Int, distRound: Option[Int]): Column = {
+    val sum = s"""aggregate(sequence(0, ${subspaces - 1}), 0D,
+         (acc, m) -> acc + filter(dt[m], p -> p.cid = codes[m])[0].d)"""
+    expr(distRound.map(n => s"round($sum, $n)").getOrElse(sum))
+  }
+
+  /** PQ core shared by the facade and the oracle-checked gate entries:
+    * trains the codebook (one Lloyd round from the `centroids`
+    * lowest-id corpus vectors), encodes the corpus, and builds the
+    * per-query LUT. Inputs: corpus (`__id`, `__v`, plus passthrough
+    * columns carried onto `codes`) and queries (`__qid`, `__qv`, plus
+    * passthrough carried onto the LUT). `distRound`/`meanRound` exist
+    * for the gate's oracle determinism (round-6 distances / round-9
+    * means so DuckDB replays identically); the facade passes None.
+    * Encode/assign are map-only against the packed broadcast codebook
+    * (argmin via array_min over (d, cid) structs, ties to lowest cid).
+    */
+  private[graft] def pqMachinery(c: DataFrame, qs: DataFrame,
+      subspaces: Int, subDim: Int, centroids: Int,
+      distRound: Option[Int], meanRound: Option[Int]): (DataFrame, DataFrame) = {
+    val cExtra = c.columns.filterNot(Set("__id", "__v")).toSeq
+    val qExtra = qs.columns.filterNot(Set("__qid", "__qv")).toSeq
+    def rDist(e: String) = distRound.map(n => s"round($e, $n)").getOrElse(e)
+    def rMean(e: Column) = meanRound.map(n => round(e, n)).getOrElse(e)
+    def subs(df: DataFrame, id: String, v: String, extra: Seq[String]) =
+      df.select((col(id) +: extra.map(col)) :+ explode(expr(
+          s"transform(sequence(0, ${subspaces - 1}), m -> named_struct('m', m, 'sv', slice($v, m * $subDim + 1, $subDim)))")).as("z"): _*)
+        .select((col(id) +: extra.map(col)) ++ Seq(col("z.m").as("m"), col("z.sv").as("sv")): _*)
+    // consumed by seeds, Lloyd assign, encode — barrier it
+    val sub = subs(c, "__id", "__v", cExtra).transform(graft.queries.Q.barrier)
+    val seedIds = c.orderBy("__id").limit(centroids).select("__id")
+    val seedCb = sub.join(broadcast(seedIds), "__id")
+      .select(col("m"), col("__id").as("cid"), col("sv").as("cv"))
+    def assign(cb: DataFrame): DataFrame = {
+      val packed = cb.groupBy("m").agg(
+        expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
+      sub.join(broadcast(packed), "m")
+        .withColumn("best", expr(
+          s"""array_min(transform(cs, c -> struct(
+               ${rDist("aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")} AS d,
+               c.cid AS cid)))"""))
+        .select((col("__id") +: cExtra.map(col)) ++
+          Seq(col("m"), col("sv"), col("best.cid").as("cid")): _*)
+    }
+    val cb = assign(seedCb)
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy("m", "cid", "dim").agg(rMean(avg(col("x"))).as("mu"))
+      .groupBy("m", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), p -> p.mu)").as("cv"))
+      .transform(graft.queries.Q.barrier) // consumed by encode + LUT
+    // the compressed corpus: `subspaces` small codes per vector, m-ordered
+    val codes = assign(cb).groupBy("__id", cExtra: _*)
+      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)").as("codes"))
+    // per-query LUT: dt[m] = codebook distances of subspace m, cid-keyed
+    val lut = subs(qs, "__qid", "__qv", qExtra).join(broadcast(cb), "m")
+      .select((col("__qid") +: qExtra.map(col)) ++ Seq(col("m"), col("cid"),
+        expr(rDist("aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)")).as("d")): _*)
+      .groupBy("__qid", qExtra :+ "m": _*)
+      .agg(expr("array_sort(collect_list(struct(cid, d)))").as("dl"))
+      .groupBy("__qid", qExtra: _*)
+      .agg(expr("transform(array_sort(collect_list(struct(m, dl))), p -> p.dl)").as("dt"))
+    (codes, lut)
+  }
+
+  private def rank(scored: DataFrame, k: Int, excludeSelfIds: Boolean): DataFrame = {
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, col("__id").asc)
     scored
-      .where(col("__id") =!= col("__qid"))
+      .where(if (excludeSelfIds) col("__id") =!= col("__qid") else lit(true))
       .select(col("__qid"), col("__id"), expr(s"round($Cos, 6)").as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)

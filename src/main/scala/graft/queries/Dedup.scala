@@ -188,9 +188,15 @@ object Dedup {
       .join(broadcast(bandBucketsOf(setsB)
         .select(col("doc_id").as("batch_id"), col("bb"))), Seq("bb"))
       .select("batch_id", "corpus_id").distinct()
-    val near = cand
-      .join(broadcast(setsB.select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))), "batch_id")
-      .join(setsC.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+    // verify with the CORPUS side streaming: candidates (batch-bounded)
+    // pick up the batch shingles and broadcast onto the corpus sets — a
+    // plain join here could silently degrade to a corpus-wide
+    // sort-merge shuffle once the delta outgrows the broadcast
+    // threshold, breaking the "corpus never reshuffles" contract
+    val near = setsC.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+      .join(broadcast(cand.join(
+        broadcast(setsB.select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))),
+        "batch_id")), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         size(array_intersect(col("sh_b"), col("sh_c"))).as("inter"),
         (size(col("sh_b")) + size(col("sh_c"))

@@ -52,60 +52,32 @@ object Similarity {
     bits.mkString("(", " + ", ")")
   }
 
-  /** PQ-ADC shared machinery (ann_pq_adc / ann_ivfpq_topk): codebook =
-    * K=4 centroids per 8-dim subspace, 1 Lloyd round from deterministic
-    * seeds (the 4 lowest vec_ids); distances round to 6 / means to 9 so
-    * the DuckDB oracle replays identically. Returns
+  /** PQ-ADC machinery for ann_pq_adc / ann_ivfpq_topk — delegates to
+    * the PUBLIC implementation ([[graft.pipeline.VectorOps.pqMachinery]],
+    * the facade's pqTopK path), so the oracle gate proves the code a
+    * user actually calls. Gate parameterization: K=4 centroids per
+    * 8-dim subspace, seeds = the 4 lowest vec_ids, distances rounded to
+    * 6 / means to 9 so the DuckDB oracle replays identically. Returns
     *  - codes: (vec_id, label, codes[8]) — the compressed corpus,
     *    m-ordered, built map-only against the packed broadcast codebook;
     *  - lut:   (q_id, q_label, dt[8][4]) — per-query subspace distance
     *    tables for the 5 query vectors, one broadcastable row each. */
   private def pqCodesAndLut(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = vecs(s, dir)
-    // (vec_id, label, m, sv): the 8-dim subvectors; consumed by seeds,
-    // Lloyd assign, encode, and the query LUT — barrier it
-    val sub = e.select(col("vec_id"), col("label"), explode(expr(
-        "transform(sequence(0, 7), m -> named_struct('m', m, 'sv', slice(v, m * 8 + 1, 8)))")).as("z"))
-      .select(col("vec_id"), col("label"), col("z.m").as("m"), col("z.sv").as("sv"))
-      .transform(Q.barrier)
-    val seedIds = e.orderBy("vec_id").limit(4).select("vec_id")
-    val seedCb = sub.join(broadcast(seedIds), "vec_id")
-      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
-    // map-only argmin against the packed per-subspace codebook (the
-    // ann_kmeans_ivf shape: ties break to the lowest cid)
-    def assign(cb: DataFrame): DataFrame = {
-      val packed = cb.groupBy("m").agg(
-        expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
-      sub.join(broadcast(packed), "m")
-        .withColumn("best", expr(
-          """array_min(transform(cs, c -> struct(
-               round(aggregate(zip_with(sv, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
-               c.cid AS cid)))"""))
-        .select(col("vec_id"), col("label"), col("m"), col("sv"), col("best.cid").as("cid"))
-    }
-    val cb = assign(seedCb)
-      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy("m", "cid", "dim").agg(round(avg(col("x")), 9).as("mu"))
-      .groupBy("m", "cid")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), p -> p.mu)").as("cv"))
-      .transform(Q.barrier)
-    val codes = assign(cb).groupBy("vec_id", "label")
-      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)").as("codes"))
-    val lut = sub.where(col("vec_id") < 5).join(broadcast(cb), "m")
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("m"), col("cid"),
-        expr("round(aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6)").as("d"))
-      .groupBy("q_id", "q_label", "m")
-      .agg(expr("array_sort(collect_list(struct(cid, d)))").as("dl"))
-      .groupBy("q_id", "q_label")
-      .agg(expr("transform(array_sort(collect_list(struct(m, dl))), p -> p.dl)").as("dt"))
-    (codes, lut)
+    val (codes, lut) = graft.pipeline.VectorOps.pqMachinery(
+      e.select(col("vec_id").as("__id"), col("v").as("__v"), col("label")),
+      e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("__qid"), col("v").as("__qv"), col("label").as("q_label")),
+      subspaces = 8, subDim = 8, centroids = 4,
+      distRound = Some(6), meanRound = Some(9))
+    (codes.withColumnRenamed("__id", "vec_id"),
+      lut.withColumnRenamed("__qid", "q_id"))
   }
 
   /** ADC distance: LUT-sum over the code array, folded per-row in fixed
     * subspace order (deterministic summation, final round to 6). */
-  private val AdcExpr = expr(
-    """round(aggregate(sequence(0, 7), 0D,
-         (acc, m) -> acc + filter(dt[m], p -> p.cid = codes[m])[0].d), 6)""")
+  private val AdcExpr =
+    graft.pipeline.VectorOps.adcExpr(subspaces = 8, distRound = Some(6))
 
   val qs: Map[String, Q] = Map(
 

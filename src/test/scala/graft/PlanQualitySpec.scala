@@ -115,6 +115,8 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = fullPlanString(SparkEntry.queries("dedup_incremental")(spark, SF))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"a probe join reshuffles the corpus:\n${plan.take(4000)}")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 3,
       s"expected broadcast probes for buckets/verify/exact, got $broadcasts:\n${plan.take(4000)}")
