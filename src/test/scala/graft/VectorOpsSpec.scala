@@ -62,6 +62,44 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not divisible"))
   }
 
+  test("excludeSelfIds = false keeps corpus rows sharing a query id; quoted names work") {
+    import spark.implicits._
+    // query table with its OWN id space overlapping corpus ids, and a
+    // column name that needs backtick quoting
+    val corpus = Seq((7L, Array(1.0f, 0.0f)), (8L, Array(0.8f, 0.2f)))
+      .toDF("id", "my emb")
+    val queries = Seq((7L, Array(1.0f, 0.05f))).toDF("id", "my emb")
+    val out = graft.pipeline.VectorOps.bruteForceTopK(
+      corpus, queries, k = 2, idCol = "id", vecCol = "my emb",
+      excludeSelfIds = false)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // corpus row 7 is the true rank-1 neighbor of query 7 and survives
+    assert(out.toSeq == Seq((7L, 1), (8L, 2)))
+  }
+
+  test("pqTopK: empty corpus yields an empty typed result") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Array[Float])].toDF("id", "emb")
+    val queries = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "emb")
+    val out = graft.pipeline.VectorOps.pqTopK(none, queries, k = 3,
+      subspaces = 2, idCol = "id", vecCol = "emb")
+    assert(out.columns.toSeq == Seq("q_id", "id", "ad", "rn"))
+    assert(out.count() == 0)
+  }
+
+  test("pqTopK fails loudly on ragged vector lengths") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(1.0f, 2.0f))).toDF("id", "emb")
+    val e = intercept[Exception] {
+      graft.pipeline.VectorOps.pqTopK(corpus, corpus.where("id = 1"),
+        k = 1, subspaces = 2, idCol = "id", vecCol = "emb").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("vector length mismatch")), e.getMessage)
+  }
+
   test("ivfTopK searches only the query's cell") {
     val out = graft.pipeline.VectorOps.ivfTopK(
       vecsDf, vecsDf.where("id = 10"), k = 3, cellCol = "cell",
