@@ -485,6 +485,54 @@ object Dedup {
           CAST(sum(id_sum) AS BIGINT) AS id_checksum
         FROM t GROUP BY source ORDER BY source""")),
 
+    // ---- winnowing fingerprints (local document fingerprinting) ----
+    // The MOSS-family member of the dedup toolbox (Schleimer/Wilkerson/
+    // Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    // SIGMOD 2003 — public): hash every word 4-gram, then keep the MIN
+    // hash of each sliding window of 4 — any shared run of >= 7 words
+    // between two docs GUARANTEES a shared fingerprint (the local
+    // guarantee MinHash doesn't give: MinHash bounds the MISS
+    // PROBABILITY of whole-doc similarity; winnowing detects bounded
+    // LOCAL overlap deterministically, e.g. a paragraph lifted into an
+    // otherwise different document). Everything per-row until the
+    // posting join: gram hashes and window mins fold inside one
+    // projection, the inverted-index self-join shuffles only distinct
+    // (doc, fingerprint) rows, skewed hot fingerprints split by AQE —
+    // word-count shape, scales like dedup_ngram_jaccard's posting join.
+    // Hash = first 15 md5 hex chars (60 bits) via the established
+    // conv/0x identity so DuckDB computes identical fingerprints.
+    "dedup_winnowing" -> Q(
+      (s, dir) => {
+        val W = 4 // winnowing window (in grams)
+        val posting = t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 4 + W - 1) // >= one full window of 4-grams
+          .withColumn("hs", expr(
+            """transform(sequence(0, size(w) - 4), i ->
+                 cast(conv(substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])), 1, 15), 16, 10) as bigint))"""))
+          .select(col("doc_id"), explode(expr(
+            s"array_distinct(transform(sequence(0, size(hs) - $W), j -> array_min(slice(hs, j + 1, $W))))")).as("fp"))
+          .transform(Q.barrier) // both sides of the self-join
+        posting.as("a").join(posting.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).cast("int").as("n_shared"))
+          .where(col("n_shared") >= 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id,
+            [CAST(('0x' || substr(md5(array_to_string(w[i : i+3], ' ')), 1, 15)) AS BIGINT)
+             for i in range(1, len(w) - 2)] AS hs
+          FROM d WHERE len(w) >= 7),
+        f AS (SELECT doc_id,
+            list_distinct([list_min(hs[j : j+3]) for j in range(1, len(hs) - 2)]) AS fps
+          FROM g),
+        p AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS INTEGER) AS n_shared
+        FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""")),
+
     // ---- incremental dedup: a new batch probed against the corpus ----
     // The production shape full-corpus dedup can't give you: a daily
     // crawl delta is deduped AGAINST the existing corpus, not within

@@ -65,6 +65,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("dedup_winnowing: posting join is an equi hash join, fingerprints materialized once") {
+    val plan = fullPlanString(SparkEntry.queries("dedup_winnowing")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // both self-join sides read the checkpointed posting list, not a
+    // recomputed gram-hash/window-min pipeline
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed posting scan:\n${plan.take(4000)}")
+  }
+
   test("minhash LSH: signature aggregate is materialized once, not per join side") {
     // the band-bucket self-join would otherwise recompute the 32xmin
     // aggregate on each side (no ReusedExchange fires across a
