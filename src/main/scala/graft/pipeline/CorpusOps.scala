@@ -46,6 +46,23 @@ object CorpusOps {
           col(textCol).as("text"))))
   }
 
+  /** Winnowed-fingerprint pairs (SIGMOD'03 winnowing): docs sharing >=
+    * `minShared` fingerprints over word `gramWidth`-grams with window
+    * `window`. Unlike [[nearDupPairs]] (whole-doc similarity with a
+    * probabilistic miss bound), this DETERMINISTICALLY catches local
+    * overlap: any common run of `gramWidth + window - 1` words
+    * guarantees a shared fingerprint — the lifted-paragraph case.
+    * Output: (id_a, id_b, n_shared).
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", gramWidth: Int = 4,
+                     window: Int = 4, minShared: Int = 2): DataFrame = {
+    requireIntegralId(docs, idCol, "winnowingPairs")
+    graft.queries.Dedup.winnowingPairs(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+      gramWidth, window, minShared)
+  }
+
   /** Connected components of an undirected pair list (first two columns
     * = edge endpoints): returns (node, label) with label = min reachable
     * id. Min-label propagation with pointer doubling — O(log diameter)

@@ -168,6 +168,30 @@ object Dedup {
         FROM (SELECT * FROM nearp UNION ALL SELECT * FROM exactp)
         GROUP BY batch_id ORDER BY batch_id"""
 
+  /** Winnowing core (dedup_winnowing / CorpusOps.winnowingPairs): pairs
+    * of docs sharing >= `minShared` winnowed fingerprints over word
+    * `gramWidth`-grams with window `window` — any common run of
+    * `gramWidth + window - 1` words guarantees a shared fingerprint.
+    * Input: (doc_id, text); output: (id_a, id_b, n_shared). */
+  private[graft] def winnowingPairs(docs: DataFrame, gramWidth: Int = 4,
+                                    window: Int = 4, minShared: Int = 2): DataFrame = {
+    val gramCols = (0 until gramWidth).map(j => s"w[i+$j]").mkString(", ")
+    val posting = docs
+      .withColumn("w", split(col("text"), " "))
+      .where(size(col("w")) >= gramWidth + window - 1) // >= one full window
+      .withColumn("hs", expr(
+        s"""transform(sequence(0, size(w) - $gramWidth), i ->
+              cast(conv(substr(md5(concat_ws(' ', $gramCols)), 1, 15), 16, 10) as bigint))"""))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $window), j -> array_min(slice(hs, j + 1, $window))))")).as("fp"))
+      .transform(Q.barrier) // both sides of the self-join
+    posting.as("a").join(posting.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Incremental-dedup core: which `batch` docs (doc_id, text) duplicate
     * a `corpus` doc — exact (content-hash equality, covers docs too
     * short to shingle) or near (band collision + exact Jaccard >= 0.8).
@@ -502,24 +526,8 @@ object Dedup {
     // Hash = first 15 md5 hex chars (60 bits) via the established
     // conv/0x identity so DuckDB computes identical fingerprints.
     "dedup_winnowing" -> Q(
-      (s, dir) => {
-        val W = 4 // winnowing window (in grams)
-        val posting = t(s, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .where(size(col("w")) >= 4 + W - 1) // >= one full window of 4-grams
-          .withColumn("hs", expr(
-            """transform(sequence(0, size(w) - 4), i ->
-                 cast(conv(substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])), 1, 15), 16, 10) as bigint))"""))
-          .select(col("doc_id"), explode(expr(
-            s"array_distinct(transform(sequence(0, size(hs) - $W), j -> array_min(slice(hs, j + 1, $W))))")).as("fp"))
-          .transform(Q.barrier) // both sides of the self-join
-        posting.as("a").join(posting.as("b"),
-            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).cast("int").as("n_shared"))
-          .where(col("n_shared") >= 2)
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => winnowingPairs(t(s, dir, "documents"))
+        .orderBy("id_a", "id_b"),
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         g AS (SELECT doc_id,
             [CAST(('0x' || substr(md5(array_to_string(w[i : i+3], ' ')), 1, 15)) AS BIGINT)

@@ -46,6 +46,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 7L))
   }
 
+  test("winnowingPairs catches a lifted run of words, not unrelated docs") {
+    import spark.implicits._
+    val lifted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"intro words then $lifted and a unique tail here"),
+      (2L, s"totally different opening before $lifted closing differently now"),
+      (3L, "nothing in common with the others at all whatsoever truly"))
+      .toDF("id", "body")
+    val pairs = graft.pipeline.CorpusOps.winnowingPairs(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("dedupAgainstCorpus drops exact and near dups of corpus docs, keeps the rest") {
     import spark.implicits._
     val corpus = Seq(
