@@ -24,11 +24,19 @@ object CorpusOps {
     * nothing) — fail loudly instead. */
   private def requireIntegralId(df: DataFrame, idCol: String, method: String): Unit = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+    // resolve the way Spark's analyzer does by default: case-insensitive
+    val field = df.schema.find(_.name.equalsIgnoreCase(idCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"CorpusOps.$method: no column '$idCol' in [${df.columns.mkString(", ")}]"))
+    val ok = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0 && d.precision <= 18 // lossless in a long
+      case _ => false
+    }
+    require(ok,
       s"CorpusOps.$method requires an integral id column; '$idCol' is " +
-        s"${dt.simpleString}. Derive one first (e.g. xxhash64 of a string key, " +
-        "or monotonically_increasing_id with a join back).")
+        s"${field.dataType.simpleString}. Derive one first (e.g. xxhash64 of a " +
+        "string key, or monotonically_increasing_id with a join back).")
   }
 
   /** Verified near-duplicate pairs over 3-word shingles via
@@ -51,12 +59,15 @@ object CorpusOps {
     * `window`. Unlike [[nearDupPairs]] (whole-doc similarity with a
     * probabilistic miss bound), this DETERMINISTICALLY catches local
     * overlap: any common run of `gramWidth + window - 1` words
-    * guarantees a shared fingerprint — the lifted-paragraph case.
+    * guarantees a shared fingerprint — the lifted-paragraph case. That
+    * guarantee holds at the default `minShared = 1` (a minimal run can
+    * collapse to ONE distinct fingerprint); raise the threshold only to
+    * trade it for noise rejection on short common phrases.
     * Output: (id_a, id_b, n_shared).
     */
   def winnowingPairs(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", gramWidth: Int = 4,
-                     window: Int = 4, minShared: Int = 2): DataFrame = {
+                     window: Int = 4, minShared: Int = 1): DataFrame = {
     requireIntegralId(docs, idCol, "winnowingPairs")
     graft.queries.Dedup.winnowingPairs(
       docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),

@@ -24,11 +24,14 @@ object VectorOps {
     * backticks doubled per the SQL rule). */
   private def q(name: String): String = "`" + name.replace("`", "``") + "`"
 
+  /** All user-supplied names resolve as LITERAL column names (backtick
+    * semantics) — consistently across idCol/vecCol/cellCol; a dotted
+    * name is a column called "a.b", not nested-field access. */
   private def asVec(df: DataFrame, idCol: String, vecCol: String,
                     extra: Seq[(String, String)] = Nil): DataFrame =
-    df.select(col(idCol).cast("long").as("__id") +:
+    df.select(col(q(idCol)).cast("long").as("__id") +:
       expr(s"transform(${q(vecCol)}, x -> cast(x as double))").as("__v") +:
-      extra.map { case (c, a) => col(c).as(a) }: _*)
+      extra.map { case (c, a) => col(q(c)).as(a) }: _*)
 
   private val Cos =
     """aggregate(zip_with(__qv, __v, (p, x) -> p * x), 0D, (a, x) -> a + x)
@@ -96,7 +99,10 @@ object VectorOps {
              vecCol: String = "embedding",
              excludeSelfIds: Boolean = true): DataFrame = {
     val c = asVec(corpus, idCol, vecCol)
-    val dim = c.select(size(col("__v"))).take(1) match {
+    // probe a non-null row for the dimension (a null embedding must not
+    // NPE the probe; null rows then die loudly in the per-row check)
+    val dim = c.where(col("__v").isNotNull)
+      .select(size(col("__v"))).take(1) match {
       case Array(r) => r.getInt(0)
       case _ => // empty corpus: empty result, correct schema
         return c.sparkSession.emptyDataFrame
@@ -125,7 +131,8 @@ object VectorOps {
     * pass, throws on violation). */
   private def checkDim(df: DataFrame, v: String, dim: Int): DataFrame =
     df.where(expr(
-      s"assert_true(size($v) = $dim, 'vector length mismatch: expected $dim, got ' || size($v)) is null"))
+      s"""assert_true(size($v) = $dim, 'vector length mismatch: expected $dim, got '
+          || coalesce(cast(size($v) as string), 'null')) is null"""))
 
   /** ADC distance: LUT-sum over the code array, folded per-row in fixed
     * subspace order (deterministic summation). The oracle-facing gate

@@ -171,10 +171,17 @@ object Dedup {
   /** Winnowing core (dedup_winnowing / CorpusOps.winnowingPairs): pairs
     * of docs sharing >= `minShared` winnowed fingerprints over word
     * `gramWidth`-grams with window `window` — any common run of
-    * `gramWidth + window - 1` words guarantees a shared fingerprint.
+    * `gramWidth + window - 1` words guarantees ONE shared fingerprint,
+    * so the deterministic local-overlap guarantee holds only at the
+    * default `minShared = 1` (a minimal lifted run can collapse to a
+    * single distinct fingerprint; raise the threshold to trade the
+    * guarantee for noise rejection on short common phrases).
     * Input: (doc_id, text); output: (id_a, id_b, n_shared). */
   private[graft] def winnowingPairs(docs: DataFrame, gramWidth: Int = 4,
-                                    window: Int = 4, minShared: Int = 2): DataFrame = {
+                                    window: Int = 4, minShared: Int = 1): DataFrame = {
+    require(gramWidth >= 1 && window >= 1 && minShared >= 1,
+      s"winnowingPairs: gramWidth ($gramWidth), window ($window) and " +
+        s"minShared ($minShared) must all be >= 1")
     val gramCols = (0 until gramWidth).map(j => s"w[i+$j]").mkString(", ")
     val posting = docs
       .withColumn("w", split(col("text"), " "))
@@ -212,15 +219,18 @@ object Dedup {
       .join(broadcast(bandBucketsOf(setsB)
         .select(col("doc_id").as("batch_id"), col("bb"))), Seq("bb"))
       .select("batch_id", "corpus_id").distinct()
-    // verify with the CORPUS side streaming: candidates (batch-bounded)
-    // pick up the batch shingles and broadcast onto the corpus sets — a
-    // plain join here could silently degrade to a corpus-wide
-    // sort-merge shuffle once the delta outgrows the broadcast
-    // threshold, breaking the "corpus never reshuffles" contract
+    // verify with the CORPUS side streaming. The candidate relation is
+    // collision-bounded, NOT batch-bounded (a stop-shingle bucket can
+    // pair one batch doc with millions of corpus docs), so it is NOT
+    // broadcast-hinted: AQE picks broadcast from runtime stats in the
+    // normal case (the plan gate asserts no sort-merge at gate scale)
+    // and degrades to a shuffle instead of an executor/driver OOM if a
+    // pathological corpus explodes the candidate count. Only the truly
+    // batch-bounded shingle lookup is forced broadcast.
     val near = setsC.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
-      .join(broadcast(cand.join(
+      .join(cand.join(
         broadcast(setsB.select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))),
-        "batch_id")), "corpus_id")
+        "batch_id"), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         size(array_intersect(col("sh_b"), col("sh_c"))).as("inter"),
         (size(col("sh_b")) + size(col("sh_c"))
@@ -526,7 +536,10 @@ object Dedup {
     // Hash = first 15 md5 hex chars (60 bits) via the established
     // conv/0x identity so DuckDB computes identical fingerprints.
     "dedup_winnowing" -> Q(
-      (s, dir) => winnowingPairs(t(s, dir, "documents"))
+      // minShared = 2 here (noise rejection over the synthetic corpus's
+      // common phrases); the guarantee-preserving default is 1 — see
+      // winnowingPairs
+      (s, dir) => winnowingPairs(t(s, dir, "documents"), minShared = 2)
         .orderBy("id_a", "id_b"),
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         g AS (SELECT doc_id,

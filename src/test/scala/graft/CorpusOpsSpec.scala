@@ -46,6 +46,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 7L))
   }
 
+  test("winnowingPairs guarantee boundary: a minimal 7-word shared run is caught at default minShared") {
+    import spark.implicits._
+    // gramWidth 4 + window 4 - 1 = 7 words: exactly one full window of
+    // shared grams -> exactly one guaranteed shared fingerprint
+    val run = "one two three four five six seven"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta"),
+      (2L, s"uno dos tres cuatro $run cinco seis siete"))
+      .toDF("id", "body")
+    val pairs = graft.pipeline.CorpusOps.winnowingPairs(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("winnowingPairs rejects nonsensical parameters loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g")).toDF("id", "body")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.winnowingPairs(docs, "id", "body", window = 0)
+    }
+    assert(e.getMessage.contains("must all be >= 1"))
+  }
+
   test("winnowingPairs catches a lifted run of words, not unrelated docs") {
     import spark.implicits._
     val lifted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
