@@ -134,6 +134,29 @@ object CorpusOps {
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. arXiv:2303.09540): drop
+    * rows whose embedding has cosine >= `minCosine` to a lower-id row
+    * in the same k-means cell, returning the SURVIVING rows with all
+    * their columns. The cluster partitioning bounds the pair space —
+    * pairs are computed within a cell only (sum |cell|^2 ~= n^2/k), so
+    * pick `k` ~ corpusSize / targetCellSize at scale; no all-pairs path
+    * exists. Clustering is the deterministic 2-round Lloyd shared with
+    * the ANN operators (seeds = the k lowest ids). `vecCol` is any
+    * numeric array column; ids must be integral ([[requireIntegralId]]).
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", k: Int = 8,
+                    minCosine: Double = 0.9): DataFrame = {
+    requireIntegralId(embeddings, idCol, "semanticDedup")
+    require(k >= 1, s"semanticDedup: k ($k) must be >= 1")
+    val e = embeddings.select(
+      col(idCol).cast("long").as("vec_id"),
+      expr(s"transform(`${vecCol.replace("`", "``")}`, x -> cast(x as double))").as("v"))
+    val dropped = graft.queries.Dedup.semanticDropped(e, k, minCosine)
+      .select(col("dropped_id").as(idCol))
+    embeddings.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Drop train documents that share a `gramWidth`-gram with the eval
     * set (benchmark decontamination), returning the CLEAN train rows
     * with all their columns. Physical plan is the 100 TB one: an exact

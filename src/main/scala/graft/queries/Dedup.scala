@@ -245,6 +245,32 @@ object Dedup {
       .groupBy("batch_id").agg(min(col("corpus_id")).as("dup_of"))
   }
 
+  /** SemDeDup core (dedup_semantic / CorpusOps.semanticDedup):
+    * k-means-partitioned within-cluster cosine dedup (Abbas et al.,
+    * arXiv:2303.09540). Clustering reuses the deterministic 2-round
+    * Lloyd shared with ann_kmeans_ivf ([[Similarity.kmeansAssigned]]).
+    * The pair join keys on cluster id — pair count sum(|cell|^2) ~=
+    * n^2/k for balanced cells; at scale pick k ~ n / target-cell-size
+    * so per-cell work stays constant and no all-pairs path exists.
+    * Input: (vec_id, v double array); output: (dropped_id, cid,
+    * n_dups, max_cos) — one row per vector that has a LOWER-id
+    * neighbor in its cell with cosine >= `minCosine` (greedy-by-id
+    * keep-one-exemplar policy). */
+  private[graft] def semanticDropped(e: DataFrame, k: Int = 8,
+                                     minCosine: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
+    val (assigned, _) = Similarity.kmeansAssigned(e, k)
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", expr("round(graft_cosine_sim(va, vb), 6)"))
+      .where(col("cos") >= minCosine)
+      .groupBy(col("id_b"), col("cid"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_cos"))
+      .select(col("id_b").as("dropped_id"), col("cid"), col("n_dups"), col("max_cos"))
+  }
+
+
   /** Distributed connected components by min-label propagation with
     * pointer doubling: each round relabels via graph edges AND via the
     * current label chain (node -> label(label(node))), so convergence
@@ -472,6 +498,52 @@ object Dedup {
         WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
                 / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6) >= 0.4
         ORDER BY id_a, id_b""")),
+
+    // ---- SemDeDup: k-means partition, then within-cluster cosine ----
+    // (core in semanticDropped above the registry, shared with
+    // CorpusOps.semanticDedup)
+    // Whole-corpus pairwise cosine is O(n^2) and dies at scale;
+    // SemDeDup (Abbas et al., arXiv:2303.09540) bounds the pair space
+    // by clustering embeddings first and comparing only within a
+    // cluster. Reuses the deterministic 2-round Lloyd shared with
+    // ann_kmeans_ivf (Similarity.kmeansAssigned — map-only assignment
+    // against one broadcast centroid row). The pair join keys on cid: a
+    // hash shuffle on cluster id, pair count sum(|cell|^2) ~= n^2/k for
+    // balanced cells; at 100 TB k scales as n / target-cell-size so
+    // per-cell work stays constant and no all-pairs path exists.
+    // Drop policy (greedy by id, the SemDeDup "keep one exemplar per
+    // eps-ball" approximation): a vector is dropped when a lower-id
+    // vector in its cell has cosine >= the threshold.
+    "dedup_semantic" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        semanticDropped(e).orderBy("dropped_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        d1 AS (SELECT e.vec_id, s.cid, e.v,
+                 round(list_sum([(e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN seeds s),
+        a1 AS (SELECT vec_id, cid, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+               WHERE rn = 1),
+        m1 AS (SELECT cid, i - 1 AS dim, round(avg(v[i]), 9) AS m
+               FROM a1, range(1, 65) AS t(i) GROUP BY cid, i),
+        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c.cid, e.v,
+                 round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+               WHERE rn = 1),
+        p AS (SELECT b.vec_id AS id_b, b.cid,
+                round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)])
+                      / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6) AS cos
+              FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        SELECT id_b AS dropped_id, cid, count(*) AS n_dups, max(cos) AS max_cos
+        FROM p WHERE cos >= 0.4
+        GROUP BY id_b, cid ORDER BY dropped_id""")),
 
     // ---- segment-level duplication stats (the dup_line_frac signal) ----
     // Whole-doc dedup misses boilerplate repeated INSIDE otherwise-unique

@@ -52,6 +52,44 @@ object Similarity {
     bits.mkString("(", " + ", ")")
   }
 
+  /** Deterministic 2-round Lloyd over (vec_id, v): seeds = the k lowest
+    * vec_ids, one centroid-update round, then the final assignment.
+    * Returns (assigned: vec_id, cid, v — the post-update assignment;
+    * centroids: cid, cv). MAP-ONLY assignment: the k centroids pack
+    * into ONE broadcast row (collect_list of k structs) and the argmin
+    * happens inside a single per-row expression — array_min over
+    * (distance, cid) structs is the lexicographic minimum, ties to the
+    * lowest cid. No shuffle, no window, no agg buffer copying the
+    * vector; the corpus is touched once per round. (A per-vec window
+    * shuffles |corpus| x k scored pairs; a min(struct(..., v))
+    * aggregation copies the 64-double array on every buffer update —
+    * both measured slower.) Distances round to 6 and means to 9
+    * decimals so the DuckDB oracle replays bit-for-bit despite
+    * different summation orders. Shared by ann_kmeans_ivf (cell
+    * stats) and dedup_semantic (SemDeDup cluster partitioning). */
+  private[graft] def kmeansAssigned(e: DataFrame, k: Int = 8): (DataFrame, DataFrame) = {
+    val seeds = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def assign(centroids: DataFrame): DataFrame = {
+      val packed = centroids.agg(
+        expr("collect_list(struct(cid, cv))").as("cs"))
+      e.crossJoin(broadcast(packed))
+        .withColumn("best", expr(
+          """array_min(transform(cs, c -> struct(
+               round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
+               c.cid AS cid)))"""))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(round(avg(col("x")), 9).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
+    val c1 = update(assign(seeds))
+    (assign(c1), c1)
+  }
+
   /** PQ-ADC machinery for ann_pq_adc / ann_ivfpq_topk — delegates to
     * the PUBLIC implementation ([[graft.pipeline.VectorOps.pqMachinery]],
     * the facade's pqTopK path), so the oracle gate proves the code a
@@ -196,36 +234,8 @@ object Similarity {
     // different summation orders.
     "ann_kmeans_ivf" -> Q(
       (s, dir) => {
-        val e = vecs(s, dir).select("vec_id", "v")
-        val seeds = e.orderBy("vec_id").limit(8)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
-        // MAP-ONLY assignment: the k centroids pack into ONE broadcast
-        // row (collect_list of 8 structs) and the argmin happens inside
-        // a single per-row expression — array_min over (distance, cid)
-        // structs is the lexicographic minimum, ties to the lowest cid.
-        // No shuffle, no window, no agg buffer copying the vector; the
-        // corpus is touched once per round. (A per-vec window shuffles
-        // |corpus| x k scored pairs; a min(struct(..., v)) aggregation
-        // copies the 64-double array on every buffer update — both
-        // measured slower.)
-        def assign(centroids: DataFrame): DataFrame = {
-          val packed = centroids.agg(
-            expr("collect_list(struct(cid, cv))").as("cs"))
-          e.crossJoin(broadcast(packed))
-            .withColumn("best", expr(
-              """array_min(transform(cs, c -> struct(
-                   round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
-                   c.cid AS cid)))"""))
-            .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
-        }
-        def update(assigned: DataFrame): DataFrame =
-          assigned
-            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-            .groupBy("cid", "dim").agg(round(avg(col("x")), 9).as("m"))
-            .groupBy("cid")
-            .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
-        val c1 = update(assign(seeds))
-        assign(c1).groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+        val (a2, c1) = kmeansAssigned(vecs(s, dir).select("vec_id", "v"))
+        a2.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
           .join(c1, "cid")
           .select(col("cid"), col("n_vectors"),
             expr("round(aggregate(transform(cv, m -> m * m), 0D, (a, x) -> a + x), 6)")

@@ -46,6 +46,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 7L))
   }
 
+  test("semanticDedup drops exact and near duplicates, keeps the lowest id per cell") {
+    import spark.implicits._
+    // k=2 seeds the two lowest ids; exact dups always share a cell
+    // (identical distances, argmin ties to the lowest cid), so cell
+    // partitioning never splits them
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f)),  // exact dup of 1
+      (4L, Array(0.0f, 0.0f, 1.0f)),  // orthogonal to everything: kept
+      (5L, Array(0.0f, 0.98f, 0.02f)) // near-dup of 2 (cos ~ 0.9998)
+    ).toDF("id", "emb")
+    val kept = graft.pipeline.CorpusOps
+      .semanticDedup(rows, "id", "emb", k = 2, minCosine = 0.95)
+    assert(kept.columns.toSeq == Seq("id", "emb"))
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
   test("winnowingPairs guarantee boundary: a minimal 7-word shared run is caught at default minShared") {
     import spark.implicits._
     // gramWidth 4 + window 4 - 1 = 7 words: exactly one full window of
