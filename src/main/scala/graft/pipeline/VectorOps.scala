@@ -202,6 +202,34 @@ object VectorOps {
     (codes, lut)
   }
 
+  /** SQ8 core shared with the oracle-checked `ann_int8_quant` gate
+    * entry: per-vector symmetric int8 quantization over (vec_id, v) —
+    * adds `s` (scale = max|x| / 127) and `codes` (array<int>, each in
+    * [-127, 127]; dequantize as codes[i] * s). `floor(x/s + 0.5)`
+    * instead of round() because both engines floor identically while
+    * round() half-case conventions differ. A zero vector (s = 0) codes
+    * to all zeros rather than dividing by zero. Map-only — no shuffle.
+    */
+  private[graft] def sq8Quantized(e: DataFrame): DataFrame =
+    e.withColumn("s", expr("array_max(transform(v, x -> abs(x))) / 127D"))
+      .withColumn("codes", expr(
+        "transform(v, x -> cast(if(s = 0D, 0D, floor(x / s + 0.5D)) as int))"))
+
+  /** Symmetric int8 scalar quantization (SQ8): the standard 4x
+    * embedding-memory cut (float32 -> int8, typically <0.5% recall
+    * cost; PQ compresses further but lossier). Output: the id column,
+    * `scale` (double, per-vector = max|x|/127) and `codes`
+    * (array<int>, each in [-127, 127]); dequantize as
+    * `codes[i] * scale`. Per-row map-only — quantizing a 100 TB corpus
+    * is one shuffle-free pass. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val e = asVec(df, idCol, vecCol)
+      .select(col("__id").as("vec_id"), col("__v").as("v"))
+    sq8Quantized(e)
+      .select(col("vec_id").as(idCol), col("s").as("scale"), col("codes"))
+  }
+
   private def rank(scored: DataFrame, k: Int, excludeSelfIds: Boolean): DataFrame = {
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, col("__id").asc)

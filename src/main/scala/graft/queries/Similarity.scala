@@ -399,6 +399,38 @@ object Similarity {
           SELECT label, dim, avg(x) AS m, count(*) AS n
           FROM unnested GROUP BY label, dim)
         SELECT label, round(sum(m * m), 6) AS centroid_sq_norm, max(n) AS n_vectors
-        FROM centroid GROUP BY label ORDER BY label"""))
+        FROM centroid GROUP BY label ORDER BY label""")),
+
+    // ---- int8 scalar quantization (SQ8): the embedding-memory lever ----
+    // float32 -> int8 is the standard 4x RAM cut that keeps a
+    // billion-vector corpus resident per executor (PQ goes further but
+    // lossier; SQ8 typically costs <0.5% recall). Per-vector symmetric
+    // quantization: scale = max|x| / 127, code_i = floor(x_i/scale + .5)
+    // — floor(x + 0.5) instead of round() because both engines floor
+    // identically while round() half-case conventions differ. Map-only
+    // per row (no shuffle at all before the gate's final sort); the
+    // dequantized error metrics prove the codes are faithful. Core
+    // shared with VectorOps.quantizeInt8 (the user-facing API).
+    "ann_int8_quant" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir).select("vec_id", "v")
+        graft.pipeline.VectorOps.sq8Quantized(e)
+          .where(col("s") > 0) // oracle drops zero vectors the same way
+          .select(col("vec_id"), round(col("s"), 6).as("scale6"),
+            expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
+            expr("""round(aggregate(zip_with(v, codes, (x, q) -> (x - q * s) * (x - q * s)),
+                          0D, (a, x) -> a + x) / size(v), 9)""").as("mse9"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        q AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127 AS s FROM e),
+        c AS (SELECT vec_id, v, s,
+                [CAST(floor(x / s + 0.5) AS INTEGER) for x in v] AS codes
+              FROM q WHERE s > 0)
+        SELECT vec_id, round(s, 6) AS scale6,
+          CAST(list_sum(codes) AS BIGINT) AS code_sum,
+          round(list_sum([(v[i] - codes[i] * s) * (v[i] - codes[i] * s)
+                          for i in range(1, len(v) + 1)]) / len(v), 9) AS mse9
+        FROM c ORDER BY vec_id"""))
   )
 }

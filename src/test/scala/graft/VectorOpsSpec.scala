@@ -19,6 +19,32 @@ class VectorOpsSpec extends AnyFunSuite {
       .toDF("id", "emb", "cell")
   }
 
+  test("quantizeInt8: codes bounded, max element hits ±127, dequantize is faithful, zero vector survives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = ((0L until 20L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f))) :+
+      (99L, Array.fill(16)(0.0f))).toDF("id", "emb")
+    val out = graft.pipeline.VectorOps.quantizeInt8(df, "id", "emb")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2))).toMap
+    val in = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.keySet == in.keySet)
+    for ((id, (scale, codes)) <- out) {
+      assert(codes.forall(c => c >= -127 && c <= 127), s"codes out of range for $id")
+      if (id == 99L) {
+        assert(scale == 0.0 && codes.forall(_ == 0))
+      } else {
+        // the max-|x| element quantizes to exactly ±127 by construction
+        assert(codes.exists(c => math.abs(c) == 127), s"no full-scale code for $id")
+        val orig = in(id).map(_.toDouble)
+        val deq = codes.map(_ * scale)
+        val cos = orig.zip(deq).map { case (a, b) => a * b }.sum /
+          (math.sqrt(orig.map(x => x * x).sum) * math.sqrt(deq.map(x => x * x).sum))
+        assert(cos > 0.999, s"dequantized cosine $cos too low for $id")
+      }
+    }
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self, respects k") {
     val out = graft.pipeline.VectorOps.bruteForceTopK(
       vecsDf, vecsDf.where("id = 10"), k = 2, idCol = "id", vecCol = "emb")
