@@ -134,6 +134,25 @@ object CorpusOps {
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Span-level dedup REMOVAL (the ExactSubstr policy of Lee et al.
+    * arXiv:2107.06499 at fixed segment granularity): every
+    * `segWords`-word segment keeps exactly its first corpus-wide
+    * occurrence (min (id, position)); later occurrences are cut and
+    * each document is rebuilt from its surviving segments in order —
+    * the boilerplate-stripping step whole-doc dedup can't do. Output:
+    * (idCol, n_segs, n_kept, text_clean); a doc emptied entirely keeps
+    * its row with n_kept = 0. Two keyed shuffles, no pair space.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           segWords: Int = 10): DataFrame = {
+    requireIntegralId(docs, idCol, "removeDuplicateSpans")
+    graft.queries.Dedup.spanRemoval(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")), segWords)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. arXiv:2303.09540): drop
     * rows whose embedding has cosine >= `minCosine` to a lower-id row
     * in the same k-means cell, returning the SURVIVING rows with all

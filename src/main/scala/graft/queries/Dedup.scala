@@ -245,6 +245,43 @@ object Dedup {
       .groupBy("batch_id").agg(min(col("corpus_id")).as("dup_of"))
   }
 
+  /** Span-removal core (dedup_span_removal / CorpusOps.removeDuplicateSpans):
+    * every `segWords`-word segment keeps exactly its FIRST corpus-wide
+    * occurrence (min (doc_id, position) via a row_number window keyed
+    * by segment content); later occurrences are cut and each document
+    * is rebuilt from its surviving segments in order. Two keyed
+    * shuffles (segment window + per-doc reassembly), no pair space;
+    * the reassembly buffer is bounded by one document's length.
+    * Input: (doc_id, text); output: (doc_id, n_segs, n_kept,
+    * text_clean) — docs reduced to nothing keep a row with
+    * n_kept = 0 and empty text so the caller can tell "emptied" from
+    * "missing". */
+  private[graft] def spanRemoval(docs: DataFrame, segWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(segWords >= 1, s"spanRemoval: segWords ($segWords) must be >= 1")
+    val segs = docs
+      .where(length(col("text")) > 0)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - 1, $segWords)")).as("i"))
+      .selectExpr("doc_id", "i", s"concat_ws(' ', slice(w, i + 1, $segWords)) AS seg")
+      .transform(Q.barrier) // totals + window both consume it
+    val kept = segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("i"))))
+      .where(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(i, seg))), p -> p.seg)"))
+          .as("text_clean"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** SemDeDup core (dedup_semantic / CorpusOps.semanticDedup):
     * k-means-partitioned within-cluster cosine dedup (Abbas et al.,
     * arXiv:2303.09540). Clustering reuses the deterministic 2-round
@@ -590,6 +627,34 @@ object Dedup {
           CAST(sum(CASE WHEN n_occ > 1 THEN n_hs ELSE 0 END) AS BIGINT) AS n_dup_segs,
           CAST(sum(id_sum) AS BIGINT) AS id_checksum
         FROM t GROUP BY source ORDER BY source""")),
+
+    // ---- span-level dedup REMOVAL (ExactSubstr-style rewrite) ----
+    // dedup_segment_stats only measures intra-doc duplication; this
+    // entry acts on it — the Lee et al. ("Deduplicating Training Data
+    // Makes Language Models Better", arXiv:2107.06499) policy at
+    // segment granularity: every 10-word segment keeps exactly its
+    // FIRST corpus-wide occurrence (min (doc_id, position)), later
+    // occurrences are cut and each document's text is rebuilt from its
+    // surviving segments in order. Shape at 100 TB: a row_number window
+    // keyed by segment content (uniform hash-like key, AQE-splittable)
+    // + a per-doc groupBy to reassemble — two keyed shuffles, no pair
+    // space; the reassembly buffer is bounded by one document's length.
+    "dedup_span_removal" -> Q(
+      (s, dir) => spanRemoval(t(s, dir, "documents")).orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE length(text) > 0),
+        c AS (SELECT doc_id, w, unnest(range(0, len(w), 10)) AS i FROM d),
+        s AS (SELECT doc_id, i,
+                array_to_string(w[i + 1 : least(i + 10, len(w))], ' ') AS seg
+              FROM c),
+        r AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn FROM s),
+        tot AS (SELECT doc_id, count(*) AS n_segs FROM s GROUP BY doc_id),
+        k AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(seg, ' ' ORDER BY i) AS text_clean
+              FROM r WHERE rn = 1 GROUP BY doc_id)
+        SELECT t.doc_id, t.n_segs, coalesce(k.n_kept, 0) AS n_kept,
+          coalesce(k.text_clean, '') AS text_clean
+        FROM tot t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""")),
 
     // ---- winnowing fingerprints (local document fingerprinting) ----
     // The MOSS-family member of the dedup toolbox (Schleimer/Wilkerson/

@@ -46,6 +46,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 7L))
   }
 
+  test("removeDuplicateSpans cuts later occurrences, keeps the first, rebuilds in order") {
+    import spark.implicits._
+    // segWords = 3: doc 1 = [A][B], doc 2 = [B][C] (B lifted from doc 1),
+    // doc 3 = [A] only (fully duplicated -> emptied but still present)
+    val A = "a1 a2 a3"; val B = "b1 b2 b3"; val C = "c1 c2 c3"
+    val docs = Seq((1L, s"$A $B"), (2L, s"$B $C"), (3L, A)).toDF("id", "body")
+    val out = graft.pipeline.CorpusOps
+      .removeDuplicateSpans(docs, "id", "body", segWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, s"$A $B")))   // first occurrences: untouched
+    assert(out(2L) == ((2L, 1L, C)))          // lifted B removed, C kept
+    assert(out(3L) == ((1L, 0L, "")))         // emptied, row preserved
+  }
+
   test("semanticDedup drops exact and near duplicates, keeps the lowest id per cell") {
     import spark.implicits._
     // k=2 seeds the two lowest ids; exact dups always share a cell
