@@ -296,7 +296,10 @@ object Dedup {
   private[graft] def semanticDropped(e: DataFrame, k: Int = 8,
                                      minCosine: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
-    val (assigned, _) = Similarity.kmeansAssigned(e, k)
+    // barrier: both pair-join sides consume the assignment — without it
+    // the full Lloyd pipeline (two broadcast-assign passes + centroid
+    // aggregation) re-derives per side
+    val assigned = Similarity.kmeansAssigned(e, k)._1.transform(Q.barrier)
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))

@@ -99,6 +99,48 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast hash join on the probe bucket:\n${plan.take(4000)}")
   }
 
+  test("dedup_semantic: pair join is an equi join on the cell id over the barriered assignment") {
+    // SemDeDup's whole point is bounding the pair space by cluster; the
+    // pair join must consume the CHECKPOINTED assignment (no Lloyd
+    // re-derivation per side, whose 1-row centroid broadcasts would
+    // show up as nested-loop joins) and join by cid equality
+    val plan = finalPlan(SparkEntry.queries("dedup_semantic")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated past the cid key:\n${plan.take(4000)}")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed assignment scan:\n${plan.take(4000)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equi join on cid:\n${plan.take(4000)}")
+  }
+
+  test("dedup_span_removal: segments materialized once; window and reassembly are keyed, no pair space") {
+    val plan = fullPlanString(SparkEntry.queries("dedup_span_removal")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // totals + window both consume the barriered segment frame — the
+    // split/explode pipeline must not run twice
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed segment scan:\n${plan.take(4000)}")
+    assert("\\bWindow\\b".r.findAllIn(plan).nonEmpty, s"expected window:\n${plan.take(2000)}")
+  }
+
+  test("ann_int8_quant: quantization is map-only — no exchange before the output sort") {
+    val plan = finalPlan(SparkEntry.queries("ann_int8_quant")(spark, SF))
+    // exactly the one range exchange for the final orderBy; quantizing
+    // itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "ReusedExchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected only the sort exchange, got $exchanges:\n${plan.take(4000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  /** The AQE final plan only — executedPlan.toString repeats operators
+    * under "== Initial Plan ==", which double-counts occurrence asserts. */
+  private def finalPlan(df: DataFrame): String =
+    fullPlanString(df).split("== Initial Plan ==")(0)
+
   test("rel_bucketed_join: co-located join and agg run with zero exchange below the join") {
     // the write-once-bucketed contract: scan partitioning satisfies the
     // join AND the group-by, so neither plans a shuffle — the property
