@@ -230,6 +230,28 @@ object VectorOps {
       .select(col("vec_id").as(idCol), col("s").as("scale"), col("codes"))
   }
 
+  /** Cosine top-k over int8-quantized vectors — the search half of SQ8:
+    * both sides quantize via [[quantizeInt8]]'s core and rank by cosine
+    * over the CODE arrays. Cosine is scale-invariant, so code-space
+    * ranking equals dequantized ranking exactly, and differs from
+    * float32 ranking only by quantization error (typically <0.5%
+    * recall; measure against [[bruteForceTopK]] on a sample). The
+    * corpus-side scan touches 4x fewer bytes and the arithmetic is
+    * integer multiplies. Zero vectors have no cosine direction and are
+    * excluded from both sides. Output: (q_id, id, cos, rn). */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               excludeSelfIds: Boolean = true): DataFrame = {
+    def codesOf(df: DataFrame) = sq8Quantized(
+      asVec(df, idCol, vecCol).select(col("__id"), col("__v").as("v")))
+      .where(col("s") > 0)
+      .select(col("__id"), col("codes").as("__v"))
+    val qs = codesOf(queries)
+      .select(col("__id").as("__qid"), col("__v").as("__qv"))
+    rank(codesOf(corpus).crossJoin(broadcast(qs)), k, excludeSelfIds)
+  }
+
   private def rank(scored: DataFrame, k: Int, excludeSelfIds: Boolean): DataFrame = {
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, col("__id").asc)

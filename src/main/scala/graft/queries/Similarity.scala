@@ -431,6 +431,35 @@ object Similarity {
           CAST(list_sum(codes) AS BIGINT) AS code_sum,
           round(list_sum([(v[i] - codes[i] * s) * (v[i] - codes[i] * s)
                           for i in range(1, len(v) + 1)]) / len(v), 9) AS mse9
-        FROM c ORDER BY vec_id"""))
+        FROM c ORDER BY vec_id""")),
+
+    // ---- search ON the int8 codes (the SQ8 read path) ----
+    // Cosine is scale-invariant, so ranking on raw code arrays equals
+    // ranking on the dequantized vectors exactly — the corpus scan
+    // touches 4x fewer bytes and multiplies integers. The oracle
+    // replays quantization + code cosine bit-for-bit (integer dot
+    // products are exact in both engines; round 6 on the final ratio).
+    // Delegates to VectorOps.int8TopK — the facade IS the gated code.
+    "ann_int8_topk" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.pipeline.VectorOps
+          .int8TopK(e, e.where(col("vec_id") < 5), k = 5)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        q8 AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127 AS s FROM e),
+        c AS (SELECT vec_id, [CAST(floor(x / s + 0.5) AS INTEGER) for x in v] AS codes
+              FROM q8 WHERE s > 0),
+        qs AS (SELECT vec_id AS q_id, codes AS qc FROM c WHERE vec_id < 5),
+        scored AS (SELECT q_id, vec_id,
+            round(list_sum([qc[i] * codes[i] for i in range(1, len(codes) + 1)])
+                  / (sqrt(list_sum([x * x for x in qc]))
+                     * sqrt(list_sum([x * x for x in codes]))), 6) AS cos
+          FROM c JOIN qs ON vec_id <> q_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                   FROM scored)
+        SELECT q_id, vec_id AS id, cos, rn FROM ranked WHERE rn <= 5
+        ORDER BY q_id, rn"""))
   )
 }

@@ -52,6 +52,15 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 11L, 1), (10L, 12L, 2)))
   }
 
+  test("int8TopK ranks on quantized codes and agrees with float ranking") {
+    val out = graft.pipeline.VectorOps.int8TopK(
+      vecsDf, vecsDf.where("id = 10"), k = 3, idCol = "id", vecCol = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // same order as bruteForceTopK on these well-separated vectors;
+    // the anti-parallel vector ranks last
+    assert(out.toSeq == Seq((10L, 11L, 1), (10L, 12L, 2), (10L, 13L, 3)))
+  }
+
   test("pqTopK: an exact duplicate of the query always ranks first") {
     // the ADC-minimum theorem: a duplicate's codes are the argmin of the
     // query's own LUT rows, so its LUT-sum is the global minimum —
