@@ -86,7 +86,11 @@ object Similarity {
         .groupBy("cid", "dim").agg(round(avg(col("x")), 9).as("m"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
-    val c1 = update(assign(seeds))
+    // barrier: c1 is consumed by the final assignment AND by callers
+    // joining centroid stats — without it the corpus-wide centroid
+    // aggregation (a full pass over the assigned corpus) re-derives
+    // per consumer
+    val c1 = update(assign(seeds)).transform(Q.barrier)
     (assign(c1), c1)
   }
 
