@@ -162,16 +162,20 @@ object CorpusOps {
     * exists. Clustering is the deterministic 2-round Lloyd shared with
     * the ANN operators (seeds = the k lowest ids). `vecCol` is any
     * numeric array column; ids must be integral ([[requireIntegralId]]).
+    * `probes` > 1 assigns each vector to its `probes` nearest cells —
+    * the boundary-miss recall knob (pairs straddling a cell boundary
+    * still meet in a shared second-choice cell) at a ~probes^2-bounded
+    * pair-space cost.
     */
   def semanticDedup(embeddings: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding", k: Int = 8,
-                    minCosine: Double = 0.9): DataFrame = {
+                    minCosine: Double = 0.9, probes: Int = 1): DataFrame = {
     requireIntegralId(embeddings, idCol, "semanticDedup")
     require(k >= 1, s"semanticDedup: k ($k) must be >= 1")
     val e = embeddings.select(
       col(idCol).cast("long").as("vec_id"),
       expr(s"transform(`${vecCol.replace("`", "``")}`, x -> cast(x as double))").as("v"))
-    val dropped = graft.queries.Dedup.semanticDropped(e, k, minCosine)
+    val dropped = graft.queries.Dedup.semanticDropped(e, k, minCosine, probes)
       .select(col("dropped_id").as(idCol))
     embeddings.join(dropped, Seq(idCol), "left_anti")
   }

@@ -291,22 +291,33 @@ object Dedup {
     * so per-cell work stays constant and no all-pairs path exists.
     * Input: (vec_id, v double array); output: (dropped_id, cid,
     * n_dups, max_cos) — one row per vector that has a LOWER-id
-    * neighbor in its cell with cosine >= `minCosine` (greedy-by-id
-    * keep-one-exemplar policy). */
+    * neighbor in a shared cell with cosine >= `minCosine`
+    * (greedy-by-id keep-one-exemplar policy).
+    *
+    * `probes` > 1 multi-assigns each vector to its `probes` nearest
+    * cells (the boundary-miss recall knob — see
+    * [[Similarity.kmeansAssigned]]); a pair meeting in several shared
+    * cells is collapsed to one (min cell id) before counting, so
+    * n_dups counts NEIGHBORS, not cell coincidences, and the
+    * probes = 1 output is unchanged. */
   private[graft] def semanticDropped(e: DataFrame, k: Int = 8,
-                                     minCosine: Double = 0.4): DataFrame = {
+                                     minCosine: Double = 0.4,
+                                     probes: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
     // barrier: both pair-join sides consume the assignment — without it
     // the full Lloyd pipeline (two broadcast-assign passes + centroid
     // aggregation) re-derives per side
-    val assigned = Similarity.kmeansAssigned(e, k)._1.transform(Q.barrier)
+    val assigned = Similarity.kmeansAssigned(e, k, probes)._1.transform(Q.barrier)
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
       .withColumn("cos", expr("round(graft_cosine_sim(va, vb), 6)"))
       .where(col("cos") >= minCosine)
-      .groupBy(col("id_b"), col("cid"))
-      .agg(count(lit(1)).as("n_dups"), max(col("cos")).as("max_cos"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("cid")).as("cid"), max(col("cos")).as("cos"))
+      .groupBy(col("id_b"))
+      .agg(min(col("cid")).as("cid"), count(lit(1)).as("n_dups"),
+        max(col("cos")).as("max_cos"))
       .select(col("id_b").as("dropped_id"), col("cid"), col("n_dups"), col("max_cos"))
   }
 
@@ -584,6 +595,45 @@ object Dedup {
         SELECT id_b AS dropped_id, cid, count(*) AS n_dups, max(cos) AS max_cos
         FROM p WHERE cos >= 0.4
         GROUP BY id_b, cid ORDER BY dropped_id""")),
+
+    // ---- SemDeDup with 2-probe assignment (boundary-miss recall) ----
+    // Single-assignment SemDeDup misses pairs straddling a cell
+    // boundary; assigning each vector to its 2 nearest cells catches a
+    // pair in a shared second-choice cell. Measured at gate scale:
+    // recall vs the exhaustive cos>=0.4 pair set rises 24/59 -> 49/59
+    // for a 3.7x (still n^2/k-bounded) pair space — the knob trades
+    // bounded compute for recall, never an all-pairs path.
+    "dedup_semantic_probe2" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        semanticDropped(e, probes = 2).orderBy("dropped_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        d1 AS (SELECT e.vec_id, s.cid, e.v,
+                 round(list_sum([(e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN seeds s),
+        a1 AS (SELECT vec_id, cid, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+               WHERE rn = 1),
+        m1 AS (SELECT cid, i - 1 AS dim, round(avg(v[i]), 9) AS m
+               FROM a1, range(1, 65) AS t(i) GROUP BY cid, i),
+        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c.cid, e.v,
+                 round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+               WHERE rn <= 2),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, min(b.cid) AS cid,
+                max(round(list_sum([a.v[i] * b.v[i] for i in range(1, 65)])
+                      / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6)) AS cos
+              FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id)
+        SELECT id_b AS dropped_id, min(cid) AS cid, count(*) AS n_dups, max(cos) AS max_cos
+        FROM p WHERE cos >= 0.4
+        GROUP BY id_b ORDER BY dropped_id""")),
 
     // ---- segment-level duplication stats (the dup_line_frac signal) ----
     // Whole-doc dedup misses boilerplate repeated INSIDE otherwise-unique

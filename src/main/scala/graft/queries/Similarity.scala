@@ -66,8 +66,19 @@ object Similarity {
     * both measured slower.) Distances round to 6 and means to 9
     * decimals so the DuckDB oracle replays bit-for-bit despite
     * different summation orders. Shared by ann_kmeans_ivf (cell
-    * stats) and dedup_semantic (SemDeDup cluster partitioning). */
-  private[graft] def kmeansAssigned(e: DataFrame, k: Int = 8): (DataFrame, DataFrame) = {
+    * stats) and dedup_semantic (SemDeDup cluster partitioning).
+    *
+    * `probes` > 1 multi-assigns each vector to its `probes` nearest
+    * cells in the FINAL assignment (Lloyd's update round always uses
+    * the argmin) — the standard boundary-miss recall knob: a vector
+    * pair straddling a cell boundary still meets in a shared
+    * second-choice cell. Pair space grows ~probes^2-bounded; measured
+    * at gate scale (see SCALE.md): recall 24/59 -> 49/59 for 3.7x
+    * pairs. */
+  private[graft] def kmeansAssigned(e: DataFrame, k: Int = 8,
+                                    probes: Int = 1): (DataFrame, DataFrame) = {
+    require(probes >= 1 && probes <= k,
+      s"kmeansAssigned: probes ($probes) must be in [1, k=$k]")
     val seeds = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     def assign(centroids: DataFrame): DataFrame = {
@@ -91,7 +102,18 @@ object Similarity {
     // aggregation (a full pass over the assigned corpus) re-derives
     // per consumer
     val c1 = update(assign(seeds)).transform(Q.barrier)
-    (assign(c1), c1)
+    val finalAssign = if (probes == 1) assign(c1) else {
+      // top-`probes` cells: same (d, cid) lexicographic order as the
+      // argmin, sliced instead of min'd, one row per (vector, cell)
+      val packed = c1.agg(expr("collect_list(struct(cid, cv))").as("cs"))
+      e.crossJoin(broadcast(packed))
+        .withColumn("best", explode(expr(
+          s"""slice(array_sort(transform(cs, c -> struct(
+               round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
+               c.cid AS cid))), 1, $probes)""")))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
+    }
+    (finalAssign, c1)
   }
 
   /** PQ-ADC machinery for ann_pq_adc / ann_ivfpq_topk — delegates to

@@ -78,6 +78,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
   }
 
+  test("semanticDedup multi-probe: drops a superset of single-probe, exact dups still caught") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    // 90 duplicates 5 exactly — must be dropped at any probe count
+    val rows = (base :+ (90L, base(5)._2)).toDF("id", "emb")
+    def keptIds(probes: Int) = graft.pipeline.CorpusOps
+      .semanticDedup(rows, "id", "emb", k = 4, minCosine = 0.8, probes = probes)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val k1 = keptIds(1); val k2 = keptIds(2)
+    // every single-probe pair still shares its argmin cell under 2
+    // probes, so 2-probe drops a superset <=> keeps a subset
+    assert(k2.subsetOf(k1), s"2-probe kept ${k2 -- k1} that 1-probe dropped")
+    assert(!k1.contains(90L) && !k2.contains(90L))
+    assert(k1.contains(5L) && k2.contains(5L))
+  }
+
   test("winnowingPairs guarantee boundary: a minimal 7-word shared run is caught at default minShared") {
     import spark.implicits._
     // gramWidth 4 + window 4 - 1 = 7 words: exactly one full window of
