@@ -95,6 +95,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(k1.contains(5L) && k2.contains(5L))
   }
 
+  test("new-op edge cases: empty text, k larger than the corpus, empty vectors") {
+    import spark.implicits._
+    // empty / whitespace-only docs: filtered by the length guard, the
+    // non-empty doc passes through untouched
+    val docs = Seq((1L, ""), (2L, "a b c")).toDF("id", "body")
+    val spans = graft.pipeline.CorpusOps
+      .removeDuplicateSpans(docs, "id", "body", segWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(spans == Map(2L -> "a b c"))
+    // k > corpus size: seeds degrade to |corpus| cells, still correct
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("id", "emb")
+    val kept = graft.pipeline.CorpusOps
+      .semanticDedup(vecs, "id", "emb", k = 16, minCosine = 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // zero-length vector: quantizes to empty codes + null scale rather
+    // than throwing (no direction to encode)
+    val q = graft.pipeline.VectorOps.quantizeInt8(
+      Seq((7L, Array.empty[Float])).toDF("id", "emb"), "id", "emb")
+      .collect()
+    assert(q.length == 1 && q(0).isNullAt(1) && q(0).getSeq[Int](2).isEmpty)
+  }
+
   test("winnowingPairs guarantee boundary: a minimal 7-word shared run is caught at default minShared") {
     import spark.implicits._
     // gramWidth 4 + window 4 - 1 = 7 words: exactly one full window of

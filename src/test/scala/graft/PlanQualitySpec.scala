@@ -136,6 +136,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("ann_int8_topk: corpus side scores map-side against broadcast query codes") {
+    val plan = finalPlan(SparkEntry.queries("ann_int8_topk")(spark, SF))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus side shuffled for the probe:\n${plan.take(4000)}")
+    // the only wide ops are the per-query top-k window and the output
+    // sort — scoring itself must ride a broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast query codes:\n${plan.take(4000)}")
+  }
+
   /** The AQE final plan only — executedPlan.toString repeats operators
     * under "== Initial Plan ==", which double-counts occurrence asserts. */
   private def finalPlan(df: DataFrame): String =
