@@ -52,6 +52,20 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 11L, 1), (10L, 12L, 2)))
   }
 
+  test("int8TopK recall vs float brute force on the test embeddings") {
+    // fixed data -> deterministic: 24 of 25 top-5 hits agree (96%);
+    // the floor leaves margin without losing meaning
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where("vec_id < 5")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fl = hits(graft.pipeline.VectorOps.bruteForceTopK(e, q, k = 5))
+    val i8 = hits(graft.pipeline.VectorOps.int8TopK(e, q, k = 5))
+    assert(fl.size == 25 && i8.size == 25)
+    val overlap = (fl & i8).size
+    assert(overlap >= 22, s"int8 top-5 recall degraded: $overlap/25")
+  }
+
   test("int8TopK ranks on quantized codes and agrees with float ranking") {
     val out = graft.pipeline.VectorOps.int8TopK(
       vecsDf, vecsDf.where("id = 10"), k = 3, idCol = "id", vecCol = "emb")
