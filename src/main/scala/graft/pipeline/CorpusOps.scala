@@ -211,6 +211,19 @@ object CorpusOps {
     * (merge is associative; property-checked in IntervalOpsSpec),
     * parallel WITHIN a key instead of bounded by key count.
     */
+  /** Distance from each `a` interval to its nearest same-chrom `b`
+    * interval (bedtools closest): 0 when overlapping or touching, null
+    * when the chrom has no `b` feature. Input columns on both frames:
+    * key `chrom`, bounds `s`/`e` (long). Output: (chrom, s, e, dist),
+    * one row per `a` row. Join-free — one union sorted per chrom and
+    * two window passes (see SCALE.md); property-checked against brute
+    * force in IntervalOpsSpec.
+    */
+  def closestFeatures(a: DataFrame, b: DataFrame): DataFrame =
+    graft.queries.Relational.closestSweep(
+      a.select(col("chrom"), col("s"), col("e")),
+      b.select(col("chrom"), col("s"), col("e")))
+
   def mergeIntervals(intervals: DataFrame,
                      bucketWidth: Option[Long] = None): DataFrame = {
     val iv = intervals.select(col("chrom"), col("s"), col("e"))

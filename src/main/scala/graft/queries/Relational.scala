@@ -67,6 +67,40 @@ object Relational {
       .withColumn("e", col("s") + 1800)
       .withColumn("weight", lit(1L))
 
+  /** Closest-feature sweep (bedtools closest, distance only): for each
+    * A interval, the distance to its nearest same-chrom B interval — 0
+    * when overlapping or touching, null when the chrom has no B.
+    * Join-free: one union sorted per chrom, two window passes. The
+    * nearest B on the left is the running max of B ends over rows with
+    * b_s <= a_s (overlap iff that max reaches a_s); on the right, the
+    * running min of B starts over following rows (overlap iff it falls
+    * inside A). B rows sort before A rows at equal position, so a B
+    * starting exactly at a_s lands in the left frame and reads as
+    * overlap; least() skips a null side. Inputs: (chrom, s, e) frames;
+    * output: one (chrom, s, e, dist) row per A row. Parallelism is
+    * chrom-bounded like the plain merge sweep. Shared by
+    * rel_interval_closest and CorpusOps.closestFeatures;
+    * property-checked against brute force in IntervalOpsSpec. */
+  private[graft] def closestSweep(a: DataFrame, b: DataFrame): DataFrame = {
+    val nl = lit(null).cast("long")
+    val u = a.select(col("chrom"), col("s").as("pos"), lit(1).as("side"),
+        col("e").as("a_e"), nl.as("b_s"), nl.as("b_e"))
+      .unionByName(b.select(col("chrom"), col("s").as("pos"), lit(0).as("side"),
+        nl.as("a_e"), col("s").as("b_s"), col("e").as("b_e")))
+    val byPos = Window.partitionBy("chrom").orderBy(col("pos"), col("side"))
+    u.withColumn("prev_b_e", max(col("b_e")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_b_s", min(col("b_s")).over(
+        byPos.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .where(col("side") === 1)
+      .select(col("chrom"), col("pos").as("s"), col("a_e").as("e"),
+        least(
+          when(col("prev_b_e").isNotNull,
+            greatest(lit(0L), col("pos") - col("prev_b_e"))),
+          when(col("next_b_s").isNotNull,
+            greatest(lit(0L), col("next_b_s") - col("a_e")))).as("dist"))
+  }
+
   /** One contiguous-merge sweep: collapse overlapping-or-touching
     * (chrom, s, e, weight) intervals into (chrom, region_start,
     * region_end, n_intervals = sum weight). With `bucketWidth` the
@@ -452,6 +486,44 @@ object Relational {
           CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
         FROM a JOIN b ON a.chrom = b.chrom AND a_s <= b_e AND b_s <= a_e
         GROUP BY a.chrom ORDER BY chrom""")),
+
+    // ---- closest-feature distance (bedtools closest), join-free ----
+    // For each A interval, the distance to its nearest B interval on
+    // the same chrom (0 when overlapping/touching). The oracle is the
+    // O(n*m) brute-force min over all same-chrom pairs; the Spark plan
+    // is closestSweep above — union + two window passes, NO join
+    // (plan-gated); property-checked against brute force on random
+    // inputs in IntervalOpsSpec. The merge-scalable bucketing trick
+    // applies unchanged when one chrom dominates.
+    "rel_interval_closest" -> Q(
+      (s, dir) => {
+        val ev = eventsTs(s, dir)
+        def side(et: String, len: Int) = ev
+          .where(col("event_type") === et)
+          .selectExpr("user_id % 16 AS chrom",
+            "unix_micros(ts) div 1000000 AS s")
+          .withColumn("e", col("s") + len)
+        closestSweep(side("click", 3600), side("view", 2700))
+          .groupBy("chrom")
+          .agg(count(lit(1)).as("n_a"), sum(col("dist")).as("sum_dist"),
+            max(col("dist")).as("max_dist"),
+            sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_touching"))
+          .orderBy("chrom")
+      },
+      Some("""WITH a AS (SELECT event_id AS a_id, user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS a_s, epoch_us(ts) // 1000000 + 3600 AS a_e
+          FROM events WHERE event_type = 'click'),
+        b AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS b_s, epoch_us(ts) // 1000000 + 2700 AS b_e
+          FROM events WHERE event_type = 'view'),
+        d AS (SELECT a.chrom, a.a_id,
+            min(greatest(0, greatest(a_s, b_s) - least(a_e, b_e))) AS dist
+          FROM a JOIN b ON a.chrom = b.chrom
+          GROUP BY a.chrom, a.a_id)
+        SELECT chrom, count(*) AS n_a, CAST(sum(dist) AS BIGINT) AS sum_dist,
+          CAST(max(dist) AS BIGINT) AS max_dist,
+          CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touching
+        FROM d GROUP BY chrom ORDER BY chrom""")),
 
     // ---- interval merge, range-bucketed (the 100 TB shape) ----
     // Same answer as rel_interval_merge (same oracle), different plan:

@@ -33,6 +33,32 @@ class IntervalOpsSpec extends AnyFunSuite {
   private def regions(d: DataFrame): Set[(Long, Long, Long, Long)] =
     d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
 
+  test("closest sweep equals brute-force nearest distance on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      def gen(n: Int) = (0 until n).map { _ =>
+        val s0 = rnd.nextInt(2000).toLong
+        (rnd.nextInt(3).toLong, s0, s0 + rnd.nextInt(120))
+      }
+      // occasionally leave a chrom without B features (null distance)
+      val a = gen(1 + rnd.nextInt(80))
+      val b = gen(1 + rnd.nextInt(80)).filter(t => trial % 4 != 0 || t._1 != 2L)
+      def dist(x: (Long, Long, Long), y: (Long, Long, Long)): Long =
+        math.max(0L, math.max(x._2, y._2) - math.min(x._3, y._3))
+      val expect = a.groupBy(identity).flatMap { case (iv, dup) =>
+        val cands = b.filter(_._1 == iv._1)
+        val d = if (cands.isEmpty) None else Some(cands.map(dist(iv, _)).min)
+        dup.map(_ => (iv._1, iv._2, iv._3, d))
+      }.toSeq.sorted
+      val got = graft.queries.Relational.closestSweep(
+          a.toDF("chrom", "s", "e"), b.toDF("chrom", "s", "e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq.sorted
+      assert(got == expect, s"trial $trial: closest sweep diverged from brute force")
+    }
+  }
+
   test("plain and bucketed+stitched sweeps equal brute-force merge on random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -136,6 +136,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("rel_interval_closest: the sweep plans NO join of any kind") {
+    val plan = finalPlan(SparkEntry.queries("rel_interval_closest")(spark, SF))
+    assert(!plan.contains("Join"),
+      s"closest-feature sweep degenerated into a join:\n${plan.take(4000)}")
+    assert("\\bWindow\\b".r.findAllIn(plan).nonEmpty, s"expected window sweep:\n${plan.take(2000)}")
+  }
+
   test("ann_int8_topk: corpus side scores map-side against broadcast query codes") {
     val plan = finalPlan(SparkEntry.queries("ann_int8_topk")(spark, SF))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
