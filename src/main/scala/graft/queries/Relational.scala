@@ -562,6 +562,112 @@ object Relational {
       (s, dir) => summarizeRegions(mergeSweep(clickIntervals(s, dir), bucketWidth = None)),
       Some(MergeOracleSql)),
 
+    // ---- interval complement (bedtools complement, internal gaps) ----
+    // The gaps BETWEEN merged regions per chrom — one lead() window
+    // over the (already few) merged regions, so the cost rides on the
+    // merge sweep; no join, no extra corpus pass.
+    "rel_interval_complement" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("chrom").orderBy("region_start")
+        mergeSweep(clickIntervals(s, dir), bucketWidth = None)
+          .withColumn("next_s", lead(col("region_start"), 1).over(w))
+          .where(col("next_s") > col("region_end"))
+          .groupBy("chrom")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("next_s") - col("region_end")).as("gap_span"),
+            max(col("next_s") - col("region_end")).as("max_gap"))
+          .orderBy("chrom")
+      },
+      Some("""WITH iv AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 1800 AS e
+          FROM events WHERE event_type = 'click'),
+        f AS (SELECT chrom, s, e,
+            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY chrom ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+              THEN 1 ELSE 0 END AS opens
+          FROM iv),
+        g AS (SELECT chrom, s, e,
+            sum(opens) OVER (PARTITION BY chrom ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM f),
+        r AS (SELECT chrom, grp, min(s) AS region_start, max(e) AS region_end
+          FROM g GROUP BY chrom, grp),
+        gaps AS (SELECT chrom, region_end,
+            lead(region_start) OVER (PARTITION BY chrom ORDER BY region_start) AS next_s
+          FROM r)
+        SELECT chrom, count(*) AS n_gaps,
+          CAST(sum(next_s - region_end) AS BIGINT) AS gap_span,
+          CAST(max(next_s - region_end) AS BIGINT) AS max_gap
+        FROM gaps WHERE next_s > region_end
+        GROUP BY chrom ORDER BY chrom""")),
+
+    // ---- interval-set jaccard (bedtools jaccard), join-free ----
+    // Similarity of two interval SETS: intersection bp / union bp. The
+    // naive plan merges each side then pair-joins regions; this plan is
+    // one TWO-CHANNEL coverage sweep — each side contributes ±1 deltas
+    // on its own counter, deltas collapse by (chrom, pos), and the
+    // segment [pos, next pos) counts toward the intersection when both
+    // running depths are positive, toward the union when either is.
+    // Raw (unmerged) intervals feed it directly: depth>0 is identical
+    // to merged coverage. One keyed groupBy + one window sort, no join
+    // anywhere (plan-gated).
+    "rel_interval_jaccard" -> Q(
+      (s, dir) => {
+        val ev = eventsTs(s, dir)
+        def side(et: String, len: Int) = ev
+          .where(col("event_type") === et)
+          .selectExpr("user_id % 16 AS chrom",
+            "unix_micros(ts) div 1000000 AS s")
+          .withColumn("e", col("s") + len)
+        val a = side("click", 1800); val b = side("view", 900)
+        def deltas(iv: DataFrame, da: Int, db: Int) =
+          iv.select(col("chrom"), col("s").as("pos"),
+              lit(da.toLong).as("da"), lit(db.toLong).as("db"))
+            .unionAll(iv.select(col("chrom"), col("e").as("pos"),
+              lit(-da.toLong).as("da"), lit(-db.toLong).as("db")))
+        val g = deltas(a, 1, 0).unionAll(deltas(b, 0, 1))
+          .groupBy("chrom", "pos")
+          .agg(sum(col("da")).as("da"), sum(col("db")).as("db"))
+        val w = Window.partitionBy("chrom").orderBy("pos")
+        val r = g
+          .withColumn("ca", sum(col("da")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cb", sum(col("db")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("np", lead(col("pos"), 1).over(w))
+          .where(col("np").isNotNull)
+          .withColumn("seg", col("np") - col("pos"))
+        r.groupBy("chrom")
+          .agg(
+            sum(when(col("ca") > 0 && col("cb") > 0, col("seg")).otherwise(0L)).as("inter_bp"),
+            sum(when(col("ca") > 0 || col("cb") > 0, col("seg")).otherwise(0L)).as("union_bp"))
+          .withColumn("jaccard",
+            round(col("inter_bp").cast("double") / col("union_bp"), 6))
+          .orderBy("chrom")
+      },
+      Some("""WITH a AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 1800 AS e
+          FROM events WHERE event_type = 'click'),
+        b AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 900 AS e
+          FROM events WHERE event_type = 'view'),
+        d AS (SELECT chrom, s AS pos, 1 AS da, 0 AS db FROM a
+          UNION ALL SELECT chrom, e, -1, 0 FROM a
+          UNION ALL SELECT chrom, s, 0, 1 FROM b
+          UNION ALL SELECT chrom, e, 0, -1 FROM b),
+        g AS (SELECT chrom, pos, sum(da) AS da, sum(db) AS db FROM d GROUP BY chrom, pos),
+        r AS (SELECT chrom, pos,
+            sum(da) OVER (PARTITION BY chrom ORDER BY pos) AS ca,
+            sum(db) OVER (PARTITION BY chrom ORDER BY pos) AS cb,
+            lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np
+          FROM g)
+        SELECT chrom,
+          CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN np - pos ELSE 0 END) AS BIGINT) AS inter_bp,
+          CAST(sum(CASE WHEN ca > 0 OR cb > 0 THEN np - pos ELSE 0 END) AS BIGINT) AS union_bp,
+          round(sum(CASE WHEN ca > 0 AND cb > 0 THEN np - pos ELSE 0 END) * 1.0
+                / sum(CASE WHEN ca > 0 OR cb > 0 THEN np - pos ELSE 0 END), 6) AS jaccard
+        FROM r WHERE np IS NOT NULL GROUP BY chrom ORDER BY chrom""")),
+
     // ---- interval coverage depth (the genomecov sweep-line) ----
     // Per-base (here per-second) depth without materializing per-base
     // rows: each interval contributes +1 at its start and -1 at its end,

@@ -136,11 +136,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
-  test("rel_interval_closest: the sweep plans NO join of any kind") {
-    val plan = finalPlan(SparkEntry.queries("rel_interval_closest")(spark, SF))
-    assert(!plan.contains("Join"),
-      s"closest-feature sweep degenerated into a join:\n${plan.take(4000)}")
-    assert("\\bWindow\\b".r.findAllIn(plan).nonEmpty, s"expected window sweep:\n${plan.take(2000)}")
+  test("rel_interval_closest / jaccard / complement: the sweeps plan NO join of any kind") {
+    for (name <- Seq("rel_interval_closest", "rel_interval_jaccard",
+        "rel_interval_complement")) {
+      val plan = finalPlan(SparkEntry.queries(name)(spark, SF))
+      assert(!plan.contains("Join"),
+        s"$name sweep degenerated into a join:\n${plan.take(4000)}")
+      assert("\\bWindow\\b".r.findAllIn(plan).nonEmpty,
+        s"$name: expected window sweep:\n${plan.take(2000)}")
+    }
   }
 
   test("ann_int8_topk: corpus side scores map-side against broadcast query codes") {
