@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectCheckRule { session =>
       GraftFunctions.registerAll(session)
       GraftTableFunctions.registerAll(session)
+      graft.pipeline.PipelineTableFunctions.registerAll(session)
       _ => ()
     }
   }

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL table-valued functions over the pipeline facades — the same
+  * one-implementation-two-surfaces discipline the format TVFs follow
+  * (graft.sources.GraftTableFunctions): each TVF resolves at analysis
+  * time to the LOGICAL PLAN the CorpusOps/Relational facade builds, so
+  * SQL users run exactly the oracle-gated code path.
+  *
+  *   SELECT * FROM near_dup_pairs('docs', 'id', 'body')
+  *   SELECT * FROM semantic_dedup('vecs', 'id', 'emb', 1024, 0.9, 2)
+  *   SELECT * FROM remove_duplicate_spans('docs', 'id', 'body', 10)
+  *   SELECT * FROM closest_features('peaks', 'genes')
+  *
+  * Table arguments name catalog tables or temp views; trailing
+  * arguments are optional and positional.
+  */
+object PipelineTableFunctions {
+
+  private def str(e: Expression, what: String): String = e.eval(null) match {
+    case u: UTF8String => u.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def num(e: Expression, what: String): Double = e.eval(null) match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL 0.95 parses as Decimal
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  private def tbl(e: Expression, what: String): DataFrame =
+    SparkSession.active.table(str(e, what))
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private def nearDupBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "near_dup_pairs(table[, idCol, textCol])")
+    plan(CorpusOps.nearDupPairs(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "idCol") else "doc_id",
+      if (args.length > 2) str(args(2), "textCol") else "text"))
+  }
+
+  private def semanticBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 6,
+      "semantic_dedup(table[, idCol, vecCol, k, minCosine, probes])")
+    plan(CorpusOps.semanticDedup(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "idCol") else "vec_id",
+      if (args.length > 2) str(args(2), "vecCol") else "embedding",
+      if (args.length > 3) num(args(3), "k").toInt else 8,
+      if (args.length > 4) num(args(4), "minCosine") else 0.9,
+      if (args.length > 5) num(args(5), "probes").toInt else 1))
+  }
+
+  private def spansBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 4,
+      "remove_duplicate_spans(table[, idCol, textCol, segWords])")
+    plan(CorpusOps.removeDuplicateSpans(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "idCol") else "doc_id",
+      if (args.length > 2) str(args(2), "textCol") else "text",
+      if (args.length > 3) num(args(3), "segWords").toInt else 10))
+  }
+
+  private def closestBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, "closest_features(tableA, tableB)")
+    plan(CorpusOps.closestFeatures(tbl(args(0), "tableA"), tbl(args(1), "tableB")))
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("near_dup_pairs", nearDupBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("semantic_dedup", semanticBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("remove_duplicate_spans", spansBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("closest_features", closestBuilder, "scala_udf")
+  }
+}

@@ -30,6 +30,28 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT count(*) FROM read_fasta('src/test/resources/fixtures/fasta/test.fasta')")
         .collect()(0).getLong(0) == 2L)
       assert(s.sql("SELECT exondb_version()").collect()(0).getString(0) == "0.3.9")
+      // pipeline TVFs resolve to the same plans the facades build
+      import s.implicits._
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      Seq((10L, base), (11L, base),
+        (12L, "one two three four five six seven eight nine ten"))
+        .toDF("id", "body").createOrReplaceTempView("ext_docs")
+      val pairs = s.sql("SELECT * FROM near_dup_pairs('ext_docs', 'id', 'body')")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((10L, 11L)))
+      val spans = s.sql(
+        "SELECT * FROM remove_duplicate_spans('ext_docs', 'id', 'body', 5)")
+      assert(spans.count() == 3 &&
+        spans.where("id = 11 AND n_kept = 0").count() == 1)
+      Seq((1L, 0L, 5L)).toDF("chrom", "s", "e").createOrReplaceTempView("ext_a")
+      Seq((1L, 8L, 9L)).toDF("chrom", "s", "e").createOrReplaceTempView("ext_b")
+      val close = s.sql("SELECT * FROM closest_features('ext_a', 'ext_b')").collect()
+      assert(close.length == 1 && close(0).getLong(3) == 3L)
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+        .toDF("id", "emb").createOrReplaceTempView("ext_vecs")
+      val kept = s.sql("SELECT id FROM semantic_dedup('ext_vecs', 'id', 'emb', 2, 0.95)")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
