@@ -230,6 +230,37 @@ object VectorOps {
       .select(col("vec_id").as(idCol), col("s").as("scale"), col("codes"))
   }
 
+  /** Trained-IVF cosine top-k with multi-cell probing — the end-to-end
+    * IVF path when rows DON'T already carry a cell key (contrast
+    * [[ivfTopK]]): a deterministic 2-round k-means over the corpus
+    * builds `cells` centroids, every corpus vector lands in its
+    * nearest cell, and each query probes its `nprobe` nearest cells —
+    * the standard recall knob; `nprobe = cells` degrades gracefully to
+    * exact brute force (spec-pinned). Corpus assignment and probing
+    * are map-only against one broadcast centroid row; the probe itself
+    * is an equi-join on the cell id, touching ~nprobe/cells of the
+    * corpus. Output: (q_id, id, cos, rn). */
+  def kmeansIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    cells: Int = 8, nprobe: Int = 1,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    excludeSelfIds: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells,
+      s"kmeansIvfTopK: nprobe ($nprobe) must be in [1, cells=$cells]")
+    val c = asVec(corpus, idCol, vecCol)
+      .select(col("__id").as("vec_id"), col("__v").as("v"))
+    val (assigned, centroids) =
+      graft.queries.Similarity.kmeansAssigned(c, cells)
+    val qs = asVec(queries, idCol, vecCol)
+      .select(col("__id").as("vec_id"), col("__v").as("v"))
+    val probed = graft.queries.Similarity.assignTo(qs, centroids, nprobe)
+      .select(col("vec_id").as("__qid"), col("cid"), col("v").as("__qv"))
+    // corpus vectors sit in ONE cell and probe cells are distinct, so
+    // a (query, corpus) pair appears at most once — no dedup needed
+    rank(assigned.select(col("vec_id").as("__id"), col("cid"), col("v").as("__v"))
+      .join(broadcast(probed), Seq("cid")), k, excludeSelfIds)
+  }
+
   /** Cosine top-k over int8-quantized vectors — the search half of SQ8:
     * both sides quantize via [[quantizeInt8]]'s core and rank by cosine
     * over the CODE arrays. Cosine is scale-invariant, so code-space

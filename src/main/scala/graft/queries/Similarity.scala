@@ -81,16 +81,6 @@ object Similarity {
       s"kmeansAssigned: probes ($probes) must be in [1, k=$k]")
     val seeds = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    def assign(centroids: DataFrame): DataFrame = {
-      val packed = centroids.agg(
-        expr("collect_list(struct(cid, cv))").as("cs"))
-      e.crossJoin(broadcast(packed))
-        .withColumn("best", expr(
-          """array_min(transform(cs, c -> struct(
-               round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
-               c.cid AS cid)))"""))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
-    }
     def update(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -101,19 +91,30 @@ object Similarity {
     // joining centroid stats — without it the corpus-wide centroid
     // aggregation (a full pass over the assigned corpus) re-derives
     // per consumer
-    val c1 = update(assign(seeds)).transform(Q.barrier)
-    val finalAssign = if (probes == 1) assign(c1) else {
-      // top-`probes` cells: same (d, cid) lexicographic order as the
-      // argmin, sliced instead of min'd, one row per (vector, cell)
-      val packed = c1.agg(expr("collect_list(struct(cid, cv))").as("cs"))
-      e.crossJoin(broadcast(packed))
-        .withColumn("best", explode(expr(
-          s"""slice(array_sort(transform(cs, c -> struct(
-               round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
-               c.cid AS cid))), 1, $probes)""")))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("v"))
-    }
-    (finalAssign, c1)
+    val c1 = update(assignTo(e, seeds)).transform(Q.barrier)
+    (assignTo(e, c1, probes), c1)
+  }
+
+  /** Nearest-cell assignment of (vec_id, v) rows against a (cid, cv)
+    * centroid frame — the shared map-only kernel: centroids pack into
+    * ONE broadcast row; probes = 1 takes the argmin inside a single
+    * expression, probes > 1 slices the same (d, cid)-sorted list and
+    * explodes one row per (vector, cell). Distances round to 6 so the
+    * DuckDB oracle's row_number tie-break replays identically. */
+  private[graft] def assignTo(e: DataFrame, centroids: DataFrame,
+                              probes: Int = 1): DataFrame = {
+    val dExpr =
+      """round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
+         c.cid AS cid"""
+    val packed = centroids.agg(expr("collect_list(struct(cid, cv))").as("cs"))
+    val scored = e.crossJoin(broadcast(packed))
+    val withBest =
+      if (probes == 1)
+        scored.withColumn("best", expr(s"array_min(transform(cs, c -> struct($dExpr)))"))
+      else
+        scored.withColumn("best", explode(expr(
+          s"slice(array_sort(transform(cs, c -> struct($dExpr))), 1, $probes)")))
+    withBest.select(col("vec_id"), col("best.cid").as("cid"), col("v"))
   }
 
   /** PQ-ADC machinery for ann_pq_adc / ann_ivfpq_topk — delegates to
@@ -458,6 +459,52 @@ object Similarity {
           round(list_sum([(v[i] - codes[i] * s) * (v[i] - codes[i] * s)
                           for i in range(1, len(v) + 1)]) / len(v), 9) AS mse9
         FROM c ORDER BY vec_id""")),
+
+    // ---- trained IVF search with nprobe (the standard recall knob) ----
+    // ann_kmeans_ivf proves the trained cell structure; THIS entry
+    // searches it end-to-end through the public facade
+    // (VectorOps.kmeansIvfTopK): corpus vectors in their argmin cell,
+    // each query probing its 2 nearest cells, exact cosine re-rank
+    // inside the probed cells only. nprobe = cells would recover exact
+    // brute force (spec-pinned in VectorOpsSpec); the oracle replays
+    // the identical 2-probe pipeline.
+    "ann_kmeans_probe_topk" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.pipeline.VectorOps.kmeansIvfTopK(
+            e, e.where(col("vec_id") < 5), k = 5, cells = 8, nprobe = 2)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        d1 AS (SELECT e.vec_id, s.cid, e.v,
+                 round(list_sum([(e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN seeds s),
+        a1 AS (SELECT vec_id, cid, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+               WHERE rn = 1),
+        m1 AS (SELECT cid, i - 1 AS dim, round(avg(v[i]), 9) AS m
+               FROM a1, range(1, 65) AS t(i) GROUP BY cid, i),
+        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c.cid, e.v,
+                 round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cid, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+               WHERE rn = 1),
+        qa AS (SELECT vec_id AS q_id, cid, v AS qv FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2
+                 WHERE vec_id < 5)
+               WHERE rn <= 2),
+        scored AS (SELECT qa.q_id, a2.vec_id,
+            round(list_sum([qa.qv[i] * a2.v[i] for i in range(1, 65)])
+                  / (sqrt(list_sum([x * x for x in qa.qv]))
+                     * sqrt(list_sum([x * x for x in a2.v]))), 6) AS cos
+          FROM a2 JOIN qa ON a2.cid = qa.cid AND a2.vec_id <> qa.q_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                   FROM scored)
+        SELECT q_id, vec_id AS id, cos, rn FROM ranked WHERE rn <= 5
+        ORDER BY q_id, rn""")),
 
     // ---- search ON the int8 codes (the SQ8 read path) ----
     // Cosine is scale-invariant, so ranking on raw code arrays equals

@@ -52,6 +52,32 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 11L, 1), (10L, 12L, 2)))
   }
 
+  test("kmeansIvfTopK: nprobe = cells equals brute force; nprobe = 1 is a candidate subset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val corpus = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      .toDF("id", "emb")
+    val queries = corpus.where("id < 4")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = rows(graft.pipeline.VectorOps.bruteForceTopK(
+      corpus, queries, k = 5, idCol = "id", vecCol = "emb"))
+    val full = rows(graft.pipeline.VectorOps.kmeansIvfTopK(
+      corpus, queries, k = 5, cells = 4, nprobe = 4, idCol = "id", vecCol = "emb"))
+    assert(full == brute, "probing every cell must equal brute force exactly")
+    val one = graft.pipeline.VectorOps.kmeansIvfTopK(
+      corpus, queries, k = 5, cells = 4, nprobe = 1, idCol = "id", vecCol = "emb")
+      .collect()
+    // single-probe hits are genuine cosines from the query's own cell:
+    // every (q, id, cos) also appears in a full-corpus scoring
+    assert(one.nonEmpty && one.forall(_.getInt(3) >= 1))
+    val bruteAll = rows(graft.pipeline.VectorOps.bruteForceTopK(
+      corpus, queries, k = 60, idCol = "id", vecCol = "emb"))
+      .map(t => (t._1, t._2, t._3))
+    assert(one.forall(r =>
+      bruteAll.contains((r.getLong(0), r.getLong(1), r.getDouble(2)))))
+  }
+
   test("int8TopK recall vs float brute force on the test embeddings") {
     // fixed data -> deterministic: 24 of 25 top-5 hits agree (96%);
     // the floor leaves margin without losing meaning
