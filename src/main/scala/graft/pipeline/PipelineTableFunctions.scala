@@ -72,11 +72,33 @@ object PipelineTableFunctions {
     plan(CorpusOps.closestFeatures(tbl(args(0), "tableA"), tbl(args(1), "tableB")))
   }
 
+  private def kmeansIvfBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 7,
+      "kmeans_ivf_topk(corpus, queries, k[, cells, nprobe, idCol, vecCol])")
+    plan(VectorOps.kmeansIvfTopK(tbl(args(0), "corpus"), tbl(args(1), "queries"),
+      num(args(2), "k").toInt,
+      if (args.length > 3) num(args(3), "cells").toInt else 8,
+      if (args.length > 4) num(args(4), "nprobe").toInt else 1,
+      if (args.length > 5) str(args(5), "idCol") else "vec_id",
+      if (args.length > 6) str(args(6), "vecCol") else "embedding"))
+  }
+
+  private def int8TopKBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 5,
+      "int8_topk(corpus, queries, k[, idCol, vecCol])")
+    plan(VectorOps.int8TopK(tbl(args(0), "corpus"), tbl(args(1), "queries"),
+      num(args(2), "k").toInt,
+      if (args.length > 3) str(args(3), "idCol") else "vec_id",
+      if (args.length > 4) str(args(4), "vecCol") else "embedding"))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     reg.createOrReplaceTempFunction("near_dup_pairs", nearDupBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("semantic_dedup", semanticBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("remove_duplicate_spans", spansBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("closest_features", closestBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("kmeans_ivf_topk", kmeansIvfBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("int8_topk", int8TopKBuilder, "scala_udf")
   }
 }

@@ -52,6 +52,14 @@ class ExtensionsSpec extends AnyFunSuite {
       val kept = s.sql("SELECT id FROM semantic_dedup('ext_vecs', 'id', 'emb', 2, 0.95)")
         .collect().map(_.getLong(0)).toSet
       assert(kept == Set(1L, 3L))
+      val hit = s.sql(
+        """SELECT id FROM kmeans_ivf_topk('ext_vecs', 'ext_vecs', 1, 2, 2, 'id', 'emb')
+           WHERE q_id = 1""").collect().map(_.getLong(0))
+      assert(hit.toSeq == Seq(2L)) // the exact duplicate of vector 1
+      val hit8 = s.sql(
+        "SELECT id FROM int8_topk('ext_vecs', 'ext_vecs', 1, 'id', 'emb') WHERE q_id = 1")
+        .collect().map(_.getLong(0))
+      assert(hit8.toSeq == Seq(2L))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
