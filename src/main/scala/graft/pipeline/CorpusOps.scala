@@ -211,6 +211,24 @@ object CorpusOps {
     * (merge is associative; property-checked in IntervalOpsSpec),
     * parallel WITHIN a key instead of bounded by key count.
     */
+  /** Deterministic weighted sampling: keep each row with probability
+    * `probCol` (clamped to [0, 1]) — the quality-weighted downsampling
+    * step. The keep decision is a pure function of the id (md5-derived
+    * unit uniform vs the row's probability), so task retries and
+    * speculative execution can never double- or drop-count a row —
+    * `rand()` cannot promise that, and at 1000 executors retries are
+    * routine, not rare. Returns the kept rows with all their columns.
+    */
+  def weightedSample(df: DataFrame, probCol: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    requireIntegralId(df, idCol, "weightedSample")
+    val id = s"`${idCol.replace("`", "``")}`"
+    val p = s"`${probCol.replace("`", "``")}`"
+    df.where(expr(
+      s"""cast(conv(substr(md5(cast($id as string)), 1, 8), 16, 10) as bigint) % 1000000
+          < cast(greatest(0D, least(1D, cast($p as double))) * 1000000 as bigint)"""))
+  }
+
   /** Distance from each `a` interval to its nearest same-chrom `b`
     * interval (bedtools closest): 0 when overlapping or touching, null
     * when the chrom has no `b` feature. Input columns on both frames:

@@ -126,6 +126,39 @@ object PipelineOps {
           CAST(sum(CASE WHEN bucket < 10 THEN doc_id END) AS BIGINT) AS sample_checksum
         FROM d GROUP BY source ORDER BY source""")),
 
+    // ---- weighted sampling: keep probability follows a quality proxy ----
+    // Quality-weighted downsampling (high-value docs oversampled, short
+    // ones thinned) with the same determinism discipline as the
+    // stratified sample: the keep decision is a pure function of
+    // doc_id, so retries/speculation can never double- or drop-count —
+    // rand() cannot promise that. Integer-exact threshold: bucket in
+    // [0, 1e6) vs least(n_tokens, 200) * 5000 (p = n_tokens/200 capped
+    // at 1) — no float boundary for engines to disagree on. Map-only
+    // until the per-source aggregate.
+    "pipe_weighted_sample" -> Q(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("bucket",
+            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000"))
+          .withColumn("kept", col("bucket") < least(col("n_tokens"), lit(200)) * 5000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+            sum(when(col("kept"), col("doc_id"))).as("kept_checksum"))
+          .orderBy("source"),
+      Some("""WITH d AS (SELECT source, doc_id,
+            len(string_split(text, ' ')) AS n_tokens,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+          FROM documents),
+        k AS (SELECT *, bucket < least(n_tokens, 200) * 5000 AS kept FROM d)
+        SELECT source, count(*) AS n_total,
+          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+          CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_checksum
+        FROM k GROUP BY source ORDER BY source""")),
+
     // ---- end-to-end curation: the composed production pipeline ----
     // quality filter -> exact dedup keep-first -> decontaminate (ANTI
     // join on the 5-gram inverted index) -> deterministic stratified

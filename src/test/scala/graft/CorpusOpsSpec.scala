@@ -95,6 +95,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(k1.contains(5L) && k2.contains(5L))
   }
 
+  test("weightedSample: p=1 keeps all, p=0 keeps none, decisions are deterministic and roughly proportional") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) 0.9 else 0.1, s"doc$i"))
+      .toDF("id", "p", "payload")
+    def keep(col: String) = graft.pipeline.CorpusOps
+      .weightedSample(docs.withColumn("pp", expr(col)), "pp", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keep("1.0").size == 2000 && keep("100.0").size == 2000) // clamp
+    assert(keep("0.0").isEmpty && keep("-3.0").isEmpty)
+    val once = keep("p"); val again = keep("p")
+    assert(once == again, "same ids must keep/drop identically on re-run")
+    val hi = once.count(_ % 2 == 0); val lo = once.size - hi
+    assert(hi > 800 && hi < 1000 && lo > 50 && lo < 150,
+      s"sampling rates off: hi=$hi lo=$lo") // E[hi]=900, E[lo]=100
+    val kept = graft.pipeline.CorpusOps.weightedSample(docs, "p", "id")
+    assert(kept.columns.toSeq == Seq("id", "p", "payload"))
+  }
+
   test("new-op edge cases: empty text, k larger than the corpus, empty vectors") {
     import spark.implicits._
     // empty / whitespace-only docs: filtered by the length guard, the
