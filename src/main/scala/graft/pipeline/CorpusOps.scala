@@ -112,6 +112,55 @@ object CorpusOps {
       .drop("__component", "__rn")
   }
 
+  /** Leakage-safe train/val split: every near-dup CLUSTER (connected
+    * components over `pairs`, e.g. the output of [[nearDupPairs]]) lands
+    * wholly in one split, so a benchmark held out from training never
+    * contains a near-duplicate of a training doc. The assignment is a
+    * deterministic md5 bucket of the cluster label — a pure function of
+    * content, stable across runs, engines, and task retries (`rand()`
+    * per doc is the leakage bug this operator exists to fix). Of
+    * `buckets` hash buckets the last `valBuckets` go to 'val', the rest
+    * to 'train'; docs in no pair split on their own id. Returns `docs`
+    * columns plus (component, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id", buckets: Int = 10,
+                       valBuckets: Int = 2): DataFrame = {
+    requireIntegralId(docs, idCol, "leakageSafeSplit")
+    val pc = pairs.columns
+    requireIntegralId(pairs, pc(0), "leakageSafeSplit")
+    requireIntegralId(pairs, pc(1), "leakageSafeSplit")
+    require(buckets >= 2 && valBuckets >= 1 && valBuckets < buckets,
+      s"CorpusOps.leakageSafeSplit: need 1 <= valBuckets < buckets >= 2, " +
+        s"got buckets=$buckets valBuckets=$valBuckets")
+    require(!docs.columns.exists(c => c.equalsIgnoreCase("component") ||
+        c.equalsIgnoreCase("split")),
+      "CorpusOps.leakageSafeSplit: docs already has a 'component' or 'split' column")
+    graft.queries.Dedup.leakageSafeSplitOf(
+      docs, pairs.select(col(pc(0)).cast("long"), col(pc(1)).cast("long")),
+      idCol, buckets, valBuckets)
+  }
+
+  /** Count-Min-Sketch heavy hitters: the values of `valueCol` whose
+    * occurrence count reaches `threshold`, found with sketch state of
+    * fixed size `depth` x `width` regardless of value cardinality. The
+    * sketch never under-counts, so no heavy hitter is missed; screened
+    * candidates are then exact-counted, so the reported counts carry no
+    * sketch error. Returns (`valueCol`, est, cnt) — est is the sketch
+    * estimate (>= cnt; the gap is the collision mass, a direct width
+    * diagnostic). Size `width` >> distinct-values/threshold so the
+    * screen actually prunes.
+    */
+  def heavyHitters(values: DataFrame, valueCol: String, threshold: Long,
+                   depth: Int = 3, width: Int = 2048): DataFrame = {
+    require(values.columns.exists(_.equalsIgnoreCase(valueCol)),
+      s"CorpusOps.heavyHitters: no column '$valueCol' in [${values.columns.mkString(", ")}]")
+    require(!Seq("est", "cnt").exists(_.equalsIgnoreCase(valueCol)),
+      "CorpusOps.heavyHitters: valueCol collides with an output column (est, cnt)")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    graft.queries.TextOps.cmsHeavyHitters(values, valueCol, threshold, depth, width)
+  }
+
   /** Incremental dedup — the daily-delta shape: drop `batch` rows that
     * duplicate a `corpus` doc, exactly (content-hash equality, covers
     * docs too short to shingle) or nearly (MinHash-band collision +

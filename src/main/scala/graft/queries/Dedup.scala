@@ -371,6 +371,27 @@ object Dedup {
     labels
   }
 
+  /** Cluster-safe train/val assignment — the mechanism behind the
+    * pipe_leakage_safe_split entry (see its comment for the leakage
+    * rationale). Components over `pairs` label every doc; the label's
+    * deterministic md5 bucket (of `buckets`, last `valBuckets` = val)
+    * decides the split for the WHOLE cluster, so no near-dup pair
+    * straddles it. The component frame is pair-bounded — tiny next to
+    * the corpus — and broadcast onto `docs`; singletons fall through the
+    * left join and split on their own id. Public entry:
+    * [[graft.pipeline.CorpusOps.leakageSafeSplit]]. */
+  private[graft] def leakageSafeSplitOf(docs: DataFrame, pairs: DataFrame,
+      idCol: String, buckets: Int, valBuckets: Int): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.join(broadcast(comp), docs(idCol) === comp("node"), "left")
+      .withColumn("component", coalesce(col("label"), col(idCol).cast("long")))
+      .drop("node", "label")
+      .withColumn("split",
+        when(expr(s"cast(conv(substr(md5(cast(component as string)), 1, 8), 16, 10) as bigint) % $buckets")
+            < buckets - valBuckets,
+          lit("train")).otherwise(lit("val")))
+  }
+
   private val ShingleCteSql =
     """sh AS (
          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -763,6 +784,43 @@ object Dedup {
         incrementalDupMatches(docs.where(isBatch), docs.where(!isBatch))
           .orderBy("batch_id")
       },
-      Some(IncrementalOracleSql))
+      Some(IncrementalOracleSql)),
+
+    // ---- leakage-safe train/val split ----
+    // Eval leakage through near-duplicates: a random PER-DOCUMENT split
+    // puts one copy of a near-dup pair in train and its twin in val, and
+    // the held-out benchmark silently measures memorization. The split
+    // unit must be the near-dup CLUSTER: every doc in a connected
+    // component inherits the component label's deterministic md5 bucket,
+    // so near-duplicates can never straddle the split (and the split is
+    // a pure function of content — stable across runs, engines, and
+    // retries, unlike rand()). Reuses the LSH-verified pair graph and
+    // pointer-doubling components (both already the shapes that scale);
+    // the component frame is pair-bounded — tiny next to the corpus —
+    // and BROADCAST onto the doc table. Singletons fall through the
+    // left join and split on their own id, keeping one code path.
+    "pipe_leakage_safe_split" -> Q(
+      (s, dir) => leakageSafeSplitOf(
+        t(s, dir, "documents").select(col("doc_id")),
+        lshVerifiedPairs(s, dir).select("id_a", "id_b"),
+        idCol = "doc_id", buckets = 10, valBuckets = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $ShingleCteSql,
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+        SELECT d.doc_id,
+          coalesce(c.component, d.doc_id) AS component,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+               THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ORDER BY d.doc_id"""))
   )
 }

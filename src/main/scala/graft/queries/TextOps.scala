@@ -22,6 +22,47 @@ object TextOps {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Count-Min-Sketch heavy hitters over any string column — the
+    * mechanism behind the text_heavy_hitters_cms entry (see its comment
+    * for the scale rationale). `depth` md5-hex hash rows (<= 4: the 32
+    * hex chars of one md5 give four disjoint 8-char windows) of `width`
+    * buckets each; returns (`valueCol`, est, cnt) for values whose
+    * sketch estimate AND exact count reach `threshold`. CMS never
+    * under-counts, so the screen has no false negatives; exact counting
+    * touches only screened candidates. Public entry:
+    * [[graft.pipeline.CorpusOps.heavyHitters]]. */
+  private[graft] def cmsHeavyHitters(values: DataFrame, valueCol: String,
+      threshold: Long, depth: Int = 3, width: Int = 2048): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth must be in [1, 4], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val v = values.select(col(valueCol).cast("string").as("g"))
+      .where(col("g").isNotNull)
+    def bucket(i: Int) =
+      expr(s"cast(conv(substr(md5(g), ${8 * i + 1}, 8), 16, 10) as bigint) % $width")
+    // three consumers below (sketch, candidate distinct, exact verify)
+    val bucketed = Q.barrier(
+      v.select(col("g") +: (0 until depth).map(i => bucket(i).as(s"b$i")): _*))
+    val sketch = bucketed
+      .select(posexplode(array((0 until depth).map(i => col(s"b$i")): _*))
+        .as(Seq("i", "b")))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    def row(i: Int) = broadcast(
+      sketch.where(col("i") === i).select(col("b").as(s"b$i"), col("c").as(s"c$i")))
+    val est = (0 until depth).map(i => col(s"c$i")) match {
+      case Seq(one) => one
+      case cs => least(cs: _*)
+    }
+    val screened = (0 until depth).foldLeft(bucketed.distinct()) {
+      (df, i) => df.join(row(i), s"b$i")
+    }.select(col("g"), est.as("est"))
+      .where(col("est") >= threshold)
+    bucketed.select("g")
+      .join(broadcast(screened), "g")
+      .groupBy("g", "est").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+      .withColumnRenamed("g", valueCol)
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- language ID: argmax of stopword hits, deterministic tie-break ----
@@ -192,6 +233,47 @@ object TextOps {
           CAST(min(v.c) AS BIGINT) AS rarest,
           CAST(CAST(sum(v.c) AS BIGINT) AS DOUBLE) / count(*) AS mean_freq
         FROM toks t JOIN v USING (tok)
-        GROUP BY t.doc_id ORDER BY doc_id"""))
+        GROUP BY t.doc_id ORDER BY doc_id""")),
+
+    // ---- Count-Min-Sketch heavy hitters over 2-grams ----
+    // The sketch is the scale mechanism: frequency state is a fixed
+    // depth x width (3 x 2048) integer grid REGARDLESS of vocabulary
+    // size, built by ONE bounded-cardinality aggregation — map-side
+    // combine caps each partition's shuffle contribution at d*w rows,
+    // where an exact count shuffles the full vocab. Candidate grams are
+    // screened against the broadcast sketch (CMS never under-counts, so
+    // est >= true count and no heavy hitter can be screened out), and
+    // only survivors are exact-counted via a broadcast semi-style join —
+    // the sketch-prune + exact-verify shape the LSH entries use for
+    // pairs, applied to frequencies. Hash identity with the oracle:
+    // three disjoint 8-hex-char md5 windows
+    // (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT)).
+    "text_heavy_hitters_cms" -> Q(
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 2)
+          .select(explode(expr(PipelineOps.gramExpr(2))).as("g"))
+        cmsHeavyHitters(grams, "g", threshold = 40).orderBy("g")
+      },
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+              FROM d WHERE len(w) >= 2),
+        b AS (SELECT g,
+          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 2048 AS b0,
+          CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT) % 2048 AS b1,
+          CAST(('0x' || substr(md5(g), 17, 8)) AS BIGINT) % 2048 AS b2
+          FROM g),
+        s0 AS (SELECT b0, count(*) AS c0 FROM b GROUP BY 1),
+        s1 AS (SELECT b1, count(*) AS c1 FROM b GROUP BY 1),
+        s2 AS (SELECT b2, count(*) AS c2 FROM b GROUP BY 1),
+        cand AS (SELECT DISTINCT g, b0, b1, b2 FROM b),
+        screened AS (SELECT g, least(c0, c1, c2) AS est
+          FROM cand JOIN s0 USING (b0) JOIN s1 USING (b1) JOIN s2 USING (b2)
+          WHERE least(c0, c1, c2) >= 40)
+        SELECT b.g AS g, CAST(s.est AS BIGINT) AS est,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM b JOIN screened s ON b.g = s.g
+        GROUP BY b.g, s.est HAVING count(*) >= 40 ORDER BY g"""))
   )
 }

@@ -231,4 +231,75 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(None) == expect)
     assert(got(Some(16L)) == expect) // buckets split the [10,30] merge
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster on one side, singletons on their own id") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "body")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("x", "y")
+    val out = graft.pipeline.CorpusOps.leakageSafeSplit(docs, pairs, "id")
+    assert(out.columns.toSeq == Seq("id", "body", "component", "split"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    // one split per component — the operator's whole contract
+    assert(rows.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    // chain {1,2,3} collapses to the min label
+    assert(rows.filter(r => Set(1L, 2L, 3L)(r._1)).map(_._2).distinct.toSeq == Seq(1L))
+    // docs in no pair are their own component
+    assert(rows.find(_._1 == 30L).get._2 == 30L)
+    // the md5 buckets actually spread: both splits occur over 37 components
+    assert(rows.map(_._3).distinct.toSet == Set("train", "val"))
+  }
+
+  test("leakageSafeSplit rejects non-integral ids and reserved output columns") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.leakageSafeSplit(
+        Seq(("a", "x")).toDF("id", "body"), pairs, "id")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.leakageSafeSplit(
+        Seq((1L, "x")).toDF("id", "split"), pairs, "id")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.leakageSafeSplit(
+        Seq((1L, "x")).toDF("id", "body"), pairs, "id", buckets = 5, valBuckets = 5)
+    }
+  }
+
+  test("heavyHitters reports exactly the at-threshold values with exact counts, est >= cnt") {
+    import spark.implicits._
+    val vals = (Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      (1 to 200).map(i => s"cold$i")).toDF("v")
+    val out = graft.pipeline.CorpusOps.heavyHitters(vals, "v", threshold = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(r => r._1 -> r._3).toMap == Map("hot" -> 30L, "warm" -> 10L))
+    assert(out.forall(r => r._2 >= r._3), "CMS must never under-count")
+  }
+
+  test("heavyHitters survives a deliberately tiny sketch: collisions inflate est, never cnt") {
+    import spark.implicits._
+    // width 8 << 301 distinct values: the screen passes extra candidates
+    // (est inflated by collision mass) but exact verification still
+    // reports only the true heavy hitter with its true count
+    val vals = (Seq.fill(25)("x") ++ (1 to 300).map(i => s"n$i")).toDF("v")
+    val out = graft.pipeline.CorpusOps
+      .heavyHitters(vals, "v", threshold = 20, depth = 1, width = 8)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out == Map("x" -> 25L))
+  }
+
+  test("heavyHitters validates its arguments") {
+    import spark.implicits._
+    val vals = Seq("a").toDF("est")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.heavyHitters(vals, "est", 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.heavyHitters(Seq("a").toDF("v"), "v", 1, depth = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.heavyHitters(Seq("a").toDF("v"), "missing", 1)
+    }
+  }
 }

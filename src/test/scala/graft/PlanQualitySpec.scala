@@ -162,6 +162,32 @@ class PlanQualitySpec extends AnyFunSuite {
   private def finalPlan(df: DataFrame): String =
     fullPlanString(df).split("== Initial Plan ==")(0)
 
+  test("text_heavy_hitters_cms: sketch screen and exact verify ride broadcasts over the checkpointed gram stream") {
+    // the CMS promise is bounded state + no corpus reshuffle for the
+    // screen/verify: every join must consume a broadcast (the sketch
+    // rows and the screened candidates are both tiny by construction);
+    // a SortMergeJoin here means the gram stream itself got shuffled
+    val plan = finalPlan(SparkEntry.queries("text_heavy_hitters_cms")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"gram stream shuffled for a join that should broadcast:\n${plan.take(4000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast sketch/candidate joins:\n${plan.take(4000)}")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed gram scan:\n${plan.take(4000)}")
+  }
+
+  test("pipe_leakage_safe_split: component labels broadcast onto the doc table") {
+    // the component frame is pair-bounded; the corpus-side doc table
+    // must never shuffle for the label join
+    val plan = finalPlan(SparkEntry.queries("pipe_leakage_safe_split")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the component frame broadcast onto docs:\n${plan.take(4000)}")
+  }
+
   test("rel_bucketed_join: co-located join and agg run with zero exchange below the join") {
     // the write-once-bucketed contract: scan partitioning satisfies the
     // join AND the group-by, so neither plans a shuffle — the property
