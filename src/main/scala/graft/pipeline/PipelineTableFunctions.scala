@@ -92,6 +92,24 @@ object PipelineTableFunctions {
       if (args.length > 4) str(args(4), "vecCol") else "embedding"))
   }
 
+  private def heavyHittersBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 5,
+      "heavy_hitters(table, valueCol, threshold[, depth, width])")
+    plan(CorpusOps.heavyHitters(tbl(args(0), "table"),
+      str(args(1), "valueCol"), num(args(2), "threshold").toLong,
+      if (args.length > 3) num(args(3), "depth").toInt else 3,
+      if (args.length > 4) num(args(4), "width").toInt else 2048))
+  }
+
+  private def leakageSplitBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 5,
+      "leakage_safe_split(docs, pairs[, idCol, buckets, valBuckets])")
+    plan(CorpusOps.leakageSafeSplit(tbl(args(0), "docs"), tbl(args(1), "pairs"),
+      if (args.length > 2) str(args(2), "idCol") else "doc_id",
+      if (args.length > 3) num(args(3), "buckets").toInt else 10,
+      if (args.length > 4) num(args(4), "valBuckets").toInt else 2))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     reg.createOrReplaceTempFunction("near_dup_pairs", nearDupBuilder, "scala_udf")
@@ -100,5 +118,7 @@ object PipelineTableFunctions {
     reg.createOrReplaceTempFunction("closest_features", closestBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("kmeans_ivf_topk", kmeansIvfBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("int8_topk", int8TopKBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("heavy_hitters", heavyHittersBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("leakage_safe_split", leakageSplitBuilder, "scala_udf")
   }
 }

@@ -60,6 +60,16 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT id FROM int8_topk('ext_vecs', 'ext_vecs', 1, 'id', 'emb') WHERE q_id = 1")
         .collect().map(_.getLong(0))
       assert(hit8.toSeq == Seq(2L))
+      Seq.fill(5)("hot").zipWithIndex.map(_.swap).map { case (i, v) => (i.toLong, v) }
+        .++(Seq((9L, "cold"))).toDF("id", "v").createOrReplaceTempView("ext_vals")
+      val hh = s.sql("SELECT * FROM heavy_hitters('ext_vals', 'v', 3)")
+        .collect().map(r => (r.getString(0), r.getLong(2)))
+      assert(hh.toSeq == Seq(("hot", 5L)))
+      Seq((10L, 11L)).toDF("id_a", "id_b").createOrReplaceTempView("ext_pairs")
+      val split = s.sql(
+        "SELECT * FROM leakage_safe_split('ext_docs', 'ext_pairs', 'id')")
+      assert(split.count() == 3 &&
+        split.select("split").where("id IN (10, 11)").distinct().count() == 1)
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
