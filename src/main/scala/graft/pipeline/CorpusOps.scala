@@ -161,6 +161,69 @@ object CorpusOps {
     graft.queries.TextOps.cmsHeavyHitters(values, valueCol, threshold, depth, width)
   }
 
+  /** BM25 top-k retrieval over a whitespace-tokenized text column —
+    * Okapi scoring (default k1=1.2, b=0.75), top `k` rows by
+    * (score desc, id asc). The retrieval shape a curation pipeline
+    * needs beyond exact n-gram decontamination: "which corpus docs
+    * match this query". The corpus is exploded once and filtered to
+    * the query's terms before any shuffle, so aggregate state is
+    * bounded by |matching docs| x |terms|; per-term contributions are
+    * summed as integer micro-points, so the score is shuffle-order
+    * independent (see TextOps.bm25TopK). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    Seq(idCol, textCol).foreach { c =>
+      require(docs.columns.exists(_.equalsIgnoreCase(c)),
+        s"CorpusOps.bm25TopK: no column '$c' in [${docs.columns.mkString(", ")}]")
+    }
+    require(terms.nonEmpty, "CorpusOps.bm25TopK: empty term list")
+    require(terms.forall(t => t.nonEmpty && !t.contains("'")),
+      "CorpusOps.bm25TopK: terms must be non-empty and quote-free")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"BM25 parameters out of range: k1=$k1 (must be > 0), b=$b (must be in [0, 1])")
+    graft.queries.TextOps.bm25TopK(docs, terms, k, idCol, textCol, k1, b)
+  }
+
+  /** fastText-shaped model-based quality scoring: a linear classifier
+    * over hashed bigram features. `weights` is the trained model as a
+    * (gram string, weight bigint) table — vocabulary-bounded, so it
+    * BROADCASTS; the corpus explodes its bigrams once, looks weights up
+    * on the broadcast, and re-aggregates per doc (map-side partial agg
+    * collapses each doc to ~1 shuffled row). Integer weights keep the
+    * score exactly reproducible regardless of shuffle order — the
+    * lineage-stability property a curation filter needs (a float dot
+    * product would be summation-order-dependent). Unknown grams score
+    * 0; docs with < 2 tokens score 0 with n_feats = 0 (explode_outer
+    * keeps them). Returns (idCol, n_feats, score_raw, keep) with
+    * keep = score_raw >= threshold. */
+  def qualityScore(docs: DataFrame, weights: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   threshold: Long = 0L): DataFrame = {
+    Seq(idCol, textCol).foreach { c =>
+      require(docs.columns.exists(_.equalsIgnoreCase(c)),
+        s"CorpusOps.qualityScore: no column '$c' in [${docs.columns.mkString(", ")}]")
+    }
+    Seq("gram", "weight").foreach { c =>
+      require(weights.columns.exists(_.equalsIgnoreCase(c)),
+        s"CorpusOps.qualityScore: weights table needs (gram, weight), got [${weights.columns.mkString(", ")}]")
+    }
+    val grams = docs
+      .select(col(idCol).as("qs_id"), split(col(textCol), " ").as("w"))
+      .select(col("qs_id"), explode_outer(
+        when(size(col("w")) >= 2, expr(graft.queries.PipelineOps.gramExpr(2)))
+          .otherwise(expr("cast(array() as array<string>)"))).as("gram"))
+    grams
+      .join(broadcast(weights.select(col("gram"),
+        col("weight").cast("long").as("weight"))), Seq("gram"), "left")
+      .groupBy("qs_id")
+      .agg(count(col("gram")).as("n_feats"),
+        coalesce(sum(col("weight")), lit(0L)).as("score_raw"))
+      .select(col("qs_id").as(idCol), col("n_feats"), col("score_raw"),
+        (col("score_raw") >= threshold).as("keep"))
+  }
+
   /** Incremental dedup — the daily-delta shape: drop `batch` rows that
     * duplicate a `corpus` doc, exactly (content-hash equality, covers
     * docs too short to shingle) or nearly (MinHash-band collision +

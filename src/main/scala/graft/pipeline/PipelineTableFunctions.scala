@@ -110,6 +110,25 @@ object PipelineTableFunctions {
       if (args.length > 4) num(args(4), "valBuckets").toInt else 2))
   }
 
+  private def bm25Builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 5,
+      "bm25_topk(table, 'terms csv', k[, idCol, textCol])")
+    val terms = str(args(1), "terms").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    plan(CorpusOps.bm25TopK(tbl(args(0), "table"), terms,
+      num(args(2), "k").toInt,
+      if (args.length > 3) str(args(3), "idCol") else "doc_id",
+      if (args.length > 4) str(args(4), "textCol") else "text"))
+  }
+
+  private def qualityScoreBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 5,
+      "quality_score(docs, weights[, idCol, textCol, threshold])")
+    plan(CorpusOps.qualityScore(tbl(args(0), "docs"), tbl(args(1), "weights"),
+      if (args.length > 2) str(args(2), "idCol") else "doc_id",
+      if (args.length > 3) str(args(3), "textCol") else "text",
+      if (args.length > 4) num(args(4), "threshold").toLong else 0L))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     reg.createOrReplaceTempFunction("near_dup_pairs", nearDupBuilder, "scala_udf")
@@ -120,5 +139,7 @@ object PipelineTableFunctions {
     reg.createOrReplaceTempFunction("int8_topk", int8TopKBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("heavy_hitters", heavyHittersBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("leakage_safe_split", leakageSplitBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("bm25_topk", bm25Builder, "scala_udf")
+    reg.createOrReplaceTempFunction("quality_score", qualityScoreBuilder, "scala_udf")
   }
 }

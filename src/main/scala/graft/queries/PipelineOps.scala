@@ -570,6 +570,40 @@ object PipelineOps {
         SELECT source, count(*) AS n_canonical,
           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
           CAST(sum(n_chars) AS BIGINT) AS quality_checksum
-        FROM ranked WHERE rn = 1 GROUP BY source ORDER BY source"""))
+        FROM ranked WHERE rn = 1 GROUP BY source ORDER BY source""")),
+
+    // ---- model-based quality scoring (fastText-shaped linear filter) ----
+    // The model-driven stage of a curation pipeline: a linear classifier
+    // over hashed bigram features, scored corpus-wide. The trained model
+    // is a (gram, weight) table — vocabulary-bounded, broadcast — and
+    // scoring is explode + broadcast-lookup + per-doc re-agg (map-side
+    // partial agg ≈ one shuffled row per doc). Here the weight table is
+    // hash-derived from the corpus grams (the oracle-checkable stand-in
+    // for trained weights, like the multimodal FakeDecoder); integer
+    // weights make the score shuffle-order-exact. Mechanism:
+    // [[graft.pipeline.CorpusOps.qualityScore]].
+    "pipe_model_quality_score" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val weights = docs
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 2)
+          .select(explode(expr(gramExpr(2))).as("gram")).distinct()
+          .withColumn("weight",
+            expr("cast(conv(substr(md5(gram), 1, 8), 16, 10) as bigint) % 1001 - 500"))
+        graft.pipeline.CorpusOps.qualityScore(docs, weights).orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+              FROM d WHERE len(w) >= 2),
+        wt AS (SELECT DISTINCT gram,
+               CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1001 - 500 AS weight FROM g),
+        s AS (SELECT doc_id, count(*) AS n_feats, sum(weight) AS score_raw
+              FROM g JOIN wt USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id AS doc_id,
+          CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+          CAST(coalesce(score_raw, 0) AS BIGINT) AS score_raw,
+          coalesce(score_raw, 0) >= 0 AS keep
+        FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id"""))
   )
 }

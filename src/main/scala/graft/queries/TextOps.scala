@@ -63,6 +63,50 @@ object TextOps {
       .withColumnRenamed("g", valueCol)
   }
 
+  /** BM25 core (text_bm25_topk / [[graft.pipeline.CorpusOps.bm25TopK]]):
+    * Okapi BM25 over whitespace tokens, default k1=1.2 b=0.75, top-k by
+    * (score desc, id asc). Scale: the corpus is exploded once and
+    * filtered to the query's terms BEFORE any shuffle, so the
+    * (doc, term) aggregate is bounded by |matching docs| x |query|, not
+    * the corpus; df comes from that same tiny frame and joins
+    * broadcast; top-k is TakeOrdered, never a global sort. Determinism
+    * across engines: each term's contribution is rounded to integer
+    * MICRO-points and summed as BIGINT (a double sum would depend on
+    * shuffle order); the only cross-engine float ops are two divisions
+    * and one ln with identical operand order on both sides. Corpus
+    * stats (N, total tokens) are one 1-row aggregate — the same driver-
+    * scalar class as the CC convergence reads, fine at 100 TB. */
+  private[graft] def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("bm_id"), split(col(textCol), " ").as("w"))
+      .withColumn("dl", size(col("w")))
+    val st = base.agg(count(lit(1)).as("n"),
+      sum(col("dl").cast("long")).as("tot")).head
+    if (st.getLong(0) == 0L) // empty corpus: no stats to score against
+      return docs.select(col(idCol)).limit(0)
+        .withColumn("n_terms", lit(null).cast("long"))
+        .withColumn("score", lit(null).cast("double"))
+    val (n, tot) = (st.getLong(0), st.getLong(1))
+    val inList = terms.map(q => s"'$q'").mkString(", ")
+    val tf = base
+      .select(col("bm_id"), col("dl"), explode(col("w")).as("term"))
+      .where(expr(s"term IN ($inList)"))
+      .groupBy("bm_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("c", expr(
+        s"cast(round(1e6 * ln(($n - df + 0.5) / (df + 0.5) + 1.0) * tf * ${k1 + 1} / " +
+        s"(tf + $k1 * (${1 - b} + $b * (cast(dl as bigint) * $n) / cast($tot as double))), 0) as bigint)"))
+      .groupBy("bm_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("micro"))
+      .select(col("bm_id").as(idCol), col("n_terms"),
+        (col("micro").cast("double") / expr("1e6")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- language ID: argmax of stopword hits, deterministic tie-break ----
@@ -274,6 +318,37 @@ object TextOps {
         SELECT b.g AS g, CAST(s.est AS BIGINT) AS est,
           CAST(count(*) AS BIGINT) AS cnt
         FROM b JOIN screened s ON b.g = s.g
-        GROUP BY b.g, s.est HAVING count(*) >= 40 ORDER BY g"""))
+        GROUP BY b.g, s.est HAVING count(*) >= 40 ORDER BY g""")),
+
+    // ---- BM25 top-k retrieval (Okapi, k1=1.2 b=0.75) ----
+    // The retrieval shape a curation pipeline needs (e.g. "find corpus
+    // docs matching an eval query" beyond exact n-gram decontamination).
+    // Scale: the corpus is exploded ONCE and filtered to the query's
+    // terms BEFORE any shuffle — the (doc, term) aggregate is bounded by
+    // |matching docs| x |query|, not the corpus; df comes from that same
+    // tiny frame; the per-term frame joins broadcast. No global window:
+    // top-k is TakeOrdered. Determinism across engines: each term's
+    // contribution is rounded to integer MICRO-points and summed as
+    // BIGINT (order-independent — a double sum would depend on shuffle
+    // order), and the only cross-engine float ops are two divisions and
+    // one ln with identical operand order on both sides.
+    "text_bm25_topk" -> Q(
+      (s, dir) => bm25TopK(t(s, dir, "documents"), Seq("dup", "spark", "join"), 10),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        dd AS (SELECT doc_id, len(w) AS dl, w FROM d),
+        stats AS (SELECT count(*) AS n, sum(len(w)) AS tot FROM d),
+        tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+                WHERE term IN ('dup', 'spark', 'join')
+                GROUP BY doc_id, dl, term),
+        dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        c AS (SELECT doc_id,
+          cast(round(1e6 * ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+            (tf + 1.2 * (0.25 + 0.75 * (dl * n) / cast(tot as double))), 0) as bigint) AS c
+          FROM tfc JOIN dfc USING (term) CROSS JOIN stats)
+        SELECT doc_id, count(*) AS n_terms,
+          cast(sum(c) AS double) / 1e6 AS score
+        FROM c GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10"""))
   )
 }

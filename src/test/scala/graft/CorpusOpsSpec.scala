@@ -46,6 +46,64 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 7L))
   }
 
+  test("bm25TopK ranks tf and rarity correctly under renamed columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "cat cat cat dog"),
+      (2, "cat dog"),
+      (3, "bird bird"))
+      .toDF("my_id", "body")
+    val hits = graft.pipeline.CorpusOps.bm25TopK(docs, Seq("cat"), 5, "my_id", "body")
+      .collect()
+    // doc 1 (tf=3) outranks doc 2 (tf=1, shorter); doc 3 has no match
+    assert(hits.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(hits(0).getDouble(2) > hits(1).getDouble(2))
+    // rarity: with query (cat, bird), bird's df=1 < cat's df=2, so for
+    // equal tf the bird-only doc gets the higher idf contribution
+    val two = graft.pipeline.CorpusOps.bm25TopK(docs, Seq("cat", "bird"), 5, "my_id", "body")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(two == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.bm25TopK(docs, Seq.empty, 5, "my_id", "body")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.bm25TopK(docs, Seq("cat"), 0, "my_id", "body")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.bm25TopK(docs, Seq("cat"), 5, "nope", "body")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.bm25TopK(docs, Seq("o'brien"), 5, "my_id", "body")
+    }
+    // empty corpus: schema-stable empty result, no NPE on the stats row
+    val empty = graft.pipeline.CorpusOps.bm25TopK(
+      docs.where("my_id < 0"), Seq("cat"), 5, "my_id", "body")
+    assert(empty.columns.toSeq == Seq("my_id", "n_terms", "score") && empty.count() == 0)
+  }
+
+  test("qualityScore sums broadcast weights per doc, scores short and unknown-gram docs 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "good text here"),     // grams: "good text"(+7), "text here"(+5) -> 12
+      (2, "bad stuff"),          // gram: "bad stuff"(-9) -> -9
+      (3, "tiny"),               // < 2 tokens -> no features
+      (4, "unseen grams only"))  // grams not in the model -> 0
+      .toDF("my_id", "body")
+    val weights = Seq(
+      ("good text", 7L), ("text here", 5L), ("bad stuff", -9L))
+      .toDF("gram", "weight")
+    val out = graft.pipeline.CorpusOps.qualityScore(docs, weights, "my_id", "body")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      1 -> ((2L, 12L, true)),
+      2 -> ((1L, -9L, false)),
+      3 -> ((0L, 0L, true)),
+      4 -> ((2L, 0L, true))))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.qualityScore(docs, weights.toDF("g", "w"), "my_id", "body")
+    }
+  }
+
   test("removeDuplicateSpans cuts later occurrences, keeps the first, rebuilds in order") {
     import spark.implicits._
     // segWords = 3: doc 1 = [A][B], doc 2 = [B][C] (B lifted from doc 1),

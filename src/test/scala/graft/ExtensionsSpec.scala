@@ -70,6 +70,16 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT * FROM leakage_safe_split('ext_docs', 'ext_pairs', 'id')")
       assert(split.count() == 3 &&
         split.select("split").where("id IN (10, 11)").distinct().count() == 1)
+      // 'one' (df=1) out-idfs 'alpha' (df=2): the unique doc ranks first
+      val bm = s.sql("SELECT id FROM bm25_topk('ext_docs', 'alpha,one', 3, 'id', 'body')")
+        .collect().map(_.getLong(0))
+      assert(bm.length == 3 && bm.head == 12L, bm.toSeq)
+      Seq(("alpha beta", 3L), ("one two", -5L)).toDF("gram", "weight")
+        .createOrReplaceTempView("ext_weights")
+      val qs = s.sql(
+        "SELECT id, score_raw FROM quality_score('ext_docs', 'ext_weights', 'id', 'body')")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(qs == Map(10L -> 3L, 11L -> 3L, 12L -> -5L), qs)
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)

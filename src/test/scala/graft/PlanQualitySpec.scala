@@ -178,6 +178,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected checkpointed gram scan:\n${plan.take(4000)}")
   }
 
+  test("text_bm25_topk: df joins broadcast, top-k is TakeOrdered, no global sort") {
+    // the term filter bounds all aggregate state at |matching docs| x
+    // |query terms|; the df frame must broadcast back onto it, and the
+    // final top-k must be a TakeOrdered (a global Sort would shuffle
+    // every scored doc to rank 10 of them)
+    val plan = finalPlan(SparkEntry.queries("text_bm25_topk")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"df join fell back to sort-merge:\n${plan.take(4000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast df join:\n${plan.take(4000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not TakeOrdered:\n${plan.take(4000)}")
+  }
+
+  test("pipe_model_quality_score: the model table broadcasts onto the gram stream") {
+    // weights are vocabulary-bounded; the corpus gram stream must look
+    // them up on a broadcast, never shuffle for the join
+    val plan = finalPlan(SparkEntry.queries("pipe_model_quality_score")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"weight lookup fell back to sort-merge:\n${plan.take(4000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast weight join:\n${plan.take(4000)}")
+  }
+
   test("pipe_leakage_safe_split: component labels broadcast onto the doc table") {
     // the component frame is pair-bounded; the corpus-side doc table
     // must never shuffle for the label join
