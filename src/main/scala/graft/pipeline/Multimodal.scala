@@ -104,6 +104,54 @@ object Multimodal {
     }
   }
 
+  final case class MediaCaptionRow(doc_id: Long, media: Array[Byte], caption_emb: Array[Byte])
+  final case class PairScoreRow(doc_id: Long, dot: Long, na: Long, nb: Long, keep: Boolean)
+
+  /** Synthesize (image, caption-embedding) pairs: md5(text) bytes stand
+    * in for the decoded image embedding, md5(reverse(text)) for the
+    * caption encoder's output — the two stubbed encoder seams of a real
+    * CLIP pair pipeline. */
+  def pairTable(s: SparkSession, dir: String): Dataset[MediaCaptionRow] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "doc_id",
+        "unhex(md5(text)) AS media",
+        "unhex(md5(reverse(text))) AS caption_emb")
+      .as[MediaCaptionRow]
+  }
+
+  /** CLIP-style image-text pair filtering: embed both sides (stubbed),
+    * keep pairs whose cosine clears `minCos100`/100. The threshold is
+    * evaluated in INTEGERS via cross-multiplication —
+    * dot >= 0 and dot^2 * 10000 >= minCos100^2 * |a|^2 * |b|^2 —
+    * so the keep decision is exact and engine-reproducible (no float
+    * division, no sqrt). Per-partition batch loop = the mapInPandas
+    * shape; a real deployment swaps FakeDecoder for the image codec and
+    * the caption bytes for a real text encoder. */
+  def filterPairs(pairs: Dataset[MediaCaptionRow], minCos100: Int): Dataset[PairScoreRow] = {
+    require(minCos100 >= 0 && minCos100 <= 100,
+      s"minCos100 must be in [0, 100], got $minCos100")
+    import pairs.sparkSession.implicits._
+    val t = minCos100.toLong
+    pairs.mapPartitions { batch =>
+      batch.map { row =>
+        val img = FakeDecoder.decode(row.media, 4, 4).pixels
+        val cap = row.caption_emb
+        val dims = math.min(img.length, cap.length)
+        var dot = 0L; var na = 0L; var nb = 0L
+        var i = 0
+        while (i < dims) {
+          val a = img(i) & 0xffL; val b = cap(i) & 0xffL
+          dot += a * b; na += a * a; nb += b * b
+          i += 1
+        }
+        val keep = dot >= 0 && dot * dot * 10000L >= t * t * na * nb
+        PairScoreRow(row.doc_id, dot, na, nb, keep)
+      }
+    }
+  }
+
   /** Batch feature extraction over the binary column. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._

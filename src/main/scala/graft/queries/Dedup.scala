@@ -454,6 +454,46 @@ object Dedup {
           AND 2 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
         ORDER BY id_a, id_b""")),
 
+    // ---- n-gram CONTAINMENT: the near-superset detector ----
+    // Jaccard misses asymmetric duplication: a doc fully lifted into a
+    // 10x longer one has J ~ 0.1 but containment ~ 1.0 (Broder's
+    // resemblance-vs-containment distinction). Same bounded posting-join
+    // shape as dedup_ngram_jaccard — shared-shingle candidates, integer
+    // intersection counts — but thresholded on inter / min(|A|, |B|)
+    // (the larger of the two directed containments), integer-exact via
+    // cross-multiplication. At corpus scale the posting join inherits
+    // the jaccard entry's bound: frequent-shingle postings are the skew
+    // risk and would be capped upstream (see SCALE.md).
+    "dedup_containment" -> Q(
+      (s, dir) => {
+        val posting = t(s, dir, "documents")
+          .where(col("doc_id") < 300)
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("shingle"))
+          .distinct()
+          .transform(Q.barrier) // 3 consumers: both join sides + sizes
+        val sizes = posting.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+        posting.as("pa").join(posting.as("pb"),
+            col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))
+          .groupBy(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+          .agg(count(lit(1)).cast("int").as("inter"))
+          .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+          .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+          .where(col("inter") * 10 >= least(col("sz_a"), col("sz_b")) * 9) // C >= 0.9
+          .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShingleCteSql
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter,
+          CAST(len(a.sh) AS INTEGER) AS sz_a, CAST(len(b.sh) AS INTEGER) AS sz_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 300 AND b.doc_id < 300
+          AND 10 * len(list_intersect(a.sh, b.sh)) >= 9 * least(len(a.sh), len(b.sh))
+        ORDER BY id_a, id_b""")),
+
     // ---- MinHash + LSH banding, exact-verify candidates (scale path) ----
     "dedup_minhash_lsh" -> Q(
       (s, dir) => lshVerifiedPairs(s, dir).orderBy("id_a", "id_b"),
@@ -506,6 +546,39 @@ object Dedup {
           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
         SELECT node AS doc_id, min(label) AS component
         FROM reach GROUP BY node ORDER BY doc_id""")),
+
+    // ---- cluster-size audit over the near-dup components ----
+    // The report a dedup run ships with: how much mass sits in clusters
+    // of each size (a fat tail = boilerplate/template explosion worth a
+    // targeted rule; all-pairs = something degenerate upstream). Sizes
+    // and the histogram are two tiny keyed aggs over the pair-bounded
+    // component frame — audit cost is independent of corpus size.
+    "dedup_cluster_stats" -> Q(
+      (s, dir) => {
+        val pairs = lshVerifiedPairs(s, dir).select("id_a", "id_b")
+        connectedComponents(pairs)
+          .groupBy(col("label")).agg(count(lit(1)).cast("int").as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("label")).as("label_checksum"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $ShingleCteSql,
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+        sz AS (SELECT component, CAST(count(*) AS INTEGER) AS cluster_size
+               FROM comp GROUP BY component)
+        SELECT cluster_size, count(*) AS n_clusters,
+          CAST(sum(component) AS BIGINT) AS label_checksum
+        FROM sz GROUP BY cluster_size ORDER BY cluster_size""")),
 
     // ---- SimHash sketch + Hamming near-dup pairs ----
     // 32-bit token hash from md5 hex so the oracle computes the identical

@@ -34,6 +34,27 @@ object MultimodalQ {
                     for i in range(0, CAST((5 + doc_id % 12 + 3) // 4 AS BIGINT))]) AS BIGINT) AS first_byte_sum
         FROM documents ORDER BY doc_id""")),
 
+    // CLIP-style pair filtering: image emb vs caption emb cosine >= 0.9,
+    // decided in integers (cross-multiplied, no float division) so the
+    // keep bit is engine-exact; the oracle replays both stub encoders
+    // from md5 hex
+    "mm_pair_filter" -> Q(
+      (s, dir) =>
+        Multimodal.filterPairs(Multimodal.pairTable(s, dir), minCos100 = 90)
+          .toDF().orderBy("doc_id"),
+      Some("""WITH v AS (SELECT doc_id,
+            [CAST(('0x' || substr(md5(text), 2*i-1, 2)) AS BIGINT) for i in range(1, 17)] AS a,
+            [CAST(('0x' || substr(md5(reverse(text)), 2*i-1, 2)) AS BIGINT) for i in range(1, 17)] AS b
+          FROM documents),
+        sc AS (SELECT doc_id,
+            CAST(list_sum([a[i]*b[i] for i in range(1, 17)]) AS BIGINT) AS dot,
+            CAST(list_sum([a[i]*a[i] for i in range(1, 17)]) AS BIGINT) AS na,
+            CAST(list_sum([b[i]*b[i] for i in range(1, 17)]) AS BIGINT) AS nb
+          FROM v)
+        SELECT doc_id, dot, na, nb,
+          dot >= 0 AND dot*dot*10000 >= 8100*na*nb AS keep
+        FROM sc ORDER BY doc_id""")),
+
     // nearest-neighbor resize of the 16-byte stub buffer to 2x2: the
     // oracle replays the same index arithmetic over the md5 hex bytes
     "mm_resize" -> Q(

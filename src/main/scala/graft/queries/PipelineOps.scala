@@ -107,6 +107,52 @@ object PipelineOps {
         SELECT source, count(*) AS n_contaminated, CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM c GROUP BY source ORDER BY source""")),
 
+    // ---- contamination audit: the per-eval-doc overlap report ----
+    // pipe_decontaminate answers "which train docs must go"; this is the
+    // complementary audit a benchmark owner reads: per eval doc, how
+    // many of its 5-grams leak into train and from how many train docs.
+    // Same inverted-index shape (the gram join is bounded by shared
+    // grams, never |eval| x |train|); clean eval docs survive via the
+    // left join with zero counts. Distinct-gram rows are checkpointed
+    // once and feed both sides, like the decontaminate entry.
+    "pipe_contamination_report" -> Q(
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 5)
+          .select(col("doc_id"), explode(expr(Gram5)).as("g"))
+          .distinct()
+          .transform(Q.barrier)
+        val evalG = grams.where(col("doc_id") % 97 === 0)
+        val trainG = grams.where(col("doc_id") % 97 =!= 0)
+        val hits = evalG.as("e").join(trainG.as("t"), col("e.g") === col("t.g"))
+          .groupBy(col("e.doc_id").as("eval_id"))
+          .agg(countDistinct(col("t.doc_id")).cast("int").as("n_train_docs"),
+            countDistinct(col("e.g")).cast("int").as("n_shared_grams"))
+        evalG.groupBy(col("doc_id").as("eval_id"))
+          .agg(count(lit(1)).cast("int").as("n_grams"))
+          .join(hits, Seq("eval_id"), "left")
+          .na.fill(0, Seq("n_train_docs", "n_shared_grams"))
+          .orderBy("eval_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id,
+            unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                                  for i in range(1, len(w) - 3)])) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 5),
+        e AS (SELECT doc_id, g FROM g WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+        j AS (SELECT e.doc_id AS eval_id,
+                count(DISTINCT tr.doc_id) AS n_train_docs,
+                count(DISTINCT e.g) AS n_shared_grams
+              FROM e JOIN tr ON e.g = tr.g GROUP BY e.doc_id),
+        sz AS (SELECT doc_id AS eval_id, count(*) AS n_grams FROM e GROUP BY doc_id)
+        SELECT sz.eval_id AS eval_id, CAST(n_grams AS INTEGER) AS n_grams,
+          CAST(coalesce(n_train_docs, 0) AS INTEGER) AS n_train_docs,
+          CAST(coalesce(n_shared_grams, 0) AS INTEGER) AS n_shared_grams
+        FROM sz LEFT JOIN j USING (eval_id) ORDER BY eval_id""")),
+
     // ---- deterministic stratified sampling (10% per source) ----
     "pipe_stratified_sample" -> Q(
       (s, dir) =>

@@ -1,5 +1,7 @@
 package graft
 
+import graft.pipeline.Multimodal
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -82,5 +84,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     val withOracle = SparkEntry.oracleSql.size
     assert(total == SparkEntry.registry.size)
     assert(withOracle == total, s"$withOracle/$total oracles")
+  }
+
+  test("filterPairs: identical embeddings keep at cos=1; disjoint supports drop; threshold validated") {
+    import spark.implicits._
+    val same = Array.fill[Byte](16)(7)
+    val horiz = Array.tabulate[Byte](16)(i => if (i < 8) 9 else 0)   // support {0..7}
+    val vert = Array.tabulate[Byte](16)(i => if (i >= 8) 9 else 0)   // support {8..15}: dot = 0
+    val pairs = Seq(
+      Multimodal.MediaCaptionRow(1L, same, same),
+      Multimodal.MediaCaptionRow(2L, horiz, vert)).toDS()
+    val out = Multimodal.filterPairs(pairs, minCos100 = 100)
+      .collect().map(r => r.doc_id -> ((r.dot, r.keep))).toMap
+    assert(out(1L) == ((16L * 49, true)))  // cos exactly 1 survives even at 100
+    assert(out(2L) == ((0L, false)))
+    intercept[IllegalArgumentException] {
+      Multimodal.filterPairs(pairs, minCos100 = 101)
+    }
   }
 }
