@@ -26,5 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.pipeline.PipelineTableFunctions.registerAll(session)
       _ => ()
     }
+    // operator-optimization rule: element predicates become exists()
+    // pre-filters below explode (see PushPredicateThroughExplode)
+    ext.injectOptimizerRule(_ => graft.plans.PushPredicateThroughExplode)
   }
 }

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.ArrayType
+
+/** Push element predicates through `explode` as an `exists` pre-filter.
+  *
+  *   Filter(p(elem), Generate(Explode(arr), outer=false, elem))
+  *     ==>
+  *   Filter(p(elem), Generate(..., Filter(exists(arr, x -> p(x)), child)))
+  *
+  * Why: a filter AFTER an explode runs once per ELEMENT — every token of
+  * every document flows through the Generate before the predicate can
+  * drop it. The rewritten plan drops non-matching ROWS before they
+  * explode: for a needle-in-haystack query (the BM25 / term-lookup
+  * shape: most docs contain no query term) the Generate's input shrinks
+  * by orders of magnitude, and the exists() scan of the array is the
+  * same per-element work the post-filter was already doing. Spark's own
+  * InferFiltersFromGenerate only infers `size(arr) > 0 AND isnotnull`;
+  * it never pushes the element predicate itself (SPARK-33544 removed
+  * unsafe variants of this; the version here keeps the original Filter
+  * in place, so it is a pure pre-filter, not a replacement — safe under
+  * three-valued logic because in a Filter context a null `exists` and
+  * "no surviving exploded row" agree).
+  *
+  * Soundness: only fires for non-outer Explode over an array, for
+  * deterministic, subquery-free conjuncts whose references are EXACTLY
+  * the exploded element. The original Filter stays, so any conjunct the
+  * pre-filter over-approximates (it keeps a row if ANY element matches)
+  * is still enforced per-element afterwards.
+  *
+  * Registered by [[graft.GraftExtensions]] via injectOptimizerRule; it
+  * joins the operator-optimization fixpoint, so the structural guard
+  * (an ArrayExists over the same array already below the Generate)
+  * keeps it idempotent.
+  */
+object PushPredicateThroughExplode extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        g @ Generate(Explode(arr), _, false, _, Seq(elem), child))
+        if arr.dataType.isInstanceOf[ArrayType] && arr.deterministic &&
+          !alreadyGuarded(child, arr) =>
+      val pushable = splitConjunctivePredicates(cond).filter { p =>
+        p.deterministic && !SubqueryExpression.hasSubquery(p) &&
+          p.references == AttributeSet(elem :: Nil)
+      }
+      if (pushable.isEmpty) f
+      else {
+        val at = arr.dataType.asInstanceOf[ArrayType]
+        val x = NamedLambdaVariable("pte_elem", at.elementType, at.containsNull)
+        val elemPred = pushable.reduce(And).transform {
+          case a: Attribute if a.exprId == elem.exprId => x
+        }
+        val exists = new ArrayExists(arr, LambdaFunction(elemPred, Seq(x)))
+        Filter(cond, g.copy(child = Filter(exists, child)))
+      }
+  }
+
+  /** True if a structurally equivalent exists-guard is already in place
+    * directly under the Generate (keeps the fixpoint idempotent). */
+  private def alreadyGuarded(child: LogicalPlan, arr: Expression): Boolean =
+    child match {
+      case Filter(c, _) =>
+        c.exists {
+          case ae: ArrayExists => ae.argument.semanticEquals(arr)
+          case _ => false
+        }
+      case _ => false
+    }
+}

@@ -91,6 +91,10 @@ object TextOps {
     val (n, tot) = (st.getLong(0), st.getLong(1))
     val inList = terms.map(q => s"'$q'").mkString(", ")
     val tf = base
+      // pre-filter BEFORE the explode: a doc with no query term never
+      // enters the Generate at all (vs exploding every token of every
+      // doc and filtering after — ~|corpus tokens| rows saved)
+      .where(expr(s"arrays_overlap(w, array($inList))"))
       .select(col("bm_id"), col("dl"), explode(col("w")).as("term"))
       .where(expr(s"term IN ($inList)"))
       .groupBy("bm_id", "dl", "term").agg(count(lit(1)).as("tf"))

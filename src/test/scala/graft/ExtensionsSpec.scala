@@ -80,6 +80,29 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT id, score_raw FROM quality_score('ext_docs', 'ext_weights', 'id', 'body')")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(qs == Map(10L -> 3L, 11L -> 3L, 12L -> -5L), qs)
+      // optimizer rule: a filter on the exploded element grows an
+      // exists() pre-filter BELOW the Generate. Plan shape asserted on
+      // a range()-backed relation — over a LocalRelation the optimizer
+      // (correctly) goes further and ConvertToLocalRelation folds the
+      // pre-filter into the literal rows, hiding it from the plan.
+      val exploded = s.sql(
+        """SELECT id, tok FROM (
+             SELECT id, explode(split(CASE WHEN id = 12 THEN 'one two' ELSE 'alpha beta' END, ' ')) AS tok
+             FROM range(13)) WHERE tok = 'one'""")
+      val opt = exploded.queryExecution.optimizedPlan.toString
+      assert(opt.contains("exists("),
+        s"PushPredicateThroughExplode did not fire:\n$opt")
+      assert(opt.linesIterator.indexWhere(_.contains("exists(")) >
+        opt.linesIterator.indexWhere(_.contains("Generate")),
+        s"exists() guard not below the Generate:\n$opt")
+      assert(exploded.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((12L, "one")))
+      // semantics preserved through the rule + local-relation collapse,
+      // and no false drop when conjuncts mix pushable + row-level
+      val mixed = s.sql(
+        """SELECT id, tok FROM (SELECT id, explode(split(body, ' ')) AS tok FROM ext_docs)
+           WHERE tok IN ('alpha', 'one') AND id < 12""")
+      assert(mixed.collect().map(_.getLong(0)).toSet == Set(10L, 11L))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
