@@ -153,6 +153,38 @@ object PipelineOps {
           CAST(coalesce(n_shared_grams, 0) AS INTEGER) AS n_shared_grams
         FROM sz LEFT JOIN j USING (eval_id) ORDER BY eval_id""")),
 
+    // ---- corpus profile: the per-source statistics panel ----
+    // The first query anyone runs on a new crawl: docs, token mass,
+    // vocabulary, language spread per source. Two keyed aggregations
+    // (doc-level stats; token-level distinct for vocabulary), both
+    // keyed on the tiny source dimension with map-side partial agg;
+    // the token distinct is the only corpus-sized shuffle and is the
+    // irreducible cost of an exact vocabulary count (the approximate
+    // path is text_heavy_hitters_cms / rel_approx_distinct).
+    "pipe_corpus_profile" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").withColumn("w", split(col("text"), " "))
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("w")).cast("long")).as("total_tokens"),
+          countDistinct(col("lang")).cast("int").as("n_langs"))
+        val vocab = docs.select(col("source"), explode(col("w")).as("tok")).distinct()
+          .groupBy("source").agg(count(lit(1)).as("vocab"))
+        base.join(vocab, Seq("source"))
+          .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, lang, string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+              CAST(count(DISTINCT lang) AS INTEGER) AS n_langs
+              FROM d GROUP BY source),
+        v AS (SELECT source, count(*) AS vocab
+              FROM (SELECT DISTINCT source, unnest(w) AS tok FROM d) GROUP BY source)
+        SELECT b.source AS source, n_docs, total_tokens, n_langs, vocab,
+          CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
+        FROM b JOIN v USING (source) ORDER BY source""")),
+
     // ---- deterministic stratified sampling (10% per source) ----
     "pipe_stratified_sample" -> Q(
       (s, dir) =>
