@@ -11,14 +11,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // SPARK_GRAFT_NO_EXT: attribution knob — run the identical bench
+    // without GraftExtensions to separate extension cost from noise
+    val spark = (if (sys.env.contains("SPARK_GRAFT_NO_EXT")) base
+                 else base.withExtensions(new GraftExtensions)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {

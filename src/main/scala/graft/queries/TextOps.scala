@@ -84,7 +84,8 @@ object TextOps {
       .withColumn("dl", size(col("w")))
     val st = base.agg(count(lit(1)).as("n"),
       sum(col("dl").cast("long")).as("tot")).head
-    if (st.getLong(0) == 0L) // empty corpus: no stats to score against
+    // empty corpus (or all-null text: sum(dl) is null): nothing to score
+    if (st.getLong(0) == 0L || st.isNullAt(1))
       return docs.select(col(idCol)).limit(0)
         .withColumn("n_terms", lit(null).cast("long"))
         .withColumn("score", lit(null).cast("double"))

@@ -81,6 +81,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("my_id", "n_terms", "score") && empty.count() == 0)
   }
 
+  test("bm25TopK and qualityScore tolerate null text") {
+    import spark.implicits._
+    val docs = Seq((1, Option("cat dog")), (2, Option.empty[String]))
+      .toDF("my_id", "body")
+    // null text: no tokens to match — doc 2 scores nowhere, doc 1 normally
+    val hits = graft.pipeline.CorpusOps.bm25TopK(docs, Seq("cat"), 5, "my_id", "body")
+      .collect().map(_.getInt(0)).toSeq
+    assert(hits == Seq(1))
+    val qs = graft.pipeline.CorpusOps.qualityScore(docs,
+      Seq(("cat dog", 3L)).toDF("gram", "weight"), "my_id", "body")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(qs == Map(1 -> 3L, 2 -> 0L))
+    // all-null corpus: stats row has a null token total — empty result,
+    // not an NPE
+    val allNull = graft.pipeline.CorpusOps.bm25TopK(
+      docs.where("my_id = 2"), Seq("cat"), 5, "my_id", "body")
+    assert(allNull.count() == 0)
+  }
+
   test("qualityScore sums broadcast weights per doc, scores short and unknown-gram docs 0") {
     import spark.implicits._
     val docs = Seq(
