@@ -1,0 +1,76 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkEntry
+
+/** Regenerates PLANS.md (sbt "Test/runMain graft.tools.DumpPlans"):
+  * `explain("formatted")` output for the headline plans, with the
+  * scale property each one is supposed to exhibit stated above it —
+  * the reviewable evidence behind SCALE.md's claims. Run at sf0.001
+  * (plan SHAPE is scale-invariant; AQE runtime re-planning is asserted
+  * separately in PlanQualitySpec against executed plans).
+  */
+object DumpPlans {
+
+  private val Headliners: Seq[(String, String)] = Seq(
+    "text_bm25_topk" ->
+      """Term filter sits under the Generate (arrays_overlap pre-filter:
+        |docs with no query term never explode); df joins broadcast; the
+        |top-k is TakeOrderedAndProject, not a global Sort.""".stripMargin,
+    "pipe_model_quality_score" ->
+      """The (gram, weight) model table broadcasts; the corpus gram
+        |stream is never shuffled for the lookup — the only exchange is
+        |the doc-keyed re-aggregation with map-side partial agg.""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """Banded-signature equi-self-join (no pair space): signatures are
+        |checkpointed (ExistingRDD scan), candidates verified by exact
+        |Jaccard, everything keyed — no nested-loop join anywhere.""".stripMargin,
+    "ann_kmeans_probe_topk" ->
+      """Trained-IVF nprobe search: Lloyd rounds fold over a broadcast
+        |centroid row, assignment is map-only, and the probe join is a
+        |cell-key equi-join that bounds the scanned corpus fraction.""".stripMargin,
+    "pipe_decontam_bloom" ->
+      """Bloom bits built executor-side over the (small) eval grams and
+        |broadcast; the train corpus is filtered map-side and only the
+        |~fpp survivors reach the exact verify join.""".stripMargin,
+    "rel_interval_merge_scalable" ->
+      """Range-bucketed interval merge: the sweep runs per (key, bucket)
+        |window partition in parallel, then stitches bucket-boundary
+        |regions — no single-partition window over a whole chromosome.""".stripMargin,
+    "rel_join_star_revenue" ->
+      """Star join: every dimension side is a BroadcastHashJoin; the
+        |fact table is read once with pruned columns and pushed filters.""".stripMargin)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# PLANS — headline physical plans (`explain formatted`)\n\n")
+    sb.append(s"Regenerate: `sbt \"Test/runMain graft.tools.DumpPlans\"` ($sfDir).\n")
+    sb.append("Each plan is preceded by the scale property it must exhibit;\n")
+    sb.append("PlanQualitySpec asserts these structurally against EXECUTED\n")
+    sb.append("(AQE-final) plans — this file is the human-readable evidence.\n")
+    Headliners.foreach { case (name, why) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n")
+      sb.append(why.linesIterator.map("> " + _).mkString("\n")).append("\n\n")
+      sb.append("```\n").append(plan.trim).append("\n```\n")
+    }
+    Files.write(Paths.get("PLANS.md"), sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"wrote PLANS.md (${Headliners.size} plans)")
+    spark.stop()
+  }
+}
