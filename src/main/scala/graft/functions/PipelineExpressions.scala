@@ -37,6 +37,21 @@ case class MinGramHash(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "graft_min_gram_hash"
 }
 
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"l2_sq requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got $t")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PipelineKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PipelineKernels.l2sq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_l2_sq"
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

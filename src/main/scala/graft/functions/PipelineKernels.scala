@@ -76,6 +76,22 @@ object PipelineKernels {
 
   /** Cosine similarity over two double arrays; left-to-right sums match
     * the oracle's list_sum fold order. */
+  /** Squared L2 distance, accumulated left-to-right — bit-identical to
+    * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, (s, x) -> s + x)`
+    * on equal-length arrays (the oracles replay that exact order), ~10x
+    * cheaper than the interpreted HOF pair in the Lloyd/probe hot loop. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0

@@ -103,9 +103,12 @@ object Similarity {
     * DuckDB oracle's row_number tie-break replays identically. */
   private[graft] def assignTo(e: DataFrame, centroids: DataFrame,
                               probes: Int = 1): DataFrame = {
-    val dExpr =
-      """round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 6) AS d,
-         c.cid AS cid"""
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
+    // graft_l2_sq = the codegen'd kernel; accumulates left-to-right,
+    // bit-identical to the aggregate(zip_with(...)) HOF pair it
+    // replaced (the DuckDB oracles replay that exact order) at ~10x
+    // less per-centroid cost in this innermost loop
+    val dExpr = "round(graft_l2_sq(v, c.cv), 6) AS d, c.cid AS cid"
     val packed = centroids.agg(expr("collect_list(struct(cid, cv))").as("cs"))
     val scored = e.crossJoin(broadcast(packed))
     val withBest =

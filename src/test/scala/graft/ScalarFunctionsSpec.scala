@@ -88,6 +88,20 @@ class ScalarFunctionsSpec extends AnyFunSuite {
     assert(one("is_secondary(255)") == false)
   }
 
+  test("graft_l2_sq matches the HOF it replaced, bit for bit") {
+    // the kernel must replay aggregate(zip_with(...))'s left-to-right
+    // accumulation exactly — the ANN oracles were written against it
+    val a = Seq.tabulate(64)(i => (i * 37 % 101) / 7.0)
+    val b = Seq.tabulate(64)(i => (i * 53 % 97) / 11.0)
+    def lit(xs: Seq[Double]) = xs.mkString("array(", "D, ", "D)")
+    val kernel = one(s"graft_l2_sq(${lit(a)}, ${lit(b)})").asInstanceOf[Double]
+    val hof = one(
+      s"aggregate(zip_with(${lit(a)}, ${lit(b)}, (x, y) -> (x - y) * (x - y)), 0D, (s, x) -> s + x)")
+      .asInstanceOf[Double]
+    assert(kernel == hof, s"$kernel != $hof")
+    assert(one("graft_l2_sq(array(1D, 2D), array(1D, 2D))") == 0.0)
+  }
+
   test("exondb_version") {
     assert(one("exondb_version()") == "0.3.9")
   }
