@@ -52,7 +52,8 @@ object GraftFunctions {
     "graft_simhash32" -> (e => SimHash32(e.head)),
     "graft_min_gram_hash" -> (e => MinGramHash(e(0), e(1))),
     "graft_cosine_sim" -> (e => CosineSim(e(0), e(1))),
-    "graft_l2_sq" -> (e => L2Sq(e(0), e(1)))) ++
+    "graft_l2_sq" -> (e => L2Sq(e(0), e(1))),
+    "graft_lsh_bucket" -> (e => LshBucket(e(0), e(1)))) ++
     samFlagBits.map { case (name, bit) =>
       name -> ((e: Seq[Expression]) =>
         Not(EqualTo(BitwiseAnd(Cast(e.head, IntegerType), Literal(bit)), Literal(0))))

@@ -52,6 +52,26 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "graft_l2_sq"
 }
 
+case class LshBucket(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  // strict: a literal plane matrix parses as ARRAY<ARRAY<DECIMAL>> —
+  // callers write double literals (1.0D) or cast; silent decimal
+  // acceptance would hide a 10x-slower Decimal unbox in the hot loop
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires (ARRAY<ARRAY<DOUBLE>>, ARRAY<DOUBLE>), got $t")
+  }
+  override def nullSafeEval(planes: Any, v: Any): Any =
+    PipelineKernels.lshBucket(planes.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, v) => s"graft.functions.PipelineKernels.lshBucket($p, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LshBucket =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_lsh_bucket"
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

@@ -92,6 +92,33 @@ object PipelineKernels {
     s
   }
 
+  /** Random-hyperplane LSH bucket: bit j of the result is set iff
+    * dot(planes[j], v) >= 0, dots accumulated left-to-right — replays
+    *   aggregate(transform(sequence(0, n-1), j ->
+    *     IF(aggregate(zip_with(planes[j], v, ...)) >= 0D, 1L << j, 0L)),
+    *     0L, +)
+    * bit-identically (the recall spec reconstructs buckets via that HOF
+    * and must collide exactly), at one array loop instead of nested
+    * interpreted lambdas per plane. */
+  def lshBucket(planes: ArrayData, v: ArrayData): Long = {
+    val np = planes.numElements()
+    var out = 0L
+    var j = 0
+    while (j < np) {
+      val p = planes.getArray(j)
+      val n = math.min(p.numElements(), v.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += p.getDouble(i) * v.getDouble(i)
+        i += 1
+      }
+      if (dot >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0

@@ -180,14 +180,17 @@ object Similarity {
     // by recomputing cosine for the emitted (q, neighbor) pairs.
     "ann_lsh_bucketed" -> Q(
       (s, dir) => {
-        val planesSql = Planes.map(p => s"array(${p.mkString(", ")})").mkString("array(", ", ", ")")
+        // D suffix: double literals, not DECIMAL(2,1) — the kernel is
+        // strict about element type (a Decimal unbox in the hot loop
+        // would silently cost ~10x)
+        val planesSql = Planes.map(p => s"array(${p.map(x => s"${x}D").mkString(", ")})")
+          .mkString("array(", ", ", ")")
         val e = vecs(s, dir)
           .withColumn("planes", expr(planesSql))
-          .withColumn("bucket", expr(
-            """aggregate(transform(sequence(0, 15), j ->
-                 IF(aggregate(zip_with(planes[j], v, (p, x) -> p * x), 0D, (acc, x) -> acc + x) >= 0D,
-                    shiftleft(1L, j), 0L)),
-               0L, (acc, x) -> acc + x)"""))
+          // codegen'd kernel; bit-identical to the nested-HOF bucket
+          // (same left-to-right dot accumulation) — PipelineOpsSpec
+          // reconstructs buckets via the HOF and must collide exactly
+          .withColumn("bucket", expr("graft_lsh_bucket(planes, v)"))
           .drop("planes")
         val q = e.where(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
