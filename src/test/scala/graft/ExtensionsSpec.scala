@@ -103,6 +103,24 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT id, tok FROM (SELECT id, explode(split(body, ' ')) AS tok FROM ext_docs)
            WHERE tok IN ('alpha', 'one') AND id < 12""")
       assert(mixed.collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+      // randomized semantics property: with the rule active, the
+      // explode+filter answer must equal the plain Scala expectation
+      val rnd = new scala.util.Random(42)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      (1 to 10).foreach { round =>
+        val data = (0L until 30L).map { i =>
+          (i, Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+        }
+        val term = vocab(rnd.nextInt(vocab.size))
+        data.toDF("id", "body").createOrReplaceTempView("ext_prop")
+        val got = s.sql(
+          s"SELECT id FROM (SELECT id, explode(split(body, ' ')) AS tok FROM ext_prop) WHERE tok = '$term'")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val want = data.flatMap { case (i, b) =>
+          b.split(" ", -1).filter(_ == term).map(_ => i)
+        }.sorted
+        assert(got == want, s"round $round term $term: $got != $want")
+      }
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
