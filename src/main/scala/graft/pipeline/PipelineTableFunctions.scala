@@ -110,6 +110,17 @@ object PipelineTableFunctions {
       if (args.length > 4) num(args(4), "valBuckets").toInt else 2))
   }
 
+  private def lshTopKBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 7,
+      "lsh_topk(corpus, queries, k[, bits, hamming, idCol, vecCol])")
+    plan(VectorOps.lshTopK(tbl(args(0), "corpus"), tbl(args(1), "queries"),
+      num(args(2), "k").toInt,
+      if (args.length > 3) num(args(3), "bits").toInt else 16,
+      if (args.length > 4) num(args(4), "hamming").toInt else 1,
+      if (args.length > 5) str(args(5), "idCol") else "vec_id",
+      if (args.length > 6) str(args(6), "vecCol") else "embedding"))
+  }
+
   private def bm25Builder(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 3 && args.length <= 5,
       "bm25_topk(table, 'terms csv', k[, idCol, textCol])")
@@ -141,5 +152,6 @@ object PipelineTableFunctions {
     reg.createOrReplaceTempFunction("leakage_safe_split", leakageSplitBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("bm25_topk", bm25Builder, "scala_udf")
     reg.createOrReplaceTempFunction("quality_score", qualityScoreBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_topk", lshTopKBuilder, "scala_udf")
   }
 }

@@ -261,6 +261,50 @@ object VectorOps {
       .join(broadcast(probed), Seq("cid")), k, excludeSelfIds)
   }
 
+  /** LSH-bucketed cosine top-k: random-hyperplane signatures (`bits`
+    * sign bits from deterministic md5-parity planes) bucket both sides;
+    * each query probes its own bucket plus, at `hamming = 1`, every
+    * bucket one bit-flip away, and only bucket-collided candidates get
+    * the exact cosine re-rank. The probe is an equi-join on the bucket
+    * key (query side exploded into its bits+1 probe keys and broadcast)
+    * — the corpus streams through a hash join, never a nested-loop
+    * bit_count scan, so the shape stays linear as the query set grows.
+    * Recall depends on bits/hamming; measure against [[bruteForceTopK]]
+    * on a sample. Vector dimension is taken from the first corpus row.
+    * Output: (q_id, id, cos, rn). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = 16, hamming: Int = 1,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding",
+              excludeSelfIds: Boolean = true): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"lshTopK: bits ($bits) must be in [1, 63]")
+    require(hamming == 0 || hamming == 1,
+      s"lshTopK: hamming radius ($hamming) must be 0 or 1")
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
+    val c = asVec(corpus, idCol, vecCol)
+    val first = c.select(expr("size(__v)").as("d")).limit(1).collect()
+    if (first.isEmpty) // empty corpus: schema-stable empty result
+      return c.select(col("__id").as("q_id"), col("__id").as("id"),
+        lit(null).cast("double").as("cos"), lit(null).cast("int").as("rn")).limit(0)
+    val dim = first(0).getInt(0)
+    val planesSql = Array.tabulate(bits, dim)(graft.queries.Similarity.planeSign)
+      .map(p => s"array(${p.map(x => s"${x}D").mkString(", ")})")
+      .mkString("array(", ", ", ")")
+    def withBucket(df: DataFrame) = df
+      .withColumn("__planes", expr(planesSql))
+      .withColumn("__b", expr("graft_lsh_bucket(__planes, __v)"))
+      .drop("__planes")
+    val cb = withBucket(c)
+    val qb = withBucket(asVec(queries, idCol, vecCol))
+      .select(col("__id").as("__qid"), col("__v").as("__qv"), col("__b").as("__qb"))
+    val probes =
+      if (hamming == 0) qb.withColumn("__probe", col("__qb"))
+      else qb.withColumn("__probe", explode(expr(
+        s"concat(array(__qb), transform(sequence(0, ${bits - 1}), j -> __qb ^ shiftleft(1L, j)))")))
+    rank(cb.join(broadcast(probes), col("__b") === col("__probe")), k, excludeSelfIds)
+  }
+
   /** Cosine top-k over int8-quantized vectors — the search half of SQ8:
     * both sides quantize via [[quantizeInt8]]'s core and rank by cosine
     * over the CODE arrays. Cosine is scale-invariant, so code-space

@@ -35,12 +35,11 @@ object Similarity {
     * the identical planes (and therefore identical buckets — the dot
     * products fold in the same dimension order, so even the sign of a
     * near-zero projection matches bit-for-bit). */
-  private def planeSign(j: Int, d: Int): Double = {
+  private[graft] def planeSign(j: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val b0 = md.digest(s"p${j}_$d".getBytes("UTF-8"))(0)
     if (((b0 >> 4) & 1) == 1) 1.0 else -1.0
   }
-  private val Planes: Array[Array[Double]] = Array.tabulate(16, 64)(planeSign)
 
   /** DuckDB expression for the same bucket of a vector column `v`. */
   private def bucketSql(v: String): String = {
@@ -179,41 +178,21 @@ object Similarity {
     // Oracle checks the re-ranked cosines and candidate-subset property
     // by recomputing cosine for the emitted (q, neighbor) pairs.
     "ann_lsh_bucketed" -> Q(
-      (s, dir) => {
-        // D suffix: double literals, not DECIMAL(2,1) — the kernel is
-        // strict about element type (a Decimal unbox in the hot loop
-        // would silently cost ~10x)
-        val planesSql = Planes.map(p => s"array(${p.map(x => s"${x}D").mkString(", ")})")
-          .mkString("array(", ", ", ")")
-        val e = vecs(s, dir)
-          .withColumn("planes", expr(planesSql))
-          // codegen'd kernel; bit-identical to the nested-HOF bucket
-          // (same left-to-right dot accumulation) — PipelineOpsSpec
-          // reconstructs buckets via the HOF and must collide exactly
-          .withColumn("bucket", expr("graft_lsh_bucket(planes, v)"))
-          .drop("planes")
-        val q = e.where(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        // candidates: same bucket OR Hamming-1 bucket (probe radius 1).
-        // Each query explodes into its 17 probe keys (itself + one per
-        // flipped bit) and joins on bucket EQUALITY: a BroadcastHashJoin
-        // the corpus side streams through, instead of the nested-loop
-        // scan a bit_count(bucket^qb)<=1 predicate forces — the shape
-        // that stays linear when the query set grows at 100 TB. Probe
-        // keys are distinct, so no pair duplicates.
-        val qProbes = q.withColumn("probe", explode(expr(
-          "concat(array(qb), transform(sequence(0, 15), j -> qb ^ shiftleft(1L, j)))")))
-        e.join(broadcast(qProbes),
-            col("vec_id") =!= col("q_id") &&
-            col("bucket") === col("probe"))
-          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 5)
-          .orderBy("q_id", "rn")
-          .select("q_id", "vec_id", "cos", "rn")
-      },
+      // Delegates to the public facade (VectorOps.lshTopK) so the gate
+      // proves the code a user calls: graft_lsh_bucket kernel buckets
+      // (bit-identical to the nested-HOF fold — PipelineOpsSpec
+      // reconstructs them via the HOF and must collide exactly), each
+      // query exploded into its 17 Hamming-1 probe keys and joined on
+      // bucket EQUALITY — a BroadcastHashJoin the corpus streams
+      // through, instead of the nested-loop scan a bit_count(x^y)<=1
+      // predicate forces; the shape that stays linear when the query
+      // set grows at 100 TB.
+      (s, dir) => graft.pipeline.VectorOps.lshTopK(
+          t(s, dir, "embeddings"),
+          t(s, dir, "embeddings").where(col("vec_id") < 5),
+          k = 5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("q_id", "rn"),
       Some(s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
           b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
           q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5),

@@ -60,6 +60,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT id FROM int8_topk('ext_vecs', 'ext_vecs', 1, 'id', 'emb') WHERE q_id = 1")
         .collect().map(_.getLong(0))
       assert(hit8.toSeq == Seq(2L))
+      val hitLsh = s.sql(
+        "SELECT id FROM lsh_topk('ext_vecs', 'ext_vecs', 1, 8, 1, 'id', 'emb') WHERE q_id = 1")
+        .collect().map(_.getLong(0))
+      assert(hitLsh.toSeq == Seq(2L)) // the exact duplicate always collides
       Seq.fill(5)("hot").zipWithIndex.map(_.swap).map { case (i, v) => (i.toLong, v) }
         .++(Seq((9L, "cold"))).toDF("id", "v").createOrReplaceTempView("ext_vals")
       val hh = s.sql("SELECT * FROM heavy_hitters('ext_vals', 'v', 3)")

@@ -78,6 +78,33 @@ class VectorOpsSpec extends AnyFunSuite {
       bruteAll.contains((r.getLong(0), r.getLong(1), r.getDouble(2)))))
   }
 
+  test("lshTopK: an exact duplicate always collides and ranks first; empty corpus is schema-stable") {
+    import spark.implicits._
+    // buckets are scale-invariant and deterministic, so a duplicated
+    // vector is ALWAYS a candidate of its twin regardless of planes
+    val out = graft.pipeline.VectorOps.lshTopK(
+      vecsDf, vecsDf.where("id = 10"), k = 3, idCol = "id", vecCol = "emb")
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getLong(0) == 10L))
+    // candidate-subset property: every hit re-ranked by true cosine
+    assert(out.map(_.getInt(3)).toSeq == (1 to out.length).toSeq)
+    val withDup = vecsDf.union(Seq((99L, Array(1.0f, 0.0f, 0.0f), "a")).toDF("id", "emb", "cell"))
+    val dupHits = graft.pipeline.VectorOps.lshTopK(
+      withDup, withDup.where("id = 99"), k = 1, idCol = "id", vecCol = "emb")
+      .collect()
+    assert(dupHits.length == 1 && dupHits(0).getLong(1) == 10L &&
+      dupHits(0).getDouble(2) == 1.0)
+    val empty = graft.pipeline.VectorOps.lshTopK(
+      vecsDf.where("id < 0"), vecsDf, k = 3, idCol = "id", vecCol = "emb")
+    assert(empty.columns.toSeq == Seq("q_id", "id", "cos", "rn") && empty.count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.VectorOps.lshTopK(vecsDf, vecsDf, k = 3, bits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.VectorOps.lshTopK(vecsDf, vecsDf, k = 3, hamming = 2)
+    }
+  }
+
   test("int8TopK recall vs float brute force on the test embeddings") {
     // fixed data -> deterministic: 24 of 25 top-5 hits agree (96%);
     // the floor leaves margin without losing meaning
