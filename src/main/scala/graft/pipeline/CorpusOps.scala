@@ -54,6 +54,23 @@ object CorpusOps {
           col(textCol).as("text"))))
   }
 
+  /** Containment pairs — the near-superset detector Jaccard misses: a
+    * doc lifted whole into a 10x longer one has J ~ 0.1 but containment
+    * ~ 1.0 (Broder's resemblance-vs-containment distinction). Pairs
+    * whose 3-word-shingle containment inter / min(|A|, |B|) reaches
+    * `minPct`/100, integer-exact. Same bounded posting-join shape as
+    * [[nearDupPairs]]' verification; see SCALE.md on hot-shingle skew.
+    * Output: (id_a, id_b, inter, sz_a, sz_b), id_a < id_b. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", minPct: Int = 90): DataFrame = {
+    requireIntegralId(docs, idCol, "containmentPairs")
+    require(minPct >= 1 && minPct <= 100,
+      s"CorpusOps.containmentPairs: minPct ($minPct) must be in [1, 100]")
+    graft.queries.Dedup.containmentPairsOf(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")), minPct)
+  }
+
   /** Winnowed-fingerprint pairs (SIGMOD'03 winnowing): docs sharing >=
     * `minShared` fingerprints over word `gramWidth`-grams with window
     * `window`. Unlike [[nearDupPairs]] (whole-doc similarity with a

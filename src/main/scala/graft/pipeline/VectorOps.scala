@@ -33,10 +33,11 @@ object VectorOps {
       expr(s"transform(${q(vecCol)}, x -> cast(x as double))").as("__v") +:
       extra.map { case (c, a) => col(q(c)).as(a) }: _*)
 
-  private val Cos =
-    """aggregate(zip_with(__qv, __v, (p, x) -> p * x), 0D, (a, x) -> a + x)
-       / (sqrt(aggregate(transform(__qv, x -> x * x), 0D, (a, x) -> a + x))
-          * sqrt(aggregate(transform(__v, x -> x * x), 0D, (a, x) -> a + x)))"""
+  /** Codegen'd kernel (PipelineKernels.cosine) — identical left-to-right
+    * accumulation to the HOF formula it replaced, so every facade's
+    * ranking values are unchanged; the interpreted-lambda cost in the
+    * per-candidate scoring loop is gone. */
+  private val Cos = "graft_cosine_sim(__qv, __v)"
 
   /** Exact cosine top-k: for every query row, the `k` most similar
     * corpus rows. Output: (query id `q_id`, corpus id `id`, `cos`,
@@ -318,16 +319,19 @@ object VectorOps {
                idCol: String = "vec_id",
                vecCol: String = "embedding",
                excludeSelfIds: Boolean = true): DataFrame = {
+    // codes cast to double for the cosine kernel: int products up to
+    // 127*127 are exact in double, so ranking values are unchanged
     def codesOf(df: DataFrame) = sq8Quantized(
       asVec(df, idCol, vecCol).select(col("__id"), col("__v").as("v")))
       .where(col("s") > 0)
-      .select(col("__id"), col("codes").as("__v"))
+      .select(col("__id"), expr("transform(codes, x -> cast(x as double))").as("__v"))
     val qs = codesOf(queries)
       .select(col("__id").as("__qid"), col("__v").as("__qv"))
     rank(codesOf(corpus).crossJoin(broadcast(qs)), k, excludeSelfIds)
   }
 
   private def rank(scored: DataFrame, k: Int, excludeSelfIds: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(scored.sparkSession)
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc, col("__id").asc)
     scored

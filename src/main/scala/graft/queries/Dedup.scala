@@ -47,6 +47,33 @@ object Dedup {
         array_distinct(expr(
           "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
 
+  /** Containment core (dedup_containment /
+    * [[graft.pipeline.CorpusOps.containmentPairs]]): pairs whose
+    * 3-word-shingle containment inter / min(|A|, |B|) — the larger of
+    * the two directed containments (Broder) — reaches `minPct`/100,
+    * decided by integer cross-multiplication. Bounded posting-join
+    * shape: candidates are pairs sharing a shingle; sizes broadcast
+    * back. Expects (doc_id, text); returns
+    * (id_a, id_b, inter, sz_a, sz_b), id_a < id_b. */
+  private[graft] def containmentPairsOf(docs: DataFrame, minPct: Int): DataFrame = {
+    val posting = docs
+      .withColumn("w", split(col("text"), " "))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("shingle"))
+      .distinct()
+      .transform(Q.barrier) // 3 consumers: both join sides + sizes
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    posting.as("pa").join(posting.as("pb"),
+        col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))
+      .groupBy(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+      .agg(count(lit(1)).cast("int").as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .where(col("inter") * 100 >= least(col("sz_a"), col("sz_b")) * minPct)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
+  }
+
   /** doc_id + distinct 3-word shingles. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
@@ -455,6 +482,8 @@ object Dedup {
         ORDER BY id_a, id_b""")),
 
     // ---- n-gram CONTAINMENT: the near-superset detector ----
+    // Mechanism: containmentPairsOf (below the qs map) / public entry
+    // [[graft.pipeline.CorpusOps.containmentPairs]].
     // Jaccard misses asymmetric duplication: a doc fully lifted into a
     // 10x longer one has J ~ 0.1 but containment ~ 1.0 (Broder's
     // resemblance-vs-containment distinction). Same bounded posting-join
@@ -465,26 +494,9 @@ object Dedup {
     // the jaccard entry's bound: frequent-shingle postings are the skew
     // risk and would be capped upstream (see SCALE.md).
     "dedup_containment" -> Q(
-      (s, dir) => {
-        val posting = t(s, dir, "documents")
-          .where(col("doc_id") < 300)
-          .withColumn("w", split(col("text"), " "))
-          .where(size(col("w")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("shingle"))
-          .distinct()
-          .transform(Q.barrier) // 3 consumers: both join sides + sizes
-        val sizes = posting.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
-        posting.as("pa").join(posting.as("pb"),
-            col("pa.shingle") === col("pb.shingle") && col("pa.doc_id") < col("pb.doc_id"))
-          .groupBy(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
-          .agg(count(lit(1)).cast("int").as("inter"))
-          .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))), "id_a")
-          .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))), "id_b")
-          .where(col("inter") * 10 >= least(col("sz_a"), col("sz_b")) * 9) // C >= 0.9
-          .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) => containmentPairsOf(
+          t(s, dir, "documents").where(col("doc_id") < 300), minPct = 90)
+        .orderBy("id_a", "id_b"),
       Some(s"""WITH $ShingleCteSql
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter,

@@ -81,6 +81,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("my_id", "n_terms", "score") && empty.count() == 0)
   }
 
+  test("containmentPairs catches a near-superset that Jaccard misses") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1, core),                                         // 3 shingles
+      (2, core + " one two three four five six seven eight nine ten eleven twelve"),
+      (3, "totally unrelated words in this document here"))
+      .toDF("my_id", "body")
+    val pairs = graft.pipeline.CorpusOps.containmentPairs(docs, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // doc 1's 3 shingles are all inside doc 2 -> containment 1.0,
+    // while Jaccard is 3/15 = 0.2
+    assert(pairs == Set((1L, 2L, 3)))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.containmentPairs(docs, "my_id", "body", minPct = 0)
+    }
+  }
+
   test("bm25TopK and qualityScore tolerate null text") {
     import spark.implicits._
     val docs = Seq((1, Option("cat dog")), (2, Option.empty[String]))
