@@ -241,6 +241,36 @@ object CorpusOps {
         (col("score_raw") >= threshold).as("keep"))
   }
 
+  /** Token-budget selection: keep the best rows by `scoreCol` (DESC,
+    * ties broken by lowest id) until `budgetTokens` whitespace tokens of
+    * `textCol` are spent — the "best data under budget" cut after
+    * scoring. The budget-crossing row is the last one kept; rows are
+    * returned with all their columns. The global quality-ordered running
+    * sum is a two-level distributed prefix sum (per-(score, id-range)
+    * band totals prefix-summed on the small band frame, broadcast back,
+    * within-band windows), never a single-partition global window — so
+    * the cut parallelizes at corpus scale. `scoreCol` must be non-null;
+    * score cardinality drives band granularity (a constant score
+    * degrades to id-range bands of `1 << 20` rows each, still bounded).
+    */
+  def selectUnderTokenBudget(docs: DataFrame, budgetTokens: Long,
+                             scoreCol: String, idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    requireIntegralId(docs, idCol, "selectUnderTokenBudget")
+    Seq(scoreCol, textCol).foreach { c =>
+      require(docs.columns.exists(_.equalsIgnoreCase(c)),
+        s"CorpusOps.selectUnderTokenBudget: no column '$c' in [${docs.columns.mkString(", ")}]")
+    }
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(!docs.columns.exists(_.equalsIgnoreCase("__tb_tokens")),
+      "CorpusOps.selectUnderTokenBudget: docs already has a '__tb_tokens' column")
+    graft.queries.PipelineOps.tokenBudgetCore(
+        docs.withColumn("__tb_tokens", size(split(col(textCol), " ")).cast("long")),
+        idCol, scoreCol, "__tb_tokens",
+        budgetTokens = Some(budgetTokens), budgetPermille = None)
+      .drop("__tb_tokens")
+  }
+
   /** Incremental dedup — the daily-delta shape: drop `batch` rows that
     * duplicate a `corpus` doc, exactly (content-hash equality, covers
     * docs too short to shingle) or nearly (MinHash-band collision +

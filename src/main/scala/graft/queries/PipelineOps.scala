@@ -67,6 +67,62 @@ object PipelineOps {
       .select(keep.head, keep.tail: _*).distinct()
   }
 
+  /** Token-budget selection core: keep the best-scoring rows until a
+    * global token budget is exhausted — the "best data under budget"
+    * cut that follows scoring in a curation pipeline. Selection order is
+    * (`scoreCol` DESC, `idCol` ASC); a row is kept iff the cumulative
+    * token mass BEFORE it is under the budget (so the budget-crossing
+    * row is the last kept).
+    *
+    * The global running sum is a two-level distributed prefix sum, NOT
+    * a single-partition global window (the classic scale trap: Spark
+    * executes an unpartitioned ordered window on ONE task):
+    *   1. rows group into (score, id div `subRange`) bands — band count
+    *      is bounded by score cardinality x corpus/subRange, tiny next
+    *      to the corpus;
+    *   2. per-band token totals get prefix-summed on the small band
+    *      frame (the only unpartitioned window, over bands not rows)
+    *      and rejoin via broadcast;
+    *   3. each row's global prefix = its band's offset + a within-band
+    *      running sum, windowed per band — thousands of bounded
+    *      partitions instead of one corpus-sized one.
+    * Because `id div subRange` is monotone in id, per-band order (score
+    * DESC, sub ASC, id ASC) concatenates to exactly the global order.
+    *
+    * Budget: `budgetTokens` absolute, or `budgetPermille` as an
+    * integer-exact fraction of the total token mass ((total * p) div
+    * 1000 — no float boundary for engines to disagree on). `scoreCol`
+    * must be non-null (null ordering differs across engines).
+    * Public entry: [[graft.pipeline.CorpusOps.selectUnderTokenBudget]].
+    */
+  private[graft] def tokenBudgetCore(d: DataFrame, idCol: String,
+      scoreCol: String, tokensCol: String, budgetTokens: Option[Long],
+      budgetPermille: Option[Int], subRange: Long = 1L << 20): DataFrame = {
+    require(budgetTokens.isDefined != budgetPermille.isDefined,
+      "tokenBudgetCore: exactly one of budgetTokens / budgetPermille")
+    val banded = d
+      .withColumn("__score", col(scoreCol))
+      .withColumn("__sub", expr(s"`$idCol` div $subRange"))
+    val bands = banded.groupBy("__score", "__sub")
+      .agg(sum(col(tokensCol).cast("long")).as("__bt"))
+    val wPrefix = Window.orderBy(col("__score").desc, col("__sub").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bands
+      .withColumn("__offset", sum(col("__bt")).over(wPrefix) - col("__bt"))
+      .withColumn("__total", sum(col("__bt")).over(Window.partitionBy()))
+      .withColumn("__budget", budgetTokens.map(lit(_).cast("long"))
+        .getOrElse(expr(s"(__total * ${budgetPermille.get}) div 1000")))
+      .select(col("__score"), col("__sub"), col("__offset"), col("__budget"))
+    val wIn = Window.partitionBy("__score", "__sub").orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offsets), Seq("__score", "__sub"))
+      .withColumn("__cum_before",
+        col("__offset") + sum(col(tokensCol).cast("long")).over(wIn)
+          - col(tokensCol).cast("long"))
+      .where(col("__cum_before") < col("__budget"))
+      .drop("__score", "__sub", "__offset", "__budget", "__cum_before")
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- benchmark decontamination via 5-gram overlap ----
@@ -489,6 +545,38 @@ object PipelineOps {
           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
           CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM c GROUP BY source, bin ORDER BY source, bin""")),
+
+    // ---- token-budget selection (best data under budget) ----
+    // Keep the highest-quality docs until half the corpus's token mass
+    // is spent — the selection cut that follows scoring in a curation
+    // pipeline (quality here = n_chars, the deterministic stand-in for a
+    // model score). The global quality-ordered running sum is a
+    // two-level distributed prefix sum (band totals + within-band
+    // windows; see tokenBudgetCore), NOT a single-partition global
+    // window — the plan that survives 100 TB. Budget is integer-exact:
+    // (total_tokens * 500) div 1000.
+    "pipe_token_budget" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        tokenBudgetCore(d, "doc_id", "n_chars", "n_tokens",
+            budgetTokens = None, budgetPermille = Some(500))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("kept_tokens"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        b AS (SELECT CAST((sum(n_tokens) * 500) // 1000 AS BIGINT) AS budget FROM d),
+        c AS (SELECT *, sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+          FROM d)
+        SELECT source, count(*) AS n_kept,
+          CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM c, b WHERE cum_before < budget GROUP BY source ORDER BY source""")),
 
     // ---- deterministic corpus shuffle + sharding ----
     // Training-order randomization that survives retries and engine

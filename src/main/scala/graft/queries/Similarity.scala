@@ -518,6 +518,79 @@ object Similarity {
         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
                    FROM scored)
         SELECT q_id, vec_id AS id, cos, rn FROM ranked WHERE rn <= 5
-        ORDER BY q_id, rn"""))
+        ORDER BY q_id, rn""")),
+
+    // ---- recall report: the approximate paths self-measured in-gate ----
+    // The evaluation every ANN deployment owes its users: recall@5 of
+    // the LSH-bucketed and label-IVF searches against the brute-force
+    // ground truth, per query. The exhaustive pass runs over the bounded
+    // QUERY SAMPLE only (at 100 TB: evaluate on hundreds of queries, not
+    // per-query at serve time — the corpus-side cost is one broadcast
+    // scan per search family, same as the search entries themselves);
+    // the hit-counting joins are keyed on (q_id, vec_id) over k x |Q|
+    // truth rows. Truth is barriered — three consumers read it.
+    "ann_recall_report" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("label").as("q_label"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val truth = e.crossJoin(broadcast(q.select("q_id", "qv")))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+          .select("q_id", "vec_id")
+          .transform(Q.barrier)
+        val lsh = graft.pipeline.VectorOps.lshTopK(
+            t(s, dir, "embeddings"),
+            t(s, dir, "embeddings").where(col("vec_id") < 5), k = 5)
+          .select(col("q_id"), col("id").as("vec_id"))
+        val ivf = e.join(broadcast(q),
+            col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+          .select("q_id", "vec_id")
+        val lshHits = truth.join(lsh, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("lsh_hits"))
+        val ivfHits = truth.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("ivf_hits"))
+        truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+          .join(lshHits, Seq("q_id"), "left")
+          .join(ivfHits, Seq("q_id"), "left")
+          .na.fill(0L, Seq("lsh_hits", "ivf_hits"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 5),
+          bf AS (SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM e CROSS JOIN q WHERE vec_id <> q_id),
+          truth AS (SELECT q_id, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn FROM bf)
+            WHERE rn <= 5),
+          b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+          qb AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbk FROM b WHERE vec_id < 5),
+          lscored AS (SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM b JOIN qb ON vec_id <> q_id AND bit_count(xor(bucket, qbk)) <= 1),
+          lsh AS (SELECT q_id, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn FROM lscored)
+            WHERE rn <= 5),
+          iscored AS (SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM e JOIN q ON e.label = q.q_label AND vec_id <> q_id),
+          ivf AS (SELECT q_id, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn FROM iscored)
+            WHERE rn <= 5)
+        SELECT t.q_id AS q_id, count(*) AS n_truth,
+          CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lsh l
+              WHERE l.q_id = t.q_id AND l.vec_id = t.vec_id) THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+          CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf i
+              WHERE i.q_id = t.q_id AND i.vec_id = t.vec_id) THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
+        FROM truth t GROUP BY t.q_id ORDER BY t.q_id"""))
   )
 }

@@ -378,6 +378,51 @@ object StreamingQ {
           ON c.user_id = v.user_id
           AND epoch_us(v.ts) >= epoch_us(c.ts) - 600000000
           AND epoch_us(v.ts) <= epoch_us(c.ts)
-        GROUP BY 1 ORDER BY ubucket"""))
+        GROUP BY 1 ORDER BY ubucket""")),
+
+    // ---- streaming ingest of a format directory (graft's own source) ----
+    // readStream.format("fastq") over an arriving-files directory — the
+    // sequencer-drop pipeline front, driven by the DSv2 MICRO_BATCH_READ
+    // path (GraftMicroBatchStream: file-set offsets, split planning and
+    // record readers shared with the batch scan; compression included —
+    // one staged file is gzip). The mid-entry f3 drop proves a RUNNING
+    // query discovers late-arriving files in its next micro-batch; the
+    // offset/restart contract is spec-proven (StreamingIngestSpec). The
+    // staged set is idempotent, so repeated runs (bench warm-up) see the
+    // same file set and the memory sink rebuilds the same 6 rows.
+    "stream_fastq_ingest" -> Q(
+      (s, _) => {
+        val fixtures = "/root/repo/src/test/resources/fixtures"
+        val staged = Stage.staged("graft-fastq-ingest") { d =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$fixtures/fastq/test.fastq"),
+            d.resolve("f1.fastq"))
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$fixtures/fastq/test.fastq.gz"),
+            d.resolve("f2.fastq.gz")): Unit
+        }
+        val tbl = "graft_stream_fastq_ingest"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val q = s.readStream.format("fastq").load(staged.toString)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try {
+          q.processAllAvailable()
+          val f3 = staged.resolve("f3.fastq")
+          if (!java.nio.file.Files.exists(f3))
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(s"$fixtures/fastq/test.fastq"), f3): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(tbl)
+          .groupBy("name")
+          .agg(count(lit(1)).as("n_copies"),
+            sum(length(col("sequence"))).as("seq_len"),
+            countDistinct(col("quality_scores")).cast("int").as("n_quals"))
+          .orderBy("name")
+      },
+      Some("""SELECT 'q1' AS name, CAST(3 AS BIGINT) AS n_copies,
+          CAST(42 AS BIGINT) AS seq_len, 1 AS n_quals
+        UNION ALL SELECT 'q2', 3, 42, 1 ORDER BY name"""))
   )
 }

@@ -51,9 +51,10 @@ final case class GraftTable(format: GraftFormat, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     if (format.formatter.isDefined)
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
-    else util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.ACCEPT_ANY_SCHEMA)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     GraftScanBuilder(format, tableSchema, options)
 
@@ -155,52 +156,82 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
       s"filters=[${filters.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
-    // per-read override of the split size: a read option travels WITH
-    // the relation (the session conf is read at plan time of every
-    // downstream action, so a set-then-restore around a returned
-    // DataFrame silently re-plans under the restored value)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val files = GraftFiles.pathSpecs(options).flatMap(GraftFiles.resolve(_, conf))
+    files.flatMap(st =>
+      GraftPlanning.partitionsFor(format, st, GraftPlanning.maxSplitOf(options),
+        options, conf)).toArray
+  }
+
+  /** Micro-batch streaming over an arriving-files directory: the same
+    * formats, split planning, projection/filter plumbing, and reader as
+    * the batch path, driven by a file-set offset (see
+    * [[GraftMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    GraftMicroBatchStream(format, full, required, filters, options,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(format, full, required, filters, options,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+}
+
+/** Input-partition planning shared by the batch scan and the
+  * micro-batch stream: one partition per file, per ~maxSplit byte range
+  * (splittable formats), per BGZF block range, or per index-pruned
+  * chunk. */
+private[core] object GraftPlanning {
+
+  /** Per-read override of the split size: a read option travels WITH
+    * the relation (the session conf is read at plan time of every
+    * downstream action, so a set-then-restore around a returned
+    * DataFrame silently re-plans under the restored value). */
+  def maxSplitOf(options: Map[String, String]): Long = {
     val maxSplit = options.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxsplitbytes") => v.toLong
-    }.getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
+    }.getOrElse(SparkSession.active.sessionState.conf.filesMaxPartitionBytes)
     require(maxSplit > 0, s"maxSplitBytes must be positive, got $maxSplit")
-    val files = GraftFiles.pathSpecs(options).flatMap(GraftFiles.resolve(_, conf))
-    files.flatMap { st =>
-      val path = st.getPath.toString
-      val len = st.getLen
-      val codec = format.forcedCodec.getOrElse(Compression.of(path, options)._1)
-      indexedChunks(path, conf) match {
-        case Some(chunks) =>
-          // index-driven pruning: one partition per merged BGZF chunk;
-          // executors read only the blocks the index says can match
-          chunks.map(c => GraftInputPartition(path, c._1, c._2, len, bgzfChunk = true))
-        case None =>
-          if (format.splittable && codec == "none" && len > maxSplit) {
-            // One partition per ~maxSplit bytes; parser syncs to record start.
-            val n = splitCount(path, len, maxSplit)
-            (0 until n).map { i =>
-              val s = i.toLong * maxSplit
-              GraftInputPartition(path, s, math.min(s + maxSplit, len), len)
-            }
-          } else if (format.bgzfSplittable && (codec == "gzip" || codec == "bgzf") &&
-              len > maxSplit && Bgzf.isBgzf(path, len, st.getModificationTime, conf)) {
-            // BGZF is block-addressable: one partition per ~maxSplit
-            // COMPRESSED bytes; executors sync to the next block header
-            // and apply the anchor-voff ownership protocol. This is what
-            // keeps a single 100 GB .bam/.vcf.gz from serializing a
-            // cluster into one task.
-            val n = splitCount(path, len, maxSplit)
-            (0 until n).map { i =>
-              val s = i.toLong * maxSplit
-              GraftInputPartition(path, s, math.min(s + maxSplit, len), len,
-                bgzfSplit = true)
-            }
-          } else {
-            Seq(GraftInputPartition(path, 0, Long.MaxValue, len))
+    maxSplit
+  }
+
+  def partitionsFor(format: GraftFormat, st: org.apache.hadoop.fs.FileStatus,
+                    maxSplit: Long, options: Map[String, String],
+                    conf: Configuration): Seq[GraftInputPartition] = {
+    val path = st.getPath.toString
+    val len = st.getLen
+    val codec = format.forcedCodec.getOrElse(Compression.of(path, options)._1)
+    indexedChunks(format, path, options, conf) match {
+      case Some(chunks) =>
+        // index-driven pruning: one partition per merged BGZF chunk;
+        // executors read only the blocks the index says can match
+        chunks.map(c => GraftInputPartition(path, c._1, c._2, len, bgzfChunk = true))
+      case None =>
+        if (format.splittable && codec == "none" && len > maxSplit) {
+          // One partition per ~maxSplit bytes; parser syncs to record start.
+          val n = splitCount(path, len, maxSplit)
+          (0 until n).map { i =>
+            val s = i.toLong * maxSplit
+            GraftInputPartition(path, s, math.min(s + maxSplit, len), len)
           }
-      }
-    }.toArray
+        } else if (format.bgzfSplittable && (codec == "gzip" || codec == "bgzf") &&
+            len > maxSplit && Bgzf.isBgzf(path, len, st.getModificationTime, conf)) {
+          // BGZF is block-addressable: one partition per ~maxSplit
+          // COMPRESSED bytes; executors sync to the next block header
+          // and apply the anchor-voff ownership protocol. This is what
+          // keeps a single 100 GB .bam/.vcf.gz from serializing a
+          // cluster into one task.
+          val n = splitCount(path, len, maxSplit)
+          (0 until n).map { i =>
+            val s = i.toLong * maxSplit
+            GraftInputPartition(path, s, math.min(s + maxSplit, len), len,
+              bgzfSplit = true)
+          }
+        } else {
+          Seq(GraftInputPartition(path, 0, Long.MaxValue, len))
+        }
+    }
   }
 
   /** A tiny maxSplitBytes against a huge file must reject the
@@ -219,13 +250,9 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
     * BAM, CSI for BCF — the reference's noodles-backed indexed queries,
     * SURVEY.md §3.3). Phase-1 scan+filter remains the fallback and the
     * correctness baseline. */
-  private def indexedChunks(path: String, conf: Configuration): Option[Seq[(Long, Long)]] =
+  private def indexedChunks(format: GraftFormat, path: String,
+      options: Map[String, String], conf: Configuration): Option[Seq[(Long, Long)]] =
     options.get("region").flatMap(format.regionChunks(path, _, conf))
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(format, full, required, filters, options,
-      new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long,

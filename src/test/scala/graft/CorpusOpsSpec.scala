@@ -362,6 +362,64 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("selectUnderTokenBudget keeps best-score-first until the budget crosses, ties by lowest id") {
+    import spark.implicits._
+    // scores: 30 > 20 = 20 > 10; token counts: all 3-token docs
+    val docs = Seq(
+      (4L, "a b c", 30),
+      (2L, "d e f", 20),
+      (3L, "g h i", 20),
+      (1L, "j k l", 10))
+      .toDF("doc_id", "text", "score")
+    def keptIds(budget: Long): Set[Long] =
+      graft.pipeline.CorpusOps.selectUnderTokenBudget(docs, budget, "score")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // order is (30,#4), (20,#2), (20,#3), (10,#1); each doc = 3 tokens.
+    // budget 1: doc 4 crosses the budget and is the last kept
+    assert(keptIds(1) == Set(4L))
+    // budget 4: cum_before of #2 is 3 < 4 -> kept; #3's is 6 -> cut
+    assert(keptIds(4) == Set(4L, 2L))
+    assert(keptIds(7) == Set(4L, 2L, 3L))
+    assert(keptIds(0) == Set.empty)
+    assert(keptIds(1000) == Set(4L, 2L, 3L, 1L))
+  }
+
+  test("selectUnderTokenBudget matches a naive global-window cut on a larger frame, keeps all columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(1 + i % 7)("w").mkString(" "), (i * 37) % 11, s"src${i % 3}")
+    }.toDF("doc_id", "text", "score", "source")
+    val budget = 300L
+    val got = graft.pipeline.CorpusOps.selectUnderTokenBudget(docs, budget, "score")
+    assert(got.columns.toSeq == Seq("doc_id", "text", "score", "source"))
+    val naive = docs
+      .withColumn("n", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cb", sum(col("n")).over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"))
+      .where(col("cb") < budget)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      naive.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("selectUnderTokenBudget validates its arguments") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq((1L, "a b", 5)).toDF("doc_id", "text", "score")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.selectUnderTokenBudget(docs, -1, "score")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.selectUnderTokenBudget(docs, 10, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.selectUnderTokenBudget(
+        docs.withColumnRenamed("doc_id", "k").withColumn("doc_id", lit("s")), 10, "score")
+    }
+  }
+
   test("heavyHitters reports exactly the at-threshold values with exact counts, est >= cnt") {
     import spark.implicits._
     val vals = (Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++

@@ -330,6 +330,45 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_token_budget: global windows only over the band frame; corpus prefix is band-partitioned") {
+    // the scale contract of the two-level prefix sum: an unpartitioned
+    // ordered window (Spark executes it on ONE task) may only ever see
+    // the small band-aggregate frame, never corpus rows — and the
+    // within-band running sum above the broadcast rejoin must be
+    // partitioned
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(executed(SparkEntry.queries("pipe_token_budget")(spark, SF)))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "band offsets must rejoin the corpus via broadcast")
+    val windows = all.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected window operators in the plan")
+    windows.foreach { w =>
+      val below = flatten(w.child)
+      if (w.partitionSpec.isEmpty) {
+        // global window: must sit over the band aggregate, with no join
+        // below (i.e. it consumes band rows, not corpus rows)
+        assert(!below.exists(_.isInstanceOf[BroadcastHashJoinExec]) &&
+          below.exists(_.isInstanceOf[BaseAggregateExec]),
+          s"global-order window over corpus rows:\n${w.toString.take(2000)}")
+      } else if (below.exists(_.isInstanceOf[BroadcastHashJoinExec])) {
+        // the within-band running sum: partitioned by construction —
+        // this branch just documents that it is the one over the join
+        assert(w.partitionSpec.nonEmpty)
+      }
+    }
+  }
+
   test("compressed scan statistics honor fileCompressionFactor") {
     // compressed bytes understate row size ~4x; a bgzf table must not
     // masquerade as a broadcast candidate when the user sets Spark's
