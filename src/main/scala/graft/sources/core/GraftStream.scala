@@ -3,7 +3,7 @@ package graft.sources.core
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
@@ -64,7 +64,8 @@ final case class GraftMicroBatchStream(format: GraftFormat, full: StructType,
                                        filters: Array[Filter],
                                        options: Map[String, String],
                                        sconf: SerializableConfiguration)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def listNow(): Map[String, Long] =
     GraftFiles.pathSpecs(options)
@@ -73,7 +74,50 @@ final case class GraftMicroBatchStream(format: GraftFormat, full: StructType,
 
   override def initialOffset(): Offset = GraftStreamOffset(Map.empty)
 
-  override def latestOffset(): Offset = GraftStreamOffset(listNow())
+  /** Admission control: `maxFilesPerTrigger` paces a backlogged
+    * directory into bounded micro-batches instead of one giant batch —
+    * at scale, the knob that keeps a week of arrived files from
+    * becoming a single cluster-saturating trigger. Files admit in
+    * sorted-path order, so pacing is deterministic. */
+  override def getDefaultReadLimit: ReadLimit =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxfilespertrigger") =>
+        val n = v.toInt
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+        ReadLimit.maxFiles(n)
+    }.getOrElse(ReadLimit.allAvailable())
+
+  /** Trigger.AvailableNow: bound the run to the files present when the
+    * query started, then drain them under the read limit — without this
+    * snapshot a steadily-arriving directory would keep an "available
+    * now" run alive indefinitely. */
+  @volatile private var availableNowSnapshot: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot = Some(listNow())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftStreamOffset].files
+    val now = availableNowSnapshot.getOrElse(listNow())
+    // the immutability contract must be checked HERE: a paced offset
+    // copies `from`'s recorded lengths forward, so a grown file would
+    // otherwise sail through planInputPartitions' start-vs-end compare
+    val grown = from.collect {
+      case (p, l) if now.get(p).exists(_ != l) => s"$p ($l -> ${now(p)} bytes)"
+    }
+    require(grown.isEmpty,
+      s"streaming input files must be immutable once they appear; " +
+        s"grown/rewritten: ${grown.mkString(", ")}")
+    val fresh = (now.keySet -- from.keySet).toSeq.sorted
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    GraftStreamOffset(from ++ admitted.map(p => p -> now(p)))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source")
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.fromJson(json)

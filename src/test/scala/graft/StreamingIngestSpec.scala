@@ -77,6 +77,24 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(names.sorted == Seq("r1", "r2", "r4", "r5", "r6"))
   }
 
+  test("maxFilesPerTrigger paces a backlog into one-file micro-batches") {
+    val dir = tmp("graft-ingest-pace")
+    writeFastq(dir, "a.fastq", Seq(("r1", "ACGT", "IIII")))
+    writeFastq(dir, "b.fastq", Seq(("r2", "ACGT", "IIII")))
+    writeFastq(dir, "c.fastq", Seq(("r3", "ACGT", "IIII")))
+    val tbl = "graft_ingest_pace"
+    val q = spark.readStream.format("fastq")
+      .option("maxFilesPerTrigger", "1").load(dir.toString)
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(tbl).count() == 3)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3,
+        s"expected 3 paced one-file batches, got $dataBatches")
+    } finally q.stop()
+  }
+
   test("a file that grows between offsets fails the stream loudly") {
     val dir = tmp("graft-ingest-grow")
     val out = tmp("graft-ingest-grow-out").toString
@@ -110,7 +128,8 @@ class StreamingIngestSpec extends AnyFunSuite {
     val stream = GraftMicroBatchStream(graft.sources.FastaFormat, schema, schema,
       Array.empty, Map("path" -> dir.toString, "maxsplitbytes" -> "128"),
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
-    val end = stream.latestOffset()
+    val end = stream.latestOffset(stream.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
     val parts = stream.planInputPartitions(stream.initialOffset(), end)
     assert(parts.length > 4,
       s"expected byte-range fan-out, got ${parts.length} partitions")
