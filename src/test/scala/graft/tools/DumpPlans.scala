@@ -38,6 +38,11 @@ object DumpPlans {
       """Bloom bits built executor-side over the (small) eval grams and
         |broadcast; the train corpus is filtered map-side and only the
         |~fpp survivors reach the exact verify join.""".stripMargin,
+    "pipe_token_budget" ->
+      """Two-level distributed prefix sum: the only unpartitioned
+        |ordered window consumes the small (score, id-range) band
+        |aggregate; band offsets rejoin the corpus by broadcast and the
+        |per-row running sum is a band-partitioned window.""".stripMargin,
     "rel_interval_merge_scalable" ->
       """Range-bucketed interval merge: the sweep runs per (key, bucket)
         |window partition in parallel, then stitches bucket-boundary
