@@ -423,6 +423,43 @@ object StreamingQ {
       },
       Some("""SELECT 'q1' AS name, CAST(3 AS BIGINT) AS n_copies,
           CAST(42 AS BIGINT) AS seq_len, 1 AS n_quals
-        UNION ALL SELECT 'q2', 3, 42, 1 ORDER BY name"""))
+        UNION ALL SELECT 'q2', 3, 42, 1 ORDER BY name""")),
+
+    // ---- streaming sink round trip: stream in AND out of a format ----
+    // readStream(fastq dir) -> writeStream format("fastq") -> batch
+    // read-back: the outbound half of the streaming surface
+    // (STREAMING_WRITE, per-epoch deterministic part names — a replayed
+    // epoch rewrites its own files; StreamingWriteSpec covers epochs,
+    // compression, and staging invisibility). Output and checkpoint are
+    // driver-memoized: re-runs find no new input, add no new epochs,
+    // and read back the identical directory — deterministic in-gate.
+    "stream_fastq_sink_roundtrip" -> Q(
+      (s, _) => {
+        val fixtures = "/root/repo/src/test/resources/fixtures"
+        val in = Stage.staged("graft-fastq-sink-in") { d =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$fixtures/fastq/test.fastq"),
+            d.resolve("f1.fastq"))
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$fixtures/fastq/test.fastq.gz"),
+            d.resolve("f2.fastq.gz")): Unit
+        }
+        val work = Stage.staged("graft-fastq-sink-work")(_ => ())
+        val q = s.readStream.format("fastq").load(in.toString)
+          .writeStream.format("fastq")
+          .option("path", work.resolve("out").toString)
+          .option("checkpointLocation", work.resolve("ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.sources.GraftIO.read_fastq(s, work.resolve("out").toString)
+          .groupBy("name")
+          .agg(count(lit(1)).as("n_copies"),
+            sum(length(col("sequence"))).as("seq_len"),
+            countDistinct(col("quality_scores")).cast("int").as("n_quals"))
+          .orderBy("name")
+      },
+      Some("""SELECT 'q1' AS name, CAST(2 AS BIGINT) AS n_copies,
+          CAST(28 AS BIGINT) AS seq_len, 1 AS n_quals
+        UNION ALL SELECT 'q2', 2, 28, 1 ORDER BY name"""))
   )
 }

@@ -52,8 +52,8 @@ final case class GraftTable(format: GraftFormat, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     if (format.formatter.isDefined)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.ACCEPT_ANY_SCHEMA)
+        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     GraftScanBuilder(format, tableSchema, options)
@@ -84,6 +84,22 @@ final case class GraftTable(format: GraftFormat, tableSchema: StructType,
           val writeOpts = Seq("compression", "partitionby")
             .flatMap(k => Option(info.options().get(k)).map(k -> _))
           GraftBatchWrite(fmt, info.schema(), path, options ++ writeOpts,
+            new org.apache.spark.util.SerializableConfiguration(hconf))
+        }
+
+        /** writeStream into a format directory: per-epoch appends with
+          * deterministic (epoch, partition) file names — see
+          * [[GraftStreamingWrite]]. No COPY-force gate here: a streaming
+          * sink's target accretes across epochs and restarts by design. */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          // complete/update modes arrive as truncate-per-epoch, which a
+          // format directory cannot express — append only
+          require(!doTruncate,
+            "streaming writes into format directories support append output mode only")
+          val hconf = SparkSession.active.sessionState.newHadoopConf()
+          val writeOpts = Seq("compression", "partitionby")
+            .flatMap(k => Option(info.options().get(k)).map(k -> _))
+          GraftStreamingWrite(fmt, info.schema(), path, options ++ writeOpts,
             new org.apache.spark.util.SerializableConfiguration(hconf))
         }
       }

@@ -199,11 +199,25 @@ object GraftFiles {
       throw new java.io.FileNotFoundException(s"no files match '$pathSpec'")
     globbed.flatMap { st =>
       if (st.isDirectory) {
+        // hidden-ness applies to every path component BELOW the listed
+        // root, not just the basename: files inside `_temporary/<id>/`
+        // (the writers' staging namespace) have plain names, and a scan
+        // racing an in-flight write must never read them as data
+        val root = st.getPath.toString
+        def hidden(p: Path): Boolean = {
+          var cur = p
+          while (cur != null && cur.toString != root) {
+            val n = cur.getName
+            if (n.startsWith(".") || n.startsWith("_")) return true
+            cur = cur.getParent
+          }
+          false
+        }
         val it = fs.listFiles(st.getPath, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
         while (it.hasNext) {
           val f = it.next()
-          if (!f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")) buf += f
+          if (!hidden(f.getPath)) buf += f
         }
         buf.toSeq.sortBy(_.getPath.toString)
       } else Seq(st)

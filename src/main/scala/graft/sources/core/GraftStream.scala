@@ -3,7 +3,7 @@ package graft.sources.core
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
@@ -74,18 +74,51 @@ final case class GraftMicroBatchStream(format: GraftFormat, full: StructType,
 
   override def initialOffset(): Offset = GraftStreamOffset(Map.empty)
 
-  /** Admission control: `maxFilesPerTrigger` paces a backlogged
-    * directory into bounded micro-batches instead of one giant batch —
-    * at scale, the knob that keeps a week of arrived files from
-    * becoming a single cluster-saturating trigger. Files admit in
-    * sorted-path order, so pacing is deterministic. */
-  override def getDefaultReadLimit: ReadLimit =
-    options.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("maxfilespertrigger") =>
-        val n = v.toInt
-        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
-        ReadLimit.maxFiles(n)
-    }.getOrElse(ReadLimit.allAvailable())
+  /** Admission control: `maxFilesPerTrigger` / `maxBytesPerTrigger`
+    * pace a backlogged directory into bounded micro-batches instead of
+    * one giant batch — at scale, the knobs that keep a week of arrived
+    * files from becoming a single cluster-saturating trigger. Files
+    * admit in sorted-path order, so pacing is deterministic. */
+  override def getDefaultReadLimit: ReadLimit = {
+    def opt(name: String): Option[Long] = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) =>
+        val n = v.toLong
+        require(n > 0, s"$name must be positive, got $n")
+        n
+    }
+    val limits = opt("maxfilespertrigger").map(n => ReadLimit.maxFiles(n.toInt)).toSeq ++
+      opt("maxbytespertrigger").map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Prefix of `fresh` (sorted) a read limit admits. Byte pacing always
+    * admits the first file even when it alone exceeds the cap — the
+    * progress guarantee; a composite applies each member limit (all are
+    * prefix rules, so intersection = sequential application). */
+  private def admit(fresh: Seq[String], sizes: Map[String, Long],
+                    limit: ReadLimit): Seq[String] = limit match {
+    case m: ReadMaxFiles => fresh.take(m.maxFiles())
+    case b: ReadMaxBytes =>
+      val out = Seq.newBuilder[String]
+      var total = 0L
+      var n = 0
+      var done = false
+      fresh.foreach { p =>
+        if (!done) {
+          val len = sizes(p)
+          if (n == 0 || total + len <= b.maxBytes()) { out += p; total += len; n += 1 }
+          else done = true
+        }
+      }
+      out.result()
+    case c: CompositeReadLimit =>
+      c.getReadLimits.foldLeft(fresh)((acc, l) => admit(acc, sizes, l))
+    case _ => fresh
+  }
 
   /** Trigger.AvailableNow: bound the run to the files present when the
     * query started, then drain them under the read limit — without this
@@ -108,10 +141,7 @@ final case class GraftMicroBatchStream(format: GraftFormat, full: StructType,
       s"streaming input files must be immutable once they appear; " +
         s"grown/rewritten: ${grown.mkString(", ")}")
     val fresh = (now.keySet -- from.keySet).toSeq.sorted
-    val admitted = limit match {
-      case m: ReadMaxFiles => fresh.take(m.maxFiles())
-      case _ => fresh
-    }
+    val admitted = admit(fresh, now, limit)
     GraftStreamOffset(from ++ admitted.map(p => p -> now(p)))
   }
 

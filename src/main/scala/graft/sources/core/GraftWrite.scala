@@ -88,10 +88,62 @@ final case class GraftBatchWrite(formatter: RecordFormatter, schema: StructType,
   }
 }
 
+/** DSv2 StreamingWrite: writeStream straight into a format directory
+  * (`events.writeStream.format("fastq").option("path", dir)`) — the
+  * outbound half of the streaming surface, sharing the batch writer's
+  * staged-rename task commit wholesale. Per-epoch exactly-once WITHOUT
+  * a sink metadata log: destination names are a deterministic function
+  * of (epoch, partition), so a failure-replayed epoch renames over its
+  * own previous files instead of duplicating rows — readers are plain
+  * directory scans, exactly what the batch sources expect. Append
+  * output mode only (a format directory has no truncate-per-trigger
+  * semantics).
+  */
+final case class GraftStreamingWrite(formatter: RecordFormatter, schema: StructType,
+                                     path: String, options: Map[String, String],
+                                     sconf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val writeId: String = UUID.randomUUID().toString.take(12)
+  private def stagingRoot = new Path(new Path(path, "_temporary"), writeId)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        GraftWriterFactory(formatter, schema, path, options, sconf, writeId,
+          epoch = Some(epochId)).createWriter(partitionId, taskId)
+    }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(sconf.value)
+    messages.foreach {
+      case GraftWriteCommit(files) => files.foreach { case (temp, dest) =>
+        val d = new Path(dest)
+        val parent = d.getParent
+        if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+        // epoch replay: the deterministic destination may exist from the
+        // failed attempt — replace it, never duplicate it
+        if (fs.exists(d)) fs.delete(d, false)
+        if (!fs.rename(new Path(temp), d))
+          throw new java.io.IOException(s"epoch $epochId commit failed renaming $temp -> $dest")
+      }
+      case _ =>
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(sconf.value)
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+  }
+}
+
 final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructType,
                                     path: String, options: Map[String, String],
                                     sconf: SerializableConfiguration,
-                                    writeId: String)
+                                    writeId: String,
+                                    epoch: Option[Long] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -145,8 +197,14 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
     def openStream(key: String): (OutputStream, Path, Path) = {
       // taskId in the staging name keeps concurrent attempts of the same
       // partition (speculation, retry) from clobbering each other; only
-      // the attempt whose message reaches commit() gets renamed into place
-      val fileName = f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}$ext"
+      // the attempt whose message reaches commit() gets renamed into place.
+      // Streaming epochs use DETERMINISTIC destination names (no uuid):
+      // a replayed epoch rewrites the same files instead of duplicating
+      // them — the idempotence that stands in for a sink metadata log.
+      val fileName = epoch match {
+        case Some(e) => f"part-$e%05d-$partitionId%05d$ext"
+        case None => f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}$ext"
+      }
       val destDir = if (key.isEmpty) new Path(path) else new Path(path, key)
       val temp = new Path(new Path(new Path(path, "_temporary"), writeId),
         s"$taskId-${if (key.isEmpty) "" else key.replace('/', '%') + "-"}$fileName")

@@ -95,6 +95,25 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger packs files under the byte cap, oversized first file still admits") {
+    val dir = tmp("graft-ingest-bytes")
+    // each record is 16 bytes on disk
+    writeFastq(dir, "a.fastq", Seq(("r1", "ACGT", "IIII")))
+    writeFastq(dir, "b.fastq", Seq(("r2", "ACGT", "IIII")))
+    writeFastq(dir, "c.fastq", Seq(("r3", "ACGT", "IIII")))
+    val tbl = "graft_ingest_bytes"
+    // cap 40: batch 1 = a+b (32 bytes; c would exceed), batch 2 = c
+    val q = spark.readStream.format("fastq")
+      .option("maxBytesPerTrigger", "40").load(dir.toString)
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(tbl).count() == 3)
+      val batches = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).toSeq
+      assert(batches == Seq(2L, 1L), s"expected [2, 1] rows per batch, got $batches")
+    } finally q.stop()
+  }
+
   test("a file that grows between offsets fails the stream loudly") {
     val dir = tmp("graft-ingest-grow")
     val out = tmp("graft-ingest-grow-out").toString
