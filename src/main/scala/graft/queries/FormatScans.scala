@@ -412,6 +412,37 @@ object FormatScans {
         .where("genotypes_typed[1].gq > 20")
         .orderBy("pos"),
       Some("""SELECT CAST(100 AS BIGINT) AS pos, '0/1' AS gt0, 99 AS gq0, '1/1' AS gt1, 42 AS gq1
-        UNION ALL SELECT 200, '0/0', 10, '0/1', 77 ORDER BY pos"""))
+        UNION ALL SELECT 200, '0/0', 10, '0/1', 77 ORDER BY pos""")),
+
+    // ---- small-file compaction (GraftMaintenance) through the gate ----
+    // Six 1-record part files (the shape a long-lived streaming sink
+    // accretes) compact into one ~targetBytes output; read-back must be
+    // row-identical and the directory must hold exactly one data file.
+    // Staged dir is driver-memoized; the second invocation's compact()
+    // is a proven no-op (CompactionSpec "compacting twice"), so the
+    // entry is deterministic across bench warm-up + measured passes.
+    "fmt_compact_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-compact-gate") { d =>
+          (1 to 6).foreach { i =>
+            java.nio.file.Files.write(d.resolve(f"part-$i%05d.fastq"),
+              s"@r$i\nACGTACGT\n+\nIIIIIIII\n".getBytes("UTF-8")): Unit
+          }
+        }
+        val rep = graft.sources.GraftMaintenance.compact(s, dir.toString, "fastq",
+          targetBytes = 1L << 20)
+        // count data files the way a scan sees them: hidden sidecars
+        // (LocalFileSystem .crc) and staging (_*) are not data
+        val nFiles = Option(dir.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        GraftIO.read_fastq(s, dir.toString)
+          .agg(count(lit(1)).as("n_records"),
+            sum(length(col("sequence"))).as("seq_len"),
+            countDistinct(col("name")).cast("int").as("n_names"))
+          .withColumn("n_files", lit(nFiles))
+          .withColumn("compacted_once", lit(rep.groups <= 1))
+      },
+      Some("""SELECT CAST(6 AS BIGINT) AS n_records, CAST(48 AS BIGINT) AS seq_len,
+        6 AS n_names, 1 AS n_files, true AS compacted_once"""))
   )
 }
