@@ -443,6 +443,158 @@ object FormatScans {
           .withColumn("compacted_once", lit(rep.groups <= 1))
       },
       Some("""SELECT CAST(6 AS BIGINT) AS n_records, CAST(48 AS BIGINT) AS seq_len,
-        6 AS n_names, 1 AS n_files, true AS compacted_once"""))
+        6 AS n_names, 1 AS n_files, true AS compacted_once""")),
+
+    // ---- WARC web-archive ingest (beyond the reference: the container
+    // every web-crawl training corpus arrives in). Golden fixture staged
+    // deterministically; HTTP payloads unwrap to status/content-type/body,
+    // non-HTTP blocks pass through raw.
+    "fmt_warc_scan" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-warc-gate") { d =>
+          java.nio.file.Files.write(d.resolve("golden.warc"), WarcGen.golden)
+        }
+        GraftIO.read_warc(s, staged.resolve("golden.warc").toString)
+          .selectExpr("record_id", "record_type", "target_uri", "content_type",
+            "content_length", "http_status", "http_content_type",
+            "cast(body AS STRING) AS body_s", "headers['WARC-Date'] AS warc_date")
+          .orderBy("record_id")
+      },
+      Some("""SELECT '<urn:uuid:a1>' AS record_id, 'warcinfo' AS record_type,
+          CAST(NULL AS VARCHAR) AS target_uri, 'application/warc-fields' AS content_type,
+          CAST(16 AS BIGINT) AS content_length, CAST(NULL AS INTEGER) AS http_status,
+          CAST(NULL AS VARCHAR) AS http_content_type,
+          'software: graft' || chr(10) AS body_s, '2026-01-01T00:00:00Z' AS warc_date
+        UNION ALL SELECT '<urn:uuid:b2>', 'response', 'http://example.com/a',
+          'application/http; msgtype=response', 59, 200, 'text/html',
+          '<html>ok</html>', '2026-01-01T00:00:00Z'
+        UNION ALL SELECT '<urn:uuid:c3>', 'resource', 'http://example.com/raw',
+          'application/octet-stream', 8, NULL, NULL, 'rawbytes', '2026-01-01T00:00:00Z'
+        ORDER BY record_id""")),
+
+    // Byte-range fan-out over one large uncompressed WARC: ranged tasks
+    // resync by validating a full header block behind each WARC/1.
+    // marker, so the marker look-alike embedded in EVERY payload below
+    // must never frame a phantom record, and the multi-task aggregate
+    // must equal the single-task one. At 100 TB this is one task per
+    // ~128 MB instead of one per file.
+    "fmt_warc_split_scan" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-warc-split-gate") { d =>
+          java.nio.file.Files.write(d.resolve("big.warc"), WarcGen.big(200))
+        }
+        val df = GraftIO.read_warc(s, staged.resolve("big.warc").toString,
+          Map("maxSplitBytes" -> "2000"))
+        val parts = df.rdd.getNumPartitions
+        df.agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("record_id")).as("n_ids"),
+            sum(col("content_length")).as("len_sum"),
+            sum(col("http_status")).cast("long").as("status_sum"),
+            sum(length(col("body").cast("string"))).as("body_len"))
+          .withColumn("parts_fanned_out", lit(parts > 5))
+      },
+      Some("""SELECT CAST(200 AS BIGINT) AS n, CAST(200 AS BIGINT) AS n_ids,
+        CAST(15400 AS BIGINT) AS len_sum, CAST(40000 AS BIGINT) AS status_sum,
+        CAST(6400 AS BIGINT) AS body_len, true AS parts_fanned_out""")),
+
+    // ---- crawl -> text bridge: the step between a WARC scan and every
+    // text-pipeline operator. Filter to OK text/html, strip markup with
+    // HtmlOps.htmlToText (codegen'd regexp chain, no UDF), tokenize.
+    // The fixture embeds each extraction hazard: WARC/1.0 decoy in a
+    // comment, raw '<' inside a script, style content, &amp; entities,
+    // plus 404 and non-HTML records the filter must drop.
+    "pipe_warc_html_text" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-warc-html-gate") { d =>
+          java.nio.file.Files.write(d.resolve("crawl.warc"), WarcGen.htmlCorpus(60))
+        }
+        val warc = GraftIO.read_warc(s, staged.resolve("crawl.warc").toString,
+          Map("maxSplitBytes" -> "4000"))
+        val parts = warc.rdd.getNumPartitions
+        warc
+          .where(col("http_status") === 200 &&
+            col("http_content_type").startsWith("text/html"))
+          .select(
+            graft.functions.HtmlOps.htmlTitle(col("body").cast("string")).as("title"),
+            graft.functions.HtmlOps.htmlToText(col("body").cast("string")).as("text"))
+          .agg(
+            count(lit(1)).as("n_pages"),
+            countDistinct(col("text")).as("n_texts"),
+            sum(size(split(col("text"), " "))).cast("long").as("tok_sum"),
+            min(col("text")).as("min_text"),
+            max(col("title")).as("max_title"))
+          .withColumn("split_fanned_out", lit(parts > 3))
+      },
+      Some("""SELECT CAST(60 AS BIGINT) AS n_pages, CAST(60 AS BIGINT) AS n_texts,
+        CAST(540 AS BIGINT) AS tok_sum,
+        'Page 1 Page 1 alpha beta & gamma 1' AS min_text,
+        'Page 9' AS max_title, true AS split_fanned_out"""))
   )
+
+  /** Deterministic WARC fixture bytes (ISO 28500 framing). */
+  private[queries] object WarcGen {
+    private def rec(typ: String, uri: String, id: String, ctype: String,
+                    block: Array[Byte]): Array[Byte] = {
+      val head = "WARC/1.0\r\n" +
+        s"WARC-Type: $typ\r\n" +
+        s"WARC-Record-ID: $id\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"Content-Type: $ctype\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n"
+      head.getBytes("US-ASCII") ++ block ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+
+    def golden: Array[Byte] =
+      rec("warcinfo", null, "<urn:uuid:a1>", "application/warc-fields",
+        "software: graft\n".getBytes("UTF-8")) ++
+      rec("response", "http://example.com/a", "<urn:uuid:b2>",
+        "application/http; msgtype=response",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>ok</html>"
+          .getBytes("UTF-8")) ++
+      rec("resource", "http://example.com/raw", "<urn:uuid:c3>",
+        "application/octet-stream", "rawbytes".getBytes("UTF-8"))
+
+    /** n OK text/html pages + 2 status-404 pages + 1 text/plain record:
+      * the mixed crawl shape pipe_warc_html_text filters and extracts.
+      * Each page embeds a comment with a `WARC/1.0` decoy, a script with
+      * a raw `<`, a style block, and an `&amp;` entity — the extraction
+      * hazards. Plain text of page i: `Page i Page i alpha beta & gamma i`.
+      * `start` offsets the page ids so multi-file fixtures don't collide. */
+    def htmlCorpus(n: Int, start: Int = 1): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def page(i: Int): String =
+        s"<html><head><title>Page $i</title><style>p {color: red}</style></head>" +
+        s"<body><h1>Page $i</h1><!-- decoy WARC/1.0 marker -->" +
+        s"<p>alpha beta &amp; gamma $i</p><script>var x = 1 < 2;</script></body></html>"
+      def http(status: Int, ctype: String, body: String): Array[Byte] =
+        (s"HTTP/1.1 $status X\r\nContent-Type: $ctype\r\n\r\n" + body).getBytes("UTF-8")
+      (start until start + n).foreach { i =>
+        out.write(rec("response", s"http://h.test/$i", f"<urn:uuid:h$i%04d>",
+          "application/http; msgtype=response",
+          http(200, "text/html; charset=utf-8", page(i))))
+      }
+      (1 to 2).foreach { i =>
+        out.write(rec("response", s"http://h.test/gone$start-$i", s"<urn:uuid:x$start-$i>",
+          "application/http; msgtype=response", http(404, "text/html", page(i))))
+      }
+      out.write(rec("response", "http://h.test/plain", s"<urn:uuid:pl$start>",
+        "application/http; msgtype=response", http(200, "text/plain", "not html")))
+      out.toByteArray
+    }
+
+    /** n HTTP responses; every 32-byte body embeds `WARC/1.0\r\n`
+      * (head 45 bytes => Content-Length 77 each). */
+    def big(n: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      (1 to n).foreach { i =>
+        val body = f"page $i%04d WARC/1.0\r\nnot-a-record"
+        val block = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+        out.write(rec("response", s"http://x.test/$i", f"<urn:uuid:$i%04d>",
+          "application/http; msgtype=response", block.getBytes("US-ASCII")))
+      }
+      out.toByteArray
+    }
+  }
 }

@@ -460,6 +460,51 @@ object StreamingQ {
       },
       Some("""SELECT 'q1' AS name, CAST(2 AS BIGINT) AS n_copies,
           CAST(28 AS BIGINT) AS seq_len, 1 AS n_quals
-        UNION ALL SELECT 'q2', 2, 28, 1 ORDER BY name"""))
+        UNION ALL SELECT 'q2', 2, 28, 1 ORDER BY name""")),
+
+    // ---- continuous crawl curation: streaming WARC -> text pipeline ----
+    // The format streaming source is format-generic, so a crawl
+    // directory ingests with the same file-set offsets + in-batch split
+    // fan-out as fastq; a second shard landing mid-stream is picked up
+    // by the next micro-batch. Filter + HtmlOps extraction run inside
+    // the micro-batch plan (codegen'd regexp chain, no UDF), so the
+    // curation transform rides the stream instead of a second batch
+    // pass over landed bytes — at 100 TB/day of crawl that removes a
+    // full read-modify-write of the corpus.
+    "stream_warc_ingest" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-warc-stream-in") { d =>
+          java.nio.file.Files.write(d.resolve("crawl-000.warc"),
+            FormatScans.WarcGen.htmlCorpus(20)): Unit
+        }
+        val tbl = "graft_stream_warc_ingest"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val q = s.readStream.format("warc").load(staged.toString)
+          .where(col("http_status") === 200 &&
+            col("http_content_type").startsWith("text/html"))
+          .select(col("target_uri"),
+            graft.functions.HtmlOps.htmlTitle(col("body").cast("string")).as("title"),
+            graft.functions.HtmlOps.htmlToText(col("body").cast("string")).as("text"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try {
+          q.processAllAvailable()
+          val shard2 = staged.resolve("crawl-001.warc")
+          if (!java.nio.file.Files.exists(shard2))
+            java.nio.file.Files.write(shard2,
+              FormatScans.WarcGen.htmlCorpus(20, start = 21)): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(tbl).agg(
+            count(lit(1)).as("n_pages"),
+            countDistinct(col("text")).as("n_texts"),
+            sum(size(split(col("text"), " "))).cast("long").as("tok_sum"),
+            min(col("text")).as("min_text"),
+            max(col("title")).as("max_title"))
+      },
+      Some("""SELECT CAST(40 AS BIGINT) AS n_pages, CAST(40 AS BIGINT) AS n_texts,
+        CAST(360 AS BIGINT) AS tok_sum,
+        'Page 1 Page 1 alpha beta & gamma 1' AS min_text,
+        'Page 9' AS max_title"""))
   )
 }

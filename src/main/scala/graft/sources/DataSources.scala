@@ -17,7 +17,8 @@ import graft.sources.core._
 object Formats {
   def all: Seq[GraftFormat] =
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
-      HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat)
+      HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
+      WarcFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -25,7 +26,9 @@ object Formats {
 
   /** Bare-path dispatch set: the reference's replacement scan handles
     * FASTA/FASTQ/GFF/SAM/BAM/VCF/BCF/GenBank/HMM/mzML but NOT BED or GTF
-    * (arrow_table_function/module.cpp:336-379) — replicated exactly. */
+    * (arrow_table_function/module.cpp:336-379) — replicated exactly;
+    * WARC (beyond the reference, `.warc` only) joins the dispatchable
+    * set since its extension collides with nothing upstream. */
   def autoDispatch: Seq[GraftFormat] = all.filterNot(f => f.name == "bed" || f.name == "gtf")
 
   def forPath(path: String, options: Map[String, String]): GraftFormat = {
@@ -50,6 +53,7 @@ class GenBankDataSource extends GraftDataSource(GenBankFormat)
 class MzmlDataSource extends GraftDataSource(MzmlFormat)
 class BamDataSource extends GraftDataSource(BamFormat)
 class BcfDataSource extends GraftDataSource(BcfFormat)
+class WarcDataSource extends GraftDataSource(WarcFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -99,6 +103,8 @@ object GraftIO {
   /** Indexed-region query analogs (phase 1: scan + region filter). */
   def vcf_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "vcf", path, Map("region" -> region))
   def bam_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bam", path, Map("region" -> region))
+  /** WARC web-archive records (beyond the reference; LLM-corpus ingest). */
+  def read_warc(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "warc", path, options)
   /** Bare-path auto-dispatch (replacement scan analog). */
   def read_auto(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "exon", path, options)
 

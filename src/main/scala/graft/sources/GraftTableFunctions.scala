@@ -66,7 +66,8 @@ object GraftTableFunctions {
     "sam" -> "read_sam_file_records", "bam" -> "read_bam_file_records",
     "vcf" -> "read_vcf_file_records", "bcf" -> "read_bcf_file_records",
     "genbank" -> "read_genbank",
-    "mzml" -> "read_mzml", "hmmdomtab" -> "read_hmm_dom_tbl_out")
+    "mzml" -> "read_mzml", "hmmdomtab" -> "read_hmm_dom_tbl_out",
+    "warc" -> "read_warc")
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry

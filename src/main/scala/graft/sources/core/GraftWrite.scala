@@ -131,6 +131,17 @@ final case class GraftStreamingWrite(formatter: RecordFormatter, schema: StructT
       }
       case _ =>
     }
+    // every staged file was just renamed out: drop this query's (now
+    // empty) staging namespace so a stream running for months doesn't
+    // park a zombie _temporary/<writeId> in the target for its lifetime
+    // (next epoch's writers recreate it; create() makes parents)
+    try {
+      if (fs.exists(stagingRoot) && fs.listStatus(stagingRoot).isEmpty)
+        fs.delete(stagingRoot, false): Unit
+      val tempRoot = new Path(path, "_temporary")
+      if (fs.exists(tempRoot) && fs.listStatus(tempRoot).isEmpty)
+        fs.delete(tempRoot, false): Unit
+    } catch { case _: Exception => } // best-effort hygiene, never fail an epoch
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -118,6 +118,85 @@ class CompactionSpec extends AnyFunSuite {
     assert(readNames(dir.toString).size == 4)
   }
 
+  test("recovery completes a swap that crashed after the marker, before any rename") {
+    val dir = tmp("graft-compact-recover1")
+    // the "crashed" compactor: staged outputs exist, marker published,
+    // zero renames done, sources still in place
+    writeFastq(dir, "s1.fastq", Seq(("old1", "ACGT", "IIII")))
+    writeFastq(dir, "s2.fastq", Seq(("old2", "GGCC", "!!!!")))
+    val staging = dir.resolve(".compact-cafe0001")
+    Files.createDirectories(staging)
+    writeFastq(staging, "part-00000-xyz.fastq",
+      Seq(("old1", "ACGT", "IIII"), ("old2", "GGCC", "!!!!")))
+    Files.write(dir.resolve(".compact-cafe0001.plan"),
+      ("out\tpart-00000-xyz.fastq\tcompact-cafe0001-part-00000.fastq\n" +
+        "src\ts1.fastq\nsrc\ts2.fastq\n").getBytes("UTF-8"))
+    val rep = GraftMaintenance.compact(spark, dir.toString, "fastq",
+      targetBytes = 1L << 20)
+    assert(rep.recoveredSwaps == 1)
+    assert(rep.groups == 0, "recovered leaf has one file left; nothing to compact")
+    assert(dataFiles(dir) == Seq("compact-cafe0001-part-00000.fastq"))
+    assert(!Files.exists(staging) && !Files.exists(dir.resolve(".compact-cafe0001.plan")))
+    assert(readNames(dir.toString) == Seq("old1", "old2"))
+  }
+
+  test("recovery finishes a swap that crashed mid-rename (partial destinations)") {
+    val dir = tmp("graft-compact-recover2")
+    writeFastq(dir, "s1.fastq", Seq(("old1", "ACGT", "IIII")))
+    writeFastq(dir, "s2.fastq", Seq(("old2", "GGCC", "!!!!")))
+    // output 0 already renamed in; output 1 still staged; sources not
+    // yet deleted — the worst-case half-swap
+    writeFastq(dir, "compact-cafe0002-part-00000.fastq", Seq(("old1", "ACGT", "IIII")))
+    val staging = dir.resolve(".compact-cafe0002")
+    Files.createDirectories(staging)
+    writeFastq(staging, "part-00001-xyz.fastq", Seq(("old2", "GGCC", "!!!!")))
+    Files.write(dir.resolve(".compact-cafe0002.plan"),
+      ("out\tpart-00000-abc.fastq\tcompact-cafe0002-part-00000.fastq\n" +
+        "out\tpart-00001-xyz.fastq\tcompact-cafe0002-part-00001.fastq\n" +
+        "src\ts1.fastq\nsrc\ts2.fastq\n").getBytes("UTF-8"))
+    // minFiles=3 so the run only repairs: the 2 recovered outputs would
+    // otherwise be legitimate candidates for this run's own compaction
+    val rep = GraftMaintenance.compact(spark, dir.toString, "fastq",
+      targetBytes = 1L << 20, minFiles = 3)
+    assert(rep.recoveredSwaps == 1)
+    assert(dataFiles(dir) == Seq("compact-cafe0002-part-00000.fastq",
+      "compact-cafe0002-part-00001.fastq"))
+    assert(readNames(dir.toString) == Seq("old1", "old2"))
+  }
+
+  test("recovery fails loudly when a staged output vanished mid-swap; sources survive") {
+    val dir = tmp("graft-compact-recover3")
+    writeFastq(dir, "s1.fastq", Seq(("old1", "ACGT", "IIII")))
+    writeFastq(dir, "s2.fastq", Seq(("old2", "GGCC", "!!!!")))
+    // marker promises an output that exists nowhere (staging swept)
+    Files.write(dir.resolve(".compact-cafe0003.plan"),
+      ("out\tpart-00000-xyz.fastq\tcompact-cafe0003-part-00000.fastq\n" +
+        "src\ts1.fastq\nsrc\ts2.fastq\n").getBytes("UTF-8"))
+    val e = intercept[java.io.IOException] {
+      GraftMaintenance.compact(spark, dir.toString, "fastq", targetBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("unrecoverable"))
+    assert(readNames(dir.toString) == Seq("old1", "old2"), "sources must survive")
+  }
+
+  test("vacuum never sweeps a marker-protected staging, however old") {
+    val dir = tmp("graft-vacuum-marker")
+    writeFastq(dir, "data.fastq", Seq(("r1", "ACGT", "IIII")))
+    val protectedStaging = dir.resolve(".compact-feed0001")
+    Files.createDirectories(protectedStaging)
+    writeFastq(protectedStaging, "part-00000-xyz.fastq", Seq(("p", "AAAA", "IIII")))
+    Files.write(dir.resolve(".compact-feed0001.plan"),
+      "out\tpart-00000-xyz.fastq\tcompact-feed0001-part-00000.fastq\nsrc\tdata.fastq\n"
+        .getBytes("UTF-8"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 100000)
+    Seq(protectedStaging, protectedStaging.resolve("part-00000-xyz.fastq"))
+      .foreach(p => Files.setLastModifiedTime(p, old): Unit)
+    val n = GraftMaintenance.vacuum(spark, dir.toString, olderThanMs = 50000)
+    assert(n == 0)
+    assert(Files.exists(protectedStaging.resolve("part-00000-xyz.fastq")))
+  }
+
   test("vacuum sweeps stale staging but spares fresh staging and data") {
     val dir = tmp("graft-vacuum")
     writeFastq(dir, "data.fastq", Seq(("r1", "ACGT", "IIII")))

@@ -42,6 +42,9 @@ class StreamingWriteSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set(("r1", "ACGT", "IIII"), ("r2", "GGCC", "!!!!"),
       ("r3", "TTTT", "????")))
+    // epoch commit sweeps its emptied staging namespace: a long-lived
+    // stream must not park a zombie _temporary dir in its target
+    assert(!Files.exists(java.nio.file.Paths.get(out, "_temporary")))
   }
 
   test("epochs append with deterministic names; restart adds new epochs without clobbering") {

@@ -36,7 +36,8 @@ class TableFunctionSpec extends AnyFunSuite {
       s"read_vcf_file_records('$F/vcf/test.vcf.gz')" -> 5,
       s"read_genbank('$F/genbank/test.gb')" -> 2,
       s"read_mzml('$F/mzml/test.mzML')" -> 2,
-      s"read_hmm_dom_tbl_out('$F/hmm/test.domtblout')" -> 2)
+      s"read_hmm_dom_tbl_out('$F/hmm/test.domtblout')" -> 2,
+      s"read_warc('$F/warc/test.warc')" -> 2)
     cases.foreach { case (tvf, n) =>
       assert(sqlRows(s"SELECT count(*) AS n FROM $tvf").head.getLong(0) == n.toLong, tvf)
     }
