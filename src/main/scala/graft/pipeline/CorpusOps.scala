@@ -203,6 +203,25 @@ object CorpusOps {
     graft.queries.TextOps.bm25TopK(docs, terms, k, idCol, textCol, k1, b)
   }
 
+  /** Corpus-trained bigram-LM scoring (the CCNet-style perplexity
+    * filter): add-one-smoothed bigram model trained on `docs` itself,
+    * each doc scored by its mean negative log-likelihood. Returns
+    * (`idCol`, n_bigrams, nll); docs with fewer than two tokens are
+    * omitted (no bigram to score). Per-bigram -ln P is rounded to
+    * integer micro-nats and summed as BIGINT, so the score is
+    * shuffle-order independent and engine-reproducible (see
+    * TextOps.bigramLmNll for the scale shape). */
+  def bigramLmNll(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    Seq(idCol, textCol).foreach { c =>
+      require(docs.columns.exists(_.equalsIgnoreCase(c)),
+        s"CorpusOps.bigramLmNll: no column '$c' in [${docs.columns.mkString(", ")}]")
+    }
+    require(!Seq("n_bigrams", "nll").exists(_.equalsIgnoreCase(idCol)),
+      "CorpusOps.bigramLmNll: idCol collides with an output column (n_bigrams, nll)")
+    graft.queries.TextOps.bigramLmNll(docs, idCol, textCol)
+  }
+
   /** fastText-shaped model-based quality scoring: a linear classifier
     * over hashed bigram features. `weights` is the trained model as a
     * (gram string, weight bigint) table — vocabulary-bounded, so it

@@ -112,6 +112,56 @@ object TextOps {
       .limit(k)
   }
 
+  /** Bigram-LM scoring core (text_bigram_lm_nll /
+    * [[graft.pipeline.CorpusOps.bigramLmNll]]): train an add-one-
+    * smoothed bigram language model on the corpus itself, then score
+    * every document by its mean negative log-likelihood
+    * mean_i[ -ln P(w_i | w_{i-1}) ] with
+    * P(cur | prev) = (c(prev, cur) + 1) / (c(prev as context) + V) —
+    * the literal CCNet-style perplexity filter (low NLL = the corpus LM
+    * finds the doc predictable; the filter keeps a band, dropping both
+    * boilerplate and noise tails).
+    *
+    * Scale: the LM "tables" are the (prev, cur) and (prev) aggregates —
+    * bounded by bigram-TYPE cardinality, not corpus size — and join
+    * back onto the bigram stream broadcast at this scale (both are
+    * keyed equi-joins, so a 100 TB corpus with an LM too big to
+    * broadcast degrades to ordinary shuffle joins on prev-hash, the
+    * same shape as any fact-to-dimension join). V is a 1-row driver
+    * scalar, the same class as BM25's corpus stats. The bigram stream
+    * feeds three consumers (two counts + the score join), so it is
+    * barriered once instead of re-exploding the corpus three times.
+    *
+    * Determinism across engines: each bigram's -ln P is rounded to
+    * integer MICRO-nats and summed as BIGINT (shuffle-order
+    * independent, exactly the text_bm25_topk discipline); the per-doc
+    * mean then divides once, in identical operand order on both sides.
+    */
+  private[graft] def bigramLmNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // V over ALL tokens (including docs too short to produce a bigram),
+    // so the smoothing denominator reflects the full vocabulary
+    val v = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    val base = docs
+      .select(col(idCol).as("bl_id"), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= 2)
+    val bg = Q.barrier(base.select(col("bl_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> named_struct('prev', w[i-1], 'cur', w[i]))")).as("p"))
+      .select(col("bl_id"), col("p.prev").as("prev"), col("p.cur").as("cur")))
+    val c2 = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("prev").agg(count(lit(1)).as("c1"))
+    bg.join(broadcast(c2), Seq("prev", "cur"))
+      .join(broadcast(c1), Seq("prev"))
+      .withColumn("micro",
+        expr(s"cast(round(-1e6 * ln((c2 + 1.0) / (c1 + $v)), 0) as bigint)"))
+      .groupBy("bl_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("micro"))
+      .select(col("bl_id").as(idCol), col("n_bigrams"),
+        expr("round(cast(micro as double) / n_bigrams / 1e6, 6)").as("nll"))
+      .orderBy(idCol)
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- language ID: argmax of stopword hits, deterministic tie-break ----
@@ -250,12 +300,12 @@ object TextOps {
     // CCNet-style quality filtering scores each doc under a corpus
     // language model; the exact-arithmetic analog of a unigram LM is
     // token-frequency statistics: per doc, the sum / min / mean of each
-    // token's corpus-wide count. (A log-prob sum would be the literal
-    // perplexity, but float log sums are summation-order-dependent and
-    // libm-implementation-dependent across engines — the INTEGER
-    // frequency stats carry the same ranking signal and are exactly
-    // reproducible, which is the property a curation pipeline needs for
-    // lineage-stable filtering.) Two passes: vocab = one (tok) groupBy
+    // token's corpus-wide count. (The literal smoothed-LM NLL lives in
+    // text_bigram_lm_nll below, made engine-reproducible by the
+    // micro-nat integer discipline; the raw INTEGER frequency stats here
+    // stay exactly reproducible with no rounding at all, the property a
+    // lineage-stable filter wants when a ranking signal suffices.)
+    // Two passes: vocab = one (tok) groupBy
     // whose result is vocabulary-sized, then a BROADCAST join back onto
     // the token stream — the corpus itself is never shuffled (gated in
     // PlanQualitySpec); the per-doc agg shuffles doc-keyed rows once.
@@ -354,6 +404,31 @@ object TextOps {
         SELECT doc_id, count(*) AS n_terms,
           cast(sum(c) AS double) / 1e6 AS score
         FROM c GROUP BY doc_id
-        ORDER BY score DESC, doc_id LIMIT 10"""))
+        ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // ---- smoothed bigram-LM mean NLL (the literal perplexity filter) ----
+    // Completes what text_unigram_rarity proxies: a corpus-trained
+    // add-one bigram LM scoring every doc's mean -ln P(w_i | w_{i-1}).
+    // Cross-engine float determinism via integer micro-nat rounding —
+    // see bigramLmNll's scaladoc for the mechanism and 100 TB shape.
+    "text_bigram_lm_nll" -> Q(
+      (s, dir) => bigramLmNll(t(s, dir, "documents")),
+      Some("""WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bgu AS (SELECT doc_id,
+            unnest([{'prev': w[i], 'cur': w[i+1]} for i in range(1, len(w))]) AS u
+          FROM base),
+        bg AS (SELECT doc_id, u.prev AS prev, u.cur AS cur FROM bgu),
+        c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+        c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY prev),
+        v AS (SELECT count(DISTINCT tok) AS vsz
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        scored AS (SELECT doc_id,
+            CAST(round(-1e6 * ln((c2 + 1.0) / (c1 + vsz)), 0) AS BIGINT) AS micro
+          FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(micro) AS DOUBLE) / count(*) / 1e6, 6) AS nll
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

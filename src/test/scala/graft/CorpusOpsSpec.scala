@@ -455,4 +455,42 @@ class CorpusOpsSpec extends AnyFunSuite {
       graft.pipeline.CorpusOps.heavyHitters(Seq("a").toDF("v"), "missing", 1)
     }
   }
+
+  test("bigramLmNll matches a hand-computed add-one bigram model") {
+    import spark.implicits._
+    // corpus: V = {a, b, c}; contexts: a->3, b->1; bigrams: (a,b)->3, (b,a)->1
+    // P(b|a) = (3+1)/(3+3) = 2/3    -ln = 405465 micro-nats (rounded)
+    // P(a|b) = (1+1)/(1+3) = 1/2    -ln = 693147 micro-nats
+    val docs = Seq(
+      (1, "a b a b"), // bigrams ab, ba, ab -> (405465*2 + 693147) / 3 / 1e6
+      (2, "a b"),     // one bigram ab     -> 0.405465
+      (3, "c"))       // single token: no bigram, omitted from output
+      .toDF("my_id", "body")
+    val out = graft.pipeline.CorpusOps.bigramLmNll(docs, "my_id", "body")
+    assert(out.columns.toSeq == Seq("my_id", "n_bigrams", "nll"))
+    val rows = out.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1, 3L, 0.501359), (2, 1L, 0.405465)))
+  }
+
+  test("bigramLmNll tolerates null/empty text and validates arguments") {
+    import spark.implicits._
+    val docs = Seq((1, Option("x y")), (2, Option.empty[String]), (3, Option("")))
+      .toDF("my_id", "body")
+    // nulls and empties produce no bigram; the x->y doc scores alone:
+    // V = {x, y, ""} = 3, P(y|x) = (1+1)/(1+3) = 1/2
+    val rows = graft.pipeline.CorpusOps.bigramLmNll(docs, "my_id", "body")
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1, 0.693147)))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.bigramLmNll(docs, "missing", "body")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.bigramLmNll(
+        docs.withColumnRenamed("my_id", "nll"), "nll", "body")
+    }
+    // empty input: correct schema, zero rows
+    val empty = graft.pipeline.CorpusOps.bigramLmNll(
+      docs.where("my_id < 0"), "my_id", "body")
+    assert(empty.columns.toSeq == Seq("my_id", "n_bigrams", "nll") && empty.count() == 0)
+  }
 }
