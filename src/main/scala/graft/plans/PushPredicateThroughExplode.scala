@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.types.ArrayType
 
 /** Push element predicates through `explode` as an `exists` pre-filter.
@@ -32,17 +33,32 @@ import org.apache.spark.sql.types.ArrayType
   * is still enforced per-element afterwards.
   *
   * Registered by [[graft.GraftExtensions]] via injectOptimizerRule; it
-  * joins the operator-optimization fixpoint, so the structural guard
-  * (an ArrayExists over the same array already below the Generate)
-  * keeps it idempotent.
+  * joins the operator-optimization fixpoint, so it must be IDEMPOTENT
+  * there. Two guards enforce that:
+  *
+  *  1. a [[TreeNodeTag]] on the rewritten Generate. The structural
+  *     check alone ping-pongs with PushDownPredicates: we insert the
+  *     exists-Filter directly under the Generate, pushdown immediately
+  *     moves it below a Project (rewriting it through aliases), the
+  *     "is there a Filter right under me" check comes up empty, and the
+  *     rule re-fires — forever, which is exactly an optimizer
+  *     `Max iterations reached` warning. Tags survive both transform
+  *     copies (transformDown does copyTagsFrom on rule output) and
+  *     withNewChildren, so the mark stays put while the filter travels.
+  *  2. the structural check, kept as a cheap backstop for the rare rule
+  *     that rebuilds a nested Generate via bare case-class copy() and
+  *     drops tags (e.g. ColumnPruning's unrequiredChildIndex update) —
+  *     worst case there is one duplicated pre-filter, never a loop.
   */
 object PushPredicateThroughExplode extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val Guarded = TreeNodeTag[Unit]("graft.pushPredicateThroughExplode.guarded")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         g @ Generate(Explode(arr), _, false, _, Seq(elem), child))
         if arr.dataType.isInstanceOf[ArrayType] && arr.deterministic &&
-          !alreadyGuarded(child, arr) =>
+          g.getTagValue(Guarded).isEmpty && !alreadyGuarded(child, arr) =>
       val pushable = splitConjunctivePredicates(cond).filter { p =>
         p.deterministic && !SubqueryExpression.hasSubquery(p) &&
           p.references == AttributeSet(elem :: Nil)
@@ -55,7 +71,10 @@ object PushPredicateThroughExplode extends Rule[LogicalPlan] with PredicateHelpe
           case a: Attribute if a.exprId == elem.exprId => x
         }
         val exists = new ArrayExists(arr, LambdaFunction(elemPred, Seq(x)))
-        Filter(cond, g.copy(child = Filter(exists, child)))
+        val guarded = g.copy(child = Filter(exists, child))
+        guarded.copyTagsFrom(g)
+        guarded.setTagValue(Guarded, ())
+        Filter(cond, guarded)
       }
   }
 

@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** One oracle-checkable query: the Spark plan plus (when SQL-expressible)
   * the equivalent ANSI SQL the driver runs through DuckDB on the same
@@ -23,6 +25,41 @@ object Q {
     * other session state. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table with `ts` normalized to a session-TZ TIMESTAMP,
+    * whatever physical type the (driver-owned, regenerable) testdata
+    * ships. Two generations have existed: parquet TIMESTAMP(NANOS)
+    * (unreadable by the vectorized reader unless surfaced as epoch-nano
+    * LongType via nanosAsLong) and timestamp[us] (surfaced as
+    * TIMESTAMP_NTZ under schema inference). Every events consumer goes
+    * through here so a third drift breaks ONE function — loudly. The
+    * NTZ->TIMESTAMP cast reinterprets wall-clock in the session zone;
+    * entry points pin spark.sql.session.timeZone=UTC, so epoch micros
+    * equal DuckDB's epoch_us on the same naive values. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    // harmless when ts is not TIMESTAMP(NANOS); required before schema
+    // resolution when it is
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normTs(t(s, dir, "events"), "ts")
+  }
+
+  /** The per-dtype normalization rule, exposed for the schema-drift
+    * tripwire spec: Long = legacy epoch-nanos (integer `div` — the
+    * values are ~1.7e18, past double's exact range, so Column./ would
+    * corrupt them), NTZ = wall-clock micros, TIMESTAMP = already
+    * normalized. Anything else is a NEW drift and must fail analysis
+    * here, not return silently wrong rows. */
+  def normTs(df: DataFrame, name: String): DataFrame =
+    df.schema(name).dataType match {
+      case LongType =>
+        df.withColumn(name, timestamp_micros(expr(s"`$name` div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn(name, col(name).cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.$name arrived as $other — testdata schema drifted again; " +
+          "extend Q.normTs with the new physical type")
+    }
 
   /** Materialize-once + lineage-truncation barrier. Reliable checkpoint
     * when the session has a checkpoint dir configured (survives executor

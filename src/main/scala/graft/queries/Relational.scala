@@ -49,15 +49,11 @@ object Relational {
   private val DEC = "DECIMAL(12,2)"
   private[queries] val DEC_SQL = DEC
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong it arrives as a
-    * LongType of epoch-nanos. Integer-divide (ts is ~1.7e18, beyond
-    * double's 2^53 exact range) then reinterpret as micros.
-    */
-  private def eventsTs(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events table with ts normalized to TIMESTAMP — schema-adaptive
+    * (the driver has shipped both int64-nanos and timestamp[us]); all
+    * dtype branching lives in Q.events/Q.normTs. */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame =
+    Q.events(s, dir)
 
   /** Click events as (chrom, s, e, weight) intervals — shared input of
     * the two interval-merge entries. */

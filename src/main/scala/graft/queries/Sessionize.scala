@@ -109,10 +109,9 @@ object Sessionize {
   val qs: Map[String, Q] = Map(
     "stream_sessionize" -> Q(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         import s.implicits._
-        val ev = Q.t(s, dir, "events")
-          .selectExpr("user_id", "ts div 1000 AS ts_us", "value")
+        val ev = Q.events(s, dir)
+          .selectExpr("user_id", "unix_micros(ts) AS ts_us", "value")
           .as[Ev]
         // secondary sort: co-locate each user, order events within the
         // partition, then a single streaming pass — the hot-key-safe
@@ -158,35 +157,40 @@ object Sessionize {
     // the stateful streaming formulation must lose nothing.
     "stream_sessionize_state" -> Q(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.conf.set("spark.sql.session.timeZone", "UTC")
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         val tbl = "graft_stream_sessionize_state"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
 
+        // Staging NORMALIZES ts (Q.events) before writing, so the
+        // stream's declared schema below is OUR timestamp contract and
+        // never drifts with the testdata generator's physical type.
         val staged = Stage.staged(s"graft-sess-state:$dir") { d =>
           val scratch = Stage.tempDir("graft-sess-tmp")
-          val raw = s.read.parquet(s"$dir/events.parquet")
-          val midNanos = raw.selectExpr("cast(avg(ts) as bigint)").collect()(0).getLong(0)
-          Stage.parquetFile(raw.where(col("ts") < midNanos), scratch, d, "b00.parquet", 0)
-          Stage.parquetFile(raw.where(col("ts") >= midNanos), scratch, d, "b01.parquet", 1)
+          val raw = Q.events(s, dir)
+          val midUs = raw.selectExpr("cast(avg(unix_micros(ts)) as bigint)")
+            .collect()(0).getLong(0)
+          Stage.parquetFile(raw.where(expr(s"unix_micros(ts) < $midUs")),
+            scratch, d, "b00.parquet", 0)
+          Stage.parquetFile(raw.where(expr(s"unix_micros(ts) >= $midUs")),
+            scratch, d, "b01.parquet", 1)
           Seq(2, 3).foreach { i =>
-            val tsNanos = (4102444800L + (i - 2) * 86400L) * 1000000000L
+            val tsUs = (4102444800L + (i - 2) * 86400L) * 1000000L
             Stage.parquetFile(
-              Seq((-1L, tsNanos, -1L, "sentinel", 0.0, ""))
-                .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+              Seq((-1L, tsUs, -1L, "sentinel", 0.0, ""))
+                .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+                .withColumn("ts", timestamp_micros(col("ts"))),
               scratch, d, f"b$i%02d.parquet", i)
           }
         }
 
         val gapUs = GapMicros
         val stream = s.readStream
-          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
           .option("maxFilesPerTrigger", "1")
           .parquet(staged.toString)
-          .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts",
-            "ts div 1000 AS ts_us", "value")
+          .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us", "value")
           .withWatermark("ts", "1 minute")
           .as[SEv]
 

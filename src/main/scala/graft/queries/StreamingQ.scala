@@ -19,15 +19,40 @@ import org.apache.spark.sql.types._
 object StreamingQ {
   import Relational.DEC_SQL
 
+  /** Declared schema of every STAGED event stream below. Staging
+    * rewrites events through Q.events (schema-adaptive), so `ts` is
+    * always a session-TZ TIMESTAMP here no matter which physical type
+    * the testdata generator shipped (int64-nanos or timestamp[us]) —
+    * the declared-LongType-over-physical-micros silent-wrong-answer
+    * class cannot recur. Sentinel files are written with the same
+    * timestamp type so one directory never mixes conventions. */
+  private[queries] val stagedEventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Far-future sentinel rows (2100-01-01 + dayOffset), timestamp-typed
+    * to match stagedEventsSchema. rows = (event_id, user_id, event_type). */
+  private def sentinelDf(s: SparkSession, dayOffset: Int,
+      rows: Seq[(Long, Long, String)]): DataFrame = {
+    import s.implicits._
+    val tsUs = (4102444800L + dayOffset * 86400L) * 1000000L
+    rows.map { case (id, uid, et) => (id, tsUs, uid, et, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+  }
+
+  /** Stage the normalized events table as one parquet file with batch
+    * order `order` (mtime-spaced for maxFilesPerTrigger=1). */
+  private def stageEvents(s: SparkSession, dir: String,
+      scratch: java.nio.file.Path, d: java.nio.file.Path,
+      name: String, order: Int): Unit =
+    Stage.parquetFile(Q.events(s, dir), scratch, d, name, order)
+
   val qs: Map[String, Q] = Map(
     "stream_events_hourly" -> Q(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.conf.set("spark.sql.session.timeZone", "UTC")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
         val tbl = "graft_stream_events_hourly"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
         // the file stream source wants a directory; stage the single
@@ -36,14 +61,12 @@ object StreamingQ {
         // Memoized per driver: repeated bench/gate runs re-time only the
         // stream, not the copy.
         val staged = Stage.staged(s"graft-stream:$dir") { d =>
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(dir, "events.parquet"),
-            d.resolve("events.parquet")): Unit
+          stageEvents(s, dir, Stage.tempDir("graft-stream-norm"), d,
+            "events.parquet", 0)
         }
-        val stream = s.readStream.schema(schema)
+        val stream = s.readStream.schema(stagedEventsSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
@@ -90,36 +113,26 @@ object StreamingQ {
     // the single copy.
     "stream_dedup_exact" -> Q(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.conf.set("spark.sql.session.timeZone", "UTC")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
         val tbl = "graft_stream_dedup_exact"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
-        import s.implicits._
         val staged = Stage.staged(s"graft-stream-dedup:$dir") { d =>
-          // the same file twice -> every event is a cross-batch duplicate
+          // the same data twice -> every event is a cross-batch duplicate
+          val scratch = Stage.tempDir("graft-dedup-norm")
+          stageEvents(s, dir, scratch, d, "events_a.parquet", 0)
           java.nio.file.Files.copy(
-            java.nio.file.Paths.get(dir, "events.parquet"), d.resolve("events_a.parquet"))
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(dir, "events.parquet"), d.resolve("events_b.parquet"))
+            d.resolve("events_a.parquet"), d.resolve("events_b.parquet"))
           java.nio.file.Files.setLastModifiedTime(d.resolve("events_b.parquet"),
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
-          val scratch = Stage.tempDir("graft-dedup-sentinel")
           Seq(1, 2).foreach { i =>
-            val tsNanos = (4102444800L + (i - 1) * 86400L) * 1000000000L
             Stage.parquetFile(
-              Seq((-i.toLong, tsNanos, 0L, "sentinel", 0.0, ""))
-                .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+              sentinelDf(s, i - 1, Seq((-i.toLong, 0L, "sentinel"))),
               scratch, d, s"sentinel$i.parquet", i + 1)
           }
         }
-        val stream = s.readStream.schema(schema)
+        val stream = s.readStream.schema(stagedEventsSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .withWatermark("ts", "2 hours")
           .dropDuplicatesWithinWatermark("event_id")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -142,34 +155,23 @@ object StreamingQ {
 
     "stream_events_hourly_append" -> Q(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.conf.set("spark.sql.session.timeZone", "UTC")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
         val tbl = "graft_stream_events_hourly_append"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
-        import s.implicits._
         val staged = Stage.staged(s"graft-stream-append:$dir") { d =>
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(dir, "events.parquet"),
-            d.resolve("events.parquet"))
+          val scratch = Stage.tempDir("graft-append-norm")
+          stageEvents(s, dir, scratch, d, "events.parquet", 0)
           // two sentinel files (2100-01-01, 2100-01-02), mtime-ordered after
           // the data file so the file source schedules them as later batches
-          val scratch = Stage.tempDir("graft-sentinel")
           Seq(1, 2).foreach { i =>
-            val tsNanos = (4102444800L + (i - 1) * 86400L) * 1000000000L
             Stage.parquetFile(
-              Seq((0L, tsNanos, 0L, "sentinel", 0.0, ""))
-                .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+              sentinelDf(s, i - 1, Seq((0L, 0L, "sentinel"))),
               scratch, d, s"sentinel$i.parquet", i)
           }
         }
-        val stream = s.readStream.schema(schema)
+        val stream = s.readStream.schema(stagedEventsSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(staged.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -264,25 +266,19 @@ object StreamingQ {
     // aggregation after the drain is just result compaction.
     "stream_stream_join" -> Q(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.conf.set("spark.sql.session.timeZone", "UTC")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
         val tbl = "graft_stream_stream_join"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
         val staged = Stage.staged(s"graft-stream:$dir") { d =>
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(dir, "events.parquet"),
-            d.resolve("events.parquet")): Unit
+          stageEvents(s, dir, Stage.tempDir("graft-stream-norm"), d,
+            "events.parquet", 0)
         }
-        def side(et: String, p: String) = s.readStream.schema(schema)
+        def side(et: String, p: String) = s.readStream.schema(stagedEventsSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(staged.toString)
           .where(col("event_type") === et)
           .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
-            timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+            col("ts").as(s"${p}_ts"))
           .withWatermark(s"${p}_ts", "2 hours")
         val joined = side("click", "c").join(side("view", "v"),
           col("c_user") === col("v_user") &&
@@ -297,9 +293,8 @@ object StreamingQ {
             sum(col("c_id") + col("v_id")).as("pair_checksum"))
           .orderBy("ubucket")
       },
-      // epoch_us on the oracle side: Spark joins on micro-truncated
-      // timestamps (parquet nanos -> ts div 1000), so the oracle must
-      // compare at micros too or a nano-offset boundary pair could flip
+      // epoch_us on the oracle side: Spark joins on micro-resolution
+      // timestamps, so the oracle must compare at micros too
       Some("""SELECT c.user_id % 16 AS ubucket, count(*) AS n_pairs,
           CAST(sum(c.event_id + v.event_id) AS BIGINT) AS pair_checksum
         FROM events c JOIN events v
@@ -323,35 +318,25 @@ object StreamingQ {
     // invent nothing.
     "stream_stream_left_join" -> Q(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.conf.set("spark.sql.session.timeZone", "UTC")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
         val tbl = "graft_stream_stream_left_join"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
-        import s.implicits._
         val staged = Stage.staged(s"graft-stream-louter:$dir") { d =>
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(dir, "events.parquet"),
-            d.resolve("events.parquet"))
-          val scratch = Stage.tempDir("graft-louter-sentinel")
+          val scratch = Stage.tempDir("graft-louter-norm")
+          stageEvents(s, dir, scratch, d, "events.parquet", 0)
           Seq(1, 2).foreach { i =>
-            val tsNanos = (4102444800L + (i - 1) * 86400L) * 1000000000L
             Stage.parquetFile(
-              Seq((-i.toLong, tsNanos, -1L, "click", 0.0, ""),
-                  (-i.toLong, tsNanos, -1L, "view", 0.0, ""))
-                .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+              sentinelDf(s, i - 1,
+                Seq((-i.toLong, -1L, "click"), (-i.toLong, -1L, "view"))),
               scratch, d, s"sentinel$i.parquet", i)
           }
         }
-        def side(et: String, p: String) = s.readStream.schema(schema)
+        def side(et: String, p: String) = s.readStream.schema(stagedEventsSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(staged.toString)
           .where(col("event_type") === et)
           .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
-            timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+            col("ts").as(s"${p}_ts"))
           .withWatermark(s"${p}_ts", "2 hours")
         val joined = side("click", "c").join(side("view", "v"),
           col("c_user") === col("v_user") &&

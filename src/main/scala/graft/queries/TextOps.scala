@@ -123,14 +123,17 @@ object TextOps {
     * boilerplate and noise tails).
     *
     * Scale: the LM "tables" are the (prev, cur) and (prev) aggregates —
-    * bounded by bigram-TYPE cardinality, not corpus size — and join
-    * back onto the bigram stream broadcast at this scale (both are
-    * keyed equi-joins, so a 100 TB corpus with an LM too big to
-    * broadcast degrades to ordinary shuffle joins on prev-hash, the
-    * same shape as any fact-to-dimension join). V is a 1-row driver
-    * scalar, the same class as BM25's corpus stats. The bigram stream
-    * feeds three consumers (two counts + the score join), so it is
-    * barriered once instead of re-exploding the corpus three times.
+    * bounded by bigram-TYPE cardinality, not corpus size — joined back
+    * onto the bigram stream as keyed equi-joins with NO forced
+    * broadcast hint: a hinted BroadcastExchange is mandatory and FAILS
+    * the job past the 8 GB / driver-memory limit, whereas bigram-type
+    * cardinality grows with corpus size, so the strategy is left to
+    * AQE — it broadcasts while the LM is small and degrades to an
+    * ordinary shuffle join on prev-hash (the fact-to-dimension shape)
+    * when it is not. V is a 1-row driver scalar, the same class as
+    * BM25's corpus stats. The bigram stream feeds three consumers (two
+    * counts + the score join), so it is barriered once instead of
+    * re-exploding the corpus three times.
     *
     * Determinism across engines: each bigram's -ln P is rounded to
     * integer MICRO-nats and summed as BIGINT (shuffle-order
@@ -139,20 +142,26 @@ object TextOps {
     */
   private[graft] def bigramLmNll(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // V over ALL tokens (including docs too short to produce a bigram),
-    // so the smoothing denominator reflects the full vocabulary
+    // V over ALL non-empty tokens (including docs too short to produce
+    // a bigram), so the smoothing denominator reflects the full
+    // vocabulary. Zero-length tokens (empty text, consecutive/leading/
+    // trailing spaces in the single-space split) are dropped BEFORE
+    // both the vocabulary and the bigram transform — 'a  b' bigrams as
+    // (a,b), not (a,'')+('',b) — mirrored in the DuckDB oracle.
     val v = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
       .agg(countDistinct(col("tok"))).head.getLong(0)
     val base = docs
-      .select(col(idCol).as("bl_id"), split(col(textCol), " ").as("w"))
+      .select(col(idCol).as("bl_id"),
+        expr(s"filter(split($textCol, ' '), x -> x != '')").as("w"))
       .where(size(col("w")) >= 2)
     val bg = Q.barrier(base.select(col("bl_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> named_struct('prev', w[i-1], 'cur', w[i]))")).as("p"))
       .select(col("bl_id"), col("p.prev").as("prev"), col("p.cur").as("cur")))
     val c2 = bg.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("prev").agg(count(lit(1)).as("c1"))
-    bg.join(broadcast(c2), Seq("prev", "cur"))
-      .join(broadcast(c1), Seq("prev"))
+    bg.join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
       .withColumn("micro",
         expr(s"cast(round(-1e6 * ln((c2 + 1.0) / (c1 + $v)), 0) as bigint)"))
       .groupBy("bl_id")
@@ -414,8 +423,8 @@ object TextOps {
     "text_bigram_lm_nll" -> Q(
       (s, dir) => bigramLmNll(t(s, dir, "documents")),
       Some("""WITH base AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
-          WHERE len(string_split(text, ' ')) >= 2),
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
+          WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
         bgu AS (SELECT doc_id,
             unnest([{'prev': w[i], 'cur': w[i+1]} for i in range(1, len(w))]) AS u
           FROM base),
@@ -423,7 +432,8 @@ object TextOps {
         c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
         c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY prev),
         v AS (SELECT count(DISTINCT tok) AS vsz
-              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+              WHERE tok <> ''),
         scored AS (SELECT doc_id,
             CAST(round(-1e6 * ln((c2 + 1.0) / (c1 + vsz)), 0) AS BIGINT) AS micro
           FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v)

@@ -476,11 +476,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Seq((1, Option("x y")), (2, Option.empty[String]), (3, Option("")))
       .toDF("my_id", "body")
-    // nulls and empties produce no bigram; the x->y doc scores alone:
-    // V = {x, y, ""} = 3, P(y|x) = (1+1)/(1+3) = 1/2
+    // nulls and empties produce no bigram, and the empty-string token
+    // ('' from splitting "") is excluded from the vocabulary; the x->y
+    // doc scores alone: V = {x, y} = 2, P(y|x) = (1+1)/(1+2) = 2/3
     val rows = graft.pipeline.CorpusOps.bigramLmNll(docs, "my_id", "body")
       .collect().map(r => (r.getInt(0), r.getDouble(2)))
-    assert(rows.toSeq == Seq((1, 0.693147)))
+    assert(rows.toSeq == Seq((1, 0.405465)))
     intercept[IllegalArgumentException] {
       graft.pipeline.CorpusOps.bigramLmNll(docs, "missing", "body")
     }

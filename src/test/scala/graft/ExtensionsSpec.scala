@@ -107,6 +107,28 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT id, tok FROM (SELECT id, explode(split(body, ' ')) AS tok FROM ext_docs)
            WHERE tok IN ('alpha', 'one') AND id < 12""")
       assert(mixed.collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+      // idempotence under the fixpoint: the inserted exists-guard is
+      // immediately relocated below the inner Project by
+      // PushDownPredicates (rewritten through the `toks` alias), so a
+      // structural "is my guard still right under me" check re-fires
+      // the rule every iteration — the `Max iterations (100) reached`
+      // ping-pong. The TreeNodeTag on the Generate must hold the rule
+      // to exactly ONE guard, including when the optimizer re-runs on
+      // its own output.
+      val deep = s.sql(
+        """SELECT id, tok FROM (
+             SELECT id, explode(toks) AS tok FROM (
+               SELECT id, split(CASE WHEN id = 12 THEN 'one two' ELSE 'alpha beta' END, ' ') AS toks
+               FROM range(13)))
+           WHERE tok = 'one'""")
+      val deepOpt = deep.queryExecution.optimizedPlan
+      def nGuards(p: Any): Int = "exists\\(".r.findAllIn(p.toString).length
+      assert(nGuards(deepOpt) == 1,
+        s"expected exactly one exists() guard:\n$deepOpt")
+      val reOpt = s.sessionState.optimizer.execute(deepOpt)
+      assert(nGuards(reOpt) == 1,
+        s"rule re-fired on already-optimized plan:\n$reOpt")
+      assert(deep.collect().map(_.getLong(0)).toSeq == Seq(12L))
       // randomized semantics property: with the rule active, the
       // explode+filter answer must equal the plain Scala expectation
       val rnd = new scala.util.Random(42)

@@ -128,6 +128,63 @@ class RobustnessSpec extends AnyFunSuite {
     }, s"expected a truncation failure, got: ${causes(e).map(_.getClass.getName)}")
   }
 
+  // ---- events.ts schema-drift tripwire ----
+  // The driver owns /root/testdata and has regenerated it mid-round,
+  // switching events.ts between parquet TIMESTAMP(NANOS) (surfaced as
+  // epoch-nano LongType under nanosAsLong) and timestamp[us] (surfaced
+  // as TIMESTAMP_NTZ). Q.normTs is the single choke point every events
+  // consumer routes through; these cases pin the branch taken per
+  // physical dtype so a regeneration flips ONE spec red instead of
+  // silently wrecking 17 registry entries (round 6's failure mode).
+  test("Q.normTs: all historical events.ts physical types normalize identically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val us = Seq(1700000000000000L, 1700003600123456L, 1700007199999999L)
+    val base = us.toDF("us")
+
+    // generation 1: epoch-nano LongType (what nanosAsLong surfaces)
+    val asNanosLong = base.select((col("us") * 1000L).as("ts"))
+    // generation 2: timestamp[us] naive -> TIMESTAMP_NTZ
+    val asNtz = base.select(
+      timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    // already-normalized instant TIMESTAMP (our own staged files)
+    val asTs = base.select(timestamp_micros(col("us")).as("ts"))
+
+    val d = Files.createTempDirectory("graft-tsdrift")
+    val got = Seq("nanos" -> asNanosLong, "ntz" -> asNtz, "ts" -> asTs)
+      .map { case (name, df) =>
+        val p = d.resolve(name).toString
+        df.write.parquet(p)
+        val rt = graft.queries.Q.normTs(spark.read.parquet(p), "ts")
+        assert(rt.schema("ts").dataType == TimestampType,
+          s"$name: normalized dtype was ${rt.schema("ts").dataType}")
+        name -> rt.selectExpr("unix_micros(ts)").collect().map(_.getLong(0)).sorted.toSeq
+      }.toMap
+    assert(got("nanos") == us && got("ntz") == us && got("ts") == us,
+      s"normalization disagreed across physical types: $got")
+  }
+
+  test("Q.normTs: an unrecognized ts dtype fails loudly, not silently wrong") {
+    import spark.implicits._
+    val df = Seq("2023-11-14 22:13:20").toDF("ts")
+    val e = intercept[IllegalStateException] {
+      graft.queries.Q.normTs(df, "ts")
+    }
+    assert(e.getMessage.contains("drifted"))
+  }
+
+  test("Q.events reads the live testdata and yields TIMESTAMP ts") {
+    val df = graft.queries.Q.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType == TimestampType)
+    // sanity: the data is modern epoch, not collapsed to ~1970 (the
+    // micros-read-as-nanos silent failure divides everything by 1000)
+    val (lo, hi) = df.selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))")
+      .collect()(0) match { case r => (r.getLong(0), r.getLong(1)) }
+    assert(lo > 946684800000000L, s"min ts $lo predates 2000 — units are wrong")
+    assert(hi < 4102444800000000L, s"max ts $hi is past 2100 — units are wrong")
+  }
+
   test("tiny maxSplitBytes against a large file rejects, not 2^31 partitions") {
     val d = Files.createTempDirectory("graft-manysplit")
     val p = d.resolve("big.fasta")
