@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * iterator per partition, no per-row serialization round trips, no
   * driver involvement).
   *
-  * The decode step is a STUB: no image/audio codecs exist in this
-  * environment, so [[FakeDecoder.decode]] is a deterministic stand-in
-  * with the signature a real decoder would have (bytes -> pixels). The
-  * Spark-side plumbing — binary column synthesis, partition-wise batch
-  * iteration, schema of the extracted features — is real and oracle-
-  * checked end-to-end.
+  * Two decoders sit behind the same seam: [[ImageCodec]] is a REAL
+  * javax.imageio PNG/JPEG decode (mm_real_* entries push actual PNG
+  * bytes through it, oracle-checked against closed-form pixel
+  * arithmetic), and [[FakeDecoder.decode]] is the deterministic
+  * stand-in kept for the md5-based oracle entries and for codecs the
+  * JDK lacks (audio/video frames). The Spark-side plumbing — binary
+  * column synthesis, partition-wise batch iteration, schema of the
+  * extracted features — is identical through both and oracle-checked
+  * end-to-end.
   */
 object Multimodal {
 
@@ -24,6 +27,60 @@ object Multimodal {
     final case class Decoded(width: Int, height: Int, pixels: Array[Byte])
     def decode(bytes: Array[Byte], width: Int, height: Int): Decoded =
       Decoded(width, height, pixels = bytes) // STUB: identity "decode"
+  }
+
+  /** The REAL codec behind the same seam: javax.imageio (in the JDK —
+    * no extra dependency), decoding PNG/JPEG/GIF/BMP bytes to a flat
+    * row-major RGB buffer. Runs entirely executor-side inside the same
+    * mapPartitions batches as the stub; the bytes never touch the
+    * driver. PNG is lossless, so encodePng+decode round-trips pixels
+    * EXACTLY — which is what lets the mm_real_* oracle recompute the
+    * decoded sums in closed-form SQL arithmetic: if the codec (or the
+    * binary column plumbing) corrupted anything, the hashes diverge. */
+  object ImageCodec {
+    def decode(bytes: Array[Byte]): FakeDecoder.Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "bytes are not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          px(i) = ((rgb >> 16) & 0xff).toByte
+          px(i + 1) = ((rgb >> 8) & 0xff).toByte
+          px(i + 2) = (rgb & 0xff).toByte
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      FakeDecoder.Decoded(w, h, px)
+    }
+
+    /** Encode a grayscale gradient as PNG, pixel(x, y) given by `gray`
+      * (0-255; replicated into R=G=B). Deterministic: PNG is lossless
+      * and the pixel loop is fixed-order. */
+    def encodePng(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = gray(x, y) & 0xff
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
   }
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], width: Int, height: Int)
@@ -41,6 +98,30 @@ object Multimodal {
         "cast(1 + n_chars % 64 AS INT) AS width",
         "cast(1 + n_chars % 48 AS INT) AS height")
       .as[MediaRow]
+  }
+
+  /** REAL media fixture: one PNG per document, generated executor-side
+    * (mapPartitions — the encode is the write half of the codec seam)
+    * with a doc-keyed gradient gray(x, y) = (x + 2y + doc_id) mod 256
+    * over a doc-keyed geometry. The gradient is closed-form, so the
+    * oracle can recompute every decoded feature with SQL arithmetic
+    * while the Spark side pushes actual PNG bytes through
+    * javax.imageio — a real encode->binary column->decode round trip,
+    * not a synthetic identity. Metadata width/height carry the true
+    * image geometry. */
+  def realMediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val w = 4 + (d % 13).toInt
+          val h = 4 + (d % 11).toInt
+          val png = ImageCodec.encodePng(w, h,
+            (x, y) => ((x + 2 * y + d) % 256).toInt)
+          MediaRow(d, png, w, h)
+        }
+      }
   }
 
   final case class VideoRow(doc_id: Long, frames: Array[Array[Byte]])
@@ -78,14 +159,17 @@ object Multimodal {
 
   final case class ResizedRow(doc_id: Long, out_w: Int, out_h: Int, pixel_sum: Long)
 
-  /** Nearest-neighbor "resize" of the opaque pixel buffer to out_w x
-    * out_h — the index arithmetic is the real resize kernel shape; the
-    * pixels are the stub decoder's. */
-  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedRow] = {
+  /** Nearest-neighbor "resize" of the pixel buffer to out_w x out_h —
+    * the index arithmetic is the real resize kernel shape; pixels come
+    * from the stub decoder by default, or javax.imageio when
+    * `useRealCodec` (real PNG/JPEG bytes in the binary column). */
+  def resize(media: Dataset[MediaRow], outW: Int, outH: Int,
+             useRealCodec: Boolean = false): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.map { row =>
-        val d = FakeDecoder.decode(row.media, row.width, row.height)
+        val d = if (useRealCodec) ImageCodec.decode(row.media)
+                else FakeDecoder.decode(row.media, row.width, row.height)
         val n = d.pixels.length
         var sum = 0L
         var y = 0
@@ -152,12 +236,15 @@ object Multimodal {
     }
   }
 
-  /** Batch feature extraction over the binary column. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+  /** Batch feature extraction over the binary column; the decoder seam
+    * takes the stub by default or the real javax.imageio codec. */
+  def extractFeatures(media: Dataset[MediaRow],
+                      useRealCodec: Boolean = false): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.map { row =>
-        val d = FakeDecoder.decode(row.media, row.width, row.height)
+        val d = if (useRealCodec) ImageCodec.decode(row.media)
+                else FakeDecoder.decode(row.media, row.width, row.height)
         // feature = first 7 "pixel" bytes as big-endian int (fits i64)
         var feat = 0L
         var i = 0

@@ -55,6 +55,56 @@ object MultimodalQ {
           dot >= 0 AND dot*dot*10000 >= 8100*na*nb AS keep
         FROM sc ORDER BY doc_id""")),
 
+    // ---- REAL codec path: PNG bytes through javax.imageio ----
+    // Executor-side: each doc synthesizes a gradient PNG
+    // (gray(x,y) = (x + 2y + doc_id) mod 256, w = 4 + id%13,
+    // h = 4 + id%11), the bytes ride the binary column, and
+    // ImageCodec.decode (a real codec, not the stub) recovers the
+    // pixels. PNG is lossless, so the oracle recomputes every decoded
+    // feature with closed-form SQL arithmetic — any codec or plumbing
+    // corruption diverges the hash. feat_hash packs decoded bytes
+    // 0..6 big-endian: the first 7 RGB bytes of row 0 are
+    // g0 g0 g0 g1 g1 g1 g2 with gk = (doc_id + k) mod 256.
+    "mm_real_decode" -> Q(
+      (s, dir) =>
+        Multimodal.extractFeatures(Multimodal.realMediaTable(s, dir),
+            useRealCodec = true)
+          .toDF().orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(4 + doc_id % 13 AS INTEGER) AS w,
+            CAST(4 + doc_id % 11 AS INTEGER) AS h
+          FROM documents)
+        SELECT g.doc_id, g.w AS width, g.h AS height,
+          CAST((g.doc_id % 256) * 282578783305728
+            + ((g.doc_id + 1) % 256) * 16843008
+            + ((g.doc_id + 2) % 256) AS BIGINT) AS feat_hash,
+          CAST(3 * sum((x.i + 2 * y.i + g.doc_id) % 256) AS BIGINT) AS byte_sum
+        FROM g, range(0, 17) x(i), range(0, 15) y(i)
+        WHERE x.i < g.w AND y.i < g.h
+        GROUP BY g.doc_id, g.w, g.h
+        ORDER BY doc_id""")),
+
+    // nearest-neighbor 2x2 resize over REAL decoded PNG pixels: the
+    // same flat-buffer kernel as mm_resize, replayed by the oracle on
+    // the closed-form gradient (src // 3 recovers the pixel index,
+    // % w / // w its x and y)
+    "mm_real_resize" -> Q(
+      (s, dir) =>
+        Multimodal.resize(Multimodal.realMediaTable(s, dir),
+            outW = 2, outH = 2, useRealCodec = true)
+          .toDF().orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(4 + doc_id % 13 AS INTEGER) AS w,
+            CAST(4 + doc_id % 11 AS INTEGER) AS h
+          FROM documents),
+        sz AS (SELECT doc_id, w, h, 3 * w * h AS nb FROM g),
+        src AS (SELECT doc_id, w,
+            ((y.i * nb) // 2 + (x.i * nb) // 4) % nb AS si
+          FROM sz, range(0, 2) x(i), range(0, 2) y(i))
+        SELECT doc_id, 2 AS out_w, 2 AS out_h,
+          CAST(sum(((si // 3) % w + 2 * ((si // 3) // w) + doc_id) % 256) AS BIGINT) AS pixel_sum
+        FROM src GROUP BY doc_id ORDER BY doc_id""")),
+
     // nearest-neighbor resize of the 16-byte stub buffer to 2x2: the
     // oracle replays the same index arithmetic over the md5 hex bytes
     "mm_resize" -> Q(
