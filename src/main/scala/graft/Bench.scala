@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // keep run artifacts (bucketed-join tables) out of the repo root
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     // SPARK_GRAFT_NO_EXT: attribution knob — run the identical bench
     // without GraftExtensions to separate extension cost from noise
     val spark = (if (sys.env.contains("SPARK_GRAFT_NO_EXT")) base
@@ -45,7 +48,12 @@ object Bench {
     // pass), so the recorded per-query number is the median of N full
     // passes and the raw per-pass totals ride along for attribution.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    // Attribution knob (driver never sets it): restrict the measured
+    // set to comma-listed entries for back-to-back variance capture
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val perPass: Seq[Seq[(String, Double)]] =
       (1 to passes).map(_ => names.map(n => n -> runOnce(n)))
     def median(xs: Seq[Double]): Double = {

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep run artifacts (bucketed-join tables) out of the repo root
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       // the library's own wiring path: functions/TVFs + the explode
       // pre-filter optimizer rule run under the whole gate
       .withExtensions(new GraftExtensions)
