@@ -83,6 +83,54 @@ object Multimodal {
     }
   }
 
+  /** The real AUDIO half of the seam: WAV (RIFF PCM16 mono) decoded by
+    * javax.sound.sampled — also in the JDK. The encoder is a
+    * hand-rolled RIFF writer, so decoding through AudioSystem proves
+    * the JDK codec and the container spec agree on the bytes; both
+    * directions run executor-side. */
+  object AudioCodec {
+    final case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+    /** RIFF/WAVE PCM16 mono container around `samples`. */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    def decodeWav(bytes: Array[Byte]): DecodedAudio = {
+      val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException("bytes are not decodable audio", e)
+      }
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"expected PCM16 mono little-endian, got $fmt")
+        val raw = ais.readAllBytes()
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (((raw(2 * i) & 0xff)) | (raw(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        DecodedAudio(fmt.getSampleRate.toInt, out)
+      } finally ais.close()
+    }
+  }
+
   final case class MediaRow(doc_id: Long, media: Array[Byte], width: Int, height: Int)
   final case class FeatureRow(doc_id: Long, width: Int, height: Int,
                               feat_hash: Long, byte_sum: Long)
@@ -184,6 +232,52 @@ object Multimodal {
           y += 1
         }
         ResizedRow(row.doc_id, outW, outH, sum)
+      }
+    }
+  }
+
+  final case class AudioRow(doc_id: Long, media: Array[Byte])
+  final case class AudioFeatureRow(doc_id: Long, sample_rate: Int,
+                                   n_samples: Int, sample_sum: Long, peak: Int)
+
+  /** REAL audio fixture: one WAV per document, generated executor-side
+    * with the closed-form signal s(i) = ((31 i + 7 doc_id) mod 65536)
+    * - 32768 over n = 64 + doc_id mod 97 samples at 8 kHz — the audio
+    * analog of [[realMediaTable]]'s gradient PNGs. */
+  def realAudioTable(s: SparkSession, dir: String): Dataset[AudioRow] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val n = 64 + (d % 97).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * 31 + d * 7) % 65536) - 32768).toShort)
+          AudioRow(d, AudioCodec.encodeWav(8000, samples))
+        }
+      }
+  }
+
+  /** Batch audio feature extraction (duration, energy proxies) through
+    * the REAL WAV decode — the mapPartitions shape a loudness/VAD
+    * filter over a 100 TB speech corpus runs, with the codec where a
+    * production build would link ffmpeg. */
+  def extractAudioFeatures(audio: Dataset[AudioRow]): Dataset[AudioFeatureRow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { batch =>
+      batch.map { row =>
+        val d = AudioCodec.decodeWav(row.media)
+        var sum = 0L
+        var peak = 0
+        var i = 0
+        while (i < d.samples.length) {
+          val v = d.samples(i).toInt
+          sum += v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioFeatureRow(row.doc_id, d.sampleRate, d.samples.length, sum, peak)
       }
     }
   }

@@ -105,6 +105,24 @@ object MultimodalQ {
           CAST(sum(((si // 3) % w + 2 * ((si // 3) // w) + doc_id) % 256) AS BIGINT) AS pixel_sum
         FROM src GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL audio path: per-doc WAV (PCM16 mono, closed-form signal)
+    // through javax.sound.sampled; the oracle recomputes duration,
+    // sum and peak from the signal formula. abs(-32768) stays in Int.
+    "mm_real_audio" -> Q(
+      (s, dir) =>
+        Multimodal.extractAudioFeatures(Multimodal.realAudioTable(s, dir))
+          .toDF().orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(64 + doc_id % 97 AS INTEGER) AS n
+          FROM documents)
+        SELECT g.doc_id, 8000 AS sample_rate, g.n AS n_samples,
+          CAST(sum((i.i * 31 + g.doc_id * 7) % 65536 - 32768) AS BIGINT) AS sample_sum,
+          CAST(max(abs((i.i * 31 + g.doc_id * 7) % 65536 - 32768)) AS INTEGER) AS peak
+        FROM g, range(0, 161) i(i)
+        WHERE i.i < g.n
+        GROUP BY g.doc_id, g.n
+        ORDER BY doc_id""")),
+
     // nearest-neighbor resize of the 16-byte stub buffer to 2x2: the
     // oracle replays the same index arithmetic over the md5 hex bytes
     "mm_resize" -> Q(

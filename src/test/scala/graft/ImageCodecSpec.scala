@@ -40,3 +40,29 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("decodable"))
   }
 }
+
+/** WAV counterpart: the hand-rolled RIFF encoder must decode EXACTLY
+  * through the JDK's javax.sound.sampled — including both int16
+  * extremes — and garbage must fail loudly. */
+class AudioCodecSpec extends AnyFunSuite {
+  import graft.pipeline.Multimodal.AudioCodec
+
+  test("WAV encode -> javax.sound decode round-trips samples exactly") {
+    val samples = Array.tabulate(257)(i =>
+      (((i.toLong * 31 + 7) % 65536) - 32768).toShort) ++
+      Array(Short.MinValue, Short.MaxValue, 0.toShort)
+    val wav = AudioCodec.encodeWav(8000, samples)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    val d = AudioCodec.decodeWav(wav)
+    assert(d.sampleRate == 8000)
+    assert(d.samples.toSeq == samples.toSeq)
+  }
+
+  test("undecodable bytes fail loudly") {
+    val e = intercept[IllegalArgumentException] {
+      AudioCodec.decodeWav("not audio at all, sorry".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("decodable"))
+  }
+}
