@@ -100,7 +100,8 @@ object GraftIO {
   def read_bam_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bam", path, options)
   def read_bcf_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bcf", path, options)
   def bcf_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bcf", path, Map("region" -> region))
-  /** Indexed-region query analogs (phase 1: scan + region filter). */
+  /** Indexed-region query analogs: .tbi/.csi/.bai-driven chunk pruning
+    * when the index exists, full scan + region filter otherwise. */
   def vcf_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "vcf", path, Map("region" -> region))
   def bam_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bam", path, Map("region" -> region))
   /** WARC web-archive records (beyond the reference; LLM-corpus ingest). */
