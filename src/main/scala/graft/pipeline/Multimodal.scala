@@ -81,6 +81,86 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** A 256-entry grayscale palette: with an indexed image the GIF
+      * writer stores the palette verbatim, making the multi-frame
+      * round trip LOSSLESS (an RGB input would get quantized). */
+    private def grayPalette: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Encode `nFrames` full-size grayscale frames as one animated GIF
+      * — a real multi-frame container (the JDK's closest thing to a
+      * video codec), written frame-by-frame through writeToSequence. */
+    def encodeGifFrames(width: Int, height: Int, nFrames: Int,
+                        gray: (Int, Int, Int) => Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              raster.setSample(x, y, 0, gray(f, x, y) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.flush()
+        bos.toByteArray
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+    }
+
+    /** Decode every frame of an animated GIF to flat RGB buffers. */
+    def decodeGifFrames(bytes: Array[Byte]): Seq[FakeDecoder.Decoded] = {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          var j = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(j) = ((rgb >> 16) & 0xff).toByte
+              px(j + 1) = ((rgb >> 8) & 0xff).toByte
+              px(j + 2) = (rgb & 0xff).toByte
+              j += 3
+              x += 1
+            }
+            y += 1
+          }
+          FakeDecoder.Decoded(w, h, px)
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
   }
 
   /** The real AUDIO half of the seam: WAV (RIFF PCM16 mono) decoded by
@@ -201,6 +281,52 @@ object Multimodal {
           sum += d.pixels(0) & 0xffL
         }
         SampledRow(v.doc_id, v.frames.length, sampled.length, sum)
+      }
+    }
+  }
+
+  final case class RealVideoRow(doc_id: Long, media: Array[Byte])
+  final case class RealSampledRow(doc_id: Long, n_frames: Int, n_sampled: Int,
+                                  first_byte_sum: Long, pix_sum: Long)
+
+  /** REAL multi-frame fixture: one animated GIF per document (8x6,
+    * nFrames = 5 + doc_id mod 12 — the stub videoTable's frame count),
+    * frame gradient gray(f, x, y) = (x + 2y + 3f + doc_id) mod 256,
+    * generated executor-side. */
+  def realVideoTable(s: SparkSession, dir: String): Dataset[RealVideoRow] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val nf = 5 + (d % 12).toInt
+          RealVideoRow(d, ImageCodec.encodeGifFrames(8, 6, nf,
+            (f, x, y) => ((x + 2 * y + 3 * f + d) % 256).toInt))
+        }
+      }
+  }
+
+  /** Frame sampling through the REAL container: decode the GIF's frame
+    * sequence, keep every `every`-th frame, reduce each to gray-channel
+    * features. The full decode stays inside the executor batch loop —
+    * the shape a real video pipeline has with an ffmpeg JNI seam. */
+  def sampleRealFrames(videos: Dataset[RealVideoRow], every: Int): Dataset[RealSampledRow] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { batch =>
+      batch.map { v =>
+        val frames = ImageCodec.decodeGifFrames(v.media)
+        val sampled = frames.zipWithIndex.collect { case (f, i) if i % every == 0 => f }
+        var firstSum = 0L
+        var pixSum = 0L
+        sampled.foreach { d =>
+          firstSum += d.pixels(0) & 0xffL
+          var i = 0
+          while (i < d.pixels.length) { // R channel of the gray triple
+            pixSum += d.pixels(i) & 0xffL
+            i += 3
+          }
+        }
+        RealSampledRow(v.doc_id, frames.length, sampled.length, firstSum, pixSum)
       }
     }
   }

@@ -105,6 +105,32 @@ object MultimodalQ {
           CAST(sum(((si // 3) % w + 2 * ((si // 3) // w) + doc_id) % 256) AS BIGINT) AS pixel_sum
         FROM src GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL multi-frame path: per-doc animated GIF (indexed 256-gray
+    // palette -> lossless), every-4th-frame sampling through the JDK's
+    // multi-frame ImageReader; the oracle replays frame count, the
+    // sampled frames' first-pixel values ((3f + d) mod 256) and their
+    // full gray-plane sums from the gradient formula
+    "mm_real_frames" -> Q(
+      (s, dir) =>
+        Multimodal.sampleRealFrames(Multimodal.realVideoTable(s, dir), every = 4)
+          .toDF().orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(5 + doc_id % 12 AS INTEGER) AS nf
+          FROM documents),
+        k AS (SELECT doc_id, nf, CAST((nf + 3) // 4 AS INTEGER) AS ns FROM g),
+        fr AS (SELECT doc_id, nf, ns, f.i * 4 AS f
+          FROM k, range(0, 4) f(i) WHERE f.i < ns),
+        fb AS (SELECT doc_id,
+            CAST(sum((3 * f + doc_id) % 256) AS BIGINT) AS first_byte_sum
+          FROM fr GROUP BY doc_id),
+        ps AS (SELECT doc_id,
+            CAST(sum((x.i + 2 * y.i + 3 * fr.f + fr.doc_id) % 256) AS BIGINT) AS pix_sum
+          FROM fr, range(0, 8) x(i), range(0, 6) y(i) GROUP BY doc_id)
+        SELECT k.doc_id, k.nf AS n_frames, k.ns AS n_sampled,
+          fb.first_byte_sum, ps.pix_sum
+        FROM k JOIN fb USING (doc_id) JOIN ps USING (doc_id)
+        ORDER BY doc_id""")),
+
     // REAL audio path: per-doc WAV (PCM16 mono, closed-form signal)
     // through javax.sound.sampled; the oracle recomputes duration,
     // sum and peak from the signal formula. abs(-32768) stays in Int.

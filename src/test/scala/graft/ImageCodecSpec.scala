@@ -39,6 +39,24 @@ class ImageCodecSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("decodable"))
   }
+
+  test("animated GIF frame sequence round-trips every frame exactly") {
+    // indexed 256-gray palette => lossless; each frame has a distinct
+    // gradient so a frame-ordering bug cannot cancel out
+    val (w, h, nf) = (8, 6, 7)
+    def gray(f: Int, x: Int, y: Int): Int = (x + 2 * y + 3 * f + 11) % 256
+    val gif = ImageCodec.encodeGifFrames(w, h, nf, gray)
+    assert(new String(gif, 0, 6, "US-ASCII").startsWith("GIF8"))
+    val frames = ImageCodec.decodeGifFrames(gif)
+    assert(frames.length == nf)
+    frames.zipWithIndex.foreach { case (d, f) =>
+      assert(d.width == w && d.height == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val got = d.pixels((y * w + x) * 3 + c) & 0xff
+        assert(got == gray(f, x, y), s"frame $f pixel ($x,$y) ch $c: $got")
+      }
+    }
+  }
 }
 
 /** WAV counterpart: the hand-rolled RIFF encoder must decode EXACTLY
