@@ -84,10 +84,22 @@ object Relational {
       .unionByName(b.select(col("chrom"), col("s").as("pos"), lit(0).as("side"),
         nl.as("a_e"), col("s").as("b_s"), col("e").as("b_e")))
     val byPos = Window.partitionBy("chrom").orderBy(col("pos"), col("side"))
+    // The suffix min runs over the REVERSED sort as a growing
+    // (unboundedPreceding) frame: a currentRow->unboundedFollowing
+    // frame is a shrinking frame, which WindowExec re-aggregates from
+    // scratch for every row — O(rows^2) per chromosome, a scale
+    // killer on deep chroms. Reversed, both passes use the O(n)
+    // running-frame processor; same partitioning, so the second sort
+    // is in-partition with no extra shuffle. Tie safety: at equal pos
+    // the DESC order puts the A row before its same-pos B rows, so
+    // (like the ASC left pass) a B starting exactly at a_s stays OUT
+    // of the right frame and is counted once, on the left.
+    val byPosDesc = Window.partitionBy("chrom")
+      .orderBy(col("pos").desc, col("side").desc)
     u.withColumn("prev_b_e", max(col("b_e")).over(
         byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("next_b_s", min(col("b_s")).over(
-        byPos.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        byPosDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("side") === 1)
       .select(col("chrom"), col("pos").as("s"), col("a_e").as("e"),
         least(
