@@ -9,6 +9,21 @@ import graft.pipeline.Multimodal
   */
 object MultimodalQ {
 
+  /** The real-PNG media table staged ONCE per driver as parquet (a
+    * true binary-column round trip through storage — the layout a
+    * media corpus actually has) and shared by both real-image entries:
+    * fixture synthesis (per-doc PNG encode) runs in staging, so the
+    * measured entries time the DECODE path they exist to exercise. */
+  private def realMediaStaged(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val p = Stage.staged(s"graft-mm-media:$dir") { d =>
+      Multimodal.realMediaTable(s, dir).toDF()
+        .write.parquet(d.resolve("media.parquet").toString)
+    }
+    s.read.parquet(p.resolve("media.parquet").toString).as[Multimodal.MediaRow]
+  }
+
   val qs: Map[String, Q] = Map(
     "mm_feature_extract" -> Q(
       (s, dir) =>
@@ -67,7 +82,7 @@ object MultimodalQ {
     // g0 g0 g0 g1 g1 g1 g2 with gk = (doc_id + k) mod 256.
     "mm_real_decode" -> Q(
       (s, dir) =>
-        Multimodal.extractFeatures(Multimodal.realMediaTable(s, dir),
+        Multimodal.extractFeatures(realMediaStaged(s, dir),
             useRealCodec = true)
           .toDF().orderBy("doc_id"),
       Some("""WITH g AS (SELECT doc_id,
@@ -90,7 +105,7 @@ object MultimodalQ {
     // % w / // w its x and y)
     "mm_real_resize" -> Q(
       (s, dir) =>
-        Multimodal.resize(Multimodal.realMediaTable(s, dir),
+        Multimodal.resize(realMediaStaged(s, dir),
             outW = 2, outH = 2, useRealCodec = true)
           .toDF().orderBy("doc_id"),
       Some("""WITH g AS (SELECT doc_id,
