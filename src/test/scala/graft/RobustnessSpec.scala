@@ -165,6 +165,32 @@ class RobustnessSpec extends AnyFunSuite {
       s"normalization disagreed across physical types: $got")
   }
 
+  test("Q.normTs: randomized micros agree across physical types (property)") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // epoch micros across the realistic range (1970..2100); nanos
+    // representation must stay within Long, i.e. micros < ~9.2e15
+    val gen = Gen.listOfN(200, Gen.chooseNum(0L, 4102444800000000L))
+    val us = gen(Gen.Parameters.default, Seed(7L)).get.distinct
+    val base = us.toDF("us")
+    val variants = Seq(
+      base.select((col("us") * 1000L).as("ts")),
+      base.select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")),
+      base.select(timestamp_micros(col("us")).as("ts")))
+    val d = Files.createTempDirectory("graft-tsprop")
+    val got = variants.zipWithIndex.map { case (df, i) =>
+      val p = d.resolve(s"v$i").toString
+      df.write.parquet(p)
+      graft.queries.Q.normTs(spark.read.parquet(p), "ts")
+        .selectExpr("unix_micros(ts)").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(got(0) == us.sorted && got(1) == got(0) && got(2) == got(0),
+      "randomized micros diverged across physical ts types")
+  }
+
   test("Q.normTs: an unrecognized ts dtype fails loudly, not silently wrong") {
     import spark.implicits._
     val df = Seq("2023-11-14 22:13:20").toDF("ts")
