@@ -47,6 +47,12 @@ object DumpPlans {
       """Range-bucketed interval merge: the sweep runs per (key, bucket)
         |window partition in parallel, then stitches bucket-boundary
         |regions — no single-partition window over a whole chromosome.""".stripMargin,
+    "rel_interval_closest" ->
+      """Join-free closest-feature sweep: one union, ONE exchange on
+        |chrom, two Window passes — both GROWING frames (the suffix min
+        |runs over the reversed in-partition sort; a shrinking
+        |currentRow->unboundedFollowing frame would re-aggregate per
+        |row, O(rows^2) per chromosome).""".stripMargin,
     "rel_join_star_revenue" ->
       """Star join: every dimension side is a BroadcastHashJoin; the
         |fact table is read once with pruned columns and pushed filters.""".stripMargin)
