@@ -200,6 +200,38 @@ class RobustnessSpec extends AnyFunSuite {
     assert(e.getMessage.contains("drifted"))
   }
 
+  test("streaming entry survives a LEGACY long-nanos events regeneration end-to-end") {
+    // If the driver flips testdata back to int64-nanos, the staged
+    // normalization (Q.events inside StreamingQ staging) must absorb it:
+    // run the real registry entry against a synthetic legacy-schema dir
+    // and check it against the batch aggregation of the normalized frame.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val d = Files.createTempDirectory("graft-legacy-events")
+    graft.queries.Q.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "unix_micros(ts) * 1000 AS ts", "user_id",
+        "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(d.resolve("stage").toString)
+    val part = Files.list(d.resolve("stage"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, d.resolve("events.parquet"))
+
+    val got = graft.SparkEntry.queries("stream_events_hourly")(spark, d.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = graft.queries.Q.events(spark, d.toString)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+          .cast(DoubleType).as("sum_value"))
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq,
+      s"legacy-nanos streaming run diverged (${got.length} vs ${want.length} rows)")
+  }
+
   test("Q.events reads the live testdata and yields TIMESTAMP ts") {
     val df = graft.queries.Q.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType == TimestampType)
