@@ -134,6 +134,51 @@ object Relational {
       .select("chrom", "region_start", "region_end", "n_intervals")
   }
 
+  /** Two-channel coverage sweep shared by rel_interval_jaccard and
+    * rel_interval_subtract: each side contributes ±1 deltas on its own
+    * counter, deltas collapse by (chrom, pos) so the running sums are
+    * shuffle-order independent, and each output row describes the
+    * segment [pos, np) with A-depth `ca` and B-depth `cb` (np null on
+    * the last boundary of a chrom). Raw unmerged intervals feed it
+    * directly — depth>0 is identical to merged coverage. One keyed
+    * groupBy + one (chrom)-keyed window sort, no join anywhere. */
+  private[graft] def coverageSegments(a: DataFrame, b: DataFrame): DataFrame = {
+    def deltas(iv: DataFrame, da: Int, db: Int) =
+      iv.select(col("chrom"), col("s").as("pos"),
+          lit(da.toLong).as("da"), lit(db.toLong).as("db"))
+        .unionAll(iv.select(col("chrom"), col("e").as("pos"),
+          lit(-da.toLong).as("da"), lit(-db.toLong).as("db")))
+    val g = deltas(a, 1, 0).unionAll(deltas(b, 0, 1))
+      .groupBy("chrom", "pos")
+      .agg(sum(col("da")).as("da"), sum(col("db")).as("db"))
+    val w = Window.partitionBy("chrom").orderBy("pos")
+    g.withColumn("ca", sum(col("da")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", sum(col("db")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("np", lead(col("pos"), 1).over(w))
+      .select("chrom", "pos", "ca", "cb", "np")
+  }
+
+  /** A \ B summary over [[coverageSegments]] — see the
+    * rel_interval_subtract entry comment; exposed for IntervalOpsSpec's
+    * brute-force property check. Inputs: (chrom, s, e) frames; output:
+    * per-chrom (a_bp, sub_bp, n_fragments) sorted by chrom. */
+  private[graft] def subtractSweep(a: DataFrame, b: DataFrame): DataFrame = {
+    val w = Window.partitionBy("chrom").orderBy("pos")
+    coverageSegments(a, b)
+      .withColumn("f", col("np").isNotNull && col("ca") > 0 && col("cb") === 0)
+      .withColumn("starts",
+        col("f") && !coalesce(lag(col("f"), 1).over(w), lit(false)))
+      .groupBy("chrom")
+      .agg(
+        sum(when(col("np").isNotNull && col("ca") > 0, col("np") - col("pos"))
+          .otherwise(0L)).as("a_bp"),
+        sum(when(col("f"), col("np") - col("pos")).otherwise(0L)).as("sub_bp"),
+        sum(when(col("starts"), 1L).otherwise(0L)).as("n_fragments"))
+      .orderBy("chrom")
+  }
+
   private[graft] def summarizeRegions(regions: DataFrame): DataFrame =
     regions.groupBy("chrom")
       .agg(count(lit(1)).as("n_regions"),
@@ -627,22 +672,7 @@ object Relational {
           .selectExpr("user_id % 16 AS chrom",
             "unix_micros(ts) div 1000000 AS s")
           .withColumn("e", col("s") + len)
-        val a = side("click", 1800); val b = side("view", 900)
-        def deltas(iv: DataFrame, da: Int, db: Int) =
-          iv.select(col("chrom"), col("s").as("pos"),
-              lit(da.toLong).as("da"), lit(db.toLong).as("db"))
-            .unionAll(iv.select(col("chrom"), col("e").as("pos"),
-              lit(-da.toLong).as("da"), lit(-db.toLong).as("db")))
-        val g = deltas(a, 1, 0).unionAll(deltas(b, 0, 1))
-          .groupBy("chrom", "pos")
-          .agg(sum(col("da")).as("da"), sum(col("db")).as("db"))
-        val w = Window.partitionBy("chrom").orderBy("pos")
-        val r = g
-          .withColumn("ca", sum(col("da")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("cb", sum(col("db")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("np", lead(col("pos"), 1).over(w))
+        val r = coverageSegments(side("click", 1800), side("view", 900))
           .where(col("np").isNotNull)
           .withColumn("seg", col("np") - col("pos"))
         r.groupBy("chrom")
@@ -675,6 +705,108 @@ object Relational {
           round(sum(CASE WHEN ca > 0 AND cb > 0 THEN np - pos ELSE 0 END) * 1.0
                 / sum(CASE WHEN ca > 0 OR cb > 0 THEN np - pos ELSE 0 END), 6) AS jaccard
         FROM r WHERE np IS NOT NULL GROUP BY chrom ORDER BY chrom""")),
+
+    // ---- interval subtraction (bedtools subtract), join-free ----
+    // A \ B as COVERAGE algebra on the shared two-channel sweep: a
+    // segment belongs to the result iff A-depth > 0 and B-depth = 0.
+    // Beyond the spans, it counts MAXIMAL surviving fragments — the
+    // number each per-interval subtraction would emit after merging —
+    // as runs of qualifying segments: a fragment starts at a
+    // qualifying segment whose predecessor doesn't qualify (one lag()
+    // on the already-sorted segment frame; segments are contiguous, so
+    // adjacent qualifying segments are one fragment). Same cost shape
+    // as the jaccard sweep: one keyed groupBy + one (chrom)-keyed
+    // window sort, no join, no pair space; per-chrom parallelism with
+    // the merge-scalable bucketing trick available when one chrom
+    // dominates. Property-checked against a brute-force per-point
+    // subtraction in IntervalOpsSpec.
+    "rel_interval_subtract" -> Q(
+      (s, dir) => {
+        val ev = eventsTs(s, dir)
+        def side(et: String, len: Int) = ev
+          .where(col("event_type") === et)
+          .selectExpr("user_id % 16 AS chrom",
+            "unix_micros(ts) div 1000000 AS s")
+          .withColumn("e", col("s") + len)
+        subtractSweep(side("click", 1500), side("purchase", 1000))
+      },
+      Some("""WITH a AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 1500 AS e
+          FROM events WHERE event_type = 'click'),
+        b AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 1000 AS e
+          FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT chrom, s AS pos, 1 AS da, 0 AS db FROM a
+          UNION ALL SELECT chrom, e, -1, 0 FROM a
+          UNION ALL SELECT chrom, s, 0, 1 FROM b
+          UNION ALL SELECT chrom, e, 0, -1 FROM b),
+        g AS (SELECT chrom, pos, sum(da) AS da, sum(db) AS db FROM d GROUP BY chrom, pos),
+        r AS (SELECT chrom, pos,
+            sum(da) OVER (PARTITION BY chrom ORDER BY pos) AS ca,
+            sum(db) OVER (PARTITION BY chrom ORDER BY pos) AS cb,
+            lead(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np
+          FROM g),
+        fl AS (SELECT chrom, pos, np, ca,
+            (np IS NOT NULL AND ca > 0 AND cb = 0) AS f
+          FROM r),
+        st AS (SELECT chrom, pos, np, ca, f,
+            (f AND NOT coalesce(lag(f) OVER (PARTITION BY chrom ORDER BY pos), false)) AS starts
+          FROM fl)
+        SELECT chrom,
+          CAST(sum(CASE WHEN np IS NOT NULL AND ca > 0 THEN np - pos ELSE 0 END) AS BIGINT) AS a_bp,
+          CAST(sum(CASE WHEN f THEN np - pos ELSE 0 END) AS BIGINT) AS sub_bp,
+          CAST(sum(CASE WHEN starts THEN 1 ELSE 0 END) AS BIGINT) AS n_fragments
+        FROM st GROUP BY chrom ORDER BY chrom""")),
+
+    // ---- event funnel (click -> view conversion), join-free ----
+    // For each click, did the SAME user produce a view within the next
+    // 600 s? The naive plan is a per-click correlated EXISTS (the
+    // oracle) — a time-range theta-join. This plan is the closestSweep
+    // idiom on the event stream: union both event types, sort per user
+    // by time DESCENDING with views ordered before clicks at equal
+    // timestamps, and take a running min of view times — a GROWING
+    // window frame (O(n) processor, see the closestSweep note on why a
+    // shrinking frame is quadratic). next_view_s is then the earliest
+    // view at-or-after each click, and conversion is one comparison.
+    // Shuffle: ONE user-keyed window sort over the event stream — no
+    // join, no per-pair row space, skew bounded by events-per-user.
+    "rel_event_funnel" -> Q(
+      (s, dir) => {
+        val ev = eventsTs(s, dir)
+          .selectExpr("user_id", "event_type",
+            "unix_micros(ts) div 1000000 AS s")
+          .where(col("event_type").isin("click", "view"))
+        val u = ev.select(col("user_id"), col("s"),
+          when(col("event_type") === "click", 1).otherwise(0).as("side"),
+          when(col("event_type") === "view", col("s")).as("view_s"))
+        // desc sort, views (side 0) first at equal s: a view at the
+        // click's own timestamp is already in the frame => converts
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("s").desc, col("side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("next_view_s", min(col("view_s")).over(w))
+          .where(col("side") === 1)
+          .withColumn("cohort", col("user_id") % 16)
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(when(col("next_view_s") <= col("s") + 600, 1L).otherwise(0L))
+              .as("n_converted"))
+          .withColumn("conv_rate",
+            round(col("n_converted").cast("double") / col("n_clicks"), 6))
+          .orderBy("cohort")
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) // 1000000 AS s
+          FROM events WHERE event_type = 'click'),
+        v AS (SELECT user_id, epoch_us(ts) // 1000000 AS s
+          FROM events WHERE event_type = 'view'),
+        d AS (SELECT user_id, s,
+            EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+                    AND v.s >= c.s AND v.s <= c.s + 600) AS conv
+          FROM c)
+        SELECT user_id % 16 AS cohort, count(*) AS n_clicks,
+          CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+          round(sum(CASE WHEN conv THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS conv_rate
+        FROM d GROUP BY 1 ORDER BY cohort""")),
 
     // ---- interval coverage depth (the genomecov sweep-line) ----
     // Per-base (here per-second) depth without materializing per-base

@@ -59,6 +59,51 @@ class IntervalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("subtract sweep equals brute-force region subtraction on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // merged disjoint regions per chrom (touching merges, like the sweep)
+    def merge1(ivs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for ((s0, e0) <- ivs.sorted) out.lastOption match {
+        case Some((rs, re)) if s0 <= re => out(out.size - 1) = (rs, math.max(re, e0))
+        case _ => out += ((s0, e0))
+      }
+      out.toSeq
+    }
+    for (trial <- 1 to 10) {
+      // strictly positive lengths: zero-length intervals are invisible
+      // to coverage algebra (delta +1/-1 at the same pos collapses)
+      def gen(n: Int) = (0 until n).map { _ =>
+        val s0 = rnd.nextInt(2000).toLong
+        (rnd.nextInt(3).toLong, s0, s0 + 1 + rnd.nextInt(250))
+      }
+      // occasionally a chrom with no B at all (everything survives)
+      val a = gen(1 + rnd.nextInt(60))
+      val b = gen(1 + rnd.nextInt(60)).filter(t => trial % 3 != 0 || t._1 != 1L)
+      val expect = a.groupBy(_._1).map { case (chrom, ivs) =>
+        val ma = merge1(ivs.map(t => (t._2, t._3)))
+        val mb = merge1(b.filter(_._1 == chrom).map(t => (t._2, t._3)))
+        val frags = ma.flatMap { case (as, ae) =>
+          var cur = as
+          val fs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          for ((bs, be) <- mb if be > as && bs < ae) {
+            if (bs > cur) fs += ((cur, math.min(bs, ae)))
+            cur = math.max(cur, be)
+          }
+          if (cur < ae) fs += ((cur, ae))
+          fs.filter(f => f._2 > f._1)
+        }
+        chrom -> (ma.map(r => r._2 - r._1).sum,
+          frags.map(f => f._2 - f._1).sum, frags.size.toLong)
+      }
+      val got = graft.queries.Relational.subtractSweep(
+          a.toDF("chrom", "s", "e"), b.map(t => (t._1, t._2, t._3)).toDF("chrom", "s", "e"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == expect, s"trial $trial: subtract sweep diverged from brute force")
+    }
+  }
+
   test("plain and bucketed+stitched sweeps equal brute-force merge on random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
