@@ -163,6 +163,109 @@ object PipelineOps {
         SELECT source, count(*) AS n_contaminated, CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM c GROUP BY source ORDER BY source""")),
 
+    // ---- per-source document cap (the crawl domain-quota cut) ----
+    // Cap every source at K docs, best-first by (n_chars DESC, doc_id)
+    // — the per-domain quota a crawl curation applies so one giant
+    // domain can't dominate the mix. The naive plan is ONE row_number
+    // window per source (the oracle): correct, but a monster domain
+    // serializes into a single sort task. This plan is the two-level
+    // top-K: level 1 ranks within (source, doc_id%8 salt) partitions
+    // and keeps K per salt — 8-way parallel inside a domain, and
+    // row_number's running state caps window memory at O(1) — then
+    // level 2 ranks the surviving <= 8K rows per source. Top-K of the
+    // union of per-salt top-Ks is exactly the global top-K (any global
+    // top-K row is top-K within its salt), so the result matches the
+    // oracle's single window. At 100 TB the salt count scales with the
+    // largest domain; K rows per salt is all that crosses the second
+    // shuffle.
+    "pipe_source_cap" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val k = 25
+        val w1 = Window.partitionBy(col("source"), expr("doc_id % 8"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val w2 = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val kept = docs
+          .withColumn("rn1", row_number().over(w1)).where(col("rn1") <= k)
+          .withColumn("rn", row_number().over(w2)).where(col("rn") <= k)
+        docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+          .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars"),
+            sum(col("doc_id")).as("id_checksum")), Seq("source"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents),
+        k AS (SELECT * FROM r WHERE rn <= 25)
+        SELECT source,
+          (SELECT count(*) FROM documents d WHERE d.source = k.source) AS n_total,
+          count(*) AS n_kept,
+          CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM k GROUP BY source ORDER BY source""")),
+
+    // ---- DSIR-style importance weighting (data selection) ----
+    // Data Selection via Importance Resampling (Xie et al.,
+    // arXiv:2302.03169): weight each raw document by how much more
+    // likely its features are under a TARGET distribution (here the
+    // English slice stands in for the curated target) than under the
+    // RAW corpus distribution — per-token log-likelihood ratio
+    // ln p_t(w) - ln p_r(w) with add-one smoothing, averaged over the
+    // doc. Positive score = looks more like the target; `keep` is the
+    // resampling gate.
+    //
+    // Scale shape is exactly the bigram-LM entry's: both feature
+    // tables are (token) aggregates bounded by vocabulary size, joined
+    // back onto the token stream as keyed equi-joins with NO forced
+    // broadcast (AQE broadcasts while the vocab is small, degrades to
+    // a shuffle join when it isn't); corpus scalars (token masses,
+    // vocab size) ride one broadcast row. Determinism: per-token log
+    // ratios round to integer micro-nats and sum as BIGINT —
+    // shuffle-order independent — then one division per doc in
+    // identical operand order on both engines.
+    "pipe_dsir_weights" -> Q(
+      (s, dir) => {
+        val toks = Q.barrier(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok")))
+        val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+        val tgt = toks.where(col("lang") === "en")
+          .groupBy("tok").agg(count(lit(1)).as("ct"))
+        val stats = toks.agg(count(lit(1)).as("nr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+          countDistinct(col("tok")).as("v"))
+        toks.join(raw, Seq("tok"))
+          .join(tgt, Seq("tok"), "left")
+          .crossJoin(broadcast(stats))
+          .withColumn("micro", expr(
+            "cast(round(1e6 * (ln((coalesce(ct, 0) + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 0) as bigint)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("micro")).as("micro"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("round(cast(micro as double) / n_tokens / 1e6, 6)").as("score"))
+          .withColumn("keep", col("score") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang,
+            unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+          FROM documents),
+        raw AS (SELECT tok, count(*) AS cr FROM tk GROUP BY tok),
+        tgt AS (SELECT tok, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY tok),
+        st AS (SELECT count(*) AS nr,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+            count(DISTINCT tok) AS v
+          FROM tk),
+        sc AS (SELECT doc_id,
+            CAST(round(1e6 * (ln((coalesce(ct, 0) + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 0) AS BIGINT) AS micro
+          FROM tk JOIN raw USING (tok) LEFT JOIN tgt USING (tok) CROSS JOIN st),
+        d AS (SELECT doc_id, count(*) AS n_tokens,
+            round(CAST(sum(micro) AS DOUBLE) / count(*) / 1e6, 6) AS score
+          FROM sc GROUP BY doc_id)
+        SELECT doc_id, n_tokens, score, score > 0 AS keep
+        FROM d ORDER BY doc_id""")),
+
     // ---- contamination audit: the per-eval-doc overlap report ----
     // pipe_decontaminate answers "which train docs must go"; this is the
     // complementary audit a benchmark owner reads: per eval doc, how

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a training-data pipeline: language ID
   * (stopword heuristic), quality scoring, token counting, and document
@@ -439,6 +440,68 @@ object TextOps {
           FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams,
           round(CAST(sum(micro) AS DOUBLE) / count(*) / 1e6, 6) AS nll
-        FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- CCNet-style perplexity buckets (head / middle / tail) ----
+    // The CCNet curation step after scoring: split the corpus into
+    // perplexity terciles (keep the head, often drop the tail). The
+    // tercile boundary is the k-th smallest NLL with k = ceil(n/3),
+    // derived WITHOUT a corpus-wide ntile window (a global ntile is
+    // one unpartitioned sort task — the classic scale trap): NLL
+    // values collapse to a (value, count) frame first, the running
+    // count over that frame is a window over DISTINCT SCORE VALUES
+    // (bounded by score cardinality — round-6 NLLs, not docs), and
+    // boundaries come off it as one aggregate (smallest value whose
+    // cumulative count reaches n/3, integer-exact via cum*3 >= n).
+    // Docs then bucket map-only against the one-row broadcast
+    // boundary frame. At extreme scale the value frame itself is
+    // what approx_percentile's sketch replaces; everything else here
+    // is aggregates and a broadcast.
+    "text_perplexity_buckets" -> Q(
+      (s, dir) => {
+        val nll = bigramLmNll(t(s, dir, "documents"))
+        val cnts = nll.groupBy("nll").agg(count(lit(1)).as("cnt"))
+        val run = cnts
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy("nll")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        val bounds = run.agg(
+          min(when(col("cum") * 3 >= col("n"), col("nll"))).as("b1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("nll"))).as("b2"))
+        nll.crossJoin(broadcast(bounds))
+          .withColumn("bucket", when(col("nll") <= col("b1"), "head")
+            .when(col("nll") <= col("b2"), "middle").otherwise("tail"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
+          .orderBy("bucket")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
+          WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
+        bgu AS (SELECT doc_id,
+            unnest([{'prev': w[i], 'cur': w[i+1]} for i in range(1, len(w))]) AS u
+          FROM base),
+        bg AS (SELECT doc_id, u.prev AS prev, u.cur AS cur FROM bgu),
+        c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+        c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY prev),
+        v AS (SELECT count(DISTINCT tok) AS vsz
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+              WHERE tok <> ''),
+        scored AS (SELECT doc_id,
+            CAST(round(-1e6 * ln((c2 + 1.0) / (c1 + vsz)), 0) AS BIGINT) AS micro
+          FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v),
+        nll AS (SELECT doc_id,
+            round(CAST(sum(micro) AS DOUBLE) / count(*) / 1e6, 6) AS nll
+          FROM scored GROUP BY doc_id),
+        c AS (SELECT nll, count(*) AS cnt FROM nll GROUP BY nll),
+        r AS (SELECT nll, cnt, sum(cnt) OVER (ORDER BY nll) AS cum,
+            sum(cnt) OVER () AS n FROM c),
+        b AS (SELECT min(CASE WHEN cum * 3 >= n THEN nll END) AS b1,
+            min(CASE WHEN cum * 3 >= n * 2 THEN nll END) AS b2 FROM r)
+        SELECT CASE WHEN nll <= b1 THEN 'head'
+            WHEN nll <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
+          count(*) AS n_docs, min(nll) AS min_nll, max(nll) AS max_nll
+        FROM nll CROSS JOIN b GROUP BY 1 ORDER BY bucket"""))
   )
 }
