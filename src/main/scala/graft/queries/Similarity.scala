@@ -146,7 +146,77 @@ object Similarity {
   private val AdcExpr =
     graft.pipeline.VectorOps.adcExpr(subspaces = 8, distRound = Some(6))
 
+  /** Exact cosine-threshold (radius) search with LOSSLESS cell pruning
+    * — the ann_radius_prune core, exposed for the spec's losslessness
+    * property check. Returns every (q_id, vec_id, cos) pair with
+    * round(cos, 6) >= tau, queries = vec_id < qBelow, self-pairs
+    * excluded — bit-identical to brute force, proven by the triangle
+    * inequality rather than sampled recall:
+    *
+    * On UNIT vectors, cos(a,b) >= tau  <=>  ||â-b̂||² <= 2-2·tau, so a
+    * cosine radius is an L2 ball of radius r = sqrt(2-2·tau) in the
+    * normalized space. Corpus vectors are k-means-partitioned (any
+    * partition works — determinism of the clustering is irrelevant to
+    * exactness); each cell keeps its pivot distance bound crad =
+    * max_member ||v̂-ĉ||. For a qualifying pair, dist(q̂,ĉ) <=
+    * dist(q̂,v̂) + dist(v̂,ĉ) <= r + crad, so scanning only cells with
+    * dist(q̂,ĉ) <= r + crad + eps misses nothing (eps = 1e-5 absorbs
+    * the round-6 acceptance slack ~5e-7 and normalization FP noise).
+    * Final verify recomputes exact cosine on the ORIGINAL vectors with
+    * the same kernel/rounding as the brute-force oracle.
+    *
+    * Scale: the scanned fraction is the classic IVF ratio but with
+    * recall = 1 by construction; candidate fan-out is a cid-keyed
+    * equi-join (corpus never self-joins), queries/centroids/bounds all
+    * broadcast. */
+  private[graft] def radiusSearch(e: DataFrame, qBelow: Long, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
+    val norm =
+      "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
+    val en = e.select(col("vec_id"), expr(norm).as("v"))
+    val (assigned, cents) = kmeansAssigned(en)
+    val cells = assigned.join(broadcast(cents), Seq("cid"))
+      .withColumn("md", expr("sqrt(graft_l2_sq(v, cv))"))
+      .groupBy("cid").agg(max(col("md")).as("crad"))
+    val r = math.sqrt(2.0 - 2.0 * tau)
+    val survive = en.where(col("vec_id") < qBelow)
+      .select(col("vec_id").as("q_id"), col("v").as("qvn"))
+      .crossJoin(broadcast(cents.join(cells, Seq("cid"))))
+      .where(expr("sqrt(graft_l2_sq(qvn, cv))") <= lit(r) + col("crad") + lit(1e-5))
+      .select(col("q_id"), col("cid"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(broadcast(survive), Seq("cid"))
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(e.where(col("vec_id") < qBelow)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+      .where(col("cos") >= tau)
+      .orderBy("q_id", "vec_id")
+  }
+
   val qs: Map[String, Q] = Map(
+
+    // ---- exact radius search: lossless triangle-inequality pruning ----
+    // Range/radius queries ("everything within cosine 0.4") are the
+    // dedup-adjacent sibling of top-k ANN; unlike the IVF/LSH entries,
+    // this one is EXACT — the oracle is plain brute force and must
+    // hash-match, because cell pruning via the triangle inequality
+    // provably drops only cells that cannot contain a qualifying
+    // vector (see radiusSearch above; losslessness property-checked on
+    // random inputs in RadiusSearchSpec).
+    "ann_radius_prune" -> Q(
+      (s, dir) => radiusSearch(
+        vecs(s, dir).select(col("vec_id"), col("v")), qBelow = 16, tau = 0.25),
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 16),
+          scored AS (
+            SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM e CROSS JOIN q WHERE vec_id <> q_id)
+        SELECT q_id, vec_id, cos FROM scored WHERE cos >= 0.25
+        ORDER BY q_id, vec_id""")),
 
     // ---- brute-force cosine top-k (oracle-checked baseline) ----
     "ann_bruteforce_topk" -> Q(
