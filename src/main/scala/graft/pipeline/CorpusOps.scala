@@ -420,6 +420,56 @@ object CorpusOps {
       a.select(col("chrom"), col("s"), col("e")),
       b.select(col("chrom"), col("s"), col("e")))
 
+  /** A \ B over interval SETS per chrom (bedtools subtract, summarized):
+    * covered A span, surviving span, and the count of maximal surviving
+    * fragments. Input columns on both frames: `chrom`, `s`, `e` (long).
+    * Join-free coverage-algebra sweep; property-checked against brute
+    * force in IntervalOpsSpec. */
+  def subtractIntervals(a: DataFrame, b: DataFrame): DataFrame =
+    graft.queries.Relational.subtractSweep(
+      a.select(col("chrom"), col("s"), col("e")),
+      b.select(col("chrom"), col("s"), col("e")))
+
+  /** Keep at most `k` rows per `keyCol` (a source/domain quota),
+    * best-first by (`orderCol` DESC, `idCol` ASC). Returns the kept
+    * rows with all input columns. Runs as a two-level salted top-K so
+    * one dominant key never serializes into a single sort task —
+    * result provably equals the single-window rank (the
+    * pipe_source_cap oracle). */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String, k: Int,
+                idCol: String = "doc_id", salts: Int = 8): DataFrame = {
+    requireIntegralId(df, idCol, "capPerKey")
+    Seq(keyCol, orderCol).foreach { c =>
+      require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"CorpusOps.capPerKey: no column '$c' in [${df.columns.mkString(", ")}]")
+    }
+    require(k > 0 && salts > 0, "CorpusOps.capPerKey: k and salts must be positive")
+    graft.queries.PipelineOps.capPerKeyCore(df, keyCol, orderCol, idCol, k, salts)
+  }
+
+  /** DSIR-style importance weights (Xie et al., arXiv:2302.03169):
+    * per-doc mean target-vs-raw unigram log-likelihood ratio, where
+    * `isTarget` marks the rows whose token distribution defines the
+    * target. Output: (idCol, n_tokens, score, keep) — positive score =
+    * looks more like the target. Docs with no non-empty token are
+    * absent (no features to score). */
+  def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(docs.columns.exists(_.equalsIgnoreCase(textCol)),
+      s"CorpusOps.dsirWeights: no column '$textCol' in [${docs.columns.mkString(", ")}]")
+    graft.queries.PipelineOps.dsirWeightsCore(docs, isTarget, idCol, textCol)
+  }
+
+  /** CCNet-style perplexity terciles over the corpus-trained bigram LM:
+    * (bucket head|middle|tail, n_docs, min_nll, max_nll). Docs too
+    * short for a bigram are absent, like [[bigramLmNll]]. */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(docs.columns.exists(_.equalsIgnoreCase(textCol)),
+      s"CorpusOps.perplexityBuckets: no column '$textCol' in [${docs.columns.mkString(", ")}]")
+    graft.queries.TextOps.perplexityBuckets(docs, idCol, textCol)
+  }
+
   def mergeIntervals(intervals: DataFrame,
                      bucketWidth: Option[Long] = None): DataFrame = {
     val iv = intervals.select(col("chrom"), col("s"), col("e"))

@@ -39,6 +39,25 @@ object VectorOps {
     * per-candidate scoring loop is gone. */
   private val Cos = "graft_cosine_sim(__qv, __v)"
 
+  /** EXACT cosine-threshold (radius) search: every (query, corpus)
+    * pair with round(cosine, 6) >= `tau`, pairs with equal ids
+    * excluded. Output: (q_id, vec_id, cos), ordered. Unlike the top-k
+    * family this is not approximate — k-means cells are pruned by the
+    * triangle inequality in the unit-normalized space, which provably
+    * cannot drop a qualifying pair (losslessness property-checked in
+    * RadiusSearchSpec; the ann_radius_prune gate entry hash-matches a
+    * brute-force oracle). Scanned fraction behaves like IVF, recall is
+    * 1.0 by construction. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, tau: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, s"radiusSearch: tau ($tau) must be in (-1, 1]")
+    graft.queries.Similarity.radiusSearchFrames(
+      asVec(corpus, idCol, vecCol).select(col("__id").as("vec_id"), col("__v").as("v")),
+      asVec(queries, idCol, vecCol).select(col("__id").as("vec_id"), col("__v").as("v")),
+      tau)
+  }
+
   /** Exact cosine top-k: for every query row, the `k` most similar
     * corpus rows. Output: (query id `q_id`, corpus id `id`, `cos`,
     * rank `rn`). The query set is broadcast — size it accordingly

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -123,6 +123,54 @@ object PipelineOps {
       .drop("__score", "__sub", "__offset", "__budget", "__cum_before")
   }
 
+  /** Per-key quota core (pipe_source_cap /
+    * [[graft.pipeline.CorpusOps.capPerKey]]): keep at most `k` rows per
+    * `keyCol`, best-first by (`orderCol` DESC, `idCol` ASC), as a
+    * two-level salted top-K — level 1 ranks within (key, id%salts) so a
+    * monster key parallelizes `salts`-way and only k rows per salt cross
+    * the second shuffle; top-K of the per-salt top-Ks is exactly the
+    * global per-key top-K (see the pipe_source_cap entry comment). */
+  private[graft] def capPerKeyCore(df: DataFrame, keyCol: String,
+      orderCol: String, idCol: String, k: Int, salts: Int = 8): DataFrame = {
+    val id = s"`${idCol.replace("`", "``")}`"
+    val w1 = Window.partitionBy(col(keyCol), expr(s"$id % $salts"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val w2 = Window.partitionBy(keyCol)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("__rn1", row_number().over(w1)).where(col("__rn1") <= k)
+      .withColumn("__rn", row_number().over(w2)).where(col("__rn") <= k)
+      .drop("__rn1", "__rn")
+  }
+
+  /** DSIR importance-weighting core (pipe_dsir_weights /
+    * [[graft.pipeline.CorpusOps.dsirWeights]]) — per-doc mean
+    * target-vs-raw unigram log-likelihood ratio; see the entry comment
+    * for the scale/determinism rationale. `isTarget` marks the rows
+    * whose token distribution defines the target. */
+  private[graft] def dsirWeightsCore(docs: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val txt = s"`${textCol.replace("`", "``")}`"
+    val toks = Q.barrier(docs
+      .select(col(idCol).as("__id"), isTarget.as("__t"),
+        explode(expr(s"filter(split($txt, ' '), x -> x != '')")).as("tok")))
+    val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val tgt = toks.where(col("__t")).groupBy("tok").agg(count(lit(1)).as("ct"))
+    val stats = toks.agg(count(lit(1)).as("nr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+      countDistinct(col("tok")).as("v"))
+    toks.join(raw, Seq("tok"))
+      .join(tgt, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("micro", expr(
+        "cast(round(1e6 * (ln((coalesce(ct, 0) + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 0) as bigint)"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro")).as("micro"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        expr("round(cast(micro as double) / n_tokens / 1e6, 6)").as("score"))
+      .withColumn("keep", col("score") > 0)
+      .orderBy(idCol)
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- benchmark decontamination via 5-gram overlap ----
@@ -181,14 +229,7 @@ object PipelineOps {
     "pipe_source_cap" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val k = 25
-        val w1 = Window.partitionBy(col("source"), expr("doc_id % 8"))
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        val w2 = Window.partitionBy("source")
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        val kept = docs
-          .withColumn("rn1", row_number().over(w1)).where(col("rn1") <= k)
-          .withColumn("rn", row_number().over(w2)).where(col("rn") <= k)
+        val kept = capPerKeyCore(docs, "source", "n_chars", "doc_id", k = 25)
         docs.groupBy("source").agg(count(lit(1)).as("n_total"))
           .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept"),
             sum(col("n_chars")).as("kept_chars"),
@@ -226,28 +267,7 @@ object PipelineOps {
     // shuffle-order independent — then one division per doc in
     // identical operand order on both engines.
     "pipe_dsir_weights" -> Q(
-      (s, dir) => {
-        val toks = Q.barrier(t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok")))
-        val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
-        val tgt = toks.where(col("lang") === "en")
-          .groupBy("tok").agg(count(lit(1)).as("ct"))
-        val stats = toks.agg(count(lit(1)).as("nr"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-          countDistinct(col("tok")).as("v"))
-        toks.join(raw, Seq("tok"))
-          .join(tgt, Seq("tok"), "left")
-          .crossJoin(broadcast(stats))
-          .withColumn("micro", expr(
-            "cast(round(1e6 * (ln((coalesce(ct, 0) + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 0) as bigint)"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum(col("micro")).as("micro"))
-          .select(col("doc_id"), col("n_tokens"),
-            expr("round(cast(micro as double) / n_tokens / 1e6, 6)").as("score"))
-          .withColumn("keep", col("score") > 0)
-          .orderBy("doc_id")
-      },
+      (s, dir) => dsirWeightsCore(t(s, dir, "documents"), col("lang") === "en"),
       Some("""WITH tk AS (SELECT doc_id, lang,
             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
           FROM documents),

@@ -169,7 +169,14 @@ object Similarity {
     * recall = 1 by construction; candidate fan-out is a cid-keyed
     * equi-join (corpus never self-joins), queries/centroids/bounds all
     * broadcast. */
-  private[graft] def radiusSearch(e: DataFrame, qBelow: Long, tau: Double): DataFrame = {
+  private[graft] def radiusSearch(e: DataFrame, qBelow: Long, tau: Double): DataFrame =
+    radiusSearchFrames(e, e.where(col("vec_id") < qBelow), tau)
+
+  /** Frame-general core: corpus and queries both (vec_id, v) with
+    * ORIGINAL (unnormalized) double vectors; pairs with equal ids are
+    * excluded. Shared by the gate entry (queries = the id prefix) and
+    * [[graft.pipeline.VectorOps.radiusSearch]]. */
+  private[graft] def radiusSearchFrames(e: DataFrame, q: DataFrame, tau: Double): DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
     val norm =
       "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
@@ -179,16 +186,14 @@ object Similarity {
       .withColumn("md", expr("sqrt(graft_l2_sq(v, cv))"))
       .groupBy("cid").agg(max(col("md")).as("crad"))
     val r = math.sqrt(2.0 - 2.0 * tau)
-    val survive = en.where(col("vec_id") < qBelow)
-      .select(col("vec_id").as("q_id"), col("v").as("qvn"))
+    val survive = q.select(col("vec_id").as("q_id"), expr(norm).as("qvn"))
       .crossJoin(broadcast(cents.join(cells, Seq("cid"))))
       .where(expr("sqrt(graft_l2_sq(qvn, cv))") <= lit(r) + col("crad") + lit(1e-5))
       .select(col("q_id"), col("cid"))
     assigned.select(col("vec_id"), col("cid"))
       .join(broadcast(survive), Seq("cid"))
       .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
-      .join(broadcast(e.where(col("vec_id") < qBelow)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+      .join(broadcast(q.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
       .where(col("cos") >= tau)

@@ -172,6 +172,31 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** CCNet tercile bucketing over [[bigramLmNll]] scores
+    * (text_perplexity_buckets / [[graft.pipeline.CorpusOps
+    * .perplexityBuckets]]) — see the entry comment for why the
+    * boundaries come from running counts over the DISTINCT-VALUE frame
+    * instead of a corpus-wide ntile window. */
+  private[graft] def perplexityBuckets(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nll = bigramLmNll(docs, idCol, textCol)
+    val cnts = nll.groupBy("nll").agg(count(lit(1)).as("cnt"))
+    val run = cnts
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val bounds = run.agg(
+      min(when(col("cum") * 3 >= col("n"), col("nll"))).as("b1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("nll"))).as("b2"))
+    nll.crossJoin(broadcast(bounds))
+      .withColumn("bucket", when(col("nll") <= col("b1"), "head")
+        .when(col("nll") <= col("b2"), "middle").otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
+      .orderBy("bucket")
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- language ID: argmax of stopword hits, deterministic tie-break ----
@@ -458,24 +483,7 @@ object TextOps {
     // what approx_percentile's sketch replaces; everything else here
     // is aggregates and a broadcast.
     "text_perplexity_buckets" -> Q(
-      (s, dir) => {
-        val nll = bigramLmNll(t(s, dir, "documents"))
-        val cnts = nll.groupBy("nll").agg(count(lit(1)).as("cnt"))
-        val run = cnts
-          .withColumn("cum", sum(col("cnt")).over(Window.orderBy("nll")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
-        val bounds = run.agg(
-          min(when(col("cum") * 3 >= col("n"), col("nll"))).as("b1"),
-          min(when(col("cum") * 3 >= col("n") * 2, col("nll"))).as("b2"))
-        nll.crossJoin(broadcast(bounds))
-          .withColumn("bucket", when(col("nll") <= col("b1"), "head")
-            .when(col("nll") <= col("b2"), "middle").otherwise("tail"))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n_docs"),
-            min(col("nll")).as("min_nll"), max(col("nll")).as("max_nll"))
-          .orderBy("bucket")
-      },
+      (s, dir) => perplexityBuckets(t(s, dir, "documents")),
       Some("""WITH base AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents
           WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),

@@ -315,6 +315,65 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(clean.select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
   }
 
+  test("capPerKey keeps the per-key best k, equals the single-window rank, keeps all columns") {
+    import spark.implicits._
+    val df = (0 until 40).map { i =>
+      (i.toLong, s"d${i % 3}", (i * 7) % 40 + 100, s"x$i")
+    }.toDF("uid", "domain", "sz", "payload")
+    val kept = graft.pipeline.CorpusOps.capPerKey(df, "domain", "sz", k = 4,
+      idCol = "uid", salts = 8)
+    assert(kept.columns.toSeq == Seq("uid", "domain", "sz", "payload"))
+    // oracle: plain single-window rank
+    val expect = df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._1)).take(4)
+      }.map(_._1).toSet
+    assert(kept.collect().map(_.getLong(0)).toSet == expect)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.capPerKey(df, "domain", "sz", k = 0, idCol = "uid")
+    }
+  }
+
+  test("dsirWeights: target-like docs score positive, off-target negative, renamed columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "good", "the quick brown fox naps under the warm sun today"),
+      (3L, "bad", "zzz qqq www eee rrr ttt yyy uuu iii ooo"),
+      (4L, "bad", "zzz qqq www eee rrr ttt yyy uuu iii ooo"))
+      .toDF("did", "kind", "body")
+    val w = graft.pipeline.CorpusOps.dsirWeights(docs,
+        org.apache.spark.sql.functions.col("kind") === "good", "did", "body")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > 0 && w(2L) > 0, s"target docs must score positive: $w")
+    assert(w(3L) < 0 && w(4L) < 0, s"off-target docs must score negative: $w")
+    assert(w(3L) == w(4L), "identical docs must score identically")
+  }
+
+  test("perplexityBuckets: every scored doc lands in exactly one tercile") {
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 to i % 7).map(j => s"w${(i + j) % 5}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val scored = docs.filter(org.apache.spark.sql.functions.expr(
+      "size(filter(split(text, ' '), x -> x != '')) >= 2")).count()
+    val b = graft.pipeline.CorpusOps.perplexityBuckets(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(b.values.sum == scored, s"bucket mass ${b.values.sum} != scored docs $scored")
+    assert(b.getOrElse("head", 0L) > 0)
+  }
+
+  test("subtractIntervals survives renamed-free frames and counts fragments") {
+    import spark.implicits._
+    val a = Seq((0L, 0L, 100L)).toDF("chrom", "s", "e")
+    val b = Seq((0L, 20L, 30L), (0L, 50L, 60L)).toDF("chrom", "s", "e")
+    val r = graft.pipeline.CorpusOps.subtractIntervals(a, b).collect()
+    assert(r.length == 1)
+    // [0,100) minus [20,30)+[50,60) = [0,20)+[30,50)+[60,100): 80 bp, 3 fragments
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == (100L, 80L, 3L))
+  }
+
   test("mergeIntervals merges touching intervals, bucketed or not") {
     import spark.implicits._
     val iv = Seq((0L, 10L, 20L), (0L, 20L, 30L), (0L, 45L, 50L), (1L, 5L, 6L))

@@ -138,7 +138,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("rel_interval_closest / jaccard / complement: the sweeps plan NO join of any kind") {
     for (name <- Seq("rel_interval_closest", "rel_interval_jaccard",
-        "rel_interval_complement")) {
+        "rel_interval_complement", "rel_interval_subtract", "rel_event_funnel")) {
       val plan = finalPlan(SparkEntry.queries(name)(spark, SF))
       assert(!plan.contains("Join"),
         s"$name sweep degenerated into a join:\n${plan.take(4000)}")
@@ -155,6 +155,35 @@ class PlanQualitySpec extends AnyFunSuite {
     // sort — scoring itself must ride a broadcast
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast query codes:\n${plan.take(4000)}")
+  }
+
+  test("ann_radius_prune: candidate fan-out is keyed — no corpus pair space") {
+    val plan = finalPlan(SparkEntry.queries("ann_radius_prune")(spark, SF))
+    // the exactness proof allows pruning, never an all-pairs scan: the
+    // corpus may only meet queries through the cid equi-join, with the
+    // query/centroid/bound frames broadcast. The only nested-loop
+    // shapes allowed are the ONE-ROW packed broadcasts (centroid list
+    // fanned onto the corpus — assignTo's map-only kernel), which plan
+    // as BuildRight Cross BNLJs; a corpus-vs-query nested loop would
+    // surface as an Inner/condition BNLJ or a CartesianProduct.
+    assert(!plan.contains("CartesianProduct"),
+      s"radius search degenerated into a pair scan:\n${plan.take(4000)}")
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("Cross")),
+      s"non-packed nested loop in the radius plan:\n${bnlj.mkString("\n")}")
+    assert(plan.contains("BroadcastExchange"),
+      s"expected broadcast query/bound frames:\n${plan.take(2000)}")
+  }
+
+  test("pipe_source_cap: per-domain cap runs as the two-level salted top-K") {
+    val plan = finalPlan(SparkEntry.queries("pipe_source_cap")(spark, SF))
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 2,
+      s"expected salted + final rank windows, found $windows:\n${plan.take(4000)}")
+    // level 1 must partition by (source, salt) — a single-key window
+    // would reintroduce the one-task-per-domain sort
+    assert(plan.contains("(doc_id#") || plan.contains("% 8"),
+      s"first window lost its salt key:\n${plan.take(4000)}")
   }
 
   /** The AQE final plan only — executedPlan.toString repeats operators

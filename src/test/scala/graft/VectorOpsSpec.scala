@@ -45,6 +45,34 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("radiusSearch equals the brute-force threshold set under renamed columns") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(5)
+    val data = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(6)(rnd.nextGaussian().toFloat))
+    }
+    val corpus = data.toDF("item", "feat")
+    val queries = data.take(6).toDF("item", "feat")
+    val got = graft.pipeline.VectorOps.radiusSearch(corpus, queries, tau = 0.3,
+        idCol = "item", vecCol = "feat")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = corpus.selectExpr("item AS vec_id", "transform(feat, x -> cast(x as double)) AS v")
+    val q = e.where($"vec_id" < 6).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val brute = e.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .where($"vec_id" =!= $"q_id")
+      .selectExpr("q_id", "vec_id", "round(graft_cosine_sim(qv, v), 6) AS cos")
+      .where($"cos" >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"radiusSearch diverged (missing ${brute.diff(got).size}, " +
+      s"extra ${got.diff(brute).size})")
+    assert(brute.nonEmpty, "degenerate test: no qualifying pairs")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.VectorOps.radiusSearch(corpus, queries, tau = 1.5,
+        idCol = "item", vecCol = "feat")
+    }
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self, respects k") {
     val out = graft.pipeline.VectorOps.bruteForceTopK(
       vecsDf, vecsDf.where("id = 10"), k = 2, idCol = "id", vecCol = "emb")
