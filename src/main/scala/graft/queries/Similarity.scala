@@ -181,7 +181,10 @@ object Similarity {
     val norm =
       "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
     val en = e.select(col("vec_id"), expr(norm).as("v"))
-    val (assigned, cents) = kmeansAssigned(en)
+    val (assigned0, cents) = kmeansAssigned(en)
+    // two consumers (cell bounds + the candidate join) — materialize
+    // the assignment once instead of re-running it per consumer
+    val assigned = Q.barrier(assigned0)
     val cells = assigned.join(broadcast(cents), Seq("cid"))
       .withColumn("md", expr("sqrt(graft_l2_sq(v, cv))"))
       .groupBy("cid").agg(max(col("md")).as("crad"))
@@ -200,7 +203,75 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
+  /** EXACT cosine similarity SELF-join (every unordered pair with
+    * round(cos, 6) >= tau) with CELL-PAIR pruning — the whole-corpus
+    * sibling of [[radiusSearchFrames]] (whose query-broadcast design
+    * assumes a small query set; with queries == corpus the survive
+    * frame would be corpus-sized). Here pruning happens between CELLS:
+    * pair (c1, c2) survives iff dist(cv1, cv2) <= r + crad1 + crad2 +
+    * eps — by two triangle hops, a qualifying (a in c1, b in c2) pair
+    * forces exactly that, so dropping a cell pair never drops an
+    * answer. The k² cell-pair frame is tiny and broadcasts; members
+    * fan in through TWO keyed equi-joins on cid (corpus never
+    * self-joins raw); the exact verify runs only inside surviving cell
+    * pairs — Σ over surviving (c1,c2) of |c1|·|c2| candidates instead
+    * of n². Self-pairs and (b,a) mirrors are excluded by id order.
+    * Shared by dedup_radius_pairs; losslessness property-checked in
+    * RadiusSearchSpec. */
+  private[graft] def radiusSelfPairs(e: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(e.sparkSession)
+    val norm =
+      "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
+    val en = e.select(col("vec_id"), expr(norm).as("v"))
+    val (assigned0, cents) = kmeansAssigned(en)
+    // three consumers (cell stats + both member sides) — materialize
+    // the assignment once instead of re-running Lloyd per consumer
+    val assigned = Q.barrier(assigned0)
+    val cells = assigned.join(broadcast(cents), Seq("cid"))
+      .withColumn("md", expr("sqrt(graft_l2_sq(v, cv))"))
+      .groupBy("cid").agg(max(col("md")).as("crad"))
+      .join(cents, Seq("cid"))
+    val r = math.sqrt(2.0 - 2.0 * tau)
+    // BOTH orientations survive (no c1 <= c2 cut): members fan in as
+    // a -> c1, b -> c2 only, so the (5,2) pair must exist alongside
+    // (2,5) or an a-in-5, b-in-2 answer would silently vanish; the
+    // unordered-pair dedup happens at the id level (id_a < id_b)
+    val cellPairs = cells.select(col("cid").as("c1"), col("crad").as("r1"), col("cv").as("cv1"))
+      .crossJoin(broadcast(
+        cells.select(col("cid").as("c2"), col("crad").as("r2"), col("cv").as("cv2"))))
+      .where(expr("sqrt(graft_l2_sq(cv1, cv2))") <= lit(r) + col("r1") + col("r2") + lit(1e-5))
+      .select(col("c1"), col("c2"))
+    val orig = assigned.select(col("vec_id"), col("cid"))
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+    val a = orig.select(col("vec_id").as("id_a"), col("cid").as("c1"), col("v").as("qv"))
+    val b = orig.select(col("vec_id").as("id_b"), col("cid").as("c2"), col("v").as("v"))
+    a.join(broadcast(cellPairs), Seq("c1"))
+      .join(b, Seq("c2"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr(CosSql).as("cos"))
+      .where(col("cos") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
   val qs: Map[String, Q] = Map(
+
+    // ---- exact cosine self-join: cell-pair pruned, whole corpus ----
+    // dedup_embedding_cosine (Dedup.scala) is the id-bounded exact
+    // baseline (vec_id < 300, documented as such); this is the
+    // WHOLE-CORPUS exact pair enumeration, pruned between cells so no
+    // all-pairs path exists, and still hash-matching the brute-force
+    // oracle (see radiusSelfPairs above).
+    "dedup_radius_pairs" -> Q(
+      (s, dir) => radiusSelfPairs(
+        vecs(s, dir).select(col("vec_id"), col("v")), tau = 0.3),
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6) >= 0.3
+        ORDER BY id_a, id_b""")),
 
     // ---- exact radius search: lossless triangle-inequality pruning ----
     // Range/radius queries ("everything within cosine 0.4") are the

@@ -175,6 +175,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast query/bound frames:\n${plan.take(2000)}")
   }
 
+  test("dedup_radius_pairs: members fan in through keyed cid joins, never a raw corpus self-join") {
+    val plan = finalPlan(SparkEntry.queries("dedup_radius_pairs")(spark, SF))
+    assert(!plan.contains("CartesianProduct"),
+      s"self-pairs degenerated into all-pairs:\n${plan.take(4000)}")
+    // nested loops allowed only for the one-row packed centroid fan
+    // (assignTo) and the k x k cell-pair crossJoin — both Cross shapes
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"non-packed nested loop in the self-pairs plan:\n${bnlj.mkString("\n")}")
+  }
+
   test("pipe_source_cap: per-domain cap runs as the two-level salted top-K") {
     val plan = finalPlan(SparkEntry.queries("pipe_source_cap")(spark, SF))
     val windows = "\\bWindow\\b".r.findAllIn(plan).size

@@ -48,4 +48,34 @@ class RadiusSearchSpec extends AnyFunSuite {
       assert(brute.nonEmpty, s"trial $trial tau=$tau: degenerate test — no pairs")
     }
   }
+
+  test("cell-pair-pruned self-join equals all-pairs brute force") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(23)
+    for ((tau, trial) <- Seq(0.2, 0.5).zipWithIndex) {
+      val dim = 6
+      val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian() * 2))
+      val data = (0 until 120).map { i =>
+        val base =
+          if (i % 4 == 0) Array.fill(dim)(rnd.nextGaussian())
+          else centers(rnd.nextInt(5)).map(_ + rnd.nextGaussian() * 0.25)
+        (i.toLong, base.toSeq)
+      }
+      val e = data.toDF("vec_id", "v")
+      val got = graft.queries.Similarity.radiusSelfPairs(e, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("qv"))
+      val brute = e.select(col("vec_id").as("id_b"), col("v").as("v"))
+        .crossJoin(a)
+        .where(col("id_a") < col("id_b"))
+        .selectExpr("id_a", "id_b", "round(graft_cosine_sim(qv, v), 6) AS cos")
+        .where(col("cos") >= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute,
+        s"trial $trial tau=$tau: self-pairs diverged (missing ${brute.diff(got).size}, " +
+          s"extra ${got.diff(brute).size})")
+      assert(brute.nonEmpty, s"trial $trial tau=$tau: degenerate test — no pairs")
+    }
+  }
 }
