@@ -893,6 +893,113 @@ object PipelineOps {
           CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
           CAST(coalesce(score_raw, 0) AS BIGINT) AS score_raw,
           coalesce(score_raw, 0) >= 0 AS keep
-        FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id"""))
+        FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- mixture APPLICATION: realize a target token mixture in one pass ----
+    // pipe_mixture_weights computes what the shares ARE; this entry
+    // enforces a target — equal token mass per source, capped by the
+    // scarcest source (the standard down-sample-to-uniform recipe, the
+    // no-upsampling half of DoReMi-style reweighting). Per-source
+    // acceptance rate = floor(1e6 * min_src_tokens / src_tokens)
+    // micro-units — INTEGER division, no float anywhere — applied as a
+    // deterministic md5(doc_id) bucket test, so the selection is
+    // retry-stable, needs no sort, no shuffle of the corpus (the rates
+    // table is |sources| rows, broadcast), and resharding the input
+    // cannot change which documents survive. Expected kept mass per
+    // source = min_src_tokens; the audit columns report the realized
+    // counts so drift from token-vs-doc granularity is visible.
+    "pipe_mixture_apply" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        val rates = d.groupBy("source")
+          .agg(sum(col("n_tokens")).as("src_tokens"))
+          .withColumn("min_tok",
+            min(col("src_tokens")).over(Window.partitionBy()))
+          .select(col("source"), col("src_tokens"),
+            expr("(1000000L * min_tok) div src_tokens").as("rate_micro"))
+        d.join(broadcast(rates), "source")
+          .withColumn("bucket",
+            expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000"))
+          .withColumn("kept", col("bucket") < col("rate_micro"))
+          .groupBy("source")
+          .agg(max(col("src_tokens")).as("src_tokens"),
+            max(col("rate_micro")).as("rate_micro"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+            sum(when(col("kept"), col("doc_id"))).as("kept_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+          FROM documents),
+        r AS (SELECT source, sum(n_tokens) AS src_tokens,
+            min(sum(n_tokens)) OVER () AS min_tok
+          FROM d GROUP BY source),
+        rr AS (SELECT source, src_tokens,
+            (1000000 * min_tok) // src_tokens AS rate_micro FROM r),
+        k AS (SELECT d.*, rr.src_tokens, rr.rate_micro,
+            d.bucket < rr.rate_micro AS kept
+          FROM d JOIN rr USING (source))
+        SELECT source, CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+          CAST(max(rate_micro) AS BIGINT) AS rate_micro,
+          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+          CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_checksum
+        FROM k GROUP BY source ORDER BY source""")),
+
+    // ---- corpus snapshot diff: the incremental-curation audit ----
+    // Two corpus versions (derived deterministically from the same
+    // table: v1 drops doc_id%7==0, v2 drops doc_id%5==0 and rewrites
+    // doc_id%11==0 to uppercase — the adds/drops/edits a recrawl
+    // produces) are classified added / removed / changed / unchanged by
+    // a doc_id full outer join comparing content hashes. At 100 TB this
+    // is THE cheap shape for corpus versioning: one keyed join on the
+    // primary id, md5 computed map-side, no content shuffled — versus
+    // content-hash joins which move the text. Output is the per-class
+    // audit (counts, token mass, id checksum) a pipeline diffs against
+    // expectations before promoting a snapshot.
+    "pipe_corpus_diff" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val v1 = d.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h1"),
+            size(split(col("text"), " ")).cast("long").as("tok1"))
+        val v2 = d.where(col("doc_id") % 5 =!= 0)
+          .withColumn("text2",
+            when(col("doc_id") % 11 === 0, upper(col("text"))).otherwise(col("text")))
+          .select(col("doc_id"), md5(col("text2").cast("binary")).as("h2"),
+            size(split(col("text2"), " ")).cast("long").as("tok2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("class",
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") =!= col("h2"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("tok2"), col("tok1"))).as("tok_mass"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("class")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(text) AS h1,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS tok1
+          FROM documents WHERE doc_id % 7 <> 0),
+        v2 AS (SELECT doc_id,
+            md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h2,
+            CAST(len(string_split(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END, ' ')) AS BIGINT) AS tok2
+          FROM documents WHERE doc_id % 5 <> 0),
+        j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2, tok1, tok2
+          FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id),
+        c AS (SELECT doc_id,
+            CASE WHEN h1 IS NULL THEN 'added'
+                 WHEN h2 IS NULL THEN 'removed'
+                 WHEN h1 <> h2 THEN 'changed'
+                 ELSE 'unchanged' END AS class,
+            coalesce(tok2, tok1) AS tok FROM j)
+        SELECT class, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_mass,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM c GROUP BY class ORDER BY class"""))
   )
 }

@@ -737,6 +737,167 @@ object Similarity {
               WHERE l.q_id = t.q_id AND l.vec_id = t.vec_id) THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf i
               WHERE i.q_id = t.q_id AND i.vec_id = t.vec_id) THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits
-        FROM truth t GROUP BY t.q_id ORDER BY t.q_id"""))
+        FROM truth t GROUP BY t.q_id ORDER BY t.q_id""")),
+
+    // ---- hybrid retrieval: BM25 + dense-vector RRF fusion ----
+    // The production RAG/search shape: the same corpus is indexed both
+    // lexically (BM25 over tokens) and densely (embedding cosine), each
+    // channel produces a per-query top-20 rank list, and the final
+    // answer fuses the two with Reciprocal Rank Fusion
+    // (Cormack/Clarke/Buettcher SIGIR'09): score(d) = sum over channels
+    // of 1/(60 + rank_channel(d)). RRF needs no score calibration
+    // between channels — only ranks — which is exactly why it is the
+    // default fusion in hybrid search engines.
+    //
+    // Scale: each channel is the already-gated shape (BM25 =
+    // filter-before-explode + keyed aggs; dense = broadcast query fan
+    // over a partitioned corpus — NO corpus shuffle), and the fusion
+    // joins two |queries| x 20 rank lists — trivially small at any
+    // corpus size. Query terms collect to the driver (bounded by the
+    // query set, the same driver-scalar class as BM25's corpus stats).
+    // Determinism: ranks are integers with explicit (score, id)
+    // tie-breaks; RRF contributions round to integer micro-points per
+    // channel and sum as BIGINT, so the fused order is engine-exact.
+    "text_hybrid_rrf_topk" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val qids = Seq(1L, 2L, 3L)
+        // query text = first 6 distinct tokens of each query doc
+        val qTerms = docs.where(col("doc_id").isin(qids: _*))
+          .select(col("doc_id").as("q_id"),
+            explode(expr("array_distinct(slice(split(text, ' '), 1, 6))")).as("term"))
+        val allTerms = qTerms.select("term").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        // --- lexical channel: per-query BM25 (k1=1.2, b=0.75) ---
+        val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("dl", size(col("w")))
+        val st = base.agg(count(lit(1)).as("n"),
+          sum(col("dl").cast("long")).as("tot")).head
+        val (n, tot) = (st.getLong(0), st.getLong(1))
+        val tf = base
+          .where(arrays_overlap(col("w"), typedLit(allTerms)))
+          .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+          .join(broadcast(qTerms), "term")
+          .where(col("doc_id") =!= col("q_id"))
+          .groupBy("q_id", "doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        // df per (query, term) over the self-excluded candidate set
+        val dfreq = tf.groupBy("q_id", "term").agg(count(lit(1)).as("df"))
+        val bmMicro = tf.join(broadcast(dfreq), Seq("q_id", "term"))
+          .withColumn("c", expr(
+            s"cast(round(1e6 * ln(($n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / " +
+            s"(tf + 1.2 * (0.25 + 0.75 * (cast(dl as bigint) * $n) / cast($tot as double))), 0) as bigint)"))
+          .groupBy("q_id", "doc_id").agg(sum(col("c")).as("micro"))
+        val wBm = Window.partitionBy(col("q_id"))
+          .orderBy(col("micro").desc, col("doc_id").asc)
+        val bm = bmMicro.withColumn("r_bm", row_number().over(wBm))
+          .where(col("r_bm") <= 20)
+          .select(col("q_id"), col("doc_id").as("id"), col("r_bm"))
+        // --- dense channel: brute-force cosine top-20 ---
+        val qVecs = e.where(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wV = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val vv = e.crossJoin(broadcast(qVecs))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+          .withColumn("r_vec", row_number().over(wV))
+          .where(col("r_vec") <= 20)
+          .select(col("q_id"), col("vec_id").as("id"), col("r_vec"))
+        // --- RRF fusion: micro-point reciprocal ranks, k=60 ---
+        val wF = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_micro").desc, col("id").asc)
+        bm.join(vv, Seq("q_id", "id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("cast(round(1e6 / (60 + r_bm), 0) as bigint)"), lit(0L)) +
+              coalesce(expr("cast(round(1e6 / (60 + r_vec), 0) as bigint)"), lit(0L)))
+          .withColumn("rn", row_number().over(wF))
+          .where(col("rn") <= 10)
+          .select(col("q_id"), col("id"), col("r_bm"), col("r_vec"),
+            col("rrf_micro"), col("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          qt AS (SELECT doc_id AS q_id, unnest(list_distinct(w[1:6])) AS term
+                 FROM d WHERE doc_id IN (1, 2, 3)),
+          dd AS (SELECT doc_id, len(w) AS dl, w FROM d),
+          stats AS (SELECT count(*) AS n, sum(len(w)) AS tot FROM d),
+          tfc AS (SELECT q_id, doc_id, dl, term, count(*) AS tf
+                  FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd) tt
+                  JOIN qt USING (term)
+                  WHERE doc_id <> q_id
+                  GROUP BY q_id, doc_id, dl, term),
+          dfc AS (SELECT q_id, term, count(*) AS df FROM tfc GROUP BY q_id, term),
+          bmm AS (SELECT q_id, doc_id,
+              sum(cast(round(1e6 * ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+                (tf + 1.2 * (0.25 + 0.75 * (dl * n) / cast(tot as double))), 0) as bigint)) AS micro
+            FROM tfc JOIN dfc USING (q_id, term) CROSS JOIN stats
+            GROUP BY q_id, doc_id),
+          bm AS (SELECT q_id, doc_id AS id, r_bm FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY micro DESC, doc_id) AS r_bm
+              FROM bmm) WHERE r_bm <= 20),
+          e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+          cosd AS (SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM e CROSS JOIN qv WHERE vec_id <> q_id),
+          vv AS (SELECT q_id, vec_id AS id, r_vec FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS r_vec
+              FROM cosd) WHERE r_vec <= 20),
+          fused AS (SELECT coalesce(bm.q_id, vv.q_id) AS q_id,
+              coalesce(bm.id, vv.id) AS id, r_bm, r_vec,
+              coalesce(CAST(round(1e6 / (60 + r_bm), 0) AS BIGINT), 0)
+                + coalesce(CAST(round(1e6 / (60 + r_vec), 0) AS BIGINT), 0) AS rrf_micro
+            FROM bm FULL JOIN vv ON bm.q_id = vv.q_id AND bm.id = vv.id)
+        SELECT q_id, id, r_bm, r_vec, rrf_micro, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, id) AS rn
+            FROM fused) WHERE rn <= 10 ORDER BY q_id, rn""")),
+
+    // ---- embedding-space outlier report: least-prototypical per label ----
+    // The prototypicality curation signal (SemDeDup's complement, the
+    // SSL-prototypes filter of Sorscher et al. '22): score every vector
+    // by cosine to its OWN label centroid and surface the bottom-5 per
+    // label — candidates for relabeling or pruning. Centroids round to
+    // 6 dp per dimension BEFORE any downstream math, so both engines
+    // walk identical numbers from there; the per-vector dot folds in
+    // fixed dimension order. Scale: the centroid table is |labels| x
+    // dim (tiny, broadcast); the corpus is touched once, map-side, and
+    // the only shuffle is the per-label top-k window over label-keyed
+    // partitions.
+    "ann_centroid_outliers" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir).withColumn("i", expr("sequence(0, size(v) - 1)"))
+        val ex = e.select(col("vec_id"), col("label"),
+          explode(arrays_zip(col("i"), col("v"))).as("z"))
+          .select(col("vec_id"), col("label"),
+            col("z.i").as("dim"), col("z.v").as("x"))
+        val centroids = ex.groupBy("label", "dim")
+          .agg(round(avg(col("x")), 6).as("m"))
+        val scored = ex.join(broadcast(centroids), Seq("label", "dim"))
+          .groupBy("vec_id", "label")
+          .agg(sum(expr("x * m")).as("dot"),
+            sum(expr("x * x")).as("v2"),
+            sum(expr("m * m")).as("c2"))
+          .select(col("vec_id"), col("label"),
+            expr("round(dot / (sqrt(v2) * sqrt(c2)), 6)").as("cos"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("cos").asc, col("vec_id").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .orderBy("label", "rn")
+      },
+      Some("""WITH unnested AS (
+          SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, range(1, 65) AS t(i)),
+        centroid AS (SELECT label, dim, round(avg(x), 6) AS m
+          FROM unnested GROUP BY label, dim),
+        scored AS (SELECT vec_id, label,
+            round(sum(x * m) / (sqrt(sum(x * x)) * sqrt(sum(m * m))), 6) AS cos
+          FROM unnested JOIN centroid USING (label, dim)
+          GROUP BY vec_id, label)
+        SELECT vec_id, label, cos, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rn
+            FROM scored) WHERE rn <= 5 ORDER BY label, rn"""))
   )
 }
