@@ -61,6 +61,25 @@ object Q {
           "extend Q.normTs with the new physical type")
     }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the caller's value after. Stateful streaming queries
+    * create one state store per shuffle partition per stateful operator
+    * (x2 for join sides), and EVERY micro-batch pays a task + store
+    * load/commit round over all of them — so for a stream the partition
+    * count must track state volume, not the session's batch default.
+    * The in-gate streams hold at most a few hundred thousand state
+    * rows; 4 partitions strips pure store-commit overhead while leaving
+    * real work parallel (A/B at sf0.1: 32 -> 8 -> 4 partitions took the
+    * five stateful entries 29.1 -> 14.3 -> 12.8 s, BENCH_NOTES). A production deployment sizes this from target
+    * state bytes per partition BEFORE first start — state partitioning
+    * is locked into the checkpoint, so it must be picked for the
+    * steady-state load, not the first micro-batch's. */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Materialize-once + lineage-truncation barrier. Reliable checkpoint
     * when the session has a checkpoint dir configured (survives executor
     * loss / dynamic-allocation decommission — the fault-tolerance

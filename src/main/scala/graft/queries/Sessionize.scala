@@ -201,13 +201,15 @@ object Sessionize {
         // information-theoretic floor the batch oracle's running-sum
         // numbering implies. Shared with StatefulStreamingSpec's
         // restart-recovery case.
-        val sessions = stream.groupByKey(_.user_id)
-          .flatMapGroupsWithState[OpenSession, Session](
-            OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn(gapUs))
+        Q.withShufflePartitions(s, 4) {
+          val sessions = stream.groupByKey(_.user_id)
+            .flatMapGroupsWithState[OpenSession, Session](
+              OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn(gapUs))
 
-        val q = sessions.toDF().writeStream.outputMode("append")
-          .format("memory").queryName(tbl).start()
-        try q.processAllAvailable() finally q.stop()
+          val q = sessions.toDF().writeStream.outputMode("append")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(tbl)
           .where(col("user_id") >= 0) // sentinel rows never sessionize
           .select(col("user_id"), col("sid"),

@@ -64,19 +64,21 @@ object StreamingQ {
           stageEvents(s, dir, Stage.tempDir("graft-stream-norm"), d,
             "events.parquet", 0)
         }
-        val stream = s.readStream.schema(stagedEventsSchema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(staged.toString)
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
-              .cast(DoubleType).as("sum_value"))
-          .select(
-            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-            col("event_type"), col("n"), col("sum_value"))
-        val q = stream.writeStream.outputMode("complete")
-          .format("memory").queryName(tbl).start()
-        try q.processAllAvailable() finally q.stop()
+        Q.withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(stagedEventsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+                .cast(DoubleType).as("sum_value"))
+            .select(
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"), col("n"), col("sum_value"))
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(tbl).orderBy("hour", "event_type")
       },
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -130,21 +132,23 @@ object StreamingQ {
               scratch, d, s"sentinel$i.parquet", i + 1)
           }
         }
-        val stream = s.readStream.schema(stagedEventsSchema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(staged.toString)
-          .withWatermark("ts", "2 hours")
-          .dropDuplicatesWithinWatermark("event_id")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
-              .cast(DoubleType).as("sum_value"))
-          .select(
-            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-            col("event_type"), col("n"), col("sum_value"))
-        val q = stream.writeStream.outputMode("append")
-          .format("memory").queryName(tbl).start()
-        try q.processAllAvailable() finally q.stop()
+        Q.withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(stagedEventsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark("event_id")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+                .cast(DoubleType).as("sum_value"))
+            .select(
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"), col("n"), col("sum_value"))
+          val q = stream.writeStream.outputMode("append")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(tbl).where(col("event_type") =!= "sentinel")
           .orderBy("hour", "event_type")
       },
@@ -169,20 +173,22 @@ object StreamingQ {
               scratch, d, s"sentinel$i.parquet", i)
           }
         }
-        val stream = s.readStream.schema(stagedEventsSchema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(staged.toString)
-          .withWatermark("ts", "2 hours")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
-              .cast(DoubleType).as("sum_value"))
-          .select(
-            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-            col("event_type"), col("n"), col("sum_value"))
-        val q = stream.writeStream.outputMode("append")
-          .format("memory").queryName(tbl).start()
-        try q.processAllAvailable() finally q.stop()
+        Q.withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(stagedEventsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)
+            .withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+                .cast(DoubleType).as("sum_value"))
+            .select(
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"), col("n"), col("sum_value"))
+          val q = stream.writeStream.outputMode("append")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(tbl).where(col("event_type") =!= "sentinel")
           .orderBy("hour", "event_type")
       },
@@ -280,13 +286,15 @@ object StreamingQ {
           .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
             col("ts").as(s"${p}_ts"))
           .withWatermark(s"${p}_ts", "2 hours")
-        val joined = side("click", "c").join(side("view", "v"),
-          col("c_user") === col("v_user") &&
-            col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
-            col("v_ts") <= col("c_ts"))
-        val q = joined.writeStream.outputMode("append")
-          .format("memory").queryName(tbl).start()
-        try q.processAllAvailable() finally q.stop()
+        Q.withShufflePartitions(s, 4) {
+          val joined = side("click", "c").join(side("view", "v"),
+            col("c_user") === col("v_user") &&
+              col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+              col("v_ts") <= col("c_ts"))
+          val q = joined.writeStream.outputMode("append")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(tbl)
           .groupBy((col("c_user") % 16).as("ubucket"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -338,14 +346,16 @@ object StreamingQ {
           .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
             col("ts").as(s"${p}_ts"))
           .withWatermark(s"${p}_ts", "2 hours")
-        val joined = side("click", "c").join(side("view", "v"),
-          col("c_user") === col("v_user") &&
-            col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
-            col("v_ts") <= col("c_ts"),
-          "left_outer")
-        val q = joined.writeStream.outputMode("append")
-          .format("memory").queryName(tbl).start()
-        try q.processAllAvailable() finally q.stop()
+        Q.withShufflePartitions(s, 4) {
+          val joined = side("click", "c").join(side("view", "v"),
+            col("c_user") === col("v_user") &&
+              col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+              col("v_ts") <= col("c_ts"),
+            "left_outer")
+          val q = joined.writeStream.outputMode("append")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(tbl).where(col("c_user") >= 0)
           .groupBy((col("c_user") % 16).as("ubucket"))
           .agg(count(lit(1)).as("n_rows"),
