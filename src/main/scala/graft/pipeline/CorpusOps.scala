@@ -71,6 +71,23 @@ object CorpusOps {
         col(textCol).as("text")), minPct)
   }
 
+  /** Edit-distance-verified near-dup pairs — the exact-confirmation
+    * stage of a fuzzy-dedup pipeline. Shingle-posting candidates are
+    * verified by `100 * levenshtein(a, b) <= maxPct * max(len)`,
+    * integer-exact; the length-gap prune and the banded (3-arg)
+    * Levenshtein keep the quadratic DP off pairs that cannot qualify
+    * without changing the kept set. Output:
+    * (id_a, id_b, dist, len_max), id_a < id_b. */
+  def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", maxPct: Int = 20): DataFrame = {
+    requireIntegralId(docs, idCol, "editDistancePairs")
+    require(maxPct >= 1 && maxPct <= 100,
+      s"CorpusOps.editDistancePairs: maxPct ($maxPct) must be in [1, 100]")
+    graft.queries.Dedup.editVerifiedPairsOf(
+      docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")), maxPct)
+  }
+
   /** Winnowed-fingerprint pairs (SIGMOD'03 winnowing): docs sharing >=
     * `minShared` fingerprints over word `gramWidth`-grams with window
     * `window`. Unlike [[nearDupPairs]] (whole-doc similarity with a

@@ -99,6 +99,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistancePairs verifies candidates with a banded exact metric") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1, base),                       // identical pair -> dist 0
+      (2, base),
+      (3, base + " extra"),            // 6 edits over len 65 -> under 20%
+      // shares shingles with base but diverges by far more than 20%
+      (4, base + " lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+        "omega one two three four five six seven eight nine ten eleven"),
+      (5, "completely different words entirely here now then forever maybe so"))
+      .toDF("my_id", "body")
+    val got = graft.pipeline.CorpusOps.editDistancePairs(docs, "my_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 6), (2L, 3L, 6)))
+    // the banded (3-arg) path must agree with the plain metric on a
+    // kept pair: dist 6 is the true levenshtein, not a band artifact
+    val plain = docs.as("a").crossJoin(docs.as("b"))
+      .selectExpr("a.my_id", "b.my_id", "levenshtein(a.body, b.body) AS d")
+      .where("a.my_id = 1 AND b.my_id = 3").collect().head.getInt(2)
+    assert(plain == 6)
+    // tighter budget drops the 6-edit pair, keeps the exact dup
+    val tight = graft.pipeline.CorpusOps.editDistancePairs(docs, "my_id", "body", maxPct = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.editDistancePairs(docs, "my_id", "body", maxPct = 0)
+    }
+  }
+
   test("bm25TopK and qualityScore tolerate null text") {
     import spark.implicits._
     val docs = Seq((1, Option("cat dog")), (2, Option.empty[String]))
