@@ -88,6 +88,20 @@ object CorpusOps {
         col(textCol).as("text")), maxPct)
   }
 
+  /** Zipf/Heaps corpus profile: least-squares fit of
+    * ln(freq) ~ a + slope * ln(rank) over the `topK` most frequent
+    * tokens (a healthy natural corpus sits near slope -1; boilerplate
+    * or templated spam pushes it away), plus vocab / total-token
+    * counts. One row: (n_terms, vocab, total_tokens, sx, sy, sxy, sxx,
+    * zipf_slope). */
+  def zipfProfile(docs: DataFrame, textCol: String = "text",
+                  topK: Int = 1000): DataFrame = {
+    require(docs.columns.contains(textCol),
+      s"CorpusOps.zipfProfile: no column '$textCol'")
+    require(topK >= 2, s"CorpusOps.zipfProfile: topK ($topK) must be >= 2")
+    graft.queries.TextOps.zipfProfile(docs, textCol, topK)
+  }
+
   /** Winnowed-fingerprint pairs (SIGMOD'03 winnowing): docs sharing >=
     * `minShared` fingerprints over word `gramWidth`-grams with window
     * `window`. Unlike [[nearDupPairs]] (whole-doc similarity with a

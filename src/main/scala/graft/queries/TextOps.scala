@@ -197,6 +197,37 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Zipf/Heaps corpus profile (text_zipf_profile /
+    * [[graft.pipeline.CorpusOps.zipfProfile]]): least-squares fit of
+    * ln(freq) ~ a + slope * ln(rank) over the `topK` most frequent
+    * tokens, plus corpus totals (vocab, total_tokens). See the entry
+    * comment for the scale/determinism rationale. */
+  private[graft] def zipfProfile(docs: DataFrame, textCol: String = "text",
+      topK: Int = 1000): DataFrame = {
+    val tok = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .transform(Q.barrier) // feeds freq + corpus totals
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    // TakeOrdered top-K, then one window bounded by the constant K
+    val top = freq.orderBy(col("c").desc, col("tok").asc).limit(topK)
+    val ranked = top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("c").desc, col("tok").asc)))
+    val pts = ranked.selectExpr(
+      "cast(round(1e6 * ln(rnk)) as bigint) AS x",
+      "cast(round(1e6 * ln(c)) as bigint) AS y")
+    val sums = pts.agg(
+      count(lit(1)).cast("int").as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+    val totals = tok.agg(count(lit(1)).as("total_tokens"),
+      countDistinct(col("tok")).as("vocab"))
+    sums.crossJoin(totals).selectExpr(
+      "n_terms", "vocab", "total_tokens", "sx", "sy", "sxy", "sxx",
+      "round((cast(n_terms as double) * sxy - cast(sx as double) * sy) / " +
+        "(cast(n_terms as double) * sxx - cast(sx as double) * sx), 6) AS zipf_slope")
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- language ID: argmax of stopword hits, deterministic tie-break ----
@@ -510,6 +541,38 @@ object TextOps {
         SELECT CASE WHEN nll <= b1 THEN 'head'
             WHEN nll <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
           count(*) AS n_docs, min(nll) AS min_nll, max(nll) AS max_nll
-        FROM nll CROSS JOIN b GROUP BY 1 ORDER BY bucket"""))
+        FROM nll CROSS JOIN b GROUP BY 1 ORDER BY bucket""")),
+
+    // ---- Zipf / Heaps corpus-law profile ----
+    // The rank-frequency power-law fit every corpus report carries:
+    // ln(freq) ~ a + slope * ln(rank) over the TOP-K terms (the head is
+    // where Zipf holds and where a degenerate corpus — boilerplate
+    // explosion, templated spam — shows up as a slope far from -1).
+    // Scale: term frequencies are one token-keyed groupBy (vocab-
+    // bounded); the top-K cut is TakeOrdered (no global sort); the only
+    // window runs over K=1000 rows, bounded by the CONSTANT K, not the
+    // corpus. Determinism: each point is rounded to integer micro-log
+    // space and the four regression sums are exact BIGINTs; the final
+    // slope is one double expression over those five exact scalars,
+    // written with identical operand order in both engines.
+    "text_zipf_profile" -> Q(
+      (s, dir) => zipfProfile(t(s, dir, "documents")),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        f AS (SELECT tok, count(*) AS c FROM tok WHERE tok <> '' GROUP BY tok),
+        top AS (SELECT tok, c FROM f ORDER BY c DESC, tok LIMIT 1000),
+        r AS (SELECT row_number() OVER (ORDER BY c DESC, tok) AS rnk, c FROM top),
+        p AS (SELECT CAST(round(1e6 * ln(rnk)) AS BIGINT) AS x,
+                     CAST(round(1e6 * ln(c)) AS BIGINT) AS y FROM r),
+        s AS (SELECT CAST(count(*) AS INTEGER) AS n_terms,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM p),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+                     CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+              FROM tok WHERE tok <> '')
+        SELECT n_terms, vocab, total_tokens, sx, sy, sxy, sxx,
+          round((CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope
+        FROM s CROSS JOIN t"""))
   )
 }

@@ -129,6 +129,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfProfile matches a hand-computed regression on a known distribution") {
+    import spark.implicits._
+    // freqs: a=4, b=2, c=1 -> ranks 1,2,3
+    val docs = Seq((1, "a a a a b b c")).toDF("doc_id", "text")
+    val r = graft.pipeline.CorpusOps.zipfProfile(docs).collect().head
+    assert(r.getAs[Int]("n_terms") == 3)
+    assert(r.getAs[Long]("vocab") == 3L && r.getAs[Long]("total_tokens") == 7L)
+    // recompute the fixed-point regression exactly as specified
+    val xs = Seq(1, 2, 3).map(rk => math.round(1e6 * math.log(rk)))
+    val ys = Seq(4, 2, 1).map(c => math.round(1e6 * math.log(c)))
+    val (n, sx, sy) = (3.0, xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val want = BigDecimal((n * sxy - sx.toDouble * sy) / (n * sxx - sx.toDouble * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("zipf_slope") == want)
+    // topK cuts the fit to the head: with topK=2 only ranks 1..2 enter
+    val head2 = graft.pipeline.CorpusOps.zipfProfile(docs, topK = 2).collect().head
+    assert(head2.getAs[Int]("n_terms") == 2)
+    // totals are corpus-wide, independent of the fit cut
+    assert(head2.getAs[Long]("vocab") == 3L)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.zipfProfile(docs, topK = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.zipfProfile(docs, textCol = "nope")
+    }
+  }
+
   test("bm25TopK and qualityScore tolerate null text") {
     import spark.implicits._
     val docs = Seq((1, Option("cat dog")), (2, Option.empty[String]))
