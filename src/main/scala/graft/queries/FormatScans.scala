@@ -27,6 +27,21 @@ object FormatScans {
         .agg(count(lit(1)).as("n"), array_join(sort_array(collect_list(col("id"))), ",").as("ids")),
       Some("SELECT 4 AS n, 'd1,d2,d3,d4' AS ids")),
 
+    // ---- canonical k-mer spectrum over a FASTA scan ----
+    // The canonical distributed genomics workload: count locally,
+    // combine globally (see [[graft.functions.SeqAnalysis.kmerCounts]]
+    // for the plan shape). Oracle recomputes the spectrum in SQL from
+    // the fixture's literal sequences — including the strand fold —
+    // rather than hard-coding a golden table.
+    "fmt_kmer_count" -> Q(
+      (s, _) => graft.functions.SeqAnalysis.kmerCounts(
+          GraftIO.read_fasta(s, s"$F/fasta/test.fasta.gz"))
+        .orderBy("kmer"),
+      Some("""WITH seqs AS (SELECT 'ATCGATCGGGCC' AS seq UNION ALL SELECT 'TTTTACGT' AS seq),
+        km AS (SELECT unnest([substr(seq, i, 4) for i in range(1, len(seq) - 2)]) AS kmer FROM seqs),
+        canon AS (SELECT least(kmer, reverse(translate(kmer, 'ACGT', 'TGCA'))) AS kmer FROM km)
+        SELECT kmer, count(*) AS n FROM canon GROUP BY kmer ORDER BY kmer""")),
+
     "fmt_fastq_scan" -> Q(
       (s, _) => GraftIO.read_fastq(s, s"$F/fastq/test.fastq").orderBy("name"),
       Some("""SELECT 'q1' AS name, 'read one' AS description, 'GATTACAGATTACA' AS sequence, 'IIIIIIIIIIIIII' AS quality_scores

@@ -105,4 +105,29 @@ class ScalarFunctionsSpec extends AnyFunSuite {
   test("exondb_version") {
     assert(one("exondb_version()") == "0.3.9")
   }
+
+  test("SeqAnalysis.kmerCounts folds strands canonically") {
+    val spark2 = SparkTestSession.get
+    import spark2.implicits._
+    val df = Seq("ATCGA", "AT").toDF("sequence")
+    // k=4 over ATCGA: ATCG (revcomp CGAT -> keep ATCG), TCGA (its own
+    // revcomp — palindrome); the len-2 row contributes nothing
+    val canon = graft.functions.SeqAnalysis.kmerCounts(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(canon == Map("ATCG" -> 1L, "TCGA" -> 1L))
+    // raw mode keeps the as-read strand
+    val raw = graft.functions.SeqAnalysis.kmerCounts(df, canonical = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(raw == Map("ATCG" -> 1L, "TCGA" -> 1L))
+    // a k-mer whose revcomp sorts lower IS folded: GGGG -> CCCC
+    val g = Seq("GGGG").toDF("sequence")
+    assert(graft.functions.SeqAnalysis.kmerCounts(g)
+      .collect().head.getString(0) == "CCCC")
+    intercept[IllegalArgumentException] {
+      graft.functions.SeqAnalysis.kmerCounts(df, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.SeqAnalysis.kmerCounts(df, seqCol = "nope")
+    }
+  }
 }
