@@ -356,6 +356,27 @@ object FormatScans {
         UNION ALL SELECT 'gff', 'sq0', 5
         UNION ALL SELECT 'gff', 'sq1', 6 ORDER BY fmt, key""")),
 
+    // ---- write-side tabix: sorted bgzf GFF + sidecar .tbi, then an
+    //      indexed region read over our OWN index ----
+    // Closes the round trip the read-side indexes opened (the reader is
+    // proven against an htslib-built .tbi in TabixSpec; here it consumes
+    // the index the writer just emitted). TabixWriteSpec carries the
+    // property coverage (random regions == scan+filter, chunk pruning,
+    // sorted-input enforcement); the gate pins one region's values.
+    "fmt_tabix_write_query" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_tbi").toString
+        GraftIO.read_gff(s, s"$F/gff/test.gff")
+          .repartition(1).sortWithinPartitions("seqname", "start")
+          .write.mode("overwrite")
+          .option("compression", "bgzf").option("index", "tabix")
+          .format("gff").save(dir)
+        GraftIO.read_gff(s, dir, Map("region" -> "sq0:10-20"))
+          .selectExpr("seqname", "type", "start", "end")
+      },
+      Some("""SELECT 'sq0' AS seqname, 'gene' AS type,
+        CAST(8 AS BIGINT) AS start, CAST(13 AS BIGINT) AS "end"""")),
+
     // COPY TO STDOUT analog through the gate: distributed per-record
     // rendering, golden is the literal format text.
     "fmt_render_text" -> Q(

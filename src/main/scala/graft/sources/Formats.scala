@@ -155,8 +155,26 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
 
   protected def parseAttributes(raw: String): ArrayBasedMapData
 
+  /** Tabix fast path for bgzipped gff-like files — the read side of the
+    * writer's `index=tabix` sidecar (falls back to scan+filter when no
+    * .tbi sits next to the data). Same contract as the VCF/BCF/BAM
+    * indexed queries: the index only prunes I/O; the row-level overlap
+    * filter below decides membership. */
+  override def regionChunks(path: String, region: String,
+                            conf: Configuration): Option[Seq[(Long, Long)]] = {
+    if (!path.toLowerCase.endsWith(".gz")) return None
+    graft.sources.TabixIndex.load(path, conf).map { idx =>
+      val (chr, lo, hi) = VcfFormat.parseRegion(region)
+      idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+        .map(c => (c.beg, c.end))
+    }
+  }
+
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
-                    options: Map[String, String]): Iterator[Array[Any]] =
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    // region semantics for interval records: OVERLAP with the 1-based
+    // inclusive query (VCF anchors on POS; a feature line is a range)
+    val region = options.get("region").map(VcfFormat.parseRegion)
     P.lines(split, in)
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -172,6 +190,16 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
           P.s(P.dotNull(c(7))),
           parseAttributes(c(8)))
       }
+      .filter { vals =>
+        region match {
+          case None => true
+          case Some((chr, lo, hi)) =>
+            vals(0) != null &&
+              vals(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString == chr &&
+              vals(3).asInstanceOf[Long] <= hi && vals(4).asInstanceOf[Long] >= lo
+        }
+      }
+  }
 }
 
 object GffFormat extends GffLikeFormat("gff", "phase") {

@@ -31,8 +31,16 @@ object FastqFormatter extends RecordFormatter {
   }
 }
 
-object GffFormatter extends RecordFormatter {
+object GffFormatter extends graft.sources.core.GenomicRecordFormatter {
   override def fileExtension = ".gff"
+
+  /** GFF text is 1-based inclusive; tabix wants 0-based half-open. */
+  override def coordsOf(row: InternalRow, schema: StructType): (String, Long, Long) =
+    (row.getUTF8String(0).toString, row.getLong(3) - 1, row.getLong(4))
+
+  /** Generic preset over (seqname, start, end) = columns (1, 4, 5),
+    * '#' comment lines — the stock `tabix -p gff` configuration. */
+  override def tabixConfig: (Int, Int, Int, Int, Char) = (0, 1, 4, 5, '#')
 
   /** GFF3 reserved characters must be percent-encoded in attribute keys
     * and values, or a value containing ';' / '=' / ',' / tab re-parses as

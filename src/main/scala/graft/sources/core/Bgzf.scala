@@ -562,6 +562,15 @@ final class BgzfOutputStream(out: java.io.OutputStream) extends java.io.OutputSt
     java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw deflate
   private val comp = new Array[Byte](MaxPayload + 1024)
   private var closed = false
+  private var compressedWritten = 0L
+
+  /** BGZF virtual offset of the NEXT byte to be written:
+    * compressed-offset-of-current-block << 16 | offset-within-block.
+    * This is the coordinate the binning indexes (.tbi/.csi) address, so
+    * an index builder samples it immediately before/after rendering a
+    * record. Only valid before `close()` (the final flush changes the
+    * block layout after it). */
+  def virtualOffset: Long = (compressedWritten << 16) | n.toLong
 
   override def write(b: Int): Unit = {
     buf(n) = b.toByte; n += 1
@@ -599,6 +608,7 @@ final class BgzfOutputStream(out: java.io.OutputStream) extends java.io.OutputSt
     val t = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     t.putInt(crc.getValue.toInt).putInt(n)
     out.write(t.array())
+    compressedWritten += bsize
     n = 0
   }
 

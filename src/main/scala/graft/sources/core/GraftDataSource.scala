@@ -81,7 +81,7 @@ final case class GraftTable(format: GraftFormat, tableSchema: StructType,
               s"target '$path' already contains data; pass option force=true " +
                 "to append, or use mode(\"overwrite\") to replace (COPY ... FORCE semantics)")
           }
-          val writeOpts = Seq("compression", "partitionby")
+          val writeOpts = Seq("compression", "partitionby", "index")
             .flatMap(k => Option(info.options().get(k)).map(k -> _))
           GraftBatchWrite(fmt, info.schema(), path, options ++ writeOpts,
             new org.apache.spark.util.SerializableConfiguration(hconf))
@@ -97,7 +97,7 @@ final case class GraftTable(format: GraftFormat, tableSchema: StructType,
           require(!doTruncate,
             "streaming writes into format directories support append output mode only")
           val hconf = SparkSession.active.sessionState.newHadoopConf()
-          val writeOpts = Seq("compression", "partitionby")
+          val writeOpts = Seq("compression", "partitionby", "index")
             .flatMap(k => Option(info.options().get(k)).map(k -> _))
           GraftStreamingWrite(fmt, info.schema(), path, options ++ writeOpts,
             new org.apache.spark.util.SerializableConfiguration(hconf))

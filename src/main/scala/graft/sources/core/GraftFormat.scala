@@ -213,11 +213,19 @@ object GraftFiles {
           }
           false
         }
+        // index sidecars (.tbi/.csi/.bai/...) live next to the data they
+        // index — including ones this library's own writers emit — and
+        // are never themselves records
+        def isIndexSidecar(n: String): Boolean = {
+          val l = n.toLowerCase
+          l.endsWith(".tbi") || l.endsWith(".csi") || l.endsWith(".bai") ||
+            l.endsWith(".crai") || l.endsWith(".fai") || l.endsWith(".gzi")
+        }
         val it = fs.listFiles(st.getPath, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
         while (it.hasNext) {
           val f = it.next()
-          if (!hidden(f.getPath)) buf += f
+          if (!hidden(f.getPath) && !isIndexSidecar(f.getPath.getName)) buf += f
         }
         buf.toSeq.sortBy(_.getPath.toString)
       } else Seq(st)

@@ -18,6 +18,18 @@ trait RecordFormatter extends Serializable {
   def fileExtension: String
 }
 
+/** A formatter whose records carry genomic coordinates, making its
+  * output indexable: the writer samples BGZF virtual offsets around
+  * each rendered record and feeds (name, beg0, end0, voffs) to a
+  * [[TabixIndexBuilder]] when `option("index", "tabix")` is set. */
+trait GenomicRecordFormatter extends RecordFormatter {
+  /** (reference name, 0-based begin, 0-based-exclusive end) of a row. */
+  def coordsOf(row: InternalRow, schema: StructType): (String, Long, Long)
+  /** Tabix header coordinate configuration for external (htslib)
+    * readers: (preset flags, col_seq, col_beg, col_end, meta char). */
+  def tabixConfig: (Int, Int, Int, Int, Char)
+}
+
 /** Commit message: where the task attempt staged its bytes and where
   * each file belongs once the job commits (one entry per partition
   * directory the task wrote into). */
@@ -159,6 +171,21 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val codec = options.get("compression").map(_.toLowerCase).filter(_ != "none")
+    // Sidecar tabix indexing: each part file gets its own .tbi, built in
+    // the task that writes it (no extra pass, no driver funnel). Demands
+    // BGZF framing (virtual offsets only exist there) and a formatter
+    // that can say where each record lives on the genome.
+    val indexing = options.get("index").map(_.toLowerCase).filter(_ != "none") match {
+      case None => false
+      case Some("tabix") =>
+        require(codec.contains("bgzf"),
+          "index=tabix requires compression=bgzf (virtual offsets are BGZF coordinates)")
+        require(formatter.isInstanceOf[GenomicRecordFormatter],
+          s"index=tabix: ${formatter.getClass.getSimpleName} has no genomic coordinates")
+        true
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown index kind '$other' (want: tabix)")
+    }
     val ext = formatter.fileExtension + (codec match {
       case Some("gzip") | Some("bgzf") => ".gz" // bgzf IS gzip on the wire
       case Some("zstd")                => ".zst"
@@ -205,7 +232,11 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
         s"${f.name}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else hiveEscape(v.toString)}"
       }.mkString("/")
 
-    def openStream(key: String): (OutputStream, Path, Path) = {
+    final case class Sink(out: OutputStream, temp: Path, dest: Path,
+                          bgzf: Option[BgzfOutputStream],
+                          idx: Option[TabixIndexBuilder])
+
+    def openStream(key: String): Sink = {
       // taskId in the staging name keeps concurrent attempts of the same
       // partition (speculation, retry) from clobbering each other; only
       // the attempt whose message reaches commit() gets renamed into place.
@@ -228,14 +259,48 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
         case Some(other)  => throw new IllegalArgumentException(s"unknown compression '$other'")
         case None         => new BufferedOutputStream(rawOut, 1 << 16)
       }
-      (out, temp, dest)
+      Sink(out, temp, dest,
+        bgzf = out match { case b: BgzfOutputStream => Some(b); case _ => None },
+        idx = if (indexing) Some(new TabixIndexBuilder) else None)
+    }
+
+    def writeRecord(s: Sink, record: InternalRow): Unit = s.idx match {
+      case Some(builder) =>
+        val gf = formatter.asInstanceOf[GenomicRecordFormatter]
+        val (name, beg0, end0) = gf.coordsOf(record, schema)
+        val voffBeg = s.bgzf.get.virtualOffset
+        s.out.write(formatter.format(record, schema).getBytes("UTF-8"))
+        builder.add(name, beg0, end0, voffBeg, s.bgzf.get.virtualOffset)
+      case None =>
+        s.out.write(formatter.format(record, schema).getBytes("UTF-8"))
+    }
+
+    /** Close the data stream; if indexing, serialize the sidecar .tbi
+      * next to the staged file. Returns (temp, dest) rename pairs. */
+    def closeSink(s: Sink): Seq[(String, String)] = {
+      s.out.close()
+      s.idx match {
+        case Some(builder) =>
+          val gf = formatter.asInstanceOf[GenomicRecordFormatter]
+          val (preset, cSeq, cBeg, cEnd, meta) = gf.tabixConfig
+          val tbiTemp = s.temp.suffix(".tbi")
+          val tbiOut = fs.create(tbiTemp, true)
+          builder.finish(tbiOut, preset, cSeq, cBeg, cEnd, meta)
+          Seq((s.temp.toString, s.dest.toString),
+            (tbiTemp.toString, s.dest.suffix(".tbi").toString))
+        case None => Seq((s.temp.toString, s.dest.toString))
+      }
     }
 
     // abort usually runs AFTER an I/O failure: close/delete of one key's
     // stream must not stop cleanup of the others or mask the root cause
-    def quietClean(s: (OutputStream, Path, Path)): Unit = {
-      try s._1.close() catch { case _: Exception => }
-      try if (fs.exists(s._2)) fs.delete(s._2, false) catch { case _: Exception => }
+    def quietClean(s: Sink): Unit = {
+      try s.out.close() catch { case _: Exception => }
+      try if (fs.exists(s.temp)) fs.delete(s.temp, false) catch { case _: Exception => }
+      try {
+        val t = s.temp.suffix(".tbi")
+        if (fs.exists(t)) fs.delete(t, false)
+      } catch { case _: Exception => }
     }
 
     if (partCols.isEmpty) {
@@ -245,25 +310,21 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
       // (0-row) target, not a missing directory.
       val s = openStream("")
       new DataWriter[InternalRow] {
-        override def write(record: InternalRow): Unit =
-          s._1.write(formatter.format(record, schema).getBytes("UTF-8"))
+        override def write(record: InternalRow): Unit = writeRecord(s, record)
         override def commit(): WriterCommitMessage = {
-          s._1.close()
-          GraftWriteCommit(Seq((s._2.toString, s._3.toString)))
+          GraftWriteCommit(closeSink(s))
         }
         override def abort(): Unit = quietClean(s)
         override def close(): Unit = ()
       }
     } else new DataWriter[InternalRow] {
-      private val streams = scala.collection.mutable.LinkedHashMap.empty[String, (OutputStream, Path, Path)]
+      private val streams = scala.collection.mutable.LinkedHashMap.empty[String, Sink]
       override def write(record: InternalRow): Unit = {
         val k = keyOf(record)
-        val out = streams.getOrElseUpdate(k, openStream(k))._1
-        out.write(formatter.format(record, schema).getBytes("UTF-8"))
+        writeRecord(streams.getOrElseUpdate(k, openStream(k)), record)
       }
       override def commit(): WriterCommitMessage = {
-        streams.values.foreach(_._1.close())
-        GraftWriteCommit(streams.values.map(s => (s._2.toString, s._3.toString)).toSeq)
+        GraftWriteCommit(streams.values.flatMap(closeSink).toSeq)
       }
       override def abort(): Unit = streams.values.foreach(quietClean)
       override def close(): Unit = ()
