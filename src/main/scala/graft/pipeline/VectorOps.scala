@@ -79,6 +79,46 @@ object VectorOps {
     rank(c.crossJoin(broadcast(qs)), k, excludeSelfIds)
   }
 
+  /** Matryoshka (MRL) two-stage top-k: score every corpus row on the
+    * first `prefixDims` dimensions only, keep the top `candidates` per
+    * query, then rerank just those on the full vector. The cheap stage
+    * does `prefixDims / dim` of the arithmetic and the expensive stage
+    * touches `candidates` rows per query instead of the corpus —
+    * embeddings trained matryoshka-style keep most of the ranking
+    * signal in the prefix, so recall stays high at a fraction of the
+    * cost. Approximate by construction; measure recall against
+    * [[bruteForceTopK]] on a sample. Output: (q_id, id, cos, rn). */
+  def mrlRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    prefixDims: Int = 16, candidates: Int = 50,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    excludeSelfIds: Boolean = true): DataFrame = {
+    require(prefixDims >= 1, s"mrlRerankTopK: prefixDims ($prefixDims) must be >= 1")
+    require(candidates >= k,
+      s"mrlRerankTopK: candidates ($candidates) must be >= k ($k)")
+    graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
+    val c = asVec(corpus, idCol, vecCol)
+    val qs = asVec(queries, idCol, vecCol)
+      .select(col("__id").as("__qid"), col("__v").as("__qv"),
+        slice(col("__v"), 1, prefixDims).as("__qp"))
+    val w1 = Window.partitionBy(col("__qid"))
+      .orderBy(col("pcos").desc, col("__id").asc)
+    // stage 1 shuffles only (qid, id, pcos) — wide vectors stay out of
+    // the top-C window; stage 2 is a candidate-bounded keyed join back
+    val cand = c.select(col("__id"), slice(col("__v"), 1, prefixDims).as("__vp"))
+      .crossJoin(broadcast(qs.select(col("__qid"), col("__qp"))))
+      .where(if (excludeSelfIds) col("__id") =!= col("__qid") else lit(true))
+      .select(col("__qid"), col("__id"),
+        expr("round(graft_cosine_sim(__qp, __vp), 6)").as("pcos"))
+      .withColumn("rn1", row_number().over(w1))
+      .where(col("rn1") <= candidates)
+      .select("__qid", "__id")
+    rank(cand.join(c, "__id")
+      .join(broadcast(qs.select(col("__qid").as("__qid2"), col("__qv"))),
+        col("__qid") === col("__qid2")),
+      k, excludeSelfIds)
+  }
+
   /** IVF-restricted cosine top-k: rows carry a coarse cell key
     * (`cellCol` — a cluster id, a trained centroid assignment, any
     * partitioner) and each query searches only its own cell, touching

@@ -320,6 +320,67 @@ object Similarity {
                      FROM scored)
         SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""")),
 
+    // ---- Matryoshka (MRL) truncated-prefix search + full-dim rerank ----
+    // The two-stage pattern matryoshka-style embeddings exist for: score
+    // EVERYTHING on the cheap 16-dim prefix (4x less arithmetic + 4x
+    // less candidate I/O at scale when the store keeps prefixes hot),
+    // keep the top-C candidates per query, then rerank only those on
+    // all 64 dims. Scale shape: stage 1's top-C shuffle carries only
+    // (q_id, vec_id, pcos) — the wide vectors never ride the window;
+    // stage 2 re-joins the C candidates back to the corpus (a
+    // candidate-bounded keyed join) and broadcasts the query fan. The
+    // oracle replays the SAME two-stage semantics — truncated search is
+    // lossy vs exact brute force by design, so recall against the
+    // full-dim truth is a property for ann_recall_report-style audits,
+    // not a hash gate.
+    "ann_mrl_rerank" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir).transform(Q.barrier) // stage-1 scan + stage-2 join
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            slice(col("v"), 1, 16).as("qp"))
+          .transform(Q.barrier)
+        val w1 = Window.partitionBy(col("q_id"))
+          .orderBy(col("pcos").desc, col("vec_id").asc)
+        val cand = e.select(col("vec_id"), slice(col("v"), 1, 16).as("vp"))
+          .crossJoin(broadcast(q.select(col("q_id"), col("qp"))))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            expr("round(graft_cosine_sim(qp, vp), 6)").as("pcos"))
+          .withColumn("rn1", row_number().over(w1))
+          .where(col("rn1") <= 50)
+          .select("q_id", "vec_id")
+        val w2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cand
+          .join(e, "vec_id")
+          .join(broadcast(q.select(col("q_id"), col("qv"))), "q_id")
+          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+          .withColumn("rn", row_number().over(w2))
+          .where(col("rn") <= 10)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+          p AS (
+            SELECT q_id, vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, 17)])
+                    / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, 17)]))
+                       * sqrt(list_sum([v[i] * v[i] for i in range(1, 17)]))), 6) AS pcos
+            FROM e CROSS JOIN q WHERE vec_id <> q_id),
+          c AS (SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, vec_id ASC) AS rn1
+                FROM p),
+          cand AS (SELECT q_id, vec_id FROM c WHERE rn1 <= 50),
+          scored AS (
+            SELECT cand.q_id, cand.vec_id,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM cand JOIN e ON e.vec_id = cand.vec_id JOIN q ON q.q_id = cand.q_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                     FROM scored)
+        SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""")),
+
     // ---- LSH-bucketed ANN: bucket join + exact re-rank of candidates ----
     // Oracle checks the re-ranked cosines and candidate-subset property
     // by recomputing cosine for the emitted (q, neighbor) pairs.

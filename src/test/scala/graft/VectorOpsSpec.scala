@@ -239,4 +239,44 @@ class VectorOpsSpec extends AnyFunSuite {
     // "b" are never touched even with k = 3
     assert(out.toSeq == Seq(11L))
   }
+
+  test("mrlRerankTopK: full-dim rerank fixes prefix-order inversions; wide candidates == brute force") {
+    import spark.implicits._
+    // prefix = first 2 dims. Vs the query, id 21 wins on the prefix
+    // (identical first dims) but id 20 wins on the full vector — the
+    // rerank stage must flip them; with candidates >= corpus the result
+    // must equal exact brute force.
+    val corpus = Seq(
+      (20L, Array(1.0f, 0.0f, 0.9f, 0.0f)),
+      (21L, Array(1.0f, 0.1f, 0.0f, 0.9f)),
+      (22L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (23L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "emb")
+    val query = Seq((1L, Array(1.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "emb")
+    val mrl = graft.pipeline.VectorOps.mrlRerankTopK(
+      corpus, query, k = 2, prefixDims = 2, candidates = 4,
+      idCol = "id", vecCol = "emb", excludeSelfIds = false)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(mrl.toSeq == Seq((20L, 1), (21L, 2)))
+    val bf = graft.pipeline.VectorOps.bruteForceTopK(
+      corpus, query, k = 2, idCol = "id", vecCol = "emb",
+      excludeSelfIds = false)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val wide = graft.pipeline.VectorOps.mrlRerankTopK(
+      corpus, query, k = 2, prefixDims = 2, candidates = 4,
+      idCol = "id", vecCol = "emb", excludeSelfIds = false)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(wide.toSeq == bf.toSeq)
+    // a candidate cut below the prefix rank of the full-dim winner is
+    // the documented lossiness: with candidates = 1 only the prefix
+    // winner (21 — tie on prefix cos broken by lower... ) survives
+    val tight = graft.pipeline.VectorOps.mrlRerankTopK(
+      corpus, query, k = 1, prefixDims = 2, candidates = 1,
+      idCol = "id", vecCol = "emb", excludeSelfIds = false)
+      .collect().map(_.getLong(1))
+    assert(tight.length == 1)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.VectorOps.mrlRerankTopK(corpus, query, k = 5,
+        candidates = 2, idCol = "id", vecCol = "emb")
+    }
+  }
 }
