@@ -423,6 +423,55 @@ class PlanQualitySpec extends AnyFunSuite {
     finally spark.conf.set(k, "1.0")
   }
 
+  test("dedup_edit_verify: length-gap prune sits below the banded levenshtein") {
+    val plan = fullPlanString(SparkEntry.queries("dedup_edit_verify")(spark, SF))
+    // the banded (3-arg) metric is in the plan...
+    assert(plan.contains("levenshtein"), s"no levenshtein in plan:\n$plan")
+    // ...and the length-gap filter exists so the DP only ever sees
+    // pairs that could qualify (lossless prune, see Dedup scaladoc)
+    assert(plan.contains("abs("), s"length-gap prune missing:\n$plan")
+  }
+
+  test("ann_mrl_rerank: wide vectors stay out of the stage-1 top-C shuffle") {
+    val plan = executed(SparkEntry.queries("ann_mrl_rerank")(spark, SF))
+    // every exchange must not carry a vector column: stage 1 shuffles
+    // (q_id, vec_id, pcos) only; vectors re-join after the candidate
+    // cut (AQE folds exchanges into query stages — expand them)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec        => p +: allNodes(q.plan)
+      case other                    => p +: other.children.flatMap(allNodes)
+    }
+    val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, s"no shuffle found:\n$plan")
+    shuffles.foreach { s =>
+      val carried = s.output.map(_.name)
+      assert(!carried.exists(n => n == "v" || n == "qv" || n == "__v" || n == "__qv"),
+        s"vector column rides a shuffle: $carried")
+    }
+  }
+
+  test("text_zipf_profile: head cut is TakeOrdered, never a global sort of the vocab") {
+    val plan = fullPlanString(SparkEntry.queries("text_zipf_profile")(spark, SF))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K head cut is not TakeOrdered:\n$plan")
+    // the only Sort allowed is the bounded K-row window's local sort
+    val globalSorts = plan.linesIterator.count(l =>
+      l.contains("Sort ") && l.contains("global=true"))
+    assert(globalSorts == 0, s"global sort in zipf plan:\n$plan")
+  }
+
+  test("fmt_kmer_count: spectrum aggregation is partial before the shuffle") {
+    val plan = fullPlanString(SparkEntry.queries("fmt_kmer_count")(spark, SF))
+    // map-side partial aggregation bounds the shuffle by distinct-kmer
+    // cardinality per task — the property that makes k-mer counting
+    // feasible at corpus scale
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate(keys=[kmer"),
+      s"no partial aggregation in k-mer plan:\n$plan")
+  }
+
   test("codegen sweep: no graft expression in the fn_*/text_* battery falls back to interpreted eval") {
     // the ngram episode (round 3) showed CodegenFallback creeping in
     // silently under Generate; this sweeps every scalar/text entry and
