@@ -140,8 +140,48 @@ object PipelineTableFunctions {
       if (args.length > 4) num(args(4), "threshold").toLong else 0L))
   }
 
+  private def editPairsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 4,
+      "edit_distance_pairs(table[, idCol, textCol, maxPct])")
+    plan(CorpusOps.editDistancePairs(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "idCol") else "doc_id",
+      if (args.length > 2) str(args(2), "textCol") else "text",
+      if (args.length > 3) num(args(3), "maxPct").toInt else 20))
+  }
+
+  private def zipfBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "zipf_profile(table[, textCol, topK])")
+    plan(CorpusOps.zipfProfile(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "textCol") else "text",
+      if (args.length > 2) num(args(2), "topK").toInt else 1000))
+  }
+
+  private def mrlTopKBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 7,
+      "mrl_topk(corpus, queries, k[, prefixDims, candidates, idCol, vecCol])")
+    plan(VectorOps.mrlRerankTopK(tbl(args(0), "corpus"), tbl(args(1), "queries"),
+      num(args(2), "k").toInt,
+      if (args.length > 3) num(args(3), "prefixDims").toInt else 16,
+      if (args.length > 4) num(args(4), "candidates").toInt else 50,
+      if (args.length > 5) str(args(5), "idCol") else "vec_id",
+      if (args.length > 6) str(args(6), "vecCol") else "embedding"))
+  }
+
+  private def kmerBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "kmer_counts(table[, seqCol, k])")
+    plan(graft.functions.SeqAnalysis.kmerCounts(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "seqCol") else "sequence",
+      if (args.length > 2) num(args(2), "k").toInt else 4))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("edit_distance_pairs", editPairsBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("zipf_profile", zipfBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("mrl_topk", mrlTopKBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("kmer_counts", kmerBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("near_dup_pairs", nearDupBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("semantic_dedup", semanticBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("remove_duplicate_spans", spansBuilder, "scala_udf")

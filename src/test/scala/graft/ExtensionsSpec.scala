@@ -78,6 +78,20 @@ class ExtensionsSpec extends AnyFunSuite {
       val bm = s.sql("SELECT id FROM bm25_topk('ext_docs', 'alpha,one', 3, 'id', 'body')")
         .collect().map(_.getLong(0))
       assert(bm.length == 3 && bm.head == 12L, bm.toSeq)
+      val edits = s.sql("SELECT * FROM edit_distance_pairs('ext_docs', 'id', 'body')")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(edits == Set((10L, 11L, 0)))
+      val zipf = s.sql("SELECT n_terms, vocab FROM zipf_profile('ext_docs', 'body')")
+        .collect().head
+      assert(zipf.getInt(0) == 20 && zipf.getLong(1) == 20L)
+      val mrl = s.sql(
+        "SELECT id FROM mrl_topk('ext_vecs', 'ext_vecs', 1, 1, 2, 'id', 'emb') WHERE q_id = 1")
+        .collect().map(_.getLong(0))
+      assert(mrl.toSeq == Seq(2L))
+      Seq(("ATCGA")).toDF("sequence").createOrReplaceTempView("ext_seqs")
+      val km = s.sql("SELECT * FROM kmer_counts('ext_seqs') ORDER BY kmer")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(km.toSeq == Seq(("ATCG", 1L), ("TCGA", 1L)))
       Seq(("alpha beta", 3L), ("one two", -5L)).toDF("gram", "weight")
         .createOrReplaceTempView("ext_weights")
       val qs = s.sql(
