@@ -385,6 +385,50 @@ object StreamingQ {
     // offset/restart contract is spec-proven (StreamingIngestSpec). The
     // staged set is idempotent, so repeated runs (bench warm-up) see the
     // same file set and the memory sink rebuilds the same 6 rows.
+    // ---- streaming heavy hitters: corpus-monitor token counts ----
+    // The ingest-monitoring shape: as document batches arrive, maintain
+    // running token counts and surface the heavy tail. State is
+    // VOCAB-bounded (one row per distinct token), not corpus-bounded —
+    // the property that lets this run unbounded at crawl scale. Two
+    // mtime-ordered staged files prove cross-batch accumulation;
+    // complete output mode makes the drained result exactly the batch
+    // answer (a production deployment uses update mode + a downstream
+    // upsert store and reads hitters from there instead of re-emitting
+    // the full vocabulary each trigger).
+    "stream_heavy_hitters" -> Q(
+      (s, dir) => {
+        val tbl = "graft_stream_hh"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = Stage.staged(s"graft-stream-hh:$dir") { d =>
+          val scratch = Stage.tempDir("graft-hh-norm")
+          val docs = Q.t(s, dir, "documents")
+          Stage.parquetFile(docs.where(col("doc_id") % 2 === 0),
+            scratch, d, "docs_a.parquet", 0)
+          Stage.parquetFile(docs.where(col("doc_id") % 2 === 1),
+            scratch, d, "docs_b.parquet", 1)
+        }
+        val docsSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        Q.withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(docsSchema)
+            .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+            .select(explode(split(col("text"), " ")).as("tok"))
+            .where(col("tok") =!= "")
+            .groupBy("tok").agg(count(lit(1)).as("n"))
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(tbl).where(col("n") >= 100)
+          .orderBy(col("n").desc, col("tok").asc)
+      },
+      Some("""SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY tok HAVING count(*) >= 100
+        ORDER BY n DESC, tok""")),
+
     "stream_fastq_ingest" -> Q(
       (s, _) => {
         val fixtures = "/root/repo/src/test/resources/fixtures"
