@@ -31,6 +31,140 @@ object FastqFormatter extends RecordFormatter {
   }
 }
 
+/** VCF text rendering — the inverse of VcfFormat's parser at the
+  * RECORD level (`parse ∘ write = id` on values; the original byte
+  * text is not preserved — '1.0' may re-render as '1.0' vs '1', field
+  * case normalizes). The header is RECONSTRUCTED from the Spark
+  * schema: ##INFO lines from the info struct's field types (the same
+  * Number/Type mapping the reader's schema inference applies, run
+  * backwards), ##FORMAT lines from the genotypes_typed element struct
+  * when present, and the #CHROM sample list sized from the first
+  * record's genotype array (names s1..sN — original sample names are
+  * not part of the read schema). `genotypes_typed` is derived data and
+  * is never rendered.
+  */
+object VcfFormatter extends graft.sources.core.GenomicRecordFormatter {
+  override def fileExtension = ".vcf"
+
+  /** VCF tabix preset: coordinates on columns (1, 2), record interval
+    * [pos-1, pos-1+len(ref)) — htslib's `tabix -p vcf`. */
+  override def tabixConfig: (Int, Int, Int, Int, Char) = (2, 1, 2, 0, '#')
+
+  override def coordsOf(row: InternalRow, schema: StructType): (String, Long, Long) = {
+    val chrom = row.getUTF8String(schema.fieldIndex("chrom")).toString
+    val pos = row.getLong(schema.fieldIndex("pos"))
+    val ref = row.getUTF8String(schema.fieldIndex("ref"))
+    (chrom, pos - 1, pos - 1 + math.max(ref.numChars(), 1))
+  }
+
+  private def numberAndType(dt: org.apache.spark.sql.types.DataType): (String, String) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType          => ("0", "Flag")
+      case IntegerType          => ("1", "Integer")
+      case FloatType            => ("1", "Float")
+      case StringType           => ("1", "String")
+      case ArrayType(IntegerType, _) => (".", "Integer")
+      case ArrayType(FloatType, _)   => (".", "Float")
+      case _                    => (".", "String")
+    }
+  }
+
+  override def fileHeader(firstRow: Option[InternalRow],
+                          schema: StructType): Option[String] = {
+    import org.apache.spark.sql.types._
+    val sb = new java.lang.StringBuilder("##fileformat=VCFv4.2\n")
+    val infoStruct = schema("info").dataType.asInstanceOf[StructType]
+    infoStruct.fields.foreach { f =>
+      val (num, tpe) = numberAndType(f.dataType)
+      sb.append(s"##INFO=<ID=${f.name.toUpperCase},Number=$num,Type=$tpe,Description=${"\""}${"\""}>\n")
+    }
+    schema.fields.find(_.name == "genotypes_typed").foreach { tf =>
+      tf.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+        .fields.foreach { f =>
+          val (num, tpe) = numberAndType(f.dataType)
+          sb.append(s"##FORMAT=<ID=${f.name.toUpperCase},Number=$num,Type=$tpe,Description=${"\""}${"\""}>\n")
+        }
+    }
+    sb.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    if (schema.fieldNames.contains("genotypes")) {
+      val n = firstRow.map { r =>
+        val i = schema.fieldIndex("genotypes")
+        if (r.isNullAt(i)) 0 else r.getArray(i).numElements()
+      }.getOrElse(0)
+      if (n > 0) {
+        sb.append("\tFORMAT")
+        (1 to n).foreach(i => sb.append(s"\ts$i"))
+      }
+    }
+    sb.append('\n')
+    Some(sb.toString)
+  }
+
+  override def format(row: InternalRow, schema: StructType): String = {
+    import org.apache.spark.sql.types._
+    def idx(n: String) = schema.fieldIndex(n)
+    val sb = new java.lang.StringBuilder()
+    sb.append(row.getUTF8String(idx("chrom"))).append('\t')
+      .append(row.getLong(idx("pos"))).append('\t')
+    val idI = idx("id")
+    sb.append(if (row.isNullAt(idI)) "." else row.getUTF8String(idI)).append('\t')
+    sb.append(row.getUTF8String(idx("ref"))).append('\t')
+    val altA = row.getArray(idx("alt"))
+    if (altA == null || altA.numElements() == 0) sb.append('.')
+    else {
+      var i = 0
+      while (i < altA.numElements()) {
+        if (i > 0) sb.append(',')
+        sb.append(altA.getUTF8String(i))
+        i += 1
+      }
+    }
+    sb.append('\t')
+    val qI = idx("qual")
+    sb.append(if (row.isNullAt(qI)) "." else row.getFloat(qI).toString).append('\t')
+    val fI = idx("filter")
+    sb.append(if (row.isNullAt(fI)) "." else row.getUTF8String(fI)).append('\t')
+
+    val infoStruct = schema("info").dataType.asInstanceOf[StructType]
+    val info = row.getStruct(idx("info"), infoStruct.length)
+    def scalarText(v: Any): String = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other.toString
+    }
+    val parts = infoStruct.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (info.isNullAt(i)) None
+      else f.dataType match {
+        case BooleanType =>
+          if (info.getBoolean(i)) Some(f.name.toUpperCase) else None
+        case ArrayType(et, _) =>
+          val arr = info.getArray(i)
+          val vs = (0 until arr.numElements())
+            .map(j => scalarText(arr.get(j, et))).mkString(",")
+          Some(s"${f.name.toUpperCase}=$vs")
+        case dt => Some(s"${f.name.toUpperCase}=${scalarText(info.get(i, dt))}")
+      }
+    }
+    sb.append(if (parts.isEmpty) "." else parts.mkString(";"))
+
+    if (schema.fieldNames.contains("genotypes")) {
+      val gI = idx("genotypes")
+      val gts = if (row.isNullAt(gI)) null else row.getArray(gI)
+      if (gts != null && gts.numElements() > 0) {
+        val fmtI = idx("format")
+        sb.append('\t')
+          .append(if (row.isNullAt(fmtI)) "." else row.getUTF8String(fmtI))
+        var i = 0
+        while (i < gts.numElements()) {
+          sb.append('\t').append(gts.getUTF8String(i))
+          i += 1
+        }
+      }
+    }
+    sb.append('\n').toString
+  }
+}
+
 object GffFormatter extends graft.sources.core.GenomicRecordFormatter {
   override def fileExtension = ".gff"
 

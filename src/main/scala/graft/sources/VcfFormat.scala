@@ -27,6 +27,7 @@ import graft.sources.core._
 object VcfFormat extends GraftFormat {
   override def name = "vcf"
   override def extensions = Seq("vcf")
+  override def formatter: Option[RecordFormatter] = Some(VcfFormatter)
   /** Line-oriented records: plain .vcf splits by byte range, bgzipped
     * .vcf.gz by BGZF block range (headers live at the file head and are
     * '#'-filtered in every split). */

@@ -16,6 +16,14 @@ trait RecordFormatter extends Serializable {
   /** Render one full-schema row, INCLUDING the record terminator. */
   def format(row: InternalRow, schema: StructType): String
   def fileExtension: String
+
+  /** Header text each part file starts with (None = headerless format).
+    * Called once per output file with the FIRST record (None when the
+    * file commits empty) — formats whose header depends on record shape
+    * (VCF's #CHROM sample list) need the row; the writer emits it
+    * before the first record's bytes so index virtual offsets stay
+    * correct. */
+  def fileHeader(firstRow: Option[InternalRow], schema: StructType): Option[String] = None
 }
 
 /** A formatter whose records carry genomic coordinates, making its
@@ -234,7 +242,9 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
 
     final case class Sink(out: OutputStream, temp: Path, dest: Path,
                           bgzf: Option[BgzfOutputStream],
-                          idx: Option[TabixIndexBuilder])
+                          idx: Option[TabixIndexBuilder]) {
+      var headerWritten = false
+    }
 
     def openStream(key: String): Sink = {
       // taskId in the staging name keeps concurrent attempts of the same
@@ -264,20 +274,34 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
         idx = if (indexing) Some(new TabixIndexBuilder) else None)
     }
 
-    def writeRecord(s: Sink, record: InternalRow): Unit = s.idx match {
-      case Some(builder) =>
-        val gf = formatter.asInstanceOf[GenomicRecordFormatter]
-        val (name, beg0, end0) = gf.coordsOf(record, schema)
-        val voffBeg = s.bgzf.get.virtualOffset
-        s.out.write(formatter.format(record, schema).getBytes("UTF-8"))
-        builder.add(name, beg0, end0, voffBeg, s.bgzf.get.virtualOffset)
-      case None =>
-        s.out.write(formatter.format(record, schema).getBytes("UTF-8"))
+    def writeRecord(s: Sink, record: InternalRow): Unit = {
+      if (!s.headerWritten) {
+        s.headerWritten = true
+        formatter.fileHeader(Some(record), schema)
+          .foreach(h => s.out.write(h.getBytes("UTF-8")))
+      }
+      s.idx match {
+        case Some(builder) =>
+          val gf = formatter.asInstanceOf[GenomicRecordFormatter]
+          val (name, beg0, end0) = gf.coordsOf(record, schema)
+          val voffBeg = s.bgzf.get.virtualOffset
+          s.out.write(formatter.format(record, schema).getBytes("UTF-8"))
+          builder.add(name, beg0, end0, voffBeg, s.bgzf.get.virtualOffset)
+        case None =>
+          s.out.write(formatter.format(record, schema).getBytes("UTF-8"))
+      }
     }
 
     /** Close the data stream; if indexing, serialize the sidecar .tbi
       * next to the staged file. Returns (temp, dest) rename pairs. */
     def closeSink(s: Sink): Seq[(String, String)] = {
+      if (!s.headerWritten) {
+        s.headerWritten = true
+        // a zero-record part still carries the format's header, so it
+        // reads back as an empty—not malformed—file
+        formatter.fileHeader(None, schema)
+          .foreach(h => s.out.write(h.getBytes("UTF-8")))
+      }
       s.out.close()
       s.idx match {
         case Some(builder) =>
