@@ -377,6 +377,31 @@ object FormatScans {
       Some("""SELECT 'sq0' AS seqname, 'gene' AS type,
         CAST(8 AS BIGINT) AS start, CAST(13 AS BIGINT) AS "end"""")),
 
+    // ---- VCF write round trip: header reconstructed from the schema,
+    //      records re-parsed by the same reader the scan gate proves ----
+    // VcfWriteSpec carries samples/typed-genotype and bgzf+tabix
+    // coverage; the gate pins the plain round trip's values.
+    "fmt_vcf_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_vcfw").toString
+        GraftIO.read_vcf_file_records(s, s"$F/vcf/test.vcf")
+          .write.mode("overwrite").format("vcf").save(dir)
+        GraftIO.read_vcf_file_records(s, dir)
+          .selectExpr("chrom", "pos", "ref",
+            "array_join(alt, ',') AS alt", "qual",
+            "info.indel AS indel", "info.dp AS dp",
+            "round(info.af[0], 4) AS af0")
+          .orderBy("chrom", "pos")
+      },
+      Some("""SELECT '1' AS chrom, CAST(101 AS BIGINT) AS pos, 'G' AS ref, '<*>' AS alt,
+          CAST(0 AS REAL) AS qual, CAST(NULL AS BOOLEAN) AS indel, 1 AS dp,
+          CAST(NULL AS FLOAT) AS af0
+        UNION ALL SELECT '1', 205, 'A', 'C,T', 29.5, NULL, 14, 0.5
+        UNION ALL SELECT '1', 990, 'T', 'TA', 12, true, 7, NULL
+        UNION ALL SELECT '2', 55, 'C', 'G', 8, NULL, 3, NULL
+        UNION ALL SELECT '2', 777, 'GG', 'G', 3.5, true, 2, 1.0
+        ORDER BY chrom, pos""")),
+
     // COPY TO STDOUT analog through the gate: distributed per-record
     // rendering, golden is the literal format text.
     "fmt_render_text" -> Q(
