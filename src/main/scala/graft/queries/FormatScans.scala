@@ -77,6 +77,21 @@ object FormatScans {
         CAST(8 AS BIGINT) AS thick_start, CAST(13 AS BIGINT) AS thick_end, CAST(NULL AS VARCHAR) AS color,
         CAST(2 AS BIGINT) AS block_count, '2,1' AS block_sizes, '0,3' AS block_starts""")),
 
+    // ---- BED write round trip: 1-based internal -> 0-based file and
+    //      back; trailing-column omission + placeholder rules are the
+    //      reader's null mapping run in reverse ----
+    "fmt_bed_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_bedw").toString
+        GraftIO.read_bed_file(s, s"$F/bed/test12.bed")
+          .write.mode("overwrite").format("bed").save(dir)
+        GraftIO.read_bed_file(s, dir)
+      },
+      Some("""SELECT 'sq0' AS reference_sequence_name, CAST(8 AS BIGINT) AS start, CAST(13 AS BIGINT) AS "end",
+        CAST(NULL AS VARCHAR) AS name, CAST(NULL AS BIGINT) AS score, CAST(NULL AS VARCHAR) AS strand,
+        CAST(8 AS BIGINT) AS thick_start, CAST(13 AS BIGINT) AS thick_end, CAST(NULL AS VARCHAR) AS color,
+        CAST(2 AS BIGINT) AS block_count, '2,1' AS block_sizes, '0,3' AS block_starts""")),
+
     "fmt_sam_scan" -> Q(
       (s, _) => GraftIO.read_sam_file_records(s, s"$F/sam/example.sam").orderBy("name"),
       Some("""SELECT 'r001' AS name, 99 AS flag, 'ref1' AS reference, CAST(1 AS BIGINT) AS start,

@@ -262,6 +262,7 @@ object BedFormat extends GraftFormat {
   override def name = "bed"
   override def extensions = Seq("bed")
   override def splittable = true
+  override def formatter: Option[RecordFormatter] = Some(BedFormatter)
   override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
     StructType(Seq(
       StructField("reference_sequence_name", StringType),

@@ -31,6 +31,49 @@ object FastqFormatter extends RecordFormatter {
   }
 }
 
+/** BED rendering — the inverse of BedFormat's parser at the record
+  * level: internal 1-based starts shift back to the file's 0-based
+  * convention, trailing all-null columns are omitted (BED is
+  * positional), interior nulls render as the spec's placeholders
+  * ('.' for text fields, '0' for score/color — exactly the values the
+  * reader maps back to NULL, so parse ∘ write = id holds). */
+object BedFormatter extends graft.sources.core.GenomicRecordFormatter {
+  override def fileExtension = ".bed"
+
+  /** UCSC preset (0-based half-open coordinates on columns 1,2,3) —
+    * htslib's `tabix -p bed`. */
+  override def tabixConfig: (Int, Int, Int, Int, Char) = (0x10000, 1, 2, 3, '#')
+
+  override def coordsOf(row: InternalRow, schema: StructType): (String, Long, Long) =
+    (row.getUTF8String(0).toString, row.getLong(1) - 1, row.getLong(2))
+
+  override def format(row: InternalRow, schema: StructType): String = {
+    // column -> rendered text (null = absent); starts shift back -1
+    val cells: IndexedSeq[String] = IndexedSeq(
+      row.getUTF8String(0).toString,
+      (row.getLong(1) - 1).toString,
+      row.getLong(2).toString,
+      if (row.isNullAt(3)) null else row.getUTF8String(3).toString,
+      if (row.isNullAt(4)) null else row.getLong(4).toString,
+      if (row.isNullAt(5)) null else row.getUTF8String(5).toString,
+      if (row.isNullAt(6)) null else (row.getLong(6) - 1).toString,
+      if (row.isNullAt(7)) null else row.getLong(7).toString,
+      if (row.isNullAt(8)) null else row.getUTF8String(8).toString,
+      if (row.isNullAt(9)) null else row.getLong(9).toString,
+      if (row.isNullAt(10)) null else row.getUTF8String(10).toString,
+      if (row.isNullAt(11)) null else row.getUTF8String(11).toString)
+    val last = cells.lastIndexWhere(_ != null)
+    val out = (0 to last).map { i =>
+      cells(i) match {
+        case null if i == 4 || i == 8 => "0" // score / color placeholders
+        case null                     => "."
+        case v                        => v
+      }
+    }
+    out.mkString("\t") + "\n"
+  }
+}
+
 /** VCF text rendering — the inverse of VcfFormat's parser at the
   * RECORD level (`parse ∘ write = id` on values; the original byte
   * text is not preserved — '1.0' may re-render as '1.0' vs '1', field

@@ -186,4 +186,23 @@ class WriterRoundTripSpec extends AnyFunSuite {
     val back = GraftIO.read_gff(spark, dir)
     assert(back.orderBy("seqname").collect().toSeq == src.orderBy("seqname").collect().toSeq)
   }
+
+  test("bed round-trip: 12-col and 3-col fixtures, trailing columns omitted") {
+    for (fx <- Seq("test12.bed", "test3.bed")) {
+      val src = GraftIO.read_bed_file(spark, s"src/test/resources/fixtures/bed/$fx")
+      val dir = tmp()
+      src.write.mode("overwrite").format("bed").save(dir)
+      val back = GraftIO.read_bed_file(spark, dir)
+      assert(back.orderBy("reference_sequence_name", "start").collect().toSeq ==
+        src.orderBy("reference_sequence_name", "start").collect().toSeq, fx)
+    }
+    // a 3-col record must render as exactly 3 fields (no padded nulls)
+    val dir = tmp()
+    GraftIO.read_bed_file(spark, "src/test/resources/fixtures/bed/test3.bed")
+      .write.mode("overwrite").format("bed").save(dir)
+    val line = scala.io.Source.fromFile(
+      new java.io.File(dir).listFiles.find(_.getName.endsWith(".bed")).get)
+      .getLines().next()
+    assert(line.split("\t").length == 3, line)
+  }
 }
