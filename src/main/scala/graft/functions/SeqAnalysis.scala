@@ -27,6 +27,39 @@ object SeqAnalysis {
     * `reverse_complement` scalar (see SeqOps.reverseComplement) — a
     * counter must use the mathematically correct strand fold.
     */
+  /** Minimizer sketch of a sequence column — the k-mer sampling
+    * minimap2-class aligners anchor on: in every window of `window`
+    * consecutive k-mers, keep the one with the smallest hash. Any two
+    * sequences sharing an exact run of `k + window - 1` bases share a
+    * minimizer DETERMINISTICALLY (the winnowing guarantee — same
+    * property, genomic alphabet), so shared-minimizer pairs are overlap
+    * candidates at ~1/window the index size of all k-mers.
+    *
+    * Hashes are md5-derived (first 15 hex chars as a positive int64),
+    * the same engine-recomputable convention the text winnowing and
+    * SimHash entries use — an external system (or the DuckDB oracle)
+    * can rebuild identical sketches from the published formula.
+    *
+    * Scale shape: per-row HOF transform (codegen, no shuffle) then
+    * explode+distinct; downstream joins on the minimizer key are
+    * posting-list joins bounded like every sketch family here. Output:
+    * (`idCol`, minimizer) rows. */
+  def minimizers(df: DataFrame, idCol: String = "id",
+                 seqCol: String = "sequence", k: Int = 4,
+                 window: Int = 3): DataFrame = {
+    require(k >= 1 && window >= 1,
+      s"SeqAnalysis.minimizers: k ($k) and window ($window) must be >= 1")
+    require(df.columns.contains(idCol) && df.columns.contains(seqCol),
+      s"SeqAnalysis.minimizers: need columns '$idCol' and '$seqCol'")
+    df.where(length(col(seqCol)) >= k + window - 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, length(`$seqCol`) - ${k - 1}), i ->
+              cast(conv(substr(md5(substring(`$seqCol`, i, $k)), 1, 15), 16, 10) as bigint))"""))
+      .select(col(idCol), explode(expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $window), j -> array_min(slice(hs, j + 1, $window))))"))
+        .as("minimizer"))
+  }
+
   def kmerCounts(df: DataFrame, seqCol: String = "sequence", k: Int = 4,
                  canonical: Boolean = true): DataFrame = {
     require(k >= 1, s"SeqAnalysis.kmerCounts: k ($k) must be >= 1")

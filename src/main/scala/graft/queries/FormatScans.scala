@@ -42,6 +42,25 @@ object FormatScans {
         canon AS (SELECT least(kmer, reverse(translate(kmer, 'ACGT', 'TGCA'))) AS kmer FROM km)
         SELECT kmer, count(*) AS n FROM canon GROUP BY kmer ORDER BY kmer""")),
 
+    // ---- minimizer sketch over a FASTA scan ----
+    // [[graft.functions.SeqAnalysis.minimizers]] — the minimap2-style
+    // k-mer sampling; the oracle rebuilds identical sketches from the
+    // published md5 hash formula over the fixture's literal sequences.
+    "fmt_minimizers" -> Q(
+      (s, _) => graft.functions.SeqAnalysis.minimizers(
+          GraftIO.read_fasta(s, s"$F/fasta/test.fasta.gz"))
+        .orderBy("id", "minimizer"),
+      Some("""WITH seqs AS (SELECT 'r1' AS id, 'ATCGATCGGGCC' AS seq
+                UNION ALL SELECT 'r2', 'TTTTACGT'),
+        h AS (SELECT id,
+            [CAST(('0x' || substr(md5(substr(seq, i, 4)), 1, 15)) AS BIGINT)
+             for i in range(1, len(seq) - 2)] AS hs
+          FROM seqs WHERE len(seq) >= 6),
+        m AS (SELECT id,
+            unnest(list_distinct([list_min(hs[j:j+2]) for j in range(1, len(hs) - 1)])) AS minimizer
+          FROM h)
+        SELECT id, minimizer FROM m ORDER BY id, minimizer""")),
+
     "fmt_fastq_scan" -> Q(
       (s, _) => GraftIO.read_fastq(s, s"$F/fastq/test.fastq").orderBy("name"),
       Some("""SELECT 'q1' AS name, 'read one' AS description, 'GATTACAGATTACA' AS sequence, 'IIIIIIIIIIIIII' AS quality_scores

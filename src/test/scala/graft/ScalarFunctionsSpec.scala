@@ -130,4 +130,29 @@ class ScalarFunctionsSpec extends AnyFunSuite {
       graft.functions.SeqAnalysis.kmerCounts(df, seqCol = "nope")
     }
   }
+
+  test("SeqAnalysis.minimizers: winnowing guarantee and sampling bound") {
+    val spark2 = SparkTestSession.get
+    import spark2.implicits._
+    // k=4, window=3: any shared run of k+w-1 = 6 bases forces a shared
+    // minimizer. Sequences share the run ACGTAC inside different flanks.
+    val df = Seq(
+      ("a", "GGGGACGTACGGGG"),
+      ("b", "TTACGTACTTTTTT"),
+      ("c", "CCCCCCCCCCCCCC")).toDF("id", "sequence")
+    val fps = graft.functions.SeqAnalysis.minimizers(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byId = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byId("a") intersect byId("b")).nonEmpty, byId)
+    assert((byId("a") intersect byId("c")).isEmpty)
+    // sampling: far fewer minimizers than k-mers (11 kmers in seq a)
+    assert(byId("a").size < 11)
+    // too-short sequences contribute nothing, not an error
+    val short = graft.functions.SeqAnalysis.minimizers(
+      Seq(("s", "ACGT")).toDF("id", "sequence"))
+    assert(short.count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.functions.SeqAnalysis.minimizers(df, k = 0)
+    }
+  }
 }
