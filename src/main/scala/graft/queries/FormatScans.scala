@@ -89,6 +89,23 @@ object FormatScans {
         UNION ALL SELECT 'chr1', 'exon', 12613, 12721, NULL, 'G0001', 'T0002'
         ORDER BY start""")),
 
+    // ---- GTF write round trip: quoted attrs re-grouped on read ----
+    "fmt_gtf_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_gtfw").toString
+        GraftIO.read_gtf(s, s"$F/gtf/test.gtf")
+          .write.mode("overwrite").format("gtf").save(dir)
+        GraftIO.read_gtf(s, dir)
+          .selectExpr("seqname", "type", "start", "end", "frame",
+            "attributes['gene_id'][0] AS gene_id",
+            "attributes['transcript_id'][0] AS transcript_id")
+          .orderBy("start")
+      },
+      Some("""SELECT 'chr1' AS seqname, 'exon' AS type, CAST(11869 AS BIGINT) AS start, CAST(12227 AS BIGINT) AS "end",
+          CAST(NULL AS VARCHAR) AS frame, 'G0001' AS gene_id, 'T0001' AS transcript_id
+        UNION ALL SELECT 'chr1', 'exon', 12613, 12721, NULL, 'G0001', 'T0002'
+        ORDER BY start""")),
+
     "fmt_bed_scan" -> Q(
       (s, _) => GraftIO.read_bed_file(s, s"$F/bed/test12.bed"),
       Some("""SELECT 'sq0' AS reference_sequence_name, CAST(8 AS BIGINT) AS start, CAST(13 AS BIGINT) AS "end",

@@ -239,6 +239,7 @@ object GffFormat extends GffLikeFormat("gff", "phase") {
 
 object GtfFormat extends GffLikeFormat("gtf", "frame") {
   override def extensions = Seq("gtf")
+  override def formatter: Option[RecordFormatter] = Some(GtfFormatter)
   /** `key "value"; key2 "v2";` -> {key:[value],…}; repeated keys append. */
   override protected def parseAttributes(raw: String): ArrayBasedMapData = {
     val grouped = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[String]]

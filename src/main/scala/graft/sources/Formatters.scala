@@ -31,6 +31,48 @@ object FastqFormatter extends RecordFormatter {
   }
 }
 
+/** GTF rendering — GFF columns with `key "value"; key2 "v";`
+  * attributes; a multi-valued key re-renders as repeated `key "v"`
+  * segments, exactly what the reader groups back into an array, so
+  * parse ∘ write = id at the record level. */
+object GtfFormatter extends graft.sources.core.GenomicRecordFormatter {
+  override def fileExtension = ".gtf"
+
+  override def coordsOf(row: InternalRow, schema: StructType): (String, Long, Long) =
+    (row.getUTF8String(0).toString, row.getLong(3) - 1, row.getLong(4))
+
+  /** Generic preset over (seqname, start, end) — `tabix -p gff` works
+    * for GTF too (same 1-based inclusive columns). */
+  override def tabixConfig: (Int, Int, Int, Int, Char) = (0, 1, 4, 5, '#')
+
+  override def format(row: InternalRow, schema: StructType): String = {
+    def s(i: Int): String = if (row.isNullAt(i)) "." else row.getUTF8String(i).toString
+    val score = if (row.isNullAt(5)) "." else row.getFloat(5).toString
+    val attrs =
+      if (row.isNullAt(8)) "."
+      else {
+        val m = row.getMap(8)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i < m.numElements()) {
+          val k = keys.getUTF8String(i).toString
+          val vs = vals.getArray(i)
+          var j = 0
+          while (j < vs.numElements()) {
+            if (sb.length() > 0) sb.append(' ')
+            sb.append(k).append(" \"").append(vs.getUTF8String(j)).append("\";")
+            j += 1
+          }
+          i += 1
+        }
+        if (sb.length() == 0) "." else sb.toString
+      }
+    s"${s(0)}\t${s(1)}\t${s(2)}\t${row.getLong(3)}\t${row.getLong(4)}\t$score\t${s(6)}\t${s(7)}\t$attrs\n"
+  }
+}
+
 /** BED rendering — the inverse of BedFormat's parser at the record
   * level: internal 1-based starts shift back to the file's 0-based
   * convention, trailing all-null columns are omitted (BED is

@@ -187,6 +187,15 @@ class WriterRoundTripSpec extends AnyFunSuite {
     assert(back.orderBy("seqname").collect().toSeq == src.orderBy("seqname").collect().toSeq)
   }
 
+  test("gtf round-trip: quoted attributes, repeated keys regroup into arrays") {
+    val src = GraftIO.read_gtf(spark, "src/test/resources/fixtures/gtf/test.gtf")
+    val dir = tmp()
+    src.write.mode("overwrite").format("gtf").save(dir)
+    val back = GraftIO.read_gtf(spark, dir)
+    assert(back.orderBy("start").collect().toSeq ==
+      src.orderBy("start").collect().toSeq)
+  }
+
   test("bed round-trip: 12-col and 3-col fixtures, trailing columns omitted") {
     for (fx <- Seq("test12.bed", "test3.bed")) {
       val src = GraftIO.read_bed_file(spark, s"src/test/resources/fixtures/bed/$fx")
