@@ -42,6 +42,26 @@ object FormatScans {
         canon AS (SELECT least(kmer, reverse(translate(kmer, 'ACGT', 'TGCA'))) AS kmer FROM km)
         SELECT kmer, count(*) AS n FROM canon GROUP BY kmer ORDER BY kmer""")),
 
+    // ---- faidx random-access subsequence fetch ----
+    // samtools-faidx semantics over a .fai the library builds itself
+    // ([[graft.sources.Faidx]]); FaidxSpec carries the random-region
+    // property coverage over wrapped multi-contig files. The fixture is
+    // copied to a temp dir so the sidecar never lands in the repo tree.
+    "fmt_faidx_query" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_fai").toString
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$F/fasta/test.fasta"),
+          java.nio.file.Paths.get(s"$dir/test.fasta"))
+        GraftIO.fasta_query(s, s"$dir/test.fasta",
+          Seq("r1:3-8", "r2:2-5", "r2", "nope:1-3"))
+          .orderBy("name", "start")
+      },
+      Some("""SELECT 'r1' AS name, CAST(3 AS BIGINT) AS start, CAST(8 AS BIGINT) AS "end", 'CGATCG' AS sequence
+        UNION ALL SELECT 'r2', 1, 8, 'TTTTACGT'
+        UNION ALL SELECT 'r2', 2, 5, 'TTTA'
+        ORDER BY name, start""")),
+
     // ---- minimizer sketch over a FASTA scan ----
     // [[graft.functions.SeqAnalysis.minimizers]] — the minimap2-style
     // k-mer sampling; the oracle rebuilds identical sketches from the

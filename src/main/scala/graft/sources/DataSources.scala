@@ -106,6 +106,35 @@ object GraftIO {
   def bam_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bam", path, Map("region" -> region))
   /** WARC web-archive records (beyond the reference; LLM-corpus ingest). */
   def read_warc(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "warc", path, options)
+
+  /** Random-access FASTA subsequence fetch — samtools-faidx semantics
+    * over a `.fai` sidecar ([[Faidx]]; built on first use when
+    * missing). Regions are 'name' or 'name:lo-hi' (1-based inclusive,
+    * clamped); unknown names yield no row (provably empty, the
+    * indexed-query convention here). Fetches run EXECUTOR-side, one
+    * task batch per region partition, each reading only its region's
+    * byte span — so a million loci against a 3 GB reference is a
+    * distributed point-read workload, not a million file scans. */
+  def fasta_query(s: SparkSession, path: String, regions: Seq[String]): DataFrame = {
+    require(regions.nonEmpty, "fasta_query: no regions given")
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val entries = Faidx.load(path, sconf.value)
+      .getOrElse(Faidx.build(path, sconf.value))
+    val byName = s.sparkContext.broadcast(entries.map(e => e.name -> e).toMap)
+    import s.implicits._
+    s.createDataset(regions)
+      .repartition(math.min(regions.size, 32))
+      .flatMap { r =>
+        val (name, lo, hi) = VcfFormat.parseRegion(r)
+        byName.value.get(name).map { e =>
+          val lo2 = math.max(lo, 1L)
+          val hi2 = math.min(hi, e.length)
+          (name, lo2, hi2, Faidx.fetch(path, sconf.value, e, lo2, hi2))
+        }
+      }
+      .toDF("name", "start", "end", "sequence")
+  }
   /** Bare-path auto-dispatch (replacement scan analog). */
   def read_auto(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "exon", path, options)
 
