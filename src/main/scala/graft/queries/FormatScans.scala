@@ -109,6 +109,21 @@ object FormatScans {
         UNION ALL SELECT 'chr1', 'exon', 12613, 12721, NULL, 'G0001', 'T0002'
         ORDER BY start""")),
 
+    // ---- SAM write round trip on the modeled columns ----
+    "fmt_sam_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_samw").toString
+        GraftIO.read_sam_file_records(s, s"$F/sam/example.sam")
+          .write.mode("overwrite").format("sam").save(dir)
+        GraftIO.read_sam_file_records(s, dir).orderBy("name")
+      },
+      Some("""SELECT 'r001' AS name, 99 AS flag, 'ref1' AS reference, CAST(1 AS BIGINT) AS start,
+          CAST(10 AS BIGINT) AS "end", '0' AS mapping_quality, '10M' AS cigar, 'ref1' AS mate_reference,
+          'CGAGCTCGGT' AS sequence, '!!!!!!!!!!' AS quality_score
+        UNION ALL SELECT 'r002', 147, 'ref1', 25, 32, '30', '5M2I3M', 'ref1', 'ACGTACGTAC', 'IIIIIIIIII'
+        UNION ALL SELECT 'r003', 4, NULL, NULL, NULL, NULL, NULL, NULL, 'AAAA', NULL
+        ORDER BY name""")),
+
     // ---- GTF write round trip: quoted attrs re-grouped on read ----
     "fmt_gtf_write_roundtrip" -> Q(
       (s, _) => {

@@ -308,6 +308,7 @@ object SamFormat extends GraftFormat {
   override def name = "sam"
   override def extensions = Seq("sam")
   override def splittable = true
+  override def formatter: Option[RecordFormatter] = Some(SamFormatter)
   override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
     SamFormat.recordSchema
   val recordSchema: StructType =

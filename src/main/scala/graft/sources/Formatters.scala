@@ -31,6 +31,31 @@ object FastqFormatter extends RecordFormatter {
   }
 }
 
+/** SAM rendering — the inverse of SamFormat's parser for the columns
+  * the read schema KEEPS: QNAME..CIGAR, RNEXT (already
+  * '='-resolved on read, re-rendered as the explicit name), SEQ, QUAL.
+  * PNEXT/TLEN and optional tags are not part of the read schema and
+  * render as their null placeholders (0/0, none) — a documented loss;
+  * `end` is CIGAR-derived and re-derives identically on read-back.
+  * NULLs render as the SAM spec placeholders the reader maps back
+  * ('*', 0, 255), so parse ∘ write = id on the modeled columns. */
+object SamFormatter extends RecordFormatter {
+  override def fileExtension = ".sam"
+
+  override def fileHeader(firstRow: Option[InternalRow],
+                          schema: StructType): Option[String] =
+    Some("@HD\tVN:1.6\tSO:unknown\n")
+
+  override def format(row: InternalRow, schema: StructType): String = {
+    def s(i: Int, nul: String): String =
+      if (row.isNullAt(i)) nul else row.getUTF8String(i).toString
+    val pos = if (row.isNullAt(3)) 0L else row.getLong(3)
+    val mapq = s(5, "255")
+    s"${s(0, "*")}\t${row.getInt(1)}\t${s(2, "*")}\t$pos\t$mapq\t" +
+      s"${s(6, "*")}\t${s(7, "*")}\t0\t0\t${s(8, "*")}\t${s(9, "*")}\n"
+  }
+}
+
 /** GTF rendering — GFF columns with `key "value"; key2 "v";`
   * attributes; a multi-valued key re-renders as repeated `key "v"`
   * segments, exactly what the reader groups back into an array, so

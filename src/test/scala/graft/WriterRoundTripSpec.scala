@@ -196,6 +196,20 @@ class WriterRoundTripSpec extends AnyFunSuite {
       src.orderBy("start").collect().toSeq)
   }
 
+  test("sam round-trip: placeholders map back to NULL, end re-derives from CIGAR") {
+    val src = GraftIO.read_sam_file_records(spark, "src/test/resources/fixtures/sam/example.sam")
+    val dir = tmp()
+    src.write.mode("overwrite").format("sam").save(dir)
+    val back = GraftIO.read_sam_file_records(spark, dir)
+    assert(back.orderBy("name").collect().toSeq ==
+      src.orderBy("name").collect().toSeq)
+    // the written file carries a minimal @HD header
+    val first = scala.io.Source.fromFile(
+      new java.io.File(dir).listFiles.find(_.getName.endsWith(".sam")).get)
+      .getLines().next()
+    assert(first.startsWith("@HD\t"), first)
+  }
+
   test("bed round-trip: 12-col and 3-col fixtures, trailing columns omitted") {
     for (fx <- Seq("test12.bed", "test3.bed")) {
       val src = GraftIO.read_bed_file(spark, s"src/test/resources/fixtures/bed/$fx")
