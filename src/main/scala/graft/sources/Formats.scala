@@ -163,7 +163,7 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
   override def regionChunks(path: String, region: String,
                             conf: Configuration): Option[Seq[(Long, Long)]] = {
     if (!path.toLowerCase.endsWith(".gz")) return None
-    graft.sources.TabixIndex.load(path, conf).map { idx =>
+    graft.sources.TabixIndex.load(path, conf).orElse(graft.sources.CsiIndex.load(path, conf)).map { idx =>
       val (chr, lo, hi) = VcfFormat.parseRegion(region)
       idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
         .map(c => (c.beg, c.end))

@@ -176,12 +176,28 @@ object CsiIndex {
     val minShift = bb.getInt
     val depth = bb.getInt
     val lAux = bb.getInt
-    bb.position(bb.position() + lAux)
+    // tabix-flavored CSI (htslib `tabix --csi`, and this library's own
+    // writer) carries the text configuration + NUL-separated reference
+    // names in aux — without them a name-addressed query cannot resolve.
+    // BCF's CSI has rid-addressed refs and (usually) empty aux.
+    val auxStart = bb.position()
+    val names: IndexedSeq[String] =
+      if (lAux >= 28) {
+        bb.position(auxStart + 24)
+        val lNm = bb.getInt
+        if (lNm >= 0 && 28 + lNm <= lAux) {
+          val nameBytes = new Array[Byte](lNm)
+          bb.get(nameBytes)
+          new String(nameBytes, StandardCharsets.UTF_8)
+            .split('\u0000').toIndexedSeq.filter(_.nonEmpty)
+        } else IndexedSeq.empty
+      } else IndexedSeq.empty
+    bb.position(auxStart + lAux)
     val nRef = bb.getInt
     val refs = (0 until nRef).map { _ =>
       val (bins, loffs) = readBins(bb, bb.getInt, withLoffset = true)
       RefIndex(bins, Array.emptyLongArray, loffs)
     }
-    Some(Index(IndexedSeq.empty, refs, minShift, depth))
+    Some(Index(names, refs, minShift, depth))
   }
 }

@@ -137,7 +137,7 @@ object VcfFormat extends GraftFormat {
   override def regionChunks(path: String, region: String,
                             conf: Configuration): Option[Seq[(Long, Long)]] = {
     if (!path.toLowerCase.endsWith(".gz")) return None
-    TabixIndex.load(path, conf).map { idx =>
+    TabixIndex.load(path, conf).orElse(graft.sources.CsiIndex.load(path, conf)).map { idx =>
       val (chr, lo, hi) = parseRegion(region)
       idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
         .map(c => (c.beg, c.end))

@@ -183,17 +183,23 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
     // the task that writes it (no extra pass, no driver funnel). Demands
     // BGZF framing (virtual offsets only exist there) and a formatter
     // that can say where each record lives on the genome.
-    val indexing = options.get("index").map(_.toLowerCase).filter(_ != "none") match {
-      case None => false
-      case Some("tabix") =>
-        require(codec.contains("bgzf"),
-          "index=tabix requires compression=bgzf (virtual offsets are BGZF coordinates)")
-        require(formatter.isInstanceOf[GenomicRecordFormatter],
-          s"index=tabix: ${formatter.getClass.getSimpleName} has no genomic coordinates")
-        true
-      case Some(other) =>
-        throw new IllegalArgumentException(s"unknown index kind '$other' (want: tabix)")
-    }
+    val indexKind: Option[String] =
+      options.get("index").map(_.toLowerCase).filter(_ != "none") match {
+        case None => None
+        case Some(k @ ("tabix" | "csi")) =>
+          require(codec.contains("bgzf"),
+            s"index=$k requires compression=bgzf (virtual offsets are BGZF coordinates)")
+          require(formatter.isInstanceOf[GenomicRecordFormatter],
+            s"index=$k: ${formatter.getClass.getSimpleName} has no genomic coordinates")
+          Some(k)
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"unknown index kind '$other' (want: tabix | csi)")
+      }
+    // CSI binning scheme (ignored for tabix, which fixes 14/5); a
+    // larger depth addresses contigs past the classic 512 Mbp limit
+    val csiMinShift = options.get("index.minshift").map(_.toInt).getOrElse(14)
+    val csiDepth = options.get("index.depth").map(_.toInt).getOrElse(5)
     val ext = formatter.fileExtension + (codec match {
       case Some("gzip") | Some("bgzf") => ".gz" // bgzf IS gzip on the wire
       case Some("zstd")                => ".zst"
@@ -271,7 +277,10 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
       }
       Sink(out, temp, dest,
         bgzf = out match { case b: BgzfOutputStream => Some(b); case _ => None },
-        idx = if (indexing) Some(new TabixIndexBuilder) else None)
+        idx = indexKind.map {
+          case "csi" => new TabixIndexBuilder(csiMinShift, csiDepth)
+          case _     => new TabixIndexBuilder()
+        })
     }
 
     def writeRecord(s: Sink, record: InternalRow): Unit = {
@@ -307,11 +316,14 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
         case Some(builder) =>
           val gf = formatter.asInstanceOf[GenomicRecordFormatter]
           val (preset, cSeq, cBeg, cEnd, meta) = gf.tabixConfig
-          val tbiTemp = s.temp.suffix(".tbi")
-          val tbiOut = fs.create(tbiTemp, true)
-          builder.finish(tbiOut, preset, cSeq, cBeg, cEnd, meta)
+          val ext = if (indexKind.contains("csi")) ".csi" else ".tbi"
+          val idxTemp = s.temp.suffix(ext)
+          val idxOut = fs.create(idxTemp, true)
+          if (indexKind.contains("csi"))
+            builder.finishCsi(idxOut, preset, cSeq, cBeg, cEnd, meta)
+          else builder.finish(idxOut, preset, cSeq, cBeg, cEnd, meta)
           Seq((s.temp.toString, s.dest.toString),
-            (tbiTemp.toString, s.dest.suffix(".tbi").toString))
+            (idxTemp.toString, s.dest.suffix(ext).toString))
         case None => Seq((s.temp.toString, s.dest.toString))
       }
     }
@@ -321,10 +333,12 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
     def quietClean(s: Sink): Unit = {
       try s.out.close() catch { case _: Exception => }
       try if (fs.exists(s.temp)) fs.delete(s.temp, false) catch { case _: Exception => }
-      try {
-        val t = s.temp.suffix(".tbi")
-        if (fs.exists(t)) fs.delete(t, false)
-      } catch { case _: Exception => }
+      Seq(".tbi", ".csi").foreach { ext =>
+        try {
+          val t = s.temp.suffix(ext)
+          if (fs.exists(t)) fs.delete(t, false)
+        } catch { case _: Exception => }
+      }
     }
 
     if (partCols.isEmpty) {

@@ -6,28 +6,32 @@ import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
 
-/** Tabix (.tbi) index construction — the write-side inverse of
-  * [[graft.sources.TabixIndex]], from the published htslib format: the
-  * classic (min_shift=14, depth=5) bin R-tree plus a 16 kb linear
-  * index, BGZF-compressed on disk. Building while WRITING closes the
-  * round trip the read side opened: a sink that emits coordinate-sorted
-  * BGZF text can ship a sidecar index that this library's own region
-  * readers — and stock htslib tooling — can query without scanning.
+/** Tabix (.tbi) / CSI (.csi) index construction — the write-side
+  * inverse of [[graft.sources.TabixIndex]]/[[graft.sources.CsiIndex]],
+  * from the published htslib formats: a bin R-tree over genomic
+  * intervals plus a lower-bound structure (16 kb linear index for TBI,
+  * per-bin loffset for CSI), BGZF-compressed on disk. Building while
+  * WRITING closes the round trip the read side opened: a sink that
+  * emits coordinate-sorted BGZF text ships a sidecar index this
+  * library's own region readers — and stock htslib tooling — can query
+  * without scanning.
   *
-  * One builder indexes ONE output file. Records must arrive
-  * coordinate-sorted (references grouped, starts non-decreasing within
-  * a reference) — the same precondition `tabix` the tool enforces — and
-  * the builder throws on violation rather than emit an index that
-  * silently drops records at query time.
+  * TBI fixes (minShift=14, depth=5) and addresses 2^29 bases; CSI
+  * parameterizes both, so contigs past 512 Mbp index with e.g.
+  * depth=6. One builder indexes ONE output file; records must arrive
+  * coordinate-sorted (the builder throws on violation rather than emit
+  * an index that silently drops records at query time).
   *
-  * Scale note: the builder is O(1) amortized per record and its state
-  * is bounded by bins-touched + 16 kb windows per reference, so it adds
-  * nothing to the writer's shuffle or memory profile; at cluster scale
-  * every part file gets its own sidecar index in the same task that
-  * wrote it (index build is embarrassingly parallel, like the write).
+  * Scale note: the builder is O(1) amortized per record with state
+  * bounded by bins-touched + linear windows per reference, so it adds
+  * nothing to the writer's shuffle or memory profile; every part file
+  * gets its own sidecar in the task that wrote it (index build is
+  * embarrassingly parallel, like the write).
   */
-final class TabixIndexBuilder {
+final class TabixIndexBuilder(minShift: Int = 14, depth: Int = 5) {
   import TabixIndexBuilder._
+
+  private val maxPos = 1L << (minShift + 3 * depth)
 
   private final class Ref(val name: String) {
     val bins = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[(Long, Long)]]
@@ -35,6 +39,7 @@ final class TabixIndexBuilder {
     // 0 cannot double as the sentinel — that exact confusion would give
     // window 0 a too-high lower bound and prune the first chunk away
     val linear = mutable.ArrayBuffer.empty[Long]
+    val loffsets = mutable.HashMap.empty[Int, Long] // CSI: first voff per bin
     var lastBeg = -1L
   }
 
@@ -48,8 +53,9 @@ final class TabixIndexBuilder {
     require(!finished, "TabixIndexBuilder: add after finish")
     require(beg0 >= 0 && end0 > beg0,
       s"TabixIndexBuilder: bad interval [$beg0, $end0) on $name")
-    require(end0 <= MaxPos,
-      s"TabixIndexBuilder: $name:$end0 exceeds the classic tabix 2^29 limit (use CSI)")
+    require(end0 <= maxPos,
+      s"TabixIndexBuilder: $name:$end0 exceeds this scheme's 2^${minShift + 3 * depth} " +
+        "limit (use CSI with a larger depth)")
     val ref = refByName.get(name) match {
       case Some(rid) =>
         require(rid == refs.length - 1,
@@ -66,7 +72,8 @@ final class TabixIndexBuilder {
       s"TabixIndexBuilder: input not sorted — $name:$beg0 after $name:${ref.lastBeg}")
     ref.lastBeg = beg0
 
-    val bin = reg2bin(beg0, end0)
+    val bin = reg2bin(beg0, end0, minShift, depth)
+    ref.loffsets.getOrElseUpdate(bin, voffBeg)
     ref.bins.getOrElseUpdate(bin, mutable.ArrayBuffer.empty) match {
       case chunks if chunks.nonEmpty && chunks.last._2 == voffBeg =>
         // adjacent records in the same bin coalesce into one chunk —
@@ -75,10 +82,10 @@ final class TabixIndexBuilder {
       case chunks => chunks += ((voffBeg, voffEnd))
     }
 
-    // linear index: smallest voff of any record overlapping each 16 kb
-    // window. Sorted input means first write per window is the minimum.
-    val wBeg = (beg0 >> LinearShift).toInt
-    val wEnd = ((end0 - 1) >> LinearShift).toInt
+    // linear index: smallest voff of any record overlapping each window.
+    // Sorted input means the first write per window is the minimum.
+    val wBeg = (beg0 >> minShift).toInt
+    val wEnd = ((end0 - 1) >> minShift).toInt
     while (ref.linear.length <= wEnd) ref.linear += -1L
     var w = wBeg
     while (w <= wEnd) {
@@ -87,16 +94,7 @@ final class TabixIndexBuilder {
     }
   }
 
-  /** Serialize the .tbi (BGZF-wrapped) to `out` and close it.
-    * `preset`/`colSeq`/`colBeg`/`colEnd`/`meta`/`skip` are the tabix
-    * header's coordinate configuration — readers that parse the data
-    * text themselves (htslib) need them; this library's own reader gets
-    * coordinates from the format parser and ignores them. */
-  def finish(out: OutputStream, preset: Int = 0, colSeq: Int = 1,
-             colBeg: Int = 4, colEnd: Int = 5, meta: Char = '#',
-             skip: Int = 0): Unit = {
-    require(!finished, "TabixIndexBuilder: finish called twice")
-    finished = true
+  private def fillLinear(): Unit =
     // forward-fill unset linear windows with the previous window's
     // offset (htslib's save-time fill): an empty window's lower bound
     // is wherever the previous window started — never 0, which would
@@ -109,8 +107,21 @@ final class TabixIndexBuilder {
         i += 1
       }
     }
-    val names = refs.map(_.name)
-    val nameBlob = names.map(_ + "\u0000").mkString.getBytes(StandardCharsets.UTF_8)
+
+  /** Serialize the .tbi (BGZF-wrapped) to `out` and close it.
+    * `preset`/`colSeq`/`colBeg`/`colEnd`/`meta`/`skip` are the tabix
+    * header's coordinate configuration — readers that parse the data
+    * text themselves (htslib) need them; this library's own reader gets
+    * coordinates from the format parser and ignores them. */
+  def finish(out: OutputStream, preset: Int = 0, colSeq: Int = 1,
+             colBeg: Int = 4, colEnd: Int = 5, meta: Char = '#',
+             skip: Int = 0): Unit = {
+    require(!finished, "TabixIndexBuilder: finish called twice")
+    require(minShift == 14 && depth == 5,
+      "TBI is fixed at (14, 5); use finishCsi for other schemes")
+    finished = true
+    fillLinear()
+    val nameBlob = nameBytes
     val size = 36 + nameBlob.length + refs.map { r =>
       8 + r.bins.valuesIterator.map(c => 8 + 16 * c.length).sum + 8 * r.linear.length
     }.sum
@@ -131,6 +142,48 @@ final class TabixIndexBuilder {
       bb.putInt(r.linear.length)
       r.linear.foreach(bb.putLong)
     }
+    writeBgzf(out, bb)
+  }
+
+  /** Serialize the .csi (BGZF-wrapped) to `out` and close it. The aux
+    * block carries the tabix text configuration + reference names —
+    * exactly what htslib's `tabix --csi` writes, and what lets a
+    * name-addressed query resolve against a CSI over text data. */
+  def finishCsi(out: OutputStream, preset: Int = 0, colSeq: Int = 1,
+                colBeg: Int = 4, colEnd: Int = 5, meta: Char = '#',
+                skip: Int = 0): Unit = {
+    require(!finished, "TabixIndexBuilder: finish called twice")
+    finished = true
+    val nameBlob = nameBytes
+    val aux = ByteBuffer.allocate(28 + nameBlob.length).order(ByteOrder.LITTLE_ENDIAN)
+    aux.putInt(preset).putInt(colSeq).putInt(colBeg).putInt(colEnd)
+    aux.putInt(meta.toInt).putInt(skip).putInt(nameBlob.length)
+    aux.put(nameBlob)
+    val size = 16 + aux.position() + 4 + refs.map { r =>
+      4 + r.bins.valuesIterator.map(c => 16 + 16 * c.length).sum
+    }.sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('C'.toByte).put('S'.toByte).put('I'.toByte).put(1.toByte)
+    bb.putInt(minShift).putInt(depth)
+    bb.putInt(aux.position())
+    bb.put(aux.array(), 0, aux.position())
+    bb.putInt(refs.length)
+    refs.foreach { r =>
+      bb.putInt(r.bins.size)
+      r.bins.foreach { case (bin, chunks) =>
+        bb.putInt(bin)
+        bb.putLong(r.loffsets(bin))
+        bb.putInt(chunks.length)
+        chunks.foreach { case (b, e) => bb.putLong(b); bb.putLong(e) }
+      }
+    }
+    writeBgzf(out, bb)
+  }
+
+  private def nameBytes: Array[Byte] =
+    refs.map(_.name + "\u0000").mkString.getBytes(StandardCharsets.UTF_8)
+
+  private def writeBgzf(out: OutputStream, bb: ByteBuffer): Unit = {
     val bgzf = new BgzfOutputStream(out)
     try bgzf.write(bb.array(), 0, bb.position())
     finally bgzf.close()
@@ -138,18 +191,18 @@ final class TabixIndexBuilder {
 }
 
 object TabixIndexBuilder {
-  /** Classic tabix/BAI binning: min_shift 14, depth 5. */
-  private val LinearShift = 14
-  private val MaxPos = 1L << 29
-
-  /** Deepest bin fully containing [beg0, end0) — htslib's reg2bin. */
-  def reg2bin(beg0: Long, end0: Long): Int = {
+  /** Deepest bin fully containing [beg0, end0) — htslib's reg2bin,
+    * generalized to (minShift, depth); classic tabix/BAI is (14, 5). */
+  def reg2bin(beg0: Long, end0: Long, minShift: Int = 14, depth: Int = 5): Int = {
     val end = end0 - 1
-    if ((beg0 >> 14) == (end >> 14)) (((1 << 15) - 1) / 7 + (beg0 >> 14)).toInt
-    else if ((beg0 >> 17) == (end >> 17)) (((1 << 12) - 1) / 7 + (beg0 >> 17)).toInt
-    else if ((beg0 >> 20) == (end >> 20)) (((1 << 9) - 1) / 7 + (beg0 >> 20)).toInt
-    else if ((beg0 >> 23) == (end >> 23)) (((1 << 6) - 1) / 7 + (beg0 >> 23)).toInt
-    else if ((beg0 >> 26) == (end >> 26)) (((1 << 3) - 1) / 7 + (beg0 >> 26)).toInt
-    else 0
+    var l = depth
+    var s = minShift
+    while (l > 0) {
+      if ((beg0 >> s) == (end >> s))
+        return (((1 << (3 * l)) - 1) / 7 + (beg0 >> s)).toInt
+      s += 3
+      l -= 1
+    }
+    0
   }
 }

@@ -127,6 +127,53 @@ class TabixWriteSpec extends AnyFunSuite {
     assert(chain(faErr).exists(m => m != null && m.contains("no genomic coordinates")))
   }
 
+  test("CSI sidecar: name-addressed queries resolve via aux; deep scheme passes the 512 Mbp wall") {
+    // positions beyond 2^29: classic tabix MUST refuse, CSI depth=6 indexes
+    val dir = java.nio.file.Files.createTempDirectory("graft-csiw").toString
+    val deep = spark.range(500).selectExpr(
+      "'chrBig' AS seqname", "'synth' AS source", "'feature' AS type",
+      "536870912L + id * 10000 AS start", "536870912L + id * 10000 + 500 AS end",
+      "cast(1.0 as float) AS score", "'+' AS strand",
+      "cast(null as string) AS phase",
+      "map('rid', array(cast(id as string))) AS attributes")
+    val tbiErr = intercept[Exception] {
+      deep.repartition(1).sortWithinPartitions("seqname", "start")
+        .write.mode("overwrite")
+        .option("compression", "bgzf").option("index", "tabix")
+        .format("gff").save(dir)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(tbiErr).exists(m => m != null && m.contains("exceeds")))
+
+    deep.repartition(1).sortWithinPartitions("seqname", "start")
+      .write.mode("overwrite")
+      .option("compression", "bgzf").option("index", "csi")
+      .option("index.depth", "6")
+      .format("gff").save(dir)
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".gff.gz.csi")), files.toSeq)
+    val dataFile = dir + "/" + files.find(_.endsWith(".gff.gz")).get
+    // the reader resolves the contig NAME through the aux block
+    val idx = graft.sources.CsiIndex.load(dataFile,
+      spark.sessionState.newHadoopConf()).get
+    assert(idx.names == IndexedSeq("chrBig") && idx.depth == 6)
+    val full = GraftIO.read_gff(spark, dataFile)
+    val lo = 536870912L + 100 * 10000
+    val hi = lo + 55000
+    val want = full.where(col("start") <= hi && col("end") >= lo)
+      .selectExpr("start", "end").collect().map(_.toString).sorted.toSeq
+    val got = GraftIO.read_gff(spark, dataFile,
+        Map("region" -> s"chrBig:$lo-$hi"))
+      .selectExpr("start", "end").collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // and the query planned index-chunk partitions, not a full scan
+    val chunks = idx.queryByName("chrBig", lo - 1, hi)
+    assert(chunks.nonEmpty &&
+      chunks.map(c => (c.end >> 16) - (c.beg >> 16)).sum <
+        new java.io.File(dataFile).length() / 2)
+  }
+
   test("reg2bin agrees with the reader's reg2bins containment") {
     // every interval must appear in its own bin's reg2bins set — the
     // writer/reader bin contract that makes queries complete
