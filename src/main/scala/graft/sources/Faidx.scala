@@ -24,14 +24,35 @@ object Faidx {
   final case class Entry(name: String, length: Long, offset: Long,
                          linebases: Int, linewidth: Int)
 
-  /** Build `path`.fai by streaming the (uncompressed) FASTA once.
-    * Returns the entries; also writes the sidecar. */
+  private def isBgzfPath(path: String): Boolean =
+    path.toLowerCase.endsWith(".gz")
+
+  /** Build `path`.fai by streaming the FASTA once. Plain files record
+    * raw byte offsets; `.gz` files must be BGZF — offsets are then in
+    * UNCOMPRESSED space and a `.gzi` block index ([[core.Gzi]], built
+    * here when absent) translates them to seekable positions, exactly
+    * samtools' `faidx` on bgzipped references. Plain-gzip is refused:
+    * one giant member cannot be entered mid-stream. Returns the
+    * entries; also writes the sidecar(s). */
   def build(path: String, conf: Configuration): Seq[Entry] = {
-    require(!path.toLowerCase.endsWith(".gz") && !path.toLowerCase.endsWith(".zst"),
-      s"faidx: '$path' is compressed — .fai requires seekable (uncompressed) FASTA")
+    require(!path.toLowerCase.endsWith(".zst"),
+      s"faidx: '$path' is zstd — .fai needs raw or BGZF FASTA")
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val in = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
+    if (isBgzfPath(path)) {
+      // bgzf: verify block framing (plain gzip is not seekable) and
+      // make sure the .gzi translation table exists
+      val head = new Array[Byte](18)
+      val probe = fs.open(p)
+      try probe.readFully(head) finally probe.close()
+      require(core.Bgzf.headerBsize(head, 0, 18) > 0,
+        s"faidx: '$path' is gzip but not BGZF — cannot seek; re-compress with bgzf")
+      if (core.Gzi.load(path, conf).isEmpty) core.Gzi.build(path, conf)
+    }
+    val raw: java.io.InputStream =
+      if (isBgzfPath(path)) core.Compression.wrap(fs.open(p), "gzip")
+      else fs.open(p)
+    val in = new java.io.BufferedInputStream(raw, 1 << 16)
     val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
     try {
       var pos = 0L
@@ -111,15 +132,22 @@ object Faidx {
       e.offset + (pos1 - 1) / e.linebases * e.linewidth + (pos1 - 1) % e.linebases
     val from = byteOf(lo)
     val until = byteOf(hi) + 1
-    val p = new Path(path)
-    val in = p.getFileSystem(conf).open(p)
-    try {
-      in.seek(from)
-      val raw = new Array[Byte]((until - from).toInt)
-      in.readFully(raw)
-      val sb = new java.lang.StringBuilder((hi - lo + 1).toInt)
-      raw.foreach { b => if (b != '\n' && b != '\r') sb.append(b.toChar) }
-      sb.toString
-    } finally in.close()
+    val raw: Array[Byte] =
+      if (isBgzfPath(path)) {
+        val gzi = core.Gzi.load(path, conf).getOrElse(core.Gzi.build(path, conf))
+        core.Gzi.readRange(path, conf, gzi, from, until)
+      } else {
+        val p = new Path(path)
+        val in = p.getFileSystem(conf).open(p)
+        try {
+          in.seek(from)
+          val buf = new Array[Byte]((until - from).toInt)
+          in.readFully(buf)
+          buf
+        } finally in.close()
+      }
+    val sb = new java.lang.StringBuilder((hi - lo + 1).toInt)
+    raw.foreach { b => if (b != '\n' && b != '\r') sb.append(b.toChar) }
+    sb.toString
   }
 }

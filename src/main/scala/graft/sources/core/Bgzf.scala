@@ -563,6 +563,14 @@ final class BgzfOutputStream(out: java.io.OutputStream) extends java.io.OutputSt
   private val comp = new Array[Byte](MaxPayload + 1024)
   private var closed = false
   private var compressedWritten = 0L
+  private var uncompressedWritten = 0L
+  // (compressed, uncompressed) offset of each block AFTER the first —
+  // exactly the .gzi (bgzip -i) table; one entry per 64 KB block, so a
+  // 100 GB stream's table is a few MB
+  private val blockTable = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+  /** The .gzi entries accumulated so far (valid after close). */
+  def gziEntries: Seq[(Long, Long)] = blockTable.toSeq
 
   /** BGZF virtual offset of the NEXT byte to be written:
     * compressed-offset-of-current-block << 16 | offset-within-block.
@@ -609,6 +617,8 @@ final class BgzfOutputStream(out: java.io.OutputStream) extends java.io.OutputSt
     t.putInt(crc.getValue.toInt).putInt(n)
     out.write(t.array())
     compressedWritten += bsize
+    uncompressedWritten += n
+    blockTable += ((compressedWritten, uncompressedWritten))
     n = 0
   }
 
@@ -630,4 +640,123 @@ object BgzfOutputStream {
     0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06, 0x00,
     0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
     0x00, 0x00, 0x00, 0x00).map(_.toByte)
+}
+
+/** The .gzi block offset table (`bgzip -i`/`--reindex` sidecar): the
+  * (compressed, uncompressed) start offsets of every BGZF block after
+  * the first, little-endian uint64 pairs behind a uint64 count. It is
+  * what turns UNCOMPRESSED coordinates (a .fai's byte offsets) into
+  * seekable positions in bgzf data — the missing half of random access
+  * over compressed FASTA. */
+object Gzi {
+
+  final case class Index(entries: Array[(Long, Long)]) {
+    /** Block containing uncompressed offset `uoff`:
+      * (compressedBlockStart, uncompressedBlockStart). */
+    def blockOf(uoff: Long): (Long, Long) = {
+      // greatest entry with uncompressed start <= uoff; block 0 is the
+      // implicit (0, 0) entry
+      var lo = -1
+      var hi = entries.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (entries(mid)._2 <= uoff) lo = mid else hi = mid - 1
+      }
+      if (lo < 0) (0L, 0L) else entries(lo)
+    }
+  }
+
+  def save(entries: Seq[(Long, Long)], out: java.io.OutputStream): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 16 * entries.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(entries.length.toLong)
+    entries.foreach { case (c, u) => bb.putLong(c); bb.putLong(u) }
+    out.write(bb.array(), 0, bb.position())
+    out.close()
+  }
+
+  /** Build a .gzi for an EXISTING bgzf file by walking block headers —
+    * BSIZE from the BC extra field, uncompressed size from each
+    * block's ISIZE trailer; no inflation. Writes the sidecar and
+    * returns the index. */
+  def build(dataPath: String, conf: org.apache.hadoop.conf.Configuration): Index = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    try {
+      var c = 0L
+      var u = 0L
+      val header = new Array[Byte](18)
+      val trailer = new Array[Byte](4)
+      while (c < fileLen) {
+        in.seek(c)
+        in.readFully(header)
+        val bsize = Bgzf.headerBsize(header, 0, 18)
+        require(bsize > 0, s"gzi build: not a BGZF block at $c in $dataPath")
+        in.seek(c + bsize - 4)
+        in.readFully(trailer)
+        val isize = java.nio.ByteBuffer.wrap(trailer)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+        c += bsize
+        u += isize
+        // record starts of subsequent DATA blocks only (htslib layout):
+        // skip the entry pointing at the EOF sentinel / file end
+        if (c < fileLen && isize > 0) entries += ((c, u))
+      }
+    } finally in.close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(dataPath + ".gzi"), true)
+    val idx = Index(entries.toArray)
+    save(idx.entries.toSeq, out)
+    idx
+  }
+
+  def load(dataPath: String, conf: org.apache.hadoop.conf.Configuration): Option[Index] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath + ".gzi")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val raw = new Array[Byte](len)
+      in.readFully(raw)
+      val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = bb.getLong.toInt
+      Some(Index(Array.fill(n)((bb.getLong, bb.getLong))))
+    } finally in.close()
+  }
+
+  /** Read uncompressed bytes [from, until) out of a bgzf file by
+    * seeking to the containing block and inflating forward. */
+  def readRange(dataPath: String, conf: org.apache.hadoop.conf.Configuration,
+                idx: Index, from: Long, until: Long): Array[Byte] = {
+    require(until >= from, s"gzi readRange: bad range [$from, $until)")
+    val out = new Array[Byte]((until - from).toInt)
+    if (out.length == 0) return out
+    val (cStart, uStart) = idx.blockOf(from)
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      in.seek(cStart)
+      var uPos = uStart
+      var written = 0
+      var block = Bgzf.readBlock(in)
+      while (block != null && written < out.length) {
+        val (_, bytes) = block
+        val blockEnd = uPos + bytes.length
+        if (blockEnd > from) {
+          val srcOff = math.max(from - uPos, 0L).toInt
+          val n = math.min(bytes.length - srcOff, out.length - written)
+          System.arraycopy(bytes, srcOff, out, written, n)
+          written += n
+        }
+        uPos = blockEnd
+        block = if (written < out.length) Bgzf.readBlock(in) else null
+      }
+      require(written == out.length,
+        s"gzi readRange: $dataPath ended at ${from + written}, wanted $until")
+      out
+    } finally in.close()
+  }
 }

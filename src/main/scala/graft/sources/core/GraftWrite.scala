@@ -192,9 +192,15 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
           require(formatter.isInstanceOf[GenomicRecordFormatter],
             s"index=$k: ${formatter.getClass.getSimpleName} has no genomic coordinates")
           Some(k)
+        case Some("gzi") =>
+          // block-offset sidecar (bgzip -i): coordinate-free, works for
+          // ANY format — it indexes the compression, not the records
+          require(codec.contains("bgzf"),
+            "index=gzi requires compression=bgzf (it indexes BGZF blocks)")
+          Some("gzi")
         case Some(other) =>
           throw new IllegalArgumentException(
-            s"unknown index kind '$other' (want: tabix | csi)")
+            s"unknown index kind '$other' (want: tabix | csi | gzi)")
       }
     // CSI binning scheme (ignored for tabix, which fixes 14/5); a
     // larger depth addresses contigs past the classic 512 Mbp limit
@@ -277,9 +283,9 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
       }
       Sink(out, temp, dest,
         bgzf = out match { case b: BgzfOutputStream => Some(b); case _ => None },
-        idx = indexKind.map {
-          case "csi" => new TabixIndexBuilder(csiMinShift, csiDepth)
-          case _     => new TabixIndexBuilder()
+        idx = indexKind.collect {
+          case "csi"   => new TabixIndexBuilder(csiMinShift, csiDepth)
+          case "tabix" => new TabixIndexBuilder()
         })
     }
 
@@ -324,6 +330,14 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
           else builder.finish(idxOut, preset, cSeq, cBeg, cEnd, meta)
           Seq((s.temp.toString, s.dest.toString),
             (idxTemp.toString, s.dest.suffix(ext).toString))
+        case None if indexKind.contains("gzi") =>
+          // entries exist after close(); the final one points at the
+          // EOF sentinel, which htslib's layout omits
+          val entries = s.bgzf.get.gziEntries.dropRight(1)
+          val gziTemp = s.temp.suffix(".gzi")
+          Gzi.save(entries, fs.create(gziTemp, true))
+          Seq((s.temp.toString, s.dest.toString),
+            (gziTemp.toString, s.dest.suffix(".gzi").toString))
         case None => Seq((s.temp.toString, s.dest.toString))
       }
     }
@@ -333,7 +347,7 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
     def quietClean(s: Sink): Unit = {
       try s.out.close() catch { case _: Exception => }
       try if (fs.exists(s.temp)) fs.delete(s.temp, false) catch { case _: Exception => }
-      Seq(".tbi", ".csi").foreach { ext =>
+      Seq(".tbi", ".csi", ".gzi").foreach { ext =>
         try {
           val t = s.temp.suffix(ext)
           if (fs.exists(t)) fs.delete(t, false)

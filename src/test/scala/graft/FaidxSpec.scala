@@ -64,8 +64,73 @@ class FaidxSpec extends AnyFunSuite {
       ">x\nACGTACGT\nACG\nACGTACGT\n".getBytes("UTF-8")) // short INTERIOR line
     val e = intercept[IllegalArgumentException] { Faidx.build(f.toString, conf) }
     assert(e.getMessage.contains("non-uniform"))
-    val gz = intercept[IllegalArgumentException] { Faidx.build("a.fa.gz", conf) }
-    assert(gz.getMessage.contains("compressed"))
+    val zst = intercept[IllegalArgumentException] { Faidx.build("a.fa.zst", conf) }
+    assert(zst.getMessage.contains("zstd"))
+  }
+
+  test("bgzf FASTA: .gzi-translated seeks return the same bases as plain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fai-gz")
+    val (plain, seqs) = writeFasta(dir)
+    // bgzf-compress the same bytes with a small payload bound is not
+    // reachable from here; real multi-block behavior comes from the
+    // data being larger than one flush — compress as-is (single block)
+    // plus a second copy written through the format writer below
+    val gzPath = dir.resolve("ref.fa.gz").toString
+    val out = new graft.sources.core.BgzfOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(gzPath)))
+    out.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(plain)))
+    out.close()
+    val entries = Faidx.build(gzPath, conf)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(gzPath + ".gzi")))
+    assert(entries.find(_.name == "chrA").get.length == 1000)
+    val rnd = new scala.util.Random(21)
+    val regions = (1 to 25).map { _ =>
+      val lo = 1 + rnd.nextInt(1000)
+      s"chrA:$lo-${lo + rnd.nextInt(1000 - lo + 1)}"
+    } :+ "chrB:100-259"
+    val got = GraftIO.fasta_query(spark, gzPath, regions)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    got.foreach { case (n, lo, hi, s) =>
+      assert(s == seqs(n).substring((lo - 1).toInt, hi.toInt), s"$n:$lo-$hi")
+    }
+    // plain gzip (non-BGZF) refuses
+    val pg = dir.resolve("plain.fa.gz")
+    val go = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(pg))
+    go.write(">x\nACGT\n".getBytes("UTF-8")); go.close()
+    val err = intercept[IllegalArgumentException] { Faidx.build(pg.toString, conf) }
+    assert(err.getMessage.contains("not BGZF"))
+  }
+
+  test("format writer emits a .gzi sidecar; multi-block seeks resolve") {
+    // a sequence long enough to span multiple 64 KB BGZF blocks proves
+    // the block-table translation (single-block files never exercise it)
+    val rnd = new scala.util.Random(5)
+    val big = (1 to 200000).map(_ => "ACGT"(rnd.nextInt(4))).mkString
+    import spark.implicits._
+    val df = Seq(("big", Option.empty[String], big), ("tiny", Option.empty[String], "ACGTACGT"))
+      .toDF("id", "description", "sequence")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fai-w").toString
+    df.repartition(1).sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("compression", "bgzf").option("index", "gzi")
+      .format("fasta").save(dir)
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".fasta.gz.gzi")), files.toSeq)
+    val dataFile = dir + "/" + files.find(_.endsWith(".fasta.gz")).get
+    val gzi = graft.sources.core.Gzi.load(dataFile, conf).get
+    assert(gzi.entries.length >= 2, s"expected multi-block file, ${gzi.entries.length} entries")
+    val got = GraftIO.fasta_query(spark, dataFile,
+        Seq("big:150000-150100", "big:1-10", "tiny:3-6"))
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(got("big") == big.substring(149999, 150100) || got("big") == big.substring(0, 10))
+    val all = GraftIO.fasta_query(spark, dataFile,
+        Seq("big:150000-150100", "big:1-10", "tiny:3-6"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+    all.foreach {
+      case ("big", lo, s)  => assert(s == big.substring((lo - 1).toInt, (lo - 1).toInt + s.length))
+      case ("tiny", _, s)  => assert(s == "GTAC")
+      case other           => fail(other.toString)
+    }
   }
 
   test("existing .fai is reused, not rebuilt") {
