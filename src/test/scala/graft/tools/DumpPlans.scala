@@ -55,7 +55,21 @@ object DumpPlans {
         |row, O(rows^2) per chromosome).""".stripMargin,
     "rel_join_star_revenue" ->
       """Star join: every dimension side is a BroadcastHashJoin; the
-        |fact table is read once with pruned columns and pushed filters.""".stripMargin)
+        |fact table is read once with pruned columns and pushed filters.""".stripMargin,
+    "dedup_edit_verify" ->
+      """Candidates are a shingle-posting equi-self-join; the length-gap
+        |filter (a 2-int compare) sits BELOW the banded 3-arg
+        |levenshtein, so the quadratic DP only runs on pairs that could
+        |qualify — both prunes lossless by the metric's lower bound.""".stripMargin,
+    "ann_mrl_rerank" ->
+      """Matryoshka two-stage: the prefix-scored top-C window shuffles
+        |only (q_id, vec_id, pcos) — wide vectors re-join AFTER the
+        |candidate cut (candidate-bounded keyed join + broadcast query
+        |fan); no vector column rides any exchange.""".stripMargin,
+    "text_zipf_profile" ->
+      """Vocab-bounded groupBy, TakeOrderedAndProject head cut (never a
+        |global vocab sort); the only window is bounded by the constant
+        |K and the regression sums are exact fixed-point BIGINTs.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
