@@ -102,6 +102,20 @@ object CorpusOps {
     graft.queries.TextOps.zipfProfile(docs, textCol, topK)
   }
 
+  /** Threshold-sweep calibration of a score-based filter: for every
+    * candidate cut t (bucket floors of `scoreCol`), the confusion
+    * counts of "keep if score >= t" against the boolean `labelCol` —
+    * the table that turns threshold-picking from a guess into a read.
+    * `bucket` bounds the sweep frame (range/bucket rows) independent
+    * of corpus size. Output: (threshold, tp, fp, fn, tn),
+    * integer-exact; precision/recall are display-time divisions. */
+  def thresholdSweep(scored: DataFrame, scoreCol: String = "score",
+                     labelCol: String = "label", bucket: Long = 1L): DataFrame = {
+    require(scored.columns.contains(scoreCol) && scored.columns.contains(labelCol),
+      s"CorpusOps.thresholdSweep: need columns '$scoreCol' and '$labelCol'")
+    graft.queries.PipelineOps.thresholdSweepOf(scored, scoreCol, labelCol, bucket)
+  }
+
   /** Winnowed-fingerprint pairs (SIGMOD'03 winnowing): docs sharing >=
     * `minShared` fingerprints over word `gramWidth`-grams with window
     * `window`. Unlike [[nearDupPairs]] (whole-doc similarity with a

@@ -171,6 +171,46 @@ object PipelineOps {
       .orderBy(idCol)
   }
 
+  /** Threshold-sweep calibration (pipe_threshold_sweep /
+    * [[graft.pipeline.CorpusOps.thresholdSweep]]): for every candidate
+    * cut t (bucket floors of the score column), the confusion counts
+    * of the filter "keep if score >= t" against a boolean reference
+    * label — the table a pipeline reads to CHOOSE its quality-filter
+    * threshold instead of guessing one.
+    *
+    * Scale: per-bucket (n_pos, n_neg) is one keyed agg with map-side
+    * partials; the running sums that turn bucket counts into
+    * cumulative tp/fp run over the BUCKET frame, whose size is
+    * range/`bucket` — the caller's knob, independent of corpus size
+    * (the perplexity-buckets discipline: never a corpus-wide ordered
+    * window). fn/tn derive from broadcast totals. Integer-exact
+    * throughout; precision/recall are downstream divisions the caller
+    * does at display time.
+    *
+    * Bucket-floor semantics make the sweep exact at its thresholds:
+    * t is always a bucket floor, so score >= t iff floor(score) >= t. */
+  private[graft] def thresholdSweepOf(scored: DataFrame, scoreCol: String,
+      labelCol: String, bucket: Long = 1L): DataFrame = {
+    require(bucket >= 1, s"thresholdSweep: bucket ($bucket) must be >= 1")
+    val b = scored.select(
+      expr(s"cast(floor(`$scoreCol` / $bucket.0) as bigint) * $bucket").as("threshold"),
+      col(labelCol).cast("boolean").as("lbl"))
+    val agg = b.groupBy("threshold").agg(
+      sum(when(col("lbl"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("lbl"), 0L).otherwise(1L)).as("n_neg"))
+      .transform(Q.barrier) // window + totals read it once
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = agg.agg(sum("n_pos").as("tot_pos"), sum("n_neg").as("tot_neg"))
+    agg
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("fp", sum(col("n_neg")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("tot_pos") - col("tp")).as("fn"),
+        (col("tot_neg") - col("fp")).as("tn"))
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- benchmark decontamination via 5-gram overlap ----
@@ -894,6 +934,50 @@ object PipelineOps {
           CAST(coalesce(score_raw, 0) AS BIGINT) AS score_raw,
           coalesce(score_raw, 0) >= 0 AS keep
         FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- threshold-sweep calibration of a quality filter ----
+    // Mechanism: thresholdSweepOf (above the qs map). Scores come from
+    // the same fastText-shaped linear scorer pipe_model_quality_score
+    // gates; the reference label is the corpus's own lang tag (the
+    // stand-in for "human-labeled good"). Bucket 100 keeps the sweep
+    // frame bounded regardless of score cardinality.
+    "pipe_threshold_sweep" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val weights = docs
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 2)
+          .select(explode(expr(gramExpr(2))).as("gram")).distinct()
+          .withColumn("weight",
+            expr("cast(conv(substr(md5(gram), 1, 8), 16, 10) as bigint) % 1001 - 500"))
+        val scored = graft.pipeline.CorpusOps.qualityScore(docs, weights)
+          .join(docs.select(col("doc_id"), (col("lang") === "en").as("label")), "doc_id")
+        thresholdSweepOf(scored, "score_raw", "label", bucket = 100L)
+          .orderBy(col("threshold").desc)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+              FROM d WHERE len(w) >= 2),
+        wt AS (SELECT DISTINCT gram,
+               CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1001 - 500 AS weight FROM g),
+        s AS (SELECT doc_id, sum(weight) AS score_raw FROM g JOIN wt USING (gram) GROUP BY doc_id),
+        scored AS (SELECT doc.doc_id, coalesce(s.score_raw, 0) AS score_raw,
+                          doc.lang = 'en' AS label
+                   FROM documents doc LEFT JOIN s USING (doc_id)),
+        bkt AS (SELECT CAST(floor(score_raw / 100.0) AS BIGINT) * 100 AS threshold,
+                       sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+                       sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+                FROM scored GROUP BY 1),
+        run AS (SELECT threshold,
+                       sum(n_pos) OVER (ORDER BY threshold DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                       sum(n_neg) OVER (ORDER BY threshold DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+                FROM bkt),
+        tot AS (SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM bkt)
+        SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(tot_pos - tp AS BIGINT) AS fn, CAST(tot_neg - fp AS BIGINT) AS tn
+        FROM run CROSS JOIN tot ORDER BY threshold DESC""")),
 
     // ---- mixture APPLICATION: realize a target token mixture in one pass ----
     // pipe_mixture_weights computes what the shares ARE; this entry

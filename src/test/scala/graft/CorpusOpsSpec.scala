@@ -158,6 +158,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("thresholdSweep matches hand-computed confusion counts") {
+    import spark.implicits._
+    // scores: pos {90, 20}, neg {50, -10}
+    val scored = Seq((90L, true), (20L, true), (50L, false), (-10L, false))
+      .toDF("score", "label")
+    val got = graft.pipeline.CorpusOps.thresholdSweep(scored)
+      .orderBy(org.apache.spark.sql.functions.col("threshold").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // thresholds (desc): 90 -> tp1 fp0 fn1 tn2; 50 -> tp1 fp1 fn1 tn1;
+    // 20 -> tp2 fp1 fn0 tn1; -10 -> tp2 fp2 fn0 tn0
+    assert(got.toSeq == Seq(
+      (90L, 1L, 0L, 1L, 2L), (50L, 1L, 1L, 1L, 1L),
+      (20L, 2L, 1L, 0L, 1L), (-10L, 2L, 2L, 0L, 0L)))
+    // bucketing floors negatives correctly: -10 lands in bucket -100
+    val b = graft.pipeline.CorpusOps.thresholdSweep(scored, bucket = 100L)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(b.toSeq == Seq(-100L, 0L))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.thresholdSweep(scored, bucket = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusOps.thresholdSweep(scored, scoreCol = "nope")
+    }
+  }
+
   test("bm25TopK and qualityScore tolerate null text") {
     import spark.implicits._
     val docs = Seq((1, Option("cat dog")), (2, Option.empty[String]))
