@@ -109,6 +109,64 @@ object FormatScans {
         UNION ALL SELECT 'chr1', 'exon', 12613, 12721, NULL, 'G0001', 'T0002'
         ORDER BY start""")),
 
+    // ---- flagstat: the samtools-flagstat category counts ----
+    // One pass over the alignment flags using the registered SAM flag
+    // predicates (the reference's scalar surface doing real QC work);
+    // the oracle recomputes every category with raw bit tests over the
+    // fixture's literal flag values. Shape: map-side predicate eval +
+    // one global agg — flagstat over a 100 TB BAM set is a single
+    // partial-aggregated reduce.
+    "fmt_flagstat" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        GraftIO.read_bam_file_records(s, s"$F/bam/test.bam")
+          .groupBy()
+          .agg(
+            count(lit(1)).as("total"),
+            sum(expr("cast(is_segmented(flag) as bigint)")).as("paired"),
+            sum(expr("cast(is_properly_aligned(flag) as bigint)")).as("proper_pair"),
+            sum(expr("cast(not is_unmapped(flag) as bigint)")).as("mapped"),
+            sum(expr("cast(is_mate_unmapped(flag) as bigint)")).as("mate_unmapped"),
+            sum(expr("cast(is_reverse_complemented(flag) as bigint)")).as("reverse"),
+            sum(expr("cast(is_secondary(flag) as bigint)")).as("secondary"),
+            sum(expr("cast(is_duplicate(flag) as bigint)")).as("duplicates"),
+            sum(expr("cast(is_supplementary(flag) as bigint)")).as("supplementary"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS total,
+          CAST(sum(CASE WHEN flag & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS paired,
+          CAST(sum(CASE WHEN flag & 2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS proper_pair,
+          CAST(sum(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS mapped,
+          CAST(sum(CASE WHEN flag & 8 = 8 THEN 1 ELSE 0 END) AS BIGINT) AS mate_unmapped,
+          CAST(sum(CASE WHEN flag & 16 = 16 THEN 1 ELSE 0 END) AS BIGINT) AS reverse,
+          CAST(sum(CASE WHEN flag & 256 = 256 THEN 1 ELSE 0 END) AS BIGINT) AS secondary,
+          CAST(sum(CASE WHEN flag & 1024 = 1024 THEN 1 ELSE 0 END) AS BIGINT) AS duplicates,
+          CAST(sum(CASE WHEN flag & 2048 = 2048 THEN 1 ELSE 0 END) AS BIGINT) AS supplementary
+        FROM (VALUES (99), (147), (83)) t(flag)""")),
+
+    // ---- per-position quality profile (the FastQC read-quality table) ----
+    // Phred+33 decode per position, integer-exact stats per position
+    // (sum/min/max — the mean is a display-time division). Shape:
+    // per-row transform+explode into a position-keyed agg, bounded by
+    // READ LENGTH, not read count.
+    "fmt_fastq_qc" -> Q(
+      (s, _) => GraftIO.read_fastq(s, s"$F/fastq/test.fastq")
+        .select(explode(expr(
+          "transform(sequence(1, length(quality_scores)), i -> " +
+            "named_struct('pos', i, 'q', ascii(substring(quality_scores, i, 1)) - 33))")).as("pq"))
+        .groupBy(col("pq.pos").as("pos"))
+        .agg(count(lit(1)).as("n_reads"),
+          sum(col("pq.q")).cast("long").as("sum_q"),
+          min(col("pq.q")).cast("int").as("min_q"),
+          max(col("pq.q")).cast("int").as("max_q"))
+        .orderBy("pos"),
+      Some("""WITH reads AS (SELECT 'IIIIIIIIIIIIII' AS q UNION ALL SELECT '!!##%%%%++55??'),
+        pq AS (SELECT i AS pos, ascii(substr(q, CAST(i AS INTEGER), 1)) - 33 AS qv
+               FROM reads, unnest(range(1, 15)) AS t(i))
+        SELECT CAST(pos AS INTEGER) AS pos, count(*) AS n_reads,
+          CAST(sum(qv) AS BIGINT) AS sum_q,
+          CAST(min(qv) AS INTEGER) AS min_q, CAST(max(qv) AS INTEGER) AS max_q
+        FROM pq GROUP BY pos ORDER BY pos""")),
+
     // ---- SAM write round trip on the modeled columns ----
     "fmt_sam_write_roundtrip" -> Q(
       (s, _) => {
