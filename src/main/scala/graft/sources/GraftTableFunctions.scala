@@ -59,6 +59,15 @@ object GraftTableFunctions {
     relation(Formats.forPath(path, Map.empty), Map("path" -> path))
   }
 
+  /** fasta_query(path, region [, region...]): faidx random-access
+    * subsequence fetch — resolves to [[GraftIO.fasta_query]]'s plan. */
+  private def fastaQueryBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "fasta_query requires (path, region...)")
+    val path = lit(args.head, "path")
+    val regions = args.tail.map(lit(_, "region"))
+    GraftIO.fasta_query(SparkSession.active, path, regions).queryExecution.logical
+  }
+
   /** TVF name per format, mirroring the reference's function names. */
   val scanNames: Map[String, String] = Map(
     "fasta" -> "read_fasta", "fastq" -> "read_fastq", "gff" -> "read_gff",
@@ -80,5 +89,6 @@ object GraftTableFunctions {
     reg.createOrReplaceTempFunction("bam_query", queryBuilder(BamFormat), "scala_udf")
     reg.createOrReplaceTempFunction("bcf_query", queryBuilder(BcfFormat), "scala_udf")
     reg.createOrReplaceTempFunction("read_auto", autoBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("fasta_query", fastaQueryBuilder, "scala_udf")
   }
 }

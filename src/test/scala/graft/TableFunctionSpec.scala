@@ -48,6 +48,17 @@ class TableFunctionSpec extends AnyFunSuite {
     assert(sqlRows(s"SELECT count(*) AS n FROM bam_query('$F/bam/test.bam', 'ref1')").head.getLong(0) == 2)
   }
 
+  test("fasta_query TVF fetches subsequences through the .fai") {
+    // copy the fixture so the sidecar lands in a temp dir, not the repo
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-fai")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$F/fasta/test.fasta"), dir.resolve("test.fasta"))
+    val rows = sqlRows(
+      s"SELECT name, sequence FROM fasta_query('${dir.resolve("test.fasta")}', 'r1:3-8', 'r2')")
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(("r1", "CGATCG"), ("r2", "TTTTACGT")))
+  }
+
   test("read_auto dispatches by extension, excluding BED/GTF") {
     assert(sqlRows(s"SELECT count(*) AS n FROM read_auto('$F/fasta/test.fasta.gz')").head.getLong(0) == 2)
     assertThrows[Exception](sqlRows(s"SELECT count(*) FROM read_auto('$F/bed/test3.bed')"))
