@@ -9,24 +9,6 @@ import org.apache.spark.sql.functions._
   */
 object SeqAnalysis {
 
-  /** k-mer spectrum of a sequence column: counts of each length-`k`
-    * substring, optionally CANONICAL (a k-mer and its reverse
-    * complement are the same molecule read from opposite strands, so
-    * counters collapse each onto the lexicographically smaller of the
-    * two — the convention every genomics counter defaults to).
-    *
-    * Scale shape: per-row transform+explode (map-side, codegen) into a
-    * single k-mer-keyed groupBy with partial aggregation, so the
-    * shuffle carries at most one row per distinct k-mer per task — the
-    * result cardinality is bounded by min(4^k, input k-mers), not by
-    * corpus size. This is the canonical distributed genomics workload
-    * shape: count locally, combine globally.
-    *
-    * The reverse complement here is the plain translate+reverse of the
-    * A/C/G/T alphabet, NOT the reference-bug-replicating
-    * `reverse_complement` scalar (see SeqOps.reverseComplement) — a
-    * counter must use the mathematically correct strand fold.
-    */
   /** Minimizer sketch of a sequence column — the k-mer sampling
     * minimap2-class aligners anchor on: in every window of `window`
     * consecutive k-mers, keep the one with the smallest hash. Any two
@@ -60,6 +42,24 @@ object SeqAnalysis {
         .as("minimizer"))
   }
 
+  /** k-mer spectrum of a sequence column: counts of each length-`k`
+    * substring, optionally CANONICAL (a k-mer and its reverse
+    * complement are the same molecule read from opposite strands, so
+    * counters collapse each onto the lexicographically smaller of the
+    * two — the convention every genomics counter defaults to).
+    *
+    * Scale shape: per-row transform+explode (map-side, codegen) into a
+    * single k-mer-keyed groupBy with partial aggregation, so the
+    * shuffle carries at most one row per distinct k-mer per task — the
+    * result cardinality is bounded by min(4^k, input k-mers), not by
+    * corpus size. This is the canonical distributed genomics workload
+    * shape: count locally, combine globally.
+    *
+    * The reverse complement here is the plain translate+reverse of the
+    * A/C/G/T alphabet, NOT the reference-bug-replicating
+    * `reverse_complement` scalar (see SeqOps.reverseComplement) — a
+    * counter must use the mathematically correct strand fold.
+    */
   def kmerCounts(df: DataFrame, seqCol: String = "sequence", k: Int = 4,
                  canonical: Boolean = true): DataFrame = {
     require(k >= 1, s"SeqAnalysis.kmerCounts: k ($k) must be >= 1")

@@ -90,6 +90,14 @@ object Faidx {
             linebases = text.length
             linewidth = (pos - lineStart).toInt
           }
+          // A line LONGER than the wrap width is invalid even in final
+          // position (samtools faidx rejects it): byteOf() would
+          // miscompute every offset past it and fetch would return
+          // shifted bases. The uniform-width require above only catches
+          // the previous line being short, not this line being long.
+          require(text.length <= linebases,
+            s"faidx: line longer than wrap width ($linebases) in '$cur' ($path) — " +
+              "an index over ragged wrapping would return wrong bases")
           lastLineLen = text.length
           curLen += text.length
         }
@@ -132,6 +140,12 @@ object Faidx {
       e.offset + (pos1 - 1) / e.linebases * e.linewidth + (pos1 - 1) % e.linebases
     val from = byteOf(lo)
     val until = byteOf(hi) + 1
+    // One region = one row = one in-memory array; a >2 GiB span would
+    // overflow the Int cast below (and produce an unusable giant row
+    // anyway) — refuse it with a message instead of NegativeArraySize.
+    require(until - from <= Int.MaxValue,
+      s"faidx fetch: region $lo-$hi of '${e.name}' spans ${until - from} bytes " +
+        "(> 2 GiB) — fetch smaller windows instead of one giant row")
     val raw: Array[Byte] =
       if (isBgzfPath(path)) {
         val gzi = core.Gzi.load(path, conf).getOrElse(core.Gzi.build(path, conf))

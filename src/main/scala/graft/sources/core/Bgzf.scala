@@ -699,11 +699,14 @@ object Gzi {
         in.readFully(trailer)
         val isize = java.nio.ByteBuffer.wrap(trailer)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+        // record starts of subsequent DATA blocks only (htslib layout,
+        // and what the write path emits): the EOF sentinel (isize == 0)
+        // gets NO entry, so building a .gzi over an existing file and
+        // writing one alongside a fresh file produce byte-identical
+        // sidecars for the same bgzf bytes.
+        if (c > 0 && isize > 0) entries += ((c, u))
         c += bsize
         u += isize
-        // record starts of subsequent DATA blocks only (htslib layout):
-        // skip the entry pointing at the EOF sentinel / file end
-        if (c < fileLen && isize > 0) entries += ((c, u))
       }
     } finally in.close()
     val out = fs.create(new org.apache.hadoop.fs.Path(dataPath + ".gzi"), true)
@@ -732,6 +735,8 @@ object Gzi {
   def readRange(dataPath: String, conf: org.apache.hadoop.conf.Configuration,
                 idx: Index, from: Long, until: Long): Array[Byte] = {
     require(until >= from, s"gzi readRange: bad range [$from, $until)")
+    require(until - from <= Int.MaxValue,
+      s"gzi readRange: span ${until - from} bytes exceeds 2 GiB — read in windows")
     val out = new Array[Byte]((until - from).toInt)
     if (out.length == 0) return out
     val (cStart, uStart) = idx.blockOf(from)

@@ -68,6 +68,26 @@ class FaidxSpec extends AnyFunSuite {
     assert(zst.getMessage.contains("zstd"))
   }
 
+  test("a final line LONGER than the wrap width is refused too") {
+    // the uniform-width check alone only validates the line BEFORE each
+    // new one, so a long final line used to index fine and then fetch
+    // shifted bases; samtools faidx rejects this input outright
+    val dir = java.nio.file.Files.createTempDirectory("graft-fai-long")
+    val f = dir.resolve("long.fa")
+    java.nio.file.Files.write(f,
+      ">x\nACGTACGTAC\nACGTACGTACGTACG\n".getBytes("UTF-8")) // 10 then 15
+    val e = intercept[IllegalArgumentException] { Faidx.build(f.toString, conf) }
+    assert(e.getMessage.contains("longer than wrap width"))
+  }
+
+  test("fetch refuses a >2 GiB region span instead of overflowing") {
+    val huge = Faidx.Entry("big", 3000000000L, 0L, 70, 71)
+    val e = intercept[IllegalArgumentException] {
+      Faidx.fetch("/nonexistent.fa", conf, huge, 1L, 2500000000L)
+    }
+    assert(e.getMessage.contains("2 GiB"))
+  }
+
   test("bgzf FASTA: .gzi-translated seeks return the same bases as plain") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fai-gz")
     val (plain, seqs) = writeFasta(dir)
@@ -131,6 +151,17 @@ class FaidxSpec extends AnyFunSuite {
       case ("tiny", _, s)  => assert(s == "GTAC")
       case other           => fail(other.toString)
     }
+    // byte-identical sidecar parity: rebuilding the .gzi from the data
+    // file must reproduce exactly what the write path emitted (both
+    // drop the EOF-sentinel entry, matching bgzip -i / htslib)
+    val written = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dataFile + ".gzi"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dataFile + ".gzi"))
+    graft.sources.core.Gzi.build(dataFile, conf)
+    val rebuilt = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dataFile + ".gzi"))
+    assert(java.util.Arrays.equals(written, rebuilt),
+      "Gzi.build and the write path emitted different .gzi layouts for the same bgzf bytes")
   }
 
   test("existing .fai is reused, not rebuilt") {
