@@ -272,6 +272,20 @@ object FormatScans {
           sum(col("info.dp")).as("dp_sum")),
       Some("SELECT CAST(38 AS BIGINT) AS n, CAST(10981885 AS BIGINT) AS pos_sum, CAST(1121 AS BIGINT) AS dp_sum")),
 
+    // batched multi-region indexed query (the gene-panel form of
+    // vcf_query; reference takes one region per call,
+    // vcf_query_reader.rs:31-86): UNION of overlapping regions, each
+    // record once, ONE .tbi load, chunk partitions coalesced.
+    // Golden parsed independently from the bgzipped fixture text;
+    // MultiRegionQuerySpec property-checks a 1k-region panel vs
+    // scan+filter.
+    "fmt_vcf_query_multi" -> Q(
+      (s, _) => GraftIO.vcf_query(s, s"$F/vcf/indexed.vcf.gz",
+          Seq("1:100000-500000", "1:400000-800000", "2:1-2000000", "19"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos_sum"),
+          sum(col("info.dp")).as("dp_sum")),
+      Some("SELECT CAST(213 AS BIGINT) AS n, CAST(142151824 AS BIGINT) AS pos_sum, CAST(5321 AS BIGINT) AS dp_sum")),
+
     "fmt_genbank_scan" -> Q(
       (s, _) => GraftIO.read_genbank(s, s"$F/genbank/test.gb")
         .selectExpr("name", "accession", "topology", "sequence", "size(features) AS n_features",

@@ -67,30 +67,33 @@ object BamFormat extends GraftFormat {
   }
 
   /** BAI fast path (falls back to scan+filter). rid comes from the BAM
-    * header's reference order, read on the driver at plan time. */
-  override def regionChunks(path: String, region: String,
+    * header's reference order, read on the driver ONCE at plan time,
+    * however many regions the batch carries. */
+  override def regionChunks(path: String, regions: Seq[String],
                             conf: Configuration): Option[Seq[(Long, Long)]] =
     BaiIndex.load(path, conf).map { idx =>
-      val (chr, lo, hi) = VcfFormat.parseRegion(region)
       val raw = GraftFiles.open(path, conf)
       val refs =
         try readHeader(new DataInputStream(Compression.wrap(raw.stream, "gzip")))
         finally raw.in.close()
-      idx.queryByRid(refs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, idx.maxPos))
-        .map(c => (c.beg, c.end))
+      Regions.mergeChunks(regions.flatMap { region =>
+        val (chr, lo, hi) = VcfFormat.parseRegion(region)
+        idx.queryByRid(refs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+          .map(c => (c.beg, c.end))
+      })
     }
 
   private def regionPasses(vals: Array[Any],
-                           region: Option[(String, Long, Long)]): Boolean = region match {
+                           region: Option[Regions.Matcher]): Boolean = region match {
     case None => true
-    case Some((chr, lo, hi)) =>
+    case Some(m) =>
       val ref = vals(2)
       val start = vals(3)
       val end = vals(4)
-      ref != null && ref.asInstanceOf[UTF8String].toString == chr && start != null && {
+      ref != null && start != null && {
         val s = start.asInstanceOf[Long]
         val e = if (end == null) s else end.asInstanceOf[Long]
-        s <= hi && e >= lo
+        m.overlaps(ref.asInstanceOf[UTF8String].toString, s, e)
       }
   }
 
@@ -115,7 +118,7 @@ object BamFormat extends GraftFormat {
       if (split.bgzfChunk) refsFromHead(split)
       else readHeader(d)
 
-    val region = options.get("region").map(VcfFormat.parseRegion)
+    val region = Regions.matcherFromOptions(options)
     val wantSeq = split.needs("sequence")
     val wantQual = split.needs("quality_score")
 
@@ -148,7 +151,7 @@ object BamFormat extends GraftFormat {
   private def readBgzfSplit(split: GraftSplit,
                             bs: graft.sources.core.BgzfBlockStream,
                             options: Map[String, String]): Iterator[Array[Any]] = {
-    val region = options.get("region").map(VcfFormat.parseRegion)
+    val region = Regions.matcherFromOptions(options)
     val wantSeq = split.needs("sequence")
     val wantQual = split.needs("quality_score")
     val refs =

@@ -83,18 +83,21 @@ object BcfFormat extends GraftFormat {
   }
 
   /** CSI fast path (falls back to scan+filter). rid comes from the BCF
-    * header's ##contig order, read on the driver at plan time. */
-  override def regionChunks(path: String, region: String,
+    * header's ##contig order, read on the driver ONCE at plan time,
+    * however many regions the batch carries. */
+  override def regionChunks(path: String, regions: Seq[String],
                             conf: Configuration): Option[Seq[(Long, Long)]] =
     CsiIndex.load(path, conf).map { idx =>
-      val (chr, lo, hi) = VcfFormat.parseRegion(region)
       val raw = GraftFiles.open(path, conf)
       val contigs =
         try dictionaries(headerText(new DataInputStream(
           Compression.wrap(raw.stream, "gzip"))).linesIterator.toSeq)._2
         finally raw.in.close()
-      idx.queryByRid(contigs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, idx.maxPos))
-        .map(c => (c.beg, c.end))
+      Regions.mergeChunks(regions.flatMap { region =>
+        val (chr, lo, hi) = VcfFormat.parseRegion(region)
+        idx.queryByRid(contigs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+          .map(c => (c.beg, c.end))
+      })
     }
 
   /** Shared FILTER/INFO/FORMAT dictionary + contig dictionary. */
@@ -141,15 +144,13 @@ object BcfFormat extends GraftFormat {
     val wantInfo = split.needs("info")
     val wantGts = typedStruct.isDefined ||
       split.needs("format") || split.needs("genotypes")
-    val region = options.get("region").map(VcfFormat.parseRegion)
+    val region = Regions.matcherFromOptions(options)
 
     def passes(vals: Array[Any]): Boolean = region match {
       case None => true
-      case Some((chr, lo, hi)) =>
-        vals(0).asInstanceOf[UTF8String].toString == chr && {
-          val p = vals(1).asInstanceOf[Long]
-          p >= lo && p <= hi
-        }
+      case Some(m) =>
+        m.containsPoint(vals(0).asInstanceOf[UTF8String].toString,
+          vals(1).asInstanceOf[Long])
     }
 
     def decodeArrays(shared: Array[Byte], indiv: Array[Byte]): Array[Any] = {

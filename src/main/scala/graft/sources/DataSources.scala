@@ -101,9 +101,23 @@ object GraftIO {
   def read_bcf_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bcf", path, options)
   def bcf_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bcf", path, Map("region" -> region))
   /** Indexed-region query analogs: .tbi/.csi/.bai-driven chunk pruning
-    * when the index exists, full scan + region filter otherwise. */
+    * when the index exists, full scan + region filter otherwise. The
+    * Seq overloads take a batched region LIST (a gene panel) — results
+    * are the UNION of the regions, each matching record once; the index
+    * is loaded once and the pruned chunks are coalesced into a minimal
+    * partition set (see [[core.Regions]]). */
   def vcf_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "vcf", path, Map("region" -> region))
   def bam_query(s: SparkSession, path: String, region: String): DataFrame = rd(s, "bam", path, Map("region" -> region))
+  def vcf_query(s: SparkSession, path: String, regions: Seq[String]): DataFrame = rd(s, "vcf", path, Map("regions" -> regionSpec(regions)))
+  def bam_query(s: SparkSession, path: String, regions: Seq[String]): DataFrame = rd(s, "bam", path, Map("regions" -> regionSpec(regions)))
+  def bcf_query(s: SparkSession, path: String, regions: Seq[String]): DataFrame = rd(s, "bcf", path, Map("regions" -> regionSpec(regions)))
+
+  private def regionSpec(regions: Seq[String]): String = {
+    require(regions.nonEmpty, "region-batch query: no regions given")
+    regions.foreach(r => require(!r.exists(c => c == ';' || c.isWhitespace),
+      s"region '$r' contains a list delimiter"))
+    regions.mkString(";")
+  }
   /** WARC web-archive records (beyond the reference; LLM-corpus ingest). */
   def read_warc(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "warc", path, options)
 

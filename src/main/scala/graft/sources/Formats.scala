@@ -160,13 +160,15 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
     * .tbi sits next to the data). Same contract as the VCF/BCF/BAM
     * indexed queries: the index only prunes I/O; the row-level overlap
     * filter below decides membership. */
-  override def regionChunks(path: String, region: String,
+  override def regionChunks(path: String, regions: Seq[String],
                             conf: Configuration): Option[Seq[(Long, Long)]] = {
     if (!path.toLowerCase.endsWith(".gz")) return None
     graft.sources.TabixIndex.load(path, conf).orElse(graft.sources.CsiIndex.load(path, conf)).map { idx =>
-      val (chr, lo, hi) = VcfFormat.parseRegion(region)
-      idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
-        .map(c => (c.beg, c.end))
+      core.Regions.mergeChunks(regions.flatMap { region =>
+        val (chr, lo, hi) = VcfFormat.parseRegion(region)
+        idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+          .map(c => (c.beg, c.end))
+      })
     }
   }
 
@@ -174,7 +176,7 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
                     options: Map[String, String]): Iterator[Array[Any]] = {
     // region semantics for interval records: OVERLAP with the 1-based
     // inclusive query (VCF anchors on POS; a feature line is a range)
-    val region = options.get("region").map(VcfFormat.parseRegion)
+    val region = core.Regions.matcherFromOptions(options)
     P.lines(split, in)
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -193,10 +195,10 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
       .filter { vals =>
         region match {
           case None => true
-          case Some((chr, lo, hi)) =>
-            vals(0) != null &&
-              vals(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString == chr &&
-              vals(3).asInstanceOf[Long] <= hi && vals(4).asInstanceOf[Long] >= lo
+          case Some(m) =>
+            vals(0) != null && m.overlaps(
+              vals(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+              vals(3).asInstanceOf[Long], vals(4).asInstanceOf[Long])
         }
       }
   }

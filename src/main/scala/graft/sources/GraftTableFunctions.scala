@@ -48,9 +48,15 @@ object GraftTableFunctions {
     relation(fmt, opts.toMap)
   }
 
+  /** (path, region [, region...]): one region keeps the reference's
+    * exact surface; extra arguments batch into a multi-region query
+    * (union semantics, one index load — see [[core.Regions]]). */
   private def queryBuilder(fmt: GraftFormat)(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2, s"${fmt.name}_query requires (path, region)")
-    relation(fmt, Map("path" -> lit(args(0), "path"), "region" -> lit(args(1), "region")))
+    require(args.length >= 2, s"${fmt.name}_query requires (path, region...)")
+    val regionOpt =
+      if (args.length == 2) Map("region" -> lit(args(1), "region"))
+      else Map("regions" -> args.tail.map(lit(_, "region")).mkString(";"))
+    relation(fmt, Map("path" -> lit(args(0), "path")) ++ regionOpt)
   }
 
   private def autoBuilder(args: Seq[Expression]): LogicalPlan = {

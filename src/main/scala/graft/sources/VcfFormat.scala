@@ -133,25 +133,22 @@ object VcfFormat extends GraftFormat {
       else base)
   }
 
-  /** Tabix fast path for bgzipped VCF (falls back to scan+filter). */
-  override def regionChunks(path: String, region: String,
+  /** Tabix fast path for bgzipped VCF (falls back to scan+filter):
+    * index loaded once, probed per region, chunks unioned+coalesced. */
+  override def regionChunks(path: String, regions: Seq[String],
                             conf: Configuration): Option[Seq[(Long, Long)]] = {
     if (!path.toLowerCase.endsWith(".gz")) return None
     TabixIndex.load(path, conf).orElse(graft.sources.CsiIndex.load(path, conf)).map { idx =>
-      val (chr, lo, hi) = parseRegion(region)
-      idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
-        .map(c => (c.beg, c.end))
+      Regions.mergeChunks(regions.flatMap { region =>
+        val (chr, lo, hi) = parseRegion(region)
+        idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+          .map(c => (c.beg, c.end))
+      })
     }
   }
 
   /** Region grammar: 'chr' or 'chr:start-end' (1-based inclusive). */
-  def parseRegion(r: String): (String, Long, Long) = r.split(":", 2) match {
-    case Array(chr)         => (chr, 1L, Long.MaxValue)
-    case Array(chr, range0) =>
-      val range = range0.split("-", 2)
-      (chr, range(0).replace(",", "").toLong,
-        if (range.length > 1) range(1).replace(",", "").toLong else Long.MaxValue)
-  }
+  def parseRegion(r: String): (String, Long, Long) = Regions.parse(r)
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
@@ -165,7 +162,7 @@ object VcfFormat extends GraftFormat {
       .filter(_ => split.needs("genotypes_typed"))
     val wantInfo = split.needs("info")
     val wantGts = split.needs("genotypes") || split.needs("format")
-    val region = options.get("region").map(parseRegion)
+    val region = Regions.matcherFromOptions(options)
     // P.lines handles every split shape: index-chunk streams carry
     // (0, MaxValue) bounds (pre-bounded by BgzfRangeStream), ranged and
     // BGZF splits apply the line ownership protocol
@@ -176,9 +173,9 @@ object VcfFormat extends GraftFormat {
       .filter { vals =>
         region match {
           case None => true
-          case Some((chr, lo, hi)) =>
-            vals(0) != null && vals(0).asInstanceOf[UTF8String].toString == chr &&
-              vals(1) != null && { val p = vals(1).asInstanceOf[Long]; p >= lo && p <= hi }
+          case Some(m) =>
+            vals(0) != null && vals(1) != null && m.containsPoint(
+              vals(0).asInstanceOf[UTF8String].toString, vals(1).asInstanceOf[Long])
         }
       }
   }

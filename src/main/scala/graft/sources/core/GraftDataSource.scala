@@ -264,11 +264,16 @@ private[core] object GraftPlanning {
 
   /** Index fast path, delegated to the format (tabix for VCF, BAI for
     * BAM, CSI for BCF — the reference's noodles-backed indexed queries,
-    * SURVEY.md §3.3). Phase-1 scan+filter remains the fallback and the
-    * correctness baseline. */
+    * SURVEY.md §3.3). Handles both the single `region` option and the
+    * batched `regions` list ([[Regions]]): the format loads its index
+    * once and returns one merged chunk set for the whole batch.
+    * Phase-1 scan+filter remains the fallback and the correctness
+    * baseline. */
   private def indexedChunks(format: GraftFormat, path: String,
-      options: Map[String, String], conf: Configuration): Option[Seq[(Long, Long)]] =
-    options.get("region").flatMap(format.regionChunks(path, _, conf))
+      options: Map[String, String], conf: Configuration): Option[Seq[(Long, Long)]] = {
+    val rs = Regions.fromOptions(options)
+    if (rs.isEmpty) None else format.regionChunks(path, rs, conf)
+  }
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long,

@@ -46,12 +46,15 @@ trait GraftFormat extends Serializable {
   /** Writer support (None = read-only format). */
   def formatter: Option[RecordFormatter] = None
 
-  /** Index-driven fast path: when a region query can be served from a
+  /** Index-driven fast path: when a region query (single region or a
+    * batched region LIST — see [[Regions]]) can be served from a
     * sibling index file (.tbi/.bai/.csi), return the merged BGZF
     * virtual-offset chunks to scan; None = full scan + filter fallback.
-    * The region filter is always applied to chunk rows, so an index can
-    * only prune I/O, never change results. */
-  def regionChunks(path: String, region: String,
+    * Implementations load the index and any header dictionary ONCE and
+    * probe it per region — a thousand-region panel must not mean a
+    * thousand index loads. The region filter is always applied to chunk
+    * rows, so an index can only prune I/O, never change results. */
+  def regionChunks(path: String, regions: Seq[String],
                    conf: org.apache.hadoop.conf.Configuration): Option[Seq[(Long, Long)]] = None
 
   /** Schema; `paths` lets header-driven formats (VCF) peek at a file. */
