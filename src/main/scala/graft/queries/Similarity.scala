@@ -185,13 +185,17 @@ object Similarity {
     // two consumers (cell bounds + the candidate join) — materialize
     // the assignment once instead of re-running it per consumer
     val assigned = Q.barrier(assigned0)
+    // crad and the query-centroid distance round to 6 before comparing
+    // (sound: the 1e-5 eps absorbs the ≤1e-6 round-off; see
+    // selfPruneFrames) so the survival decision replays identically in
+    // an external re-implementation
     val cells = assigned.join(broadcast(cents), Seq("cid"))
       .withColumn("md", expr("sqrt(graft_l2_sq(v, cv))"))
-      .groupBy("cid").agg(max(col("md")).as("crad"))
+      .groupBy("cid").agg(round(max(col("md")), 6).as("crad"))
     val r = math.sqrt(2.0 - 2.0 * tau)
     val survive = q.select(col("vec_id").as("q_id"), expr(norm).as("qvn"))
       .crossJoin(broadcast(cents.join(cells, Seq("cid"))))
-      .where(expr("sqrt(graft_l2_sq(qvn, cv))") <= lit(r) + col("crad") + lit(1e-5))
+      .where(expr("round(sqrt(graft_l2_sq(qvn, cv)), 6)") <= lit(r) + col("crad") + lit(1e-5))
       .select(col("q_id"), col("cid"))
     assigned.select(col("vec_id"), col("cid"))
       .join(broadcast(survive), Seq("cid"))
@@ -218,39 +222,118 @@ object Similarity {
     * of n². Self-pairs and (b,a) mirrors are excluded by id order.
     * Shared by dedup_radius_pairs; losslessness property-checked in
     * RadiusSearchSpec. */
-  private[graft] def radiusSelfPairs(e: DataFrame, tau: Double): DataFrame = {
+  private[graft] def radiusSelfPairs(e: DataFrame, tau: Double, k: Int = 8): DataFrame = {
+    val (assigned, cellPairs) = selfPruneFrames(e, tau, k)
+    val orig = assigned.select(col("vec_id"), col("cid"), col("rid"))
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+    val a = orig.select(col("vec_id").as("id_a"), col("cid").as("c1"),
+      col("rid").as("ring1"), col("v").as("qv"))
+    val b = orig.select(col("vec_id").as("id_b"), col("cid").as("c2"),
+      col("rid").as("ring2"), col("v").as("v"))
+    a.join(broadcast(cellPairs), Seq("c1", "ring1"))
+      .join(b, Seq("c2", "ring2"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr(CosSql).as("cos"))
+      .where(col("cos") >= tau)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The sub-cell machinery behind [[radiusSelfPairs]], shared with
+    * the [[radiusPruneStats]] instrumentation so the reported survival
+    * is the EXACT frame the search runs, not a re-derivation:
+    * (assigned(vec_id, cid, rid, v̂, md), cellPairs(c1, ring1, c2,
+    * ring2)).
+    *
+    * `k` is the pruning knob: more cells → tighter per-sub-cell radius
+    * bounds → fewer surviving pairs and fewer Σ|c1|·|c2| candidates,
+    * at the price of a (k·rings)² pair frame (build side must stay
+    * broadcastable — k up to a few thousand is fine, k ≈ sqrt(n/1000)
+    * is a good default scaling so mean cell size ~1000) and an extra
+    * O(n·k) assignment cost. On TRULY isotropic embeddings even ring
+    * bounds stop helping (every sub-cell sits ~1 from its centroid
+    * while centroids crowd the origin) and survival degrades toward
+    * all-pairs — WATCH [[radiusPruneStats]].candidate_fraction; near
+    * 1.0 means the prune is buying nothing and the honest answer is
+    * that an exact radius search on that geometry IS n².
+    *
+    * Rounding: crad and the centroid-pair distance round to 6 before
+    * the comparison. Soundness is untouched — the true qualifying-pair
+    * bound needs dist ≤ r + crad1 + crad2, and the ≤ 1.5e-6 total
+    * round-off is absorbed by the 1e-5 eps — while making the survival
+    * decision replayable bit-for-bit by the DuckDB oracle (same
+    * round-then-compare on both engines). */
+  private[graft] def selfPruneFrames(e: DataFrame, tau: Double,
+                                     k: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
     val norm =
       "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
     val en = e.select(col("vec_id"), expr(norm).as("v"))
-    val (assigned0, cents) = kmeansAssigned(en)
-    // three consumers (cell stats + both member sides) — materialize
-    // the assignment once instead of re-running Lloyd per consumer
-    val assigned = Q.barrier(assigned0)
-    val cells = assigned.join(broadcast(cents), Seq("cid"))
-      .withColumn("md", expr("sqrt(graft_l2_sq(v, cv))"))
-      .groupBy("cid").agg(max(col("md")).as("crad"))
+    val (assigned0, cents) = kmeansAssigned(en, k)
+    // Ring partitioning: a cell's bound is a MAX over members, so ONE
+    // isotropic outlier per cell blows every crad to ~unit scale and
+    // survival collapses to all-pairs (measured in RadiusSearchSpec:
+    // 25% background noise -> candidate_fraction 1.0). Bucketing each
+    // cell's members by distance-to-centroid (fixed 0.25-wide rings on
+    // the normalized sphere, md <= 2) quarantines outliers in outer
+    // rings with tight per-(cell, ring) bounds; the triangle argument
+    // is unchanged — a sub-cell is just a cell whose centroid happens
+    // to be shared. md rounds to 6 BEFORE ring selection and the crad
+    // max so the oracle replays ring membership bit-for-bit.
+    // Consumed by sub-cell stats AND both member sides — materialize
+    // the assignment once instead of re-running Lloyd per consumer.
+    val assigned = Q.barrier(
+      assigned0.join(broadcast(cents), Seq("cid"))
+        .withColumn("md", expr("round(sqrt(graft_l2_sq(v, cv)), 6)"))
+        .withColumn("rid", least(floor(col("md") / lit(0.25)).cast("int"), lit(7)))
+        .select(col("vec_id"), col("cid"), col("rid"), col("v"), col("md")))
+    val cells = assigned
+      .groupBy("cid", "rid").agg(max(col("md")).as("crad"))
       .join(cents, Seq("cid"))
     val r = math.sqrt(2.0 - 2.0 * tau)
     // BOTH orientations survive (no c1 <= c2 cut): members fan in as
     // a -> c1, b -> c2 only, so the (5,2) pair must exist alongside
     // (2,5) or an a-in-5, b-in-2 answer would silently vanish; the
     // unordered-pair dedup happens at the id level (id_a < id_b)
-    val cellPairs = cells.select(col("cid").as("c1"), col("crad").as("r1"), col("cv").as("cv1"))
-      .crossJoin(broadcast(
-        cells.select(col("cid").as("c2"), col("crad").as("r2"), col("cv").as("cv2"))))
-      .where(expr("sqrt(graft_l2_sq(cv1, cv2))") <= lit(r) + col("r1") + col("r2") + lit(1e-5))
-      .select(col("c1"), col("c2"))
-    val orig = assigned.select(col("vec_id"), col("cid"))
-      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
-    val a = orig.select(col("vec_id").as("id_a"), col("cid").as("c1"), col("v").as("qv"))
-    val b = orig.select(col("vec_id").as("id_b"), col("cid").as("c2"), col("v").as("v"))
-    a.join(broadcast(cellPairs), Seq("c1"))
-      .join(b, Seq("c2"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), expr(CosSql).as("cos"))
-      .where(col("cos") >= tau)
-      .orderBy("id_a", "id_b")
+    val cellPairs = cells.select(col("cid").as("c1"), col("rid").as("ring1"),
+        col("crad").as("r1"), col("cv").as("cv1"))
+      .crossJoin(broadcast(cells.select(col("cid").as("c2"), col("rid").as("ring2"),
+        col("crad").as("r2"), col("cv").as("cv2"))))
+      .where(expr("round(sqrt(graft_l2_sq(cv1, cv2)), 6)") <=
+        lit(r) + col("r1") + col("r2") + lit(1e-5))
+      .select(col("c1"), col("ring1"), col("c2"), col("ring2"))
+    (assigned, cellPairs)
+  }
+
+  /** Pruning-effectiveness report for the exact self-join: how much of
+    * the n² pair space the sub-cell-pair prune actually removed. One
+    * row: (n_vectors, n_cells = non-empty (cell, ring) sub-cells,
+    * surviving_cell_pairs, cell_pairs_total = n_cells²,
+    * candidate_pairs = Σ over surviving ordered sub-cell pairs of
+    * |c1|·|c2|, candidate_fraction = candidate_pairs / n²). The
+    * triangle prune is silent about its own effectiveness — on
+    * unclusterable embeddings it can degrade toward all-pairs while
+    * still returning exact answers; this is the gauge to alarm on
+    * (≥ ~0.8 ⇒ raise `k` or accept that the geometry defeats cell
+    * pruning). Counts are ordered-pair (both orientations +
+    * within-sub-cell squares), matching what the candidate join
+    * actually materializes before the id_a < id_b cut. */
+  private[graft] def radiusPruneStats(e: DataFrame, tau: Double, k: Int = 8): DataFrame = {
+    val (assigned, cellPairs) = selfPruneFrames(e, tau, k)
+    val sizes = Q.barrier(assigned.groupBy("cid", "rid").agg(count(lit(1)).as("sz")))
+    val surv = cellPairs
+      .join(broadcast(sizes.select(col("cid").as("c1"), col("rid").as("ring1"),
+        col("sz").as("sz1"))), Seq("c1", "ring1"))
+      .join(broadcast(sizes.select(col("cid").as("c2"), col("rid").as("ring2"),
+        col("sz").as("sz2"))), Seq("c2", "ring2"))
+      .agg(count(lit(1)).as("surviving_cell_pairs"),
+        sum(col("sz1") * col("sz2")).as("candidate_pairs"))
+    sizes.agg(sum(col("sz")).as("n_vectors"), count(lit(1)).as("n_cells"))
+      .crossJoin(surv)
+      .select(col("n_vectors"), col("n_cells"), col("surviving_cell_pairs"),
+        (col("n_cells") * col("n_cells")).as("cell_pairs_total"),
+        col("candidate_pairs"),
+        round(col("candidate_pairs") / (col("n_vectors") * col("n_vectors")), 6)
+          .as("candidate_fraction"))
   }
 
   val qs: Map[String, Q] = Map(
@@ -261,6 +344,54 @@ object Similarity {
     // WHOLE-CORPUS exact pair enumeration, pruned between cells so no
     // all-pairs path exists, and still hash-matching the brute-force
     // oracle (see radiusSelfPairs above).
+    // ---- pruning-effectiveness gauge for the exact search family ----
+    // The triangle prune above is exact but SILENT about how much it
+    // prunes — on near-isotropic embeddings it can degrade toward
+    // all-pairs while still answering correctly. This entry returns
+    // the survival accounting (the oracle replays normalized k-means +
+    // cell radii + the rounded survival predicate, so the reported
+    // pruning is independently confirmed, not self-certified); the
+    // candidate_fraction column is the alarm to watch at scale.
+    "ann_radius_stats" -> Q(
+      (s, dir) => radiusPruneStats(
+        vecs(s, dir).select(col("vec_id"), col("v")), tau = 0.3),
+      Some("""WITH e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        e AS (SELECT vec_id, [x / sqrt(list_sum([y * y for y in v])) for x in v] AS v FROM e0),
+        seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        d1 AS (SELECT e.vec_id, s.cid, e.v,
+                 round(list_sum([(e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN seeds s),
+        a1 AS (SELECT vec_id, cid, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+               WHERE rn = 1),
+        m1 AS (SELECT cid, i - 1 AS dim, round(avg(v[i]), 9) AS m
+               FROM a1, range(1, 65) AS t(i) GROUP BY cid, i),
+        cc AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        d2 AS (SELECT e.vec_id, c.cid, e.v, c.cv,
+                 round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) for i in range(1, 65)]), 6) AS d
+               FROM e CROSS JOIN cc c),
+        a2 AS (SELECT vec_id, cid, v, cv FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2)
+               WHERE rn = 1),
+        a3 AS (SELECT vec_id, cid,
+                 round(sqrt(list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, 65)])), 6) AS md
+               FROM a2),
+        a4 AS (SELECT vec_id, cid, least(CAST(floor(md / 0.25) AS INT), 7) AS rid, md FROM a3),
+        cells AS (SELECT cid, rid, count(*) AS sz, max(md) AS crad FROM a4 GROUP BY cid, rid),
+        cw AS (SELECT c.cid, c.rid, c.sz, c.crad, k.cv FROM cells c JOIN cc k ON c.cid = k.cid),
+        cp AS (SELECT x.sz AS sz1, y.sz AS sz2
+               FROM cw x CROSS JOIN cw y
+               WHERE round(sqrt(list_sum([(x.cv[i] - y.cv[i]) * (x.cv[i] - y.cv[i]) for i in range(1, 65)])), 6)
+                     <= sqrt(2.0 - 2.0 * 0.3) + x.crad + y.crad + 0.00001)
+        SELECT (SELECT count(*) FROM e) AS n_vectors,
+               (SELECT count(*) FROM cells) AS n_cells,
+               count(*) AS surviving_cell_pairs,
+               (SELECT count(*) FROM cells) * (SELECT count(*) FROM cells) AS cell_pairs_total,
+               CAST(sum(sz1 * sz2) AS BIGINT) AS candidate_pairs,
+               round(CAST(sum(sz1 * sz2) AS DOUBLE)
+                     / ((SELECT count(*) FROM e) * (SELECT count(*) FROM e)), 6) AS candidate_fraction
+        FROM cp""")),
+
     "dedup_radius_pairs" -> Q(
       (s, dir) => radiusSelfPairs(
         vecs(s, dir).select(col("vec_id"), col("v")), tau = 0.3),
