@@ -144,16 +144,20 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Size-based estimate (the analog of the reference's
-    * ArrowScanCardinality hint) so Catalyst can pick broadcast sides
-    * when a genomic table joins a small one. */
+  /** Size + sampled-cardinality estimates (the analog of the
+    * reference's ArrowScanCardinality hint) so Catalyst can pick
+    * broadcast sides and join orders when a genomic table joins a
+    * small one. numRows comes from [[RowStats]] (parse ~1000 records,
+    * extrapolate by bytes, session-cached); disable with option
+    * stats.sample=false when even the bounded driver read is unwanted
+    * (e.g. high-latency object stores). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long =
+    private val (bytes: Long, rows: java.util.OptionalLong) =
       try {
         val session = SparkSession.active
         val conf = session.sessionState.newHadoopConf()
-        val raw = GraftFiles.pathSpecs(options)
-          .flatMap(GraftFiles.resolve(_, conf)).map(_.getLen).sum
+        val files = GraftFiles.pathSpecs(options).flatMap(GraftFiles.resolve(_, conf))
+        val raw = files.map(_.getLen).sum
         // compressed files underreport their in-memory row size; scale
         // by Spark's own fileCompressionFactor knob so a ~30 MB-of-rows
         // bgzf file is not mistaken for a 9 MB broadcast candidate
@@ -162,10 +166,15 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
         val factor =
           if (codec == "none") 1.0
           else math.max(1.0, session.sessionState.conf.fileCompressionFactor)
-        math.min(Long.MaxValue / 2, (raw * factor).toLong)
-      } catch { case _: Exception => Long.MaxValue }
+        val sample = !options.exists { case (k, v) =>
+          k.equalsIgnoreCase("stats.sample") && v.equalsIgnoreCase("false") }
+        val est =
+          if (sample) RowStats.estimateRows(format, files, conf, options, full)
+          else java.util.OptionalLong.empty()
+        (math.min(Long.MaxValue / 2, (raw * factor).toLong), est)
+      } catch { case _: Exception => (Long.MaxValue, java.util.OptionalLong.empty()) }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = rows
   }
   override def description(): String =
     s"GraftScan(${format.name}, cols=[${required.fieldNames.mkString(",")}], " +
@@ -287,8 +296,9 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
                                     sconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+  /** The shared open path: (filtered full-schema value iterator, close).
+    * Both the row and the columnar reader are thin shapes over this. */
+  private def openIterator(p: GraftInputPartition): (Iterator[Array[Any]], () => Unit) = {
     // session Hadoop conf shipped from the driver: spark.hadoop.* (s3a
     // credentials, endpoints, ...) must reach executor-side FS access
     val conf = sconf.value
@@ -302,6 +312,7 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
       require(codec == "none", "ranged split over compressed input")
       raw.seek(p.start) // LineReader expects the stream positioned at split start
     }
+    val pred = FilterEval.build(filters, full)
     if (p.bgzfSplit) {
       // executor-side sync + open in one read: first BGZF block header
       // in [start, end); a range interior to one block owns nothing
@@ -309,18 +320,15 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
       Bgzf.openSynced(raw, p.start, p.end, p.fileLen) match {
         case None =>
           raw.in.close()
-          return new PartitionReader[InternalRow] {
-            override def next(): Boolean = false
-            override def get(): InternalRow = throw new NoSuchElementException
-            override def close(): Unit = ()
-          }
+          return (Iterator.empty, () => ())
         case Some(stream) =>
           // split bounds in voff coordinates: [S<<16, (E<<16)-1] — an
           // anchor voff is <= (E<<16)-1 iff its block starts before E
           val split = GraftSplit(p.path,
             if (p.start == 0) 0L else p.start << 16, (p.end << 16) - 1,
             p.fileLen, bgzfSplit = true, conf = conf, neededCols = needed)
-          return buildReader(stream, split)
+          return (format.read(split, full, stream, options).filter(pred),
+            () => stream.close())
       }
     }
     val stream =
@@ -330,29 +338,90 @@ final case class GraftReaderFactory(format: GraftFormat, full: StructType,
     val split = GraftSplit(p.path, if (ranged) p.start else 0,
       if (ranged) p.end else Long.MaxValue, p.fileLen, bgzfChunk = p.bgzfChunk,
       conf = conf, neededCols = needed)
-    buildReader(stream, split)
+    (format.read(split, full, stream, options).filter(pred), () => stream.close())
   }
 
-  private def buildReader(stream: java.io.InputStream,
-                          split: GraftSplit): PartitionReader[InternalRow] = {
-
-    val fullIter = format.read(split, full, stream, options)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (fullIter, closeFn) = openIterator(partition.asInstanceOf[GraftInputPartition])
     val fieldIdx = required.fieldNames.map(full.fieldIndex)
-    val pred = FilterEval.build(filters, full)
-    val it = fullIter
-      .filter(pred)
-      .map { vals =>
-        val out = new Array[Any](fieldIdx.length)
-        var i = 0
-        while (i < fieldIdx.length) { out(i) = vals(fieldIdx(i)); i += 1 }
-        new GenericInternalRow(out): InternalRow
-      }
-
+    val it = fullIter.map { vals =>
+      val out = new Array[Any](fieldIdx.length)
+      var i = 0
+      while (i < fieldIdx.length) { out(i) = vals(fieldIdx(i)); i += 1 }
+      new GenericInternalRow(out): InternalRow
+    }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
       override def get(): InternalRow = current
-      override def close(): Unit = stream.close()
+      override def close(): Unit = closeFn()
+    }
+  }
+
+  /** Columnar batch reads (option columnar=true): the same parser fills
+    * OnHeapColumnVectors 4096 rows at a time instead of allocating one
+    * GenericInternalRow per record, and Spark's codegen'd
+    * ColumnarToRow (or a fully columnar consumer) takes over above —
+    * the Arrow-native shape of the reference's scan
+    * (arrow_reader.rs:153), opt-in while the measured win is profiled
+    * per format. Only offered for flat atomic projections; anything
+    * nested falls back to the row path per partition. */
+  private def columnarEnabled: Boolean = options.exists { case (k, v) =>
+    k.equalsIgnoreCase("columnar") && v.equalsIgnoreCase("true") }
+
+  private def atomic(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarEnabled && required.fields.forall(f => atomic(f.dataType))
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    val (fullIter, closeFn) = openIterator(partition.asInstanceOf[GraftInputPartition])
+    val fieldIdx = required.fieldNames.map(full.fieldIndex)
+    val capacity = 4096
+    val vectors = required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
+    val batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]))
+
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = {
+        if (!fullIter.hasNext) return false
+        var n = 0
+        vectors.foreach(_.reset())
+        while (n < capacity && fullIter.hasNext) {
+          val vals = fullIter.next()
+          var c = 0
+          while (c < fieldIdx.length) {
+            val v = vals(fieldIdx(c))
+            val vec = vectors(c)
+            if (v == null) vec.putNull(n)
+            else required.fields(c).dataType match {
+              case StringType =>
+                val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+                vec.putByteArray(n, b, 0, b.length)
+              case LongType    => vec.putLong(n, v.asInstanceOf[Long])
+              case IntegerType => vec.putInt(n, v.asInstanceOf[Int])
+              case FloatType   => vec.putFloat(n, v.asInstanceOf[Float])
+              case DoubleType  => vec.putDouble(n, v.asInstanceOf[Double])
+              case BooleanType => vec.putBoolean(n, v.asInstanceOf[Boolean])
+              case other => throw new IllegalStateException(s"non-atomic $other in columnar path")
+            }
+            c += 1
+          }
+          n += 1
+        }
+        batch.setNumRows(n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = closeFn()
     }
   }
 }

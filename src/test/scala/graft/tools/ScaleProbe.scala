@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness (manual: sbt "Test/runMain graft.tools.ScaleProbe").
+  *
+  * The library's 100 TB claims were design-verified (plan gates) but
+  * never MEASURED on a curve; this does that. It generates self-similar
+  * synthetic tiers (same generator, same distributions, 10× rows per
+  * step — using one generator for every tier is what makes the
+  * exponents meaningful; the driver's sf* tiers stop at 0.1 and a
+  * generator switch mid-curve would confound the fit), then times the
+  * heaviest gate entries UNCHANGED from SparkEntry.registry at each
+  * tier and reports per-step growth exponents alpha where t ~ rows^alpha.
+  *
+  * Expected bounds (what the designs promise):
+  *   - dedup_minhash_lsh / dedup_components / pipe_decontam_bloom /
+  *     text_bm25_topk: near-linear (alpha ~ 1, sub-linear while cores
+  *     are idle at small tiers)
+  *   - rel_interval_* sweeps: n log n (sort-dominated)
+  *   - dedup_radius_pairs: alpha approaches 2 within surviving cells
+  *     by design (exact search); the candidate_fraction gauge
+  *     (ann_radius_stats) is reported alongside so the quadratic term's
+  *     coefficient is visible, not hidden.
+  * Results recorded in BENCH_NOTES.md / SCALE.md.
+  *
+  * Usage: Test/runMain graft.tools.ScaleProbe [outRoot] [tiers] [passes]
+  * e.g.               graft.tools.ScaleProbe /tmp/graft-scale 0.01,0.1,1 2
+  */
+object ScaleProbe {
+
+  /** Deterministic self-similar tier: documents/embeddings/events with
+    * the driver tables' schemas and marginal shapes (vocab bag text,
+    * 40/15/15/15/15 lang mix, 20 sources, near-dup clusters; 10-label
+    * clustered 64-dim embeddings; poisson-ish event stream), rows =
+    * scale × (50k docs, 20k vecs, 1M events). All expression-generated:
+    * no driver-side loops, so gs10 generates as fast as the cluster
+    * writes. */
+  def generateTier(spark: SparkSession, dir: String, scale: Double): Unit = {
+    val nDocs = math.max(1, (50000 * scale).toLong)
+    val nVecs = math.max(1, (20000 * scale).toLong)
+    val nEvents = math.max(1, (1000000 * scale).toLong)
+    val vocab = Seq("spark", "sort", "column", "filter", "window", "key", "line",
+      "value", "part", "query", "scan", "hash", "group", "agg", "batch", "row",
+      "data", "slow", "fast", "big", "small", "order", "vector", "the", "a",
+      "join", "shuffle", "cache", "plan", "codegen")
+    val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+    // near-dup clusters: ids with id%29 in {0,1,2} share a seed (groups
+    // of 3), everyone appends 3 own-id tokens -> near- not exact dups
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("seed", when(pmod(col("doc_id"), lit(29)) < 3,
+        col("doc_id") - pmod(col("doc_id"), lit(29))).otherwise(col("doc_id")))
+      .withColumn("text", expr(
+        s"""array_join(concat(
+              transform(sequence(1, 25 + cast(seed % 96 as int)),
+                i -> element_at($vocabSql, 1 + cast(pmod(hash(seed, i), 30) as int))),
+              transform(sequence(1, 3),
+                i -> element_at($vocabSql, 1 + cast(pmod(hash(doc_id, i + 1000), 30) as int)))
+            ), ' ')"""))
+      .withColumn("lang", expr(
+        """element_at(array('en','en','en','en','en','en','en','en',
+             'zh','zh','zh','es','es','es','fr','fr','fr','de','de','de'),
+           1 + cast(pmod(hash(doc_id, 7), 20) as int))"""))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    spark.range(nVecs).toDF("vec_id")
+      .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63), d -> cast(
+             sin(label * 7.1 + d * 0.37)
+             + (pmod(hash(vec_id, d), 1000) / 1000.0 - 0.5) * 0.3 as float))"""))
+      .select("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    spark.range(nEvents).toDF("event_id")
+      .withColumn("ts", expr(
+        """timestamp_micros(1704067200000000L + event_id * 2600000
+           + pmod(hash(event_id, 3), 2000000))"""))
+      .withColumn("user_id", pmod(hash(col("event_id"), lit(5)), lit(2000)).cast("long"))
+      .withColumn("event_type", expr(
+        """element_at(array('view','view','view','click','click','cart','signup','error','purchase','view'),
+           1 + cast(pmod(hash(event_id, 11), 10) as int))"""))
+      .withColumn("value", round(abs(pmod(hash(col("event_id"), lit(13)), lit(20000)) / lit(100.0)), 2))
+      .withColumn("props", concat(lit("{\"k\": "),
+        pmod(hash(col("event_id"), lit(17)), lit(100)).cast("string"), lit("}")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** The heavy families from the round-7 verdict, driven UNCHANGED from
+    * the registry — the probe measures the gate entries, not replicas. */
+  val probeEntries: Seq[String] = Seq(
+    // NOT dedup_simhash_pairs: its gate entry is id-bounded (doc_id <
+    // 300 by design), so its curve would measure the bound, not growth
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_winnowing",
+    "dedup_components", "pipe_decontam_bloom", "pipe_decontaminate",
+    "dedup_radius_pairs", "ann_radius_stats", "dedup_semantic",
+    "rel_interval_merge_scalable", "rel_interval_coverage",
+    "rel_events_hourly", "text_bm25_topk")
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft-scale")
+    val tiers = args.lift(1).getOrElse("0.01,0.1,1").split(",").map(_.toDouble).toSeq
+    val passes = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "8g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs = tiers.map { s =>
+      val d = s"$root/gs$s"
+      val marker = new java.io.File(s"$d/events.parquet/_SUCCESS")
+      if (!marker.exists()) {
+        println(s"[scale] generating tier gs$s under $d")
+        generateTier(spark, d, s)
+      }
+      s -> d
+    }
+
+    val results = scala.collection.mutable.Map.empty[(String, Double), Double]
+    for ((s, d) <- dirs; name <- probeEntries) {
+      val fn = graft.SparkEntry.queries(name)
+      val secs = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, d).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, n)
+      }
+      val best = secs.map(_._1).min
+      results((name, s)) = best
+      println(f"[scale] gs$s%-5s $name%-28s ${best}%8.2f s  rows=${secs.head._2}")
+    }
+
+    println("\n[scale] per-step growth exponents (t ~ rows^alpha, 10x rows/step):")
+    for (name <- probeEntries) {
+      val curve = tiers.map(s => results((name, s)))
+      val alphas = curve.sliding(2).collect { case Seq(a, b) =>
+        math.log(b / a) / math.log(10.0)
+      }.toSeq
+      println(f"[scale] $name%-28s " +
+        curve.map(t => f"$t%7.2f").mkString(" ") +
+        "   alpha: " + alphas.map(a => f"$a%5.2f").mkString(" "))
+    }
+    spark.stop()
+  }
+}
