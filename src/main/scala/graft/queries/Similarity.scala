@@ -185,20 +185,26 @@ object Similarity {
     // two consumers (cell bounds + the candidate join) — materialize
     // the assignment once instead of re-running it per consumer
     val assigned = Q.barrier(assigned0)
-    // crad and the query-centroid distance round to 6 before comparing
-    // (sound: the 1e-5 eps absorbs the ≤1e-6 round-off; see
-    // selfPruneFrames) so the survival decision replays identically in
-    // an external re-implementation
-    val cells = assigned.join(broadcast(cents), Seq("cid"))
-      .withColumn("md", expr("sqrt(graft_l2_sq(v, cv))"))
-      .groupBy("cid").agg(round(max(col("md")), 6).as("crad"))
+    // Ring-partitioned bounds, same as selfPruneFrames: the per-cell
+    // max radius is outlier-fragile (one isotropic member blows the
+    // bound to unit scale), so members bucket into fixed 0.25-wide
+    // distance-to-centroid rings and the bound is per (cell, ring). md
+    // and the query-centroid distance round to 6 before comparing
+    // (sound: the 1e-5 eps absorbs the ≤1e-6 round-off) so the
+    // survival decision replays identically in an external
+    // re-implementation.
+    val ringed = Q.barrier(assigned.join(broadcast(cents), Seq("cid"))
+      .withColumn("md", expr("round(sqrt(graft_l2_sq(v, cv)), 6)"))
+      .withColumn("rid", least(floor(col("md") / lit(0.25)).cast("int"), lit(7)))
+      .select(col("vec_id"), col("cid"), col("rid"), col("md")))
+    val cells = ringed.groupBy("cid", "rid").agg(max(col("md")).as("crad"))
     val r = math.sqrt(2.0 - 2.0 * tau)
     val survive = q.select(col("vec_id").as("q_id"), expr(norm).as("qvn"))
       .crossJoin(broadcast(cents.join(cells, Seq("cid"))))
       .where(expr("round(sqrt(graft_l2_sq(qvn, cv)), 6)") <= lit(r) + col("crad") + lit(1e-5))
-      .select(col("q_id"), col("cid"))
-    assigned.select(col("vec_id"), col("cid"))
-      .join(broadcast(survive), Seq("cid"))
+      .select(col("q_id"), col("cid"), col("rid"))
+    ringed.select(col("vec_id"), col("cid"), col("rid"))
+      .join(broadcast(survive), Seq("cid", "rid"))
       .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
       .join(broadcast(q.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
       .where(col("vec_id") =!= col("q_id"))
