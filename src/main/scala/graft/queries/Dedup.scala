@@ -580,6 +580,37 @@ object Dedup {
         WHERE 5 * levenshtein(da.text, db.text) <= greatest(len(da.text), len(db.text))
         ORDER BY id_a, id_b""")),
 
+    // ---- LSH banding calibration (the sizing companion to the entry
+    // below): the S-curve P(candidate | Jaccard=s) = 1-(1-s^r)^b for
+    // every way to split the 32-permutation signature into (bands,
+    // rows) = (32,1)/(16,2)/(8,4)/(4,8), plus each config's s50 (the
+    // Jaccard where collision probability crosses 1/2, ~(1/b)^(1/r)).
+    // This is how a practitioner picks banding for a target dup
+    // threshold BEFORE paying for a corpus pass — the gate's own
+    // r=2,b=16 choice (header comment) reads straight off this table.
+    // Pure closed-form math (no corpus input), so the oracle replays
+    // the identical formula.
+    "dedup_lsh_calibration" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val cfg = Seq((32, 1), (16, 2), (8, 4), (4, 8))
+          .toDF("bands", "rows_per_band")
+        // cast first: a bare id/20.0 is DECIMAL division in Spark but
+        // DOUBLE in DuckDB — the value matches, the dtype would not
+        s.range(1, 20).selectExpr("cast(id as double) / 20.0 AS s")
+          .crossJoin(cfg)
+          .selectExpr("bands", "rows_per_band", "s",
+            "round(1 - pow(1 - pow(s, rows_per_band), bands), 6) AS p_candidate",
+            "round(pow(1 - pow(0.5, 1.0 / bands), 1.0 / rows_per_band), 6) AS s50")
+          .orderBy(col("bands").desc, col("s"))
+      },
+      Some("""WITH cfg(bands, rows_per_band) AS (VALUES (32, 1), (16, 2), (8, 4), (4, 8)),
+        g AS (SELECT i / 20.0 AS s FROM range(1, 20) t(i))
+        SELECT bands, rows_per_band, s,
+          round(1 - pow(1 - pow(s, rows_per_band), bands), 6) AS p_candidate,
+          round(pow(1 - pow(0.5, 1.0 / bands), 1.0 / rows_per_band), 6) AS s50
+        FROM cfg CROSS JOIN g ORDER BY bands DESC, s""")),
+
     // ---- MinHash + LSH banding, exact-verify candidates (scale path) ----
     "dedup_minhash_lsh" -> Q(
       (s, dir) => lshVerifiedPairs(s, dir).orderBy("id_a", "id_b"),

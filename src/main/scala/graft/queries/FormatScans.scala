@@ -535,6 +535,45 @@ object FormatScans {
       Some("""SELECT 'sq0' AS seqname, 'gene' AS type,
         CAST(8 AS BIGINT) AS start, CAST(13 AS BIGINT) AS "end"""")),
 
+    // The multi-region form of the write->index->query composition: a
+    // 2000-feature synthetic GFF (pure arithmetic, so the oracle
+    // regenerates it in SQL) written sorted+bgzf+tabix, then ONE read
+    // batching four regions (two overlapping — union semantics, no
+    // duplicate rows) through the writer's own .tbi; the aggregate
+    // covers every surviving row. MultiRegionQuerySpec carries the
+    // 1000-region property coverage; this pins the composition in the
+    // oracle gate.
+    "fmt_gff_query_multi" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_gffq").toString
+        s.range(2000).selectExpr(
+            "concat('chr', id % 3) AS seqname", "'synth' AS source",
+            "'feature' AS type",
+            "(id * 2654435761L) % 4000000 + 1 AS start",
+            "(id * 2654435761L) % 4000000 + 2 + (id * 40503) % 66000 AS end",
+            "cast(id % 10 as float) AS score", "'+' AS strand",
+            "cast(null as string) AS phase",
+            "map('rid', array(cast(id as string))) AS attributes")
+          .repartition(1).sortWithinPartitions("seqname", "start")
+          .write.mode("overwrite")
+          .option("compression", "bgzf").option("index", "tabix")
+          .format("gff").save(dir)
+        GraftIO.read_gff(s, dir, Map("regions" ->
+            "chr0:1-20000;chr1:100000-180000;chr1:150000-260000;chr2:3900000-4100000"))
+          .agg(count(lit(1)).as("n"), sum(col("start")).as("s_sum"),
+            sum(col("end")).as("e_sum"))
+      },
+      Some("""WITH f AS (SELECT 'chr' || (i % 3) AS seqname,
+               (i * 2654435761) % 4000000 + 1 AS s,
+               (i * 2654435761) % 4000000 + 2 + (i * 40503) % 66000 AS e
+             FROM range(0, 2000) t(i)),
+        m AS (SELECT * FROM f WHERE
+              (seqname = 'chr0' AND s <= 20000 AND e >= 1)
+           OR (seqname = 'chr1' AND s <= 260000 AND e >= 100000)
+           OR (seqname = 'chr2' AND s <= 4100000 AND e >= 3900000))
+        SELECT count(*) AS n, CAST(sum(s) AS BIGINT) AS s_sum,
+               CAST(sum(e) AS BIGINT) AS e_sum FROM m""")),
+
     // ---- VCF write round trip: header reconstructed from the schema,
     //      records re-parsed by the same reader the scan gate proves ----
     // VcfWriteSpec carries samples/typed-genotype and bgzf+tabix

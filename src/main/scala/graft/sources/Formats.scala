@@ -281,8 +281,26 @@ object BedFormat extends GraftFormat {
       StructField("block_sizes", StringType),
       StructField("block_starts", StringType)))
 
+  /** Tabix fast path for bgzipped BED, same contract as the GFF-like
+    * formats (the index only prunes; the overlap filter below decides
+    * membership). */
+  override def regionChunks(path: String, regions: Seq[String],
+                            conf: Configuration): Option[Seq[(Long, Long)]] = {
+    if (!path.toLowerCase.endsWith(".gz")) return None
+    graft.sources.TabixIndex.load(path, conf).orElse(graft.sources.CsiIndex.load(path, conf)).map { idx =>
+      core.Regions.mergeChunks(regions.flatMap { region =>
+        val (chr, lo, hi) = VcfFormat.parseRegion(region)
+        idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+          .map(c => (c.beg, c.end))
+      })
+    }
+  }
+
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
-                    options: Map[String, String]): Iterator[Array[Any]] =
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    // region semantics: OVERLAP against the stored 1-based inclusive
+    // coordinates (start already carries the BED->1-based +1 shift)
+    val region = core.Regions.matcherFromOptions(options)
     P.lines(split, in)
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("track") && !l.startsWith("browser"))
@@ -300,6 +318,16 @@ object BedFormat extends GraftFormat {
           P.s(c(0)), longAt(1, 1), longAt(2), P.s(at(3)), score, P.s(at(5)),
           longAt(6, 1), longAt(7), P.s(color), longAt(9), P.s(at(10)), P.s(at(11)))
       }
+      .filter { vals =>
+        region match {
+          case None => true
+          case Some(m) =>
+            vals(0) != null && vals(1) != null && vals(2) != null && m.overlaps(
+              vals(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+              vals(1).asInstanceOf[Long], vals(2).asInstanceOf[Long])
+        }
+      }
+  }
 }
 
 /** SAM text alignments. Ref schema (10 cols): test_sam_record_scan.test;

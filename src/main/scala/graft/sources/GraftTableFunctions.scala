@@ -94,6 +94,12 @@ object GraftTableFunctions {
     reg.createOrReplaceTempFunction("vcf_query", queryBuilder(VcfFormat), "scala_udf")
     reg.createOrReplaceTempFunction("bam_query", queryBuilder(BamFormat), "scala_udf")
     reg.createOrReplaceTempFunction("bcf_query", queryBuilder(BcfFormat), "scala_udf")
+    // beyond the reference's three: the write side emits tabix/CSI for
+    // the gff-family, so the read side exposes the matching indexed
+    // query surface (same builder, same union semantics)
+    reg.createOrReplaceTempFunction("gff_query", queryBuilder(GffFormat), "scala_udf")
+    reg.createOrReplaceTempFunction("gtf_query", queryBuilder(GtfFormat), "scala_udf")
+    reg.createOrReplaceTempFunction("bed_query", queryBuilder(BedFormat), "scala_udf")
     reg.createOrReplaceTempFunction("read_auto", autoBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("fasta_query", fastaQueryBuilder, "scala_udf")
   }

@@ -107,6 +107,54 @@ class MultiRegionQuerySpec extends AnyFunSuite {
     assert(one.subsetOf(two) && two.size > one.size)
   }
 
+  test("BED gains region queries: write bgzf+tabix, single and multi regions == scan+filter") {
+    val df = spark.range(3000).selectExpr(
+      "concat('chr', id % 3) AS reference_sequence_name",
+      "(id * 2654435761L) % 3000000 + 1 AS start",
+      "(id * 2654435761L) % 3000000 + 1 + (id * 40503) % 40000 AS end",
+      "concat('f', id) AS name", "cast(id % 100 + 1 as long) AS score",
+      "'+' AS strand", "cast(null as long) AS thick_start",
+      "cast(null as long) AS thick_end", "cast(null as string) AS color",
+      "cast(null as long) AS block_count", "cast(null as string) AS block_sizes",
+      "cast(null as string) AS block_starts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bedq").toString
+    df.repartition(1).sortWithinPartitions("reference_sequence_name", "start")
+      .write.mode("overwrite")
+      .option("compression", "bgzf").option("index", "tabix")
+      .format("bed").save(dir)
+    val dataFile = dir + "/" + new java.io.File(dir).listFiles
+      .map(_.getName).find(_.endsWith(".bed.gz")).get
+    val full = GraftIO.read_bed_file(spark, dataFile)
+      .selectExpr("reference_sequence_name AS c", "start", "end", "name").collect()
+    assert(full.length == 3000)
+    val regions = Seq("chr0:1-50000", "chr1:1000000-1200000", "chr2", "chrX:1-9")
+    val matcher = Regions.matcher(regions.map(Regions.parse))
+    val want = full.filter(r => matcher.overlaps(r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(_.toString).sorted.toSeq
+    val got = GraftIO.read_bed_file(spark, dataFile,
+        Map("regions" -> regions.mkString(";")))
+      .selectExpr("reference_sequence_name AS c", "start", "end", "name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && want.nonEmpty)
+    // index actually pruned: chunk partitions planned for a small region
+    val one = GraftIO.read_bed_file(spark, dataFile, Map("region" -> "chr0:1-50000"))
+    one.collect()
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val parts = one.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+      .head.scan.toBatch.planInputPartitions().toSeq
+      .map(_.asInstanceOf[graft.sources.core.GraftInputPartition])
+    assert(parts.nonEmpty && parts.forall(_.bgzfChunk), parts.take(3).toString)
+    // SQL TVF surface
+    graft.sources.GraftTableFunctions.registerAll(spark)
+    val tvf = spark.sql(
+      s"SELECT count(*) AS n FROM bed_query('$dataFile', 'chr0:1-50000', 'chr2')")
+      .collect().head.getLong(0)
+    val direct = GraftIO.read_bed_file(spark, dataFile,
+      Map("regions" -> "chr0:1-50000;chr2")).count()
+    assert(tvf == direct && tvf > 0)
+  }
+
   // ---- the 1k-region panel over a written, indexed tree ----
 
   test("1000-region panel over a written bgzf+tabix GFF: exact vs scan+filter, coalesced partitions") {
