@@ -50,9 +50,20 @@ object FfmpegCodec {
       } catch { case _: java.io.IOException => () /* decoder exited early */ })
     feeder.setDaemon(true)
     feeder.start()
+    // stderr must drain CONCURRENTLY with stdout: a corrupt input makes
+    // ffmpeg spew per-frame errors, and once those exceed the OS pipe
+    // buffer ffmpeg blocks on stderr, stops producing stdout, and a
+    // sequential readAllBytes deadlocks the task forever
+    val errBuf = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](Array.empty)
+    val errDrain = new Thread(() =>
+      try errBuf.set(proc.getErrorStream.readAllBytes())
+      catch { case _: java.io.IOException => () })
+    errDrain.setDaemon(true)
+    errDrain.start()
     val out = proc.getInputStream.readAllBytes()
-    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
     feeder.join()
+    errDrain.join()
+    val err = new String(errBuf.get(), "UTF-8")
     val code = proc.waitFor()
     require(code == 0, s"ffmpeg exited $code: ${err.take(500)}")
     val fsize = width * height

@@ -182,9 +182,6 @@ object Similarity {
       "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
     val en = e.select(col("vec_id"), expr(norm).as("v"))
     val (assigned0, cents) = kmeansAssigned(en)
-    // two consumers (cell bounds + the candidate join) — materialize
-    // the assignment once instead of re-running it per consumer
-    val assigned = Q.barrier(assigned0)
     // Ring-partitioned bounds, same as selfPruneFrames: the per-cell
     // max radius is outlier-fragile (one isotropic member blows the
     // bound to unit scale), so members bucket into fixed 0.25-wide
@@ -192,8 +189,10 @@ object Similarity {
     // and the query-centroid distance round to 6 before comparing
     // (sound: the 1e-5 eps absorbs the ≤1e-6 round-off) so the
     // survival decision replays identically in an external
-    // re-implementation.
-    val ringed = Q.barrier(assigned.join(broadcast(cents), Seq("cid"))
+    // re-implementation. ONE barrier on the ringed frame serves its
+    // two consumers (sub-cell bounds + the member side); assigned0
+    // itself has a single consumer now, so it carries no barrier.
+    val ringed = Q.barrier(assigned0.join(broadcast(cents), Seq("cid"))
       .withColumn("md", expr("round(sqrt(graft_l2_sq(v, cv)), 6)"))
       .withColumn("rid", least(floor(col("md") / lit(0.25)).cast("int"), lit(7)))
       .select(col("vec_id"), col("cid"), col("rid"), col("md")))

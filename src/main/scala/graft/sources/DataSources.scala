@@ -112,7 +112,10 @@ object GraftIO {
   def bam_query(s: SparkSession, path: String, regions: Seq[String]): DataFrame = rd(s, "bam", path, Map("regions" -> regionSpec(regions)))
   def bcf_query(s: SparkSession, path: String, regions: Seq[String]): DataFrame = rd(s, "bcf", path, Map("regions" -> regionSpec(regions)))
 
-  private def regionSpec(regions: Seq[String]): String = {
+  /** Validated ';' join for a region batch — shared with the SQL TVFs
+    * so both surfaces reject list delimiters inside a region up front
+    * instead of silently re-splitting it. */
+  private[sources] def regionSpec(regions: Seq[String]): String = {
     require(regions.nonEmpty, "region-batch query: no regions given")
     regions.foreach(r => require(!r.exists(c => c == ';' || c.isWhitespace),
       s"region '$r' contains a list delimiter"))

@@ -161,16 +161,8 @@ abstract class GffLikeFormat(val name: String, col8: String) extends GraftFormat
     * indexed queries: the index only prunes I/O; the row-level overlap
     * filter below decides membership. */
   override def regionChunks(path: String, regions: Seq[String],
-                            conf: Configuration): Option[Seq[(Long, Long)]] = {
-    if (!path.toLowerCase.endsWith(".gz")) return None
-    graft.sources.TabixIndex.load(path, conf).orElse(graft.sources.CsiIndex.load(path, conf)).map { idx =>
-      core.Regions.mergeChunks(regions.flatMap { region =>
-        val (chr, lo, hi) = VcfFormat.parseRegion(region)
-        idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
-          .map(c => (c.beg, c.end))
-      })
-    }
-  }
+                            conf: Configuration): Option[Seq[(Long, Long)]] =
+    TabixChunks.forRegions(path, regions, conf)
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {
@@ -285,16 +277,8 @@ object BedFormat extends GraftFormat {
     * formats (the index only prunes; the overlap filter below decides
     * membership). */
   override def regionChunks(path: String, regions: Seq[String],
-                            conf: Configuration): Option[Seq[(Long, Long)]] = {
-    if (!path.toLowerCase.endsWith(".gz")) return None
-    graft.sources.TabixIndex.load(path, conf).orElse(graft.sources.CsiIndex.load(path, conf)).map { idx =>
-      core.Regions.mergeChunks(regions.flatMap { region =>
-        val (chr, lo, hi) = VcfFormat.parseRegion(region)
-        idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
-          .map(c => (c.beg, c.end))
-      })
-    }
-  }
+                            conf: Configuration): Option[Seq[(Long, Long)]] =
+    TabixChunks.forRegions(path, regions, conf)
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
                     options: Map[String, String]): Iterator[Array[Any]] = {

@@ -55,7 +55,7 @@ object GraftTableFunctions {
     require(args.length >= 2, s"${fmt.name}_query requires (path, region...)")
     val regionOpt =
       if (args.length == 2) Map("region" -> lit(args(1), "region"))
-      else Map("regions" -> args.tail.map(lit(_, "region")).mkString(";"))
+      else Map("regions" -> GraftIO.regionSpec(args.tail.map(lit(_, "region"))))
     relation(fmt, Map("path" -> lit(args(0), "path")) ++ regionOpt)
   }
 

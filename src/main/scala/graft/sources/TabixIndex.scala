@@ -112,6 +112,24 @@ object BinnedIndex {
   }
 }
 
+/** The shared .tbi/.csi chunk lookup for name-addressed text formats
+  * (VCF, GFF/GTF, BED): load whichever sidecar exists ONCE, probe it
+  * per region, union + coalesce the chunks. One implementation so a
+  * fix to the clamp/merge logic lands everywhere. */
+object TabixChunks {
+  def forRegions(path: String, regions: Seq[String],
+                 conf: Configuration): Option[Seq[(Long, Long)]] = {
+    if (!path.toLowerCase.endsWith(".gz")) return None
+    TabixIndex.load(path, conf).orElse(CsiIndex.load(path, conf)).map { idx =>
+      graft.sources.core.Regions.mergeChunks(regions.flatMap { region =>
+        val (chr, lo, hi) = graft.sources.core.Regions.parse(region)
+        idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+          .map(c => (c.beg, c.end))
+      })
+    }
+  }
+}
+
 /** Tabix .tbi: BGZF payload, magic "TBI\1", named references. */
 object TabixIndex {
   import BinnedIndex._

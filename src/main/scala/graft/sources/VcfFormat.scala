@@ -134,18 +134,11 @@ object VcfFormat extends GraftFormat {
   }
 
   /** Tabix fast path for bgzipped VCF (falls back to scan+filter):
-    * index loaded once, probed per region, chunks unioned+coalesced. */
+    * index loaded once, probed per region, chunks unioned+coalesced
+    * ([[TabixChunks]] — shared with the GFF-like and BED formats). */
   override def regionChunks(path: String, regions: Seq[String],
-                            conf: Configuration): Option[Seq[(Long, Long)]] = {
-    if (!path.toLowerCase.endsWith(".gz")) return None
-    TabixIndex.load(path, conf).orElse(graft.sources.CsiIndex.load(path, conf)).map { idx =>
-      Regions.mergeChunks(regions.flatMap { region =>
-        val (chr, lo, hi) = parseRegion(region)
-        idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
-          .map(c => (c.beg, c.end))
-      })
-    }
-  }
+                            conf: Configuration): Option[Seq[(Long, Long)]] =
+    TabixChunks.forRegions(path, regions, conf)
 
   /** Region grammar: 'chr' or 'chr:start-end' (1-based inclusive). */
   def parseRegion(r: String): (String, Long, Long) = Regions.parse(r)

@@ -45,7 +45,21 @@ private[core] object RowStats {
                    schema: StructType, sampleRows: Int = 1000): OptionalLong = {
     if (files.isEmpty) return OptionalLong.of(0L)
     val head = files.head
-    val key = s"${format.name}|${head.getPath}|${head.getLen}|${head.getModificationTime}|${files.length}"
+    // Sample WITHOUT region filters: a region-filtered iterator can
+    // silently stream arbitrarily far inside one hasNext() (the byte
+    // cap below only checks between RETURNED records), turning plan
+    // time into a driver-side scan — and a no-match region would
+    // declare the whole table empty. The raw-record estimate is a
+    // conservative (over-)estimate for a region query's scan, which is
+    // the safe direction for broadcast decisions; it also makes the
+    // cache key honestly region-independent.
+    val sampleOpts = options.filterNot { case (k, _) =>
+      k.equalsIgnoreCase("region") || k.equalsIgnoreCase("regions") }
+    val codec = format.forcedCodec.getOrElse(
+      Compression.of(head.getPath.toString, sampleOpts)._1)
+    val totalBytes = files.map(_.getLen).sum
+    val key = s"${format.name}|$codec|${head.getPath}|${head.getLen}|" +
+      s"${head.getModificationTime}|${files.length}|$totalBytes"
     val hit = cache.get(key)
     if (hit != null) return hit
     val computed =
@@ -53,15 +67,13 @@ private[core] object RowStats {
         val raw = GraftFiles.open(head.getPath.toString, conf)
         val counting = new CountingStream(raw.stream)
         try {
-          val codec = format.forcedCodec.getOrElse(
-            Compression.of(head.getPath.toString, options)._1)
           val stream = Compression.wrap(counting, codec)
           // neededCols = none of them: parsers keep full row SHAPE but
           // skip expensive per-column work — the estimate needs record
           // framing, not values
           val split = GraftSplit(head.getPath.toString, 0, Long.MaxValue,
             head.getLen, conf = conf, neededCols = Some(Set.empty))
-          val it = format.read(split, schema, stream, options)
+          val it = format.read(split, schema, stream, sampleOpts)
           var n = 0L
           // bound BOTH rows and compressed bytes so a huge-record file
           // cannot turn planning into a scan
@@ -69,7 +81,6 @@ private[core] object RowStats {
             it.next(); n += 1
           }
           val exhausted = !it.hasNext
-          val totalBytes = files.map(_.getLen).sum
           if (n == 0) OptionalLong.of(0L)
           else if (exhausted && files.length == 1) OptionalLong.of(n)
           else {

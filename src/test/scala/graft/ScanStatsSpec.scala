@@ -49,6 +49,21 @@ class ScanStatsSpec extends AnyFunSuite {
     assert(off.queryExecution.optimizedPlan.stats.rowCount.isEmpty)
   }
 
+  test("numRows sampling ignores region filters: no zero-row lies, cache shared with full scans") {
+    // a region matching NOTHING must not make the estimator stream the
+    // file through the filter at plan time and then declare the table
+    // empty — the estimate is the raw record count, conservative for a
+    // region query's scan and identical to the full-scan estimate
+    val path = s"$F/vcf/indexed.vcf.gz"
+    val whole = GraftIO.read_vcf_file_records(spark, path)
+      .queryExecution.optimizedPlan.stats.rowCount
+    val sparse = GraftIO.vcf_query(spark, path, "chrNOPE:1-2")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(whole.isDefined && whole.get > 0)
+    assert(sparse == whole, s"region estimate $sparse != full estimate $whole")
+    assert(GraftIO.vcf_query(spark, path, "chrNOPE:1-2").count() == 0)
+  }
+
   test("columnar=true: identical rows, batch-shaped plan, split-compatible") {
     val path = writeBigFasta(5000)
     val rows = GraftIO.read_fasta(spark, path, Map("maxsplitbytes" -> (256 * 1024).toString))

@@ -48,14 +48,23 @@ object ScaleProbe {
     val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
 
     // near-dup clusters: ids with id%29 in {0,1,2} share a seed (groups
-    // of 3), everyone appends 3 own-id tokens -> near- not exact dups
+    // of 3), everyone appends 3 own-id tokens -> near- not exact dups.
+    // Every 4th token is a RARE word drawn from a vocabulary that grows
+    // with the corpus (Heaps-law-like) — under a FIXED tiny vocabulary,
+    // accidental bag-overlap pairs grow superlinearly with n and the
+    // curve would measure answer density, not operator scaling; real
+    // corpora keep pair density roughly stable because vocabulary
+    // grows. The deliberate near-dup groups stay linear in n.
+    val rareVocab = math.max(1000L, nDocs / 5)
     spark.range(nDocs).toDF("doc_id")
       .withColumn("seed", when(pmod(col("doc_id"), lit(29)) < 3,
         col("doc_id") - pmod(col("doc_id"), lit(29))).otherwise(col("doc_id")))
       .withColumn("text", expr(
         s"""array_join(concat(
               transform(sequence(1, 25 + cast(seed % 96 as int)),
-                i -> element_at($vocabSql, 1 + cast(pmod(hash(seed, i), 30) as int))),
+                i -> CASE WHEN i % 4 = 0
+                     THEN concat('w', pmod(hash(seed, i, 999), ${rareVocab}L))
+                     ELSE element_at($vocabSql, 1 + cast(pmod(hash(seed, i), 30) as int)) END),
               transform(sequence(1, 3),
                 i -> element_at($vocabSql, 1 + cast(pmod(hash(doc_id, i + 1000), 30) as int)))
             ), ' ')"""))
@@ -107,6 +116,12 @@ object ScaleProbe {
     val root = args.headOption.getOrElse("/tmp/graft-scale")
     val tiers = args.lift(1).getOrElse("0.01,0.1,1").split(",").map(_.toDouble).toSeq
     val passes = args.lift(2).map(_.toInt).getOrElse(2)
+    // 4th arg: entry subset — the by-design-quadratic entries (radius
+    // self-join answer ~ c*n², SemDeDup in-cell pairs ~ n²/k with the
+    // gate's fixed k=8) are excluded from tiers past gs1 by passing the
+    // linear families explicitly; their growth law is already measured
+    // and their gs10 answer sets would be billions of rows by design.
+    val entries = args.lift(3).map(_.split(",").toSeq).getOrElse(probeEntries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -128,7 +143,7 @@ object ScaleProbe {
     }
 
     val results = scala.collection.mutable.Map.empty[(String, Double), Double]
-    for ((s, d) <- dirs; name <- probeEntries) {
+    for ((s, d) <- dirs; name <- entries) {
       val fn = graft.SparkEntry.queries(name)
       val secs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -142,7 +157,7 @@ object ScaleProbe {
     }
 
     println("\n[scale] per-step growth exponents (t ~ rows^alpha, 10x rows/step):")
-    for (name <- probeEntries) {
+    for (name <- entries) {
       val curve = tiers.map(s => results((name, s)))
       val alphas = curve.sliding(2).collect { case Seq(a, b) =>
         math.log(b / a) / math.log(10.0)
