@@ -574,6 +574,107 @@ object FormatScans {
         SELECT count(*) AS n, CAST(sum(s) AS BIGINT) AS s_sum,
                CAST(sum(e) AS BIGINT) AS e_sum FROM m""")),
 
+    // GC content in tumbling windows over FASTA — the classic genome-
+    // composition profile, composed from the scan + the registered
+    // gc_content scalar inside one HOF explode (no shuffle until the
+    // per-window rows exist). Golden computed independently from the
+    // fixture text.
+    "fmt_gc_windows" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        GraftIO.read_fasta(s, s"$F/fasta/test.fasta")
+          .selectExpr("id", "length(sequence) AS n",
+            """explode(transform(sequence(1, length(sequence), 5),
+                 i -> named_struct('ws', i, 'sub', substring(sequence, i, 5)))) AS w""")
+          .selectExpr("id", "w.ws AS win_start",
+            "least(w.ws + 4, n) AS win_end",
+            "round(cast(gc_content(w.sub) as double), 6) AS gc")
+          .orderBy("id", "win_start")
+      },
+      Some("""SELECT 'r1' AS id, CAST(1 AS BIGINT) AS win_start, CAST(5 AS BIGINT) AS win_end, CAST(0.4 AS DOUBLE) AS gc
+        UNION ALL SELECT 'r1', 6, 10, 0.8
+        UNION ALL SELECT 'r1', 11, 12, 1.0
+        UNION ALL SELECT 'r2', 1, 5, 0.0
+        UNION ALL SELECT 'r2', 6, 8, 0.666667
+        ORDER BY id, win_start""")),
+
+    // Per-site allele statistics from the genotype columns (the first
+    // consumer that DERIVES population numbers from the sample strings
+    // instead of just surfacing them): allele number / alt count /
+    // frequency with ./. no-calls excluded, '|' and '/' separators
+    // both honored. Golden parsed independently from the fixture.
+    "fmt_vcf_allele_stats" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/samples.vcf")
+        .selectExpr("chrom", "pos", "ref", "alt[0] AS alt",
+          """flatten(transform(genotypes,
+               g -> filter(split(split(g, ':')[0], '[/|]'), a -> a <> '.'))) AS alleles""")
+        .selectExpr("chrom", "pos", "ref", "alt",
+          "size(alleles) AS an",
+          "size(filter(alleles, a -> a = '1')) AS ac")
+        .selectExpr("chrom", "pos", "ref", "alt", "an", "ac",
+          "round(ac / an, 6) AS af")
+        .orderBy("pos"),
+      Some("""SELECT '1' AS chrom, CAST(100 AS BIGINT) AS pos, 'A' AS ref, 'C' AS alt,
+          4 AS an, 3 AS ac, CAST(0.75 AS DOUBLE) AS af
+        UNION ALL SELECT '1', 200, 'G', 'T', 4, 1, 0.25
+        ORDER BY pos""")),
+
+    // samtools-depth analog over CIGAR-aware coverage: per-position
+    // depth counts only M/=/X reference blocks (D/N consume reference
+    // without aligned bases — the 5M2N5M reads must NOT cover their
+    // intron gap), then folds to a depth histogram. Input is 300
+    // synthetic overlapping reads round-tripped through the SAM
+    // WRITER, so the entry gates writer -> reader -> parse_cigar ->
+    // HOF block walk end-to-end; the oracle regenerates the reads
+    // arithmetically and replays the coverage in SQL.
+    "fmt_sam_depth" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val dir = Stage.tempDir("graft_depth").toString
+        s.range(300).selectExpr(
+            "concat('q', id) AS name", "0 AS flag", "'ref1' AS reference",
+            "(id * 37) % 1000 + 1 AS start",
+            """(id * 37) % 1000 + 1 + CASE WHEN id % 3 = 0 THEN 9
+               WHEN id % 3 = 1 THEN 11 ELSE 7 END AS end""",
+            "'30' AS mapping_quality",
+            """CASE WHEN id % 3 = 0 THEN '10M' WHEN id % 3 = 1 THEN '5M2N5M'
+               ELSE '8M' END AS cigar""",
+            "cast(null as string) AS mate_reference",
+            "repeat('A', CASE WHEN id % 3 = 2 THEN 8 ELSE 10 END) AS sequence",
+            "repeat('I', CASE WHEN id % 3 = 2 THEN 8 ELSE 10 END) AS quality_score")
+          .write.mode("overwrite").format("sam").save(dir)
+        GraftIO.read_sam_file_records(s, dir)
+          .where(col("reference").isNotNull)
+          .selectExpr("reference", "start", "parse_cigar(cigar) AS ops")
+          .selectExpr("reference",
+            """aggregate(ops,
+                 named_struct('cur', start, 'blocks',
+                   cast(array() as array<struct<bs: bigint, ln: int>>)),
+                 (acc, o) -> CASE
+                   WHEN o.op IN ('M', '=', 'X') THEN named_struct(
+                     'cur', acc.cur + o.len,
+                     'blocks', concat(acc.blocks, array(named_struct('bs', acc.cur, 'ln', o.len))))
+                   WHEN o.op IN ('D', 'N') THEN named_struct(
+                     'cur', acc.cur + o.len, 'blocks', acc.blocks)
+                   ELSE acc END,
+                 acc -> acc.blocks) AS blocks""")
+          .select(col("reference"), explode(col("blocks")).as("b"))
+          .select(col("reference"),
+            explode(expr("sequence(b.bs, b.bs + b.ln - 1)")).as("pos"))
+          .groupBy("reference", "pos").agg(count(lit(1)).as("depth"))
+          .groupBy("reference", "depth").agg(count(lit(1)).as("n_positions"))
+          .orderBy("reference", "depth")
+      },
+      Some("""WITH r AS (SELECT i % 3 AS kind, (i * 37) % 1000 + 1 AS s FROM range(0, 300) t(i)),
+        pos AS (
+          SELECT s + p AS pos FROM r, range(0, 10) q(p) WHERE kind = 0
+          UNION ALL SELECT s + p FROM r, range(0, 5) q(p) WHERE kind = 1
+          UNION ALL SELECT s + 7 + p FROM r, range(0, 5) q(p) WHERE kind = 1
+          UNION ALL SELECT s + p FROM r, range(0, 8) q(p) WHERE kind = 2),
+        d AS (SELECT pos, count(*) AS depth FROM pos GROUP BY pos)
+        SELECT 'ref1' AS reference, depth, count(*) AS n_positions
+        FROM d GROUP BY depth ORDER BY depth""")),
+
     // ---- VCF write round trip: header reconstructed from the schema,
     //      records re-parsed by the same reader the scan gate proves ----
     // VcfWriteSpec carries samples/typed-genotype and bgzf+tabix
