@@ -83,6 +83,8 @@ object BamFormat extends GraftFormat {
       })
     }
 
+  override def regionColumns: Option[(String, String)] = Some(("reference", "start"))
+
   private def regionPasses(vals: Array[Any],
                            region: Option[Regions.Matcher]): Boolean = region match {
     case None => true

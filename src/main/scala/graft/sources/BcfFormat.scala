@@ -100,6 +100,8 @@ object BcfFormat extends GraftFormat {
       })
     }
 
+  override def regionColumns: Option[(String, String)] = Some(("chrom", "pos"))
+
   /** Shared FILTER/INFO/FORMAT dictionary + contig dictionary. */
   private def dictionaries(header: Seq[String]): (IndexedSeq[String], IndexedSeq[String]) = {
     val IdRe = """##(?:FILTER|INFO|FORMAT)=<ID=([^,>]+).*""".r

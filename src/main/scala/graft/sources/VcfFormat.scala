@@ -140,6 +140,8 @@ object VcfFormat extends GraftFormat {
                             conf: Configuration): Option[Seq[(Long, Long)]] =
     TabixChunks.forRegions(path, regions, conf)
 
+  override def regionColumns: Option[(String, String)] = Some(("chrom", "pos"))
+
   /** Region grammar: 'chr' or 'chr:start-end' (1-based inclusive). */
   def parseRegion(r: String): (String, Long, Long) = Regions.parse(r)
 

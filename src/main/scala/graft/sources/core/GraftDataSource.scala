@@ -185,7 +185,7 @@ final case class GraftScan(format: GraftFormat, full: StructType, required: Stru
     val files = GraftFiles.pathSpecs(options).flatMap(GraftFiles.resolve(_, conf))
     files.flatMap(st =>
       GraftPlanning.partitionsFor(format, st, GraftPlanning.maxSplitOf(options),
-        options, conf)).toArray
+        options, conf, filters.toSeq)).toArray
   }
 
   /** Micro-batch streaming over an arriving-files directory: the same
@@ -223,11 +223,12 @@ private[core] object GraftPlanning {
 
   def partitionsFor(format: GraftFormat, st: org.apache.hadoop.fs.FileStatus,
                     maxSplit: Long, options: Map[String, String],
-                    conf: Configuration): Seq[GraftInputPartition] = {
+                    conf: Configuration,
+                    filters: Seq[Filter] = Nil): Seq[GraftInputPartition] = {
     val path = st.getPath.toString
     val len = st.getLen
     val codec = format.forcedCodec.getOrElse(Compression.of(path, options)._1)
-    indexedChunks(format, path, options, conf) match {
+    indexedChunks(format, path, options, conf, filters) match {
       case Some(chunks) =>
         // index-driven pruning: one partition per merged BGZF chunk;
         // executors read only the blocks the index says can match
@@ -279,8 +280,19 @@ private[core] object GraftPlanning {
     * Phase-1 scan+filter remains the fallback and the correctness
     * baseline. */
   private def indexedChunks(format: GraftFormat, path: String,
-      options: Map[String, String], conf: Configuration): Option[Seq[(Long, Long)]] = {
-    val rs = Regions.fromOptions(options)
+      options: Map[String, String], conf: Configuration,
+      filters: Seq[Filter]): Option[Seq[(Long, Long)]] = {
+    val explicit = Regions.fromOptions(options)
+    // no explicit region? infer one from the pushed filters — a
+    // declarative `WHERE chrom = '1' AND pos BETWEEN a AND b` prunes
+    // through the index exactly like the region option (soundness
+    // argument at [[GraftFormat.regionColumns]]; Spark re-applies the
+    // filters above the scan either way)
+    val rs =
+      if (explicit.nonEmpty) explicit
+      else format.regionColumns
+        .map { case (cc, pc) => Regions.fromFilters(filters, cc, pc) }
+        .getOrElse(Nil)
     if (rs.isEmpty) None else format.regionChunks(path, rs, conf)
   }
 }

@@ -57,6 +57,20 @@ trait GraftFormat extends Serializable {
   def regionChunks(path: String, regions: Seq[String],
                    conf: org.apache.hadoop.conf.Configuration): Option[Seq[(Long, Long)]] = None
 
+  /** (contig column, start-coordinate column) that lets the planner
+    * infer index-pruning regions from pushed filters: `WHERE chrom =
+    * '1' AND pos BETWEEN a AND b` hits the tabix/CSI/BAI index with no
+    * region option — declarative predicates become index pruning the
+    * way parquet predicates become partition pruning (see
+    * [[Regions.fromFilters]]). Soundness for every indexed format,
+    * point- or interval-anchored: a record whose START lies in
+    * [lo, hi] necessarily OVERLAPS [lo, hi], and the binning index
+    * returns every record overlapping the query region — so the
+    * pruned chunk set covers every row the filters can accept, and
+    * Spark re-applies the filters above the scan. Filters on an `end`
+    * column are ignored (less pruning, never less data). */
+  def regionColumns: Option[(String, String)] = None
+
   /** Schema; `paths` lets header-driven formats (VCF) peek at a file. */
   def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType
 

@@ -97,6 +97,52 @@ object Regions {
     if (rs.isEmpty) None else Some(matcher(rs.map(parse)))
   }
 
+  /** Infer a region list from Catalyst's PUSHED FILTERS — the piece
+    * that makes `WHERE chrom = '1' AND pos BETWEEN a AND b` hit the
+    * tabix/CSI index with no region option at all: declarative
+    * predicates become index pruning, exactly like partition pruning
+    * on a parquet table. Only used to PRUNE I/O (Spark re-applies
+    * every filter above the scan), so an inference that is too wide is
+    * merely less effective and one that cannot be made (no contig
+    * constraint, OR-shapes, casts) returns Nil = full scan. The
+    * filters array is an implicit conjunction, which is what makes
+    * combining the chrom and pos constraints sound. */
+  def fromFilters(filters: Seq[org.apache.spark.sql.sources.Filter],
+                  chromCol: String, posCol: String): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    val chroms = filters.collect {
+      case EqualTo(c, v: String) if c == chromCol => Seq(v)
+      case EqualNullSafe(c, v: String) if c == chromCol => Seq(v)
+      case In(c, vs) if c == chromCol && vs.forall(_.isInstanceOf[String]) =>
+        vs.toSeq.map(_.asInstanceOf[String])
+    }
+    if (chroms.isEmpty) return Nil // no contig constraint -> cannot prune
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case _ => None
+    }
+    val los = filters.collect {
+      case GreaterThan(c, v) if c == posCol => longOf(v).map(_ + 1)
+      case GreaterThanOrEqual(c, v) if c == posCol => longOf(v)
+      case EqualTo(c, v) if c == posCol => longOf(v)
+    }.flatten
+    val his = filters.collect {
+      case LessThan(c, v) if c == posCol => longOf(v).map(_ - 1)
+      case LessThanOrEqual(c, v) if c == posCol => longOf(v)
+      case EqualTo(c, v) if c == posCol => longOf(v)
+    }.flatten
+    val lo = if (los.isEmpty) 1L else los.max
+    val hi = if (his.isEmpty) Long.MaxValue else his.min
+    if (hi < lo) return chroms.flatten.distinct.map(c => s"$c:2-1") // provably empty
+    // intersect the per-conjunct chrom sets (multiple EqualTo on the
+    // same column is a contradiction unless equal; In ∧ EqualTo narrows)
+    val set = chroms.map(_.toSet).reduce(_ intersect _)
+    set.toSeq.sorted.map(c =>
+      if (lo == 1L && hi == Long.MaxValue) c else s"$c:$lo-$hi")
+  }
+
   /** Union per-region BGZF chunk lists into a minimal partition set:
     * merge overlapping virtual-offset ranges and coalesce chunks whose
     * COMPRESSED gap is under `coalesceBytes` — streaming 64 KB through
