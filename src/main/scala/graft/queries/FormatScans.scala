@@ -286,6 +286,17 @@ object FormatScans {
           sum(col("info.dp")).as("dp_sum")),
       Some("SELECT CAST(213 AS BIGINT) AS n, CAST(142151824 AS BIGINT) AS pos_sum, CAST(5321 AS BIGINT) AS dp_sum")),
 
+    // The filter->index inference at the gate: the SAME aggregate as
+    // fmt_vcf_query_indexed but driven by a declarative WHERE instead
+    // of a region option — FilterIndexPruningSpec proves the plan side
+    // (chunk partitions); this pins the row side in the oracle loop.
+    "fmt_vcf_filter_pruned" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/indexed.vcf.gz")
+        .where(col("chrom") === "1" && col("pos") >= 100000L && col("pos") <= 500000L)
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos_sum"),
+          sum(col("info.dp")).as("dp_sum")),
+      Some("SELECT CAST(38 AS BIGINT) AS n, CAST(10981885 AS BIGINT) AS pos_sum, CAST(1121 AS BIGINT) AS dp_sum")),
+
     "fmt_genbank_scan" -> Q(
       (s, _) => GraftIO.read_genbank(s, s"$F/genbank/test.gb")
         .selectExpr("name", "accession", "topology", "sequence", "size(features) AS n_features",
