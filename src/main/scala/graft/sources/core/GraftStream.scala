@@ -168,7 +168,11 @@ final case class GraftMicroBatchStream(format: GraftFormat, full: StructType,
       require(statuses.nonEmpty,
         s"streaming input file vanished before its batch was planned: $path")
       statuses.flatMap(st =>
-        GraftPlanning.partitionsFor(format, st, maxSplit, options, conf))
+        // same index pruning as the batch path, including regions
+        // inferred from pushed filters — each arriving file reads only
+        // its matching chunks
+        GraftPlanning.partitionsFor(format, st, maxSplit, options, conf,
+          filters.toSeq))
     }.toArray
   }
 
