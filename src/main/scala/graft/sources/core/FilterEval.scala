@@ -15,8 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object FilterEval {
 
   def supported(f: Filter): Boolean = f match {
-    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
-        _: LessThanOrEqual | _: IsNull | _: IsNotNull | _: In |
+    case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
+        _: LessThan | _: LessThanOrEqual | _: IsNull | _: IsNotNull | _: In |
         _: StringStartsWith | _: StringEndsWith | _: StringContains => true
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r)  => supported(l) && supported(r)
@@ -33,6 +33,14 @@ object FilterEval {
   /** Three-valued: Some(true)/Some(false)/None (unknown -> keep). */
   private def one(f: Filter, schema: StructType): Array[Any] => Option[Boolean] = f match {
     case EqualTo(a, v)            => cmp(a, v, schema, c => c == 0)
+    case EqualNullSafe(a, v) =>
+      col(a, schema) match {
+        case Some(i) => vals =>
+          if (v == null) Some(vals(i) == null)
+          else if (vals(i) == null) Some(false)
+          else compare(norm(vals(i)), norm(v)).map(_ == 0)
+        case None => _ => None
+      }
     case GreaterThan(a, v)        => cmp(a, v, schema, c => c > 0)
     case GreaterThanOrEqual(a, v) => cmp(a, v, schema, c => c >= 0)
     case LessThan(a, v)           => cmp(a, v, schema, c => c < 0)

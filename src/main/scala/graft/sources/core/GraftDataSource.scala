@@ -288,12 +288,17 @@ private[core] object GraftPlanning {
     // through the index exactly like the region option (soundness
     // argument at [[GraftFormat.regionColumns]]; Spark re-applies the
     // filters above the scan either way)
-    val rs =
-      if (explicit.nonEmpty) explicit
+    val inferred: Option[Seq[String]] =
+      if (explicit.nonEmpty) Some(explicit)
       else format.regionColumns
-        .map { case (cc, pc) => Regions.fromFilters(filters, cc, pc) }
-        .getOrElse(Nil)
-    if (rs.isEmpty) None else format.regionChunks(path, rs, conf)
+        .flatMap { case (cc, pc) => Regions.fromFilters(filters, cc, pc) }
+    inferred match {
+      case None => None
+      // contradictory conjunction: zero partitions, PROVABLE from the
+      // filters alone — no index required
+      case Some(Nil) => Some(Seq.empty)
+      case Some(rs) => format.regionChunks(path, rs, conf)
+    }
   }
 }
 

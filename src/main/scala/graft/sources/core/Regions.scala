@@ -107,8 +107,12 @@ object Regions {
     * constraint, OR-shapes, casts) returns Nil = full scan. The
     * filters array is an implicit conjunction, which is what makes
     * combining the chrom and pos constraints sound. */
+  /** Result grammar: None = cannot infer (full scan); Some(Nil) = the
+    * conjunction is PROVABLY EMPTY (contradictory chrom equalities or
+    * an inverted position range — zero partitions, no index needed);
+    * Some(regions) = prune through the index with these. */
   def fromFilters(filters: Seq[org.apache.spark.sql.sources.Filter],
-                  chromCol: String, posCol: String): Seq[String] = {
+                  chromCol: String, posCol: String): Option[Seq[String]] = {
     import org.apache.spark.sql.sources._
     val chroms = filters.collect {
       case EqualTo(c, v: String) if c == chromCol => Seq(v)
@@ -116,7 +120,13 @@ object Regions {
       case In(c, vs) if c == chromCol && vs.forall(_.isInstanceOf[String]) =>
         vs.toSeq.map(_.asInstanceOf[String])
     }
-    if (chroms.isEmpty) return Nil // no contig constraint -> cannot prune
+    if (chroms.isEmpty) return None // no contig constraint -> cannot prune
+    // the region-string grammar cannot carry a ':' inside a contig name
+    // (GRCh38 HLA contigs like 'HLA-A*01:01:01:01') — parse would split
+    // at the first ':' and address a nonexistent reference, silently
+    // pruning real rows. Bail out to a full scan for the whole batch
+    // (dropping only the affected chrom would ALSO lose its rows).
+    if (chroms.exists(_.exists(_.contains(':')))) return None
     def longOf(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -133,14 +143,17 @@ object Regions {
       case LessThanOrEqual(c, v) if c == posCol => longOf(v)
       case EqualTo(c, v) if c == posCol => longOf(v)
     }.flatten
-    val lo = if (los.isEmpty) 1L else los.max
+    // clamp to 1-based coordinates: 'pos > -2' must not emit a region
+    // string with a leading '-' (widening a lower bound is always
+    // sound for pruning)
+    val lo = math.max(1L, if (los.isEmpty) 1L else los.max)
     val hi = if (his.isEmpty) Long.MaxValue else his.min
-    if (hi < lo) return chroms.flatten.distinct.map(c => s"$c:2-1") // provably empty
     // intersect the per-conjunct chrom sets (multiple EqualTo on the
     // same column is a contradiction unless equal; In ∧ EqualTo narrows)
     val set = chroms.map(_.toSet).reduce(_ intersect _)
-    set.toSeq.sorted.map(c =>
-      if (lo == 1L && hi == Long.MaxValue) c else s"$c:$lo-$hi")
+    if (set.isEmpty || hi < lo) return Some(Nil) // provably empty
+    Some(set.toSeq.sorted.map(c =>
+      if (lo == 1L && hi == Long.MaxValue) c else s"$c:$lo-$hi"))
   }
 
   /** Union per-region BGZF chunk lists into a minimal partition set:

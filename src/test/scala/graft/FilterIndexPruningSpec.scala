@@ -26,25 +26,56 @@ class FilterIndexPruningSpec extends AnyFunSuite {
       .map(_.asInstanceOf[graft.sources.core.GraftInputPartition])
   }
 
-  test("Regions.fromFilters: bounds math, In, contradictions, no-contig") {
+  test("Regions.fromFilters: bounds math, In, contradictions, no-contig, hostile names") {
     import org.apache.spark.sql.sources._
-    assert(Regions.fromFilters(Seq(EqualTo("chrom", "1")), "chrom", "pos") == Seq("1"))
+    assert(Regions.fromFilters(Seq(EqualTo("chrom", "1")), "chrom", "pos")
+      .contains(Seq("1")))
     assert(Regions.fromFilters(Seq(
       EqualTo("chrom", "1"), GreaterThan("pos", 100L), LessThanOrEqual("pos", 200L)),
-      "chrom", "pos") == Seq("1:101-200"))
+      "chrom", "pos").contains(Seq("1:101-200")))
     assert(Regions.fromFilters(Seq(
       In("chrom", Array("2", "1")), GreaterThanOrEqual("pos", 5L)),
-      "chrom", "pos").toSet == Set("1:5-", "2:5-").map(_.replace("-", s"-${Long.MaxValue}")))
+      "chrom", "pos").get.toSet ==
+      Set(s"1:5-${Long.MaxValue}", s"2:5-${Long.MaxValue}"))
     assert(Regions.fromFilters(Seq(EqualTo("chrom", "1"), EqualTo("pos", 7L)),
-      "chrom", "pos") == Seq("1:7-7"))
-    // conjunction of two different chroms: provably empty intersection
+      "chrom", "pos").contains(Seq("1:7-7")))
+    assert(Regions.fromFilters(Seq(EqualNullSafe("chrom", "1")), "chrom", "pos")
+      .contains(Seq("1")))
+    // contradictions: PROVABLY empty (Some(Nil)), not a full scan
     assert(Regions.fromFilters(Seq(EqualTo("chrom", "1"), In("chrom", Array("2"))),
-      "chrom", "pos").isEmpty)
-    // no contig constraint -> cannot prune
+      "chrom", "pos").contains(Nil))
+    assert(Regions.fromFilters(Seq(
+      EqualTo("chrom", "1"), GreaterThan("pos", 200L), LessThan("pos", 100L)),
+      "chrom", "pos").contains(Nil))
+    // no contig constraint -> cannot prune (None = full scan)
     assert(Regions.fromFilters(Seq(GreaterThan("pos", 100L)), "chrom", "pos").isEmpty)
+    // a contig name the region grammar cannot carry (':' — GRCh38 HLA
+    // contigs) must bail to a full scan, never address a wrong contig
+    assert(Regions.fromFilters(Seq(
+      EqualTo("chrom", "HLA-A*01:01:01:01"), EqualTo("pos", 100L)),
+      "chrom", "pos").isEmpty)
+    // negative bounds clamp to the 1-based coordinate space
+    assert(Regions.fromFilters(Seq(EqualTo("chrom", "1"), GreaterThan("pos", -2L)),
+      "chrom", "pos").contains(Seq("1")))
     // filters on other columns are ignored, not misread
     assert(Regions.fromFilters(Seq(EqualTo("ref", "A"), EqualTo("chrom", "1")),
-      "chrom", "pos") == Seq("1"))
+      "chrom", "pos").contains(Seq("1")))
+  }
+
+  test("contradictory filters plan ZERO partitions (provable without the index)") {
+    val path = s"$F/vcf/indexed.vcf.gz"
+    val df = GraftIO.read_vcf_file_records(spark, path)
+      .where(col("chrom") === "1" && col("chrom") === "2")
+      .selectExpr("chrom")
+    assert(df.count() == 0)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val parts = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+      .headOption.map(_.scan.toBatch.planInputPartitions().length)
+    // Catalyst may constant-fold the contradiction away entirely (no
+    // scan node) — either shape is a win; if the scan survives, it must
+    // carry zero partitions
+    assert(parts.forall(_ == 0), s"expected 0 partitions, got $parts")
   }
 
   test("VCF: WHERE chrom/pos plans index chunks with no region option; rows exact") {
