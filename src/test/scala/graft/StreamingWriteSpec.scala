@@ -47,6 +47,44 @@ class StreamingWriteSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(out, "_temporary")))
   }
 
+  test("streaming bgzf+tabix GFF sink: arriving sorted files gain queryable indexes") {
+    // the live-ingest composition: files stream in, each epoch's output
+    // carries its own .tbi built inside the write task, and the
+    // accumulated directory answers multi-region queries exactly
+    val in = tmp("graft-stbi-in")
+    val out = tmp("graft-stbi-out").toString
+    val ck = tmp("graft-stbi-ck").toString
+    def gffText(ids: Range): String = ids.map { i =>
+      val start = i * 100 + 1
+      (s"chr${i % 2}", start,
+        s"chr${i % 2}\tsynth\tfeature\t$start\t${start + 49}\t.\t+\t.\trid=$i")
+    }.sortBy(t => (t._1, t._2)) // NUMERIC start order — the index builder enforces it
+      .map(_._3).mkString("", "\n", "\n")
+    Files.write(in.resolve("a.gff"), gffText(0 until 40).getBytes("UTF-8"))
+    Files.write(in.resolve("b.gff"), gffText(40 until 80).getBytes("UTF-8"))
+    val q = spark.readStream.format("gff").load(in.toString)
+      .writeStream.format("gff")
+      .option("path", out).option("checkpointLocation", ck)
+      .option("compression", "bgzf").option("index", "tabix")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val files = new java.io.File(out).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".gff.gz")), files.toSeq)
+    assert(files.count(_.endsWith(".gff.gz.tbi")) ==
+      files.count(_.endsWith(".gff.gz")), s"every data file needs its .tbi: ${files.toSeq}")
+    val full = graft.sources.GraftIO.read_gff(spark, out)
+    assert(full.count() == 80)
+    val regions = "chr0:1-500;chr1:3000-6000"
+    val matcher = graft.sources.core.Regions.matcher(
+      graft.sources.core.Regions.split(regions).map(graft.sources.core.Regions.parse))
+    val want = full.selectExpr("seqname", "start", "end").collect()
+      .filter(r => matcher.overlaps(r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(_.toString).sorted.toSeq
+    val got = graft.sources.GraftIO.read_gff(spark, out, Map("regions" -> regions))
+      .selectExpr("seqname", "start", "end").collect().map(_.toString).sorted.toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("epochs append with deterministic names; restart adds new epochs without clobbering") {
     val in = tmp("graft-swrite-epoch-in")
     val out = tmp("graft-swrite-epoch-out")
