@@ -155,6 +155,49 @@ class MultiRegionQuerySpec extends AnyFunSuite {
     assert(tvf == direct && tvf > 0)
   }
 
+  test("multi-part indexed tree: per-file .tbi, regions prune across every part") {
+    // a partitioned write (2 part files, each sorted, each with its own
+    // sidecar) is what a real ingestion job produces; region queries
+    // must prune per file and union across the tree
+    val df = spark.range(2000).selectExpr(
+      "concat('chr', id % 4) AS seqname", "'synth' AS source", "'feature' AS type",
+      "(id * 2654435761L) % 2000000 + 1 AS start",
+      "(id * 2654435761L) % 2000000 + 2 + (id * 40503) % 30000 AS end",
+      "cast(1.0 as float) AS score", "'+' AS strand",
+      "cast(null as string) AS phase",
+      "map('rid', array(cast(id as string))) AS attributes")
+    val dir = java.nio.file.Files.createTempDirectory("graft-multipart").toString
+    df.repartition(2, col("seqname")).sortWithinPartitions("seqname", "start")
+      .write.mode("overwrite")
+      .option("compression", "bgzf").option("index", "tabix")
+      .format("gff").save(dir)
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    val dataFiles = files.filter(_.endsWith(".gff.gz"))
+    assert(dataFiles.length == 2, files.toSeq)
+    assert(files.count(_.endsWith(".tbi")) == 2, files.toSeq)
+    val regions = "chr0:1-300000;chr1:500000-800000;chr3:1900000-2000000"
+    val matcher = Regions.matcher(Regions.split(regions).map(Regions.parse))
+    val full = GraftIO.read_gff(spark, dir)
+      .selectExpr("seqname", "start", "end").collect()
+    assert(full.length == 2000)
+    val want = full.filter(r => matcher.overlaps(r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(_.toString).sorted.toSeq
+    val multi = GraftIO.read_gff(spark, dir, Map("regions" -> regions))
+    val got = multi.selectExpr("seqname", "start", "end")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && want.nonEmpty)
+    // both part files contribute chunk partitions (regions hit contigs
+    // in each part via the hash layout)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val sel = multi.selectExpr("seqname")
+    sel.collect()
+    val parts = sel.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+      .head.scan.toBatch.planInputPartitions().toSeq
+      .map(_.asInstanceOf[graft.sources.core.GraftInputPartition])
+    assert(parts.nonEmpty && parts.forall(_.bgzfChunk), parts.take(3).toString)
+  }
+
   // ---- the 1k-region panel over a written, indexed tree ----
 
   test("1000-region panel over a written bgzf+tabix GFF: exact vs scan+filter, coalesced partitions") {
