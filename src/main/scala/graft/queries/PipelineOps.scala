@@ -373,6 +373,44 @@ object PipelineOps {
         FROM sz LEFT JOIN j USING (eval_id) ORDER BY eval_id""")),
 
     // ---- corpus profile: the per-source statistics panel ----
+    // Corpus novelty curve: per document, the fraction of its distinct
+    // word trigrams NOT seen in any earlier document (first owner =
+    // min doc_id per gram). The audit behind "is this crawl adding
+    // anything": a feed whose novelty decays to ~0 is re-serving known
+    // content. Scale shape: one gram-keyed aggregation (map-side
+    // partial min) and a posting rejoin — both bounded by distinct
+    // grams, nothing quadratic; per-doc output, summarizable
+    // downstream however the caller likes.
+    "pipe_ngram_novelty" -> Q(
+      (s, dir) => {
+        val w = "split(text, ' ')"
+        val grams = t(s, dir, "documents").selectExpr("doc_id",
+          s"""explode(array_distinct(transform(sequence(1, size($w) - 2),
+               i -> concat_ws(' ', element_at($w, i), element_at($w, i + 1),
+                              element_at($w, i + 2))))) AS g""")
+        val first = grams.groupBy("g").agg(min(col("doc_id")).as("fo"))
+        grams.join(first, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fo") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
+          .selectExpr("doc_id", "n_grams", "n_novel",
+            "round(n_novel / n_grams, 6) AS novelty")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g0 AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                                             for i in range(1, len(w) - 1)]) AS gs
+               FROM d WHERE len(w) >= 3),
+        g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+        f AS (SELECT g, min(doc_id) AS fo FROM g GROUP BY g)
+        SELECT g.doc_id,
+          count(*) AS n_grams,
+          CAST(sum(CASE WHEN f.fo = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          round(CAST(sum(CASE WHEN f.fo = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*), 6) AS novelty
+        FROM g JOIN f ON g.g = f.g
+        GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
     // The first query anyone runs on a new crawl: docs, token mass,
     // vocabulary, language spread per source. Two keyed aggregations
     // (doc-level stats; token-level distinct for vocabulary), both
