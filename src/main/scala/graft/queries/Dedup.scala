@@ -580,6 +580,38 @@ object Dedup {
         WHERE 5 * levenshtein(da.text, db.text) <= greatest(len(da.text), len(db.text))
         ORDER BY id_a, id_b""")),
 
+    // ---- cross-source duplication matrix: WHERE the near-dups come
+    // from. Verified LSH pairs lifted to (source, source) cells — the
+    // audit that distinguishes a feed mirroring another feed from
+    // within-source boilerplate. Pair frame is dedup-bounded, the two
+    // source lookups are joins against the slim (doc_id, source)
+    // projection, the cell matrix is at most |sources|². Oracle =
+    // exact J >= 0.8 all-pairs lifted the same way (the verify step
+    // makes the LSH path exact; same equivalence the minhash entry
+    // rests on).
+    "dedup_source_matrix" -> Q(
+      (s, dir) => {
+        val pairs = lshVerifiedPairs(s, dir).select("id_a", "id_b")
+        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+          .selectExpr("least(sa, sb) AS src_a", "greatest(sa, sb) AS src_b")
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH $ShingleCteSql,
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        m AS (SELECT least(da.source, db.source) AS src_a,
+                     greatest(da.source, db.source) AS src_b
+              FROM pairs
+              JOIN documents da ON da.doc_id = pairs.id_a
+              JOIN documents db ON db.doc_id = pairs.id_b)
+        SELECT src_a, src_b, count(*) AS n_pairs
+        FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""")),
+
     // ---- LSH banding calibration (the sizing companion to the entry
     // below): the S-curve P(candidate | Jaccard=s) = 1-(1-s^r)^b for
     // every way to split the 32-permutation signature into (bands,
