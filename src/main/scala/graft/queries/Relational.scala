@@ -1136,6 +1136,42 @@ object Relational {
         ON c.user_id = e.user_id AND c.ts >= e.ts
         ORDER BY c.event_id""")),
 
+    // ---- FORWARD as-of join: next 'error' at-or-after each 'click' ----
+    // The mirror of rel_asof_join, with the frame-discipline twist: a
+    // naive "min over following rows" is a SHRINKING window frame that
+    // WindowExec re-aggregates per row (O(n²) per key — the exact trap
+    // SCALE.md documents). Scanning time-DESCENDING turns it into a
+    // GROWING running-min; equal-timestamp errors order before clicks
+    // so the at-or-equal match survives the tie (DuckDB's ASOF c.ts <=
+    // e.ts includes equality). Oracle = native forward ASOF JOIN —
+    // two different formulations must agree.
+    "rel_asof_forward" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("is_click").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        eventsTs(s, dir)
+          .where(col("event_type").isin("click", "error"))
+          .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS ts_us")
+          .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+          .withColumn("next_err_us",
+            min(when(col("event_type") === "error", col("ts_us"))).over(w))
+          .where(col("event_type") === "click")
+          .selectExpr("event_id", "user_id",
+            "date_format(timestamp_micros(ts_us), 'yyyy-MM-dd HH:mm:ss') AS click_ts",
+            "date_format(timestamp_micros(next_err_us), 'yyyy-MM-dd HH:mm:ss') AS next_error_ts",
+            "CAST((next_err_us - ts_us) div 1000000 AS BIGINT) AS gap_s")
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+          strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS next_error_ts,
+          (epoch_us(e.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts <= e.ts
+        ORDER BY c.event_id""")),
+
     // ---- JSON extraction (events.props) ----
     "rel_json_extract" -> Q(
       (s, dir) =>
