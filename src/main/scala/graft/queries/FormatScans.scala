@@ -86,6 +86,45 @@ object FormatScans {
       Some("""SELECT 'q1' AS name, 'read one' AS description, 'GATTACAGATTACA' AS sequence, 'IIIIIIIIIIIIII' AS quality_scores
         UNION ALL SELECT 'q2', NULL, 'ACGTACGTACGTAC', '!!##%%%%++55??' ORDER BY name""")),
 
+    // 3'-end quality trimming (the fastp/Trimmomatic staple): keep
+    // through the LAST base with Q >= 20, report trimmed length and
+    // kept-prefix mean quality. 200 synthetic reads with arithmetic
+    // quality ramps round-trip through the FASTQ WRITER, decode through
+    // the registered quality_score_string_to_list scalar, and the
+    // oracle regenerates the quality arrays numerically — so encode,
+    // write, re-parse, and phred+33 decode are all under the hash.
+    "fmt_fastq_trim" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val dir = Stage.tempDir("graft_trim").toString
+        s.range(200).selectExpr(
+            "concat('r', id) AS name",
+            "cast(null as string) AS description",
+            "repeat('A', 20) AS sequence",
+            """concat_ws('', transform(sequence(0, 19),
+                 p -> char(33 + (id * 7 + p * 3) % 41))) AS quality_scores""")
+          .write.mode("overwrite").format("fastq").save(dir)
+        GraftIO.read_fastq(s, dir)
+          .selectExpr("name", "quality_score_string_to_list(quality_scores) AS q")
+          .selectExpr("name", "size(q) AS len",
+            "aggregate(sequence(1, size(q)), 0, (a, p) -> IF(element_at(q, p) >= 20, p, a)) AS trimmed_len",
+            "q")
+          .selectExpr("name", "len", "trimmed_len",
+            """CASE WHEN trimmed_len = 0 THEN NULL
+               ELSE round(aggregate(slice(q, 1, trimmed_len), 0D, (a, x) -> a + x) / trimmed_len, 6)
+               END AS mean_q""")
+          .orderBy("name")
+      },
+      Some("""WITH r AS (SELECT i AS id, [(i * 7 + p * 3) % 41 for p in range(0, 20)] AS q
+               FROM range(0, 200) t(i)),
+        k AS (SELECT id, q, len(q) AS len,
+                coalesce(list_max([p for p in range(1, len(q) + 1) if q[p] >= 20]), 0) AS trimmed_len
+              FROM r)
+        SELECT 'r' || id AS name, len, trimmed_len,
+          CASE WHEN trimmed_len = 0 THEN NULL
+          ELSE round(CAST(list_sum(q[1:trimmed_len]) AS DOUBLE) / trimmed_len, 6) END AS mean_q
+        FROM k ORDER BY name""")),
+
     "fmt_gff_scan" -> Q(
       (s, _) => GraftIO.read_gff(s, s"$F/gff/test.gff")
         .selectExpr("seqname", "type", "start", "end", "score", "strand", "phase",

@@ -23,14 +23,20 @@ object Regions {
 
   /** Region grammar: 'chr' or 'chr:start-end' (1-based inclusive;
     * commas in positions tolerated, open-ended 'chr:start-' allowed). */
-  def parse(r: String): (String, Long, Long) = r.split(":", 2) match {
-    case Array(chr)         => (chr, 1L, Long.MaxValue)
-    case Array(chr, range0) =>
-      val range = range0.split("-", 2)
-      (chr, range(0).replace(",", "").toLong,
-        if (range.length > 1 && range(1).nonEmpty) range(1).replace(",", "").toLong
-        else Long.MaxValue)
-  }
+  def parse(r: String): (String, Long, Long) =
+    try r.split(":", 2) match {
+      case Array(chr)         => (chr, 1L, Long.MaxValue)
+      case Array(chr, range0) =>
+        val range = range0.split("-", 2)
+        (chr, range(0).replace(",", "").toLong,
+          if (range.length > 1 && range(1).nonEmpty) range(1).replace(",", "").toLong
+          else Long.MaxValue)
+    } catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"bad region '$r' — grammar: 'chr' or 'chr:start-end' " +
+          "(1-based inclusive; open-ended 'chr:start-' allowed; note a " +
+          "contig name containing ':' cannot be addressed through this grammar)", e)
+    }
 
   /** Split a `regions` option value into individual region strings. */
   def split(spec: String): Seq[String] =

@@ -32,6 +32,9 @@ class MultiRegionQuerySpec extends AnyFunSuite {
     assert(Regions.fromOptions(Map("region" -> "1:1-5", "regions" -> "2;3")) ==
       Seq("1:1-5", "2", "3"))
     assert(Regions.fromOptions(Map("path" -> "x")) == Seq.empty)
+    // malformed positions fail with the grammar, not a bare NumberFormatException
+    val e = intercept[IllegalArgumentException] { Regions.parse("chr1:abc-def") }
+    assert(e.getMessage.contains("grammar"))
   }
 
   test("Regions.Matcher: merged intervals, point and overlap semantics") {
