@@ -527,4 +527,36 @@ object CorpusOps {
           "n_intervals AS weight"), bucketWidth = None)
     }
   }
+
+  /** Corpus novelty curve: per document, the fraction of its distinct
+    * word `n`-grams NOT seen in any lower-id document (first owner =
+    * min id per gram) — the audit behind "is this crawl adding
+    * anything"; a feed whose novelty decays to ~0 is re-serving known
+    * content. One gram-keyed aggregation (map-side partial min) plus a
+    * posting rejoin, bounded by distinct grams. Output: (`idCol`,
+    * n_grams, n_novel, novelty). */
+  def noveltyCurve(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3): DataFrame = {
+    require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
+      s"CorpusOps.noveltyCurve: need columns '$idCol' and '$textCol'")
+    require(n >= 1, s"CorpusOps.noveltyCurve: n ($n) must be >= 1")
+    graft.queries.PipelineOps.ngramNoveltyCore(docs, idCol, textCol, n)
+  }
+
+  /** Cross-key duplication matrix: near-dup `pairs` (two id columns,
+    * e.g. from [[nearDupPairs]]) lifted to unordered (`keyCol`,
+    * `keyCol`) cells with pair counts — the audit separating one feed
+    * mirroring another from within-source boilerplate. Output:
+    * (src_a, src_b, n_pairs), src_a <= src_b. */
+  def dupSourceMatrix(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id",
+                      keyCol: String = "source"): DataFrame = {
+    require(docs.columns.contains(idCol) && docs.columns.contains(keyCol),
+      s"CorpusOps.dupSourceMatrix: need columns '$idCol' and '$keyCol'")
+    val pc = pairs.columns
+    require(pc.length >= 2, "CorpusOps.dupSourceMatrix: pairs needs two id columns")
+    graft.queries.Dedup.dupSourceMatrixCore(
+      pairs.select(col(pc(0)).as("id_a"), col(pc(1)).as("id_b")),
+      docs, idCol, keyCol)
+  }
 }

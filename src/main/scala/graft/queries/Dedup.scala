@@ -473,6 +473,21 @@ object Dedup {
          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          WHERE len(w) >= 3)"""
 
+  /** Cross-key duplication matrix core (see the dedup_source_matrix
+    * entry comment): near-dup pairs lifted to unordered (key, key)
+    * cells. Shared by the gate entry and
+    * [[graft.pipeline.CorpusOps.dupSourceMatrix]]. */
+  private[graft] def dupSourceMatrixCore(pairs: DataFrame, docs: DataFrame,
+                                         idCol: String, keyCol: String): DataFrame = {
+    val src = docs.select(col(idCol), col(keyCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"), col(keyCol).as("__sa")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(keyCol).as("__sb")), Seq("id_b"))
+      .selectExpr("least(__sa, __sb) AS src_a", "greatest(__sa, __sb) AS src_b")
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-groupBy (one shuffle; scales linearly) ----
@@ -590,16 +605,9 @@ object Dedup {
     // makes the LSH path exact; same equivalence the minhash entry
     // rests on).
     "dedup_source_matrix" -> Q(
-      (s, dir) => {
-        val pairs = lshVerifiedPairs(s, dir).select("id_a", "id_b")
-        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
-        pairs
-          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
-          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
-          .selectExpr("least(sa, sb) AS src_a", "greatest(sa, sb) AS src_b")
-          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
-          .orderBy("src_a", "src_b")
-      },
+      (s, dir) => dupSourceMatrixCore(
+        lshVerifiedPairs(s, dir).select("id_a", "id_b"),
+        t(s, dir, "documents"), "doc_id", "source"),
       Some(s"""WITH $ShingleCteSql,
         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id

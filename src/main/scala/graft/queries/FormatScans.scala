@@ -648,6 +648,27 @@ object FormatScans {
         UNION ALL SELECT 'r2', 6, 8, 0.666667
         ORDER BY id, win_start""")),
 
+    // Multiallelic-site split (bcftools `norm -m-`): one biallelic row
+    // per ALT allele with its 1-based allele index — the normalization
+    // step most variant pipelines run before anything else. Map-only
+    // posexplode; golden from the fixture text (site 1:205 A->C,T
+    // splits into two rows).
+    "fmt_vcf_split_multiallelic" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/test.vcf.gz")
+        .selectExpr("chrom", "pos", "ref", "qual",
+          "posexplode(alt) AS (ai0, alt_allele)")
+        .selectExpr("chrom", "pos", "ref", "alt_allele",
+          "ai0 + 1 AS allele_idx", "qual")
+        .orderBy("chrom", "pos", "allele_idx"),
+      Some("""SELECT '1' AS chrom, CAST(101 AS BIGINT) AS pos, 'G' AS ref, '<*>' AS alt_allele,
+          1 AS allele_idx, CAST(0 AS REAL) AS qual
+        UNION ALL SELECT '1', 205, 'A', 'C', 1, 29.5
+        UNION ALL SELECT '1', 205, 'A', 'T', 2, 29.5
+        UNION ALL SELECT '1', 990, 'T', 'TA', 1, 12
+        UNION ALL SELECT '2', 55, 'C', 'G', 1, 8
+        UNION ALL SELECT '2', 777, 'GG', 'G', 1, 3.5
+        ORDER BY chrom, pos, allele_idx""")),
+
     // Per-site allele statistics from the genotype columns (the first
     // consumer that DERIVES population numbers from the sample strings
     // instead of just surfacing them): allele number / alt count /

@@ -211,6 +211,28 @@ object PipelineOps {
         (col("tot_neg") - col("fp")).as("tn"))
   }
 
+  /** Corpus novelty core (see the pipe_ngram_novelty entry comment):
+    * per doc, the fraction of its distinct word n-grams whose first
+    * owner (min id over the corpus) is the doc itself. Shared by the
+    * gate entry and [[graft.pipeline.CorpusOps.noveltyCurve]]. */
+  private[graft] def ngramNoveltyCore(docs: DataFrame, idCol: String,
+                                      textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n ($n) must be >= 1")
+    val w = s"split(`$textCol`, ' ')"
+    val gram = (0 until n).map(k => s"element_at($w, i + $k)").mkString(", ")
+    val grams = docs.selectExpr(s"`$idCol` AS __nid",
+      s"""explode(array_distinct(transform(sequence(1, size($w) - ${n - 1}),
+           i -> concat_ws(' ', $gram)))) AS g""")
+    val first = grams.groupBy("g").agg(min(col("__nid")).as("fo"))
+    grams.join(first, Seq("g"))
+      .groupBy("__nid")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fo") === col("__nid"), 1).otherwise(0)).as("n_novel"))
+      .selectExpr(s"__nid AS `$idCol`", "n_grams", "n_novel",
+        "round(n_novel / n_grams, 6) AS novelty")
+      .orderBy(idCol)
+  }
+
   val qs: Map[String, Q] = Map(
 
     // ---- benchmark decontamination via 5-gram overlap ----
@@ -382,21 +404,7 @@ object PipelineOps {
     // grams, nothing quadratic; per-doc output, summarizable
     // downstream however the caller likes.
     "pipe_ngram_novelty" -> Q(
-      (s, dir) => {
-        val w = "split(text, ' ')"
-        val grams = t(s, dir, "documents").selectExpr("doc_id",
-          s"""explode(array_distinct(transform(sequence(1, size($w) - 2),
-               i -> concat_ws(' ', element_at($w, i), element_at($w, i + 1),
-                              element_at($w, i + 2))))) AS g""")
-        val first = grams.groupBy("g").agg(min(col("doc_id")).as("fo"))
-        grams.join(first, Seq("g"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("fo") === col("doc_id"), 1).otherwise(0)).as("n_novel"))
-          .selectExpr("doc_id", "n_grams", "n_novel",
-            "round(n_novel / n_grams, 6) AS novelty")
-          .orderBy("doc_id")
-      },
+      (s, dir) => ngramNoveltyCore(t(s, dir, "documents"), "doc_id", "text", 3),
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         g0 AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
                                              for i in range(1, len(w) - 1)]) AS gs

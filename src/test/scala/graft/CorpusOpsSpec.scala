@@ -637,4 +637,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       docs.where("my_id < 0"), "my_id", "body")
     assert(empty.columns.toSeq == Seq("my_id", "n_bigrams", "nll") && empty.count() == 0)
   }
+
+  test("noveltyCurve: first doc fully novel, exact copy fully stale, renamed columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b c d e f"),
+      (11L, "a b c d e f"),          // exact copy: zero novelty
+      (12L, "x y z w v u"),          // disjoint: fully novel
+      (13L, "a b c x y z q q q")     // mix of seen and new grams
+    ).toDF("my_id", "body")
+    val out = graft.pipeline.CorpusOps.noveltyCurve(docs, idCol = "my_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L)._1 == 4 && out(10L)._2 == 4)  // 4 trigrams, all first-seen
+    assert(out(11L)._2 == 0)                      // copy: nothing novel
+    assert(out(12L)._1 == 4 && out(12L)._2 == 4)
+    assert(out(13L)._2 > 0 && out(13L)._2 < out(13L)._1) // mixed
+  }
+
+  test("dupSourceMatrix: pairs lift to unordered source cells") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "crawlA"), (2L, "crawlB"), (3L, "crawlA"), (4L, "crawlB"))
+      .toDF("my_id", "feed")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L)).toDF("x", "y")
+    val out = graft.pipeline.CorpusOps.dupSourceMatrix(docs, pairs,
+        idCol = "my_id", keyCol = "feed")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (1,2)=A-B, (2,3)=A-B, (1,3)=A-A, (2,4)=B-B — orientation normalized
+    assert(out(("crawlA", "crawlB")) == 2)
+    assert(out(("crawlA", "crawlA")) == 1)
+    assert(out(("crawlB", "crawlB")) == 1)
+  }
 }
