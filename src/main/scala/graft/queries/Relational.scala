@@ -540,6 +540,47 @@ object Relational {
         FROM a JOIN b ON a.chrom = b.chrom AND a_s <= b_e AND b_s <= a_e
         GROUP BY a.chrom ORDER BY chrom""")),
 
+    // ---- proximity join with slop (bedtools window -w) ----
+    // A pairs with every B within `slop` of it — the "regulatory
+    // neighborhood" join (peaks near genes). Same bin-keyed equi-join
+    // discipline as rel_interval_bin_join with the A side padded by
+    // slop for BOTH binning and the pair condition, and the same
+    // greatest-start bin-ownership dedup so a pair straddling bins
+    // counts once. Cartesian-free by construction (bin+chrom keys).
+    "rel_interval_window_join" -> Q(
+      (s, dir) => {
+        val W = 4096L
+        val slop = 1800L
+        val ev = eventsTs(s, dir)
+        def side(et: String, len: Int, p: String, pad: Long) = ev
+          .where(col("event_type") === et)
+          .selectExpr(s"event_id AS ${p}_id", "user_id % 16 AS chrom",
+            s"unix_micros(ts) div 1000000 AS ${p}_s")
+          .withColumn(s"${p}_e", col(s"${p}_s") + len)
+          .withColumn("bin", explode(expr(
+            s"sequence(greatest(${p}_s - $pad, 0) div $W, (${p}_e + $pad) div $W)")))
+        side("signup", 3600, "a", slop)
+          .join(side("purchase", 2700, "b", 0), Seq("chrom", "bin"))
+          .where(col("a_s") - lit(slop) <= col("b_e") &&
+            col("b_s") <= col("a_e") + lit(slop) &&
+            col("bin") === expr(s"greatest(a_s - $slop, b_s) div $W"))
+          .groupBy("chrom")
+          .agg(count(lit(1)).as("n_near"),
+            sum(col("a_id") + col("b_id")).as("pair_checksum"))
+          .orderBy("chrom")
+      },
+      Some(s"""WITH a AS (SELECT event_id AS a_id, user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS a_s, epoch_us(ts) // 1000000 + 3600 AS a_e
+          FROM events WHERE event_type = 'signup'),
+        b AS (SELECT event_id AS b_id, user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS b_s, epoch_us(ts) // 1000000 + 2700 AS b_e
+          FROM events WHERE event_type = 'purchase')
+        SELECT a.chrom AS chrom, count(*) AS n_near,
+          CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
+        FROM a JOIN b ON a.chrom = b.chrom
+          AND a_s - 1800 <= b_e AND b_s <= a_e + 1800
+        GROUP BY a.chrom ORDER BY chrom""")),
+
     // ---- closest-feature distance (bedtools closest), join-free ----
     // For each A interval, the distance to its nearest B interval on
     // the same chrom (0 when overlapping/touching). The oracle is the
