@@ -301,14 +301,16 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("rel_interval_bin_join: overlap join is equi on (chrom, bin), no nested loop") {
+  test("rel_interval_bin_join / window_join: overlap joins are equi on (chrom, bin), no nested loop") {
     // the point of the bin explosion is that the planner sees equi keys;
     // a raw overlap predicate over chrom-only would plan a per-chrom
     // nested loop — quadratic in rows-per-chromosome at genomics scale
-    val plan = fullPlanString(SparkEntry.queries("rel_interval_bin_join")(spark, SF))
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"interval join fell back to nested loop:\n${plan.take(4000)}")
-    assert(!plan.contains("CartesianProduct"), plan)
+    for (name <- Seq("rel_interval_bin_join", "rel_interval_window_join")) {
+      val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to nested loop:\n${plan.take(4000)}")
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+    }
   }
 
   test("pipe_decontaminate: gram join is a semi join, no doc-by-doc pair space") {
