@@ -218,16 +218,28 @@ object PipelineOps {
   private[graft] def ngramNoveltyCore(docs: DataFrame, idCol: String,
                                       textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"ngramNovelty: n ($n) must be >= 1")
-    val w = s"split(`$textCol`, ' ')"
-    val gram = (0 until n).map(k => s"element_at($w, i + $k)").mkString(", ")
-    val grams = docs.selectExpr(s"`$idCol` AS __nid",
-      s"""explode(array_distinct(transform(sequence(1, size($w) - ${n - 1}),
-           i -> concat_ws(' ', $gram)))) AS g""")
-    val first = grams.groupBy("g").agg(min(col("__nid")).as("fo"))
-    grams.join(first, Seq("g"))
-      .groupBy("__nid")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("fo") === col("__nid"), 1).otherwise(0)).as("n_novel"))
+    val gram = (0 until n).map(k => s"element_at(__w, i + $k)").mkString(", ")
+    // Raw grams as rows — array_distinct under the Generate is
+    // CodegenFallback and measured ~12x slower (pipe_decontaminate
+    // note); dedup happens inside the aggregations below instead.
+    // Barriered: the owner and per-doc aggregations both read it.
+    val grams = docs
+      .selectExpr(s"`$idCol` AS __nid", s"split(`$textCol`, ' ') AS __w")
+      .where(expr(s"size(__w) >= $n"))
+      .selectExpr("__nid",
+        s"""explode(transform(sequence(1, size(__w) - ${n - 1}),
+             i -> concat_ws(' ', $gram))) AS g""")
+      .transform(Q.barrier)
+    // Each distinct gram credits exactly one novel owner — its min id —
+    // so novelty falls out of two doc-keyed aggregates joined at DOC
+    // granularity; the corpus-sized gram<->first-owner join the naive
+    // plan shuffles (grams JOIN first ON g) never happens.
+    val novel = grams.groupBy("g").agg(min(col("__nid")).as("fo"))
+      .groupBy("fo").agg(count(lit(1)).as("n_novel"))
+    grams.groupBy("__nid").agg(countDistinct(col("g")).as("n_grams"))
+      .join(novel, col("__nid") === col("fo"), "left")
+      .select(col("__nid"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .selectExpr(s"__nid AS `$idCol`", "n_grams", "n_novel",
         "round(n_novel / n_grams, 6) AS novelty")
       .orderBy(idCol)
