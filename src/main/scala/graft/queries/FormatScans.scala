@@ -182,6 +182,28 @@ object FormatScans {
           CAST(sum(CASE WHEN flag & 2048 = 2048 THEN 1 ELSE 0 END) AS BIGINT) AS supplementary
         FROM (VALUES (99), (147), (83)) t(flag)""")),
 
+    // ---- samtools idxstats analog ----
+    // Per-reference record accounting: mapped vs unmapped (FLAG bit
+    // 0x4) per contig, with placed-but-unmapped mates grouped under
+    // their placeholder '*' contig exactly as samtools prints them.
+    // samtools reads these counts straight out of the .bai; over a
+    // record scan the same numbers are one contig-keyed partial agg —
+    // cardinality = contig count, so the shuffle is a few rows per
+    // task regardless of corpus size.
+    "fmt_sam_idxstats" -> Q(
+      (s, _) => GraftIO.read_sam_file_records(s, s"$F/sam/example.sam")
+        .select(coalesce(col("reference"), lit("*")).as("reference"),
+          when(expr("flag & 4") === 0, 1L).otherwise(0L).as("m"))
+        .groupBy("reference")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("m")).as("n_mapped"),
+          (count(lit(1)) - sum(col("m"))).as("n_unmapped"))
+        .orderBy("reference"),
+      Some("""SELECT '*' AS reference, CAST(1 AS BIGINT) AS n_records,
+          CAST(0 AS BIGINT) AS n_mapped, CAST(1 AS BIGINT) AS n_unmapped
+        UNION ALL SELECT 'ref1', 2, 2, 0
+        ORDER BY reference""")),
+
     // ---- per-position quality profile (the FastQC read-quality table) ----
     // Phred+33 decode per position, integer-exact stats per position
     // (sum/min/max — the mean is a display-time division). Shape:
@@ -689,6 +711,173 @@ object FormatScans {
           4 AS an, 3 AS ac, CAST(0.75 AS DOUBLE) AS af
         UNION ALL SELECT '1', 200, 'G', 'T', 4, 1, 0.25
         ORDER BY pos""")),
+
+    // ---- transition/transversion ratio (the first-line VCF QC number) ----
+    // Per ALT-allele classification after the multiallelic explode:
+    // a biallelic SNP substitution is a transition iff it stays within
+    // the purines {A,G} or the pyrimidines {C,T}; anything not a
+    // 1bp->1bp ACGT substitution (indels, symbolic alleles) is 'other'.
+    // A callset's Ti/Tv sits near 2.0-2.1 genome-wide, so the ratio is
+    // the standard one-number sanity check on caller error rate. Shape:
+    // one explode + one global partial-agg reduce — at 100 TB this is a
+    // map-side-combined scan, no corpus shuffle at all.
+    "fmt_vcf_titv" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf")
+        .select(col("ref"), explode(col("alt")).as("a"))
+        .select(
+          when(length(col("ref")) === 1 && length(col("a")) === 1 &&
+               col("ref").isin("A", "C", "G", "T") && col("a").isin("A", "C", "G", "T"),
+            when(concat(col("ref"), col("a")).isin("AG", "GA", "CT", "TC"), "ti")
+              .otherwise("tv"))
+            .otherwise("other").as("cls"))
+        .groupBy()
+        .agg(
+          sum(when(col("cls") =!= "other", 1L).otherwise(0L)).as("n_snp"),
+          sum(when(col("cls") === "ti", 1L).otherwise(0L)).as("n_ti"),
+          sum(when(col("cls") === "tv", 1L).otherwise(0L)).as("n_tv"),
+          sum(when(col("cls") === "other", 1L).otherwise(0L)).as("n_other"))
+        .withColumn("titv", round(col("n_ti") / col("n_tv"), 6)),
+      Some("""SELECT CAST(7 AS BIGINT) AS n_snp, CAST(3 AS BIGINT) AS n_ti,
+          CAST(4 AS BIGINT) AS n_tv, CAST(1 AS BIGINT) AS n_other,
+          CAST(0.75 AS DOUBLE) AS titv""")),
+
+    // ---- per-sample genotype class counts (vcftools --het analog) ----
+    // Sample-level callset QC: hom-ref / het / hom-alt / missing per
+    // sample column. The genotype array is positional (sample names
+    // live only in the #CHROM header line, which the record schema
+    // does not carry — same shape as the reference's genotype arrays),
+    // so samples are keyed by column index. A genotype with any '.'
+    // allele is missing; equal called alleles are hom (ref iff '0');
+    // unequal called alleles are het — including 1/2 multiallelic
+    // hets. Both '/' and '|' separators honored, trailing FORMAT
+    // fields stripped. Shape: posexplode + one sample-keyed agg whose
+    // cardinality is the sample count, not the record count.
+    "fmt_vcf_het_hom" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf")
+        .select(posexplode(col("genotypes")))
+        .selectExpr("pos AS sample_idx",
+          "split(split(col, ':')[0], '[/|]') AS al")
+        .selectExpr("sample_idx",
+          """CASE WHEN exists(al, a -> a = '.') THEN 'missing'
+                  WHEN size(array_distinct(al)) > 1 THEN 'het'
+                  WHEN al[0] = '0' THEN 'hom_ref' ELSE 'hom_alt' END AS cls""")
+        .groupBy("sample_idx")
+        .agg(
+          sum(when(col("cls") === "hom_ref", 1L).otherwise(0L)).as("n_hom_ref"),
+          sum(when(col("cls") === "het", 1L).otherwise(0L)).as("n_het"),
+          sum(when(col("cls") === "hom_alt", 1L).otherwise(0L)).as("n_hom_alt"),
+          sum(when(col("cls") === "missing", 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("sample_idx"),
+      Some("""SELECT 0 AS sample_idx, CAST(0 AS BIGINT) AS n_hom_ref,
+          CAST(4 AS BIGINT) AS n_het, CAST(2 AS BIGINT) AS n_hom_alt,
+          CAST(1 AS BIGINT) AS n_missing
+        UNION ALL SELECT 1, 2, 3, 1, 1
+        ORDER BY sample_idx""")),
+
+    // ---- per-site Hardy-Weinberg chi-square (vcftools --hardy) ----
+    // Observed vs expected genotype classes under HWE from the sample
+    // columns: p = ref-allele frequency over CALLED genotypes, expected
+    // (p^2, 2pq, q^2) * n, chi-square over the three classes. Alt
+    // alleles are LUMPED (a 1/2 multiallelic genotype is alt-hom, the
+    // biallelic-test convention); monomorphic sites carry a NULL
+    // chi-square (zero expected classes, no test). The oracle REPLAYS
+    // the same arithmetic in SQL from the fixture's literal genotype
+    // strings rather than hard-coding results. Shape: explode + one
+    // site-keyed agg; per-site arithmetic is a codegen'd Project.
+    "fmt_vcf_hwe" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf")
+        .select(col("chrom"), col("pos"), explode(col("genotypes")).as("g"))
+        .selectExpr("chrom", "pos", "split(split(g, ':')[0], '[/|]') AS al")
+        .where(expr("NOT exists(al, a -> a = '.')"))
+        .selectExpr("chrom", "pos", "size(filter(al, a -> a = '0')) AS nr")
+        .groupBy("chrom", "pos")
+        .agg(count(lit(1)).as("n_called"),
+          sum(when(col("nr") === 2, 1L).otherwise(0L)).as("o_rr"),
+          sum(when(col("nr") === 1, 1L).otherwise(0L)).as("o_het"),
+          sum(when(col("nr") === 0, 1L).otherwise(0L)).as("o_aa"),
+          sum(col("nr")).as("nref"))
+        .withColumn("p", col("nref") / (col("n_called") * 2))
+        .selectExpr("chrom", "pos", "n_called", "round(p, 6) AS p_ref",
+          """round(CASE WHEN nref = 0 OR nref = n_called * 2 THEN NULL
+               ELSE pow(o_rr - p * p * n_called, 2) / (p * p * n_called)
+                  + pow(o_het - 2 * p * (1 - p) * n_called, 2)
+                      / (2 * p * (1 - p) * n_called)
+                  + pow(o_aa - (1 - p) * (1 - p) * n_called, 2)
+                      / ((1 - p) * (1 - p) * n_called)
+             END, 6) AS hwe_chi2""")
+        .orderBy("chrom", "pos"),
+      Some("""WITH g AS (SELECT * FROM (VALUES
+            ('1', 100, '0/1'), ('1', 100, '1/1'),
+            ('1', 200, '0|1'), ('1', 200, '0/0'),
+            ('1', 300, './.'), ('1', 300, '0/1'),
+            ('1', 400, '1/1'), ('1', 400, './.'),
+            ('2', 150, '1/2'), ('2', 150, '0/1'),
+            ('2', 250, '0/1'), ('2', 250, '0/0'),
+            ('2', 350, '1|1'), ('2', 350, '0/1')) t(chrom, pos, gt)),
+          cls AS (SELECT chrom, pos,
+              len(list_filter(string_split_regex(gt, '[/|]'), a -> a = '0')) AS nr
+            FROM g WHERE gt NOT LIKE '%.%'),
+          site AS (SELECT chrom, pos, count(*) AS n_called,
+              sum(CASE WHEN nr = 2 THEN 1 ELSE 0 END) AS o_rr,
+              sum(CASE WHEN nr = 1 THEN 1 ELSE 0 END) AS o_het,
+              sum(CASE WHEN nr = 0 THEN 1 ELSE 0 END) AS o_aa,
+              sum(nr) AS nref
+            FROM cls GROUP BY chrom, pos),
+          p AS (SELECT *, CAST(nref AS DOUBLE) / (n_called * 2) AS p FROM site)
+        SELECT chrom, CAST(pos AS BIGINT) AS pos, CAST(n_called AS BIGINT) AS n_called,
+          round(p, 6) AS p_ref,
+          round(CASE WHEN nref = 0 OR nref = n_called * 2 THEN NULL
+            ELSE pow(o_rr - p * p * n_called, 2) / (p * p * n_called)
+               + pow(o_het - 2 * p * (1 - p) * n_called, 2)
+                   / (2 * p * (1 - p) * n_called)
+               + pow(o_aa - (1 - p) * (1 - p) * n_called, 2)
+                   / ((1 - p) * (1 - p) * n_called)
+            END, 6) AS hwe_chi2
+        FROM p ORDER BY chrom, pos""")),
+
+    // ---- six-frame ORF scan (EMBOSS getorf analog) ----
+    // Both strands x three frames per record: translate the trimmed
+    // frame, then ORFs are the maximal M..* protein spans (stop
+    // REQUIRED — open-ended trailing reads don't count; nested starts
+    // fold into the longest span per stop, getorf's default). The
+    // minus strand uses the mathematically correct reverse complement
+    // (translate+reverse), NOT the reference-bug-replicating
+    // reverse_complement scalar — same deliberate split as
+    // SeqAnalysis.kmerCounts' canonical fold. Per-strand aggregate
+    // output; everything up to the final (id, strand)-keyed agg is a
+    // codegen'd per-row explode, so the shuffle carries 2 rows per
+    // record.
+    "fmt_orf_scan" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        GraftIO.read_fasta(s, s"$F/fasta/orf.fasta")
+          .selectExpr("id", "sequence AS fwd",
+            "reverse(translate(sequence, 'ACGT', 'TGCA')) AS rev")
+          .select(col("id"), explode(array(
+            struct(lit("+").as("strand"), col("fwd").as("seq")),
+            struct(lit("-").as("strand"), col("rev").as("seq")))).as("sf"))
+          .select(col("id"), col("sf.strand").as("strand"), col("sf.seq").as("seq"))
+          .select(col("id"), col("strand"), col("seq"),
+            explode(array(lit(0), lit(1), lit(2))).as("f"))
+          .selectExpr("id", "strand",
+            """translate_dna_to_aa(substr(seq, 1 + f,
+                 ((length(seq) - f) div 3) * 3)) AS aa""")
+          .selectExpr("id", "strand",
+            "regexp_extract_all(aa, 'M[^*]*\\\\*', 0) AS orfs")
+          .groupBy("id", "strand")
+          .agg(sum(size(col("orfs"))).as("n_orfs"),
+            max(coalesce(
+              expr("array_max(transform(orfs, o -> length(o) - 1))"),
+              lit(0))).as("longest_aa"))
+          .orderBy("id", "strand")
+      },
+      Some("""SELECT 'o1' AS id, '+' AS strand, CAST(1 AS BIGINT) AS n_orfs, 3 AS longest_aa
+        UNION ALL SELECT 'o1', '-', 0, 0
+        UNION ALL SELECT 'o2', '+', 2, 3
+        UNION ALL SELECT 'o2', '-', 0, 0
+        UNION ALL SELECT 'o3', '+', 0, 0
+        UNION ALL SELECT 'o3', '-', 1, 2
+        ORDER BY id, strand""")),
 
     // samtools-depth analog over CIGAR-aware coverage: per-position
     // depth counts only M/=/X reference blocks (D/N consume reference

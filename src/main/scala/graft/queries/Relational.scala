@@ -581,6 +581,44 @@ object Relational {
           AND a_s - 1800 <= b_e AND b_s <= a_e + 1800
         GROUP BY a.chrom ORDER BY chrom""")),
 
+    // ---- fixed-width window density (bedtools makewindows + -c) ----
+    // Tile each chrom's extent with fixed windows on the absolute grid
+    // and report how many grid windows hold at least one interval
+    // start — the window-occupancy profile behind "how clumped is this
+    // signal". Join-free by design: the extent (min/max window id) and
+    // the occupied-window count (distinct agg on the window id) come
+    // out of ONE chrom-keyed aggregation, so there is no generated
+    // window table to join back — at 100 TB the generate-then-join
+    // plan ships every tile through a shuffle, this ships one row per
+    // chrom. Window ids are absolute (position div width), matching
+    // tabix/CSI bin arithmetic rather than extent-anchored bedtools
+    // tiles, so window sets are stable under data growth.
+    "rel_interval_makewindows" -> Q(
+      (s, dir) => {
+        val W = 3600L
+        clickIntervals(s, dir)
+          .groupBy("chrom")
+          .agg(
+            min(expr(s"s div $W")).as("lo_w"),
+            max(expr(s"(e - 1) div $W")).as("hi_w"),
+            countDistinct(expr(s"s div $W")).as("n_active"))
+          .select(col("chrom"),
+            (col("hi_w") - col("lo_w") + 1).as("n_windows"),
+            col("n_active"),
+            round(col("n_active") / (col("hi_w") - col("lo_w") + 1), 6)
+              .as("density"))
+          .orderBy("chrom")
+      },
+      Some("""WITH iv AS (SELECT user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 + 1800 AS e
+          FROM events WHERE event_type = 'click')
+        SELECT chrom,
+          max((e - 1) // 3600) - min(s // 3600) + 1 AS n_windows,
+          count(DISTINCT s // 3600) AS n_active,
+          round(CAST(count(DISTINCT s // 3600) AS DOUBLE)
+            / (max((e - 1) // 3600) - min(s // 3600) + 1), 6) AS density
+        FROM iv GROUP BY chrom ORDER BY chrom""")),
+
     // ---- closest-feature distance (bedtools closest), join-free ----
     // For each A interval, the distance to its nearest B interval on
     // the same chrom (0 when overlapping/touching). The oracle is the
