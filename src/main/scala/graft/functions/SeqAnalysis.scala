@@ -77,4 +77,44 @@ object SeqAnalysis {
       else raw
     folded.groupBy("kmer").agg(count(lit(1)).as("n"))
   }
+
+  /** Six-frame ORF statistics per record (EMBOSS getorf analog; the
+    * fmt_orf_scan entry pins the semantics on a golden fixture): both
+    * strands x three frames, where an ORF is a maximal M..* protein
+    * span with the stop REQUIRED — open-ended trailing reads don't
+    * count, and nested starts fold into the longest span per stop
+    * (getorf's default). The minus strand uses the mathematically
+    * correct reverse complement (translate+reverse), NOT the
+    * reference-bug-replicating reverse_complement scalar — same
+    * deliberate split as kmerCounts' canonical fold. Output: one row
+    * per (id, strand): n_orfs, longest_aa (residues in the longest
+    * ORF, 0 when none).
+    *
+    * Scale shape: everything up to the final (id, strand)-keyed agg is
+    * a codegen'd per-row explode (6 frames per record), so the shuffle
+    * carries two rows per record regardless of sequence length. */
+  def orfStats(df: DataFrame, idCol: String = "id",
+               seqCol: String = "sequence"): DataFrame = {
+    require(df.columns.contains(idCol) && df.columns.contains(seqCol),
+      s"SeqAnalysis.orfStats: need columns '$idCol' and '$seqCol'")
+    GraftFunctions.registerAll(df.sparkSession)
+    df.selectExpr(s"`$idCol` AS __oid", s"`$seqCol` AS fwd",
+        s"reverse(translate(`$seqCol`, 'ACGT', 'TGCA')) AS rev")
+      .select(col("__oid"), explode(array(
+        struct(lit("+").as("strand"), col("fwd").as("seq")),
+        struct(lit("-").as("strand"), col("rev").as("seq")))).as("sf"))
+      .select(col("__oid"), col("sf.strand").as("strand"), col("sf.seq").as("seq"),
+        explode(array(lit(0), lit(1), lit(2))).as("f"))
+      .selectExpr("__oid", "strand",
+        """translate_dna_to_aa(substr(seq, 1 + f,
+             ((length(seq) - f) div 3) * 3)) AS aa""")
+      .selectExpr("__oid", "strand",
+        "regexp_extract_all(aa, 'M[^*]*\\\\*', 0) AS orfs")
+      .groupBy("__oid", "strand")
+      .agg(sum(size(col("orfs"))).as("n_orfs"),
+        max(coalesce(
+          expr("array_max(transform(orfs, o -> length(o) - 1))"),
+          lit(0))).as("longest_aa"))
+      .selectExpr(s"__oid AS `$idCol`", "strand", "n_orfs", "longest_aa")
+  }
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-level variant-callset QC over VCF-shaped frames (the
+  * shapes [[graft.sources.VcfFormat]] and BcfFormat produce: `ref`,
+  * `alt: array<string>`, positional `genotypes: array<string>`), as
+  * public entry points the fmt_vcf_titv / fmt_vcf_het_hom /
+  * fmt_vcf_hwe oracle entries delegate to — column-name adaptation
+  * only, so the gate checks the exact implementations users call.
+  *
+  * All three are codegen'd per-row transforms into small keyed
+  * aggregations (global / sample-count / site-count cardinality), so
+  * at 100 TB each is a map-side-combined scan with a few-row shuffle.
+  */
+object VariantQC {
+
+  /** Transition/transversion classification per ALT allele after the
+    * multiallelic explode: ti iff the substitution stays within the
+    * purines {A,G} or pyrimidines {C,T}; anything not a 1bp->1bp ACGT
+    * substitution (indels, symbolic alleles) counts as `n_other`.
+    * One global reduce: (n_snp, n_ti, n_tv, n_other, titv). */
+  def titv(df: DataFrame, refCol: String = "ref",
+           altCol: String = "alt"): DataFrame = {
+    require(df.columns.contains(refCol) && df.columns.contains(altCol),
+      s"VariantQC.titv: need columns '$refCol' and '$altCol'")
+    df.select(col(refCol).as("__r"), explode(col(altCol)).as("__a"))
+      .select(
+        when(length(col("__r")) === 1 && length(col("__a")) === 1 &&
+             col("__r").isin("A", "C", "G", "T") && col("__a").isin("A", "C", "G", "T"),
+          when(concat(col("__r"), col("__a")).isin("AG", "GA", "CT", "TC"), "ti")
+            .otherwise("tv"))
+          .otherwise("other").as("cls"))
+      .groupBy()
+      .agg(
+        sum(when(col("cls") =!= "other", 1L).otherwise(0L)).as("n_snp"),
+        sum(when(col("cls") === "ti", 1L).otherwise(0L)).as("n_ti"),
+        sum(when(col("cls") === "tv", 1L).otherwise(0L)).as("n_tv"),
+        sum(when(col("cls") === "other", 1L).otherwise(0L)).as("n_other"))
+      .withColumn("titv", round(col("n_ti") / col("n_tv"), 6))
+  }
+
+  /** Per-sample genotype class counts (vcftools --het analog), keyed
+    * by sample INDEX — sample names live only in the #CHROM header
+    * line, which the record schema doesn't carry. A genotype with any
+    * '.' allele is missing; equal called alleles are hom (ref iff
+    * '0'); unequal called alleles are het, including 1/2 multiallelic
+    * hets and regardless of '/' vs '|' phasing. Trailing FORMAT
+    * fields are stripped; a haploid call ('1') classifies as hom. */
+  def hetHomCounts(df: DataFrame, gtCol: String = "genotypes"): DataFrame = {
+    require(df.columns.contains(gtCol),
+      s"VariantQC.hetHomCounts: no column '$gtCol'")
+    df.select(posexplode(col(gtCol)))
+      .selectExpr("pos AS sample_idx",
+        "split(split(col, ':')[0], '[/|]') AS al")
+      .selectExpr("sample_idx",
+        """CASE WHEN exists(al, a -> a = '.') THEN 'missing'
+                WHEN size(array_distinct(al)) > 1 THEN 'het'
+                WHEN al[0] = '0' THEN 'hom_ref' ELSE 'hom_alt' END AS cls""")
+      .groupBy("sample_idx")
+      .agg(
+        sum(when(col("cls") === "hom_ref", 1L).otherwise(0L)).as("n_hom_ref"),
+        sum(when(col("cls") === "het", 1L).otherwise(0L)).as("n_het"),
+        sum(when(col("cls") === "hom_alt", 1L).otherwise(0L)).as("n_hom_alt"),
+        sum(when(col("cls") === "missing", 1L).otherwise(0L)).as("n_missing"))
+  }
+
+  /** Per-site Hardy-Weinberg chi-square (vcftools --hardy analog):
+    * p = ref-allele frequency over CALLED genotypes, expected classes
+    * (p^2, 2pq, q^2) * n, chi-square over (hom-ref, het, hom-alt).
+    * Alt alleles are LUMPED — a 1/2 genotype is alt-hom, the
+    * biallelic-test convention — and monomorphic sites carry a NULL
+    * chi-square (zero expected classes, no test). Output per site:
+    * (chromCol, posCol, n_called, p_ref, hwe_chi2). */
+  def hweBySite(df: DataFrame, chromCol: String = "chrom",
+                posCol: String = "pos",
+                gtCol: String = "genotypes"): DataFrame = {
+    require(Seq(chromCol, posCol, gtCol).forall(df.columns.contains),
+      s"VariantQC.hweBySite: need columns '$chromCol', '$posCol', '$gtCol'")
+    df.select(col(chromCol).as("__c"), col(posCol).as("__p"),
+        explode(col(gtCol)).as("g"))
+      .selectExpr("__c", "__p", "split(split(g, ':')[0], '[/|]') AS al")
+      .where(expr("NOT exists(al, a -> a = '.')"))
+      .selectExpr("__c", "__p", "size(filter(al, a -> a = '0')) AS nr")
+      .groupBy("__c", "__p")
+      .agg(count(lit(1)).as("n_called"),
+        sum(when(col("nr") === 2, 1L).otherwise(0L)).as("o_rr"),
+        sum(when(col("nr") === 1, 1L).otherwise(0L)).as("o_het"),
+        sum(when(col("nr") === 0, 1L).otherwise(0L)).as("o_aa"),
+        sum(col("nr")).as("nref"))
+      .withColumn("p", col("nref") / (col("n_called") * 2))
+      .selectExpr(s"__c AS `$chromCol`", s"__p AS `$posCol`", "n_called",
+        "round(p, 6) AS p_ref",
+        """round(CASE WHEN nref = 0 OR nref = n_called * 2 THEN NULL
+             ELSE pow(o_rr - p * p * n_called, 2) / (p * p * n_called)
+                + pow(o_het - 2 * p * (1 - p) * n_called, 2)
+                    / (2 * p * (1 - p) * n_called)
+                + pow(o_aa - (1 - p) * (1 - p) * n_called, 2)
+                    / ((1 - p) * (1 - p) * n_called)
+           END, 6) AS hwe_chi2""")
+  }
+}

@@ -722,21 +722,8 @@ object FormatScans {
     // one explode + one global partial-agg reduce — at 100 TB this is a
     // map-side-combined scan, no corpus shuffle at all.
     "fmt_vcf_titv" -> Q(
-      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf")
-        .select(col("ref"), explode(col("alt")).as("a"))
-        .select(
-          when(length(col("ref")) === 1 && length(col("a")) === 1 &&
-               col("ref").isin("A", "C", "G", "T") && col("a").isin("A", "C", "G", "T"),
-            when(concat(col("ref"), col("a")).isin("AG", "GA", "CT", "TC"), "ti")
-              .otherwise("tv"))
-            .otherwise("other").as("cls"))
-        .groupBy()
-        .agg(
-          sum(when(col("cls") =!= "other", 1L).otherwise(0L)).as("n_snp"),
-          sum(when(col("cls") === "ti", 1L).otherwise(0L)).as("n_ti"),
-          sum(when(col("cls") === "tv", 1L).otherwise(0L)).as("n_tv"),
-          sum(when(col("cls") === "other", 1L).otherwise(0L)).as("n_other"))
-        .withColumn("titv", round(col("n_ti") / col("n_tv"), 6)),
+      (s, _) => graft.functions.VariantQC.titv(
+        GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf")),
       Some("""SELECT CAST(7 AS BIGINT) AS n_snp, CAST(3 AS BIGINT) AS n_ti,
           CAST(4 AS BIGINT) AS n_tv, CAST(1 AS BIGINT) AS n_other,
           CAST(0.75 AS DOUBLE) AS titv""")),
@@ -753,20 +740,8 @@ object FormatScans {
     // fields stripped. Shape: posexplode + one sample-keyed agg whose
     // cardinality is the sample count, not the record count.
     "fmt_vcf_het_hom" -> Q(
-      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf")
-        .select(posexplode(col("genotypes")))
-        .selectExpr("pos AS sample_idx",
-          "split(split(col, ':')[0], '[/|]') AS al")
-        .selectExpr("sample_idx",
-          """CASE WHEN exists(al, a -> a = '.') THEN 'missing'
-                  WHEN size(array_distinct(al)) > 1 THEN 'het'
-                  WHEN al[0] = '0' THEN 'hom_ref' ELSE 'hom_alt' END AS cls""")
-        .groupBy("sample_idx")
-        .agg(
-          sum(when(col("cls") === "hom_ref", 1L).otherwise(0L)).as("n_hom_ref"),
-          sum(when(col("cls") === "het", 1L).otherwise(0L)).as("n_het"),
-          sum(when(col("cls") === "hom_alt", 1L).otherwise(0L)).as("n_hom_alt"),
-          sum(when(col("cls") === "missing", 1L).otherwise(0L)).as("n_missing"))
+      (s, _) => graft.functions.VariantQC.hetHomCounts(
+          GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf"))
         .orderBy("sample_idx"),
       Some("""SELECT 0 AS sample_idx, CAST(0 AS BIGINT) AS n_hom_ref,
           CAST(4 AS BIGINT) AS n_het, CAST(2 AS BIGINT) AS n_hom_alt,
@@ -785,26 +760,8 @@ object FormatScans {
     // strings rather than hard-coding results. Shape: explode + one
     // site-keyed agg; per-site arithmetic is a codegen'd Project.
     "fmt_vcf_hwe" -> Q(
-      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf")
-        .select(col("chrom"), col("pos"), explode(col("genotypes")).as("g"))
-        .selectExpr("chrom", "pos", "split(split(g, ':')[0], '[/|]') AS al")
-        .where(expr("NOT exists(al, a -> a = '.')"))
-        .selectExpr("chrom", "pos", "size(filter(al, a -> a = '0')) AS nr")
-        .groupBy("chrom", "pos")
-        .agg(count(lit(1)).as("n_called"),
-          sum(when(col("nr") === 2, 1L).otherwise(0L)).as("o_rr"),
-          sum(when(col("nr") === 1, 1L).otherwise(0L)).as("o_het"),
-          sum(when(col("nr") === 0, 1L).otherwise(0L)).as("o_aa"),
-          sum(col("nr")).as("nref"))
-        .withColumn("p", col("nref") / (col("n_called") * 2))
-        .selectExpr("chrom", "pos", "n_called", "round(p, 6) AS p_ref",
-          """round(CASE WHEN nref = 0 OR nref = n_called * 2 THEN NULL
-               ELSE pow(o_rr - p * p * n_called, 2) / (p * p * n_called)
-                  + pow(o_het - 2 * p * (1 - p) * n_called, 2)
-                      / (2 * p * (1 - p) * n_called)
-                  + pow(o_aa - (1 - p) * (1 - p) * n_called, 2)
-                      / ((1 - p) * (1 - p) * n_called)
-             END, 6) AS hwe_chi2""")
+      (s, _) => graft.functions.VariantQC.hweBySite(
+          GraftIO.read_vcf_file_records(s, s"$F/vcf/qc.vcf"))
         .orderBy("chrom", "pos"),
       Some("""WITH g AS (SELECT * FROM (VALUES
             ('1', 100, '0/1'), ('1', 100, '1/1'),
@@ -848,29 +805,9 @@ object FormatScans {
     // codegen'd per-row explode, so the shuffle carries 2 rows per
     // record.
     "fmt_orf_scan" -> Q(
-      (s, _) => {
-        graft.functions.GraftFunctions.registerAll(s)
-        GraftIO.read_fasta(s, s"$F/fasta/orf.fasta")
-          .selectExpr("id", "sequence AS fwd",
-            "reverse(translate(sequence, 'ACGT', 'TGCA')) AS rev")
-          .select(col("id"), explode(array(
-            struct(lit("+").as("strand"), col("fwd").as("seq")),
-            struct(lit("-").as("strand"), col("rev").as("seq")))).as("sf"))
-          .select(col("id"), col("sf.strand").as("strand"), col("sf.seq").as("seq"))
-          .select(col("id"), col("strand"), col("seq"),
-            explode(array(lit(0), lit(1), lit(2))).as("f"))
-          .selectExpr("id", "strand",
-            """translate_dna_to_aa(substr(seq, 1 + f,
-                 ((length(seq) - f) div 3) * 3)) AS aa""")
-          .selectExpr("id", "strand",
-            "regexp_extract_all(aa, 'M[^*]*\\\\*', 0) AS orfs")
-          .groupBy("id", "strand")
-          .agg(sum(size(col("orfs"))).as("n_orfs"),
-            max(coalesce(
-              expr("array_max(transform(orfs, o -> length(o) - 1))"),
-              lit(0))).as("longest_aa"))
-          .orderBy("id", "strand")
-      },
+      (s, _) => graft.functions.SeqAnalysis.orfStats(
+          GraftIO.read_fasta(s, s"$F/fasta/orf.fasta"))
+        .orderBy("id", "strand"),
       Some("""SELECT 'o1' AS id, '+' AS strand, CAST(1 AS BIGINT) AS n_orfs, 3 AS longest_aa
         UNION ALL SELECT 'o1', '-', 0, 0
         UNION ALL SELECT 'o2', '+', 2, 3

@@ -270,6 +270,60 @@ object StreamingQ {
     // state purge (watermark-driven, end-of-batch) can never outrun an
     // arrival. The memory sink holds raw pairs; the batch-side summary
     // aggregation after the drain is just result compaction.
+    // ---- stream-STATIC join (the dimension-enrichment shape) ----
+    // The join class the other stream entries don't cover: an unbounded
+    // fact stream enriched against a bounded static dimension (here:
+    // the distinct signup user set, broadcast — no shuffle on the
+    // stream side and NO join state at all, because the static side is
+    // complete by definition; this is why stream-static needs no
+    // watermark while stream-stream does). The unmatched-row path is
+    // exercised through left_outer + coalesce(known, false). Complete
+    // output mode keeps the run-to-completion oracle comparison exact;
+    // state is bounded by the two-row group cardinality, not the
+    // stream. At 100 TB the static side refreshes per restart — the
+    // incremental variant (dimension AS a slowly-changing stream) is
+    // the stream-stream entries' territory.
+    "stream_static_enrich" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val tbl = "graft_stream_static_enrich"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = Stage.staged(s"graft-stream-static:$dir") { d =>
+          val scratch = Stage.tempDir("graft-static-norm")
+          stageEvents(s, dir, scratch, d, "events_a.parquet", 0)
+          Seq(1, 2).foreach { i =>
+            Stage.parquetFile(
+              sentinelDf(s, i - 1, Seq((-i.toLong, 0L, "sentinel"))),
+              scratch, d, s"sentinel$i.parquet", i + 1)
+          }
+        }
+        Q.withShufflePartitions(s, 4) {
+          val known = Q.events(s, dir).where(col("event_type") === "signup")
+            .select(col("user_id")).distinct()
+            .withColumn("known", lit(true))
+          val stream = s.readStream.schema(stagedEventsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)
+            .where(col("event_type") === "purchase")
+            .join(broadcast(known), Seq("user_id"), "left_outer")
+            .groupBy(coalesce(col("known"), lit(false)).as("known"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+                .cast(DoubleType).as("sum_value"))
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(tbl).orderBy("known")
+      },
+      Some(s"""WITH k AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'signup')
+        SELECT e.user_id IN (SELECT user_id FROM k) AS known,
+          count(*) AS n,
+          CAST(CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        FROM events e WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY known""")),
+
     "stream_stream_join" -> Q(
       (s, dir) => {
         s.conf.set("spark.sql.session.timeZone", "UTC")

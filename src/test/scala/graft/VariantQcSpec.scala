@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SeqAnalysis, SeqOps, VariantQC}
+
+/** General-semantics coverage for the VariantQC and SeqAnalysis.orfStats
+  * cores. The fmt_vcf_titv / fmt_vcf_het_hom / fmt_vcf_hwe /
+  * fmt_orf_scan gate entries pin fixture goldens against the DuckDB
+  * oracle; this spec pins the cores on adversarial and RANDOM inputs
+  * against independent plain-Scala reimplementations (no regex, no
+  * Spark), so a shared-bug-in-both-sides failure mode would need the
+  * same mistake in two unrelated formulations. */
+class VariantQcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  // ---- independent naive ORF scanner ----
+
+  private val codonMap: Map[String, Char] = SeqOps.codonPairs.toMap
+
+  /** (n_orfs, longest_aa) over one already-oriented nucleotide string,
+    * all three frames: walk codons, track the first M since the last
+    * stop, credit an ORF at each stop that had a start. */
+  private def naiveOrfs(seq: String): (Long, Int) = {
+    var n = 0L
+    var longest = 0
+    for (f <- 0 until 3) {
+      val usable = ((seq.length - f) / 3) * 3
+      if (usable > 0) {
+        val aa = seq.substring(f, f + usable).grouped(3).map(codonMap(_)).mkString
+        var firstM = -1
+        for (i <- aa.indices) {
+          if (aa(i) == '*') {
+            if (firstM >= 0) { n += 1; longest = math.max(longest, i - firstM) }
+            firstM = -1
+          } else if (aa(i) == 'M' && firstM < 0) firstM = i
+        }
+      }
+    }
+    (n, longest)
+  }
+
+  private def revComp(s: String): String =
+    s.reverse.map { case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A' }
+
+  test("orfStats matches a naive independent scanner on random sequences") {
+    val rnd = new scala.util.Random(20260814L)
+    val seqs = (0 until 80).map { i =>
+      val len = rnd.nextInt(61) // 0..60, includes sub-codon lengths
+      (s"s$i", (0 until len).map(_ => "ACGT"(rnd.nextInt(4))).mkString)
+    }
+    val df = spark.createDataFrame(seqs).toDF("id", "sequence")
+    val got = SeqAnalysis.orfStats(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(got.size == seqs.size * 2)
+    seqs.foreach { case (id, seq) =>
+      assert(got((id, "+")) == naiveOrfs(seq), s"$id + strand of '$seq'")
+      assert(got((id, "-")) == naiveOrfs(revComp(seq)), s"$id - strand of '$seq'")
+    }
+  }
+
+  test("orfStats requires a stop codon and folds nested starts") {
+    val df = spark.createDataFrame(Seq(
+      ("open", "ATGAAAGCC"),      // M K A, no stop -> no ORF on +
+      ("nested", "ATGGCCATGAAATAG") // M A M K * -> ONE orf, len 4 (MAMK)
+    )).toDF("id", "sequence")
+    val got = SeqAnalysis.orfStats(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(got(("open", "+")) == ((0L, 0)))
+    assert(got(("nested", "+")) == ((1L, 4)))
+  }
+
+  // ---- het/hom classification edges ----
+
+  test("hetHomCounts: haploid, polyploid, partial-missing, phased") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("genotypes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val rows = Seq(
+      Row(Seq("1", "0|1:12", "./1", "2/2")),  // haploid hom-alt, phased het, partial-missing, multiallelic hom-alt
+      Row(Seq("0", "1|2", "0/0/0", "0/1/2"))  // haploid hom-ref, het, triploid hom-ref, triploid het
+    )
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = VariantQC.hetHomCounts(df).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // columns: n_hom_ref, n_het, n_hom_alt, n_missing
+    assert(got(0) == ((1L, 0L, 1L, 0L))) // '1' hom-alt; '0' hom-ref
+    assert(got(1) == ((0L, 2L, 0L, 0L))) // '0|1' + '1|2' both het
+    assert(got(2) == ((1L, 0L, 0L, 1L))) // './1' missing; '0/0/0' hom-ref
+    assert(got(3) == ((0L, 1L, 1L, 0L))) // '2/2' hom-alt; '0/1/2' het
+  }
+
+  // ---- Hardy-Weinberg arithmetic ----
+
+  test("hweBySite: hand-computed chi-square and monomorphic NULL") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chrom",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("genotypes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val rows = Seq(
+      // 4 samples: 1 hom-ref, 2 het, 1 hom-alt -> p = 0.5, perfect HWE
+      // E = (1, 2, 1) = O -> chi2 = 0
+      Row("1", 10L, Seq("0/0", "0/1", "1/0", "1/1")),
+      // all het: O = (0, 4, 0), p = 0.5, E = (1, 2, 1)
+      // chi2 = 1 + 4/2 + 1 = 4
+      Row("1", 20L, Seq("0/1", "0/1", "0/1", "0/1")),
+      // monomorphic ref -> NULL
+      Row("1", 30L, Seq("0/0", "0/0", "0/0", "0/0")),
+      // monomorphic alt (lumped 1/2 counts as alt-hom) -> NULL
+      Row("1", 40L, Seq("1/1", "1/2", "2/2", "1/1")))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = VariantQC.hweBySite(df).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(got(10L) == ((4L, 0.5, Some(0.0))))
+    assert(got(20L) == ((4L, 0.5, Some(4.0))))
+    assert(got(30L) == ((4L, 1.0, None)))
+    assert(got(40L) == ((4L, 0.0, None)))
+  }
+
+  // ---- Ti/Tv classification edges ----
+
+  test("titv: symbolic, indel, lowercase stay out of the snp count") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ref",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("alt",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val rows = Seq(
+      Row("A", Seq("G", "<DEL>")), // ti + symbolic-other
+      Row("C", Seq("T")),          // ti
+      Row("G", Seq("C", "T")),     // tv + tv
+      Row("a", Seq("g")),          // lowercase -> other (callers emit uppercase)
+      Row("AT", Seq("A")))         // indel -> other
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val r = VariantQC.titv(df).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 2L, 3L)))
+    assert(r.getDouble(4) == 1.0)
+  }
+}
