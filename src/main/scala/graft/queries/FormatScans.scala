@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.GraftIO
 
@@ -815,6 +816,79 @@ object FormatScans {
         UNION ALL SELECT 'o3', '+', 0, 0
         UNION ALL SELECT 'o3', '-', 1, 2
         ORDER BY id, strand""")),
+
+    // ---- assembly summary with N50 (seqkit stats / assembly-stats) ----
+    // Contig-count/bp/GC plus N50/L50. The N50 walk runs over the
+    // LENGTH HISTOGRAM, not the contigs: groupBy(len) first, then the
+    // descending cumulative-bp window touches one row per DISTINCT
+    // length — bounded by the length diversity (thousands), not the
+    // contig count (millions), which is what makes the unpartitioned
+    // window acceptable at scale. N50 = largest length whose
+    // descending cumulative bp reaches half the total; L50 = contigs
+    // consumed up to that point.
+    "fmt_fasta_stats" -> Q(
+      (s, _) => {
+        val seqs = GraftIO.read_fasta(s, s"$F/fasta_dir")
+          .select(length(col("sequence")).cast("long").as("len"),
+            length(regexp_replace(col("sequence"), "[^GCgc]", ""))
+              .cast("long").as("gc"))
+        val base = seqs.groupBy().agg(
+          count(lit(1)).as("n_seqs"), sum(col("len")).as("total_bp"),
+          min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+          sum(col("gc")).as("gc_bp"))
+        val w = Window.orderBy(col("len").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val n50 = seqs.groupBy("len").agg(count(lit(1)).as("n"))
+          .withColumn("cum_bp", sum(col("len") * col("n")).over(w))
+          .withColumn("cum_n", sum(col("n")).over(w))
+          .crossJoin(broadcast(base.select(col("total_bp").as("tot"))))
+          .where(col("cum_bp") * 2 >= col("tot"))
+          .orderBy(col("len").desc).limit(1)
+          .select(col("len").as("n50"), col("cum_n").as("l50"))
+        base.crossJoin(broadcast(n50))
+          .select(col("n_seqs"), col("total_bp"), col("min_len"),
+            col("max_len"), round(col("gc_bp") / col("total_bp"), 6).as("gc_frac"),
+            col("n50"), col("l50"))
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS n_seqs, CAST(24 AS BIGINT) AS total_bp,
+          CAST(4 AS BIGINT) AS min_len, CAST(8 AS BIGINT) AS max_len,
+          CAST(0.583333 AS DOUBLE) AS gc_frac,
+          CAST(8 AS BIGINT) AS n50, CAST(2 AS BIGINT) AS l50""")),
+
+    // ---- GFF3 parent-child rollup (the gffread sanity table) ----
+    // Per gene: transcript count, exon-transcript links, exonic bp —
+    // walking the two-level ID/Parent hierarchy, including comma-list
+    // Parent= (an exon shared by two transcripts counts once per
+    // transcript, which the scan's attribute parser already split into
+    // an array). Transcript and exon aggregates meet at GENE
+    // granularity (the same discipline as pipe_ngram_novelty's
+    // doc-level join): the exon->transcript hop broadcasts the
+    // transcript map, and a gene whose transcripts have no exons
+    // keeps its row through the left join. 1-based inclusive spans.
+    "fmt_gff_parentage" -> Q(
+      (s, _) => {
+        val ann = GraftIO.read_gff(s, s"$F/gff/hierarchy.gff")
+          .selectExpr("type", "attributes['ID'][0] AS id",
+            "attributes['Parent'] AS parents", "end - start + 1 AS bp")
+        val tx = ann.where(col("type") === "mRNA")
+          .selectExpr("id AS tx_id", "parents[0] AS gene_id")
+        val exonLinks = ann.where(col("type") === "exon")
+          .select(explode(col("parents")).as("tx_id"), col("bp"))
+          .join(broadcast(tx), Seq("tx_id"))
+          .groupBy("gene_id")
+          .agg(count(lit(1)).as("n_exon_links"), sum(col("bp")).as("exon_bp"))
+        tx.groupBy("gene_id").agg(countDistinct(col("tx_id")).as("n_tx"))
+          .join(exonLinks, Seq("gene_id"), "left")
+          .select(col("gene_id"), col("n_tx"),
+            coalesce(col("n_exon_links"), lit(0L)).as("n_exon_links"),
+            coalesce(col("exon_bp"), lit(0L)).as("exon_bp"))
+          .orderBy("gene_id")
+      },
+      Some("""SELECT 'gene1' AS gene_id, CAST(2 AS BIGINT) AS n_tx,
+          CAST(6 AS BIGINT) AS n_exon_links, CAST(756 AS BIGINT) AS exon_bp
+        UNION ALL SELECT 'gene2', 2, 2, 102
+        UNION ALL SELECT 'gene3', 1, 0, 0
+        ORDER BY gene_id""")),
 
     // samtools-depth analog over CIGAR-aware coverage: per-position
     // depth counts only M/=/X reference blocks (D/N consume reference

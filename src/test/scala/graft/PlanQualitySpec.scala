@@ -513,4 +513,45 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name: graft-expression Project outside WholeStageCodegen:\n${naked.mkString("\n")}")
     }
   }
+
+  test("pipe_ngram_novelty: joins meet at doc granularity, never on the gram key") {
+    val plan = fullPlanString(SparkEntry.queries("pipe_ngram_novelty")(spark, SF))
+    // the corpus-sized gram table must never be a join input — the
+    // owner and per-doc aggregates meet at doc cardinality
+    assert(!"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[g#".r
+      .findFirstIn(plan).isDefined, s"join keyed on the gram column:\n$plan")
+    // count joins in the FINAL plan section only (the AQE plan string
+    // repeats the tree under '== Initial Plan ==')
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(finalSection).length
+    assert(joins == 1, s"expected exactly one doc-level join, got $joins:\n$plan")
+  }
+
+  test("rel_interval_makewindows: join-free single-aggregation profile") {
+    val plan = fullPlanString(SparkEntry.queries("rel_interval_makewindows")(spark, SF))
+    assert(!plan.contains("Join"), s"window profile plans a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fmt_fasta_stats: N50 window runs over the length histogram, scalars broadcast") {
+    val df = SparkEntry.queries("fmt_fasta_stats")(spark, SF)
+    val plan = fullPlanString(df)
+    // the two scalar-row combiners must be broadcast nested loops (1-row
+    // sides), never a shuffled join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"scalar combine fell back to a shuffled join:\n$plan")
+    // the Window's child must aggregate by len (histogram) first
+    val winIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"N50 window does not sit over the length-histogram aggregate:\n$plan")
+  }
+
+  test("fmt_gff_parentage: the transcript map broadcasts onto the exon links") {
+    val plan = fullPlanString(SparkEntry.queries("fmt_gff_parentage")(spark, SF))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exon->transcript hop is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"annotation join sort-merges:\n$plan")
+  }
 }
