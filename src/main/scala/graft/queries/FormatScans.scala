@@ -381,6 +381,27 @@ object FormatScans {
         UNION ALL SELECT 'declaration=0 collection=0 scan=0', '100.0,200.0,300.5', '15.0,10.0,1.0', NULL
         ORDER BY id""")),
 
+    // ---- per-spectrum TIC / base peak (the mass-spec run QC row) ----
+    // Total ion current and base-peak location per spectrum — the
+    // numbers every mzML QC dashboard plots first. Pure per-row HOF
+    // arithmetic over the peak arrays (fold for TIC, array_max +
+    // array_position for the base peak), so the whole entry is a
+    // codegen'd map over the scan with no shuffle but the final
+    // order-by; chromatogram records (no mz axis) filter out.
+    "fmt_mzml_tic" -> Q(
+      (s, _) => GraftIO.read_mzml(s, s"$F/mzml/test.mzML")
+        .where(col("mz.mz").isNotNull)
+        .selectExpr("id",
+          "size(intensity.intensity) AS n_peaks",
+          "aggregate(intensity.intensity, 0D, (a, x) -> a + x) AS tic",
+          "array_max(intensity.intensity) AS base_peak_intensity",
+          """element_at(mz.mz, cast(array_position(intensity.intensity,
+               array_max(intensity.intensity)) as int)) AS base_peak_mz""")
+        .orderBy("id"),
+      Some("""SELECT 'declaration=0 collection=0 scan=0' AS id, 3 AS n_peaks,
+          CAST(26.0 AS DOUBLE) AS tic, CAST(15.0 AS DOUBLE) AS base_peak_intensity,
+          CAST(100.0 AS DOUBLE) AS base_peak_mz""")),
+
     "fmt_bam_scan" -> Q(
       (s, _) => GraftIO.read_bam_file_records(s, s"$F/bam/test.bam")
         .selectExpr("name", "flag", "reference", "start", "end", "mapping_quality",
@@ -405,6 +426,25 @@ object FormatScans {
           CAST(1.2e-10 AS DOUBLE) AS evalue, CAST(0.91 AS DOUBLE) AS accuracy, 'first target' AS description
         UNION ALL SELECT 't2', NULL, 80, 2.5e-05, 0.85, 'second target with words'
         ORDER BY target_name""")),
+
+    // ---- best hit per query (the standard hmmsearch post-filter) ----
+    // Every domtblout consumer's first move: collapse the domain table
+    // to one best target per query by full-sequence e-value. min_by
+    // keeps the argmin inside the partial aggregation — one keyed agg
+    // whose cardinality is the query count, no window, no self-join
+    // (the row_number-per-query formulation shuffles the whole table
+    // into per-query sorts for the same answer).
+    "fmt_hmm_best_hit" -> Q(
+      (s, _) => GraftIO.read_hmm_dom_tbl_out(s, s"$F/hmm/multi.domtblout")
+        .groupBy("query_name")
+        .agg(count(lit(1)).as("n_hits"),
+          min_by(col("target_name"), col("evalue")).as("best_target"),
+          min(col("evalue")).as("best_evalue"))
+        .orderBy("query_name"),
+      Some("""SELECT 'q1' AS query_name, CAST(2 AS BIGINT) AS n_hits,
+          't1' AS best_target, CAST(1.2e-10 AS DOUBLE) AS best_evalue
+        UNION ALL SELECT 'q2', 2, 't3', 7.7e-08
+        ORDER BY query_name""")),
 
     // CSI-indexed BCF region query (reference bcf_query_function/module.cpp):
     // only index-pruned BGZF chunks are decompressed. Golden derived from the
