@@ -176,8 +176,44 @@ object PipelineTableFunctions {
       if (args.length > 2) num(args(2), "k").toInt else 4))
   }
 
+  private def orfStatsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "orf_stats(table[, idCol, seqCol])")
+    plan(graft.functions.SeqAnalysis.orfStats(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "idCol") else "id",
+      if (args.length > 2) str(args(2), "seqCol") else "sequence"))
+  }
+
+  private def hetHomBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 2,
+      "het_hom_counts(table[, gtCol])")
+    plan(graft.functions.VariantQC.hetHomCounts(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "gtCol") else "genotypes"))
+  }
+
+  private def hweBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 4,
+      "hwe_by_site(table[, chromCol, posCol, gtCol])")
+    plan(graft.functions.VariantQC.hweBySite(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "chromCol") else "chrom",
+      if (args.length > 2) str(args(2), "posCol") else "pos",
+      if (args.length > 3) str(args(3), "gtCol") else "genotypes"))
+  }
+
+  private def titvBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "titv(table[, refCol, altCol])")
+    plan(graft.functions.VariantQC.titv(tbl(args(0), "table"),
+      if (args.length > 1) str(args(1), "refCol") else "ref",
+      if (args.length > 2) str(args(2), "altCol") else "alt"))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("orf_stats", orfStatsBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("het_hom_counts", hetHomBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("hwe_by_site", hweBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("titv", titvBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("edit_distance_pairs", editPairsBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("zipf_profile", zipfBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("mrl_topk", mrlTopKBuilder, "scala_udf")

@@ -619,6 +619,36 @@ object Relational {
             / (max((e - 1) // 3600) - min(s // 3600) + 1), 6) AS density
         FROM iv GROUP BY chrom ORDER BY chrom""")),
 
+    // ---- weekly retention cohorts (the product-analytics staple) ----
+    // Cohort = each user's first active week; the cell (cohort, offset)
+    // counts users still active offset weeks later. ONE user-keyed
+    // shuffle: the distinct (user, week) activity gets its cohort from
+    // a per-user window min (state bounded by one user's weeks), then
+    // folds straight into the cohort-cell aggregate — no join of the
+    // activity table against a first-seen table, which is the naive
+    // two-shuffle-plus-join formulation of the same answer.
+    "rel_retention_cohorts" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        eventsTs(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+          .withColumn("cohort", min(col("wk")).over(w))
+          .selectExpr("date_format(cohort, 'yyyy-MM-dd') AS cohort_week",
+            "datediff(wk, cohort) div 7 AS week_offset")
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events),
+          f AS (SELECT user_id, wk,
+              min(wk) OVER (PARTITION BY user_id) AS cohort FROM a)
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+          date_diff('day', cohort, wk) // 7 AS week_offset,
+          count(*) AS n_users
+        FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- closest-feature distance (bedtools closest), join-free ----
     // For each A interval, the distance to its nearest B interval on
     // the same chrom (0 when overlapping/touching). The oracle is the

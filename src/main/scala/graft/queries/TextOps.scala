@@ -292,6 +292,41 @@ object TextOps {
             AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) <= 12 AS quality_ok
         FROM documents ORDER BY doc_id""")),
 
+    // ---- readability scoring (Flesch reading ease per source) ----
+    // The corpus-level readability dashboard row: syllables
+    // approximated as vowel-group runs, sentences as terminator runs
+    // (floored at 1 — crawl text is often punctuation-free), and the
+    // Flesch formula evaluated on INTEGER-EXACT per-source sums rather
+    // than averaged per-doc doubles — summing longs keeps the result
+    // independent of partition fold order, the same determinism
+    // discipline as the decimal rule in Relational's header. One
+    // source-keyed partial agg, no shuffle beyond it.
+    "text_readability" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("source",
+          "size(split(text, ' ')) AS w",
+          "size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS syl",
+          "greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS sen")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w").cast("long")).as("total_words"),
+          sum(col("syl").cast("long")).as("syl_sum"),
+          sum(col("sen").cast("long")).as("sen_sum"))
+        .selectExpr("source", "n_docs", "total_words",
+          """round(206.835 - 1.015 * (cast(total_words as double) / sen_sum)
+               - 84.6 * (cast(syl_sum as double) / total_words), 6) AS flesch""")
+        .orderBy("source"),
+      Some("""WITH d AS (SELECT source,
+            len(string_split(text, ' ')) AS w,
+            len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+            greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sen
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(w) AS BIGINT) AS total_words,
+          round(206.835 - 1.015 * (CAST(sum(w) AS DOUBLE) / sum(sen))
+            - 84.6 * (CAST(sum(syl) AS DOUBLE) / sum(w)), 6) AS flesch
+        FROM d GROUP BY source ORDER BY source""")),
+
     // ---- token counting: whitespace + BPE-ish regex segmentation ----
     "text_token_count" -> Q(
       (s, dir) =>

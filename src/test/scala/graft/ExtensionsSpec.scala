@@ -92,6 +92,23 @@ class ExtensionsSpec extends AnyFunSuite {
       val km = s.sql("SELECT * FROM kmer_counts('ext_seqs') ORDER BY kmer")
         .collect().map(r => (r.getString(0), r.getLong(1)))
       assert(km.toSeq == Seq(("ATCG", 1L), ("TCGA", 1L)))
+      Seq(("x", "ATGAAATAG")).toDF("id", "sequence")
+        .createOrReplaceTempView("ext_orfs")
+      val orfs = s.sql("SELECT * FROM orf_stats('ext_orfs') ORDER BY strand")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(orfs.toSeq == Seq(("+", 1L, 2), ("-", 0L, 0)), orfs.toSeq)
+      Seq(("1", 5L, Seq("0/1", "0/1"))).toDF("chrom", "pos", "genotypes")
+        .createOrReplaceTempView("ext_sites")
+      val hh2 = s.sql("SELECT * FROM het_hom_counts('ext_sites')")
+        .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+      assert(hh2 == Set((0, 1L), (1, 1L)), hh2) // both samples het
+      val hwe = s.sql("SELECT hwe_chi2 FROM hwe_by_site('ext_sites')")
+        .collect().head.getDouble(0)
+      assert(hwe == 2.0, hwe) // all-het, p=0.5, n=2
+      Seq(("A", Seq("G")), ("A", Seq("C"))).toDF("ref", "alt")
+        .createOrReplaceTempView("ext_var")
+      val tv = s.sql("SELECT n_ti, n_tv, titv FROM titv('ext_var')").collect().head
+      assert((tv.getLong(0), tv.getLong(1), tv.getDouble(2)) == ((1L, 1L, 1.0)))
       Seq(("alpha beta", 3L), ("one two", -5L)).toDF("gram", "weight")
         .createOrReplaceTempView("ext_weights")
       val qs = s.sql(
