@@ -53,7 +53,10 @@ object GraftFunctions {
     "graft_min_gram_hash" -> (e => MinGramHash(e(0), e(1))),
     "graft_cosine_sim" -> (e => CosineSim(e(0), e(1))),
     "graft_l2_sq" -> (e => L2Sq(e(0), e(1))),
-    "graft_lsh_bucket" -> (e => LshBucket(e(0), e(1)))) ++
+    "graft_lsh_bucket" -> (e => LshBucket(e(0), e(1))),
+    // custom TypedImperativeAggregate (the analyzer wraps an
+    // AggregateFunction builder result in AggregateExpression)
+    "bottom_k_by_key" -> (e => BottomKByKey(e(0), e(1), e(2)))) ++
     samFlagBits.map { case (name, bit) =>
       name -> ((e: Seq[Expression]) =>
         Not(EqualTo(BitwiseAnd(Cast(e.head, IntegerType), Literal(bit)), Literal(0))))
@@ -79,4 +82,6 @@ object GraftFunctions {
   def extract_from_cigar(s: Column, c: Column): Column = call_function("extract_from_cigar", s, c)
   def quality_score_string_to_list(c: Column): Column = call_function("quality_score_string_to_list", c)
   def gff_parse_attributes(c: Column): Column = call_function("gff_parse_attributes", c)
+  def bottom_k_by_key(key: Column, id: Column, k: Column): Column =
+    call_function("bottom_k_by_key", key, id, k)
 }

@@ -833,6 +833,48 @@ object FormatScans {
             END, 6) AS hwe_chi2
         FROM p ORDER BY chrom, pos""")),
 
+    // ---- genotype concordance between two callsets (picard
+    // GenotypeConcordance / bcftools stats analog) ----
+    // Two VCF scans joined per (site, sample): genotypes compare as
+    // RESOLVED allele multisets (index -> ref/alt sequence, sorted),
+    // so the comparison is robust to the two callers listing different
+    // alts or swapping allele order; a no-call on either side is
+    // 'missing'. Shape: two scans, one (chrom, pos, sample)-keyed
+    // equi-join, sample-cardinality agg — the join key carries the
+    // sample index so a 3000-sample biobank callset still equi-joins
+    // without exploding per-site rows wider than the genotype arrays
+    // already are.
+    "fmt_vcf_concordance" -> Q(
+      (s, _) => {
+        def resolved(path: String, gtName: String) =
+          GraftIO.read_vcf_file_records(s, path)
+            .select(col("chrom"), col("pos"), col("ref"), col("alt"),
+              posexplode(col("genotypes")).as(Seq("sample_idx", "g")))
+            .selectExpr("chrom", "pos", "sample_idx",
+              s"""array_join(array_sort(transform(split(split(g, ':')[0], '[/|]'),
+                   a -> CASE WHEN a = '.' THEN '.' WHEN a = '0' THEN ref
+                             ELSE element_at(alt, cast(a AS int)) END)), '/')
+                 AS $gtName""")
+        resolved(s"$F/vcf/qc.vcf", "gt_a")
+          .join(resolved(s"$F/vcf/qc2.vcf", "gt_b"),
+            Seq("chrom", "pos", "sample_idx"))
+          .selectExpr("sample_idx",
+            """CASE WHEN contains(gt_a, '.') OR contains(gt_b, '.') THEN 'missing'
+                    WHEN gt_a = gt_b THEN 'concordant'
+                    ELSE 'discordant' END AS cls""")
+          .groupBy("sample_idx")
+          .agg(count(lit(1)).as("n_sites"),
+            sum(when(col("cls") === "concordant", 1L).otherwise(0L)).as("n_concordant"),
+            sum(when(col("cls") === "discordant", 1L).otherwise(0L)).as("n_discordant"),
+            sum(when(col("cls") === "missing", 1L).otherwise(0L)).as("n_missing"))
+          .orderBy("sample_idx")
+      },
+      Some("""SELECT 0 AS sample_idx, CAST(4 AS BIGINT) AS n_sites,
+          CAST(1 AS BIGINT) AS n_concordant, CAST(2 AS BIGINT) AS n_discordant,
+          CAST(1 AS BIGINT) AS n_missing
+        UNION ALL SELECT 1, 4, 3, 1, 0
+        ORDER BY sample_idx""")),
+
     // ---- six-frame ORF scan (EMBOSS getorf analog) ----
     // Both strands x three frames per record: translate the trimmed
     // frame, then ORFs are the maximal M..* protein spans (stop

@@ -431,6 +431,37 @@ object PipelineOps {
         FROM g JOIN f ON g.g = f.g
         GROUP BY g.doc_id ORDER BY g.doc_id""")),
 
+    // ---- deterministic exact-k per-group sample ----
+    // The "give me 5 reproducible examples per source" cut, built on
+    // the custom bottom_k_by_key TypedImperativeAggregate
+    // (functions/BottomKByKey.scala): rank by a salted md5 key and
+    // keep the k smallest per group INSIDE the aggregation buffer.
+    // The oracle replays it as the naive row_number window — which is
+    // exactly the formulation that does NOT scale (it shuffles and
+    // sorts every row of every group), while the aggregate's partial
+    // buffers cap at k pairs so the shuffle carries O(groups * k).
+    // Exact-k complements pipe_stratified_sample's Bernoulli fractions:
+    // same goal, guaranteed count, reproducible on any engine.
+    "pipe_group_sample" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        t(s, dir, "documents")
+          .selectExpr("source", "doc_id",
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) AS hk")
+          .groupBy("source")
+          .agg(expr("bottom_k_by_key(hk, doc_id, 5)").as("ids"))
+          .select(col("source"), explode(col("ids")).as("doc_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH h AS (SELECT source, doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+          FROM documents),
+        r AS (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+          FROM h)
+        SELECT source, doc_id FROM r WHERE rn <= 5
+        ORDER BY source, doc_id""")),
+
     // The first query anyone runs on a new crawl: docs, token mass,
     // vocabulary, language spread per source. Two keyed aggregations
     // (doc-level stats; token-level distinct for vocabulary), both
