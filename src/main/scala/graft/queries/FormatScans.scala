@@ -369,6 +369,36 @@ object FormatScans {
         UNION ALL SELECT 'GRAFT002', 'GRAFT002', 'linear', 'acgtacgtacgt', 1, 'synthetic construct'
         ORDER BY accession""")),
 
+    // ---- CDS location parsing (the GenBank feature-table walk) ----
+    // Per CDS: strand, segment count, and coding length from the
+    // INSDC location grammar — plain spans, complement(), join(), and
+    // complement(join(...)) — parsed with codegen'd regex/HOF
+    // arithmetic over the feature structs (span extraction is
+    // orientation-independent, so nested complement costs nothing).
+    // 1-based inclusive spans, like every coordinate in this library's
+    // GenBank/GFF surface.
+    "fmt_genbank_cds" -> Q(
+      (s, _) => GraftIO.read_genbank(s, s"$F/genbank/cds.gb")
+        .select(col("accession"), explode(col("features")).as("f"))
+        .where(col("f.kind") === "CDS")
+        .selectExpr("accession", "f.qualifiers['gene'] AS gene",
+          "f.location AS location",
+          "IF(f.location LIKE 'complement(%', '-', '+') AS strand",
+          "regexp_extract_all(f.location, '[0-9]+\\\\.\\\\.[0-9]+', 0) AS segs")
+        .selectExpr("accession", "gene", "strand",
+          "size(segs) AS n_segments",
+          """aggregate(transform(segs,
+               x -> cast(split(x, '\\.\\.')[1] AS bigint)
+                  - cast(split(x, '\\.\\.')[0] AS bigint) + 1L),
+             0L, (a, x) -> a + x) AS cds_len""")
+        .orderBy("gene"),
+      Some("""SELECT 'GRAFT003' AS accession, 'rev' AS gene, '-' AS strand,
+          1 AS n_segments, CAST(15 AS BIGINT) AS cds_len
+        UNION ALL SELECT 'GRAFT003', 'revspliced', '-', 2, 15
+        UNION ALL SELECT 'GRAFT003', 'simple', '+', 1, 18
+        UNION ALL SELECT 'GRAFT003', 'spliced', '+', 2, 18
+        ORDER BY gene""")),
+
     "fmt_mzml_scan" -> Q(
       (s, _) => GraftIO.read_mzml(s, s"$F/mzml/test.mzML")
         .selectExpr("id",
