@@ -369,6 +369,53 @@ object FormatScans {
         UNION ALL SELECT 'GRAFT002', 'GRAFT002', 'linear', 'acgtacgtacgt', 1, 'synthetic construct'
         ORDER BY accession""")),
 
+    // ---- UCSC chain scan (liftOver input, block granularity) ----
+    // Header + cumulative `size dt dq` walk -> one row per gapless
+    // block; query spans stay in strand space with q_size carried
+    // (ChainFormat scaladoc has the grammar). Cumulative extents are
+    // validated against the header so corrupt chains fail loudly.
+    "fmt_chain_scan" -> Q(
+      (s, _) => GraftIO.read_chain_file(s, s"$F/chain/test.chain")
+        .orderBy("chain_id", "t_start"),
+      Some("""SELECT CAST(1 AS BIGINT) AS chain_id, CAST(1000 AS BIGINT) AS score,
+          'chr1' AS t_name, CAST(1000 AS BIGINT) AS t_size,
+          CAST(100 AS BIGINT) AS t_start, CAST(150 AS BIGINT) AS t_end,
+          'chrA' AS q_name, CAST(900 AS BIGINT) AS q_size,
+          '+' AS q_strand, CAST(50 AS BIGINT) AS q_start, CAST(100 AS BIGINT) AS q_end
+        UNION ALL SELECT 1, 1000, 'chr1', 1000, 160, 260, 'chrA', 900, '+', 120, 220
+        UNION ALL SELECT 1, 1000, 'chr1', 1000, 300, 400, 'chrA', 900, '+', 250, 350
+        UNION ALL SELECT 2, 800, 'chr2', 500, 0, 80, 'chrB', 600, '-', 100, 180
+        UNION ALL SELECT 2, 800, 'chr2', 500, 100, 160, 'chrB', 600, '-', 220, 280
+        ORDER BY chain_id, t_start""")),
+
+    // ---- coordinate liftover through the chain (liftOver core op) ----
+    // Positions probe the BROADCAST block set through a bin-keyed
+    // equi-join (no nested-loop range scan); minus-strand chains fold
+    // to forward coordinates; uncovered positions keep their row with
+    // NULL lifted columns (the unmapped report). Gap positions (155 is
+    // inside chain 1's dt gap) and past-the-chain positions both pin
+    // the unmapped path; 399 and 40 pin the block-edge arithmetic.
+    "fmt_chain_liftover" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val positions = Seq(("chr1", 125L), ("chr1", 155L), ("chr1", 200L),
+          ("chr1", 399L), ("chr2", 40L), ("chr2", 130L), ("chr2", 300L))
+          .toDF("chrom", "pos")
+        graft.functions.LiftOver.liftPositions(positions,
+            GraftIO.read_chain_file(s, s"$F/chain/test.chain"))
+          .orderBy("chrom", "pos")
+      },
+      Some("""SELECT 'chr1' AS chrom, CAST(125 AS BIGINT) AS pos,
+          'chrA' AS lifted_name, CAST(75 AS BIGINT) AS lifted_pos,
+          '+' AS lifted_strand, CAST(1000 AS BIGINT) AS lifted_score
+        UNION ALL SELECT 'chr1', 155, NULL, NULL, NULL, NULL
+        UNION ALL SELECT 'chr1', 200, 'chrA', 160, '+', 1000
+        UNION ALL SELECT 'chr1', 399, 'chrA', 349, '+', 1000
+        UNION ALL SELECT 'chr2', 40, 'chrB', 459, '-', 800
+        UNION ALL SELECT 'chr2', 130, 'chrB', 349, '-', 800
+        UNION ALL SELECT 'chr2', 300, NULL, NULL, NULL, NULL
+        ORDER BY chrom, pos""")),
+
     // ---- CDS location parsing (the GenBank feature-table walk) ----
     // Per CDS: strand, segment count, and coding length from the
     // INSDC location grammar — plain spans, complement(), join(), and

@@ -18,7 +18,7 @@ object Formats {
   def all: Seq[GraftFormat] =
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
-      WarcFormat)
+      WarcFormat, ChainFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -54,6 +54,7 @@ class MzmlDataSource extends GraftDataSource(MzmlFormat)
 class BamDataSource extends GraftDataSource(BamFormat)
 class BcfDataSource extends GraftDataSource(BcfFormat)
 class WarcDataSource extends GraftDataSource(WarcFormat)
+class ChainDataSource extends GraftDataSource(ChainFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -96,6 +97,7 @@ object GraftIO {
   def read_hmm_dom_tbl_out(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "hmmdomtab", path, options)
   def read_vcf_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "vcf", path, options)
   def read_genbank(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "genbank", path, options)
+  def read_chain_file(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "chain", path, options)
   def read_mzml(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "mzml", path, options)
   def read_bam_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bam", path, options)
   def read_bcf_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bcf", path, options)

@@ -633,4 +633,26 @@ class SplitReadSpec extends AnyFunSuite {
     assert(split.toSeq == whole.toSeq)
     assert(whole.length == 300)
   }
+
+  test("chain: ranged splits sync on chain headers, block walks cross the boundary") {
+    // 120 chains, 3 blocks each; every chain's block walk must stay
+    // with the split that owns its header line
+    val content = (0 until 120).map { i =>
+      val t0 = i * 1000
+      s"""chain ${100 + i} chr${i % 4} 1000000 + $t0 ${t0 + 70} q${i % 4} 500000 ${if (i % 2 == 0) "+" else "-"} ${t0 / 2} ${t0 / 2 + 55} $i
+         |20 10 5
+         |10 20 10
+         |10
+         |""".stripMargin
+    }.mkString("\n")
+    val path = tmpFile("big.chain", content)
+    val whole = GraftIO.read_chain_file(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(64) {
+      val df = GraftIO.read_chain_file(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 120 * 3)
+  }
 }
