@@ -416,6 +416,34 @@ object FormatScans {
         UNION ALL SELECT 'chr2', 300, NULL, NULL, NULL, NULL
         ORDER BY chrom, pos""")),
 
+    // ---- interval liftover with minMatch (liftOver's real contract) ----
+    // Intervals split across blocks: per chain the lifted interval is
+    // the forward-folded envelope of its mapped pieces, mapped_bp the
+    // exactly-aligned bases, and the status tiers replicate liftOver's
+    // minMatch accept / partial / reject-file split (rejects stay
+    // in-frame as NULL rows). 140..170 straddles chain 1's first gap
+    // (20 of 30 bp map -> partial); 70..110 exercises the minus-strand
+    // envelope across two blocks.
+    "fmt_chain_lift_intervals" -> Q(
+      (s, _) => {
+        import s.implicits._
+        val iv = Seq(("chr1", 110L, 140L), ("chr1", 140L, 170L),
+          ("chr1", 500L, 520L), ("chr2", 10L, 50L), ("chr2", 70L, 110L))
+          .toDF("chrom", "start", "end")
+        graft.functions.LiftOver.liftIntervals(iv,
+            GraftIO.read_chain_file(s, s"$F/chain/test.chain"))
+          .orderBy("chrom", "start")
+      },
+      Some("""SELECT 'chr1' AS chrom, CAST(110 AS BIGINT) AS start, CAST(140 AS BIGINT) AS "end",
+          'chrA' AS lifted_name, CAST(60 AS BIGINT) AS lifted_start,
+          CAST(90 AS BIGINT) AS lifted_end, '+' AS lifted_strand,
+          CAST(30 AS BIGINT) AS mapped_bp, 'mapped' AS lift_status
+        UNION ALL SELECT 'chr1', 140, 170, 'chrA', 90, 130, '+', 20, 'partial'
+        UNION ALL SELECT 'chr1', 500, 520, NULL, NULL, NULL, NULL, 0, 'unmapped'
+        UNION ALL SELECT 'chr2', 10, 50, 'chrB', 450, 490, '-', 40, 'mapped'
+        UNION ALL SELECT 'chr2', 70, 110, 'chrB', 370, 430, '-', 20, 'partial'
+        ORDER BY chrom, start""")),
+
     // ---- CDS location parsing (the GenBank feature-table walk) ----
     // Per CDS: strand, segment count, and coding length from the
     // INSDC location grammar — plain spans, complement(), join(), and

@@ -75,4 +75,80 @@ class LiftOverSpec extends AnyFunSuite {
       assert(got((chrom, pos)) == want, s"($chrom, $pos)")
     }
   }
+
+  private case class CBlock(chainId: Long, score: Long, tName: String,
+                            tStart: Long, tEnd: Long, qSize: Long,
+                            qStrand: String, qStart: Long)
+
+  test("random chains: interval liftover (envelope, mapped_bp, best chain) == naive") {
+    val rnd = new scala.util.Random(13L)
+    val sb = new StringBuilder
+    val naive = scala.collection.mutable.ArrayBuffer.empty[CBlock]
+    for (c <- 0 until 2) {
+      var t = 0L
+      for (i <- 0 until 12) {
+        t += rnd.nextInt(40) + 1
+        val nBlocks = rnd.nextInt(3) + 1
+        val sizes = Seq.fill(nBlocks)(rnd.nextInt(25) + 1L)
+        val dts = Seq.fill(nBlocks - 1)(rnd.nextInt(15) + 1L)
+        val dqs = Seq.fill(nBlocks - 1)(rnd.nextInt(15) + 1L)
+        val (tLen, qLen) = (sizes.sum + dts.sum, sizes.sum + dqs.sum)
+        val qStart = rnd.nextInt(800).toLong
+        val strand = if (rnd.nextBoolean()) "+" else "-"
+        val id = c * 100 + i
+        val score = rnd.nextInt(5000) + 1
+        sb.append(s"chain $score chr$c 100000 + $t ${t + tLen} qc$c 40000 $strand $qStart ${qStart + qLen} $id\n")
+        var (tc, qc) = (t, qStart)
+        for (j <- 0 until nBlocks) {
+          naive += CBlock(id, score, s"chr$c", tc, tc + sizes(j), 40000L, strand, qc)
+          if (j < nBlocks - 1) {
+            sb.append(s"${sizes(j)} ${dts(j)} ${dqs(j)}\n")
+            tc += sizes(j) + dts(j); qc += sizes(j) + dqs(j)
+          } else sb.append(s"${sizes(j)}\n")
+        }
+        sb.append("\n")
+        t += tLen
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-liftiv")
+    val path = dir.resolve("rand.chain")
+    java.nio.file.Files.writeString(path, sb.toString)
+
+    import spark.implicits._
+    val intervals = (0 until 300).map { _ =>
+      val s0 = rnd.nextInt(1600).toLong
+      (s"chr${rnd.nextInt(2)}", s0, s0 + rnd.nextInt(120) + 1)
+    }.distinct
+    val got = LiftOver.liftIntervals(intervals.toDF("chrom", "start", "end"),
+        GraftIO.read_chain_file(spark, path.toString), binWidth = 32L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (Option(r.getAs[String]("lifted_name")),
+         if (r.isNullAt(4)) None else Some(r.getLong(4)),
+         if (r.isNullAt(5)) None else Some(r.getLong(5)),
+         r.getAs[Long]("mapped_bp"), r.getAs[String]("lift_status")))
+      .toMap
+
+    intervals.foreach { case key @ (chrom, s0, e0) =>
+      val byChain = naive.filter(b => b.tName == chrom && s0 < b.tEnd && b.tStart < e0)
+        .groupBy(b => (b.chainId, b.score))
+        .map { case ((_, score), bs) =>
+          val pieces = bs.map { b =>
+            val (ps, pe) = (math.max(s0, b.tStart), math.min(e0, b.tEnd))
+            val (qs, qe) = (ps - b.tStart + b.qStart, pe - b.tStart + b.qStart)
+            val (fs, fe) = if (b.qStrand == "-") (b.qSize - qe, b.qSize - qs) else (qs, qe)
+            (pe - ps, fs, fe)
+          }
+          (score.toLong, pieces.map(_._1).sum, pieces.map(_._2).min, pieces.map(_._3).max,
+            bs.head.qStrand, s"qc${chrom.last}")
+        }
+      if (byChain.isEmpty)
+        assert(got(key) == ((None, None, None, 0L, "unmapped")), key)
+      else {
+        val best = byChain.maxBy(c => (c._2, c._1))
+        val status = if (best._2 >= 0.95 * (e0 - s0)) "mapped" else "partial"
+        assert(got(key) == ((Some(best._6), Some(best._3), Some(best._4), best._2, status)), key)
+      }
+    }
+  }
 }
