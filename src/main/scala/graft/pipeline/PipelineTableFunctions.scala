@@ -208,8 +208,30 @@ object PipelineTableFunctions {
       if (args.length > 2) str(args(2), "altCol") else "alt"))
   }
 
+  private def liftPositionsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 4,
+      "lift_positions(positions, chainPath[, chromCol, posCol])")
+    plan(graft.functions.LiftOver.liftPositions(tbl(args(0), "positions"),
+      graft.sources.GraftIO.read_chain_file(SparkSession.active, str(args(1), "chainPath")),
+      if (args.length > 2) str(args(2), "chromCol") else "chrom",
+      if (args.length > 3) str(args(3), "posCol") else "pos"))
+  }
+
+  private def liftIntervalsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 6,
+      "lift_intervals(intervals, chainPath[, chromCol, startCol, endCol, minMatch])")
+    plan(graft.functions.LiftOver.liftIntervals(tbl(args(0), "intervals"),
+      graft.sources.GraftIO.read_chain_file(SparkSession.active, str(args(1), "chainPath")),
+      if (args.length > 2) str(args(2), "chromCol") else "chrom",
+      if (args.length > 3) str(args(3), "startCol") else "start",
+      if (args.length > 4) str(args(4), "endCol") else "end",
+      if (args.length > 5) num(args(5), "minMatch") else 0.95))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("lift_positions", liftPositionsBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("lift_intervals", liftIntervalsBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("orf_stats", orfStatsBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("het_hom_counts", hetHomBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("hwe_by_site", hweBuilder, "scala_udf")

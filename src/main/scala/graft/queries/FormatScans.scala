@@ -126,6 +126,39 @@ object FormatScans {
           ELSE round(CAST(list_sum(q[1:trimmed_len]) AS DOUBLE) / trimmed_len, 6) END AS mean_q
         FROM k ORDER BY name""")),
 
+    // ---- 3' adapter trimming (the other half of the fastp staple,
+    // complementing fmt_fastq_trim's quality cut): locate the Illumina
+    // adapter prefix and keep the bases before it; reads without the
+    // adapter pass through whole. Round-trips the FASTQ writer like
+    // the quality-trim entry; the oracle regenerates the reads
+    // arithmetically. Per-row substring search in a codegen'd Project
+    // — no shuffle but the output sort.
+    "fmt_fastq_adapter_trim" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_adapter").toString
+        s.range(200).selectExpr(
+            "concat('r', id) AS name",
+            "cast(null as string) AS description",
+            """concat(repeat('C', cast(10 + id % 20 AS int)),
+                 IF(id % 3 = 0, 'AGATCGGAAGAGCTTTTT', '')) AS sequence""",
+            """repeat('I', cast(10 + id % 20 AS int)
+                 + IF(id % 3 = 0, 18, 0)) AS quality_scores""")
+          .write.mode("overwrite").format("fastq").save(dir)
+        GraftIO.read_fastq(s, dir)
+          .selectExpr("name", "length(sequence) AS read_len",
+            "instr(sequence, 'AGATCGGAAGAGC') AS ap")
+          .selectExpr("name", "read_len",
+            "IF(ap > 0, ap - 1, read_len) AS kept_len",
+            "ap > 0 AS had_adapter")
+          .orderBy("name")
+      },
+      Some("""WITH r AS (SELECT i AS id, CAST(10 + i % 20 AS INT) AS clen,
+            i % 3 = 0 AS ad FROM range(0, 200) t(i))
+        SELECT 'r' || id AS name,
+          clen + CASE WHEN ad THEN 18 ELSE 0 END AS read_len,
+          clen AS kept_len, ad AS had_adapter
+        FROM r ORDER BY name""")),
+
     "fmt_gff_scan" -> Q(
       (s, _) => GraftIO.read_gff(s, s"$F/gff/test.gff")
         .selectExpr("seqname", "type", "start", "end", "score", "strand", "phase",

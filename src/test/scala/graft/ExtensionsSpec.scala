@@ -109,6 +109,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .createOrReplaceTempView("ext_var")
       val tv = s.sql("SELECT n_ti, n_tv, titv FROM titv('ext_var')").collect().head
       assert((tv.getLong(0), tv.getLong(1), tv.getDouble(2)) == ((1L, 1L, 1.0)))
+      Seq(("chr1", 125L), ("chr1", 155L)).toDF("chrom", "pos")
+        .createOrReplaceTempView("ext_pos")
+      val lifted = s.sql(
+        """SELECT lifted_name, lifted_pos FROM lift_positions('ext_pos',
+             '/root/repo/src/test/resources/fixtures/chain/test.chain')
+           ORDER BY pos""")
+        .collect().map(r => (r.getAs[String](0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(lifted.toSeq == Seq(("chrA", 75L), (null, -1L)), lifted.toSeq)
       Seq(("alpha beta", 3L), ("one two", -5L)).toDF("gram", "weight")
         .createOrReplaceTempView("ext_weights")
       val qs = s.sql(

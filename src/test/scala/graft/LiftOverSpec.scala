@@ -76,6 +76,32 @@ class LiftOverSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt chains fail loudly instead of lifting wrong coordinates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badchain")
+    def failsWith(name: String, content: String, msgPart: String): Unit = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, content)
+      val e = intercept[Exception] {
+        GraftIO.read_chain_file(spark, p.toString).collect()
+      }
+      def chainOf(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chainOf(t.getCause)
+      assert(chainOf(e).exists(_.contains(msgPart)), s"$name: $e")
+    }
+    // blocks don't reach the declared tEnd/qEnd (truncated file)
+    failsWith("short.chain",
+      "chain 10 chr1 1000 + 0 100 q1 1000 + 0 100 1\n20 5 5\n20\n\n",
+      "do not sum to header extents")
+    // reversed tStrand is out of spec
+    failsWith("tstrand.chain",
+      "chain 10 chr1 1000 - 0 20 q1 1000 + 0 20 1\n20\n\n",
+      "tStrand must be '+'")
+    // header too short
+    failsWith("header.chain",
+      "chain 10 chr1 1000 + 0 20\n20\n\n",
+      "header has")
+  }
+
   private case class CBlock(chainId: Long, score: Long, tName: String,
                             tStart: Long, tEnd: Long, qSize: Long,
                             qStrand: String, qStart: Long)
