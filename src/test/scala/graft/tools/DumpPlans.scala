@@ -69,7 +69,25 @@ object DumpPlans {
     "text_zipf_profile" ->
       """Vocab-bounded groupBy, TakeOrderedAndProject head cut (never a
         |global vocab sort); the only window is bounded by the constant
-        |K and the regression sums are exact fixed-point BIGINTs.""".stripMargin)
+        |K and the regression sums are exact fixed-point BIGINTs.""".stripMargin,
+    "pipe_ngram_novelty" ->
+      """Each distinct gram credits exactly one novel owner (its min doc
+        |id), so the only join runs at DOC cardinality — no join is
+        |keyed on the gram column, and grams explode raw (no
+        |CodegenFallback array_distinct under the Generate). 8.3x over
+        |the naive gram-keyed join at sf0.1.""".stripMargin,
+    "fmt_chain_lift_intervals" ->
+      """Chain blocks BROADCAST onto a fixed bin grid, so the interval
+        |probe is a bin-keyed equi-join (hash lookup) rather than a
+        |per-row range scan; per-chain envelopes and the best-chain
+        |max_by are keyed by the input interval — nothing pairwise,
+        |and unmapped rows stay in-frame through the left join.""".stripMargin,
+    "pipe_group_sample" ->
+      """The custom bottom_k_by_key TypedImperativeAggregate keeps k
+        |pairs per partial buffer, so the exchange carries O(groups*k)
+        |rows with map-side combine — the row_number-window
+        |formulation (the oracle) shuffles and sorts every row. 6.5x
+        |on cached 40M-row input (BENCH_NOTES).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
