@@ -81,10 +81,20 @@ case class BottomKByKey(
     val ok = Seq(first, second).forall(e =>
       e.dataType == LongType || e.dataType == IntegerType ||
       e.dataType == ShortType || e.dataType == ByteType)
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"bottom_k_by_key expects integral key and id, got " +
-        s"(${first.dataType.simpleString}, ${second.dataType.simpleString})")
+    if (!ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bottom_k_by_key expects integral key and id, got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString})")
+    else if (!third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "bottom_k_by_key: k must be a literal (it sizes the buffer at planning time)")
+    else third.eval(null) match {
+      case n: java.lang.Number if n.intValue() > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bottom_k_by_key: k must be a positive integer literal, got $other")
+    }
   }
 
   private lazy val k: Int = third.eval(null) match {
