@@ -88,12 +88,19 @@ case class BottomKByKey(
     else if (!third.foldable)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "bottom_k_by_key: k must be a literal (it sizes the buffer at planning time)")
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(third.dataType))
+      // dtype gate first: Number.intValue() would silently TRUNCATE a
+      // fractional (2.9 -> 2) or out-of-range (2^32+1 -> 1) k
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bottom_k_by_key: k must be an integral literal, got ${third.dataType.simpleString}")
     else third.eval(null) match {
-      case n: java.lang.Number if n.intValue() > 0 =>
+      case n: java.lang.Number
+          if n.longValue() > 0 && n.longValue() <= Int.MaxValue =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bottom_k_by_key: k must be a positive integer literal, got $other")
+          s"bottom_k_by_key: k must be a positive int-range literal, got $other")
     }
   }
 

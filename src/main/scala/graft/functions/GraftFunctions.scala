@@ -43,6 +43,7 @@ object GraftFunctions {
     "reverse_complement" -> (e => ReverseComplement(e.head)),
     "gc_content" -> (e => GcContent(e.head)),
     "translate_dna_to_aa" -> (e => TranslateDnaToAa(e.head)),
+    "translate_dna_to_aa_lenient" -> (e => TranslateDnaToAaLenient(e.head)),
     "parse_cigar" -> (e => ParseCigar(e.head)),
     "extract_from_cigar" -> (e => ExtractFromCigar(e(0), e(1))),
     "quality_score_string_to_list" -> (e => QualityScoreStringToList(e.head)),

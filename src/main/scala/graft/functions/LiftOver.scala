@@ -14,11 +14,29 @@ import org.apache.spark.sql.functions._
   * the chromosome. Minus-strand chains fold strand-space coordinates
   * to forward at projection time (fwd = q_size - 1 - strandPos).
   *
+  * Every chain-side column is renamed under a `__c_` prefix before
+  * the join, so input frames may carry any column name the chain
+  * schema also uses (score, q_name, ... — routine in BED-derived
+  * frames) without ambiguous-reference failures.
+  *
   * Positions that no block covers keep their row with NULL lifted
   * columns (liftOver's "unmapped" report). Overlapping chains (rare,
-  * but legal — e.g. paralogous regions) each produce a row; callers
-  * disambiguate by score, which rides along as lifted_score. */
+  * but legal — e.g. paralogous regions) each produce a row in
+  * liftPositions; liftIntervals resolves them to the best chain. */
 object LiftOver {
+
+  /** Chain blocks projected to `__c_*` names and exploded onto the
+    * fixed bin grid — shared by both entry points so the bin
+    * arithmetic cannot drift between them. */
+  private def binnedBlocks(chains: DataFrame, binWidth: Long): DataFrame =
+    chains
+      .select(col("chain_id").as("__c_id"), col("score").as("__c_score"),
+        col("t_name").as("__c_tname"), col("t_start").as("__c_ts"),
+        col("t_end").as("__c_te"), col("q_name").as("__c_qname"),
+        col("q_size").as("__c_qsize"), col("q_strand").as("__c_strand"),
+        col("q_start").as("__c_qs"))
+      .withColumn("__c_bin", explode(expr(
+        s"sequence(__c_ts div $binWidth, (__c_te - 1) div $binWidth)")))
 
   def liftPositions(positions: DataFrame, chains: DataFrame,
                     chromCol: String = "chrom", posCol: String = "pos",
@@ -26,24 +44,19 @@ object LiftOver {
     require(binWidth > 0, s"LiftOver.liftPositions: binWidth ($binWidth) must be > 0")
     require(positions.columns.contains(chromCol) && positions.columns.contains(posCol),
       s"LiftOver.liftPositions: need columns '$chromCol' and '$posCol'")
-    val blocks = chains
-      .select(col("t_name"), col("t_start"), col("t_end"), col("score"),
-        col("q_name"), col("q_size"), col("q_strand"), col("q_start"))
-      .withColumn("__bin", explode(expr(
-        s"sequence(t_start div $binWidth, (t_end - 1) div $binWidth)")))
     positions
       .withColumn("__pbin", expr(s"`$posCol` div $binWidth"))
-      .join(broadcast(blocks),
-        col(chromCol) === col("t_name") && col("__pbin") === col("__bin") &&
-          col(posCol) >= col("t_start") && col(posCol) < col("t_end"),
+      .join(broadcast(binnedBlocks(chains, binWidth)),
+        col(chromCol) === col("__c_tname") && col("__pbin") === col("__c_bin") &&
+          col(posCol) >= col("__c_ts") && col(posCol) < col("__c_te"),
         "left")
       .select(positions.columns.map(col) ++ Seq(
-        col("q_name").as("lifted_name"),
-        expr(s"""CASE WHEN q_start IS NULL THEN NULL
-                 WHEN q_strand = '-' THEN q_size - 1 - (q_start + (`$posCol` - t_start))
-                 ELSE q_start + (`$posCol` - t_start) END""").as("lifted_pos"),
-        col("q_strand").as("lifted_strand"),
-        col("score").as("lifted_score")): _*)
+        col("__c_qname").as("lifted_name"),
+        expr(s"""CASE WHEN __c_qs IS NULL THEN NULL
+                 WHEN __c_strand = '-' THEN __c_qsize - 1 - (__c_qs + (`$posCol` - __c_ts))
+                 ELSE __c_qs + (`$posCol` - __c_ts) END""").as("lifted_pos"),
+        col("__c_strand").as("lifted_strand"),
+        col("__c_score").as("lifted_score")): _*)
   }
 
   /** Interval liftover with liftOver's minMatch discipline: each
@@ -53,9 +66,10 @@ object LiftOver {
     * `mapped_bp` the exactly-aligned base count. One output row per
     * input interval: the best chain by mapped_bp (ties by chain
     * score), with status 'mapped' when mapped_bp/width >= minMatch,
-    * 'partial' when something mapped but under the threshold, and an
-    * all-NULL 'unmapped' row otherwise — liftOver's reject file,
-    * kept in-frame.
+    * 'partial' when something mapped but under the threshold,
+    * 'unmapped' (all-NULL lifted columns) when nothing did —
+    * liftOver's reject file, kept in-frame — and 'invalid' for
+    * degenerate inputs (end <= start), which never probe the blocks.
     *
     * Scale shape: same broadcast bin-grid probe as liftPositions (the
     * interval explodes to its covered bins, blocks likewise, join is
@@ -71,51 +85,53 @@ object LiftOver {
       s"LiftOver.liftIntervals: minMatch ($minMatch) must be in (0, 1]")
     require(Seq(chromCol, startCol, endCol).forall(intervals.columns.contains),
       s"LiftOver.liftIntervals: need columns '$chromCol', '$startCol', '$endCol'")
-    val blocks = chains
-      .select(col("chain_id"), col("score"), col("t_name"), col("t_start"),
-        col("t_end"), col("q_name"), col("q_size"), col("q_strand"), col("q_start"))
-      .withColumn("__bin", explode(expr(
-        s"sequence(t_start div $binWidth, (t_end - 1) div $binWidth)")))
     val pieces = intervals
+      .select(col(chromCol).as("__i_chrom"), col(startCol).as("__i_s"),
+        col(endCol).as("__i_e"))
+      .where(col("__i_s") < col("__i_e"))
       .withColumn("__ibin", explode(expr(
-        s"sequence(`$startCol` div $binWidth, (`$endCol` - 1) div $binWidth)")))
-      .join(broadcast(blocks),
-        col(chromCol) === col("t_name") && col("__ibin") === col("__bin") &&
-          col(startCol) < col("t_end") && col("t_start") < col(endCol))
+        s"sequence(__i_s div $binWidth, (__i_e - 1) div $binWidth)")))
+      .join(broadcast(binnedBlocks(chains, binWidth)),
+        col("__i_chrom") === col("__c_tname") && col("__ibin") === col("__c_bin") &&
+          col("__i_s") < col("__c_te") && col("__c_ts") < col("__i_e"))
       // a piece straddling bins joins in each shared bin — count it
       // once, in the bin that owns the piece's start
-      .where(col("__ibin") === expr(s"greatest(`$startCol`, t_start) div $binWidth"))
-      .selectExpr(s"`$chromCol`", s"`$startCol`", s"`$endCol`", "chain_id", "score",
-        "q_name", "q_strand",
-        s"greatest(`$startCol`, t_start) - t_start + q_start AS p_qs",
-        s"least(`$endCol`, t_end) - t_start + q_start AS p_qe",
-        "q_size")
-      .selectExpr(s"`$chromCol`", s"`$startCol`", s"`$endCol`", "chain_id", "score",
-        "q_name", "q_strand", "p_qe - p_qs AS p_bp",
-        "IF(q_strand = '-', q_size - p_qe, p_qs) AS f_qs",
-        "IF(q_strand = '-', q_size - p_qs, p_qe) AS f_qe")
+      .where(col("__ibin") === expr(s"greatest(__i_s, __c_ts) div $binWidth"))
+      .selectExpr("__i_chrom", "__i_s", "__i_e", "__c_id", "__c_score",
+        "__c_qname", "__c_strand",
+        "greatest(__i_s, __c_ts) - __c_ts + __c_qs AS p_qs",
+        "least(__i_e, __c_te) - __c_ts + __c_qs AS p_qe",
+        "__c_qsize")
+      .selectExpr("__i_chrom", "__i_s", "__i_e", "__c_id", "__c_score",
+        "__c_qname", "__c_strand", "p_qe - p_qs AS p_bp",
+        "IF(__c_strand = '-', __c_qsize - p_qe, p_qs) AS f_qs",
+        "IF(__c_strand = '-', __c_qsize - p_qs, p_qe) AS f_qe")
     val perChain = pieces
-      .groupBy(col(chromCol), col(startCol), col(endCol), col("chain_id"))
-      .agg(first(col("q_name")).as("q_name"), first(col("q_strand")).as("q_strand"),
-        first(col("score")).as("score"), sum(col("p_bp")).as("mapped_bp"),
+      .groupBy(col("__i_chrom"), col("__i_s"), col("__i_e"), col("__c_id"))
+      .agg(first(col("__c_qname")).as("q_name"), first(col("__c_strand")).as("q_strand"),
+        first(col("__c_score")).as("cscore"), sum(col("p_bp")).as("mapped_bp"),
         min(col("f_qs")).as("lifted_start"), max(col("f_qe")).as("lifted_end"))
     val best = perChain
-      .groupBy(col(chromCol), col(startCol), col(endCol))
+      .groupBy(col("__i_chrom"), col("__i_s"), col("__i_e"))
       .agg(max_by(
         struct(col("q_name"), col("q_strand"), col("mapped_bp"),
           col("lifted_start"), col("lifted_end")),
-        struct(col("mapped_bp"), col("score"))).as("b"))
+        struct(col("mapped_bp"), col("cscore"))).as("__b"))
     intervals
-      .join(best, Seq(chromCol, startCol, endCol), "left")
+      .join(best,
+        col(chromCol) === col("__i_chrom") && col(startCol) === col("__i_s") &&
+          col(endCol) === col("__i_e"),
+        "left")
       .select(intervals.columns.map(col) ++ Seq(
-        col("b.q_name").as("lifted_name"),
-        col("b.lifted_start").as("lifted_start"),
-        col("b.lifted_end").as("lifted_end"),
-        col("b.q_strand").as("lifted_strand"),
-        coalesce(col("b.mapped_bp"), lit(0L)).as("mapped_bp"),
+        col("__b.q_name").as("lifted_name"),
+        col("__b.lifted_start").as("lifted_start"),
+        col("__b.lifted_end").as("lifted_end"),
+        col("__b.q_strand").as("lifted_strand"),
+        coalesce(col("__b.mapped_bp"), lit(0L)).as("mapped_bp"),
         expr(s"""CASE
-            WHEN b IS NULL THEN 'unmapped'
-            WHEN b.mapped_bp >= $minMatch * (`$endCol` - `$startCol`) THEN 'mapped'
+            WHEN `$endCol` <= `$startCol` THEN 'invalid'
+            WHEN __b IS NULL THEN 'unmapped'
+            WHEN __b.mapped_bp >= $minMatch * (`$endCol` - `$startCol`) THEN 'mapped'
             ELSE 'partial' END""").as("lift_status")): _*)
   }
 }

@@ -98,15 +98,21 @@ object SeqAnalysis {
     require(df.columns.contains(idCol) && df.columns.contains(seqCol),
       s"SeqAnalysis.orfStats: need columns '$idCol' and '$seqCol'")
     GraftFunctions.registerAll(df.sparkSession)
-    df.selectExpr(s"`$idCol` AS __oid", s"`$seqCol` AS fwd",
-        s"reverse(translate(`$seqCol`, 'ACGT', 'TGCA')) AS rev")
+    // upper() + the LENIENT translation (unknown codons -> 'X'): real
+    // assemblies carry N runs and soft-masked lowercase, and one such
+    // contig must not kill a corpus-wide scan. X is neither M nor *,
+    // so it can sit inside an ORF but never start or end one —
+    // getorf's treatment.
+    df.selectExpr(s"`$idCol` AS __oid", s"upper(`$seqCol`) AS fwd")
+      .selectExpr("__oid", "fwd",
+        "reverse(translate(fwd, 'ACGT', 'TGCA')) AS rev")
       .select(col("__oid"), explode(array(
         struct(lit("+").as("strand"), col("fwd").as("seq")),
         struct(lit("-").as("strand"), col("rev").as("seq")))).as("sf"))
       .select(col("__oid"), col("sf.strand").as("strand"), col("sf.seq").as("seq"),
         explode(array(lit(0), lit(1), lit(2))).as("f"))
       .selectExpr("__oid", "strand",
-        """translate_dna_to_aa(substr(seq, 1 + f,
+        """translate_dna_to_aa_lenient(substr(seq, 1 + f,
              ((length(seq) - f) div 3) * 3)) AS aa""")
       .selectExpr("__oid", "strand",
         "regexp_extract_all(aa, 'M[^*]*\\\\*', 0) AS orfs")

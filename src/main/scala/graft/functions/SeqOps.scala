@@ -150,6 +150,27 @@ object SeqOps {
     UTF8String.fromString(out.result())
   }
 
+  /** Lenient translation for analytics over REAL assemblies: unknown
+    * codons (N runs, IUPAC ambiguity codes, soft-mask leftovers) become
+    * 'X' — the standard unknown-residue code — instead of throwing.
+    * The strict [[translateDnaToAa]] stays reference-faithful (the
+    * reference errors on unknown codons); this variant is what
+    * corpus-wide scans (orfStats) use so one masked contig cannot kill
+    * a whole query. Length must still be a codon multiple — that is a
+    * caller bug, not a data property. */
+  def translateDnaToAaLenient(s: UTF8String): UTF8String = {
+    val seq = s.toString
+    if (seq.length % 3 != 0)
+      fail("translate_dna_to_aa_lenient", s"sequence length ${seq.length} is not divisible by 3")
+    val out = new StringBuilder(seq.length / 3)
+    var i = 0
+    while (i < seq.length) {
+      out += CodonTable.getOrElse(seq.substring(i, i + 3), 'X')
+      i += 3
+    }
+    UTF8String.fromString(out.result())
+  }
+
   /** '1M2S' -> [{op:'M',len:1},{op:'S',len:2}]; invalid format throws.
     * Ref: sam_functions/module.cpp:32-75 + rust sam_functions.rs:114-131. */
   def parseCigar(s: UTF8String): ArrayData = {

@@ -70,8 +70,11 @@ object VariantQC {
     * p = ref-allele frequency over CALLED genotypes, expected classes
     * (p^2, 2pq, q^2) * n, chi-square over (hom-ref, het, hom-alt).
     * Alt alleles are LUMPED — a 1/2 genotype is alt-hom, the
-    * biallelic-test convention — and monomorphic sites carry a NULL
-    * chi-square (zero expected classes, no test). Output per site:
+    * biallelic-test convention — monomorphic sites carry a NULL
+    * chi-square (zero expected classes, no test), and only DIPLOID
+    * calls enter the test (vcftools --hardy's convention; haploid and
+    * polyploid calls are excluded, not shoehorned into the three
+    * genotype classes). Output per site:
     * (chromCol, posCol, n_called, p_ref, hwe_chi2). */
   def hweBySite(df: DataFrame, chromCol: String = "chrom",
                 posCol: String = "pos",
@@ -81,7 +84,11 @@ object VariantQC {
     df.select(col(chromCol).as("__c"), col(posCol).as("__p"),
         explode(col(gtCol)).as("g"))
       .selectExpr("__c", "__p", "split(split(g, ':')[0], '[/|]') AS al")
-      .where(expr("NOT exists(al, a -> a = '.')"))
+      // DIPLOID calls only (vcftools --hardy's convention): haploid or
+      // polyploid calls would land in the wrong observed class (a
+      // haploid '0' has nr=1 — the het bucket) or in none at all while
+      // still inflating n_called/nref, silently corrupting the test
+      .where(expr("size(al) = 2 AND NOT exists(al, a -> a = '.')"))
       .selectExpr("__c", "__p", "size(filter(al, a -> a = '0')) AS nr")
       .groupBy("__c", "__p")
       .agg(count(lit(1)).as("n_called"),

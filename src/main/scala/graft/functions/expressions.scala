@@ -71,6 +71,14 @@ case class TranslateDnaToAa(child: Expression) extends UnaryStringExpression {
   override def prettyName: String = "translate_dna_to_aa"
 }
 
+case class TranslateDnaToAaLenient(child: Expression) extends UnaryStringExpression {
+  override def kernel: String = "translateDnaToAaLenient"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = SeqOps.translateDnaToAaLenient(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): TranslateDnaToAaLenient = copy(child = c)
+  override def prettyName: String = "translate_dna_to_aa_lenient"
+}
+
 case class ParseCigar(child: Expression) extends UnaryStringExpression {
   override def kernel: String = "parseCigar"
   override def dataType: DataType = ParseCigar.outputType

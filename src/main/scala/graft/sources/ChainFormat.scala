@@ -66,7 +66,8 @@ object ChainFormat extends GraftFormat {
       override def next(): Array[Any] = { advance(); pending.next() }
 
       private def parseChain(): Iterator[Array[Any]] = {
-        val header = tagged.next()._2.trim
+        val (headerPos, headerLine) = tagged.next()
+        val header = headerLine.trim
         val h = header.split("\\s+")
         require(h.length >= 12, s"chain header has ${h.length} fields: '$header'")
         require(h(4) == "+", s"chain tStrand must be '+' per spec, got '${h(4)}'")
@@ -76,7 +77,12 @@ object ChainFormat extends GraftFormat {
         val qName = h(7); val qSize = h(8).toLong; val qStrand = h(9)
         var qCur = h(10).toLong; val qEnd = h(11).toLong
         require(qStrand == "+" || qStrand == "-", s"bad qStrand '$qStrand'")
-        val id: Any = if (h.length > 12) h(12).toLong else null
+        // the id field is optional per spec; synthesize a per-file-unique
+        // NEGATIVE id from the header offset when absent, so downstream
+        // per-chain grouping (LiftOver) never lumps distinct id-less
+        // chains into one pseudo-chain. Negative = distinguishable from
+        // any real id; unique within a file (offsets / BGZF voffs are).
+        val id: Any = if (h.length > 12) h(12).toLong else -1L - headerPos
         val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
         var done = false
         while (!done && tagged.hasNext) {

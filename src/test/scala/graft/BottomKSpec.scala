@@ -75,5 +75,11 @@ class BottomKSpec extends AnyFunSuite {
       "SELECT bottom_k_by_key(hk, id, 0) FROM bk_err GROUP BY g").collect())
     assertThrows[Exception](spark.sql(
       "SELECT bottom_k_by_key(g, id, 3) FROM bk_err GROUP BY g").collect())
+    // fractional and out-of-int-range k must be REJECTED, not
+    // silently truncated by Number.intValue()
+    assertThrows[Exception](spark.sql(
+      "SELECT bottom_k_by_key(hk, id, 2.9) FROM bk_err GROUP BY g").collect())
+    assertThrows[Exception](spark.sql(
+      "SELECT bottom_k_by_key(hk, id, 4294967297) FROM bk_err GROUP BY g").collect())
   }
 }

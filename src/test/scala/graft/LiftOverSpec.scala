@@ -102,6 +102,37 @@ class LiftOverSpec extends AnyFunSuite {
       "header has")
   }
 
+  test("id-less chains stay distinct (synthetic ids), no pseudo-chain lumping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-noid")
+    val p = dir.resolve("noid.chain")
+    // two OVERLAPPING chains, both without the optional id field; if
+    // they lumped into one NULL pseudo-chain, mapped_bp would sum to
+    // 50 >= 0.95*30 and the interval would wrongly report 'mapped'
+    java.nio.file.Files.writeString(p,
+      "chain 100 chr1 1000 + 0 30 qA 1000 + 0 30\n30\n\n" +
+      "chain 200 chr1 1000 + 10 40 qB 1000 + 500 530\n30\n\n")
+    val blocks = GraftIO.read_chain_file(spark, p.toString)
+    assert(blocks.select("chain_id").distinct().count() == 2)
+    assert(blocks.collect().forall(_.getLong(0) < 0)) // synthetic = negative
+    import spark.implicits._
+    val r = LiftOver.liftIntervals(
+        Seq(("chr1", 5L, 35L)).toDF("chrom", "start", "end"), blocks)
+      .collect().head
+    // both chains map 25 bp; the tie resolves by score to qB
+    assert(r.getAs[String]("lifted_name") == "qB")
+    assert(r.getAs[Long]("mapped_bp") == 25L)
+    assert(r.getAs[String]("lift_status") == "partial")
+    // inverted interval -> 'invalid', never probes the blocks
+    val inv = LiftOver.liftIntervals(
+        Seq(("chr1", 35L, 5L)).toDF("chrom", "start", "end"), blocks)
+      .collect().head
+    assert(inv.getAs[String]("lift_status") == "invalid" && inv.isNullAt(3))
+    // a positions frame carrying chain-side column names still works
+    val clash = LiftOver.liftPositions(
+        Seq(("chr1", 15L, 9L, "x")).toDF("chrom", "pos", "score", "q_name"), blocks)
+    assert(clash.count() == 2) // both overlapping chains report
+  }
+
   private case class CBlock(chainId: Long, score: Long, tName: String,
                             tStart: Long, tEnd: Long, qSize: Long,
                             qStrand: String, qStart: Long)

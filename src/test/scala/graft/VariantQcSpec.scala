@@ -23,13 +23,15 @@ class VariantQcSpec extends AnyFunSuite {
   /** (n_orfs, longest_aa) over one already-oriented nucleotide string,
     * all three frames: walk codons, track the first M since the last
     * stop, credit an ORF at each stop that had a start. */
-  private def naiveOrfs(seq: String): (Long, Int) = {
+  private def naiveOrfs(seq0: String): (Long, Int) = {
+    val seq = seq0.toUpperCase
     var n = 0L
     var longest = 0
     for (f <- 0 until 3) {
       val usable = ((seq.length - f) / 3) * 3
       if (usable > 0) {
-        val aa = seq.substring(f, f + usable).grouped(3).map(codonMap(_)).mkString
+        val aa = seq.substring(f, f + usable).grouped(3)
+          .map(codonMap.getOrElse(_, 'X')).mkString
         var firstM = -1
         for (i <- aa.indices) {
           if (aa(i) == '*') {
@@ -43,13 +45,18 @@ class VariantQcSpec extends AnyFunSuite {
   }
 
   private def revComp(s: String): String =
-    s.reverse.map { case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A' }
+    s.toUpperCase.reverse.map {
+      case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+      case other => other // N and other ambiguity codes stay put
+    }
 
   test("orfStats matches a naive independent scanner on random sequences") {
     val rnd = new scala.util.Random(20260814L)
+    // alphabet includes N and soft-mask lowercase: the lenient
+    // translation must treat them as X, never throw
     val seqs = (0 until 80).map { i =>
       val len = rnd.nextInt(61) // 0..60, includes sub-codon lengths
-      (s"s$i", (0 until len).map(_ => "ACGT"(rnd.nextInt(4))).mkString)
+      (s"s$i", (0 until len).map(_ => "ACGTACGTNacgt"(rnd.nextInt(13))).mkString)
     }
     val df = spark.createDataFrame(seqs).toDF("id", "sequence")
     val got = SeqAnalysis.orfStats(df).collect()
@@ -113,6 +120,9 @@ class VariantQcSpec extends AnyFunSuite {
       // 4 samples: 1 hom-ref, 2 het, 1 hom-alt -> p = 0.5, perfect HWE
       // E = (1, 2, 1) = O -> chi2 = 0
       Row("1", 10L, Seq("0/0", "0/1", "1/0", "1/1")),
+      // haploid and triploid calls are EXCLUDED (vcftools --hardy):
+      // only the 0/1 diploid enters -> n=1, p=0.5, chi2=1
+      Row("1", 50L, Seq("0", "0/1", "0/0/0")),
       // all het: O = (0, 4, 0), p = 0.5, E = (1, 2, 1)
       // chi2 = 1 + 4/2 + 1 = 4
       Row("1", 20L, Seq("0/1", "0/1", "0/1", "0/1")),
@@ -126,6 +136,7 @@ class VariantQcSpec extends AnyFunSuite {
         if (r.isNullAt(4)) None else Some(r.getDouble(4))))
       .toMap
     assert(got(10L) == ((4L, 0.5, Some(0.0))))
+    assert(got(50L) == ((1L, 0.5, Some(1.0))))
     assert(got(20L) == ((4L, 0.5, Some(4.0))))
     assert(got(30L) == ((4L, 1.0, None)))
     assert(got(40L) == ((4L, 0.0, None)))
