@@ -891,6 +891,23 @@ object FormatScans {
         UNION ALL SELECT '1', 200, 'G', 'T', 4, 1, 0.25
         ORDER BY pos""")),
 
+    // ---- INFO-field aggregation (the typed ##INFO schema consumed) ----
+    // First consumer that AGGREGATES the header-driven typed info
+    // struct (int DP, flag INDEL) instead of just surfacing it: per
+    // contig site/depth/indel accounting — the bcftools stats header
+    // table. One contig-keyed partial agg.
+    "fmt_vcf_info_stats" -> Q(
+      (s, _) => GraftIO.read_vcf_file_records(s, s"$F/vcf/test.vcf")
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(col("info.DP").cast("long")).as("total_dp"),
+          sum(when(col("info.INDEL"), 1L).otherwise(0L)).as("n_indel"))
+        .orderBy("chrom"),
+      Some("""SELECT '1' AS chrom, CAST(3 AS BIGINT) AS n_sites,
+          CAST(22 AS BIGINT) AS total_dp, CAST(1 AS BIGINT) AS n_indel
+        UNION ALL SELECT '2', 2, 5, 1
+        ORDER BY chrom""")),
+
     // ---- transition/transversion ratio (the first-line VCF QC number) ----
     // Per ALT-allele classification after the multiallelic explode:
     // a biallelic SNP substitution is a transition iff it stays within

@@ -449,6 +449,56 @@ object StreamingQ {
     // answer (a production deployment uses update mode + a downstream
     // upsert store and reads hitters from there instead of re-emitting
     // the full vocabulary each trigger).
+    // ---- the custom aggregate under streaming state ----
+    // bottom_k_by_key (a TypedImperativeAggregate) running inside a
+    // complete-mode streaming aggregation: the state store carries the
+    // serialized k-pair buffers across micro-batches (serialize/
+    // deserialize is the same path the batch shuffle uses), and the
+    // deterministic sample over the whole stream must equal the batch
+    // answer exactly — which is precisely what makes a bounded-buffer
+    // sampler streaming-safe where the row_number-window formulation
+    // cannot run on a stream at all (no windows over unbounded input).
+    "stream_group_sample" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val tbl = "graft_stream_group_sample"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = Stage.staged(s"graft-stream-gs:$dir") { d =>
+          val scratch = Stage.tempDir("graft-gs-norm")
+          val docs = Q.t(s, dir, "documents")
+          Stage.parquetFile(docs.where(col("doc_id") % 2 === 0),
+            scratch, d, "docs_a.parquet", 0)
+          Stage.parquetFile(docs.where(col("doc_id") % 2 === 1),
+            scratch, d, "docs_b.parquet", 1)
+        }
+        val docsSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        Q.withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(docsSchema)
+            .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+            .selectExpr("source", "doc_id",
+              "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) AS hk")
+            .groupBy("source")
+            .agg(expr("bottom_k_by_key(hk, doc_id, 5)").as("ids"))
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(tbl)
+          .select(col("source"), explode(col("ids")).as("doc_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH h AS (SELECT source, doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+          FROM documents),
+        r AS (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+          FROM h)
+        SELECT source, doc_id FROM r WHERE rn <= 5
+        ORDER BY source, doc_id""")),
+
     "stream_heavy_hitters" -> Q(
       (s, dir) => {
         val tbl = "graft_stream_hh"
