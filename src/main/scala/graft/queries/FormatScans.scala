@@ -1396,7 +1396,92 @@ object FormatScans {
       Some("""SELECT CAST(60 AS BIGINT) AS n_pages, CAST(60 AS BIGINT) AS n_texts,
         CAST(540 AS BIGINT) AS tok_sum,
         'Page 1 Page 1 alpha beta & gamma 1' AS min_text,
-        'Page 9' AS max_title, true AS split_fanned_out"""))
+        'Page 9' AS max_title, true AS split_fanned_out""")),
+
+    // ---- codon usage table over CDS sequences ----
+    // The codon-bias profile every genome-annotation pipeline computes
+    // (CAI / GC3 inputs): write a deterministic CDS FASTA through our
+    // writer, read it back, explode each sequence into its in-frame
+    // triplets, and count. Shape: one generate + one map-side-combined
+    // agg at codon cardinality (<=64 groups) — at 100 TB the shuffle
+    // carries 64 rows per partition, nothing else. The oracle recomputes
+    // the same triplet expansion in SQL from the generating arithmetic,
+    // so writer->reader round-trip corruption would break the hash.
+    "fmt_codon_usage" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_codon").toString
+        s.range(40).selectExpr(
+            "concat('cds', id) AS id", "cast(null as string) AS description",
+            "substr(repeat('ATGGCCTTAGAACGTC', 12), 1, 3 * (cast(id % 7 as int) + 10)) AS sequence")
+          .write.mode("overwrite").format("fasta").save(dir)
+        GraftIO.read_fasta(s, dir)
+          .select(explode(expr(
+            """transform(sequence(0, cast(length(sequence) div 3 as int) - 1),
+               i -> substr(sequence, 3 * i + 1, 3))""")).as("codon"))
+          .groupBy("codon")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("gc3", expr("substr(codon, 3, 1) IN ('G', 'C')"))
+          .orderBy("codon")
+      },
+      Some("""WITH seqs AS (
+          SELECT substr(repeat('ATGGCCTTAGAACGTC', 12), 1, 3 * (i % 7 + 10)) AS seq
+          FROM range(0, 40) t(i)),
+        codons AS (
+          SELECT unnest([substr(seq, 3 * j + 1, 3) for j in range(0, len(seq) // 3)]) AS codon
+          FROM seqs)
+        SELECT codon, count(*) AS n, substr(codon, 3, 1) IN ('G', 'C') AS gc3
+        FROM codons GROUP BY codon ORDER BY codon""")),
+
+    // ---- splice sites from exon rows (GTF -> intron donor/acceptor) ----
+    // The transcript-model derivation RNA-seq tools run first: group a
+    // transcript's exons, order by coordinate, and read each inter-exon
+    // gap as an intron whose donor is the strand-aware 5' end (first
+    // intronic base after the upstream exon on '+', before the
+    // downstream exon on '-'). Shape: one transcript-partitioned lag()
+    // window — parallelism is transcript count, the natural key a 100 TB
+    // annotation set shards on; no join anywhere. Round-trips the GTF
+    // writer (attribute map rendering) on the way.
+    "fmt_gtf_splice_sites" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_splice").toString
+        s.range(60).selectExpr(
+            "'chr1' AS seqname", "'graft' AS source", "'exon' AS type",
+            "10000 * (id div 4) + 1000 * (id % 4) + 1 AS start",
+            "10000 * (id div 4) + 1000 * (id % 4) + 100 + 10 * (id % 4) AS end",
+            "cast(null as float) AS score",
+            "CASE WHEN (id div 4) % 2 = 0 THEN '+' ELSE '-' END AS strand",
+            "cast(null as string) AS frame",
+            """map('gene_id', array(concat('G', cast(id div 12 as string))),
+                   'transcript_id', array(concat('T', cast(id div 4 as string)))) AS attributes""")
+          .write.mode("overwrite").format("gtf").save(dir)
+        val w = Window.partitionBy("tid").orderBy("start")
+        GraftIO.read_gtf(s, dir)
+          .selectExpr("attributes['transcript_id'][0] AS tid", "strand", "start", "end")
+          .withColumn("prev_end", lag(col("end"), 1).over(w))
+          .where(col("prev_end").isNotNull)
+          .select(col("tid"), col("strand"),
+            (col("prev_end") + 1).as("intron_start"),
+            (col("start") - 1).as("intron_end"))
+          .withColumn("donor",
+            when(col("strand") === "+", col("intron_start")).otherwise(col("intron_end")))
+          .withColumn("acceptor",
+            when(col("strand") === "+", col("intron_end")).otherwise(col("intron_start")))
+          .orderBy("tid", "intron_start")
+      },
+      Some("""WITH e AS (
+          SELECT 'T' || CAST(i // 4 AS VARCHAR) AS tid,
+            CASE WHEN (i // 4) % 2 = 0 THEN '+' ELSE '-' END AS strand,
+            10000 * (i // 4) + 1000 * (i % 4) + 1 AS s,
+            10000 * (i // 4) + 1000 * (i % 4) + 100 + 10 * (i % 4) AS e
+          FROM range(0, 60) t(i)),
+        lagged AS (
+          SELECT tid, strand, s, lag(e) OVER (PARTITION BY tid ORDER BY s) AS prev_end
+          FROM e)
+        SELECT tid, strand, prev_end + 1 AS intron_start, s - 1 AS intron_end,
+          CASE WHEN strand = '+' THEN prev_end + 1 ELSE s - 1 END AS donor,
+          CASE WHEN strand = '+' THEN s - 1 ELSE prev_end + 1 END AS acceptor
+        FROM lagged WHERE prev_end IS NOT NULL
+        ORDER BY tid, intron_start"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

@@ -1289,6 +1289,72 @@ object Relational {
           .groupBy("k").agg(count(lit(1)).as("n"))
           .orderBy("k"),
       Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
-        FROM events GROUP BY k ORDER BY k"""))
+        FROM events GROUP BY k ORDER BY k""")),
+
+    // ---- strand-aware flank (bedtools flank -l W -s analog) ----
+    // For each interval, the W-base region immediately UPSTREAM of its
+    // strand-aware 5' end — the promoter-extraction primitive. Pure
+    // per-row arithmetic (projection only, no join, no window): at
+    // 100 TB this is a map-only pass whose output feeds the interval
+    // sweeps above. Strand is derived deterministically from the chrom
+    // key; the low-end clip keeps flanks on the coordinate axis.
+    "rel_interval_flank" -> Q(
+      (s, dir) => {
+        val iv = clickIntervals(s, dir)
+          .withColumn("strand",
+            when(col("chrom") % 2 === 0, lit("+")).otherwise(lit("-")))
+        val w = lit(600L)
+        iv.select(col("chrom"), col("strand"),
+            when(col("strand") === "+", greatest(col("s") - w, lit(0L)))
+              .otherwise(col("e") + 1).as("fs"),
+            when(col("strand") === "+", col("s") - 1)
+              .otherwise(col("e") + w).as("fe"))
+          .where(col("fe") >= col("fs"))
+          .groupBy("chrom", "strand")
+          .agg(count(lit(1)).as("n_flanks"),
+            sum(col("fe") - col("fs") + 1).as("bases"),
+            min(col("fs")).as("min_start"),
+            max(col("fe")).as("max_end"))
+          .orderBy("chrom")
+      },
+      Some("""WITH iv AS (
+          SELECT user_id % 16 AS chrom,
+            CASE WHEN user_id % 2 = 0 THEN '+' ELSE '-' END AS strand,
+            epoch_us(ts) // 1000000 AS s,
+            epoch_us(ts) // 1000000 + 1800 AS e
+          FROM events WHERE event_type = 'click'),
+        fl AS (
+          SELECT chrom, strand,
+            CASE WHEN strand = '+' THEN greatest(s - 600, 0) ELSE e + 1 END AS fs,
+            CASE WHEN strand = '+' THEN s - 1 ELSE e + 600 END AS fe
+          FROM iv)
+        SELECT chrom, strand, count(*) AS n_flanks,
+          sum(fe - fs + 1) AS bases, min(fs) AS min_start, max(fe) AS max_end
+        FROM fl WHERE fe >= fs
+        GROUP BY chrom, strand ORDER BY chrom""")),
+
+    // ---- equi-width numeric histogram (events.value) ----
+    // The profiling primitive behind every data-quality dashboard: fixed
+    // 25-unit bins over a double measure, count + exact centi-sum per
+    // bin. The sum runs on round(value*100) integers, not doubles —
+    // float summation order is partition-dependent and the oracle hash
+    // is exact, so the bin sums must be associative integers (the same
+    // centi-unit discipline the pricing entries use). One map-side-
+    // combined agg at bin cardinality (~20 groups).
+    "rel_value_histogram" -> Q(
+      (s, dir) => Q.t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .groupBy(floor(col("value") / 25).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("centi_sum"),
+          expr("cast(round(min(value) * 100) as bigint)").as("centi_min"),
+          expr("cast(round(max(value) * 100) as bigint)").as("centi_max"))
+        .orderBy("bin"),
+      Some("""SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
+          sum(CAST(round(value * 100) AS BIGINT)) AS centi_sum,
+          CAST(round(min(value) * 100) AS BIGINT) AS centi_min,
+          CAST(round(max(value) * 100) AS BIGINT) AS centi_max
+        FROM events WHERE value IS NOT NULL
+        GROUP BY bin ORDER BY bin"""))
   )
 }

@@ -608,6 +608,50 @@ object TextOps {
         SELECT n_terms, vocab, total_tokens, sx, sy, sxy, sxx,
           round((CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
                 (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope
-        FROM s CROSS JOIN t"""))
+        FROM s CROSS JOIN t""")),
+
+    // ---- per-document token entropy (repetition / gibberish signal) ----
+    // Shannon entropy of each document's token distribution, the
+    // information-density cousin of the repetition ratio: templated or
+    // looped text scores low, diverse prose scores high. Identity used:
+    // H = ln(n) - (sum c*ln c)/n over per-doc token counts c, so the
+    // plan is explode -> (doc,token) count -> doc-level agg — both aggs
+    // map-side combine and nothing exceeds doc cardinality after the
+    // first. Determinism: each doc's H rounds once to integer
+    // micro-nats; the per-lang rollup then sums exact BIGINTs (the same
+    // fixed-point discipline as bigram_lm_nll).
+    "text_token_entropy" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang")
+        .agg(sum("c").as("n"), sum(expr("c * ln(c)")).as("sclc"))
+        .select(col("lang"),
+          expr("cast(round(1e6 * (ln(n) - sclc / n)) as bigint)").as("h_micro"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("h_micro").as("sum_h_micro"),
+          min("h_micro").as("min_h_micro"),
+          max("h_micro").as("max_h_micro"))
+        .orderBy("lang"),
+      Some("""WITH tok AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, lang, tok, count(*) AS c
+          FROM tok WHERE tok <> '' GROUP BY doc_id, lang, tok),
+        d AS (
+          SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
+            sum(c * ln(c)) AS sclc
+          FROM cnt GROUP BY doc_id, lang),
+        h AS (
+          SELECT lang,
+            CAST(round(1e6 * (ln(n) - sclc / n)) AS BIGINT) AS h_micro
+          FROM d)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(h_micro) AS BIGINT) AS sum_h_micro,
+          min(h_micro) AS min_h_micro, max(h_micro) AS max_h_micro
+        FROM h GROUP BY lang ORDER BY lang"""))
   )
 }

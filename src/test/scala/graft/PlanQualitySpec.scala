@@ -554,4 +554,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"exon->transcript hop is not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"annotation join sort-merges:\n$plan")
   }
+
+  test("fmt_gtf_splice_sites: intron derivation is one transcript window, no join") {
+    val plan = fullPlanString(SparkEntry.queries("fmt_gtf_splice_sites")(spark, SF))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"splice-site derivation plans a join:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 1,
+      s"expected exactly one lag() window over transcripts:\n$plan")
+  }
+
+  test("rel_interval_flank / rel_value_histogram: map-only arithmetic, partial agg before the shuffle") {
+    for (name <- Seq("rel_interval_flank", "rel_value_histogram")) {
+      val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
+      assert(!plan.contains("Join"), s"$name plans a join:\n$plan")
+      assert(!plan.contains("Window"), s"$name plans a window:\n$plan")
+      // group-key cardinality is tiny (16 strand groups / ~20 bins), so
+      // the shuffle must carry combined partials, not raw rows
+      val exIdx = plan.indexOf("Exchange")
+      val partialBelow = plan.indexOf("HashAggregate", exIdx)
+      assert(exIdx >= 0 && partialBelow > exIdx,
+        s"$name shuffles raw rows instead of combined partials:\n$plan")
+    }
+  }
 }
