@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pileup: per-reference-position base accounting over SAM-shaped
+  * alignment frames (the shape [[graft.sources.Formats]] SamFormat and
+  * BamFormat produce: `reference`, `start`, `cigar`, `sequence`), plus
+  * the naive variant-site detector built on it — the samtools
+  * `mpileup` composition, re-expressed as Spark relational algebra.
+  *
+  * Shape at scale: one per-read CIGAR walk (a codegen'd higher-order
+  * `aggregate` over the parsed op list — no UDF), a Generate at
+  * aligned-base granularity, the reference broadcast onto the base
+  * stream (the reference is MBs where the reads are TBs — never the
+  * shuffled side), and ONE position-keyed partial aggregation. Nothing
+  * exceeds site cardinality after that agg, and the only shuffle is on
+  * (reference, pos) — the key a 100 TB alignment store is already
+  * sorted/sharded by, so AQE coalesces it cheaply.
+  */
+object Pileup {
+
+  /** One row per aligned query base: (reference, pos, base).
+    *
+    * The CIGAR walk follows the SAM spec's consumption table: M/=/X
+    * consume query and reference (emitting pairs), D/N consume
+    * reference only, I/S consume query only, H/P consume neither — so
+    * deletions leave gaps in the pileup and insertions/soft-clips
+    * never leak bases into it. Unmapped records (null reference) are
+    * dropped. */
+  def baseAlignments(reads: DataFrame): DataFrame = {
+    GraftFunctions.registerAll(reads.sparkSession)
+    reads
+      .where(col("reference").isNotNull && col("cigar").isNotNull &&
+        col("sequence").isNotNull)
+      .selectExpr("reference", "sequence",
+        """aggregate(parse_cigar(cigar),
+             named_struct('r', start, 'q', 1,
+               'pairs', cast(array() as array<struct<pos: bigint, qi: int>>)),
+             (acc, o) -> CASE
+               WHEN o.op IN ('M', '=', 'X') THEN named_struct(
+                 'r', acc.r + o.len, 'q', acc.q + o.len,
+                 'pairs', concat(acc.pairs, transform(sequence(0, o.len - 1),
+                   i -> named_struct('pos', acc.r + i, 'qi', cast(acc.q + i as int)))))
+               WHEN o.op IN ('D', 'N') THEN named_struct(
+                 'r', acc.r + o.len, 'q', acc.q, 'pairs', acc.pairs)
+               WHEN o.op IN ('I', 'S') THEN named_struct(
+                 'r', acc.r, 'q', acc.q + o.len, 'pairs', acc.pairs)
+               ELSE acc END,
+             acc -> acc.pairs) AS pairs""")
+      .select(col("reference"), explode(col("pairs")).as("p"),
+        col("sequence"))
+      .select(col("reference"), col("p.pos").as("pos"),
+        expr("substr(sequence, p.qi, 1)").as("base"))
+  }
+
+  /** Per-contig 1-based reference bases from a FASTA-shaped frame
+    * (`id`, `sequence`): (name, pos, ref). Generate-only — the
+    * reference explodes once and broadcasts from there. */
+  def refBases(fasta: DataFrame): DataFrame =
+    fasta.select(col("id").as("name"),
+        posexplode(split(col("sequence"), "")).as(Seq("p0", "ref")))
+      .where(col("ref") =!= "")
+      .select(col("name"), (col("p0") + 1).cast("long").as("pos"), col("ref"))
+
+  /** Variant-site detection over the pileup: sites with depth >=
+    * `minDepth` whose non-reference fraction reaches
+    * `minAltTenths`/10 — integer arithmetic, no float threshold
+    * hazard. Output: (reference, pos, ref, depth, ref_n, alt_n).
+    *
+    * The reference side is explicitly broadcast: at any realistic
+    * scale the genome (GBs of rows at most) is dwarfed by the read
+    * stream, and a shuffled join here would reshuffle the whole
+    * corpus on a key it aggregates by one operator later. */
+  def pileupSites(reads: DataFrame, refFasta: DataFrame,
+                  minDepth: Int = 4, minAltTenths: Int = 3): DataFrame = {
+    val aligned = baseAlignments(reads)
+    val ref = broadcast(refBases(refFasta))
+    aligned
+      .join(ref, aligned("reference") === ref("name") &&
+        aligned("pos") === ref("pos"))
+      .select(aligned("reference"), aligned("pos"), col("ref"), col("base"))
+      .groupBy("reference", "pos", "ref")
+      .agg(count(lit(1)).as("depth"),
+        sum(when(col("base") === col("ref"), 1L).otherwise(0L)).as("ref_n"))
+      .withColumn("alt_n", col("depth") - col("ref_n"))
+      .where(col("depth") >= minDepth &&
+        col("alt_n") * 10 >= col("depth") * minAltTenths)
+  }
+}

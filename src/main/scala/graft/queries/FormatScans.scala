@@ -1481,7 +1481,89 @@ object FormatScans {
           CASE WHEN strand = '+' THEN prev_end + 1 ELSE s - 1 END AS donor,
           CASE WHEN strand = '+' THEN s - 1 ELSE prev_end + 1 END AS acceptor
         FROM lagged WHERE prev_end IS NOT NULL
-        ORDER BY tid, intron_start"""))
+        ORDER BY tid, intron_start""")),
+
+    // ---- pileup + naive variant-site detection (mpileup analog) ----
+    // The samtools-mpileup composition through [[graft.functions.
+    // Pileup]]: CIGAR-walked base alignments (M consumes both sides, D
+    // leaves pileup gaps, I never leaks inserted bases), reference
+    // FASTA broadcast onto the base stream, one (pos, ref)-keyed agg,
+    // integer alt-fraction call rule. The 200-read fixture carries all
+    // three read classes — pure-match, deletion (8M2D12M), insertion
+    // (10M2I8M) — plus per-read single-base mismatches whose pileup
+    // accumulation the oracle recomputes from the generating
+    // arithmetic (every aligned base equals the reference EXCEPT the
+    // mm-class read's one substituted position, so the oracle needs no
+    // string assembly at all). Both writers round-trip on the way in.
+    "fmt_sam_pileup" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val dir = Stage.tempDir("graft_pileup").toString
+        s.range(200)
+          .selectExpr("id", "repeat('ACGT', 250) AS rs",
+            "(id * 13) % 900 + 1 AS start")
+          .selectExpr(
+            "concat('r', id) AS name", "0 AS flag", "'ref1' AS reference",
+            "start",
+            """start + CASE WHEN id % 7 = 0 THEN 21
+                WHEN id % 11 = 0 THEN 17 ELSE 19 END AS end""",
+            "'30' AS mapping_quality",
+            """CASE WHEN id % 7 = 0 THEN '8M2D12M'
+                WHEN id % 11 = 0 THEN '10M2I8M'
+                ELSE '20M' END AS cigar""",
+            "cast(null as string) AS mate_reference",
+            """CASE
+                WHEN id % 7 = 0 THEN concat(
+                  substr(rs, cast(start as int), 8),
+                  substr(rs, cast(start as int) + 10, 12))
+                WHEN id % 11 = 0 THEN concat(
+                  substr(rs, cast(start as int), 10), 'AA',
+                  substr(rs, cast(start as int) + 10, 8))
+                WHEN id % 5 = 0 THEN concat(
+                  substr(rs, cast(start as int), cast(id % 20 as int)),
+                  CASE WHEN substr(rs, cast(start as int) + cast(id % 20 as int), 1) = 'A'
+                    THEN 'C' ELSE 'A' END,
+                  substr(rs, cast(start as int) + cast(id % 20 as int) + 1,
+                    19 - cast(id % 20 as int)))
+                ELSE substr(rs, cast(start as int), 20) END AS sequence""",
+            "repeat('I', 20) AS quality_score")
+          .write.mode("overwrite").format("sam").save(s"$dir/reads")
+        s.sql("""SELECT 'ref1' AS id, cast(null as string) AS description,
+              repeat('ACGT', 250) AS sequence""")
+          .write.mode("overwrite").format("fasta").save(s"$dir/ref")
+        graft.functions.Pileup.pileupSites(
+            GraftIO.read_sam_file_records(s, s"$dir/reads"),
+            GraftIO.read_fasta(s, s"$dir/ref"))
+          .select("pos", "ref", "depth", "ref_n", "alt_n")
+          .orderBy("pos")
+      },
+      Some("""WITH r AS (
+          SELECT i AS id, (i * 13) % 900 + 1 AS start,
+            CASE WHEN i % 7 = 0 THEN 'del' WHEN i % 11 = 0 THEN 'ins'
+                 WHEN i % 5 = 0 THEN 'mm' ELSE 'plain' END AS cls
+          FROM range(0, 200) t(i)),
+        p AS (
+          SELECT id, start, cls, j,
+            CASE WHEN cls = 'del' AND j >= 8 THEN start + j + 2
+                 ELSE start + j END AS pos
+          FROM r, range(0, 20) s(j)
+          WHERE NOT (cls = 'ins' AND j >= 18)),
+        b AS (
+          SELECT pos,
+            substr(repeat('ACGT', 250), CAST(pos AS INTEGER), 1) AS refb,
+            CASE WHEN cls = 'mm' AND j = id % 20
+              THEN CASE WHEN substr(repeat('ACGT', 250), CAST(pos AS INTEGER), 1) = 'A'
+                   THEN 'C' ELSE 'A' END
+              ELSE substr(repeat('ACGT', 250), CAST(pos AS INTEGER), 1) END AS base
+          FROM p),
+        g AS (
+          SELECT pos, refb, count(*) AS depth,
+            sum(CASE WHEN base = refb THEN 1 ELSE 0 END) AS ref_n
+          FROM b GROUP BY pos, refb)
+        SELECT pos, refb AS ref, depth, CAST(ref_n AS BIGINT) AS ref_n,
+          CAST(depth - ref_n AS BIGINT) AS alt_n
+        FROM g WHERE depth >= 4 AND (depth - ref_n) * 10 >= depth * 3
+        ORDER BY pos"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

@@ -563,6 +563,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly one lag() window over transcripts:\n$plan")
   }
 
+  test("fmt_sam_pileup: reference broadcasts onto the base stream, reads never sort-merge") {
+    val plan = fullPlanString(SparkEntry.queries("fmt_sam_pileup")(spark, SF))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reference side is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"pileup join reshuffles the read corpus:\n$plan")
+  }
+
   test("rel_interval_flank / rel_value_histogram: map-only arithmetic, partial agg before the shuffle") {
     for (name <- Seq("rel_interval_flank", "rel_value_histogram")) {
       val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
