@@ -1563,7 +1563,56 @@ object FormatScans {
         SELECT pos, refb AS ref, depth, CAST(ref_n AS BIGINT) AS ref_n,
           CAST(depth - ref_n AS BIGINT) AS alt_n
         FROM g WHERE depth >= 4 AND (depth - ref_n) * 10 >= depth * 3
-        ORDER BY pos"""))
+        ORDER BY pos""")),
+
+    // ---- paired-end mate synchronization (fastq_pair analog) ----
+    // R1/R2 FASTQ files drift out of sync the moment any upstream
+    // filter drops one mate; every aligner demands re-paired input.
+    // Mate pairing IS a name-keyed shuffle join — there is no cheaper
+    // shape, because mates land in different files (at 100 TB the fix
+    // is writing both sides bucketed by name hash so the join is
+    // exchange-free; the rel_bucketed_join entry proves that path).
+    // The full-outer classification splits pairs from both orphan
+    // kinds in one pass; the oracle recomputes the class censuses from
+    // the generating skip arithmetic.
+    "fmt_fastq_pair_sync" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_pair").toString
+        def gen(skip: Int) = s.range(150).where(col("id") % skip =!= 0)
+          .selectExpr("concat('q', id) AS name", "cast(null as string) AS description",
+            "repeat('ACGT', cast(id % 5 as int) + 3) AS sequence",
+            "repeat('I', 4 * (cast(id % 5 as int) + 3)) AS quality_scores")
+        gen(13).write.mode("overwrite").format("fastq").save(s"$dir/r1")
+        gen(17).write.mode("overwrite").format("fastq").save(s"$dir/r2")
+        val r1 = GraftIO.read_fastq(s, s"$dir/r1")
+          .select(col("name"), length(col("sequence")).as("len1"))
+        val r2 = GraftIO.read_fastq(s, s"$dir/r2")
+          .select(col("name").as("name2"), length(col("sequence")).as("len2"))
+        r1.join(r2, r1("name") === r2("name2"), "full_outer")
+          .select(
+            when(col("name").isNotNull && col("name2").isNotNull, "paired")
+              .when(col("name").isNotNull, "r1_orphan")
+              .otherwise("r2_orphan").as("cls"),
+            coalesce(col("len1"), lit(0)).as("len1"),
+            coalesce(col("len2"), lit(0)).as("len2"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n"),
+            sum(col("len1") + col("len2")).cast("long").as("base_sum"))
+          .orderBy("cls")
+      },
+      Some("""WITH r AS (
+          SELECT i AS id, 4 * (i % 5 + 3) AS len,
+            i % 13 <> 0 AS in1, i % 17 <> 0 AS in2
+          FROM range(0, 150) t(i)),
+        c AS (
+          SELECT CASE WHEN in1 AND in2 THEN 'paired'
+                      WHEN in1 THEN 'r1_orphan'
+                      ELSE 'r2_orphan' END AS cls,
+            CASE WHEN in1 THEN len ELSE 0 END +
+            CASE WHEN in2 THEN len ELSE 0 END AS bases
+          FROM r WHERE in1 OR in2)
+        SELECT cls, count(*) AS n, CAST(sum(bases) AS BIGINT) AS base_sum
+        FROM c GROUP BY cls ORDER BY cls"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

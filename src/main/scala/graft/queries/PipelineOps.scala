@@ -1173,6 +1173,56 @@ object PipelineOps {
             coalesce(tok2, tok1) AS tok FROM j)
         SELECT class, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_mass,
           CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM c GROUP BY class ORDER BY class"""))
+        FROM c GROUP BY class ORDER BY class""")),
+
+    // ---- exact ranking AUC for a filter signal (Mann-Whitney form) ----
+    // How well does a quality signal rank kept-class docs above the
+    // rest? The eval every filter threshold decision needs, computed
+    // EXACTLY and distributed: group docs by integer score (one
+    // map-side-combined agg to score-bucket cardinality), then the
+    // rank-sum identity with the standard tie correction —
+    // 2*num = sum_b p_b * (2*cum_neg_below + n_b), AUC = num2/(2*P*N).
+    // The only window runs at SCORE-BUCKET granularity (the signal's
+    // distinct values, bounded by the score domain — never the
+    // corpus), same discipline as the zipf/token-budget entries. All
+    // quantities stay exact BIGINTs; the single double division
+    // happens once over five exact scalars.
+    "pipe_auc" -> Q(
+      (s, dir) => {
+        val buckets = t(s, dir, "documents")
+          .select(col("n_chars").as("score"),
+            when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("pos"))
+          .groupBy("score")
+          .agg(sum(col("pos")).as("p_b"),
+            sum(lit(1L) - col("pos")).as("n_b"))
+        val w = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        buckets
+          .withColumn("cum_neg", sum(col("n_b")).over(w) - col("n_b"))
+          .groupBy()
+          .agg(sum(col("p_b")).as("p_total"),
+            sum(col("n_b")).as("n_total"),
+            sum(col("p_b") * (lit(2L) * col("cum_neg") + col("n_b"))).as("num2"))
+          .selectExpr("p_total", "n_total", "num2",
+            """cast(round(1e6 * num2 / (2.0 * p_total * n_total)) as bigint)
+               AS auc_micro""")
+      },
+      Some("""WITH b AS (
+          SELECT n_chars AS score,
+            CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_b,
+            CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+          FROM documents GROUP BY n_chars),
+        cn AS (
+          SELECT p_b, n_b,
+            CAST(sum(n_b) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_b AS BIGINT) AS cum_neg
+          FROM b)
+        SELECT CAST(sum(p_b) AS BIGINT) AS p_total,
+          CAST(sum(n_b) AS BIGINT) AS n_total,
+          CAST(sum(p_b * (2 * cum_neg + n_b)) AS BIGINT) AS num2,
+          CAST(round(1e6 * CAST(sum(p_b * (2 * cum_neg + n_b)) AS BIGINT) /
+            (2.0 * CAST(sum(p_b) AS BIGINT) * CAST(sum(n_b) AS BIGINT))) AS BIGINT)
+            AS auc_micro
+        FROM cn"""))
   )
 }

@@ -1281,6 +1281,45 @@ object Relational {
         ON c.user_id = e.user_id AND c.ts <= e.ts
         ORDER BY c.event_id""")),
 
+    // ---- as-of join with tolerance (pandas merge_asof tolerance=1h) ----
+    // The forward sweep above, with the match NULLED when it falls
+    // beyond the tolerance horizon — the semantics every
+    // sensor/trading as-of API exposes (a match 3 days later is not a
+    // match). Same single-window plan, so the tolerance costs nothing;
+    // the oracle is DuckDB's native ASOF wrapped in the tolerance
+    // CASE — again two formulations that must agree.
+    "rel_asof_tolerance" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("is_click").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        eventsTs(s, dir)
+          .where(col("event_type").isin("click", "error"))
+          .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS ts_us")
+          .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+          .withColumn("next_err_us",
+            min(when(col("event_type") === "error", col("ts_us"))).over(w))
+          .where(col("event_type") === "click")
+          .withColumn("next_err_us",
+            when(col("next_err_us") - col("ts_us") <= 3600L * 1000000L,
+              col("next_err_us")))
+          .selectExpr("event_id", "user_id",
+            "date_format(timestamp_micros(ts_us), 'yyyy-MM-dd HH:mm:ss') AS click_ts",
+            "date_format(timestamp_micros(next_err_us), 'yyyy-MM-dd HH:mm:ss') AS next_error_ts",
+            "CAST((next_err_us - ts_us) div 1000000 AS BIGINT) AS gap_s")
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id,
+          strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+          CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+            THEN strftime(e.ts, '%Y-%m-%d %H:%M:%S') END AS next_error_ts,
+          CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+            THEN (epoch_us(e.ts) - epoch_us(c.ts)) // 1000000 END AS gap_s
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts <= e.ts
+        ORDER BY c.event_id""")),
+
     // ---- JSON extraction (events.props) ----
     "rel_json_extract" -> Q(
       (s, dir) =>
