@@ -87,4 +87,42 @@ object Pileup {
       .where(col("depth") >= minDepth &&
         col("alt_n") * 10 >= col("depth") * minAltTenths)
   }
+
+  /** Majority-rule consensus per contig (samtools consensus analog):
+    * at each covered position the most frequent piled base wins (ties
+    * break lexicographically — deterministic, the property the oracle
+    * needs); uncovered positions keep the reference base. Output:
+    * (name, consensus, n_changed).
+    *
+    * Shape: pileup counts collapse to ONE winner row per position (a
+    * window over the ≤5-row per-position base-count groups, bounded by
+    * the alphabet, not the depth), then the reference spine LEFT-joins
+    * the winners and each contig reassembles with one
+    * sort_array∘collect_list at contig granularity — the same
+    * row-per-contig granularity FASTA rows already have, so assembly
+    * is no worse than reading the output. */
+  def consensus(reads: DataFrame, refFasta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = baseAlignments(reads)
+      .groupBy("reference", "pos", "base").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("reference", "pos")
+      .orderBy(col("n").desc, col("base").asc)
+    val winner = counts
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("reference"), col("pos").as("wpos"), col("base").as("called"))
+    val ref = refBases(refFasta)
+    ref
+      .join(winner, ref("name") === winner("reference") &&
+        ref("pos") === winner("wpos"), "left")
+      .select(col("name"), ref("pos").as("pos"),
+        coalesce(col("called"), col("ref")).as("b"),
+        (col("called").isNotNull && col("called") =!= col("ref"))
+          .cast("long").as("chg"))
+      .groupBy("name")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("b")))),
+          x => x.getField("b")), "").as("consensus"),
+        sum(col("chg")).as("n_changed"))
+  }
 }

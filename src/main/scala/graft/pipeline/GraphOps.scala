@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph propagation over edge frames — the iterative-join family the
+  * connected-components labeler ([[graft.queries.Dedup]] pointer
+  * doubling) opened, extended to weighted mass propagation.
+  *
+  * Everything runs in SCALED INTEGER arithmetic (micro-units): float
+  * mass propagation is partition-order-dependent under distributed
+  * summation (a+b+c != c+a+b in doubles), which would make ranks
+  * nondeterministic run-to-run — unacceptable for an oracle-gated
+  * pipeline op and observable at 100 TB as rank flapping between
+  * runs. Integer mass is associative, so the result is bit-identical
+  * on any partitioning, and the deliberate `div` floor loss is the
+  * documented, deterministic rounding rule.
+  */
+object GraphOps {
+
+  /** PageRank in integer micro-units: every node starts at 1e6; each
+    * iteration a node keeps `(100-dampingPct)%` of the unit mass as
+    * base and receives `dampingPct%` of the floor-divided contributions
+    * `prm div outdeg` of its in-neighbors.
+    *
+    * Shape per iteration: one ranks⋈edges equi-join on src (both sides
+    * hash-partition on the node key — at scale, pre-bucketing edges by
+    * src makes the join exchange-free on the big side), one dst-keyed
+    * partial agg, one left join back onto the node set for dangling
+    * receivers. The rank frame is localCheckpoint'd each round: the
+    * plan would otherwise double per iteration and re-execute the whole
+    * chain at every action (same lineage-truncation rationale as the
+    * CC labeler).
+    *
+    * @param edges (src: long, dst: long) — parallel edges count twice.
+    * @return (node: long, prm: long) — micro-unit ranks.
+    */
+  def pageRankMicro(edges: DataFrame, iters: Int,
+                    dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100, dampingPct.toString)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var ranks = nodes.withColumn("prm", lit(1000000L)).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib = ranks
+        .join(deg, ranks("node") === deg("src"))
+        // integer `div`, not `/`: Column./ is double division, whose
+        // rounding can cross an integer boundary before the floor
+        .select(col("node"), expr("prm div outdeg").as("unit"))
+        .join(edges, col("node") === edges("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("unit")).as("incoming"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          expr(s"$base + ($dampingPct * coalesce(incoming, 0L)) div 100")
+            .as("prm"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -16,6 +16,51 @@ object FormatScans {
 
   private val F = "/root/repo/src/test/resources/fixtures"
 
+  /** The shared pileup fixture (200 reads over a 1000bp 'ACGT'-repeat
+    * contig, written through the SAM and FASTA writers): pure-match,
+    * deletion (8M2D12M), insertion (10M2I8M), and single-base-mismatch
+    * read classes, all arithmetic-derived so the pileup/consensus
+    * oracles recompute expected bases without any string assembly.
+    * Staged once per driver; fmt_sam_pileup and fmt_sam_consensus
+    * share it. */
+  private def pileupFixture(s: org.apache.spark.sql.SparkSession): java.nio.file.Path = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Stage.staged("graft-pileup-fixture") { d =>
+      s.range(200)
+        .selectExpr("id", "repeat('ACGT', 250) AS rs",
+          "(id * 13) % 900 + 1 AS start")
+        .selectExpr(
+          "concat('r', id) AS name", "0 AS flag", "'ref1' AS reference",
+          "start",
+          """start + CASE WHEN id % 7 = 0 THEN 21
+              WHEN id % 11 = 0 THEN 17 ELSE 19 END AS end""",
+          "'30' AS mapping_quality",
+          """CASE WHEN id % 7 = 0 THEN '8M2D12M'
+              WHEN id % 11 = 0 THEN '10M2I8M'
+              ELSE '20M' END AS cigar""",
+          "cast(null as string) AS mate_reference",
+          """CASE
+              WHEN id % 7 = 0 THEN concat(
+                substr(rs, cast(start as int), 8),
+                substr(rs, cast(start as int) + 10, 12))
+              WHEN id % 11 = 0 THEN concat(
+                substr(rs, cast(start as int), 10), 'AA',
+                substr(rs, cast(start as int) + 10, 8))
+              WHEN id % 5 = 0 THEN concat(
+                substr(rs, cast(start as int), cast(id % 20 as int)),
+                CASE WHEN substr(rs, cast(start as int) + cast(id % 20 as int), 1) = 'A'
+                  THEN 'C' ELSE 'A' END,
+                substr(rs, cast(start as int) + cast(id % 20 as int) + 1,
+                  19 - cast(id % 20 as int)))
+              ELSE substr(rs, cast(start as int), 20) END AS sequence""",
+          "repeat('I', 20) AS quality_score")
+        .write.mode("overwrite").format("sam").save(s"$d/reads")
+      s.sql("""SELECT 'ref1' AS id, cast(null as string) AS description,
+            repeat('ACGT', 250) AS sequence""")
+        .write.mode("overwrite").format("fasta").save(s"$d/ref")
+    }
+  }
+
   val qs: Map[String, Q] = Map(
 
     "fmt_fasta_scan" -> Q(
@@ -1497,40 +1542,7 @@ object FormatScans {
     // string assembly at all). Both writers round-trip on the way in.
     "fmt_sam_pileup" -> Q(
       (s, _) => {
-        graft.functions.GraftFunctions.registerAll(s)
-        val dir = Stage.tempDir("graft_pileup").toString
-        s.range(200)
-          .selectExpr("id", "repeat('ACGT', 250) AS rs",
-            "(id * 13) % 900 + 1 AS start")
-          .selectExpr(
-            "concat('r', id) AS name", "0 AS flag", "'ref1' AS reference",
-            "start",
-            """start + CASE WHEN id % 7 = 0 THEN 21
-                WHEN id % 11 = 0 THEN 17 ELSE 19 END AS end""",
-            "'30' AS mapping_quality",
-            """CASE WHEN id % 7 = 0 THEN '8M2D12M'
-                WHEN id % 11 = 0 THEN '10M2I8M'
-                ELSE '20M' END AS cigar""",
-            "cast(null as string) AS mate_reference",
-            """CASE
-                WHEN id % 7 = 0 THEN concat(
-                  substr(rs, cast(start as int), 8),
-                  substr(rs, cast(start as int) + 10, 12))
-                WHEN id % 11 = 0 THEN concat(
-                  substr(rs, cast(start as int), 10), 'AA',
-                  substr(rs, cast(start as int) + 10, 8))
-                WHEN id % 5 = 0 THEN concat(
-                  substr(rs, cast(start as int), cast(id % 20 as int)),
-                  CASE WHEN substr(rs, cast(start as int) + cast(id % 20 as int), 1) = 'A'
-                    THEN 'C' ELSE 'A' END,
-                  substr(rs, cast(start as int) + cast(id % 20 as int) + 1,
-                    19 - cast(id % 20 as int)))
-                ELSE substr(rs, cast(start as int), 20) END AS sequence""",
-            "repeat('I', 20) AS quality_score")
-          .write.mode("overwrite").format("sam").save(s"$dir/reads")
-        s.sql("""SELECT 'ref1' AS id, cast(null as string) AS description,
-              repeat('ACGT', 250) AS sequence""")
-          .write.mode("overwrite").format("fasta").save(s"$dir/ref")
+        val dir = pileupFixture(s)
         graft.functions.Pileup.pileupSites(
             GraftIO.read_sam_file_records(s, s"$dir/reads"),
             GraftIO.read_fasta(s, s"$dir/ref"))
@@ -1564,6 +1576,57 @@ object FormatScans {
           CAST(depth - ref_n AS BIGINT) AS alt_n
         FROM g WHERE depth >= 4 AND (depth - ref_n) * 10 >= depth * 3
         ORDER BY pos""")),
+
+    // ---- majority-rule consensus sequence (samtools consensus) ----
+    // Same staged fixture as the pileup entry; the consensus core
+    // collapses per-position base counts to one winner (alphabet-
+    // bounded window, ties break lexicographically), fills uncovered
+    // positions from the reference spine, and reassembles each contig
+    // with a single contig-granularity collect — the oracle rebuilds
+    // the identical 1000-char string from the generating arithmetic
+    // with an ordered string_agg.
+    "fmt_sam_consensus" -> Q(
+      (s, _) => {
+        val dir = pileupFixture(s)
+        graft.functions.Pileup.consensus(
+            GraftIO.read_sam_file_records(s, s"$dir/reads"),
+            GraftIO.read_fasta(s, s"$dir/ref"))
+          .orderBy("name")
+      },
+      Some("""WITH r AS (
+          SELECT i AS id, (i * 13) % 900 + 1 AS start,
+            CASE WHEN i % 7 = 0 THEN 'del' WHEN i % 11 = 0 THEN 'ins'
+                 WHEN i % 5 = 0 THEN 'mm' ELSE 'plain' END AS cls
+          FROM range(0, 200) t(i)),
+        p AS (
+          SELECT id, start, cls, j,
+            CASE WHEN cls = 'del' AND j >= 8 THEN start + j + 2
+                 ELSE start + j END AS pos
+          FROM r, range(0, 20) s(j)
+          WHERE NOT (cls = 'ins' AND j >= 18)),
+        b AS (
+          SELECT pos,
+            CASE WHEN cls = 'mm' AND j = id % 20
+              THEN CASE WHEN substr(repeat('ACGT', 250), CAST(pos AS INTEGER), 1) = 'A'
+                   THEN 'C' ELSE 'A' END
+              ELSE substr(repeat('ACGT', 250), CAST(pos AS INTEGER), 1) END AS base
+          FROM p),
+        cnt AS (SELECT pos, base, count(*) AS n FROM b GROUP BY pos, base),
+        win AS (SELECT pos, base,
+            row_number() OVER (PARTITION BY pos ORDER BY n DESC, base) AS rn
+          FROM cnt),
+        called AS (SELECT pos, base AS called FROM win WHERE rn = 1),
+        spine AS (SELECT CAST(q.x AS BIGINT) AS pos,
+            substr(repeat('ACGT', 250), CAST(q.x AS INTEGER), 1) AS refb
+          FROM range(1, 1001) q(x)),
+        f AS (SELECT spine.pos,
+            coalesce(called.called, spine.refb) AS fb,
+            CASE WHEN called.called IS NOT NULL AND called.called <> spine.refb
+              THEN 1 ELSE 0 END AS chg
+          FROM spine LEFT JOIN called ON spine.pos = called.pos)
+        SELECT 'ref1' AS name, string_agg(fb, '' ORDER BY pos) AS consensus,
+          CAST(sum(chg) AS BIGINT) AS n_changed
+        FROM f""")),
 
     // ---- paired-end mate synchronization (fastq_pair analog) ----
     // R1/R2 FASTQ files drift out of sync the moment any upstream

@@ -1223,6 +1223,56 @@ object PipelineOps {
           CAST(round(1e6 * CAST(sum(p_b * (2 * cum_neg + n_b)) AS BIGINT) /
             (2.0 * CAST(sum(p_b) AS BIGINT) * CAST(sum(n_b) AS BIGINT))) AS BIGINT)
             AS auc_micro
-        FROM cn"""))
+        FROM cn""")),
+
+    // ---- PageRank over a derived link graph (integer micro-units) ----
+    // The iterative-join propagation pattern (CC's sibling) through
+    // [[graft.pipeline.GraphOps.pageRankMicro]]: 5 rounds of
+    // ranks⋈edges + dst-keyed agg + dangling left-join-back, all in
+    // scaled-integer arithmetic so distributed float summation order
+    // cannot flap the ranks (see GraphOps scaladoc). The oracle
+    // unrolls the same 5 iterations as CTEs with DuckDB's floor
+    // division — two formulations of the identical integer recurrence.
+    // Edge list is arithmetic-derived (3 out-links per doc onto a
+    // 500-node hub space), so the fixture scales with the corpus while
+    // staying closed-form.
+    "pipe_pagerank" -> Q(
+      (s, dir) => {
+        val edges = t(s, dir, "documents")
+          .select(col("doc_id").as("src"),
+            explode(array(lit(1), lit(2), lit(3))).as("k"))
+          .select(col("src"), ((col("src") * 7 + col("k") * 91) % 500).as("dst"))
+        graft.pipeline.GraphOps.pageRankMicro(edges, 5)
+          .orderBy(col("prm").desc, col("node"))
+          .limit(10)
+      },
+      Some("""WITH e AS (
+          SELECT doc_id AS src, (doc_id * 7 + k * 91) % 500 AS dst
+          FROM documents, (VALUES (1), (2), (3)) v(k)),
+        n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS prm FROM n),
+        c1 AS (SELECT e.dst, sum(r0.prm // d.outdeg) AS inc
+          FROM r0 JOIN d ON r0.node = d.src JOIN e ON r0.node = e.src GROUP BY e.dst),
+        r1 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c1.inc, 0)) // 100 AS BIGINT) AS prm
+          FROM n LEFT JOIN c1 ON n.node = c1.dst),
+        c2 AS (SELECT e.dst, sum(r1.prm // d.outdeg) AS inc
+          FROM r1 JOIN d ON r1.node = d.src JOIN e ON r1.node = e.src GROUP BY e.dst),
+        r2 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c2.inc, 0)) // 100 AS BIGINT) AS prm
+          FROM n LEFT JOIN c2 ON n.node = c2.dst),
+        c3 AS (SELECT e.dst, sum(r2.prm // d.outdeg) AS inc
+          FROM r2 JOIN d ON r2.node = d.src JOIN e ON r2.node = e.src GROUP BY e.dst),
+        r3 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c3.inc, 0)) // 100 AS BIGINT) AS prm
+          FROM n LEFT JOIN c3 ON n.node = c3.dst),
+        c4 AS (SELECT e.dst, sum(r3.prm // d.outdeg) AS inc
+          FROM r3 JOIN d ON r3.node = d.src JOIN e ON r3.node = e.src GROUP BY e.dst),
+        r4 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c4.inc, 0)) // 100 AS BIGINT) AS prm
+          FROM n LEFT JOIN c4 ON n.node = c4.dst),
+        c5 AS (SELECT e.dst, sum(r4.prm // d.outdeg) AS inc
+          FROM r4 JOIN d ON r4.node = d.src JOIN e ON r4.node = e.src GROUP BY e.dst),
+        r5 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c5.inc, 0)) // 100 AS BIGINT) AS prm
+          FROM n LEFT JOIN c5 ON n.node = c5.dst)
+        SELECT node, prm FROM r5 ORDER BY prm DESC, node LIMIT 10"""))
   )
 }

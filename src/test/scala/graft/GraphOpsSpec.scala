@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.GraphOps
+
+/** GraphOps.pageRankMicro vs an independent single-threaded Scala
+  * implementation of the same integer recurrence — EXACT equality,
+  * which is the whole point of the micro-unit design: distributed
+  * summation must be bit-identical to the sequential walk, on any
+  * partitioning, because integer addition is associative where float
+  * addition is not. */
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private def naive(edges: Seq[(Long, Long)], iters: Int,
+                    dampingPct: Long = 85L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (100L - dampingPct) * 1000000L / 100L
+    var prm = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 0 until iters) {
+      val incoming = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      // only nodes WITH out-edges contribute (dangling mass vanishes,
+      // the documented simplification)
+      edges.foreach { case (u, v) =>
+        incoming(v) += prm(u) / outdeg(u)
+      }
+      prm = nodes.map(n => n -> (base + dampingPct * incoming(n) / 100L)).toMap
+    }
+    prm
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphOps.pageRankMicro(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two-node cycle reaches the symmetric fixed point") {
+    val got = run(Seq((1L, 2L), (2L, 1L)), 10)
+    // symmetric cycle: both nodes keep exactly the unit mass
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("star graph: hub absorbs, leaves hold base + hub backflow") {
+    // leaves 1..4 -> hub 0, hub -> leaf 1
+    val got = run(Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L)), 3)
+    assert(got === naive(Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L)), 3))
+    assert(got(0L) > got(2L) && got(1L) > got(2L), got.toString)
+  }
+
+  test("dangling receiver keeps only redistributed mass, never NaNs") {
+    // 5 has no out-edges: contributes nothing after its mass arrives
+    val edges = Seq((1L, 5L), (2L, 5L), (1L, 2L), (2L, 1L))
+    assert(run(edges, 4) === naive(edges, 4))
+  }
+
+  test("random graph, parallel edges and self-loops: exact match over 6 rounds") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val got = run(edges, 6)
+    val want = naive(edges, 6)
+    assert(got === want)
+  }
+
+  test("zero iterations returns the uniform init") {
+    val got = run(Seq((1L, 2L), (3L, 4L)), 0)
+    assert(got.values.toSet === Set(1000000L))
+  }
+}

@@ -100,6 +100,25 @@ class PileupSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("consensus: majority wins, ties break lexicographically, gaps keep the reference") {
+    val s = spark
+    import s.implicits._
+    // ref 'AAAAA'; pos 1: C majority (2C vs 1A) -> C, changed;
+    // pos 2: tie 1C/1G -> lexicographic C, changed; pos 3: A majority
+    // holds; pos 4-5: uncovered -> reference fill
+    val rs = Seq(
+      ("r", 1L, "1M", "C"), ("r", 1L, "1M", "C"), ("r", 1L, "1M", "A"),
+      ("r", 2L, "1M", "C"), ("r", 2L, "1M", "G"),
+      ("r", 3L, "1M", "A"), ("r", 3L, "1M", "A"), ("r", 3L, "1M", "T"))
+      .toDF("reference", "start", "cigar", "sequence")
+    val fasta = Seq(("r", "AAAAA")).toDF("id", "sequence")
+    val out = Pileup.consensus(rs, fasta).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "r")
+    assert(out(0).getString(1) == "CCAAA")
+    assert(out(0).getLong(2) == 2L)
+  }
+
   test("call rule boundaries: depth and integer alt-fraction are inclusive") {
     val s = spark
     import s.implicits._
