@@ -1628,6 +1628,47 @@ object FormatScans {
           CAST(sum(chg) AS BIGINT) AS n_changed
         FROM f""")),
 
+    // ---- variant-to-gene annotation (VEP-lite, VCF x GTF) ----
+    // The first thing every variant pipeline does with a callset:
+    // attach the overlapping gene model. Cross-format composition —
+    // VCF records range-joined to writer-staged GTF gene features.
+    // The annotation is the BROADCAST side by construction (gene
+    // models are MBs against TB-scale callsets), so the plan is a
+    // broadcast hash join on the contig with the range predicate as
+    // the residual — the callset never reshuffles. Variants outside
+    // any gene keep NULL (left join), exactly the unannotated-variant
+    // semantics bcftools annotate has.
+    "fmt_vcf_annotate" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-vcf-annotate-genes") { d =>
+          s.sql("""SELECT * FROM VALUES
+                ('1', 100L, 300L, 'GA'), ('1', 900L, 1000L, 'GB'),
+                ('2', 50L, 60L, 'GC'), ('2', 400L, 500L, 'GD')
+              AS t(seqname, start, end, gid)""")
+            .selectExpr("seqname", "'graft' AS source", "'gene' AS type",
+              "start", "end", "cast(null as float) AS score", "'+' AS strand",
+              "cast(null as string) AS frame",
+              "map('gene_id', array(gid)) AS attributes")
+            .write.mode("overwrite").format("gtf").save(s"$d/genes")
+        }
+        val genes = GraftIO.read_gtf(s, s"$dir/genes")
+          .selectExpr("seqname", "start AS gs", "end AS ge",
+            "attributes['gene_id'][0] AS gene_id")
+        val v = GraftIO.read_vcf_file_records(s, s"$F/vcf/test.vcf")
+          .select("chrom", "pos", "ref")
+        v.join(broadcast(genes),
+            v("chrom") === genes("seqname") &&
+              v("pos") >= col("gs") && v("pos") <= col("ge"), "left")
+          .select(col("chrom"), col("pos"), col("ref"), col("gene_id"))
+          .orderBy("chrom", "pos")
+      },
+      Some("""SELECT '1' AS chrom, CAST(101 AS BIGINT) AS pos, 'G' AS ref, 'GA' AS gene_id
+        UNION ALL SELECT '1', 205, 'A', 'GA'
+        UNION ALL SELECT '1', 990, 'T', 'GB'
+        UNION ALL SELECT '2', 55, 'C', 'GC'
+        UNION ALL SELECT '2', 777, 'GG', NULL
+        ORDER BY chrom, pos""")),
+
     // ---- paired-end mate synchronization (fastq_pair analog) ----
     // R1/R2 FASTQ files drift out of sync the moment any upstream
     // filter drops one mate; every aligner demands re-paired input.

@@ -74,6 +74,41 @@ object GraftTableFunctions {
     GraftIO.fasta_query(SparkSession.active, path, regions).queryExecution.logical
   }
 
+  /** Numeric literal for the optional pileup thresholds. */
+  private def num(e: Expression, what: String): Int = e.eval(null) match {
+    case n: java.lang.Number => n.intValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  /** sam_pileup(readsPath, refFastaPath[, minDepth, minAltTenths]) —
+    * resolves to [[graft.functions.Pileup.pileupSites]]'s plan, and
+    * sam_consensus(readsPath, refFastaPath) to
+    * [[graft.functions.Pileup.consensus]]'s: the mpileup composition
+    * from SQL, one implementation under both surfaces. */
+  private def pileupBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 4,
+      "sam_pileup requires (readsPath, refFastaPath[, minDepth, minAltTenths])")
+    val s = SparkSession.active
+    graft.functions.Pileup.pileupSites(
+        GraftIO.read_sam_file_records(s, lit(args(0), "readsPath")),
+        GraftIO.read_fasta(s, lit(args(1), "refFastaPath")),
+        if (args.length > 2) num(args(2), "minDepth") else 4,
+        if (args.length > 3) num(args(3), "minAltTenths") else 3)
+      .queryExecution.logical
+  }
+
+  private def consensusBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2,
+      "sam_consensus requires (readsPath, refFastaPath)")
+    val s = SparkSession.active
+    graft.functions.Pileup.consensus(
+        GraftIO.read_sam_file_records(s, lit(args(0), "readsPath")),
+        GraftIO.read_fasta(s, lit(args(1), "refFastaPath")))
+      .queryExecution.logical
+  }
+
   /** TVF name per format, mirroring the reference's function names. */
   val scanNames: Map[String, String] = Map(
     "fasta" -> "read_fasta", "fastq" -> "read_fastq", "gff" -> "read_gff",
@@ -102,5 +137,7 @@ object GraftTableFunctions {
     reg.createOrReplaceTempFunction("bed_query", queryBuilder(BedFormat), "scala_udf")
     reg.createOrReplaceTempFunction("read_auto", autoBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("fasta_query", fastaQueryBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("sam_pileup", pileupBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("sam_consensus", consensusBuilder, "scala_udf")
   }
 }

@@ -123,6 +123,26 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT id, score_raw FROM quality_score('ext_docs', 'ext_weights', 'id', 'body')")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(qs == Map(10L -> 3L, 11L -> 3L, 12L -> -5L), qs)
+      // sam_pileup / sam_consensus TVFs: the mpileup composition from
+      // SQL — path-literal arguments resolve to the Pileup facade plans
+      val pdir = java.nio.file.Files.createTempDirectory("ext_pileup")
+      val samLines = Seq("@HD\tVN:1.6", "@SQ\tSN:c\tLN:8") ++
+        (1 to 4).map(i => s"r$i\t0\tc\t1\t30\t4M\t*\t0\t0\tACGA\tIIII")
+      java.nio.file.Files.write(pdir.resolve("r.sam"),
+        scala.jdk.CollectionConverters.SeqHasAsJava(samLines).asJava)
+      java.nio.file.Files.write(pdir.resolve("ref.fasta"),
+        scala.jdk.CollectionConverters.SeqHasAsJava(Seq(">c", "ACGTACGT")).asJava)
+      val sites = s.sql(
+        s"SELECT pos, ref, depth, alt_n FROM sam_pileup('$pdir/r.sam', '$pdir/ref.fasta')")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(sites.toSeq == Seq((4L, "T", 4L, 4L)), sites.toSeq)
+      val cons = s.sql(
+        s"SELECT consensus, n_changed FROM sam_consensus('$pdir/r.sam', '$pdir/ref.fasta')")
+        .collect().head
+      assert(cons.getString(0) == "ACGAACGT" && cons.getLong(1) == 1L, cons.toString)
+      // raised minDepth excludes the 4-deep site
+      assert(s.sql(
+        s"SELECT * FROM sam_pileup('$pdir/r.sam', '$pdir/ref.fasta', 5, 3)").count() == 0L)
       // optimizer rule: a filter on the exploded element grows an
       // exists() pre-filter BELOW the Generate. Plan shape asserted on
       // a range()-backed relation — over a LocalRelation the optimizer
