@@ -23,7 +23,7 @@ object FormatScans {
     * oracles recompute expected bases without any string assembly.
     * Staged once per driver; fmt_sam_pileup and fmt_sam_consensus
     * share it. */
-  private def pileupFixture(s: org.apache.spark.sql.SparkSession): java.nio.file.Path = {
+  private[queries] def pileupFixture(s: org.apache.spark.sql.SparkSession): java.nio.file.Path = {
     graft.functions.GraftFunctions.registerAll(s)
     Stage.staged("graft-pileup-fixture") { d =>
       s.range(200)

@@ -533,6 +533,46 @@ object StreamingQ {
         WHERE tok <> '' GROUP BY tok HAVING count(*) >= 100
         ORDER BY n DESC, tok""")),
 
+    // ---- streaming pileup depth (the CIGAR walk under micro-batches) ----
+    // The Pileup core's stateless prefix (parse_cigar HOF walk +
+    // aligned-base Generate) runs unchanged inside a streaming query —
+    // the property that matters is that a genomics operator written as
+    // relational algebra is automatically incremental. One complete-mode
+    // (pos)-keyed count is the only stateful op; the depth histogram is
+    // batch post-processing on the sink table (chained aggregations are
+    // not a streaming shape). State is position-cardinality (bounded by
+    // contig length), not read-cardinality.
+    "stream_sam_pileup" -> Q(
+      (s, _) => {
+        val dir = FormatScans.pileupFixture(s)
+        val tbl = "graft_stream_sam_pileup"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        Q.withShufflePartitions(s, 4) {
+          val depth = graft.functions.Pileup.baseAlignments(
+              s.readStream.format("sam").load(s"$dir/reads"))
+            .groupBy("pos").agg(count(lit(1)).as("depth"))
+          val q = depth.writeStream.outputMode("complete")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(tbl)
+          .groupBy("depth").agg(count(lit(1)).as("n_positions"))
+          .orderBy("depth")
+      },
+      Some("""WITH r AS (
+          SELECT i AS id, (i * 13) % 900 + 1 AS start,
+            CASE WHEN i % 7 = 0 THEN 'del' WHEN i % 11 = 0 THEN 'ins'
+                 WHEN i % 5 = 0 THEN 'mm' ELSE 'plain' END AS cls
+          FROM range(0, 200) t(i)),
+        p AS (
+          SELECT CASE WHEN cls = 'del' AND j >= 8 THEN start + j + 2
+                 ELSE start + j END AS pos
+          FROM r, range(0, 20) s(j)
+          WHERE NOT (cls = 'ins' AND j >= 18)),
+        d AS (SELECT pos, count(*) AS depth FROM p GROUP BY pos)
+        SELECT depth, count(*) AS n_positions FROM d
+        GROUP BY depth ORDER BY depth""")),
+
     "stream_fastq_ingest" -> Q(
       (s, _) => {
         val fixtures = "/root/repo/src/test/resources/fixtures"

@@ -652,6 +652,68 @@ object TextOps {
         SELECT lang, count(*) AS n_docs,
           CAST(sum(h_micro) AS BIGINT) AS sum_h_micro,
           min(h_micro) AS min_h_micro, max(h_micro) AS max_h_micro
-        FROM h GROUP BY lang ORDER BY lang"""))
+        FROM h GROUP BY lang ORDER BY lang""")),
+
+    // ---- PMI collocations (top bigrams by pointwise mutual info) ----
+    // The keyphrase/collocation-mining primitive: score each bigram by
+    // ln(p(xy)/(p(x)p(y))), which with global totals T (bigrams) and U
+    // (tokens) is ln(c_xy) + 2 ln U - ln T - ln c_x - ln c_y — written
+    // in exactly that operand order on both engines, rounded once to
+    // micro-nats, so the top-K ordering is over exact BIGINTs. Shape:
+    // token and bigram streams barriered once and aggregated to TYPE
+    // cardinality; the unigram tables rejoin the bigram TYPES (not the
+    // stream) as keyed equi-joins with the strategy left to AQE (the
+    // bigramLmNll rationale — vocab grows with the corpus, a forced
+    // broadcast would eventually fail); totals are 1-row broadcasts.
+    // The c_xy >= 5 support floor is applied BEFORE the joins, so join
+    // input is the surviving-collocation set only.
+    "text_pmi_bigrams" -> Q(
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(expr("filter(split(text, ' '), x -> x != '')").as("w"))
+        val toks = Q.barrier(base.select(explode(col("w")).as("tok")))
+        val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val uTotal = toks.agg(count(lit(1)).as("u_total"))
+        val bg = Q.barrier(base.where(size(col("w")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(w) - 1),
+               i -> named_struct('x', w[i-1], 'y', w[i]))""")).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y")))
+        val bgc = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        val tTotal = bg.agg(count(lit(1)).as("t_total"))
+        bgc.where(col("c_xy") >= 5)
+          .join(uni.select(col("tok").as("x"), col("c").as("c_x")), "x")
+          .join(uni.select(col("tok").as("y"), col("c").as("c_y")), "y")
+          .crossJoin(broadcast(uTotal)).crossJoin(broadcast(tTotal))
+          .withColumn("pmi_micro", expr(
+            """cast(round(1e6 * (ln(c_xy) + 2 * ln(u_total) - ln(t_total)
+               - ln(c_x) - ln(c_y))) as bigint)"""))
+          .select("x", "y", "c_xy", "c_x", "c_y", "pmi_micro")
+          .orderBy(col("pmi_micro").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some("""WITH lists AS (
+          SELECT list_filter(string_split(text, ' '), t -> t <> '') AS l
+          FROM documents),
+        toks AS (SELECT unnest(l) AS tok FROM lists),
+        uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        ut AS (SELECT CAST(count(*) AS BIGINT) AS u_total FROM toks),
+        bg AS (
+          SELECT unnest([l[i] for i in range(1, len(l))]) AS x,
+                 unnest([l[i + 1] for i in range(1, len(l))]) AS y
+          FROM lists WHERE len(l) >= 2),
+        bgc AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY x, y),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM bg)
+        SELECT bgc.x, bgc.y, bgc.c_xy,
+          ux.c AS c_x, uy.c AS c_y,
+          CAST(round(1e6 * (ln(c_xy) + 2 * ln(u_total) - ln(t_total)
+            - ln(ux.c) - ln(uy.c))) AS BIGINT) AS pmi_micro
+        FROM bgc
+        JOIN uni ux ON bgc.x = ux.tok
+        JOIN uni uy ON bgc.y = uy.tok
+        CROSS JOIN ut CROSS JOIN tt
+        WHERE c_xy >= 5
+        ORDER BY pmi_micro DESC, bgc.x, bgc.y
+        LIMIT 20"""))
   )
 }
