@@ -23,6 +23,42 @@ object FormatScans {
     * oracles recompute expected bases without any string assembly.
     * Staged once per driver; fmt_sam_pileup and fmt_sam_consensus
     * share it. */
+  /** The generated 120-spectrum mzML corpus (scan=i carries mz
+    * [i, i+100, i+200] over intensity [2i, 2i+1]; every 4th scan is
+    * followed by a chromatogram) — shared by fmt_mzml_split_scan and
+    * fmt_mzml_xic, staged once per driver. */
+  private def mzmlCorpus(s: org.apache.spark.sql.SparkSession): java.nio.file.Path =
+    Stage.staged("graft-mzml-gate") { d =>
+      val sb = new StringBuilder
+      def b64(vs: Array[Double]): String = {
+        val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(bb.putDouble)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+      sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+      sb.append("<mzML xmlns=\"http://psi.hupo.org/ms/mzml\" version=\"1.1.0\">\n")
+      sb.append("<run id=\"r0\"><spectrumList count=\"120\">\n")
+      for (i <- 1 to 120) {
+        sb.append(s"""<spectrum index="${i - 1}" id="scan=$i" defaultArrayLength="3">""")
+        sb.append("<binaryDataArrayList count=\"2\">")
+        sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000514\"/>")
+        sb.append("<binary>").append(b64(Array(i.toDouble, i + 100.0, i + 200.0))).append("</binary></binaryDataArray>")
+        sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000515\"/>")
+        sb.append("<binary>").append(b64(Array(i * 2.0, i * 2.0 + 1))).append("</binary></binaryDataArray>")
+        sb.append("</binaryDataArrayList></spectrum>\n")
+        if (i % 4 == 0) {
+          val j = i / 4
+          sb.append(s"""<chromatogram index="${j - 1}" id="chrom=$j">""")
+          sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000617\"/>")
+          sb.append("<binary>").append(b64(Array(j.toDouble, j + 5.0))).append("</binary></binaryDataArray>")
+          sb.append("</chromatogram>\n")
+        }
+      }
+      sb.append("</spectrumList></run>\n</mzML>\n")
+      java.nio.file.Files.writeString(d.resolve("big.mzML"), sb.toString): Unit
+    }
+
   private[queries] def pileupFixture(s: org.apache.spark.sql.SparkSession): java.nio.file.Path = {
     graft.functions.GraftFunctions.registerAll(s)
     Stage.staged("graft-pileup-fixture") { d =>
@@ -585,6 +621,37 @@ object FormatScans {
           CAST(26.0 AS DOUBLE) AS tic, CAST(15.0 AS DOUBLE) AS base_peak_intensity,
           CAST(100.0 AS DOUBLE) AS base_peak_mz""")),
 
+    // ---- extracted ion chromatogram (XIC) over an m/z band ----
+    // The targeted-MS workhorse: for each spectrum, sum the intensity
+    // of peaks whose m/z falls in [50, 150]. Position-zipped HOF over
+    // the parallel mz/intensity arrays (intensity can be shorter —
+    // the walk is bounded by the intensity length, never reads a
+    // missing peak), then one global reduce: a map-side-combined scan
+    // at 100 TB, exactly the TIC shape. Payload values are
+    // integer-valued doubles, so the sums are FP-exact in any
+    // partition order; the oracle recomputes them from the generator
+    // arithmetic (mz_k in band iff 50<=i<=120 for k=1, i<=50 for k=2).
+    "fmt_mzml_xic" -> Q(
+      (s, _) => {
+        val staged = mzmlCorpus(s)
+        GraftIO.read_mzml(s, staged.resolve("big.mzML").toString)
+          .where(col("mz.mz").isNotNull)
+          .select(col("id"), expr(
+            """aggregate(sequence(1, size(intensity.intensity)), 0D,
+                 (a, k) -> a + CASE
+                   WHEN element_at(mz.mz, k) BETWEEN 50 AND 150
+                   THEN element_at(intensity.intensity, k) ELSE 0D END)""")
+            .as("xic"))
+          .agg(
+            sum(when(col("xic") > 0, 1L).otherwise(0L)).as("n_spectra"),
+            sum(col("xic")).as("xic_sum"),
+            max(col("xic")).as("apex_xic"),
+            expr("max_by(id, xic)").as("apex_id"))
+      },
+      Some("""SELECT CAST(120 AS BIGINT) AS n_spectra,
+          CAST(14670 AS DOUBLE) AS xic_sum, CAST(240 AS DOUBLE) AS apex_xic,
+          'scan=120' AS apex_id""")),
+
     "fmt_bam_scan" -> Q(
       (s, _) => GraftIO.read_bam_file_records(s, s"$F/bam/test.bam")
         .selectExpr("name", "flag", "reference", "start", "end", "mapping_quality",
@@ -738,36 +805,7 @@ object FormatScans {
         // <chromatogram start tags) must reproduce the single-task rows
         // exactly. Payload sums are integer-valued doubles, so FP
         // addition is exact in any partition order.
-        val staged = Stage.staged("graft-mzml-gate") { d =>
-          val sb = new StringBuilder
-          def b64(vs: Array[Double]): String = {
-            val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            vs.foreach(bb.putDouble)
-            java.util.Base64.getEncoder.encodeToString(bb.array())
-          }
-          sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
-          sb.append("<mzML xmlns=\"http://psi.hupo.org/ms/mzml\" version=\"1.1.0\">\n")
-          sb.append("<run id=\"r0\"><spectrumList count=\"120\">\n")
-          for (i <- 1 to 120) {
-            sb.append(s"""<spectrum index="${i - 1}" id="scan=$i" defaultArrayLength="3">""")
-            sb.append("<binaryDataArrayList count=\"2\">")
-            sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000514\"/>")
-            sb.append("<binary>").append(b64(Array(i.toDouble, i + 100.0, i + 200.0))).append("</binary></binaryDataArray>")
-            sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000515\"/>")
-            sb.append("<binary>").append(b64(Array(i * 2.0, i * 2.0 + 1))).append("</binary></binaryDataArray>")
-            sb.append("</binaryDataArrayList></spectrum>\n")
-            if (i % 4 == 0) {
-              val j = i / 4
-              sb.append(s"""<chromatogram index="${j - 1}" id="chrom=$j">""")
-              sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000617\"/>")
-              sb.append("<binary>").append(b64(Array(j.toDouble, j + 5.0))).append("</binary></binaryDataArray>")
-              sb.append("</chromatogram>\n")
-            }
-          }
-          sb.append("</spectrumList></run>\n</mzML>\n")
-          java.nio.file.Files.writeString(d.resolve("big.mzML"), sb.toString)
-        }
+        val staged = mzmlCorpus(s)
         val df = GraftIO.read_mzml(s, staged.resolve("big.mzML").toString,
           Map("maxSplitBytes" -> "4000"))
         val parts = df.rdd.getNumPartitions

@@ -456,6 +456,45 @@ object Similarity {
                      FROM scored)
         SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""")),
 
+    // ---- metadata-filtered vector search (the vector-DB hot path) ----
+    // Top-k restricted to a label predicate — the "WHERE category = X"
+    // every production vector store bolts onto ANN. The filter runs
+    // BEFORE any distance math and reaches the parquet scan as a
+    // pushed predicate (gated in PlanQualitySpec), so the corpus read
+    // itself shrinks to the qualifying stripe — at 100 TB a selective
+    // filter turns a full-corpus scan into a partition-pruned one,
+    // which is the entire economics of filtered search. Queries stay a
+    // broadcast fan, scoring rides the codegen'd cosine kernel.
+    "ann_filtered_topk" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir).where(col("label").isin(2, 3))
+        val q = vecs(s, dir).where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("label"), expr(CosSql).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings WHERE label IN (2, 3)),
+          q AS (SELECT vec_id AS q_id,
+            [CAST(x AS DOUBLE) for x in embedding] AS qv
+          FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q_id, vec_id, label,
+              round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)])
+                    / (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS cos
+            FROM e CROSS JOIN q WHERE vec_id <> q_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+                     FROM scored)
+        SELECT q_id, vec_id, label, cos, rn FROM ranked WHERE rn <= 5
+        ORDER BY q_id, rn""")),
+
     // ---- Matryoshka (MRL) truncated-prefix search + full-dim rerank ----
     // The two-stage pattern matryoshka-style embeddings exist for: score
     // EVERYTHING on the cheap 16-dim prefix (4x less arithmetic + 4x

@@ -563,6 +563,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly one lag() window over transcripts:\n$plan")
   }
 
+  test("ann_filtered_topk: the label predicate reaches the parquet scan before any distance math") {
+    val plan = fullPlanString(SparkEntry.queries("ann_filtered_topk")(spark, SF))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("PushedFilters: [In(label") ||
+      plan.contains("PushedFilters: [IsNotNull(label"),
+      s"label filter not pushed into the embeddings scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"query fan fell back to a shuffled join:\n$plan")
+  }
+
   test("fmt_sam_pileup: reference broadcasts onto the base stream, reads never sort-merge") {
     val plan = fullPlanString(SparkEntry.queries("fmt_sam_pileup")(spark, SF))
       .split("== Initial Plan ==").head
