@@ -382,6 +382,30 @@ object FormatScans {
         CAST(8 AS BIGINT) AS thick_start, CAST(13 AS BIGINT) AS thick_end, CAST(NULL AS VARCHAR) AS color,
         CAST(2 AS BIGINT) AS block_count, '2,1' AS block_sizes, '0,3' AS block_starts""")),
 
+    // ---- BED12 block explode (bed12ToBed6) ----
+    // Expands the block_sizes/block_starts columns into one row per
+    // block — the exon-level view of a BED12 transcript (UCSC
+    // bed12ToBed6). Block offsets are relative to the FILE's 0-based
+    // chromStart; the reader surfaces 1-based starts, so absolute
+    // 1-based block start = start + offset. Pure Generate + arithmetic,
+    // no shuffle at all.
+    "fmt_bed12_blocks" -> Q(
+      (s, _) => GraftIO.read_bed_file(s, s"$F/bed/test12.bed")
+        .where(col("block_count").isNotNull)
+        .selectExpr("reference_sequence_name AS chrom", "start",
+          "split(block_sizes, ',') AS bs", "split(block_starts, ',') AS bo")
+        .select(col("chrom"), col("start"), explode(expr(
+          """transform(sequence(0, size(bs) - 1),
+             i -> named_struct('sz', cast(bs[i] as bigint),
+                               'off', cast(bo[i] as bigint)))""")).as("b"))
+        .select(col("chrom"),
+          (col("start") + col("b.off")).as("block_start"),
+          (col("start") + col("b.off") + col("b.sz") - 1).as("block_end"))
+        .orderBy("block_start"),
+      Some("""SELECT 'sq0' AS chrom, CAST(8 AS BIGINT) AS block_start,
+          CAST(9 AS BIGINT) AS block_end
+        UNION ALL SELECT 'sq0', 11, 11 ORDER BY block_start""")),
+
     // ---- BED write round trip: 1-based internal -> 0-based file and
     //      back; trailing-column omission + placeholder rules are the
     //      reader's null mapping run in reverse ----

@@ -1225,6 +1225,42 @@ object PipelineOps {
             AS auc_micro
         FROM cn""")),
 
+    // ---- normalization-then-dedup (the practical "exact" dedup) ----
+    // Production exact-dedup never hashes raw bytes: it lowercases,
+    // strips non-alphanumerics, and collapses whitespace first, so
+    // trivially-reformatted copies collapse into one group. The
+    // normalization chain is codegen'd regexp_replace (no UDF); dedup
+    // is one hash-keyed groupBy keeping the min doc id (lineage-stable
+    // canonical choice). Census output: corpus size, surviving
+    // normalized-distinct count, drops, and the kept-id checksum the
+    // incremental entries use. DuckDB's regexp_replace needs the 'g'
+    // flag to match Spark's replace-all semantics — the kind of
+    // cross-engine trap the oracle gate exists to catch.
+    "pipe_normalized_dedup" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ''), ' +', ' '))""").as("norm"))
+        .groupBy(md5(col("norm").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .groupBy()
+        .agg(sum(col("copies")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("copies") - 1).as("n_dropped"),
+          sum(col("keep_id")).as("keep_checksum")),
+      Some("""WITH n AS (
+          SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents),
+        g AS (
+          SELECT md5(norm) AS h, min(doc_id) AS keep_id, count(*) AS copies
+          FROM n GROUP BY md5(norm))
+        SELECT CAST(sum(copies) AS BIGINT) AS n_docs,
+          count(*) AS n_distinct,
+          CAST(sum(copies - 1) AS BIGINT) AS n_dropped,
+          CAST(sum(keep_id) AS BIGINT) AS keep_checksum
+        FROM g""")),
+
     // ---- PageRank over a derived link graph (integer micro-units) ----
     // The iterative-join propagation pattern (CC's sibling) through
     // [[graft.pipeline.GraphOps.pageRankMicro]]: 5 rounds of

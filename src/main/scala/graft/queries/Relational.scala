@@ -1330,6 +1330,46 @@ object Relational {
       Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
         FROM events GROUP BY k ORDER BY k""")),
 
+    // ---- unpivot / melt (wide -> long, the pivot inverse) ----
+    // Round-trips the relational surface's reshaping pair: pivot the
+    // per-bucket event-type centi-sums wide, then melt back long with
+    // Dataset.unpivot (Spark's stack/melt API). A pivot cell absent
+    // from the data melts to NULL, which coalesces to 0 against the
+    // oracle's dense bucket x type spine — the semantics difference
+    // between "no rows" and "zero measure" made explicit. Reshaping is
+    // metadata-only on top of one aggregation; nothing here exceeds
+    // bucket x type cardinality after the agg.
+    "rel_unpivot" -> Q(
+      (s, dir) => {
+        val wide = Q.t(s, dir, "events")
+          .where(col("event_type").isin("click", "view", "error"))
+          .groupBy((col("user_id") % 8).as("bucket"))
+          .pivot("event_type", Seq("click", "error", "view"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")))
+        wide.unpivot(
+            Array(col("bucket")),
+            Array(col("click"), col("error"), col("view")),
+            "event_type", "centi_sum")
+          .select(col("bucket"), col("event_type"),
+            coalesce(col("centi_sum"), lit(0L)).as("centi_sum"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""WITH base AS (
+          SELECT user_id % 8 AS bucket, event_type,
+            CAST(round(value * 100) AS BIGINT) AS centi
+          FROM events WHERE event_type IN ('click', 'view', 'error')),
+        spine AS (
+          SELECT DISTINCT bucket FROM base),
+        types AS (SELECT unnest(['click', 'error', 'view']) AS event_type),
+        agg AS (
+          SELECT bucket, event_type, CAST(sum(centi) AS BIGINT) AS centi_sum
+          FROM base GROUP BY bucket, event_type)
+        SELECT s.bucket, t.event_type,
+          coalesce(agg.centi_sum, 0) AS centi_sum
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN agg ON agg.bucket = s.bucket AND agg.event_type = t.event_type
+        ORDER BY s.bucket, t.event_type""")),
+
     // ---- strand-aware flank (bedtools flank -l W -s analog) ----
     // For each interval, the W-base region immediately UPSTREAM of its
     // strand-aware 5' end — the promoter-extraction primitive. Pure
