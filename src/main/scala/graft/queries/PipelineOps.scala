@@ -1225,6 +1225,67 @@ object PipelineOps {
             AS auc_micro
         FROM cn""")),
 
+    // ---- Z-order layout audit (space-filling-curve clustering) ----
+    // The data-layout lever behind multi-dimensional pruning at 100 TB:
+    // files clustered by a Z-order (Morton) key keep BOTH dimensions'
+    // min/max footprints tight, so a 2-D predicate can skip most files,
+    // where single-key clustering leaves the second dimension's footprint
+    // full-range in every file. This entry interleaves two 8-bit keys
+    // with a pure-arithmetic bit fold (codegen'd, no UDF), buckets rows
+    // under both layouts, and reports each layout's bounding-box
+    // footprint sums — the naive layout's per-bucket b-extent is
+    // full-range by construction, the Z layout's boxes stay near-square
+    // (perimeter sum ~2.5x smaller on this data). The oracle recomputes
+    // the identical interleave with DuckDB bit ops.
+    "pipe_zorder_layout" -> Q(
+      (s, dir) => {
+        val keyed = Q.t(s, dir, "events")
+          .selectExpr("user_id % 256 AS a",
+            "cast(floor(value) as bigint) % 256 AS b")
+          .withColumn("z", expr(
+            """aggregate(sequence(0, 7), 0L, (acc, i) ->
+                 acc + (shiftright(a, i) % 2) * shiftleft(1L, 2 * i)
+                     + (shiftright(b, i) % 2) * shiftleft(1L, 2 * i + 1))"""))
+        def audit(df: DataFrame, bucket: Column, name: String) = df
+          .groupBy(bucket.as("bkt"))
+          .agg(min("a").as("a0"), max("a").as("a1"),
+            min("b").as("b0"), max("b").as("b1"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(expr("(a1 - a0 + 1) * (b1 - b0 + 1)")).as("area_sum"),
+            sum(expr("(a1 - a0 + 1) + (b1 - b0 + 1)")).as("perim_sum"))
+          .select(lit(name).as("layout"), col("n_buckets"),
+            col("area_sum"), col("perim_sum"))
+        audit(keyed, expr("a div 8"), "naive")
+          .union(audit(keyed, expr("z div 2048"), "zorder"))
+          .orderBy("layout")
+      },
+      Some("""WITH k AS (
+          SELECT user_id % 256 AS a,
+            CAST(floor(value) AS BIGINT) % 256 AS b
+          FROM events),
+        z AS (
+          SELECT a, b,
+            list_sum([((a // (1 << i)) % 2) * (1 << (2 * i))
+                    + ((b // (1 << i)) % 2) * (1 << (2 * i + 1))
+              for i in range(0, 8)]) AS z
+          FROM k),
+        naive AS (
+          SELECT a // 8 AS bkt, min(a) AS a0, max(a) AS a1,
+            min(b) AS b0, max(b) AS b1 FROM z GROUP BY a // 8),
+        zb AS (
+          SELECT z // 2048 AS bkt, min(a) AS a0, max(a) AS a1,
+            min(b) AS b0, max(b) AS b1 FROM z GROUP BY z // 2048),
+        ns AS (SELECT 'naive' AS layout, count(*) AS n_buckets,
+            CAST(sum((a1 - a0 + 1) * (b1 - b0 + 1)) AS BIGINT) AS area_sum,
+            CAST(sum((a1 - a0 + 1) + (b1 - b0 + 1)) AS BIGINT) AS perim_sum
+          FROM naive),
+        zsum AS (SELECT 'zorder' AS layout, count(*) AS n_buckets,
+            CAST(sum((a1 - a0 + 1) * (b1 - b0 + 1)) AS BIGINT) AS area_sum,
+            CAST(sum((a1 - a0 + 1) + (b1 - b0 + 1)) AS BIGINT) AS perim_sum
+          FROM zb)
+        SELECT * FROM ns UNION ALL SELECT * FROM zsum ORDER BY layout""")),
+
     // ---- normalization-then-dedup (the practical "exact" dedup) ----
     // Production exact-dedup never hashes raw bytes: it lowercases,
     // strips non-alphanumerics, and collapses whitespace first, so
