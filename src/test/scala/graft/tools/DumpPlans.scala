@@ -87,7 +87,27 @@ object DumpPlans {
         |pairs per partial buffer, so the exchange carries O(groups*k)
         |rows with map-side combine — the row_number-window
         |formulation (the oracle) shuffles and sorts every row. 6.5x
-        |on cached 40M-row input (BENCH_NOTES).""".stripMargin)
+        |on cached 40M-row input (BENCH_NOTES).""".stripMargin,
+    "fmt_sam_pileup" ->
+      """mpileup as relational algebra: the CIGAR walk is a codegen'd
+        |HOF fold, the reference FASTA broadcasts onto the aligned-base
+        |stream (BroadcastHashJoin — the read corpus never sort-merges),
+        |and one (pos)-keyed partial agg carries the calls.""".stripMargin,
+    "pipe_pagerank" ->
+      """Iterative mass propagation in integer micro-units: each round
+        |is ranks⋈edges + dst-keyed partial agg + dangling left-join,
+        |localCheckpoint truncating lineage per round — associative
+        |integer sums make ranks bit-identical on any partitioning.""".stripMargin,
+    "ann_filtered_topk" ->
+      """Metadata-filtered vector search: the label predicate reaches
+        |the embeddings parquet scan as a PushedFilter BEFORE any
+        |distance math, so a selective filter shrinks the corpus read
+        |itself; queries stay a broadcast fan.""".stripMargin,
+    "pipe_zorder_layout" ->
+      """Morton interleave as a pure-arithmetic codegen'd bit fold; both
+        |layout audits are ~20-group partial aggs. The Z layout's
+        |bounding boxes stay near-square — the file-skipping economics
+        |of Z-ordered writes, measured not asserted.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
