@@ -119,6 +119,20 @@ class PileupSpec extends AnyFunSuite {
     assert(out(0).getLong(2) == 2L)
   }
 
+  test("real SAM fixture: '*' cigars (unmapped) drop cleanly, insertions skip") {
+    // example.sam: r001 10M at 1, r002 5M2I3M at 25, r003 unmapped
+    // (reference/cigar/sequence all '*' -> reader nulls -> filtered,
+    // never fed to parse_cigar which rejects '*' loudly)
+    val got = Pileup.baseAlignments(graft.sources.GraftIO
+        .read_sam_file_records(spark, "src/test/resources/fixtures/sam/example.sam"))
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got.length == 18, got.toSeq)
+    val byPos = got.toMap
+    assert(byPos(1L) == "C" && byPos(10L) == "T", byPos)     // r001 span
+    assert(byPos(29L) == "A" && byPos(30L) == "T", byPos)    // insertion skipped CG
+    assert(!byPos.contains(33L))
+  }
+
   test("call rule boundaries: depth and integer alt-fraction are inclusive") {
     val s = spark
     import s.implicits._
