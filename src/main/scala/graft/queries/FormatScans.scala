@@ -59,6 +59,20 @@ object FormatScans {
       java.nio.file.Files.writeString(d.resolve("big.mzML"), sb.toString): Unit
     }
 
+  /** 40 deterministic CDS records (lengths 30..48, all multiples of 3)
+    * over the 16-char 'ATGGCCTTAGAACGTC' period, written through the
+    * FASTA writer — shared by fmt_codon_usage and fmt_protein_stats.
+    * The 16-codon phase cycle covers M/A/L/E/R/H/G/R/T/S/W/P/N/V plus
+    * a TAG stop, so translation consumers see stops without needing a
+    * second fixture. */
+  private def cdsCorpus(s: org.apache.spark.sql.SparkSession): java.nio.file.Path =
+    Stage.staged("graft-cds-fixture") { d =>
+      s.range(40).selectExpr(
+          "concat('cds', id) AS id", "cast(null as string) AS description",
+          "substr(repeat('ATGGCCTTAGAACGTC', 12), 1, 3 * (cast(id % 7 as int) + 10)) AS sequence")
+        .write.mode("overwrite").format("fasta").save(d.toString)
+    }
+
   private[queries] def pileupFixture(s: org.apache.spark.sql.SparkSession): java.nio.file.Path = {
     graft.functions.GraftFunctions.registerAll(s)
     Stage.staged("graft-pileup-fixture") { d =>
@@ -381,6 +395,35 @@ object FormatScans {
         CAST(NULL AS VARCHAR) AS name, CAST(NULL AS BIGINT) AS score, CAST(NULL AS VARCHAR) AS strand,
         CAST(8 AS BIGINT) AS thick_start, CAST(13 AS BIGINT) AS thick_end, CAST(NULL AS VARCHAR) AS color,
         CAST(2 AS BIGINT) AS block_count, '2,1' AS block_sizes, '0,3' AS block_starts""")),
+
+    // ---- GFF -> BED conversion (gff2bed coordinate-convention trip) ----
+    // The conversion every interval toolchain does daily, and the
+    // classic off-by-one factory: GFF is 1-based inclusive in the file,
+    // BED 0-based half-open. Both readers surface 1-based inclusive
+    // internally, so the conversion is a column RENAME — the writers
+    // own the file-convention shifts (+0 for GFF, -1/+0 for BED). The
+    // round trip proves it: GFF-read coordinates, written as BED and
+    // read back, are bit-identical. Oracle pins the fixture's known
+    // coordinates, so a symmetric double-shift bug (off-by-one applied
+    // twice, canceling in a self-comparison) still fails the gate.
+    "fmt_gff_to_bed" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_gff2bed").toString
+        GraftIO.read_gff(s, s"$F/gff/test.gff")
+          .selectExpr("seqname AS reference_sequence_name", "start", "end",
+            "type AS name", "cast(null as bigint) AS score", "strand",
+            "cast(null as bigint) AS thick_start", "cast(null as bigint) AS thick_end",
+            "cast(null as string) AS color", "cast(null as bigint) AS block_count",
+            "cast(null as string) AS block_sizes", "cast(null as string) AS block_starts")
+          .write.mode("overwrite").format("bed").save(dir)
+        GraftIO.read_bed_file(s, dir)
+          .selectExpr("reference_sequence_name AS chrom", "start", "end",
+            "name", "strand")
+          .orderBy("chrom")
+      },
+      Some("""SELECT 'sq0' AS chrom, CAST(8 AS BIGINT) AS start, CAST(13 AS BIGINT) AS "end",
+          'gene' AS name, '+' AS strand
+        UNION ALL SELECT 'sq1', 8, 14, 'gene', '+' ORDER BY chrom""")),
 
     // ---- BED12 block explode (bed12ToBed6) ----
     // Expands the block_sizes/block_starts columns into one row per
@@ -1516,11 +1559,7 @@ object FormatScans {
     // so writer->reader round-trip corruption would break the hash.
     "fmt_codon_usage" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_codon").toString
-        s.range(40).selectExpr(
-            "concat('cds', id) AS id", "cast(null as string) AS description",
-            "substr(repeat('ATGGCCTTAGAACGTC', 12), 1, 3 * (cast(id % 7 as int) + 10)) AS sequence")
-          .write.mode("overwrite").format("fasta").save(dir)
+        val dir = cdsCorpus(s).toString
         GraftIO.read_fasta(s, dir)
           .select(explode(expr(
             """transform(sequence(0, cast(length(sequence) div 3 as int) - 1),
@@ -1538,6 +1577,64 @@ object FormatScans {
           FROM seqs)
         SELECT codon, count(*) AS n, substr(codon, 3, 1) IN ('G', 'C') AS gc3
         FROM codons GROUP BY codon ORDER BY codon""")),
+
+    // ---- protein stats from translated CDS (composition + mass) ----
+    // Translation driven through a real consumer: translate_dna_to_aa
+    // over the shared CDS corpus, residues exploded and joined to a
+    // BROADCAST residue-mass table (average masses in exact
+    // milli-daltons; peptide mass = sum(residues) + water), stops
+    // counted but excluded from mass/length — per-protein output at
+    // record cardinality. The oracle maps codons to residues through
+    // an independent VALUES codon table instead of the engine's
+    // translation kernel, so a genetic-code bug cannot hide on both
+    // sides.
+    "fmt_protein_stats" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val dir = cdsCorpus(s).toString
+        val weights = s.sql("""SELECT * FROM VALUES
+            ('M', 131196L), ('A', 71078L), ('L', 113159L), ('E', 129114L),
+            ('R', 156186L), ('H', 137141L), ('G', 57051L), ('T', 101104L),
+            ('S', 87077L), ('W', 186213L), ('P', 97115L), ('N', 114103L),
+            ('V', 99131L) AS w(aa, mw)""")
+        GraftIO.read_fasta(s, dir)
+          .selectExpr("id", "translate_dna_to_aa(sequence) AS aas")
+          .select(col("id"), explode(split(col("aas"), "")).as("aa"))
+          .where(col("aa") =!= "")
+          .join(broadcast(weights), Seq("aa"), "left")
+          .groupBy("id")
+          .agg(
+            sum(when(col("aa") =!= "*", 1L).otherwise(0L)).as("n_res"),
+            sum(when(col("aa") === "*", 1L).otherwise(0L)).as("n_stops"),
+            (sum(coalesce(col("mw"), lit(0L))) + 18015L).as("mass_milli"))
+          .orderBy("id")
+      },
+      Some("""WITH seqs AS (
+          SELECT 'cds' || CAST(i AS VARCHAR) AS id,
+            substr(repeat('ATGGCCTTAGAACGTC', 12), 1, 3 * (i % 7 + 10)) AS seq
+          FROM range(0, 40) t(i)),
+        cod AS (
+          SELECT id, unnest([substr(seq, 3 * j + 1, 3) for j in range(0, len(seq) // 3)]) AS codon
+          FROM seqs),
+        ct(codon, aa) AS (VALUES
+          ('ATG', 'M'), ('GCC', 'A'), ('TTA', 'L'), ('GAA', 'E'),
+          ('CGT', 'R'), ('CAT', 'H'), ('GGC', 'G'), ('CTT', 'L'),
+          ('AGA', 'R'), ('ACG', 'T'), ('TCA', 'S'), ('TGG', 'W'),
+          ('CCT', 'P'), ('TAG', '*'), ('AAC', 'N'), ('GTC', 'V')),
+        wt(aa, mw) AS (VALUES
+          ('M', 131196), ('A', 71078), ('L', 113159), ('E', 129114),
+          ('R', 156186), ('H', 137141), ('G', 57051), ('T', 101104),
+          ('S', 87077), ('W', 186213), ('P', 97115), ('N', 114103),
+          ('V', 99131)),
+        res AS (
+          SELECT id, ct.aa, coalesce(wt.mw, 0) AS mw
+          FROM cod JOIN ct ON cod.codon = ct.codon
+          LEFT JOIN wt ON ct.aa = wt.aa)
+        SELECT id,
+          CAST(sum(CASE WHEN aa <> '*' THEN 1 ELSE 0 END) AS BIGINT) AS n_res,
+          CAST(sum(CASE WHEN aa = '*' THEN 1 ELSE 0 END) AS BIGINT) AS n_stops,
+          CAST(sum(mw) + 18015 AS BIGINT) AS mass_milli
+        FROM res GROUP BY id ORDER BY id""")),
 
     // ---- splice sites from exon rows (GTF -> intron donor/acceptor) ----
     // The transcript-model derivation RNA-seq tools run first: group a
