@@ -1828,6 +1828,53 @@ object FormatScans {
         UNION ALL SELECT '2', 777, 'GG', NULL
         ORDER BY chrom, pos""")),
 
+    // ---- low-complexity read filter (DUST-flavored, dinuc entropy) ----
+    // The read-QC screen adapters/polyA tails fail: Shannon entropy of
+    // each read's dinucleotide distribution, in exact micro-nats (the
+    // token-entropy discipline applied at 2-mer granularity). A
+    // homopolymer scores 0, an AT-microsatellite ln2, real sequence
+    // ~ln(distinct dinucs) — the 0.9-nat floor separates them with
+    // margin on both sides. Two map-side-combined aggs, nothing past
+    // read cardinality after the first.
+    "fmt_fastq_complexity" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_fqc").toString
+        s.range(100).selectExpr(
+            "concat('q', id) AS name", "cast(null as string) AS description",
+            """CASE WHEN id % 10 = 0 THEN repeat('A', 40)
+                WHEN id % 10 = 5 THEN repeat('AT', 20)
+                ELSE substr(repeat('ACGTTGCA', 10), cast(id % 8 as int) + 1, 40) END AS sequence""",
+            "repeat('I', 40) AS quality_scores")
+          .write.mode("overwrite").format("fastq").save(dir)
+        GraftIO.read_fastq(s, dir)
+          .select(col("name"), explode(expr(
+            "transform(sequence(1, length(sequence) - 1), i -> substr(sequence, i, 2))")).as("d"))
+          .groupBy("name", "d").agg(count(lit(1)).as("c"))
+          .groupBy("name")
+          .agg(sum("c").as("n"), sum(expr("c * ln(c)")).as("sclc"))
+          .select(col("name"),
+            expr("cast(round(1e6 * (ln(n) - sclc / n)) as bigint)").as("h_micro"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_reads"),
+            sum(when(col("h_micro") < 900000L, 1L).otherwise(0L)).as("n_low"),
+            sum("h_micro").as("h_sum"))
+      },
+      Some("""WITH r AS (
+          SELECT i AS id, CASE WHEN i % 10 = 0 THEN repeat('A', 40)
+            WHEN i % 10 = 5 THEN repeat('AT', 20)
+            ELSE substr(repeat('ACGTTGCA', 10), i % 8 + 1, 40) END AS seq
+          FROM range(0, 100) t(i)),
+        d AS (SELECT id, unnest([substr(seq, i, 2) for i in range(1, len(seq))]) AS d
+          FROM r),
+        c AS (SELECT id, d, count(*) AS c FROM d GROUP BY id, d),
+        h AS (SELECT id,
+            CAST(round(1e6 * (ln(sum(c)) - sum(c * ln(c)) / sum(c))) AS BIGINT) AS h_micro
+          FROM c GROUP BY id)
+        SELECT count(*) AS n_reads,
+          CAST(sum(CASE WHEN h_micro < 900000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+          CAST(sum(h_micro) AS BIGINT) AS h_sum
+        FROM h""")),
+
     // ---- paired-end mate synchronization (fastq_pair analog) ----
     // R1/R2 FASTQ files drift out of sync the moment any upstream
     // filter drops one mate; every aligner demands re-paired input.

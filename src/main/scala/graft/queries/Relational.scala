@@ -1330,6 +1330,43 @@ object Relational {
       Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
         FROM events GROUP BY k ORDER BY k""")),
 
+    // ---- first-touch attribution (marketing-analytics staple) ----
+    // For every purchasing user, the FIRST click at-or-before their
+    // first purchase, and the touch-to-conversion gap. One user window
+    // computes the first-purchase time; the filtered first-click agg
+    // rides the same user partitioning — a single shuffle end to end,
+    // no self-join (the naive formulation joins events to itself on
+    // user, doubling the corpus through the exchange).
+    "rel_first_touch" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        eventsTs(s, dir)
+          .where(col("event_type").isin("click", "purchase"))
+          .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+          .withColumn("p1",
+            min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+          .where(col("event_type") === "click" &&
+            col("p1").isNotNull && col("ts_us") <= col("p1"))
+          .groupBy("user_id")
+          .agg(min(col("ts_us")).as("t1"), max(col("p1")).as("p1"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_attributed"),
+            sum(expr("(p1 - t1) div 1000000")).as("gap_s_sum"),
+            max(expr("(p1 - t1) div 1000000")).as("gap_s_max"))
+      },
+      Some("""WITH p AS (
+          SELECT user_id, min(epoch_us(ts)) AS p1 FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS t1, min(p.p1) AS p1
+          FROM events e JOIN p ON e.user_id = p.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) <= p.p1
+          GROUP BY e.user_id)
+        SELECT count(*) AS n_attributed,
+          CAST(sum((p1 - t1) // 1000000) AS BIGINT) AS gap_s_sum,
+          CAST(max((p1 - t1) // 1000000) AS BIGINT) AS gap_s_max
+        FROM c""")),
+
     // ---- unpivot / melt (wide -> long, the pivot inverse) ----
     // Round-trips the relational surface's reshaping pair: pivot the
     // per-bucket event-type centi-sums wide, then melt back long with
