@@ -107,4 +107,58 @@ object VariantQC {
                     / ((1 - p) * (1 - p) * n_called)
            END, 6) AS hwe_chi2""")
   }
+
+  /** Coding-consequence classification for SNVs (the VEP/SnpEff core
+    * for the frame-0, single-interval CDS case — exon stitching
+    * composes from the GFF parentage / splice-site machinery):
+    * locate the variant's codon inside its CDS, substitute the ALT on
+    * the plus strand, orient both codons by CDS strand
+    * (reverse-complement via `reverse(translate(..))` — deliberately
+    * NOT the reference-faithful `reverse_complement` kernel, which
+    * replicates the reference's no-reversal bug), translate, and
+    * classify synonymous / missense / stop_gained / stop_lost.
+    *
+    * Scale shape: gene models and the reference contigs broadcast
+    * (annotation is MBs against TB callsets; real genomes shard this
+    * per contig), the variant stream is map-only after the two
+    * broadcast joins — no shuffle of the callset at all.
+    *
+    * @param variants (chrom, pos, ref, alt) — SNVs, `alt` a single base
+    * @param cds (cchrom, cds_start, cds_end, strand, gene_id) —
+    *   1-based inclusive, frame 0
+    * @param refFasta (id, sequence) */
+  def codingEffect(variants: DataFrame, cds: DataFrame,
+                   refFasta: DataFrame): DataFrame = {
+    GraftFunctions.registerAll(variants.sparkSession)
+    import org.apache.spark.sql.functions.broadcast
+    val c = broadcast(cds)
+    val r = broadcast(refFasta.select(col("id").as("__rchrom"),
+      col("sequence").as("__cseq")))
+    variants
+      .join(c, variants("chrom") === c("cchrom") &&
+        variants("pos") >= c("cds_start") && variants("pos") <= c("cds_end"))
+      .join(r, variants("chrom") === col("__rchrom"))
+      .withColumn("__k", expr(
+        "CASE WHEN strand = '+' THEN (pos - cds_start) div 3 ELSE (cds_end - pos) div 3 END"))
+      .withColumn("__cs", expr(
+        "CASE WHEN strand = '+' THEN cds_start + 3 * __k ELSE cds_end - 3 * __k - 2 END"))
+      .withColumn("__cp", expr("substr(__cseq, cast(__cs as int), 3)"))
+      .withColumn("__po", expr("cast(pos - __cs as int)"))
+      .withColumn("__ap", expr(
+        "concat(substr(__cp, 1, __po), alt, substr(__cp, __po + 2, 2 - __po))"))
+      .withColumn("codon_ref", expr(
+        "CASE WHEN strand = '+' THEN __cp ELSE reverse(translate(__cp, 'ACGT', 'TGCA')) END"))
+      .withColumn("codon_alt", expr(
+        "CASE WHEN strand = '+' THEN __ap ELSE reverse(translate(__ap, 'ACGT', 'TGCA')) END"))
+      .withColumn("aa_ref", expr("translate_dna_to_aa(codon_ref)"))
+      .withColumn("aa_alt", expr("translate_dna_to_aa(codon_alt)"))
+      .withColumn("effect", expr(
+        """CASE WHEN aa_ref = aa_alt THEN 'synonymous'
+                WHEN aa_alt = '*' THEN 'stop_gained'
+                WHEN aa_ref = '*' THEN 'stop_lost'
+                ELSE 'missense' END"""))
+      .select(col("chrom"), col("pos"), col("ref"), col("alt"), col("gene_id"),
+        col("codon_ref"), col("codon_alt"), col("aa_ref"), col("aa_alt"),
+        col("effect"))
+  }
 }

@@ -1875,6 +1875,83 @@ object FormatScans {
           CAST(sum(h_micro) AS BIGINT) AS h_sum
         FROM h""")),
 
+    // ---- coding consequence (VEP/SnpEff core: syn/missense/stop) ----
+    // SNVs located inside CDS intervals, codon substituted on the plus
+    // strand, both codons strand-oriented and translated — through
+    // [[graft.functions.VariantQC.codingEffect]] (gene models and
+    // reference contigs broadcast; the callset never shuffles). The
+    // fixture drives BOTH strands (a '+' gene and a '-' gene whose
+    // codons read reverse-complemented); the oracle maps codons
+    // through an independent full 64-codon VALUES genetic code, so the
+    // translation kernel is cross-checked, not replicated.
+    "fmt_vcf_coding_effect" -> Q(
+      (s, _) => {
+        val ref = s.sql("SELECT 'ref1' AS id, repeat('ACGT', 250) AS sequence")
+        val cds = s.sql("""SELECT * FROM VALUES
+            ('ref1', 101L, 400L, '+', 'G1'), ('ref1', 501L, 701L, '-', 'G2')
+          AS c(cchrom, cds_start, cds_end, strand, gene_id)""")
+        val variants = s.range(40)
+          .selectExpr("CASE WHEN id < 30 THEN 101 + 10 * id ELSE 501 + 10 * (id - 30) END AS pos")
+          .selectExpr("'ref1' AS chrom", "pos",
+            "substr(repeat('ACGT', 250), cast(pos as int), 1) AS ref")
+          .withColumn("alt", expr("translate(ref, 'ACGT', 'CGTA')"))
+        graft.functions.VariantQC.codingEffect(variants, cds, ref)
+          .orderBy("pos")
+      },
+      Some("""WITH ct(codon, aa) AS (VALUES
+          ('TTT','F'),('TTC','F'),('TTA','L'),('TTG','L'),
+          ('CTT','L'),('CTC','L'),('CTA','L'),('CTG','L'),
+          ('ATT','I'),('ATC','I'),('ATA','I'),('ATG','M'),
+          ('GTT','V'),('GTC','V'),('GTA','V'),('GTG','V'),
+          ('TCT','S'),('TCC','S'),('TCA','S'),('TCG','S'),
+          ('CCT','P'),('CCC','P'),('CCA','P'),('CCG','P'),
+          ('ACT','T'),('ACC','T'),('ACA','T'),('ACG','T'),
+          ('GCT','A'),('GCC','A'),('GCA','A'),('GCG','A'),
+          ('TAT','Y'),('TAC','Y'),('TAA','*'),('TAG','*'),
+          ('CAT','H'),('CAC','H'),('CAA','Q'),('CAG','Q'),
+          ('AAT','N'),('AAC','N'),('AAA','K'),('AAG','K'),
+          ('GAT','D'),('GAC','D'),('GAA','E'),('GAG','E'),
+          ('TGT','C'),('TGC','C'),('TGA','*'),('TGG','W'),
+          ('CGT','R'),('CGC','R'),('CGA','R'),('CGG','R'),
+          ('AGT','S'),('AGC','S'),('AGA','R'),('AGG','R'),
+          ('GGT','G'),('GGC','G'),('GGA','G'),('GGG','G')),
+        v AS (SELECT CASE WHEN i < 30 THEN 101 + 10 * i
+                ELSE 501 + 10 * (i - 30) END AS pos
+          FROM range(0, 40) t(i)),
+        va AS (SELECT pos,
+            substr(repeat('ACGT', 250), CAST(pos AS INTEGER), 1) AS ref,
+            translate(substr(repeat('ACGT', 250), CAST(pos AS INTEGER), 1),
+              'ACGT', 'CGTA') AS alt,
+            CASE WHEN pos <= 400 THEN '+' ELSE '-' END AS strand,
+            CASE WHEN pos <= 400 THEN 'G1' ELSE 'G2' END AS gene_id
+          FROM v),
+        h AS (SELECT *,
+            CASE WHEN strand = '+' THEN 101 + 3 * ((pos - 101) // 3)
+                 ELSE 701 - 3 * ((701 - pos) // 3) - 2 END AS cs
+          FROM va),
+        cp AS (SELECT *,
+            substr(repeat('ACGT', 250), CAST(cs AS INTEGER), 3) AS codon_plus,
+            CAST(pos - cs AS INTEGER) AS po
+          FROM h),
+        ap AS (SELECT *,
+            substr(codon_plus, 1, po) || alt || substr(codon_plus, po + 2, 2 - po) AS alt_plus
+          FROM cp),
+        o AS (SELECT pos, ref, alt, gene_id,
+            CASE WHEN strand = '+' THEN codon_plus
+                 ELSE reverse(translate(codon_plus, 'ACGT', 'TGCA')) END AS codon_ref,
+            CASE WHEN strand = '+' THEN alt_plus
+                 ELSE reverse(translate(alt_plus, 'ACGT', 'TGCA')) END AS codon_alt
+          FROM ap)
+        SELECT 'ref1' AS chrom, o.pos, o.ref, o.alt, o.gene_id,
+          o.codon_ref, o.codon_alt, cr.aa AS aa_ref, ca.aa AS aa_alt,
+          CASE WHEN cr.aa = ca.aa THEN 'synonymous'
+               WHEN ca.aa = '*' THEN 'stop_gained'
+               WHEN cr.aa = '*' THEN 'stop_lost'
+               ELSE 'missense' END AS effect
+        FROM o JOIN ct cr ON o.codon_ref = cr.codon
+        JOIN ct ca ON o.codon_alt = ca.codon
+        ORDER BY o.pos""")),
+
     // ---- paired-end mate synchronization (fastq_pair analog) ----
     // R1/R2 FASTQ files drift out of sync the moment any upstream
     // filter drops one mate; every aligner demands re-paired input.

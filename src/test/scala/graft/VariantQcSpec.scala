@@ -164,4 +164,38 @@ class VariantQcSpec extends AnyFunSuite {
       ((4L, 2L, 2L, 3L)))
     assert(r.getDouble(4) == 1.0)
   }
+
+  test("codingEffect: hand-computed codons on both strands") {
+    val s = spark
+    import s.implicits._
+    // contig c1 = ATGGCATAA: '+' gene over 1..9 (M, A, *)
+    // contig c2 = TTACATCAT: '-' gene over 1..9 — reading revcomp from
+    // the 3' end: codon0 = revcomp(CAT @7..9) = ATG (M)
+    val ref = Seq(("c1", "ATGGCATAA"), ("c2", "TTACATCAT")).toDF("id", "sequence")
+    val cds = Seq(("c1", 1L, 9L, "+", "P"), ("c2", 1L, 9L, "-", "M"))
+      .toDF("cchrom", "cds_start", "cds_end", "strand", "gene_id")
+    val variants = Seq(
+      ("c1", 4L, "G", "T"), // GCA -> TCA: A -> S, missense
+      ("c1", 6L, "A", "G"), // GCA -> GCG: A -> A, synonymous
+      ("c1", 7L, "T", "G"), // TAA -> GAA: * -> E, stop_lost
+      ("c1", 3L, "G", "A"), // ATG -> ATA: M -> I, missense
+      ("c2", 8L, "A", "G"), // plus CAT -> CGT, oriented ATG -> ACG: M -> T
+      ("c2", 9L, "T", "A")) // plus CAT -> CAA, oriented ATG -> TTG: M -> L
+      .toDF("chrom", "pos", "ref", "alt")
+    val got = VariantQC.codingEffect(variants, cds, ref)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(5), r.getString(6), r.getString(7), r.getString(8), r.getString(9)))
+      .toMap
+    assert(got(("c1", 4L)) == (("GCA", "TCA", "A", "S", "missense")), got)
+    assert(got(("c1", 6L)) == (("GCA", "GCG", "A", "A", "synonymous")), got)
+    assert(got(("c1", 7L)) == (("TAA", "GAA", "*", "E", "stop_lost")), got)
+    assert(got(("c1", 3L)) == (("ATG", "ATA", "M", "I", "missense")), got)
+    assert(got(("c2", 8L)) == (("ATG", "ACG", "M", "T", "missense")), got)
+    assert(got(("c2", 9L)) == (("ATG", "TTG", "M", "L", "missense")), got)
+    // a variant outside every CDS yields no row (inner join semantics)
+    val none = VariantQC.codingEffect(
+      Seq(("c1", 99L, "A", "C")).toDF("chrom", "pos", "ref", "alt"), cds, ref)
+    assert(none.count() == 0L)
+  }
 }
