@@ -228,8 +228,22 @@ object PipelineTableFunctions {
       if (args.length > 5) num(args(5), "minMatch") else 0.95))
   }
 
+  /** coding_effect(variantsTable, cdsTable, refTable) — SNV
+    * consequence classification through VariantQC.codingEffect; the
+    * three table arguments carry the documented column contracts
+    * (variants: chrom/pos/ref/alt; cds: cchrom/cds_start/cds_end/
+    * strand/gene_id; ref: id/sequence). */
+  private def codingEffectBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "coding_effect(variantsTable, cdsTable, refTable)")
+    plan(graft.functions.VariantQC.codingEffect(
+      tbl(args(0), "variantsTable"), tbl(args(1), "cdsTable"),
+      tbl(args(2), "refTable")))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("coding_effect", codingEffectBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("lift_positions", liftPositionsBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("lift_intervals", liftIntervalsBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("orf_stats", orfStatsBuilder, "scala_udf")

@@ -86,6 +86,48 @@ object StreamingQ {
         CAST(CAST(sum(CAST(value AS $DEC_SQL)) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- sliding (overlapping) windows: each event in TWO windows ----
+    // The tumbling entries prove one-window assignment; this one pins
+    // the overlap semantics — window('2 hours' slide '1 hour') fans
+    // each event into exactly two windows, which the oracle replays as
+    // a two-element unnest per event. Same complete-mode shape and
+    // 4-partition state sizing as the hourly entry; sums ride exact
+    // centi-units so the double fan-out cannot hide a float-order
+    // hazard.
+    "stream_events_sliding" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val tbl = "graft_stream_events_sliding"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = Stage.staged(s"graft-stream:$dir") { d =>
+          stageEvents(s, dir, Stage.tempDir("graft-stream-norm"), d,
+            "events.parquet", 0)
+        }
+        Q.withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(stagedEventsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)
+            .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(expr("cast(round(value * 100) as bigint)")).as("centi_sum"))
+            .select(
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+              col("event_type"), col("n"), col("centi_sum"))
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(tbl).orderBy("win_start", "event_type")
+      },
+      Some("""WITH w AS (SELECT event_type, value,
+            unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                    date_trunc('hour', ts)]) AS ws
+          FROM events)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+          count(*) AS n,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS centi_sum
+        FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
     // The production-shape variant: append output mode + a 2 h watermark,
     // so state is BOUNDED — a window's state is dropped once the
     // watermark passes its end, which is what makes this runnable against

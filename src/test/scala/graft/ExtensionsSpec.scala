@@ -123,6 +123,19 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT id, score_raw FROM quality_score('ext_docs', 'ext_weights', 'id', 'body')")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(qs == Map(10L -> 3L, 11L -> 3L, 12L -> -5L), qs)
+      // coding_effect TVF: the three-table consequence classifier
+      Seq(("c1", 4L, "G", "T")).toDF("chrom", "pos", "ref", "alt")
+        .createOrReplaceTempView("ext_snvs")
+      Seq(("c1", 1L, 9L, "+", "P"))
+        .toDF("cchrom", "cds_start", "cds_end", "strand", "gene_id")
+        .createOrReplaceTempView("ext_cds")
+      Seq(("c1", "ATGGCATAA")).toDF("id", "sequence")
+        .createOrReplaceTempView("ext_ref")
+      val eff = s.sql(
+        "SELECT codon_ref, codon_alt, effect FROM coding_effect('ext_snvs', 'ext_cds', 'ext_ref')")
+        .collect().head
+      assert((eff.getString(0), eff.getString(1), eff.getString(2)) ==
+        (("GCA", "TCA", "missense")), eff.toString)
       // sam_pileup / sam_consensus TVFs: the mpileup composition from
       // SQL — path-literal arguments resolve to the Pileup facade plans
       val pdir = java.nio.file.Files.createTempDirectory("ext_pileup")
