@@ -396,6 +396,56 @@ object FormatScans {
         CAST(8 AS BIGINT) AS thick_start, CAST(13 AS BIGINT) AS thick_end, CAST(NULL AS VARCHAR) AS color,
         CAST(2 AS BIGINT) AS block_count, '2,1' AS block_sizes, '0,3' AS block_starts""")),
 
+    // ---- BAM write round trip (the binary writer) ----
+    // 500 generated alignments — two contigs, an unmapped class (null
+    // reference/start/cigar/quality), a missing-quality class (0xFF
+    // bytes on the wire) — through the BGZF BAM writer and back through
+    // the native BAM decoder. The oracle recomputes the per-contig
+    // census from the generating arithmetic, with `end` derived from
+    // the CIGAR span the way the READER computes it (the input's end
+    // column is not part of the BAM record). BamWriteSpec carries the
+    // row-identity and split-read coverage; the gate pins the values.
+    "fmt_bam_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_bamw").toString
+        s.range(500).selectExpr(
+            "concat('r', id) AS name",
+            "cast(CASE WHEN id % 10 = 9 THEN 4 ELSE 0 END as int) AS flag",
+            "CASE WHEN id % 10 = 9 THEN cast(null as string) ELSE concat('c', id % 2 + 1) END AS reference",
+            "CASE WHEN id % 10 = 9 THEN cast(null as bigint) ELSE id % 800 + 1 END AS start",
+            "CASE WHEN id % 10 = 9 THEN cast(null as bigint) ELSE id % 800 + 20 END AS end",
+            "CASE WHEN id % 10 = 9 THEN cast(null as string) ELSE cast(id % 60 as string) END AS mapping_quality",
+            "CASE WHEN id % 10 = 9 THEN cast(null as string) ELSE '20M' END AS cigar",
+            "cast(null as string) AS mate_reference",
+            "substr(repeat('ACGTGGCCTTAA', 2), cast(id % 5 as int) + 1, 20) AS sequence",
+            "CASE WHEN id % 3 = 0 THEN cast(null as string) ELSE repeat('I', 20) END AS quality_score")
+          .write.mode("overwrite").option("refs", "c1:1000,c2:1000")
+          .format("bam").save(dir)
+        GraftIO.read_bam_file_records(s, dir)
+          .groupBy(coalesce(col("reference"), lit("unmapped")).as("ref"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("start")).as("start_sum"),
+            sum(col("end") - col("start") + 1).as("span_sum"),
+            sum(col("mapping_quality").cast("long")).as("mapq_sum"),
+            sum(length(col("sequence"))).cast("long").as("base_sum"),
+            sum(when(col("quality_score").isNull, 1L).otherwise(0L)).as("n_noqual"))
+          .orderBy("ref")
+      },
+      Some("""WITH g AS (
+          SELECT i AS id,
+            CASE WHEN i % 10 = 9 THEN 'unmapped' ELSE 'c' || CAST(i % 2 + 1 AS VARCHAR) END AS ref,
+            CASE WHEN i % 10 = 9 THEN NULL ELSE i % 800 + 1 END AS start,
+            CASE WHEN i % 10 = 9 THEN NULL ELSE i % 60 END AS mapq,
+            CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS noqual
+          FROM range(0, 500) t(i))
+        SELECT ref, count(*) AS n,
+          CAST(sum(start) AS BIGINT) AS start_sum,
+          CAST(sum(CASE WHEN start IS NULL THEN NULL ELSE 20 END) AS BIGINT) AS span_sum,
+          CAST(sum(mapq) AS BIGINT) AS mapq_sum,
+          CAST(count(*) * 20 AS BIGINT) AS base_sum,
+          CAST(sum(noqual) AS BIGINT) AS n_noqual
+        FROM g GROUP BY ref ORDER BY ref""")),
+
     // ---- GFF -> BED conversion (gff2bed coordinate-convention trip) ----
     // The conversion every interval toolchain does daily, and the
     // classic off-by-one factory: GFF is 1-based inclusive in the file,

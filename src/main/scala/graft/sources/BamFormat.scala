@@ -26,6 +26,7 @@ object BamFormat extends GraftFormat {
   override def name = "bam"
   override def extensions = Seq("bam")
   override def forcedCodec: Option[String] = Some("gzip")
+  override def formatter: Option[graft.sources.core.RecordFormatter] = Some(BamFormatter)
   /** Not text-splittable, but BGZF-block-splittable: tasks sync to a
     * block header and find the first record boundary with a validated
     * prologue guesser (see guessRecordStart). */

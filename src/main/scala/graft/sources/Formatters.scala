@@ -326,3 +326,162 @@ object GffFormatter extends graft.sources.core.GenomicRecordFormatter {
     s"${s(0)}\t${s(1)}\t${s(2)}\t$start\t$end\t$score\t${s(6)}\t${s(7)}\t$attrs\n"
   }
 }
+
+/** BAM rendering — the library's first BINARY writer. BGZF container
+  * (forced — a .bam IS bgzf, so the codec suffix is suppressed), BAM v1
+  * record layout mirroring [[graft.sources.BamFormat]]'s decoder field
+  * for field, so parse ∘ write = id holds at the record level for the
+  * 10-column schema (tags are not surfaced by the reader and not
+  * written). Requires `option("refs", "name:length,...")`: BAM records
+  * address the header's reference dictionary BY INDEX, and a
+  * distributed writer cannot discover the dictionary without a second
+  * pass — the caller states it, every part file carries the same
+  * header, and any record naming an undeclared reference fails loudly
+  * instead of silently renumbering.
+  */
+object BamFormatter extends graft.sources.core.RecordFormatter {
+  override def fileExtension = ".bam"
+  override def writeForcedCodec: Option[String] = Some("bgzf")
+  override def suppressCodecSuffix: Boolean = true
+  override def format(row: InternalRow, schema: StructType): String =
+    throw new UnsupportedOperationException("BAM is binary — formatBytes is the write path")
+
+  private val CigarOps = "MIDNSHP=X"
+  private val SeqCode = "=ACMGRSVTWYHKDBN"
+  private val seqNibble: Array[Byte] = {
+    val t = Array.fill[Byte](256)(15) // unknown bases encode as N
+    SeqCode.zipWithIndex.foreach { case (c, i) =>
+      t(c.toInt) = i.toByte
+      t(c.toLower.toInt) = i.toByte
+    }
+    t
+  }
+
+  private val refCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[(String, Int)], Map[String, Int])]()
+
+  private def refs(options: Map[String, String]): (Array[(String, Int)], Map[String, Int]) = {
+    val spec = options.getOrElse("refs", throw new IllegalArgumentException(
+      "bam write needs option(\"refs\", \"name:length,...\") — records address " +
+        "the header's reference dictionary by index"))
+    refCache.computeIfAbsent(spec, s => {
+      val arr = s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { p =>
+        val i = p.lastIndexOf(':')
+        require(i > 0, s"bad refs entry '$p' (want name:length)")
+        (p.substring(0, i), p.substring(i + 1).toInt)
+      }.toArray
+      require(arr.nonEmpty, "option(\"refs\") declared no references")
+      (arr, arr.iterator.map(_._1).zipWithIndex.toMap)
+    })
+  }
+
+  override def fileHeaderBytes(firstRow: Option[InternalRow], schema: StructType,
+                               options: Map[String, String]): Option[Array[Byte]] = {
+    val (arr, _) = refs(options)
+    val text = ("@HD\tVN:1.6\tSO:unknown\n" +
+      arr.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val size = 4 + 4 + text.length + 4 +
+      arr.iterator.map { case (n, _) => 4 + n.length + 1 + 4 }.sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('A'.toByte).put('M'.toByte).put(1.toByte)
+    bb.putInt(text.length).put(text)
+    bb.putInt(arr.length)
+    arr.foreach { case (n, l) =>
+      bb.putInt(n.length + 1)
+      bb.put(n.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).put(0.toByte)
+      bb.putInt(l)
+    }
+    Some(bb.array())
+  }
+
+  /** samtools reg2bin over [beg, end) 0-based half-open. */
+  private def reg2bin(beg: Int, end0: Int): Int = {
+    val end = end0 - 1
+    if (beg >> 14 == end >> 14) ((1 << 15) - 1) / 7 + (beg >> 14)
+    else if (beg >> 17 == end >> 17) ((1 << 12) - 1) / 7 + (beg >> 17)
+    else if (beg >> 20 == end >> 20) ((1 << 9) - 1) / 7 + (beg >> 20)
+    else if (beg >> 23 == end >> 23) ((1 << 6) - 1) / 7 + (beg >> 23)
+    else if (beg >> 26 == end >> 26) ((1 << 3) - 1) / 7 + (beg >> 26)
+    else 0
+  }
+
+  override def formatBytes(row: InternalRow, schema: StructType,
+                           options: Map[String, String]): Array[Byte] = {
+    val (_, idx) = refs(options)
+    def str(i: Int): String =
+      if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+    def ridOf(name: String, what: String): Int =
+      if (name == null) -1
+      else idx.getOrElse(name, throw new IllegalArgumentException(
+        s"$what '$name' is not in option(\"refs\") — declare every reference"))
+    val name = { val n = str(0); if (n == null) "*" else n }
+    require(name.length <= 254, s"read name too long for BAM (${name.length})")
+    val flag = row.getInt(1)
+    val refId = ridOf(str(2), "reference")
+    val pos0 = if (row.isNullAt(3)) -1 else (row.getLong(3) - 1).toInt
+    val mapq = { val m = str(5); if (m == null) 255 else m.toInt }
+    val cigar = str(6)
+    val nextRefId = ridOf(str(7), "mate_reference")
+    val seq = str(8)
+    val qual = str(9)
+    val lSeq = if (seq == null) 0 else seq.length
+    require(qual == null || qual.length == lSeq,
+      s"quality length ${if (qual == null) -1 else qual.length} != sequence length $lSeq for '$name'")
+    // CIGAR -> packed (len << 4 | op) ops, tracking the reference span
+    var ops = Array.empty[Int]
+    var refSpan = 0
+    if (cigar != null) {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < cigar.length) {
+        var len = 0
+        val s0 = i
+        while (i < cigar.length && cigar.charAt(i).isDigit) {
+          len = len * 10 + (cigar.charAt(i) - '0'); i += 1
+        }
+        require(i > s0 && i < cigar.length, s"invalid CIGAR '$cigar'")
+        val op = CigarOps.indexOf(cigar.charAt(i))
+        require(op >= 0, s"invalid CIGAR op '${cigar.charAt(i)}' in '$cigar'")
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) refSpan += len
+        buf += ((len << 4) | op)
+        i += 1
+      }
+      ops = buf.toArray
+    }
+    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val bodyLen = 32 + nameBytes.length + 1 + 4 * ops.length + (lSeq + 1) / 2 + lSeq
+    val bb = java.nio.ByteBuffer.allocate(4 + bodyLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(bodyLen)
+    bb.putInt(refId)
+    bb.putInt(pos0)
+    bb.put((nameBytes.length + 1).toByte)
+    bb.put(mapq.toByte)
+    bb.putShort(
+      (if (pos0 < 0) 0
+       else reg2bin(pos0, pos0 + math.max(refSpan, 1))).toShort)
+    bb.putShort(ops.length.toShort)
+    bb.putShort(flag.toShort)
+    bb.putInt(lSeq)
+    bb.putInt(nextRefId)
+    bb.putInt(-1) // next_pos: not in the 10-column schema
+    bb.putInt(0)  // tlen: not in the 10-column schema
+    bb.put(nameBytes).put(0.toByte)
+    ops.foreach(bb.putInt)
+    var i = 0
+    while (i < lSeq) {
+      val hi = seqNibble(seq.charAt(i).toInt & 0xff)
+      val lo = if (i + 1 < lSeq) seqNibble(seq.charAt(i + 1).toInt & 0xff) else 0
+      bb.put(((hi << 4) | lo).toByte)
+      i += 2
+    }
+    i = 0
+    while (i < lSeq) {
+      bb.put(if (qual == null) 0xff.toByte else (qual.charAt(i) - 33).toByte)
+      i += 1
+    }
+    bb.array()
+  }
+}

@@ -24,6 +24,26 @@ trait RecordFormatter extends Serializable {
     * before the first record's bytes so index virtual offsets stay
     * correct. */
   def fileHeader(firstRow: Option[InternalRow], schema: StructType): Option[String] = None
+
+  /** Byte-level rendering hooks — the write path calls THESE, and the
+    * defaults delegate to the text methods, so text formatters stay
+    * one-method. Binary formats (BAM) override the byte pair and leave
+    * `format` unimplemented; `options` carries write-time parameters a
+    * binary header may need (BAM's reference dictionary). */
+  def formatBytes(row: InternalRow, schema: StructType,
+                  options: Map[String, String]): Array[Byte] =
+    format(row, schema).getBytes("UTF-8")
+  def fileHeaderBytes(firstRow: Option[InternalRow], schema: StructType,
+                      options: Map[String, String]): Option[Array[Byte]] =
+    fileHeader(firstRow, schema).map(_.getBytes("UTF-8"))
+
+  /** A codec the format REQUIRES on the write side (BAM is BGZF by
+    * definition); overrides any `compression` option. */
+  def writeForcedCodec: Option[String] = None
+
+  /** True when the codec suffix must not decorate the file name (a
+    * .bam IS bgzf — "part-*.bam.gz" would be wrong). */
+  def suppressCodecSuffix: Boolean = false
 }
 
 /** A formatter whose records carry genomic coordinates, making its
@@ -178,7 +198,8 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val codec = options.get("compression").map(_.toLowerCase).filter(_ != "none")
+    val codec = formatter.writeForcedCodec
+      .orElse(options.get("compression").map(_.toLowerCase)).filter(_ != "none")
     // Sidecar tabix indexing: each part file gets its own .tbi, built in
     // the task that writes it (no extra pass, no driver funnel). Demands
     // BGZF framing (virtual offsets only exist there) and a formatter
@@ -207,6 +228,7 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
     val csiMinShift = options.get("index.minshift").map(_.toInt).getOrElse(14)
     val csiDepth = options.get("index.depth").map(_.toInt).getOrElse(5)
     val ext = formatter.fileExtension + (codec match {
+      case _ if formatter.suppressCodecSuffix => ""
       case Some("gzip") | Some("bgzf") => ".gz" // bgzf IS gzip on the wire
       case Some("zstd")                => ".zst"
       case _                           => ""
@@ -292,18 +314,18 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
     def writeRecord(s: Sink, record: InternalRow): Unit = {
       if (!s.headerWritten) {
         s.headerWritten = true
-        formatter.fileHeader(Some(record), schema)
-          .foreach(h => s.out.write(h.getBytes("UTF-8")))
+        formatter.fileHeaderBytes(Some(record), schema, options)
+          .foreach(s.out.write)
       }
       s.idx match {
         case Some(builder) =>
           val gf = formatter.asInstanceOf[GenomicRecordFormatter]
           val (name, beg0, end0) = gf.coordsOf(record, schema)
           val voffBeg = s.bgzf.get.virtualOffset
-          s.out.write(formatter.format(record, schema).getBytes("UTF-8"))
+          s.out.write(formatter.formatBytes(record, schema, options))
           builder.add(name, beg0, end0, voffBeg, s.bgzf.get.virtualOffset)
         case None =>
-          s.out.write(formatter.format(record, schema).getBytes("UTF-8"))
+          s.out.write(formatter.formatBytes(record, schema, options))
       }
     }
 
@@ -314,8 +336,8 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
         s.headerWritten = true
         // a zero-record part still carries the format's header, so it
         // reads back as an empty—not malformed—file
-        formatter.fileHeader(None, schema)
-          .foreach(h => s.out.write(h.getBytes("UTF-8")))
+        formatter.fileHeaderBytes(None, schema, options)
+          .foreach(s.out.write)
       }
       s.out.close()
       s.idx match {
