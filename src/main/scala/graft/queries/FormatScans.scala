@@ -446,6 +446,53 @@ object FormatScans {
           CAST(sum(noqual) AS BIGINT) AS n_noqual
         FROM g GROUP BY ref ORDER BY ref""")),
 
+    // ---- binary BCF write round-trip (BcfFormatter) ----
+    // Synthesized genotyped callset -> .bcf (BGZF container, typed
+    // encoding, reconstructed header dictionary) -> native BCF decode
+    // -> census. The oracle is the generating arithmetic, so any
+    // encode/decode disagreement (dict index drift, GT packing, typed
+    // INFO widths, FILTER resolution) breaks the hash.
+    "fmt_bcf_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_bcfw").toString
+        s.range(600).selectExpr(
+            "concat('c', id % 2 + 1) AS chrom",
+            "id + 1 AS pos",
+            "cast(null as string) AS id",
+            "'A' AS ref",
+            "array('T') AS alt",
+            "cast(id % 50 as float) AS qual",
+            "CASE WHEN id % 11 = 0 THEN 'q10' ELSE 'PASS' END AS filter",
+            "named_struct('dp', cast(id % 250 as int)) AS info",
+            "'GT:GQ' AS format",
+            "array(concat(CASE WHEN id % 3 = 0 THEN '0|1' ELSE '0/0' END, ':', id % 60), " +
+              "concat('1/1:', id % 30)) AS genotypes")
+          .write.mode("overwrite")
+          .option("contigs", "c1,c2").option("filters", "q10")
+          .option("formats", "GQ:Integer")
+          .format("bcf").save(dir)
+        GraftIO.read_bcf_file_records(s, dir)
+          .groupBy(col("chrom"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("pos")).as("pos_sum"),
+            sum(col("info.dp").cast("long")).as("dp_sum"),
+            sum(col("qual").cast("long")).as("qual_sum"),
+            sum(when(col("filter") === "q10", 1L).otherwise(0L)).as("n_q10"),
+            sum(expr("size(filter(genotypes_typed, g -> g.gt = '0|1'))").cast("long")).as("het"),
+            sum(expr("aggregate(genotypes_typed, 0L, (a, g) -> a + g.gq)")).as("gq_sum"))
+          .orderBy("chrom")
+      },
+      Some("""WITH g AS (SELECT i, 'c' || CAST(i % 2 + 1 AS VARCHAR) AS chrom
+          FROM range(0, 600) t(i))
+        SELECT chrom, count(*) AS n,
+          CAST(sum(i + 1) AS BIGINT) AS pos_sum,
+          CAST(sum(i % 250) AS BIGINT) AS dp_sum,
+          CAST(sum(i % 50) AS BIGINT) AS qual_sum,
+          CAST(sum(CASE WHEN i % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_q10,
+          CAST(sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS het,
+          CAST(sum((i % 60) + (i % 30)) AS BIGINT) AS gq_sum
+        FROM g GROUP BY chrom ORDER BY chrom""")),
+
     // ---- GFF -> BED conversion (gff2bed coordinate-convention trip) ----
     // The conversion every interval toolchain does daily, and the
     // classic off-by-one factory: GFF is 1-based inclusive in the file,

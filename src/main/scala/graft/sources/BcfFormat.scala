@@ -28,6 +28,7 @@ object BcfFormat extends GraftFormat {
   override def name = "bcf"
   override def extensions = Seq("bcf")
   override def forcedCodec: Option[String] = Some("gzip")
+  override def formatter: Option[graft.sources.core.RecordFormatter] = Some(BcfFormatter)
   /** BGZF-block-splittable like BAM: tasks sync to a block header and
     * find the first record with a validated-prologue guesser (the
     * header's exact sample count makes BCF prologues even more
@@ -95,8 +96,16 @@ object BcfFormat extends GraftFormat {
         finally raw.in.close()
       Regions.mergeChunks(regions.flatMap { region =>
         val (chr, lo, hi) = VcfFormat.parseRegion(region)
-        idx.queryByRid(contigs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, idx.maxPos))
-          .map(c => (c.beg, c.end))
+        // name-addressed when the sidecar carries names (our own writer's
+        // tabix-flavored aux — robust when a part file holds only later
+        // contigs and rids renumber); rid arithmetic through the header's
+        // ##contig order otherwise (htslib BCF CSIs have empty aux)
+        val chunks =
+          if (idx.names.nonEmpty)
+            idx.queryByName(chr, math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+          else
+            idx.queryByRid(contigs.indexOf(chr), math.max(lo - 1, 0), math.min(hi, idx.maxPos))
+        chunks.map(c => (c.beg, c.end))
       })
     }
 
@@ -392,7 +401,9 @@ object BcfFormat extends GraftFormat {
       if (!end && !ended) {
         if (isGt) {
           if (i > 0) sb.append(if ((raw & 1) == 1) '|' else '/')
-          if (missing || raw == 0) sb.append('.')
+          // raw <= 1: missing allele with either phase bit (htslib
+          // encodes phased '.' as 1 — (allele+1)<<1 with allele = -1)
+          if (missing || raw <= 1) sb.append('.')
           else sb.append((raw >> 1) - 1)
         } else {
           if (i > 0) sb.append(',')
