@@ -48,6 +48,10 @@ object GraftFunctions {
     "extract_from_cigar" -> (e => ExtractFromCigar(e(0), e(1))),
     "quality_score_string_to_list" -> (e => QualityScoreStringToList(e.head)),
     "gff_parse_attributes" -> (e => GffParseAttributes(e.head)),
+    "norm_variant" -> (e => NormVariant(e(0), e(1), e(2))),
+    "split_genotype" -> (e => SplitGenotype(e(0), e(1))),
+    "quality_trim_length" -> (e => QualityTrimLength(e(0), e(1), e(2))),
+    "mendel_violation" -> (e => MendelViolation(e(0), e(1), e(2))),
     "exondb_version" -> (_ => Literal(ExonDbVersion)),
     // graft-native pipeline kernels (sketches + cosine)
     "graft_simhash32" -> (e => SimHash32(e.head)),

@@ -123,4 +123,82 @@ object SeqAnalysis {
           lit(0))).as("longest_aa"))
       .selectExpr(s"__oid AS `$idCol`", "strand", "n_orfs", "longest_aa")
   }
+
+  /** Assembly contiguity statistics (QUAST-style) over a contig-length
+    * column: contig count, total bases, longest contig, and the
+    * N50/L50/N90 family — N50 is the length of the contig at which the
+    * cumulative sum of lengths, taken longest-first, first reaches
+    * half the assembly; L50 its 1-based rank; N90 the 90% analog.
+    *
+    * All thresholds are computed in INTEGER arithmetic
+    * (2*cum >= total, 10*cum >= 9*total) so the oracle can restate
+    * them exactly. The global-ordered window is deliberate: the frame
+    * reduces to one i64 per contig before sorting, and even a
+    * vertebrate assembly is a few million rows — the single-task sort
+    * is on a tiny projection, not the sequence data. */
+  def assemblyStats(df: DataFrame, lengthCol: String = "length"): DataFrame = {
+    require(df.columns.contains(lengthCol),
+      s"SeqAnalysis.assemblyStats: no column '$lengthCol'")
+    import org.apache.spark.sql.expressions.Window
+    val lens = df.select(col(lengthCol).cast("long").as("len")).where(col("len") > 0)
+    val tot = lens.agg(sum("len").as("total"), count(lit(1)).as("n_contigs"),
+      max("len").as("max_len"))
+    val w = Window.orderBy(col("len").desc)
+    lens.withColumn("cum", sum("len").over(w))
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .agg(
+        first("n_contigs").as("n_contigs"),
+        first("total").as("total_bases"),
+        first("max_len").as("max_len"),
+        max(when(expr("2 * cum >= total"), col("len"))).as("n50"),
+        min(when(expr("2 * cum >= total"), col("rk"))).cast("long").as("l50"),
+        max(when(expr("10 * cum >= 9 * total"), col("len"))).as("n90"))
+  }
+
+  /** Mash-style genome comparison via bottom-k k-mer sketches (Ondov
+    * et al. 2016): each sequence reduces to its `sketchSize` smallest
+    * distinct k-mer hashes; for every genome pair the Jaccard estimate
+    * is |S(A) ∩ S(B) ∩ S(A ∪ B)| / |S(A ∪ B)| over the union's own
+    * bottom-k — the unbiased containment trick that lets two fixed-size
+    * sketches stand in for full k-mer sets. Hashes follow the engine-
+    * recomputable md5 convention the minimizer/winnowing family uses,
+    * so the oracle can rebuild identical sketches. Jaccard is reported
+    * in integer micro fixed-point.
+    *
+    * Scale shape: genomes of any length reduce to `sketchSize` i64
+    * rows BEFORE any join; the pair fan is over sketches, never
+    * sequences — the whole comparison is O(n² · sketchSize) on tiny
+    * rows with the pair list broadcast. */
+  def mashSketchJaccard(df: DataFrame, idCol: String = "id",
+                        seqCol: String = "sequence", k: Int = 8,
+                        sketchSize: Int = 16): DataFrame = {
+    require(df.columns.contains(idCol) && df.columns.contains(seqCol),
+      s"SeqAnalysis.mashSketchJaccard: need columns '$idCol' and '$seqCol'")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df.select(col(idCol).as("gid"), col(seqCol).as("seq"))
+      .where(length(col("seq")) >= k)
+      .select(col("gid"), explode(expr(
+        s"""array_distinct(transform(sequence(1, length(seq) - ${k - 1}), i ->
+              cast(conv(substr(md5(substring(seq, i, $k)), 1, 15), 16, 10) as bigint)))"""))
+        .as("h"))
+    val sk = hashes
+      .withColumn("rk", row_number().over(Window.partitionBy("gid").orderBy("h")))
+      .where(col("rk") <= sketchSize).select("gid", "h")
+    val gids = sk.select("gid").distinct()
+    val pairKeys = broadcast(gids.select(col("gid").as("ga"))
+      .crossJoin(gids.select(col("gid").as("gb")))
+      .where(col("ga") < col("gb")))
+    pairKeys.join(sk, col("gid") === col("ga") || col("gid") === col("gb"))
+      .groupBy("ga", "gb", "h")
+      .agg(max(when(col("gid") === col("ga"), 1).otherwise(0)).as("ina"),
+        max(when(col("gid") === col("gb"), 1).otherwise(0)).as("inb"))
+      .withColumn("rk", row_number().over(Window.partitionBy("ga", "gb").orderBy("h")))
+      .where(col("rk") <= sketchSize)
+      .groupBy("ga", "gb")
+      .agg(sum(when(col("ina") + col("inb") === 2, 1L).otherwise(0L)).as("shared"),
+        count(lit(1)).as("union_k"))
+      .selectExpr("ga", "gb", "shared", "union_k",
+        "shared * 1000000 div union_k AS jaccard_micro")
+  }
 }

@@ -209,6 +209,114 @@ object SeqOps {
     new GenericInternalRow(Array[Any](start, end, seq.substringSQL(start + 1, end - start)))
   }
 
+  /** Parsimonious variant representation (the reference-free half of
+    * bcftools norm / vt normalize): trim the shared SUFFIX of ref/alt,
+    * then the shared PREFIX (advancing pos per leading base removed),
+    * always keeping at least one anchor base on each side — so
+    * `pos=100 ref=ACGT alt=ACT` normalizes to `pos=101 ref=CG alt=C`
+    * and a SNP buried in redundant padding collapses to the 1bp
+    * substitution. Symbolic alleles (`<DEL>`, `<*>`), breakends and
+    * missing alts pass through untouched: their textual padding is
+    * semantic, not redundancy. Full left-ALIGNMENT of indels
+    * additionally needs the reference genome and is a separate,
+    * faidx-backed concern. */
+  def normVariant(pos: Long, ref: UTF8String, alt: UTF8String): InternalRow = {
+    val r0 = ref.toString
+    val a0 = alt.toString
+    if (a0.isEmpty || a0 == "." || a0.charAt(0) == '<' ||
+        a0.indexOf('[') >= 0 || a0.indexOf(']') >= 0)
+      return new GenericInternalRow(Array[Any](pos, ref, alt))
+    var rEnd = r0.length
+    var aEnd = a0.length
+    while (rEnd > 1 && aEnd > 1 && r0.charAt(rEnd - 1) == a0.charAt(aEnd - 1)) {
+      rEnd -= 1; aEnd -= 1
+    }
+    var s = 0
+    var p = pos
+    while (rEnd - s > 1 && aEnd - s > 1 && r0.charAt(s) == a0.charAt(s)) {
+      s += 1; p += 1
+    }
+    new GenericInternalRow(Array[Any](p,
+      UTF8String.fromString(r0.substring(s, rEnd)),
+      UTF8String.fromString(a0.substring(s, aEnd))))
+  }
+
+  /** Genotype remap for the multiallelic split (bcftools norm -m-):
+    * in the biallelic record for alt #`alleleIdx` (1-based), a sample's
+    * GT keeps '0' for ref, maps `alleleIdx` to '1', and OTHER alt
+    * alleles to '0' (bcftools' coding: they are "some other allele",
+    * absorbed into ref in this record); '.' stays missing. Phasing
+    * separators and any trailing FORMAT fields (":GQ:DP...") pass
+    * through untouched. Haploid and polyploid calls work — tokens are
+    * remapped positionally, separators preserved verbatim. */
+  def splitGenotype(gt: UTF8String, alleleIdx: Int): UTF8String = {
+    val s = gt.toString
+    val colon = s.indexOf(':')
+    val gtPart = if (colon < 0) s else s.substring(0, colon)
+    val rest = if (colon < 0) "" else s.substring(colon)
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < gtPart.length) {
+      val start = i
+      while (i < gtPart.length && gtPart.charAt(i) != '/' && gtPart.charAt(i) != '|') i += 1
+      val tok = gtPart.substring(start, i)
+      out.append(
+        if (tok == "." || tok.isEmpty) tok
+        else if (java.lang.Integer.parseInt(tok) == alleleIdx) "1"
+        else "0")
+      if (i < gtPart.length) { out.append(gtPart.charAt(i)); i += 1 }
+    }
+    UTF8String.fromString(out.toString + rest)
+  }
+
+  /** Sliding-window quality trim (Trimmomatic SLIDINGWINDOW:w:q on
+    * Phred+33): return the KEPT length — the read is cut at the start
+    * of the first full window whose mean quality drops below
+    * `minMean`; reads with no failing full window keep their whole
+    * length. Windows shorter than `w` at the 3' end are not evaluated
+    * (documented simplification: the canonical tool also re-scans the
+    * tail, which only matters for reads shorter than the window). */
+  def qualityTrimLength(qual: UTF8String, w: Int, minMean: Int): Int = {
+    if (w <= 0) fail("quality_trim_length", s"window must be positive, got $w")
+    val q = qual.getBytes
+    if (q.length < w) return q.length
+    // rolling sum of the current window of w quality values
+    var sum = 0
+    var i = 0
+    while (i < w) { sum += q(i) - 33; i += 1 }
+    val bar = minMean * w
+    if (sum < bar) return 0
+    while (i < q.length) {
+      sum += (q(i) - 33) - (q(i - w) - 33)
+      i += 1
+      if (sum < bar) return i - w
+    }
+    q.length
+  }
+
+  /** Mendelian-consistency check for a diploid trio: the child's two
+    * alleles must be splittable into one transmitted by the father and
+    * one by the mother (either assignment). Returns TRUE on violation,
+    * FALSE when consistent, NULL when any genotype is missing ('.'
+    * anywhere) or not diploid (haploid/polyploid calls need ploidy
+    * semantics this predicate deliberately does not guess). Phasing is
+    * ignored; trailing FORMAT fields are stripped. */
+  def mendelViolation(child: UTF8String, father: UTF8String,
+                      mother: UTF8String): Any = {
+    def alleles(g: UTF8String): Array[String] = {
+      val s0 = g.toString
+      val colon = s0.indexOf(':')
+      val gt = if (colon < 0) s0 else s0.substring(0, colon)
+      gt.split("[/|]", -1)
+    }
+    val c = alleles(child); val f = alleles(father); val m = alleles(mother)
+    if (c.length != 2 || f.length != 2 || m.length != 2) return null
+    if ((c ++ f ++ m).exists(a => a == "." || a.isEmpty)) return null
+    def has(par: Array[String], a: String) = par(0) == a || par(1) == a
+    val ok = (has(f, c(0)) && has(m, c(1))) || (has(f, c(1)) && has(m, c(0)))
+    java.lang.Boolean.valueOf(!ok)
+  }
+
   /** Phred+33 decode: each char c -> c - 33.
     * Ref: fastq_functions/module.cpp:28-54. */
   def qualityScoreStringToList(s: UTF8String): ArrayData = {

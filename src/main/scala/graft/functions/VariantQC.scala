@@ -161,4 +161,139 @@ object VariantQC {
         col("codon_ref"), col("codon_alt"), col("aa_ref"), col("aa_alt"),
         col("effect"))
   }
+
+
+  /** Runs of homozygosity (the bcftools roh / plink --homozyg core,
+    * site-count flavor): per (sample, chrom), maximal runs of
+    * consecutive homozygous sites — broken by ANY non-hom site (het or
+    * missing) — reported as (start, end, n_sites) and filtered to
+    * `minSites`. Hom = all called alleles equal and none missing
+    * (ploidy-agnostic: a haploid call is hom by definition).
+    *
+    * Gaps-and-islands on a running break counter: one window shuffle
+    * on (sample, chrom) then a groupBy on the same keys — AQE sees the
+    * co-partitioning, so the aggregation adds no second exchange.
+    * State per partition is O(1); nothing scans twice. */
+  def rohSegments(df: DataFrame, minSites: Int = 3,
+                  sampleCol: String = "sample_idx", gtCol: String = "gt"): DataFrame = {
+    Seq(sampleCol, "chrom", "pos", gtCol).foreach(c =>
+      require(df.columns.contains(c), s"VariantQC.rohSegments: no column '$c'"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sampleCol), col("chrom")).orderBy(col("pos"))
+    df.select(col(sampleCol).as("sample_idx"), col("chrom"),
+        col("pos").cast("long").as("pos"),
+        expr(s"split(split($gtCol, ':')[0], '[/|]')").as("__al"))
+      .withColumn("__hom", expr(
+        "size(array_distinct(__al)) = 1 AND NOT exists(__al, a -> a = '.' OR a = '')"))
+      .withColumn("__brk", sum(when(!col("__hom"), 1L).otherwise(0L)).over(w))
+      .where(col("__hom"))
+      .groupBy(col("sample_idx"), col("chrom"), col("__brk"))
+      .agg(min("pos").as("start"), max("pos").as("end"),
+        count(lit(1)).as("n_sites"))
+      .where(col("n_sites") >= minSites)
+      .drop("__brk")
+  }
+
+  /** One (key, chrom, pos, ref, alt) site for [[VariantQC.leftAlign]];
+    * `key` is the caller's join-back handle. */
+  final case class VariantSite(key: Long, chrom: String, pos: Long,
+                               ref: String, alt: String)
+
+  /** Reference-backed left-alignment + parsimony — the `-f ref.fa`
+    * half of `bcftools norm` (vt normalize's loop, Tan et al. 2015):
+    * while ref and alt END with the same base, chop it, refilling an
+    * emptied allele with the reference base at pos-1 (shifting left);
+    * then trim the shared prefix. `norm_variant` alone cannot move an
+    * indel through a repeat run — that needs the genome.
+    *
+    * Scale design: the reference is NOT broadcast (a mammalian genome
+    * is ~3 GB). Only the small .fai entry table ships with the
+    * closure; each task fetches 4 kb reference blocks on demand via
+    * faidx byte-range seeks, keyed by an LRU per partition, so a task
+    * reads O(distinct 4 kb blocks its variants touch) — repartitioning
+    * the callset by locus makes that near-minimal. SNVs and symbolic
+    * alleles never touch the reference at all.
+    *
+    * @param df       columns (`keyCol`: bigint, chrom, pos, ref, alt)
+    * @param fastaPath faidx-indexable FASTA (the .fai is built when
+    *                  absent)
+    * @param maxShift  left-shift budget per variant (guards a variant
+    *                  sitting on a megabase homopolymer)
+    */
+  def leftAlign(df: DataFrame, fastaPath: String, keyCol: String = "key",
+                maxShift: Int = 10000): DataFrame = {
+    Seq(keyCol, "chrom", "pos", "ref", "alt").foreach(c =>
+      require(df.columns.contains(c), s"VariantQC.leftAlign: no column '$c'"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    // driver-side: entries only (a .fai line per contig), never bases
+    val entries = graft.sources.Faidx.load(fastaPath, sconf.value)
+      .getOrElse(graft.sources.Faidx.build(fastaPath, sconf.value))
+      .map(e => e.name -> e).toMap
+
+    val BlockBases = 4096L
+    val MaxCachedBlocks = 64
+
+    df.select(col(keyCol).cast("long").as("key"), col("chrom"),
+        col("pos").cast("long").as("pos"), col("ref"), col("alt"))
+      .as[VariantSite]
+      .mapPartitions { it =>
+        val conf = sconf.value
+        val cache = new java.util.LinkedHashMap[(String, Long), String](
+          MaxCachedBlocks, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, Long), String]): Boolean =
+            size() > MaxCachedBlocks
+        }
+        def refBase(e: graft.sources.Faidx.Entry, p: Long): Char = {
+          val blk = (p - 1) / BlockBases
+          var bases = cache.get((e.name, blk))
+          if (bases == null) {
+            bases = graft.sources.Faidx.fetch(fastaPath, conf, e,
+              blk * BlockBases + 1, (blk + 1) * BlockBases)
+            cache.put((e.name, blk), bases)
+          }
+          bases.charAt(((p - 1) % BlockBases).toInt)
+        }
+        it.map { v =>
+          val skip = v.alt == null || v.alt.isEmpty || v.alt == "." ||
+            v.alt.charAt(0) == '<' || v.alt.indexOf('[') >= 0 ||
+            v.alt.indexOf(']') >= 0 || !entries.contains(v.chrom)
+          if (skip) v
+          else {
+            val e = entries(v.chrom)
+            val r = new java.lang.StringBuilder(v.ref)
+            val a = new java.lang.StringBuilder(v.alt)
+            var p = v.pos
+            var shifted = 0
+            var go = true
+            while (go) {
+              val rl = r.length; val al = a.length
+              if (rl > 0 && al > 0 && r.charAt(rl - 1) == a.charAt(al - 1) &&
+                  (rl > 1 || al > 1)) {
+                val last = r.charAt(rl - 1)
+                r.setLength(rl - 1); a.setLength(al - 1)
+                if (r.length == 0 || a.length == 0) {
+                  if (p <= 1 || shifted >= maxShift) {
+                    // cannot extend left: restore the chopped base and stop
+                    r.append(last); a.append(last); go = false
+                  } else {
+                    p -= 1
+                    val b = refBase(e, p)
+                    r.insert(0, b); a.insert(0, b)
+                    shifted += 1
+                  }
+                }
+              } else if (rl > 1 && al > 1 && r.charAt(0) == a.charAt(0)) {
+                r.deleteCharAt(0); a.deleteCharAt(0); p += 1
+              } else go = false
+            }
+            VariantSite(v.key, v.chrom, p, r.toString, a.toString)
+          }
+        }
+      }
+      .toDF()
+  }
 }

@@ -131,3 +131,120 @@ case class GffParseAttributes(child: Expression) extends UnaryStringExpression {
   override protected def withNewChildInternal(c: Expression): GffParseAttributes = copy(child = c)
   override def prettyName: String = "gff_parse_attributes"
 }
+
+/** Parsimony normalization of a (pos, ref, alt) triple — the
+  * reference-free half of `bcftools norm`: shared-suffix then
+  * shared-prefix trimming with a 1bp anchor, symbolic/breakend alts
+  * untouched. Struct-returning like [[ExtractFromCigar]], and
+  * codegen'd through the same static-kernel call, so it runs inside
+  * whole-stage codegen over a billion-row callset. */
+case class NormVariant(pos: Expression, ref: Expression, alt: Expression)
+    extends TernaryExpression {
+  override def first: Expression = pos
+  override def second: Expression = ref
+  override def third: Expression = alt
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (pos.dataType == LongType && ref.dataType.isInstanceOf[StringType] &&
+        alt.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BIGINT, STRING, STRING) inputs, got " +
+        s"(${pos.dataType}, ${ref.dataType}, ${alt.dataType})")
+  override def dataType: DataType = StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("ref", StringType, nullable = false),
+    StructField("alt", StringType, nullable = false)))
+  override def nullSafeEval(p: Any, r: Any, a: Any): Any =
+    SeqOps.normVariant(p.asInstanceOf[Long],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, r, a) => s"graft.functions.SeqOps.normVariant($p, $r, $a)")
+  override protected def withNewChildrenInternal(p: Expression, r: Expression, a: Expression): NormVariant =
+    copy(pos = p, ref = r, alt = a)
+  override def prettyName: String = "norm_variant"
+}
+
+/** GT remap for the biallelic records a multiallelic split produces
+  * (`bcftools norm -m-` coding): allele == idx -> '1', other called
+  * alleles -> '0', '.' stays, separators and trailing FORMAT fields
+  * untouched. Codegen'd static-kernel call like the rest of the
+  * scalar surface. */
+case class SplitGenotype(gt: Expression, alleleIdx: Expression)
+    extends BinaryExpression {
+  override def left: Expression = gt
+  override def right: Expression = alleleIdx
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (gt.dataType.isInstanceOf[StringType] && alleleIdx.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, INT) inputs, got (${gt.dataType}, ${alleleIdx.dataType})")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(g: Any, i: Any): Any =
+    SeqOps.splitGenotype(g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      i.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, i) => s"graft.functions.SeqOps.splitGenotype($g, $i)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SplitGenotype =
+    copy(gt = l, alleleIdx = r)
+  override def prettyName: String = "split_genotype"
+}
+
+/** Kept-length of a Phred+33 read under Trimmomatic-style
+  * SLIDINGWINDOW:w:q trimming — see [[SeqOps.qualityTrimLength]]. */
+case class QualityTrimLength(qual: Expression, window: Expression, minMean: Expression)
+    extends TernaryExpression {
+  override def first: Expression = qual
+  override def second: Expression = window
+  override def third: Expression = minMean
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (qual.dataType.isInstanceOf[StringType] &&
+        window.dataType == IntegerType && minMean.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, INT, INT) inputs")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(q: Any, w: Any, m: Any): Any =
+    SeqOps.qualityTrimLength(q.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w.asInstanceOf[Int], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, w, m) => s"graft.functions.SeqOps.qualityTrimLength($q, $w, $m)")
+  override protected def withNewChildrenInternal(q: Expression, w: Expression, m: Expression): QualityTrimLength =
+    copy(qual = q, window = w, minMean = m)
+  override def prettyName: String = "quality_trim_length"
+}
+
+/** Diploid trio Mendelian-violation predicate — TRUE iff the child's
+  * alleles cannot come one-from-each-parent; NULL on missing or
+  * non-diploid calls. See [[SeqOps.mendelViolation]]. */
+case class MendelViolation(child: Expression, father: Expression, mother: Expression)
+    extends TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = father
+  override def third: Expression = mother
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(child, father, mother).forall(_.dataType.isInstanceOf[StringType]))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, STRING, STRING) inputs")
+  override def dataType: DataType = BooleanType
+  // the kernel returns NULL for missing/non-diploid calls even when
+  // all three inputs are non-null
+  override def nullable: Boolean = true
+  override def nullSafeEval(c: Any, f: Any, m: Any): Any =
+    SeqOps.mendelViolation(
+      c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      m.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, f, m) => {
+      s"""
+        Object r = graft.functions.SeqOps.mendelViolation($c, $f, $m);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Boolean) r).booleanValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(c: Expression, f: Expression, m: Expression): MendelViolation =
+    copy(child = c, father = f, mother = m)
+  override def prettyName: String = "mendel_violation"
+}

@@ -241,8 +241,41 @@ object PipelineTableFunctions {
       tbl(args(2), "refTable")))
   }
 
+  /** vcf_leftalign(variantsTable, fastaPath[, keyCol, maxShift]) —
+    * reference-backed left-alignment via VariantQC.leftAlign (column
+    * contract: keyCol/chrom/pos/ref/alt). */
+  private def leftAlignBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 4,
+      "vcf_leftalign(variantsTable, fastaPath[, keyCol, maxShift])")
+    plan(graft.functions.VariantQC.leftAlign(
+      tbl(args(0), "variantsTable"), str(args(1), "fastaPath"),
+      if (args.length > 2) str(args(2), "keyCol") else "key",
+      if (args.length > 3) num(args(3), "maxShift").toInt else 10000))
+  }
+
+  /** roh_segments(sitesTable[, minSites]) — homozygosity runs via
+    * VariantQC.rohSegments (columns sample_idx/chrom/pos/gt). */
+  private def rohBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 2,
+      "roh_segments(sitesTable[, minSites])")
+    plan(graft.functions.VariantQC.rohSegments(tbl(args(0), "sitesTable"),
+      if (args.length > 1) num(args(1), "minSites").toInt else 3))
+  }
+
+  /** assembly_stats(lengthsTable[, lengthCol]) — N50/L50/N90 family
+    * via SeqAnalysis.assemblyStats. */
+  private def assemblyStatsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 2,
+      "assembly_stats(lengthsTable[, lengthCol])")
+    plan(graft.functions.SeqAnalysis.assemblyStats(tbl(args(0), "lengthsTable"),
+      if (args.length > 1) str(args(1), "lengthCol") else "length"))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("vcf_leftalign", leftAlignBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("roh_segments", rohBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("assembly_stats", assemblyStatsBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("coding_effect", codingEffectBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("lift_positions", liftPositionsBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("lift_intervals", liftIntervalsBuilder, "scala_udf")

@@ -1117,6 +1117,311 @@ object FormatScans {
         UNION ALL SELECT '2', 777, 'GG', 'G', 1, 3.5
         ORDER BY chrom, pos, allele_idx""")),
 
+    // Mash-style genome sketching (bottom-k k-mer minhash): eight
+    // word-composed genomes with a controlled overlap gradient
+    // (neighbors share 9 of 12 words, distance >=4 shares none); the
+    // oracle rebuilds the identical md5 sketches and union-bottom-k
+    // Jaccard with DuckDB list comprehensions + windows.
+    "fmt_mash_jaccard" -> Q(
+      (s, _) => graft.functions.SeqAnalysis.mashSketchJaccard(
+        s.range(8).selectExpr("id AS gid",
+            "array_join(transform(sequence(0, 11), j -> " +
+              "translate(substr(md5(cast(id * 3 + j as string)), 1, 10), " +
+              "'0123456789abcdef', 'ACGTACGTACGTACGT')), '') AS sequence"),
+          idCol = "gid", seqCol = "sequence")
+        .orderBy("ga", "gb"),
+      Some("""WITH g AS (SELECT gi,
+            array_to_string([translate(substr(md5(CAST(gi * 3 + j AS VARCHAR)), 1, 10),
+              '0123456789abcdef', 'ACGTACGTACGTACGT') for j in range(0, 12)], '') AS seq
+          FROM range(0, 8) t(gi)),
+        kh AS (SELECT DISTINCT gi,
+            unnest([CAST(('0x' || substr(md5(substr(seq, i, 8)), 1, 15)) AS BIGINT)
+                    for i in range(1, len(seq) - 6)]) AS h
+          FROM g),
+        sk AS (SELECT gi, h FROM (SELECT gi, h,
+              row_number() OVER (PARTITION BY gi ORDER BY h) AS rk FROM kh)
+          WHERE rk <= 16),
+        p AS (SELECT x.gi AS ga, y.gi AS gb
+          FROM (SELECT DISTINCT gi FROM sk) x, (SELECT DISTINCT gi FROM sk) y
+          WHERE x.gi < y.gi),
+        u AS (SELECT ga, gb, h,
+            max(CASE WHEN s.gi = ga THEN 1 ELSE 0 END) AS ina,
+            max(CASE WHEN s.gi = gb THEN 1 ELSE 0 END) AS inb
+          FROM p JOIN sk s ON s.gi = ga OR s.gi = gb GROUP BY ga, gb, h),
+        r AS (SELECT ga, gb, ina, inb,
+            row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM u)
+        SELECT ga, gb,
+          CAST(sum(CASE WHEN ina + inb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+          count(*) AS union_k,
+          CAST(sum(CASE WHEN ina + inb = 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS jaccard_micro
+        FROM r WHERE rk <= 16 GROUP BY ga, gb ORDER BY ga, gb""")),
+
+    // Per-sample missingness / call-rate (vcftools --missing-indv):
+    // posexplode the positional genotype arrays, classify '.'-bearing
+    // calls, and report call_rate in integer micro fixed-point (the
+    // repo's exact-float discipline). Three samples with different
+    // engineered missing periods.
+    "fmt_vcf_missingness" -> Q(
+      (s, _) => {
+        s.range(500).selectExpr("id AS i",
+            "array(" +
+              "CASE WHEN id % 5 = 0 THEN './.' ELSE '0/1' END, " +
+              "CASE WHEN (id + 1) % 6 = 0 THEN '.' ELSE '1|1:9' END, " +
+              "CASE WHEN id % 7 = 0 THEN './1' ELSE '0/0' END) AS genotypes")
+          .selectExpr("i", "posexplode(genotypes) AS (sample_idx, gt)")
+          .selectExpr("sample_idx",
+            "CASE WHEN exists(split(split(gt, ':')[0], '[/|]'), a -> a = '.') " +
+              "THEN 1L ELSE 0L END AS miss")
+          .groupBy(col("sample_idx"))
+          .agg(count(lit(1)).as("n"), sum(col("miss")).as("n_miss"))
+          .selectExpr("sample_idx", "n", "n_miss",
+            "(n - n_miss) * 1000000 div n AS call_rate_micro")
+          .orderBy("sample_idx")
+      },
+      Some("""WITH g AS (SELECT i, 0 AS sample_idx,
+            CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS miss FROM range(0, 500) t(i)
+          UNION ALL SELECT i, 1,
+            CASE WHEN (i + 1) % 6 = 0 THEN 1 ELSE 0 END FROM range(0, 500) t(i)
+          UNION ALL SELECT i, 2,
+            CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END FROM range(0, 500) t(i))
+        SELECT sample_idx, count(*) AS n, CAST(sum(miss) AS BIGINT) AS n_miss,
+          CAST((count(*) - sum(miss)) * 1000000 // count(*) AS BIGINT) AS call_rate_micro
+        FROM g GROUP BY sample_idx ORDER BY sample_idx""")),
+
+    // Intron derivation (gffread-style): write generated exons as real
+    // GFF3 (percent-encoded attributes), read them back, and derive
+    // each transcript's introns as the gaps between consecutive exons
+    // via a lag window over (transcript, start). Exercises writer ->
+    // reader -> window as one pipeline; the oracle states the gap
+    // coordinates closed-form from the generating arithmetic.
+    "fmt_gff_introns" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_introns").toString
+        s.range(200).selectExpr(
+            "'c1' AS seqname", "'graft' AS source", "'exon' AS type",
+            "1000 * (id div 4) + 200 * (id % 4) + 1 AS start",
+            "1000 * (id div 4) + 200 * (id % 4) + 100 AS end",
+            "cast(null as float) AS score", "'+' AS strand",
+            "cast(null as string) AS frame",
+            "map('transcript_id', array(concat('t', id div 4))) AS attributes")
+          .write.mode("overwrite").format("gff").save(dir)
+        val w = Window.partitionBy("transcript_id").orderBy("start")
+        GraftIO.read_gff(s, dir).where("type = 'exon'")
+          .selectExpr("attributes['transcript_id'][0] AS transcript_id",
+            "start", "end")
+          .withColumn("prev_end", lag("end", 1).over(w))
+          .where(col("prev_end").isNotNull)
+          .selectExpr("transcript_id", "prev_end + 1 AS intron_start",
+            "start - 1 AS intron_end")
+          .orderBy("transcript_id", "intron_start")
+      },
+      Some("""SELECT 't' || CAST(t AS VARCHAR) AS transcript_id,
+          CAST(1000 * t + 200 * e + 101 AS BIGINT) AS intron_start,
+          CAST(1000 * t + 200 * (e + 1) AS BIGINT) AS intron_end
+        FROM range(0, 50) a(t), range(0, 3) b(e)
+        ORDER BY transcript_id, intron_start""")),
+
+    // Runs of homozygosity (bcftools roh site-count core):
+    // gaps-and-islands per (sample, chrom) with het AND missing sites
+    // both breaking runs. Two samples with different engineered run
+    // periods (7/7 and 10/5 with sprinkled './.' breaks); the oracle
+    // rebuilds the islands with DuckDB's own window machinery from the
+    // same generating arithmetic.
+    "fmt_vcf_roh" -> Q(
+      (s, _) => {
+        val s0 = s.range(600).selectExpr("0 AS sample_idx", "'c1' AS chrom",
+          "id + 1 AS pos",
+          "CASE WHEN (id div 7) % 2 = 0 THEN '1/1:50' ELSE '0/1:50' END AS gt")
+        val s1 = s.range(600).selectExpr("1 AS sample_idx", "'c1' AS chrom",
+          "id + 1 AS pos",
+          "CASE WHEN id % 97 = 0 THEN './.' " +
+            "WHEN (id div 5) % 3 > 0 THEN '0|0' ELSE '0/1' END AS gt")
+        graft.functions.VariantQC.rohSegments(s0.union(s1), minSites = 4)
+          .orderBy("sample_idx", "start")
+      },
+      Some("""WITH g AS (
+          SELECT 0 AS sample_idx, i + 1 AS pos,
+            CASE WHEN (i // 7) % 2 = 0 THEN 1 ELSE 0 END AS hom
+          FROM range(0, 600) t(i)
+          UNION ALL
+          SELECT 1, i + 1,
+            CASE WHEN i % 97 = 0 THEN 0
+                 WHEN (i // 5) % 3 > 0 THEN 1 ELSE 0 END
+          FROM range(0, 600) t(i)),
+        b AS (SELECT sample_idx, pos, hom,
+            sum(CASE WHEN hom = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY sample_idx ORDER BY pos) AS brk
+          FROM g)
+        SELECT sample_idx, 'c1' AS chrom, CAST(min(pos) AS BIGINT) AS start,
+          CAST(max(pos) AS BIGINT) AS "end", count(*) AS n_sites
+        FROM b WHERE hom = 1 GROUP BY sample_idx, brk
+        HAVING count(*) >= 4 ORDER BY sample_idx, start""")),
+
+    // Trio Mendelian-violation screen (the plink --mendel core):
+    // diploid child alleles must split one-from-each-parent; '.'
+    // anywhere -> NULL (excluded from both counts). Generated trios
+    // enumerate allele combinations arithmetically; the oracle
+    // restates the two-way transmission test as CASE membership
+    // checks — independent formulation, same predicate.
+    "fmt_vcf_mendel" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(1000).selectExpr("id AS i",
+            "cast(id % 3 as int) AS c1", "cast((id div 3) % 3 as int) AS c2",
+            "cast((id div 9) % 3 as int) AS f1", "cast((id div 27) % 3 as int) AS f2",
+            "cast((id div 81) % 3 as int) AS m1", "cast((id div 243) % 3 as int) AS m2")
+          .selectExpr("i", "c1", "c2", "f1", "f2", "m1", "m2",
+            "mendel_violation(" +
+              "concat(CASE WHEN i % 41 = 0 THEN '.' ELSE cast(c1 as string) END, '/', c2, ':99')," +
+              "concat(f1, '|', f2), concat(m1, '/', m2)) AS viol")
+          .groupBy()
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("viol"), 1L).otherwise(0L)).as("n_viol"),
+            sum(when(col("viol").isNull, 1L).otherwise(0L)).as("n_missing"))
+      },
+      Some("""WITH g AS (SELECT i,
+            CAST(i % 3 AS INTEGER) AS c1, CAST((i // 3) % 3 AS INTEGER) AS c2,
+            CAST((i // 9) % 3 AS INTEGER) AS f1, CAST((i // 27) % 3 AS INTEGER) AS f2,
+            CAST((i // 81) % 3 AS INTEGER) AS m1, CAST((i // 243) % 3 AS INTEGER) AS m2
+          FROM range(0, 1000) t(i)),
+        v AS (SELECT i, CASE WHEN i % 41 = 0 THEN NULL ELSE
+            (CASE WHEN ((c1 = f1 OR c1 = f2) AND (c2 = m1 OR c2 = m2))
+                    OR ((c2 = f1 OR c2 = f2) AND (c1 = m1 OR c1 = m2))
+              THEN 0 ELSE 1 END) END AS viol FROM g)
+        SELECT count(*) AS n,
+          CAST(sum(viol) AS BIGINT) AS n_viol,
+          CAST(sum(CASE WHEN viol IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM v""")),
+
+    // Assembly contiguity stats (QUAST core): N50/L50/N90 via a
+    // longest-first cumulative window in pure integer arithmetic. The
+    // oracle recomputes the same statistics with DuckDB's own window
+    // functions over the same generated lengths — two independent
+    // engines, same definition. Tie groups share a length, so the
+    // per-row cumulative sums are permutation-invariant and the stats
+    // deterministic.
+    "fmt_assembly_stats" -> Q(
+      (s, _) => graft.functions.SeqAnalysis.assemblyStats(
+        s.range(500).selectExpr("(id * 37) % 1000 + 1 AS length")),
+      Some("""WITH l AS (SELECT (i * 37) % 1000 + 1 AS len FROM range(0, 500) t(i)),
+          c AS (SELECT len,
+              sum(len) OVER (ORDER BY len DESC ROWS UNBOUNDED PRECEDING) AS cum,
+              row_number() OVER (ORDER BY len DESC) AS rk FROM l),
+          t2 AS (SELECT sum(len) AS total, count(*) AS n, max(len) AS mx FROM l)
+        SELECT CAST(n AS BIGINT) AS n_contigs, CAST(total AS BIGINT) AS total_bases,
+          CAST(mx AS BIGINT) AS max_len,
+          CAST(max(CASE WHEN 2 * cum >= total THEN len END) AS BIGINT) AS n50,
+          CAST(min(CASE WHEN 2 * cum >= total THEN rk END) AS BIGINT) AS l50,
+          CAST(max(CASE WHEN 10 * cum >= 9 * total THEN len END) AS BIGINT) AS n90
+        FROM c, t2 GROUP BY n, total, mx""")),
+
+    // Sliding-window quality trim (Trimmomatic SLIDINGWINDOW:4:20):
+    // kept-length through the codegen'd rolling-sum kernel; generated
+    // reads are 'I'*a (Q40) + '#'*b (Q2), so the first failing window
+    // sits at a-1 exactly when b > 0 — the oracle states that closed
+    // form.
+    "fmt_fastq_quality_trim" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(400).selectExpr("id AS i",
+            "cast(10 + id % 20 as int) AS a", "cast((id % 3) * 4 as int) AS b")
+          .selectExpr("i", "a", "b",
+            "quality_trim_length(concat(repeat('I', a), repeat('#', b)), 4, 20) AS kept")
+          .orderBy("i")
+      },
+      Some("""SELECT i, CAST(10 + i % 20 AS INTEGER) AS a,
+          CAST((i % 3) * 4 AS INTEGER) AS b,
+          CAST(CASE WHEN i % 3 = 0 THEN 10 + i % 20
+               ELSE 10 + i % 20 - 1 END AS INTEGER) AS kept
+        FROM range(0, 400) t(i) ORDER BY i""")),
+
+    // Genotype-aware multiallelic split (bcftools norm -m- coding):
+    // each alt allele gets a biallelic record whose sample GTs map
+    // that allele to '1', other CALLED alleles to '0', keep '.',
+    // preserve phasing separators and trailing FORMAT fields. The
+    // remap runs through the codegen'd split_genotype kernel; the
+    // oracle restates it as closed-form CASE arithmetic over the same
+    // generated calls.
+    "fmt_vcf_split_gt" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(300).selectExpr(
+            "id AS i", "cast(id % 3 + 1 as int) AS nalt")
+          .selectExpr("i", "nalt",
+            "slice(array('C','G','T'), 1, nalt) AS alt",
+            "cast(i % (nalt + 1) as int) AS a1",
+            "cast((i + 1) % (nalt + 1) as int) AS a2",
+            "cast(i % (nalt + 1) as int) AS a3",
+            "cast((i * 2 + 1) % (nalt + 1) as int) AS a4")
+          .selectExpr("i", "alt",
+            "concat(a1, '/', a2, ':50') AS g1",
+            "concat(CASE WHEN i % 5 = 0 THEN '.' ELSE cast(a3 as string) END, '|', a4) AS g2")
+          .selectExpr("i", "posexplode(alt) AS (ai0, alt_allele)", "g1", "g2")
+          .selectExpr("i", "cast(ai0 + 1 as int) AS allele_idx", "alt_allele",
+            "split_genotype(g1, cast(ai0 + 1 as int)) AS g1s",
+            "split_genotype(g2, cast(ai0 + 1 as int)) AS g2s")
+          .orderBy("i", "allele_idx")
+      },
+      Some("""WITH g AS (SELECT i, CAST(i % 3 + 1 AS INTEGER) AS nalt
+            FROM range(0, 300) t(i)),
+          e AS (SELECT i, nalt, CAST(ai AS INTEGER) AS allele_idx,
+              CAST(i % (nalt + 1) AS INTEGER) AS a1,
+              CAST((i + 1) % (nalt + 1) AS INTEGER) AS a2,
+              CAST(i % (nalt + 1) AS INTEGER) AS a3,
+              CAST((i * 2 + 1) % (nalt + 1) AS INTEGER) AS a4
+            FROM g JOIN range(1, 4) r(ai) ON ai <= nalt)
+        SELECT i, allele_idx,
+          CASE allele_idx WHEN 1 THEN 'C' WHEN 2 THEN 'G' ELSE 'T' END AS alt_allele,
+          (CASE WHEN a1 = allele_idx THEN '1' ELSE '0' END) || '/' ||
+            (CASE WHEN a2 = allele_idx THEN '1' ELSE '0' END) || ':50' AS g1s,
+          (CASE WHEN i % 5 = 0 THEN '.' WHEN a3 = allele_idx THEN '1' ELSE '0' END) || '|' ||
+            (CASE WHEN a4 = allele_idx THEN '1' ELSE '0' END) AS g2s
+        FROM e ORDER BY i, allele_idx""")),
+
+    // Reference-backed left-alignment (bcftools norm -f): indels in a
+    // homopolymer run must shift to the run's leftmost representation,
+    // which needs genome context — norm_variant's trim alone cannot do
+    // it. The staged FASTA is "C" + ("A"*9 + "G")*40, so every del/ins
+    // of one A inside block b left-aligns to the anchor base at
+    // 1 + 10*b; SNVs and already-normal sites pass through (the
+    // idempotence case). The oracle states the expected triples
+    // closed-form from the generating arithmetic.
+    "fmt_vcf_leftalign" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_la_fa")
+        val fa = s"$dir/ref.fa"
+        java.nio.file.Files.write(java.nio.file.Paths.get(fa),
+          (">c1\n" + ("C" + ("A" * 9 + "G") * 40) + "\n").getBytes("UTF-8"))
+        val variants = s.range(320).selectExpr(
+            "id AS key", "'c1' AS chrom",
+            "cast(id % 4 as int) AS cls",
+            "cast((id div 4) % 40 as int) AS b",
+            "cast((id div 160) % 2 as int) AS off")
+          .selectExpr("key", "chrom",
+            "CASE cls WHEN 0 THEN cast(2 + 10*b + off as bigint) " +
+              "WHEN 1 THEN cast(2 + 10*b + off as bigint) " +
+              "WHEN 2 THEN cast(11 + 10*b as bigint) " +
+              "ELSE cast(1 + 10*b as bigint) END AS pos",
+            "CASE cls WHEN 0 THEN 'AA' WHEN 1 THEN 'A' WHEN 2 THEN 'G' " +
+              "ELSE (CASE WHEN b = 0 THEN 'CA' ELSE 'GA' END) END AS ref",
+            "CASE cls WHEN 0 THEN 'A' WHEN 1 THEN 'AA' WHEN 2 THEN 'T' " +
+              "ELSE (CASE WHEN b = 0 THEN 'C' ELSE 'G' END) END AS alt")
+        graft.functions.VariantQC.leftAlign(variants, fa).orderBy("key")
+      },
+      Some("""WITH g AS (SELECT i, CAST(i % 4 AS INTEGER) AS cls,
+            CAST((i // 4) % 40 AS INTEGER) AS b FROM range(0, 320) t(i))
+        SELECT i AS key, 'c1' AS chrom,
+          CAST(CASE cls WHEN 2 THEN 11 + 10*b ELSE 1 + 10*b END AS BIGINT) AS pos,
+          CASE cls WHEN 0 THEN (CASE WHEN b = 0 THEN 'CA' ELSE 'GA' END)
+                   WHEN 1 THEN (CASE WHEN b = 0 THEN 'C' ELSE 'G' END)
+                   WHEN 2 THEN 'G'
+                   ELSE (CASE WHEN b = 0 THEN 'CA' ELSE 'GA' END) END AS ref,
+          CASE cls WHEN 0 THEN (CASE WHEN b = 0 THEN 'C' ELSE 'G' END)
+                   WHEN 1 THEN (CASE WHEN b = 0 THEN 'CA' ELSE 'GA' END)
+                   WHEN 2 THEN 'T'
+                   ELSE (CASE WHEN b = 0 THEN 'C' ELSE 'G' END) END AS alt
+        FROM g ORDER BY key""")),
+
     // Per-site allele statistics from the genotype columns (the first
     // consumer that DERIVES population numbers from the sample strings
     // instead of just surfacing them): allele number / alt count /

@@ -182,6 +182,36 @@ object ScalarFns {
         GraftFunctions.registerAll(s)
         s.range(1).selectExpr("exondb_version() AS v")
       },
-      Some(s"SELECT '${GraftFunctions.ExonDbVersion}' AS v"))
+      Some(s"SELECT '${GraftFunctions.ExonDbVersion}' AS v")),
+
+    // norm_variant: parsimony trimming (the reference-free half of
+    // bcftools norm). Four generated classes — padded SNP, padded
+    // deletion, padded insertion, symbolic pass-through — with the
+    // trim amounts known by construction, so the oracle states the
+    // normalized triple closed-form instead of re-running a trim loop.
+    "fn_norm_variant" -> Q(
+      (s, dir) => {
+        GraftFunctions.registerAll(s)
+        s.range(400).selectExpr(
+            "id AS i",
+            "1000 + id AS pos",
+            "concat(repeat('A', cast(id % 3 as int)), " +
+              "CASE cast(id % 4 as int) WHEN 0 THEN 'C' WHEN 1 THEN 'CAG' WHEN 2 THEN 'T' ELSE 'C' END, " +
+              "repeat('T', cast(id % 2 as int))) AS ref",
+            "CASE cast(id % 4 as int) WHEN 3 THEN '<DEL>' ELSE " +
+              "concat(repeat('A', cast(id % 3 as int)), " +
+              "CASE cast(id % 4 as int) WHEN 0 THEN 'G' WHEN 1 THEN 'C' ELSE 'TGG' END, " +
+              "repeat('T', cast(id % 2 as int))) END AS alt")
+          .selectExpr("i", "norm_variant(pos, ref, alt) AS nv")
+          .selectExpr("i", "nv.pos AS pos2", "nv.ref AS ref2", "nv.alt AS alt2")
+          .orderBy("i")
+      },
+      Some("""SELECT i,
+          CASE WHEN i % 4 = 3 THEN 1000 + i ELSE 1000 + i + (i % 3) END AS pos2,
+          CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'C' WHEN 1 THEN 'CAG' WHEN 2 THEN 'T'
+            ELSE repeat('A', CAST(i % 3 AS INTEGER)) || 'C' || repeat('T', CAST(i % 2 AS INTEGER)) END AS ref2,
+          CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'G' WHEN 1 THEN 'C' WHEN 2 THEN 'TGG'
+            ELSE '<DEL>' END AS alt2
+        FROM range(0, 400) t(i) ORDER BY i"""))
   )
 }

@@ -156,6 +156,29 @@ class ExtensionsSpec extends AnyFunSuite {
       // raised minDepth excludes the 4-deep site
       assert(s.sql(
         s"SELECT * FROM sam_pileup('$pdir/r.sam', '$pdir/ref.fasta', 5, 3)").count() == 0L)
+      // vcf_leftalign / roh_segments / assembly_stats TVFs
+      java.nio.file.Files.write(pdir.resolve("la.fa"),
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          Seq(">c1", "C" + "A" * 30 + "G" * 10)).asJava)
+      Seq((1L, "c1", 20L, "AA", "A")).toDF("key", "chrom", "pos", "ref", "alt")
+        .createOrReplaceTempView("ext_la")
+      val la = s.sql(
+        s"SELECT pos, ref, alt FROM vcf_leftalign('ext_la', '$pdir/la.fa')")
+        .collect().head
+      assert((la.getLong(0), la.getString(1), la.getString(2)) ==
+        ((1L, "CA", "C")), la.toString)
+      Seq((0, "c1", 1L, "1/1"), (0, "c1", 2L, "1|1"), (0, "c1", 3L, "0/0"),
+          (0, "c1", 4L, "0/1"), (0, "c1", 5L, "2/2"))
+        .toDF("sample_idx", "chrom", "pos", "gt")
+        .createOrReplaceTempView("ext_roh")
+      val roh = s.sql(
+        "SELECT start, end, n_sites FROM roh_segments('ext_roh', 1) ORDER BY start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(roh.toSeq == Seq((1L, 3L, 3L), (5L, 5L, 1L)), roh.toSeq)
+      Seq(10L, 8L, 6L, 4L, 2L).toDF("length").createOrReplaceTempView("ext_lens")
+      val asm = s.sql("SELECT n50, l50, n90 FROM assembly_stats('ext_lens')")
+        .collect().head
+      assert((asm.getLong(0), asm.getLong(1), asm.getLong(2)) == ((8L, 2L, 4L)))
       // optimizer rule: a filter on the exploded element grows an
       // exists() pre-filter BELOW the Generate. Plan shape asserted on
       // a range()-backed relation — over a LocalRelation the optimizer

@@ -155,4 +155,60 @@ class ScalarFunctionsSpec extends AnyFunSuite {
       graft.functions.SeqAnalysis.minimizers(df, k = 0)
     }
   }
+
+  test("norm_variant parsimony goldens") {
+    def nv(pos: Long, r: String, a: String): String =
+      one(s"concat_ws(':', norm_variant(${pos}L, '$r', '$a').pos, " +
+        s"norm_variant(${pos}L, '$r', '$a').ref, norm_variant(${pos}L, '$r', '$a').alt)").toString
+    assert(nv(100, "ACGT", "ACT") == "101:CG:C")      // suffix then prefix
+    assert(nv(50, "CTT", "CT") == "50:CT:C")          // deletion keeps anchor
+    assert(nv(7, "T", "TGG") == "7:T:TGG")            // already minimal
+    assert(nv(9, "GCGCG", "GCG") == "9:GCG:G")        // overlapping repeats
+    assert(nv(3, "AAA", "AAA") == "3:A:A")            // identical collapses to anchor
+    assert(nv(11, "ACGT", "<DEL>") == "11:ACGT:<DEL>") // symbolic untouched
+    assert(nv(12, "A", "A[chr2:321682[") == "12:A:A[chr2:321682[") // breakend untouched
+    assert(nv(13, "AC", ".") == "13:AC:.")            // missing alt untouched
+    assert(one("norm_variant(1L, CAST(NULL AS STRING), 'A')") == null)
+  }
+
+  test("split_genotype goldens") {
+    assert(one("split_genotype('1/2:99:3', 1)") == "1/0:99:3")
+    assert(one("split_genotype('1/2:99:3', 2)") == "0/1:99:3")
+    assert(one("split_genotype('0|2', 2)") == "0|1")
+    assert(one("split_genotype('./1', 1)") == "./1")
+    assert(one("split_genotype('.', 3)") == ".")
+    assert(one("split_genotype('2', 2)") == "1")          // haploid
+    assert(one("split_genotype('1/2/3', 3)") == "0/0/1")  // polyploid
+    assert(one("split_genotype(CAST(NULL AS STRING), 1)") == null)
+  }
+
+  test("quality_trim_length goldens") {
+    assert(one("quality_trim_length('IIIIIIII', 4, 20)") == 8)    // clean read kept
+    assert(one("quality_trim_length('####IIII', 4, 20)") == 0)    // first window fails
+    assert(one("quality_trim_length('II', 4, 20)") == 2)          // shorter than window
+    assert(one("quality_trim_length('', 4, 20)") == 0)
+    assert(one("quality_trim_length('IIIII####', 4, 20)") == 4)   // window at 4: I### = 11.5
+    assert(one("quality_trim_length(CAST(NULL AS STRING), 4, 20)") == null)
+    err("quality_trim_length('III', 0, 20)")
+  }
+
+  test("assemblyStats hand-computed N50/L50/N90") {
+    val df = spark.range(0).sparkSession.createDataFrame(
+      Seq(Tuple1(10L), Tuple1(8L), Tuple1(6L), Tuple1(4L), Tuple1(2L))).toDF("length")
+    val r = graft.functions.SeqAnalysis.assemblyStats(df).collect()(0)
+    // total 30: cum desc 10,18,24,28,30 -> n50=8 (cum 18*2>=30), l50=2,
+    // n90: 10*cum>=270 first at cum 28 (len 4)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      === ((5L, 30L, 10L, 8L, 2L, 4L)))
+  }
+
+  test("mendel_violation goldens") {
+    assert(one("mendel_violation('1/1', '0/0', '0/1')") == true)   // father lacks 1
+    assert(one("mendel_violation('0/1', '1|1', '0/0')") == false)  // 1 from f, 0 from m
+    assert(one("mendel_violation('2/0', '0/1', '2/2')") == false)  // order-insensitive
+    assert(one("mendel_violation('1/1:30', '0/1', '1/0')") == false) // FORMAT tail stripped
+    assert(one("mendel_violation('./1', '0/0', '0/0')") == null)   // missing -> null
+    assert(one("mendel_violation('1', '0/0', '0/0')") == null)     // haploid -> null
+    assert(one("mendel_violation('0/1', CAST(NULL AS STRING), '0/0')") == null)
+  }
 }

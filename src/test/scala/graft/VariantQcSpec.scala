@@ -198,4 +198,56 @@ class VariantQcSpec extends AnyFunSuite {
       Seq(("c1", 99L, "A", "C")).toDF("chrom", "pos", "ref", "alt"), cds, ref)
     assert(none.count() == 0L)
   }
+
+  // ---- leftAlign edge cases ----
+
+  private def alignOne(fa: String, pos: Long, ref: String, alt: String,
+                       maxShift: Int = 10000): (Long, String, String) = {
+    import spark.implicits._
+    val df = Seq((0L, "c1", pos, ref, alt)).toDF("key", "chrom", "pos", "ref", "alt")
+    val r = VariantQC.leftAlign(df, fa, maxShift = maxShift).collect()(0)
+    (r.getLong(2), r.getString(3), r.getString(4))
+  }
+
+  private def stageFasta(name: String, seq: String): String = {
+    val fa = s"${queries.Stage.tempDir(name)}/ref.fa"
+    java.nio.file.Files.write(java.nio.file.Paths.get(fa), (s">c1\n$seq\n").getBytes("UTF-8"))
+    fa
+  }
+
+  test("leftAlign: contig-start boundary keeps a valid pos-1 representation") {
+    // run of A starts AT position 1 — a deletion inside it can shift
+    // to pos 1 but no further (no base to anchor on the left)
+    val fa = stageFasta("la_start", "A" * 20 + "G" * 20)
+    assert(alignOne(fa, 5, "AA", "A") === ((1L, "AA", "A")))
+    // SNV untouched, no reference fetch path
+    assert(alignOne(fa, 25, "G", "T") === ((25L, "G", "T")))
+  }
+
+  test("leftAlign: shift across 4kb block-fetch boundaries") {
+    // homopolymer spanning the 4096-base block edge: the shift walks
+    // through two cached blocks
+    val seq = "C" * 4090 + "A" * 20 + "C" * 90
+    val fa = stageFasta("la_blocks", seq)
+    // deletion of one A anchored near the run's right end (pos 4105)
+    // left-aligns to the last C before the run (pos 4090)
+    assert(alignOne(fa, 4105, "AA", "A") === ((4090L, "CA", "C")))
+  }
+
+  test("leftAlign: maxShift budget stops the walk with valid alleles") {
+    val fa = stageFasta("la_budget", "C" + "A" * 100 + "G" * 20)
+    val (p, r, a) = alignOne(fa, 60, "AA", "A", maxShift = 5)
+    assert(r.length == 2 && a.length == 1 && r.startsWith(a))
+    assert(p >= 54, s"budget 5 must not shift past ~5 bases, got pos $p")
+    // unlimited budget reaches the true leftmost anchor
+    assert(alignOne(fa, 60, "AA", "A") === ((1L, "CA", "C")))
+  }
+
+  test("leftAlign: multi-base indel through a dinucleotide repeat") {
+    // (AT)*10 repeat: deleting one AT unit left-aligns to the repeat start
+    val fa = stageFasta("la_dinuc", "G" * 10 + "AT" * 10 + "C" * 10)
+    // anchored mid-repeat: pos 15 ref ATA alt A (deletes TA)
+    val (p, r, a) = alignOne(fa, 15, "ATA", "A")
+    assert(p == 10L && r == "GAT" && a == "G", s"got ($p, $r, $a)")
+  }
 }
