@@ -63,4 +63,41 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Synchronous label propagation (the classic LPA community
+    * detector): every node starts labeled with its own id; each
+    * iteration it adopts the most frequent label among its neighbors,
+    * ties broken by SMALLEST label — fully deterministic, unlike the
+    * random-order variants. Edges are symmetrized (undirected
+    * semantics); isolated declared endpoints keep their own label.
+    *
+    * Shape per iteration: one labels⋈edges equi-join on the node key,
+    * a (node, label) partial count, and a per-node argmax window —
+    * the same bucketable join profile as the PageRank loop, with the
+    * frame localCheckpoint'd each round for the same
+    * lineage-truncation reason.
+    *
+    * @param edges (src: long, dst: long)
+    * @return (node: long, label: long) */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.selectExpr("src", "dst")
+      .union(edges.selectExpr("dst AS src", "src AS dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      labels = sym
+        .join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("n").desc, col("label").asc)))
+        .where(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -1117,6 +1117,108 @@ object FormatScans {
         UNION ALL SELECT '2', 777, 'GG', 'G', 1, 3.5
         ORDER BY chrom, pos, allele_idx""")),
 
+    // In-silico restriction digestion (EcoRI G^AATTC): locate motif
+    // occurrences with a codegen'd substring HOF, cut after the G, and
+    // explode fragment lengths from the boundary differences.
+    // Sequences are motif-free CT filler segments joined by GAATTC, so
+    // every fragment length is closed-form: L+1 / L+6 / L+5 by
+    // position class.
+    "fmt_restriction_digest" -> Q(
+      (s, _) => {
+        s.range(120).selectExpr("id AS i",
+            "concat_ws('GAATTC', transform(sequence(0, 3), k -> " +
+              "repeat('CT', 10 + (cast(id + 7 * k as int) % 15)))) AS seq")
+          .selectExpr("i",
+            "concat(array(0), " +
+              "filter(sequence(1, length(seq) - 5), p -> substring(seq, p, 6) = 'GAATTC'), " +
+              "array(length(seq))) AS bounds")
+          .selectExpr("i",
+            "posexplode(transform(sequence(1, size(bounds) - 1), " +
+              "j -> element_at(bounds, j + 1) - element_at(bounds, j))) AS (frag_idx, frag_len)")
+          .orderBy("i", "frag_idx")
+      },
+      Some("""WITH g AS (SELECT i, k, 2 * (10 + ((i + 7 * k) % 15)) AS L
+          FROM range(0, 120) t(i), range(0, 4) s(k))
+        SELECT i, CAST(k AS INTEGER) AS frag_idx,
+          CAST(CASE WHEN k = 0 THEN L + 1 WHEN k = 3 THEN L + 5
+               ELSE L + 6 END AS INTEGER) AS frag_len
+        FROM g ORDER BY i, frag_idx""")),
+
+    // GC skew profile ((G-C) per tumbling window + cumulative walk) —
+    // the replication-origin detector. Skew stays INTEGER per window
+    // so the cumulative sums are exact; the engineered block pattern
+    // (+6/-3/0/0) gives the oracle a window-function reformulation
+    // over the same arithmetic.
+    "fmt_gc_skew" -> Q(
+      (s, _) => {
+        s.range(100).selectExpr("id AS i",
+            "array_join(transform(sequence(0, 11), j -> " +
+              "CASE cast(j % 4 as int) WHEN 0 THEN 'GGGGGGTTTT' " +
+              "WHEN 1 THEN 'CCCAAAAAAA' ELSE 'ATATATATAT' END), '') AS seq")
+          .selectExpr("i",
+            "posexplode(transform(sequence(0, 11), j -> substring(seq, j * 10 + 1, 10))) AS (win_idx, sub)")
+          .selectExpr("i", "win_idx",
+            "cast(length(regexp_replace(sub, '[^G]', '')) - " +
+              "length(regexp_replace(sub, '[^C]', '')) as int) AS skew")
+          .withColumn("cum_skew", sum(col("skew")).over(
+            Window.partitionBy("i").orderBy("win_idx")).cast("int"))
+          .orderBy("i", "win_idx")
+      },
+      Some("""WITH b AS (SELECT i, j,
+            CASE CAST(j % 4 AS INTEGER) WHEN 0 THEN 6 WHEN 1 THEN -3 ELSE 0 END AS skew
+          FROM range(0, 100) t(i), range(0, 12) u(j))
+        SELECT i, CAST(j AS INTEGER) AS win_idx, CAST(skew AS INTEGER) AS skew,
+          CAST(sum(skew) OVER (PARTITION BY i ORDER BY j) AS INTEGER) AS cum_skew
+        FROM b ORDER BY i, win_idx""")),
+
+    // Peak picking / centroiding (the ProteoWizard-class profile->
+    // centroid step) over a staged 90-spectrum profile corpus read
+    // back through the real mzML decoder: a peak is an interior local
+    // maximum above the intensity floor. Spectrum i carries the
+    // sawtooth (j % p)*100 with p = 8 + i%3, so the peak count is the
+    // closed form floor(59/p) — 7, 6 or 5 by residue class.
+    "fmt_mzml_peak_pick" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-mzml-peaks") { d =>
+          val sb = new StringBuilder
+          def b64(vs: Array[Double]): String = {
+            val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            vs.foreach(bb.putDouble)
+            java.util.Base64.getEncoder.encodeToString(bb.array())
+          }
+          sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+          sb.append("<mzML xmlns=\"http://psi.hupo.org/ms/mzml\" version=\"1.1.0\">\n")
+          sb.append("<run id=\"r0\"><spectrumList count=\"90\">\n")
+          for (i <- 1 to 90) {
+            val p = 8 + i % 3
+            sb.append(s"""<spectrum index="${i - 1}" id="scan=$i" defaultArrayLength="60">""")
+            sb.append("<binaryDataArrayList count=\"2\">")
+            sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000514\"/>")
+            sb.append("<binary>").append(b64((0 until 60).map(j => 100.0 + j).toArray))
+              .append("</binary></binaryDataArray>")
+            sb.append("<binaryDataArray><cvParam accession=\"MS:1000523\"/><cvParam accession=\"MS:1000515\"/>")
+            sb.append("<binary>").append(b64((0 until 60).map(j => (j % p) * 100.0).toArray))
+              .append("</binary></binaryDataArray>")
+            sb.append("</binaryDataArrayList></spectrum>\n")
+          }
+          sb.append("</spectrumList></run>\n</mzML>\n")
+          java.nio.file.Files.writeString(d.resolve("peaks.mzML"), sb.toString): Unit
+        }
+        GraftIO.read_mzml(s, staged.resolve("peaks.mzML").toString)
+          .selectExpr("cast(substr(id, 6) as bigint) AS i",
+            "intensity.intensity AS ints")
+          .selectExpr("i",
+            "size(filter(sequence(1, 58), j -> " +
+              "element_at(ints, j + 1) > element_at(ints, j) AND " +
+              "element_at(ints, j + 1) > element_at(ints, j + 2) AND " +
+              "element_at(ints, j + 1) >= 500.0D)) AS n_peaks")
+          .orderBy("i")
+      },
+      Some("""SELECT i,
+          CAST(CASE i % 3 WHEN 0 THEN 7 WHEN 1 THEN 6 ELSE 5 END AS INTEGER) AS n_peaks
+        FROM range(1, 91) t(i) ORDER BY i""")),
+
     // Mash-style genome sketching (bottom-k k-mer minhash): eight
     // word-composed genomes with a controlled overlap gradient
     // (neighbors share 9 of 12 words, distance >=4 shares none); the

@@ -1370,6 +1370,27 @@ object PipelineOps {
           FROM r4 JOIN d ON r4.node = d.src JOIN e ON r4.node = e.src GROUP BY e.dst),
         r5 AS (SELECT n.node, CAST(150000 + (85 * coalesce(c5.inc, 0)) // 100 AS BIGINT) AS prm
           FROM n LEFT JOIN c5 ON n.node = c5.dst)
-        SELECT node, prm FROM r5 ORDER BY prm DESC, node LIMIT 10"""))
+        SELECT node, prm FROM r5 ORDER BY prm DESC, node LIMIT 10""")),
+
+    // ---- label propagation communities (deterministic LPA) ----
+    // Two 8-cliques bridged by one edge through
+    // [[graft.pipeline.GraphOps.labelPropagation]]: with the
+    // smallest-label tie-break, synchronous LPA settles in two rounds
+    // — clique one converges to label 0, clique two to 10, and the
+    // bridge endpoints stay with their own clique's majority. Four
+    // rounds prove stability; the oracle states the fixed point
+    // closed-form.
+    "pipe_label_propagation" -> Q(
+      (s, _) => {
+        val edges = s.sql(
+          """SELECT a.id AS src, b.id AS dst FROM range(8) a JOIN range(8) b ON a.id < b.id
+             UNION ALL
+             SELECT a.id + 10, b.id + 10 FROM range(8) a JOIN range(8) b ON a.id < b.id
+             UNION ALL SELECT 7L, 10L""")
+        graft.pipeline.GraphOps.labelPropagation(edges, 4).orderBy("node")
+      },
+      Some("""SELECT i AS node,
+          CAST(CASE WHEN i < 8 THEN 0 ELSE 10 END AS BIGINT) AS label
+        FROM range(0, 18) t(i) WHERE i < 8 OR i >= 10 ORDER BY node"""))
   )
 }

@@ -72,4 +72,30 @@ class GraphOpsSpec extends AnyFunSuite {
     val got = run(Seq((1L, 2L), (3L, 4L)), 0)
     assert(got.values.toSet === Set(1000000L))
   }
+
+  test("labelPropagation: symmetrization, determinism, stability") {
+    import spark.implicits._
+    // path graph 0-1-2: iter1: 0->1, 1->0 (tie min), 2->1;
+    // iter2: 0->1?? neighbors(0)={1}: label 0 -> adopts 0... verify
+    // stability on the two-triangle + bridge instead (clean fixed point)
+    val tri = Seq((0L,1L),(1L,2L),(0L,2L),(10L,11L),(11L,12L),(10L,12L),(2L,10L))
+      .toDF("src","dst")
+    val out = graft.pipeline.GraphOps.labelPropagation(tri, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-label tie-breaks flood the bridge's small id into the second
+    // triangle (known LPA behavior) — the invariant is the COMMUNITY
+    // structure: each triangle uniformly labeled, labels distinct
+    assert(Set(out(0L), out(1L), out(2L)).size == 1, out.toString)
+    assert(Set(out(10L), out(11L), out(12L)).size == 1, out.toString)
+    assert(out(0L) != out(10L), out.toString)
+    // iters=0 returns self-labels
+    val self = graft.pipeline.GraphOps.labelPropagation(tri, 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(self.forall { case (n, l) => n == l }, self.toString)
+    // direction of the input edge list must not matter
+    val rev = tri.selectExpr("dst AS src", "src AS dst")
+    val out2 = graft.pipeline.GraphOps.labelPropagation(rev, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out, s"$out2 vs $out")
+  }
 }

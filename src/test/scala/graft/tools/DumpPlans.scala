@@ -107,7 +107,18 @@ object DumpPlans {
       """Morton interleave as a pure-arithmetic codegen'd bit fold; both
         |layout audits are ~20-group partial aggs. The Z layout's
         |bounding boxes stay near-square — the file-skipping economics
-        |of Z-ordered writes, measured not asserted.""".stripMargin)
+        |of Z-ordered writes, measured not asserted.""".stripMargin,
+    "fmt_vcf_leftalign" ->
+      """Reference-backed left-align with the genome NEVER broadcast:
+        |only the .fai entry table ships with the closure; each task
+        |byte-range-seeks the 4 kb reference blocks its variants touch
+        |under a per-partition LRU, and SNV/symbolic rows skip the
+        |reference entirely — I/O is O(distinct blocks), not O(genome).""".stripMargin,
+    "fmt_mash_jaccard" ->
+      """Mash sketching: genomes reduce to sketchSize i64 hashes BEFORE
+        |any join (bottom-k window on the exploded k-mer stream); the
+        |pairwise phase joins broadcast pair keys against sketch rows —
+        |sequence data never rides an exchange.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
