@@ -194,6 +194,54 @@ object VariantQC {
       .drop("__brk")
   }
 
+
+  /** Pairwise linkage disequilibrium r² (the plink --r2 core) between
+    * sites within `maxDist` of each other, from positional genotype
+    * strings. Dosage x = count of '1' alleles per sample; r² is the
+    * squared Pearson correlation of the two dosage vectors, computed
+    * ENTIRELY in integer sums — r2_micro = 1e6·(nΣxy-ΣxΣy)² floor-div
+    * ((nΣx²-(Σx)²)(nΣy²-(Σy)²)) — so distributed order cannot flap a
+    * bit; monomorphic sites (zero variance) yield NULL.
+    *
+    * Scale shape: the pair space is NOT quadratic — sites key into
+    * `maxDist`-wide bins, the left side probes its own and the next
+    * bin (each qualifying pair matches exactly once through the right
+    * site's unique bin), and the distance filter bounds the fan to
+    * O(sites · density·maxDist). Single-chromosome input; partition
+    * by chrom upstream for a genome.
+    *
+    * @param df (`sidCol`: bigint, `posCol`, `gtCol`: array<string>) */
+  def ldR2(df: DataFrame, maxDist: Long, sidCol: String = "sid",
+           posCol: String = "pos", gtCol: String = "genotypes"): DataFrame = {
+    Seq(sidCol, posCol, gtCol).foreach(c =>
+      require(df.columns.contains(c), s"VariantQC.ldR2: no column '$c'"))
+    require(maxDist > 0, s"maxDist must be positive, got $maxDist")
+    val base = df.select(col(sidCol).cast("long").as("sid"),
+        col(posCol).cast("long").as("pos"),
+        expr(s"""transform($gtCol, g ->
+            cast(size(filter(split(split(g, ':')[0], '[/|]'), a -> a = '1')) as bigint))""")
+          .as("ds"))
+      .withColumn("n", size(col("ds")).cast("long"))
+      .withColumn("sx", expr("aggregate(ds, 0L, (a, x) -> a + x)"))
+      .withColumn("sxx", expr("aggregate(ds, 0L, (a, x) -> a + x * x)"))
+    val a = base.select(col("sid").as("s1"), col("pos").as("p1"),
+        col("ds").as("d1"), col("n"), col("sx").as("sx1"), col("sxx").as("sxx1"))
+      .withColumn("bin", explode(array(
+        (col("p1") / maxDist).cast("long"), (col("p1") / maxDist).cast("long") + 1)))
+    val b = base.select(col("sid").as("s2"), col("pos").as("p2"),
+        col("ds").as("d2"), col("sx").as("sx2"), col("sxx").as("sxx2"))
+      .withColumn("bin", (col("p2") / maxDist).cast("long"))
+    a.join(b, Seq("bin"))
+      .where(col("p2") > col("p1") && col("p2") - col("p1") <= maxDist)
+      .withColumn("sxy",
+        expr("aggregate(zip_with(d1, d2, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .selectExpr("s1", "s2",
+        """CASE WHEN (n * sxx1 - sx1 * sx1) * (n * sxx2 - sx2 * sx2) = 0
+             THEN CAST(NULL AS BIGINT)
+             ELSE 1000000 * (n * sxy - sx1 * sx2) * (n * sxy - sx1 * sx2) div
+               ((n * sxx1 - sx1 * sx1) * (n * sxx2 - sx2 * sx2)) END AS r2_micro""")
+  }
+
   /** One (key, chrom, pos, ref, alt) site for [[VariantQC.leftAlign]];
     * `key` is the caller's join-back handle. */
   final case class VariantSite(key: Long, chrom: String, pos: Long,

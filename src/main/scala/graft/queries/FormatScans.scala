@@ -1117,6 +1117,80 @@ object FormatScans {
         UNION ALL SELECT '2', 777, 'GG', 'G', 1, 3.5
         ORDER BY chrom, pos, allele_idx""")),
 
+    // Pairwise LD r^2 (plink --r2 core) through VariantQC.ldR2: dosage
+    // vectors from the genotype strings, integer-sum Pearson r^2 in
+    // micro fixed-point, monomorphic sites -> NULL, and the pair space
+    // bounded by maxDist bins (gap 40, maxDist 100 -> each site pairs
+    // with the next two). The oracle rebuilds the same integer sums
+    // with relational joins over the generating arithmetic.
+    "fmt_vcf_ld_r2" -> Q(
+      (s, _) => {
+        val sites = s.range(60).selectExpr("id AS sid", "id * 40 + 1 AS pos",
+          "transform(sequence(0, 7), j -> CASE cast(" +
+            "(CASE WHEN id % 13 = 0 THEN 1 ELSE (id * 5 + j * j + (id % 4) * j) % 3 END) as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0|1' ELSE '1/1' END) AS genotypes")
+        graft.functions.VariantQC.ldR2(sites, 100).orderBy("s1", "s2")
+      },
+      Some("""WITH d AS (SELECT t.sid, j,
+            CAST(CASE WHEN t.sid % 13 = 0 THEN 1
+                 ELSE (t.sid * 5 + j * j + (t.sid % 4) * j) % 3 END AS BIGINT) AS x
+          FROM range(0, 60) t(sid), range(0, 8) u(j)),
+        m AS (SELECT sid, sum(x) AS sx, sum(x * x) AS sxx FROM d GROUP BY sid),
+        p AS (SELECT a.sid AS s1, b.sid AS s2
+          FROM range(0, 60) a(sid), range(0, 60) b(sid)
+          WHERE b.sid > a.sid AND (b.sid - a.sid) * 40 <= 100),
+        xy AS (SELECT p.s1, p.s2, sum(da.x * db.x) AS sxy
+          FROM p JOIN d da ON da.sid = p.s1 JOIN d db ON db.sid = p.s2 AND db.j = da.j
+          GROUP BY p.s1, p.s2)
+        SELECT xy.s1, xy.s2,
+          CASE WHEN (8 * ma.sxx - ma.sx * ma.sx) * (8 * mb.sxx - mb.sx * mb.sx) = 0
+            THEN NULL
+            ELSE CAST(1000000 * (8 * xy.sxy - ma.sx * mb.sx) * (8 * xy.sxy - ma.sx * mb.sx) //
+              ((8 * ma.sxx - ma.sx * ma.sx) * (8 * mb.sxx - mb.sx * mb.sx)) AS BIGINT)
+          END AS r2_micro
+        FROM xy JOIN m ma ON ma.sid = xy.s1 JOIN m mb ON mb.sid = xy.s2
+        ORDER BY s1, s2""")),
+
+    // Site frequency spectrum (the pop-gen summary everything else
+    // derives from): per-site alt allele count from the genotype
+    // strings, histogrammed. Map-side-combined double aggregation.
+    "fmt_vcf_sfs" -> Q(
+      (s, _) => s.range(300).selectExpr("id AS sid",
+          "transform(sequence(0, 5), j -> CASE cast((id div (j + 1) + id * j) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' ELSE '1|1' END) AS genotypes")
+        .selectExpr("sid",
+          "aggregate(transform(genotypes, g -> " +
+            "size(filter(split(split(g, ':')[0], '[/|]'), a -> a = '1'))), 0, (a, x) -> a + x) AS ac")
+        .groupBy("ac").agg(count(lit(1)).as("n_sites")).orderBy("ac"),
+      Some("""WITH d AS (SELECT sid,
+            CAST(sum((sid // (j + 1) + sid * j) % 3) AS INTEGER) AS ac
+          FROM range(0, 300) t(sid), range(0, 6) u(j) GROUP BY sid)
+        SELECT ac, count(*) AS n_sites FROM d GROUP BY ac ORDER BY ac""")),
+
+    // In-silico PCR (the isPcr product search): forward-primer sites
+    // and reverse-primer binding sites (revcomp on the + strand)
+    // located by substring HOFs, paired into candidate amplicons, and
+    // size-filtered. Each engineered template carries one in-window
+    // product (L+12) and one decoy site 200 bp downstream that the
+    // size cutoff must reject.
+    "fmt_pcr_products" -> Q(
+      (s, _) => s.range(80).selectExpr("id AS i", "cast(30 + 2 * (id % 25) as int) AS L")
+        .selectExpr("i", "L",
+          "concat(repeat('CT', 15), 'GACCGT', repeat('CT', L div 2), " +
+            "'ACGGTC', repeat('CT', 100), 'ACGGTC') AS seq")
+        .selectExpr("i", "L",
+          "filter(sequence(1, length(seq) - 5), p -> substring(seq, p, 6) = 'GACCGT') AS fpos",
+          "filter(sequence(1, length(seq) - 5), p -> substring(seq, p, 6) = 'ACGGTC') AS rpos")
+        .selectExpr("i",
+          "filter(flatten(transform(fpos, f -> transform(rpos, r -> r + 6 - f))), " +
+            "d -> d > 0 AND d <= 100) AS products")
+        .selectExpr("i", "size(products) AS n_products",
+          "element_at(products, 1) AS product_len")
+        .orderBy("i"),
+      Some("""SELECT i, CAST(1 AS INTEGER) AS n_products,
+          CAST(30 + 2 * (i % 25) + 12 AS INTEGER) AS product_len
+        FROM range(0, 80) t(i) ORDER BY i""")),
+
     // In-silico restriction digestion (EcoRI G^AATTC): locate motif
     // occurrences with a codegen'd substring HOF, cut after the G, and
     // explode fragment lengths from the boundary differences.

@@ -250,4 +250,24 @@ class VariantQcSpec extends AnyFunSuite {
     val (p, r, a) = alignOne(fa, 15, "ATA", "A")
     assert(p == 10L && r == "GAT" && a == "G", s"got ($p, $r, $a)")
   }
+
+  test("ldR2: perfect LD, anti-correlation, monomorphic NULL, distance cutoff") {
+    import spark.implicits._
+    val sites = Seq(
+      (0L, 10L, Seq("0/0", "0/1", "1/1", "0/1")),  // x = 0,1,2,1
+      (1L, 20L, Seq("0/0", "0/1", "1/1", "0/1")),  // identical -> r2 = 1
+      (2L, 30L, Seq("1/1", "0/1", "0/0", "0/1")),  // mirrored  -> r2 = 1
+      (3L, 40L, Seq("0/1", "0/1", "0/1", "0/1")),  // monomorphic -> NULL
+      (4L, 500L, Seq("0/0", "1/1", "0/0", "1/1"))) // beyond maxDist of all
+      .toDF("sid", "pos", "genotypes")
+    val out = graft.functions.VariantQC.ldR2(sites, 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out((0L, 1L)) == 1000000L, out.toString)
+    assert(out((1L, 2L)) == 1000000L, out.toString)   // sign-insensitive
+    assert(out((0L, 2L)) == 1000000L, out.toString)
+    assert(out((1L, 3L)) == -1L && out((2L, 3L)) == -1L, out.toString) // NULL
+    assert(!out.keySet.exists(_._2 == 4L), out.toString) // distance bound
+    assert(out.size == 6, out.toString) // pairs among sites 0..3 within 50... (0,1),(0,2)? 30-10=20<=50 yes,(0,3)=30<=50,(1,2),(1,3),(2,3)
+  }
 }
