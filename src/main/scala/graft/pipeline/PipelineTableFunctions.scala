@@ -271,8 +271,17 @@ object PipelineTableFunctions {
       if (args.length > 1) str(args(1), "lengthCol") else "length"))
   }
 
+  /** ld_r2(sitesTable, maxDist) — pairwise LD through VariantQC.ldR2
+    * (columns sid/pos/genotypes). */
+  private def ldR2Builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, "ld_r2(sitesTable, maxDist)")
+    plan(graft.functions.VariantQC.ldR2(tbl(args(0), "sitesTable"),
+      num(args(1), "maxDist").toLong))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction("ld_r2", ldR2Builder, "scala_udf")
     reg.createOrReplaceTempFunction("vcf_leftalign", leftAlignBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("roh_segments", rohBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("assembly_stats", assemblyStatsBuilder, "scala_udf")

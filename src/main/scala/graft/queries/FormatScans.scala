@@ -1117,6 +1117,47 @@ object FormatScans {
         UNION ALL SELECT '2', 777, 'GG', 'G', 1, 3.5
         ORDER BY chrom, pos, allele_idx""")),
 
+    // Per-sample inbreeding coefficient F (vcftools --het): observed
+    // vs expected homozygosity, with the expectation kept as an exact
+    // integer rational on the common denominator 4n^2 per site —
+    // F = (O·4n² - ΣE_scaled) / (N·4n² - ΣE_scaled) lands once as a
+    // micro floor division. Monomorphic sites cancel identically from
+    // numerator and denominator, so no site filter is needed.
+    "fmt_vcf_inbreeding" -> Q(
+      (s, _) => s.range(240).selectExpr("id AS sid",
+          "transform(sequence(0, 5), j -> cast((id div (j + 1) + id * j) % 3 as bigint)) AS ds")
+        .selectExpr("sid", "ds",
+          "aggregate(ds, 0L, (a, x) -> a + x) AS ac")
+        .selectExpr("sid",
+          "144 - 2 * ac * (12 - ac) AS e_scaled",
+          "posexplode(ds) AS (sample_idx, x)")
+        .groupBy(col("sample_idx"))
+        .agg(sum(when(col("x") =!= 1L, 1L).otherwise(0L)).as("o_hom"),
+          sum(col("e_scaled")).as("e_sum"), count(lit(1)).as("n_sites"))
+        .selectExpr("sample_idx", "o_hom",
+          "1000000 * (o_hom * 144 - e_sum) div (n_sites * 144 - e_sum) AS f_micro")
+        .orderBy("sample_idx"),
+      Some("""WITH d AS (SELECT sid, j,
+            CAST((sid // (j + 1) + sid * j) % 3 AS BIGINT) AS x
+          FROM range(0, 240) t(sid), range(0, 6) u(j)),
+        a AS (SELECT sid, sum(x) AS ac FROM d GROUP BY sid),
+        e AS (SELECT sid, 144 - 2 * ac * (12 - ac) AS e_scaled FROM a),
+        g AS (SELECT d.j AS sample_idx,
+            sum(CASE WHEN d.x <> 1 THEN 1 ELSE 0 END) AS o_hom,
+            sum(e.e_scaled) AS e_sum, count(*) AS n_sites
+          FROM d JOIN e ON d.sid = e.sid GROUP BY d.j)
+        SELECT CAST(sample_idx AS INTEGER) AS sample_idx,
+          CAST(o_hom AS BIGINT) AS o_hom,
+          -- Spark's `div` TRUNCATES toward zero while DuckDB's `//`
+          -- floors; excess-heterozygosity samples have NEGATIVE F, so
+          -- the oracle must state truncation explicitly or the two
+          -- engines disagree by one micro on indivisible negatives
+          CAST(CASE WHEN o_hom * 144 - e_sum >= 0
+            THEN 1000000 * (o_hom * 144 - e_sum) // (n_sites * 144 - e_sum)
+            ELSE -((1000000 * (e_sum - o_hom * 144)) // (n_sites * 144 - e_sum))
+          END AS BIGINT) AS f_micro
+        FROM g ORDER BY sample_idx""")),
+
     // Pairwise LD r^2 (plink --r2 core) through VariantQC.ldR2: dosage
     // vectors from the genotype strings, integer-sum Pearson r^2 in
     // micro fixed-point, monomorphic sites -> NULL, and the pair space
@@ -1166,6 +1207,44 @@ object FormatScans {
             CAST(sum((sid // (j + 1) + sid * j) % 3) AS INTEGER) AS ac
           FROM range(0, 300) t(sid), range(0, 6) u(j) GROUP BY sid)
         SELECT ac, count(*) AS n_sites FROM d GROUP BY ac ORDER BY ac""")),
+
+    // Primer QC (the Primer3 screening checks): Wallace-rule melting
+    // temperature (2(A+T)+4(G+C)), GC fraction in micro fixed-point,
+    // 3' GC-clamp presence, and the max homopolymer run via a
+    // single-pass aggregate HOF carrying (best, current, prev) state.
+    // Engineered primers make every metric closed-form.
+    "fmt_primer_qc" -> Q(
+      (s, _) => s.range(120).selectExpr("id AS i",
+          "cast(2 + id % 3 as int) AS a", "cast(3 + id % 4 as int) AS b",
+          "cast(id % 5 as int) AS h")
+        .selectExpr("i", "a", "b", "h",
+          "concat(repeat('AT', a), repeat('GC', b), repeat('A', h), " +
+            "CASE WHEN i % 2 = 0 THEN 'G' ELSE 'T' END) AS primer")
+        .selectExpr("i", "primer",
+          "length(primer) AS len",
+          "cast(2 * (length(primer) - length(regexp_replace(primer, '[^GCgc]', ''))) + " +
+            "4 * length(regexp_replace(primer, '[^GCgc]', '')) as int) AS tm_wallace",
+          "1000000 * cast(length(regexp_replace(primer, '[^GCgc]', '')) as bigint) " +
+            "div length(primer) AS gc_micro",
+          "CASE WHEN substring(primer, length(primer), 1) IN ('G', 'C') THEN 1 ELSE 0 END AS gc_clamp",
+          "aggregate(filter(split(primer, ''), c -> c != ''), " +
+            "named_struct('best', 0, 'cur', 0, 'prev', ''), " +
+            "(st, c) -> named_struct(" +
+              "'best', greatest(st.best, IF(c = st.prev, st.cur + 1, 1)), " +
+              "'cur', IF(c = st.prev, st.cur + 1, 1), 'prev', c), " +
+            "st -> st.best) AS max_run")
+        .drop("primer").orderBy("i"),
+      Some("""WITH g AS (SELECT i, 2 + i % 3 AS a, 3 + i % 4 AS b, i % 5 AS h,
+            CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS clampg
+          FROM range(0, 120) t(i)),
+        m AS (SELECT i, 2*a + 2*b + h + 1 AS len,
+            2*b + clampg AS ngc, 2*a + h + 1 - clampg AS nat, clampg, h FROM g)
+        SELECT i, CAST(len AS INTEGER) AS len,
+          CAST(2 * nat + 4 * ngc AS INTEGER) AS tm_wallace,
+          CAST(1000000 * ngc // len AS BIGINT) AS gc_micro,
+          CAST(clampg AS INTEGER) AS gc_clamp,
+          CAST(CASE WHEN h > 1 THEN h ELSE 1 END AS INTEGER) AS max_run
+        FROM m ORDER BY i""")),
 
     // In-silico PCR (the isPcr product search): forward-primer sites
     // and reverse-primer binding sites (revcomp on the + strand)

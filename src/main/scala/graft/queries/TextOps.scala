@@ -714,6 +714,50 @@ object TextOps {
         CROSS JOIN ut CROSS JOIN tt
         WHERE c_xy >= 5
         ORDER BY pmi_micro DESC, bgc.x, bgc.y
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // ---- RAKE keyphrase extraction (Rose et al. 2010) ----
+    // Candidate phrases are maximal stopword-free runs; each word's
+    // degree is the summed length of the phrases it appears in, its
+    // score deg/freq (per document, in micro fixed-point integer
+    // division), and a phrase scores the sum of its words. Four
+    // engineered templates with hand-computed winners — including two
+    // score-tie templates that pin the deterministic (score desc,
+    // phrase asc) tie-break. Per-doc word stats keep the shuffle keyed
+    // by (doc, word): nothing corpus-global, Heaps-law safe.
+    "text_rake_keyphrases" -> Q(
+      (s, _) => {
+        val docs = s.range(200).selectExpr("id AS doc_id",
+          "CASE cast(id % 4 as int) " +
+            "WHEN 0 THEN 'red apple of green pear' " +
+            "WHEN 1 THEN 'big data of big model' " +
+            "WHEN 2 THEN 'alpha of beta and gamma delta' " +
+            "ELSE 'one two three of one' END AS text")
+        val phrases = docs.selectExpr("doc_id",
+            "explode(filter(transform(split(text, ' (of|and|the|to|in|is|a) '), p -> trim(p)), p -> p != '')) AS phrase")
+          .selectExpr("doc_id", "phrase", "split(phrase, ' ') AS ws",
+            "size(split(phrase, ' ')) AS plen")
+        val wstats = phrases
+          .selectExpr("doc_id", "plen", "explode(ws) AS w")
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+          .selectExpr("doc_id", "w", "deg * 1000000L div freq AS wscore")
+        val scored = phrases
+          .selectExpr("doc_id", "phrase", "explode(ws) AS w")
+          .join(wstats, Seq("doc_id", "w"))
+          .groupBy(col("doc_id"), col("phrase"))
+          .agg(sum(col("wscore")).as("score_micro"))
+        scored.withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("phrase").asc)))
+          .where(col("rk") === 1).drop("rk")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT i AS doc_id,
+          CASE CAST(i % 4 AS INTEGER)
+            WHEN 0 THEN 'green pear' WHEN 1 THEN 'big data'
+            WHEN 2 THEN 'gamma delta' ELSE 'one two three' END AS phrase,
+          CAST(CASE CAST(i % 4 AS INTEGER) WHEN 3 THEN 8000000 ELSE 4000000 END AS BIGINT) AS score_micro
+        FROM range(0, 200) t(i) ORDER BY doc_id"""))
   )
 }
+

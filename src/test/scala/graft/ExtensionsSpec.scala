@@ -179,6 +179,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val asm = s.sql("SELECT n50, l50, n90 FROM assembly_stats('ext_lens')")
         .collect().head
       assert((asm.getLong(0), asm.getLong(1), asm.getLong(2)) == ((8L, 2L, 4L)))
+      Seq((0L, 10L, Seq("0/0", "0/1", "1/1")), (1L, 20L, Seq("0/0", "0/1", "1/1")))
+        .toDF("sid", "pos", "genotypes").createOrReplaceTempView("ext_ld")
+      val ld = s.sql("SELECT r2_micro FROM ld_r2('ext_ld', 50)").collect()
+      assert(ld.length == 1 && ld(0).getLong(0) == 1000000L, ld.toSeq)
       // optimizer rule: a filter on the exploded element grows an
       // exists() pre-filter BELOW the Generate. Plan shape asserted on
       // a range()-backed relation — over a LocalRelation the optimizer
