@@ -1208,6 +1208,69 @@ object FormatScans {
           FROM range(0, 300) t(sid), range(0, 6) u(j) GROUP BY sid)
         SELECT ac, count(*) AS n_sites FROM d GROUP BY ac ORDER BY ac""")),
 
+    // Fraction of optimal codons (Ikemura's Fop — the codon-usage
+    // adaptation metric that stays a PURE integer ratio, unlike CAI's
+    // geometric mean): codons from a 1-based HOF walk, membership in
+    // the broadcast optimal set, micro fixed-point fraction. CDS are
+    // engineered period-9 repeats so the optimal count is closed-form.
+    "fmt_codon_fop" -> Q(
+      (s, _) => {
+        // optimal set: {ATG, GAA, CTG}; cds_i = ('ATG' 'GAA' 'CTT')
+        // then blocks of ('CTG' 'GAT' 'CTT') — per block exactly 1
+        // optimal; plus 2 of the leading 3.
+        val optimal = s.sql("SELECT explode(array('ATG', 'GAA', 'CTG')) AS codon")
+        val genes = s.range(150).selectExpr("id AS gid",
+            "cast(4 + id % 7 as int) AS nb")
+          .selectExpr("gid", "nb",
+            "concat('ATGGAACTT', repeat('CTGGATCTT', nb)) AS cds")
+        val codons = genes.selectExpr("gid",
+          "explode(transform(sequence(0, length(cds) div 3 - 1), " +
+            "k -> substring(cds, k * 3 + 1, 3))) AS codon")
+        codons.join(broadcast(optimal).withColumn("opt", lit(1L)),
+            Seq("codon"), "left")
+          .groupBy(col("gid"))
+          .agg(count(lit(1)).as("n_codons"),
+            sum(coalesce(col("opt"), lit(0L))).as("n_optimal"))
+          .selectExpr("gid", "n_codons", "n_optimal",
+            "1000000 * n_optimal div n_codons AS fop_micro")
+          .orderBy("gid")
+      },
+      Some("""WITH g AS (SELECT i AS gid, 4 + i % 7 AS nb FROM range(0, 150) t(i))
+        SELECT gid, CAST(3 + 3 * nb AS BIGINT) AS n_codons,
+          CAST(2 + nb AS BIGINT) AS n_optimal,
+          CAST(1000000 * (2 + nb) // (3 + 3 * nb) AS BIGINT) AS fop_micro
+        FROM g ORDER BY gid""")),
+
+    // Per-sample Ti/Tv (the stratified flavor of fmt_vcf_titv): a
+    // sample contributes a site's substitution class once per ALT
+    // dosage. Engineered biallelic SNVs alternate A>G (ti) and A>C
+    // (tv); dosages come from the same v4 generator the SFS entry
+    // uses, so per-sample counts are oracle-recomputable relationally.
+    "fmt_vcf_titv_by_sample" -> Q(
+      (s, _) => s.range(400).selectExpr("id AS sid",
+          "CASE WHEN id % 2 = 0 THEN 'G' ELSE 'C' END AS alt",
+          "transform(sequence(0, 5), j -> cast((id div (j + 1) + id * j) % 3 as int)) AS ds")
+        .selectExpr("sid", "alt", "posexplode(ds) AS (sample_idx, x)")
+        .where(col("x") > 0)
+        .groupBy(col("sample_idx"))
+        .agg(sum(when(col("alt") === "G", col("x").cast("long")).otherwise(0L)).as("n_ti"),
+          sum(when(col("alt") === "C", col("x").cast("long")).otherwise(0L)).as("n_tv"))
+        .selectExpr("sample_idx", "n_ti", "n_tv",
+          "1000000 * n_ti div n_tv AS titv_micro")
+        .orderBy("sample_idx"),
+      Some("""WITH d AS (SELECT sid, j,
+            CAST((sid // (j + 1) + sid * j) % 3 AS BIGINT) AS x,
+            CASE WHEN sid % 2 = 0 THEN 1 ELSE 0 END AS is_ti
+          FROM range(0, 400) t(sid), range(0, 6) u(j)),
+        g AS (SELECT j AS sample_idx,
+            sum(CASE WHEN is_ti = 1 THEN x ELSE 0 END) AS n_ti,
+            sum(CASE WHEN is_ti = 0 THEN x ELSE 0 END) AS n_tv
+          FROM d WHERE x > 0 GROUP BY j)
+        SELECT CAST(sample_idx AS INTEGER) AS sample_idx,
+          CAST(n_ti AS BIGINT) AS n_ti, CAST(n_tv AS BIGINT) AS n_tv,
+          CAST(1000000 * n_ti // n_tv AS BIGINT) AS titv_micro
+        FROM g ORDER BY sample_idx""")),
+
     // Primer QC (the Primer3 screening checks): Wallace-rule melting
     // temperature (2(A+T)+4(G+C)), GC fraction in micro fixed-point,
     // 3' GC-clamp presence, and the max homopolymer run via a
