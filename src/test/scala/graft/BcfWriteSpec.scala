@@ -126,6 +126,42 @@ class BcfWriteSpec extends AnyFunSuite {
     assert(q.count() === expect.count() && q.count() > 0)
   }
 
+  test("property: 300 random batched regions over a multi-part indexed write == scan + filter") {
+    val dir = queries.Stage.tempDir("bcf_prop").toString
+    spark.range(8000).selectExpr(
+        "CASE WHEN id < 3000 THEN 'c1' WHEN id < 6000 THEN 'c2' ELSE 'c3' END AS chrom",
+        "(id % 3000) * 17 + 1 AS pos",
+        "cast(null as string) AS id", "'ACG' AS ref", "array('A') AS alt",
+        "cast(id % 40 as float) AS qual", "'PASS' AS filter",
+        "named_struct('dp', cast(id % 100 as int)) AS info")
+      .repartitionByRange(3, org.apache.spark.sql.functions.col("chrom"),
+        org.apache.spark.sql.functions.col("pos"))
+      .sortWithinPartitions("chrom", "pos")
+      .write.mode("overwrite")
+      .option("contigs", "c1:60000,c2:60000,c3:60000").option("index", "csi")
+      .format("bcf").save(dir)
+    val all = GraftIO.read_bcf_file_records(spark, dir)
+    // deterministic pseudo-random region soup: overlapping, nested,
+    // cross-contig, empty-result regions all occur
+    val rng = new scala.util.Random(8)
+    val regions = (1 to 300).map { _ =>
+      val chr = Seq("c1", "c2", "c3", "cX")(rng.nextInt(4))
+      val lo = rng.nextInt(52000) + 1
+      val span = rng.nextInt(900)
+      s"$chr:$lo-${lo + span}"
+    }
+    val q = GraftIO.bcf_query(spark, dir, regions)
+    val parsed = regions.map { r =>
+      val Array(c, se) = r.split(":"); val Array(s0, e0) = se.split("-")
+      (c, s0.toLong, e0.toLong)
+    }
+    val expect = all.where(
+      parsed.map { case (c, s0, e0) =>
+        s"(chrom = '$c' AND pos BETWEEN $s0 AND $e0)" }.mkString(" OR "))
+    assert(rowsOf(q) === rowsOf(expect))
+    assert(q.count() > 0, "region soup unexpectedly empty — regenerate the fixture")
+  }
+
   test("missing contigs option and undeclared contig/filter fail loudly") {
     val dir = queries.Stage.tempDir("bcf_err").toString
     val one = spark.sql("""SELECT '9' AS chrom, 5L AS pos,
