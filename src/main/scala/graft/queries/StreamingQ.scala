@@ -730,6 +730,49 @@ object StreamingQ {
       Some("""SELECT CAST(40 AS BIGINT) AS n_pages, CAST(40 AS BIGINT) AS n_texts,
         CAST(360 AS BIGINT) AS tok_sum,
         'Page 1 Page 1 alpha beta & gamma 1' AS min_text,
-        'Page 9' AS max_title"""))
+        'Page 9' AS max_title""")),
+    // ---- the quality-trim kernel inside a streaming projection ----
+    // The codegen'd quality_trim_length expression runs per
+    // micro-batch over the incremental FASTQ ingest (two initial
+    // files, one late arrival) — custom kernels compose with
+    // Structured Streaming exactly like built-ins because they ARE
+    // Catalyst expressions, not driver-side functions. Oracle is the
+    // hand-computed trim of the fixture's two reads (Q40 clean ->
+    // kept 14; the low-quality read fails its first window -> 0),
+    // times three file copies.
+    "stream_quality_trim" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val fixtures = "/root/repo/src/test/resources/fixtures"
+        val staged = Stage.staged("graft-fastq-trim") { d =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$fixtures/fastq/test.fastq"),
+            d.resolve("f1.fastq"))
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$fixtures/fastq/test.fastq.gz"),
+            d.resolve("f2.fastq.gz")): Unit
+        }
+        val tbl = "graft_stream_quality_trim"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val q = s.readStream.format("fastq").load(staged.toString)
+          .selectExpr("name",
+            "quality_trim_length(quality_scores, 4, 20) AS kept")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try {
+          q.processAllAvailable()
+          val f3 = staged.resolve("f3.fastq")
+          if (!java.nio.file.Files.exists(f3))
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(s"$fixtures/fastq/test.fastq"), f3): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(tbl)
+          .groupBy("name")
+          .agg(count(lit(1)).as("n"), sum(col("kept")).as("kept_sum"))
+          .orderBy("name")
+      },
+      Some("""SELECT 'q1' AS name, CAST(3 AS BIGINT) AS n, CAST(42 AS BIGINT) AS kept_sum
+        UNION ALL SELECT 'q2', 3, 0 ORDER BY name"""))
   )
 }
