@@ -52,6 +52,7 @@ object GraftFunctions {
     "split_genotype" -> (e => SplitGenotype(e(0), e(1))),
     "quality_trim_length" -> (e => QualityTrimLength(e(0), e(1), e(2))),
     "mendel_violation" -> (e => MendelViolation(e(0), e(1), e(2))),
+    "parse_newick" -> (e => ParseNewick(e.head)),
     "exondb_version" -> (_ => Literal(ExonDbVersion)),
     // graft-native pipeline kernels (sketches + cosine)
     "graft_simhash32" -> (e => SimHash32(e.head)),

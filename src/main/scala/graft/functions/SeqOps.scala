@@ -317,6 +317,63 @@ object SeqOps {
     java.lang.Boolean.valueOf(!ok)
   }
 
+  /** Newick phylogenetic-tree parse: one pass with an explicit parent
+    * stack, emitting (node, name, parent, branch_length, depth,
+    * is_leaf) rows in PREORDER allocation order — '(' allocates the
+    * internal node whose label/length arrive after its ')', leaves
+    * allocate on their token. parent = -1 for the root, branch_length
+    * null when absent (the root, or unlabeled edges). Quoted labels
+    * and comments are out of scope (documented); malformed nesting
+    * throws rather than returning a partial tree. */
+  def parseNewick(s: UTF8String): ArrayData = {
+    val t = s.toString.trim
+    if (t.isEmpty || t == ";") fail("parse_newick", "empty tree")
+    final case class Node(id: Int, var name: String, parent: Int,
+                          var blen: Any, depth: Int, var leaf: Boolean)
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Node]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    def readLabel(): String = {
+      val s0 = i
+      while (i < t.length && !":,();".contains(t.charAt(i))) i += 1
+      t.substring(s0, i).trim match { case "" => null; case n => n }
+    }
+    def readBlen(): Any =
+      if (i < t.length && t.charAt(i) == ':') {
+        i += 1
+        val s0 = i
+        while (i < t.length && !",();".contains(t.charAt(i))) i += 1
+        java.lang.Double.parseDouble(t.substring(s0, i).trim)
+      } else null
+    while (i < t.length && t.charAt(i) != ';') {
+      t.charAt(i) match {
+        case '(' =>
+          val n = Node(nodes.length, null,
+            if (stack.isEmpty) -1 else stack.last, null, stack.length, leaf = false)
+          nodes += n
+          stack += n.id
+          i += 1
+        case ')' =>
+          if (stack.isEmpty) fail("parse_newick", s"unbalanced ')' in '$t'")
+          val id = stack.remove(stack.length - 1)
+          i += 1
+          nodes(id).name = readLabel()
+          nodes(id).blen = readBlen()
+        case ',' => i += 1
+        case c if c.isWhitespace => i += 1
+        case _ =>
+          val n = Node(nodes.length, readLabel(),
+            if (stack.isEmpty) -1 else stack.last, null, stack.length, leaf = true)
+          n.blen = readBlen()
+          nodes += n
+      }
+    }
+    if (stack.nonEmpty) fail("parse_newick", s"unbalanced '(' in '$t'")
+    new GenericArrayData(nodes.map(n => new GenericInternalRow(Array[Any](
+      n.id, if (n.name == null) null else UTF8String.fromString(n.name),
+      n.parent, n.blen, n.depth, n.leaf)): Any).toArray)
+  }
+
   /** Phred+33 decode: each char c -> c - 33.
     * Ref: fastq_functions/module.cpp:28-54. */
   def qualityScoreStringToList(s: UTF8String): ArrayData = {

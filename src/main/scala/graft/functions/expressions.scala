@@ -248,3 +248,27 @@ case class MendelViolation(child: Expression, father: Expression, mother: Expres
     copy(child = c, father = f, mother = m)
   override def prettyName: String = "mendel_violation"
 }
+
+/** Newick tree -> array of (node, name, parent, branch_length, depth,
+  * is_leaf) structs in preorder allocation order — see
+  * [[SeqOps.parseNewick]]. Explode it for the relational tree view. */
+case class ParseNewick(child: Expression) extends UnaryStringExpression {
+  override def kernel: String = "parseNewick"
+  override def dataType: DataType = ParseNewick.outputType
+  override def nullSafeEval(v: Any): Any =
+    SeqOps.parseNewick(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildInternal(c: Expression): ParseNewick = copy(child = c)
+  override def prettyName: String = "parse_newick"
+}
+
+object ParseNewick {
+  val outputType: ArrayType = ArrayType(
+    StructType(Seq(
+      StructField("node", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("parent", IntegerType, nullable = false),
+      StructField("branch_length", DoubleType, nullable = true),
+      StructField("depth", IntegerType, nullable = false),
+      StructField("is_leaf", BooleanType, nullable = false))),
+    containsNull = false)
+}

@@ -816,6 +816,56 @@ object FormatScans {
           CAST(14670 AS DOUBLE) AS xic_sum, CAST(240 AS DOUBLE) AS apex_xic,
           'scan=120' AS apex_id""")),
 
+    // Newick phylogenetic-tree parse (the format every tree tool
+    // emits): preorder node allocation with the parent stack, internal
+    // labels/lengths attached at ')'. One varying leaf branch length
+    // per generated tree keeps the oracle closed-form across the
+    // 5-node topology.
+    "fmt_newick_parse" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(100).selectExpr("id AS i",
+            "concat('((A:1.5,B:', cast(id % 4 as int), '.0):2.25,C:0.5)r;') AS tree")
+          .selectExpr("i", "explode(parse_newick(tree)) AS n")
+          .selectExpr("i", "n.node", "n.name", "n.parent",
+            "n.branch_length", "n.depth", "n.is_leaf")
+          .orderBy("i", "node")
+      },
+      Some("""SELECT i, CAST(k AS INTEGER) AS node,
+          CASE k WHEN 0 THEN 'r' WHEN 2 THEN 'A' WHEN 3 THEN 'B' WHEN 4 THEN 'C' END AS name,
+          CAST(CASE k WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 4 THEN 0 ELSE 1 END AS INTEGER) AS parent,
+          CASE k WHEN 0 THEN NULL WHEN 1 THEN 2.25 WHEN 2 THEN 1.5
+            WHEN 3 THEN CAST(i % 4 AS DOUBLE) ELSE 0.5 END AS branch_length,
+          CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 4 THEN 1 ELSE 2 END AS INTEGER) AS depth,
+          k >= 2 AS is_leaf
+        FROM range(0, 100) t(i), range(0, 5) u(k)
+        ORDER BY i, node""")),
+
+    // UCSC wiggle coverage tracks (beyond the reference's format set):
+    // fixedStep arithmetic (start/step/span), variableStep with and
+    // without span, track/comment skipping — golden parsed by hand
+    // from the fixture text.
+    "fmt_wig_scan" -> Q(
+      (s, _) => GraftIO.read_wig(s, s"$F/wig/test.wig").orderBy("chrom", "start"),
+      Some("""SELECT 'chr1' AS chrom, CAST(100 AS BIGINT) AS start, CAST(104 AS BIGINT) AS "end", CAST(1.0 AS DOUBLE) AS value
+        UNION ALL SELECT 'chr1', 110, 114, 2.5
+        UNION ALL SELECT 'chr1', 120, 124, 4.0
+        UNION ALL SELECT 'chr2', 300, 301, 7.0
+        UNION ALL SELECT 'chr2', 350, 351, 0.5
+        UNION ALL SELECT 'chr2', 400, 400, 9.0
+        UNION ALL SELECT 'chr3', 20, 20, 3.0
+        UNION ALL SELECT 'chr3', 21, 21, 3.0
+        ORDER BY chrom, start""")),
+
+    // gzip + region-overlap composition on the same fixture: spans
+    // make the overlap non-trivial (300-301 overlaps a query starting
+    // at 301).
+    "fmt_wig_query" -> Q(
+      (s, _) => GraftIO.read_wig(s, s"$F/wig/test.wig.gz",
+          Map("region" -> "chr2:301-360")).orderBy("start"),
+      Some("""SELECT 'chr2' AS chrom, CAST(300 AS BIGINT) AS start, CAST(301 AS BIGINT) AS "end", CAST(7.0 AS DOUBLE) AS value
+        UNION ALL SELECT 'chr2', 350, 351, 0.5 ORDER BY start""")),
+
     "fmt_bam_scan" -> Q(
       (s, _) => GraftIO.read_bam_file_records(s, s"$F/bam/test.bam")
         .selectExpr("name", "flag", "reference", "start", "end", "mapping_quality",

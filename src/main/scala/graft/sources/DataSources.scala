@@ -18,7 +18,7 @@ object Formats {
   def all: Seq[GraftFormat] =
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
-      WarcFormat, ChainFormat)
+      WarcFormat, ChainFormat, WigFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -55,6 +55,7 @@ class BamDataSource extends GraftDataSource(BamFormat)
 class BcfDataSource extends GraftDataSource(BcfFormat)
 class WarcDataSource extends GraftDataSource(WarcFormat)
 class ChainDataSource extends GraftDataSource(ChainFormat)
+class WigDataSource extends GraftDataSource(WigFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -125,6 +126,8 @@ object GraftIO {
   }
   /** WARC web-archive records (beyond the reference; LLM-corpus ingest). */
   def read_warc(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "warc", path, options)
+  /** UCSC wiggle coverage tracks (beyond the reference). */
+  def read_wig(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "wig", path, options)
 
   /** Random-access FASTA subsequence fetch — samtools-faidx semantics
     * over a `.fai` sidecar ([[Faidx]]; built on first use when

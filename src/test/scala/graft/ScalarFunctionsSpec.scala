@@ -211,4 +211,17 @@ class ScalarFunctionsSpec extends AnyFunSuite {
     assert(one("mendel_violation('1', '0/0', '0/0')") == null)     // haploid -> null
     assert(one("mendel_violation('0/1', CAST(NULL AS STRING), '0/0')") == null)
   }
+
+  test("parse_newick goldens and malformed trees") {
+    assert(one("size(parse_newick('((A:0.1,B:0.2):0.3,C);'))") == 5)
+    // single leaf, no lengths
+    assert(one("concat_ws('|', transform(parse_newick('(X,Y)Z;'), n -> concat(coalesce(n.name, '_'), ':', n.parent)))")
+      == "Z:-1|X:0|Y:0")
+    // root branch length is legal newick
+    assert(one("parse_newick('(A:1)R:9;')[0].branch_length") == 9.0)
+    err("parse_newick('((A,B);')")   // unbalanced (
+    err("parse_newick('A,B));')")    // unbalanced )
+    err("parse_newick(';')")
+    assert(one("parse_newick(CAST(NULL AS STRING))") == null)
+  }
 }
