@@ -1051,6 +1051,61 @@ object Dedup {
           CASE WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
                THEN 'train' ELSE 'val' END AS split
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- UMI directional dedup (the UMI-tools network core) ----
+    // Sequencing UMIs accumulate 1-mismatch PCR/sequencing errors; the
+    // directional rule merges umi a into neighbor b when
+    // n(b) >= 2*n(a) - 1. The Hamming-1 edge discovery is the scale
+    // trick: each UMI explodes into L masked keys (one position
+    // wildcarded), so neighbors meet through a masked-key EQUI-join —
+    // O(reads·L) keys, never a pairwise Hamming scan. Fixture: 8 true
+    // UMIs over paired base-4 digits (pairwise Hamming >= 2 by
+    // construction) with two planted 1-off errors each; the oracle
+    // states the merged groups closed-form.
+    "dedup_umi" -> Q(
+      (s, _) => {
+        // true UMI t: digits (2*bit0, 2*bit1, 2*bit2), each doubled ->
+        // 6 chars over {0,2}; errors flip position 0 or 2 to '1'
+        val parents = s.range(8).selectExpr(
+          "concat(repeat(cast((id % 2) * 2 as string), 2), " +
+            "repeat(cast(((id div 2) % 2) * 2 as string), 2), " +
+            "repeat(cast(((id div 4) % 2) * 2 as string), 2)) AS umi",
+          "100 + id AS n")
+        val errs = s.range(8).selectExpr(
+            "concat('1', repeat(cast((id % 2) * 2 as string), 1), " +
+              "repeat(cast(((id div 2) % 2) * 2 as string), 2), " +
+              "repeat(cast(((id div 4) % 2) * 2 as string), 2)) AS umi",
+            "1 + id % 3 AS n")
+          .union(s.range(8).selectExpr(
+            "concat(repeat(cast((id % 2) * 2 as string), 2), '1', " +
+              "repeat(cast(((id div 2) % 2) * 2 as string), 1), " +
+              "repeat(cast(((id div 4) % 2) * 2 as string), 2)) AS umi",
+            "2L AS n"))
+        val umis = parents.union(errs)
+        val masked = umis.selectExpr("umi", "n",
+            "explode(transform(sequence(1, length(umi)), j -> " +
+              "concat(substring(umi, 1, j - 1), '*', substring(umi, j + 1)))) AS mk")
+        val edges = masked.alias("a").join(masked.alias("b"),
+            org.apache.spark.sql.functions.col("a.mk") === org.apache.spark.sql.functions.col("b.mk") &&
+              org.apache.spark.sql.functions.col("a.umi") =!= org.apache.spark.sql.functions.col("b.umi"))
+          .selectExpr("a.umi AS umi", "a.n AS n", "b.umi AS nb", "b.n AS nb_n")
+        val adopted = umis.alias("u")
+          .join(edges.where("nb_n >= 2 * n - 1"), Seq("umi", "n"), "left")
+          .groupBy(col("umi"), col("n"))
+          .agg(max(when(col("nb").isNotNull, struct(col("nb_n"), col("nb")))).as("best"))
+          .selectExpr("umi", "n", "coalesce(best.nb, umi) AS parent")
+        adopted.groupBy(col("parent"))
+          .agg(count(lit(1)).cast("long").as("n_members"), sum(col("n")).as("n_reads"))
+          .orderBy("parent")
+      },
+      Some("""WITH g AS (SELECT t,
+            repeat(CAST((t % 2) * 2 AS VARCHAR), 2) ||
+            repeat(CAST(((t // 2) % 2) * 2 AS VARCHAR), 2) ||
+            repeat(CAST(((t // 4) % 2) * 2 AS VARCHAR), 2) AS umi
+          FROM range(0, 8) x(t))
+        SELECT umi AS parent, CAST(3 AS BIGINT) AS n_members,
+          CAST(100 + t + (1 + t % 3) + 2 AS BIGINT) AS n_reads
+        FROM g ORDER BY parent"""))
   )
 }

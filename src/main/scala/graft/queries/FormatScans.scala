@@ -816,6 +816,105 @@ object FormatScans {
           CAST(14670 AS DOUBLE) AS xic_sum, CAST(240 AS DOUBLE) AS apex_xic,
           'scan=120' AS apex_id""")),
 
+    // Interval slop (bedtools slop -b): symmetric extension clamped to
+    // the genome bounds from a broadcast chrom-sizes table — the edge
+    // cases are the clamps (start floors at 1, end ceilings at the
+    // contig size). Generated intervals straddle both boundaries on
+    // two different-sized chroms.
+    "fmt_bed_slop" -> Q(
+      (s, _) => {
+        val genome = s.sql("SELECT 'c1' AS gchrom, 500L AS gsize " +
+          "UNION ALL SELECT 'c2', 2000L")
+        val ivs = s.range(200).selectExpr(
+          "CASE WHEN id % 2 = 0 THEN 'c1' ELSE 'c2' END AS chrom",
+          "(id * 7) % 490 + 3 AS start",
+          "(id * 7) % 490 + 12 AS end")
+        ivs.join(broadcast(genome), col("chrom") === col("gchrom"))
+          .selectExpr("chrom",
+            "greatest(start - 25, 1) AS start",
+            "least(end + 25, gsize) AS end")
+          .orderBy("chrom", "start", "end")
+      },
+      Some("""WITH g AS (SELECT i,
+            CASE WHEN i % 2 = 0 THEN 'c1' ELSE 'c2' END AS chrom,
+            (i * 7) % 490 + 3 AS s0, (i * 7) % 490 + 12 AS e0,
+            CASE WHEN i % 2 = 0 THEN 500 ELSE 2000 END AS gsize
+          FROM range(0, 200) t(i))
+        SELECT chrom,
+          CAST(CASE WHEN s0 - 25 < 1 THEN 1 ELSE s0 - 25 END AS BIGINT) AS start,
+          CAST(CASE WHEN e0 + 25 > gsize THEN gsize ELSE e0 + 25 END AS BIGINT) AS "end"
+        FROM g ORDER BY chrom, start, 3""")),
+
+    // Whole-genome coverage histogram (bedtools genomecov): +1/-1
+    // boundary events, one ordered running-sum window, segment lengths
+    // from lead(pos) — the sweep never materializes per-base rows. The
+    // oracle deliberately uses the OPPOSITE algorithm (brute-force
+    // per-position counting over the 2100-base span), so a sweep bug
+    // and a counting bug would have to agree to pass. Depth >= 1
+    // histogram; partition by chrom at scale (single fixture chrom
+    // here).
+    "fmt_genomecov_hist" -> Q(
+      (s, _) => {
+        val ivs = s.range(200).selectExpr("id * 10 + 1 AS s0", "id * 10 + 25 AS e0")
+        val events = ivs.selectExpr("s0 AS pos", "1L AS delta")
+          .union(ivs.selectExpr("e0 + 1 AS pos", "-1L AS delta"))
+          .groupBy("pos").agg(sum("delta").as("delta"))
+        val w = Window.orderBy("pos")
+        events
+          .withColumn("depth", sum(col("delta")).over(w))
+          .withColumn("seg_len", lead(col("pos"), 1).over(w) - col("pos"))
+          .where(col("depth") > 0 && col("seg_len").isNotNull)
+          .groupBy(col("depth")).agg(sum(col("seg_len")).as("bases"))
+          .orderBy("depth")
+      },
+      Some("""WITH iv AS (SELECT i * 10 + 1 AS s0, i * 10 + 25 AS e0
+            FROM range(0, 200) t(i)),
+          d AS (SELECT p,
+              (SELECT count(*) FROM iv WHERE p BETWEEN s0 AND e0) AS depth
+            FROM range(1, 2101) q(p))
+        SELECT CAST(depth AS BIGINT) AS depth, count(*) AS bases
+        FROM d WHERE depth > 0 GROUP BY depth ORDER BY depth""")),
+
+    // Transcript-model rollup (the makeTxDbFromGFF core): generated
+    // exons rendered through the real GTF writer (quoted attributes),
+    // read back, and rolled to per-transcript models — exon count,
+    // span, summed exon bp. Writer -> reader -> rollup as one
+    // oracle-gated pipeline; exon k of transcript t spans
+    // 100 + 10k bp, so every aggregate is closed-form.
+    "fmt_gtf_tx_models" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_txdb").toString
+        s.range(120).selectExpr("id AS rid",
+            "cast(id div 3 as int) AS t", "cast(id % 3 as int) AS k")
+          .where("k < 2 + t % 2") // transcripts alternate 2 and 3 exons
+          .selectExpr(
+            "'c1' AS seqname", "'graft' AS source", "'exon' AS type",
+            "cast(10000 * t + 500 * k + 1 as bigint) AS start",
+            "cast(10000 * t + 500 * k + 100 + 10 * k as bigint) AS end",
+            "cast(null as float) AS score", "'+' AS strand",
+            "cast(null as string) AS frame",
+            "map('gene_id', array(concat('G', t div 2)), " +
+              "'transcript_id', array(concat('T', t))) AS attributes")
+          .write.mode("overwrite").format("gtf").save(dir)
+        GraftIO.read_gtf(s, dir).where("type = 'exon'")
+          .selectExpr("attributes['gene_id'][0] AS gene_id",
+            "attributes['transcript_id'][0] AS transcript_id",
+            "start", "end")
+          .groupBy(col("gene_id"), col("transcript_id"))
+          .agg(count(lit(1)).cast("int").as("n_exons"),
+            min("start").as("tx_start"), max("end").as("tx_end"),
+            sum(col("end") - col("start") + 1).as("exon_bp"))
+          .orderBy("transcript_id")
+      },
+      Some("""WITH g AS (SELECT t, 2 + t % 2 AS n FROM range(0, 40) x(t))
+        SELECT 'G' || CAST(t // 2 AS VARCHAR) AS gene_id,
+          'T' || CAST(t AS VARCHAR) AS transcript_id,
+          CAST(n AS INTEGER) AS n_exons,
+          CAST(10000 * t + 1 AS BIGINT) AS tx_start,
+          CAST(10000 * t + 500 * (n - 1) + 100 + 10 * (n - 1) AS BIGINT) AS tx_end,
+          CAST(100 * n + 5 * n * (n - 1) AS BIGINT) AS exon_bp
+        FROM g ORDER BY transcript_id""")),
+
     // Newick phylogenetic-tree parse (the format every tree tool
     // emits): preorder node allocation with the parent stack, internal
     // labels/lengths attached at ')'. One varying leaf branch length
@@ -840,6 +939,26 @@ object FormatScans {
           k >= 2 AS is_leaf
         FROM range(0, 100) t(i), range(0, 5) u(k)
         ORDER BY i, node""")),
+
+    // Tree metrics over the exploded parse (the ete3/Bio.Phylo one-
+    // liners, relationally): leaf count, max depth, total branch
+    // length — the branch sum stays FP-exact because the generated
+    // lengths are dyadic rationals plus integers.
+    "fmt_newick_metrics" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(100).selectExpr("id AS i",
+            "concat('((A:1.5,B:', cast(id % 4 as int), '.0):2.25,C:0.5)r;') AS tree")
+          .selectExpr("i", "explode(parse_newick(tree)) AS n")
+          .groupBy(col("i"))
+          .agg(sum(when(col("n.is_leaf"), 1L).otherwise(0L)).as("n_leaves"),
+            max(col("n.depth")).as("max_depth"),
+            sum(col("n.branch_length")).as("total_blen"))
+          .orderBy("i")
+      },
+      Some("""SELECT i, CAST(3 AS BIGINT) AS n_leaves, CAST(2 AS INTEGER) AS max_depth,
+          CAST(4.25 + (i % 4) AS DOUBLE) AS total_blen
+        FROM range(0, 100) t(i) ORDER BY i""")),
 
     // UCSC wiggle coverage tracks (beyond the reference's format set):
     // fixedStep arithmetic (start/step/span), variableStep with and
