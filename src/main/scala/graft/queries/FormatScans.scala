@@ -985,6 +985,187 @@ object FormatScans {
       Some("""SELECT 'chr2' AS chrom, CAST(300 AS BIGINT) AS start, CAST(301 AS BIGINT) AS "end", CAST(7.0 AS DOUBLE) AS value
         UNION ALL SELECT 'chr2', 350, 351, 0.5 ORDER BY start""")),
 
+    // ---- minimap2 PAF pairwise alignments (beyond the reference) ----
+    // Golden parse of the 3-row fixture: mandatory 12 fields plus
+    // SAM-style tags surfaced through the string map (absent tag ->
+    // NULL).
+    "fmt_paf_scan" -> Q(
+      (s, _) => GraftIO.read_paf(s, s"$F/paf/test.paf")
+        .selectExpr("query_name", "query_len", "query_start", "query_end",
+          "strand", "target_name", "target_len", "target_start", "target_end",
+          "residue_matches", "block_len", "mapq",
+          "tags['tp'] AS tp", "tags['cm'] AS cm")
+        .orderBy("query_name"),
+      Some("""SELECT 'q1' AS query_name, CAST(1000 AS BIGINT) AS query_len,
+          CAST(100 AS BIGINT) AS query_start, CAST(900 AS BIGINT) AS query_end,
+          '+' AS strand, 't1' AS target_name, CAST(5000 AS BIGINT) AS target_len,
+          CAST(2000 AS BIGINT) AS target_start, CAST(2800 AS BIGINT) AS target_end,
+          CAST(750 AS BIGINT) AS residue_matches, CAST(800 AS BIGINT) AS block_len,
+          CAST(60 AS INTEGER) AS mapq, 'P' AS tp, '123' AS cm
+        UNION ALL SELECT 'q2', 500, 0, 500, '-', 't1', 5000, 100, 600, 480, 500, 0, 'S', NULL
+        UNION ALL SELECT 'q3', 750, 50, 700, '+', 't2', 3000, 10, 660, 600, 650, 17, NULL, NULL
+        ORDER BY query_name""")),
+
+    // Per-target alignment-identity rollup over a generated 200-line
+    // PAF (the `paftools stat` shape): identity in exact ppm via
+    // integer division (all-positive, so Spark's truncating `div` and
+    // DuckDB's flooring `//` agree), NM pulled from the tag map at
+    // volume. The staged file exercises the reader; the oracle
+    // recomputes from the generating arithmetic.
+    "fmt_paf_identity" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-paf-gen") { d =>
+          val sb = new StringBuilder
+          for (i <- 0 until 200) {
+            val blen = 500 + (i % 250); val nm = i % 97
+            sb.append(s"q${i % 20}\t1000\t0\t$blen\t${if (i % 2 == 0) "+" else "-"}")
+            sb.append(s"\tt${i % 4}\t100000\t${i * 10}\t${i * 10 + blen}")
+            sb.append(s"\t${blen - nm}\t$blen\t${i % 61}\tNM:i:$nm\n")
+          }
+          java.nio.file.Files.write(d.resolve("gen.paf"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_paf(s, dir.toString)
+          .groupBy(col("target_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("residue_matches")).as("sum_match"),
+            sum(col("block_len")).as("sum_block"),
+            sum(expr("cast(tags['NM'] as bigint)")).as("sum_nm"))
+          .selectExpr("target_name", "n", "sum_match", "sum_block", "sum_nm",
+            "(1000000 * sum_match) div sum_block AS identity_ppm")
+          .orderBy("target_name")
+      },
+      Some("""WITH g AS (SELECT i, 500 + (i % 250) AS blen, i % 97 AS nm,
+            't' || CAST(i % 4 AS VARCHAR) AS target_name
+          FROM range(0, 200) t(i))
+        SELECT target_name, count(*) AS n,
+          CAST(sum(blen - nm) AS BIGINT) AS sum_match,
+          CAST(sum(blen) AS BIGINT) AS sum_block,
+          CAST(sum(nm) AS BIGINT) AS sum_nm,
+          CAST((1000000 * sum(blen - nm)) // sum(blen) AS BIGINT) AS identity_ppm
+        FROM g GROUP BY target_name ORDER BY target_name""")),
+
+    // ---- GFA 1.0 assembly graphs (beyond the reference) ----
+    // Golden parse of the fixture covering all four record shapes:
+    // S ('*' sequence with authoritative LN:i), L, C (pos in the tag
+    // map), P (oriented step list).
+    "fmt_gfa_scan" -> Q(
+      (s, _) => GraftIO.read_gfa(s, s"$F/gfa/test.gfa")
+        .selectExpr("record_type", "name", "sequence", "seq_len",
+          "from_name", "from_orient", "to_name", "to_orient", "overlap",
+          "array_join(segments, ',') AS steps",
+          "tags['LN'] AS ln", "tags['RC'] AS rc", "tags['pos'] AS pos")
+        .orderBy("record_type", "name", "from_name", "to_name"),
+      Some("""SELECT 'C' AS record_type, CAST(NULL AS VARCHAR) AS name,
+          CAST(NULL AS VARCHAR) AS sequence, CAST(NULL AS BIGINT) AS seq_len,
+          's1' AS from_name, '+' AS from_orient, 's3' AS to_name, '-' AS to_orient,
+          '4M' AS overlap, CAST(NULL AS VARCHAR) AS steps,
+          CAST(NULL AS VARCHAR) AS ln, CAST(NULL AS VARCHAR) AS rc, '2' AS pos
+        UNION ALL SELECT 'L', NULL, NULL, NULL, 's1', '+', 's2', '-', '4M', NULL, NULL, NULL, NULL
+        UNION ALL SELECT 'L', NULL, NULL, NULL, 's2', '+', 's3', '+', '0M', NULL, NULL, NULL, NULL
+        UNION ALL SELECT 'P', 'p1', NULL, NULL, NULL, NULL, NULL, NULL, '4M,0M', 's1+,s2-,s3+', NULL, NULL, NULL
+        UNION ALL SELECT 'S', 's1', 'ACGTACGT', 8, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        UNION ALL SELECT 'S', 's2', NULL, 5000, NULL, NULL, NULL, NULL, NULL, NULL, '5000', NULL, NULL
+        UNION ALL SELECT 'S', 's3', 'TTTT', 4, NULL, NULL, NULL, NULL, NULL, NULL, NULL, '120', NULL
+        ORDER BY record_type, name, from_name, to_name""")),
+
+    // Segment connectivity over a generated 50-node graph (`gfatools
+    // stat` shape): degree = link endpoints touching the segment,
+    // computed by unioning the two L-slice endpoint columns and
+    // joining back to the S slice — one file read, two slices, no
+    // second scan. Ring links plus every-3rd chords make the degrees
+    // non-uniform; the oracle recomputes them closed-form.
+    "fmt_gfa_degree" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-gfa-gen") { d =>
+          val sb = new StringBuilder
+          for (i <- 0 until 50) sb.append(s"S\ts$i\t${"A" * (50 + i)}\n")
+          for (i <- 0 until 50) {
+            sb.append(s"L\ts$i\t+\ts${(i + 1) % 50}\t+\t0M\n")
+            if (i % 3 == 0) sb.append(s"L\ts$i\t+\ts${(i + 7) % 50}\t-\t0M\n")
+          }
+          java.nio.file.Files.write(d.resolve("gen.gfa"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val g = GraftIO.read_gfa(s, dir.toString).cache()
+        val links = g.where("record_type = 'L'")
+        val ends = links.selectExpr("from_name AS name")
+          .union(links.selectExpr("to_name AS name"))
+          .groupBy(col("name")).agg(count(lit(1)).as("degree"))
+        g.where("record_type = 'S'").selectExpr("name", "seq_len")
+          .join(ends, Seq("name"))
+          .orderBy("seq_len")
+      },
+      Some("""SELECT 's' || CAST(i AS VARCHAR) AS name, CAST(50 + i AS BIGINT) AS seq_len,
+          CAST(2 + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN ((i + 43) % 50) % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS degree
+        FROM range(0, 50) t(i) ORDER BY seq_len""")),
+
+    // ---- Stockholm MSA (the Pfam/Rfam distribution format) ----
+    // Golden parse of a two-record fixture: interleaved sequence and
+    // #=GC blocks concatenated by name, #=GS per-sequence and multi-
+    // line #=GF record annotations through the maps, accession = GF AC.
+    "fmt_stockholm_scan" -> Q(
+      (s, _) => GraftIO.read_stockholm(s, s"$F/stockholm/test.sto")
+        .selectExpr("accession", "name", "sequence", "is_consensus",
+          "gs['DE'] AS de", "gf['ID'] AS gf_id", "gf['CC'] AS cc")
+        .orderBy("accession", "is_consensus", "name"),
+      Some("""SELECT 'RF00001' AS accession, 'seq1' AS name, 'ACGU--ACGUAAUU' AS sequence,
+          false AS is_consensus, 'first seq' AS de, 'test1' AS gf_id, 'first line second line' AS cc
+        UNION ALL SELECT 'RF00001', 'seq2', 'ACGUACACGUGGUU', false, NULL, 'test1', 'first line second line'
+        UNION ALL SELECT 'RF00001', 'SS_cons', '<<<<..>>>>..<<', true, NULL, 'test1', 'first line second line'
+        UNION ALL SELECT 'RF00002', 'seqX', 'GGGGCCCC', false, NULL, NULL, NULL
+        ORDER BY accession, is_consensus, name""")),
+
+    // Per-column conservation over a generated 40x60 alignment staged
+    // through the Stockholm writer path (3 interleaved 20-column
+    // blocks, so concatenation-by-name is exercised at volume):
+    // majority base and its exact-ppm frequency via posexplode ->
+    // two-level count/argmax (argmax = max(struct(count, base)),
+    // tie-broken by base). The oracle brute-forces the same counts
+    // from the generating formula in SQL — reader bug and formula bug
+    // would have to agree to pass.
+    "fmt_msa_conservation" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-sto-gen") { d =>
+          val bases = "ACGU"
+          val sb = new StringBuilder("# STOCKHOLM 1.0\n")
+          for (b <- 0 until 3) {
+            for (i <- 0 until 40) {
+              sb.append(s"row$i ")
+              for (j <- b * 20 until (b + 1) * 20)
+                sb.append(bases((j + (if (i % 5 == 0 && (i + j) % 3 == 0) 1 else 0)) % 4))
+              sb.append('\n')
+            }
+            sb.append('\n')
+          }
+          sb.append("//\n")
+          java.nio.file.Files.write(d.resolve("gen.sto"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_stockholm(s, dir.toString)
+          .where(!col("is_consensus"))
+          .selectExpr("posexplode(transform(sequence(1, length(sequence)), " +
+            "p -> substring(sequence, p, 1))) AS (j, base)")
+          .groupBy(col("j"), col("base")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("j"))
+          .agg(max(struct(col("cnt"), col("base"))).as("best"))
+          .selectExpr("j", "best.base AS major_base", "best.cnt AS n_major",
+            "(1000000 * best.cnt) div 40 AS conservation_ppm")
+          .orderBy("j")
+      },
+      Some("""WITH cell AS (SELECT i, j,
+            substring('ACGU', ((j + CASE WHEN i % 5 = 0 AND (i + j) % 3 = 0
+                                         THEN 1 ELSE 0 END) % 4) + 1, 1) AS base
+          FROM range(0, 40) a(i), range(0, 60) b(j)),
+        cnt AS (SELECT j, base, count(*) AS cnt FROM cell GROUP BY j, base),
+        best AS (SELECT j, base, cnt,
+            row_number() OVER (PARTITION BY j ORDER BY cnt DESC, base DESC) AS rn
+          FROM cnt)
+        SELECT CAST(j AS INTEGER) AS j, base AS major_base, cnt AS n_major,
+          CAST((1000000 * cnt) // 40 AS BIGINT) AS conservation_ppm
+        FROM best WHERE rn = 1 ORDER BY j""")),
+
     "fmt_bam_scan" -> Q(
       (s, _) => GraftIO.read_bam_file_records(s, s"$F/bam/test.bam")
         .selectExpr("name", "flag", "reference", "start", "end", "mapping_quality",

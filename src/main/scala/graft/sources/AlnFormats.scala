@@ -1,0 +1,261 @@
+package graft.sources
+
+import java.io.InputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.sources.core._
+
+/** minimap2/miniasm PAF pairwise alignments (beyond the reference's
+  * format set; spec in the minimap2 man page): 12 mandatory
+  * tab-separated fields and then SAM-style `tag:type:value` pairs,
+  * surfaced as a `tags` string map (the type tag is dropped — values
+  * keep their text form, consumers cast). Coordinates are 0-based
+  * half-open on the POSITIVE strand of each sequence; `strand` records
+  * the relative orientation, so no coordinate folding is needed on
+  * read (unlike chain query spans). Line-oriented → byte-splittable.
+  */
+object PafFormat extends GraftFormat {
+  override def name = "paf"
+  override def extensions = Seq("paf")
+  override def splittable = true
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("query_name", StringType),
+      StructField("query_len", LongType),
+      StructField("query_start", LongType),
+      StructField("query_end", LongType),
+      StructField("strand", StringType),
+      StructField("target_name", StringType),
+      StructField("target_len", LongType),
+      StructField("target_start", LongType),
+      StructField("target_end", LongType),
+      StructField("residue_matches", LongType),
+      StructField("block_len", LongType),
+      StructField("mapq", IntegerType),
+      StructField("tags", MapType(StringType, StringType))))
+
+  override def regionColumns: Option[(String, String)] = Some(("target_name", "target_start"))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    // `region`/`regions` filter by overlap against the TARGET span
+    // (half-open end folded to inclusive for the matcher), the
+    // convention of every ranged scan here.
+    val region = core.Regions.matcherFromOptions(options)
+    P.lines(split, in).map(_._2).filter(_.nonEmpty).flatMap { l =>
+      val f = l.split("\t", -1)
+      require(f.length >= 12, s"paf line needs 12 mandatory fields, got ${f.length}: '$l'")
+      if (region.exists(m => !m.overlaps(f(5), f(7).toLong + 1, f(8).toLong))) None
+      else {
+        val tags = f.iterator.drop(12).map { t =>
+          val c1 = t.indexOf(':'); val c2 = t.indexOf(':', c1 + 1)
+          require(c1 > 0 && c2 > c1, s"malformed paf tag '$t'")
+          (P.s(t.substring(0, c1)): Any, P.s(t.substring(c2 + 1)): Any)
+        }.toArray
+        Some(Array[Any](P.s(f(0)), f(1).toLong, f(2).toLong, f(3).toLong, P.s(f(4)),
+          P.s(f(5)), f(6).toLong, f(7).toLong, f(8).toLong, f(9).toLong,
+          f(10).toLong, f(11).toInt,
+          ArrayBasedMapData(tags.map(_._1), tags.map(_._2))))
+      }
+    }
+  }
+}
+
+/** GFA 1.0 assembly graphs (gfa-spec.github.io): one row per record
+  * with a `record_type` discriminator — S segments (name, sequence,
+  * seq_len from LN:i when the sequence is elided as '*'), L links and
+  * C containments (from/to names + orientations, `overlap` CIGAR,
+  * containment pos carried in `tags["pos"]`), P paths (`segments` =
+  * the oriented step list, e.g. "s1+"). H headers and '#' comments are
+  * skipped. The one-table union shape is deliberate: segments and
+  * links split cleanly with `WHERE record_type = ...` and the graph
+  * analytics (degree, N50, walks) are joins between the two slices —
+  * no multi-pass file reads. Line-oriented → byte-splittable.
+  */
+object GfaFormat extends GraftFormat {
+  override def name = "gfa"
+  override def extensions = Seq("gfa")
+  override def splittable = true
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("record_type", StringType),
+      StructField("name", StringType),
+      StructField("sequence", StringType),
+      StructField("seq_len", LongType),
+      StructField("from_name", StringType),
+      StructField("from_orient", StringType),
+      StructField("to_name", StringType),
+      StructField("to_orient", StringType),
+      StructField("overlap", StringType),
+      StructField("segments", ArrayType(StringType)),
+      StructField("tags", MapType(StringType, StringType))))
+
+  private def tagPairs(fields: Array[String], from: Int,
+                       extra: Seq[(String, String)] = Nil): Array[(String, String)] =
+    (extra.iterator ++ fields.iterator.drop(from).filter(_.nonEmpty).map { t =>
+      val c1 = t.indexOf(':'); val c2 = t.indexOf(':', c1 + 1)
+      require(c1 > 0 && c2 > c1, s"malformed gfa tag '$t'")
+      (t.substring(0, c1), t.substring(c2 + 1))
+    }).toArray
+
+  private def tagMap(pairs: Array[(String, String)]): ArrayBasedMapData =
+    ArrayBasedMapData(pairs.map(p => P.s(p._1): Any), pairs.map(p => P.s(p._2): Any))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] =
+    P.lines(split, in).map(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("H") && !l.startsWith("#"))
+      .map { l =>
+        val f = l.split("\t", -1)
+        f(0) match {
+          case "S" =>
+            require(f.length >= 3, s"gfa S line needs name+sequence: '$l'")
+            val seq = if (f(2) == "*") null else f(2)
+            val pairs = tagPairs(f, 3)
+            // LN:i wins over the literal length (spec: LN is authoritative)
+            val ln: Any = pairs.collectFirst { case ("LN", v) => Long.box(v.toLong) }
+              .orElse(Option(seq).map(x => Long.box(x.length.toLong))).orNull
+            Array[Any](P.s("S"), P.s(f(1)), P.s(seq), ln,
+              null, null, null, null, null, null, tagMap(pairs))
+          case "L" =>
+            require(f.length >= 6, s"gfa L line needs from/to/orients/overlap: '$l'")
+            Array[Any](P.s("L"), null, null, null, P.s(f(1)), P.s(f(2)),
+              P.s(f(3)), P.s(f(4)), P.s(f(5)), null, tagMap(tagPairs(f, 6)))
+          case "C" =>
+            require(f.length >= 7, s"gfa C line needs container/contained/pos/overlap: '$l'")
+            Array[Any](P.s("C"), null, null, null, P.s(f(1)), P.s(f(2)),
+              P.s(f(3)), P.s(f(4)), P.s(f(6)), null,
+              tagMap(tagPairs(f, 7, Seq("pos" -> f(5)))))
+          case "P" =>
+            require(f.length >= 3, s"gfa P line needs name+steps: '$l'")
+            Array[Any](P.s("P"), P.s(f(1)), null, null, null, null, null, null,
+              if (f.length > 3 && f(3) != "*") P.s(f(3)) else null,
+              new GenericArrayData(f(2).split(",").map(s => P.s(s): Any)),
+              tagMap(tagPairs(f, 4)))
+          case other =>
+            throw new IllegalArgumentException(s"unknown gfa record type '$other': '$l'")
+        }
+      }
+}
+
+/** Stockholm multiple sequence alignments (the Pfam/Rfam distribution
+  * format; spec at sonnhammer.sbc.su.se/Stockholm.html): records open
+  * with the `# STOCKHOLM 1.0` magic and close with `//`; sequence and
+  * `#=GC` column-annotation lines may be INTERLEAVED in blocks, so the
+  * parser concatenates by name across blocks in first-seen order. One
+  * row per sequence (plus one per `#=GC` feature with `is_consensus` =
+  * true); `#=GS` per-sequence annotations land in `gs`, record-level
+  * `#=GF` annotations are repeated on every row of the record in `gf`
+  * (the GTF-attributes convention — repeated maps beat a second table
+  * at query time), with multi-line features (CC) joined by spaces and
+  * `accession` = GF AC projected out as the record key.
+  *
+  * Splittable the GenBank way: records sync on the magic line, a split
+  * owns records whose magic-line offset falls inside it and reads
+  * their block lines past the boundary.
+  */
+object StockholmFormat extends GraftFormat {
+  override def name = "stockholm"
+  override def extensions = Seq("sto", "stk", "stockholm")
+  override def splittable = true
+
+  private val Magic = "# STOCKHOLM"
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("accession", StringType),
+      StructField("name", StringType),
+      StructField("sequence", StringType),
+      StructField("is_consensus", BooleanType),
+      StructField("gs", MapType(StringType, StringType)),
+      StructField("gf", MapType(StringType, StringType))))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    val it = P.linesUnbounded(split, in).buffered
+    new Iterator[Array[Any]] {
+      private var pending: Iterator[Array[Any]] = Iterator.empty
+
+      private def syncToMagic(): Unit =
+        while (it.hasNext && !it.head._2.startsWith(Magic)) it.next()
+
+      private def append(m: scala.collection.mutable.LinkedHashMap[String, StringBuilder],
+                         k: String, v: String, sep: String = ""): Unit =
+        m.get(k) match {
+          case Some(sb) => if (sep.nonEmpty && sb.nonEmpty) { sb ++= sep; () }; sb ++= v; ()
+          case None => m.put(k, new StringBuilder(v)); ()
+        }
+
+      private def parseRecord(): Unit = {
+        import scala.collection.mutable.LinkedHashMap
+        val seqs = LinkedHashMap.empty[String, StringBuilder]
+        val gcs = LinkedHashMap.empty[String, StringBuilder]
+        val gf = LinkedHashMap.empty[String, StringBuilder]
+        val gs = LinkedHashMap.empty[String, LinkedHashMap[String, StringBuilder]]
+        it.next() // the magic line
+        var open = true
+        while (open && it.hasNext) {
+          val l = it.next()._2.trim
+          if (l == "//") open = false
+          else if (l.isEmpty) ()
+          else if (l.startsWith("#=GF ")) {
+            val p = l.split("\\s+", 3)
+            require(p.length == 3, s"stockholm GF line needs feature+text: '$l'")
+            append(gf, p(1), p(2), sep = " ")
+          } else if (l.startsWith("#=GS ")) {
+            val p = l.split("\\s+", 4)
+            require(p.length == 4, s"stockholm GS line needs seq+feature+text: '$l'")
+            append(gs.getOrElseUpdate(p(1), LinkedHashMap.empty), p(2), p(3), sep = " ")
+          } else if (l.startsWith("#=GC ")) {
+            val p = l.split("\\s+", 3)
+            require(p.length == 3, s"stockholm GC line needs feature+columns: '$l'")
+            append(gcs, p(1), p(2))
+          } else if (l.startsWith("#=GR ")) {
+            // per-residue annotations: folded into gs as "GR <feature>"
+            val p = l.split("\\s+", 4)
+            require(p.length == 4, s"stockholm GR line needs seq+feature+columns: '$l'")
+            append(gs.getOrElseUpdate(p(1), LinkedHashMap.empty), "GR " + p(2), p(3))
+          } else if (l.startsWith("#")) ()
+          else {
+            val p = l.split("\\s+", 2)
+            require(p.length == 2, s"stockholm sequence line needs name+columns: '$l'")
+            append(seqs, p(0), p(1))
+          }
+        }
+        require(!open, s"stockholm record without '//' terminator in ${split.path}")
+        val acc = gf.get("AC").map(v => P.s(v.result())).orNull
+        val gfMap = {
+          val arr = gf.iterator.map { case (k, v) => (P.s(k): Any, P.s(v.result()): Any) }.toArray
+          ArrayBasedMapData(arr.map(_._1), arr.map(_._2))
+        }
+        pending = (seqs.iterator.map { case (n, sb) =>
+          val gsArr = gs.get(n).map(_.iterator
+              .map { case (k, v) => (P.s(k): Any, P.s(v.result()): Any) }.toArray)
+            .getOrElse(Array.empty[(Any, Any)])
+          Array[Any](acc, P.s(n), P.s(sb.result()), false,
+            ArrayBasedMapData(gsArr.map(_._1), gsArr.map(_._2)), gfMap)
+        } ++ gcs.iterator.map { case (n, sb) =>
+          Array[Any](acc, P.s(n), P.s(sb.result()), true,
+            ArrayBasedMapData(Array.empty[Any], Array.empty[Any]), gfMap)
+        }).toList.iterator
+      }
+
+      private def advance(): Unit =
+        while (!pending.hasNext && { syncToMagic(); it.hasNext && it.head._1 <= split.end })
+          parseRecord()
+
+      advance()
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): Array[Any] = { advance(); pending.next() }
+    }
+  }
+}

@@ -18,7 +18,7 @@ object Formats {
   def all: Seq[GraftFormat] =
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
-      WarcFormat, ChainFormat, WigFormat)
+      WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -56,6 +56,9 @@ class BcfDataSource extends GraftDataSource(BcfFormat)
 class WarcDataSource extends GraftDataSource(WarcFormat)
 class ChainDataSource extends GraftDataSource(ChainFormat)
 class WigDataSource extends GraftDataSource(WigFormat)
+class PafDataSource extends GraftDataSource(PafFormat)
+class GfaDataSource extends GraftDataSource(GfaFormat)
+class StockholmDataSource extends GraftDataSource(StockholmFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -128,6 +131,12 @@ object GraftIO {
   def read_warc(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "warc", path, options)
   /** UCSC wiggle coverage tracks (beyond the reference). */
   def read_wig(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "wig", path, options)
+  /** minimap2 PAF pairwise alignments (beyond the reference). */
+  def read_paf(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "paf", path, options)
+  /** GFA 1.0 assembly graphs (beyond the reference). */
+  def read_gfa(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "gfa", path, options)
+  /** Stockholm multiple sequence alignments (beyond the reference). */
+  def read_stockholm(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "stockholm", path, options)
 
   /** Random-access FASTA subsequence fetch — samtools-faidx semantics
     * over a `.fai` sidecar ([[Faidx]]; built on first use when

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftIO
+
+/** PAF / GFA / Stockholm readers: the properties the oracle matrix does
+  * not gate — byte-split equivalence (loss/duplication at boundaries),
+  * record sync across splits for the multi-line Stockholm records,
+  * gzip composition, and loud failure on malformed input.
+  */
+class AlnFormatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private def withMaxSplit[T](bytes: Long)(f: => T): T = {
+    val k = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, bytes.toString)
+    try f finally spark.conf.set(k, old)
+  }
+
+  private def tmpFile(name: String, content: String): String = {
+    val d = Files.createTempDirectory("graft-aln")
+    val p = d.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("paf: 64-byte splits == single split; tags survive") {
+    val content = (0 until 300).map { i =>
+      s"q$i\t1000\t0\t500\t+\tt${i % 9}\t9000\t${i * 3}\t${i * 3 + 500}\t480\t500\t${i % 61}\tNM:i:${i % 20}\ttp:A:P"
+    }.mkString("", "\n", "\n")
+    val path = tmpFile("big.paf", content)
+    val whole = GraftIO.read_paf(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(64) {
+      val df = GraftIO.read_paf(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 300)
+    val nm = GraftIO.read_paf(spark, path)
+      .selectExpr("cast(tags['NM'] as int) AS nm").collect().map(_.getInt(0)).sum
+    assert(nm == (0 until 300).map(_ % 20).sum)
+  }
+
+  test("paf: region option filters by target-span overlap") {
+    val content = Seq(
+      "a\t100\t0\t50\t+\tt1\t1000\t100\t200\t40\t50\t60",   // overlaps 150-400
+      "b\t100\t0\t50\t+\tt1\t1000\t400\t500\t40\t50\t60",   // 1-based start 401 > 400
+      "c\t100\t0\t50\t+\tt2\t1000\t150\t300\t40\t50\t60"    // wrong target
+    ).mkString("", "\n", "\n")
+    val path = tmpFile("r.paf", content)
+    val got = GraftIO.read_paf(spark, path, Map("region" -> "t1:150-400"))
+      .select("query_name").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("a"))
+  }
+
+  test("paf: a line with fewer than 12 fields fails loudly") {
+    val path = tmpFile("bad.paf", "q1\t100\t0\t50\t+\tt1\t1000\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      GraftIO.read_paf(spark, path).collect()
+    }
+    assert(e.getMessage.contains("12 mandatory fields")
+      || Option(e.getCause).exists(_.getMessage.contains("12 mandatory fields")))
+  }
+
+  test("gfa: 64-byte splits == single split; slices are consistent") {
+    val content = {
+      val sb = new StringBuilder("H\tVN:Z:1.0\n")
+      for (i <- 0 until 120) sb.append(s"S\tn$i\t${"ACGT" * (i % 7 + 1)}\n")
+      for (i <- 0 until 120) sb.append(s"L\tn$i\t+\tn${(i + 1) % 120}\t-\t0M\n")
+      sb.toString
+    }
+    val path = tmpFile("big.gfa", content)
+    val whole = GraftIO.read_gfa(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(64) {
+      val df = GraftIO.read_gfa(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 240) // H skipped
+    val segLens = GraftIO.read_gfa(spark, path).where("record_type = 'S'")
+      .selectExpr("sum(seq_len)").collect()(0).getLong(0)
+    assert(segLens == (0 until 120).map(i => 4L * (i % 7 + 1)).sum)
+  }
+
+  test("gfa: unknown record type fails loudly") {
+    val path = tmpFile("bad.gfa", "X\twhat\tis\tthis\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      GraftIO.read_gfa(spark, path).collect()
+    }
+    assert(e.getMessage.contains("unknown gfa record type")
+      || Option(e.getCause).exists(_.getMessage.contains("unknown gfa record type")))
+  }
+
+  test("stockholm: splits sync on the record magic; interleaving concatenates") {
+    // 60 records, each with 3 interleaved blocks over 2 sequences —
+    // a split landing mid-record must not re-parse or drop it.
+    val content = (0 until 60).map { r =>
+      val b = new StringBuilder("# STOCKHOLM 1.0\n")
+      b.append(s"#=GF AC FAM$r\n")
+      for (_ <- 0 until 3) {
+        b.append(s"s${r}a ACGU\n")
+        b.append(s"s${r}b GG-U\n\n")
+      }
+      b.append("//\n")
+      b.toString
+    }.mkString
+    val path = tmpFile("big.sto", content)
+    val whole = GraftIO.read_stockholm(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(64) {
+      val df = GraftIO.read_stockholm(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 120)
+    val seqs = GraftIO.read_stockholm(spark, path)
+      .where("accession = 'FAM7'").selectExpr("name", "sequence")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(seqs == Map("s7a" -> "ACGUACGUACGU", "s7b" -> "GG-UGG-UGG-U"))
+  }
+
+  test("stockholm: gzip composition") {
+    val plain = "# STOCKHOLM 1.0\n#=GF AC Z1\nx ACGU\n//\n"
+    val d = Files.createTempDirectory("graft-aln")
+    val gz = d.resolve("z.sto.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(plain.getBytes("UTF-8")); out.close()
+    val rows = GraftIO.read_stockholm(spark, gz.toString)
+      .selectExpr("accession", "name", "sequence").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "Z1"
+      && rows(0).getString(1) == "x" && rows(0).getString(2) == "ACGU")
+  }
+
+  test("stockholm: record without '//' terminator fails loudly") {
+    val path = tmpFile("bad.sto", "# STOCKHOLM 1.0\nx ACGU\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      GraftIO.read_stockholm(spark, path).collect()
+    }
+    assert(e.getMessage.contains("without '//' terminator")
+      || Option(e.getCause).exists(_.getMessage.contains("without '//' terminator")))
+  }
+}
