@@ -16,6 +16,54 @@ import org.apache.spark.sql.functions._
   */
 object VariantQC {
 
+  /** KING-robust pairwise kinship (Manichaikul et al. 2010, the
+    * `king --kinship` / plink2 `--make-king` estimator) between every
+    * sample pair, from positional genotype strings. Over the sites
+    * where BOTH samples are genotyped (any '.' allele drops the site
+    * for that pair only):
+    *
+    *   phi_hat = (N_het,het − 2·N_opp_hom) / (N_het(i) + N_het(j))
+    *
+    * surfaced as the INTEGER numerator/denominator pair (`kin_num`,
+    * `kin_den`) plus the raw counts — no division, no floats, so the
+    * result is bit-stable under any partitioning (the fixed-point
+    * discipline of ldR2/hweBySite; callers divide at display time).
+    *
+    * Scale shape: samples are few and fixed while sites are many, so
+    * the pair space is built per SITE — dosages explode to
+    * (site, sample, dosage) and sample pairs meet through a site-keyed
+    * equi-self-join (never a sample×sample loop over collected
+    * vectors); the per-pair counts combine map-side before the tiny
+    * O(samples²) result shuffles. 1000 samples is 499 500 output rows;
+    * the heavy dimension (sites) only ever moves once.
+    *
+    * @param df (`sidCol`: bigint site id, `gtCol`: array<string>
+    *           positional genotype strings, sample index = position) */
+  def kingKinship(df: DataFrame, sidCol: String = "sid",
+                  gtCol: String = "genotypes"): DataFrame = {
+    Seq(sidCol, gtCol).foreach(c =>
+      require(df.columns.contains(c), s"VariantQC.kingKinship: no column '$c'"))
+    val d = df.select(col(sidCol).cast("long").as("sid"),
+        expr(s"""posexplode(transform($gtCol, g ->
+            CASE WHEN exists(split(split(g, ':')[0], '[/|]'), a -> a = '.')
+                 THEN CAST(NULL AS BIGINT)
+                 ELSE cast(size(filter(split(split(g, ':')[0], '[/|]'), a -> a = '1')) as bigint)
+            END)) AS (j, x)"""))
+      .where(col("x").isNotNull)
+    val a = d.select(col("sid"), col("j").as("i"), col("x").as("xi"))
+    val b = d.select(col("sid"), col("j").as("j"), col("x").as("xj"))
+    a.join(b, Seq("sid")).where(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(col("xi") === 1 && col("xj") === 1, 1L).otherwise(0L)).as("n_both_het"),
+        sum(when((col("xi") === 0 && col("xj") === 2) ||
+                 (col("xi") === 2 && col("xj") === 0), 1L).otherwise(0L)).as("n_opp_hom"),
+        sum(when(col("xi") === 1, 1L).otherwise(0L)).as("het_i"),
+        sum(when(col("xj") === 1, 1L).otherwise(0L)).as("het_j"))
+      .selectExpr("i", "j", "n_shared", "n_both_het", "n_opp_hom", "het_i", "het_j",
+        "n_both_het - 2 * n_opp_hom AS kin_num", "het_i + het_j AS kin_den")
+  }
+
   /** Transition/transversion classification per ALT allele after the
     * multiallelic explode: ti iff the substitution stays within the
     * purines {A,G} or pyrimidines {C,T}; anything not a 1bp->1bp ACGT

@@ -1542,6 +1542,43 @@ object FormatScans {
         FROM xy JOIN m ma ON ma.sid = xy.s1 JOIN m mb ON mb.sid = xy.s2
         ORDER BY s1, s2""")),
 
+    // KING-robust pairwise kinship (king --kinship / plink2
+    // --make-king) through VariantQC.kingKinship: dosages explode per
+    // SITE and sample pairs meet in a site-keyed equi-self-join (the
+    // sites-are-many/samples-are-few orientation), counts combine
+    // map-side, and the estimator is surfaced as an integer
+    // numerator/denominator pair — no division anywhere, so no
+    // truncate-vs-floor trap. Missing genotypes ('./.',  planted by
+    // the %12=11 arm) drop the site for every pair involving that
+    // sample; n_shared varies per pair, which the oracle recomputes.
+    "fmt_vcf_kinship" -> Q(
+      (s, _) => {
+        val sites = s.range(240).selectExpr("id AS sid",
+          "transform(sequence(0, 9), j -> " +
+            "CASE WHEN (id * 3 + j * 7 + id * j) % 12 = 11 THEN './.' " +
+            "ELSE CASE cast(((id * 3 + j * 7 + id * j) % 12) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0|1' ELSE '1/1' END END) AS genotypes")
+        graft.functions.VariantQC.kingKinship(sites).orderBy("i", "j")
+      },
+      Some("""WITH d AS (SELECT sid, j, (sid * 3 + j * 7 + sid * j) % 12 AS x12
+          FROM range(0, 240) t(sid), range(0, 10) u(j)),
+        f AS (SELECT sid, j, x12 % 3 AS x FROM d WHERE x12 <> 11),
+        p AS (SELECT a.j AS i, b.j AS j, count(*) AS n_shared,
+            sum(CASE WHEN a.x = 1 AND b.x = 1 THEN 1 ELSE 0 END) AS n_both_het,
+            sum(CASE WHEN (a.x = 0 AND b.x = 2) OR (a.x = 2 AND b.x = 0)
+                     THEN 1 ELSE 0 END) AS n_opp_hom,
+            sum(CASE WHEN a.x = 1 THEN 1 ELSE 0 END) AS het_i,
+            sum(CASE WHEN b.x = 1 THEN 1 ELSE 0 END) AS het_j
+          FROM f a JOIN f b ON a.sid = b.sid AND a.j < b.j
+          GROUP BY a.j, b.j)
+        SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n_shared,
+          CAST(n_both_het AS BIGINT) AS n_both_het,
+          CAST(n_opp_hom AS BIGINT) AS n_opp_hom,
+          CAST(het_i AS BIGINT) AS het_i, CAST(het_j AS BIGINT) AS het_j,
+          CAST(n_both_het - 2 * n_opp_hom AS BIGINT) AS kin_num,
+          CAST(het_i + het_j AS BIGINT) AS kin_den
+        FROM p ORDER BY i, j""")),
+
     // Site frequency spectrum (the pop-gen summary everything else
     // derives from): per-site alt allele count from the genotype
     // strings, histogrammed. Map-side-combined double aggregation.

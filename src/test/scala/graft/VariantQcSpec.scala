@@ -270,4 +270,32 @@ class VariantQcSpec extends AnyFunSuite {
     assert(!out.keySet.exists(_._2 == 4L), out.toString) // distance bound
     assert(out.size == 6, out.toString) // pairs among sites 0..3 within 50... (0,1),(0,2)? 30-10=20<=50 yes,(0,3)=30<=50,(1,2),(1,3),(2,3)
   }
+
+  test("kingKinship: hand-computed trio with missing-site exclusion") {
+    import spark.implicits._
+    // samples: 0 and 1 are "parent/child"-like (share a het at every
+    // usable site, never opposite homozygotes); 2 opposes 0 twice;
+    // site 3 is missing for sample 1 (dropped ONLY for pairs with 1).
+    val sites = Seq(
+      (0L, Seq("0/1", "0/1", "1/1")), // x = 1,1,2
+      (1L, Seq("0/1", "0/1", "0/0")), // x = 1,1,0
+      (2L, Seq("0/0", "0/1", "1/1")), // x = 0,1,2  -> (0,2) opp hom
+      (3L, Seq("1/1", "./.", "0/0")), // x = 2,-,0  -> (0,2) opp hom; pairs with 1 skip
+      (4L, Seq("0/1", "1/1", "0/1"))) // x = 1,2,1
+      .toDF("sid", "genotypes")
+    val out = VariantQC.kingKinship(sites).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7), r.getLong(8)))).toMap
+    // per-site dosages (sample0, sample1, sample2):
+    //   s0 (1,1,2)  s1 (1,1,0)  s2 (0,1,2)  s3 (2,-,0)  s4 (1,2,1)
+    // (0,1): shared 0,1,2,4; both_het at s0,s1; no opp hom;
+    //        het_0 = {s0,s1,s4} = 3, het_1 = {s0,s1,s2} = 3
+    assert(out((0, 1)) == ((4L, 2L, 0L, 2L, 6L)), out.toString)
+    // (0,2): all 5 shared; both_het at s4; opp_hom at s2 and s3;
+    //        het_0 = 3, het_2 = {s4} = 1 -> num = 1 - 4 = -3
+    assert(out((0, 2)) == ((5L, 1L, 2L, -3L, 4L)), out.toString)
+    // (1,2): shared 0,1,2,4 (s3 dropped); no both-het site, no opp hom
+    assert(out((1, 2)) == ((4L, 0L, 0L, 0L, 4L)), out.toString)
+    assert(out.size == 3, out.toString)
+  }
 }
