@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.GraftIO
+import graft.sources.{GraftIO, TwoBit}
 
 /** Oracle-matrix entries for the file-format sources (SURVEY.md §2.A).
   *
@@ -1165,6 +1165,54 @@ object FormatScans {
         SELECT CAST(j AS INTEGER) AS j, base AS major_base, cnt AS n_major,
           CAST((1000000 * cnt) // 40 AS BIGINT) AS conservation_ppm
         FROM best WHERE rn = 1 ORDER BY j""")),
+
+    // ---- UCSC .2bit packed genomes (binary, random-access) ----
+    // Writer -> reader roundtrip over a generated 30-sequence file:
+    // 2-bit base packing, N-run blocks, and soft-mask (lowercase)
+    // blocks all round-trip; the oracle restates each sequence
+    // closed-form. Scan parallelizes BY SEQUENCE (the driver loads
+    // only the block-table index; every task point-reads its own
+    // packed bytes).
+    "fmt_twobit_scan" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-twobit-gen") { d =>
+          TwoBit.write((0 until 30).map(i =>
+              (s"sq$i", "ACGT" * (5 + i) + "N" * (i % 3 + 1) + "acgt" * 3)),
+            d.resolve("gen.2bit").toString, s.sessionState.newHadoopConf())
+        }
+        GraftIO.read_twobit(s, dir.resolve("gen.2bit").toString).orderBy("length")
+      },
+      Some("""SELECT 'sq' || CAST(i AS VARCHAR) AS name,
+          CAST(4 * (5 + i) + (i % 3 + 1) + 12 AS BIGINT) AS length,
+          repeat('ACGT', 5 + i) || repeat('N', i % 3 + 1) || repeat('acgt', 3) AS sequence
+        FROM range(0, 30) t(i) ORDER BY length""")),
+
+    // twoBitToFa-style region fetch against the same staged file: 90
+    // clamped 1-based windows, each task seeking only its spans'
+    // bytes (the fasta_query shape over packed DNA). Windows are
+    // arithmetically unique per (name, start, end); the oracle takes
+    // substrings of the closed-form sequences.
+    "fmt_twobit_query" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-twobit-gen") { d =>
+          TwoBit.write((0 until 30).map(i =>
+              (s"sq$i", "ACGT" * (5 + i) + "N" * (i % 3 + 1) + "acgt" * 3)),
+            d.resolve("gen.2bit").toString, s.sessionState.newHadoopConf())
+        }
+        val regions = (0 until 90).map { i =>
+          val lo = (i % 7) + 2; val hi = lo + 13 + (i % 5)
+          s"sq${i % 30}:$lo-$hi"
+        }
+        GraftIO.twobit_query(s, dir.resolve("gen.2bit").toString, regions)
+          .orderBy("name", "start", "end")
+      },
+      Some("""WITH g AS (SELECT i, i % 30 AS s, (i % 7) + 2 AS lo,
+            (i % 7) + 2 + 13 + (i % 5) AS hi FROM range(0, 90) t(i)),
+        seqs AS (SELECT s, repeat('ACGT', 5 + s) || repeat('N', s % 3 + 1) ||
+            repeat('acgt', 3) AS seq FROM range(0, 30) u(s))
+        SELECT 'sq' || CAST(g.s AS VARCHAR) AS name, CAST(lo AS BIGINT) AS start,
+          CAST(hi AS BIGINT) AS "end", substring(seq, lo, hi - lo + 1) AS sequence
+        FROM g JOIN seqs ON seqs.s = g.s ORDER BY name, start, "end"""")),
 
     "fmt_bam_scan" -> Q(
       (s, _) => GraftIO.read_bam_file_records(s, s"$F/bam/test.bam")

@@ -166,6 +166,50 @@ object GraftIO {
       }
       .toDF("name", "start", "end", "sequence")
   }
+  /** UCSC .2bit packed-genome scan: one row per sequence, parallelized
+    * BY SEQUENCE — the driver loads only the block-table index
+    * ([[TwoBit.index]]), and each task point-reads its own sequence's
+    * packed bytes. `mask=false` returns everything uppercase. */
+  def read_twobit(s: SparkSession, path: String, mask: Boolean = true): DataFrame = {
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val entries = TwoBit.index(path, sconf.value)
+    import s.implicits._
+    s.createDataset(entries.map(_.name))
+      .repartition(math.min(math.max(entries.size, 1), 32))
+      .map { name =>
+        val e = entries.find(_.name == name).get
+        (name, e.dnaSize, TwoBit.fetch(path, sconf.value, e, 1L, e.dnaSize, mask))
+      }
+      .toDF("name", "length", "sequence")
+  }
+
+  /** Random-access .2bit subsequence fetch — the twoBitToFa analog of
+    * [[GraftIO.fasta_query]]: same region grammar ('name' or
+    * 'name:lo-hi', 1-based inclusive, clamped; unknown names yield no
+    * row), same distributed point-read shape (the index broadcasts,
+    * each task seeks only its regions' byte spans). */
+  def twobit_query(s: SparkSession, path: String, regions: Seq[String],
+                   mask: Boolean = true): DataFrame = {
+    require(regions.nonEmpty, "twobit_query: no regions given")
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val byName = s.sparkContext.broadcast(
+      TwoBit.index(path, sconf.value).map(e => e.name -> e).toMap)
+    import s.implicits._
+    s.createDataset(regions)
+      .repartition(math.min(regions.size, 32))
+      .flatMap { r =>
+        val (name, lo, hi) = VcfFormat.parseRegion(r)
+        byName.value.get(name).map { e =>
+          val lo2 = math.max(lo, 1L)
+          val hi2 = math.min(hi, e.dnaSize)
+          (name, lo2, hi2, TwoBit.fetch(path, sconf.value, e, lo2, hi2, mask))
+        }
+      }
+      .toDF("name", "start", "end", "sequence")
+  }
+
   /** Bare-path auto-dispatch (replacement scan analog). */
   def read_auto(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "exon", path, options)
 
