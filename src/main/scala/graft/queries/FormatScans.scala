@@ -1214,6 +1214,79 @@ object FormatScans {
           CAST(hi AS BIGINT) AS "end", substring(seq, lo, hi - lo + 1) AS sequence
         FROM g JOIN seqs ON seqs.s = g.s ORDER BY name, start, "end"""")),
 
+    // ---- MAF multiple-genome alignment blocks (multiz output) ----
+    // Golden parse of the fixture: a-line score attribute shared by
+    // every s row of the block, i/q annotation lines and the ##maf
+    // header skipped, block identity surfaced through dense_rank over
+    // the (split-stable) a-line byte offset.
+    "fmt_maf_scan" -> Q(
+      (s, _) => GraftIO.read_maf(s, s"$F/maf/test.maf")
+        .withColumn("block_rank",
+          dense_rank().over(Window.orderBy("block_id")).cast("long"))
+        .selectExpr("block_rank", "score", "src", "start", "size", "strand",
+          "src_size", "text")
+        .orderBy("block_rank", "src"),
+      Some("""SELECT CAST(1 AS BIGINT) AS block_rank, CAST(23262.0 AS DOUBLE) AS score,
+          'hg38.chr7' AS src, CAST(27578828 AS BIGINT) AS start, CAST(38 AS BIGINT) AS size,
+          '+' AS strand, CAST(158545518 AS BIGINT) AS src_size,
+          'AAAGGGAATGTTAACCAAATGAATTGTCTCTTACGGTG' AS text
+        UNION ALL SELECT 1, 23262.0, 'panTro.chr6', 28741140, 38, '+', 161576975,
+          'AAAGGGAATGTTAACCAAATGAGTTGTCTCTTATGGTG'
+        UNION ALL SELECT 2, 5062.0, 'hg38.chr7', 27699739, 6, '+', 158545518, 'TAAAGA'
+        UNION ALL SELECT 2, 5062.0, 'mm10.chr6', 53215344, 6, '-', 151104725, 'TAAAGA'
+        ORDER BY block_rank, src""")),
+
+    // Per-block pairwise identity over a generated 80-block MAF (the
+    // mafTools/PHAST summary): comparable columns = both-non-gap,
+    // matches = equal comparable columns, identity in exact ppm. The
+    // pair meets through a block_id equi-self-join of the two species
+    // slices (one file read); planted gaps (both-gap and alt-only)
+    // pin the column-exclusion semantics.
+    "fmt_maf_identity" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-maf-gen") { d =>
+          val ref0 = "ACGT" * 10
+          val sb = new StringBuilder("##maf version=1\n")
+          for (i <- 0 until 80) {
+            val k = i % 7
+            val ref = ref0.toCharArray
+            val alt = ref0.toCharArray
+            for (p <- 0 until k) alt(p) = "ACGT"(("ACGT".indexOf(ref0(p)) + 1) % 4)
+            if (i % 5 == 0) { ref(38) = '-'; alt(38) = '-' }
+            if (i % 3 == 0) alt(39) = '-'
+            sb.append(s"a score=$i.0\n")
+            sb.append(s"s ref.b$i 0 40 + 1000 ${new String(ref)}\n")
+            sb.append(s"s alt.b$i 0 40 + 1000 ${new String(alt)}\n\n")
+          }
+          java.nio.file.Files.write(d.resolve("gen.maf"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val m = GraftIO.read_maf(s, dir.toString)
+        val r = m.where("src like 'ref.%'")
+          .selectExpr("block_id", "cast(substring(src, 6) as int) AS aln", "text AS t1")
+        val a = m.where("src like 'alt.%'")
+          .selectExpr("block_id", "text AS t2")
+        r.join(a, Seq("block_id"))
+          .selectExpr("aln",
+            "aggregate(transform(sequence(1, length(t1)), p -> " +
+              "IF(substr(t1, p, 1) <> '-' AND substr(t2, p, 1) <> '-', 1L, 0L)), " +
+              "0L, (acc, x) -> acc + x) AS n_cols",
+            "aggregate(transform(sequence(1, length(t1)), p -> " +
+              "IF(substr(t1, p, 1) <> '-' AND substr(t1, p, 1) = substr(t2, p, 1), 1L, 0L)), " +
+              "0L, (acc, x) -> acc + x) AS n_match")
+          .selectExpr("aln", "n_cols", "n_match",
+            "(1000000 * n_match) div n_cols AS identity_ppm")
+          .orderBy("aln")
+      },
+      Some("""WITH g AS (SELECT i,
+            40 - CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END
+               - CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS n_cols
+          FROM range(0, 80) t(i))
+        SELECT CAST(i AS INTEGER) AS aln, CAST(n_cols AS BIGINT) AS n_cols,
+          CAST(n_cols - i % 7 AS BIGINT) AS n_match,
+          CAST((1000000 * (n_cols - i % 7)) // n_cols AS BIGINT) AS identity_ppm
+        FROM g ORDER BY aln""")),
+
     "fmt_bam_scan" -> Q(
       (s, _) => GraftIO.read_bam_file_records(s, s"$F/bam/test.bam")
         .selectExpr("name", "flag", "reference", "start", "end", "mapping_quality",

@@ -259,3 +259,80 @@ object StockholmFormat extends GraftFormat {
     }
   }
 }
+
+/** MAF multiple-genome alignment blocks (the UCSC multiz format;
+  * genome.ucsc.edu/FAQ/FAQformat.html#format5): paragraph blocks
+  * opened by an `a` line (block-level key=value attributes, notably
+  * `score`) holding `s` sequence lines
+  * `s src start size strand srcSize text` — coordinates 0-based,
+  * negative-strand starts counted from the reverse end, exactly as
+  * the file records them. One row per `s` line; `block_id` is the
+  * opening `a` line's byte offset, globally unique and stable under
+  * any split plan (an ordinal would collide across splits). `i`/`e`/
+  * `q` annotation lines and `#` comments are skipped.
+  *
+  * Splittable the GenBank way: blocks sync on `a`-headed lines (s/i/
+  * e/q records never start with 'a'), a split owns blocks whose `a`
+  * offset falls inside it and reads their lines past the boundary.
+  */
+object MafFormat extends GraftFormat {
+  override def name = "maf"
+  override def extensions = Seq("maf")
+  override def splittable = true
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("block_id", LongType),
+      StructField("score", DoubleType),
+      StructField("src", StringType),
+      StructField("start", LongType),
+      StructField("size", LongType),
+      StructField("strand", StringType),
+      StructField("src_size", LongType),
+      StructField("text", StringType)))
+
+  private def isBlockStart(l: String): Boolean =
+    l == "a" || l.startsWith("a ") || l.startsWith("a\t")
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    val it = P.linesUnbounded(split, in).buffered
+    new Iterator[Array[Any]] {
+      private var pending: Iterator[Array[Any]] = Iterator.empty
+
+      private def syncToBlock(): Unit =
+        while (it.hasNext && !isBlockStart(it.head._2)) it.next()
+
+      private def parseBlock(): Unit = {
+        val (off, aLine) = it.next()
+        val score: Any = aLine.split("\\s+").iterator.drop(1)
+          .map(_.split("=", 2)).collectFirst {
+            case Array("score", v) => java.lang.Double.parseDouble(v)
+          }.orNull
+        val rows = Seq.newBuilder[Array[Any]]
+        var open = true
+        while (open && it.hasNext && !isBlockStart(it.head._2)) {
+          val l = it.next()._2
+          if (l.trim.isEmpty) open = false
+          else if (l.startsWith("s ") || l.startsWith("s\t")) {
+            val f = l.split("\\s+")
+            require(f.length == 7, s"maf s line needs 6 fields + text: '$l'")
+            rows += Array[Any](off, score, P.s(f(1)), f(2).toLong, f(3).toLong,
+              P.s(f(4)), f(5).toLong, P.s(f(6)))
+          }
+          // i/e/q annotation lines and '#' comments: skipped
+        }
+        pending = rows.result().iterator
+      }
+
+      private def advance(): Unit =
+        while (!pending.hasNext && { syncToBlock(); it.hasNext && it.head._1 <= split.end })
+          parseBlock()
+
+      advance()
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): Array[Any] = { advance(); pending.next() }
+    }
+  }
+}

@@ -18,7 +18,8 @@ object Formats {
   def all: Seq[GraftFormat] =
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
-      WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat)
+      WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat,
+      MafFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -59,6 +60,7 @@ class WigDataSource extends GraftDataSource(WigFormat)
 class PafDataSource extends GraftDataSource(PafFormat)
 class GfaDataSource extends GraftDataSource(GfaFormat)
 class StockholmDataSource extends GraftDataSource(StockholmFormat)
+class MafDataSource extends GraftDataSource(MafFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -135,6 +137,8 @@ object GraftIO {
   def read_paf(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "paf", path, options)
   /** GFA 1.0 assembly graphs (beyond the reference). */
   def read_gfa(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "gfa", path, options)
+  /** MAF multiple-genome alignment blocks (beyond the reference). */
+  def read_maf(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "maf", path, options)
   /** Stockholm multiple sequence alignments (beyond the reference). */
   def read_stockholm(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "stockholm", path, options)
 

@@ -127,6 +127,27 @@ class AlnFormatsSpec extends AnyFunSuite {
     assert(seqs == Map("s7a" -> "ACGUACGUACGU", "s7b" -> "GG-UGG-UGG-U"))
   }
 
+  test("maf: splits sync on 'a' block lines; annotations skipped") {
+    val content = "##maf version=1\n" + (0 until 80).map { b =>
+      s"a score=$b.5\n" +
+        s"s hg.chr$b ${b * 100} 8 + 999 ACGTACGT\n" +
+        s"s mm.chr$b ${b * 50} 8 - 888 ACGTACGA\n" +
+        s"i mm.chr$b I 0 C 0\n\n"
+    }.mkString
+    val path = tmpFile("big.maf", content)
+    val whole = GraftIO.read_maf(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(64) {
+      val df = GraftIO.read_maf(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 160)
+    val scores = GraftIO.read_maf(spark, path).selectExpr("sum(score)")
+      .collect()(0).getDouble(0)
+    assert(scores == 2 * (0 until 80).map(_ + 0.5).sum)
+  }
+
   test("stockholm: gzip composition") {
     val plain = "# STOCKHOLM 1.0\n#=GF AC Z1\nx ACGU\n//\n"
     val d = Files.createTempDirectory("graft-aln")
