@@ -968,6 +968,60 @@ object Relational {
         FROM r WHERE seg_len IS NOT NULL AND depth > 0
         GROUP BY chrom ORDER BY chrom""")),
 
+    // ---- bedtools multiinter (common/partition across N sets) ----
+    // Per-source +1/-1 events pivot to fixed per-source delta columns,
+    // ONE ordered window produces all three running coverages at once,
+    // and segments come from lead(pos) — the N-set generalization of
+    // the event sweep, still never materializing per-base rows. Every
+    // event position flips some source's presence (per-source depth is
+    // 0/1 here), so sweep segments are maximal and comparable to the
+    // oracle's island grouping. The oracle brute-forces the OPPOSITE
+    // algorithm: per-position membership over the whole span, then
+    // gaps-and-islands on the presence vector.
+    "rel_interval_multiinter" -> Q(
+      (s, _) => {
+        val srcs = (0 until 3).map { k =>
+          s.range(30 + 10 * k).selectExpr(
+            s"id * 17 + ${k * 5} + 1 AS s0",
+            s"id * 17 + ${k * 5} + ${10 + k} AS e0",
+            s"'s$k' AS src")
+        }.reduce(_ unionAll _)
+        val ev = srcs.selectExpr("s0 AS pos", "src", "1L AS delta")
+          .unionAll(srcs.selectExpr("e0 + 1 AS pos", "src", "-1L AS delta"))
+          .groupBy("pos").pivot("src", Seq("s0", "s1", "s2")).sum("delta")
+          .selectExpr("pos", "coalesce(s0, 0L) AS d0", "coalesce(s1, 0L) AS d1",
+            "coalesce(s2, 0L) AS d2")
+        val w = Window.orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev.withColumn("c0", sum(col("d0")).over(w))
+          .withColumn("c1", sum(col("d1")).over(w))
+          .withColumn("c2", sum(col("d2")).over(w))
+          .withColumn("nxt", lead(col("pos"), 1).over(Window.orderBy("pos")))
+          .where(col("nxt").isNotNull && (col("c0") + col("c1") + col("c2")) > 0)
+          .selectExpr("pos AS start", "nxt - 1 AS end",
+            "IF(c0 > 0, 1L, 0L) + IF(c1 > 0, 1L, 0L) + IF(c2 > 0, 1L, 0L) AS n",
+            "concat_ws(',', IF(c0 > 0, 's0', NULL), IF(c1 > 0, 's1', NULL), " +
+              "IF(c2 > 0, 's2', NULL)) AS sources")
+          .orderBy("start")
+      },
+      Some("""WITH i0 AS (SELECT i * 17 + 1 AS s, i * 17 + 10 AS e FROM range(0, 30) t(i)),
+        i1 AS (SELECT i * 17 + 6 AS s, i * 17 + 16 AS e FROM range(0, 40) t(i)),
+        i2 AS (SELECT i * 17 + 11 AS s, i * 17 + 22 AS e FROM range(0, 50) t(i)),
+        pr AS (SELECT p,
+            CASE WHEN EXISTS(SELECT 1 FROM i0 WHERE p BETWEEN s AND e) THEN 1 ELSE 0 END AS a,
+            CASE WHEN EXISTS(SELECT 1 FROM i1 WHERE p BETWEEN s AND e) THEN 1 ELSE 0 END AS b,
+            CASE WHEN EXISTS(SELECT 1 FROM i2 WHERE p BETWEEN s AND e) THEN 1 ELSE 0 END AS c
+          FROM range(1, 1000) q(p)),
+        f AS (SELECT p, a, b, c,
+            p - row_number() OVER (PARTITION BY a, b, c ORDER BY p) AS grp FROM pr),
+        seg AS (SELECT a, b, c, min(p) AS s, max(p) AS e
+          FROM f GROUP BY a, b, c, grp)
+        SELECT CAST(s AS BIGINT) AS start, CAST(e AS BIGINT) AS "end",
+          CAST(a + b + c AS BIGINT) AS n,
+          concat_ws(',', CASE WHEN a = 1 THEN 's0' END,
+            CASE WHEN b = 1 THEN 's1' END, CASE WHEN c = 1 THEN 's2' END) AS sources
+        FROM seg WHERE a + b + c > 0 ORDER BY start""")),
+
     // ---- top-k (TakeOrderedAndProject) ----
     "rel_topk" -> Q(
       (s, dir) =>
