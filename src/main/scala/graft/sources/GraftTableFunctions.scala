@@ -74,6 +74,21 @@ object GraftTableFunctions {
     GraftIO.fasta_query(SparkSession.active, path, regions).queryExecution.logical
   }
 
+  /** twobit_query(path, region [, region...]) / read_twobit(path):
+    * the .2bit random-access analogs of fasta_query — resolve to
+    * [[GraftIO.twobit_query]] / [[GraftIO.read_twobit]]'s plans. */
+  private def twobitQueryBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "twobit_query requires (path, region...)")
+    GraftIO.twobit_query(SparkSession.active, lit(args.head, "path"),
+      args.tail.map(lit(_, "region"))).queryExecution.logical
+  }
+
+  private def twobitScanBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "read_twobit requires (path)")
+    GraftIO.read_twobit(SparkSession.active, lit(args.head, "path"))
+      .queryExecution.logical
+  }
+
   /** Numeric literal for the optional pileup thresholds. */
   private def num(e: Expression, what: String): Int = e.eval(null) match {
     case n: java.lang.Number => n.intValue()
@@ -117,7 +132,9 @@ object GraftTableFunctions {
     "vcf" -> "read_vcf_file_records", "bcf" -> "read_bcf_file_records",
     "genbank" -> "read_genbank",
     "mzml" -> "read_mzml", "hmmdomtab" -> "read_hmm_dom_tbl_out",
-    "warc" -> "read_warc")
+    "warc" -> "read_warc", "chain" -> "read_chain_file", "wig" -> "read_wig",
+    "paf" -> "read_paf", "gfa" -> "read_gfa", "stockholm" -> "read_stockholm",
+    "maf" -> "read_maf")
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
@@ -137,6 +154,8 @@ object GraftTableFunctions {
     reg.createOrReplaceTempFunction("bed_query", queryBuilder(BedFormat), "scala_udf")
     reg.createOrReplaceTempFunction("read_auto", autoBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("fasta_query", fastaQueryBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("twobit_query", twobitQueryBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("read_twobit", twobitScanBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("sam_pileup", pileupBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("sam_consensus", consensusBuilder, "scala_udf")
   }

@@ -37,7 +37,13 @@ class TableFunctionSpec extends AnyFunSuite {
       s"read_genbank('$F/genbank/test.gb')" -> 2,
       s"read_mzml('$F/mzml/test.mzML')" -> 2,
       s"read_hmm_dom_tbl_out('$F/hmm/test.domtblout')" -> 2,
-      s"read_warc('$F/warc/test.warc')" -> 2)
+      s"read_warc('$F/warc/test.warc')" -> 2,
+      s"read_chain_file('$F/chain/test.chain')" -> 5,
+      s"read_wig('$F/wig/test.wig')" -> 8,
+      s"read_paf('$F/paf/test.paf')" -> 3,
+      s"read_gfa('$F/gfa/test.gfa')" -> 7,
+      s"read_stockholm('$F/stockholm/test.sto')" -> 4,
+      s"read_maf('$F/maf/test.maf')" -> 4)
     cases.foreach { case (tvf, n) =>
       assert(sqlRows(s"SELECT count(*) AS n FROM $tvf").head.getLong(0) == n.toLong, tvf)
     }
@@ -57,6 +63,18 @@ class TableFunctionSpec extends AnyFunSuite {
       s"SELECT name, sequence FROM fasta_query('${dir.resolve("test.fasta")}', 'r1:3-8', 'r2')")
       .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
     assert(rows == Seq(("r1", "CGATCG"), ("r2", "TTTTACGT")))
+  }
+
+  test("read_twobit / twobit_query TVFs over a staged .2bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-2bit")
+    val path = dir.resolve("g.2bit").toString
+    graft.sources.TwoBit.write(Seq(("c1", "ACGTNNacgt"), ("c2", "TTTTGGGG")),
+      path, spark.sessionState.newHadoopConf())
+    assert(sqlRows(s"SELECT count(*) AS n FROM read_twobit('$path')").head.getLong(0) == 2)
+    val rows = sqlRows(
+      s"SELECT name, sequence FROM twobit_query('$path', 'c1:3-8', 'c2')")
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(("c1", "GTNNac"), ("c2", "TTTTGGGG")))
   }
 
   test("read_auto dispatches by extension, excluding BED/GTF") {
