@@ -647,6 +647,27 @@ object FormatScans {
         UNION ALL SELECT 'GRAFT002', 'GRAFT002', 'linear', 'acgtacgtacgt', 1, 'synthetic construct'
         ORDER BY accession""")),
 
+    // EMBL/ENA flat files through the GenBank-compatible schema: the
+    // fixture exercises multi-line DE, FT location continuation
+    // (join(..) split across lines), multi-line quoted qualifier
+    // values, a bare /pseudo qualifier, and the 60-column SQ block
+    // with trailing base counts.
+    "fmt_embl_scan" -> Q(
+      (s, _) => GraftIO.read_embl(s, s"$F/embl/test.embl")
+        .selectExpr("name", "accession", "topology", "definition", "sequence",
+          "size(features) AS n_features",
+          "get(filter(features, f -> f.kind = 'CDS'), 0).location AS cds_loc",
+          "get(filter(features, f -> f.kind = 'CDS'), 0).qualifiers['product'] AS product")
+        .orderBy("accession"),
+      Some("""SELECT 'X56734' AS name, 'X56734' AS accession, 'linear' AS topology,
+          'Trifolium repens mRNA for non-cyanogenic beta-glucosidase' AS definition,
+          'aaacaaaccaaatatggattttattgtagccatatttgctctgtttgt' AS sequence,
+          2 AS n_features, 'join(14..30,35..46)' AS cds_loc,
+          'beta-glucosidase precursor' AS product
+        UNION ALL SELECT 'Z99999', 'Z99999', 'circular', 'tiny plasmid',
+          'acgtacgtacgt', 0, NULL, NULL
+        ORDER BY accession""")),
+
     // ---- UCSC chain scan (liftOver input, block granularity) ----
     // Header + cumulative `size dt dq` walk -> one row per gapless
     // block; query spans stay in strand space with q_size carried

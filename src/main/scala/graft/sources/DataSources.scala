@@ -19,7 +19,7 @@ object Formats {
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
       WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat,
-      MafFormat)
+      MafFormat, EmblFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -61,6 +61,7 @@ class PafDataSource extends GraftDataSource(PafFormat)
 class GfaDataSource extends GraftDataSource(GfaFormat)
 class StockholmDataSource extends GraftDataSource(StockholmFormat)
 class MafDataSource extends GraftDataSource(MafFormat)
+class EmblDataSource extends GraftDataSource(EmblFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -103,6 +104,8 @@ object GraftIO {
   def read_hmm_dom_tbl_out(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "hmmdomtab", path, options)
   def read_vcf_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "vcf", path, options)
   def read_genbank(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "genbank", path, options)
+  /** EMBL/ENA flat files (GenBank-schema-compatible; beyond the reference). */
+  def read_embl(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "embl", path, options)
   def read_chain_file(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "chain", path, options)
   def read_mzml(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "mzml", path, options)
   def read_bam_file_records(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bam", path, options)

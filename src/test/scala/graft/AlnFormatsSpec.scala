@@ -148,6 +148,29 @@ class AlnFormatsSpec extends AnyFunSuite {
     assert(scores == 2 * (0 until 80).map(_ + 0.5).sum)
   }
 
+  test("embl: splits sync on ID lines; GenBank-schema compatible") {
+    val content = (0 until 60).map { r =>
+      s"ID   E$r; SV 1; linear; mRNA; STD; PLN; 8 BP.\n" +
+        s"AC   E$r;\nDE   rec $r\n" +
+        s"FT   source          1..8\nFT                   /organism=\"x$r\"\n" +
+        s"SQ   Sequence 8 BP;\n     acgtacgt        8\n//\n"
+    }.mkString
+    val path = tmpFile("big.embl", content)
+    val whole = GraftIO.read_embl(spark, path).collect().map(_.toString).sorted
+    val split = withMaxSplit(64) {
+      val df = GraftIO.read_embl(spark, path)
+      assert(df.rdd.getNumPartitions > 5)
+      df.collect().map(_.toString).sorted
+    }
+    assert(split.toSeq == whole.toSeq)
+    assert(whole.length == 60)
+    // schema-identical to GenBank: a union across the two archives analyzes
+    val gb = GraftIO.read_genbank(spark,
+      "src/test/resources/fixtures/genbank/test.gb")
+    assert(gb.schema == GraftIO.read_embl(spark, path).schema)
+    assert(gb.unionAll(GraftIO.read_embl(spark, path)).count() == 62)
+  }
+
   test("stockholm: gzip composition") {
     val plain = "# STOCKHOLM 1.0\n#=GF AC Z1\nx ACGU\n//\n"
     val d = Files.createTempDirectory("graft-aln")

@@ -43,7 +43,8 @@ class TableFunctionSpec extends AnyFunSuite {
       s"read_paf('$F/paf/test.paf')" -> 3,
       s"read_gfa('$F/gfa/test.gfa')" -> 7,
       s"read_stockholm('$F/stockholm/test.sto')" -> 4,
-      s"read_maf('$F/maf/test.maf')" -> 4)
+      s"read_maf('$F/maf/test.maf')" -> 4,
+      s"read_embl('$F/embl/test.embl')" -> 2)
     cases.foreach { case (tvf, n) =>
       assert(sqlRows(s"SELECT count(*) AS n FROM $tvf").head.getLong(0) == n.toLong, tvf)
     }
