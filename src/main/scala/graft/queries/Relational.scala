@@ -968,6 +968,49 @@ object Relational {
         FROM r WHERE seg_len IS NOT NULL AND depth > 0
         GROUP BY chrom ORDER BY chrom""")),
 
+    // ---- bedtools cluster (overlap-chain ids) ----
+    // The classic sweep: within each chromosome, an interval opens a
+    // NEW cluster iff its start exceeds the running max end of
+    // everything before it; the cluster id is the running count of
+    // such breaks. Two ordered windows over one partition — no join,
+    // no per-base rows; partition by chrom at scale exactly like the
+    // merge/coverage family. Generated mix: c1 singletons, c2
+    // two-interval chains.
+    "rel_interval_cluster" -> Q(
+      (s, _) => {
+        val iv = s.range(300).selectExpr(
+            "CASE WHEN id % 3 = 0 THEN 'c1' ELSE 'c2' END AS chrom",
+            "(id div 3) * 11 + (id % 3) * 4 + 1 AS start")
+          .withColumn("end", col("start") + 5)
+        val w = Window.partitionBy("chrom").orderBy("start", "end")
+        iv.withColumn("max_prev",
+            max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("max_prev").isNull || col("start") > col("max_prev"), 1L)
+              .otherwise(0L))
+          .withColumn("cluster_id",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("chrom"), col("cluster_id"))
+          .agg(count(lit(1)).as("n"), min(col("start")).as("cluster_start"),
+            max(col("end")).as("cluster_end"))
+          .orderBy("chrom", "cluster_id")
+      },
+      Some("""WITH iv AS (SELECT CASE WHEN i % 3 = 0 THEN 'c1' ELSE 'c2' END AS chrom,
+            (i // 3) * 11 + (i % 3) * 4 + 1 AS s, (i // 3) * 11 + (i % 3) * 4 + 6 AS e
+          FROM range(0, 300) t(i)),
+        m AS (SELECT chrom, s, e,
+            max(e) OVER (PARTITION BY chrom ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
+          FROM iv),
+        c AS (SELECT chrom, s, e,
+            sum(CASE WHEN max_prev IS NULL OR s > max_prev THEN 1 ELSE 0 END)
+              OVER (PARTITION BY chrom ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_id
+          FROM m)
+        SELECT chrom, CAST(cluster_id AS BIGINT) AS cluster_id, count(*) AS n,
+          CAST(min(s) AS BIGINT) AS cluster_start, CAST(max(e) AS BIGINT) AS cluster_end
+        FROM c GROUP BY chrom, cluster_id ORDER BY chrom, cluster_id""")),
+
     // ---- bedtools multiinter (common/partition across N sets) ----
     // Per-source +1/-1 events pivot to fixed per-source delta columns,
     // ONE ordered window produces all three running coverages at once,

@@ -650,6 +650,51 @@ object StreamingQ {
           CAST(42 AS BIGINT) AS seq_len, 1 AS n_quals
         UNION ALL SELECT 'q2', 3, 42, 1 ORDER BY name""")),
 
+    // PAF alignments as a micro-batch stream (the minimap2-pipe
+    // pattern: aligner appends chunk files, Spark ingests
+    // incrementally): 100 alignments in the first batch, 50 arriving
+    // LATE in a second file picked up by a later micro-batch, rolled
+    // to per-target identity sums — same generating arithmetic on
+    // both sides, append-mode correctness across batches.
+    "stream_paf_ingest" -> Q(
+      (s, _) => {
+        def pafLines(lo: Int, hi: Int): String = (lo until hi).map { i =>
+          val blen = 500 + (i % 100); val nm = i % 11
+          s"q${i % 10}\t1000\t0\t$blen\t+\tt${i % 5}\t90000\t${i * 7}\t${i * 7 + blen}" +
+            s"\t${blen - nm}\t$blen\t${i % 61}"
+        }.mkString("", "\n", "\n")
+        val staged = Stage.staged("graft-paf-ingest") { d =>
+          java.nio.file.Files.write(d.resolve("a1.paf"),
+            pafLines(0, 100).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val tbl = "graft_stream_paf_ingest"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val q = s.readStream.format("paf").load(staged.toString)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try {
+          q.processAllAvailable()
+          val late = staged.resolve("a2.paf")
+          if (!java.nio.file.Files.exists(late))
+            java.nio.file.Files.write(late,
+              pafLines(100, 150).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(tbl)
+          .groupBy(col("target_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("residue_matches")).as("sum_match"),
+            sum(col("block_len")).as("sum_block"))
+          .orderBy("target_name")
+      },
+      Some("""WITH g AS (SELECT i, 500 + (i % 100) AS blen, i % 11 AS nm,
+            't' || CAST(i % 5 AS VARCHAR) AS target_name
+          FROM range(0, 150) t(i))
+        SELECT target_name, count(*) AS n,
+          CAST(sum(blen - nm) AS BIGINT) AS sum_match,
+          CAST(sum(blen) AS BIGINT) AS sum_block
+        FROM g GROUP BY target_name ORDER BY target_name""")),
+
     // ---- streaming sink round trip: stream in AND out of a format ----
     // readStream(fastq dir) -> writeStream format("fastq") -> batch
     // read-back: the outbound half of the streaming surface
