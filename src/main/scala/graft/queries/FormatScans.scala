@@ -1122,6 +1122,71 @@ object FormatScans {
                  + CASE WHEN ((i + 43) % 50) % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS degree
         FROM range(0, 50) t(i) ORDER BY seq_len""")),
 
+    // Unitig contraction (the assembler's non-branching-path merge,
+    // miniasm/gfatools `unitig`): an edge is chainable iff its source
+    // has out-degree 1 AND its sink in-degree 1 — chainable edges form
+    // vertex-disjoint paths, so unitigs are their connected components
+    // (the SAME pointer-doubling CC the dedup family uses, O(log
+    // diameter) rounds); singleton segments stay their own unitig.
+    // The oracle rebuilds the chains with a RECURSIVE walk from the
+    // chain heads — a genuinely different algorithm on each side.
+    "fmt_gfa_unitigs" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-gfa-gen") { d =>
+          val sb = new StringBuilder
+          for (i <- 0 until 50) sb.append(s"S\ts$i\t${"A" * (50 + i)}\n")
+          for (i <- 0 until 50) {
+            sb.append(s"L\ts$i\t+\ts${(i + 1) % 50}\t+\t0M\n")
+            if (i % 3 == 0) sb.append(s"L\ts$i\t+\ts${(i + 7) % 50}\t-\t0M\n")
+          }
+          java.nio.file.Files.write(d.resolve("gen.gfa"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val g = GraftIO.read_gfa(s, dir.toString).cache()
+        val segs = g.where("record_type = 'S'")
+          .selectExpr("cast(substring(name, 2) as long) AS id", "seq_len")
+        val links = g.where("record_type = 'L'")
+          .selectExpr("cast(substring(from_name, 2) as long) AS u",
+            "cast(substring(to_name, 2) as long) AS v")
+        val odeg1 = links.groupBy(col("u")).agg(count(lit(1)).as("c"))
+          .where(col("c") === 1).select(col("u"))
+        val ideg1 = links.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .where(col("c") === 1).select(col("v"))
+        val chainable = links.join(odeg1, Seq("u")).join(ideg1, Seq("v"))
+          .select(col("u"), col("v"))
+        val comps = graft.pipeline.CorpusOps.connectedComponents(chainable)
+        segs.join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
+          .withColumn("unitig", coalesce(col("label"), col("id")))
+          .groupBy(col("unitig"))
+          .agg(count(lit(1)).as("n_segments"), sum(col("seq_len")).as("total_bp"))
+          .orderBy("unitig")
+      },
+      Some("""WITH RECURSIVE edges AS (
+            SELECT i AS u, (i + 1) % 50 AS v FROM range(0, 50) t(i)
+            UNION ALL
+            SELECT i, (i + 7) % 50 FROM range(0, 50) t(i) WHERE i % 3 = 0),
+        od AS (SELECT u, count(*) AS c FROM edges GROUP BY u),
+        idg AS (SELECT v, count(*) AS c FROM edges GROUP BY v),
+        ch AS (SELECT e.u, e.v FROM edges e
+            JOIN od ON od.u = e.u AND od.c = 1
+            JOIN idg ON idg.v = e.v AND idg.c = 1),
+        heads AS (SELECT u AS n FROM ch
+            WHERE u NOT IN (SELECT v FROM ch)),
+        walk(h, n) AS (
+            SELECT n, n FROM heads
+            UNION ALL
+            SELECT w.h, c.v FROM walk w JOIN ch c ON c.u = w.n),
+        covered AS (SELECT h, n FROM walk),
+        allu AS (SELECT h, n FROM covered
+            UNION ALL
+            SELECT i, i FROM range(0, 50) t(i)
+            WHERE i NOT IN (SELECT n FROM covered)),
+        keyd AS (SELECT h, min(n) AS unitig FROM allu GROUP BY h)
+        SELECT CAST(k.unitig AS BIGINT) AS unitig, count(*) AS n_segments,
+          CAST(sum(50 + a.n) AS BIGINT) AS total_bp
+        FROM allu a JOIN keyd k ON k.h = a.h
+        GROUP BY k.unitig ORDER BY unitig""")),
+
     // ---- Stockholm MSA (the Pfam/Rfam distribution format) ----
     // Golden parse of a two-record fixture: interleaved sequence and
     // #=GC blocks concatenated by name, #=GS per-sequence and multi-
