@@ -118,7 +118,22 @@ object DumpPlans {
       """Mash sketching: genomes reduce to sketchSize i64 hashes BEFORE
         |any join (bottom-k window on the exploded k-mer stream); the
         |pairwise phase joins broadcast pair keys against sketch rows —
-        |sequence data never rides an exchange.""".stripMargin)
+        |sequence data never rides an exchange.""".stripMargin,
+    "rel_interval_multiinter" ->
+      """N-set interval partition: per-source deltas pivot to fixed
+        |columns so ONE ordered running-sum window carries all three
+        |coverages at once — N sets cost one sweep, not N window
+        |passes, and per-base rows never materialize.""".stripMargin,
+    "fmt_gfa_unitigs" ->
+      """Unitig contraction: degree filters reduce links to chainable
+        |edges (keyed aggs + equi-joins), then the pointer-doubling CC
+        |labels chains in O(log diameter) keyed-shuffle rounds — the
+        |graph walk is never a driver-side loop over edges.""".stripMargin,
+    "fmt_vcf_kinship" ->
+      """KING kinship oriented by the data's shape: sample pairs meet
+        |through a SITE-keyed equi-self-join with map-side-combined
+        |counts — the many-sites dimension moves once; no per-sample
+        |vector ever collects to the driver.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
