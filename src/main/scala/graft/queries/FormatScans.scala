@@ -1066,6 +1066,48 @@ object FormatScans {
           CAST((1000000 * sum(blen - nm)) // sum(blen) AS BIGINT) AS identity_ppm
         FROM g GROUP BY target_name ORDER BY target_name""")),
 
+    // Read-to-assembly coverage from PAF (the polishing-QC rollup):
+    // target spans sweep with +1/-1 events and one per-target ordered
+    // window — depth histograms without per-base rows. Same staged
+    // 200-alignment file as fmt_paf_identity; the oracle brute-forces
+    // the OPPOSITE per-position counting algorithm.
+    "fmt_paf_coverage" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-paf-gen") { d =>
+          val sb = new StringBuilder
+          for (i <- 0 until 200) {
+            val blen = 500 + (i % 250); val nm = i % 97
+            sb.append(s"q${i % 20}\t1000\t0\t$blen\t${if (i % 2 == 0) "+" else "-"}")
+            sb.append(s"\tt${i % 4}\t100000\t${i * 10}\t${i * 10 + blen}")
+            sb.append(s"\t${blen - nm}\t$blen\t${i % 61}\tNM:i:$nm\n")
+          }
+          java.nio.file.Files.write(d.resolve("gen.paf"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val iv = GraftIO.read_paf(s, dir.toString)
+          .selectExpr("target_name", "target_start + 1 AS s0", "target_end AS e0")
+        val ev = iv.selectExpr("target_name", "s0 AS pos", "1L AS delta")
+          .unionAll(iv.selectExpr("target_name", "e0 + 1 AS pos", "-1L AS delta"))
+          .groupBy("target_name", "pos").agg(sum("delta").as("d"))
+        val w = Window.partitionBy("target_name").orderBy("pos")
+        ev.withColumn("depth",
+            sum(col("d")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("seg_len", lead(col("pos"), 1).over(w) - col("pos"))
+          .where(col("seg_len").isNotNull && col("depth") > 0)
+          .groupBy(col("target_name"))
+          .agg(sum(col("seg_len")).as("covered_bp"),
+            max(col("depth")).as("max_depth"),
+            sum(col("seg_len") * col("depth")).as("depth_bp"))
+          .orderBy("target_name")
+      },
+      Some("""WITH g AS (SELECT i, 't' || CAST(i % 4 AS VARCHAR) AS tn,
+            i * 10 + 1 AS s, i * 10 + 500 + (i % 250) AS e FROM range(0, 200) t(i)),
+        d AS (SELECT tn, p, count(*) AS dep
+          FROM range(1, 2800) q(p) JOIN g ON p BETWEEN s AND e GROUP BY tn, p)
+        SELECT tn AS target_name, count(*) AS covered_bp,
+          CAST(max(dep) AS BIGINT) AS max_depth, CAST(sum(dep) AS BIGINT) AS depth_bp
+        FROM d GROUP BY tn ORDER BY tn""")),
+
     // ---- GFA 1.0 assembly graphs (beyond the reference) ----
     // Golden parse of the fixture covering all four record shapes:
     // S ('*' sequence with authoritative LN:i), L, C (pos in the tag
