@@ -392,4 +392,149 @@ object VariantQC {
       }
       .toDF()
   }
+
+  /** The dosage explode every pairwise/population estimator starts
+    * from: one (sid, j, x) row per CALLED genotype, x = alt-allele
+    * count of sample j at site sid, and any '.' allele dropping the
+    * row (the kinship convention — a missing call leaves that sample
+    * out of that site, not zero-filled). Codegen'd HOFs end to end;
+    * the output is the only thing that ever shuffles. */
+  private def dosageLong(df: DataFrame, sidCol: String,
+                         gtCol: String): DataFrame =
+    df.select(col(sidCol).cast("long").as("sid"),
+        expr(s"""posexplode(transform($gtCol, g ->
+            CASE WHEN exists(split(split(g, ':')[0], '[/|]'), a -> a = '.')
+                 THEN CAST(NULL AS BIGINT)
+                 ELSE cast(size(filter(split(split(g, ':')[0], '[/|]'), a -> a = '1')) as bigint)
+            END)) AS (j, x)"""))
+      .where(col("x").isNotNull)
+
+  /** Per-site Hudson F_ST (Hudson et al. 1992, in the Bhatia et al.
+    * 2013 "estimating and interpreting FST" formulation — the
+    * estimator scikit-allel's `hudson_fst` and plink2's `--fst
+    * method=hudson` compute) between the first `pop1Size` samples and
+    * the rest:
+    *
+    *   num = (p1-p2)^2 - p1(1-p1)/(n1-1) - p2(1-p2)/(n2-1)
+    *   den = p1(1-p2) + p2(1-p1)
+    *
+    * surfaced as the exact INTEGER pair (`fst_num`, `fst_den`), both
+    * scaled by the site's common denominator n1^2 n2^2 (n1-1)(n2-1) —
+    * no division, no floats, so bit-stable under any partitioning and
+    * the negative-Fst sites (num < 0 where drift is below the
+    * within-pop sampling floor) survive exactly. Sites with fewer
+    * than two called ALLELES in either pop carry no estimate and are
+    * dropped, matching the tools. Callers doing a windowed
+    * ratio-of-averages divide sums of num/S by sums of den/S at
+    * display time (floats there are presentation, not state).
+    *
+    * Scale shape: one codegen'd per-row transform into a per-site
+    * row — a map-only scan, no join, no explode; the sample loop
+    * rides array HOFs inside the row. */
+  def hudsonFst(df: DataFrame, pop1Size: Int, sidCol: String = "sid",
+                gtCol: String = "genotypes"): DataFrame = {
+    Seq(sidCol, gtCol).foreach(c =>
+      require(df.columns.contains(c), s"VariantQC.hudsonFst: no column '$c'"))
+    require(pop1Size > 0, s"pop1Size must be positive, got $pop1Size")
+    df.select(col(sidCol).cast("long").as("sid"),
+        expr(s"""transform($gtCol, g ->
+            CASE WHEN exists(split(split(g, ':')[0], '[/|]'), a -> a = '.')
+                 THEN CAST(NULL AS BIGINT)
+                 ELSE cast(size(filter(split(split(g, ':')[0], '[/|]'), a -> a = '1')) as bigint)
+            END)""").as("ds"))
+      .selectExpr("sid",
+        s"aggregate(slice(ds, 1, $pop1Size), 0L, (a, x) -> a + coalesce(x, 0L)) AS a1",
+        s"2 * size(filter(slice(ds, 1, $pop1Size), x -> x IS NOT NULL)) AS n1",
+        s"aggregate(slice(ds, $pop1Size + 1, size(ds) - $pop1Size), 0L, (a, x) -> a + coalesce(x, 0L)) AS a2",
+        s"2 * size(filter(slice(ds, $pop1Size + 1, size(ds) - $pop1Size), x -> x IS NOT NULL)) AS n2")
+      .selectExpr("sid", "a1", "cast(n1 as bigint) AS n1", "a2", "cast(n2 as bigint) AS n2")
+      .where(col("n1") >= 2 && col("n2") >= 2)
+      .selectExpr("sid", "a1", "n1", "a2", "n2",
+        """(a1*n2 - a2*n1) * (a1*n2 - a2*n1) * (n1-1) * (n2-1)
+             - a1*(n1-a1) * n2*n2 * (n2-1)
+             - a2*(n2-a2) * n1*n1 * (n1-1) AS fst_num""",
+        "(a1*(n2-a2) + a2*(n1-a1)) * n1 * n2 * (n1-1) * (n2-1) AS fst_den")
+  }
+
+  /** Pairwise identity-by-state counts (plink `--genome`'s IBS0/1/2
+    * table): for each sample pair over the sites where both are
+    * genotyped, how many sites share 0, 1, or 2 alleles —
+    * |x_i − x_j| = 2, 1, 0 respectively on biallelic dosages. Same
+    * sites-are-many/samples-are-few orientation as [[kingKinship]]:
+    * dosages explode per site, pairs meet in a site-keyed
+    * equi-self-join, counts combine map-side before the O(samples²)
+    * result shuffles. Pure integer counts; the conventional IBS
+    * distance (n_ibs1 + 2·n_ibs2) / (2·n_shared) is the caller's
+    * display-time division. */
+  def ibsCounts(df: DataFrame, sidCol: String = "sid",
+                gtCol: String = "genotypes"): DataFrame = {
+    Seq(sidCol, gtCol).foreach(c =>
+      require(df.columns.contains(c), s"VariantQC.ibsCounts: no column '$c'"))
+    val d = dosageLong(df, sidCol, gtCol)
+    val a = d.select(col("sid"), col("j").as("i"), col("x").as("xi"))
+    val b = d.select(col("sid"), col("j"), col("x").as("xj"))
+    a.join(b, Seq("sid")).where(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(abs(col("xi") - col("xj")) === 2, 1L).otherwise(0L)).as("n_ibs0"),
+        sum(when(abs(col("xi") - col("xj")) === 1, 1L).otherwise(0L)).as("n_ibs1"),
+        sum(when(col("xi") === col("xj"), 1L).otherwise(0L)).as("n_ibs2"))
+  }
+
+  /** Windowed nucleotide diversity π (vcftools `--window-pi`): per
+    * site, the expected heterozygosity 2a(n−a)/(n(n−1)) over the n
+    * called alleles with a alt copies, in micro fixed-point (floor —
+    * the value is non-negative, so Spark `div` and DuckDB `//`
+    * agree); per window, the site sum and the per-site mean. The
+    * fixed-point floor happens per SITE, before the window sum, so
+    * the result is independent of aggregation order — summing exact
+    * rationals with per-site denominators n(n−1) would need an LCM
+    * across the window, which no partitioning could make stable.
+    * Map-only transform into a windowed agg keyed by `pos div
+    * windowBp`; monomorphic and single-call sites contribute 0. */
+  def piWindows(df: DataFrame, windowBp: Long, posCol: String = "pos",
+                gtCol: String = "genotypes"): DataFrame = {
+    Seq(posCol, gtCol).foreach(c =>
+      require(df.columns.contains(c), s"VariantQC.piWindows: no column '$c'"))
+    require(windowBp > 0, s"windowBp must be positive, got $windowBp")
+    df.select(col(posCol).cast("long").as("pos"),
+        expr(s"""transform($gtCol, g ->
+            CASE WHEN exists(split(split(g, ':')[0], '[/|]'), a -> a = '.')
+                 THEN CAST(NULL AS BIGINT)
+                 ELSE cast(size(filter(split(split(g, ':')[0], '[/|]'), a -> a = '1')) as bigint)
+            END)""").as("ds"))
+      .selectExpr("pos",
+        "aggregate(ds, 0L, (acc, x) -> acc + coalesce(x, 0L)) AS a",
+        "cast(2 * size(filter(ds, x -> x IS NOT NULL)) as bigint) AS n")
+      .selectExpr(s"pos div $windowBp AS wid",
+        """CASE WHEN n >= 2 THEN 1000000 * 2 * a * (n - a) div (n * (n - 1))
+                ELSE 0L END AS pi_micro""")
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n_sites"), sum(col("pi_micro")).as("pi_micro_sum"))
+      .selectExpr("wid", "n_sites", "pi_micro_sum",
+        "pi_micro_sum div n_sites AS pi_site_micro_mean")
+  }
+
+  /** Per-sample singleton/private-doubleton counts (vcftools
+    * `--singletons`): a singleton site has exactly one alt allele
+    * corpus-wide (its het carrier scores `n_singletons`); a private
+    * doubleton has both its alt copies in ONE hom-alt sample
+    * (`n_private_doubletons` — two hets sharing an AC=2 site are
+    * private to neither). Site totals come from a window sum over the
+    * already-exploded dosages — one shuffle keyed by site, no
+    * join-back — then the per-sample reduce is a few-row aggregate. */
+  def singletonsBySample(df: DataFrame, sidCol: String = "sid",
+                         gtCol: String = "genotypes"): DataFrame = {
+    Seq(sidCol, gtCol).foreach(c =>
+      require(df.columns.contains(c), s"VariantQC.singletonsBySample: no column '$c'"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sid")
+    dosageLong(df, sidCol, gtCol)
+      .withColumn("ac", sum(col("x")).over(w))
+      .groupBy(col("j").as("sample_idx"))
+      .agg(
+        sum(when(col("ac") === 1 && col("x") === 1, 1L).otherwise(0L))
+          .as("n_singletons"),
+        sum(when(col("ac") === 2 && col("x") === 2, 1L).otherwise(0L))
+          .as("n_private_doubletons"))
+  }
 }

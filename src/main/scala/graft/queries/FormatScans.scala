@@ -1907,6 +1907,282 @@ object FormatScans {
           CAST(1000000 * n_ti // n_tv AS BIGINT) AS titv_micro
         FROM g ORDER BY sample_idx""")),
 
+    // Per-site Hudson Fst between two sample groups (scikit-allel
+    // hudson_fst / plink2 --fst method=hudson) through
+    // VariantQC.hudsonFst: exact integer numerator/denominator pairs
+    // scaled by the site's common denominator — no division, so the
+    // negative-Fst sites survive bit-exactly and there's no
+    // truncate-vs-floor trap. Missing genotypes (the %12=11 arm) vary
+    // n1/n2 per site; the oracle rebuilds the same integer formula
+    // from the generating arithmetic.
+    "fmt_vcf_fst" -> Q(
+      (s, _) => {
+        val sites = s.range(500).selectExpr("id AS sid",
+          "transform(sequence(0, 9), j -> " +
+            "CASE WHEN (id * 5 + j * 11 + id * j * 3) % 12 = 11 THEN './.' " +
+            "ELSE CASE cast(((id * 5 + j * 11 + id * j * 3) % 12) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0|1' ELSE '1/1' END END) AS genotypes")
+        graft.functions.VariantQC.hudsonFst(sites, 5).orderBy("sid")
+      },
+      Some("""WITH d AS (SELECT sid, j, (sid * 5 + j * 11 + sid * j * 3) % 12 AS x12
+          FROM range(0, 500) t(sid), range(0, 10) u(j)),
+        f AS (SELECT sid, j, CAST(x12 % 3 AS BIGINT) AS x FROM d WHERE x12 <> 11),
+        st AS (SELECT sid,
+            CAST(sum(CASE WHEN j < 5 THEN x ELSE 0 END) AS BIGINT) AS a1,
+            CAST(2 * sum(CASE WHEN j < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN j >= 5 THEN x ELSE 0 END) AS BIGINT) AS a2,
+            CAST(2 * sum(CASE WHEN j >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM f GROUP BY sid)
+        SELECT sid, a1, n1, a2, n2,
+          CAST((a1*n2 - a2*n1) * (a1*n2 - a2*n1) * (n1-1) * (n2-1)
+            - a1*(n1-a1) * n2*n2 * (n2-1)
+            - a2*(n2-a2) * n1*n1 * (n1-1) AS BIGINT) AS fst_num,
+          CAST((a1*(n2-a2) + a2*(n1-a1)) * n1 * n2 * (n1-1) * (n2-1) AS BIGINT) AS fst_den
+        FROM st WHERE n1 >= 2 AND n2 >= 2 ORDER BY sid""")),
+
+    // Pairwise IBS0/1/2 counts (plink --genome's identity-by-state
+    // table) through VariantQC.ibsCounts: same site-keyed
+    // equi-self-join orientation as kinship, pure integer counts.
+    "fmt_vcf_ibs" -> Q(
+      (s, _) => {
+        val sites = s.range(240).selectExpr("id AS sid",
+          "transform(sequence(0, 7), j -> " +
+            "CASE WHEN (id * 7 + j * 5 + id * j) % 12 = 11 THEN './.' " +
+            "ELSE CASE cast(((id * 7 + j * 5 + id * j) % 12) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0|1' ELSE '1/1' END END) AS genotypes")
+        graft.functions.VariantQC.ibsCounts(sites).orderBy("i", "j")
+      },
+      Some("""WITH d AS (SELECT sid, j, (sid * 7 + j * 5 + sid * j) % 12 AS x12
+          FROM range(0, 240) t(sid), range(0, 8) u(j)),
+        f AS (SELECT sid, j, x12 % 3 AS x FROM d WHERE x12 <> 11)
+        SELECT CAST(a.j AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+          count(*) AS n_shared,
+          CAST(sum(CASE WHEN abs(a.x - b.x) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ibs0,
+          CAST(sum(CASE WHEN abs(a.x - b.x) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ibs1,
+          CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS n_ibs2
+        FROM f a JOIN f b ON a.sid = b.sid AND a.j < b.j
+        GROUP BY a.j, b.j ORDER BY i, j""")),
+
+    // Windowed nucleotide diversity pi (vcftools --window-pi) through
+    // VariantQC.piWindows: per-site expected heterozygosity in micro
+    // fixed-point (floored per SITE, before the window sum, so the
+    // result is aggregation-order-independent), then per-window sum
+    // and mean. All values non-negative, so div == //.
+    "fmt_vcf_pi_windows" -> Q(
+      (s, _) => {
+        val sites = s.range(600).selectExpr("id AS sid", "id * 7 + 1 AS pos",
+          "transform(sequence(0, 11), j -> " +
+            "CASE cast((id * 3 + j * j + (id % 5) * j) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0|1' ELSE '1/1' END) AS genotypes")
+        graft.functions.VariantQC.piWindows(sites, 500L).orderBy("wid")
+      },
+      Some("""WITH d AS (SELECT sid, CAST(sid * 7 + 1 AS BIGINT) AS pos,
+            CAST(sum((sid * 3 + j * j + (sid % 5) * j) % 3) AS BIGINT) AS a
+          FROM range(0, 600) t(sid), range(0, 12) u(j) GROUP BY sid),
+        p AS (SELECT pos // 500 AS wid,
+            1000000 * 2 * a * (24 - a) // (24 * 23) AS pi_micro FROM d)
+        SELECT wid, count(*) AS n_sites,
+          CAST(sum(pi_micro) AS BIGINT) AS pi_micro_sum,
+          CAST(sum(pi_micro) // count(*) AS BIGINT) AS pi_site_micro_mean
+        FROM p GROUP BY wid ORDER BY wid""")),
+
+    // Per-sample singleton / private-doubleton counts (vcftools
+    // --singletons) through VariantQC.singletonsBySample: sparse alt
+    // dosages (two coprime planting arms, 37 for hets and 41 for
+    // hom-alts, which also collide — AC>2 sites that must count for
+    // nobody), site totals via a window sum, per-sample reduce.
+    "fmt_vcf_singletons" -> Q(
+      (s, _) => {
+        val sites = s.range(400).selectExpr("id AS sid",
+          "transform(sequence(0, 9), j -> " +
+            "CASE WHEN (id * 13 + j * 17 + id * j) % 37 = 0 THEN '0/1' " +
+            "WHEN (id * 11 + j * 7) % 41 = 0 THEN '1/1' ELSE '0/0' END) AS genotypes")
+        graft.functions.VariantQC.singletonsBySample(sites).orderBy("sample_idx")
+      },
+      Some("""WITH d AS (SELECT sid, j,
+            CAST(CASE WHEN (sid * 13 + j * 17 + sid * j) % 37 = 0 THEN 1
+                 WHEN (sid * 11 + j * 7) % 41 = 0 THEN 2 ELSE 0 END AS BIGINT) AS x
+          FROM range(0, 400) t(sid), range(0, 10) u(j)),
+        s AS (SELECT sid, sum(x) AS ac FROM d GROUP BY sid)
+        SELECT CAST(d.j AS INTEGER) AS sample_idx,
+          CAST(sum(CASE WHEN s.ac = 1 AND d.x = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+          CAST(sum(CASE WHEN s.ac = 2 AND d.x = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_private_doubletons
+        FROM d JOIN s ON s.sid = d.sid
+        GROUP BY d.j ORDER BY sample_idx""")),
+
+    // Insert-size histogram (samtools stats "insert size" section):
+    // proper-pair first mates only — the flag predicates are the
+    // library's real SAM-bit Catalyst expressions, the tlen>0
+    // convention avoids double-counting a template from its reverse
+    // mate. 50bp bins with count and exact tlen sum per bin (mean is
+    // the caller's display division). Map-side-combined histogram:
+    // one shuffle of ~bin-count rows regardless of corpus size.
+    "fmt_sam_insert_size" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(300).selectExpr("id AS i",
+            "100 + (id * 13) % 400 AS tl",
+            "CASE WHEN id % 7 = 0 THEN 0 ELSE 2 END AS proper")
+          .selectExpr("i",
+            "explode(array(" +
+              "named_struct('flag', 65 + proper, 'tlen', tl), " +
+              "named_struct('flag', 129 + proper, 'tlen', -tl))) AS m")
+          .selectExpr("m.flag AS flag", "m.tlen AS tlen")
+          .where(expr("is_properly_aligned(flag) AND is_first_segment(flag) AND tlen > 0"))
+          .selectExpr("tlen div 50 AS bin")
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_templates"))
+          .orderBy("bin")
+      },
+      Some("""WITH d AS (SELECT 100 + (i * 13) % 400 AS tl
+          FROM range(0, 300) t(i) WHERE i % 7 <> 0)
+        SELECT tl // 50 AS bin, count(*) AS n_templates
+        FROM d GROUP BY bin ORDER BY bin""")),
+
+    // Per-read clipping profile (the samtools stats SN clip lines):
+    // soft/hard clip totals through the library's real parse_cigar
+    // expression over engineered CIGARs — reads cycle through
+    // unclipped / soft-one-side / soft-both / hard+soft shapes, and
+    // the aligned length comes from the same parsed ops (M/D consume
+    // reference). Grouped by shape class so the oracle recomputes
+    // each class's closed-form totals.
+    "fmt_sam_clipping" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(240).selectExpr("id AS i", "cast(id % 4 as int) AS shape",
+            "cast(2 + id % 5 as int) AS a", "cast(20 + id % 10 as int) AS m")
+          .selectExpr("i", "shape", "a", "m",
+            """CASE shape
+                 WHEN 0 THEN concat(m, 'M')
+                 WHEN 1 THEN concat(a, 'S', m, 'M')
+                 WHEN 2 THEN concat(a, 'S', m, 'M', a + 1, 'S')
+                 ELSE concat(a, 'H', a, 'S', m, 'M')
+               END AS cigar""")
+          .selectExpr("shape",
+            "aggregate(filter(parse_cigar(cigar), o -> o.op = 'S'), 0L, (acc, o) -> acc + o.len) AS soft",
+            "aggregate(filter(parse_cigar(cigar), o -> o.op = 'H'), 0L, (acc, o) -> acc + o.len) AS hard",
+            "aggregate(filter(parse_cigar(cigar), o -> o.op IN ('M', 'D', 'N')), 0L, (acc, o) -> acc + o.len) AS ref_len")
+          .groupBy(col("shape"))
+          .agg(count(lit(1)).as("n_reads"),
+            sum(col("soft")).as("soft_bases"),
+            sum(col("hard")).as("hard_bases"),
+            sum(col("ref_len")).as("ref_bases"),
+            max(col("soft")).as("max_soft"))
+          .orderBy("shape")
+      },
+      Some("""WITH d AS (SELECT i, CAST(i % 4 AS INTEGER) AS shape,
+            2 + i % 5 AS a, 20 + i % 10 AS m FROM range(0, 240) t(i))
+        SELECT shape, count(*) AS n_reads,
+          CAST(sum(CASE shape WHEN 0 THEN 0 WHEN 1 THEN a
+                   WHEN 2 THEN 2 * a + 1 ELSE a END) AS BIGINT) AS soft_bases,
+          CAST(sum(CASE WHEN shape = 3 THEN a ELSE 0 END) AS BIGINT) AS hard_bases,
+          CAST(sum(m) AS BIGINT) AS ref_bases,
+          CAST(max(CASE shape WHEN 0 THEN 0 WHEN 1 THEN a
+                   WHEN 2 THEN 2 * a + 1 ELSE a END) AS BIGINT) AS max_soft
+        FROM d GROUP BY shape ORDER BY shape""")),
+
+    // CpG-island windows (Gardiner-Garden & Frommer 1987: GC >= 50%
+    // and observed/expected CpG >= 0.6 over fixed windows): base and
+    // dinucleotide counts via length-difference arithmetic, both
+    // ratios in micro fixed-point (non-negative, so div == //), the
+    // obs/exp ratio NULL where a window has no C or no G. The oracle
+    // runs the same length arithmetic on the same engineered
+    // block sequence in DuckDB's string engine.
+    "fmt_cpg_islands" -> Q(
+      (s, _) => s.range(40).selectExpr("id AS i",
+          // AT-block then CG-block per record; sizes vary with i so
+          // windows straddle the boundary at different phases
+          "concat(repeat('AT', 30 + cast(id % 7 as int)), " +
+            "repeat('CG', 40 + cast(id % 5 as int))) AS seq")
+        .selectExpr("i", "seq",
+          "explode(sequence(1, length(seq), 100)) AS ws")
+        .selectExpr("i", "cast(ws as bigint) AS ws", "substring(seq, ws, 100) AS sub")
+        .selectExpr("i", "ws", "cast(length(sub) as bigint) AS wlen",
+          "cast(length(sub) - length(replace(sub, 'C', '')) as bigint) AS nc",
+          "cast(length(sub) - length(replace(sub, 'G', '')) as bigint) AS ng",
+          "cast(length(sub) - length(replace(sub, 'CG', '')) as bigint) div 2 AS ncpg")
+        .selectExpr("i", "ws", "wlen",
+          "1000000 * (nc + ng) div wlen AS gc_micro",
+          "CASE WHEN nc * ng = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE 1000000 * ncpg * wlen div (nc * ng) END AS obsexp_micro")
+        .selectExpr("i", "ws", "wlen", "gc_micro", "obsexp_micro",
+          "CASE WHEN gc_micro >= 500000 AND coalesce(obsexp_micro, 0) >= 600000 " +
+            "THEN 1 ELSE 0 END AS is_island")
+        .orderBy("i", "ws"),
+      Some("""WITH g AS (SELECT i,
+            repeat('AT', CAST(30 + i % 7 AS INTEGER)) ||
+            repeat('CG', CAST(40 + i % 5 AS INTEGER)) AS seq
+          FROM range(0, 40) t(i)),
+        w AS (SELECT i, CAST(ws AS BIGINT) AS ws,
+            substring(seq, CAST(ws AS INTEGER), 100) AS sub
+          FROM g, unnest(range(1, length(seq) + 1, 100)) u(ws)),
+        c AS (SELECT i, ws, CAST(length(sub) AS BIGINT) AS wlen,
+            CAST(length(sub) - length(replace(sub, 'C', '')) AS BIGINT) AS nc,
+            CAST(length(sub) - length(replace(sub, 'G', '')) AS BIGINT) AS ng,
+            CAST((length(sub) - length(replace(sub, 'CG', ''))) // 2 AS BIGINT) AS ncpg
+          FROM w),
+        m AS (SELECT i, ws, wlen,
+            CAST(1000000 * (nc + ng) // wlen AS BIGINT) AS gc_micro,
+            CASE WHEN nc * ng = 0 THEN NULL
+                 ELSE CAST(1000000 * ncpg * wlen // (nc * ng) AS BIGINT)
+            END AS obsexp_micro
+          FROM c)
+        SELECT i, ws, wlen, gc_micro, obsexp_micro,
+          CAST(CASE WHEN gc_micro >= 500000 AND coalesce(obsexp_micro, 0) >= 600000
+               THEN 1 ELSE 0 END AS INTEGER) AS is_island
+        FROM m ORDER BY i, ws""")),
+
+    // Tandem-repeat finder (the fixed-period core of TRF): for each
+    // period p, the longest run of self-shift matches seq[i]=seq[i+p]
+    // — run r means a repeated span of r+p bases, reported when it
+    // reaches two full copies (r >= p). Spark walks the run with a
+    // single-pass aggregate HOF carrying (best, cur, prev); the
+    // oracle finds the same runs RELATIONALLY (gaps-and-islands over
+    // the match positions), so the two sides share no formulation.
+    "fmt_tandem_repeats" -> Q(
+      (s, _) => s.range(60).selectExpr("id AS i",
+          "element_at(array('AT', 'ACG', 'AAGT'), cast(id % 3 as int) + 1) AS unit",
+          "cast(3 + id % 5 as int) AS k")
+        .selectExpr("i", "concat('GAC', repeat(unit, k), 'TTG') AS seq")
+        .selectExpr("i", "seq", "explode(array(2, 3, 4)) AS p")
+        .selectExpr("i", "p",
+          """aggregate(
+               filter(sequence(1, length(seq) - p),
+                 x -> substring(seq, x, 1) = substring(seq, x + p, 1)),
+               named_struct('best', 0L, 'cur', 0L, 'prev', CAST(-9 AS BIGINT)),
+               (st, x) -> named_struct(
+                 'best', greatest(st.best, IF(x = st.prev + 1, st.cur + 1, 1L)),
+                 'cur', IF(x = st.prev + 1, st.cur + 1, 1L),
+                 'prev', CAST(x AS BIGINT)),
+               st -> st.best) AS max_run""")
+        .selectExpr("i", "p", "max_run",
+          "CASE WHEN max_run >= p THEN max_run + p ELSE 0 END AS best_span",
+          "CASE WHEN max_run >= p THEN (max_run + p) div p ELSE 0 END AS n_copies")
+        .orderBy("i", "p"),
+      Some("""WITH g AS (SELECT i,
+            'GAC' || repeat(['AT', 'ACG', 'AAGT'][CAST(i % 3 AS INTEGER) + 1],
+                            CAST(3 + i % 5 AS INTEGER)) || 'TTG' AS seq
+          FROM range(0, 60) t(i)),
+        pp AS (SELECT i, seq, p FROM g, unnest([2, 3, 4]) v(p)),
+        m AS (SELECT i, p, x
+          FROM pp, unnest(range(1, length(seq) - p + 1)) u(x)
+          WHERE substring(seq, CAST(x AS INTEGER), 1) =
+                substring(seq, CAST(x + p AS INTEGER), 1)),
+        runs AS (SELECT i, p, count(*) AS run_len
+          FROM (SELECT i, p, x,
+                  x - row_number() OVER (PARTITION BY i, p ORDER BY x) AS grp
+                FROM m)
+          GROUP BY i, p, grp),
+        best AS (SELECT i, p, max(run_len) AS max_run FROM runs GROUP BY i, p)
+        SELECT pp.i, CAST(pp.p AS INTEGER) AS p,
+          CAST(coalesce(b.max_run, 0) AS BIGINT) AS max_run,
+          CAST(CASE WHEN coalesce(b.max_run, 0) >= pp.p
+               THEN b.max_run + pp.p ELSE 0 END AS BIGINT) AS best_span,
+          CAST(CASE WHEN coalesce(b.max_run, 0) >= pp.p
+               THEN (b.max_run + pp.p) // pp.p ELSE 0 END AS BIGINT) AS n_copies
+        FROM pp LEFT JOIN best b ON b.i = pp.i AND b.p = pp.p
+        ORDER BY 1, 2""")),
+
     // Primer QC (the Primer3 screening checks): Wallace-rule melting
     // temperature (2(A+T)+4(G+C)), GC fraction in micro fixed-point,
     // 3' GC-clamp presence, and the max homopolymer run via a

@@ -1024,6 +1024,75 @@ object PipelineOps {
           coalesce(score_raw, 0) >= 0 AS keep
         FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- reliability diagram of a quality scorer ----
+    // The calibration check a filtering model ships with: docs bucket
+    // by predicted score decile, each bin reports volume, observed
+    // positive rate, and mean score — a miscalibrated scorer shows
+    // rate diverging from score across bins. Score is the stopword
+    // density in milli fixed-point; the "human label" is a
+    // deterministic score-correlated rule (the gate needs determinism,
+    // not a real annotator). All integers; one ~11-row aggregate.
+    "pipe_calibration_bins" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "cast(size(split(text, ' ')) as bigint) AS wc",
+          "cast(size(filter(split(text, ' '), t -> t IN " +
+            "('the', 'a', 'and', 'of', 'to', 'in', 'is'))) as bigint) AS stop_n")
+        .selectExpr("doc_id", "wc", "1000 * stop_n div wc AS score_milli")
+        .selectExpr("score_milli div 100 AS bin",
+          "score_milli",
+          "CASE WHEN (doc_id * 31 + wc) % 100 < score_milli div 12 " +
+            "THEN 1L ELSE 0L END AS label")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"),
+          sum(col("score_milli")).as("score_sum"))
+        .selectExpr("bin", "n_docs", "n_pos",
+          "1000000 * n_pos div n_docs AS obs_rate_micro",
+          "score_sum div n_docs AS mean_score_milli")
+        .orderBy("bin"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is'], t)))
+              AS BIGINT) AS stop_n
+          FROM documents),
+        m AS (SELECT doc_id, wc, 1000 * stop_n // wc AS score_milli FROM d),
+        l AS (SELECT score_milli // 100 AS bin, score_milli,
+            CASE WHEN (doc_id * 31 + wc) % 100 < score_milli // 12
+                 THEN 1 ELSE 0 END AS label FROM m),
+        g AS (SELECT bin, count(*) AS n_docs,
+            CAST(sum(label) AS BIGINT) AS n_pos,
+            CAST(sum(score_milli) AS BIGINT) AS score_sum
+          FROM l GROUP BY bin)
+        SELECT bin, n_docs, n_pos,
+          CAST(1000000 * n_pos // n_docs AS BIGINT) AS obs_rate_micro,
+          CAST(score_sum // n_docs AS BIGINT) AS mean_score_milli
+        FROM g ORDER BY bin""")),
+
+    // ---- BPE merge-step statistics ----
+    // The pair-counting pass at the heart of byte-pair-encoding
+    // tokenizer training (Sennrich et al. 2016): adjacent character
+    // pairs within words, corpus-wide counts, the top candidates the
+    // first merge would pick (count desc, pair asc — the
+    // deterministic tie-break a reproducible trainer needs). The
+    // explode is words -> len-1 pairs, combined map-side; the top-20
+    // is a converging single-partition sort of an already-tiny
+    // aggregate, not the corpus.
+    "pipe_bpe_pair_stats" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), k -> substring(w, k, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20),
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        p AS (SELECT substring(w, CAST(i AS INTEGER), 2) AS pair
+          FROM w, unnest(range(1, length(w))) u(i) WHERE length(w) >= 2)
+        SELECT pair, count(*) AS n FROM p
+        GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""")),
+
     // ---- threshold-sweep calibration of a quality filter ----
     // Mechanism: thresholdSweepOf (above the qs map). Scores come from
     // the same fastText-shaped linear scorer pipe_model_quality_score

@@ -292,6 +292,82 @@ object TextOps {
             AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) <= 12 AS quality_ok
         FROM documents ORDER BY doc_id""")),
 
+    // ---- Gopher quality rules (Rae et al. 2021, table A1) ----
+    // The rule battery every LLM-corpus curation run starts from,
+    // in the all-integer fixed-point discipline: word count bounds,
+    // mean word length bounds (micro fixed-point — chars exclude the
+    // wc-1 separator spaces), distinct-stopword floor, and the
+    // symbol-to-word ceiling ('#' and '...'). Map-only, full codegen,
+    // no shuffle; every division is non-negative so div == //.
+    "text_gopher_filter" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "cast(size(split(text, ' ')) as bigint) AS wc",
+          "cast(length(text) as bigint) AS nch",
+          "cast(size(array_intersect(split(text, ' '), " +
+            "array('the', 'a', 'and', 'of', 'to', 'in', 'is'))) as bigint) AS stop_distinct",
+          "cast(length(text) - length(replace(text, '#', '')) as bigint) + " +
+            "cast((length(text) - length(replace(text, '...', ''))) div 3 as bigint) AS n_symbols")
+        .selectExpr("doc_id", "wc", "stop_distinct", "n_symbols",
+          "1000000 * (nch - (wc - 1)) div wc AS mean_wlen_micro",
+          "1000000 * n_symbols div wc AS symbol_micro")
+        .selectExpr("doc_id", "wc", "mean_wlen_micro", "stop_distinct",
+          "symbol_micro",
+          "CASE WHEN wc BETWEEN 50 AND 100000 " +
+            "AND mean_wlen_micro BETWEEN 3000000 AND 10000000 " +
+            "AND stop_distinct >= 2 AND symbol_micro < 100000 " +
+            "THEN 1 ELSE 0 END AS gopher_pass")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+            CAST(length(text) AS BIGINT) AS nch,
+            CAST(len(list_intersect(string_split(text, ' '),
+              ['the', 'a', 'and', 'of', 'to', 'in', 'is'])) AS BIGINT) AS stop_distinct,
+            CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols
+          FROM documents),
+        m AS (SELECT doc_id, wc, stop_distinct, n_symbols,
+            1000000 * (nch - (wc - 1)) // wc AS mean_wlen_micro,
+            1000000 * n_symbols // wc AS symbol_micro FROM d)
+        SELECT doc_id, wc, mean_wlen_micro, stop_distinct, symbol_micro,
+          CAST(CASE WHEN wc BETWEEN 50 AND 100000
+               AND mean_wlen_micro BETWEEN 3000000 AND 10000000
+               AND stop_distinct >= 2 AND symbol_micro < 100000
+               THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+        FROM m ORDER BY doc_id""")),
+
+    // ---- lexical diversity (type-token ratio + hapax mass) ----
+    // The vocabulary-richness profile (TTR, distinct types, hapax
+    // legomena) repetitive machine-generated text fails: one
+    // per-document grouped count over the exploded tokens, then a
+    // per-document reduce — both shuffles keyed by doc_id, so the
+    // corpus dimension scales out linearly.
+    "text_lexical_diversity" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .selectExpr("doc_id", "n_tokens", "n_types", "n_hapax",
+          "1000000 * n_types div n_tokens AS ttr_micro",
+          "1000000 * n_hapax div n_types AS hapax_micro")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM tk WHERE tok <> ''
+          GROUP BY doc_id, tok),
+        d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+            count(*) AS n_types,
+            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_types, n_hapax,
+          CAST(1000000 * n_types // n_tokens AS BIGINT) AS ttr_micro,
+          CAST(1000000 * n_hapax // n_types AS BIGINT) AS hapax_micro
+        FROM d ORDER BY doc_id""")),
+
     // ---- readability scoring (Flesch reading ease per source) ----
     // The corpus-level readability dashboard row: syllables
     // approximated as vowel-group runs, sentences as terminator runs

@@ -298,4 +298,118 @@ class VariantQcSpec extends AnyFunSuite {
     assert(out((1, 2)) == ((4L, 0L, 0L, 0L, 4L)), out.toString)
     assert(out.size == 3, out.toString)
   }
+
+  // ---- shared random-genotype generator for the pop-gen estimators ----
+
+  /** Random (sid -> dosage-per-sample) matrix with missing as -1;
+    * genotype strings are rendered with mixed '/'-'|' phasing and a
+    * trailing FORMAT field so the parsers earn their keep. */
+  private def randomDosages(nSites: Int, nSamples: Int, seed: Long,
+                            missingRate: Double = 0.1): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nSites)(Array.fill(nSamples)(
+      if (rnd.nextDouble() < missingRate) -1 else rnd.nextInt(3)))
+  }
+
+  private def gtFrame(ds: Array[Array[Int]]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    ds.zipWithIndex.map { case (row, sid) =>
+      (sid.toLong, sid.toLong * 7 + 1, row.toSeq.zipWithIndex.map { case (x, j) =>
+        val sep = if ((sid + j) % 2 == 0) "/" else "|"
+        x match {
+          case -1 => s".$sep.:9"
+          case 0  => s"0${sep}0:9"
+          case 1  => if (j % 2 == 0) s"0${sep}1:9" else s"1${sep}0:9"
+          case 2  => s"1${sep}1:9"
+        }
+      })
+    }.toSeq.toDF("sid", "pos", "genotypes")
+  }
+
+  test("hudsonFst matches a naive per-site rational computation") {
+    val ds = randomDosages(150, 9, 20260815L)
+    val out = VariantQC.hudsonFst(gtFrame(ds), 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    var checked = 0
+    for (sid <- ds.indices) {
+      val (p1, p2) = ds(sid).zipWithIndex.partition(_._2 < 4)
+      val c1 = p1.map(_._1).filter(_ >= 0); val c2 = p2.map(_._1).filter(_ >= 0)
+      val (a1, n1) = (c1.map(_.toLong).sum, 2L * c1.length)
+      val (a2, n2) = (c2.map(_.toLong).sum, 2L * c2.length)
+      if (n1 >= 2 && n2 >= 2) {
+        checked += 1
+        val num = (a1*n2 - a2*n1) * (a1*n2 - a2*n1) * (n1-1) * (n2-1) -
+          a1*(n1-a1) * n2*n2 * (n2-1) - a2*(n2-a2) * n1*n1 * (n1-1)
+        val den = (a1*(n2-a2) + a2*(n1-a1)) * n1 * n2 * (n1-1) * (n2-1)
+        assert(out(sid.toLong) == ((a1, n1, a2, n2, num, den)), s"site $sid")
+        // cross-check the integer pair against the double formulation
+        if (den != 0) {
+          val (q1, q2) = (a1.toDouble / n1, a2.toDouble / n2)
+          val fd = ((q1-q2)*(q1-q2) - q1*(1-q1)/(n1-1) - q2*(1-q2)/(n2-1)) /
+            (q1*(1-q2) + q2*(1-q1))
+          assert(math.abs(num.toDouble / den - fd) < 1e-9, s"site $sid")
+        }
+      } else assert(!out.contains(sid.toLong), s"site $sid should be dropped")
+    }
+    assert(checked > 100) // the filter must not be doing all the work
+  }
+
+  test("ibsCounts matches a naive pairwise loop and partitions n_shared") {
+    val ds = randomDosages(120, 6, 77L)
+    val out = VariantQC.ibsCounts(gtFrame(ds)).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (i <- 0 until 6; j <- (i + 1) until 6) {
+      var (ns, i0, i1, i2) = (0L, 0L, 0L, 0L)
+      for (sid <- ds.indices) {
+        val (x, y) = (ds(sid)(i), ds(sid)(j))
+        if (x >= 0 && y >= 0) {
+          ns += 1
+          math.abs(x - y) match {
+            case 2 => i0 += 1; case 1 => i1 += 1; case 0 => i2 += 1
+          }
+        }
+      }
+      assert(out((i, j)) == ((ns, i0, i1, i2)), s"pair ($i,$j)")
+      val (a, b, c, d) = out((i, j))
+      assert(b + c + d == a, "IBS classes must partition the shared sites")
+    }
+  }
+
+  test("piWindows floors per site and handles all-missing windows") {
+    val ds = randomDosages(200, 8, 4242L, missingRate = 0.3)
+    val out = VariantQC.piWindows(gtFrame(ds), 300L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val naive = scala.collection.mutable.Map[Long, (Long, Long)]()
+    for (sid <- ds.indices) {
+      val called = ds(sid).filter(_ >= 0)
+      val n = 2L * called.length
+      val a = called.map(_.toLong).sum
+      val pi = if (n >= 2) 1000000L * 2 * a * (n - a) / (n * (n - 1)) else 0L
+      val wid = (sid.toLong * 7 + 1) / 300
+      val (c, s0) = naive.getOrElse(wid, (0L, 0L))
+      naive(wid) = (c + 1, s0 + pi)
+    }
+    assert(out.keySet == naive.keySet)
+    naive.foreach { case (wid, (c, s0)) =>
+      assert(out(wid) == ((c, s0, s0 / c)), s"window $wid")
+    }
+  }
+
+  test("singletonsBySample: hand case with an AC=2 two-het site") {
+    import spark.implicits._
+    val sites = Seq(
+      (0L, Seq("0/0", "0/1", "0/0")),  // AC=1 -> singleton for sample 1
+      (1L, Seq("1/1", "0/0", "0/0")),  // AC=2 hom -> private doubleton, s0
+      (2L, Seq("0/1", "0/1", "0/0")),  // AC=2 as two hets -> counts for nobody
+      (3L, Seq("0/1", "./.", "0/0")),  // AC=1 (missing drops s1) -> s0
+      (4L, Seq("1/1", "0/1", "0/0"))) // AC=3 -> nobody
+      .toDF("sid", "genotypes")
+    val out = VariantQC.singletonsBySample(sites).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0) == ((1L, 1L)), out.toString)
+    assert(out(1) == ((1L, 0L)), out.toString)
+    assert(out(2) == ((0L, 0L)), out.toString)
+  }
 }
