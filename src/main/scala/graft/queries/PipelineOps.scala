@@ -1024,6 +1024,46 @@ object PipelineOps {
           coalesce(score_raw, 0) >= 0 AS keep
         FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- triangle count / clustering coefficient ----
+    // Through [[graft.pipeline.GraphOps.triangleStats]] (degree-ordered
+    // node-iterator — see its scaladoc for the O(m^1.5) bound). The
+    // fixture unions a ring-with-chords arm (doc_id < 60: edges to
+    // i+1 and i+2 mod 60 — exactly 60 planted triangles if nothing
+    // else intersects) with a hash arm over every doc for volume; the
+    // oracle recounts triangles RELATIONALLY by id-ordered three-way
+    // self-join, a different orientation scheme that must agree.
+    "pipe_triangle_stats" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ring = docs.where(col("doc_id") < 60)
+          .select(col("doc_id").as("src"),
+            explode(array((col("doc_id") + 1) % 60,
+              (col("doc_id") + 2) % 60)).as("dst"))
+        val hash = docs.select(col("doc_id").as("src"),
+            explode(array(lit(1), lit(2))).as("k"))
+          .select(col("src"), ((col("src") * 11 + col("k") * 73) % 400).as("dst"))
+        graft.pipeline.GraphOps.triangleStats(ring.union(hash))
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id AS src, (doc_id + 1) % 60 AS dst FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % 60 FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id, (doc_id * 11 + k * 73) % 400
+          FROM documents, (VALUES (1), (2)) v(k)),
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst),
+        deg AS (SELECT node, count(*) AS d FROM
+          (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+        tri AS (SELECT count(*) AS n_triangles
+          FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+          CAST(CASE WHEN n_wedges = 0 THEN 0
+               ELSE 1000000 * 3 * n_triangles // n_wedges END AS BIGINT) AS gcc_micro
+        FROM tri, w""")),
+
     // ---- reliability diagram of a quality scorer ----
     // The calibration check a filtering model ships with: docs bucket
     // by predicted score decile, each bin reports volume, observed

@@ -649,6 +649,130 @@ object Relational {
           count(*) AS n_users
         FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- gaps-and-islands sessionization (batch) ----
+    // The classic window-function pattern: per user, events whose gap
+    // from the previous exceeds one hour start a new island; islands
+    // are numbered by a running sum of the start flags, then rolled up
+    // per user. Time stays in exact integer MICROS end to end
+    // (unix_micros here, epoch_us in the oracle) — second-truncating
+    // on each side before differencing would floor twice and disagree.
+    // Two window passes + one agg, all keyed by user_id: one shuffle.
+    "rel_gaps_islands" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        eventsTs(s, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus")
+          .withColumn("new_island",
+            when(col("tus") - lag(col("tus"), 1).over(w) <= 3600L * 1000000L, 0L)
+              .otherwise(1L))
+          .withColumn("island", sum(col("new_island")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("tus")) - min(col("tus"))).as("dur_us"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            max(col("n_events")).as("max_island_events"),
+            max(col("dur_us")).as("max_island_dur_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        f AS (SELECT user_id, tus,
+            CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                 <= 3600::BIGINT * 1000000 THEN 0 ELSE 1 END AS new_island,
+            event_id FROM e),
+        g AS (SELECT user_id, tus,
+            sum(new_island) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS UNBOUNDED PRECEDING) AS island FROM f),
+        i AS (SELECT user_id, island, count(*) AS n_events,
+            max(tus) - min(tus) AS dur_us FROM g GROUP BY user_id, island)
+        SELECT user_id, count(*) AS n_islands,
+          CAST(max(n_events) AS BIGINT) AS max_island_events,
+          CAST(max(dur_us) AS BIGINT) AS max_island_dur_us
+        FROM i GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- market-basket pair mining (co-occurrence + lift) ----
+    // Frequent-pair analysis over order baskets: distinct
+    // (order, part) pairs self-join WITHIN an order (the fan is
+    // basket_size², bounded by the order shape, never the catalog),
+    // per-part order frequencies broadcast back, and lift in micro
+    // fixed-point from pure counts — lift > 1e6 means the pair
+    // co-occurs more than independence predicts. Top-20 with the
+    // full deterministic tie-break.
+    "rel_market_basket" -> Q(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
+        val partFreq = items.groupBy(col("pk")).agg(count(lit(1)).as("n_ord"))
+        val pairs = items.as("x")
+          .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+          .agg(count(lit(1)).as("n_pair"))
+        pairs
+          .join(broadcast(partFreq.select(col("pk").as("p1"), col("n_ord").as("n1"))), Seq("p1"))
+          .join(broadcast(partFreq.select(col("pk").as("p2"), col("n_ord").as("n2"))), Seq("p2"))
+          .crossJoin(broadcast(nOrders))
+          .selectExpr("p1", "p2", "n_pair", "n1", "n2",
+            "1000000 * n_pair * n_orders div (n1 * n2) AS lift_micro")
+          .orderBy(col("n_pair").desc, col("lift_micro").desc,
+            col("p1").asc, col("p2").asc)
+          .limit(20)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        t AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        pf AS (SELECT pk, count(*) AS n_ord FROM items GROUP BY pk),
+        pr AS (SELECT x.pk AS p1, y.pk AS p2, count(*) AS n_pair
+          FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY x.pk, y.pk)
+        SELECT p1, p2, n_pair,
+          CAST(f1.n_ord AS BIGINT) AS n1, CAST(f2.n_ord AS BIGINT) AS n2,
+          CAST(1000000 * n_pair * t.n_orders // (f1.n_ord * f2.n_ord) AS BIGINT) AS lift_micro
+        FROM pr JOIN pf f1 ON f1.pk = pr.p1 JOIN pf f2 ON f2.pk = pr.p2, t
+        ORDER BY n_pair DESC, lift_micro DESC, p1 ASC, p2 ASC LIMIT 20""")),
+
+    // ---- robust outlier detection (median absolute deviation) ----
+    // The robust-statistics alternative to z-scores: per group, the
+    // median and MAD of an integral measure, outliers = |x − med| >
+    // 3·MAD. Exactness discipline: medians of integers are k or k.5 —
+    // exact in binary doubles — so DOUBLED medians (med2 = 2·median,
+    // mad4 = 4·MAD) are exact BIGINTs and the outlier test becomes the
+    // all-integer 2·|2x − med2| > 3·mad4. Two grouped exact
+    // percentiles + a broadcast join back; group count is tiny.
+    "rel_mad_outliers" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .selectExpr("l_returnflag AS rf", "cast(l_quantity as bigint) AS q")
+        val med = li.groupBy("rf")
+          .agg(expr("cast(round(2 * percentile(q, 0.5)) as bigint)").as("med2"))
+        val dev = li.join(broadcast(med), Seq("rf"))
+          .withColumn("dev2", abs(lit(2) * col("q") - col("med2")))
+        val mad = dev.groupBy("rf")
+          .agg(expr("cast(round(2 * percentile(dev2, 0.5)) as bigint)").as("mad4"))
+        dev.join(broadcast(mad), Seq("rf"))
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("n"),
+            max(col("med2")).as("med2"), max(col("mad4")).as("mad4"),
+            sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("rf")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem),
+        med AS (SELECT rf, CAST(round(2 * quantile_cont(q, 0.5)) AS BIGINT) AS med2
+          FROM li GROUP BY rf),
+        dev AS (SELECT li.rf, abs(2 * q - med2) AS dev2, med2
+          FROM li JOIN med ON med.rf = li.rf),
+        mad AS (SELECT rf, CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+          FROM dev GROUP BY rf)
+        SELECT dev.rf, count(*) AS n,
+          CAST(max(dev.med2) AS BIGINT) AS med2,
+          CAST(max(mad.mad4) AS BIGINT) AS mad4,
+          CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON mad.rf = dev.rf
+        GROUP BY dev.rf ORDER BY 1""")),
+
     // ---- closest-feature distance (bedtools closest), join-free ----
     // For each A interval, the distance to its nearest B interval on
     // the same chrom (0 when overlapping/touching). The oracle is the

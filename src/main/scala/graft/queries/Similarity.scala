@@ -456,6 +456,49 @@ object Similarity {
                      FROM scored)
         SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""")),
 
+    // ---- 1-bit (sign) quantization + Hamming top-k ----
+    // The binary-quantization rerank prefilter every vector DB ships:
+    // each 64-dim float vector compresses to TWO packed longs (sign
+    // bits in 32-bit halves — 1L<<63 is sign-hostile in both engines),
+    // distance is bit_count(xor) — pure ALU, 256× smaller than the
+    // floats, and the entire corpus-side scan carries 16 bytes/vector
+    // instead of 256. Top-k per query by (hamming, vec_id). The
+    // oracle repacks the same bits via list arithmetic in DuckDB.
+    "ann_hamming_topk" -> Q(
+      (s, dir) => {
+        val packed = vecs(s, dir).selectExpr("vec_id",
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            "acc | IF(element_at(v, i + 1) > 0d, shiftleft(1L, i), 0L)) AS h1",
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            "acc | IF(element_at(v, i + 33) > 0d, shiftleft(1L, i), 0L)) AS h2")
+        val q = packed.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("h1").as("q1"), col("h2").as("q2"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("ham").asc, col("vec_id").asc)
+        packed.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("q_id"))
+          .selectExpr("q_id", "vec_id",
+            "cast(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) as int) AS ham")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 10)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        b AS (SELECT vec_id,
+            CAST(list_sum([CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0 END
+                           for i in range(1, 33)]) AS BIGINT) AS h1,
+            CAST(list_sum([CASE WHEN v[i + 32] > 0 THEN 1::BIGINT << (i - 1) ELSE 0 END
+                           for i in range(1, 33)]) AS BIGINT) AS h2
+          FROM e),
+        q AS (SELECT vec_id AS q_id, h1 AS q1, h2 AS q2 FROM b WHERE vec_id < 5),
+        scored AS (SELECT q_id, vec_id,
+            CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS INTEGER) AS ham
+          FROM b CROSS JOIN q WHERE vec_id <> q_id),
+        ranked AS (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS rn FROM scored)
+        SELECT q_id, vec_id, ham, rn FROM ranked WHERE rn <= 10
+        ORDER BY q_id, rn""")),
+
     // ---- metadata-filtered vector search (the vector-DB hot path) ----
     // Top-k restricted to a label predicate — the "WHERE category = X"
     // every production vector store bolts onto ANN. The filter runs

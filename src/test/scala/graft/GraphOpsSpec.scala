@@ -98,4 +98,36 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out2 == out, s"$out2 vs $out")
   }
+
+  test("triangleStats: hand graphs, then random graphs vs a naive counter") {
+    import spark.implicits._
+    def stats(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = graft.pipeline.GraphOps.triangleStats(edges.toDF("src", "dst"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: 4 triangles, every vertex deg 3 -> 4*3 = 12 wedges, gcc = 1
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(stats(k4) == ((4L, 12L, 1000000L)))
+    // a path has no triangles; duplicate/reversed/self edges collapse
+    assert(stats(Seq((0L, 1L), (1L, 2L), (2L, 1L), (1L, 1L), (0L, 1L))) ==
+      ((0L, 1L, 0L)))
+    // random graphs vs an independent O(n^3) naive counter
+    val rnd = new scala.util.Random(8L)
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 4
+      val edges = (0 until 60).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val und = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      var tri = 0L
+      for (a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n)
+        if (und((a, b)) && und((a, c)) && und((b, c))) tri += 1
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map(_._2.size.toLong)
+      val wedges = deg.map(d => d * (d - 1) / 2).sum
+      val got = stats(edges)
+      assert(got._1 == tri && got._2 == wedges, s"trial $trial: $got vs ($tri, $wedges)")
+    }
+  }
 }
