@@ -476,4 +476,85 @@ object Multimodal {
       }
     }
   }
+
+  final case class PngMetaRow(doc_id: Long, width: Int, height: Int,
+                              bit_depth: Int, color_type: Int,
+                              n_chunks: Int, crc_ok: Boolean)
+
+  /** Chunk-level PNG metadata WITHOUT decoding — the cheap first pass
+    * a media pipeline runs to filter by geometry before paying for
+    * pixel decode: walk the chunk list (length/type/data/CRC), pull
+    * IHDR's width/height/bit-depth/color-type, verify every chunk's
+    * CRC32 against its type+data bytes. Rejects non-PNG magic loudly.
+    * O(bytes) with no image allocation; runs per-row inside
+    * mapPartitions batches, bytes never touch the driver. */
+  def pngMeta(media: Dataset[MediaRow]): Dataset[PngMetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val b = row.media
+      require(b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G', s"doc ${row.doc_id}: not a PNG")
+      def be32(o: Int): Int =
+        ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+          ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      var off = 8
+      var (w, h, depth, ctype, n) = (0, 0, 0, 0, 0)
+      var crcOk = true
+      var done = false
+      while (!done && off + 12 <= b.length) {
+        val len = be32(off)
+        val typ = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32
+        crc.update(b, off + 4, 4 + len)
+        if (crc.getValue.toInt != be32(off + 8 + len)) crcOk = false
+        if (typ == "IHDR") {
+          w = be32(off + 8); h = be32(off + 12)
+          depth = b(off + 16) & 0xff; ctype = b(off + 17) & 0xff
+        }
+        n += 1
+        if (typ == "IEND") done = true
+        off += 12 + len
+      }
+      PngMetaRow(row.doc_id, w, h, depth, ctype, n, crcOk)
+    })
+  }
+
+  final case class AHashRow(doc_id: Long, ah1: Long, ah2: Long)
+
+  /** Perceptual average-hash (the aHash of pHash lore) over REAL
+    * decoded pixels: nearest-neighbor sample an 8×8 grid
+    * (xi = gx·w/8, yi = gy·h/8 — integer floors, no resampling
+    * kernel to disagree about), threshold each sample against the
+    * integer-floor mean of the 64 samples (strictly greater), and
+    * pack the 64 bits as TWO 32-bit halves in longs — 1L<<63 is
+    * sign-hostile on both engines, and the halves feed bit_count(xor)
+    * Hamming directly. 16 bytes per image; near-dup pairing is then
+    * pure ALU over the packed table. */
+  def averageHash(media: Dataset[MediaRow]): Dataset[AHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val d = ImageCodec.decode(row.media)
+      val samples = new Array[Int](64)
+      var gi = 0
+      var sum = 0L
+      while (gi < 64) {
+        val xi = (gi % 8) * d.width / 8
+        val yi = (gi / 8) * d.height / 8
+        val p = d.pixels(3 * (yi * d.width + xi)) & 0xff // R (R=G=B gray)
+        samples(gi) = p
+        sum += p
+        gi += 1
+      }
+      val mean = sum / 64
+      var (a1, a2) = (0L, 0L)
+      gi = 0
+      while (gi < 64) {
+        if (samples(gi) > mean) {
+          if (gi < 32) a1 |= 1L << gi else a2 |= 1L << (gi - 32)
+        }
+        gi += 1
+      }
+      AHashRow(row.doc_id, a1, a2)
+    })
+  }
 }

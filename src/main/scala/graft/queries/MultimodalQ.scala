@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.pipeline.Multimodal
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Oracle entry for the multimodal plumbing: the Spark side pushes real
   * bytes through mapPartitions + the stubbed decoder; the oracle
@@ -80,6 +81,64 @@ object MultimodalQ {
     // corruption diverges the hash. feat_hash packs decoded bytes
     // 0..6 big-endian: the first 7 RGB bytes of row 0 are
     // g0 g0 g0 g1 g1 g1 g2 with gk = (doc_id + k) mod 256.
+    // ---- chunk-level PNG metadata, no decode ----
+    // Through [[graft.pipeline.Multimodal.pngMeta]]: the geometry
+    // prefilter a media pipeline runs BEFORE paying for pixel decode —
+    // IHDR fields from a real chunk walk with per-chunk CRC32
+    // verification over the actual javax.imageio-encoded bytes. The
+    // oracle states the closed-form geometry plus the JDK writer's
+    // stable IHDR/IDAT/IEND layout for these tiny truecolor images.
+    "mm_png_meta" -> Q(
+      (s, dir) =>
+        Multimodal.pngMeta(realMediaStaged(s, dir)).toDF().orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(4 + doc_id % 13 AS INTEGER) AS width,
+          CAST(4 + doc_id % 11 AS INTEGER) AS height,
+          CAST(8 AS INTEGER) AS bit_depth,
+          CAST(2 AS INTEGER) AS color_type,
+          CAST(3 AS INTEGER) AS n_chunks,
+          true AS crc_ok
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- perceptual average-hash near-dup pairs ----
+    // Through [[graft.pipeline.Multimodal.averageHash]] (see its
+    // scaladoc for the 8×8-sample/integer-mean/two-half-packing
+    // contract) over REAL decoded PNGs, then Hamming pairing on the
+    // packed halves. The doc-keyed gradient makes every sampled pixel
+    // closed-form, so the oracle recomputes the hashes and the pair
+    // set with pure SQL arithmetic — if the codec, the sampling, or
+    // the bit packing drifted, the pair set diverges.
+    "mm_ahash_pairs" -> Q(
+      (s, dir) => {
+        val h = Multimodal.averageHash(
+          realMediaStaged(s, dir).filter(col("doc_id") < 60)).toDF()
+        h.as("a").join(broadcast(h.as("b")),
+            col("b.doc_id") > col("a.doc_id"))
+          .selectExpr("a.doc_id AS d1", "b.doc_id AS d2",
+            "cast(bit_count(a.ah1 ^ b.ah1) + bit_count(a.ah2 ^ b.ah2) as int) AS ham")
+          .where(col("ham") <= 12)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH g AS (SELECT doc_id AS d,
+            CAST(4 + doc_id % 13 AS BIGINT) AS w,
+            CAST(4 + doc_id % 11 AS BIGINT) AS h
+          FROM documents WHERE doc_id < 60),
+        px AS (SELECT d, gi,
+            ((gi % 8) * w // 8 + 2 * ((gi // 8) * h // 8) + d) % 256 AS p
+          FROM g, range(0, 64) u(gi)),
+        m AS (SELECT d, CAST(sum(p) // 64 AS BIGINT) AS mean FROM px GROUP BY d),
+        bits AS (SELECT px.d,
+            CAST(sum(CASE WHEN gi < 32 AND p > mean
+                 THEN 1::BIGINT << CAST(gi AS INTEGER) ELSE 0 END) AS BIGINT) AS ah1,
+            CAST(sum(CASE WHEN gi >= 32 AND p > mean
+                 THEN 1::BIGINT << CAST(gi - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS ah2
+          FROM px JOIN m ON m.d = px.d GROUP BY px.d)
+        SELECT a.d AS d1, b.d AS d2,
+          CAST(bit_count(xor(a.ah1, b.ah1)) + bit_count(xor(a.ah2, b.ah2)) AS INTEGER) AS ham
+        FROM bits a JOIN bits b ON b.d > a.d
+        WHERE bit_count(xor(a.ah1, b.ah1)) + bit_count(xor(a.ah2, b.ah2)) <= 12
+        ORDER BY d1, d2""")),
+
     "mm_real_decode" -> Q(
       (s, dir) =>
         Multimodal.extractFeatures(realMediaStaged(s, dir),

@@ -656,6 +656,56 @@ object StreamingQ {
     // LATE in a second file picked up by a later micro-batch, rolled
     // to per-target identity sums — same generating arithmetic on
     // both sides, append-mode correctness across batches.
+    // ---- incremental VCF ingest (the callset-watch pipeline) ----
+    // readStream over a VCF directory: the first micro-batch drains
+    // the staged shard, a second shard lands mid-stream, and the
+    // append-mode result must equal ONE batch read of both — files
+    // are the streaming unit (each carries its own header), so a
+    // variant-call watcher scales by shard arrival rate, not corpus
+    // size. Same drain-then-land choreography as the PAF ingest.
+    "stream_vcf_ingest" -> Q(
+      (s, _) => {
+        def vcfText(lo: Int, hi: Int): String =
+          "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n" +
+            (lo until hi).map { i =>
+              s"c${i % 3}\t${i * 10 + 1}\t.\tA\t${if (i % 2 == 0) "G" else "C"}" +
+                s"\t${i % 50}\tPASS\t."
+            }.mkString("", "\n", "\n")
+        val staged = Stage.staged("graft-vcf-ingest") { d =>
+          java.nio.file.Files.write(d.resolve("s1.vcf"),
+            vcfText(0, 100).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val tbl = "graft_stream_vcf_ingest"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val q = s.readStream.format("vcf").load(staged.toString)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try {
+          q.processAllAvailable()
+          val late = staged.resolve("s2.vcf")
+          if (!java.nio.file.Files.exists(late))
+            java.nio.file.Files.write(late,
+              vcfText(100, 150).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(tbl)
+          .groupBy(col("chrom"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("pos")).as("sum_pos"),
+            sum(col("qual").cast("long")).as("sum_qual"),
+            sum(when(expr("alt[0] = 'G'"), 1L).otherwise(0L)).as("n_ti"))
+          .orderBy("chrom")
+      },
+      Some("""WITH g AS (SELECT i, 'c' || CAST(i % 3 AS VARCHAR) AS chrom,
+            CAST(i * 10 + 1 AS BIGINT) AS pos, i % 50 AS qual,
+            CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS ti
+          FROM range(0, 150) t(i))
+        SELECT chrom, count(*) AS n,
+          CAST(sum(pos) AS BIGINT) AS sum_pos,
+          CAST(sum(qual) AS BIGINT) AS sum_qual,
+          CAST(sum(ti) AS BIGINT) AS n_ti
+        FROM g GROUP BY chrom ORDER BY chrom""")),
+
     "stream_paf_ingest" -> Q(
       (s, _) => {
         def pafLines(lo: Int, hi: Int): String = (lo until hi).map { i =>

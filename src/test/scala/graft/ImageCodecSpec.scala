@@ -57,6 +57,54 @@ class ImageCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pngMeta walks real chunks, verifies CRCs, and catches corruption") {
+    import graft.pipeline.Multimodal
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val png = ImageCodec.encodePng(19, 7, (x, y) => (3 * x + y) % 256)
+    val rows = Multimodal.pngMeta(
+      Seq(Multimodal.MediaRow(5L, png, 19, 7)).toDS()).collect()
+    assert(rows.length == 1)
+    val m = rows.head
+    assert(m.width == 19 && m.height == 7, m.toString)
+    assert(m.bit_depth == 8 && m.color_type == 2, m.toString) // truecolor
+    assert(m.n_chunks == 3 && m.crc_ok, m.toString) // IHDR, IDAT, IEND
+    // flip one IDAT payload byte: geometry still parses, CRC must trip
+    val bad = png.clone(); bad(40) = (bad(40) ^ 0x55).toByte
+    val mb = Multimodal.pngMeta(
+      Seq(Multimodal.MediaRow(6L, bad, 19, 7)).toDS()).collect().head
+    assert(!mb.crc_ok, mb.toString)
+    assert(mb.width == 19 && mb.height == 7, mb.toString)
+    // non-PNG bytes fail loudly
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.pngMeta(
+        Seq(Multimodal.MediaRow(7L, "plainly not a png".getBytes("UTF-8"),
+          1, 1)).toDS()).collect()
+    }
+  }
+
+  test("averageHash: constant image hashes to zero; gradient is shift-stable") {
+    import graft.pipeline.Multimodal
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    def hashOf(d: Long, f: (Int, Int) => Int): (Long, Long) = {
+      val png = ImageCodec.encodePng(16, 16, f)
+      val r = Multimodal.averageHash(
+        Seq(Multimodal.MediaRow(d, png, 16, 16)).toDS()).collect().head
+      (r.ah1, r.ah2)
+    }
+    // constant image: no sample exceeds the mean -> all bits zero
+    assert(hashOf(0L, (_, _) => 77) == ((0L, 0L)))
+    // left-dark/right-bright split: exactly the right half's bits set
+    val (h1, h2) = hashOf(1L, (x, _) => if (x < 8) 10 else 200)
+    assert(java.lang.Long.bitCount(h1) + java.lang.Long.bitCount(h2) == 32,
+      s"$h1 $h2")
+    // a +1 brightness shift must not change the hash (mean shifts too)
+    val a = hashOf(2L, (x, y) => (x * 3 + y * 5) % 200)
+    val b = hashOf(3L, (x, y) => (x * 3 + y * 5) % 200 + 1)
+    assert(a == b, s"$a vs $b")
+  }
 }
 
 /** WAV counterpart: the hand-rolled RIFF encoder must decode EXACTLY
@@ -83,4 +131,5 @@ class AudioCodecSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("decodable"))
   }
+
 }
