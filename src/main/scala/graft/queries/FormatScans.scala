@@ -902,6 +902,139 @@ object FormatScans {
     // span, summed exon bp. Writer -> reader -> rollup as one
     // oracle-gated pipeline; exon k of transcript t spans
     // 100 + 10k bp, so every aggregate is closed-form.
+    // PHYLIP interleaved MSA scan: 3 taxa x 20 columns over two
+    // blocks — continuation lines must concatenate in first-block
+    // taxon order. Literal golden (DuckDB has no PHYLIP reader);
+    // AlnFormatsSpec covers sequential layout + truncation errors.
+    "fmt_phylip_scan" -> Q(
+      (s, _) => GraftIO.read_phylip(s, s"$F/phylip/test.phy")
+        .orderBy("record", "name"),
+      Some("""SELECT CAST(0 AS INTEGER) AS record, 'seqA' AS name,
+          'ACGTACGTACGTACGTACGT' AS sequence,
+          CAST(3 AS INTEGER) AS ntax, CAST(20 AS INTEGER) AS nchars
+        UNION ALL SELECT 0, 'seqB', 'TTGCAACGGTGCAATTGCAA', 3, 20
+        UNION ALL SELECT 0, 'seqC', 'ACGTTTGCAACCGGTTAACC', 3, 20
+        ORDER BY record, name""")),
+
+    // Duplicate marking (Picard MarkDuplicates / samtools markdup)
+    // through SeqAnalysis.markDuplicates — see its scaladoc for the
+    // clip-aware 5' contract. Engineered reads vary CIGAR clipping
+    // (3S47M / 50M / 45M5S) and strand WITHIN each signature group,
+    // with pos shifted so the unclipped 5' collapses to the group
+    // anchor; the oracle asserts the collapsed signature closed-form
+    // and replays the same (score desc, qname asc) survivor rule —
+    // broken clip arithmetic shows up as diverged u5 values.
+    "fmt_sam_markdup" -> Q(
+      (s, _) => {
+        val reads = s.range(400).selectExpr("id AS i",
+            "id % 80 AS sig", "id div 80 AS k", "cast(id % 3 as int) AS shape")
+          .selectExpr("concat('r', i) AS qname",
+            "cast(IF(k % 2 = 1, 16, 0) as int) AS flag",
+            "concat('c', sig % 4) AS chrom",
+            "sig div 4 * 100 + 110 AS p0", "shape",
+            "10 + (i * 7) % 30 AS score")
+          .selectExpr("qname", "flag", "chrom", "score",
+            "CASE shape WHEN 0 THEN '3S47M' WHEN 1 THEN '50M' ELSE '45M5S' END AS cigar",
+            """CASE WHEN flag = 16
+                 THEN p0 - (CASE shape WHEN 0 THEN 47 WHEN 1 THEN 50 ELSE 45 END)
+                      + 1 - (CASE WHEN shape = 2 THEN 5 ELSE 0 END)
+                 ELSE p0 + (CASE WHEN shape = 0 THEN 3 ELSE 0 END)
+               END AS pos""")
+        graft.functions.SeqAnalysis.markDuplicates(reads)
+          .select("qname", "chrom", "u5", "rev", "score", "is_dup")
+          .orderBy("qname")
+      },
+      Some("""WITH r AS (SELECT i, i % 80 AS sig, i // 80 AS k FROM range(0, 400) t(i)),
+        d AS (SELECT 'r' || CAST(i AS VARCHAR) AS qname,
+            'c' || CAST(sig % 4 AS VARCHAR) AS chrom,
+            CAST((sig // 4) * 100 + 110 AS BIGINT) AS u5,
+            k % 2 = 1 AS rev,
+            CAST(10 + (i * 7) % 30 AS BIGINT) AS score
+          FROM r),
+        rk AS (SELECT *, row_number() OVER
+            (PARTITION BY chrom, u5, rev ORDER BY score DESC, qname ASC) AS rn
+          FROM d)
+        SELECT qname, chrom, u5, rev, score, rn > 1 AS is_dup
+        FROM rk ORDER BY qname""")),
+
+    // De Bruijn graph summary (the assembly-graph size estimate run
+    // before committing to an assembly): nodes = distinct (k-1)-mers,
+    // edges = distinct k-mers (prefix -> suffix), branch nodes =
+    // prefixes with out-degree > 1. Distinct-count aggregations over
+    // the k-mer explode — the same count-locally shape as kmerCounts.
+    "fmt_kmer_debruijn" -> Q(
+      (s, _) => {
+        val k = 4
+        val reads = s.range(200).selectExpr(
+          "substring(repeat('ACGTTGCAGGTACCAT', 8), 1 + cast(id % 7 as int), " +
+            "24 + cast(id % 9 as int)) AS seq")
+        val kmers = reads.selectExpr(
+          s"explode(transform(sequence(1, length(seq) - $k + 1), " +
+            s"p -> substring(seq, p, $k))) AS kmer")
+        val edges = kmers.distinct()
+          .selectExpr(s"substring(kmer, 1, ${k - 1}) AS pre",
+            s"substring(kmer, 2, ${k - 1}) AS suf")
+        val outdeg = edges.groupBy("pre").agg(count(lit(1)).as("od"))
+        val nodes = edges.selectExpr("pre AS node")
+          .union(edges.selectExpr("suf AS node")).distinct()
+        nodes.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(outdeg.agg(
+            sum(when(col("od") > 1, 1L).otherwise(0L)).as("n_branch"),
+            max(col("od")).as("max_outdeg")))
+      },
+      Some("""WITH reads AS (SELECT substring(repeat('ACGTTGCAGGTACCAT', 8),
+            CAST(1 + i % 7 AS INTEGER), CAST(24 + i % 9 AS INTEGER)) AS seq
+          FROM range(0, 200) t(i)),
+        km AS (SELECT DISTINCT substring(seq, CAST(p AS INTEGER), 4) AS kmer
+          FROM reads, unnest(range(1, length(seq) - 4 + 2)) u(p)),
+        e AS (SELECT substring(kmer, 1, 3) AS pre, substring(kmer, 2, 3) AS suf FROM km),
+        od AS (SELECT pre, count(*) AS od FROM e GROUP BY pre),
+        n AS (SELECT count(DISTINCT node) AS n_nodes FROM
+          (SELECT pre AS node FROM e UNION ALL SELECT suf FROM e))
+        SELECT n_nodes, (SELECT count(*) FROM e) AS n_edges,
+          CAST((SELECT sum(CASE WHEN od > 1 THEN 1 ELSE 0 END) FROM od) AS BIGINT) AS n_branch,
+          CAST((SELECT max(od) FROM od) AS BIGINT) AS max_outdeg
+        FROM n""")),
+
+    // Longest isoform per gene (the canonical-transcript pick every
+    // annotation pipeline makes): transcript exon_bp through the SAME
+    // write-then-read GTF path as fmt_gtf_tx_models, then an argmax
+    // window per gene with (exon_bp desc, transcript_id asc). The
+    // generator's odd transcripts always carry the extra exon, so the
+    // oracle states the winner closed-form.
+    "fmt_gff_longest_isoform" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_txdb_li").toString
+        s.range(120).selectExpr("id AS rid",
+            "cast(id div 3 as int) AS t", "cast(id % 3 as int) AS k")
+          .where("k < 2 + t % 2")
+          .selectExpr(
+            "'c1' AS seqname", "'graft' AS source", "'exon' AS type",
+            "cast(10000 * t + 500 * k + 1 as bigint) AS start",
+            "cast(10000 * t + 500 * k + 100 + 10 * k as bigint) AS end",
+            "cast(null as float) AS score", "'+' AS strand",
+            "cast(null as string) AS frame",
+            "map('gene_id', array(concat('G', t div 2)), " +
+              "'transcript_id', array(concat('T', t))) AS attributes")
+          .write.mode("overwrite").format("gtf").save(dir)
+        val tx = GraftIO.read_gtf(s, dir).where("type = 'exon'")
+          .selectExpr("attributes['gene_id'][0] AS gene_id",
+            "attributes['transcript_id'][0] AS transcript_id",
+            "end - start + 1 AS bp")
+          .groupBy(col("gene_id"), col("transcript_id"))
+          .agg(sum(col("bp")).as("exon_bp"))
+        val w = Window.partitionBy("gene_id")
+          .orderBy(col("exon_bp").desc, col("transcript_id").asc)
+        tx.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select("gene_id", "transcript_id", "exon_bp")
+          .orderBy("gene_id")
+      },
+      Some("""SELECT 'G' || CAST(g AS VARCHAR) AS gene_id,
+          'T' || CAST(2 * g + 1 AS VARCHAR) AS transcript_id,
+          CAST(330 AS BIGINT) AS exon_bp
+        FROM range(0, 20) x(g) ORDER BY gene_id""")),
+
     "fmt_gtf_tx_models" -> Q(
       (s, _) => {
         val dir = Stage.tempDir("graft_txdb").toString

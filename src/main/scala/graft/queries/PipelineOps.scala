@@ -1024,6 +1024,40 @@ object PipelineOps {
           coalesce(score_raw, 0) >= 0 AS keep
         FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- tokenizer fertility (tokens-per-word budget planning) ----
+    // The compression diagnostic a tokenizer swap is judged by:
+    // sub-tokens per whitespace word, per (source, lang). The
+    // sub-tokenizer is a fixed-stride chunker (ceil(len/4) chunks per
+    // word — a closed-form BPE stand-in, the mechanism being the
+    // per-word arithmetic fold + grouped exact sums), fertility in
+    // micro fixed-point from integer sums. Map-only into a tiny
+    // grouped agg.
+    "pipe_tokenizer_fertility" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .selectExpr("source", "lang",
+          "cast(size(split(text, ' ')) as bigint) AS n_words",
+          "aggregate(split(text, ' '), 0L, " +
+            "(acc, w) -> acc + (length(w) + 3) div 4) AS n_subtoks")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("words"),
+          sum(col("n_subtoks")).as("subtoks"))
+        .selectExpr("source", "lang", "n_docs", "words", "subtoks",
+          "1000000 * subtoks div words AS fertility_micro")
+        .orderBy("source", "lang"),
+      Some("""WITH d AS (SELECT source, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(string_split(text, ' '),
+              w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subtoks
+          FROM documents),
+        g AS (SELECT source, lang, count(*) AS n_docs,
+            CAST(sum(n_words) AS BIGINT) AS words,
+            CAST(sum(n_subtoks) AS BIGINT) AS subtoks
+          FROM d GROUP BY source, lang)
+        SELECT source, lang, n_docs, words, subtoks,
+          CAST(1000000 * subtoks // words AS BIGINT) AS fertility_micro
+        FROM g ORDER BY source, lang""")),
+
     // ---- triangle count / clustering coefficient ----
     // Through [[graft.pipeline.GraphOps.triangleStats]] (degree-ordered
     // node-iterator — see its scaladoc for the O(m^1.5) bound). The

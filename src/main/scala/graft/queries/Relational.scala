@@ -732,6 +732,45 @@ object Relational {
         FROM pr JOIN pf f1 ON f1.pk = pr.p1 JOIN pf f2 ON f2.pk = pr.p2, t
         ORDER BY n_pair DESC, lift_micro DESC, p1 ASC, p2 ASC LIMIT 20""")),
 
+    // ---- exact rational rank statistics (percent_rank / cume_dist) ----
+    // The built-ins return DOUBLES ((rank-1)/(n-1) evaluated in float),
+    // which is partition-order-stable but precision-lossy to compare;
+    // here both statistics are rebuilt from integer window counts and
+    // surfaced in exact micro fixed-point: pr = (rank-1)/(n-1),
+    // cd = |{v' <= v}| / n (the RANGE frame counts ties) — the
+    // fixed-point discipline applied to window functions.
+    "rel_percent_rank" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").where(col("l_orderkey") < 300)
+          .selectExpr("l_orderkey AS ok", "l_linenumber AS ln",
+            "l_returnflag AS rf", "cast(l_quantity as bigint) AS q")
+        val part = Window.partitionBy("rf")
+        val w = part.orderBy("q")
+        li.withColumn("rk", rank().over(w))
+          .withColumn("n", count(lit(1)).over(part))
+          .withColumn("cnt_le", count(lit(1)).over(
+            w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+          .selectExpr("ok", "ln", "rf", "q",
+            "CASE WHEN n = 1 THEN 0L " +
+              "ELSE 1000000 * cast(rk - 1 as bigint) div (n - 1) END AS pr_micro",
+            "1000000 * cnt_le div n AS cd_micro")
+          .orderBy("ok", "ln", "rf", "q")
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+            l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem WHERE l_orderkey < 300),
+        w AS (SELECT ok, ln, rf, q,
+            rank() OVER (PARTITION BY rf ORDER BY q) AS rk,
+            count(*) OVER (PARTITION BY rf) AS n,
+            count(*) OVER (PARTITION BY rf ORDER BY q
+              RANGE UNBOUNDED PRECEDING) AS cnt_le
+          FROM li)
+        SELECT ok, ln, rf, q,
+          CAST(CASE WHEN n = 1 THEN 0
+               ELSE 1000000 * (rk - 1) // (n - 1) END AS BIGINT) AS pr_micro,
+          CAST(1000000 * cnt_le // n AS BIGINT) AS cd_micro
+        FROM w ORDER BY ok, ln, rf, q""")),
+
     // ---- robust outlier detection (median absolute deviation) ----
     // The robust-statistics alternative to z-scores: per group, the
     // median and MAD of an integral measure, outliers = |x − med| >

@@ -336,3 +336,109 @@ object MafFormat extends GraftFormat {
     }
   }
 }
+
+/** PHYLIP multiple sequence alignments (Felsenstein's PHYLIP package
+  * documentation; both sequential and interleaved layouts): a
+  * `ntax nchars` header, a first block carrying each taxon's name,
+  * then (interleaved files) continuation blocks cycling through the
+  * taxa in first-block order. "Relaxed" names — the first whitespace
+  * token, any length — the variant every modern tool writes; spaces
+  * inside sequence columns are stripped (PHYLIP permits grouping
+  * digits). Each taxon's assembled sequence must reach exactly
+  * `nchars`, and a short or overlong file fails loudly rather than
+  * emitting a ragged alignment. Multiple concatenated alignments per
+  * file are supported (the next header starts after the previous
+  * record completes). Whole-record state → not byte-splittable;
+  * parallelism comes from the per-FILE partition grain, the natural
+  * unit for alignment archives. */
+object PhylipFormat extends GraftFormat {
+  override def name = "phylip"
+  override def extensions = Seq("phy", "phylip")
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("record", IntegerType),
+      StructField("name", StringType),
+      StructField("sequence", StringType),
+      StructField("ntax", IntegerType),
+      StructField("nchars", IntegerType)))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    // the two PHYLIP layouts are inherently ambiguous to sniff (only
+    // column counting tells them apart), so the layout is an explicit
+    // option, like every real parser's: interleaved (the default —
+    // what RAxML/PhyML emit) or sequential
+    val sequential = options.get("layout").exists(_.equalsIgnoreCase("sequential"))
+    options.get("layout").foreach(l => require(
+      l.equalsIgnoreCase("sequential") || l.equalsIgnoreCase("interleaved"),
+      s"phylip layout must be 'interleaved' or 'sequential', got '$l'"))
+    val lines = P.linesUnbounded(split, in).map(_._2)
+      .map(_.replaceAll("\\s+$", "")).filter(_.nonEmpty)
+    new Iterator[Array[Any]] {
+      private var record = -1
+      private var pending: Iterator[Array[Any]] = Iterator.empty
+
+      private def parseRecord(): Unit = {
+        val header = lines.next().trim.split("\\s+")
+        require(header.length >= 2 && header.take(2).forall(_.forall(_.isDigit)),
+          s"phylip header needs 'ntax nchars': '${header.mkString(" ")}'")
+        val ntax = header(0).toInt
+        val nchars = header(1).toInt
+        require(ntax > 0 && nchars > 0,
+          s"phylip header out of range: ntax=$ntax nchars=$nchars")
+        record += 1
+        val names = new Array[String](ntax)
+        val seqs = Array.fill(ntax)(new StringBuilder)
+        def nameLine(i: Int): Unit = {
+          require(lines.hasNext, s"phylip record truncated " +
+            s"(taxon ${i + 1} of $ntax) in ${split.path}")
+          val p = lines.next().trim.split("\\s+", 2)
+          names(i) = p(0)
+          if (p.length > 1) seqs(i) ++= p(1).replace(" ", "")
+        }
+        if (sequential) {
+          // name line, then continuation lines until this taxon is full
+          var i = 0
+          while (i < ntax) {
+            nameLine(i)
+            while (seqs(i).length < nchars) {
+              require(lines.hasNext, s"phylip record truncated: taxon " +
+                s"'${names(i)}' has ${seqs(i).length} of $nchars columns " +
+                s"in ${split.path}")
+              seqs(i) ++= lines.next().trim.replace(" ", "")
+            }
+            i += 1
+          }
+        } else {
+          // first block names every taxon; continuation blocks cycle
+          // through the taxa in first-block order
+          var i = 0
+          while (i < ntax) { nameLine(i); i += 1 }
+          var idx = 0
+          while (seqs.exists(_.length < nchars)) {
+            require(lines.hasNext, s"phylip record truncated: taxon " +
+              s"'${names(idx)}' has ${seqs(idx).length} of $nchars columns " +
+              s"in ${split.path}")
+            seqs(idx) ++= lines.next().trim.replace(" ", "")
+            idx = (idx + 1) % ntax
+          }
+        }
+        seqs.zip(names).foreach { case (sb, n) =>
+          require(sb.length == nchars, s"phylip taxon '$n' has ${sb.length} " +
+            s"columns, header says $nchars, in ${split.path}") }
+        val rec = record
+        pending = names.iterator.zip(seqs.iterator).map { case (n, sb) =>
+          Array[Any](rec, P.s(n), P.s(sb.result()), ntax, nchars)
+        }
+      }
+
+      private def advance(): Unit =
+        while (!pending.hasNext && lines.hasNext) parseRecord()
+
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): Array[Any] = { advance(); pending.next() }
+    }
+  }
+}

@@ -19,7 +19,7 @@ object Formats {
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
       WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat,
-      MafFormat, EmblFormat)
+      MafFormat, EmblFormat, PhylipFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -62,6 +62,7 @@ class GfaDataSource extends GraftDataSource(GfaFormat)
 class StockholmDataSource extends GraftDataSource(StockholmFormat)
 class MafDataSource extends GraftDataSource(MafFormat)
 class EmblDataSource extends GraftDataSource(EmblFormat)
+class PhylipDataSource extends GraftDataSource(PhylipFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -144,6 +145,9 @@ object GraftIO {
   def read_maf(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "maf", path, options)
   /** Stockholm multiple sequence alignments (beyond the reference). */
   def read_stockholm(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "stockholm", path, options)
+  /** PHYLIP multiple sequence alignments (beyond the reference);
+    * `layout` option selects interleaved (default) or sequential. */
+  def read_phylip(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "phylip", path, options)
 
   /** Random-access FASTA subsequence fetch — samtools-faidx semantics
     * over a `.fai` sidecar ([[Faidx]]; built on first use when

@@ -134,7 +134,7 @@ object GraftTableFunctions {
     "mzml" -> "read_mzml", "hmmdomtab" -> "read_hmm_dom_tbl_out",
     "warc" -> "read_warc", "chain" -> "read_chain_file", "wig" -> "read_wig",
     "paf" -> "read_paf", "gfa" -> "read_gfa", "stockholm" -> "read_stockholm",
-    "maf" -> "read_maf", "embl" -> "read_embl")
+    "maf" -> "read_maf", "embl" -> "read_embl", "phylip" -> "read_phylip")
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry

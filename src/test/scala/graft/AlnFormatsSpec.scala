@@ -191,4 +191,61 @@ class AlnFormatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("without '//' terminator")
       || Option(e.getCause).exists(_.getMessage.contains("without '//' terminator")))
   }
+
+  test("phylip: sequential layout, multi-record files, truncation errors") {
+    // sequential: taxon completes before the next name line
+    val seqPath = tmpFile("a.phy", "2 12\ntaxX ACGTAC\nGTACGT\ntaxY TTGCAA\nCCGGTT\n")
+    val seqRows = GraftIO.read_phylip(spark, seqPath,
+        Map("layout" -> "sequential"))
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(seqRows == Map("taxX" -> "ACGTACGTACGT", "taxY" -> "TTGCAACCGGTT"))
+    // the same bytes parsed as interleaved must FAIL (first block would
+    // claim 'GTACGT' as a taxon name and the column counts break)
+    intercept[org.apache.spark.SparkException] {
+      GraftIO.read_phylip(spark, seqPath).collect()
+    }
+    // two concatenated interleaved records in one file
+    val two = tmpFile("b.phy",
+      "2 8\nA ACGT\nB TTGC\n\nACGT\nTTGC\n2 4\nC GGGG\nD CCCC\n")
+    val rows = GraftIO.read_phylip(spark, two).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(4)))
+    assert(rows.toSet == Set((0, "A", "ACGTACGT", 8), (0, "B", "TTGCTTGC", 8),
+      (1, "C", "GGGG", 4), (1, "D", "CCCC", 4)), rows.mkString(", "))
+    // truncated interleaved record fails loudly
+    val bad = tmpFile("c.phy", "2 8\nA ACGT\nB TTGC\nACGT\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      GraftIO.read_phylip(spark, bad).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("truncated"), msg)
+    // bad layout option is rejected up front
+    intercept[Exception] {
+      GraftIO.read_phylip(spark, seqPath, Map("layout" -> "diagonal")).collect()
+    }
+  }
+
+  test("markDuplicates: clip-aware 5' collapse across strands") {
+    import spark.implicits._
+    // three reads of one forward template with different clipping, one
+    // reverse read whose unclipped 5' lands on the same base (still a
+    // DIFFERENT signature: strand differs), plus an unrelated read
+    val reads = Seq(
+      ("a", 0, "c1", 103L, "3S47M", 30L),  // u5 = 100
+      ("b", 0, "c1", 100L, "50M", 20L),    // u5 = 100 dup (a wins on score)
+      ("c", 0, "c1", 105L, "5H45M", 40L),  // u5 = 100, wins
+      ("d", 16, "c1", 56L, "45M5S", 10L),  // u5 = 56+45-1+5 = 105
+      ("e", 16, "c1", 61L, "40M5S", 10L),  // u5 = 61+40-1+5 = 105 dup (qname)
+      ("f", 0, "c2", 100L, "50M", 99L))    // other chrom
+      .toDF("qname", "flag", "chrom", "pos", "cigar", "score")
+    val out = graft.functions.SeqAnalysis.markDuplicates(reads)
+      .collect().map(r => r.getAs[String]("qname") ->
+        (r.getAs[Long]("u5"), r.getAs[Boolean]("rev"), r.getAs[Boolean]("is_dup")))
+      .toMap
+    assert(out("a") == ((100L, false, true)), out.toString)
+    assert(out("b") == ((100L, false, true)), out.toString)
+    assert(out("c") == ((100L, false, false)), out.toString)
+    assert(out("d") == ((105L, true, false)), out.toString)
+    assert(out("e") == ((105L, true, true)), out.toString)
+    assert(out("f") == ((100L, false, false)), out.toString)
+  }
 }
