@@ -902,6 +902,49 @@ object FormatScans {
     // span, summed exon bp. Writer -> reader -> rollup as one
     // oracle-gated pipeline; exon k of transcript t spans
     // 100 + 10k bp, so every aggregate is closed-form.
+    // BEDPE paired-interval scan: the SV-callset interchange format —
+    // both loci +1-shifted like the BED reader, '.' mate -> NULL
+    // chrom2/coords, extras preserved as an array. Literal golden.
+    "fmt_bedpe_scan" -> Q(
+      (s, _) => GraftIO.read_bedpe(s, s"$F/bedpe/test.bedpe")
+        .orderBy("name"),
+      Some("""SELECT 'c1' AS chrom1, CAST(101 AS BIGINT) AS start1, CAST(200 AS BIGINT) AS end1,
+          'c1' AS chrom2, CAST(501 AS BIGINT) AS start2, CAST(600 AS BIGINT) AS end2,
+          'DEL1' AS name, '60' AS score, '+' AS strand1, '-' AS strand2,
+          CAST([] AS VARCHAR[]) AS extra
+        UNION ALL SELECT 'c2', 1, 50, 'c3', 71, 80, 'TRA1', NULL, '+', '+', ['PASS', 'extra2']
+        UNION ALL SELECT 'c1', 11, 20, NULL, NULL, NULL, 'UNK1', '5', '+', NULL, CAST([] AS VARCHAR[])
+        ORDER BY name""")),
+
+    // Span profile over a generated BEDPE shard (intra- vs
+    // inter-chromosomal split + intra span mass — the first summary a
+    // SV callset gets): the staged file exercises the real reader at
+    // volume, the oracle recomputes from the generating arithmetic.
+    "fmt_bedpe_span" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-bedpe-span") { d =>
+          val lines = (0 until 200).map { i =>
+            s"c${i % 3}\t${i * 100}\t${i * 100 + 50}\tc${(i * 2) % 3}" +
+              s"\t${i * 100 + 200}\t${i * 100 + 260 + (i % 7) * 3}\tsv$i\t${i % 60}\t+\t-"
+          }.mkString("", "\n", "\n")
+          java.nio.file.Files.write(d.resolve("calls.bedpe"),
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_bedpe(s, staged.resolve("calls.bedpe").toString)
+          .selectExpr("chrom1", "chrom1 = chrom2 AS intra",
+            "CASE WHEN chrom1 = chrom2 THEN end2 - start1 + 1 END AS span")
+          .groupBy(col("chrom1"), col("intra"))
+          .agg(count(lit(1)).as("n"), sum(col("span")).as("span_bp"))
+          .orderBy("chrom1", "intra")
+      },
+      Some("""WITH g AS (SELECT i, 'c' || CAST(i % 3 AS VARCHAR) AS chrom1,
+            i % 3 = (i * 2) % 3 AS intra,
+            CAST(260 + (i % 7) * 3 AS BIGINT) AS span
+          FROM range(0, 200) t(i))
+        SELECT chrom1, intra, count(*) AS n,
+          CAST(sum(CASE WHEN intra THEN span END) AS BIGINT) AS span_bp
+        FROM g GROUP BY chrom1, intra ORDER BY chrom1, intra""")),
+
     // PHYLIP interleaved MSA scan: 3 taxa x 20 columns over two
     // blocks — continuation lines must concatenate in first-block
     // taxon order. Literal golden (DuckDB has no PHYLIP reader);

@@ -540,6 +540,92 @@ object Relational {
         FROM a JOIN b ON a.chrom = b.chrom AND a_s <= b_e AND b_s <= a_e
         GROUP BY a.chrom ORDER BY chrom""")),
 
+    // ---- reciprocal-overlap interval match (bedtools intersect -r) ----
+    // The SV-comparison matching rule: A and B pair only when the
+    // overlap covers >= 50% of BOTH intervals — plain overlap calls a
+    // 1bp touch between a 10kb and a 100bp feature a "match";
+    // reciprocal overlap doesn't. Same bin-keyed equi-join +
+    // greatest-start bin-ownership discipline as the bin join; the
+    // reciprocal test is integer arithmetic on the pair row (2*ov >=
+    // len, no division). The oracle brute-forces the same rule.
+    "rel_interval_reciprocal" -> Q(
+      (s, dir) => {
+        val W = 4096L
+        val ev = eventsTs(s, dir)
+        def side(et: String, lenExpr: String, p: String) = ev
+          .where(col("event_type") === et)
+          .selectExpr(s"event_id AS ${p}_id", "user_id % 16 AS chrom",
+            s"unix_micros(ts) div 1000000 AS ${p}_s")
+          .withColumn(s"${p}_e", col(s"${p}_s") + expr(lenExpr))
+          .withColumn("bin", explode(expr(s"sequence(${p}_s div $W, ${p}_e div $W)")))
+        side("click", "3600 + a_id % 1200", "a")
+          .join(side("view", "2400 + b_id % 1800", "b"), Seq("chrom", "bin"))
+          .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+            col("bin") === expr(s"greatest(a_s, b_s) div $W"))
+          .withColumn("ov",
+            expr("least(a_e, b_e) - greatest(a_s, b_s) + 1"))
+          .where(expr("2 * ov >= a_e - a_s + 1 AND 2 * ov >= b_e - b_s + 1"))
+          .groupBy("chrom")
+          .agg(count(lit(1)).as("n_matches"),
+            sum(col("ov")).as("ov_bp"),
+            sum(col("a_id") + col("b_id")).as("pair_checksum"))
+          .orderBy("chrom")
+      },
+      Some("""WITH a AS (SELECT event_id AS a_id, user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS a_s,
+            epoch_us(ts) // 1000000 + 3600 + event_id % 1200 AS a_e
+          FROM events WHERE event_type = 'click'),
+        b AS (SELECT event_id AS b_id, user_id % 16 AS chrom,
+            epoch_us(ts) // 1000000 AS b_s,
+            epoch_us(ts) // 1000000 + 2400 + event_id % 1800 AS b_e
+          FROM events WHERE event_type = 'view'),
+        p AS (SELECT a.chrom, a_id, b_id,
+            least(a_e, b_e) - greatest(a_s, b_s) + 1 AS ov,
+            a_e - a_s + 1 AS la, b_e - b_s + 1 AS lb
+          FROM a JOIN b ON a.chrom = b.chrom AND a_s <= b_e AND b_s <= a_e)
+        SELECT chrom, count(*) AS n_matches,
+          CAST(sum(ov) AS BIGINT) AS ov_bp,
+          CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
+        FROM p WHERE 2 * ov >= la AND 2 * ov >= lb
+        GROUP BY chrom ORDER BY chrom""")),
+
+    // ---- Gini concentration of revenue (exact, integer) ----
+    // The inequality summary a marketplace/corpus dashboard carries:
+    // Gini over per-supplier revenue, computed EXACTLY in cents via
+    // the sorted-rank formula num = 2*Sigma(r_i * v_i) - (n+1)*Sigma(v),
+    // den = n*Sigma(v) (ties contribute identically under any tie
+    // order, so row_number is deterministic here without a tie-break
+    // column). The rank window runs over the SUPPLIER aggregate — the
+    // small dimension — never the fact table; a corpus-sized Gini
+    // would switch to the histogram formulation on binned values.
+    "rel_gini_concentration" -> Q(
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("v"))
+        val w = Window.orderBy(col("v").asc, col("l_suppkey").asc)
+        rev.withColumn("r", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n_suppliers"), sum(col("v")).as("total_cents"),
+            (lit(2L) * sum(col("r") * col("v"))).as("twice_rank_mass"))
+          .selectExpr("n_suppliers", "total_cents",
+            "twice_rank_mass - (n_suppliers + 1) * total_cents AS gini_num",
+            "n_suppliers * total_cents AS gini_den",
+            """1000000 * (twice_rank_mass - (n_suppliers + 1) * total_cents)
+                 div (n_suppliers * total_cents) AS gini_micro""")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM lineitem GROUP BY l_suppkey),
+        rk AS (SELECT v, row_number() OVER (ORDER BY v ASC, l_suppkey ASC) AS r
+          FROM rev),
+        a AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS tot,
+            CAST(2 * sum(r * v) AS BIGINT) AS trm FROM rk)
+        SELECT n AS n_suppliers, tot AS total_cents,
+          CAST(trm - (n + 1) * tot AS BIGINT) AS gini_num,
+          CAST(n * tot AS BIGINT) AS gini_den,
+          CAST(1000000 * (trm - (n + 1) * tot) // (n * tot) AS BIGINT) AS gini_micro
+        FROM a""")),
+
     // ---- proximity join with slop (bedtools window -w) ----
     // A pairs with every B within `slop` of it — the "regulatory
     // neighborhood" join (peaks near genes). Same bin-keyed equi-join

@@ -656,6 +656,57 @@ object StreamingQ {
     // LATE in a second file picked up by a later micro-batch, rolled
     // to per-target identity sums — same generating arithmetic on
     // both sides, append-mode correctness across batches.
+    // ---- native session windows (session_window, complete mode) ----
+    // The OTHER sessionizer: Spark's built-in session_window merges
+    // events whose gap is strictly under 30 minutes into one growing
+    // window — state the engine manages, vs the
+    // mapGroupsWithState/flatMap machinery stream_sessionize owns
+    // explicitly. The oracle rebuilds the same sessions RELATIONALLY
+    // (gaps-and-islands, new session at gap >= 30min), so the
+    // window-merge semantics are cross-checked against an independent
+    // formulation, not replayed.
+    "stream_session_window" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val tbl = "graft_stream_session_window"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = Stage.staged(s"graft-stream:$dir") { d =>
+          stageEvents(s, dir, Stage.tempDir("graft-stream-norm"), d,
+            "events.parquet", 0)
+        }
+        Q.withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(stagedEventsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(tbl)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_events"),
+            sum(col("n_events")).as("total_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        f AS (SELECT user_id, tus,
+            CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                 < 30 * 60 * 1000000::BIGINT THEN 0 ELSE 1 END AS new_s
+          FROM e),
+        g AS (SELECT user_id,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+        i AS (SELECT user_id, sid, count(*) AS n_events
+          FROM g GROUP BY user_id, sid)
+        SELECT user_id, count(*) AS n_sessions,
+          CAST(max(n_events) AS BIGINT) AS max_events,
+          CAST(sum(n_events) AS BIGINT) AS total_events
+        FROM i GROUP BY user_id ORDER BY user_id""")),
+
     // ---- incremental VCF ingest (the callset-watch pipeline) ----
     // readStream over a VCF directory: the first micro-batch drains
     // the staged shard, a second shard lands mid-stream, and the

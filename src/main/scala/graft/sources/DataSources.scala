@@ -19,7 +19,7 @@ object Formats {
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
       WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat,
-      MafFormat, EmblFormat, PhylipFormat)
+      MafFormat, EmblFormat, PhylipFormat, BedpeFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -63,6 +63,7 @@ class StockholmDataSource extends GraftDataSource(StockholmFormat)
 class MafDataSource extends GraftDataSource(MafFormat)
 class EmblDataSource extends GraftDataSource(EmblFormat)
 class PhylipDataSource extends GraftDataSource(PhylipFormat)
+class BedpeDataSource extends GraftDataSource(BedpeFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -148,6 +149,8 @@ object GraftIO {
   /** PHYLIP multiple sequence alignments (beyond the reference);
     * `layout` option selects interleaved (default) or sequential. */
   def read_phylip(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "phylip", path, options)
+  /** BEDPE paired intervals (beyond the reference; SV callsets). */
+  def read_bedpe(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bedpe", path, options)
 
   /** Random-access FASTA subsequence fetch — samtools-faidx semantics
     * over a `.fai` sidecar ([[Faidx]]; built on first use when

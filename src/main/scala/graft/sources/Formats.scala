@@ -437,3 +437,58 @@ object HmmDomTabFormat extends GraftFormat {
           if (c.length > 22) P.s(c(22).trim) else null)
       }
 }
+
+/** BEDPE paired-interval records (the bedtools pairToPair / SV-callset
+  * interchange format; bedtools docs §BEDPE): two BED-style loci per
+  * line plus name/score/strands, with any extra columns preserved
+  * verbatim. Starts carry the same 0-based -> 1-based +1 shift as the
+  * BED reader (stored coordinates are 1-based inclusive, the
+  * convention every interval operator here shares); a '.' chromosome
+  * (an unknown mate, legal in the spec) surfaces as NULL, as do '.'
+  * name/score/strands. Line-oriented -> byte-splittable. */
+object BedpeFormat extends GraftFormat {
+  override def name = "bedpe"
+  override def extensions = Seq("bedpe")
+  override def splittable = true
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("chrom1", StringType),
+      StructField("start1", LongType),
+      StructField("end1", LongType),
+      StructField("chrom2", StringType),
+      StructField("start2", LongType),
+      StructField("end2", LongType),
+      StructField("name", StringType),
+      StructField("score", StringType),
+      StructField("strand1", StringType),
+      StructField("strand2", StringType),
+      StructField("extra", ArrayType(StringType))))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    P.lines(split, in)
+      .map(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("track") &&
+        !l.startsWith("browser"))
+      .map { line =>
+        val c = line.split("\t", -1)
+        require(c.length >= 6,
+          s"bedpe line needs >= 6 fields, got ${c.length}: '$line'")
+        def at(i: Int): String = if (i < c.length) P.dotNull(c(i)) else null
+        def chromAt(i: Int): Any = Option(at(i)).map(P.s).orNull
+        // a '.' mate has no coordinates either ('.' or -1 by convention)
+        def coordAt(i: Int, shift: Long): Any = at(i) match {
+          case null | "-1" => null
+          case v => java.lang.Long.parseLong(v) + shift
+        }
+        Array[Any](
+          chromAt(0), coordAt(1, 1), coordAt(2, 0),
+          chromAt(3), coordAt(4, 1), coordAt(5, 0),
+          Option(at(6)).map(P.s).orNull, Option(at(7)).map(P.s).orNull,
+          Option(at(8)).map(P.s).orNull, Option(at(9)).map(P.s).orNull,
+          P.arr(c.drop(10).toSeq.map(v => P.s(v): Any)))
+      }
+  }
+}

@@ -134,7 +134,8 @@ object GraftTableFunctions {
     "mzml" -> "read_mzml", "hmmdomtab" -> "read_hmm_dom_tbl_out",
     "warc" -> "read_warc", "chain" -> "read_chain_file", "wig" -> "read_wig",
     "paf" -> "read_paf", "gfa" -> "read_gfa", "stockholm" -> "read_stockholm",
-    "maf" -> "read_maf", "embl" -> "read_embl", "phylip" -> "read_phylip")
+    "maf" -> "read_maf", "embl" -> "read_embl", "phylip" -> "read_phylip",
+    "bedpe" -> "read_bedpe")
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry

@@ -224,6 +224,28 @@ class AlnFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bedpe: split equivalence, '.' mate nulls, short line fails") {
+    val lines = (0 until 300).map(i =>
+      s"c${i % 4}\t${i * 10}\t${i * 10 + 5}\tc${(i + 1) % 4}\t${i * 10 + 100}" +
+        s"\t${i * 10 + 120}\tsv$i\t${i % 60}\t+\t-").mkString("", "\n", "\n")
+    val path = tmpFile("a.bedpe", lines)
+    val whole = GraftIO.read_bedpe(spark, path).collect()
+      .map(_.toString).sorted.toSeq
+    val split = withMaxSplit(64) {
+      GraftIO.read_bedpe(spark, path).collect().map(_.toString).sorted.toSeq
+    }
+    assert(whole.size == 300 && whole == split)
+    // '.' mate -> null chrom2/start2/end2; -1 coords also null
+    val dot = tmpFile("b.bedpe", "c1\t5\t9\t.\t-1\t-1\tx\t.\t+\t.\n")
+    val r = GraftIO.read_bedpe(spark, dot).collect().head
+    assert(r.getString(0) == "c1" && r.getLong(1) == 6 && r.getLong(2) == 9)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+    assert(r.getString(6) == "x" && r.isNullAt(7) && r.isNullAt(9))
+    intercept[org.apache.spark.SparkException] {
+      GraftIO.read_bedpe(spark, tmpFile("c.bedpe", "c1\t5\t9\tc2\n")).collect()
+    }
+  }
+
   test("markDuplicates: clip-aware 5' collapse across strands") {
     import spark.implicits._
     // three reads of one forward template with different clipping, one
