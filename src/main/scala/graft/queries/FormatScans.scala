@@ -2083,6 +2083,68 @@ object FormatScans {
           CAST(1000000 * n_ti // n_tv AS BIGINT) AS titv_micro
         FROM g ORDER BY sample_idx""")),
 
+    // gVCF combine (GATK CombineGVCFs / GLnexus core): per-sample
+    // streams of variant rows + reference BLOCKS (pos..end, hom-ref)
+    // merge into multi-sample site rows — each sample contributes its
+    // variant at a site, else hom-ref if a block covers it, else
+    // missing. The block lookup is the bin-keyed interval join (the
+    // rel_interval_* discipline — blocks explode to their bins, sites
+    // probe one bin, range-checked), NOT a closed-form shortcut; the
+    // oracle rebuilds the expected matrix from the generating
+    // arithmetic. At 100 TB this is joint genotyping's exact shape:
+    // sites x samples fan bounded by cohort size, blocks sharded by
+    // locus, no global sort.
+    "fmt_gvcf_combine" -> Q(
+      (s, _) => {
+        val W = 40L
+        val samples = s.range(3).selectExpr("cast(id as int) AS j")
+        val variants = s.range(1, 401).selectExpr("id AS pos")
+          .crossJoin(broadcast(samples))
+          .where("(pos * 7 + j * 13) % 23 = 0")
+          .selectExpr("j", "pos", "'0/1' AS gt")
+        val blocks = s.range(10).selectExpr("id AS b")
+          .crossJoin(broadcast(samples))
+          .where("(b + j) % 5 != 0")
+          .selectExpr("j", "b * 40 + 1 AS bs", "b * 40 + 40 AS be")
+        val sites = variants.select("pos").distinct()
+        val blockBins = blocks.withColumn("bin",
+          explode(expr(s"sequence(bs div $W, be div $W)")))
+        sites.crossJoin(broadcast(samples))
+          .join(variants, Seq("j", "pos"), "left")
+          .withColumn("bin", expr(s"pos div $W"))
+          .join(blockBins, Seq("j", "bin"), "left")
+          .groupBy(col("pos"), col("j"))
+          .agg(max(col("gt")).as("gt"),
+            max(when(col("bs").isNotNull &&
+              col("bs") <= col("pos") && col("pos") <= col("be"), 1)
+              .otherwise(0)).as("cov"))
+          .selectExpr("pos", "j",
+            "coalesce(gt, IF(cov = 1, '0/0', './.')) AS gtf")
+          .groupBy(col("pos"))
+          .agg(
+            max(when(col("j") === 0, col("gtf"))).as("s0"),
+            max(when(col("j") === 1, col("gtf"))).as("s1"),
+            max(when(col("j") === 2, col("gtf"))).as("s2"),
+            sum(when(col("gtf") === "0/1", 1L).otherwise(0L)).as("n_var"),
+            sum(when(col("gtf") === "./.", 1L).otherwise(0L)).as("n_missing"))
+          .orderBy("pos")
+      },
+      Some("""WITH sites AS (SELECT DISTINCT pos
+          FROM range(1, 401) p(pos), range(0, 3) s(j)
+          WHERE (pos * 7 + j * 13) % 23 = 0),
+        g AS (SELECT pos, j,
+            CASE WHEN (pos * 7 + j * 13) % 23 = 0 THEN '0/1'
+                 WHEN (((pos - 1) // 40) + j) % 5 <> 0 THEN '0/0'
+                 ELSE './.' END AS gt
+          FROM sites, range(0, 3) s(j))
+        SELECT pos,
+          max(CASE WHEN j = 0 THEN gt END) AS s0,
+          max(CASE WHEN j = 1 THEN gt END) AS s1,
+          max(CASE WHEN j = 2 THEN gt END) AS s2,
+          CAST(sum(CASE WHEN gt = '0/1' THEN 1 ELSE 0 END) AS BIGINT) AS n_var,
+          CAST(sum(CASE WHEN gt = './.' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM g GROUP BY pos ORDER BY pos""")),
+
     // Per-site Hudson Fst between two sample groups (scikit-allel
     // hudson_fst / plink2 --fst method=hudson) through
     // VariantQC.hudsonFst: exact integer numerator/denominator pairs

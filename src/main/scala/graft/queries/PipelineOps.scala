@@ -1024,6 +1024,32 @@ object PipelineOps {
           coalesce(score_raw, 0) >= 0 AS keep
         FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- temperature-scaled mixture weights (tau = 0.5) ----
+    // The multilingual-sampling rule (sqrt-temperature upsampling of
+    // small sources): per-source mass is re-weighted by n^tau before
+    // normalizing, flattening the head without erasing it. tau = 0.5
+    // keeps determinism — sqrt of an exact integer is CORRECTLY
+    // ROUNDED in IEEE on both engines, so floor(sqrt(n)) is bit-stable
+    // cross-engine, and the normalization stays in integer micro
+    // fixed-point. Tiny grouped agg + broadcast total.
+    "pipe_mixture_temperature" -> Q(
+      (s, dir) => {
+        val n = t(s, dir, "documents").groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_sqrt", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+        n.crossJoin(broadcast(n.agg(sum(col("w_sqrt")).as("w_total"))))
+          .selectExpr("source", "n_docs", "w_sqrt",
+            "1000000 * w_sqrt div w_total AS share_micro")
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source, count(*) AS n_docs,
+            CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_sqrt
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS w_total FROM n)
+        SELECT source, n_docs, w_sqrt,
+          CAST(1000000 * w_sqrt // w_total AS BIGINT) AS share_micro
+        FROM n, tot ORDER BY source""")),
+
     // ---- tokenizer fertility (tokens-per-word budget planning) ----
     // The compression diagnostic a tokenizer swap is judged by:
     // sub-tokens per whitespace word, per (source, lang). The

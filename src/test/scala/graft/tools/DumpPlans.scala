@@ -133,7 +133,25 @@ object DumpPlans {
       """KING kinship oriented by the data's shape: sample pairs meet
         |through a SITE-keyed equi-self-join with map-side-combined
         |counts — the many-sites dimension moves once; no per-sample
-        |vector ever collects to the driver.""".stripMargin)
+        |vector ever collects to the driver.""".stripMargin,
+    "fmt_sam_markdup" ->
+      """MarkDuplicates: the clip-aware 5' signature is a codegen'd
+        |CIGAR fold per row (no explode), then ONE window keyed by
+        |(chrom, unclipped-5', strand) — near-unique keys, so the
+        |shuffle is coverage-balanced and the survivor rule is a
+        |deterministic in-partition sort.""".stripMargin,
+    "pipe_triangle_stats" ->
+      """Degree-ordered triangle counting: wedges build only at each
+        |edge's low-(degree, id) endpoint (the O(m^1.5) bound that
+        |survives power-law hubs), closure is a semi-join against the
+        |canonical edge set, and the edge frame is checkpointed once
+        |and reused three times.""".stripMargin,
+    "ann_hamming_topk" ->
+      """1-bit quantized search: sign-packing happens in the scan
+        |projection, so the corpus side of the crossJoin carries two
+        |longs per vector (16 bytes vs 256) and distance is
+        |bit_count(xor) — ALU-only, fully codegen'd, queries a
+        |broadcast fan.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
