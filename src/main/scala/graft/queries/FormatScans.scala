@@ -73,6 +73,28 @@ object FormatScans {
         .write.mode("overwrite").format("fasta").save(d.toString)
     }
 
+  /** 150 generated BLAST outfmt-6 hits shared by fmt_blast_scan and
+    * fmt_blast_best_hit: every field arithmetic (pident/bitscore are
+    * exact halves, evalue is a 1e-k literal, the %5 arm writes
+    * minus-strand sstart > send), plus an interleaved outfmt-7-style
+    * comment line the reader must skip. */
+  private def blastCorpus(s: org.apache.spark.sql.SparkSession): java.nio.file.Path =
+    Stage.staged("graft-blast-corpus") { d =>
+      val sb = new StringBuilder
+      sb.append("# BLASTN 2.14.0+\n# Fields: qseqid sseqid pident length ...\n")
+      for (i <- 0 until 150) {
+        val len = 100 + i % 50
+        val qs = 1 + i % 30
+        val (ss, se) = if (i % 5 == 0) (900 + i, 900 + i - 99)
+                       else (200 + i, 200 + i + 99)
+        sb.append(s"q${i % 10}\ts${i % 7}\t${80 + i % 20}.${5 * (i % 2)}\t$len")
+          .append(s"\t${i % 9}\t${i % 4}\t$qs\t${qs + len - 1}\t$ss\t$se")
+          .append(s"\t1e-${1 + i % 30}\t${50 + (i * 3) % 450}.${5 * ((i / 2) % 2)}\n")
+      }
+      java.nio.file.Files.write(d.resolve("hits.b6"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+
   private[queries] def pileupFixture(s: org.apache.spark.sql.SparkSession): java.nio.file.Path = {
     graft.functions.GraftFunctions.registerAll(s)
     Stage.staged("graft-pileup-fixture") { d =>
@@ -902,6 +924,104 @@ object FormatScans {
     // span, summed exon bp. Writer -> reader -> rollup as one
     // oracle-gated pipeline; exon k of transcript t spans
     // 100 + 10k bp, so every aggregate is closed-form.
+    // BLAST -outfmt 6 tabular scan over a generated 150-hit shard:
+    // pident/bitscore use exact-half decimals and evalue uses 1e-k
+    // scientific literals — both engines' decimal->double parses are
+    // correctly rounded, so the doubles compare bit-exact. The oracle
+    // rebuilds every field from the generating arithmetic.
+    "fmt_blast_scan" -> Q(
+      (s, _) => GraftIO.read_blast6(s, blastCorpus(s).resolve("hits.b6").toString)
+        .orderBy("qseqid", "sseqid", "bitscore"),
+      Some("""SELECT 'q' || CAST(i % 10 AS VARCHAR) AS qseqid,
+          's' || CAST(i % 7 AS VARCHAR) AS sseqid,
+          CAST((80 + i % 20) || '.' || CAST(5 * (i % 2) AS VARCHAR) AS DOUBLE) AS pident,
+          CAST(100 + i % 50 AS BIGINT) AS length,
+          CAST(i % 9 AS BIGINT) AS mismatch, CAST(i % 4 AS BIGINT) AS gapopen,
+          CAST(1 + i % 30 AS BIGINT) AS qstart,
+          CAST(1 + i % 30 + 100 + i % 50 - 1 AS BIGINT) AS qend,
+          CAST(CASE WHEN i % 5 = 0 THEN 900 + i ELSE 200 + i END AS BIGINT) AS sstart,
+          CAST(CASE WHEN i % 5 = 0 THEN 900 + i - 99 ELSE 200 + i + 99 END AS BIGINT) AS send,
+          CAST('1e-' || CAST(1 + i % 30 AS VARCHAR) AS DOUBLE) AS evalue,
+          CAST((50 + (i * 3) % 450) || '.' || CAST(5 * ((i // 2) % 2) AS VARCHAR) AS DOUBLE) AS bitscore
+        FROM range(0, 150) t(i)
+        ORDER BY qseqid, sseqid, bitscore""")),
+
+    // Best hit per query (the blast-then-take-top workflow): one
+    // window rank over the scan keyed by qseqid, survivor =
+    // (bitscore desc, evalue asc, sseqid asc) — the HMM best-hit
+    // shape on the BLAST surface.
+    "fmt_blast_best_hit" -> Q(
+      (s, _) => {
+        val w = Window.partitionBy("qseqid")
+          .orderBy(col("bitscore").desc, col("evalue").asc, col("sseqid").asc)
+        GraftIO.read_blast6(s, blastCorpus(s).resolve("hits.b6").toString)
+          .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select("qseqid", "sseqid", "pident", "bitscore", "evalue")
+          .orderBy("qseqid")
+      },
+      Some("""WITH h AS (SELECT 'q' || CAST(i % 10 AS VARCHAR) AS qseqid,
+            's' || CAST(i % 7 AS VARCHAR) AS sseqid,
+            CAST((80 + i % 20) || '.' || CAST(5 * (i % 2) AS VARCHAR) AS DOUBLE) AS pident,
+            CAST('1e-' || CAST(1 + i % 30 AS VARCHAR) AS DOUBLE) AS evalue,
+            CAST((50 + (i * 3) % 450) || '.' || CAST(5 * ((i // 2) % 2) AS VARCHAR) AS DOUBLE) AS bitscore
+          FROM range(0, 150) t(i)),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY qseqid
+            ORDER BY bitscore DESC, evalue ASC, sseqid ASC) AS rk FROM h)
+        SELECT qseqid, sseqid, pident, bitscore, evalue
+        FROM rk WHERE rk = 1 ORDER BY qseqid""")),
+
+    // bedGraph coverage-track scan + per-chromosome weighted rollup:
+    // values are exact halves so the weighted sums are exact doubles
+    // under ANY fold order (every partial sum is a multiple of 0.5
+    // well inside 2^52). Starts carry the BED-family +1 shift.
+    "fmt_bedgraph_scan" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-bedgraph") { d =>
+          val lines = (0 until 300).map { i =>
+            s"c${i % 3}\t${i * 50}\t${i * 50 + 50}\t${i % 17}.5"
+          }.mkString("track type=bedGraph\n", "\n", "\n")
+          java.nio.file.Files.write(d.resolve("cov.bedgraph"),
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_bedgraph(s, staged.resolve("cov.bedgraph").toString)
+          .groupBy(col("chrom"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("end - start + 1")).as("bp"),
+            sum(expr("value * (end - start + 1)")).as("mass"))
+          .orderBy("chrom")
+      },
+      Some("""WITH g AS (SELECT 'c' || CAST(i % 3 AS VARCHAR) AS chrom,
+            CAST(i % 17 AS DOUBLE) + 0.5 AS value
+          FROM range(0, 300) t(i))
+        SELECT chrom, count(*) AS n,
+          CAST(50 * count(*) AS BIGINT) AS bp,
+          CAST(sum(value * 50) AS DOUBLE) AS mass
+        FROM g GROUP BY chrom ORDER BY chrom""")),
+
+    // Sequence dictionary (Picard CreateSequenceDictionary / .dict):
+    // per-contig length + MD5 of the UPPERCASED sequence (the GATK
+    // reference-validation fingerprint). The hash is Spark's codegen'd
+    // md5 over the fasta reader's output; the oracle recomputes with
+    // DuckDB's md5 over the same generated strings — a cross-engine
+    // hash-parity check, not a replay.
+    "fmt_fasta_dict" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-fasta-dict") { d =>
+          s.range(30).selectExpr("concat('ctg', id) AS id",
+              "cast(null as string) AS description",
+              "lower(substring(repeat('ACGTTGCA', 40), 1, 40 + cast(id % 23 as int))) AS sequence")
+            .write.mode("overwrite").format("fasta").save(d.toString)
+        }
+        GraftIO.read_fasta(s, staged.toString)
+          .selectExpr("id AS name", "cast(length(sequence) as bigint) AS length",
+            "md5(upper(sequence)) AS m5")
+          .orderBy("name")
+      },
+      Some("""SELECT 'ctg' || CAST(i AS VARCHAR) AS name,
+          CAST(40 + i % 23 AS BIGINT) AS length,
+          md5(upper(substring(repeat('acgttgca', 40), 1, CAST(40 + i % 23 AS INTEGER)))) AS m5
+        FROM range(0, 30) t(i) ORDER BY name""")),
+
     // BEDPE paired-interval scan: the SV-callset interchange format —
     // both loci +1-shifted like the BED reader, '.' mate -> NULL
     // chrom2/coords, extras preserved as an array. Literal golden.

@@ -499,6 +499,67 @@ object Similarity {
         SELECT q_id, vec_id, ham, rn FROM ranked WHERE rn <= 10
         ORDER BY q_id, rn""")),
 
+    // ---- two-stage binary search: Hamming prefilter -> exact rerank ----
+    // The production pattern the 1-bit quantization exists FOR: the
+    // cheap ALU pass keeps top-C (40) candidates per query, and only
+    // those C rows ever touch float math — the rerank join moves
+    // candidate ids, not the corpus. Same oracle discipline as the
+    // bruteforce entry (round-6 cosine), replayed over the two-stage
+    // candidate set in DuckDB.
+    "ann_hamming_rerank" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val packed = e.selectExpr("vec_id",
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            "acc | IF(element_at(v, i + 1) > 0d, shiftleft(1L, i), 0L)) AS h1",
+          "aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            "acc | IF(element_at(v, i + 33) > 0d, shiftleft(1L, i), 0L)) AS h2")
+        val q = packed.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("h1").as("q1"), col("h2").as("q2"))
+        val wham = Window.partitionBy(col("q_id"))
+          .orderBy(col("ham").asc, col("vec_id").asc)
+        val cands = packed.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("q_id"))
+          .selectExpr("q_id", "vec_id",
+            "cast(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) as int) AS ham")
+          .withColumn("hrk", row_number().over(wham))
+          .where(col("hrk") <= 40)
+        val qv = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wcos = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cands.join(e, Seq("vec_id")).join(broadcast(qv), Seq("q_id"))
+          .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+          .withColumn("rn", row_number().over(wcos))
+          .where(col("rn") <= 10)
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        b AS (SELECT vec_id,
+            CAST(list_sum([CASE WHEN v[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0 END
+                           for i in range(1, 33)]) AS BIGINT) AS h1,
+            CAST(list_sum([CASE WHEN v[i + 32] > 0 THEN 1::BIGINT << (i - 1) ELSE 0 END
+                           for i in range(1, 33)]) AS BIGINT) AS h2
+          FROM e),
+        q AS (SELECT vec_id AS q_id, h1 AS q1, h2 AS q2 FROM b WHERE vec_id < 5),
+        ham AS (SELECT q_id, vec_id,
+            CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS INTEGER) AS ham
+          FROM b CROSS JOIN q WHERE vec_id <> q_id),
+        cand AS (SELECT q_id, vec_id FROM
+          (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS hrk
+           FROM ham) WHERE hrk <= 40),
+        qv AS (SELECT vec_id AS q_id, [CAST(x AS DOUBLE) for x in embedding] AS qv
+          FROM embeddings WHERE vec_id < 5),
+        ev AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        scored AS (SELECT c.q_id, c.vec_id,
+            round(list_sum([qv.qv[i] * ev.v[i] for i in range(1, len(ev.v) + 1)])
+              / (sqrt(list_sum([x * x for x in qv.qv])) * sqrt(list_sum([x * x for x in ev.v]))), 6) AS cos
+          FROM cand c JOIN ev ON ev.vec_id = c.vec_id JOIN qv ON qv.q_id = c.q_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM scored)
+        SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 10
+        ORDER BY q_id, rn""")),
+
     // ---- metadata-filtered vector search (the vector-DB hot path) ----
     // Top-k restricted to a label predicate — the "WHERE category = X"
     // every production vector store bolts onto ANN. The filter runs

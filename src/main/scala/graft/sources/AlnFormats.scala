@@ -442,3 +442,55 @@ object PhylipFormat extends GraftFormat {
     }
   }
 }
+
+/** NCBI BLAST tabular output, `-outfmt 6` (the BLAST+ manual's default
+  * 12-column layout, also what DIAMOND emits): qseqid sseqid pident
+  * length mismatch gapopen qstart qend sstart send evalue bitscore.
+  * Comment lines (outfmt 7 interleaves them) are skipped, so both
+  * variants read through the same scan. Coordinates stay EXACTLY as
+  * BLAST wrote them — 1-based inclusive, with sstart > send encoding a
+  * minus-strand subject hit (folding that here would destroy the
+  * strand signal consumers key on). Line-oriented -> byte-splittable.
+  */
+object Blast6Format extends GraftFormat {
+  override def name = "blast6"
+  override def extensions = Seq("blast6", "b6", "m8")
+  override def splittable = true
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("qseqid", StringType),
+      StructField("sseqid", StringType),
+      StructField("pident", DoubleType),
+      StructField("length", LongType),
+      StructField("mismatch", LongType),
+      StructField("gapopen", LongType),
+      StructField("qstart", LongType),
+      StructField("qend", LongType),
+      StructField("sstart", LongType),
+      StructField("send", LongType),
+      StructField("evalue", DoubleType),
+      StructField("bitscore", DoubleType)))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    P.lines(split, in)
+      .map(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val c = line.split("\t", -1)
+        require(c.length >= 12,
+          s"blast6 line needs 12 fields, got ${c.length}: '$line'")
+        Array[Any](
+          P.s(c(0)), P.s(c(1)),
+          java.lang.Double.parseDouble(c(2)),
+          java.lang.Long.parseLong(c(3)), java.lang.Long.parseLong(c(4)),
+          java.lang.Long.parseLong(c(5)), java.lang.Long.parseLong(c(6)),
+          java.lang.Long.parseLong(c(7)), java.lang.Long.parseLong(c(8)),
+          java.lang.Long.parseLong(c(9)),
+          java.lang.Double.parseDouble(c(10)),
+          java.lang.Double.parseDouble(c(11)))
+      }
+  }
+}

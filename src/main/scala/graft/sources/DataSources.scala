@@ -19,7 +19,8 @@ object Formats {
     Seq(FastaFormat, FastqFormat, GffFormat, GtfFormat, BedFormat, SamFormat,
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
       WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat,
-      MafFormat, EmblFormat, PhylipFormat, BedpeFormat)
+      MafFormat, EmblFormat, PhylipFormat, BedpeFormat, Blast6Format,
+      BedGraphFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -64,6 +65,8 @@ class MafDataSource extends GraftDataSource(MafFormat)
 class EmblDataSource extends GraftDataSource(EmblFormat)
 class PhylipDataSource extends GraftDataSource(PhylipFormat)
 class BedpeDataSource extends GraftDataSource(BedpeFormat)
+class Blast6DataSource extends GraftDataSource(Blast6Format)
+class BedGraphDataSource extends GraftDataSource(BedGraphFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -151,6 +154,10 @@ object GraftIO {
   def read_phylip(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "phylip", path, options)
   /** BEDPE paired intervals (beyond the reference; SV callsets). */
   def read_bedpe(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bedpe", path, options)
+  /** BLAST -outfmt 6/7 tabular hits (beyond the reference). */
+  def read_blast6(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "blast6", path, options)
+  /** UCSC bedGraph coverage tracks (beyond the reference). */
+  def read_bedgraph(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bedgraph", path, options)
 
   /** Random-access FASTA subsequence fetch — samtools-faidx semantics
     * over a `.fai` sidecar ([[Faidx]]; built on first use when

@@ -135,7 +135,8 @@ object GraftTableFunctions {
     "warc" -> "read_warc", "chain" -> "read_chain_file", "wig" -> "read_wig",
     "paf" -> "read_paf", "gfa" -> "read_gfa", "stockholm" -> "read_stockholm",
     "maf" -> "read_maf", "embl" -> "read_embl", "phylip" -> "read_phylip",
-    "bedpe" -> "read_bedpe")
+    "bedpe" -> "read_bedpe", "blast6" -> "read_blast6",
+    "bedgraph" -> "read_bedgraph")
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry

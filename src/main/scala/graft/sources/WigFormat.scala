@@ -103,3 +103,44 @@ object WigFormat extends GraftFormat {
     }
   }
 }
+
+/** UCSC bedGraph coverage tracks (the genome-browser bedGraph spec):
+  * `chrom start end value`, 0-based half-open on disk -> the same
+  * +1 start shift as the BED reader (stored 1-based inclusive, the
+  * house interval convention). `track`/`browser`/`#` lines are
+  * skipped; line-oriented -> byte-splittable, unlike WIG whose
+  * declaration lines force whole-file state. */
+object BedGraphFormat extends GraftFormat {
+  override def name = "bedgraph"
+  override def extensions = Seq("bedgraph", "bg")
+  override def splittable = true
+  override def regionColumns: Option[(String, String)] = Some(("chrom", "start"))
+
+  override def schema(paths: Seq[Path], conf: Configuration,
+                      options: Map[String, String]): StructType =
+    StructType(Seq(
+      StructField("chrom", StringType),
+      StructField("start", LongType),
+      StructField("end", LongType),
+      StructField("value", DoubleType)))
+
+  override def read(split: GraftSplit, schema: StructType, in: InputStream,
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    val region = core.Regions.matcherFromOptions(options)
+    P.lines(split, in)
+      .map(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("track") &&
+        !l.startsWith("browser"))
+      .map { line =>
+        val c = line.split("\\s+")
+        require(c.length == 4,
+          s"bedgraph line needs 'chrom start end value': '$line'")
+        Array[Any](P.s(c(0)), java.lang.Long.parseLong(c(1)) + 1,
+          java.lang.Long.parseLong(c(2)),
+          java.lang.Double.parseDouble(c(3)))
+      }
+      .filter(r => region.forall(_.overlaps(
+        r(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])))
+  }
+}

@@ -246,6 +246,35 @@ class AlnFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("blast6: split equivalence, outfmt-7 comments skipped, short line fails") {
+    val lines = "# BLASTN 2.14.0+\n# Fields: qseqid ...\n" +
+      (0 until 200).map(i =>
+        s"q$i\ts${i % 9}\t9${i % 10}.5\t${100 + i}\t${i % 5}\t${i % 3}" +
+          s"\t1\t${100 + i}\t${500 + i}\t${599 + i}\t1e-${1 + i % 40}\t${200 + i}.0")
+        .mkString("", "\n", "\n")
+    val path = tmpFile("h.b6", lines)
+    val whole = GraftIO.read_blast6(spark, path).collect().map(_.toString).sorted.toSeq
+    val split = withMaxSplit(64) {
+      GraftIO.read_blast6(spark, path).collect().map(_.toString).sorted.toSeq
+    }
+    assert(whole.size == 200 && whole == split)
+    intercept[org.apache.spark.SparkException] {
+      GraftIO.read_blast6(spark, tmpFile("bad.b6", "q1\ts1\t90.0\n")).collect()
+    }
+  }
+
+  test("bedgraph: +1 shift, region pruning, track lines skipped") {
+    val path = tmpFile("c.bedgraph",
+      "track type=bedGraph name=x\nc1\t0\t100\t1.5\nc1\t100\t200\t2.5\nc2\t50\t60\t9.0\n")
+    val rows = GraftIO.read_bedgraph(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSet == Set(("c1", 1L, 100L, 1.5), ("c1", 101L, 200L, 2.5),
+      ("c2", 51L, 60L, 9.0)), rows.mkString(", "))
+    val pruned = GraftIO.read_bedgraph(spark, path, Map("region" -> "c1:150-160"))
+      .collect()
+    assert(pruned.length == 1 && pruned.head.getLong(1) == 101L)
+  }
+
   test("markDuplicates: clip-aware 5' collapse across strands") {
     import spark.implicits._
     // three reads of one forward template with different clipping, one
