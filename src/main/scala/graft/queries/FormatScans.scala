@@ -2265,6 +2265,51 @@ object FormatScans {
           CAST(sum(CASE WHEN gt = './.' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         FROM g GROUP BY pos ORDER BY pos""")),
 
+    // Haplotype phase blocks (whatshap stats' core accounting): per
+    // sample, runs of consecutively PHASED genotypes ('|' separator)
+    // form blocks; an unphased '/' call breaks the run. Classic
+    // gaps-and-islands per (sample) over the site order — one window
+    // shuffle keyed by sample, then a per-sample reduce.
+    "fmt_vcf_phase_blocks" -> Q(
+      (s, _) => {
+        val w = Window.partitionBy("j").orderBy("sid")
+        s.range(300).selectExpr("id AS sid",
+            "transform(sequence(0, 9), j -> " +
+              "CASE WHEN (id * 3 + j * 5) % 7 < 4 " +
+              "THEN concat('0', '|', '1') ELSE '0/1' END) AS genotypes")
+          .selectExpr("sid", "posexplode(genotypes) AS (j, gt)")
+          .withColumn("phased", col("gt").contains("|"))
+          .withColumn("brk",
+            when(col("phased") &&
+              coalesce(lag(col("phased"), 1).over(w), lit(false)), 0L)
+              .otherwise(1L))
+          .withColumn("blk", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .where(col("phased"))
+          .groupBy(col("j"), col("blk"))
+          .agg(count(lit(1)).as("n_sites"))
+          .groupBy(col("j").as("sample_idx"))
+          .agg(count(lit(1)).as("n_blocks"),
+            max(col("n_sites")).as("max_block_sites"),
+            sum(col("n_sites")).as("phased_sites"))
+          .orderBy("sample_idx")
+      },
+      Some("""WITH d AS (SELECT sid, j, (sid * 3 + j * 5) % 7 < 4 AS phased
+          FROM range(0, 300) t(sid), range(0, 10) u(j)),
+        f AS (SELECT sid, j, phased,
+            CASE WHEN phased AND coalesce(lag(phased) OVER
+                (PARTITION BY j ORDER BY sid), false) THEN 0 ELSE 1 END AS brk
+          FROM d),
+        g AS (SELECT sid, j, phased,
+            sum(brk) OVER (PARTITION BY j ORDER BY sid
+              ROWS UNBOUNDED PRECEDING) AS blk FROM f),
+        b AS (SELECT j, blk, count(*) AS n_sites FROM g WHERE phased
+          GROUP BY j, blk)
+        SELECT CAST(j AS INTEGER) AS sample_idx, count(*) AS n_blocks,
+          CAST(max(n_sites) AS BIGINT) AS max_block_sites,
+          CAST(sum(n_sites) AS BIGINT) AS phased_sites
+        FROM b GROUP BY j ORDER BY sample_idx""")),
+
     // Per-site Hudson Fst between two sample groups (scikit-allel
     // hudson_fst / plink2 --fst method=hudson) through
     // VariantQC.hudsonFst: exact integer numerator/denominator pairs

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.pipeline.Multimodal
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, sum, when}
 
 /** Oracle entry for the multimodal plumbing: the Spark side pushes real
   * bytes through mapPartitions + the stubbed decoder; the oracle
@@ -71,16 +71,6 @@ object MultimodalQ {
           dot >= 0 AND dot*dot*10000 >= 8100*na*nb AS keep
         FROM sc ORDER BY doc_id""")),
 
-    // ---- REAL codec path: PNG bytes through javax.imageio ----
-    // Executor-side: each doc synthesizes a gradient PNG
-    // (gray(x,y) = (x + 2y + doc_id) mod 256, w = 4 + id%13,
-    // h = 4 + id%11), the bytes ride the binary column, and
-    // ImageCodec.decode (a real codec, not the stub) recovers the
-    // pixels. PNG is lossless, so the oracle recomputes every decoded
-    // feature with closed-form SQL arithmetic — any codec or plumbing
-    // corruption diverges the hash. feat_hash packs decoded bytes
-    // 0..6 big-endian: the first 7 RGB bytes of row 0 are
-    // g0 g0 g0 g1 g1 g1 g2 with gk = (doc_id + k) mod 256.
     // ---- chunk-level PNG metadata, no decode ----
     // Through [[graft.pipeline.Multimodal.pngMeta]]: the geometry
     // prefilter a media pipeline runs BEFORE paying for pixel decode —
@@ -139,6 +129,67 @@ object MultimodalQ {
         WHERE bit_count(xor(a.ah1, b.ah1)) + bit_count(xor(a.ah2, b.ah2)) <= 12
         ORDER BY d1, d2""")),
 
+    // ---- image near-dup clusters (aHash pairs -> components) ----
+    // The multimodal dedup pipeline end to end: real decode -> aHash
+    // -> Hamming pairs -> pointer-doubling connected components ->
+    // cluster-size histogram. The oracle recomputes the pair set
+    // closed-form and labels components with a RECURSIVE transitive
+    // closure — a completely different CC formulation that must agree.
+    "mm_ahash_clusters" -> Q(
+      (s, dir) => {
+        val media = realMediaStaged(s, dir).filter(col("doc_id") < 60)
+        val h = Multimodal.averageHash(media).toDF()
+        val pairs = h.as("a").join(broadcast(h.as("b")),
+            col("b.doc_id") > col("a.doc_id"))
+          .selectExpr("a.doc_id AS d1", "b.doc_id AS d2",
+            "bit_count(a.ah1 ^ b.ah1) + bit_count(a.ah2 ^ b.ah2) AS ham")
+          .where(col("ham") <= 0) // exact-hash dedup: ham>0 chains 60 gradients into one giant blob
+          .select("d1", "d2")
+        val labels = graft.pipeline.CorpusOps.connectedComponents(pairs)
+        val all = media.select(col("doc_id").as("node")).toDF()
+          .join(labels, Seq("node"), "left")
+          .selectExpr("coalesce(label, node) AS label")
+        all.groupBy(col("label")).agg(count(lit(1)).as("size"))
+          .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy("size")
+      },
+      Some("""WITH RECURSIVE g AS (SELECT doc_id AS d,
+            CAST(4 + doc_id % 13 AS BIGINT) AS w,
+            CAST(4 + doc_id % 11 AS BIGINT) AS h
+          FROM documents WHERE doc_id < 60),
+        px AS (SELECT d, gi,
+            ((gi % 8) * w // 8 + 2 * ((gi // 8) * h // 8) + d) % 256 AS p
+          FROM g, range(0, 64) u(gi)),
+        m AS (SELECT d, CAST(sum(p) // 64 AS BIGINT) AS mean FROM px GROUP BY d),
+        bits AS (SELECT px.d,
+            CAST(sum(CASE WHEN gi < 32 AND p > mean
+                 THEN 1::BIGINT << CAST(gi AS INTEGER) ELSE 0 END) AS BIGINT) AS ah1,
+            CAST(sum(CASE WHEN gi >= 32 AND p > mean
+                 THEN 1::BIGINT << CAST(gi - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS ah2
+          FROM px JOIN m ON m.d = px.d GROUP BY px.d),
+        pr AS (SELECT a.d AS d1, b.d AS d2
+          FROM bits a JOIN bits b ON b.d > a.d
+          WHERE bit_count(xor(a.ah1, b.ah1)) + bit_count(xor(a.ah2, b.ah2)) <= 0),
+        e AS (SELECT d1 AS a, d2 AS b FROM pr
+          UNION SELECT d2, d1 FROM pr
+          UNION SELECT d, d FROM g),
+        reach(a, b) AS (SELECT a, b FROM e
+          UNION SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b),
+        lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+        cl AS (SELECT label, count(*) AS size FROM lab GROUP BY label)
+        SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters
+        FROM cl GROUP BY size ORDER BY size""")),
+
+    // ---- REAL codec path: PNG bytes through javax.imageio ----
+    // Executor-side: each doc synthesizes a gradient PNG
+    // (gray(x,y) = (x + 2y + doc_id) mod 256, w = 4 + id%13,
+    // h = 4 + id%11), the bytes ride the binary column, and
+    // ImageCodec.decode (a real codec, not the stub) recovers the
+    // pixels. PNG is lossless, so the oracle recomputes every decoded
+    // feature with closed-form SQL arithmetic — any codec or plumbing
+    // corruption diverges the hash. feat_hash packs decoded bytes
+    // 0..6 big-endian: the first 7 RGB bytes of row 0 are
+    // g0 g0 g0 g1 g1 g1 g2 with gk = (doc_id + k) mod 256.
     "mm_real_decode" -> Q(
       (s, dir) =>
         Multimodal.extractFeatures(realMediaStaged(s, dir),

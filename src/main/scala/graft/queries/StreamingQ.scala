@@ -707,6 +707,63 @@ object StreamingQ {
           CAST(sum(n_events) AS BIGINT) AS total_events
         FROM i GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- watermark late-data semantics, pinned ----
+    // The dropping rule most streaming bugs hide in: after batch 1
+    // (ts up to 10:49:30) the watermark sits at 10:39:30, so batch 2's
+    // 30 rows at 10:10 land in an already-closed 5-minute window
+    // (end 10:15 <= watermark) and MUST be dropped, while its 20 rows
+    // at 10:37 join a still-open window (end 10:40 > watermark) and
+    // count. A 12:00 sentinel advances the final watermark to 11:50,
+    // flushing every 10:xx window in append mode — the sentinel's own
+    // window stays unemitted, also by rule. The oracle states the
+    // closed-form surviving counts; any drift in Spark's late-row
+    // filter or append-emission rule breaks the hash.
+    "stream_late_data" -> Q(
+      (s, _) => {
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val tbl = "graft_stream_late_data"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val base = 1704103200L // 2024-01-01 10:00:00 UTC
+        val lateSchema = StructType(Seq(
+          StructField("ts", TimestampType), StructField("k", LongType)))
+        val scratch = Stage.tempDir("graft-late-scratch")
+        val staged = Stage.staged("graft-late-data") { d =>
+          Stage.parquetFile(
+            s.range(100).selectExpr(
+              s"timestamp_seconds($base + id * 30) AS ts", "id AS k"),
+            scratch, d, "f1.parquet", 0)
+        }
+        Q.withShufflePartitions(s, 4) {
+          val q = s.readStream.schema(lateSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "5 minutes"))
+            .agg(count(lit(1)).as("n"))
+            .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+              col("n"))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(tbl).start()
+          try {
+            q.processAllAvailable()
+            if (!java.nio.file.Files.exists(staged.resolve("f2.parquet")))
+              Stage.parquetFile(
+                s.range(51).selectExpr(
+                  s"""CASE WHEN id < 30 THEN timestamp_seconds($base + 600)
+                       WHEN id < 50 THEN timestamp_seconds($base + 2220)
+                       ELSE timestamp_seconds($base + 7200) END AS ts""",
+                  "id AS k"),
+                scratch, staged, "f2.parquet", 1)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table(tbl).orderBy("w")
+      },
+      Some("""SELECT strftime(TIMESTAMP '2024-01-01 10:00:00'
+            + w * INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS w,
+          CAST(CASE WHEN w = 7 THEN 30 ELSE 10 END AS BIGINT) AS n
+        FROM range(0, 10) t(w) ORDER BY w""")),
+
     // ---- incremental VCF ingest (the callset-watch pipeline) ----
     // readStream over a VCF directory: the first micro-batch drains
     // the staged shard, a second shard lands mid-stream, and the
