@@ -1277,6 +1277,53 @@ object FormatScans {
           CAST(4.25 + (i % 4) AS DOUBLE) AS total_blen
         FROM range(0, 100) t(i) ORDER BY i""")),
 
+    // Cophenetic (leaf-to-leaf path) distances over the parsed tree:
+    // ancestor paths accumulate through a BOUNDED iterative
+    // parent-join (4 rounds >= tree height; a real phylogeny pipeline
+    // sizes rounds by log-depth, each round one keyed shuffle — no
+    // driver-side tree walk), then leaf pairs meet on their common
+    // ancestors and min(da+db) selects the LCA path. Branch lengths
+    // are 0.25-granular, so the double sums are exact.
+    "fmt_newick_cophenetic" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val nodes = s.range(100).selectExpr("id AS i",
+            "concat('((A:1.5,B:', cast(id % 4 as int), '.0):2.25,C:0.5)r;') AS tree")
+          .selectExpr("i", "explode(parse_newick(tree)) AS n")
+          .selectExpr("i", "n.node AS node", "n.name AS name",
+            "n.parent AS parent",
+            "coalesce(n.branch_length, cast(0.0 as double)) AS bl",
+            "n.is_leaf AS is_leaf")
+        var anc = nodes.selectExpr("i", "node", "node AS anc",
+          "cast(0.0 as double) AS d")
+        for (_ <- 0 until 4) {
+          val step = anc.as("a")
+            .join(nodes.selectExpr("i", "node AS anc", "parent", "bl").as("t"),
+              Seq("i", "anc"))
+            .where(col("parent") =!= -1)
+            .selectExpr("i", "node", "parent AS anc", "d + bl AS d")
+          anc = anc.union(step).groupBy("i", "node", "anc")
+            .agg(min(col("d")).as("d"))
+        }
+        val leaves = nodes.where(col("is_leaf"))
+          .select(col("i"), col("node"), col("name"))
+        val la = leaves.join(anc, Seq("i", "node"))
+          .select(col("i"), col("name").as("na"), col("anc"), col("d").as("da"))
+        val lb = leaves.join(anc, Seq("i", "node"))
+          .select(col("i"), col("name").as("nb"), col("anc"), col("d").as("db"))
+        la.join(lb, Seq("i", "anc")).where(col("na") < col("nb"))
+          .groupBy(col("i"), col("na"), col("nb"))
+          .agg(min(col("da") + col("db")).as("dist"))
+          .orderBy("i", "na", "nb")
+      },
+      Some("""SELECT i, p.na, p.nb,
+          CAST(CASE WHEN p.na = 'A' AND p.nb = 'B' THEN 1.5 + (i % 4)
+               WHEN p.na = 'A' AND p.nb = 'C' THEN 4.25
+               ELSE (i % 4) + 2.75 END AS DOUBLE) AS dist
+        FROM range(0, 100) t(i),
+          (VALUES ('A', 'B'), ('A', 'C'), ('B', 'C')) p(na, nb)
+        ORDER BY i, na, nb""")),
+
     // UCSC wiggle coverage tracks (beyond the reference's format set):
     // fixedStep arithmetic (start/step/span), variableStep with and
     // without span, track/comment skipping — golden parsed by hand

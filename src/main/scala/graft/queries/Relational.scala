@@ -857,6 +857,63 @@ object Relational {
           CAST(1000000 * cnt_le // n AS BIGINT) AS cd_micro
         FROM w ORDER BY ok, ln, rf, q""")),
 
+    // ---- SCD2 validity intervals from an event stream ----
+    // The warehouse change-capture shape: each observation's validity
+    // runs until the user's next observation (lead window; NULL = still
+    // current). Time stays in exact integer micros; event_id breaks
+    // duplicate-timestamp ties deterministically on both engines. One
+    // window shuffle keyed by user.
+    "rel_scd2_intervals" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        eventsTs(s, dir).where(col("user_id") < 20)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus", "value")
+          .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+          .selectExpr("user_id", "event_id", "tus", "valid_to_us",
+            "valid_to_us - tus AS dur_us", "value")
+          .orderBy("user_id", "tus", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+          FROM events WHERE user_id < 20),
+        f AS (SELECT user_id, event_id, tus,
+            lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to_us,
+            value FROM e)
+        SELECT user_id, event_id, tus, valid_to_us,
+          valid_to_us - tus AS dur_us, value
+        FROM f ORDER BY user_id, tus, event_id""")),
+
+    // ---- event-type transition matrix (first-order Markov summary) ----
+    // Per user, consecutive event pairs via one lag window, then a
+    // tiny (types²) aggregate; the conditional probability lands in
+    // micro fixed-point from integer counts. The one-shuffle flow-
+    // analysis shape behind every "user journey" sankey.
+    "rel_event_transitions" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val steps = eventsTs(s, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus", "event_type")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = Window.partitionBy("prev_type")
+        steps.withColumn("from_total", sum(col("n")).over(totals))
+          .selectExpr("prev_type", "next_type", "n",
+            "1000000 * n div from_total AS p_micro")
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+          FROM events),
+        st AS (SELECT event_type AS next_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev_type
+          FROM e),
+        c AS (SELECT prev_type, next_type, count(*) AS n FROM st
+          WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+        t AS (SELECT c.*, sum(n) OVER (PARTITION BY prev_type) AS from_total FROM c)
+        SELECT prev_type, next_type, n,
+          CAST(1000000 * n // from_total AS BIGINT) AS p_micro
+        FROM t ORDER BY prev_type, next_type""")),
+
     // ---- robust outlier detection (median absolute deviation) ----
     // The robust-statistics alternative to z-scores: per group, the
     // median and MAD of an integral measure, outliers = |x − med| >
