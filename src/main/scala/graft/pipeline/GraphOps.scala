@@ -113,6 +113,50 @@ object GraphOps {
     * graph) id-ordering would re-create the hub blowup this exists to
     * avoid. Output is one row: (n_triangles, n_wedges, gcc_micro)
     * with gcc = 3·triangles / wedges in micro fixed-point. */
+  /** k-core decomposition by iterative peeling (Batagelj-Zaversnik's
+    * semantics, the distributed formulation): repeatedly delete nodes
+    * with degree < k until the graph stabilizes; what's left is the
+    * k-core — the standard "dense nucleus" extractor for community
+    * seeds and spam-graph analysis. Each round is one degree
+    * aggregation + one semi-join (both keyed shuffles), with
+    * localCheckpoint truncating the iterative lineage; rounds are
+    * bounded by `maxRounds` and the loop exits early when a round
+    * deletes nothing (checked via a 1-row count — the only driver
+    * action, O(1) data). Returns (node, deg) of the surviving core.
+    * At scale rounds cost O(E) each and the round COUNT is the
+    * graph's degeneracy-peel depth, typically tens — the same budget
+    * contract as pageRankMicro's iteration knob. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var prev = und.count()
+    var done = prev == 0
+    var round = 0
+    while (!done && round < maxRounds) {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("node")
+      und = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val now = und.count()
+      done = now == prev
+      prev = now
+      round += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"kCore(k=$k) did not stabilize within $maxRounds rounds " +
+        s"($prev edges remain) — raise maxRounds")
+    und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst"): DataFrame = {
     val und = edges

@@ -1065,6 +1065,85 @@ object FormatScans {
           CAST(sum(CASE WHEN intra THEN span END) AS BIGINT) AS span_bp
         FROM g GROUP BY chrom1, intra ORDER BY chrom1, intra""")),
 
+    // SV-type classification over BEDPE pairs (the svtools/delly
+    // convention): inter-chromosomal -> TRA; intra-chromosomal by
+    // strand pair — (+,-) deletion-like, (-,+) duplication-like
+    // (tandem-dup read orientation), same-strand -> inversion. The
+    // staged shard varies chroms and both strands arithmetically; the
+    // oracle reclassifies from the generator.
+    "fmt_bedpe_svtype" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-bedpe-svtype") { d =>
+          val lines = (0 until 240).map { i =>
+            val s1 = if (i % 2 == 0) "+" else "-"
+            val s2 = if (i % 5 < 2) "+" else "-"
+            s"c${i % 3}\t${i * 100}\t${i * 100 + 50}\tc${(i * 2) % 3}" +
+              s"\t${i * 100 + 200}\t${i * 100 + 260}\tsv$i\t${i % 60}\t$s1\t$s2"
+          }.mkString("", "\n", "\n")
+          java.nio.file.Files.write(d.resolve("calls.bedpe"),
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_bedpe(s, staged.resolve("calls.bedpe").toString)
+          .selectExpr(
+            """CASE WHEN chrom1 != chrom2 THEN 'TRA'
+                 WHEN strand1 = '+' AND strand2 = '-' THEN 'DEL'
+                 WHEN strand1 = '-' AND strand2 = '+' THEN 'DUP'
+                 ELSE 'INV' END AS sv_type""")
+          .groupBy(col("sv_type")).agg(count(lit(1)).as("n"))
+          .orderBy("sv_type")
+      },
+      Some("""WITH g AS (SELECT i, i % 3 = (i * 2) % 3 AS intra,
+            CASE WHEN i % 2 = 0 THEN '+' ELSE '-' END AS s1,
+            CASE WHEN i % 5 < 2 THEN '+' ELSE '-' END AS s2
+          FROM range(0, 240) t(i)),
+        c AS (SELECT CASE WHEN NOT intra THEN 'TRA'
+            WHEN s1 = '+' AND s2 = '-' THEN 'DEL'
+            WHEN s1 = '-' AND s2 = '+' THEN 'DUP'
+            ELSE 'INV' END AS sv_type FROM g)
+        SELECT sv_type, count(*) AS n FROM c
+        GROUP BY sv_type ORDER BY sv_type""")),
+
+    // Nonredundant gene length (the union-exon bp every RNA-seq
+    // quantifier needs): the two transcripts of each gene carry
+    // DELIBERATELY overlapping exons (offset 100 into 200bp exons),
+    // merged by the standard window sweep (running max end, island
+    // grouping) WITHIN each gene — per-gene union 800bp vs 1000bp
+    // summed, so a merge bug cannot hide. Same write-then-read GTF
+    // path as the tx-model entries.
+    "fmt_gtf_exon_union" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_txdb_union").toString
+        s.range(120).selectExpr("id AS rid",
+            "cast(id div 3 as int) AS t", "cast(id % 3 as int) AS k")
+          .where("k < 2 + t % 2")
+          .selectExpr(
+            "'c1' AS seqname", "'graft' AS source", "'exon' AS type",
+            "cast(10000 * (t div 2) + 400 * k + 100 * (t % 2) + 1 as bigint) AS start",
+            "cast(10000 * (t div 2) + 400 * k + 100 * (t % 2) + 200 as bigint) AS end",
+            "cast(null as float) AS score", "'+' AS strand",
+            "cast(null as string) AS frame",
+            "map('gene_id', array(concat('G', t div 2))) AS attributes")
+          .write.mode("overwrite").format("gtf").save(dir)
+        val w = Window.partitionBy("gene_id").orderBy("start", "end")
+        GraftIO.read_gtf(s, dir).where("type = 'exon'")
+          .selectExpr("attributes['gene_id'][0] AS gene_id", "start", "end")
+          .withColumn("maxend", max(col("end")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)))
+          .withColumn("brk",
+            when(col("start") > col("maxend") || col("maxend").isNull, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("gene_id"), col("island"))
+          .agg((max(col("end")) - min(col("start")) + 1).as("span"))
+          .groupBy(col("gene_id"))
+          .agg(count(lit(1)).as("n_blocks"), sum(col("span")).as("union_bp"))
+          .orderBy("gene_id")
+      },
+      Some("""SELECT 'G' || CAST(g AS VARCHAR) AS gene_id,
+          CAST(3 AS BIGINT) AS n_blocks, CAST(800 AS BIGINT) AS union_bp
+        FROM range(0, 20) x(g) ORDER BY gene_id""")),
+
     // PHYLIP interleaved MSA scan: 3 taxa x 20 columns over two
     // blocks — continuation lines must concatenate in first-block
     // taxon order. Literal golden (DuckDB has no PHYLIP reader);

@@ -1024,6 +1024,33 @@ object PipelineOps {
           coalesce(score_raw, 0) >= 0 AS keep
         FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- k-core decomposition (dense-nucleus extraction) ----
+    // Through [[graft.pipeline.GraphOps.kCore]] (iterative peeling —
+    // see its scaladoc for the rounds contract). The planted graph is
+    // the textbook peel test: a K6 clique and a K4 clique joined by a
+    // bridge edge (both survive k=3, bridge included), a 4-cycle
+    // (2-core — dies), and a 20-node path with pendant trees (die
+    // first). The oracle states the surviving core closed-form,
+    // including the +1 bridge degrees.
+    "pipe_kcore" -> Q(
+      (s, _) => {
+        val k6 = s.range(6).selectExpr("id AS src")
+          .crossJoin(s.range(6).selectExpr("id AS dst")).where("src < dst")
+        val k4 = s.range(30, 34).selectExpr("id AS src")
+          .crossJoin(s.range(30, 34).selectExpr("id AS dst")).where("src < dst")
+        val cyc = s.range(4).selectExpr("id + 10 AS src", "(id + 1) % 4 + 10 AS dst")
+        val chain = s.range(20).selectExpr("id + 40 AS src", "id + 41 AS dst")
+        val bridge = s.range(1).selectExpr("5L AS src", "30L AS dst")
+        graft.pipeline.GraphOps
+          .kCore(k6.union(k4).union(cyc).union(chain).union(bridge), 3)
+          .orderBy("node")
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS node,
+          CAST(CASE WHEN i = 5 THEN 6 WHEN i < 6 THEN 5
+               WHEN i = 30 THEN 4 ELSE 3 END AS BIGINT) AS deg
+        FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 30, 31, 32, 33]) AS i)
+        ORDER BY node""")),
+
     // ---- temperature-scaled mixture weights (tau = 0.5) ----
     // The multilingual-sampling rule (sqrt-temperature upsampling of
     // small sources): per-source mass is re-weighted by n^tau before

@@ -857,6 +857,34 @@ object Relational {
           CAST(1000000 * cnt_le // n AS BIGINT) AS cd_micro
         FROM w ORDER BY ok, ln, rf, q""")),
 
+    // ---- conversion-lag histogram (first view -> first purchase) ----
+    // The time-to-convert distribution: per user the FIRST view and
+    // FIRST purchase timestamps (one conditional-min agg — no
+    // self-join), positive lags only (a purchase preceding any view is
+    // not a conversion), bucketed by hour. All integer micros; one
+    // user-keyed shuffle into a ~bucket-count aggregate.
+    "rel_conversion_lag" -> Q(
+      (s, dir) =>
+        eventsTs(s, dir)
+          .selectExpr("user_id", "event_type", "unix_micros(ts) AS tus")
+          .groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("tus"))).as("first_view"),
+            min(when(col("event_type") === "purchase", col("tus"))).as("first_buy"))
+          .where(col("first_view").isNotNull && col("first_buy").isNotNull &&
+            col("first_buy") > col("first_view"))
+          .selectExpr("(first_buy - first_view) div (3600 * 1000000L) AS lag_hours")
+          .groupBy(col("lag_hours")).agg(count(lit(1)).as("n_users"))
+          .orderBy("lag_hours"),
+      Some("""WITH f AS (SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+            min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy
+          FROM events GROUP BY user_id)
+        SELECT (first_buy - first_view) // (3600 * 1000000::BIGINT) AS lag_hours,
+          count(*) AS n_users
+        FROM f WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy > first_view
+        GROUP BY lag_hours ORDER BY lag_hours""")),
+
     // ---- SCD2 validity intervals from an event stream ----
     // The warehouse change-capture shape: each observation's validity
     // runs until the user's next observation (lead window; NULL = still

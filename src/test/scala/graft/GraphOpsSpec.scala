@@ -99,6 +99,46 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out2 == out, s"$out2 vs $out")
   }
 
+  test("kCore: random graphs vs naive peeling; empty core; early exit") {
+    import spark.implicits._
+    def naiveCore(und: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+      var edges = und
+      var changed = true
+      while (changed) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = next != edges
+        edges = next
+      }
+      edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    }
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 0 until 3) {
+      val n = 14 + trial * 3
+      val raw = (0 until 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val und = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      for (k <- Seq(2, 3, 4)) {
+        val got = graft.pipeline.GraphOps
+          .kCore(raw.toDF("src", "dst"), k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+        assert(got == naiveCore(und, k), s"trial $trial k=$k")
+      }
+    }
+    // a tree has no 2-core
+    val tree = Seq((0L, 1L), (1L, 2L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(graft.pipeline.GraphOps.kCore(tree, 2).count() == 0)
+    // unreachable maxRounds throws rather than returning a partial core
+    intercept[IllegalStateException] {
+      val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+      graft.pipeline.GraphOps.kCore(chain, 2, maxRounds = 2).collect()
+    }
+  }
+
   test("triangleStats: hand graphs, then random graphs vs a naive counter") {
     import spark.implicits._
     def stats(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
