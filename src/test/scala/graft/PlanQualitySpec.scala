@@ -582,6 +582,52 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pileup join reshuffles the read corpus:\n$plan")
   }
 
+  test("fmt_sam_markdup: one signature window over a codegen'd CIGAR fold — no join, no explode") {
+    val plan = finalPlan(SparkEntry.queries("fmt_sam_markdup")(spark, SF))
+    assert(!plan.contains("Join"), s"markdup plans a join:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate"),
+      s"markdup exploded the CIGAR instead of folding it:\n${plan.take(3000)}")
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1,
+      s"markdup should plan exactly one window:\n${plan.take(3000)}")
+  }
+
+  test("ann_hamming_topk: queries broadcast; the corpus side never sort-merges") {
+    val plan = fullPlanString(SparkEntry.queries("ann_hamming_topk")(spark, SF))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"hamming fan is not a broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"hamming corpus side sort-merges:\n${plan.take(3000)}")
+  }
+
+  test("rel_market_basket: per-part frequencies re-join by broadcast; pair join is equi on the order key") {
+    val plan = fullPlanString(SparkEntry.queries("rel_market_basket")(spark, SF))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part frequencies not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"basket pairing degenerated into a cartesian product:\n${plan.take(3000)}")
+  }
+
+  test("pipe_triangle_stats: closure is a semi join; no cartesian product anywhere") {
+    val plan = fullPlanString(SparkEntry.queries("pipe_triangle_stats")(spark, SF))
+    assert(plan.contains("LeftSemi"),
+      s"triangle closure is not a semi join:\n${plan.take(3000)}")
+    // the only nested-loop allowed is the deliberate 1-row x 1-row
+    // (triangles x wedges) combine; the wedge/closure joins must be keyed
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle counting plans a cartesian product:\n${plan.take(3000)}")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan(
+        SparkEntry.queries("pipe_triangle_stats")(spark, SF))).size <= 1,
+      s"more than the 1-row combine rides a nested loop:\n${plan.take(3000)}")
+  }
+
+  test("fmt_gvcf_combine: block lookup is an equi join on (sample, bin), never a range nested loop") {
+    val plan = fullPlanString(SparkEntry.queries("fmt_gvcf_combine")(spark, SF))
+    assert(!plan.contains("CartesianProduct"),
+      s"gvcf combine plans a cartesian product:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"gvcf combine: expected hash joins:\n${plan.take(3000)}")
+  }
+
   test("rel_interval_flank / rel_value_histogram: map-only arithmetic, partial agg before the shuffle") {
     for (name <- Seq("rel_interval_flank", "rel_value_histogram")) {
       val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
