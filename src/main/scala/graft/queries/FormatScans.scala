@@ -427,6 +427,44 @@ object FormatScans {
     // the CIGAR span the way the READER computes it (the input's end
     // column is not part of the BAM record). BamWriteSpec carries the
     // row-identity and split-read coverage; the gate pins the values.
+    // BAM aux tags end to end: an 11th map column (tag -> "TYPE:VALUE")
+    // encodes to spec aux records in the BINARY writer (typed int/
+    // float/Z/B-array layouts) and decodes back under
+    // option("tags", "true") — integer width promotion (i vs I) and
+    // the B-array rendering included. Default reads keep the
+    // reference's 10-column parity. The oracle recomputes the rollup
+    // from the generating arithmetic, so a single corrupted aux byte
+    // desynchronizes the map and breaks the hash.
+    "fmt_bam_tags_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_bamw_tags").toString
+        s.range(300).selectExpr(
+            "concat('r', id) AS name", "cast(0 as int) AS flag",
+            "'c1' AS reference", "id % 900 + 1 AS start",
+            "id % 900 + 30 AS end", "'60' AS mapping_quality",
+            "'30M' AS cigar", "cast(null as string) AS mate_reference",
+            "cast(null as string) AS sequence",
+            "cast(null as string) AS quality_score",
+            "map('NM', concat('i:', id % 6), " +
+              "'ZS', concat('Z:lib', id % 3), " +
+              "'BQ', concat('B:c,', id % 4, ',', -(id % 3))) AS tags")
+          .write.mode("overwrite").option("refs", "c1:1000")
+          .format("bam").save(dir)
+        GraftIO.read_bam_file_records(s, dir, Map("tags" -> "true"))
+          .selectExpr("split(tags['ZS'], ':')[1] AS lib",
+            "cast(split(tags['NM'], ':')[1] as bigint) AS nm",
+            "tags['BQ'] AS bq")
+          .groupBy(col("lib"))
+          .agg(count(lit(1)).as("n"), sum(col("nm")).as("nm_sum"),
+            sum(when(col("bq").startsWith("B:c,"), 1L).otherwise(0L)).as("n_barr"))
+          .orderBy("lib")
+      },
+      Some("""WITH g AS (SELECT i, 'lib' || CAST(i % 3 AS VARCHAR) AS lib,
+            CAST(i % 6 AS BIGINT) AS nm FROM range(0, 300) t(i))
+        SELECT lib, count(*) AS n, CAST(sum(nm) AS BIGINT) AS nm_sum,
+          count(*) AS n_barr
+        FROM g GROUP BY lib ORDER BY lib""")),
+
     "fmt_bam_write_roundtrip" -> Q(
       (s, _) => {
         val dir = Stage.tempDir("graft_bamw").toString
@@ -2538,6 +2576,45 @@ object FormatScans {
           CAST(sum(CASE WHEN s.ac = 2 AND d.x = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_private_doubletons
         FROM d JOIN s ON s.sid = d.sid
         GROUP BY d.j ORDER BY sample_idx""")),
+
+    // SAM optional-tag surface (option("tags", "true") — the default
+    // scan keeps the reference's 10-column parity): NM/AS/RG aux
+    // fields ride a tag -> "TYPE:VALUE" map, consumed here as the
+    // classic per-read-group QC rollup (edit-distance mass + mean
+    // alignment score). The oracle rebuilds from the generator.
+    "fmt_sam_tags" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-sam-tags") { d =>
+          val lines = (0 until 200).map { i =>
+            s"r$i\t0\tc1\t${i * 10 + 1}\t60\t50M\t*\t0\t0\t*\t*" +
+              s"\tNM:i:${i % 5}\tAS:i:${100 - i % 10}\tRG:Z:grp${i % 3}"
+          }.mkString("@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n", "\n", "\n")
+          java.nio.file.Files.write(d.resolve("tagged.sam"),
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_sam_file_records(s,
+            staged.resolve("tagged.sam").toString, Map("tags" -> "true"))
+          .selectExpr("split(tags['RG'], ':')[1] AS rg",
+            "cast(split(tags['NM'], ':')[1] as bigint) AS nm",
+            "cast(split(tags['AS'], ':')[1] as bigint) AS score")
+          .groupBy(col("rg"))
+          .agg(count(lit(1)).as("n_reads"), sum(col("nm")).as("nm_sum"),
+            sum(col("score")).as("as_sum"))
+          .selectExpr("rg", "n_reads", "nm_sum", "as_sum",
+            "1000000 * as_sum div n_reads AS mean_as_micro")
+          .orderBy("rg")
+      },
+      Some("""WITH g AS (SELECT i, 'grp' || CAST(i % 3 AS VARCHAR) AS rg,
+            CAST(i % 5 AS BIGINT) AS nm,
+            CAST(100 - i % 10 AS BIGINT) AS score
+          FROM range(0, 200) t(i)),
+        a AS (SELECT rg, count(*) AS n_reads,
+            CAST(sum(nm) AS BIGINT) AS nm_sum,
+            CAST(sum(score) AS BIGINT) AS as_sum
+          FROM g GROUP BY rg)
+        SELECT rg, n_reads, nm_sum, as_sum,
+          CAST(1000000 * as_sum // n_reads AS BIGINT) AS mean_as_micro
+        FROM a ORDER BY rg""")),
 
     // Insert-size histogram (samtools stats "insert size" section):
     // proper-pair first mates only — the flag predicates are the

@@ -32,8 +32,22 @@ object BamFormat extends GraftFormat {
     * prologue guesser (see guessRecordStart). */
   override def bgzfSplittable: Boolean = true
 
+  /** `option("tags", "true")` appends the aux-field map (tag ->
+    * "TYPE:VALUE", SAM-text rendering: every integer width prints as
+    * `i`, the samtools BAM->SAM convention). Default stays the
+    * reference's 10-column scan. */
+  private[sources] def wantTags(options: Map[String, String]): Boolean =
+    options.get("tags").exists(_.equalsIgnoreCase("true"))
+
   override def schema(paths: Seq[Path], conf: Configuration,
-                      options: Map[String, String]): StructType = SamFormat.recordSchema
+                      options: Map[String, String]): StructType =
+    if (wantTags(options))
+      org.apache.spark.sql.types.StructType(SamFormat.recordSchema.fields :+
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+    else SamFormat.recordSchema
 
   private val SeqCode = "=ACMGRSVTWYHKDBN"
   private val CigarOps = "MIDNSHP=X"
@@ -124,6 +138,7 @@ object BamFormat extends GraftFormat {
     val region = Regions.matcherFromOptions(options)
     val wantSeq = split.needs("sequence")
     val wantQual = split.needs("quality_score")
+    val tags = wantTags(options)
 
     new Iterator[Array[Any]] {
       private var nextRow: Array[Any] = _
@@ -136,7 +151,7 @@ object BamFormat extends GraftFormat {
           // no EOFException catch: decodeRecord returns null only at a
           // clean record boundary; truncation exceptions must fail the
           // task, not end the iterator
-          val rec = decodeRecord(d, refs, wantSeq, wantQual)
+          val rec = decodeRecord(d, refs, wantSeq, wantQual, tags)
           if (rec == null) done = true
           else if (regionPasses(rec, region)) nextRow = rec
         }
@@ -157,6 +172,7 @@ object BamFormat extends GraftFormat {
     val region = Regions.matcherFromOptions(options)
     val wantSeq = split.needs("sequence")
     val wantQual = split.needs("quality_score")
+    val tags = wantTags(options)
     val refs =
       if (split.start == 0) {
         // stream is at the file head: consume the header in place (exact
@@ -170,7 +186,7 @@ object BamFormat extends GraftFormat {
       plausible = (w, k) => plausibleRecord(w, k, refs.length, depth = 2),
       recordLen = (w, c) => 4L + w.i32(c),
       decode = (w, c, len) =>
-        decodeBody(w.copy(c + 4, (len - 4).toInt), refs, wantSeq, wantQual))
+        decodeBody(w.copy(c + 4, (len - 4).toInt), refs, wantSeq, wantQual, tags))
       .filter(regionPasses(_, region))
   }
 
@@ -222,7 +238,8 @@ object BamFormat extends GraftFormat {
     * truncated gzip stream) propagates and fails the task: a corrupt
     * input must never be reported as a successful scan of fewer rows. */
   def decodeRecord(d: DataInputStream, refs: Array[String],
-                   wantSeq: Boolean, wantQual: Boolean): Array[Any] = {
+                   wantSeq: Boolean, wantQual: Boolean,
+                   wantTags: Boolean = false): Array[Any] = {
     val a = d.read()
     if (a < 0) return null
     val b = d.read(); val c = d.read(); val e = d.read()
@@ -230,7 +247,7 @@ object BamFormat extends GraftFormat {
       throw new java.util.zip.ZipException("EOF inside BAM record length")
     val blockSize = a | (b << 8) | (c << 16) | (e << 24)
     val body = readFully(d, blockSize)
-    decodeBody(body, refs, wantSeq, wantQual)
+    decodeBody(body, refs, wantSeq, wantQual, wantTags)
   }
 
   def decodeBody(body: Array[Byte], refs: Array[String]): Array[Any] =
@@ -241,7 +258,8 @@ object BamFormat extends GraftFormat {
     * a count(*) or flag-only scan skips them (slots stay, ordinals
     * fixed). */
   def decodeBody(body: Array[Byte], refs: Array[String],
-                 wantSeq: Boolean, wantQual: Boolean): Array[Any] = {
+                 wantSeq: Boolean, wantQual: Boolean,
+                 wantTags: Boolean = false): Array[Any] = {
     val bb = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val refId = bb.getInt
     val pos0 = bb.getInt // 0-based
@@ -288,8 +306,11 @@ object BamFormat extends GraftFormat {
         i += 1
       }
     }
-    // remaining bytes = optional tags; tolerated, not surfaced (parity
-    // with the reference's 10-column scan schema)
+    // remaining bytes = optional aux tags: skipped by default (parity
+    // with the reference's 10-column scan schema), decoded into the
+    // tags map under option("tags", "true")
+    val auxMap: org.apache.spark.sql.catalyst.util.ArrayBasedMapData =
+      if (!wantTags) null else decodeAux(bb)
 
     val ref = if (refId < 0) null else refs(refId)
     val start: Any = if (pos0 < 0) null else (pos0 + 1).toLong
@@ -298,7 +319,7 @@ object BamFormat extends GraftFormat {
       if (start == null || cigar == null) null
       else start.asInstanceOf[Long] + refSpan - 1
     val mateRef = if (nextRefId < 0) null else refs(nextRefId)
-    Array[Any](
+    val base = Array[Any](
       UTF8String.fromString(name),
       flag,
       if (ref == null) null else UTF8String.fromString(ref),
@@ -308,5 +329,68 @@ object BamFormat extends GraftFormat {
       if (mateRef == null) null else UTF8String.fromString(mateRef),
       if (!wantSeq || lSeq == 0) null else UTF8String.fromString(seqSb.toString),
       if (!wantQual || missingQual || lSeq == 0) null else UTF8String.fromString(qualSb.toString))
+    if (!wantTags) base else base :+ (auxMap: Any)
+  }
+
+  /** Decode the aux region (cursor to end of record) into
+    * tag -> "TYPE:VALUE" pairs with samtools' BAM->SAM text rendering:
+    * A keeps its char, every integer width (c/C/s/S/i/I) prints as
+    * `i`, f uses Float.toString, Z/H are the NUL-terminated payloads,
+    * B renders as subtype plus comma-joined elements. Unknown type
+    * bytes fail loudly — silently skipping would desynchronize every
+    * later tag in the record. */
+  private def decodeAux(bb: java.nio.ByteBuffer)
+      : org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def zString(): String = {
+      val sb = new java.lang.StringBuilder
+      var c = bb.get()
+      while (c != 0) { sb.append(c.toChar); c = bb.get() }
+      sb.toString
+    }
+    def scalar(t: Char): String = t match {
+      case 'A' => "A:" + bb.get().toChar
+      case 'c' => "i:" + bb.get()
+      case 'C' => "i:" + (bb.get() & 0xff)
+      case 's' => "i:" + bb.getShort
+      case 'S' => "i:" + (bb.getShort & 0xffff)
+      case 'i' => "i:" + bb.getInt
+      case 'I' => "i:" + (bb.getInt & 0xffffffffL)
+      case 'f' => "f:" + bb.getFloat
+      case 'Z' => "Z:" + zString()
+      case 'H' => "H:" + zString()
+      case other => throw new IllegalArgumentException(
+        s"unknown BAM aux type '$other'")
+    }
+    def bElem(t: Char): String = t match {
+      case 'c' => bb.get().toString
+      case 'C' => (bb.get() & 0xff).toString
+      case 's' => bb.getShort.toString
+      case 'S' => (bb.getShort & 0xffff).toString
+      case 'i' => bb.getInt.toString
+      case 'I' => (bb.getInt & 0xffffffffL).toString
+      case 'f' => bb.getFloat.toString
+      case other => throw new IllegalArgumentException(
+        s"unknown BAM aux B subtype '$other'")
+    }
+    while (bb.remaining() > 0) {
+      require(bb.remaining() >= 3, "truncated BAM aux record")
+      val tag = "" + bb.get().toChar + bb.get().toChar
+      val typ = bb.get().toChar
+      val rendered =
+        if (typ == 'B') {
+          val sub = bb.get().toChar
+          val n = bb.getInt
+          val sb = new java.lang.StringBuilder("B:").append(sub)
+          var i = 0
+          while (i < n) { sb.append(',').append(bElem(sub)); i += 1 }
+          sb.toString
+        } else scalar(typ)
+      keys += UTF8String.fromString(tag)
+      vals += UTF8String.fromString(rendered)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      keys.toArray, vals.toArray)
   }
 }

@@ -323,8 +323,20 @@ object SamFormat extends GraftFormat {
   override def extensions = Seq("sam")
   override def splittable = true
   override def formatter: Option[RecordFormatter] = Some(SamFormatter)
+
+  /** `option("tags", "true")` appends a `tags: map<string,string>`
+    * column holding the optional TAG:TYPE:VALUE fields as
+    * tag -> "TYPE:VALUE" (type kept — consumers cast by it, and
+    * round-tripping needs it). Default stays the reference's 10-column
+    * scan (module.cpp parity), so parity consumers see no change. */
+  private def wantTags(options: Map[String, String]): Boolean =
+    options.get("tags").exists(_.equalsIgnoreCase("true"))
+
   override def schema(paths: Seq[Path], conf: Configuration, options: Map[String, String]): StructType =
-    SamFormat.recordSchema
+    if (wantTags(options))
+      StructType(recordSchema.fields :+
+        StructField("tags", MapType(StringType, StringType)))
+    else recordSchema
   val recordSchema: StructType =
     StructType(Seq(
       StructField("name", StringType),
@@ -378,11 +390,25 @@ object SamFormat extends GraftFormat {
   }
 
   override def read(split: GraftSplit, schema: StructType, in: InputStream,
-                    options: Map[String, String]): Iterator[Array[Any]] =
+                    options: Map[String, String]): Iterator[Array[Any]] = {
+    val tags = wantTags(options)
     P.lines(split, in)
       .map(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("@"))
-      .map(parseLine)
+      .map { l =>
+        val base = parseLine(l)
+        if (!tags) base
+        else {
+          val pairs = l.split("\\t", -1).iterator.drop(11).filter(_.nonEmpty).map { t =>
+            val c1 = t.indexOf(':'); val c2 = t.indexOf(':', c1 + 1)
+            require(c1 > 0 && c2 > c1, s"malformed SAM tag '$t'")
+            (P.s(t.substring(0, c1)): Any,
+              P.s(t.substring(c1 + 1)): Any) // "TYPE:VALUE"
+          }.toArray
+          base :+ (ArrayBasedMapData(pairs.map(_._1), pairs.map(_._2)): Any)
+        }
+      }
+  }
 }
 
 /** HMMER3 --domtblout: whitespace-aligned 23-column table, '#' comments;

@@ -451,7 +451,15 @@ object BamFormatter extends graft.sources.core.RecordFormatter {
       ops = buf.toArray
     }
     val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val bodyLen = 32 + nameBytes.length + 1 + 4 * ops.length + (lSeq + 1) / 2 + lSeq
+    // optional aux tags: an 11th map<string,string> column (tag ->
+    // "TYPE:VALUE", the read side's rendering) encodes to spec aux
+    // records — round-trips through option("tags", "true") reads
+    val auxBytes: Array[Byte] =
+      if (schema.length > 10 && schema(10).name == "tags" && !row.isNullAt(10))
+        encodeAux(row.getMap(10))
+      else Array.emptyByteArray
+    val bodyLen = 32 + nameBytes.length + 1 + 4 * ops.length +
+      (lSeq + 1) / 2 + lSeq + auxBytes.length
     val bb = java.nio.ByteBuffer.allocate(4 + bodyLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(bodyLen)
@@ -482,6 +490,70 @@ object BamFormatter extends graft.sources.core.RecordFormatter {
       bb.put(if (qual == null) 0xff.toByte else (qual.charAt(i) - 33).toByte)
       i += 1
     }
+    bb.put(auxBytes)
     bb.array()
+  }
+
+  /** Encode tag -> "TYPE:VALUE" pairs as BAM aux records. Integer
+    * values pick int32 ('i') or uint32 ('I') by range — the SAM text
+    * form carries no width, and htslib does the same promotion. */
+  private def encodeAux(m: org.apache.spark.sql.catalyst.util.MapData): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    val keys = m.keyArray(); val vals = m.valueArray()
+    var k = 0
+    while (k < m.numElements()) {
+      val tag = keys.getUTF8String(k).toString
+      require(tag.length == 2, s"BAM aux tag must be 2 chars: '$tag'")
+      val tv = vals.getUTF8String(k).toString
+      val c1 = tv.indexOf(':')
+      require(c1 > 0, s"BAM aux value must be 'TYPE:VALUE': '$tv'")
+      val typ = tv.substring(0, c1)
+      val v = tv.substring(c1 + 1)
+      out.write(tag.charAt(0)); out.write(tag.charAt(1))
+      typ match {
+        case "A" =>
+          require(v.length == 1, s"aux A value must be one char: '$v'")
+          out.write('A'); out.write(v.charAt(0))
+        case "i" =>
+          val n = java.lang.Long.parseLong(v)
+          if (n >= Int.MinValue && n <= Int.MaxValue) {
+            out.write('i'); le32(n.toInt)
+          } else {
+            require(n >= 0 && n <= 0xffffffffL, s"aux integer out of range: $v")
+            out.write('I'); le32(n.toInt)
+          }
+        case "f" =>
+          out.write('f'); le32(java.lang.Float.floatToIntBits(v.toFloat))
+        case "Z" | "H" =>
+          out.write(typ.charAt(0))
+          v.foreach(c => out.write(c)); out.write(0)
+        case "B" =>
+          val parts = v.split(",", -1)
+          require(parts.nonEmpty && parts(0).length == 1,
+            s"aux B value needs 'subtype,v1,...': '$v'")
+          val sub = parts(0).charAt(0)
+          out.write('B'); out.write(sub)
+          le32(parts.length - 1)
+          parts.iterator.drop(1).foreach { e =>
+            sub match {
+              case 'c' | 'C' => out.write(java.lang.Integer.parseInt(e) & 0xff)
+              case 's' | 'S' => le16(java.lang.Integer.parseInt(e) & 0xffff)
+              case 'i' | 'I' => le32(java.lang.Long.parseLong(e).toInt)
+              case 'f' => le32(java.lang.Float.floatToIntBits(e.toFloat))
+              case other => throw new IllegalArgumentException(
+                s"unknown aux B subtype '$other'")
+            }
+          }
+        case other => throw new IllegalArgumentException(
+          s"unknown aux type '$other' in '$tv'")
+      }
+      k += 1
+    }
+    out.toByteArray
   }
 }

@@ -88,4 +88,50 @@ class BamWriteSpec extends AnyFunSuite {
     }
     assert(e2.getMessage != null)
   }
+
+  test("aux decode: hand-assembled spec-layout bytes, every type") {
+    // build a record body by hand straight from the SAM spec's aux
+    // layout (independent of the encoder under test)
+    val bb = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0)       // refId -> c1
+    bb.putInt(9)       // pos0
+    bb.put(3.toByte)   // l_read_name ("ab\0")
+    bb.put(60.toByte)  // mapq
+    bb.putShort(0)     // bin
+    bb.putShort(0)     // n_cigar
+    bb.putShort(0)     // flag
+    bb.putInt(0)       // l_seq
+    bb.putInt(-1)      // next_ref
+    bb.putInt(-1)      // next_pos
+    bb.putInt(0)       // tlen
+    bb.put("ab".getBytes("US-ASCII")).put(0.toByte)
+    def tag(t: String): Unit = { bb.put(t.charAt(0).toByte).put(t.charAt(1).toByte) }
+    tag("XA"); bb.put('A'.toByte).put('Q'.toByte)
+    tag("Xc"); bb.put('c'.toByte).put((-5).toByte)
+    tag("XC"); bb.put('C'.toByte).put(250.toByte)
+    tag("Xs"); bb.put('s'.toByte).putShort((-1234).toShort)
+    tag("XS"); bb.put('S'.toByte).putShort(60000.toShort)
+    tag("Xi"); bb.put('i'.toByte).putInt(-100000)
+    tag("XI"); bb.put('I'.toByte).putInt(0xF0000001) // 4026531841 unsigned
+    tag("Xf"); bb.put('f'.toByte).putFloat(1.5f)
+    tag("XZ"); bb.put('Z'.toByte).put("hello".getBytes("US-ASCII")).put(0.toByte)
+    tag("XH"); bb.put('H'.toByte).put("1AFF".getBytes("US-ASCII")).put(0.toByte)
+    tag("XB"); bb.put('B'.toByte).put('s'.toByte).putInt(3)
+    bb.putShort(7).putShort((-8).toShort).putShort(9)
+    val body = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val row = graft.sources.BamFormat.decodeBody(body, Array("c1"),
+      wantSeq = true, wantQual = true, wantTags = true)
+    val m = row(10).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayBasedMapData]
+    val pairs = (0 until m.numElements().toInt).map(i =>
+      m.keyArray.getUTF8String(i).toString -> m.valueArray.getUTF8String(i).toString).toMap
+    assert(pairs == Map(
+      "XA" -> "A:Q", "Xc" -> "i:-5", "XC" -> "i:250", "Xs" -> "i:-1234",
+      "XS" -> "i:60000", "Xi" -> "i:-100000", "XI" -> "i:4026531841",
+      "Xf" -> "f:1.5", "XZ" -> "Z:hello", "XH" -> "H:1AFF",
+      "XB" -> "B:s,7,-8,9"), pairs.toString)
+    // and the default path still returns the 10-column parity row
+    assert(graft.sources.BamFormat.decodeBody(body, Array("c1"),
+      wantSeq = true, wantQual = true).length == 10)
+  }
 }
