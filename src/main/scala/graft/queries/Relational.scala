@@ -857,6 +857,98 @@ object Relational {
           CAST(1000000 * cnt_le // n AS BIGINT) AS cd_micro
         FROM w ORDER BY ok, ln, rf, q""")),
 
+    // ---- Spearman rank correlation, exact rational ----
+    // The monotone-association check (quantity vs revenue per return
+    // flag) without a single float: tie-averaged ranks are k or k.5,
+    // so DOUBLED ranks are exact BIGINTs (the med2/mad4 trick on
+    // ranks), d2 = 2ra - 2rb, and rho = 1 - 6*Σ(d2²/4)/(n(n²-1)) is
+    // carried as the exact pair (rho_num, rho_den) with
+    // rho = rho_num/rho_den — Σd2² is divisible by nothing in
+    // particular, so the pair form avoids both float drift and the
+    // div-vs-floor trap on negative rhos. Two rank windows + one
+    // grouped reduce, all keyed by the (tiny) flag.
+    "rel_spearman" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").where(col("l_orderkey") < 2000)
+          .selectExpr("l_returnflag AS rf",
+            "cast(l_quantity as bigint) AS x",
+            "cast(round(l_extendedprice * 100) as bigint) AS y")
+        def rank2(c: String) = {
+          // doubled tie-averaged rank: min_rank + max_rank over the tie
+          // group = rank() + (rank() + count(tie) - 1)
+          val w = Window.partitionBy("rf").orderBy(c)
+          val tie = Window.partitionBy("rf", c)
+          rank().over(w).cast("long") * 2 + count(lit(1)).over(tie) - 1
+        }
+        li.withColumn("ra2", rank2("x")).withColumn("rb2", rank2("y"))
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("ra2") - col("rb2")) * (col("ra2") - col("rb2")))
+              .as("sum_d2sq"))
+          .selectExpr("rf", "n", "sum_d2sq",
+            // rho = 1 - 6*(sum_d2sq/4)/(n(n^2-1)) ->
+            // num = 2*n*(n^2-1) - 3*sum_d2sq, den = 2*n*(n^2-1)
+            "2 * n * (n * n - 1) - 3 * sum_d2sq AS rho_num",
+            "2 * n * (n * n - 1) AS rho_den")
+          .orderBy("rf")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf,
+            CAST(l_quantity AS BIGINT) AS x,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem WHERE l_orderkey < 2000),
+        r AS (SELECT rf,
+            2 * rank() OVER (PARTITION BY rf ORDER BY x)
+              + count(*) OVER (PARTITION BY rf, x) - 1 AS ra2,
+            2 * rank() OVER (PARTITION BY rf ORDER BY y)
+              + count(*) OVER (PARTITION BY rf, y) - 1 AS rb2
+          FROM li),
+        a AS (SELECT rf, count(*) AS n,
+            CAST(sum((ra2 - rb2) * (ra2 - rb2)) AS BIGINT) AS sum_d2sq
+          FROM r GROUP BY rf)
+        SELECT rf, n, sum_d2sq,
+          CAST(2 * n * (n * n - 1) - 3 * sum_d2sq AS BIGINT) AS rho_num,
+          CAST(2 * n * (n * n - 1) AS BIGINT) AS rho_den
+        FROM a ORDER BY rf""")),
+
+    // ---- 2-D skyline (Pareto frontier) ----
+    // The "best tradeoff set" operator (price vs size over parts):
+    // a part is dominated when another is >= on both axes and > on at
+    // least one. For 2-D the frontier needs NO pair join — sort by
+    // (price desc, size desc) and a point survives iff its size
+    // strictly exceeds the running max size of everything strictly
+    // cheaper-or-equal-priced before it; equal-(price, size)
+    // duplicates all survive together (nothing strictly dominates
+    // them). One window pass; the oracle brute-forces the dominance
+    // definition with an anti-join — definitional, not a replay.
+    "rel_skyline_2d" -> Q(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .selectExpr("p_partkey AS pk",
+            "cast(round(p_retailprice * 100) as bigint) AS price",
+            "cast(p_size as bigint) AS size")
+        // dominance is decided between DISTINCT points (exact-duplicate
+        // points never strictly dominate each other and co-survive), so
+        // the window runs over the distinct set and duplicates rejoin
+        val dp = p.select("price", "size").distinct()
+        val w = Window.orderBy(col("price").desc, col("size").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        val frontier = dp.withColumn("prior_max_size", max(col("size")).over(w))
+          .where(col("prior_max_size").isNull || col("size") > col("prior_max_size"))
+          .select("price", "size")
+        p.join(broadcast(frontier), Seq("price", "size"), "left_semi")
+          .select("pk", "price", "size")
+          .orderBy("pk")
+      },
+      Some("""WITH p AS (SELECT p_partkey AS pk,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS price,
+            CAST(p_size AS BIGINT) AS size
+          FROM part)
+        SELECT pk, price, size FROM p a
+        WHERE NOT EXISTS (SELECT 1 FROM p b
+          WHERE b.price >= a.price AND b.size >= a.size
+            AND (b.price > a.price OR b.size > a.size))
+        ORDER BY pk""")),
+
     // ---- conversion-lag histogram (first view -> first purchase) ----
     // The time-to-convert distribution: per user the FIRST view and
     // FIRST purchase timestamps (one conditional-min agg — no

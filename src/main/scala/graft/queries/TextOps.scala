@@ -292,6 +292,54 @@ object TextOps {
             AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) <= 12 AS quality_ok
         FROM documents ORDER BY doc_id""")),
 
+    // ---- language-ID confusion matrix ----
+    // The eval rollup of the text_language_id classifier: (true lang,
+    // predicted) counts plus each cell's share of its true-lang row in
+    // micro fixed-point — the recall diagonal and the confusion mass
+    // in one bounded (langs × langs) frame. Same scorer expressions as
+    // text_language_id; one grouped agg + a partition-sum window over
+    // the tiny matrix.
+    "text_langid_confusion" -> Q(
+      (s, dir) => {
+        val scores = StopLists.map { case (lang, ws) =>
+          expr(s"size(array_intersect(toks, array(${sqlList(ws)})))").as(s"s_$lang")
+        }
+        val caseChain = StopLists.map { case (lang, _) =>
+          s"WHEN best = s_$lang THEN '$lang'"
+        }.mkString(" ")
+        val m = t(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(Seq(col("lang")) ++ scores: _*)
+          .withColumn("best", greatest(StopLists.map(l => col(s"s_${l._1}")): _*))
+          .selectExpr("lang",
+            s"CASE WHEN best = 0 THEN 'und' $caseChain END AS predicted")
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang")
+        m.withColumn("lang_total", sum(col("n")).over(w))
+          .selectExpr("lang", "predicted", "n",
+            "1000000 * n div lang_total AS row_share_micro")
+          .orderBy("lang", "predicted")
+      },
+      Some {
+        val scoreExprs = StopLists.map { case (lang, ws) =>
+          s"len(list_intersect(string_split(text, ' '), [${sqlList(ws)}])) AS s_$lang"
+        }.mkString(", ")
+        val caseChain = StopLists.map { case (lang, _) =>
+          s"WHEN best = s_$lang THEN '$lang'"
+        }.mkString(" ")
+        val greatest = s"greatest(${StopLists.map(l => s"s_${l._1}").mkString(", ")})"
+        s"""WITH d AS (SELECT lang, $scoreExprs FROM documents),
+          p AS (SELECT lang, $greatest AS best, * EXCLUDE (lang) FROM d),
+          c AS (SELECT lang,
+              CASE WHEN best = 0 THEN 'und' $caseChain END AS predicted FROM p),
+          m AS (SELECT lang, predicted, count(*) AS n FROM c GROUP BY lang, predicted),
+          tt AS (SELECT m.*, sum(n) OVER (PARTITION BY lang) AS lang_total FROM m)
+          SELECT lang, predicted, n,
+            CAST(1000000 * n // lang_total AS BIGINT) AS row_share_micro
+          FROM tt ORDER BY lang, predicted"""
+      }),
+
     // ---- Gopher quality rules (Rae et al. 2021, table A1) ----
     // The rule battery every LLM-corpus curation run starts from,
     // in the all-integer fixed-point discipline: word count bounds,
