@@ -1103,6 +1103,95 @@ object FormatScans {
           CAST(sum(CASE WHEN intra THEN span END) AS BIGINT) AS span_bp
         FROM g GROUP BY chrom1, intra ORDER BY chrom1, intra""")),
 
+    // BEDPE writer round trip: stored 1-based loci re-render to the
+    // 0-based disk form (parse ∘ write = id, NULL mates included) and
+    // read back through the real reader; the rollup recomputes from
+    // the generator, so a coordinate-shift bug in EITHER direction
+    // breaks the sums.
+    "fmt_bedpe_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_bedpew").toString
+        s.range(200).selectExpr(
+            "concat('c', id % 3) AS chrom1", "id * 100 + 1 AS start1",
+            "id * 100 + 50 AS end1",
+            "CASE WHEN id % 7 = 0 THEN cast(null as string) " +
+              "ELSE concat('c', (id * 2) % 3) END AS chrom2",
+            "CASE WHEN id % 7 = 0 THEN cast(null as bigint) ELSE id * 100 + 201 END AS start2",
+            "CASE WHEN id % 7 = 0 THEN cast(null as bigint) ELSE id * 100 + 260 END AS end2",
+            "concat('sv', id) AS name", "cast(id % 60 as string) AS score",
+            "'+' AS strand1",
+            "CASE WHEN id % 7 = 0 THEN cast(null as string) ELSE '-' END AS strand2",
+            "CASE WHEN id % 4 = 0 THEN array('PASS', concat('x', id)) " +
+              "ELSE array() END AS extra")
+          .write.mode("overwrite").format("bedpe").save(dir)
+        GraftIO.read_bedpe(s, dir)
+          .groupBy(col("chrom1"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("start1")).as("s1_sum"),
+            sum(col("end2") - col("start2") + 1).as("span2_sum"),
+            sum(when(col("chrom2").isNull, 1L).otherwise(0L)).as("n_orphan"),
+            sum(expr("size(extra)")).cast("long").as("extra_n"))
+          .orderBy("chrom1")
+      },
+      Some("""WITH g AS (SELECT i, 'c' || CAST(i % 3 AS VARCHAR) AS chrom1,
+            CAST(i * 100 + 1 AS BIGINT) AS start1,
+            CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END AS orphan,
+            CASE WHEN i % 4 = 0 THEN 2 ELSE 0 END AS nx
+          FROM range(0, 200) t(i))
+        SELECT chrom1, count(*) AS n, CAST(sum(start1) AS BIGINT) AS s1_sum,
+          CAST(sum(CASE WHEN orphan = 0 THEN 60 END) AS BIGINT) AS span2_sum,
+          CAST(sum(orphan) AS BIGINT) AS n_orphan,
+          CAST(sum(nx) AS BIGINT) AS extra_n
+        FROM g GROUP BY chrom1 ORDER BY chrom1""")),
+
+    // bedGraph writer round trip: the coverage-track export path
+    // (+1 shift re-applied on write), halves-exact double values.
+    "fmt_bedgraph_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_bgw").toString
+        s.range(300).selectExpr("concat('c', id % 4) AS chrom",
+            "id * 50 + 1 AS start", "id * 50 + 50 AS end",
+            "cast(id % 17 as double) + 0.5 AS value")
+          .write.mode("overwrite").format("bedgraph").save(dir)
+        GraftIO.read_bedgraph(s, dir)
+          .groupBy(col("chrom"))
+          .agg(count(lit(1)).as("n"), sum(col("start")).as("start_sum"),
+            sum(expr("value * (end - start + 1)")).as("mass"))
+          .orderBy("chrom")
+      },
+      Some("""WITH g AS (SELECT i, 'c' || CAST(i % 4 AS VARCHAR) AS chrom,
+            CAST(i * 50 + 1 AS BIGINT) AS start,
+            CAST(i % 17 AS DOUBLE) + 0.5 AS value
+          FROM range(0, 300) t(i))
+        SELECT chrom, count(*) AS n, CAST(sum(start) AS BIGINT) AS start_sum,
+          CAST(sum(value * 50) AS DOUBLE) AS mass
+        FROM g GROUP BY chrom ORDER BY chrom""")),
+
+    // BLAST6 writer round trip: VALUE identity under parse ∘ write
+    // (the text spelling of scientific notation normalizes — the
+    // standard float-format contract); the rollup includes an exact
+    // evalue equality against the 1e-k literal to prove it.
+    "fmt_blast_write_roundtrip" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_blastw").toString
+        GraftIO.read_blast6(s, blastCorpus(s).resolve("hits.b6").toString)
+          .write.mode("overwrite").format("blast6").save(dir)
+        GraftIO.read_blast6(s, dir)
+          .groupBy(col("qseqid"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("length")).as("len_sum"),
+            // min is fold-order-independent, so the parsed double
+            // round-trips EXACTLY: 1e-(21+q) for query q
+            min(col("evalue")).as("min_evalue"))
+          .orderBy("qseqid")
+      },
+      Some("""SELECT 'q' || CAST(q AS VARCHAR) AS qseqid,
+          CAST(15 AS BIGINT) AS n,
+          CAST((SELECT sum(100 + i % 50) FROM range(0, 150) t(i)
+                WHERE i % 10 = q) AS BIGINT) AS len_sum,
+          CAST('1e-' || CAST(21 + q AS VARCHAR) AS DOUBLE) AS min_evalue
+        FROM range(0, 10) u(q) ORDER BY qseqid""")),
+
     // SV-type classification over BEDPE pairs (the svtools/delly
     // convention): inter-chromosomal -> TRA; intra-chromosomal by
     // strand pair — (+,-) deletion-like, (-,+) duplication-like

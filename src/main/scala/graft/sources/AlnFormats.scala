@@ -456,6 +456,7 @@ object Blast6Format extends GraftFormat {
   override def name = "blast6"
   override def extensions = Seq("blast6", "b6", "m8")
   override def splittable = true
+  override def formatter: Option[graft.sources.core.RecordFormatter] = Some(Blast6Formatter)
 
   override def schema(paths: Seq[Path], conf: Configuration,
                       options: Map[String, String]): StructType =

@@ -476,6 +476,7 @@ object BedpeFormat extends GraftFormat {
   override def name = "bedpe"
   override def extensions = Seq("bedpe")
   override def splittable = true
+  override def formatter: Option[RecordFormatter] = Some(BedpeFormatter)
 
   override def schema(paths: Seq[Path], conf: Configuration,
                       options: Map[String, String]): StructType =

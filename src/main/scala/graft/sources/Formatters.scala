@@ -557,3 +557,50 @@ object BamFormatter extends graft.sources.core.RecordFormatter {
     out.toByteArray
   }
 }
+
+/** BEDPE rendering: stored 1-based inclusive loci back to the 0-based
+  * half-open disk form; a NULL mate renders as '.' with -1 coords (the
+  * convention the reader folds back to NULLs — parse ∘ write = id);
+  * extras re-append verbatim. */
+object BedpeFormatter extends graft.sources.core.RecordFormatter {
+  override def fileExtension = ".bedpe"
+  override def format(row: InternalRow, schema: StructType): String = {
+    def s(i: Int): String = if (row.isNullAt(i)) "." else row.getUTF8String(i).toString
+    def locus(ci: Int): String =
+      if (row.isNullAt(ci)) ".\t-1\t-1"
+      else s"${row.getUTF8String(ci)}\t${row.getLong(ci + 1) - 1}\t${row.getLong(ci + 2)}"
+    val extra =
+      if (row.isNullAt(10)) ""
+      else {
+        val arr = row.getArray(10)
+        (0 until arr.numElements()).map(i => "\t" + arr.getUTF8String(i)).mkString
+      }
+    s"${locus(0)}\t${locus(3)}\t${s(6)}\t${s(7)}\t${s(8)}\t${s(9)}$extra\n"
+  }
+}
+
+/** bedGraph rendering: 1-based inclusive back to 0-based half-open. */
+object BedGraphFormatter extends graft.sources.core.RecordFormatter {
+  override def fileExtension = ".bedgraph"
+  override def format(row: InternalRow, schema: StructType): String =
+    s"${row.getUTF8String(0)}\t${row.getLong(1) - 1}\t${row.getLong(2)}" +
+      s"\t${row.getDouble(3)}\n"
+}
+
+/** BLAST -outfmt 6 rendering: 12 tab-separated fields, doubles in
+  * Java's shortest-round-trip form (the VALUES survive parse ∘ write
+  * exactly; the text spelling of '1e-5' does not, which is the normal
+  * contract for float text formats). */
+object Blast6Formatter extends graft.sources.core.RecordFormatter {
+  override def fileExtension = ".blast6"
+  override def format(row: InternalRow, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder
+    sb.append(row.getUTF8String(0)).append('\t').append(row.getUTF8String(1))
+    sb.append('\t').append(row.getDouble(2))
+    var i = 3
+    while (i <= 9) { sb.append('\t').append(row.getLong(i)); i += 1 }
+    sb.append('\t').append(row.getDouble(10))
+    sb.append('\t').append(row.getDouble(11))
+    sb.append('\n').toString
+  }
+}

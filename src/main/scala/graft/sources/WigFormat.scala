@@ -114,6 +114,7 @@ object BedGraphFormat extends GraftFormat {
   override def name = "bedgraph"
   override def extensions = Seq("bedgraph", "bg")
   override def splittable = true
+  override def formatter: Option[RecordFormatter] = Some(BedGraphFormatter)
   override def regionColumns: Option[(String, String)] = Some(("chrom", "start"))
 
   override def schema(paths: Seq[Path], conf: Configuration,
