@@ -279,9 +279,57 @@ object PipelineTableFunctions {
       num(args(1), "maxDist").toLong))
   }
 
+  /** hudson_fst(sitesTable, pop1Size) — per-site integer Fst pairs via
+    * VariantQC.hudsonFst (columns sid/genotypes; pop 1 = the first
+    * pop1Size sample positions). */
+  private def fstBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, "hudson_fst(sitesTable, pop1Size)")
+    plan(graft.functions.VariantQC.hudsonFst(tbl(args(0), "sitesTable"),
+      num(args(1), "pop1Size").toInt))
+  }
+
+  /** ibs_counts(sitesTable) — pairwise IBS0/1/2 via
+    * VariantQC.ibsCounts (columns sid/genotypes). */
+  private def ibsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "ibs_counts(sitesTable)")
+    plan(graft.functions.VariantQC.ibsCounts(tbl(args(0), "sitesTable")))
+  }
+
+  /** mark_duplicates(readsTable) — clip-aware duplicate marking via
+    * SeqAnalysis.markDuplicates (columns qname/flag/chrom/pos/cigar/
+    * score). */
+  private def markDupBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "mark_duplicates(readsTable)")
+    plan(graft.functions.SeqAnalysis.markDuplicates(tbl(args(0), "readsTable")))
+  }
+
+  /** triangle_stats(edgesTable) — triangle count + clustering
+    * coefficient via GraphOps.triangleStats (columns src/dst). */
+  private def triangleBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "triangle_stats(edgesTable)")
+    plan(graft.pipeline.GraphOps.triangleStats(tbl(args(0), "edgesTable")))
+  }
+
+  /** k_core(edgesTable, k[, maxRounds]) — iterative peeling via
+    * GraphOps.kCore. NOTE: peeling runs AT PLAN TIME (the rounds are
+    * driver-side loop construction), the same eager contract as
+    * semantic_dedup's k-means. */
+  private def kCoreBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2 && args.length <= 3,
+      "k_core(edgesTable, k[, maxRounds])")
+    plan(graft.pipeline.GraphOps.kCore(tbl(args(0), "edgesTable"),
+      num(args(1), "k").toInt,
+      if (args.length > 2) num(args(2), "maxRounds").toInt else 30))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
     reg.createOrReplaceTempFunction("ld_r2", ldR2Builder, "scala_udf")
+    reg.createOrReplaceTempFunction("hudson_fst", fstBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("ibs_counts", ibsBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("mark_duplicates", markDupBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("triangle_stats", triangleBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("k_core", kCoreBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("vcf_leftalign", leftAlignBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("roh_segments", rohBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("assembly_stats", assemblyStatsBuilder, "scala_udf")

@@ -292,6 +292,52 @@ object TextOps {
             AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) <= 12 AS quality_ok
         FROM documents ORDER BY doc_id""")),
 
+    // ---- distinctive terms per source (keyness mining) ----
+    // "What words make this source different": per (source, term),
+    // the smoothed relative risk of the term in-source vs the rest of
+    // the corpus, in micro fixed-point (a*rest_mass vs elsewhere —
+    // +1-smoothed so unique-to-source terms rank without dividing by
+    // zero). Top-3 per source by (risk desc, term asc). Token explode
+    // -> two keyed aggs -> a broadcast of the tiny term-total table;
+    // integer throughout.
+    "text_distinctive_terms" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+        val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+        val srcTotals = toks.groupBy("source").agg(count(lit(1)).as("src_mass"))
+        val termTotals = toks.groupBy("tok").agg(count(lit(1)).as("term_mass"))
+        val total = toks.agg(count(lit(1)).as("all_mass"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("risk_micro").desc, col("tok").asc)
+        bySrc.join(broadcast(srcTotals), Seq("source"))
+          .join(broadcast(termTotals), Seq("tok"))
+          .crossJoin(broadcast(total))
+          .selectExpr("source", "tok", "a",
+            """1000000 * a * (all_mass - src_mass)
+                 div ((term_mass - a + 1) * src_mass) AS risk_micro""")
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+          .select("source", "rk", "tok", "a", "risk_micro")
+          .orderBy("source", "rk")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        f AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        b AS (SELECT source, tok, count(*) AS a FROM f GROUP BY source, tok),
+        st AS (SELECT source, count(*) AS src_mass FROM f GROUP BY source),
+        tt AS (SELECT tok, count(*) AS term_mass FROM f GROUP BY tok),
+        al AS (SELECT count(*) AS all_mass FROM f),
+        r AS (SELECT b.source, b.tok, b.a,
+            CAST(1000000 * b.a * (al.all_mass - st.src_mass)
+              // ((tt.term_mass - b.a + 1) * st.src_mass) AS BIGINT) AS risk_micro
+          FROM b JOIN st ON st.source = b.source
+                 JOIN tt ON tt.tok = b.tok, al),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY risk_micro DESC, tok ASC) AS rk FROM r)
+        SELECT source, CAST(rk AS INTEGER) AS rk, tok, a, risk_micro
+        FROM rk WHERE rk <= 3 ORDER BY source, rk""")),
+
     // ---- language-ID confusion matrix ----
     // The eval rollup of the text_language_id classifier: (true lang,
     // predicted) counts plus each cell's share of its true-lang row in

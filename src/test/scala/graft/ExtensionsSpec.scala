@@ -183,6 +183,41 @@ class ExtensionsSpec extends AnyFunSuite {
         .toDF("sid", "pos", "genotypes").createOrReplaceTempView("ext_ld")
       val ld = s.sql("SELECT r2_micro FROM ld_r2('ext_ld', 50)").collect()
       assert(ld.length == 1 && ld(0).getLong(0) == 1000000L, ld.toSeq)
+      // hudson_fst: 4 samples, pop1 = first 2; hand-computed integer pairs
+      Seq((0L, Seq("0/0", "0/1", "1/1", "0/0")),
+          (1L, Seq("1/1", "1/1", "0/0", "0/0")))
+        .toDF("sid", "genotypes").createOrReplaceTempView("ext_fst")
+      val fst = s.sql(
+        "SELECT sid, fst_num, fst_den FROM hudson_fst('ext_fst', 2) ORDER BY sid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(fst.toSeq == Seq((0L, -192L, 1152L), (1L, 2304L, 2304L)), fst.toSeq)
+      // ibs_counts over the same sites: pair (0,1) shares ibs1@sid0, ibs2@sid1
+      val ibs = s.sql(
+        "SELECT n_shared, n_ibs0, n_ibs1, n_ibs2 FROM ibs_counts('ext_fst') " +
+          "WHERE i = 0 AND j = 1").collect().head
+      assert((ibs.getLong(0), ibs.getLong(1), ibs.getLong(2), ibs.getLong(3)) ==
+        ((2L, 0L, 1L, 1L)), ibs.toString)
+      // mark_duplicates: clipped twin must collapse onto the same u5
+      Seq(("a", 0, "c1", 103L, "3S47M", 30L), ("b", 0, "c1", 100L, "50M", 20L))
+        .toDF("qname", "flag", "chrom", "pos", "cigar", "score")
+        .createOrReplaceTempView("ext_md")
+      val md = s.sql(
+        "SELECT qname, is_dup FROM mark_duplicates('ext_md') ORDER BY qname")
+        .collect().map(r => (r.getString(0), r.getBoolean(1)))
+      assert(md.toSeq == Seq(("a", false), ("b", true)), md.toSeq)
+      // triangle_stats: one triangle + a pendant edge -> gcc 3*1/5
+      Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 9L)).toDF("src", "dst")
+        .createOrReplaceTempView("ext_tri")
+      val tri = s.sql(
+        "SELECT n_triangles, n_wedges, gcc_micro FROM triangle_stats('ext_tri')")
+        .collect().head
+      assert((tri.getLong(0), tri.getLong(1), tri.getLong(2)) ==
+        ((1L, 5L, 600000L)), tri.toString)
+      // k_core: the pendant dies at k=2, the triangle survives
+      val core = s.sql(
+        "SELECT node, deg FROM k_core('ext_tri', 2) ORDER BY node")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(core.toSeq == Seq((0L, 2L), (1L, 2L), (2L, 2L)), core.toSeq)
       // optimizer rule: a filter on the exploded element grows an
       // exists() pre-filter BELOW the Generate. Plan shape asserted on
       // a range()-backed relation — over a LocalRelation the optimizer
