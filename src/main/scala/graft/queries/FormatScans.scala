@@ -1036,6 +1036,32 @@ object FormatScans {
           CAST(sum(value * 50) AS DOUBLE) AS mass
         FROM g GROUP BY chrom ORDER BY chrom""")),
 
+    // Region-pruned bedGraph read: the `region` option flows through
+    // the generic ranged-scan machinery to the new reader (overlap
+    // against the stored 1-based inclusive span). The oracle filters
+    // the generator by the same overlap rule.
+    "fmt_bedgraph_query" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-bedgraph") { d =>
+          val lines = (0 until 300).map { i =>
+            s"c${i % 3}\t${i * 50}\t${i * 50 + 50}\t${i % 17}.5"
+          }.mkString("track type=bedGraph\n", "\n", "\n")
+          java.nio.file.Files.write(d.resolve("cov.bedgraph"),
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_bedgraph(s, staged.resolve("cov.bedgraph").toString,
+            Map("region" -> "c1:2000-4000"))
+          .orderBy("start")
+      },
+      Some("""WITH g AS (SELECT i, 'c' || CAST(i % 3 AS VARCHAR) AS chrom,
+            CAST(i * 50 + 1 AS BIGINT) AS start,
+            CAST(i * 50 + 50 AS BIGINT) AS "end",
+            CAST(i % 17 AS DOUBLE) + 0.5 AS value
+          FROM range(0, 300) t(i))
+        SELECT chrom, start, "end", value FROM g
+        WHERE chrom = 'c1' AND start <= 4000 AND "end" >= 2000
+        ORDER BY start""")),
+
     // Sequence dictionary (Picard CreateSequenceDictionary / .dict):
     // per-contig length + MD5 of the UPPERCASED sequence (the GATK
     // reference-validation fingerprint). The hash is Spark's codegen'd
