@@ -857,6 +857,62 @@ object Relational {
           CAST(1000000 * cnt_le // n AS BIGINT) AS cd_micro
         FROM w ORDER BY ok, ln, rf, q""")),
 
+    // ---- cumulative distinct users (the growth curve) ----
+    // Running "total users ever seen" per day WITHOUT a running
+    // count-distinct (state linear in users): each user collapses to
+    // their first-seen day (one keyed agg), days aggregate new-user
+    // counts, and one ordered window sums the tiny day frame. The
+    // standard trick that turns an unbounded-state metric into two
+    // bounded aggs.
+    "rel_cumulative_users" -> Q(
+      (s, dir) => {
+        val firstSeen = eventsTs(s, dir)
+          .selectExpr("user_id", "date_format(ts, 'yyyy-MM-dd') AS day")
+          .groupBy("user_id").agg(min(col("day")).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstSeen
+          .withColumn("total_users", sum(col("new_users")).over(w))
+          .orderBy("day")
+      },
+      Some("""WITH f AS (SELECT user_id,
+            min(strftime(ts, '%Y-%m-%d')) AS day FROM events GROUP BY user_id),
+        d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        SELECT day, new_users,
+          CAST(sum(new_users) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+        FROM d ORDER BY day""")),
+
+    // ---- A/B test rollup (two-proportion summary, exact counts) ----
+    // Deterministic hash assignment (user_id parity stands in for the
+    // bucketing hash), conversion = the user ever purchased, and the
+    // report carries exact integer counts + micro rates — the z-score
+    // sqrt is the caller's display math, never state (the same
+    // division-at-the-edge discipline as kinship). One user-keyed agg
+    // into a 2-row frame.
+    "rel_ab_test" -> Q(
+      (s, dir) =>
+        eventsTs(s, dir)
+          .selectExpr("user_id", "event_type")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+          .selectExpr("user_id % 2 AS variant", "converted")
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+          .selectExpr("variant", "n_users", "n_conv",
+            "1000000 * n_conv div n_users AS rate_micro")
+          .orderBy("variant"),
+      Some("""WITH u AS (SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY user_id),
+        v AS (SELECT user_id % 2 AS variant, converted FROM u)
+        SELECT variant, count(*) AS n_users,
+          CAST(sum(converted) AS BIGINT) AS n_conv,
+          CAST(1000000 * sum(converted) // count(*) AS BIGINT) AS rate_micro
+        FROM v GROUP BY variant ORDER BY variant""")),
+
     // ---- Spearman rank correlation, exact rational ----
     // The monotone-association check (quantity vs revenue per return
     // flag) without a single float: tie-averaged ranks are k or k.5,
