@@ -3941,6 +3941,61 @@ object FormatScans {
     // an independent VALUES codon table instead of the engine's
     // translation kernel, so a genetic-code bug cannot hide on both
     // sides.
+    // GRAVY hydropathy (Kyte-Doolittle 1982, the ProtParam number):
+    // mean residue hydropathy with the K-D table scaled x10 so the
+    // whole computation is integer — gravy_milli = 100 * sum(h10) div
+    // n_res (signed: the CASE-negated floor keeps Spark's truncation
+    // and DuckDB's floor aligned). Same translate-then-explode shape
+    // as protein_stats; the oracle translates through its own VALUES
+    // genetic code AND its own VALUES hydropathy table.
+    "fmt_protein_gravy" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val kd = s.sql("""SELECT * FROM VALUES
+            ('M', 19L), ('A', 18L), ('L', 38L), ('E', -35L),
+            ('R', -45L), ('H', -32L), ('G', -4L), ('T', -7L),
+            ('S', -8L), ('W', -9L), ('P', -16L), ('N', -35L),
+            ('V', 42L) AS k(aa, h10)""")
+        GraftIO.read_fasta(s, cdsCorpus(s).toString)
+          .selectExpr("id", "translate_dna_to_aa(sequence) AS aas")
+          .select(col("id"), explode(split(col("aas"), "")).as("aa"))
+          .where(col("aa") =!= "" && col("aa") =!= "*")
+          .join(broadcast(kd), Seq("aa"))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_res"), sum(col("h10")).as("h10_sum"))
+          .selectExpr("id", "n_res", "h10_sum",
+            """CASE WHEN h10_sum >= 0 THEN 100 * h10_sum div n_res
+                 ELSE -(100 * (-h10_sum) div n_res) END AS gravy_milli""")
+          .orderBy("id")
+      },
+      Some("""WITH seqs AS (
+          SELECT 'cds' || CAST(i AS VARCHAR) AS id,
+            substr(repeat('ATGGCCTTAGAACGTC', 12), 1, 3 * (i % 7 + 10)) AS seq
+          FROM range(0, 40) t(i)),
+        cod AS (
+          SELECT id, unnest([substr(seq, 3 * j + 1, 3) for j in range(0, len(seq) // 3)]) AS codon
+          FROM seqs),
+        ct(codon, aa) AS (VALUES
+          ('ATG', 'M'), ('GCC', 'A'), ('TTA', 'L'), ('GAA', 'E'),
+          ('CGT', 'R'), ('CAT', 'H'), ('GGC', 'G'), ('CTT', 'L'),
+          ('AGA', 'R'), ('ACG', 'T'), ('TCA', 'S'), ('TGG', 'W'),
+          ('CCT', 'P'), ('TAG', '*'), ('AAC', 'N'), ('GTC', 'V')),
+        kd(aa, h10) AS (VALUES
+          ('M', 19), ('A', 18), ('L', 38), ('E', -35),
+          ('R', -45), ('H', -32), ('G', -4), ('T', -7),
+          ('S', -8), ('W', -9), ('P', -16), ('N', -35),
+          ('V', 42)),
+        res AS (SELECT id, kd.h10 FROM cod
+          JOIN ct ON cod.codon = ct.codon
+          JOIN kd ON kd.aa = ct.aa
+          WHERE ct.aa <> '*'),
+        a AS (SELECT id, count(*) AS n_res,
+            CAST(sum(h10) AS BIGINT) AS h10_sum FROM res GROUP BY id)
+        SELECT id, n_res, h10_sum,
+          CAST(CASE WHEN h10_sum >= 0 THEN 100 * h10_sum // n_res
+               ELSE -((100 * -h10_sum) // n_res) END AS BIGINT) AS gravy_milli
+        FROM a ORDER BY id""")),
+
     "fmt_protein_stats" -> Q(
       (s, _) => {
         graft.functions.GraftFunctions.registerAll(s)
