@@ -3941,6 +3941,70 @@ object FormatScans {
     // an independent VALUES codon table instead of the engine's
     // translation kernel, so a genetic-code bug cannot hide on both
     // sides.
+    // Depth segments (bedtools genomecov -bg: maximal runs of constant
+    // nonzero coverage): the +1/-1 event sweep with one running-sum
+    // window per chromosome, segment ends from lead() — per-base rows
+    // never materialize (the genomecov_hist discipline, emitting the
+    // segment FORM a coverage-track export wants). Consecutive
+    // breakpoints with equal depth stay split only when a read
+    // boundary sits between them — collapsed here by a second
+    // islands pass so the output is the canonical minimal form.
+    "fmt_genomecov_bg" -> Q(
+      (s, _) => {
+        val reads = s.range(200).selectExpr(
+          "concat('c', id % 2) AS chrom",
+          "(id * 37) % 1000 + 1 AS rs",
+          "(id * 37) % 1000 + 50 + (cast(id % 5 as int)) * 10 AS re")
+        val events = reads.selectExpr("chrom", "rs AS pos", "1L AS d")
+          .union(reads.selectExpr("chrom", "re + 1 AS pos", "-1L AS d"))
+          .groupBy("chrom", "pos").agg(sum(col("d")).as("delta"))
+        val w = Window.partitionBy("chrom").orderBy("pos")
+        val segs = events
+          .withColumn("depth", sum(col("delta")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("seg_end", lead(col("pos"), 1).over(w) - 1)
+          .where(col("depth") > 0 && col("seg_end").isNotNull)
+          .selectExpr("chrom", "pos AS seg_start", "seg_end", "depth")
+        // collapse touching equal-depth segments (canonical -bg form)
+        val w2 = Window.partitionBy("chrom").orderBy("seg_start")
+        segs
+          .withColumn("brk", when(
+            lag(col("seg_end"), 1).over(w2) === col("seg_start") - 1 &&
+              lag(col("depth"), 1).over(w2) === col("depth"), 0L).otherwise(1L))
+          .withColumn("island", sum(col("brk")).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("chrom"), col("island"), col("depth"))
+          .agg(min(col("seg_start")).as("seg_start"),
+            max(col("seg_end")).as("seg_end"))
+          .select("chrom", "seg_start", "seg_end", "depth")
+          .orderBy("chrom", "seg_start")
+      },
+      Some("""WITH reads AS (SELECT 'c' || CAST(i % 2 AS VARCHAR) AS chrom,
+            CAST((i * 37) % 1000 + 1 AS BIGINT) AS rs,
+            CAST((i * 37) % 1000 + 50 + (i % 5) * 10 AS BIGINT) AS re
+          FROM range(0, 200) t(i)),
+        ev AS (SELECT chrom, pos, sum(d) AS delta FROM (
+            SELECT chrom, rs AS pos, 1 AS d FROM reads
+            UNION ALL SELECT chrom, re + 1, -1 FROM reads)
+          GROUP BY chrom, pos),
+        sw AS (SELECT chrom, pos,
+            sum(delta) OVER (PARTITION BY chrom ORDER BY pos
+              ROWS UNBOUNDED PRECEDING) AS depth,
+            lead(pos) OVER (PARTITION BY chrom ORDER BY pos) - 1 AS seg_end
+          FROM ev),
+        segs AS (SELECT chrom, pos AS seg_start, seg_end, depth FROM sw
+          WHERE depth > 0 AND seg_end IS NOT NULL),
+        f AS (SELECT *, CASE WHEN lag(seg_end) OVER
+              (PARTITION BY chrom ORDER BY seg_start) = seg_start - 1
+            AND lag(depth) OVER (PARTITION BY chrom ORDER BY seg_start) = depth
+            THEN 0 ELSE 1 END AS brk FROM segs),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY chrom ORDER BY seg_start
+            ROWS UNBOUNDED PRECEDING) AS island FROM f)
+        SELECT chrom, CAST(min(seg_start) AS BIGINT) AS seg_start,
+          CAST(max(seg_end) AS BIGINT) AS seg_end, CAST(depth AS BIGINT) AS depth
+        FROM g GROUP BY chrom, island, depth
+        ORDER BY chrom, seg_start""")),
+
     // GRAVY hydropathy (Kyte-Doolittle 1982, the ProtParam number):
     // mean residue hydropathy with the K-D table scaled x10 so the
     // whole computation is integer — gravy_milli = 100 * sum(h10) div
