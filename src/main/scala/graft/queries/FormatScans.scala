@@ -2544,6 +2544,50 @@ object FormatScans {
           CAST(sum(CASE WHEN gt = './.' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         FROM g GROUP BY pos ORDER BY pos""")),
 
+    // Rare-variant filtering against a population-frequency resource
+    // (the gnomAD-annotate step of every clinical pipeline): callset
+    // sites LEFT-join the known-AF table on the full (chrom, pos, ref,
+    // alt) allele key — a broadcast join, the frequency resource being
+    // the small side — and the rarity verdict is integer ppm
+    // arithmetic; sites absent from the resource are "novel" and pass.
+    // Both sides of the join are arithmetic fixtures the oracle
+    // regenerates.
+    "fmt_vcf_rare_filter" -> Q(
+      (s, _) => {
+        val calls = s.range(400).selectExpr(
+          "concat('c', id % 2) AS chrom", "id * 10 + 1 AS pos",
+          "'A' AS ref", "CASE WHEN id % 2 = 0 THEN 'G' ELSE 'C' END AS alt")
+        // resource covers every 3rd site; af_ppm cycles through
+        // common (30000) / rare (120) / boundary (1000) values
+        val af = s.range(400).where("id % 3 = 0").selectExpr(
+          "concat('c', id % 2) AS chrom", "id * 10 + 1 AS pos",
+          "'A' AS ref", "CASE WHEN id % 2 = 0 THEN 'G' ELSE 'C' END AS alt",
+          "element_at(array(30000L, 120L, 1000L), cast((id div 3) % 3 as int) + 1) AS af_ppm")
+        calls.join(broadcast(af), Seq("chrom", "pos", "ref", "alt"), "left")
+          .selectExpr("chrom", "pos", "ref", "alt", "af_ppm",
+            "af_ppm IS NULL AS novel",
+            "coalesce(af_ppm, 0L) < 1000 AS is_rare")
+          .groupBy(col("chrom"))
+          .agg(count(lit(1)).as("n_sites"),
+            sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"),
+            sum(when(col("is_rare"), 1L).otherwise(0L)).as("n_rare"),
+            sum(coalesce(col("af_ppm"), lit(0L))).as("af_ppm_sum"))
+          .orderBy("chrom")
+      },
+      Some("""WITH calls AS (SELECT i, 'c' || CAST(i % 2 AS VARCHAR) AS chrom
+          FROM range(0, 400) t(i)),
+        af AS (SELECT i, ([30000, 120, 1000])[CAST((i // 3) % 3 AS INTEGER) + 1] AS af_ppm
+          FROM range(0, 400) t(i) WHERE i % 3 = 0),
+        j AS (SELECT c.chrom, af.af_ppm,
+            af.af_ppm IS NULL AS novel,
+            coalesce(af.af_ppm, 0) < 1000 AS is_rare
+          FROM calls c LEFT JOIN af ON af.i = c.i)
+        SELECT chrom, count(*) AS n_sites,
+          CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+          CAST(sum(coalesce(af_ppm, 0)) AS BIGINT) AS af_ppm_sum
+        FROM j GROUP BY chrom ORDER BY chrom""")),
+
     // Haplotype phase blocks (whatshap stats' core accounting): per
     // sample, runs of consecutively PHASED genotypes ('|' separator)
     // form blocks; an unphased '/' call breaks the run. Classic

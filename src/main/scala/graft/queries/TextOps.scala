@@ -292,6 +292,54 @@ object TextOps {
             AND round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) <= 12 AS quality_ok
         FROM documents ORDER BY doc_id""")),
 
+    // ---- term burstiness (Fano factor, exact rational) ----
+    // Bursty terms cluster in few documents (topical words); uniform
+    // terms spread evenly (function words). The variance-to-mean
+    // ratio over per-doc counts — INCLUDING the zero docs, which is
+    // where naive implementations go wrong — stays an exact integer
+    // pair: with n docs, Σx and Σx² over occurrences only,
+    // VMR = (n·Σx² − (Σx)²) / (n·Σx). Top-10 by (VMR desc, term).
+    // The n·Σx² term needs no zero rows because zeros add nothing to
+    // either sum; n comes from one corpus-count scalar.
+    "text_burstiness" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val counts = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("x"))
+          .groupBy("tok")
+          .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+            count(lit(1)).as("df"))
+        val w = Window.orderBy(col("vmr_micro").desc, col("tok").asc)
+        counts.crossJoin(broadcast(nDocs))
+          .selectExpr("tok", "df", "sx",
+            "n_docs * sxx - sx * sx AS fano_num",
+            "n_docs * sx AS fano_den",
+            "1000000 * (n_docs * sxx - sx * sx) div (n_docs * sx) AS vmr_micro")
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+          .select("rk", "tok", "df", "sx", "fano_num", "fano_den", "vmr_micro")
+          .orderBy("rk")
+      },
+      Some("""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS x FROM tk WHERE tok <> ''
+          GROUP BY doc_id, tok),
+        a AS (SELECT tok, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(x * x) AS BIGINT) AS sxx, count(*) AS df
+          FROM c GROUP BY tok),
+        r AS (SELECT tok, df, sx,
+            CAST(nd.n_docs * sxx - sx * sx AS BIGINT) AS fano_num,
+            CAST(nd.n_docs * sx AS BIGINT) AS fano_den,
+            CAST(1000000 * (nd.n_docs * sxx - sx * sx)
+              // (nd.n_docs * sx) AS BIGINT) AS vmr_micro
+          FROM a, nd),
+        rk AS (SELECT *, row_number() OVER
+            (ORDER BY vmr_micro DESC, tok ASC) AS rk FROM r)
+        SELECT CAST(rk AS INTEGER) AS rk, tok, df, sx, fano_num, fano_den, vmr_micro
+        FROM rk WHERE rk <= 10 ORDER BY rk""")),
+
     // ---- distinctive terms per source (keyness mining) ----
     // "What words make this source different": per (source, term),
     // the smoothed relative risk of the term in-source vs the rest of
