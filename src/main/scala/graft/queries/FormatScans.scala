@@ -1828,6 +1828,51 @@ object FormatScans {
     // tie-broken by base). The oracle brute-forces the same counts
     // from the generating formula in SQL — reader bug and formula bug
     // would have to agree to pass.
+    // Alignment gap-trimming (trimAl -gt: drop columns whose gap
+    // fraction exceeds the threshold) over a 20-taxon x 60-column
+    // gapped PHYLIP alignment read through the interleaved parser —
+    // the fixture exercises block concatenation at volume, the
+    // per-column verdicts are one posexplode + keyed agg, and the
+    // oracle recomputes gap placement from the generating formula.
+    "fmt_msa_trim" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-phy-trim") { d =>
+          val bases = "ACGT"
+          val sb = new StringBuilder(" 20 60\n")
+          for (blk <- 0 until 3) {
+            for (i <- 0 until 20) {
+              if (blk == 0) sb.append(f"tax$i%-6s ")
+              for (j <- blk * 20 until (blk + 1) * 20)
+                sb.append(
+                  if ((i * 7 + j * j) % 11 < 3) '-'
+                  else bases((i + j) % 4))
+              sb.append('\n')
+            }
+            sb.append('\n')
+          }
+          java.nio.file.Files.write(d.resolve("aln.phy"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_phylip(s, staged.resolve("aln.phy").toString)
+          .selectExpr("posexplode(transform(sequence(1, length(sequence)), " +
+            "p -> substring(sequence, p, 1))) AS (j0, ch)")
+          .selectExpr("cast(j0 + 1 as bigint) AS j",
+            "CASE WHEN ch = '-' THEN 1L ELSE 0L END AS g")
+          .groupBy(col("j"))
+          .agg(sum(col("g")).as("n_gaps"))
+          .selectExpr("j", "n_gaps",
+            // -gt 0.8: keep while non-gaps >= 80% of 20 taxa
+            "CASE WHEN 20 - n_gaps >= 16 THEN 1 ELSE 0 END AS kept")
+          .orderBy("j")
+      },
+      Some("""WITH cell AS (SELECT i, j,
+            CASE WHEN (i * 7 + j * j) % 11 < 3 THEN 1 ELSE 0 END AS g
+          FROM range(0, 20) a(i), range(0, 60) b(j)),
+        c AS (SELECT j, CAST(sum(g) AS BIGINT) AS n_gaps FROM cell GROUP BY j)
+        SELECT CAST(j + 1 AS BIGINT) AS j, n_gaps,
+          CAST(CASE WHEN 20 - n_gaps >= 16 THEN 1 ELSE 0 END AS INTEGER) AS kept
+        FROM c ORDER BY j""")),
+
     "fmt_msa_conservation" -> Q(
       (s, _) => {
         val dir = Stage.staged("graft-sto-gen") { d =>

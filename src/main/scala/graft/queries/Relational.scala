@@ -857,6 +857,53 @@ object Relational {
           CAST(1000000 * cnt_le // n AS BIGINT) AS cd_micro
         FROM w ORDER BY ok, ln, rf, q""")),
 
+    // ---- decile lift table (the targeting-model report) ----
+    // Users ranked by an activity score into deciles (ntile over a
+    // FULLY deterministic order — score desc, user_id asc; naked
+    // ntile over ties is a run-to-run coin flip), each decile's
+    // conversion rate plus CUMULATIVE lift vs the base rate, all in
+    // integer micro: lift = (cum_conv/cum_users)/(total_conv/
+    // total_users) cross-multiplied, no float division anywhere.
+    "rel_decile_lift" -> Q(
+      (s, dir) => {
+        val users = eventsTs(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("score"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("conv"))
+        val w = Window.orderBy(col("score").desc, col("user_id").asc)
+        val cum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val d = users.withColumn("decile", ntile(10).over(w))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+        d.withColumn("cum_users", sum(col("n_users")).over(cum))
+          .withColumn("cum_conv", sum(col("n_conv")).over(cum))
+          .crossJoin(broadcast(d.agg(sum(col("n_users")).as("tu"),
+            sum(col("n_conv")).as("tc"))))
+          .selectExpr("decile", "n_users", "n_conv",
+            "1000000 * n_conv div n_users AS rate_micro",
+            "1000000 * cum_conv * tu div (cum_users * tc) AS cum_lift_micro")
+          .orderBy("decile")
+      },
+      Some("""WITH u AS (SELECT user_id, count(*) AS score,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id),
+        d AS (SELECT ntile(10) OVER (ORDER BY score DESC, user_id ASC) AS decile,
+            conv FROM u),
+        g AS (SELECT decile, count(*) AS n_users,
+            CAST(sum(conv) AS BIGINT) AS n_conv FROM d GROUP BY decile),
+        c AS (SELECT *, sum(n_users) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS cum_users,
+            sum(n_conv) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS cum_conv FROM g),
+        tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+            CAST(sum(n_conv) AS BIGINT) AS tc FROM g)
+        SELECT decile, n_users, n_conv,
+          CAST(1000000 * n_conv // n_users AS BIGINT) AS rate_micro,
+          CAST(1000000 * cum_conv * tu // (cum_users * tc) AS BIGINT) AS cum_lift_micro
+        FROM c, tot ORDER BY decile""")),
+
     // ---- cumulative distinct users (the growth curve) ----
     // Running "total users ever seen" per day WITHOUT a running
     // count-distinct (state linear in users): each user collapses to
