@@ -2820,6 +2820,36 @@ object FormatScans {
           CAST(1000000 * as_sum // n_reads AS BIGINT) AS mean_as_micro
         FROM a ORDER BY rg""")),
 
+    // Per-read GC histogram (the FastQC "Per sequence GC content"
+    // panel): engineered reads staged through the REAL FASTQ writer
+    // and read back, GC fraction by length-difference arithmetic
+    // (integer percent buckets — no float ratios), one bounded
+    // histogram agg. The oracle rebuilds bucket counts from the
+    // generator.
+    "fmt_fastq_gc_hist" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-fastq-gc") { d =>
+          s.range(300).selectExpr("concat('r', id) AS name",
+              "cast(null as string) AS description",
+              "concat(repeat('AT', 10 + cast(id % 11 as int)), " +
+                "repeat('GC', cast(id % 21 as int))) AS sequence",
+              "repeat('I', 2 * (10 + cast(id % 11 as int)) + 2 * cast(id % 21 as int)) AS quality_scores")
+            .write.mode("overwrite").format("fastq").save(d.toString)
+        }
+        GraftIO.read_fastq(s, staged.toString)
+          .selectExpr(
+            "cast(length(sequence) as bigint) AS len",
+            "cast(length(sequence) - length(regexp_replace(sequence, '[GC]', '')) as bigint) AS ngc")
+          .selectExpr("100 * ngc div len AS gc_pct_bucket")
+          .groupBy(col("gc_pct_bucket")).agg(count(lit(1)).as("n_reads"))
+          .orderBy("gc_pct_bucket")
+      },
+      Some("""WITH g AS (SELECT CAST(2 * (10 + i % 11) + 2 * (i % 21) AS BIGINT) AS len,
+            CAST(2 * (i % 21) AS BIGINT) AS ngc
+          FROM range(0, 300) t(i))
+        SELECT 100 * ngc // len AS gc_pct_bucket, count(*) AS n_reads
+        FROM g GROUP BY gc_pct_bucket ORDER BY gc_pct_bucket""")),
+
     // Insert-size histogram (samtools stats "insert size" section):
     // proper-pair first mates only — the flag predicates are the
     // library's real SAM-bit Catalyst expressions, the tlen>0

@@ -857,6 +857,55 @@ object Relational {
           CAST(1000000 * cnt_le // n AS BIGINT) AS cd_micro
         FROM w ORDER BY ok, ln, rf, q""")),
 
+    // ---- top session paths (user-journey mining) ----
+    // The "what do sessions look like" sankey feed: sessions by the
+    // 1-hour gap rule (the gaps-islands window), each session's first
+    // three event types concatenated in time order (array_agg is
+    // order-nondeterministic under shuffles — the collect rides a
+    // WINDOW over (tus, event_id), which pins it), top-10 paths by
+    // (count desc, path asc). Two user-keyed windows + a tiny agg.
+    "rel_top_paths" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val sess = eventsTs(s, dir)
+          .selectExpr("user_id", "event_id", "unix_micros(ts) AS tus", "event_type")
+          .withColumn("new_s",
+            when(col("tus") - lag(col("tus"), 1).over(w) <= 3600L * 1000000L, 0L)
+              .otherwise(1L))
+          .withColumn("sid", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+        val paths = sess
+          .withColumn("step", row_number().over(ws))
+          .where(col("step") <= 3)
+          .groupBy(col("user_id"), col("sid"))
+          .agg(expr("concat_ws('>', transform(array_sort(" +
+            "collect_list(struct(step, event_type))), x -> x.event_type))")
+            .as("path"))
+        val wr = Window.orderBy(col("n").desc, col("path").asc)
+        paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(wr)).where(col("rk") <= 10)
+          .select("rk", "path", "n")
+          .orderBy("rk")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+          FROM events),
+        f AS (SELECT *, CASE WHEN tus - lag(tus) OVER
+              (PARTITION BY user_id ORDER BY tus, event_id)
+            <= 3600::BIGINT * 1000000 THEN 0 ELSE 1 END AS new_s FROM e),
+        g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        st AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+            ORDER BY tus, event_id) AS step FROM g),
+        p AS (SELECT user_id, sid,
+            string_agg(event_type, '>' ORDER BY step) AS path
+          FROM st WHERE step <= 3 GROUP BY user_id, sid),
+        c AS (SELECT path, count(*) AS n FROM p GROUP BY path),
+        rk AS (SELECT *, row_number() OVER (ORDER BY n DESC, path ASC) AS rk
+          FROM c)
+        SELECT CAST(rk AS INTEGER) AS rk, path, n
+        FROM rk WHERE rk <= 10 ORDER BY rk""")),
+
     // ---- decile lift table (the targeting-model report) ----
     // Users ranked by an activity score into deciles (ntile over a
     // FULLY deterministic order — score desc, user_id asc; naked
