@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Schema lint for the correctness gate's dumped outputs.
+  *
+  * The driver's checker loads each entry's parquet dump into pandas and
+  * lexsorts every column to canonicalize row order before hashing. pandas
+  * cannot lexsort a column of raw arrays/structs/maps (round-8 red
+  * fmt_bedpe_scan: `Categorical(k, ordered=True)` → "unhashable type:
+  * numpy.ndarray"), so a nested top-level column is a gate bug even when
+  * the values are correct. This is the third dtype-trap class the gate
+  * has hit (after Decimal-vs-double and CAST-rounds-vs-truncates); the
+  * lint retires the class instead of remembering it: Verify fails an
+  * entry loudly before dumping it, and GateLintSpec fails `sbt test`
+  * before the driver ever sees it. Render nested values with
+  * `array_join` / `to_json` / `concat_ws` in the gate projection.
+  */
+object GateLint {
+
+  /** Names + types of top-level columns the driver's checker can't sort. */
+  def nestedColumns(schema: StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+
+  /** Throws with the offending columns if the gate dump would be
+    * unhashable for the driver's pandas checker. */
+  def assertCheckerSafe(entry: String, schema: StructType): Unit = {
+    val bad = nestedColumns(schema)
+    require(bad.isEmpty,
+      s"gate entry '$entry' dumps nested top-level column(s) the driver's " +
+        s"pandas checker cannot sort/hash: ${bad.mkString(", ")} — render " +
+        "them scalar (array_join / to_json / concat_ws) in the gate projection")
+  }
+}

@@ -45,6 +45,7 @@ object GraftFunctions {
     "translate_dna_to_aa" -> (e => TranslateDnaToAa(e.head)),
     "translate_dna_to_aa_lenient" -> (e => TranslateDnaToAaLenient(e.head)),
     "parse_cigar" -> (e => ParseCigar(e.head)),
+    "cigar_spans" -> (e => CigarSpans(e(0), e(1))),
     "extract_from_cigar" -> (e => ExtractFromCigar(e(0), e(1))),
     "quality_score_string_to_list" -> (e => QualityScoreStringToList(e.head)),
     "gff_parse_attributes" -> (e => GffParseAttributes(e.head)),

@@ -27,31 +27,27 @@ object Pileup {
     * reference only, I/S consume query only, H/P consume neither — so
     * deletions leave gaps in the pileup and insertions/soft-clips
     * never leak bases into it. Unmapped records (null reference) are
-    * dropped. */
+    * dropped.
+    *
+    * The walk itself is the native [[graft.functions.CigarSpans]]
+    * kernel — ONE linear pass per read emitting (pos, qi, len) spans —
+    * exploded twice (spans, then offsets within a span). The previous
+    * HOF formulation concat-appended per-base pairs inside `aggregate`,
+    * copying the growing array once per CIGAR op: quadratic on
+    * long-read (ONT/PacBio) CIGARs with thousands of ops. Nothing here
+    * ever materializes more than one span's offsets at a time. */
   def baseAlignments(reads: DataFrame): DataFrame = {
     GraftFunctions.registerAll(reads.sparkSession)
     reads
       .where(col("reference").isNotNull && col("cigar").isNotNull &&
         col("sequence").isNotNull)
       .selectExpr("reference", "sequence",
-        """aggregate(parse_cigar(cigar),
-             named_struct('r', start, 'q', 1,
-               'pairs', cast(array() as array<struct<pos: bigint, qi: int>>)),
-             (acc, o) -> CASE
-               WHEN o.op IN ('M', '=', 'X') THEN named_struct(
-                 'r', acc.r + o.len, 'q', acc.q + o.len,
-                 'pairs', concat(acc.pairs, transform(sequence(0, o.len - 1),
-                   i -> named_struct('pos', acc.r + i, 'qi', cast(acc.q + i as int)))))
-               WHEN o.op IN ('D', 'N') THEN named_struct(
-                 'r', acc.r + o.len, 'q', acc.q, 'pairs', acc.pairs)
-               WHEN o.op IN ('I', 'S') THEN named_struct(
-                 'r', acc.r, 'q', acc.q + o.len, 'pairs', acc.pairs)
-               ELSE acc END,
-             acc -> acc.pairs) AS pairs""")
-      .select(col("reference"), explode(col("pairs")).as("p"),
-        col("sequence"))
-      .select(col("reference"), col("p.pos").as("pos"),
-        expr("substr(sequence, p.qi, 1)").as("base"))
+        "explode(cigar_spans(cigar, cast(start as bigint))) AS sp")
+      .selectExpr("reference", "sequence", "sp",
+        "explode(sequence(0, sp.len - 1)) AS i")
+      .select(col("reference"),
+        (col("sp.pos") + col("i")).as("pos"),
+        expr("substr(sequence, sp.qi + i, 1)").as("base"))
   }
 
   /** Per-contig 1-based reference bases from a FASTA-shaped frame

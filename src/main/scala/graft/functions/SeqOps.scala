@@ -193,6 +193,41 @@ object SeqOps {
     new GenericArrayData(ops.toArray)
   }
 
+  /** Aligned M/=/X spans of a CIGAR walked from 1-based `start`:
+    * one (pos, qi, len) struct per query-AND-reference-consuming op,
+    * where pos is the span's first reference position and qi its
+    * 1-based query offset. D/N advance the reference only, I/S the
+    * query only, H/P neither — the SAM spec consumption table. ONE
+    * linear pass with no array re-copying: the HOF alternative
+    * (concat-append inside `aggregate`) copies the growing pair list
+    * once per op, quadratic on long-read CIGARs with thousands of ops. */
+  def cigarSpans(s: UTF8String, start: Long): ArrayData = {
+    val cig = s.toString
+    if (cig.isEmpty) fail("cigar_spans", "empty CIGAR")
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var r = start
+    var q = 1
+    var i = 0
+    while (i < cig.length) {
+      val d0 = i
+      while (i < cig.length && cig.charAt(i).isDigit) i += 1
+      if (i == d0 || i == cig.length)
+        fail("cigar_spans", s"invalid CIGAR '$cig'")
+      val len = java.lang.Integer.parseInt(cig.substring(d0, i))
+      cig.charAt(i) match {
+        case 'M' | '=' | 'X' =>
+          spans += new GenericInternalRow(Array[Any](r, q, len))
+          r += len; q += len
+        case 'D' | 'N' => r += len
+        case 'I' | 'S' => q += len
+        case 'H' | 'P' => ()
+        case op => fail("cigar_spans", s"invalid CIGAR op '$op' in '$cig'")
+      }
+      i += 1
+    }
+    new GenericArrayData(spans.toArray)
+  }
+
   /** Trim leading/trailing Insertion ops and return
     * (sequence_start, sequence_end, trimmed sequence).
     * Ref: sam_functions/module.cpp:77-115 + rust sam_functions.rs:161-200:

@@ -283,11 +283,22 @@ object VariantQC {
       .where(col("p2") > col("p1") && col("p2") - col("p1") <= maxDist)
       .withColumn("sxy",
         expr("aggregate(zip_with(d1, d2, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      // decimal(38,0) intermediates: 1e6·(nΣxy-ΣxΣy)² grows as 1.6e7·n⁴,
+      // wrapping int64 silently past ~870 samples; decimal is exact to
+      // ~1.5e7 samples (then NULL, never a wrapped value). `div` on
+      // decimals is Spark's IntegralDivide → BIGINT, and both operands
+      // are non-negative (a square over a product of variances), so
+      // truncation == floor and the DuckDB `//` oracle convention holds.
       .selectExpr("s1", "s2",
-        """CASE WHEN (n * sxx1 - sx1 * sx1) * (n * sxx2 - sx2 * sx2) = 0
+        "CAST(n AS DECIMAL(38,0)) AS nd",
+        "CAST(sxy AS DECIMAL(38,0)) AS sxyd",
+        "CAST(sx1 AS DECIMAL(38,0)) AS sx1d", "CAST(sxx1 AS DECIMAL(38,0)) AS sxx1d",
+        "CAST(sx2 AS DECIMAL(38,0)) AS sx2d", "CAST(sxx2 AS DECIMAL(38,0)) AS sxx2d")
+      .selectExpr("s1", "s2",
+        """CASE WHEN (nd * sxx1d - sx1d * sx1d) * (nd * sxx2d - sx2d * sx2d) = 0
              THEN CAST(NULL AS BIGINT)
-             ELSE 1000000 * (n * sxy - sx1 * sx2) * (n * sxy - sx1 * sx2) div
-               ((n * sxx1 - sx1 * sx1) * (n * sxx2 - sx2 * sx2)) END AS r2_micro""")
+             ELSE 1000000 * (nd * sxyd - sx1d * sx2d) * (nd * sxyd - sx1d * sx2d) div
+               ((nd * sxx1d - sx1d * sx1d) * (nd * sxx2d - sx2d * sx2d)) END AS r2_micro""")
   }
 
   /** One (key, chrom, pos, ref, alt) site for [[VariantQC.leftAlign]];
@@ -428,6 +439,14 @@ object VariantQC {
     * ratio-of-averages divide sums of num/S by sums of den/S at
     * display time (floats there are presentation, not state).
     *
+    * Arithmetic envelope: the scaled products grow as n^6, which wraps
+    * int64 silently beyond ~700 diploid samples per pop — cohort sizes
+    * the 100 TB framing invites — so the products are computed in
+    * DECIMAL(38,0) and returned as DECIMAL(38,0). That is exact to
+    * ~10^38, i.e. ~1M diploid samples PER POP; past that Spark's
+    * non-ANSI decimal overflow yields NULL (conspicuous), never a
+    * silently wrapped value.
+    *
     * Scale shape: one codegen'd per-row transform into a per-site
     * row — a map-only scan, no join, no explode; the sample loop
     * rides array HOFs inside the row. */
@@ -449,11 +468,18 @@ object VariantQC {
         s"2 * size(filter(slice(ds, $pop1Size + 1, size(ds) - $pop1Size), x -> x IS NOT NULL)) AS n2")
       .selectExpr("sid", "a1", "cast(n1 as bigint) AS n1", "a2", "cast(n2 as bigint) AS n2")
       .where(col("n1") >= 2 && col("n2") >= 2)
+      // decimal(38,0) operands: the n^6-scaled products wrap int64 at
+      // ~700 diploids/pop; decimal is exact to ~1M diploids/pop and
+      // overflows to NULL, never to a wrong value
       .selectExpr("sid", "a1", "n1", "a2", "n2",
-        """(a1*n2 - a2*n1) * (a1*n2 - a2*n1) * (n1-1) * (n2-1)
-             - a1*(n1-a1) * n2*n2 * (n2-1)
-             - a2*(n2-a2) * n1*n1 * (n1-1) AS fst_num""",
-        "(a1*(n2-a2) + a2*(n1-a1)) * n1 * n2 * (n1-1) * (n2-1) AS fst_den")
+        "CAST(a1 AS DECIMAL(38,0)) AS a1d", "CAST(n1 AS DECIMAL(38,0)) AS n1d",
+        "CAST(a2 AS DECIMAL(38,0)) AS a2d", "CAST(n2 AS DECIMAL(38,0)) AS n2d")
+      .selectExpr("sid", "a1", "n1", "a2", "n2",
+        """CAST((a1d*n2d - a2d*n1d) * (a1d*n2d - a2d*n1d) * (n1d-1) * (n2d-1)
+             - a1d*(n1d-a1d) * n2d*n2d * (n2d-1)
+             - a2d*(n2d-a2d) * n1d*n1d * (n1d-1) AS DECIMAL(38,0)) AS fst_num""",
+        """CAST((a1d*(n2d-a2d) + a2d*(n1d-a1d)) * n1d * n2d * (n1d-1) * (n2d-1)
+             AS DECIMAL(38,0)) AS fst_den""")
   }
 
   /** Pairwise identity-by-state counts (plink `--genome`'s IBS0/1/2

@@ -95,6 +95,39 @@ object ParseCigar {
     containsNull = false)
 }
 
+/** Aligned M/=/X spans of a CIGAR from a 1-based start — the linear
+  * kernel the pileup walk explodes (see [[SeqOps.cigarSpans]]); a
+  * codegen'd static call like the rest of the scalar surface. */
+case class CigarSpans(cigar: Expression, start: Expression)
+    extends BinaryExpression {
+  override def left: Expression = cigar
+  override def right: Expression = start
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (cigar.dataType.isInstanceOf[StringType] && start.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, BIGINT) inputs, got " +
+        s"(${cigar.dataType}, ${start.dataType})")
+  override def dataType: DataType = CigarSpans.outputType
+  override def nullSafeEval(c: Any, p: Any): Any =
+    SeqOps.cigarSpans(c.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, p) => s"graft.functions.SeqOps.cigarSpans($c, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CigarSpans =
+    copy(cigar = l, start = r)
+  override def prettyName: String = "cigar_spans"
+}
+
+object CigarSpans {
+  val outputType: ArrayType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("qi", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+}
+
 case class ExtractFromCigar(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -503,11 +503,19 @@ object Multimodal {
       var done = false
       while (!done && off + 12 <= b.length) {
         val len = be32(off)
+        // a corrupt/truncated length (negative be32, or one that walks
+        // past the buffer — including int overflow in off + 12 + len)
+        // must reject loudly like the magic check, not surface as a raw
+        // ArrayIndexOutOfBounds from CRC32.update
+        require(len >= 0 && off + 12 + len.toLong <= b.length,
+          s"doc ${row.doc_id}: corrupt PNG chunk at offset $off " +
+            s"(declared length $len, ${b.length - off - 12} bytes remain)")
         val typ = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val crc = new java.util.zip.CRC32
         crc.update(b, off + 4, 4 + len)
         if (crc.getValue.toInt != be32(off + 8 + len)) crcOk = false
         if (typ == "IHDR") {
+          require(len >= 13, s"doc ${row.doc_id}: IHDR chunk too short ($len < 13)")
           w = be32(off + 8); h = be32(off + 12)
           depth = b(off + 16) & 0xff; ctype = b(off + 17) & 0xff
         }

@@ -1089,15 +1089,19 @@ object FormatScans {
     // BEDPE paired-interval scan: the SV-callset interchange format —
     // both loci +1-shifted like the BED reader, '.' mate -> NULL
     // chrom2/coords, extras preserved as an array. Literal golden.
+    // The gate projection renders `extra` via array_join: the driver's
+    // pandas checker lexsorts rows and cannot hash a raw list column
+    // (round-8 red) — all gate outputs must be scalar-rendered.
     "fmt_bedpe_scan" -> Q(
       (s, _) => GraftIO.read_bedpe(s, s"$F/bedpe/test.bedpe")
+        .withColumn("extra", array_join(col("extra"), "|"))
         .orderBy("name"),
       Some("""SELECT 'c1' AS chrom1, CAST(101 AS BIGINT) AS start1, CAST(200 AS BIGINT) AS end1,
           'c1' AS chrom2, CAST(501 AS BIGINT) AS start2, CAST(600 AS BIGINT) AS end2,
           'DEL1' AS name, '60' AS score, '+' AS strand1, '-' AS strand2,
-          CAST([] AS VARCHAR[]) AS extra
-        UNION ALL SELECT 'c2', 1, 50, 'c3', 71, 80, 'TRA1', NULL, '+', '+', ['PASS', 'extra2']
-        UNION ALL SELECT 'c1', 11, 20, NULL, NULL, NULL, 'UNK1', '5', '+', NULL, CAST([] AS VARCHAR[])
+          '' AS extra
+        UNION ALL SELECT 'c2', 1, 50, 'c3', 71, 80, 'TRA1', NULL, '+', '+', 'PASS|extra2'
+        UNION ALL SELECT 'c1', 11, 20, NULL, NULL, NULL, 'UNK1', '5', '+', NULL, ''
         ORDER BY name""")),
 
     // Span profile over a generated BEDPE shard (intra- vs
@@ -1509,13 +1513,14 @@ object FormatScans {
           CAST(4.25 + (i % 4) AS DOUBLE) AS total_blen
         FROM range(0, 100) t(i) ORDER BY i""")),
 
-    // Cophenetic (leaf-to-leaf path) distances over the parsed tree:
-    // ancestor paths accumulate through a BOUNDED iterative
-    // parent-join (4 rounds >= tree height; a real phylogeny pipeline
-    // sizes rounds by log-depth, each round one keyed shuffle — no
-    // driver-side tree walk), then leaf pairs meet on their common
-    // ancestors and min(da+db) selects the LCA path. Branch lengths
-    // are 0.25-granular, so the double sums are exact.
+    // Cophenetic (leaf-to-leaf path) distances over the parsed tree
+    // via TreeOps.copheneticDistances: pointer-doubling ancestor
+    // closure looped TO CONVERGENCE (log-depth keyed shuffles with
+    // localCheckpoint truncation — the round-8 version unrolled
+    // exactly 4 hops and would silently truncate deeper trees), then
+    // leaf pairs meet on common ancestors and min(da+db) selects the
+    // LCA path. Branch lengths are 0.25-granular, so the double sums
+    // are exact.
     "fmt_newick_cophenetic" -> Q(
       (s, _) => {
         graft.functions.GraftFunctions.registerAll(s)
@@ -1526,26 +1531,7 @@ object FormatScans {
             "n.parent AS parent",
             "coalesce(n.branch_length, cast(0.0 as double)) AS bl",
             "n.is_leaf AS is_leaf")
-        var anc = nodes.selectExpr("i", "node", "node AS anc",
-          "cast(0.0 as double) AS d")
-        for (_ <- 0 until 4) {
-          val step = anc.as("a")
-            .join(nodes.selectExpr("i", "node AS anc", "parent", "bl").as("t"),
-              Seq("i", "anc"))
-            .where(col("parent") =!= -1)
-            .selectExpr("i", "node", "parent AS anc", "d + bl AS d")
-          anc = anc.union(step).groupBy("i", "node", "anc")
-            .agg(min(col("d")).as("d"))
-        }
-        val leaves = nodes.where(col("is_leaf"))
-          .select(col("i"), col("node"), col("name"))
-        val la = leaves.join(anc, Seq("i", "node"))
-          .select(col("i"), col("name").as("na"), col("anc"), col("d").as("da"))
-        val lb = leaves.join(anc, Seq("i", "node"))
-          .select(col("i"), col("name").as("nb"), col("anc"), col("d").as("db"))
-        la.join(lb, Seq("i", "anc")).where(col("na") < col("nb"))
-          .groupBy(col("i"), col("na"), col("nb"))
-          .agg(min(col("da") + col("db")).as("dist"))
+        graft.functions.TreeOps.copheneticDistances(nodes)
           .orderBy("i", "na", "nb")
       },
       Some("""SELECT i, p.na, p.nb,
@@ -2693,7 +2679,13 @@ object FormatScans {
             "CASE WHEN (id * 5 + j * 11 + id * j * 3) % 12 = 11 THEN './.' " +
             "ELSE CASE cast(((id * 5 + j * 11 + id * j * 3) % 12) % 3 as int) " +
             "WHEN 0 THEN '0/0' WHEN 1 THEN '0|1' ELSE '1/1' END END) AS genotypes")
-        graft.functions.VariantQC.hudsonFst(sites, 5).orderBy("sid")
+        // the library returns DECIMAL(38,0) (exact past the int64 n^6
+        // envelope); the gate casts back — exact at this fixture's n=10
+        graft.functions.VariantQC.hudsonFst(sites, 5)
+          .selectExpr("sid", "a1", "n1", "a2", "n2",
+            "CAST(fst_num AS BIGINT) AS fst_num",
+            "CAST(fst_den AS BIGINT) AS fst_den")
+          .orderBy("sid")
       },
       Some("""WITH d AS (SELECT sid, j, (sid * 5 + j * 11 + sid * j * 3) % 12 AS x12
           FROM range(0, 500) t(sid), range(0, 10) u(j)),

@@ -2120,7 +2120,7 @@ object Relational {
             CASE WHEN strand = '+' THEN s - 1 ELSE e + 600 END AS fe
           FROM iv)
         SELECT chrom, strand, count(*) AS n_flanks,
-          sum(fe - fs + 1) AS bases, min(fs) AS min_start, max(fe) AS max_end
+          CAST(sum(fe - fs + 1) AS BIGINT) AS bases, min(fs) AS min_start, max(fe) AS max_end
         FROM fl WHERE fe >= fs
         GROUP BY chrom, strand ORDER BY chrom""")),
 
@@ -2142,7 +2142,7 @@ object Relational {
           expr("cast(round(max(value) * 100) as bigint)").as("centi_max"))
         .orderBy("bin"),
       Some("""SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
-          sum(CAST(round(value * 100) AS BIGINT)) AS centi_sum,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS centi_sum,
           CAST(round(min(value) * 100) AS BIGINT) AS centi_min,
           CAST(round(max(value) * 100) AS BIGINT) AS centi_max
         FROM events WHERE value IS NOT NULL

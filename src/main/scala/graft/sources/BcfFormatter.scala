@@ -190,12 +190,24 @@ object BcfFormatter extends graft.sources.core.GenomicRecordFormatter {
       else sb.append(s"##contig=<ID=$c>\n")
     }
     sb.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
-    val nSamples =
-      if (!withSamples) 0
+    // header sample count: option("samples", n) is authoritative when
+    // set (and the first record must agree); otherwise the first record
+    // fixes it and recordInvariant holds every later record to it.
+    val fromRow =
+      if (!withSamples) None
       else firstRow.map { r =>
         val i = schema.fieldIndex("genotypes")
         if (r.isNullAt(i)) 0 else r.getArray(i).numElements()
-      }.getOrElse(0)
+      }
+    val nSamples = options.get("samples") match {
+      case Some(n) =>
+        val want = n.toInt
+        fromRow.foreach(got => require(got == want,
+          s"first record carries $got genotypes but option(\"samples\") declares " +
+            s"$want — records would disagree with the header sample columns"))
+        if (withSamples) want else 0
+      case None => fromRow.getOrElse(0)
+    }
     if (nSamples > 0) {
       sb.append("\tFORMAT")
       (1 to nSamples).foreach(i => sb.append(s"\ts$i"))
@@ -208,6 +220,18 @@ object BcfFormatter extends graft.sources.core.GenomicRecordFormatter {
     bb.putInt(text.length).put(text)
     Some(bb.array())
   }
+
+  // ragged genotype arrays would write records whose n_sample disagrees
+  // with the header — htslib/bcftools reject such files (mirrors
+  // VcfFormatter.recordInvariant)
+  override def recordInvariant(row: InternalRow, schema: StructType,
+      options: Map[String, String]): Option[(String, Long)] =
+    if (!schema.fieldNames.contains("genotypes")) None
+    else {
+      val i = schema.fieldIndex("genotypes")
+      Some(("sample count",
+        if (row.isNullAt(i)) 0L else row.getArray(i).numElements().toLong))
+    }
 
   // ---- typed-encoding primitives (inverses of BcfFormat's readers) ----
 
@@ -316,6 +340,13 @@ object BcfFormatter extends graft.sources.core.GenomicRecordFormatter {
       s"FORMAT key '$k' is not in the header dictionary (declared FORMAT " +
         s"ids: ${ds.formatKeys.mkString(",")})"))
     val nSample = gts.length
+    // option("samples") is the declared header width — a record that
+    // disagrees would write a BCF htslib rejects (the in-house reader's
+    // per-record n_sample tolerance must not mask it). Cross-record
+    // raggedness without the option is caught by recordInvariant.
+    options.get("samples").foreach(n => require(nSample == n.toInt,
+      s"record carries $nSample genotypes but option(\"samples\") declares " +
+        s"${n.toInt} — the BCF would disagree with its header sample columns"))
     val nFmt = if (nSample == 0) 0 else fmtKeys.length
 
     // ---- shared block ----

@@ -273,6 +273,19 @@ object VcfFormatter extends graft.sources.core.GenomicRecordFormatter {
     }
     sb.append('\n').toString
   }
+
+  // ragged genotype arrays would render rows whose sample-column count
+  // disagrees with the header's #CHROM line — htslib/bcftools reject
+  // such files; the writer holds every record to the first record's
+  // count via this invariant (see RecordFormatter.recordInvariant)
+  override def recordInvariant(row: InternalRow, schema: StructType,
+      options: Map[String, String]): Option[(String, Long)] =
+    if (!schema.fieldNames.contains("genotypes")) None
+    else {
+      val i = schema.fieldIndex("genotypes")
+      Some(("sample count",
+        if (row.isNullAt(i)) 0L else row.getArray(i).numElements().toLong))
+    }
 }
 
 object GffFormatter extends graft.sources.core.GenomicRecordFormatter {

@@ -41,6 +41,17 @@ trait RecordFormatter extends Serializable {
     * definition); overrides any `compression` option. */
   def writeForcedCodec: Option[String] = None
 
+  /** Per-file record invariant: a (label, value) every record in a part
+    * file must share with the file's FIRST record (which also shaped the
+    * header). The writer captures it at header time and fails loudly on
+    * the first divergent record — e.g. BCF/VCF sample count: a ragged
+    * genotypes array would otherwise write records whose n_sample
+    * disagrees with the header's #CHROM columns, a file htslib rejects,
+    * while the in-house reader (which tolerates per-record n_sample)
+    * would round-trip it silently. */
+  def recordInvariant(row: InternalRow, schema: StructType,
+                      options: Map[String, String]): Option[(String, Long)] = None
+
   /** True when the codec suffix must not decorate the file name (a
     * .bam IS bgzf — "part-*.bam.gz" would be wrong). */
   def suppressCodecSuffix: Boolean = false
@@ -278,6 +289,8 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
                           bgzf: Option[BgzfOutputStream],
                           idx: Option[TabixIndexBuilder]) {
       var headerWritten = false
+      /** Captured from the first record; later records must match. */
+      var invariant: Option[(String, Long)] = None
     }
 
     def openStream(key: String): Sink = {
@@ -316,6 +329,14 @@ final case class GraftWriterFactory(formatter: RecordFormatter, schema: StructTy
         s.headerWritten = true
         formatter.fileHeaderBytes(Some(record), schema, options)
           .foreach(s.out.write)
+        s.invariant = formatter.recordInvariant(record, schema, options)
+      } else s.invariant.foreach { case (label, want) =>
+        val got = formatter.recordInvariant(record, schema, options)
+        require(got.exists(_._2 == want),
+          s"record $label ${got.map(_._2).getOrElse("<none>")} disagrees with " +
+            s"this file's header ($label $want from its first record) — the " +
+            "output would be rejected by external readers; fix the ragged column " +
+            "or write homogeneous partitions")
       }
       s.idx match {
         case Some(builder) =>

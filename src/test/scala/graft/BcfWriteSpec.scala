@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.GraftIO
@@ -181,5 +182,37 @@ class BcfWriteSpec extends AnyFunSuite {
         .format("bcf").save(s"$dir/c")
     }
     assert(e3.getMessage != null)
+  }
+
+  test("records disagreeing with option(\"samples\") or the first record fail loudly") {
+    // a ragged genotypes array would write records whose n_sample
+    // disagrees with the header — htslib/bcftools reject such a BCF,
+    // and the in-house reader's per-record tolerance must not mask it
+    val dir = queries.Stage.tempDir("bcf_ragged").toString
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val src = GraftIO.read_vcf_file_records(spark, s"$F/samples.vcf")
+    // explicit declaration: every record checked against option("samples")
+    val e1 = intercept[Exception] {
+      src.write.mode("overwrite").option("contigs", "1").option("samples", "7")
+        .format("bcf").save(s"$dir/a")
+    }
+    assert(messages(e1).exists(_.contains("option(\"samples\")")), messages(e1).mkString("|"))
+    // implicit: later records held to the first record's count
+    val maxPos = src.selectExpr("max(pos)").first().getLong(0)
+    val ragged = src.withColumn("genotypes",
+      org.apache.spark.sql.functions.when(col("pos") === maxPos,
+        org.apache.spark.sql.functions.expr("slice(genotypes, 1, size(genotypes) - 1)"))
+        .otherwise(col("genotypes")))
+    val e2 = intercept[Exception] {
+      ragged.repartition(1).write.mode("overwrite").option("contigs", "1")
+        .format("bcf").save(s"$dir/b")
+    }
+    assert(messages(e2).exists(_.contains("disagrees with")), messages(e2).mkString("|"))
+    // and the declared count must be consistent with what records carry
+    val ok = queries.Stage.tempDir("bcf_ragged_ok").toString
+    src.write.mode("overwrite").option("contigs", "1").option("samples", "2")
+      .format("bcf").save(ok)
+    assert(GraftIO.read_bcf_file_records(spark, ok).count() == src.count())
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dtype-trap lint (round-8 verdict ask #2): every gate entry's
+  * output schema must be sortable/hashable by the driver's pandas
+  * checker — no nested top-level columns. Runs the whole registry at
+  * sf0.001 (streaming entries execute a micro-batch during construction;
+  * everything else is analysis-only).
+  */
+class GateLintSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lint rejects a deliberately-nested gate output") {
+    import spark.implicits._
+    val bad = Seq((1, Seq("a", "b"))).toDF("id", "extra")
+    val e = intercept[IllegalArgumentException] {
+      GateLint.assertCheckerSafe("fixture_bad_entry", bad.schema)
+    }
+    assert(e.getMessage.contains("fixture_bad_entry"))
+    assert(e.getMessage.contains("extra"))
+    // struct + map columns are equally unhashable for pandas lexsort
+    val bad2 = new StructType()
+      .add("k", StringType)
+      .add("m", MapType(StringType, LongType))
+      .add("s", new StructType().add("x", LongType))
+    assert(GateLint.nestedColumns(bad2).size == 2)
+  }
+
+  test("every registry entry dumps a checker-safe (all-scalar) schema") {
+    val offending = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val bad = GateLint.nestedColumns(q.fn(spark, sf).schema)
+        if (bad.isEmpty) Nil else Seq(s"$name -> ${bad.mkString(", ")}")
+    }
+    assert(offending.isEmpty,
+      s"\nnested gate outputs (driver checker would die):\n  ${offending.mkString("\n  ")}")
+  }
+}

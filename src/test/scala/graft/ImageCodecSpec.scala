@@ -82,6 +82,20 @@ class ImageCodecSpec extends AnyFunSuite {
         Seq(Multimodal.MediaRow(7L, "plainly not a png".getBytes("UTF-8"),
           1, 1)).toDS()).collect()
     }
+    // a corrupt chunk LENGTH (negative, or walking past the buffer,
+    // incl. the off+12+len int-overflow path) must reject with the
+    // doc-labelled message, not a raw ArrayIndexOutOfBounds from CRC32
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    for (evil <- Seq(0x7fffff00, 0x40000000, -5)) {
+      val tr = png.clone()
+      tr(8)  = (evil >>> 24).toByte; tr(9)  = (evil >>> 16).toByte
+      tr(10) = (evil >>> 8).toByte;  tr(11) = evil.toByte
+      val e = intercept[org.apache.spark.SparkException] {
+        Multimodal.pngMeta(Seq(Multimodal.MediaRow(8L, tr, 19, 7)).toDS()).collect()
+      }
+      assert(msgs(e).exists(_.contains("corrupt PNG chunk")), s"len=$evil: ${msgs(e)}")
+    }
   }
 
   test("averageHash: constant image hashes to zero; gradient is shift-stable") {

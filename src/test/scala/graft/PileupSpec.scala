@@ -62,6 +62,29 @@ class PileupSpec extends AnyFunSuite {
     assert(aligned((null, 5L, "2M", "AC"), ("c", 5L, null, "AC")) === Set())
   }
 
+  test("invalid CIGAR fails loudly through the native span kernel") {
+    val e = intercept[org.apache.spark.SparkException] {
+      aligned(("c", 5L, "2M3Q", "ACGTT"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cigar_spans")), msgs(e).mkString("|"))
+  }
+
+  test("a 10k-op long-read CIGAR pileups in linear time (ONT shape)") {
+    // the pre-kernel HOF walk concat-copied the pair list per op —
+    // quadratic; 10k alternating 3M1I ops would take minutes there.
+    // The native span walk + double explode handles it in one pass.
+    val ops = 5000
+    val cigar = "3M1I" * ops
+    val seq = "ACGTA" * (4 * ops / 5)
+    val t0 = System.nanoTime()
+    val n = Pileup.baseAlignments(reads(("c", 1L, cigar, seq))).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == 3L * ops)
+    assert(secs < 30, f"long-read CIGAR walk took $secs%.1f s — quadratic regression?")
+  }
+
   test("random reads: HOF walk matches an independent Scala CIGAR walker") {
     val rnd = new scala.util.Random(41)
     val ops = "MIDNS"

@@ -330,7 +330,8 @@ class VariantQcSpec extends AnyFunSuite {
     val ds = randomDosages(150, 9, 20260815L)
     val out = VariantQC.hudsonFst(gtFrame(ds), 4).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+        r.getLong(4), r.getDecimal(5).toBigInteger.longValueExact,
+        r.getDecimal(6).toBigInteger.longValueExact)).toMap
     var checked = 0
     for (sid <- ds.indices) {
       val (p1, p2) = ds(sid).zipWithIndex.partition(_._2 < 4)
@@ -353,6 +354,40 @@ class VariantQcSpec extends AnyFunSuite {
       } else assert(!out.contains(sid.toLong), s"site $sid should be dropped")
     }
     assert(checked > 100) // the filter must not be doing all the work
+  }
+
+  test("hudsonFst: 2000-diploid pops stay exact past the int64 envelope") {
+    // n^6-scaled products: n1 = n2 = 4000 alleles -> ~4e21, far past
+    // 2^63 (the pre-decimal code wrapped silently here). One site,
+    // a1 = 1200, a2 = 2800; expected pair computed with BigInt.
+    val spark2 = spark
+    import spark2.implicits._
+    val nDip = 2000
+    val gts = (0 until 2 * nDip).map { j =>
+      if (j < nDip) (if (j < 600) "1/1" else "0/0")      // a1 = 1200
+      else (if (j < nDip + 1400) "1/1" else "0/0")        // a2 = 2800
+    }
+    val df = Seq((0L, gts)).toDF("sid", "genotypes")
+    val r = VariantQC.hudsonFst(df, nDip).collect().head
+    val (a1, n1, a2, n2) = (BigInt(1200), BigInt(4000), BigInt(2800), BigInt(4000))
+    val num = (a1*n2 - a2*n1).pow(2) * (n1-1) * (n2-1) -
+      a1*(n1-a1)*n2*n2*(n2-1) - a2*(n2-a2)*n1*n1*(n1-1)
+    val den = (a1*(n2-a2) + a2*(n1-a1)) * n1 * n2 * (n1-1) * (n2-1)
+    assert(num > BigInt(Long.MaxValue), "fixture must exceed int64 to prove the fix")
+    assert(BigInt(r.getDecimal(5).toBigInteger) == num)
+    assert(BigInt(r.getDecimal(6).toBigInteger) == den)
+  }
+
+  test("ldR2: 2000-sample site pair stays exact past the int64 envelope") {
+    // 1e6·(nΣxy-ΣxΣy)² ~ 1.6e7·n⁴ wraps int64 past ~870 samples; a
+    // perfect-LD pair over 2000 samples must still return exactly 1e6.
+    val spark2 = spark
+    import spark2.implicits._
+    val gts = (0 until 2000).map(j => if (j % 2 == 0) "0/0" else "1/1")
+    val sites = Seq((0L, 10L, gts), (1L, 20L, gts)).toDF("sid", "pos", "genotypes")
+    val out = graft.functions.VariantQC.ldR2(sites, 50).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 1000000L,
+      out.mkString(","))
   }
 
   test("ibsCounts matches a naive pairwise loop and partitions n_shared") {

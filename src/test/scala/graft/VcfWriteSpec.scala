@@ -62,6 +62,24 @@ class VcfWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("ragged genotype arrays fail the write loudly, not as a corrupt file") {
+    // dropping one sample from one record would render a row whose
+    // sample-column count disagrees with the header's #CHROM line — a
+    // file htslib rejects; the writer must refuse at write time
+    val dir = java.nio.file.Files.createTempDirectory("graft-vcfw5").toString
+    val orig = GraftIO.read_vcf_file_records(spark, s"$F/samples.vcf")
+    val ragged = orig.withColumn("genotypes",
+      when(col("pos") === orig.selectExpr("max(pos)").first().getLong(0),
+        expr("slice(genotypes, 1, size(genotypes) - 1)"))
+        .otherwise(col("genotypes")))
+    val e = intercept[org.apache.spark.SparkException] {
+      ragged.repartition(1).write.mode("overwrite").format("vcf").save(dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("disagrees with")), messages(e).mkString("|"))
+  }
+
   test("an empty write still produces a parseable headered file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vcfw4").toString
     val orig = GraftIO.read_vcf_file_records(spark, s"$F/test.vcf")

@@ -42,6 +42,25 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        # dtype lint (round-8 verdict ask): the driver's checker renders
+        # HUGEINT/DECIMAL as float (hash-mismatch with identical values)
+        # and cannot lexsort nested columns. Catch both at DESCRIBE time
+        # so the trap class can't recur. sum(BIGINT) silently widens to
+        # HUGEINT in DuckDB — wrap it in CAST(... AS BIGINT).
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            bad_ty = [(c, t) for c, t, *_ in desc
+                      if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+                      or t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION"))]
+            if bad_ty:
+                print(f"FAIL {name}: oracle dtype lint {bad_ty} "
+                      f"(CAST sums to BIGINT; render nested cols scalar)")
+                n_bad += 1
+                continue
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE failed: {e}")
+            n_bad += 1
+            continue
         try:
             got_cols, got = table(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             want_cols, want = table(con, sql)
