@@ -4582,7 +4582,199 @@ object FormatScans {
             CASE WHEN in2 THEN len ELSE 0 END AS bases
           FROM r WHERE in1 OR in2)
         SELECT cls, count(*) AS n, CAST(sum(bases) AS BIGINT) AS base_sum
-        FROM c GROUP BY cls ORDER BY cls"""))
+        FROM c GROUP BY cls ORDER BY cls""")),
+
+    // ---- splice-junction extraction (TopHat/STAR junctions.bed) ----
+    // N ops in spliced RNA-seq CIGARs are introns: walk each read's
+    // CIGAR once (M/=/X/D advance the reference cursor, N emits the
+    // skipped [intron_start, intron_end] interval), then count
+    // supporting reads per distinct junction — the junction table
+    // every splice-aware pipeline aggregates. The walk is the same
+    // linear per-read pass as the pileup (few N ops per read, so the
+    // single-element appends are O(ops)); the only shuffle is the
+    // junction-keyed count. Round-trips through our own SAM writer.
+    "fmt_sam_junctions" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val dir = Stage.tempDir("graft_junc").toString
+        s.range(300).selectExpr(
+            "concat('q', id) AS name", "0 AS flag",
+            "concat('ref', 1 + id % 2) AS reference",
+            "(id * 41) % 2000 + 1 AS start",
+            """(id * 41) % 2000 + CASE WHEN id % 4 = 0 THEN 80
+               WHEN id % 4 = 1 THEN 66 WHEN id % 4 = 2 THEN 20
+               ELSE 58 END AS end""",
+            "'30' AS mapping_quality",
+            """CASE WHEN id % 4 = 0 THEN '10M60N10M'
+               WHEN id % 4 = 1 THEN '6M30N4M20N6M'
+               WHEN id % 4 = 2 THEN '20M'
+               ELSE '5M3D5M40N5M' END AS cigar""",
+            "cast(null as string) AS mate_reference",
+            """repeat('A', CASE WHEN id % 4 = 0 THEN 20 WHEN id % 4 = 1 THEN 16
+               WHEN id % 4 = 2 THEN 20 ELSE 15 END) AS sequence""",
+            """repeat('I', CASE WHEN id % 4 = 0 THEN 20 WHEN id % 4 = 1 THEN 16
+               WHEN id % 4 = 2 THEN 20 ELSE 15 END) AS quality_score""")
+          .write.mode("overwrite").format("sam").save(dir)
+        GraftIO.read_sam_file_records(s, dir)
+          .where(col("reference").isNotNull && col("cigar").isNotNull)
+          .selectExpr("reference",
+            """aggregate(parse_cigar(cigar),
+                 named_struct('cur', start,
+                   'js', cast(array() as array<struct<s: bigint, e: bigint>>)),
+                 (acc, o) -> CASE
+                   WHEN o.op = 'N' THEN named_struct('cur', acc.cur + o.len,
+                     'js', concat(acc.js, array(named_struct(
+                       's', acc.cur, 'e', acc.cur + o.len - 1))))
+                   WHEN o.op IN ('M', '=', 'X', 'D') THEN
+                     named_struct('cur', acc.cur + o.len, 'js', acc.js)
+                   ELSE acc END,
+                 acc -> acc.js) AS js""")
+          .select(col("reference"), explode(col("js")).as("j"))
+          .selectExpr("reference", "j.s AS intron_start", "j.e AS intron_end")
+          .groupBy("reference", "intron_start", "intron_end")
+          .agg(count(lit(1)).as("n_reads"))
+          .orderBy("reference", "intron_start", "intron_end")
+      },
+      Some("""WITH r AS (
+          SELECT i, 'ref' || CAST(1 + i % 2 AS VARCHAR) AS reference,
+            (i * 41) % 2000 + 1 AS st, i % 4 AS c
+          FROM range(0, 300) t(i)),
+        j AS (
+          SELECT reference, st + 10 AS s, st + 69 AS e FROM r WHERE c = 0
+          UNION ALL SELECT reference, st + 6, st + 35 FROM r WHERE c = 1
+          UNION ALL SELECT reference, st + 40, st + 59 FROM r WHERE c = 1
+          UNION ALL SELECT reference, st + 13, st + 52 FROM r WHERE c = 3)
+        SELECT reference, CAST(s AS BIGINT) AS intron_start,
+          CAST(e AS BIGINT) AS intron_end, count(*) AS n_reads
+        FROM j GROUP BY reference, s, e
+        ORDER BY reference, intron_start, intron_end""")),
+
+    // ---- VCF breakend (BND) mate parsing (spec §5.4) ----
+    // The four bracket notations t[p[ / t]p] / ]p]t / [p[t carry the
+    // mate locus and join orientation inside the ALT string; SV callers
+    // emit each adjacency as a RECIPROCAL record pair. Parse the mate
+    // chrom/pos and orientation per record, verify reciprocity with a
+    // locus-keyed self-join (each side must find its partner pointing
+    // back), and roll up per orientation. The oracle never parses —
+    // it regenerates from the pairing arithmetic, so the regexes are
+    // checked against an independent derivation.
+    "fmt_vcf_breakends" -> Q(
+      (s, _) => {
+        val recs = s.range(200).selectExpr("id",
+            "cast(id / 2 as bigint) AS t", "cast(id % 2 as int) AS side")
+          .selectExpr("id", "t", "side",
+            "concat('chr', 1 + t % 3) AS ca", "1000 + t * 7 AS pa",
+            """CASE WHEN t % 5 = 0 THEN concat('chr', 1 + t % 3)
+               ELSE concat('chr', 1 + (t + 1) % 3) END AS cb""",
+            "5000 + t * 11 AS pb")
+          .selectExpr(
+            "CASE WHEN side = 0 THEN ca ELSE cb END AS chrom",
+            "CASE WHEN side = 0 THEN pa ELSE pb END AS pos",
+            "CASE WHEN side = 0 THEN cb ELSE ca END AS mc",
+            "CASE WHEN side = 0 THEN pb ELSE pa END AS mp",
+            "t", "side")
+          .selectExpr("chrom", "pos",
+            """CASE
+                 WHEN t % 4 = 0 AND side = 0 THEN concat('A[', mc, ':', mp, '[')
+                 WHEN t % 4 = 0 AND side = 1 THEN concat(']', mc, ':', mp, ']A')
+                 WHEN t % 4 = 1 AND side = 0 THEN concat(']', mc, ':', mp, ']A')
+                 WHEN t % 4 = 1 AND side = 1 THEN concat('A[', mc, ':', mp, '[')
+                 WHEN t % 4 = 2 THEN concat('A]', mc, ':', mp, ']')
+                 ELSE concat('[', mc, ':', mp, '[A') END AS alt""")
+        val parsed = recs.selectExpr("chrom", "pos", "alt",
+            """regexp_extract(alt, '[\\[\\]]([^\\[\\]:]+):', 1) AS mate_chrom""",
+            """cast(regexp_extract(alt, ':([0-9]+)[\\[\\]]', 1) as bigint) AS mate_pos""",
+            """CASE WHEN alt LIKE '[%' THEN '[p[t'
+                 WHEN alt LIKE ']%' THEN ']p]t'
+                 WHEN alt LIKE '%[' THEN 't[p['
+                 ELSE 't]p]' END AS orientation""")
+        val back = parsed.selectExpr("chrom AS r_chrom", "pos AS r_pos",
+          "mate_chrom AS r_mc", "mate_pos AS r_mp")
+        parsed.join(back,
+            col("mate_chrom") === col("r_chrom") && col("mate_pos") === col("r_pos") &&
+            col("chrom") === col("r_mc") && col("pos") === col("r_mp"), "left")
+          .groupBy("orientation")
+          .agg(count(lit(1)).as("n_records"),
+            sum(when(col("mate_chrom") === col("chrom"), 1L).otherwise(0L)).as("n_intra"),
+            sum(when(col("r_chrom").isNotNull, 1L).otherwise(0L)).as("n_reciprocal"),
+            sum(col("mate_pos")).as("mate_pos_sum"))
+          .orderBy("orientation")
+      },
+      Some("""WITH g AS (
+          SELECT t, side,
+            CASE WHEN side = 0 THEN 'chr' || CAST(1 + t % 3 AS VARCHAR)
+                 WHEN t % 5 = 0 THEN 'chr' || CAST(1 + t % 3 AS VARCHAR)
+                 ELSE 'chr' || CAST(1 + (t + 1) % 3 AS VARCHAR) END AS chrom,
+            CASE WHEN side = 1 THEN 'chr' || CAST(1 + t % 3 AS VARCHAR)
+                 WHEN t % 5 = 0 THEN 'chr' || CAST(1 + t % 3 AS VARCHAR)
+                 ELSE 'chr' || CAST(1 + (t + 1) % 3 AS VARCHAR) END AS mate_chrom,
+            CASE WHEN side = 0 THEN 5000 + t * 11 ELSE 1000 + t * 7 END AS mate_pos,
+            CASE WHEN t % 4 = 0 AND side = 0 THEN 't[p['
+                 WHEN t % 4 = 0 AND side = 1 THEN ']p]t'
+                 WHEN t % 4 = 1 AND side = 0 THEN ']p]t'
+                 WHEN t % 4 = 1 AND side = 1 THEN 't[p['
+                 WHEN t % 4 = 2 THEN 't]p]'
+                 ELSE '[p[t' END AS orientation
+          FROM range(0, 100) a(t), range(0, 2) b(side))
+        SELECT orientation, count(*) AS n_records,
+          CAST(sum(CASE WHEN chrom = mate_chrom THEN 1 ELSE 0 END) AS BIGINT) AS n_intra,
+          count(*) AS n_reciprocal,
+          CAST(sum(mate_pos) AS BIGINT) AS mate_pos_sum
+        FROM g GROUP BY orientation ORDER BY orientation""")),
+
+    // ---- barcode demultiplexing with 1-mismatch correction ----
+    // The first step of every multiplexed sequencing run (bcl2fastq /
+    // cellranger's whitelist match): the 6bp prefix is compared to a
+    // BROADCAST whitelist, Hamming<=1 assigns (the homopolymer codes
+    // sit at pairwise distance 6, so 1 error is unambiguous and 2
+    // errors are unassignable). Map-only per read — the whitelist fan
+    // is 4 rows — then one barcode-keyed count. Reads round-trip
+    // through our own FASTQ writer; the oracle reconstructs assignment
+    // from the error-injection arithmetic, never from sequence.
+    "fmt_fastq_demux" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_demux").toString
+        s.range(600).selectExpr(
+            "concat('r', id) AS name", "cast(null as string) AS description",
+            """concat(array_join(transform(sequence(1, 6), i -> CASE
+                 WHEN (id % 12 = 0 AND i = 1 + id % 6)
+                   OR (id % 12 = 1 AND (i = 1 + id % 6 OR i = 1 + (id + 3) % 6))
+                 THEN translate(element_at(array('A','C','G','T'), cast(id % 4 as int) + 1),
+                                'ACGT', 'CGTA')
+                 ELSE element_at(array('A','C','G','T'), cast(id % 4 as int) + 1)
+               END), ''), repeat('ACGT', 3)) AS sequence""",
+            "repeat('I', 18) AS quality_scores")
+          .write.mode("overwrite").format("fastq").save(dir)
+        val wl = s.createDataFrame(Seq(
+            Tuple1("AAAAAA"), Tuple1("CCCCCC"), Tuple1("GGGGGG"), Tuple1("TTTTTT")))
+          .toDF("wl_bc")
+        val reads = GraftIO.read_fastq(s, dir)
+          .selectExpr("name", "substring(sequence, 1, 6) AS bc6")
+        val hits = reads.join(broadcast(wl),
+            expr("""aggregate(sequence(1, 6), 0, (a, i) ->
+              a + IF(substring(bc6, i, 1) = substring(wl_bc, i, 1), 0, 1)) <= 1"""))
+          .selectExpr("name", "wl_bc",
+            """aggregate(sequence(1, 6), 0, (a, i) ->
+              a + IF(substring(bc6, i, 1) = substring(wl_bc, i, 1), 0, 1)) AS hd""")
+        reads.join(hits, Seq("name"), "left")
+          .selectExpr("coalesce(wl_bc, 'UNASSIGNED') AS barcode",
+            "CASE WHEN hd = 0 THEN 1L ELSE 0L END AS ex",
+            "CASE WHEN hd = 1 THEN 1L ELSE 0L END AS co")
+          .groupBy("barcode")
+          .agg(count(lit(1)).as("n_reads"),
+            sum(col("ex")).as("n_exact"), sum(col("co")).as("n_corrected"))
+          .orderBy("barcode")
+      },
+      Some("""WITH r AS (
+          SELECT i, i % 12 AS m,
+            list_extract(['AAAAAA','CCCCCC','GGGGGG','TTTTTT'],
+                         CAST(i % 4 AS INTEGER) + 1) AS bc
+          FROM range(0, 600) t(i))
+        SELECT CASE WHEN m = 1 THEN 'UNASSIGNED' ELSE bc END AS barcode,
+          count(*) AS n_reads,
+          CAST(sum(CASE WHEN m = 0 OR m = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_exact,
+          CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected
+        FROM r GROUP BY barcode ORDER BY barcode"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

@@ -1587,6 +1587,188 @@ object PipelineOps {
       },
       Some("""SELECT i AS node,
           CAST(CASE WHEN i < 8 THEN 0 ELSE 10 END AS BIGINT) AS label
-        FROM range(0, 18) t(i) WHERE i < 8 OR i >= 10 ORDER BY node"""))
+        FROM range(0, 18) t(i) WHERE i < 8 OR i >= 10 ORDER BY node""")),
+
+    // ---- URL canonicalization + dedup rollup (the CC/C4 crawl step) ----
+    // Raw crawl URLs differ only in scheme/host case, www., a default
+    // :80 port, tracking params (utm_*, fbclid), param ORDER, trailing
+    // slash, and fragments; canonicalizing before dedup is what keeps a
+    // crawl store from storing the same page dozens of times. Pure
+    // per-row string algebra (split/filter/sort_array/concat) — map-only
+    // at any scale — then one canonical-keyed count. The oracle builds
+    // the canonical form directly from the generating arithmetic (no
+    // string parsing), so the normalizer is checked against an
+    // independent derivation; only the distinct-raw count rebuilds the
+    // raw string, construction-only.
+    "pipe_url_normalize" -> Q(
+      (s, dir) => {
+        val raw = t(s, dir, "documents").selectExpr("doc_id",
+          """concat(
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+               CASE WHEN doc_id % 4 = 0 THEN 'WWW.Example.COM'
+                    WHEN doc_id % 4 = 1 THEN 'example.com'
+                    WHEN doc_id % 4 = 2 THEN 'Blog.Example.com'
+                    ELSE 'EXAMPLE.COM:80' END,
+               '/a/', doc_id % 50,
+               CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+               '?',
+               CASE WHEN doc_id % 2 = 0 THEN concat('utm_source=x&q=', doc_id % 7)
+                    ELSE concat('q=', doc_id % 7, '&utm_campaign=y') END,
+               CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url""")
+        raw
+          .withColumn("nofrag", expr("split(url, '#')[0]"))
+          .withColumn("scheme", expr("lower(split(nofrag, '://')[0])"))
+          .withColumn("rest", expr("split(nofrag, '://')[1]"))
+          .withColumn("hostpath", expr("split(rest, '\\\\?')[0]"))
+          .withColumn("query", expr("split(rest, '\\\\?')[1]"))
+          .withColumn("host", expr(
+            """regexp_replace(regexp_replace(
+                 lower(split(hostpath, '/')[0]), '^www\\.', ''), ':80$', '')"""))
+          .withColumn("path", expr(
+            """regexp_replace(substring(hostpath, instr(hostpath, '/')), '/$', '')"""))
+          .withColumn("cq", expr(
+            """array_join(array_sort(filter(split(coalesce(query, ''), '&'),
+                 p -> p != '' AND NOT p LIKE 'utm_%' AND NOT p LIKE 'fbclid=%')), '&')"""))
+          .withColumn("canonical", expr(
+            """concat(scheme, '://', host, path,
+                 CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)"""))
+          .groupBy("canonical")
+          .agg(count(lit(1)).as("n_raw"),
+            countDistinct(col("url")).as("n_distinct_raw"))
+          .orderBy("canonical")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END
+              || '://'
+              || CASE WHEN doc_id % 4 = 2 THEN 'blog.example.com'
+                      ELSE 'example.com' END
+              || '/a/' || CAST(doc_id % 50 AS VARCHAR)
+              || '?q=' || CAST(doc_id % 7 AS VARCHAR) AS canonical,
+            CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+              || CASE WHEN doc_id % 4 = 0 THEN 'WWW.Example.COM'
+                      WHEN doc_id % 4 = 1 THEN 'example.com'
+                      WHEN doc_id % 4 = 2 THEN 'Blog.Example.com'
+                      ELSE 'EXAMPLE.COM:80' END
+              || '/a/' || CAST(doc_id % 50 AS VARCHAR)
+              || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+              || '?'
+              || CASE WHEN doc_id % 2 = 0
+                      THEN 'utm_source=x&q=' || CAST(doc_id % 7 AS VARCHAR)
+                      ELSE 'q=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y' END
+              || CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END AS url
+          FROM documents)
+        SELECT canonical, count(*) AS n_raw,
+          count(DISTINCT url) AS n_distinct_raw
+        FROM g GROUP BY canonical ORDER BY canonical""")),
+
+    // ---- chat-conversation structure lint (SFT-data QC) ----
+    // Instruction-tuning corpora are conversations whose structure must
+    // hold: starts with user, strict role alternation, ends on an
+    // assistant turn. Render synthetic multi-turn transcripts (with a
+    // deterministic violation class), PARSE them back line-by-line with
+    // HOFs, and census the structure classes with per-role char mass —
+    // the accept/reject report an SFT ingest job emits. Map-only parse,
+    // one tiny-cardinality agg. The oracle derives every class from the
+    // generating arithmetic without parsing.
+    "pipe_chat_turns" -> Q(
+      (s, dir) => {
+        val convs = t(s, dir, "documents").selectExpr("doc_id",
+          """array_join(transform(sequence(0, 1 + cast(doc_id % 5 as int)), i ->
+               concat(
+                 CASE WHEN i = 1 AND doc_id % 7 = 0 THEN 'user'
+                      WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+                 ': msg', i)), chr(10)) AS transcript""")
+        convs
+          .withColumn("turns", expr(
+            """transform(split(transcript, '\\n'), l ->
+                 named_struct('role', split(l, ': ')[0],
+                   'chars', length(split(l, ': ')[1])))"""))
+          .selectExpr(
+            "size(turns) AS n_turns",
+            "turns[0].role = 'user' AS starts_user",
+            "element_at(turns, -1).role = 'assistant' AS ends_assistant",
+            """aggregate(sequence(1, size(turns) - 1), true,
+                 (a, i) -> a AND turns[i].role != turns[i - 1].role) AS alternates""",
+            """aggregate(filter(turns, t -> t.role = 'user'), 0L,
+                 (a, t) -> a + t.chars) AS user_chars""",
+            """aggregate(filter(turns, t -> t.role = 'assistant'), 0L,
+                 (a, t) -> a + t.chars) AS asst_chars""")
+          .groupBy("n_turns", "starts_user", "ends_assistant", "alternates")
+          .agg(count(lit(1)).as("n_convs"),
+            sum(col("user_chars")).as("user_chars"),
+            sum(col("asst_chars")).as("asst_chars"))
+          .orderBy("n_turns", "alternates", "ends_assistant")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 2 + CAST(doc_id % 5 AS INTEGER) AS n_turns,
+            doc_id % 7 = 0 AS violated
+          FROM documents),
+        c AS (
+          SELECT n_turns, TRUE AS starts_user,
+            -- last turn index n-1: violated docs flip only turn 1 to user
+            CASE WHEN violated AND n_turns = 2 THEN FALSE
+                 ELSE (n_turns - 1) % 2 = 1 END AS ends_assistant,
+            NOT violated AS alternates,
+            -- every message is 'msgI' (i <= 6, single digit): 4 chars
+            4 * (CASE WHEN violated THEN 1 ELSE 0 END
+                 + CAST(ceil(n_turns / 2.0) AS INTEGER)) AS user_chars,
+            4 * (CASE WHEN violated THEN n_turns - CAST(ceil(n_turns / 2.0) AS INTEGER) - 1
+                 ELSE n_turns - CAST(ceil(n_turns / 2.0) AS INTEGER) END) AS asst_chars
+          FROM d)
+        SELECT CAST(n_turns AS INTEGER) AS n_turns, starts_user, ends_assistant,
+          alternates, count(*) AS n_convs,
+          CAST(sum(user_chars) AS BIGINT) AS user_chars,
+          CAST(sum(asst_chars) AS BIGINT) AS asst_chars
+        FROM c GROUP BY ALL ORDER BY n_turns, alternates, ends_assistant""")),
+
+    // ---- T5-style span-corruption plan (denoising-target stats) ----
+    // Building span-corruption training targets needs, per document,
+    // the deterministic mask (here (doc_id*31 + i*17 + i*i*5) % 11 < 3
+    // — shared arithmetic, NOT an engine hash, so both engines derive
+    // the same mask; the QUADRATIC term varies consecutive-mask gaps,
+    // where a constant stride mod m can only ever produce runs of one
+    // fixed length), the masked runs, and corpus-level span-length accounting
+    // (sentinel budget = spans/doc, token loss = masked fraction). The
+    // per-doc walk is ONE linear fold over token positions (no
+    // explode-then-window: at 100 TB the token explode is the thing to
+    // avoid); only span-length rows shuffle, at histogram cardinality.
+    "pipe_span_corruption" -> Q(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+          .selectExpr("doc_id", "n",
+            """aggregate(sequence(1, n),
+                 named_struct('spans', cast(array() as array<int>), 'run', 0),
+                 (acc, i) -> CASE
+                   WHEN (doc_id * 31 + i * 17 + i * i * 5) % 11 < 3
+                     THEN named_struct('spans', acc.spans, 'run', acc.run + 1)
+                   WHEN acc.run > 0
+                     THEN named_struct('spans', concat(acc.spans, array(acc.run)), 'run', 0)
+                   ELSE acc END,
+                 acc -> CASE WHEN acc.run > 0
+                   THEN concat(acc.spans, array(acc.run)) ELSE acc.spans END) AS spans""")
+          .select(explode(col("spans")).as("span_len"))
+          .groupBy("span_len")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_len")).cast("long").as("masked_tokens"))
+          .orderBy("span_len")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(range(1, n + 1)) AS i FROM d),
+        m AS (
+          SELECT doc_id, i FROM pos
+          WHERE (doc_id * 31 + i * 17 + i * i * 5) % 11 < 3),
+        runs AS (
+          SELECT doc_id, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM m),
+        spans AS (
+          SELECT doc_id, grp, count(*) AS span_len
+          FROM runs GROUP BY doc_id, grp)
+        SELECT CAST(span_len AS INTEGER) AS span_len, count(*) AS n_spans,
+          CAST(sum(span_len) AS BIGINT) AS masked_tokens
+        FROM spans GROUP BY span_len ORDER BY span_len"""))
   )
 }

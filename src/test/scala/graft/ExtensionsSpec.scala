@@ -187,9 +187,12 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq((0L, Seq("0/0", "0/1", "1/1", "0/0")),
           (1L, Seq("1/1", "1/1", "0/0", "0/0")))
         .toDF("sid", "genotypes").createOrReplaceTempView("ext_fst")
+      // fst_num/fst_den are DECIMAL(38,0) since the int64-overflow fix
       val fst = s.sql(
         "SELECT sid, fst_num, fst_den FROM hudson_fst('ext_fst', 2) ORDER BY sid")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .collect().map(r => (r.getLong(0),
+          r.getDecimal(1).toBigInteger.longValueExact,
+          r.getDecimal(2).toBigInteger.longValueExact))
       assert(fst.toSeq == Seq((0L, -192L, 1152L), (1L, 2304L, 2304L)), fst.toSeq)
       // ibs_counts over the same sites: pair (0,1) shares ibs1@sid0, ibs2@sid1
       val ibs = s.sql(
