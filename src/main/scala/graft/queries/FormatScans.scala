@@ -4774,7 +4774,176 @@ object FormatScans {
           count(*) AS n_reads,
           CAST(sum(CASE WHEN m = 0 OR m = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_exact,
           CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected
-        FROM r GROUP BY barcode ORDER BY barcode"""))
+        FROM r GROUP BY barcode ORDER BY barcode""")),
+
+    // ---- Kraken-style LCA read classification ----
+    // Metagenomic classifiers assign each read the LOWEST COMMON
+    // ANCESTOR of its k-mer reference hits over the taxonomy tree.
+    // The taxonomy (13 nodes: root, 3 kingdoms, 9 genera) rides
+    // [[graft.functions.TreeOps.ancestorClosure]] — tiny and broadcast;
+    // reads join their hit taxa onto it, the ancestor shared by ALL of
+    // a read's hits (count == n_hits) survives, and max(depth) picks
+    // the LCA. The classification census (taxon, rank, n_reads) is the
+    // Kraken report. Hits are generated, not file-read: the operator
+    // under test is the tree algebra. Oracle: closed-form LCA from the
+    // hit arithmetic (same genus -> genus, same kingdom -> kingdom,
+    // else root), never a tree walk.
+    "fmt_taxon_lca" -> Q(
+      (s, _) => {
+        // taxonomy: node 0 root; 1..3 kingdoms (parent 0); 4..12 genera
+        // (parent 1 + (n-4) div 3); unit branch lengths make d = depth
+        val taxonomy = s.range(13).selectExpr("0L AS i", "cast(id as int) AS node",
+          """CASE WHEN id = 0 THEN -1 WHEN id <= 3 THEN 0
+             ELSE cast(1 + (id - 4) div 3 as int) END AS parent""",
+          "cast(1.0 as double) AS bl")
+        val closure = graft.functions.TreeOps.ancestorClosure(taxonomy)
+        // absolute depth of every node = its closure distance TO the
+        // root (node 0); the per-hit closure d is distance FROM the hit,
+        // which would rank the root deepest and invert the LCA
+        val depths = closure.where(col("anc") === 0)
+          .selectExpr("node AS dn", "cast(d as int) AS anc_depth")
+        val anc = closure.selectExpr("node AS taxon", "anc")
+          .join(depths, col("anc") === col("dn")).drop("dn")
+        val hits = s.range(1000).selectExpr("id AS read_id")
+          .selectExpr("read_id",
+            """concat(
+                 array(cast(4 + read_id % 9 as int)),
+                 CASE WHEN read_id % 3 != 0
+                   THEN array(cast(4 + (read_id * 5) % 9 as int))
+                   ELSE cast(array() as array<int>) END,
+                 CASE WHEN read_id % 4 = 0
+                   THEN array(cast(4 + (read_id * 7) % 9 as int))
+                   ELSE cast(array() as array<int>) END) AS taxa""")
+          .selectExpr("read_id", "size(array_distinct(taxa)) AS n_hits",
+            "explode(array_distinct(taxa)) AS taxon")
+        hits.join(broadcast(anc), Seq("taxon"))
+          .groupBy("read_id", "n_hits", "anc")
+          .agg(count(lit(1)).as("covers"), first(col("anc_depth")).as("anc_depth"))
+          .where(col("covers") === col("n_hits"))
+          .groupBy("read_id")
+          .agg(max(struct(col("anc_depth"), col("anc"))).as("lca"))
+          .selectExpr("lca.anc AS taxon", "lca.anc_depth AS depth")
+          .groupBy("taxon", "depth")
+          .agg(count(lit(1)).as("n_reads"))
+          .selectExpr("taxon",
+            """CASE depth WHEN 0 THEN 'root' WHEN 1 THEN 'kingdom'
+               ELSE 'genus' END AS rank""",
+            "n_reads")
+          .orderBy("taxon")
+      },
+      Some("""WITH r AS (
+          SELECT i AS read_id, 4 + i % 9 AS g1,
+            CASE WHEN i % 3 <> 0 THEN 4 + (i * 5) % 9 ELSE NULL END AS g2,
+            CASE WHEN i % 4 = 0 THEN 4 + (i * 7) % 9 ELSE NULL END AS g3
+          FROM range(0, 1000) t(i)),
+        lca AS (
+          SELECT read_id,
+            CASE
+              WHEN coalesce(g2, g1) = g1 AND coalesce(g3, g1) = g1 THEN g1
+              WHEN coalesce((g2 - 4) // 3, (g1 - 4) // 3) = (g1 - 4) // 3
+               AND coalesce((g3 - 4) // 3, (g1 - 4) // 3) = (g1 - 4) // 3
+                THEN 1 + (g1 - 4) // 3
+              ELSE 0 END AS taxon
+          FROM r)
+        SELECT CAST(taxon AS INTEGER) AS taxon,
+          CASE WHEN taxon = 0 THEN 'root' WHEN taxon <= 3 THEN 'kingdom'
+               ELSE 'genus' END AS rank,
+          count(*) AS n_reads
+        FROM lca GROUP BY taxon ORDER BY taxon""")),
+
+    // ---- wwPDB structure scan (fixed-column ATOM/HETATM records) ----
+    // The fixture is BUILT by a column formatter (f-interpolation pins
+    // every spec window), covering multi-MODEL, altLoc, HETATM and
+    // negative coordinates; the oracle is the literal golden. The
+    // format is file-grain parallel (MODEL is whole-file state) — the
+    // right unit for structure archives of millions of small files.
+    "fmt_pdb_scan" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-pdb-scan") { d =>
+          def atom(rec: String, serial: Int, name: String, alt: String,
+                   res: String, chain: String, seq: Int, x: Double, y: Double,
+                   z: Double, occ: Double, b: Double, elem: String): String =
+            f"$rec%-6s$serial%5d $name%-4s$alt%1s$res%-3s $chain%1s$seq%4d    " +
+              f"$x%8.3f$y%8.3f$z%8.3f$occ%6.2f$b%6.2f          $elem%2s"
+          val text = Seq(
+            "HEADER    TEST STRUCTURE",
+            "MODEL        1",
+            atom("ATOM", 1, "N", " ", "MET", "A", 1, 11.104, 6.134, -6.504, 1.00, 25.50, "N"),
+            atom("ATOM", 2, "CA", "A", "MET", "A", 1, 12.560, 6.351, -6.510, 0.50, 26.10, "C"),
+            atom("ATOM", 3, "N", " ", "ALA", "B", 2, 1.000, 2.000, 3.000, 1.00, 10.00, "N"),
+            "TER",
+            atom("HETATM", 4, "O", " ", "HOH", "A", 101, 20.000, 21.000, 22.000, 1.00, 30.00, "O"),
+            "ENDMDL",
+            "MODEL        2",
+            atom("ATOM", 1, "N", " ", "MET", "A", 1, 11.204, 6.234, -6.404, 1.00, 25.00, "N"),
+            "ENDMDL",
+            "END").mkString("", "\n", "\n")
+          java.nio.file.Files.write(d.resolve("test.pdb"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_pdb(s, staged.resolve("test.pdb").toString)
+          .selectExpr("model", "record", "serial", "atom_name", "alt_loc",
+            "res_name", "chain", "res_seq", "x", "z", "occupancy",
+            "b_factor", "element")
+          .orderBy("model", "serial")
+      },
+      Some("""SELECT CAST(1 AS INTEGER) AS model, 'ATOM' AS record,
+          CAST(1 AS BIGINT) AS serial, 'N' AS atom_name,
+          CAST(NULL AS VARCHAR) AS alt_loc, 'MET' AS res_name, 'A' AS chain,
+          CAST(1 AS BIGINT) AS res_seq, CAST('11.104' AS DOUBLE) AS x,
+          CAST('-6.504' AS DOUBLE) AS z, CAST('1.0' AS DOUBLE) AS occupancy,
+          CAST('25.5' AS DOUBLE) AS b_factor, 'N' AS element
+        UNION ALL SELECT 1, 'ATOM', 2, 'CA', 'A', 'MET', 'A', 1,
+          CAST('12.56' AS DOUBLE), CAST('-6.51' AS DOUBLE),
+          CAST('0.5' AS DOUBLE), CAST('26.1' AS DOUBLE), 'C'
+        UNION ALL SELECT 1, 'ATOM', 3, 'N', NULL, 'ALA', 'B', 2,
+          CAST('1.0' AS DOUBLE), CAST('3.0' AS DOUBLE),
+          CAST('1.0' AS DOUBLE), CAST('10.0' AS DOUBLE), 'N'
+        UNION ALL SELECT 1, 'HETATM', 4, 'O', NULL, 'HOH', 'A', 101,
+          CAST('20.0' AS DOUBLE), CAST('22.0' AS DOUBLE),
+          CAST('1.0' AS DOUBLE), CAST('30.0' AS DOUBLE), 'O'
+        UNION ALL SELECT 2, 'ATOM', 1, 'N', NULL, 'MET', 'A', 1,
+          CAST('11.204' AS DOUBLE), CAST('-6.404' AS DOUBLE),
+          CAST('1.0' AS DOUBLE), CAST('25.0' AS DOUBLE), 'N'
+        ORDER BY model, serial""")),
+
+    // Per-chain structure census over a generated 500-atom file: atom
+    // and distinct-residue counts plus the exact centi-B-factor mass
+    // (B-factors are 2-decimal by construction, so round(b*100) sums
+    // are associative integers). The oracle recomputes from the
+    // generating arithmetic, independent of the fixed-column parse.
+    "fmt_pdb_chain_stats" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-pdb-chain") { d =>
+          val sb = new StringBuilder("MODEL        1\n")
+          (0 until 500).foreach { i =>
+            val chain = ('A' + i % 3).toChar
+            val b = (i % 50) / 2.0
+            // cols: name 13-16 'CA  ', altLoc 17 ' ', res 18-20 'GLY',
+            // 21 ' ', chain 22, resSeq 23-26, iCode+3 pad 27-30
+            sb ++= f"ATOM  ${i + 1}%5d CA   GLY $chain%1s${1 + i / 12}%4d    " +
+              f"${i / 10.0}%8.3f${i / 20.0}%8.3f${i / 40.0}%8.3f${1.0}%6.2f$b%6.2f" +
+              "           C\n"
+          }
+          sb ++= "ENDMDL\nEND\n"
+          java.nio.file.Files.write(d.resolve("chains.pdb"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_pdb(s, staged.resolve("chains.pdb").toString)
+          .groupBy("chain")
+          .agg(count(lit(1)).as("n_atoms"),
+            countDistinct(col("res_seq")).as("n_res"),
+            sum(expr("cast(round(b_factor * 100) as bigint)")).as("centi_b"))
+          .orderBy("chain")
+      },
+      Some("""WITH a AS (
+          SELECT i, chr(65 + CAST(i % 3 AS INTEGER)) AS chain,
+            1 + i // 12 AS res_seq, (i % 50) * 50 AS centi_b
+          FROM range(0, 500) t(i))
+        SELECT chain, count(*) AS n_atoms,
+          count(DISTINCT res_seq) AS n_res,
+          CAST(sum(centi_b) AS BIGINT) AS centi_b
+        FROM a GROUP BY chain ORDER BY chain"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

@@ -20,7 +20,7 @@ object Formats {
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
       WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat,
       MafFormat, EmblFormat, PhylipFormat, BedpeFormat, Blast6Format,
-      BedGraphFormat)
+      BedGraphFormat, PdbFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -67,6 +67,7 @@ class PhylipDataSource extends GraftDataSource(PhylipFormat)
 class BedpeDataSource extends GraftDataSource(BedpeFormat)
 class Blast6DataSource extends GraftDataSource(Blast6Format)
 class BedGraphDataSource extends GraftDataSource(BedGraphFormat)
+class PdbDataSource extends GraftDataSource(PdbFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -152,6 +153,7 @@ object GraftIO {
   /** PHYLIP multiple sequence alignments (beyond the reference);
     * `layout` option selects interleaved (default) or sequential. */
   def read_phylip(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "phylip", path, options)
+  def read_pdb(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "pdb", path, options)
   /** BEDPE paired intervals (beyond the reference; SV callsets). */
   def read_bedpe(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bedpe", path, options)
   /** BLAST -outfmt 6/7 tabular hits (beyond the reference). */

@@ -135,7 +135,7 @@ object GraftTableFunctions {
     "warc" -> "read_warc", "chain" -> "read_chain_file", "wig" -> "read_wig",
     "paf" -> "read_paf", "gfa" -> "read_gfa", "stockholm" -> "read_stockholm",
     "maf" -> "read_maf", "embl" -> "read_embl", "phylip" -> "read_phylip",
-    "bedpe" -> "read_bedpe", "blast6" -> "read_blast6",
+    "bedpe" -> "read_bedpe", "blast6" -> "read_blast6", "pdb" -> "read_pdb",
     "bedgraph" -> "read_bedgraph")
 
   def registerAll(spark: SparkSession): Unit = {

@@ -299,4 +299,32 @@ class AlnFormatsSpec extends AnyFunSuite {
     assert(out("e") == ((105L, true, true)), out.toString)
     assert(out("f") == ((100L, false, false)), out.toString)
   }
+
+  test("pdb: spec column windows, MODEL state, TVF, gzip composition") {
+    val line1 = "ATOM      1  N   MET A   1      11.104   6.134  -6.504  1.00 25.50           N"
+    val line2 = "HETATM    2  O   HOH B 101      20.000  21.000  22.000  1.00 30.00           O"
+    val text = s"HEADER    X\nMODEL        1\n$line1\nENDMDL\nMODEL        2\n$line2\nEND\n"
+    val p = tmpFile("t.pdb", text)
+    val rows = graft.sources.GraftIO.read_pdb(spark, p)
+      .selectExpr("model", "record", "serial", "atom_name", "res_name",
+        "chain", "res_seq", "x", "b_factor", "element")
+      .collect().map(_.toSeq).sortBy(_(2).asInstanceOf[Long])
+    assert(rows.length == 2)
+    assert(rows(0) == Seq(1, "ATOM", 1L, "N", "MET", "A", 1L, 11.104, 25.5, "N"))
+    assert(rows(1) == Seq(2, "HETATM", 2L, "O", "HOH", "B", 101L, 20.0, 30.0, "O"))
+    // TVF + gzip composition
+    val gz = tmpFile("t.pdb.gz", "")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write(text.getBytes("UTF-8")); out.close()
+    graft.sources.GraftTableFunctions.registerAll(spark)
+    assert(spark.sql(s"SELECT count(*) FROM read_pdb('$gz')").first().getLong(0) == 2)
+    // corrupt fixed columns fail loudly, with the offending line
+    val bad = tmpFile("bad.pdb", "ATOM  xxxxx  N   MET A   1      11.104   6.134  -6.504  1.00 25.50           N\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.GraftIO.read_pdb(spark, bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bad atom serial")), msgs(e).mkString("|"))
+  }
 }
