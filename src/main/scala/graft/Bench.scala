@@ -49,9 +49,14 @@ object Bench {
     // passes and the raw per-pass totals ride along for attribution.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     // Attribution knob (driver never sets it): restrict the measured
-    // set to comma-listed entries for back-to-back variance capture
+    // set to comma-listed entries for back-to-back variance capture;
+    // SPARK_GRAFT_BENCH_CORE=1 runs the tagged per-commit smoke subset
+    // (SparkEntry.coreSet) so the full matrix stays a round-close
+    // artifact, not an iteration tax.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+      .orElse(if (sys.env.get("SPARK_GRAFT_BENCH_CORE").contains("1"))
+        Some(SparkEntry.coreSet) else None)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val perPass: Seq[Seq[(String, Double)]] =

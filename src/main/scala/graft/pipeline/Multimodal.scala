@@ -408,6 +408,42 @@ object Multimodal {
     }
   }
 
+  final case class AudioWindowRow(doc_id: Long, win: Int, n_in_win: Int,
+                                  abs_sum: Long, peak: Int)
+
+  /** Fixed-width energy windows over the REAL WAV decode — the
+    * frame-level loudness pass a VAD/segmentation pipeline runs before
+    * any model sees audio: per `winSamples` window, the integer
+    * absolute-amplitude mass and peak. One linear pass per clip inside
+    * mapPartitions; bytes never leave the executor, and the output is
+    * window-granular (clip_seconds / window_seconds rows per clip), the
+    * natural input to a silence-trim or diarization stage. */
+  def audioEnergyWindows(audio: Dataset[AudioRow],
+                         winSamples: Int = 32): Dataset[AudioWindowRow] = {
+    import audio.sparkSession.implicits._
+    require(winSamples > 0, s"winSamples must be positive, got $winSamples")
+    audio.flatMap { row =>
+      val d = AudioCodec.decodeWav(row.media)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindowRow]
+      var i = 0
+      while (i < d.samples.length) {
+        val end = math.min(i + winSamples, d.samples.length)
+        var sum = 0L
+        var peak = 0
+        var j = i
+        while (j < end) {
+          val a = math.abs(d.samples(j).toInt)
+          sum += a
+          if (a > peak) peak = a
+          j += 1
+        }
+        out += AudioWindowRow(row.doc_id, i / winSamples, end - i, sum, peak)
+        i = end
+      }
+      out
+    }
+  }
+
   final case class MediaCaptionRow(doc_id: Long, media: Array[Byte], caption_emb: Array[Byte])
   final case class PairScoreRow(doc_id: Long, dot: Long, na: Long, nb: Long, keep: Boolean)
 

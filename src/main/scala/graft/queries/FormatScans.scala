@@ -4943,7 +4943,98 @@ object FormatScans {
         SELECT chain, count(*) AS n_atoms,
           count(DISTINCT res_seq) AS n_res,
           CAST(sum(centi_b) AS BIGINT) AS centi_b
-        FROM a GROUP BY chain ORDER BY chain"""))
+        FROM a GROUP BY chain ORDER BY chain""")),
+
+    // ---- BQSR-style base-quality covariate table ----
+    // Recalibration's first pass: per (machine cycle, quality bin),
+    // how many aligned bases and how many mismatch the reference —
+    // the empirical-quality table GATK builds before rewriting quals.
+    // Rides the native cigar_spans kernel (one linear walk per read),
+    // decodes quality through quality_score_string_to_list, and the
+    // reference base is closed-form (ACGT cycle) so no genome ships.
+    // Map-only until the (cycle, qbin)-keyed count — covariate
+    // cardinality, not read cardinality, shuffles.
+    "fmt_sam_bqsr" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(400).selectExpr("id",
+            "(id * 13) % 500 + 1 AS start", "'12M' AS cigar",
+            """array_join(transform(sequence(1, 12), i ->
+                 CASE WHEN (id * 7 + i) % 11 = 0
+                   THEN translate(element_at(array('A','C','G','T'),
+                     cast(((id * 13) % 500 + i - 1) % 4 as int) + 1), 'ACGT', 'CGTA')
+                   ELSE element_at(array('A','C','G','T'),
+                     cast(((id * 13) % 500 + i - 1) % 4 as int) + 1)
+                 END), '') AS sequence""",
+            """array_join(transform(sequence(1, 12), i ->
+                 chr(33 + 20 + (id + i) % 20)), '') AS quality""")
+          .selectExpr("id", "sequence", "quality",
+            "explode(cigar_spans(cigar, cast(start as bigint))) AS sp")
+          .selectExpr("id", "sequence", "quality", "sp",
+            "explode(sequence(0, sp.len - 1)) AS i0")
+          .selectExpr(
+            "sp.qi + i0 AS cycle",
+            "substring(sequence, sp.qi + i0, 1) AS base",
+            """element_at(array('A','C','G','T'),
+               cast((sp.pos + i0 - 1) % 4 as int) + 1) AS refb""",
+            """element_at(quality_score_string_to_list(quality),
+               sp.qi + i0) AS q""")
+          .groupBy(col("cycle"), expr("cast(q div 10 as int)").as("qbin"))
+          .agg(count(lit(1)).as("n_bases"),
+            sum(when(col("base") =!= col("refb"), 1L).otherwise(0L)).as("n_mismatch"))
+          .orderBy("cycle", "qbin")
+      },
+      Some("""WITH b AS (
+          SELECT t.id, i.i AS cycle, 20 + (t.id + i.i) % 20 AS q,
+            CASE WHEN (t.id * 7 + i.i) % 11 = 0 THEN 1 ELSE 0 END AS mm
+          FROM range(0, 400) t(id), range(1, 13) i(i))
+        SELECT CAST(cycle AS INTEGER) AS cycle, CAST(q // 10 AS INTEGER) AS qbin,
+          count(*) AS n_bases, CAST(sum(mm) AS BIGINT) AS n_mismatch
+        FROM b GROUP BY cycle, qbin ORDER BY cycle, qbin""")),
+
+    // ---- GFF CDS phase-chain validation (annotation QC) ----
+    // A transcript's CDS phases are not independent: phase_k must equal
+    // (3 - cumlen_{<k} mod 3) mod 3, the bases needed to reach the next
+    // codon start. Validators recompute the chain with ONE windowed
+    // cumulative sum per transcript (segments are few; transcripts are
+    // many — the window partition is the parallel grain) and census the
+    // violating transcripts. The fixture stores correct phases except a
+    // deterministic violation class; the oracle derives expectation
+    // closed-form, independent of the window algebra.
+    "fmt_gff_cds_phase" -> Q(
+      (s, _) => {
+        import org.apache.spark.sql.expressions.Window
+        val cds = s.range(150).selectExpr("id AS tx")
+          .selectExpr("tx", "explode(sequence(1, 1 + cast(tx % 4 as int))) AS seg")
+          .selectExpr("tx", "seg", "10 + cast((tx + seg) % 7 as int) AS len")
+          .withColumn("cum_prev", coalesce(sum(col("len")).over(
+            Window.partitionBy("tx").orderBy("seg")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .selectExpr("tx", "seg", "len",
+            """CASE WHEN tx % 9 = 0 AND seg = 2
+                 THEN cast(((3 - cum_prev % 3) % 3 + 1) % 3 as int)
+                 ELSE cast((3 - cum_prev % 3) % 3 as int) END AS phase""")
+        val expected = cds
+          .withColumn("cum_prev", coalesce(sum(col("len")).over(
+            Window.partitionBy("tx").orderBy("seg")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .selectExpr("tx", "seg", "phase",
+            "cast((3 - cum_prev % 3) % 3 as int) AS want")
+        expected.groupBy("tx")
+          .agg(count(lit(1)).as("n_cds"),
+            sum(when(col("phase") =!= col("want"), 1L).otherwise(0L)).as("n_bad"))
+          .groupBy("n_cds", "n_bad")
+          .agg(count(lit(1)).as("n_tx"))
+          .orderBy("n_cds", "n_bad")
+      },
+      Some("""WITH tx AS (
+          SELECT t.id AS tx, 1 + CAST(t.id % 4 AS INTEGER) AS n_cds,
+            -- a violation exists iff the tx has a segment 2 and id % 9 = 0
+            CASE WHEN t.id % 9 = 0 AND t.id % 4 >= 1 THEN 1 ELSE 0 END AS n_bad
+          FROM range(0, 150) t(id))
+        SELECT CAST(n_cds AS BIGINT) AS n_cds, CAST(n_bad AS BIGINT) AS n_bad,
+          count(*) AS n_tx
+        FROM tx GROUP BY n_cds, n_bad ORDER BY n_cds, n_bad"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

@@ -287,6 +287,32 @@ object MultimodalQ {
           + CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT)
           + CAST(('0x' || substr(md5(text), 17, 2)) AS BIGINT)
           + CAST(('0x' || substr(md5(text), 25, 2)) AS BIGINT) AS pixel_sum
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // Frame-level loudness through the REAL WAV decode: 32-sample
+    // energy windows per clip (the VAD/silence-trim input), rolled up
+    // per window index across the corpus. The oracle replays the
+    // closed-form signal, never touching the codec — so the WAV
+    // round trip and the window walk check each other.
+    "mm_audio_energy" -> Q(
+      (s, dir) =>
+        Multimodal.audioEnergyWindows(Multimodal.realAudioTable(s, dir))
+          .toDF()
+          .groupBy("win")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(col("n_in_win")).cast("long").as("n_samples"),
+            sum(col("abs_sum")).as("abs_mass"),
+            max(col("peak")).as("max_peak"))
+          .orderBy("win"),
+      Some("""WITH g AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INTEGER) AS n
+          FROM documents),
+        w AS (SELECT g.doc_id, CAST(i.i // 32 AS INTEGER) AS win,
+            abs((i.i * 31 + g.doc_id * 7) % 65536 - 32768) AS a
+          FROM g, range(0, 161) i(i) WHERE i.i < g.n)
+        SELECT win, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_windows,
+          count(*) AS n_samples,
+          CAST(sum(a) AS BIGINT) AS abs_mass,
+          CAST(max(a) AS INTEGER) AS max_peak
+        FROM w GROUP BY win ORDER BY win"""))
   )
 }

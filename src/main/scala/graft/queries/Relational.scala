@@ -2146,6 +2146,54 @@ object Relational {
           CAST(round(min(value) * 100) AS BIGINT) AS centi_min,
           CAST(round(max(value) * 100) AS BIGINT) AS centi_max
         FROM events WHERE value IS NOT NULL
-        GROUP BY bin ORDER BY bin"""))
+        GROUP BY bin ORDER BY bin""")),
+
+    // ---- time-series gap fill (LOCF over an hourly spine) ----
+    // Metric stores forward-fill missing buckets before charting or
+    // joining: build the hour spine from ONE 1-row min/max aggregate
+    // (never a global window), left-join the actual hourly centi-sums,
+    // and carry the last observation forward per event_type with a
+    // bounded-partition window (types are few; hours are the sort key).
+    // Leading hours before a type's first observation stay NULL — a
+    // fill would fabricate data. Integer centi-sums keep the hash
+    // exact; is_gap marks fabricated rows for the consumer.
+    "rel_time_gap_fill" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val a = eventsTs(s, dir).where(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 1000000 div 3600").as("h"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("centi"))
+        val mm = a.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val spine = a.select("event_type").distinct()
+          .crossJoin(broadcast(mm))
+          .selectExpr("event_type", "explode(sequence(h0, h1)) AS h")
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(a, Seq("event_type", "h"), "left")
+          .withColumn("centi_filled", last(col("centi"), ignoreNulls = true).over(w))
+          .selectExpr("event_type", "h", "centi_filled",
+            "centi IS NULL AS is_gap")
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS centi
+          FROM events WHERE value IS NOT NULL GROUP BY event_type, h),
+        b AS (SELECT min(h) AS h0, max(h) AS h1 FROM a),
+        spine AS (
+          -- DuckDB range() takes only constant bounds: over-generate
+          -- and clip to the observed span
+          SELECT t.event_type, b.h0 + r.i AS h
+          FROM (SELECT DISTINCT event_type FROM a) t, b,
+            range(0, 200000) r(i)
+          WHERE r.i <= b.h1 - b.h0),
+        j AS (SELECT s.event_type, s.h, a.centi
+          FROM spine s LEFT JOIN a ON s.event_type = a.event_type AND s.h = a.h)
+        SELECT event_type, h,
+          last_value(centi IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY h ROWS UNBOUNDED PRECEDING) AS centi_filled,
+          centi IS NULL AS is_gap
+        FROM j ORDER BY event_type, h"""))
   )
 }

@@ -29,6 +29,11 @@ class GateLintSpec extends AnyFunSuite {
     assert(GateLint.nestedColumns(bad2).size == 2)
   }
 
+  test("coreSet names only live registry entries") {
+    val dead = SparkEntry.coreSet -- SparkEntry.registry.keySet
+    assert(dead.isEmpty, s"coreSet references unknown entries: $dead")
+  }
+
   test("every registry entry dumps a checker-safe (all-scalar) schema") {
     val offending = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
