@@ -5034,7 +5034,236 @@ object FormatScans {
           FROM range(0, 150) t(id))
         SELECT CAST(n_cds AS BIGINT) AS n_cds, CAST(n_bad AS BIGINT) AS n_bad,
           count(*) AS n_tx
-        FROM tx GROUP BY n_cds, n_bad ORDER BY n_cds, n_bad"""))
+        FROM tx GROUP BY n_cds, n_bad ORDER BY n_cds, n_bad""")),
+
+    // ---- indel event pileup (the I/D half of samtools mpileup) ----
+    // The base pileup (fmt_sam_pileup) covers M bases; variant callers
+    // also need INSERTION anchors (the ref position the inserted bases
+    // precede — I consumes no reference) and DELETION spans (D consumes
+    // reference). One CIGAR fold per read emits (pos, type, len)
+    // events — a handful per read, so the single-element appends are
+    // O(ops) — then a position-keyed count. Oracle from the cigar
+    // generating arithmetic.
+    "fmt_sam_indel_pileup" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(300).selectExpr(
+            "(id * 17) % 800 + 1 AS start",
+            """CASE WHEN id % 3 = 0 THEN '6M2I6M'
+               WHEN id % 3 = 1 THEN '4M3D8M' ELSE '12M' END AS cigar""")
+          .selectExpr(
+            """aggregate(parse_cigar(cigar),
+                 named_struct('cur', start,
+                   'ev', cast(array() as array<struct<pos: bigint, typ: string, len: int>>)),
+                 (acc, o) -> CASE
+                   WHEN o.op = 'I' THEN named_struct('cur', acc.cur,
+                     'ev', concat(acc.ev, array(named_struct(
+                       'pos', acc.cur, 'typ', 'I', 'len', o.len))))
+                   WHEN o.op = 'D' THEN named_struct('cur', acc.cur + o.len,
+                     'ev', concat(acc.ev, array(named_struct(
+                       'pos', acc.cur, 'typ', 'D', 'len', o.len))))
+                   WHEN o.op IN ('M', '=', 'X', 'N') THEN
+                     named_struct('cur', acc.cur + o.len, 'ev', acc.ev)
+                   ELSE acc END,
+                 acc -> acc.ev) AS ev""")
+          .select(explode(col("ev")).as("e"))
+          .selectExpr("e.pos AS pos", "e.typ AS typ", "e.len AS len")
+          .groupBy("pos", "typ", "len")
+          .agg(count(lit(1)).as("n_reads"))
+          .orderBy("pos", "typ")
+      },
+      Some("""WITH r AS (SELECT i, (i * 17) % 800 + 1 AS st, i % 3 AS c
+          FROM range(0, 300) t(i)),
+        e AS (
+          SELECT st + 6 AS pos, 'I' AS typ, 2 AS len FROM r WHERE c = 0
+          UNION ALL SELECT st + 4, 'D', 3 FROM r WHERE c = 1)
+        SELECT CAST(pos AS BIGINT) AS pos, typ, CAST(len AS INTEGER) AS len,
+          count(*) AS n_reads
+        FROM e GROUP BY pos, typ, len ORDER BY pos, typ""")),
+
+    // ---- gnomAD-style popmax allele frequency ----
+    // Variant prioritization wants the HIGHEST population-specific AF,
+    // not the global one (a variant common in any ancestry is unlikely
+    // pathogenic). AC/AN pairs stay exact integers; the argmax over
+    // fractions is cross-multiplied (ac_i·an_j > ac_j·an_i), never a
+    // float division, with ties resolved to the lowest pop index and
+    // an AN=0 pop unable to win (0·an never strictly beats). One
+    // codegen'd per-site row — map-only at callset scale.
+    "fmt_vcf_popmax" -> Q(
+      (s, _) => {
+        val sites = s.range(300).selectExpr("id AS sid",
+          "transform(sequence(0, 11), j -> " +
+            "CASE WHEN (id * 5 + j * 7 + id * j) % 13 = 12 THEN './.' " +
+            "ELSE CASE cast(((id * 5 + j * 7 + id * j) % 13) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0|1' ELSE '1/1' END END) AS genotypes")
+        sites
+          .selectExpr("sid",
+            """transform(sequence(0, 2), p -> named_struct(
+                 'ac', aggregate(slice(genotypes, p * 4 + 1, 4), 0L, (a, g) ->
+                   a + CASE WHEN g = './.' THEN 0L
+                     ELSE cast(size(filter(split(split(g, ':')[0], '[/|]'),
+                       x -> x = '1')) as bigint) END),
+                 'an', 2 * aggregate(slice(genotypes, p * 4 + 1, 4), 0L, (a, g) ->
+                   a + IF(g = './.', 0L, 1L)))) AS pops""")
+          .selectExpr("sid",
+            """aggregate(sequence(1, 2),
+                 named_struct('p', 0, 'ac', pops[0].ac, 'an', pops[0].an),
+                 (b, i) -> CASE
+                   WHEN pops[i].ac * b.an > b.ac * pops[i].an
+                     THEN named_struct('p', cast(i as int),
+                       'ac', pops[i].ac, 'an', pops[i].an)
+                   ELSE b END) AS pm""")
+          .selectExpr("sid", "pm.p AS popmax_pop", "pm.ac AS popmax_ac",
+            "pm.an AS popmax_an")
+          .orderBy("sid")
+      },
+      Some("""WITH d AS (
+          SELECT sid, j, (sid * 5 + j * 7 + sid * j) % 13 AS x13, j // 4 AS p
+          FROM range(0, 300) t(sid), range(0, 12) u(j)),
+        pp AS (
+          SELECT sid, p,
+            CAST(sum(CASE WHEN x13 = 12 THEN 0 ELSE x13 % 3 END) AS BIGINT) AS ac,
+            CAST(2 * sum(CASE WHEN x13 = 12 THEN 0 ELSE 1 END) AS BIGINT) AS an
+          FROM d GROUP BY sid, p),
+        w AS (
+          SELECT sid,
+            max(CASE WHEN p = 0 THEN ac END) AS ac0, max(CASE WHEN p = 0 THEN an END) AS an0,
+            max(CASE WHEN p = 1 THEN ac END) AS ac1, max(CASE WHEN p = 1 THEN an END) AS an1,
+            max(CASE WHEN p = 2 THEN ac END) AS ac2, max(CASE WHEN p = 2 THEN an END) AS an2
+          FROM pp GROUP BY sid),
+        s1 AS (
+          SELECT sid, ac2, an2,
+            CASE WHEN ac1 * an0 > ac0 * an1 THEN 1 ELSE 0 END AS p01,
+            CASE WHEN ac1 * an0 > ac0 * an1 THEN ac1 ELSE ac0 END AS acw,
+            CASE WHEN ac1 * an0 > ac0 * an1 THEN an1 ELSE an0 END AS anw
+          FROM w)
+        SELECT sid,
+          CAST(CASE WHEN ac2 * anw > acw * an2 THEN 2 ELSE p01 END AS INTEGER) AS popmax_pop,
+          CAST(CASE WHEN ac2 * anw > acw * an2 THEN ac2 ELSE acw END AS BIGINT) AS popmax_ac,
+          CAST(CASE WHEN ac2 * anw > acw * an2 THEN an2 ELSE anw END AS BIGINT) AS popmax_an
+        FROM s1 ORDER BY sid""")),
+
+    // ---- PAF dotplot binning (assembly-vs-assembly heatmap prep) ----
+    // The synteny dotplot every assembly comparison starts with: bin
+    // alignment anchors into a fixed grid and count anchors + aligned
+    // bases per cell — 2-D binning over the real PAF reader, grid
+    // cardinality output. Staged file exercises the parser at volume;
+    // the oracle recomputes from the generating arithmetic.
+    "fmt_paf_dotplot" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-paf-dotplot") { d =>
+          val lines = (0 until 200).map { i =>
+            val qs = (i * 37) % 900; val ts = (i * 53) % 900
+            s"q${i % 5}\t1000\t$qs\t${qs + 50}\t${if (i % 2 == 0) "+" else "-"}" +
+              s"\tt${i % 4}\t1000\t$ts\t${ts + 50}\t45\t50\t60"
+          }.mkString("", "\n", "\n")
+          java.nio.file.Files.write(d.resolve("aln.paf"),
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_paf(s, staged.resolve("aln.paf").toString)
+          .groupBy(expr("query_start div 100").as("qbin"),
+            expr("target_start div 100").as("tbin"))
+          .agg(count(lit(1)).as("n_anchors"),
+            sum(col("query_end") - col("query_start")).as("bases"))
+          .orderBy("qbin", "tbin")
+      },
+      Some("""WITH a AS (
+          SELECT (i * 37) % 900 // 100 AS qbin, (i * 53) % 900 // 100 AS tbin
+          FROM range(0, 200) t(i))
+        SELECT CAST(qbin AS BIGINT) AS qbin, CAST(tbin AS BIGINT) AS tbin,
+          count(*) AS n_anchors, CAST(count(*) * 50 AS BIGINT) AS bases
+        FROM a GROUP BY qbin, tbin ORDER BY qbin, tbin""")),
+
+    // ---- TDT transmission counts (plink --tdt's b/c table) ----
+    // Family-based association: per site, how often heterozygous
+    // parents transmit the ALT vs the REF allele to their child.
+    // Unambiguous cases: one het parent + homozygous co-parent (the
+    // transmitted allele is child dosage minus the co-parent's forced
+    // contribution; Mendel-impossible combinations are excluded like
+    // the tools do); both-het trios contribute by child dosage
+    // (0 -> two ref, 1 -> one each, 2 -> two alt). Pure per-site HOF
+    // arithmetic over the parsed genotype strings — map-only — while
+    // the oracle recomputes from the dosage-generating arithmetic.
+    "fmt_vcf_tdt" -> Q(
+      (s, _) => {
+        val sites = s.range(200).selectExpr("id AS sid",
+          "transform(sequence(0, 149), j -> " +
+            "CASE WHEN (id * 7 + j * 11 + id * j * 3) % 12 = 11 THEN './.' " +
+            "ELSE CASE cast(((id * 7 + j * 11 + id * j * 3) % 12) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0|1' ELSE '1/1' END END) AS genotypes")
+        sites
+          .selectExpr("sid",
+            """transform(genotypes, g ->
+                 CASE WHEN g = './.' THEN CAST(NULL AS INT)
+                   ELSE cast(size(filter(split(split(g, ':')[0], '[/|]'),
+                     x -> x = '1')) as int) END) AS ds""")
+          .selectExpr("sid",
+            """aggregate(sequence(0, 49),
+                 named_struct('b', 0L, 'c', 0L, 'n', 0L),
+                 (a, t) -> CASE
+                   WHEN ds[3*t] IS NULL OR ds[3*t+1] IS NULL OR ds[3*t+2] IS NULL
+                     THEN a
+                   -- father het, mother hom: transmitted = child - m/2
+                   WHEN ds[3*t+1] = 1 AND ds[3*t+2] IN (0, 2)
+                        AND (ds[3*t] - ds[3*t+2] div 2) IN (0, 1)
+                     THEN named_struct(
+                       'b', a.b + (ds[3*t] - ds[3*t+2] div 2),
+                       'c', a.c + 1 - (ds[3*t] - ds[3*t+2] div 2), 'n', a.n + 1)
+                   -- mother het, father hom: symmetric
+                   WHEN ds[3*t+2] = 1 AND ds[3*t+1] IN (0, 2)
+                        AND (ds[3*t] - ds[3*t+1] div 2) IN (0, 1)
+                     THEN named_struct(
+                       'b', a.b + (ds[3*t] - ds[3*t+1] div 2),
+                       'c', a.c + 1 - (ds[3*t] - ds[3*t+1] div 2), 'n', a.n + 1)
+                   -- both het: child dosage fixes the split
+                   WHEN ds[3*t+1] = 1 AND ds[3*t+2] = 1
+                     THEN named_struct('b', a.b + ds[3*t],
+                       'c', a.c + 2 - ds[3*t], 'n', a.n + 2)
+                   ELSE a END,
+                 a -> a) AS s""")
+          .selectExpr("sid", "s.b AS alt_transmitted",
+            "s.c AS ref_transmitted", "s.n AS n_informative")
+          .orderBy("sid")
+      },
+      Some("""WITH d AS (
+          SELECT sid, j,
+            CASE WHEN (sid * 7 + j * 11 + sid * j * 3) % 12 = 11 THEN NULL
+              ELSE ((sid * 7 + j * 11 + sid * j * 3) % 12) % 3 END AS x
+          FROM range(0, 200) t(sid), range(0, 150) u(j)),
+        trio AS (
+          SELECT c.sid, c.j // 3 AS t, c.x AS c, f.x AS f, m.x AS m
+          FROM d c JOIN d f ON c.sid = f.sid AND f.j = c.j + 1
+                   JOIN d m ON c.sid = m.sid AND m.j = c.j + 2
+          WHERE c.j % 3 = 0),
+        contrib AS (
+          SELECT sid,
+            CASE
+              WHEN c IS NULL OR f IS NULL OR m IS NULL THEN 0
+              WHEN f = 1 AND m IN (0, 2) AND (c - m // 2) IN (0, 1)
+                THEN c - m // 2
+              WHEN m = 1 AND f IN (0, 2) AND (c - f // 2) IN (0, 1)
+                THEN c - f // 2
+              WHEN f = 1 AND m = 1 THEN c
+              ELSE 0 END AS b,
+            CASE
+              WHEN c IS NULL OR f IS NULL OR m IS NULL THEN 0
+              WHEN f = 1 AND m IN (0, 2) AND (c - m // 2) IN (0, 1)
+                THEN 1 - (c - m // 2)
+              WHEN m = 1 AND f IN (0, 2) AND (c - f // 2) IN (0, 1)
+                THEN 1 - (c - f // 2)
+              WHEN f = 1 AND m = 1 THEN 2 - c
+              ELSE 0 END AS cc,
+            CASE
+              WHEN c IS NULL OR f IS NULL OR m IS NULL THEN 0
+              WHEN f = 1 AND m IN (0, 2) AND (c - m // 2) IN (0, 1) THEN 1
+              WHEN m = 1 AND f IN (0, 2) AND (c - f // 2) IN (0, 1) THEN 1
+              WHEN f = 1 AND m = 1 THEN 2
+              ELSE 0 END AS n
+          FROM trio)
+        SELECT sid, CAST(sum(b) AS BIGINT) AS alt_transmitted,
+          CAST(sum(cc) AS BIGINT) AS ref_transmitted,
+          CAST(sum(n) AS BIGINT) AS n_informative
+        FROM contrib GROUP BY sid ORDER BY sid"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */
