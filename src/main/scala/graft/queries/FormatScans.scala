@@ -5263,7 +5263,76 @@ object FormatScans {
         SELECT sid, CAST(sum(b) AS BIGINT) AS alt_transmitted,
           CAST(sum(cc) AS BIGINT) AS ref_transmitted,
           CAST(sum(n) AS BIGINT) AS n_informative
-        FROM contrib GROUP BY sid ORDER BY sid"""))
+        FROM contrib GROUP BY sid ORDER BY sid""")),
+
+    // ---- plink .fam pedigree scan ----
+    // Six whitespace columns, '0' parents -> NULL, sex outside {1,2}
+    // -> NULL; literal golden through the byte-splittable line reader.
+    "fmt_fam_scan" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-fam-scan") { d =>
+          val text =
+            """FAM1 child1 dad1 mom1 1 2
+              |FAM1 dad1 0 0 1 1
+              |FAM1 mom1 0 0 2 -9
+              |FAM2 solo 0 0 0 3.25
+              |""".stripMargin
+          java.nio.file.Files.write(d.resolve("test.fam"),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_fam(s, staged.resolve("test.fam").toString)
+          .orderBy("individual_id")
+      },
+      Some("""SELECT 'FAM1' AS family_id, 'child1' AS individual_id,
+          'dad1' AS father_id, 'mom1' AS mother_id, 1 AS sex, '2' AS phenotype
+        UNION ALL SELECT 'FAM1', 'dad1', NULL, NULL, 1, '1'
+        UNION ALL SELECT 'FAM1', 'mom1', NULL, NULL, 2, '-9'
+        UNION ALL SELECT 'FAM2', 'solo', NULL, NULL, NULL, '3.25'
+        ORDER BY individual_id""")),
+
+    // Complete-trio extraction over a generated cohort: a trio is a
+    // child whose BOTH declared parents exist as individuals in the
+    // same family — two self-joins on the (family, individual) key,
+    // the pedigree-integrity census plink runs before any family test
+    // (fmt_vcf_tdt consumes exactly this trio layout). The oracle
+    // recomputes existence from the generating arithmetic.
+    "fmt_fam_trios" -> Q(
+      (s, _) => {
+        val staged = Stage.staged("graft-fam-trios") { d =>
+          // family f has 3 + f%3 members: members 0/1 are founders,
+          // member 2 is a full trio child, member 3 (when present)
+          // declares a father OUTSIDE the file, member 4 (when
+          // present) declares only a mother
+          val lines = (0 until 60).flatMap { f =>
+            val n = 3 + f % 3
+            (0 until n).map { m =>
+              val (dad, mom) = m match {
+                case 2 => (s"F${f}_0", s"F${f}_1")
+                case 3 => (s"GHOST$f", s"F${f}_1")
+                case 4 => ("0", s"F${f}_1")
+                case _ => ("0", "0")
+              }
+              s"FAM$f F${f}_$m $dad $mom ${1 + m % 2} 1"
+            }
+          }.mkString("", "\n", "\n")
+          java.nio.file.Files.write(d.resolve("cohort.fam"),
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val fam = GraftIO.read_fam(s, staged.resolve("cohort.fam").toString)
+        val ids = fam.select(col("family_id").as("fid"),
+          col("individual_id").as("iid"))
+        fam.where(col("father_id").isNotNull && col("mother_id").isNotNull)
+          .join(ids, col("family_id") === col("fid") &&
+            col("father_id") === col("iid"), "left_semi")
+          .join(ids, col("family_id") === col("fid") &&
+            col("mother_id") === col("iid"), "left_semi")
+          .groupBy("family_id")
+          .agg(count(lit(1)).as("n_trios"))
+          .orderBy("family_id")
+      },
+      Some("""SELECT 'FAM' || CAST(f AS VARCHAR) AS family_id,
+          CAST(1 AS BIGINT) AS n_trios
+        FROM range(0, 60) t(f) ORDER BY family_id"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

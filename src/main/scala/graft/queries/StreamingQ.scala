@@ -976,6 +976,80 @@ object StreamingQ {
           .orderBy("name")
       },
       Some("""SELECT 'q1' AS name, CAST(3 AS BIGINT) AS n, CAST(42 AS BIGINT) AS kept_sum
-        UNION ALL SELECT 'q2', 3, 0 ORDER BY name"""))
+        UNION ALL SELECT 'q2', 3, 0 ORDER BY name""")),
+
+    // ---- streaming barcode demultiplex (stream-static broadcast) ----
+    // The online form of fmt_fastq_demux: reads arrive as FASTQ
+    // micro-batches (the sequencer-output tail pattern), each batch
+    // joins the BROADCAST whitelist with Hamming<=1 — a stream-static
+    // join that keeps ZERO streaming state (no watermark, no store:
+    // the whitelist is a static dimension) — and the memory sink's
+    // per-read assignments roll up at the end. Same generating
+    // arithmetic as the batch entry, 300 reads in batch one + 100
+    // arriving later.
+    "stream_fastq_demux" -> Q(
+      (s, _) => {
+        val gen: Int => org.apache.spark.sql.DataFrame = n =>
+          s.range(n).selectExpr(
+            "concat('r', id) AS name", "cast(null as string) AS description",
+            """concat(array_join(transform(sequence(1, 6), i -> CASE
+                 WHEN (id % 12 = 0 AND i = 1 + id % 6)
+                   OR (id % 12 = 1 AND (i = 1 + id % 6 OR i = 1 + (id + 3) % 6))
+                 THEN translate(element_at(array('A','C','G','T'), cast(id % 4 as int) + 1),
+                                'ACGT', 'CGTA')
+                 ELSE element_at(array('A','C','G','T'), cast(id % 4 as int) + 1)
+               END), ''), repeat('ACGT', 3)) AS sequence""",
+            "repeat('I', 18) AS quality_scores")
+        // the stream dir holds FILES only (file sources don't descend
+        // into write-output subdirectories): render through our FASTQ
+        // writer in a scratch dir, then move the part file up
+        def stageBatch(target: java.nio.file.Path, n: Int): Unit = {
+          val w = Stage.tempDir("stream-demux-w")
+          gen(n).coalesce(1).write.mode("overwrite").format("fastq")
+            .save(w.toString)
+          val part = java.nio.file.Files.list(w).filter(_.getFileName.toString
+            .endsWith(".fastq")).findFirst().get()
+          java.nio.file.Files.copy(part, target): Unit
+        }
+        val staged = Stage.staged("graft-stream-demux") { d =>
+          stageBatch(d.resolve("b1.fastq"), 300)
+        }
+        val wl = s.createDataFrame(Seq(
+            Tuple1("AAAAAA"), Tuple1("CCCCCC"), Tuple1("GGGGGG"), Tuple1("TTTTTT")))
+          .toDF("wl_bc")
+        val tbl = "graft_stream_fastq_demux"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val q = s.readStream.format("fastq").load(staged.toString)
+          .selectExpr("name", "substring(sequence, 1, 6) AS bc6")
+          .join(broadcast(wl),
+            expr("""aggregate(sequence(1, 6), 0, (a, i) ->
+              a + IF(substring(bc6, i, 1) = substring(wl_bc, i, 1), 0, 1)) <= 1"""),
+            "left")
+          .selectExpr("name", "coalesce(wl_bc, 'UNASSIGNED') AS barcode")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(tbl).start()
+        try {
+          q.processAllAvailable()
+          val b2 = staged.resolve("b2.fastq")
+          if (!java.nio.file.Files.exists(b2)) stageBatch(b2, 100)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(tbl).groupBy("barcode")
+          .agg(count(lit(1)).as("n_reads"))
+          .orderBy("barcode")
+      },
+      Some("""WITH r AS (
+          SELECT i, i % 12 AS m,
+            list_extract(['AAAAAA','CCCCCC','GGGGGG','TTTTTT'],
+                         CAST(i % 4 AS INTEGER) + 1) AS bc
+          FROM range(0, 300) t(i)
+          UNION ALL
+          SELECT i, i % 12 AS m,
+            list_extract(['AAAAAA','CCCCCC','GGGGGG','TTTTTT'],
+                         CAST(i % 4 AS INTEGER) + 1) AS bc
+          FROM range(0, 100) t(i))
+        SELECT CASE WHEN m = 1 THEN 'UNASSIGNED' ELSE bc END AS barcode,
+          count(*) AS n_reads
+        FROM r GROUP BY barcode ORDER BY barcode"""))
   )
 }

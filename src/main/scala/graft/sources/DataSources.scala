@@ -20,7 +20,7 @@ object Formats {
       HmmDomTabFormat, VcfFormat, GenBankFormat, MzmlFormat, BamFormat, BcfFormat,
       WarcFormat, ChainFormat, WigFormat, PafFormat, GfaFormat, StockholmFormat,
       MafFormat, EmblFormat, PhylipFormat, BedpeFormat, Blast6Format,
-      BedGraphFormat, PdbFormat)
+      BedGraphFormat, PdbFormat, FamFormat)
 
   def byName(name: String): GraftFormat =
     all.find(_.name == name).getOrElse(
@@ -68,6 +68,7 @@ class BedpeDataSource extends GraftDataSource(BedpeFormat)
 class Blast6DataSource extends GraftDataSource(Blast6Format)
 class BedGraphDataSource extends GraftDataSource(BedGraphFormat)
 class PdbDataSource extends GraftDataSource(PdbFormat)
+class FamDataSource extends GraftDataSource(FamFormat)
 
 /** The bare-path provider: `spark.read.format("exon").load(path)`
   * dispatches on the file extension (compression suffix stripped), the
@@ -154,6 +155,7 @@ object GraftIO {
     * `layout` option selects interleaved (default) or sequential. */
   def read_phylip(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "phylip", path, options)
   def read_pdb(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "pdb", path, options)
+  def read_fam(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "fam", path, options)
   /** BEDPE paired intervals (beyond the reference; SV callsets). */
   def read_bedpe(s: SparkSession, path: String, options: Map[String, String] = Map.empty): DataFrame = rd(s, "bedpe", path, options)
   /** BLAST -outfmt 6/7 tabular hits (beyond the reference). */

@@ -136,6 +136,7 @@ object GraftTableFunctions {
     "paf" -> "read_paf", "gfa" -> "read_gfa", "stockholm" -> "read_stockholm",
     "maf" -> "read_maf", "embl" -> "read_embl", "phylip" -> "read_phylip",
     "bedpe" -> "read_bedpe", "blast6" -> "read_blast6", "pdb" -> "read_pdb",
+    "fam" -> "read_fam",
     "bedgraph" -> "read_bedgraph")
 
   def registerAll(spark: SparkSession): Unit = {
