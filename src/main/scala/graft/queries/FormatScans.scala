@@ -133,6 +133,27 @@ object FormatScans {
     }
   }
 
+  /** Shared 500-atom generated PDB (3 chains, 2-decimal B-factors,
+    * coordinates i/10, i/20, i/40 Å — 3-decimal exact, so milli-unit
+    * integer geometry is lossless). Used by fmt_pdb_chain_stats and
+    * fmt_pdb_contacts; Stage.staged memoizes per driver. */
+  private def pdbChainFixture: java.nio.file.Path =
+    Stage.staged("graft-pdb-chain") { d =>
+      val sb = new StringBuilder("MODEL        1\n")
+      (0 until 500).foreach { i =>
+        val chain = ('A' + i % 3).toChar
+        val b = (i % 50) / 2.0
+        // cols: name 13-16 'CA  ', altLoc 17 ' ', res 18-20 'GLY',
+        // 21 ' ', chain 22, resSeq 23-26, iCode+3 pad 27-30
+        sb ++= f"ATOM  ${i + 1}%5d CA   GLY $chain%1s${1 + i / 12}%4d    " +
+          f"${i / 10.0}%8.3f${i / 20.0}%8.3f${i / 40.0}%8.3f${1.0}%6.2f$b%6.2f" +
+          "           C\n"
+      }
+      sb ++= "ENDMDL\nEND\n"
+      java.nio.file.Files.write(d.resolve("chains.pdb"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+
   val qs: Map[String, Q] = Map(
 
     "fmt_fasta_scan" -> Q(
@@ -4914,22 +4935,7 @@ object FormatScans {
     // generating arithmetic, independent of the fixed-column parse.
     "fmt_pdb_chain_stats" -> Q(
       (s, _) => {
-        val staged = Stage.staged("graft-pdb-chain") { d =>
-          val sb = new StringBuilder("MODEL        1\n")
-          (0 until 500).foreach { i =>
-            val chain = ('A' + i % 3).toChar
-            val b = (i % 50) / 2.0
-            // cols: name 13-16 'CA  ', altLoc 17 ' ', res 18-20 'GLY',
-            // 21 ' ', chain 22, resSeq 23-26, iCode+3 pad 27-30
-            sb ++= f"ATOM  ${i + 1}%5d CA   GLY $chain%1s${1 + i / 12}%4d    " +
-              f"${i / 10.0}%8.3f${i / 20.0}%8.3f${i / 40.0}%8.3f${1.0}%6.2f$b%6.2f" +
-              "           C\n"
-          }
-          sb ++= "ENDMDL\nEND\n"
-          java.nio.file.Files.write(d.resolve("chains.pdb"),
-            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-        }
-        GraftIO.read_pdb(s, staged.resolve("chains.pdb").toString)
+        GraftIO.read_pdb(s, pdbChainFixture.resolve("chains.pdb").toString)
           .groupBy("chain")
           .agg(count(lit(1)).as("n_atoms"),
             countDistinct(col("res_seq")).as("n_res"),
@@ -5332,7 +5338,47 @@ object FormatScans {
       },
       Some("""SELECT 'FAM' || CAST(f AS VARCHAR) AS family_id,
           CAST(1 AS BIGINT) AS n_trios
-        FROM range(0, 60) t(f) ORDER BY family_id"""))
+        FROM range(0, 60) t(f) ORDER BY family_id""")),
+
+    // ---- residue contact map (8 Å CA-CA contacts per chain) ----
+    // The structural-biology primitive behind fold comparison and
+    // coevolution features: pairs of CA atoms within a distance cutoff.
+    // Geometry runs in EXACT milli-Å integers — coordinates are
+    // 3-decimal by the format, so round(x*1000) is lossless and the
+    // squared-distance sums are associative bigints (no float hash
+    // hazard). Same-chain self-join keyed by chain; a real structure
+    // corpus shards by structure id, so the join never crosses files.
+    // The oracle replays the coordinate-generating arithmetic.
+    "fmt_pdb_contacts" -> Q(
+      (s, _) => {
+        val ca = GraftIO.read_pdb(s, pdbChainFixture.resolve("chains.pdb").toString)
+          .where(col("atom_name") === "CA")
+          .selectExpr("chain", "serial",
+            "cast(round(x * 1000) as bigint) AS mx",
+            "cast(round(y * 1000) as bigint) AS my",
+            "cast(round(z * 1000) as bigint) AS mz")
+        val b = ca.selectExpr("chain AS chain2", "serial AS serial2",
+          "mx AS mx2", "my AS my2", "mz AS mz2")
+        ca.join(b, col("chain") === col("chain2") &&
+            col("serial2") > col("serial"))
+          .selectExpr("chain",
+            """(mx2 - mx) * (mx2 - mx) + (my2 - my) * (my2 - my)
+               + (mz2 - mz) * (mz2 - mz) AS d2""")
+          .where(col("d2") <= 64000000L) // (8 Å)² in milli-units
+          .groupBy("chain")
+          .agg(count(lit(1)).as("n_contacts"), sum(col("d2")).as("d2_sum"))
+          .orderBy("chain")
+      },
+      Some("""WITH p AS (
+          SELECT chr(65 + CAST(a.i % 3 AS INTEGER)) AS chain,
+            (100*(b.i - a.i))*(100*(b.i - a.i))
+              + (50*(b.i - a.i))*(50*(b.i - a.i))
+              + (25*(b.i - a.i))*(25*(b.i - a.i)) AS d2
+          FROM range(0, 500) a(i), range(0, 500) b(i)
+          WHERE b.i > a.i AND a.i % 3 = b.i % 3)
+        SELECT chain, count(*) AS n_contacts,
+          CAST(sum(d2) AS BIGINT) AS d2_sum
+        FROM p WHERE d2 <= 64000000 GROUP BY chain ORDER BY chain"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

@@ -2194,6 +2194,45 @@ object Relational {
           last_value(centi IGNORE NULLS) OVER (PARTITION BY event_type
             ORDER BY h ROWS UNBOUNDED PRECEDING) AS centi_filled,
           centi IS NULL AS is_gap
-        FROM j ORDER BY event_type, h"""))
+        FROM j ORDER BY event_type, h""")),
+
+    // ---- 3-sigma hourly anomaly flags, EXACT ----
+    // The monitoring primitive, with the float hazard removed: the
+    // z-score test |v - mean| > 3*sigma is equivalent to the pure
+    // integer comparison (H*v - S)^2 > 9*(H*Q - S^2) over centi-sums
+    // (S = sum v, Q = sum v^2, H = hours) — multiply through by H^2,
+    // never divide — so distributed order cannot flap a flag bit. Per
+    // type the stats row is ONE 9-row aggregate broadcast back onto
+    // the hourly frame: map-side second pass, no second shuffle of
+    // the hours. Magnitudes stay inside int64 (documented envelope:
+    // H*v < ~3e9 at 100x this tier).
+    "rel_anomaly_hours" -> Q(
+      (s, dir) => {
+        val a = eventsTs(s, dir).where(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 1000000 div 3600").as("h"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("v"))
+        val stats = a.groupBy("event_type")
+          .agg(count(lit(1)).as("hn"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+        a.join(broadcast(stats), Seq("event_type"))
+          .selectExpr("event_type", "h", "v",
+            """(hn * v - sv) * (hn * v - sv) > 9 * (hn * svv - sv * sv)
+               AS is_anomaly""")
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY event_type, h),
+        st AS (
+          SELECT event_type, count(*) AS hn, CAST(sum(v) AS BIGINT) AS sv,
+            CAST(sum(v * v) AS BIGINT) AS svv
+          FROM a GROUP BY event_type)
+        SELECT a.event_type, a.h, a.v,
+          (st.hn * a.v - st.sv) * (st.hn * a.v - st.sv)
+            > 9 * (st.hn * st.svv - st.sv * st.sv) AS is_anomaly
+        FROM a JOIN st ON a.event_type = st.event_type
+        ORDER BY a.event_type, a.h"""))
   )
 }

@@ -975,7 +975,32 @@ object TextOps {
             WHEN 0 THEN 'green pear' WHEN 1 THEN 'big data'
             WHEN 2 THEN 'gamma delta' ELSE 'one two three' END AS phrase,
           CAST(CASE CAST(i % 4 AS INTEGER) WHEN 3 THEN 8000000 ELSE 4000000 END AS BIGINT) AS score_micro
-        FROM range(0, 200) t(i) ORDER BY doc_id"""))
+        FROM range(0, 200) t(i) ORDER BY doc_id""")),
+
+    // ---- boilerplate-prefix profile (template/header detection) ----
+    // Crawl corpora are full of repeated page furniture; the standard
+    // screen hashes a leading window per document and ranks prefixes by
+    // document frequency — high-df prefixes are templates to strip.
+    // ONE prefix-keyed count then a tiny df-histogram rollup (the df
+    // distribution is the knob-picking view: where the near-dup cluster
+    // mass sits vs singletons). Prefix extraction is a map-only slice;
+    // nothing corpus-sized survives the first agg.
+    "text_boilerplate_prefixes" -> Q(
+      (s, dir) => Q.t(s, dir, "documents")
+        .selectExpr("array_join(slice(split(text, ' '), 1, 5), ' ') AS prefix")
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("df"))
+        .groupBy("df")
+        .agg(count(lit(1)).as("n_prefixes"),
+          (count(lit(1)) * col("df")).as("n_docs"))
+        .orderBy("df"),
+      Some("""WITH p AS (
+          SELECT array_to_string((string_split(text, ' '))[1:5], ' ') AS prefix
+          FROM documents),
+        d AS (SELECT prefix, count(*) AS df FROM p GROUP BY prefix)
+        SELECT df, count(*) AS n_prefixes,
+          CAST(count(*) * df AS BIGINT) AS n_docs
+        FROM d GROUP BY df ORDER BY df"""))
   )
 }
 
