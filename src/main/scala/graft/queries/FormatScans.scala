@@ -4823,8 +4823,12 @@ object FormatScans {
         // which would rank the root deepest and invert the LCA
         val depths = closure.where(col("anc") === 0)
           .selectExpr("node AS dn", "cast(d as int) AS anc_depth")
+        // the taxonomy is tiny by construction — broadcast explicitly
+        // (the checkpointed closure carries no size stats, so the
+        // planner would otherwise start from sort-merge and rely on
+        // AQE to rescue it)
         val anc = closure.selectExpr("node AS taxon", "anc")
-          .join(depths, col("anc") === col("dn")).drop("dn")
+          .join(broadcast(depths), col("anc") === col("dn")).drop("dn")
         val hits = s.range(1000).selectExpr("id AS read_id")
           .selectExpr("read_id",
             """concat(

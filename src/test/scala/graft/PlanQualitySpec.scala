@@ -641,4 +641,34 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name shuffles raw rows instead of combined partials:\n$plan")
     }
   }
+
+  test("round-9 broadcast shapes: LCA taxonomy, demux whitelist, anomaly stats ride broadcast joins") {
+    // the small side (13-node taxonomy / 4-barcode whitelist / 9-row
+    // per-type stats) must broadcast — a shuffled join here reshuffles
+    // the corpus-sized side on a key it doesn't need
+    for (name <- Seq("fmt_taxon_lca", "fmt_fastq_demux", "rel_anomaly_hours")) {
+      val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
+      assert(plan.contains("Broadcast"), s"$name plans no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name fell back to sort-merge on a tiny dimension:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("fmt_pdb_contacts: chain-keyed equi self-join, never an all-pairs nested loop") {
+    val plan = fullPlanString(SparkEntry.queries("fmt_pdb_contacts")(spark, SF))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"contact join degenerated to all-pairs:\n$plan")
+  }
+
+  test("rel_time_gap_fill: spine comes from a 1-row aggregate, not a global window") {
+    val plan = fullPlanString(SparkEntry.queries("rel_time_gap_fill")(spark, SF))
+    // the LOCF window must be partitioned by event_type; an empty
+    // PARTITION BY would drag every row to one task
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      s"gap fill uses an unpartitioned window:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
+      s"min/max spine bounds not broadcast:\n$plan")
+  }
 }
