@@ -5382,7 +5382,103 @@ object FormatScans {
           WHERE b.i > a.i AND a.i % 3 = b.i % 3)
         SELECT chain, count(*) AS n_contacts,
           CAST(sum(d2) AS BIGINT) AS d2_sum
-        FROM p WHERE d2 <= 64000000 GROUP BY chain ORDER BY chain"""))
+        FROM p WHERE d2 <= 64000000 GROUP BY chain ORDER BY chain""")),
+
+    // ---- gene fusion candidates from breakend pairs ----
+    // SV interpretation composes two surfaces this library already
+    // owns: BND mate loci (fmt_vcf_breakends' parse) and gene
+    // intervals. A fusion candidate is a breakend whose OWN locus falls
+    // in one gene and whose MATE locus falls in a different gene —
+    // STAR-Fusion's seed set. Point-in-interval runs as a BIN-keyed
+    // equi join (pos div 256 vs the gene's exploded bin span): no
+    // nested loop, and the bin fan is bounded by gene length / 256.
+    // The oracle recomputes membership with plain BETWEENs from the
+    // generating arithmetic.
+    "fmt_gene_fusion" -> Q(
+      (s, _) => {
+        val bnds = s.range(200).selectExpr(
+            "cast(id / 2 as bigint) AS t", "cast(id % 2 as int) AS side")
+          .selectExpr(
+            "CASE WHEN side = 0 THEN concat('chr', 1 + t % 3) ELSE concat('chr', 1 + (t + 1) % 3) END AS chrom",
+            "CASE WHEN side = 0 THEN 1000 + t * 7 ELSE 5000 + t * 11 END AS pos",
+            "CASE WHEN side = 0 THEN concat('chr', 1 + (t + 1) % 3) ELSE concat('chr', 1 + t % 3) END AS mc",
+            "CASE WHEN side = 0 THEN 5000 + t * 11 ELSE 1000 + t * 7 END AS mp")
+        val genes = s.range(60).selectExpr("concat('G', id) AS gene",
+            "concat('chr', 1 + id % 3) AS gchrom",
+            "CASE WHEN id < 30 THEN 800 + 40 * id ELSE 4900 + 50 * (id - 30) END AS gs")
+          .withColumn("ge", col("gs") + 99)
+          .selectExpr("gene", "gchrom", "gs", "ge",
+            "explode(sequence(gs div 256, ge div 256)) AS gbin")
+        def hit(posCol: String, chromCol: String, out: String) =
+          bnds.withColumn("bin", expr(s"$posCol div 256"))
+            .join(genes, col(chromCol) === col("gchrom") &&
+              col("bin") === col("gbin") &&
+              col(posCol) >= col("gs") && col(posCol) <= col("ge"))
+            .selectExpr("chrom", "pos", "mc", "mp", s"gene AS $out")
+        val a = hit("pos", "chrom", "gene_a")
+        val b = hit("mp", "mc", "gene_b")
+          .selectExpr("chrom AS c2", "pos AS p2", "gene_b")
+        a.join(b, col("chrom") === col("c2") && col("pos") === col("p2"))
+          .where(col("gene_a") =!= col("gene_b"))
+          .groupBy("gene_a", "gene_b")
+          .agg(count(lit(1)).as("n_records"))
+          .orderBy("gene_a", "gene_b")
+      },
+      Some("""WITH bnd AS (
+          SELECT t, side,
+            CASE WHEN side = 0 THEN 'chr' || CAST(1 + t % 3 AS VARCHAR)
+                 ELSE 'chr' || CAST(1 + (t + 1) % 3 AS VARCHAR) END AS chrom,
+            CASE WHEN side = 0 THEN 1000 + t * 7 ELSE 5000 + t * 11 END AS pos,
+            CASE WHEN side = 0 THEN 'chr' || CAST(1 + (t + 1) % 3 AS VARCHAR)
+                 ELSE 'chr' || CAST(1 + t % 3 AS VARCHAR) END AS mc,
+            CASE WHEN side = 0 THEN 5000 + t * 11 ELSE 1000 + t * 7 END AS mp
+          FROM range(0, 100) a(t), range(0, 2) b(side)),
+        genes AS (
+          SELECT 'G' || CAST(id AS VARCHAR) AS gene,
+            'chr' || CAST(1 + id % 3 AS VARCHAR) AS gchrom,
+            CASE WHEN id < 30 THEN 800 + 40 * id ELSE 4900 + 50 * (id - 30) END AS gs
+          FROM range(0, 60) g(id))
+        SELECT ga.gene AS gene_a, gb.gene AS gene_b, count(*) AS n_records
+        FROM bnd
+        JOIN genes ga ON bnd.chrom = ga.gchrom AND bnd.pos BETWEEN ga.gs AND ga.gs + 99
+        JOIN genes gb ON bnd.mc = gb.gchrom AND bnd.mp BETWEEN gb.gs AND gb.gs + 99
+        WHERE ga.gene <> gb.gene
+        GROUP BY gene_a, gene_b ORDER BY gene_a, gene_b""")),
+
+    // ---- mate-pair orientation census (FR/RF/FF/RR + insert mass) ----
+    // Library-prep QC: proper paired-end libraries are FR; an RF excess
+    // means adapter chimeras, FF/RR mean inversions or mapping errors.
+    // The orientation derives from the reference's own SAM flag
+    // predicates (is_reverse_complemented / is_mate_reverse_complemented
+    // — fn_sam_flags surface) over generated flag words, with exact
+    // absolute-template-length mass per class. One reduce.
+    "fmt_sam_mate_orientation" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        s.range(500).selectExpr(
+            """CASE cast(id % 4 as int) WHEN 0 THEN 99 WHEN 1 THEN 83
+               WHEN 2 THEN 65 ELSE 113 END AS flag""",
+            "cast((id % 7) * 100 - 300 as bigint) AS tlen")
+          .selectExpr(
+            """CASE WHEN NOT is_reverse_complemented(flag)
+                     AND is_mate_reverse_complemented(flag) THEN 'FR'
+               WHEN is_reverse_complemented(flag)
+                     AND NOT is_mate_reverse_complemented(flag) THEN 'RF'
+               WHEN NOT is_reverse_complemented(flag) THEN 'FF'
+               ELSE 'RR' END AS orientation""",
+            "abs(tlen) AS atlen")
+          .groupBy("orientation")
+          .agg(count(lit(1)).as("n"), sum(col("atlen")).as("abs_tlen_sum"))
+          .orderBy("orientation")
+      },
+      Some("""WITH r AS (
+          SELECT CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'FR' WHEN 1 THEN 'RF'
+              WHEN 2 THEN 'FF' ELSE 'RR' END AS orientation,
+            abs((i % 7) * 100 - 300) AS atlen
+          FROM range(0, 500) t(i))
+        SELECT orientation, count(*) AS n,
+          CAST(sum(atlen) AS BIGINT) AS abs_tlen_sum
+        FROM r GROUP BY orientation ORDER BY orientation"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */
