@@ -151,7 +151,31 @@ object DumpPlans {
         |projection, so the corpus side of the crossJoin carries two
         |longs per vector (16 bytes vs 256) and distance is
         |bit_count(xor) — ALU-only, fully codegen'd, queries a
-        |broadcast fan.""".stripMargin)
+        |broadcast fan.""".stripMargin,
+    "fmt_sam_junctions" ->
+      """Splice junctions from the native cigar_spans kernel: ONE
+        |linear codegen'd walk per read (the HOF concat-append
+        |alternative copies the growing pair list once per op —
+        |quadratic on 10k-op long-read CIGARs), two Generates bounded
+        |by span count, and a junction-keyed partial-agg count as the
+        |only exchange.""".stripMargin,
+    "fmt_taxon_lca" ->
+      """Kraken-style LCA: the taxonomy's pointer-doubling ancestor
+        |closure (log-depth keyed rounds, localCheckpoint-truncated)
+        |BROADCASTS onto the read-hit stream; the deepest
+        |all-hits-covering ancestor falls out of two keyed aggs —
+        |reads never reshuffle on anything but their own id.""".stripMargin,
+    "rel_time_gap_fill" ->
+      """LOCF gap fill: the hour spine derives from a 1-row min/max
+        |aggregate broadcast (never a global window); the
+        |forward-fill window is partitioned by event_type with hours
+        |as the sort key, so fill parallelism is the key cardinality
+        |and no task sees more than one type's spine.""".stripMargin,
+    "rel_anomaly_hours" ->
+      """Exact 3-sigma flags: (H·v-S)² > 9(H·Q-S²) in pure integers —
+        |flags cannot flap under partitioning — with the 9-row
+        |per-type stats BROADCAST back onto the hourly frame; the
+        |hours shuffle exactly once, for their own aggregation.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
