@@ -9,20 +9,29 @@ judged as a same-scope ratio. Reports per-family subtotals (the prefix
 before the first '_' in each entry name) and the total, median of N
 passes.
 
-Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [passes=3]
+A per-query cap (seconds, 4th arg, 0 = uncapped) interrupts runaway
+queries via con.interrupt() from a timer thread — the uncapped suite
+contains DuckDB-quadratic vector-pair oracles that alone exceed an
+hour at sf0.1, so a capped capture marks them `capped: true` (their
+recorded time is a LOWER bound) while the tractable majority gets
+exact numbers.
+
+Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [passes=3] [cap=0]
 """
 import json
 import sys
+import threading
 import time
 from collections import defaultdict
 
 import duckdb
 
 
-def main(sf_dir, oracle_path, passes=3):
+def main(sf_dir, oracle_path, passes=3, cap=0.0):
     oracle = json.load(open(oracle_path))
     per_query_passes = []
     totals = []
+    capped = set()
     for p in range(passes):
         con = duckdb.connect()
         for t in ["region", "nation", "customer", "supplier", "part",
@@ -33,10 +42,21 @@ def main(sf_dir, oracle_path, passes=3):
         t0 = time.time()
         for name, sql in sorted(oracle.items()):
             q0 = time.time()
+            timer = None
+            if cap > 0:
+                timer = threading.Timer(cap, con.interrupt)
+                timer.start()
             try:
                 con.execute(sql).fetchall()
             except Exception as e:
-                print(f"ERR {name}: {e}", file=sys.stderr)
+                if "interrupt" in str(e).lower():
+                    capped.add(name)
+                    print(f"CAP {name}: exceeded {cap}s", file=sys.stderr)
+                else:
+                    print(f"ERR {name}: {e}", file=sys.stderr)
+            finally:
+                if timer is not None:
+                    timer.cancel()
             times[name] = time.time() - q0
         totals.append(time.time() - t0)
         per_query_passes.append(times)
@@ -59,6 +79,8 @@ def main(sf_dir, oracle_path, passes=3):
         "sf": sf_dir,
         "n_queries": len(med),
         "passes": passes,
+        "cap_s": cap,
+        "capped": sorted(capped),
         "pass_totals": [round(t, 2) for t in totals],
         "total_median_sum": round(sum(med.values()), 2),
         "families": {f: {"n": n, "sec": round(s, 2)}
@@ -70,4 +92,5 @@ def main(sf_dir, oracle_path, passes=3):
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
-         int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         float(sys.argv[4]) if len(sys.argv) > 4 else 0.0)
