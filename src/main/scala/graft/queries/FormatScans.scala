@@ -5478,7 +5478,43 @@ object FormatScans {
           FROM range(0, 500) t(i))
         SELECT orientation, count(*) AS n,
           CAST(sum(atlen) AS BIGINT) AS abs_tlen_sum
-        FROM r GROUP BY orientation ORDER BY orientation"""))
+        FROM r GROUP BY orientation ORDER BY orientation""")),
+
+    // ---- radius of gyration per chain, EXACT ----
+    // Compactness screening (folded vs extended) without a single
+    // float: n²·Rg² = n·Σ|r|² − |Σr|² holds in integer milli-Å² —
+    // the mean never materializes, so there is no division and the
+    // partial sums commute. One chain-keyed partial agg; callers take
+    // sqrt at display time.
+    "fmt_pdb_gyration" -> Q(
+      (s, _) => {
+        GraftIO.read_pdb(s, pdbChainFixture.resolve("chains.pdb").toString)
+          .selectExpr("chain",
+            "cast(round(x * 1000) as bigint) AS mx",
+            "cast(round(y * 1000) as bigint) AS my",
+            "cast(round(z * 1000) as bigint) AS mz")
+          .groupBy("chain")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("mx*mx + my*my + mz*mz")).as("sq"),
+            sum(col("mx")).as("sx"), sum(col("my")).as("sy"),
+            sum(col("mz")).as("sz"))
+          .selectExpr("chain", "n",
+            "n * sq - (sx*sx + sy*sy + sz*sz) AS n2rg2_milli2")
+          .orderBy("chain")
+      },
+      Some("""WITH a AS (
+          SELECT chr(65 + CAST(i % 3 AS INTEGER)) AS chain,
+            100 * i AS mx, 50 * i AS my, 25 * i AS mz
+          FROM range(0, 500) t(i)),
+        g AS (
+          SELECT chain, count(*) AS n,
+            CAST(sum(mx*mx + my*my + mz*mz) AS BIGINT) AS sq,
+            CAST(sum(mx) AS BIGINT) AS sx, CAST(sum(my) AS BIGINT) AS sy,
+            CAST(sum(mz) AS BIGINT) AS sz
+          FROM a GROUP BY chain)
+        SELECT chain, n, CAST(n * sq - (sx*sx + sy*sy + sz*sz) AS BIGINT)
+          AS n2rg2_milli2
+        FROM g ORDER BY chain"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

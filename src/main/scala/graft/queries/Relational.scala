@@ -2233,6 +2233,48 @@ object Relational {
           (st.hn * a.v - st.sv) * (st.hn * a.v - st.sv)
             > 9 * (st.hn * st.svv - st.sv * st.sv) AS is_anomaly
         FROM a JOIN st ON a.event_type = st.event_type
-        ORDER BY a.event_type, a.h"""))
+        ORDER BY a.event_type, a.h""")),
+
+    // ---- exact weighted median per group ----
+    // The robust-center statistic dashboards want when rows carry
+    // unequal mass: the smallest value whose cumulative weight reaches
+    // half the total. Values are centi-integers and the threshold test
+    // is 2·cum >= total — no halving division, so ties inside an
+    // equal-value run cannot flap the answer whatever order the window
+    // visits them. One type-keyed window (types are the parallel
+    // grain) + a broadcast of the 9-row totals.
+    "rel_weighted_median" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val a = eventsTs(s, dir).where(col("value").isNotNull)
+          .selectExpr("event_type",
+            "cast(round(value * 100) as bigint) AS v",
+            "user_id % 5 + 1 AS w")
+        val tot = a.groupBy("event_type").agg(sum(col("w")).as("tw"))
+        val win = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        a.withColumn("cum", sum(col("w")).over(win))
+          .join(broadcast(tot), Seq("event_type"))
+          .where(col("cum") * 2 >= col("tw"))
+          .groupBy("event_type")
+          .agg(min(col("v")).as("w_median_centi"),
+            first(col("tw")).as("total_weight"))
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+            user_id % 5 + 1 AS w
+          FROM events WHERE value IS NOT NULL),
+        t AS (SELECT event_type, CAST(sum(w) AS BIGINT) AS tw
+          FROM a GROUP BY event_type),
+        c AS (
+          SELECT a.event_type, a.v, t.tw,
+            sum(a.w) OVER (PARTITION BY a.event_type ORDER BY a.v
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM a JOIN t ON a.event_type = t.event_type)
+        SELECT event_type, CAST(min(v) AS BIGINT) AS w_median_centi,
+          CAST(min(tw) AS BIGINT) AS total_weight
+        FROM c WHERE cum * 2 >= tw
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
