@@ -2275,6 +2275,61 @@ object Relational {
         SELECT event_type, CAST(min(v) AS BIGINT) AS w_median_centi,
           CAST(min(tw) AS BIGINT) AS total_weight
         FROM c WHERE cum * 2 >= tw
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Herfindahl-Hirschman concentration per segment ----
+    // The antitrust/portfolio concentration index: HHI = Σ share² over
+    // per-customer revenue within a market segment, in exact ppm.
+    // Σc² exceeds int64 at this cardinality (c ~ 1e7 centi, 1500
+    // customers → Σc²·1e6 ~ 1e23), so the products run in
+    // DECIMAL(38,0) — the same widening discipline hudsonFst uses —
+    // and only the final ≤1e6 ppm value casts back to BIGINT. The
+    // customer dimension broadcasts onto orders; two keyed aggs.
+    "rel_hhi_by_segment" -> Q(
+      (s, dir) => {
+        val cust = Q.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val rev = Q.t(s, dir, "orders")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_custkey"))
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("c"))
+        rev.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).as("sq"),
+            sum(expr("CAST(c AS DECIMAL(38,0))")).as("tot"))
+          .selectExpr("c_mktsegment", "n_customers",
+            "CAST((1000000 * sq) div (tot * tot) AS BIGINT) AS hhi_ppm")
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH rev AS (
+          SELECT c.c_mktsegment, o.o_custkey,
+            CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, o.o_custkey)
+        SELECT c_mktsegment, count(*) AS n_customers,
+          CAST((1000000 * sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)))
+            // (sum(CAST(c AS HUGEINT)) * sum(CAST(c AS HUGEINT))) AS BIGINT)
+            AS hhi_ppm
+        FROM rev GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- power-of-two value buckets (latency-histogram convention) ----
+    // Monitoring systems bucket by floor(log2) because tails span
+    // decades; the bucket index here is length(bin(v)) — the integer
+    // bit-length, identical in both engines, no floating log anywhere.
+    "rel_log2_histogram" -> Q(
+      (s, dir) => Q.t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .selectExpr("cast(round(value * 100) as bigint) AS v")
+        .where(col("v") >= 1)
+        .groupBy(expr("length(bin(v))").as("bit_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("centi_sum"))
+        .orderBy("bit_bucket"),
+      Some("""WITH a AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL)
+        SELECT CAST(length(bin(v)) AS INTEGER) AS bit_bucket, count(*) AS n,
+          CAST(sum(v) AS BIGINT) AS centi_sum
+        FROM a WHERE v >= 1
+        GROUP BY bit_bucket ORDER BY bit_bucket"""))
   )
 }
