@@ -2330,6 +2330,57 @@ object Relational {
         SELECT CAST(length(bin(v)) AS INTEGER) AS bit_bucket, count(*) AS n,
           CAST(sum(v) AS BIGINT) AS centi_sum
         FROM a WHERE v >= 1
-        GROUP BY bit_bucket ORDER BY bit_bucket"""))
+        GROUP BY bit_bucket ORDER BY bit_bucket""")),
+
+    // ---- CUSUM changepoint per series, EXACT ----
+    // Where did the level shift? The CUSUM statistic argmax_k
+    // |cum_k − k·mean| picks it; multiplying through by H makes it the
+    // integer |H·cum_k − k·S| — no mean, no division, so the argmax
+    // (ties to the earliest hour via max(struct(dev, −h))) is
+    // partition-order-proof. One type-keyed window over the hourly
+    // frame + the 9-row totals broadcast — the same two-pass shape as
+    // the anomaly entry, composing with it into a monitoring suite.
+    "rel_cusum_changepoint" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val a = eventsTs(s, dir).where(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 1000000 div 3600").as("h"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("v"))
+        val tot = a.groupBy("event_type")
+          .agg(count(lit(1)).as("hn"), sum(col("v")).as("sv"))
+        val win = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        a.withColumn("cum", sum(col("v")).over(win))
+          .withColumn("k", expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY h)"))
+          .join(broadcast(tot), Seq("event_type"))
+          .selectExpr("event_type", "h",
+            "abs(hn * cum - k * sv) AS dev")
+          .groupBy("event_type")
+          .agg(max(struct(col("dev"), (-col("h")).as("nh"))).as("best"))
+          .selectExpr("event_type", "-best.nh AS change_h",
+            "best.dev AS dev_scaled")
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY event_type, h),
+        t AS (SELECT event_type, count(*) AS hn, CAST(sum(v) AS BIGINT) AS sv
+          FROM a GROUP BY event_type),
+        c AS (
+          SELECT a.event_type, a.h,
+            abs(t.hn * sum(a.v) OVER (PARTITION BY a.event_type ORDER BY a.h
+                  ROWS UNBOUNDED PRECEDING)
+              - (row_number() OVER (PARTITION BY a.event_type ORDER BY a.h))
+                * t.sv) AS dev
+          FROM a JOIN t ON a.event_type = t.event_type)
+        SELECT event_type,
+          CAST(min(h) FILTER (WHERE dev = md) AS BIGINT) AS change_h,
+          CAST(min(md) AS BIGINT) AS dev_scaled
+        FROM (SELECT event_type, h, dev,
+                max(dev) OVER (PARTITION BY event_type) AS md FROM c)
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
