@@ -2239,10 +2239,14 @@ object Relational {
     // The robust-center statistic dashboards want when rows carry
     // unequal mass: the smallest value whose cumulative weight reaches
     // half the total. Values are centi-integers and the threshold test
-    // is 2·cum >= total — no halving division, so ties inside an
-    // equal-value run cannot flap the answer whatever order the window
-    // visits them. One type-keyed window (types are the parallel
-    // grain) + a broadcast of the 9-row totals.
+    // is 2·cum >= total — no halving division, so ties cannot flap the
+    // answer. Scale shape (ScaleProbe-caught: the naive per-ROW window
+    // measured alpha ~ 1.0 at 10M events — a per-type window over raw
+    // rows has only type-cardinality parallelism): weights COLLAPSE to
+    // one row per (type, value) first, so the ordered window runs over
+    // value-cardinality (~20k centi values) per type no matter how
+    // many raw rows feed it — the same histogram-first trick exact
+    // percentile services use.
     "rel_weighted_median" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -2250,6 +2254,8 @@ object Relational {
           .selectExpr("event_type",
             "cast(round(value * 100) as bigint) AS v",
             "user_id % 5 + 1 AS w")
+          .groupBy("event_type", "v")
+          .agg(sum(col("w")).as("w"))
         val tot = a.groupBy("event_type").agg(sum(col("w")).as("tw"))
         val win = Window.partitionBy("event_type").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
