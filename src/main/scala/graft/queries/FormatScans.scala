@@ -2471,6 +2471,25 @@ object FormatScans {
           FROM range(0, 300) t(sid), range(0, 6) u(j) GROUP BY sid)
         SELECT ac, count(*) AS n_sites FROM d GROUP BY ac ORDER BY ac""")),
 
+    // Folded SFS over the same cohort: without a known ancestral
+    // allele the spectrum folds at the MINOR allele count
+    // min(ac, an-ac) — the input to Tajima's D-class tests when no
+    // outgroup exists. Same map-only dosage fold, one histogram agg.
+    "fmt_vcf_sfs_folded" -> Q(
+      (s, _) => s.range(300).selectExpr("id AS sid",
+          "transform(sequence(0, 5), j -> CASE cast((id div (j + 1) + id * j) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' ELSE '1|1' END) AS genotypes")
+        .selectExpr("sid",
+          "aggregate(transform(genotypes, g -> " +
+            "size(filter(split(split(g, ':')[0], '[/|]'), a -> a = '1'))), 0, (a, x) -> a + x) AS ac")
+        .selectExpr("sid", "least(ac, 12 - ac) AS mac")
+        .groupBy("mac").agg(count(lit(1)).as("n_sites")).orderBy("mac"),
+      Some("""WITH d AS (SELECT sid,
+            CAST(sum((sid // (j + 1) + sid * j) % 3) AS INTEGER) AS ac
+          FROM range(0, 300) t(sid), range(0, 6) u(j) GROUP BY sid)
+        SELECT CAST(least(ac, 12 - ac) AS INTEGER) AS mac, count(*) AS n_sites
+        FROM d GROUP BY mac ORDER BY mac""")),
+
     // Fraction of optimal codons (Ikemura's Fop — the codon-usage
     // adaptation metric that stays a PURE integer ratio, unlike CAI's
     // geometric mean): codons from a 1-based HOF walk, membership in
