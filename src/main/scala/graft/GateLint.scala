@@ -18,12 +18,19 @@ import org.apache.spark.sql.types._
   */
 object GateLint {
 
-  /** Names + types of top-level columns the driver's checker can't sort. */
+  /** Names + types of top-level columns the driver's checker can't sort
+    * or that trip the Decimal-vs-double dtype trap. DecimalType is
+    * flagged too: the oracle-side lint (tools/check.py) already rejects
+    * HUGEINT/DECIMAL oracle outputs, and a raw decimal column in the
+    * Spark dump hash-mismatches the pandas checker the same way —
+    * decimal-computed entries must CAST the final value back to BIGINT
+    * (the hudsonFst/rel_hhi_by_segment discipline). */
   def nestedColumns(schema: StructType): Seq[String] =
     schema.fields.toSeq.collect {
       case f if f.dataType.isInstanceOf[ArrayType] ||
         f.dataType.isInstanceOf[MapType] ||
-        f.dataType.isInstanceOf[StructType] =>
+        f.dataType.isInstanceOf[StructType] ||
+        f.dataType.isInstanceOf[DecimalType] =>
         s"${f.name}: ${f.dataType.simpleString}"
     }
 

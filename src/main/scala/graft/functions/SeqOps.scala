@@ -216,7 +216,10 @@ object SeqOps {
       val len = java.lang.Integer.parseInt(cig.substring(d0, i))
       cig.charAt(i) match {
         case 'M' | '=' | 'X' =>
-          spans += new GenericInternalRow(Array[Any](r, q, len))
+          // len==0 is legal CIGAR ('0M' padding some aligners emit) but a
+          // zero-length span would make downstream sequence(0, len-1)
+          // explodes fabricate [0,-1] rows — emit no span at all.
+          if (len > 0) spans += new GenericInternalRow(Array[Any](r, q, len))
           r += len; q += len
         case 'D' | 'N' => r += len
         case 'I' | 'S' => q += len

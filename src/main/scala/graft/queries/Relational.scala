@@ -604,14 +604,22 @@ object Relational {
           .groupBy(col("l_suppkey"))
           .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("v"))
         val w = Window.orderBy(col("v").asc, col("l_suppkey").asc)
+        // 1e6 * gini_num overflows int64 at sf0.1 (~8.76e19): the micro
+        // quotient runs in DECIMAL(38,0) here and HUGEINT in the oracle
+        // (exact at any tier, both truncate the positive quotient the
+        // same way); only BIGINT reaches the gate.
         rev.withColumn("r", row_number().over(w).cast("long"))
           .agg(count(lit(1)).as("n_suppliers"), sum(col("v")).as("total_cents"),
-            (lit(2L) * sum(col("r") * col("v"))).as("twice_rank_mass"))
+            (lit(2L) * sum(expr("CAST(r AS DECIMAL(38,0)) * v"))).as("twice_rank_mass"))
           .selectExpr("n_suppliers", "total_cents",
-            "twice_rank_mass - (n_suppliers + 1) * total_cents AS gini_num",
-            "n_suppliers * total_cents AS gini_den",
-            """1000000 * (twice_rank_mass - (n_suppliers + 1) * total_cents)
-                 div (n_suppliers * total_cents) AS gini_micro""")
+            """CAST(twice_rank_mass
+                 - (CAST(n_suppliers AS DECIMAL(38,0)) + 1) * total_cents
+               AS BIGINT) AS gini_num""",
+            "CAST(CAST(n_suppliers AS DECIMAL(38,0)) * total_cents AS BIGINT) AS gini_den",
+            """CAST((1000000 * (twice_rank_mass
+                   - (CAST(n_suppliers AS DECIMAL(38,0)) + 1) * total_cents))
+                 div (CAST(n_suppliers AS DECIMAL(38,0)) * total_cents)
+               AS BIGINT) AS gini_micro""")
       },
       Some("""WITH rev AS (SELECT l_suppkey,
             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
@@ -619,11 +627,12 @@ object Relational {
         rk AS (SELECT v, row_number() OVER (ORDER BY v ASC, l_suppkey ASC) AS r
           FROM rev),
         a AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS tot,
-            CAST(2 * sum(r * v) AS BIGINT) AS trm FROM rk)
+            2 * sum(CAST(r AS HUGEINT) * v) AS trm FROM rk)
         SELECT n AS n_suppliers, tot AS total_cents,
-          CAST(trm - (n + 1) * tot AS BIGINT) AS gini_num,
-          CAST(n * tot AS BIGINT) AS gini_den,
-          CAST(1000000 * (trm - (n + 1) * tot) // (n * tot) AS BIGINT) AS gini_micro
+          CAST(trm - (CAST(n AS HUGEINT) + 1) * tot AS BIGINT) AS gini_num,
+          CAST(CAST(n AS HUGEINT) * tot AS BIGINT) AS gini_den,
+          CAST(CAST(1000000 AS HUGEINT) * (trm - (CAST(n AS HUGEINT) + 1) * tot)
+            // (CAST(n AS HUGEINT) * tot) AS BIGINT) AS gini_micro
         FROM a""")),
 
     // ---- proximity join with slop (bedtools window -w) ----
@@ -2183,11 +2192,17 @@ object Relational {
         b AS (SELECT min(h) AS h0, max(h) AS h1 FROM a),
         spine AS (
           -- DuckDB range() takes only constant bounds: over-generate
-          -- and clip to the observed span
+          -- and clip to the observed span. If the observed span ever
+          -- exceeds the over-generation bound, fail LOUDLY instead of
+          -- silently truncating the spine (a false-red trap at a
+          -- wider-timestamp tier).
           SELECT t.event_type, b.h0 + r.i AS h
           FROM (SELECT DISTINCT event_type FROM a) t, b,
             range(0, 200000) r(i)
-          WHERE r.i <= b.h1 - b.h0),
+          WHERE r.i <= b.h1 - b.h0
+            AND CASE WHEN b.h1 - b.h0 >= 200000
+              THEN error('gap_fill oracle spine bound exceeded: raise range()')
+              ELSE TRUE END),
         j AS (SELECT s.event_type, s.h, a.centi
           FROM spine s LEFT JOIN a ON s.event_type = a.event_type AND s.h = a.h)
         SELECT event_type, h,
@@ -2204,8 +2219,10 @@ object Relational {
     // never divide — so distributed order cannot flap a flag bit. Per
     // type the stats row is ONE 9-row aggregate broadcast back onto
     // the hourly frame: map-side second pass, no second shuffle of
-    // the hours. Magnitudes stay inside int64 (documented envelope:
-    // H*v < ~3e9 at 100x this tier).
+    // the hours. The squared deviation (H*v - S)^2 can reach ~4e19 —
+    // past int64 — inside the H*v < ~3e9 envelope, so the comparison
+    // runs in DECIMAL(38,0) on the Spark side and HUGEINT in the
+    // oracle (boolean output only; no wide type reaches the gate).
     "rel_anomaly_hours" -> Q(
       (s, dir) => {
         val a = eventsTs(s, dir).where(col("value").isNotNull)
@@ -2217,7 +2234,10 @@ object Relational {
             sum(col("v") * col("v")).as("svv"))
         a.join(broadcast(stats), Seq("event_type"))
           .selectExpr("event_type", "h", "v",
-            """(hn * v - sv) * (hn * v - sv) > 9 * (hn * svv - sv * sv)
+            """(CAST(hn AS DECIMAL(38,0)) * v - sv)
+                 * (CAST(hn AS DECIMAL(38,0)) * v - sv)
+               > 9 * (CAST(hn AS DECIMAL(38,0)) * svv
+                      - CAST(sv AS DECIMAL(38,0)) * sv)
                AS is_anomaly""")
           .orderBy("event_type", "h")
       },
@@ -2230,8 +2250,10 @@ object Relational {
             CAST(sum(v * v) AS BIGINT) AS svv
           FROM a GROUP BY event_type)
         SELECT a.event_type, a.h, a.v,
-          (st.hn * a.v - st.sv) * (st.hn * a.v - st.sv)
-            > 9 * (st.hn * st.svv - st.sv * st.sv) AS is_anomaly
+          (CAST(st.hn AS HUGEINT) * a.v - st.sv)
+            * (CAST(st.hn AS HUGEINT) * a.v - st.sv)
+            > 9 * (CAST(st.hn AS HUGEINT) * st.svv
+                   - CAST(st.sv AS HUGEINT) * st.sv) AS is_anomaly
         FROM a JOIN st ON a.event_type = st.event_type
         ORDER BY a.event_type, a.h""")),
 

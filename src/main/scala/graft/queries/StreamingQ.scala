@@ -981,12 +981,14 @@ object StreamingQ {
     // ---- streaming barcode demultiplex (stream-static broadcast) ----
     // The online form of fmt_fastq_demux: reads arrive as FASTQ
     // micro-batches (the sequencer-output tail pattern), each batch
-    // joins the BROADCAST whitelist with Hamming<=1 — a stream-static
-    // join that keeps ZERO streaming state (no watermark, no store:
-    // the whitelist is a static dimension) — and the memory sink's
-    // per-read assignments roll up at the end. Same generating
-    // arithmetic as the batch entry, 300 reads in batch one + 100
-    // arriving later.
+    // EQUI-joins the BROADCAST whitelist's pre-enumerated Hamming≤1
+    // variant keys (the same enumerate-19-variants shape as the batch
+    // entry — the reads side stays a hash probe at any whitelist
+    // size) — a stream-static join that keeps ZERO streaming state
+    // (no watermark, no store: the whitelist is a static dimension) —
+    // and the memory sink's per-read assignments roll up at the end.
+    // Same generating arithmetic as the batch entry, 300 reads in
+    // batch one + 100 arriving later.
     "stream_fastq_demux" -> Q(
       (s, _) => {
         val gen: Int => org.apache.spark.sql.DataFrame = n =>
@@ -1017,14 +1019,19 @@ object StreamingQ {
         val wl = s.createDataFrame(Seq(
             Tuple1("AAAAAA"), Tuple1("CCCCCC"), Tuple1("GGGGGG"), Tuple1("TTTTTT")))
           .toDF("wl_bc")
+        val variants = wl.selectExpr("wl_bc",
+            """explode(concat(
+                 array(wl_bc),
+                 flatten(transform(sequence(1, 6), i ->
+                   transform(filter(array('A','C','G','T'),
+                       c -> c != substring(wl_bc, i, 1)),
+                     c -> concat(substring(wl_bc, 1, i - 1), c,
+                       substring(wl_bc, i + 1))))))) AS v""")
         val tbl = "graft_stream_fastq_demux"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
         val q = s.readStream.format("fastq").load(staged.toString)
           .selectExpr("name", "substring(sequence, 1, 6) AS bc6")
-          .join(broadcast(wl),
-            expr("""aggregate(sequence(1, 6), 0, (a, i) ->
-              a + IF(substring(bc6, i, 1) = substring(wl_bc, i, 1), 0, 1)) <= 1"""),
-            "left")
+          .join(broadcast(variants), col("bc6") === col("v"), "left")
           .selectExpr("name", "coalesce(wl_bc, 'UNASSIGNED') AS barcode")
           .writeStream.outputMode("append")
           .format("memory").queryName(tbl).start()

@@ -27,6 +27,12 @@ class GateLintSpec extends AnyFunSuite {
       .add("m", MapType(StringType, LongType))
       .add("s", new StructType().add("x", LongType))
     assert(GateLint.nestedColumns(bad2).size == 2)
+    // a raw DECIMAL top-level column is the other dtype-trap class:
+    // decimal-computed entries must cast the final value to BIGINT
+    val bad3 = new StructType()
+      .add("k", StringType)
+      .add("d", DecimalType(38, 0))
+    assert(GateLint.nestedColumns(bad3) === Seq("d: decimal(38,0)"))
   }
 
   test("coreSet names only live registry entries") {

@@ -58,6 +58,14 @@ class PileupSpec extends AnyFunSuite {
     assert(aligned(("c", 5L, "2H2M1P", "GT")) === Set((5L, "G"), (6L, "T")))
   }
 
+  test("0M ops emit no span: no fabricated rows at pos-1/qi-1") {
+    // '0M' is legal CIGAR padding; a zero-length span would turn the
+    // downstream sequence(0, len-1) explode into [0,-1] and fabricate
+    // two rows per op. The kernel must skip it entirely.
+    assert(aligned(("c", 5L, "0M2M0M", "GT")) === Set((5L, "G"), (6L, "T")))
+    assert(aligned(("c", 5L, "0M", "")) === Set())
+  }
+
   test("unmapped (null reference) and null cigar rows are dropped") {
     assert(aligned((null, 5L, "2M", "AC"), ("c", 5L, null, "AC")) === Set())
   }

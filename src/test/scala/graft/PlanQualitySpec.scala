@@ -655,6 +655,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("fmt_fastq_demux: variant-key BroadcastHashJoin, never a Hamming-theta BNLJ") {
+    // the 1-mismatch whitelist match must be enumerate-variants +
+    // equi-join (reads side = hash probe, O(reads) at any whitelist
+    // size), not a reads × whitelist BroadcastNestedLoopJoin on the
+    // Hamming predicate — fine at 4 barcodes, wrong at 384–3072
+    val plan = fullPlanString(SparkEntry.queries("fmt_fastq_demux")(spark, SF))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"demux whitelist match is not a broadcast EQUI-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"demux degenerated to a reads × whitelist nested loop:\n$plan")
+    // the probe key is the enumerated variant column
+    assert("BroadcastHashJoin \\[bc6".r.findFirstIn(plan).isDefined,
+      s"demux hash join is not keyed on the barcode prefix:\n$plan")
+  }
+
   test("fmt_pdb_contacts: chain-keyed equi self-join, never an all-pairs nested loop") {
     val plan = fullPlanString(SparkEntry.queries("fmt_pdb_contacts")(spark, SF))
     assert(!plan.contains("CartesianProduct") &&
@@ -665,9 +680,12 @@ class PlanQualitySpec extends AnyFunSuite {
   test("rel_time_gap_fill: spine comes from a 1-row aggregate, not a global window") {
     val plan = fullPlanString(SparkEntry.queries("rel_time_gap_fill")(spark, SF))
     // the LOCF window must be partitioned by event_type; an empty
-    // PARTITION BY would drag every row to one task
-    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
-      s"gap fill uses an unpartitioned window:\n$plan")
+    // PARTITION BY would drag every row to one task. Assert the
+    // partition key POSITIVELY (windowspecdefinition(event_type...) —
+    // the unpartitioned form never renders as empty parens, so a
+    // negative match would be vacuous.
+    assert("windowspecdefinition\\(event_type".r.findFirstIn(plan).isDefined,
+      s"gap fill window is not partitioned by event_type:\n$plan")
     assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
       s"min/max spine bounds not broadcast:\n$plan")
   }
