@@ -655,6 +655,48 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("rel_weighted_median: ordered window consumes the collapsed (type, value) histogram, not raw rows") {
+    val plan = fullPlanString(SparkEntry.queries("rel_weighted_median")(spark, SF))
+    // the cumulative-weight window must sit ABOVE the (event_type, v)
+    // hash aggregate — a window over raw events is the α≈1.0 shape
+    // ScaleProbe caught in round 9. The executed-plan string renders a
+    // node above its children, so window-index < histogram-agg-index
+    // pins the ordering (WindowExec hides inside AQE query stages, so
+    // a typed collect can't see it).
+    val winIdx = "Window \\[sum\\(w#\\d+L\\) windowspecdefinition\\(event_type"
+      .r.findFirstMatchIn(plan).map(_.start)
+    assert(winIdx.isDefined, s"no type-partitioned cum-weight window:\n$plan")
+    val histIdx = "HashAggregate\\(keys=\\[event_type#\\d+, v#\\d+L\\]"
+      .r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(histIdx.exists(_ > winIdx.get),
+      s"cumulative window runs over raw rows, not the (type, value) histogram:\n$plan")
+  }
+
+  test("rel_hhi_by_segment: customer dim broadcasts; two keyed aggs with map-side partials") {
+    val plan = fullPlanString(SparkEntry.queries("rel_hhi_by_segment")(spark, SF))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer dimension not broadcast onto orders:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim join fell to sort-merge:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"segment agg shuffles raw rows (no map-side partials):\n$plan")
+  }
+
+  test("rel_cusum_changepoint / rel_log2_histogram / fmt_vcf_sfs_folded / fmt_pdb_gyration: keyed shapes, no cartesian") {
+    // cusum: one type-partitioned window + broadcast totals; log2 /
+    // sfs_folded / gyration: map-only projection + one partial agg
+    for (name <- Seq("rel_cusum_changepoint", "rel_log2_histogram",
+        "fmt_vcf_sfs_folded", "fmt_pdb_gyration")) {
+      val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+        s"$name plans a pairwise/sort-merge shape:\n$plan")
+    }
+    val cusum = fullPlanString(SparkEntry.queries("rel_cusum_changepoint")(spark, SF))
+    assert("windowspecdefinition\\(event_type".r.findFirstIn(cusum).isDefined,
+      s"cusum window is not partitioned by event_type:\n$cusum")
+    assert(cusum.contains("BroadcastHashJoin"),
+      s"cusum totals do not broadcast:\n$cusum")
+  }
+
   test("fmt_fastq_demux: variant-key BroadcastHashJoin, never a Hamming-theta BNLJ") {
     // the 1-mismatch whitelist match must be enumerate-variants +
     // equi-join (reads side = hash probe, O(reads) at any whitelist

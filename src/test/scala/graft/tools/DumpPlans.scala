@@ -172,10 +172,50 @@ object DumpPlans {
         |as the sort key, so fill parallelism is the key cardinality
         |and no task sees more than one type's spine.""".stripMargin,
     "rel_anomaly_hours" ->
-      """Exact 3-sigma flags: (H·v-S)² > 9(H·Q-S²) in pure integers —
-        |flags cannot flap under partitioning — with the 9-row
+      """Exact 3-sigma flags: (H·v-S)² > 9(H·Q-S²) — the square runs in
+        |DECIMAL(38,0) so it cannot wrap int64 — with the 9-row
         |per-type stats BROADCAST back onto the hourly frame; the
-        |hours shuffle exactly once, for their own aggregation.""".stripMargin)
+        |hours shuffle exactly once, for their own aggregation.""".stripMargin,
+    "rel_weighted_median" ->
+      """Histogram-first weighted median (the round-9 ScaleProbe catch:
+        |a per-ROW ordered window measured α≈1.0 at 10M events):
+        |weights COLLAPSE to one row per (type, value) with map-side
+        |partial agg BEFORE the cumulative window, so the ordered
+        |window input is value-cardinality (~20k centi buckets) per
+        |type no matter how many raw rows feed it; totals rejoin by
+        |broadcast.""".stripMargin,
+    "rel_hhi_by_segment" ->
+      """HHI concentration in exact ppm: the customer dimension
+        |BROADCASTS onto orders, then two keyed aggs (customer revenue
+        |→ segment Σc²) with map-side partials; Σc²·1e6 ~1e23 runs in
+        |DECIMAL(38,0) and only the ≤1e6 ppm BIGINT leaves the plan.""".stripMargin,
+    "rel_cusum_changepoint" ->
+      """Integer-exact CUSUM: ONE type-partitioned ordered window
+        |carries the running sums (hour cardinality per type, never a
+        |global sort); the per-type mean folds in by broadcast, and
+        |the argmax is a keyed max_by — no per-candidate re-scan of
+        |the series.""".stripMargin,
+    "rel_log2_histogram" ->
+      """log2 value histogram via length(bin(v)) — a pure-arithmetic
+        |codegen'd bit-bucket identical in both engines (no libm) —
+        |so the whole histogram is one map-only projection + one
+        |bucket-keyed partial agg.""".stripMargin,
+    "fmt_vcf_sfs_folded" ->
+      """Folded site-frequency spectrum: allele counts fold map-only to
+        |min(ac, 2n-ac) per site, then ONE partial-agg'd histogram
+        |keyed by the folded count — sites never ride more than their
+        |own aggregation exchange, samples never unpivot.""".stripMargin,
+    "fmt_pdb_gyration" ->
+      """Radius of gyration per chain: n²Rg² = nΣ|r|² − |Σr|² in
+        |integer milli-Å², so the mean never materializes and the five
+        |Σ terms fold map-side through ONE chain-keyed partial agg —
+        |no atom ever rides a second shuffle.""".stripMargin,
+    "fmt_fastq_demux" ->
+      """1-mismatch demux as a hash probe: the whitelist ENUMERATES its
+        |≤19 Hamming≤1 variants (tiny side), reads equi-join their 6bp
+        |prefix under a BroadcastHashJoin — O(reads) at any whitelist
+        |size, where the Hamming-theta BNLJ alternative is
+        |reads × whitelist.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
