@@ -91,4 +91,33 @@ class ScanStatsSpec extends AnyFunSuite {
     val n = gff.selectExpr("attributes['gene_id'][0] AS g").count()
     assert(n == 2)
   }
+
+  test("columnar VCF: info struct + alt array batch-read identically to the row path") {
+    // one level of nesting rides the batch path (the reference's Arrow
+    // scan is columnar end-to-end incl. the info struct — SURVEY §4):
+    // array-of-atomic (alt) and struct-of-(atomic|array) (info)
+    def flat(opts: Map[String, String]) =
+      GraftIO.read_vcf_file_records(spark, s"$F/vcf/test.vcf", opts)
+        .selectExpr("chrom", "pos", "ref",
+          "array_join(alt, ',') AS alts",
+          "info.indel", "info.dp", "array_join(transform(info.af, " +
+            "x -> cast(round(x * 1000) as string)), ',') AS af_milli")
+        .orderBy("chrom", "pos")
+        .collect().map(_.toString).toSeq
+    val rows = flat(Map.empty)
+    val cols = flat(Map("columnar" -> "true"))
+    assert(rows == cols && rows.size == 5, s"row=$rows\ncol=$cols")
+    // and the plan really is batch-shaped for the nested projection
+    val plan = GraftIO.read_vcf_file_records(spark, s"$F/vcf/test.vcf",
+        Map("columnar" -> "true"))
+      .selectExpr("pos", "alt", "info.dp")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"nested VCF projection did not ride the batch path:\n$plan")
+    // null handling through the batch: missing AF rows stay null
+    val af = GraftIO.read_vcf_file_records(spark, s"$F/vcf/test.vcf",
+        Map("columnar" -> "true"))
+      .selectExpr("info.af IS NULL AS no_af").collect().map(_.getBoolean(0))
+    assert(af.count(identity) == 3, af.mkString(","))
+  }
 }

@@ -49,6 +49,45 @@ object ColumnarSpike {
     val row = (1 to 3).map(_ => time("rows", columnar = false)).min
     val col = (1 to 3).map(_ => time("columnar", columnar = true)).min
     println(f"[colspike] best row=$row%.2f s columnar=$col%.2f s -> ${row / col}%.2fx")
+
+    // nested case (round-9 verdict ask #6): the VCF record shape —
+    // alt array + header-typed info struct with a scalar, a flag and a
+    // Number=A float array — through the batch path vs rows
+    val vrecords = args.lift(1).map(_.toInt).getOrElse(800000)
+    val vp = dir.resolve("big.vcf")
+    val vout = new java.io.BufferedOutputStream(Files.newOutputStream(vp), 1 << 20)
+    vout.write(("##fileformat=VCFv4.2\n" +
+      "##INFO=<ID=INDEL,Number=0,Type=Flag,Description=\"indel\">\n" +
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">\n" +
+      "##INFO=<ID=AF,Number=A,Type=Float,Description=\"afs\">\n" +
+      "##contig=<ID=1>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n").getBytes)
+    i = 0
+    while (i < vrecords) {
+      val alt = if (i % 3 == 0) "C,T" else "G"
+      val info = if (i % 5 == 0) s"INDEL;DP=${i % 97}"
+        else if (i % 3 == 0) s"DP=${i % 97};AF=0.5,0.25" else s"DP=${i % 97};AF=0.125"
+      vout.write(s"1\t${100 + i}\t.\tA\t$alt\t30\tPASS\t$info\n".getBytes)
+      i += 1
+    }
+    vout.close()
+    println(f"[colspike] vcf ${Files.size(vp) / 1e6}%.0f MB, $vrecords records")
+
+    def timeVcf(label: String, columnar: Boolean): Double = {
+      val opts = Map("maxsplitbytes" -> (32L << 20).toString) ++
+        (if (columnar) Map("columnar" -> "true") else Map.empty)
+      val df = graft.sources.GraftIO.read_vcf_file_records(spark, vp.toString, opts)
+      val t0 = System.nanoTime()
+      val r = df.selectExpr("count(*) AS n", "sum(info.dp) AS dp",
+        "sum(size(alt)) AS na", "sum(size(info.af)) AS nf").collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[colspike] vcf $label%-10s ${sec}%6.2f s  n=${r.getLong(0)} " +
+        f"dp=${r.getLong(1)} alts=${r.getLong(2)} afs=${r.getLong(3)}")
+      sec
+    }
+    timeVcf("warmup", columnar = false)
+    val vrow = (1 to 3).map(_ => timeVcf("rows", columnar = false)).min
+    val vcol = (1 to 3).map(_ => timeVcf("columnar", columnar = true)).min
+    println(f"[colspike] vcf best row=$vrow%.2f s columnar=$vcol%.2f s -> ${vrow / vcol}%.2fx")
     spark.stop()
   }
 }

@@ -26,8 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object MakeTier {
 
-  def replicate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+  /** Replicate `src` K× into `out`. `skewFrac` > 0 turns the first
+    * ceil(skewFrac·K) copies into a HOT mass (round-9 verdict ask #5 —
+    * uniform replication never exercises AQE's skew handling on the
+    * real operators):
+    *  - events: hot copies force user_id ≡ 0 (mod 16), so the derived
+    *    interval-join key (`user_id % 16 AS chrom`) concentrates
+    *    skewFrac + (1−skewFrac)/16 of all intervals on ONE chromosome.
+    *    Hot ids live past 16·K·U, disjoint from the uniform copies.
+    *  - documents: hot copies share ONE token suffix ('_hot') and ONE
+    *    source domain, so minhash bands, connected components and the
+    *    per-domain source cap all see a single key carrying ~skewFrac
+    *    of the corpus (dup families of size hotCopies per base doc).
+    * Uniform copies are bit-identical to the skew=0 output. */
+  def replicate(spark: SparkSession, src: String, out: String, k: Int,
+                skewFrac: Double = 0.0): Unit = {
     require(k >= 1, s"K must be >= 1, got $k")
+    require(skewFrac >= 0.0 && skewFrac < 1.0, s"skewFrac in [0,1): $skewFrac")
+    val hot = math.ceil(k * skewFrac).toInt
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def copies(df: DataFrame): DataFrame = {
       val c = explode(expr(s"sequence(0, ${k - 1})")).as("c")
@@ -68,15 +84,24 @@ object MakeTier {
     val E = maxOf(ev, "event_id"); val U = maxOf(ev, "user_id")
     copies(ev)
       .withColumn("event_id", col("event_id") + col("c") * E)
-      .withColumn("user_id", col("user_id") + col("c") * U)
+      // hot copies: user_id ≡ 0 (mod 16) in a disjoint id range past
+      // 16·K·U — one hot chromosome for every user_id%16-derived key
+      .withColumn("user_id", expr(
+        s"IF(c < $hot, (user_id + c * $U + ${k.toLong * U}) * 16, " +
+          s"user_id + c * $U)"))
       .drop("c").write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val docs = read("documents"); val D = maxOf(docs, "doc_id")
     copies(docs)
       .withColumn("doc_id", col("doc_id") + col("c") * D)
-      // per-copy token suffix: every shingle differs across copies
+      // per-copy token suffix: every shingle differs across copies —
+      // except hot copies, which SHARE a suffix (dup families of size
+      // `hot` per base doc; hot minhash bands / CC components)
       .withColumn("text", expr(
-        "array_join(transform(split(text, ' '), t -> concat(t, '_', c)), ' ')"))
+        s"array_join(transform(split(text, ' '), t -> concat(t, '_', " +
+          s"IF(c < $hot, 'hot', cast(c as string)))), ' ')"))
+      .withColumn("source", expr(
+        s"IF(c < $hot, 'hot-domain.example', source)"))
       .withColumn("n_chars", length(col("text")))
       .drop("c").write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -93,6 +118,7 @@ object MakeTier {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val skew = args.lift(3).map(_.toDouble).getOrElse(0.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,8 +128,8 @@ object MakeTier {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    replicate(spark, src, out, k)
-    println(f"[maketier] $src x$k -> $out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    replicate(spark, src, out, k, skew)
+    println(f"[maketier] $src x$k skew=$skew -> $out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
       println(s"[maketier] $t rows = " +
         spark.read.parquet(s"$out/$t.parquet").count())
