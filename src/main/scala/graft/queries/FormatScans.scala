@@ -5543,7 +5543,97 @@ object FormatScans {
           FROM a GROUP BY chain)
         SELECT chain, n, CAST(n * sq - (sx*sx + sy*sy + sz*sz) AS BIGINT)
           AS n2rg2_milli2
-        FROM g ORDER BY chain"""))
+        FROM g ORDER BY chain""")),
+
+    // ---- UTR lengths from exon/CDS interval algebra ----
+    // Neither GFF nor GTF is required to annotate UTRs explicitly —
+    // they fall out of exons MINUS the CDS span, strand-aware: the 5'
+    // UTR is the exonic sequence upstream of the CDS start (downstream
+    // of the CDS end on '−'). Per exon the contribution is a pure
+    // integer clip (max(0, min(e, cds_s−1) − s + 1)), so the whole
+    // computation is one transcript-keyed partial agg over exploded
+    // exons — no join, no window, transcript cardinality out. Engineered
+    // 2-exon transcripts with the CDS straddling the intron make every
+    // clip branch (full-exon UTR, partial, zero) exercise; the oracle
+    // runs the same algebra in SQL over the same closed-form structure.
+    "fmt_gff_utr_lengths" -> Q(
+      (s, _) => {
+        val tx = s.range(200).selectExpr("id AS tid",
+          "IF(id % 2 = 0, '+', '-') AS strand",
+          "1000 * id AS b",
+          "1000 * id + 30 + cast(id % 40 as bigint) AS cds_s",
+          "1000 * id + 230 + cast(id % 60 as bigint) AS cds_e")
+        tx.selectExpr("tid", "strand", "cds_s", "cds_e",
+            """explode(array(
+                 named_struct('s', b, 'e', b + 99),
+                 named_struct('s', b + 200, 'e', b + 349))) AS ex""")
+          .selectExpr("tid", "strand", "cds_s", "cds_e", "ex.s AS s", "ex.e AS e")
+          .groupBy(col("tid"), col("strand"))
+          .agg(
+            sum(expr("greatest(0L, least(e, cds_s - 1) - s + 1)")).as("up_len"),
+            sum(expr("greatest(0L, e - greatest(s, cds_e + 1) + 1)")).as("down_len"),
+            sum(expr("greatest(0L, least(e, cds_e) - greatest(s, cds_s) + 1)")).as("cds_len"))
+          .selectExpr("tid", "strand",
+            "IF(strand = '+', up_len, down_len) AS utr5_len",
+            "IF(strand = '+', down_len, up_len) AS utr3_len", "cds_len")
+          .orderBy("tid")
+      },
+      Some("""WITH tx AS (
+          SELECT i AS tid, CASE WHEN i % 2 = 0 THEN '+' ELSE '-' END AS strand,
+            1000 * i AS b, 1000 * i + 30 + i % 40 AS cds_s,
+            1000 * i + 230 + i % 60 AS cds_e
+          FROM range(0, 200) t(i)),
+        ex AS (
+          SELECT tid, strand, cds_s, cds_e,
+            b + CASE WHEN j = 0 THEN 0 ELSE 200 END AS s,
+            b + CASE WHEN j = 0 THEN 99 ELSE 349 END AS e
+          FROM tx, range(0, 2) u(j)),
+        g AS (
+          SELECT tid, strand,
+            CAST(sum(greatest(0, least(e, cds_s - 1) - s + 1)) AS BIGINT) AS up_len,
+            CAST(sum(greatest(0, e - greatest(s, cds_e + 1) + 1)) AS BIGINT) AS down_len,
+            CAST(sum(greatest(0, least(e, cds_e) - greatest(s, cds_s) + 1)) AS BIGINT) AS cds_len
+          FROM ex GROUP BY tid, strand)
+        SELECT tid, strand,
+          CASE WHEN strand = '+' THEN up_len ELSE down_len END AS utr5_len,
+          CASE WHEN strand = '+' THEN down_len ELSE up_len END AS utr3_len,
+          cds_len
+        FROM g ORDER BY tid""")),
+
+    // ---- soft-clip profile (alignment-quality census) ----
+    // Excess soft-clipping is the first sign of adapter read-through or
+    // a mis-chosen reference; samtools-style QC tabulates leading and
+    // trailing clip lengths. Both clips are anchored regexp extracts —
+    // codegen'd, map-only — and the census is one (lead, tail)-keyed
+    // partial agg. Engineered CIGARs cycle through clip-free, one-sided
+    // and two-sided shapes so both anchors and the zero branch execute.
+    "fmt_sam_softclip_profile" -> Q(
+      (s, _) => s.range(600).selectExpr(
+          """concat(
+               IF(id % 7 = 0, '', concat(cast(1 + id % 19 as string), 'S')),
+               '50M',
+               IF(id % 5 = 0, '', concat(cast(1 + id % 13 as string), 'S')))
+             AS cigar""")
+        .selectExpr(
+          // rlike guards keep the cast off regexp_extract's no-match ''
+          // (an ANSI-mode cast error, not a null)
+          """IF(cigar rlike '^[0-9]+S',
+               cast(regexp_extract(cigar, '^([0-9]+)S', 1) as bigint), 0L)
+             AS lead_clip""",
+          """IF(cigar rlike '[0-9]S$',
+               cast(regexp_extract(cigar, '([0-9]+)S$', 1) as bigint), 0L)
+             AS tail_clip""")
+        .groupBy("lead_clip", "tail_clip")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lead_clip", "tail_clip"),
+      Some("""WITH r AS (
+          SELECT
+            CASE WHEN i % 7 = 0 THEN 0 ELSE 1 + i % 19 END AS lead_clip,
+            CASE WHEN i % 5 = 0 THEN 0 ELSE 1 + i % 13 END AS tail_clip
+          FROM range(0, 600) t(i))
+        SELECT lead_clip, tail_clip, count(*) AS n
+        FROM r GROUP BY lead_clip, tail_clip
+        ORDER BY lead_clip, tail_clip"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

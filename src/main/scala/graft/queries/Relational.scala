@@ -2409,6 +2409,172 @@ object Relational {
           CAST(min(md) AS BIGINT) AS dev_scaled
         FROM (SELECT event_type, h, dev,
                 max(dev) OVER (PARTITION BY event_type) AS md FROM c)
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Bollinger band breaks (rolling 24h 2-sigma), EXACT ----
+    // The trading-chart primitive generalizes to any metric stream:
+    // flag hours outside mean ± 2σ of their own TRAILING 24h window.
+    // Same integer discipline as rel_anomaly_hours — |v−S/N| > 2σ
+    // multiplied through by N² is (N·v−S)² > 4(N·Q−S²) — but over a
+    // ROLLING frame (ROWS 23 PRECEDING), so the stats travel with the
+    // window instead of a broadcast: one type-partitioned window pass,
+    // three running sums, no second shuffle. The square runs in
+    // DECIMAL(38,0)/HUGEINT so it cannot wrap int64.
+    "rel_bollinger_bands" -> Q(
+      (s, dir) => {
+        val a = eventsTs(s, dir).where(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 1000000 div 3600").as("h"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("v"))
+        val w24 = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(-23, Window.currentRow)
+        a.withColumn("cn", count(lit(1)).over(w24))
+          .withColumn("sv", sum(col("v")).over(w24))
+          .withColumn("svv", sum(col("v") * col("v")).over(w24))
+          .selectExpr("event_type", "h", "v", "cn AS window_n",
+            """(CAST(cn AS DECIMAL(38,0)) * v - sv)
+                 * (CAST(cn AS DECIMAL(38,0)) * v - sv)
+               > 4 * (CAST(cn AS DECIMAL(38,0)) * svv
+                      - CAST(sv AS DECIMAL(38,0)) * sv) AS is_band_break""")
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY event_type, h),
+        r AS (
+          SELECT event_type, h, v,
+            count(*) OVER w AS cn, sum(v) OVER w AS sv,
+            sum(v * v) OVER w AS svv
+          FROM a WINDOW w AS (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        SELECT event_type, h, v, CAST(cn AS BIGINT) AS window_n,
+          (CAST(cn AS HUGEINT) * v - sv) * (CAST(cn AS HUGEINT) * v - sv)
+            > 4 * (CAST(cn AS HUGEINT) * svv - CAST(sv AS HUGEINT) * sv)
+            AS is_band_break
+        FROM r ORDER BY event_type, h""")),
+
+    // ---- seasonal-naive forecast error (lag-24 MAE), EXACT ----
+    // The baseline every forecasting system must beat: predict each
+    // hour with the same hour yesterday and score |v − v_{h−24}| in
+    // integer centi. lag(24) is ONE type-partitioned ordered window
+    // (hour cardinality per type), the MAE rollup one keyed agg —
+    // note lag is ROW-based (24 observed hours back), the convention
+    // seasonal-naive uses on regularly-bucketed series.
+    "rel_seasonal_naive_error" -> Q(
+      (s, dir) => {
+        val a = eventsTs(s, dir).where(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 1000000 div 3600").as("h"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        a.withColumn("f", lag(col("v"), 24).over(w))
+          .where(col("f").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_forecasts"),
+            sum(abs(col("v") - col("f"))).as("abs_err_sum"))
+          .selectExpr("event_type", "n_forecasts", "abs_err_sum",
+            "abs_err_sum div n_forecasts AS mae_centi")
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY event_type, h),
+        l AS (
+          SELECT event_type, v,
+            lag(v, 24) OVER (PARTITION BY event_type ORDER BY h) AS f
+          FROM a)
+        SELECT event_type, count(*) AS n_forecasts,
+          CAST(sum(abs(v - f)) AS BIGINT) AS abs_err_sum,
+          CAST(sum(abs(v - f)) // count(*) AS BIGINT) AS mae_centi
+        FROM l WHERE f IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Benford first-digit census ----
+    // The fraud/data-quality screen: leading-digit distribution of the
+    // positive centi values. The digit is a string head — identical in
+    // both engines, no log10 — and the share joins the 1-row total
+    // back by broadcast; everything else is one 9-group partial agg.
+    "rel_benford_first_digit" -> Q(
+      (s, dir) => {
+        val d = eventsTs(s, dir).where(col("value").isNotNull)
+          .selectExpr("cast(round(value * 100) as bigint) AS v")
+          .where(col("v") >= 1)
+          .selectExpr("cast(substring(cast(v as string), 1, 1) as int) AS digit")
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = d.agg(sum(col("n")).as("total"))
+        d.crossJoin(broadcast(tot))
+          .selectExpr("digit", "n", "1000000 * n div total AS share_micro")
+          .orderBy("digit")
+      },
+      Some("""WITH v AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        d AS (
+          SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+            count(*) AS n
+          FROM v WHERE v >= 1 GROUP BY digit),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
+        SELECT digit, n,
+          CAST(1000000 * n // total AS BIGINT) AS share_micro
+        FROM d, t ORDER BY digit""")),
+
+    // ---- up-run census (runs-test ingredient), EXACT ----
+    // How streaky is each series? Maximal runs of strictly-increasing
+    // consecutive hourly diffs, via the gaps-islands identity
+    // (rn_all − rn_by_class is constant within an island — pure
+    // integer, partition-order-proof). Two type-partitioned windows
+    // over the hourly frame, then one keyed island rollup; zero-diff
+    // hours break runs (class 'Z'), the first hour has no diff and is
+    // excluded on both sides.
+    "rel_sign_runs" -> Q(
+      (s, dir) => {
+        val a = eventsTs(s, dir).where(col("value").isNotNull)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 1000000 div 3600").as("h"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val d = a.withColumn("pd", col("v") - lag(col("v"), 1).over(w))
+          .where(col("pd").isNotNull)
+          .selectExpr("event_type", "h",
+            "CASE WHEN pd > 0 THEN 'U' WHEN pd < 0 THEN 'D' ELSE 'Z' END AS cls")
+        val isl = d
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("h")))
+          .withColumn("rc", row_number().over(
+            Window.partitionBy("event_type", "cls").orderBy("h")))
+          .selectExpr("event_type", "cls", "rn - rc AS island")
+        isl.groupBy("event_type", "cls", "island")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("event_type")
+          .agg(sum(col("len")).as("n_diffs"),
+            sum(when(col("cls") === "U", 1L).otherwise(0L)).as("n_up_runs"),
+            max(when(col("cls") === "U", col("len")).otherwise(0L)).as("longest_up_run"))
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY event_type, h),
+        d AS (
+          SELECT event_type, h,
+            CASE WHEN pd > 0 THEN 'U' WHEN pd < 0 THEN 'D' ELSE 'Z' END AS cls
+          FROM (SELECT event_type, h,
+              v - lag(v, 1) OVER (PARTITION BY event_type ORDER BY h) AS pd
+            FROM a)
+          WHERE pd IS NOT NULL),
+        i AS (
+          SELECT event_type, cls,
+            row_number() OVER (PARTITION BY event_type ORDER BY h)
+              - row_number() OVER (PARTITION BY event_type, cls ORDER BY h)
+              AS island
+          FROM d),
+        g AS (SELECT event_type, cls, island, count(*) AS len
+          FROM i GROUP BY event_type, cls, island)
+        SELECT event_type, CAST(sum(len) AS BIGINT) AS n_diffs,
+          CAST(sum(CASE WHEN cls = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_up_runs,
+          CAST(max(CASE WHEN cls = 'U' THEN len ELSE 0 END) AS BIGINT) AS longest_up_run
+        FROM g GROUP BY event_type ORDER BY event_type"""))
   )
 }

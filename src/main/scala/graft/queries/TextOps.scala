@@ -1000,7 +1000,70 @@ object TextOps {
         d AS (SELECT prefix, count(*) AS df FROM p GROUP BY prefix)
         SELECT df, count(*) AS n_prefixes,
           CAST(count(*) * df AS BIGINT) AS n_docs
-        FROM d GROUP BY df ORDER BY df"""))
+        FROM d GROUP BY df ORDER BY df""")),
+
+    // ---- Simpson diversity (repeated-token concentration), EXACT ----
+    // The complement of lexical diversity: probability two tokens drawn
+    // without replacement from a document are the SAME type,
+    // λ = Σc(c−1) / N(N−1) — machine-generated loops score high, prose
+    // low. Pure integer products (c ≤ N ≤ ~1e4 per doc keeps 1e6·Σ
+    // well inside int64), two doc-keyed aggs with map-side partials —
+    // the same shuffle shape as text_lexical_diversity, measuring the
+    // opposite tail.
+    "text_simpson_diversity" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * (col("c") - 1)).as("rep_pairs2"))
+        .where(col("n_tokens") >= 2)
+        .selectExpr("doc_id", "n_tokens", "rep_pairs2",
+          "1000000 * rep_pairs2 div (n_tokens * (n_tokens - 1)) AS simpson_micro")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM tk WHERE tok <> ''
+          GROUP BY doc_id, tok),
+        d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs2
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, n_tokens, rep_pairs2,
+          CAST(1000000 * rep_pairs2 // (n_tokens * (n_tokens - 1)) AS BIGINT)
+            AS simpson_micro
+        FROM d WHERE n_tokens >= 2 ORDER BY doc_id""")),
+
+    // ---- corpus vocabulary tail census (hapax/dis legomena) ----
+    // The corpus-level Zipf TAIL (text_zipf_profile owns the head):
+    // how much of the vocabulary occurs once or twice — the mass OOV
+    // filters and tokenizer-budget decisions hinge on. One vocab-keyed
+    // count (gram cardinality, partial-agg'd) then a 1-row rollup; the
+    // corpus dimension never shuffles twice.
+    "text_hapax_census" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+        .selectExpr("n_vocab", "n_tokens", "n_hapax", "n_dis",
+          "1000000 * n_hapax div n_vocab AS hapax_micro",
+          "1000000 * (n_hapax + 2 * n_dis) div n_tokens AS tail_mass_micro"),
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT tok, count(*) AS c FROM tk WHERE tok <> '' GROUP BY tok),
+        d AS (SELECT count(*) AS n_vocab, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+            CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+          FROM c)
+        SELECT n_vocab, n_tokens, n_hapax, n_dis,
+          CAST(1000000 * n_hapax // n_vocab AS BIGINT) AS hapax_micro,
+          CAST(1000000 * (n_hapax + 2 * n_dis) // n_tokens AS BIGINT)
+            AS tail_mass_micro
+        FROM d"""))
   )
 }
 
