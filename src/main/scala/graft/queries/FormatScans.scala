@@ -5633,7 +5633,103 @@ object FormatScans {
           FROM range(0, 600) t(i))
         SELECT lead_clip, tail_clip, count(*) AS n
         FROM r GROUP BY lead_clip, tail_clip
-        ORDER BY lead_clip, tail_clip"""))
+        ORDER BY lead_clip, tail_clip""")),
+
+    // ---- Robinson–Foulds tree distance ----
+    // THE phylogeny-comparison metric: |bipartitions(T1) Δ
+    // bipartitions(T2)|. Each internal non-root edge defines the clade
+    // of leaves below it; clades come from the SAME pointer-doubling
+    // ancestor closure the cophenetic entry uses (log-depth keyed
+    // rounds), rendered as sorted leaf-name strings, and the symmetric
+    // difference is two counts minus twice an (i, clade)-keyed
+    // equi-join — every stage keyed by tree id, nothing pairwise in
+    // the leaf dimension. Three engineered 6-leaf topologies hit
+    // RF ∈ {0, 4, 6}; the oracle reconstructs from the topology index.
+    "fmt_newick_rf_distance" -> Q(
+      (s, _) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        def clades(trees: org.apache.spark.sql.DataFrame) = {
+          val nodes = trees.selectExpr("i", "explode(parse_newick(tree)) AS n")
+            .selectExpr("i", "n.node AS node", "n.name AS name",
+              "n.parent AS parent", "cast(1.0 as double) AS bl",
+              "n.is_leaf AS is_leaf")
+          graft.functions.TreeOps.ancestorClosure(nodes)
+            .join(nodes.where(col("is_leaf"))
+              .selectExpr("i", "node", "name"), Seq("i", "node"))
+            .join(nodes.where(!col("is_leaf") && col("parent") =!= -1)
+              .selectExpr("i", "node AS anc"), Seq("i", "anc"))
+            .groupBy("i", "anc")
+            .agg(array_join(sort_array(collect_list(col("name"))), ",").as("clade"))
+            .select("i", "clade")
+        }
+        val base = s.range(120).selectExpr("id AS i")
+        val c1 = clades(base.selectExpr("i",
+          "'((A:1,B:1):1,(C:1,D:1):1,(E:1,F:1):1)r;' AS tree"))
+        val c2 = clades(base.selectExpr("i",
+          """CASE cast(i % 3 as int)
+               WHEN 0 THEN '((A:1,B:1):1,(C:1,D:1):1,(E:1,F:1):1)r;'
+               WHEN 1 THEN '((A:1,C:1):1,(B:1,D:1):1,(E:1,F:1):1)r;'
+               ELSE '((A:1,D:1):1,(B:1,E:1):1,(C:1,F:1):1)r;'
+             END AS tree"""))
+        val n1 = c1.groupBy("i").agg(count(lit(1)).as("n_clades_a"))
+        val n2 = c2.groupBy("i").agg(count(lit(1)).as("n_clades_b"))
+        val sh = c1.join(c2, Seq("i", "clade"))
+          .groupBy("i").agg(count(lit(1)).as("shared"))
+        n1.join(n2, Seq("i"))
+          .join(sh, Seq("i"), "left")
+          .selectExpr("i", "n_clades_a", "n_clades_b",
+            "coalesce(shared, 0L) AS shared",
+            "n_clades_a + n_clades_b - 2 * coalesce(shared, 0L) AS rf")
+          .orderBy("i")
+      },
+      Some("""SELECT i, CAST(3 AS BIGINT) AS n_clades_a,
+          CAST(3 AS BIGINT) AS n_clades_b,
+          CAST(CASE i % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+            AS shared,
+          CAST(CASE i % 3 WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 6 END AS BIGINT)
+            AS rf
+        FROM range(0, 120) t(i) ORDER BY i""")),
+
+    // ---- Watterson + pairwise-diversity theta estimators, EXACT ----
+    // The two classic theta_hat estimators population genetics
+    // compares (their gap is Tajima's D's numerator): theta_W = S/a1
+    // (a1 the (2n−1)-th harmonic number) and theta_pi =
+    // Σ 2·ac·(2n−ac)/(2n·(2n−1)). No float ever: a1 is the SCALED
+    // integer Σ(1e9 div i) — identical truncation in both engines,
+    // relative error 1e-8 — and both estimators emit micro fixed
+    // point. GT strings parse with the same '[/|]' split the SFS
+    // entries use; the whole computation is one map-only allele count
+    // + a 1-row aggregate.
+    "fmt_vcf_theta" -> Q(
+      (s, _) => s.range(300).selectExpr("id AS sid",
+          "transform(sequence(0, 5), j -> CASE cast((id div (j + 1) + id * j) % 3 as int) " +
+            "WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' ELSE '1|1' END) AS genotypes")
+        .selectExpr("sid",
+          "aggregate(transform(genotypes, g -> " +
+            "size(filter(split(split(g, ':')[0], '[/|]'), a -> a = '1'))), 0, (a, x) -> a + x) AS ac")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(expr("IF(ac > 0 AND ac < 12, 1L, 0L)")).as("s_segregating"),
+          sum(expr("2L * ac * (12 - ac)")).as("pi_num"))
+        .selectExpr("n_sites", "s_segregating",
+          """1000000 * s_segregating * 1000000000
+               div aggregate(sequence(1, 11), 0L, (a, i) -> a + 1000000000L div i)
+             AS theta_w_micro""",
+          "1000000 * pi_num div 132 AS theta_pi_micro"),
+      Some("""WITH d AS (SELECT sid,
+            CAST(sum((sid // (j + 1) + sid * j) % 3) AS INTEGER) AS ac
+          FROM range(0, 300) t(sid), range(0, 6) u(j) GROUP BY sid),
+        a AS (SELECT count(*) AS n_sites,
+            CAST(sum(CASE WHEN ac > 0 AND ac < 12 THEN 1 ELSE 0 END) AS BIGINT)
+              AS s_segregating,
+            CAST(sum(2 * ac * (12 - ac)) AS BIGINT) AS pi_num
+          FROM d),
+        h AS (SELECT CAST(sum(1000000000 // i) AS BIGINT) AS a1_scaled
+          FROM range(1, 12) t(i))
+        SELECT n_sites, s_segregating,
+          CAST(1000000 * s_segregating * 1000000000 // a1_scaled AS BIGINT)
+            AS theta_w_micro,
+          CAST(1000000 * pi_num // 132 AS BIGINT) AS theta_pi_micro
+        FROM a, h"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */
