@@ -513,6 +513,42 @@ object Multimodal {
     }
   }
 
+  final case class GradientRow(doc_id: Long, width: Int, height: Int,
+                               grad_energy: Long)
+
+  /** Σ|∇| gradient energy over REAL decoded pixels — the cheap
+    * blur / flat-image / synthetic-fill screen an image-curation
+    * pipeline runs before any model scoring: sum of absolute
+    * horizontal and vertical neighbor differences per channel, pure
+    * integers over the decoded RGB buffer. Map-only per row inside
+    * mapPartitions; bytes never reach the driver. */
+  def gradientEnergy(media: Dataset[MediaRow]): Dataset[GradientRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val d = ImageCodec.decode(row.media)
+      val (w, h) = (d.width, d.height)
+      var e = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = 3 * (y * w + x)
+          var c = 0
+          while (c < 3) {
+            if (x + 1 < w)
+              e += math.abs((d.pixels(base + 3 + c) & 0xff) - (d.pixels(base + c) & 0xff))
+            if (y + 1 < h)
+              e += math.abs((d.pixels(base + 3 * w + c) & 0xff) - (d.pixels(base + c) & 0xff))
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      GradientRow(row.doc_id, w, h, e)
+    })
+  }
+
   final case class PngMetaRow(doc_id: Long, width: Int, height: Int,
                               bit_depth: Int, color_type: Int,
                               n_chunks: Int, crc_ok: Boolean)

@@ -190,6 +190,37 @@ object MultimodalQ {
     // corruption diverges the hash. feat_hash packs decoded bytes
     // 0..6 big-endian: the first 7 RGB bytes of row 0 are
     // g0 g0 g0 g1 g1 g1 g2 with gk = (doc_id + k) mod 256.
+    // Σ|∇| gradient energy over REAL decoded pixels — the blur /
+    // flat-fill screen run before model scoring. The synthetic PNGs'
+    // gradient field is closed-form ((x+2y+d) mod 256 per channel:
+    // horizontal steps are 1 except the 255→0 wrap, vertical 2 except
+    // ≥254 wraps), so the oracle replays the arithmetic while the
+    // Spark side walks the actual decoded buffer — codec corruption
+    // diverges the hash.
+    "mm_gradient_energy" -> Q(
+      (s, dir) =>
+        Multimodal.gradientEnergy(realMediaStaged(s, dir))
+          .toDF().orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(4 + doc_id % 13 AS INTEGER) AS w,
+            CAST(4 + doc_id % 11 AS INTEGER) AS h
+          FROM documents),
+        hh AS (SELECT g.doc_id,
+            3 * sum(CASE WHEN (x.i + 2 * y.i + g.doc_id) % 256 = 255
+                         THEN 255 ELSE 1 END) AS he
+          FROM g, range(0, 17) x(i), range(0, 15) y(i)
+          WHERE x.i < g.w - 1 AND y.i < g.h GROUP BY g.doc_id),
+        vv AS (SELECT g.doc_id,
+            3 * sum(CASE WHEN (x.i + 2 * y.i + g.doc_id) % 256 >= 254
+                         THEN 254 ELSE 2 END) AS ve
+          FROM g, range(0, 17) x(i), range(0, 15) y(i)
+          WHERE x.i < g.w AND y.i < g.h - 1 GROUP BY g.doc_id)
+        SELECT g.doc_id, g.w AS width, g.h AS height,
+          CAST(hh.he + vv.ve AS BIGINT) AS grad_energy
+        FROM g JOIN hh ON g.doc_id = hh.doc_id
+          JOIN vv ON g.doc_id = vv.doc_id
+        ORDER BY g.doc_id""")),
+
     "mm_real_decode" -> Q(
       (s, dir) =>
         Multimodal.extractFeatures(realMediaStaged(s, dir),

@@ -2575,6 +2575,101 @@ object Relational {
         SELECT event_type, CAST(sum(len) AS BIGINT) AS n_diffs,
           CAST(sum(CASE WHEN cls = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_up_runs,
           CAST(max(CASE WHEN cls = 'U' THEN len ELSE 0 END) AS BIGINT) AS longest_up_run
-        FROM g GROUP BY event_type ORDER BY event_type"""))
+        FROM g GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- cross-metric rate correlation (click vs purchase), EXACT ----
+    // "Do purchases track clicks hour by hour?" — Pearson r over the
+    // two hourly COUNT series, emitted as SIGNED r² in micro fixed
+    // point: r² = cov²/(varx·vary) needs no square root, and
+    // n-multiplied integer forms (n·Σxy − ΣxΣy etc.) never divide
+    // early. Counts (not centi sums) keep cov² inside DECIMAL(38,0)
+    // at any plausible tier. Two hourly aggs meet on the hour key —
+    // hour cardinality, then one 1-row reduce.
+    "rel_rate_correlation" -> Q(
+      (s, dir) => {
+        val ev = eventsTs(s, dir)
+        def hourly(et: String, c: String) = ev
+          .where(col("event_type") === et)
+          .groupBy(expr("unix_micros(ts) div 1000000 div 3600").as("h"))
+          .agg(count(lit(1)).as(c))
+        hourly("click", "x").join(hourly("purchase", "y"), Seq("h"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .selectExpr("n",
+            "n * sxy - sx * sy AS cov_num",
+            """CAST(IF(n * sxy - sx * sy < 0, -1, 1)
+                 * ((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                              * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+                    div ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                         * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)))
+               AS BIGINT) AS r2_signed_micro""")
+      },
+      Some("""WITH cx AS (SELECT epoch_us(ts) // 1000000 // 3600 AS h, count(*) AS x
+          FROM events WHERE event_type = 'click' GROUP BY h),
+        cy AS (SELECT epoch_us(ts) // 1000000 // 3600 AS h, count(*) AS y
+          FROM events WHERE event_type = 'purchase' GROUP BY h),
+        a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+          FROM cx JOIN cy ON cx.h = cy.h)
+        SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+          CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+            * ((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                         * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+               // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                  * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)))
+            AS BIGINT) AS r2_signed_micro
+        FROM a""")),
+
+    // ---- daily-seasonality autocorrelation (lag-24 rate), EXACT ----
+    // The rhythm detector behind the seasonal-naive baseline: Pearson
+    // r between each type's hourly count series and its own lag-24
+    // self, as signed r² micro — same n-multiplied integer parts and
+    // DECIMAL(38,0)/HUGEINT products as rel_rate_correlation, one
+    // type-partitioned lag window + one keyed reduce.
+    "rel_daily_autocorr" -> Q(
+      (s, dir) => {
+        val a = eventsTs(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 1000000 div 3600").as("h"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        a.withColumn("y", lag(col("x"), 24).over(w))
+          .where(col("y").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .selectExpr("event_type", "n",
+            """CAST(IF(n * sxy - sx * sy < 0, -1, 1)
+                 * ((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                              * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+                    div ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                         * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)))
+               AS BIGINT) AS r2_signed_micro""")
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+            count(*) AS x
+          FROM events GROUP BY event_type, h),
+        l AS (SELECT event_type, x,
+            lag(x, 24) OVER (PARTITION BY event_type ORDER BY h) AS y
+          FROM a),
+        g AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+          FROM l WHERE y IS NOT NULL GROUP BY event_type)
+        SELECT event_type, n,
+          CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+            * ((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                         * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+               // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                  * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)))
+            AS BIGINT) AS r2_signed_micro
+        FROM g ORDER BY event_type"""))
   )
 }
