@@ -697,6 +697,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cusum totals do not broadcast:\n$cusum")
   }
 
+  test("round-10 monitoring ops: type-partitioned windows, partial aggs, no pairwise shapes") {
+    // bollinger/autocorr windows must be keyed by event_type (an
+    // unpartitioned window drags the hourly frame to one task); the
+    // count/text aggs must combine map-side; nothing plans a cartesian
+    for (name <- Seq("rel_bollinger_bands", "rel_daily_autocorr")) {
+      val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
+      assert("windowspecdefinition\\(event_type".r.findFirstIn(plan).isDefined,
+        s"$name window is not partitioned by event_type:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+    for (name <- Seq("rel_rate_correlation", "rel_sign_runs",
+        "text_simpson_diversity", "text_hapax_census",
+        "fmt_newick_rf_distance")) {
+      val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a pairwise join:\n$plan")
+    }
+    // benford's 1-row-total fan is a deliberate bounded BNLJ (9 digit
+    // rows × one aggregate row); only a true cartesian would be wrong
+    val benford = fullPlanString(SparkEntry.queries("rel_benford_first_digit")(spark, SF))
+    assert(!benford.contains("CartesianProduct"),
+      s"benford plans a cartesian:\n$benford")
+    val simpson = fullPlanString(SparkEntry.queries("text_simpson_diversity")(spark, SF))
+    assert(simpson.contains("partial_sum") || simpson.contains("partial_count"),
+      s"simpson aggregation shuffles raw tokens without map-side partials:\n$simpson")
+  }
+
   test("fmt_fastq_demux: variant-key BroadcastHashJoin, never a Hamming-theta BNLJ") {
     // the 1-mismatch whitelist match must be enumerate-variants +
     // equi-join (reads side = hash probe, O(reads) at any whitelist

@@ -215,7 +215,19 @@ object DumpPlans {
         |≤19 Hamming≤1 variants (tiny side), reads equi-join their 6bp
         |prefix under a BroadcastHashJoin — O(reads) at any whitelist
         |size, where the Hamming-theta BNLJ alternative is
-        |reads × whitelist.""".stripMargin)
+        |reads × whitelist.""".stripMargin,
+    "rel_bollinger_bands" ->
+      """Rolling 24h 2σ breaks with the stats travelling IN the window
+        |(three running sums over a ROWS 23 PRECEDING frame, one
+        |type-partitioned pass — no broadcast, no second shuffle); the
+        |square runs in DECIMAL(38,0) so the flag bit cannot wrap
+        |int64.""".stripMargin,
+    "rel_daily_autocorr" ->
+      """Lag-24 rate autocorrelation as signed r² micro: ONE
+        |type-partitioned lag window over the hourly count frame, one
+        |keyed reduce of the n-multiplied integer parts, sign applied
+        |OUTSIDE the positive quotient so Spark's truncate and DuckDB's
+        |floor cannot diverge.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
