@@ -5729,7 +5729,41 @@ object FormatScans {
           CAST(1000000 * s_segregating * 1000000000 // a1_scaled AS BIGINT)
             AS theta_w_micro,
           CAST(1000000 * pi_num // 132 AS BIGINT) AS theta_pi_micro
-        FROM a, h"""))
+        FROM a, h""")),
+
+    // ---- CpG observed/expected ratio per sequence ----
+    // The Gardiner-Garden & Frommer island statistic as a per-sequence
+    // census (fmt_cpg_islands owns the window sweep): O/E =
+    // CpG·len / (C·G), micro fixed point. The Spark side counts on the
+    // REAL string (CG cannot self-overlap, so non-overlapping replace
+    // removes every occurrence — length deltas, all codegen'd,
+    // map-only); the oracle reconstructs the counts from the
+    // block-structured generator, so a counting bug diverges the hash.
+    "fmt_fasta_cpg_oe" -> Q(
+      (s, _) => s.range(200).selectExpr("id AS i",
+          """concat(repeat('CG', 5 + cast(id % 7 as int)),
+                    repeat('AT', 3 + cast(id % 5 as int)),
+                    repeat('C', cast(id % 4 as int)),
+                    repeat('G', cast(id % 3 as int))) AS seq""")
+        .selectExpr("i", "length(seq) AS len",
+          "length(seq) - length(replace(seq, 'C', '')) AS n_c",
+          "length(seq) - length(replace(seq, 'G', '')) AS n_g",
+          "(length(seq) - length(replace(seq, 'CG', ''))) div 2 AS n_cpg")
+        .selectExpr("i", "len", "n_c", "n_g", "n_cpg",
+          "1000000 * n_cpg * len div (n_c * n_g) AS oe_micro")
+        .orderBy("i"),
+      Some("""WITH p AS (
+          SELECT i, 5 + i % 7 AS a, 3 + i % 5 AS b, i % 4 AS c, i % 3 AS d
+          FROM range(0, 200) t(i)),
+        g AS (SELECT i,
+            CAST(2 * a + 2 * b + c + d AS BIGINT) AS len,
+            CAST(a + c AS BIGINT) AS n_c, CAST(a + d AS BIGINT) AS n_g,
+            CAST(a + CASE WHEN c > 0 AND d > 0 THEN 1 ELSE 0 END AS BIGINT)
+              AS n_cpg
+          FROM p)
+        SELECT i, len, n_c, n_g, n_cpg,
+          CAST(1000000 * n_cpg * len // (n_c * n_g) AS BIGINT) AS oe_micro
+        FROM g ORDER BY i"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */

@@ -2670,6 +2670,44 @@ object Relational {
                // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
                   * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)))
             AS BIGINT) AS r2_signed_micro
-        FROM g ORDER BY event_type"""))
+        FROM g ORDER BY event_type""")),
+
+    // ---- inter-arrival profile per event type, EXACT ----
+    // The traffic-shape census capacity planning reads: microsecond
+    // gaps between consecutive events of a type, with (ts, event_id)
+    // as the sort key so duplicate timestamps cannot flap the lag.
+    // One type-partitioned ordered window + one keyed agg; mean stays
+    // an integer division, long-gap counts use a 1-hour threshold.
+    "rel_inter_arrival" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("us").asc, col("event_id").asc)
+        eventsTs(s, dir)
+          .selectExpr("event_type", "event_id", "unix_micros(ts) AS us")
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .where(col("gap").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("gap_sum_us"),
+            max(col("gap")).as("max_gap_us"),
+            sum(when(col("gap") > 3600L * 1000000L, 1L).otherwise(0L))
+              .as("n_gaps_over_1h"))
+          .selectExpr("event_type", "n_gaps", "gap_sum_us", "max_gap_us",
+            "n_gaps_over_1h", "gap_sum_us div n_gaps AS mean_gap_us")
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (
+          SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+        l AS (SELECT event_type,
+            us - lag(us, 1) OVER (PARTITION BY event_type
+              ORDER BY us ASC, event_id ASC) AS gap
+          FROM a)
+        SELECT event_type, count(*) AS n_gaps,
+          CAST(sum(gap) AS BIGINT) AS gap_sum_us,
+          CAST(max(gap) AS BIGINT) AS max_gap_us,
+          CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_gaps_over_1h,
+          CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us
+        FROM l WHERE gap IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
