@@ -25,7 +25,7 @@ object GateLint {
     * Spark dump hash-mismatches the pandas checker the same way —
     * decimal-computed entries must CAST the final value back to BIGINT
     * (the hudsonFst/rel_hhi_by_segment discipline). */
-  def nestedColumns(schema: StructType): Seq[String] =
+  def uncheckableColumns(schema: StructType): Seq[String] =
     schema.fields.toSeq.collect {
       case f if f.dataType.isInstanceOf[ArrayType] ||
         f.dataType.isInstanceOf[MapType] ||
@@ -35,12 +35,25 @@ object GateLint {
     }
 
   /** Throws with the offending columns if the gate dump would be
-    * unhashable for the driver's pandas checker. */
+    * unhashable for the driver's pandas checker. The remedy differs by
+    * offender class, so the message branches: nested (array/map/struct)
+    * columns must be rendered scalar; decimal columns must CAST the
+    * final value back to BIGINT. */
   def assertCheckerSafe(entry: String, schema: StructType): Unit = {
-    val bad = nestedColumns(schema)
-    require(bad.isEmpty,
-      s"gate entry '$entry' dumps nested top-level column(s) the driver's " +
-        s"pandas checker cannot sort/hash: ${bad.mkString(", ")} — render " +
-        "them scalar (array_join / to_json / concat_ws) in the gate projection")
+    val bad = uncheckableColumns(schema)
+    if (bad.nonEmpty) {
+      val (decimals, nested) = bad.partition(_.contains("decimal"))
+      val advice = Seq(
+        if (nested.nonEmpty)
+          Some("render nested columns scalar (array_join / to_json / concat_ws)")
+        else None,
+        if (decimals.nonEmpty)
+          Some("CAST decimal columns' final value to BIGINT " +
+            "(the hudsonFst/rel_hhi_by_segment discipline)")
+        else None).flatten.mkString("; ")
+      throw new IllegalArgumentException(
+        s"gate entry '$entry' dumps top-level column(s) the driver's " +
+          s"pandas checker cannot sort/hash: ${bad.mkString(", ")} — $advice")
+    }
   }
 }

@@ -407,10 +407,25 @@ object Dedup {
     * than return partially-propagated labels.
     *
     * Input: undirected pair list (id_a, id_b); output: (node, label)
-    * where label = min node id reachable. */
+    * where label = min node id reachable.
+    *
+    * The loop sizes its OWN shuffle partitioning from the measured edge
+    * count instead of inheriting `spark.sql.shuffle.partitions`: each
+    * doubling round pays (scheduling floor × partition count) across ~3
+    * shuffles, so a global knob tuned for the corpus-sized operators
+    * inverts here — the round-10 sf10 A/B showed 128 partitions halving
+    * dedup_minhash_lsh (94.9 → 48.6 s) while nearly tripling this loop
+    * (57.7 → 155.1 s). The pair frame is tiny next to the corpus
+    * (~16 B of longs per edge), so ~250k edges per partition keeps every
+    * partition comfortably in executor memory while bounding the
+    * per-round task count; the cap lets a genuinely huge edge set (a
+    * 100 TB corpus's pair list) still fan out. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("ea", "eb")
     val sym = edges.union(edges.select(col("eb"), col("ea"))).toDF("src", "dst").cache()
+    val nEdges = sym.count() // forces the cache; sizes the loop's shuffles
+    val loopParts = math.max(4L, math.min(nEdges / 250000L + 1L, 4096L)).toInt
+    Q.withShufflePartitions(sym.sparkSession, loopParts) {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
     var prevSum = Long.MinValue
@@ -443,6 +458,7 @@ object Dedup {
     }
     sym.unpersist()
     labels
+    } // withShufflePartitions
   }
 
   /** Cluster-safe train/val assignment — the mechanism behind the

@@ -2430,7 +2430,11 @@ object Relational {
           .rowsBetween(-23, Window.currentRow)
         a.withColumn("cn", count(lit(1)).over(w24))
           .withColumn("sv", sum(col("v")).over(w24))
-          .withColumn("svv", sum(col("v") * col("v")).over(w24))
+          // v² widened at the source: the product itself can wrap int64
+          // before the band-test widening applies (DuckDB's sum already
+          // accumulates HUGEINT; this matches the envelope)
+          .withColumn("svv",
+            sum(expr("CAST(v AS DECIMAL(38,0)) * v")).over(w24))
           .selectExpr("event_type", "h", "v", "cn AS window_n",
             """(CAST(cn AS DECIMAL(38,0)) * v - sv)
                  * (CAST(cn AS DECIMAL(38,0)) * v - sv)
@@ -2445,7 +2449,7 @@ object Relational {
         r AS (
           SELECT event_type, h, v,
             count(*) OVER w AS cn, sum(v) OVER w AS sv,
-            sum(v * v) OVER w AS svv
+            sum(CAST(v AS HUGEINT) * v) OVER w AS svv
           FROM a WINDOW w AS (PARTITION BY event_type ORDER BY h
             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
         SELECT event_type, h, v, CAST(cn AS BIGINT) AS window_n,
@@ -2598,8 +2602,13 @@ object Relational {
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
           .selectExpr("n",
-            "n * sxy - sx * sy AS cov_num",
-            """CAST(IF(n * sxy - sx * sy < 0, -1, 1)
+            // cov_num and the sign test widen like the quotient: n*sxy
+            // wraps int64 at large tiers, so compute in DECIMAL(38,0)
+            // and cast only the final cov_num back to BIGINT
+            """CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT) AS cov_num""",
+            """CAST(IF(CAST(n AS DECIMAL(38,0)) * sxy
+                       - CAST(sx AS DECIMAL(38,0)) * sy < 0, -1, 1)
                  * ((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
                               * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
                     div ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
@@ -2614,8 +2623,11 @@ object Relational {
             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
           FROM cx JOIN cy ON cx.h = cy.h)
-        SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
-          CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+        SELECT n,
+          CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+            AS BIGINT) AS cov_num,
+          CAST(CASE WHEN CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy < 0 THEN -1 ELSE 1 END
             * ((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
                          * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
                // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
@@ -2644,7 +2656,9 @@ object Relational {
             sum(col("x") * col("x")).as("sxx"),
             sum(col("y") * col("y")).as("syy"))
           .selectExpr("event_type", "n",
-            """CAST(IF(n * sxy - sx * sy < 0, -1, 1)
+            // sign test widened with the quotient (n*sxy wraps int64)
+            """CAST(IF(CAST(n AS DECIMAL(38,0)) * sxy
+                       - CAST(sx AS DECIMAL(38,0)) * sy < 0, -1, 1)
                  * ((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
                               * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
                     div ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
@@ -2664,7 +2678,8 @@ object Relational {
             CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
           FROM l WHERE y IS NOT NULL GROUP BY event_type)
         SELECT event_type, n,
-          CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+          CAST(CASE WHEN CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy < 0 THEN -1 ELSE 1 END
             * ((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
                          * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
                // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)

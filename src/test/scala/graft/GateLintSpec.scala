@@ -26,13 +26,20 @@ class GateLintSpec extends AnyFunSuite {
       .add("k", StringType)
       .add("m", MapType(StringType, LongType))
       .add("s", new StructType().add("x", LongType))
-    assert(GateLint.nestedColumns(bad2).size == 2)
+    assert(GateLint.uncheckableColumns(bad2).size == 2)
     // a raw DECIMAL top-level column is the other dtype-trap class:
     // decimal-computed entries must cast the final value to BIGINT
     val bad3 = new StructType()
       .add("k", StringType)
       .add("d", DecimalType(38, 0))
-    assert(GateLint.nestedColumns(bad3) === Seq("d: decimal(38,0)"))
+    assert(GateLint.uncheckableColumns(bad3) === Seq("d: decimal(38,0)"))
+    // the decimal branch must advise the decimal fix (CAST to BIGINT),
+    // not the nested-column rendering advice
+    val e3 = intercept[IllegalArgumentException] {
+      GateLint.assertCheckerSafe("fixture_decimal_entry", bad3)
+    }
+    assert(e3.getMessage.contains("CAST decimal columns"))
+    assert(!e3.getMessage.contains("array_join"))
   }
 
   test("coreSet names only live registry entries") {
@@ -43,7 +50,7 @@ class GateLintSpec extends AnyFunSuite {
   test("every registry entry dumps a checker-safe (all-scalar) schema") {
     val offending = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
-        val bad = GateLint.nestedColumns(q.fn(spark, sf).schema)
+        val bad = GateLint.uncheckableColumns(q.fn(spark, sf).schema)
         if (bad.isEmpty) Nil else Seq(s"$name -> ${bad.mkString(", ")}")
     }
     assert(offending.isEmpty,

@@ -759,4 +759,51 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
       s"min/max spine bounds not broadcast:\n$plan")
   }
+
+  test("minhash LSH: band self-join is keyed on the band bucket, positively") {
+    // the sf10 decade evidence rests on the pair space staying
+    // band-bounded: the self-join must be an EQUI-join whose keys are
+    // the band-bucket column (bb), not a theta condition that Catalyst
+    // would have to nested-loop. Assert the keys by name, not just the
+    // absence of bad node types.
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(executed(SparkEntry.queries("dedup_minhash_lsh")(spark, SF)))
+    val bandJoin = all.collect {
+      case j: BaseJoinExec if j.leftKeys.exists(_.toString.startsWith("bb#")) => j
+    }
+    assert(bandJoin.nonEmpty,
+      s"no equi-join keyed on the band bucket (bb) in the plan:\n" +
+        all.map(_.nodeName).mkString(", "))
+  }
+
+  test("connected components: the doubling loop sizes its own shuffle partitioning") {
+    // the round-10 sf10 A/B inversion: a global partition count tuned
+    // for corpus-sized shuffles (128+) triples the CC loop, whose cost
+    // is (scheduling floor × partitions) per round over a tiny frame.
+    // The loop must therefore self-size from the measured edge count —
+    // with the global knob pinned absurdly high, the materialized label
+    // frame must come out at the self-sized count, not the global one.
+    import graft.queries.Q
+    val pairs = spark.range(0, 2000)
+      .selectExpr("id AS id_a", "id + 1 AS id_b") // one long chain
+    val labels = Q.withShufflePartitions(spark, 509) {
+      graft.queries.Dedup.connectedComponents(pairs)
+    }
+    assert(labels.rdd.getNumPartitions <= 8,
+      s"CC loop inherited the global shuffle knob: " +
+        s"${labels.rdd.getNumPartitions} partitions")
+    // correctness unchanged: a 2001-node chain is one component rooted at 0
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val row = labels.agg(max(col("label")), count(lit(1))).collect()(0)
+    assert(row.getLong(0) == 0L && row.getLong(1) == 2001L)
+  }
 }

@@ -5,14 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole test run. */
 object SparkTestSession {
   lazy val get: SparkSession = {
-    val s = SparkSession.builder()
+    val s = SessionConf.withStateProvider(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
