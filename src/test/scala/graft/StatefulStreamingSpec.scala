@@ -16,6 +16,19 @@ class StatefulStreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkTestSession.get
 
+  test("state store provider engages per the SPARK_GRAFT_STATE_PROVIDER gate") {
+    // positive proof the config-gated A/B actually flips the provider in
+    // THIS JVM (env must survive the sbt test fork) — without it, a
+    // "green under RocksDB" run could silently be the in-memory default
+    val conf = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      assert(conf.contains(SessionConf.RocksDbProvider),
+        s"RocksDB requested but provider is $conf")
+    else
+      assert(!conf.contains(SessionConf.RocksDbProvider),
+        s"RocksDB provider set without the env gate: $conf")
+  }
+
   test("stream-stream join purges both sides' buffered state at the watermark") {
     // THE scale property of stream_stream_join: with watermarks on both
     // sides and a time-bounded condition, Spark derives a state
