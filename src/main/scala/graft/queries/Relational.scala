@@ -2723,6 +2723,275 @@ object Relational {
             AS n_gaps_over_1h,
           CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us
         FROM l WHERE gap IS NOT NULL
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- chi-square independence + Cramer's V, EXACT ----
+    // Is event_type independent of the value band? The classic
+    // contingency test, kept integer-exact by rewriting
+    // chi2 = N * sum(O^2/(RT*CT)) - N with a fixed internal scale S=1e12
+    // and per-cell integer division, so both engines truncate the same
+    // way at the same step. Widths: O^2*S <= 1e28 at sf10 (N=1e8) and
+    // N*sum(term) <= ~1e21, both inside DECIMAL(38,0)/HUGEINT. Shape: one
+    // keyed agg builds the cells, the row/column marginals are
+    // re-aggregations of the CELL frame (cells = types x bands, a few
+    // dozen rows — never a second corpus pass), broadcast back on.
+    "rel_chi_square" -> Q(
+      (s, dir) => {
+        val e = eventsTs(s, dir).selectExpr("event_type",
+          """CASE WHEN value < 10 THEN 'low'
+                  WHEN value < 100 THEN 'mid' ELSE 'high' END AS band""")
+        val cells = e.groupBy("event_type", "band")
+          .agg(count(lit(1)).as("o"))
+        val rt = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+        val ct = cells.groupBy("band").agg(sum(col("o")).as("ct"))
+        val tot = cells.agg(sum(col("o")).as("n"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("band")).as("c"))
+        cells.join(broadcast(rt), Seq("event_type"))
+          .join(broadcast(ct), Seq("band"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("n", "r", "c",
+            """(CAST(o AS DECIMAL(38,0)) * o * 1000000000000)
+                 div (CAST(rt AS DECIMAL(38,0)) * ct) AS term""")
+          .groupBy("n", "r", "c").agg(sum(col("term")).as("term_sum"),
+            count(lit(1)).as("n_cells"))
+          .selectExpr("n", "n_cells", "(r - 1) * (c - 1) AS dof",
+            """CAST((CAST(n AS DECIMAL(38,0)) * term_sum
+                     - CAST(n AS DECIMAL(38,0)) * 1000000000000) * 1000000
+                    div 1000000000000 AS BIGINT) AS chi2_micro""",
+            """CAST(((CAST(n AS DECIMAL(38,0)) * term_sum
+                      - CAST(n AS DECIMAL(38,0)) * 1000000000000) * 1000000
+                     div 1000000000000)
+                    div (n * IF(r < c, r - 1, c - 1)) AS BIGINT)
+               AS cramers_v2_micro""")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CASE WHEN value < 10 THEN 'low'
+                 WHEN value < 100 THEN 'mid' ELSE 'high' END AS band
+          FROM events),
+        cells AS (SELECT event_type, band, count(*) AS o
+          FROM e GROUP BY event_type, band),
+        rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY event_type),
+        ct AS (SELECT band, sum(o) AS ct FROM cells GROUP BY band),
+        tot AS (SELECT sum(o) AS n, count(DISTINCT event_type) AS r,
+            count(DISTINCT band) AS c
+          FROM cells),
+        terms AS (SELECT n, r, c,
+            (CAST(o AS HUGEINT) * o * 1000000000000)
+              // (CAST(rt AS HUGEINT) * ct) AS term
+          FROM cells JOIN rt USING (event_type) JOIN ct USING (band), tot),
+        g AS (SELECT n, r, c, sum(term) AS term_sum, count(*) AS n_cells
+          FROM terms GROUP BY n, r, c)
+        SELECT CAST(n AS BIGINT) AS n, n_cells,
+          CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+          CAST((CAST(n AS HUGEINT) * term_sum
+                - CAST(n AS HUGEINT) * 1000000000000) * 1000000
+               // 1000000000000 AS BIGINT) AS chi2_micro,
+          CAST(((CAST(n AS HUGEINT) * term_sum
+                 - CAST(n AS HUGEINT) * 1000000000000) * 1000000
+                // 1000000000000)
+               // (n * CASE WHEN r < c THEN r - 1 ELSE c - 1 END) AS BIGINT)
+            AS cramers_v2_micro
+        FROM g""")),
+
+    // ---- Kendall tau-b concordance, EXACT ----
+    // Do daily shipped quantity and daily revenue move together? Tau on
+    // the PRE-AGGREGATED daily series (one 1996 year per returnflag,
+    // ~365 points each): the corpus pass is a single keyed agg; the
+    // O(n^2) pair stage runs on that tiny frame via a broadcast
+    // self-join, so at 100 TB the pair space is fixed by the calendar,
+    // not the row count. Concordant/discordant counts are integers; the
+    // quotient extracts the sign first so both engines divide
+    // non-negatives (Spark div truncates toward zero, DuckDB // floors —
+    // they only agree on non-negative operands).
+    "rel_kendall_tau" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00"))
+          .groupBy(col("l_returnflag").as("rf"),
+            to_date(col("l_shipdate")).as("day"))
+          .agg(sum(col("l_quantity").cast("bigint")).as("x"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("y"))
+        val a = d.select(col("rf"), col("day").as("d1"),
+          col("x").as("x1"), col("y").as("y1"))
+        val b = d.select(col("rf").as("rf2"), col("day").as("d2"),
+          col("x").as("x2"), col("y").as("y2"))
+        a.join(broadcast(b), col("rf") === col("rf2") && col("d1") < col("d2"))
+          .groupBy("rf")
+          .agg(
+            sum(expr("""IF((x2 > x1 AND y2 > y1) OR (x2 < x1 AND y2 < y1),
+                1L, 0L)""")).as("nc"),
+            sum(expr("""IF((x2 > x1 AND y2 < y1) OR (x2 < x1 AND y2 > y1),
+                1L, 0L)""")).as("nd"),
+            count(lit(1)).as("n_pairs"))
+          .selectExpr("rf", "n_pairs", "nc", "nd",
+            """IF(nc - nd < 0, -1, 1)
+                 * (1000 * abs(nc - nd) div n_pairs) AS tau_milli""")
+          .orderBy("rf")
+      },
+      Some("""WITH d AS (SELECT l_returnflag AS rf,
+            CAST(l_shipdate AS DATE) AS day,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+              AS y
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY rf, day),
+        p AS (SELECT a.rf,
+            CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+                            OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc,
+            CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+                            OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd,
+            count(*) AS n_pairs
+          FROM d a JOIN d b ON a.rf = b.rf AND a.day < b.day
+          GROUP BY a.rf)
+        SELECT rf, n_pairs, nc, nd,
+          CAST(CASE WHEN nc - nd < 0 THEN -1 ELSE 1 END
+               * (1000 * abs(nc - nd) // n_pairs) AS BIGINT) AS tau_milli
+        FROM p ORDER BY rf""")),
+
+    // ---- Mann-Kendall trend test, EXACT ----
+    // Monotone-trend S statistic over each type's daily value series,
+    // with the tie-corrected variance numerator (x18, kept rational).
+    // Same scale shape as rel_kendall_tau: the corpus collapses to
+    // (type, day) in one keyed agg — 30 days here, bounded by the
+    // calendar at any corpus size — and the pair stage broadcasts that
+    // frame. S is a signed sum of sign() terms, integer by construction.
+    "rel_mann_kendall" -> Q(
+      (s, dir) => {
+        val d = eventsTs(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("v"))
+        val a = d.select(col("event_type"), col("day").as("d1"),
+          col("v").as("v1"))
+        val b = d.select(col("event_type").as("et2"), col("day").as("d2"),
+          col("v").as("v2"))
+        val sStat = a.join(broadcast(b),
+            col("event_type") === col("et2") && col("d1") < col("d2"))
+          .groupBy("event_type")
+          .agg(sum(expr("IF(v2 > v1, 1L, IF(v2 < v1, -1L, 0L))")).as("s_stat"),
+            count(lit(1)).as("n_pairs"))
+        // tie correction: sum t(t-1)(2t+5) over groups of equal v
+        val ties = d.groupBy("event_type", "v").agg(count(lit(1)).as("tc"))
+          .groupBy("event_type")
+          .agg(sum(expr("tc * (tc - 1) * (2 * tc + 5)")).as("tie18"),
+            count(lit(1)).as("n_days"))
+        sStat.join(broadcast(ties), Seq("event_type"))
+          .selectExpr("event_type", "n_days", "n_pairs", "s_stat",
+            "n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18")
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY event_type, day),
+        p AS (SELECT a.event_type,
+            CAST(sum(CASE WHEN b.v > a.v THEN 1
+                          WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+              AS s_stat,
+            count(*) AS n_pairs
+          FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+          GROUP BY a.event_type),
+        t AS (SELECT event_type,
+            CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie18,
+            count(*) AS n_days
+          FROM (SELECT event_type, v, count(*) AS tc
+                FROM d GROUP BY event_type, v)
+          GROUP BY event_type)
+        SELECT event_type, n_days, n_pairs, s_stat,
+          CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS BIGINT)
+            AS var18
+        FROM p JOIN t USING (event_type) ORDER BY event_type""")),
+
+    // ---- EWMA snapshot (alpha = 1/2), EXACT ----
+    // The "what is the smoothed rate RIGHT NOW" gauge: exponentially
+    // weighted hourly value mass per type over the trailing 16 hours,
+    // with binary weights 2^(15-age) so the whole thing stays integer —
+    // ewma = sum(v * 2^(15-age)) / (2^16 - 1). A windowed formulation
+    // would need a per-(row, element) weight, which no windowed sum
+    // expresses; anchoring to each type's max hour makes it one keyed
+    // agg + a broadcast join of the 5-row anchor frame. Widths: hourly
+    // micro mass <= ~1e10 at sf10, x 2^15 x 16 terms < 2^63.
+    "rel_ewma_snapshot" -> Q(
+      (s, dir) => {
+        val hourly = eventsTs(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+          .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("v"))
+        val anchor = hourly.groupBy(col("event_type").as("et2"))
+          .agg(max(col("h")).as("hmax"))
+        hourly.join(broadcast(anchor), col("event_type") === col("et2"))
+          .where(col("hmax") - col("h") <= 15)
+          .selectExpr("event_type", "v",
+            "shiftleft(1L, CAST(15 - (hmax - h) AS INT)) AS w")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"), sum(expr("v * w")).as("wsum"))
+          .selectExpr("event_type", "n_hours",
+            "wsum div 65535 AS ewma_micro")
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+            epoch_us(ts) // 3600000000 AS h,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY event_type, h),
+        anchor AS (SELECT event_type, max(h) AS hmax
+          FROM hourly GROUP BY event_type),
+        wgt AS (SELECT event_type, v,
+            (CAST(1 AS BIGINT) << CAST(15 - (hmax - h) AS INT)) AS w
+          FROM hourly JOIN anchor USING (event_type)
+          WHERE hmax - h <= 15)
+        SELECT event_type, count(*) AS n_hours,
+          CAST(sum(v * w) // 65535 AS BIGINT) AS ewma_micro
+        FROM wgt GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- winsorized mean (p05/p95 clamp), EXACT ----
+    // The robust-mean gauge outlier-heavy telemetry wants. Both engines
+    // disagree on percentile_disc boundary semantics, so the clamp
+    // bounds are defined arithmetically instead: the ceil(n*p)-th
+    // smallest value by row_number — deterministic regardless of tie
+    // order because position k's VALUE is unique even when its row is
+    // not. The rank window partitions by type (parallel across types);
+    // the 2-row-per-type bound frame broadcasts back onto the stream.
+    "rel_winsorized_mean" -> Q(
+      (s, dir) => {
+        val e = eventsTs(s, dir).selectExpr("event_type",
+          "CAST(round(value * 1000000) AS BIGINT) AS v")
+        val w = Window.partitionBy("event_type").orderBy("v")
+        val ranked = e.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        val bounds = ranked
+          .where(col("rn") === expr("(n * 5 + 99) div 100") ||
+            col("rn") === expr("(n * 95 + 99) div 100"))
+          .groupBy(col("event_type").as("et2"))
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        e.join(broadcast(bounds), col("event_type") === col("et2"))
+          .selectExpr("event_type", "lo", "hi",
+            "greatest(lo, least(hi, v)) AS cv")
+          .groupBy("event_type", "lo", "hi")
+          .agg(count(lit(1)).as("n"), sum(col("cv")).as("csum"))
+          .selectExpr("event_type", "n", "lo AS lo_micro", "hi AS hi_micro",
+            "csum div n AS winsor_mean_micro")
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 1000000) AS BIGINT) AS v
+          FROM events),
+        ranked AS (SELECT event_type, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM e),
+        bounds AS (SELECT event_type, min(v) AS lo, max(v) AS hi
+          FROM ranked
+          WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+          GROUP BY event_type)
+        SELECT event_type, count(*) AS n, lo AS lo_micro, hi AS hi_micro,
+          CAST(sum(greatest(lo, least(hi, v))) // count(*) AS BIGINT)
+            AS winsor_mean_micro
+        FROM e JOIN bounds USING (event_type)
+        GROUP BY event_type, lo, hi ORDER BY event_type"""))
   )
 }

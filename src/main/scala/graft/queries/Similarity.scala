@@ -1238,6 +1238,67 @@ object Similarity {
           GROUP BY vec_id, label)
         SELECT vec_id, label, cos, rn FROM (
             SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rn
-            FROM scored) WHERE rn <= 5 ORDER BY label, rn"""))
+            FROM scored) WHERE rn <= 5 ORDER BY label, rn""")),
+
+    // ---- per-label centroid shift vs the global centroid, EXACT ----
+    // The embedding-drift gauge: how far does each label's mass sit
+    // from the corpus center? Reported as signed cos^2 in micro units,
+    // computed ENTIRELY in integers so partial-agg order can't flip a
+    // bit: components quantize to micro (round(x*1e6) AS BIGINT), sums
+    // are exact, and the final ratio is two staged integer divisions —
+    // t1 = 1e6*|dot| div |a|^2, then t1*|dot| div |b|^2 — with every
+    // intermediate under 1e35 at sf10 (2e6 vectors), inside both
+    // DECIMAL(38,0) and HUGEINT. Staging the division loses ~1e-7
+    // relative precision but both engines truncate at the same two
+    // steps, so the outputs are bit-identical. Shape: one map-side
+    // explode + keyed agg builds the |labels| x dim frame; the global
+    // centroid is a re-aggregation of THAT frame (never a second corpus
+    // pass); everything downstream is broadcast-scale.
+    "ann_centroid_shift" -> Q(
+      (s, dir) => {
+        // barrier: the |labels| x dim sum frame feeds BOTH the global
+        // re-aggregation and the join side — without materializing it
+        // once, each consumer re-scans and re-explodes the corpus
+        // (plan-gated to exactly one parquet scan)
+        val sums = Q.barrier(vecs(s, dir)
+          .withColumn("i", expr("sequence(0, size(v) - 1)"))
+          .select(col("label"),
+            explode(arrays_zip(col("i"), col("v"))).as("z"))
+          .groupBy(col("label"), col("z.i").as("dim"))
+          .agg(sum(expr("CAST(round(z.v * 1000000) AS BIGINT)")).as("sl"),
+            count(lit(1)).as("nl")))
+        val global = sums.groupBy("dim")
+          .agg(sum(col("sl")).as("sg"))
+        sums.join(broadcast(global), Seq("dim"))
+          .groupBy("label")
+          .agg(max(col("nl")).as("n_vectors"),
+            sum(expr("CAST(sl AS DECIMAL(38,0)) * sg")).as("dot"),
+            sum(expr("CAST(sl AS DECIMAL(38,0)) * sl")).as("aa"),
+            sum(expr("CAST(sg AS DECIMAL(38,0)) * sg")).as("bb"))
+          .selectExpr("label", "n_vectors",
+            """CAST(IF(dot < 0, -1, 1)
+                 * (((1000000 * abs(dot)) div aa) * abs(dot) div bb)
+               AS BIGINT) AS cos2_signed_micro""")
+          .orderBy("label")
+      },
+      Some("""WITH q AS (
+          SELECT label, i - 1 AS dim,
+            CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+          FROM embeddings, range(1, 65) AS t(i)),
+        sums AS (SELECT label, dim, CAST(sum(x) AS BIGINT) AS sl,
+            count(*) AS nl
+          FROM q GROUP BY label, dim),
+        g AS (SELECT dim, CAST(sum(sl) AS BIGINT) AS sg
+          FROM sums GROUP BY dim),
+        agg AS (SELECT label, max(nl) AS n_vectors,
+            sum(CAST(sl AS HUGEINT) * sg) AS dot,
+            sum(CAST(sl AS HUGEINT) * sl) AS aa,
+            sum(CAST(sg AS HUGEINT) * sg) AS bb
+          FROM sums JOIN g USING (dim) GROUP BY label)
+        SELECT label, n_vectors,
+          CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END
+               * (((1000000 * abs(dot)) // aa) * abs(dot) // bb)
+            AS BIGINT) AS cos2_signed_micro
+        FROM agg ORDER BY label"""))
   )
 }

@@ -1063,7 +1063,71 @@ object TextOps {
           CAST(1000000 * n_hapax // n_vocab AS BIGINT) AS hapax_micro,
           CAST(1000000 * (n_hapax + 2 * n_dis) // n_tokens AS BIGINT)
             AS tail_mass_micro
-        FROM d"""))
+        FROM d""")),
+
+    // ---- Heaps'-law vocabulary growth curve (word trigrams), EXACT ----
+    // How fast does new vocabulary arrive as the corpus is consumed in
+    // doc_id order? The tokenizer-sizing / dedup-saturation gauge: per
+    // corpus decile, trigram mass vs FIRST-SEEN type count (trigrams,
+    // not unigrams — the synthetic corpus has a 31-word unigram vocab,
+    // which saturates in the first decile and flattens the curve).
+    // "First seen" is the min-doc_id owner of each type (one
+    // vocab-keyed agg — the same first-owner trick as
+    // pipe_ngram_novelty, no ordered scan of the corpus), and deciles
+    // come from an arithmetic rank formula ((rn-1)*10 div n) rather
+    // than ntile(), whose uneven-bucket placement the two engines need
+    // not share. The only global window runs on the 2-column DOC frame
+    // (id + mass), not the corpus; a production variant at 1e12 docs
+    // would range-partition that rank.
+    "text_heaps_law" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(w) - 3),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))""")).as("tok"))
+        val docMass = toks.groupBy("doc_id").agg(count(lit(1)).as("mass"))
+        val docDecile = docMass
+          .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
+          .selectExpr("doc_id", "mass", "(rn - 1) * 10 div nd + 1 AS decile")
+        val firstSeen = toks.groupBy("tok").agg(min(col("doc_id")).as("doc_id"))
+          .join(docDecile.select("doc_id", "decile"), Seq("doc_id"))
+          .groupBy("decile").agg(count(lit(1)).as("new_types"))
+        val mass = docDecile.groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), sum(col("mass")).as("token_mass"))
+        val cum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        mass.join(firstSeen, Seq("decile"), "left")
+          .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+          .withColumn("cum_types", sum(col("new_types")).over(cum))
+          .select("decile", "n_docs", "token_mass", "new_types", "cum_types")
+          .orderBy("decile")
+      },
+      Some("""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents),
+        f AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tok
+          FROM d0 WHERE len(w) >= 3),
+        dm AS (SELECT doc_id, count(*) AS mass FROM f GROUP BY doc_id),
+        dd AS (SELECT doc_id, mass,
+            (row_number() OVER (ORDER BY doc_id) - 1) * 10
+              // (count(*) OVER ()) + 1 AS decile
+          FROM dm),
+        fs AS (SELECT decile, count(*) AS new_types
+          FROM (SELECT tok, min(doc_id) AS doc_id FROM f GROUP BY tok)
+          JOIN dd USING (doc_id) GROUP BY decile),
+        m AS (SELECT decile, count(*) AS n_docs,
+            CAST(sum(mass) AS BIGINT) AS token_mass
+          FROM dd GROUP BY decile)
+        SELECT decile, n_docs, token_mass,
+          CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+          CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_types
+        FROM m LEFT JOIN fs USING (decile) ORDER BY decile"""))
   )
 }
 

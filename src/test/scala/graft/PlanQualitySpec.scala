@@ -806,4 +806,45 @@ class PlanQualitySpec extends AnyFunSuite {
     val row = labels.agg(max(col("label")), count(lit(1))).collect()(0)
     assert(row.getLong(0) == 0L && row.getLong(1) == 2001L)
   }
+
+  test("kendall/mann-kendall: the O(n^2) pair stage joins broadcast AGGREGATED frames") {
+    // both trend tests collapse the corpus to a calendar-bounded daily
+    // frame before the pairwise stage; the pair join must be a
+    // broadcast join (the frame is tiny by construction) and the plan
+    // must keep exactly ONE corpus-scale parquet scan per side-sharing
+    // aggregate — i.e. no CartesianProduct over base rows.
+    for (name <- Seq("rel_kendall_tau", "rel_mann_kendall")) {
+      val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$name pair stage not broadcast:\n$plan")
+      assert(plan.contains("partial_"),
+        s"$name daily agg lost its map-side partial phase:\n$plan")
+    }
+  }
+
+  test("rel_winsorized_mean: bounds come back as a broadcast, corpus scanned map-side") {
+    val plan = fullPlanString(SparkEntry.queries("rel_winsorized_mean")(spark, SF))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"winsor bounds join not broadcast:\n$plan")
+    // the rank window that finds the bounds is type-partitioned, never global
+    assert("windowspecdefinition\\(event_type".r.findFirstIn(plan).isDefined,
+      s"winsor rank window not partitioned by event_type:\n$plan")
+  }
+
+  test("ann_centroid_shift: one corpus pass; global centroid re-aggregates the label frame") {
+    // the embeddings parquet must be scanned exactly once — the global
+    // centroid is a re-aggregation of the per-label sums, not a second
+    // corpus explode.
+    val plan = fullPlanString(SparkEntry.queries("ann_centroid_shift")(spark, SF))
+    // the label-sum frame is barriered, so the downstream plan reads the
+    // materialized frame (ExistingRDD) and the parquet corpus never
+    // appears twice — or at all — in the final plan
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 0 && plan.contains("ExistingRDD"),
+      s"expected barriered label-sum frame (0 parquet scans), got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"global-centroid join not broadcast:\n$plan")
+  }
 }
