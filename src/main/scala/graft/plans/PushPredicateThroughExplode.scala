@@ -61,7 +61,19 @@ object PushPredicateThroughExplode extends Rule[LogicalPlan] with PredicateHelpe
           g.getTagValue(Guarded).isEmpty && !alreadyGuarded(child, arr) =>
       val pushable = splitConjunctivePredicates(cond).filter { p =>
         p.deterministic && !SubqueryExpression.hasSubquery(p) &&
-          p.references == AttributeSet(elem :: Nil)
+          p.references == AttributeSet(elem :: Nil) &&
+          // Never push a ScalaUDF into the exists() pre-filter.
+          // HigherOrderFunctions are CodegenFallback, so the guard row
+          // runs INTERPRETED: the array expression (for a computed arr
+          // like the decontam gram pipeline, the whole
+          // split+transform+concat_ws chain) re-evaluates per row
+          // outside codegen, and the UDF fires once per element in the
+          // guard and again per exploded row. Measured on
+          // pipe_decontam_bloom at the sf10 tier: 724.8 s with this
+          // rewrite vs ~46 s without — a 16x pessimization of exactly
+          // the entry the rule was never aimed at. Cheap codegen-able
+          // element predicates (the BM25 term-lookup shape) still push.
+          !p.exists(_.isInstanceOf[ScalaUDF])
       }
       if (pushable.isEmpty) f
       else {

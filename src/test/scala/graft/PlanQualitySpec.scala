@@ -370,6 +370,13 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!below.exists(p => p.isInstanceOf[Exchange] || p.isInstanceOf[QueryStageExec]),
         s"shuffle below the bloom prefilter:\n${f.toString.take(4000)}")
     }
+    // PushPredicateThroughExplode must NOT turn the bloom UDF into an
+    // interpreted exists() row guard — that guard re-evaluates the whole
+    // gram pipeline outside codegen and doubles the UDF calls (measured
+    // 16x at the sf10 tier). The UDF appears ONLY as the post-explode
+    // filter.
+    assert(!all.exists(_.toString.contains("exists(")),
+      "bloom UDF was pushed into an exists() pre-filter")
   }
 
   test("pipe_token_budget: global windows only over the band frame; corpus prefix is band-partitioned") {
