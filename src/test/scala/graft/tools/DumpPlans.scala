@@ -227,7 +227,27 @@ object DumpPlans {
         |type-partitioned lag window over the hourly count frame, one
         |keyed reduce of the n-multiplied integer parts, sign applied
         |OUTSIDE the positive quotient so Spark's truncate and DuckDB's
-        |floor cannot diverge.""".stripMargin)
+        |floor cannot diverge.""".stripMargin,
+    "rel_kendall_tau" ->
+      """The O(n²) pair stage never sees the corpus: one keyed agg
+        |collapses lineitem to a calendar-bounded daily frame, the pair
+        |join is a BroadcastHashJoin on returnflag with the day-order
+        |theta as a post-condition, and the tau quotient extracts its
+        |sign before dividing so both engines divide
+        |non-negatives.""".stripMargin,
+    "rel_winsorized_mean" ->
+      """Robust mean without percentile-function semantics drift: the
+        |p05/p95 bounds come from an arithmetic rank formula over a
+        |type-partitioned row_number window (parallel across types,
+        |never global), return as a 2-value-per-type broadcast, and the
+        |clamp+mean is one map-side pass over the corpus.""".stripMargin,
+    "ann_centroid_shift" ->
+      """Integer-exact drift gauge: components quantize to micro at the
+        |scan, one explode+keyed agg builds the |labels|×dim sum frame
+        |(barriered — the embeddings parquet appears ONCE), the global
+        |centroid re-aggregates THAT frame, and the staged integer
+        |divisions keep every intermediate under DECIMAL(38,0)/HUGEINT
+        |range at the sf10 tier.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
