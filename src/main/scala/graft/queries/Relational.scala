@@ -2992,6 +2992,113 @@ object Relational {
           CAST(sum(greatest(lo, least(hi, v))) // count(*) AS BIGINT)
             AS winsor_mean_micro
         FROM e JOIN bounds USING (event_type)
-        GROUP BY event_type, lo, hi ORDER BY event_type"""))
+        GROUP BY event_type, lo, hi ORDER BY event_type""")),
+
+    // ---- day-of-week lift, EXACT ----
+    // The weekly-seasonality census: each weekday's value-mass share
+    // vs its event-count share, as a lift ratio in micro units. The
+    // day bucket is computed arithmetically from epoch days
+    // ((day + 4) % 7, 0 = Sunday since 1970-01-01 was a Thursday) —
+    // NOT via dayofweek(), whose 0-vs-1 base differs between engines.
+    // One keyed agg + a broadcast 1-row total; the lift quotient is
+    // widened because mass_micro * n_total passes int64 at the sf10
+    // tier.
+    "rel_weekday_lift" -> Q(
+      (s, dir) => {
+        val d = eventsTs(s, dir)
+          .groupBy(expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("mass"))
+        val tot = d.agg(sum(col("n")).as("nt"), sum(col("mass")).as("mt"))
+        d.crossJoin(broadcast(tot))
+          .selectExpr("dow", "n", "mass",
+            """CAST((1000000 * CAST(mass AS DECIMAL(38,0)) * nt)
+                 div (CAST(mt AS DECIMAL(38,0)) * n) AS BIGINT)
+               AS lift_micro""")
+          .orderBy("dow")
+      },
+      Some("""WITH d AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+            count(*) AS n,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS mass
+          FROM events GROUP BY dow),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+            CAST(sum(mass) AS BIGINT) AS mt FROM d)
+        SELECT dow, n, mass,
+          CAST((1000000 * CAST(mass AS HUGEINT) * nt)
+               // (CAST(mt AS HUGEINT) * n) AS BIGINT) AS lift_micro
+        FROM d, t ORDER BY dow""")),
+
+    // ---- Pareto concentration: the top-1% customers' revenue share ----
+    // The 80/20 census over order revenue. The corpus collapses to one
+    // row per customer (keyed agg with map-side partials); the global
+    // rank runs on THAT frame — bounded by customer cardinality, the
+    // same deliberate compromise as the gini entry — with (revenue
+    // DESC, custkey) as a total order so ties cannot flap membership
+    // of the top cohort. ceil(n/100) keeps the cohort non-empty at any
+    // scale.
+    "rel_pareto_share" -> Q(
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
+        val ranked = rev.withColumn("rn",
+          row_number().over(Window.orderBy(col("r").desc, col("o_custkey"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        ranked
+          .groupBy("n")
+          .agg(sum(col("r")).as("total_cents"),
+            sum(when(col("rn") <= expr("(n + 99) div 100"), col("r"))
+              .otherwise(0L)).as("top_cents"))
+          .selectExpr("n AS n_customers", "(n + 99) div 100 AS top_n",
+            "top_cents", "total_cents",
+            "1000000 * top_cents div total_cents AS share_micro")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+          FROM orders GROUP BY o_custkey),
+        ranked AS (SELECT r,
+            row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
+            count(*) OVER () AS n
+          FROM rev)
+        SELECT n AS n_customers, (n + 99) // 100 AS top_n,
+          CAST(sum(CASE WHEN rn <= (n + 99) // 100 THEN r ELSE 0 END)
+            AS BIGINT) AS top_cents,
+          CAST(sum(r) AS BIGINT) AS total_cents,
+          CAST(1000000 * sum(CASE WHEN rn <= (n + 99) // 100 THEN r ELSE 0 END)
+               // sum(r) AS BIGINT) AS share_micro
+        FROM ranked GROUP BY n""")),
+
+    // ---- discount elasticity table, EXACT ----
+    // Does a deeper discount move more units? Mean quantity per
+    // discount band (integer percent) as a lift vs the zero-discount
+    // band — the promotion-effectiveness readout. One keyed agg; the
+    // baseline band broadcasts back on. Quotients stay in int64 range
+    // (qty sums x counts at sf10 ~ 1e9 * 1e8) — widened anyway for the
+    // same envelope discipline as the other lift entries.
+    "rel_discount_lift" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .groupBy(expr("CAST(round(l_discount * 100) AS INT)").as("disc_pct"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("bigint")).as("qty"))
+        val base = d.where(col("disc_pct") === 0)
+          .select(col("n").as("n0"), col("qty").as("qty0"))
+        d.crossJoin(broadcast(base))
+          .selectExpr("disc_pct", "n", "qty",
+            "1000000 * qty div n AS mean_qty_micro",
+            """CAST((1000000 * CAST(qty AS DECIMAL(38,0)) * n0)
+                 div (CAST(qty0 AS DECIMAL(38,0)) * n) AS BIGINT)
+               AS lift_micro""")
+          .orderBy("disc_pct")
+      },
+      Some("""WITH d AS (SELECT CAST(round(l_discount * 100) AS INT) AS disc_pct,
+            count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem GROUP BY disc_pct),
+        base AS (SELECT n AS n0, qty AS qty0 FROM d WHERE disc_pct = 0)
+        SELECT disc_pct, n, qty,
+          CAST(1000000 * qty // n AS BIGINT) AS mean_qty_micro,
+          CAST((1000000 * CAST(qty AS HUGEINT) * n0)
+               // (CAST(qty0 AS HUGEINT) * n) AS BIGINT) AS lift_micro
+        FROM d, base ORDER BY disc_pct"""))
   )
 }

@@ -1299,6 +1299,76 @@ object Similarity {
           CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END
                * (((1000000 * abs(dot)) // aa) * abs(dot) // bb)
             AS BIGINT) AS cos2_signed_micro
-        FROM agg ORDER BY label"""))
+        FROM agg ORDER BY label""")),
+
+    // ---- label-margin census: the mislabel/confusable-mass gauge ----
+    // For every vector, signed-cos² (same staged-integer-division form
+    // as ann_centroid_shift, truncation identical on both engines) to
+    // its OWN label centroid vs the best FOREIGN centroid; a vector
+    // whose best foreign score strictly beats its own is "confusable"
+    // — the relabel/prune candidate census SemDeDup-style curation
+    // wants per class. Shape: the k x dim centroid-sum frame (tiny)
+    // broadcasts onto the exploded corpus; each (vector, candidate
+    // label) group sees exactly its 64 dim rows, so the per-vector
+    // norm rides in the SAME keyed agg as the dot — one corpus pass,
+    // k x corpus intermediate rows (k bounded), no corpus self-join.
+    "ann_label_margin" -> Q(
+      (s, dir) => {
+        val v = vecs(s, dir)
+          .withColumn("i", expr("sequence(0, size(v) - 1)"))
+          .select(col("vec_id"), col("label"),
+            explode(arrays_zip(col("i"), col("v"))).as("z"))
+          .selectExpr("vec_id", "label", "z.i AS dim",
+            "CAST(round(z.v * 1000000) AS BIGINT) AS x")
+        val cent = Q.barrier(v.groupBy(col("label").as("clabel"), col("dim"))
+          .agg(sum(col("x")).as("sl")))
+        val bb = cent.groupBy("clabel")
+          .agg(sum(expr("CAST(sl AS DECIMAL(38,0)) * sl")).as("bb"))
+        val scored = v
+          .join(broadcast(cent), Seq("dim"))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(sum(expr("CAST(x AS DECIMAL(38,0)) * sl")).as("dot"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("va"))
+          .join(broadcast(bb), Seq("clabel"))
+          .selectExpr("vec_id", "label", "clabel",
+            """CAST(IF(dot < 0, -1, 1)
+                 * (((1000000 * abs(dot)) div va) * abs(dot) div bb)
+               AS BIGINT) AS m""")
+        scored.groupBy("vec_id", "label")
+          .agg(max(when(col("clabel") === col("label"), col("m"))).as("own_m"),
+            max(when(col("clabel") =!= col("label"), col("m"))).as("best_m"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("best_m") > col("own_m"), 1L).otherwise(0L))
+              .as("n_confusable"),
+            sum(col("own_m") - col("best_m")).as("margin_sum_micro"))
+          .orderBy("label")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id, label, i - 1 AS dim,
+            CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+          FROM embeddings, range(1, 65) AS t(i)),
+        cent AS (SELECT label AS clabel, dim, CAST(sum(x) AS BIGINT) AS sl
+          FROM q GROUP BY label, dim),
+        bb AS (SELECT clabel, sum(CAST(sl AS HUGEINT) * sl) AS bb
+          FROM cent GROUP BY clabel),
+        scored AS (SELECT vec_id, label, clabel,
+            CAST(CASE WHEN dot < 0 THEN -1 ELSE 1 END
+                 * (((1000000 * abs(dot)) // va) * abs(dot) // bb)
+              AS BIGINT) AS m
+          FROM (SELECT vec_id, label, clabel,
+              sum(CAST(x AS HUGEINT) * sl) AS dot,
+              sum(CAST(x AS HUGEINT) * x) AS va
+            FROM q JOIN cent USING (dim) GROUP BY vec_id, label, clabel)
+          JOIN bb USING (clabel)),
+        perv AS (SELECT vec_id, label,
+            max(CASE WHEN clabel = label THEN m END) AS own_m,
+            max(CASE WHEN clabel <> label THEN m END) AS best_m
+          FROM scored GROUP BY vec_id, label)
+        SELECT label, count(*) AS n_vectors,
+          CAST(sum(CASE WHEN best_m > own_m THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_confusable,
+          CAST(sum(own_m - best_m) AS BIGINT) AS margin_sum_micro
+        FROM perv GROUP BY label ORDER BY label"""))
   )
 }

@@ -1127,7 +1127,44 @@ object TextOps {
           CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY decile
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum_types
-        FROM m LEFT JOIN fs USING (decile) ORDER BY decile"""))
+        FROM m LEFT JOIN fs USING (decile) ORDER BY decile""")),
+
+    // ---- exact head-mass census: top-10 tokens' share of the corpus ----
+    // The exact complement of text_heavy_hitters_cms (which is the
+    // sketch path): how much of the token mass the 10 most frequent
+    // types own, with a (count DESC, token ASC) total order so ties
+    // cannot flap membership. One vocab-keyed agg (map-side partials),
+    // then the rank window runs on the VOCAB frame — 31 unigram types
+    // here, and even a web-scale BPE vocab is ~1e5-1e6 rows, never the
+    // corpus.
+    "text_topk_mass" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val tot = c.agg(sum(col("c")).as("mass"))
+        val w = Window.orderBy(col("c").desc, col("tok"))
+        c.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+          .crossJoin(broadcast(tot))
+          .withColumn("share_micro", expr("1000000 * c div mass"))
+          .withColumn("cum_share_micro",
+            expr("1000000 * sum(c) OVER (ORDER BY rk) div mass"))
+          .select("rk", "tok", "c", "share_micro", "cum_share_micro")
+          .orderBy("rk")
+      },
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT tok, count(*) AS c FROM tk WHERE tok <> '' GROUP BY tok),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS mass FROM c),
+        r AS (SELECT tok, c,
+            row_number() OVER (ORDER BY c DESC, tok) AS rk
+          FROM c)
+        SELECT rk, tok, c,
+          CAST(1000000 * c // mass AS BIGINT) AS share_micro,
+          CAST(1000000 * sum(c) OVER (ORDER BY rk) // mass AS BIGINT)
+            AS cum_share_micro
+        FROM r, t WHERE rk <= 10 ORDER BY rk"""))
   )
 }
 

@@ -854,4 +854,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"global-centroid join not broadcast:\n$plan")
   }
+
+  test("ann_label_margin: k x corpus scoring via broadcast centroids, one corpus scan") {
+    // the confusable-mass census must not self-join the corpus: the
+    // centroid-sum frame is barriered (ExistingRDD) and broadcast, so
+    // the embeddings parquet appears exactly once (the scoring pass).
+    val plan = fullPlanString(SparkEntry.queries("ann_label_margin")(spark, SF))
+    // count scans in the AQE FINAL plan only (the string repeats the
+    // dataflow under "== Initial Plan ==")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"expected 1 embeddings scan, got $scans:\n$finalPlan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), s"corpus-sized join in plan:\n$plan")
+  }
+
+  test("rel_pareto_share / rel_discount_lift: rank windows and baselines stay off the corpus") {
+    // pareto's global rank runs on the per-customer AGGREGATE frame
+    // (partial_sum below the shuffle proves the corpus collapsed
+    // map-side first); discount_lift's zero-band baseline comes back
+    // as a broadcast, not a re-scan join keyed on the corpus.
+    val pareto = fullPlanString(SparkEntry.queries("rel_pareto_share")(spark, SF))
+    assert(pareto.contains("partial_sum"),
+      s"pareto lost its map-side partial agg:\n$pareto")
+    val lift = fullPlanString(SparkEntry.queries("rel_discount_lift")(spark, SF))
+    assert(lift.contains("BroadcastNestedLoopJoin") ||
+      lift.contains("BroadcastExchange"),
+      s"discount baseline not broadcast:\n$lift")
+    assert(lift.contains("partial_sum") || lift.contains("partial_count"),
+      s"discount agg lost its map-side partial phase:\n$lift")
+  }
 }
