@@ -3099,6 +3099,50 @@ object Relational {
           CAST(1000000 * qty // n AS BIGINT) AS mean_qty_micro,
           CAST((1000000 * CAST(qty AS HUGEINT) * n0)
                // (CAST(qty0 AS HUGEINT) * n) AS BIGINT) AS lift_micro
-        FROM d, base ORDER BY disc_pct"""))
+        FROM d, base ORDER BY disc_pct""")),
+
+    // ---- shipping SLA census: order-to-first-ship lag by priority ----
+    // The fact-to-fact join readout: per order, the FIRST ship date of
+    // its lines (keyed agg on lineitem pushes the min below the join,
+    // so the join carries one row per order, not one per line), then
+    // the lag census per priority class. Both sides are corpus-scale —
+    // this is the shuffle-on-key join the star entries deliberately
+    // avoid, kept here because the semantics need it; partial_min
+    // below the exchange is the scale property. Lags are whole days
+    // from epoch-day arithmetic; means are integer micro divisions.
+    "rel_shipping_sla" -> Q(
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(min(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"))
+            .as("ship_day"))
+        t(s, dir, "orders")
+          .selectExpr("o_orderkey", "o_orderpriority",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS order_day")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .selectExpr("o_orderpriority", "ship_day - order_day AS lag_days")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("lag_days")).as("lag_sum_days"),
+            max(col("lag_days")).as("max_lag_days"),
+            sum(when(col("lag_days") <= 30, 1L).otherwise(0L)).as("n_within_30d"))
+          .selectExpr("o_orderpriority", "n_orders", "max_lag_days",
+            "1000000 * lag_sum_days div n_orders AS mean_lag_micro_days",
+            "1000000 * n_within_30d div n_orders AS within_30d_micro")
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH fs AS (SELECT l_orderkey,
+            min(epoch_us(l_shipdate) // 86400000000) AS ship_day
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (SELECT o_orderpriority,
+            ship_day - (epoch_us(o_orderdate) // 86400000000) AS lag_days
+          FROM orders JOIN fs ON o_orderkey = l_orderkey)
+        SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(max(lag_days) AS BIGINT) AS max_lag_days,
+          CAST(1000000 * sum(lag_days) // count(*) AS BIGINT)
+            AS mean_lag_micro_days,
+          CAST(1000000 * sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+               // count(*) AS BIGINT) AS within_30d_micro
+        FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
