@@ -3143,6 +3143,272 @@ object Relational {
             AS mean_lag_micro_days,
           CAST(1000000 * sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
                // count(*) AS BIGINT) AS within_30d_micro
-        FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- RFM segmentation census, EXACT ----
+    // The marketing-standard customer cut: recency (days since last
+    // order, vs the corpus max day), frequency (order count), monetary
+    // (lifetime cents), each quartiled, then a census per (r,f,m)
+    // cell. Quartiles come from percentile_disc THRESHOLDS computed in
+    // one aggregate and broadcast back — NOT a global ntile window: an
+    // ntile over 1e9 customers is a single-partition sort, while the
+    // threshold frame is one row at any corpus size (at 100 TB the
+    // exact percentile_disc swaps for approx_percentile with the same
+    // one-row broadcast shape). Ties share a bucket by construction
+    // (v > threshold tests), which is also what makes the assignment
+    // order-free and engine-agnostic. Quartile conventions align:
+    // for p = k/4 the cume_dist>=p element (Spark percentile_disc)
+    // and the floor((n-1)p) element (DuckDB quantile_disc) coincide
+    // because n*p's fractional part is in {0, .25, .5, .75}.
+    "rel_rfm_segments" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .selectExpr("o_custkey",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        val anchor = o.agg(max(col("day")).as("anchor_day"))
+        val c = o.crossJoin(broadcast(anchor))
+          .groupBy("o_custkey")
+          .agg(min(expr("anchor_day - day")).as("rec"),
+            count(lit(1)).as("freq"), sum(col("cents")).as("mon"))
+        val thr = c.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY rec)").as("r25"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY rec)").as("r50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY rec)").as("r75"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY freq)").as("f25"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY freq)").as("f50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY freq)").as("f75"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY mon)").as("m25"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY mon)").as("m50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY mon)").as("m75"))
+        c.crossJoin(broadcast(thr))
+          .selectExpr(
+            "1 + IF(rec > r25, 1, 0) + IF(rec > r50, 1, 0) + IF(rec > r75, 1, 0) AS r_q",
+            "1 + IF(freq > f25, 1, 0) + IF(freq > f50, 1, 0) + IF(freq > f75, 1, 0) AS f_q",
+            "1 + IF(mon > m25, 1, 0) + IF(mon > m50, 1, 0) + IF(mon > m75, 1, 0) AS m_q",
+            "freq", "mon")
+          .groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("freq")).as("orders_sum"), sum(col("mon")).as("mon_cents"))
+          .orderBy("r_q", "f_q", "m_q")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+            epoch_us(o_orderdate) // 86400000000 AS day,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        a AS (SELECT max(day) AS anchor_day FROM o),
+        c AS (SELECT o_custkey, min(anchor_day - day) AS rec,
+            count(*) AS freq, CAST(sum(cents) AS BIGINT) AS mon
+          FROM o, a GROUP BY o_custkey),
+        thr AS (SELECT
+            quantile_disc(rec, 0.25) AS r25, quantile_disc(rec, 0.50) AS r50,
+            quantile_disc(rec, 0.75) AS r75,
+            quantile_disc(freq, 0.25) AS f25, quantile_disc(freq, 0.50) AS f50,
+            quantile_disc(freq, 0.75) AS f75,
+            quantile_disc(mon, 0.25) AS m25, quantile_disc(mon, 0.50) AS m50,
+            quantile_disc(mon, 0.75) AS m75
+          FROM c),
+        seg AS (SELECT
+            1 + CASE WHEN rec > r25 THEN 1 ELSE 0 END
+              + CASE WHEN rec > r50 THEN 1 ELSE 0 END
+              + CASE WHEN rec > r75 THEN 1 ELSE 0 END AS r_q,
+            1 + CASE WHEN freq > f25 THEN 1 ELSE 0 END
+              + CASE WHEN freq > f50 THEN 1 ELSE 0 END
+              + CASE WHEN freq > f75 THEN 1 ELSE 0 END AS f_q,
+            1 + CASE WHEN mon > m25 THEN 1 ELSE 0 END
+              + CASE WHEN mon > m50 THEN 1 ELSE 0 END
+              + CASE WHEN mon > m75 THEN 1 ELSE 0 END AS m_q,
+            freq, mon
+          FROM c, thr)
+        SELECT r_q, f_q, m_q, count(*) AS n_customers,
+          CAST(sum(freq) AS BIGINT) AS orders_sum,
+          CAST(sum(mon) AS BIGINT) AS mon_cents
+        FROM seg GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""")),
+
+    // ---- Pettitt changepoint test, EXACT ----
+    // The rank-based single-changepoint locator (the nonparametric
+    // sibling of rel_cusum_changepoint): U_t = sum over pairs (i<=t<j)
+    // of sign(x_j - x_i) on each type's daily value series; the
+    // changepoint is the t maximizing |U_t|. The corpus collapses to
+    // (type, day) in one keyed agg — calendar-bounded at ANY corpus
+    // size — and the pair x split-point fan (~30 days -> 435 pairs x
+    // ~30 t) is a pure broadcast product of two tiny frames; nothing
+    // corpus-scale ever re-shuffles. Ties on t cannot occur (t is the
+    // day key), so min_by/arg_min picks are deterministic.
+    "rel_pettitt_changepoint" -> Q(
+      (s, dir) => {
+        val d = eventsTs(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("v"))
+        val a = d.select(col("event_type"), col("day").as("d1"), col("v").as("v1"))
+        val b = d.select(col("event_type").as("et2"), col("day").as("d2"),
+          col("v").as("v2"))
+        val ts = d.select(col("event_type").as("et3"), col("day").as("tday"))
+        val u = a.join(broadcast(b),
+            col("event_type") === col("et2") && col("d1") < col("d2"))
+          .join(broadcast(ts), col("event_type") === col("et3") &&
+            col("d1") <= col("tday") && col("tday") < col("d2"))
+          .groupBy("event_type", "tday")
+          .agg(sum(expr("IF(v2 > v1, 1L, IF(v2 < v1, -1L, 0L))")).as("u"))
+        val k = u.groupBy(col("event_type").as("et4"))
+          .agg(max(abs(col("u"))).as("k_stat"), count(lit(1)).as("n_splits"))
+        u.join(broadcast(k), col("event_type") === col("et4") &&
+            abs(col("u")) === col("k_stat"))
+          .groupBy("event_type", "k_stat", "n_splits")
+          .agg(min(col("tday")).as("cp_day"),
+            expr("min_by(u, tday)").as("u_at_cp"))
+          .select(col("event_type"), col("n_splits"), col("k_stat"),
+            col("cp_day"), col("u_at_cp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY event_type, day),
+        u AS (SELECT a.event_type, t.day AS tday,
+            CAST(sum(CASE WHEN b.v > a.v THEN 1
+                          WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS u
+          FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+                 JOIN d t ON t.event_type = a.event_type
+                         AND a.day <= t.day AND t.day < b.day
+          GROUP BY a.event_type, t.day),
+        k AS (SELECT event_type, CAST(max(abs(u)) AS BIGINT) AS k_stat,
+            count(*) AS n_splits
+          FROM u GROUP BY event_type)
+        SELECT u.event_type, n_splits, k_stat,
+          CAST(min(tday) AS BIGINT) AS cp_day,
+          CAST(arg_min(u, tday) AS BIGINT) AS u_at_cp
+        FROM u JOIN k ON u.event_type = k.event_type AND abs(u.u) = k.k_stat
+        GROUP BY u.event_type, n_splits, k_stat ORDER BY u.event_type""")),
+
+    // ---- Theil-Sen slope (lower median of pairwise slopes), EXACT ----
+    // The robust trend estimator next to rel_mann_kendall's test: per
+    // type, the median over all day pairs of (v_j - v_i)/(d_j - d_i),
+    // in micro units/day. Division is sign-extracted (Spark div
+    // truncates toward zero, DuckDB // floors — they disagree on the
+    // first negative indivisible quotient), and the median is the
+    // LOWER order statistic picked by row_number over the bounded
+    // (calendar^2) pair frame with a total (slope, d1, d2) order — no
+    // interpolation, no doubles. The per-type pair partition is ~435
+    // rows at any corpus size, so the rank window is bounded work.
+    "rel_theil_sen" -> Q(
+      (s, dir) => {
+        val d = eventsTs(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("v"))
+        val a = d.select(col("event_type"), col("day").as("d1"), col("v").as("v1"))
+        val b = d.select(col("event_type").as("et2"), col("day").as("d2"),
+          col("v").as("v2"))
+        val slopes = a.join(broadcast(b),
+            col("event_type") === col("et2") && col("d1") < col("d2"))
+          .selectExpr("event_type", "d1", "d2",
+            """IF(v2 - v1 < 0, -1L, 1L) * (abs(v2 - v1) div (d2 - d1))
+               AS slope_micro""")
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("slope_micro"), col("d1"), col("d2"))
+        slopes
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_pairs",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+          .where(col("rn") === expr("(n_pairs + 1) div 2"))
+          .select(col("event_type"), col("n_pairs"),
+            col("slope_micro").as("median_slope_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY event_type, day),
+        sl AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+            CAST(CASE WHEN b.v - a.v < 0 THEN -1 ELSE 1 END
+                 * (abs(b.v - a.v) // (b.day - a.day)) AS BIGINT)
+              AS slope_micro
+          FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day),
+        r AS (SELECT event_type, slope_micro,
+            row_number() OVER (PARTITION BY event_type
+                               ORDER BY slope_micro, d1, d2) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n_pairs
+          FROM sl)
+        SELECT event_type, n_pairs, slope_micro AS median_slope_micro
+        FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type""")),
+
+    // ---- DAU/MAU stickiness, EXACT ----
+    // The engagement ratio every growth dashboard leads with: per
+    // calendar month, mean daily active users over monthly active
+    // users, in integer micro. Two distinct-aggs (per-day and
+    // per-month user sets) that both shuffle on user_id — the exact
+    // count-distinct shape that scales by key partitioning — then a
+    // 1-row-per-month join; nothing wider than the calendar survives
+    // the aggs.
+    "rel_cohort_stickiness" -> Q(
+      (s, dir) => {
+        val ev = eventsTs(s, dir)
+          .selectExpr("date_format(ts, 'yyyy-MM') AS month",
+            "unix_micros(ts) div 86400000000 AS day", "user_id")
+        val daily = ev.groupBy("month", "day")
+          .agg(countDistinct(col("user_id")).as("dau"))
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+        val monthly = ev.groupBy(col("month").as("m2"))
+          .agg(countDistinct(col("user_id")).as("mau"))
+        daily.join(broadcast(monthly), col("month") === col("m2"))
+          .selectExpr("month", "n_days", "dau_sum", "mau",
+            "1000000 * dau_sum div (n_days * mau) AS stickiness_micro")
+          .orderBy("month")
+      },
+      Some("""WITH ev AS (SELECT strftime(ts, '%Y-%m') AS month,
+            epoch_us(ts) // 86400000000 AS day, user_id
+          FROM events),
+        daily AS (SELECT month, count(*) AS n_days,
+            CAST(sum(dau) AS BIGINT) AS dau_sum
+          FROM (SELECT month, day, count(DISTINCT user_id) AS dau
+                FROM ev GROUP BY month, day)
+          GROUP BY month),
+        monthly AS (SELECT month, count(DISTINCT user_id) AS mau
+          FROM ev GROUP BY month)
+        SELECT month, n_days, dau_sum, mau,
+          CAST(1000000 * dau_sum // (n_days * mau) AS BIGINT)
+            AS stickiness_micro
+        FROM daily JOIN monthly USING (month) ORDER BY month""")),
+
+    // ---- CDC latest-state compaction (last write wins + tombstones) ----
+    // The change-data-capture compaction every lakehouse table service
+    // runs: the event stream is an upsert log keyed by user, the
+    // winner is the (ts, event_id)-last record, and a final 'error'
+    // event tombstones the key. ONE keyed agg via max(struct(...)) —
+    // the (ts, event_id) prefix is unique so lexicographic struct max
+    // IS last-write-wins, and partial aggregation combines map-side —
+    // instead of the window row_number formulation (full shuffle +
+    // per-key sort) the oracle uses; at 100 TB the agg form is the
+    // one that survives, because each executor keeps one candidate
+    // row per key, not the key's whole history.
+    "rel_cdc_latest" -> Q(
+      (s, dir) => {
+        eventsTs(s, dir)
+          .selectExpr("user_id",
+            """struct(unix_micros(ts) AS tsm, event_id,
+                 event_type, CAST(round(value * 1000000) AS BIGINT) AS vm)
+               AS rec""")
+          .groupBy("user_id")
+          .agg(max(col("rec")).as("last"))
+          .where(col("last.event_type") =!= "error")
+          .groupBy(col("last.event_type").as("last_event_type"))
+          .agg(count(lit(1)).as("n_live_users"),
+            sum(col("last.vm")).as("value_micro_sum"),
+            max(col("last.tsm")).as("max_ts_micros"))
+          .orderBy("last_event_type")
+      },
+      Some("""WITH ranked AS (SELECT user_id, event_type,
+            CAST(round(value * 1000000) AS BIGINT) AS vm,
+            epoch_us(ts) AS tsm,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts) DESC, event_id DESC)
+              AS rn
+          FROM events),
+        last AS (SELECT * FROM ranked WHERE rn = 1 AND event_type <> 'error')
+        SELECT event_type AS last_event_type, count(*) AS n_live_users,
+          CAST(sum(vm) AS BIGINT) AS value_micro_sum,
+          CAST(max(tsm) AS BIGINT) AS max_ts_micros
+        FROM last GROUP BY event_type ORDER BY last_event_type"""))
   )
 }
