@@ -637,4 +637,41 @@ object Multimodal {
       AHashRow(row.doc_id, a1, a2)
     })
   }
+
+  /** Difference hash (dHash): the gradient-sign sibling of
+    * [[averageHash]] — bit (r,c) is set when the sampled pixel one
+    * column to the right is strictly brighter, 8 rows x 9 sample
+    * columns -> 64 bits. More robust than aHash to global brightness
+    * shifts because only LOCAL ordering enters the hash. Same decode
+    * path and executor-side discipline: bytes never leave the
+    * partition, two packed longs per image come back. */
+  def differenceHash(media: Dataset[MediaRow]): Dataset[AHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { row =>
+      val d = ImageCodec.decode(row.media)
+      // 8 rows x 9 columns of samples; bit gi = r*8+c compares
+      // column c+1 against column c in row r
+      val samples = Array.ofDim[Int](8, 9)
+      var r = 0
+      while (r < 8) {
+        val yi = r * d.height / 8
+        var c = 0
+        while (c < 9) {
+          val xi = c * d.width / 9
+          samples(r)(c) = d.pixels(3 * (yi * d.width + xi)) & 0xff
+          c += 1
+        }
+        r += 1
+      }
+      var (h1, h2) = (0L, 0L)
+      var gi = 0
+      while (gi < 64) {
+        if (samples(gi / 8)(gi % 8 + 1) > samples(gi / 8)(gi % 8)) {
+          if (gi < 32) h1 |= 1L << gi else h2 |= 1L << (gi - 32)
+        }
+        gi += 1
+      }
+      AHashRow(row.doc_id, h1, h2)
+    })
+  }
 }

@@ -4498,6 +4498,235 @@ object FormatScans {
           CAST(sum(h_micro) AS BIGINT) AS h_sum
         FROM h""")),
 
+    // ---- FastQC-style duplication-level histogram ----
+    // The library-complexity readout sequencing QC leads with: reads
+    // grouped by exact sequence, then a census per duplication level
+    // (multiplicity -> distinct sequences, reads, read share), plus
+    // the distinct fraction each row would survive dedup at. 400
+    // synthetic reads with an arithmetic multiplicity ramp (group
+    // g = floor(sqrt(id)) has 2g+1 copies; sequence encodes g in
+    // base-4 ACGT) ROUND-TRIP through the FASTQ writer so encode,
+    // write, re-parse and the sequence grouping are all under the
+    // hash. Shape: sequence-keyed agg (map-side partial), then a
+    // multiplicity-keyed agg of the group frame — the standard
+    // two-level count-of-counts, never wider than the distinct set.
+    "fmt_fastq_dup_rate" -> Q(
+      (s, _) => {
+        val dir = Stage.tempDir("graft_fqdup").toString
+        s.range(400).selectExpr(
+            "concat('r', id) AS name", "cast(null as string) AS description",
+            """concat(
+                 substr('ACGT', cast(cast(floor(sqrt(id)) as bigint) % 4 as int) + 1, 1),
+                 substr('ACGT', cast((cast(floor(sqrt(id)) as bigint) div 4) % 4 as int) + 1, 1),
+                 substr('ACGT', cast((cast(floor(sqrt(id)) as bigint) div 16) % 4 as int) + 1, 1),
+                 repeat('A', 30)) AS sequence""",
+            "repeat('I', 33) AS quality_scores")
+          .write.mode("overwrite").format("fastq").save(dir)
+        val groups = GraftIO.read_fastq(s, dir)
+          .groupBy("sequence").agg(count(lit(1)).as("mult"))
+        val total = groups.agg(sum(col("mult")).as("total_reads"),
+          count(lit(1)).as("total_groups"))
+        groups.groupBy("mult").agg(count(lit(1)).as("n_groups"))
+          .crossJoin(broadcast(total))
+          .selectExpr("mult", "n_groups", "mult * n_groups AS n_reads",
+            "1000000 * (mult * n_groups) div total_reads AS read_share_micro",
+            "1000000 * total_groups div total_reads AS distinct_frac_micro")
+          .orderBy("mult")
+      },
+      Some("""WITH r AS (SELECT CAST(floor(sqrt(i)) AS BIGINT) AS g
+          FROM range(0, 400) t(i)),
+        seq AS (SELECT g, concat(
+            substr('ACGT', CAST(g % 4 AS INT) + 1, 1),
+            substr('ACGT', CAST((g // 4) % 4 AS INT) + 1, 1),
+            substr('ACGT', CAST((g // 16) % 4 AS INT) + 1, 1),
+            repeat('A', 30)) AS sequence
+          FROM r),
+        groups AS (SELECT sequence, count(*) AS mult
+          FROM seq GROUP BY sequence),
+        total AS (SELECT CAST(sum(mult) AS BIGINT) AS total_reads,
+            count(*) AS total_groups FROM groups)
+        SELECT mult, count(*) AS n_groups,
+          CAST(mult * count(*) AS BIGINT) AS n_reads,
+          CAST(1000000 * (mult * count(*)) // any_value(total_reads)
+            AS BIGINT) AS read_share_micro,
+          CAST(1000000 * any_value(total_groups) // any_value(total_reads)
+            AS BIGINT) AS distinct_frac_micro
+        FROM groups, total GROUP BY mult ORDER BY mult""")),
+
+    // ---- synteny block chaining from PAF ----
+    // The comparative-genomics staple (MCScanX/DAGchainer semantics,
+    // simplified to gap chaining): collinear alignments chain into a
+    // block while the query gap stays in [0, 5kb] AND the
+    // strand-oriented target gap ('+': tstart - prev_tend; '-':
+    // prev_tstart - tend) stays in [0, 5kb]; any violation opens a
+    // new block. 240 staged alignments over 4 queries x 2 targets
+    // with 12-alignment collinear runs and 30 kb inter-block jumps.
+    // Shape: one lag window + one running-sum window per
+    // (query, target, strand) partition — gaps-islands over the
+    // ALIGNMENT frame (already thousands of times smaller than the
+    // base-level data), then a block-keyed census.
+    "fmt_paf_synteny" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-paf-synteny") { d =>
+          val sb = new StringBuilder
+          for (i <- 0 until 240) {
+            val qi = i % 4; val j = i / 4; val blk = j / 12; val w = j % 12
+            val strand = if ((qi + blk) % 2 == 0) "+" else "-"
+            val qs = j * 1000 + blk * 30000; val qe = qs + 800
+            val tb = 1000000 * qi + 100000 * blk
+            val ts = if (strand == "+") tb + w * 900 else tb + (11 - w) * 900
+            val m = 700 + (i % 50)
+            sb.append(s"q$qi\t100000\t$qs\t$qe\t$strand\tt${qi % 2}\t10000000")
+            sb.append(s"\t$ts\t${ts + 800}\t$m\t800\t60\tNM:i:${800 - m}\n")
+          }
+          java.nio.file.Files.write(d.resolve("syn.paf"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val w = Window.partitionBy("query_name", "target_name", "strand")
+          .orderBy("query_start")
+        GraftIO.read_paf(s, dir.toString)
+          .select(col("query_name"), col("target_name"), col("strand"),
+            col("query_start"), col("query_end"),
+            col("target_start"), col("target_end"), col("residue_matches"))
+          .withColumn("qgap", col("query_start") - lag("query_end", 1).over(w))
+          .withColumn("tgap", when(col("strand") === "+",
+              col("target_start") - lag("target_end", 1).over(w))
+            .otherwise(lag("target_start", 1).over(w) - col("target_end")))
+          .withColumn("brk", when(col("qgap").isNull ||
+            col("qgap") < 0 || col("qgap") > 5000 ||
+            col("tgap") < 0 || col("tgap") > 5000, 1L).otherwise(0L))
+          .withColumn("blk", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("query_name", "target_name", "strand", "blk")
+          .agg(count(lit(1)).as("n_aln"),
+            min(col("query_start")).as("q_lo"), max(col("query_end")).as("q_hi"),
+            min(col("target_start")).as("t_lo"),
+            max(col("target_end")).as("t_hi"),
+            sum(col("residue_matches")).as("match_sum"))
+          .selectExpr("query_name", "target_name", "strand", "blk", "n_aln",
+            "q_hi - q_lo AS q_span", "t_hi - t_lo AS t_span", "match_sum")
+          .orderBy("query_name", "target_name", "strand", "blk")
+      },
+      Some("""WITH g AS (SELECT i, i % 4 AS qi, (i // 4) // 12 AS blk,
+            (i // 4) % 12 AS w, i // 4 AS j
+          FROM range(0, 240) t(i)),
+        aln AS (SELECT 'q' || CAST(qi AS VARCHAR) AS query_name,
+            't' || CAST(qi % 2 AS VARCHAR) AS target_name,
+            CASE WHEN (qi + blk) % 2 = 0 THEN '+' ELSE '-' END AS strand,
+            j * 1000 + blk * 30000 AS query_start,
+            j * 1000 + blk * 30000 + 800 AS query_end,
+            1000000 * qi + 100000 * blk +
+              CASE WHEN (qi + blk) % 2 = 0 THEN w ELSE 11 - w END * 900
+              AS target_start,
+            1000000 * qi + 100000 * blk +
+              CASE WHEN (qi + blk) % 2 = 0 THEN w ELSE 11 - w END * 900 + 800
+              AS target_end,
+            700 + (i % 50) AS residue_matches
+          FROM g),
+        lagged AS (SELECT *,
+            query_start - lag(query_end) OVER
+              (PARTITION BY query_name, target_name, strand
+               ORDER BY query_start) AS qgap,
+            CASE WHEN strand = '+' THEN target_start - lag(target_end) OVER
+                (PARTITION BY query_name, target_name, strand
+                 ORDER BY query_start)
+              ELSE lag(target_start) OVER
+                (PARTITION BY query_name, target_name, strand
+                 ORDER BY query_start) - target_end END AS tgap
+          FROM aln),
+        flagged AS (SELECT *,
+            CASE WHEN qgap IS NULL OR qgap < 0 OR qgap > 5000
+                   OR tgap < 0 OR tgap > 5000 THEN 1 ELSE 0 END AS brk
+          FROM lagged),
+        blocks AS (SELECT *, sum(brk) OVER
+            (PARTITION BY query_name, target_name, strand
+             ORDER BY query_start ROWS UNBOUNDED PRECEDING) AS blk
+          FROM flagged)
+        SELECT query_name, target_name, strand, CAST(blk AS BIGINT) AS blk,
+          count(*) AS n_aln,
+          CAST(max(query_end) - min(query_start) AS BIGINT) AS q_span,
+          CAST(max(target_end) - min(target_start) AS BIGINT) AS t_span,
+          CAST(sum(residue_matches) AS BIGINT) AS match_sum
+        FROM blocks GROUP BY query_name, target_name, strand, blk
+        ORDER BY query_name, target_name, strand, blk""")),
+
+    // ---- gene density per 10 kb window from GFF ----
+    // The annotation-density track genome browsers derive: staged GFF
+    // (600 genes, 3 contigs, quadratic-scatter starts so windows vary
+    // from empty to hot), counted per 10 kb bin of the 1-based start.
+    // One keyed agg over (contig, bin) — the linear-scan shape that
+    // holds at any annotation volume; no window functions at all.
+    "fmt_gff_gene_density" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-gff-density") { d =>
+          val sb = new StringBuilder
+          for (i <- 0 until 600) {
+            val c = i % 3; val j = i / 3
+            val start = (j * j * 31) % 60000 + 1
+            sb.append(s"chr$c\tsyn\tgene\t$start\t${start + 499}\t.\t+\t.\tID=g$i\n")
+          }
+          java.nio.file.Files.write(d.resolve("genes.gff"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        GraftIO.read_gff(s, dir.toString)
+          .where(col("type") === "gene")
+          .groupBy(col("seqname"),
+            expr("(start - 1) div 10000").as("bin"))
+          .agg(count(lit(1)).as("n_genes"),
+            min(col("start")).as("first_start"),
+            max(col("end")).as("last_end"))
+          .orderBy("seqname", "bin")
+      },
+      Some("""WITH g AS (SELECT 'chr' || CAST(i % 3 AS VARCHAR) AS seqname,
+            ((i // 3) * (i // 3) * 31) % 60000 + 1 AS start
+          FROM range(0, 600) t(i))
+        SELECT seqname, CAST((start - 1) // 10000 AS BIGINT) AS bin,
+          count(*) AS n_genes,
+          CAST(min(start) AS BIGINT) AS first_start,
+          CAST(max(start + 499) AS BIGINT) AS last_end
+        FROM g GROUP BY seqname, bin ORDER BY seqname, bin""")),
+
+    // ---- k-mer multiplicity spectrum (GenomeScope's input curve) ----
+    // The coverage histogram assembly QC starts from: count-of-counts
+    // over the 8-mers of 300 reads sampled at ~15x depth from a
+    // 1 kb arithmetic pseudo-random genome ((p*37 mod 97) mod 4
+    // breaks the short periods a repeat() genome would alias into).
+    // Reads ROUND-TRIP through the FASTA writer; k-mers come from the
+    // same [[graft.functions.SeqAnalysis.kmerCounts]] the per-kmer
+    // entry uses (canonical folding off so the oracle stays a pure
+    // substring replay). Two keyed aggs — kmer counts, then
+    // count-of-counts — the shape that holds at any read volume.
+    "fmt_kmer_spectrum" -> Q(
+      (s, _) => {
+        val genome = """concat_ws('', transform(sequence(0, 999),
+          p -> substr('ACGT', 1 + cast(((p * 37) % 97) % 4 as int), 1)))"""
+        val dir = Stage.staged("graft-kmer-spectrum") { d =>
+          s.range(300).selectExpr(
+              "concat('rd', id) AS id", "cast(null as string) AS description",
+              s"substr($genome, cast((id * 13) % 950 as int) + 1, 50) AS sequence")
+            .write.mode("overwrite").format("fasta").save(d.toString)
+        }
+        graft.functions.SeqAnalysis.kmerCounts(
+            GraftIO.read_fasta(s, dir.toString), k = 8, canonical = false)
+          .groupBy(col("n").as("mult"))
+          .agg(count(lit(1)).as("n_kmers"))
+          .selectExpr("mult", "n_kmers", "mult * n_kmers AS kmer_mass")
+          .orderBy("mult")
+      },
+      Some("""WITH g AS (SELECT string_agg(
+            substr('ACGT', 1 + ((p * 37) % 97) % 4, 1), '' ORDER BY p)
+            AS genome
+          FROM range(0, 1000) t(p)),
+        r AS (SELECT substr(genome, CAST((i * 13) % 950 AS INT) + 1, 50) AS seq
+          FROM range(0, 300) t(i), g),
+        km AS (SELECT unnest([substr(seq, j, 8)
+            for j in range(1, len(seq) - 6)]) AS kmer
+          FROM r),
+        c AS (SELECT kmer, count(*) AS n FROM km GROUP BY kmer)
+        SELECT n AS mult, count(*) AS n_kmers,
+          CAST(n * count(*) AS BIGINT) AS kmer_mass
+        FROM c GROUP BY n ORDER BY mult""")),
+
     // ---- coding consequence (VEP/SnpEff core: syn/missense/stop) ----
     // SNVs located inside CDS intervals, codon substituted on the plus
     // strand, both codons strand-oriented and translated — through

@@ -129,6 +129,50 @@ object MultimodalQ {
         WHERE bit_count(xor(a.ah1, b.ah1)) + bit_count(xor(a.ah2, b.ah2)) <= 12
         ORDER BY d1, d2""")),
 
+    // ---- dHash near-dup pairs (gradient-sign perceptual hash) ----
+    // The brightness-invariant sibling of mm_ahash_pairs: real PNG
+    // decode -> 8x9 grid sample -> per-row left-to-right gradient
+    // signs packed into two longs -> Hamming pairs over a broadcast
+    // self-join of the HASH frame (16 bytes/image — the image bytes
+    // never join). The oracle recomputes the sampled pixels
+    // closed-form from the generator's (x + 2y + id) % 256 ramp, so
+    // decode, sampling geometry, and bit packing are all under the
+    // hash.
+    "mm_dhash_pairs" -> Q(
+      (s, dir) => {
+        val h = Multimodal.differenceHash(
+          realMediaStaged(s, dir).filter(col("doc_id") < 60)).toDF()
+        h.as("a").join(broadcast(h.as("b")),
+            col("b.doc_id") > col("a.doc_id"))
+          .selectExpr("a.doc_id AS d1", "b.doc_id AS d2",
+            "cast(bit_count(a.ah1 ^ b.ah1) + bit_count(a.ah2 ^ b.ah2) as int) AS ham")
+          .where(col("ham") <= 12)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH g AS (SELECT doc_id AS d,
+            CAST(4 + doc_id % 13 AS BIGINT) AS w,
+            CAST(4 + doc_id % 11 AS BIGINT) AS h
+          FROM documents WHERE doc_id < 60),
+        px AS (SELECT d, r, c,
+            (c * w // 9 + 2 * (r * h // 8) + d) % 256 AS p
+          FROM g, range(0, 8) rr(r), range(0, 9) cc(c)),
+        bits AS (SELECT l.d,
+            CAST(sum(CASE WHEN l.r * 8 + l.c < 32 AND nxt.p > l.p
+                 THEN 1::BIGINT << CAST(l.r * 8 + l.c AS INTEGER)
+                 ELSE 0 END) AS BIGINT) AS ah1,
+            CAST(sum(CASE WHEN l.r * 8 + l.c >= 32 AND nxt.p > l.p
+                 THEN 1::BIGINT << CAST(l.r * 8 + l.c - 32 AS INTEGER)
+                 ELSE 0 END) AS BIGINT) AS ah2
+          FROM px l JOIN px nxt
+            ON nxt.d = l.d AND nxt.r = l.r AND nxt.c = l.c + 1
+          WHERE l.c < 8
+          GROUP BY l.d)
+        SELECT a.d AS d1, b.d AS d2,
+          CAST(bit_count(xor(a.ah1, b.ah1)) + bit_count(xor(a.ah2, b.ah2)) AS INTEGER) AS ham
+        FROM bits a JOIN bits b ON b.d > a.d
+        WHERE bit_count(xor(a.ah1, b.ah1)) + bit_count(xor(a.ah2, b.ah2)) <= 12
+        ORDER BY d1, d2""")),
+
     // ---- image near-dup clusters (aHash pairs -> components) ----
     // The multimodal dedup pipeline end to end: real decode -> aHash
     // -> Hamming pairs -> pointer-doubling connected components ->

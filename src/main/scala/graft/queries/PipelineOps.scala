@@ -1769,6 +1769,66 @@ object PipelineOps {
           FROM runs GROUP BY doc_id, grp)
         SELECT CAST(span_len AS INTEGER) AS span_len, count(*) AS n_spans,
           CAST(sum(span_len) AS BIGINT) AS masked_tokens
-        FROM spans GROUP BY span_len ORDER BY span_len"""))
+        FROM spans GROUP BY span_len ORDER BY span_len""")),
+
+    // ---- common-neighbors link prediction ----
+    // The simplest link predictor a dedup/graph pipeline ships: for
+    // every non-adjacent node pair at distance 2, the number of
+    // shared neighbors, top-20 by (score desc, pair). Same synthetic
+    // ring+hash graph as pipe_triangle_stats. Shape: one wedge
+    // self-join through the shared endpoint (fan bounded by degree —
+    // the orientation x<y halves it), minus existing edges via a
+    // broadcast-able anti join; candidate mass is sum(deg^2), the
+    // quantity a 100 TB deployment caps by degree-clipping hubs
+    // BEFORE the wedge join (the same lever as pipe_triangle_stats).
+    // The final top-20 is a bounded TakeOrdered, not a global sort.
+    "pipe_link_prediction" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ring = docs.where(col("doc_id") < 60)
+          .select(col("doc_id").as("src"),
+            explode(array((col("doc_id") + 1) % 60,
+              (col("doc_id") + 2) % 60)).as("dst"))
+        val hash = docs.select(col("doc_id").as("src"),
+            explode(array(lit(1), lit(2))).as("k"))
+          .select(col("src"), ((col("src") * 11 + col("k") * 73) % 400).as("dst"))
+        val e = ring.union(hash).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        // undirected adjacency (both directions) for the wedge join
+        val adj = e.select(col("a").as("n"), col("b").as("m"))
+          .union(e.select(col("b").as("n"), col("a").as("m")))
+        val wedges = adj.as("l").join(adj.as("r"), Seq("n"))
+          .where(col("l.m") < col("r.m"))
+          .select(col("l.m").as("x"), col("r.m").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+        wedges.join(e, col("x") === col("a") && col("y") === col("b"),
+            "left_anti")
+          .orderBy(col("cn").desc, col("x"), col("y"))
+          .limit(20)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("cn").desc, col("x"), col("y"))))
+          .select("rn", "x", "y", "cn")
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id AS src, (doc_id + 1) % 60 AS dst FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % 60 FROM documents WHERE doc_id < 60
+          UNION ALL
+          SELECT doc_id, (doc_id * 11 + k * 73) % 400
+          FROM documents, (VALUES (1), (2)) v(k)),
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst),
+        adj AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        wedges AS (SELECT l.m AS x, r.m AS y, count(*) AS cn
+          FROM adj l JOIN adj r ON l.n = r.n AND l.m < r.m
+          GROUP BY l.m, r.m),
+        cand AS (SELECT x, y, cn FROM wedges w
+          WHERE NOT EXISTS (SELECT 1 FROM e WHERE a = w.x AND b = w.y)),
+        ranked AS (SELECT row_number() OVER (ORDER BY cn DESC, x, y) AS rn,
+            x, y, CAST(cn AS BIGINT) AS cn
+          FROM cand)
+        SELECT rn, x, y, cn FROM ranked WHERE rn <= 20 ORDER BY rn"""))
   )
 }

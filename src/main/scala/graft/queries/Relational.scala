@@ -3409,6 +3409,87 @@ object Relational {
         SELECT event_type AS last_event_type, count(*) AS n_live_users,
           CAST(sum(vm) AS BIGINT) AS value_micro_sum,
           CAST(max(tsm) AS BIGINT) AS max_ts_micros
-        FROM last GROUP BY event_type ORDER BY last_event_type"""))
+        FROM last GROUP BY event_type ORDER BY last_event_type""")),
+
+    // ---- week-over-week mix shift (total variation distance) ----
+    // The drift alarm a traffic pipeline puts on its composition: per
+    // epoch-week, each event type's micro share of the week; TVD
+    // between consecutive weeks = sum |share_w - share_{w-1}| / 2.
+    // Floored micro shares make the metric integer end to end, and
+    // the shift is computed on the (week, type) frame — calendar x 5
+    // types at ANY corpus size — joined to itself at lag 1. One
+    // corpus-scale keyed agg, then bounded-frame arithmetic.
+    "rel_mix_shift_tvd" -> Q(
+      (s, dir) => {
+        val wk = eventsTs(s, dir)
+          .groupBy(expr("unix_micros(ts) div 604800000000").as("week"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = wk.groupBy(col("week").as("w2"))
+          .agg(sum(col("n")).as("wn"))
+        val shares = wk.join(broadcast(tot), col("week") === col("w2"))
+          .selectExpr("week", "event_type",
+            "1000000 * n div wn AS share_micro")
+        shares.as("c").join(broadcast(shares.as("p")),
+            col("c.event_type") === col("p.event_type") &&
+              col("c.week") === col("p.week") + 1)
+          .groupBy(col("c.week").as("week"))
+          .agg(count(lit(1)).as("n_types"),
+            sum(abs(col("c.share_micro") - col("p.share_micro"))).as("l1"))
+          .selectExpr("week", "n_types", "l1 div 2 AS tvd_micro")
+          .orderBy("week")
+      },
+      Some("""WITH wk AS (SELECT epoch_us(ts) // 604800000000 AS week,
+            event_type, count(*) AS n
+          FROM events GROUP BY week, event_type),
+        tot AS (SELECT week, CAST(sum(n) AS BIGINT) AS wn
+          FROM wk GROUP BY week),
+        shares AS (SELECT wk.week, event_type,
+            CAST(1000000 * n // wn AS BIGINT) AS share_micro
+          FROM wk JOIN tot ON wk.week = tot.week)
+        SELECT c.week, count(*) AS n_types,
+          CAST(sum(abs(c.share_micro - p.share_micro)) // 2 AS BIGINT)
+            AS tvd_micro
+        FROM shares c JOIN shares p
+          ON c.event_type = p.event_type AND c.week = p.week + 1
+        GROUP BY c.week ORDER BY c.week""")),
+
+    // ---- customer value-band migration matrix ----
+    // The cohort-movement census subscription analytics runs yearly:
+    // each customer's mean order value maps to a fixed band, and the
+    // (band_from, band_to) transition counts between CONSECUTIVE
+    // years form the migration matrix. The corpus collapses to
+    // (customer, year) in one keyed agg; the lag pairing is a window
+    // over each customer's <= 7-row year frame (calendar-bounded) —
+    // partitioned by customer, so it scales by key, never globally.
+    "rel_band_migration" -> Q(
+      (s, dir) => {
+        val cy = t(s, dir, "orders")
+          .groupBy(col("o_custkey"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+          .selectExpr("o_custkey", "yr",
+            "least(4L, (cents div n) div 15000000) AS band")
+        val w = Window.partitionBy("o_custkey").orderBy("yr")
+        cy.withColumn("prev_yr", lag("yr", 1).over(w))
+          .withColumn("band_from", lag("band", 1).over(w))
+          .where(col("prev_yr") === col("yr") - 1)
+          .groupBy(col("band_from"), col("band").as("band_to"))
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy("band_from", "band_to")
+      },
+      Some("""WITH cy AS (SELECT o_custkey, year(o_orderdate) AS yr,
+            least(4, (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) // count(*)) // 15000000) AS band
+          FROM orders GROUP BY o_custkey, yr),
+        lagged AS (SELECT o_custkey, yr, band,
+            lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_yr,
+            lag(band) OVER (PARTITION BY o_custkey ORDER BY yr) AS band_from
+          FROM cy)
+        SELECT CAST(band_from AS BIGINT) AS band_from,
+          CAST(band AS BIGINT) AS band_to, count(*) AS n_transitions
+        FROM lagged WHERE prev_yr = yr - 1
+        GROUP BY band_from, band ORDER BY band_from, band_to"""))
   )
 }

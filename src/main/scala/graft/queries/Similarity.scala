@@ -1369,6 +1369,77 @@ object Similarity {
           CAST(sum(CASE WHEN best_m > own_m THEN 1 ELSE 0 END) AS BIGINT)
             AS n_confusable,
           CAST(sum(own_m - best_m) AS BIGINT) AS margin_sum_micro
-        FROM perv GROUP BY label ORDER BY label"""))
+        FROM perv GROUP BY label ORDER BY label""")),
+
+    // ---- k-NN graph census (the ANN-index build artifact) ----
+    // Graph-based indexes (HNSW/NSG) start from exactly this: each
+    // vector's k nearest neighbors, and the graph's RECIPROCITY (how
+    // many kNN edges point both ways) — the connectivity gauge that
+    // predicts search recall. Neighbors are found within the label
+    // cell (the same IVF-cell discipline as ann_ivf_topk: the pair
+    // space is cell-bounded, sum(|cell|^2), never corpus^2), scored
+    // in rounded micro so the census sums stay integer-exact, ranked
+    // k=3 per vector by (cos desc, vec_id). Census per label:
+    // vectors, edges, reciprocal edge count, mean edge cosine.
+    "ann_knn_graph" -> Q(
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val l = e.select(col("label"), col("vec_id").as("src"),
+          col("v").as("qv"))
+        val r = e.select(col("label").as("lab2"), col("vec_id").as("dst"),
+          col("v"))
+        val w = Window.partitionBy("src")
+          .orderBy(col("cos_micro").desc, col("dst"))
+        val knn = l.join(r,
+            col("label") === col("lab2") && col("src") =!= col("dst"))
+          .select(col("label"), col("src"), col("dst"),
+            expr("CAST(round(graft_cosine_sim(qv, v) * 1000000) AS BIGINT)")
+              .as("cos_micro"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("label", "src", "dst", "cos_micro")
+        val knnB = Q.barrier(knn)
+        val rev = knnB.select(col("src").as("r_src"), col("dst").as("r_dst"))
+        val recip = knnB.join(rev,
+            col("src") === col("r_dst") && col("dst") === col("r_src"),
+            "left_semi")
+          .groupBy(col("label").as("lab3"))
+          .agg(count(lit(1)).as("n_reciprocal"))
+        knnB.groupBy("label")
+          .agg(countDistinct(col("src")).as("n_vectors"),
+            count(lit(1)).as("n_edges"),
+            sum(col("cos_micro")).as("cos_micro_sum"))
+          .join(broadcast(recip), col("label") === col("lab3"), "left")
+          .selectExpr("label", "n_vectors", "n_edges",
+            "coalesce(n_reciprocal, 0L) AS n_reciprocal",
+            // sign-extracted: edge cosines can be negative, and Spark
+            // div truncates where DuckDB // floors
+            """IF(cos_micro_sum < 0, -1L, 1L)
+               * (abs(cos_micro_sum) div n_edges) AS mean_cos_micro""")
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        scored AS (SELECT l.label, l.vec_id AS src, r.vec_id AS dst,
+            CAST(round(
+              list_sum([l.v[i] * r.v[i] for i in range(1, len(r.v) + 1)])
+              / (sqrt(list_sum([x * x for x in l.v]))
+                 * sqrt(list_sum([x * x for x in r.v]))) * 1000000)
+              AS BIGINT) AS cos_micro
+          FROM e l JOIN e r ON l.label = r.label AND l.vec_id <> r.vec_id),
+        knn AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                ORDER BY cos_micro DESC, dst) AS rn
+            FROM scored) WHERE rn <= 3),
+        recip AS (SELECT k.label, count(*) AS n_reciprocal
+          FROM knn k WHERE EXISTS (SELECT 1 FROM knn r
+            WHERE r.src = k.dst AND r.dst = k.src)
+          GROUP BY k.label)
+        SELECT label, count(DISTINCT src) AS n_vectors, count(*) AS n_edges,
+          CAST(coalesce(any_value(n_reciprocal), 0) AS BIGINT) AS n_reciprocal,
+          CAST(CASE WHEN sum(cos_micro) < 0 THEN -1 ELSE 1 END
+               * (abs(sum(cos_micro)) // count(*)) AS BIGINT) AS mean_cos_micro
+        FROM knn LEFT JOIN recip USING (label)
+        GROUP BY label ORDER BY label"""))
   )
 }

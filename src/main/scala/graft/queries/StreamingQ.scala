@@ -1057,6 +1057,70 @@ object StreamingQ {
           FROM range(0, 100) t(i))
         SELECT CASE WHEN m = 1 THEN 'UNASSIGNED' ELSE bc END AS barcode,
           count(*) AS n_reads
-        FROM r GROUP BY barcode ORDER BY barcode"""))
+        FROM r GROUP BY barcode ORDER BY barcode""")),
+
+    // ---- streaming CDC latest-state (last write wins across batches) ----
+    // The streaming half of rel_cdc_latest: the event log arrives in
+    // two mtime-ordered micro-batches split at the corpus ts midpoint
+    // (so half the keys are UPSERTED by the second batch — the
+    // cross-batch override is what's under test), the state is one
+    // max(struct(ts, event_id, ...)) row per user maintained by the
+    // streaming aggregate, and a final 'error' event tombstones the
+    // key at read-out. Complete mode + memory sink is the gate
+    // harness; a deployment runs update mode into a keyed sink
+    // (foreachBatch MERGE), where the state store — RocksDB at 100 TB
+    // state, provider parity proven in BENCH_NOTES — holds exactly
+    // one candidate row per key, not the key's history.
+    "stream_cdc_latest" -> Q(
+      (s, dir) => {
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val tbl = "graft_stream_cdc_latest"
+        s.streams.active.filter(_.name == tbl).foreach(_.stop())
+        val staged = Stage.staged(s"graft-stream-cdc:$dir") { d =>
+          val scratch = Stage.tempDir("graft-cdc-norm")
+          val ev = Q.events(s, dir)
+          // 1-row staging midpoint scan (the Sessionize.scala:173
+          // pattern — harness staging, not a per-row path)
+          val mid = ev.agg(((min(expr("unix_micros(ts)")) +
+            max(expr("unix_micros(ts)"))) / 2).cast("long").as("m"))
+            .collect()(0).getLong(0)
+          Stage.parquetFile(ev.where(expr(s"unix_micros(ts) < ${mid}L")),
+            scratch, d, "events_a.parquet", 0)
+          Stage.parquetFile(ev.where(expr(s"unix_micros(ts) >= ${mid}L")),
+            scratch, d, "events_b.parquet", 1)
+        }
+        Q.withShufflePartitions(s, 4) {
+          val stream = s.readStream.schema(stagedEventsSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)
+            .selectExpr("user_id",
+              """struct(unix_micros(ts) AS tsm, event_id,
+                   event_type, CAST(round(value * 1000000) AS BIGINT) AS vm)
+                 AS rec""")
+            .groupBy("user_id")
+            .agg(max(col("rec")).as("last"))
+          val q = stream.writeStream.outputMode("complete")
+            .format("memory").queryName(tbl).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(tbl).where(col("last.event_type") =!= "error")
+          .groupBy(col("last.event_type").as("last_event_type"))
+          .agg(count(lit(1)).as("n_live_users"),
+            sum(col("last.vm")).as("value_micro_sum"),
+            max(col("last.tsm")).as("max_ts_micros"))
+          .orderBy("last_event_type")
+      },
+      Some("""WITH ranked AS (SELECT user_id, event_type,
+            CAST(round(value * 1000000) AS BIGINT) AS vm,
+            epoch_us(ts) AS tsm,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts) DESC, event_id DESC)
+              AS rn
+          FROM events),
+        last AS (SELECT * FROM ranked WHERE rn = 1 AND event_type <> 'error')
+        SELECT event_type AS last_event_type, count(*) AS n_live_users,
+          CAST(sum(vm) AS BIGINT) AS value_micro_sum,
+          CAST(max(tsm) AS BIGINT) AS max_ts_micros
+        FROM last GROUP BY event_type ORDER BY last_event_type"""))
   )
 }

@@ -1164,7 +1164,80 @@ object TextOps {
           CAST(1000000 * c // mass AS BIGINT) AS share_micro,
           CAST(1000000 * sum(c) OVER (ORDER BY rk) // mass AS BIGINT)
             AS cum_share_micro
-        FROM r, t WHERE rk <= 10 ORDER BY rk"""))
+        FROM r, t WHERE rk <= 10 ORDER BY rk""")),
+
+    // ---- top-k vocabulary Jaccard between source pairs ----
+    // The corpus-mixture diagnostic next to text_distinctive_terms:
+    // how much do two sources' HEAD vocabularies overlap? Top-50
+    // terms per source by count (ties broken by term — a total
+    // order, so both engines pick the same set), then set Jaccard in
+    // micro over every source pair. Shape: the corpus collapses to
+    // (source, term) counts in one keyed agg; the rank window runs on
+    // the vocabulary frame (vocab-bounded, partitioned by source);
+    // the pair stage is a broadcast self-join of 20x50 rows — at ANY
+    // corpus size the pair frame is (n_sources x k)^2, never
+    // corpus-scale. Top-20 pairs by (jaccard desc, pair).
+    "text_source_vocab_jaccard" -> Q(
+      (s, dir) => {
+        val top = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(Window.partitionBy("source")
+            .orderBy(col("c").desc, col("tok"))))
+          .where(col("rk") <= 50)
+          .select("source", "tok")
+        // head-set sizes are computed, not assumed: a tiny tier can
+        // have fewer than k distinct terms in a source
+        val sizes = top.groupBy(col("source").as("sz_source"))
+          .agg(count(lit(1)).as("sz"))
+        val inter = top.as("l")
+          .join(broadcast(top.as("r")), col("l.tok") === col("r.tok") &&
+            col("l.source") < col("r.source"))
+          .groupBy(col("l.source").as("source_a"),
+            col("r.source").as("source_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes), col("source_a") === col("sz_source"))
+          .withColumnRenamed("sz", "n_a").drop("sz_source")
+          .join(broadcast(sizes), col("source_b") === col("sz_source"))
+          .withColumnRenamed("sz", "n_b").drop("sz_source")
+          .selectExpr("source_a", "source_b", "inter",
+            "n_a + n_b - inter AS n_union",
+            "1000000 * inter div (n_a + n_b - inter) AS jaccard_micro")
+          .orderBy(col("jaccard_micro").desc, col("source_a"), col("source_b"))
+          .limit(20)
+          .withColumn("rn", row_number().over(Window.orderBy(
+            col("jaccard_micro").desc, col("source_a"), col("source_b"))))
+          .select("rn", "source_a", "source_b", "inter", "n_union",
+            "jaccard_micro")
+      },
+      Some("""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT source, tok, count(*) AS c
+          FROM tk WHERE tok <> '' GROUP BY source, tok),
+        top AS (SELECT source, tok FROM (
+            SELECT source, tok,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, tok) AS rk
+            FROM c) WHERE rk <= 50),
+        sizes AS (SELECT source, count(*) AS sz FROM top GROUP BY source),
+        pairs AS (SELECT l.source AS source_a, r.source AS source_b,
+            count(*) AS inter
+          FROM top l JOIN top r
+            ON l.tok = r.tok AND l.source < r.source
+          GROUP BY l.source, r.source),
+        scored AS (SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+            CAST(sa.sz + sb.sz - inter AS BIGINT) AS n_union,
+            CAST(1000000 * inter // (sa.sz + sb.sz - inter) AS BIGINT)
+              AS jaccard_micro
+          FROM pairs JOIN sizes sa ON source_a = sa.source
+                     JOIN sizes sb ON source_b = sb.source),
+        ranked AS (SELECT row_number() OVER (ORDER BY jaccard_micro DESC,
+              source_a, source_b) AS rn, *
+          FROM scored)
+        SELECT rn, source_a, source_b, inter, n_union, jaccard_micro
+        FROM ranked WHERE rn <= 20 ORDER BY rn"""))
   )
 }
 

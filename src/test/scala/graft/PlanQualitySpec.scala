@@ -886,4 +886,72 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(lift.contains("partial_sum") || lift.contains("partial_count"),
       s"discount agg lost its map-side partial phase:\n$lift")
   }
+
+  test("rel_rfm_segments: quartile thresholds broadcast, no rank window anywhere") {
+    // the design promise: segmentation via a one-row threshold frame,
+    // never a global ntile sort — the plan must carry ZERO window
+    // operators and at least two broadcast exchanges (anchor day +
+    // thresholds) back onto the customer frame.
+    val plan = fullPlanString(SparkEntry.queries("rel_rfm_segments")(spark, SF))
+    assert(!plan.contains("Window"), s"rfm grew a window operator:\n$plan")
+    val bcasts = "BroadcastExchange".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length
+    assert(bcasts >= 2, s"expected >=2 broadcast exchanges, got $bcasts:\n$plan")
+    assert(plan.contains("partial_"),
+      s"customer rollup lost its map-side partial phase:\n$plan")
+  }
+
+  test("rel_cdc_latest: last-write-wins is a keyed agg with partials, not a sort window") {
+    // one max(struct) agg per key — partial_max below the exchange is
+    // what keeps per-key history off the shuffle at 100 TB; a
+    // row_number-over-user formulation would show WindowExec + Sort.
+    val plan = fullPlanString(SparkEntry.queries("rel_cdc_latest")(spark, SF))
+    assert(!plan.contains("Window"), s"cdc compaction fell back to a window:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"cdc agg lost its map-side partial max:\n$plan")
+  }
+
+  test("ann_knn_graph: neighbor search stays cell-bounded, census reads the barriered graph") {
+    // the kNN self-join must key on the label cell (equi-join, never a
+    // cartesian corpus product), and the reciprocity pass re-reads the
+    // barriered kNN frame (ExistingRDD), not the parquet corpus.
+    val plan = fullPlanString(SparkEntry.queries("ann_knn_graph")(spark, SF))
+    assert(!plan.contains("CartesianProduct"),
+      s"knn join lost its cell equi-key:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"census re-derives the kNN frame instead of reading the barrier:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(
+      plan.split("== Initial Plan ==").head).length
+    assert(scans == 0, s"census re-scanned parquet past the barrier:\n$plan")
+  }
+
+  test("new pair-stage entries broadcast their bounded frames") {
+    // text_source_vocab_jaccard: 20x50 head-term sets; mm_dhash_pairs:
+    // 16-byte hash rows; pipe_link_prediction: candidate anti-join.
+    // All pair fans run over bounded frames and must be broadcast
+    // joins — a SortMergeJoin here means the bounded side shuffled.
+    // the dhash theta join (d2 > d1) has no equi-key, so its broadcast
+    // form is the nested-loop over the 16-byte hash frame — bounded by
+    // design, same as mm_ahash_pairs
+    for (name <- Seq("text_source_vocab_jaccard", "mm_dhash_pairs")) {
+      val plan = fullPlanString(SparkEntry.queries(name)(spark, SF))
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$name pair stage not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+    val lp = fullPlanString(SparkEntry.queries("pipe_link_prediction")(spark, SF))
+    assert(!lp.contains("CartesianProduct"), s"link prediction:\n$lp")
+    assert(lp.contains("LeftAnti"),
+      s"existing-edge exclusion lost its anti join:\n$lp")
+  }
+
+  test("fmt_paf_synteny: chain windows are partitioned by (query, target, strand)") {
+    // gaps-islands over the alignment frame — the lag/run-sum windows
+    // must carry the 3-column partition spec (parallel per chain key),
+    // never a global sort.
+    val plan = fullPlanString(SparkEntry.queries("fmt_paf_synteny")(spark, SF))
+    assert("windowspecdefinition\\(query_name".r.findFirstIn(plan).isDefined,
+      s"synteny window not partitioned by chain key:\n$plan")
+  }
 }

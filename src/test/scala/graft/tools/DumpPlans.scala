@@ -247,7 +247,25 @@ object DumpPlans {
         |(barriered — the embeddings parquet appears ONCE), the global
         |centroid re-aggregates THAT frame, and the staged integer
         |divisions keep every intermediate under DECIMAL(38,0)/HUGEINT
-        |range at the sf10 tier.""".stripMargin)
+        |range at the sf10 tier.""".stripMargin,
+    "rel_rfm_segments" ->
+      """Quartile segmentation WITHOUT a global rank: percentile_disc
+        |thresholds collapse to one broadcast row, classification is a
+        |map-side comparison, and the plan carries zero window
+        |operators — the ntile formulation would single-partition-sort
+        |every customer.""".stripMargin,
+    "rel_cdc_latest" ->
+      """Last-write-wins compaction as ONE keyed agg: max(struct(ts,
+        |event_id, ...)) with partial_max below the exchange — each
+        |executor ships one candidate row per key, never the key's
+        |history; the window formulation would shuffle + sort the full
+        |log.""".stripMargin,
+    "ann_knn_graph" ->
+      """kNN graph build stays cell-bounded: the self-join keys on the
+        |IVF cell (equi-join, sum(|cell|^2) pair space), ranks within
+        |the cell partition, and the reciprocity pass re-reads the
+        |BARRIERED kNN frame — the corpus parquet appears in no later
+        |stage.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
