@@ -4727,6 +4727,94 @@ object FormatScans {
           CAST(n * count(*) AS BIGINT) AS kmer_mass
         FROM c GROUP BY n ORDER BY mult""")),
 
+    // ---- simple-bubble detection in a GFA assembly graph ----
+    // The variant-site motif every assembler pops: a source segment
+    // forking into exactly two branches that rejoin at one sink, each
+    // branch carrying no other edges. Staged GFA: 20 chain units, 2
+    // of every 3 carrying a bubble (c->a, c->b, a->d, b->d), the rest
+    // plain edges — so the detector must both find and REJECT. Pure
+    // degree-frame joins over the L records: out-degree-2 sources,
+    // in/out-degree-1 branches, shared sink — each a keyed agg +
+    // broadcast-able join on the edge frame, thousands of times
+    // smaller than the sequence data; no iteration, no windows.
+    "fmt_gfa_bubbles" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-gfa-bubbles") { d =>
+          val sb = new StringBuilder
+          for (u <- 0 until 20) {
+            if (u % 3 != 2) {
+              for (n <- Seq(s"c$u", s"a$u", s"b$u", s"d$u"))
+                sb.append(s"S\t$n\tACGT\n")
+              sb.append(s"L\tc$u\t+\ta$u\t+\t0M\n")
+              sb.append(s"L\tc$u\t+\tb$u\t+\t0M\n")
+              sb.append(s"L\ta$u\t+\td$u\t+\t0M\n")
+              sb.append(s"L\tb$u\t+\td$u\t+\t0M\n")
+            } else {
+              sb.append(s"S\tc$u\tACGT\nS\td$u\tACGT\n")
+              sb.append(s"L\tc$u\t+\td$u\t+\t0M\n")
+            }
+            if (u < 19) sb.append(s"L\td$u\t+\tc${u + 1}\t+\t0M\n")
+          }
+          java.nio.file.Files.write(d.resolve("asm.gfa"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        }
+        val e = GraftIO.read_gfa(s, dir.toString)
+          .where(col("record_type") === "L")
+          .select(col("from_name").as("src"), col("to_name").as("dst"))
+        val eB = Q.barrier(e)
+        val outdeg = eB.groupBy(col("src").as("od_n"))
+          .agg(count(lit(1)).as("od"))
+        val indeg = eB.groupBy(col("dst").as("id_n"))
+          .agg(count(lit(1)).as("idg"))
+        val forks = eB.as("e1").join(eB.as("e2"),
+            col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+          .select(col("e1.src").as("bsrc"), col("e1.dst").as("br_a"),
+            col("e2.dst").as("br_b"))
+          .join(broadcast(outdeg), col("bsrc") === col("od_n"))
+          .where(col("od") === 2).drop("od_n", "od")
+        val nxt = eB.select(col("src").as("n_src"), col("dst").as("n_dst"))
+        forks
+          .join(nxt.as("na"), col("br_a") === col("na.n_src"))
+          .join(nxt.as("nb"), col("br_b") === col("nb.n_src"))
+          .where(col("na.n_dst") === col("nb.n_dst"))
+          .select(col("bsrc"), col("br_a"), col("br_b"),
+            col("na.n_dst").as("sink"))
+          .join(broadcast(outdeg), col("br_a") === col("od_n"))
+          .where(col("od") === 1).drop("od_n", "od")
+          .join(broadcast(outdeg), col("br_b") === col("od_n"))
+          .where(col("od") === 1).drop("od_n", "od")
+          .join(broadcast(indeg), col("br_a") === col("id_n"))
+          .where(col("idg") === 1).drop("id_n", "idg")
+          .join(broadcast(indeg), col("br_b") === col("id_n"))
+          .where(col("idg") === 1).drop("id_n", "idg")
+          .select("bsrc", "sink", "br_a", "br_b")
+          .orderBy("bsrc")
+      },
+      Some("""WITH u AS (SELECT i FROM range(0, 20) t(i) WHERE i % 3 <> 2),
+        e AS (
+          SELECT 'c' || CAST(i AS VARCHAR) AS src,
+                 'a' || CAST(i AS VARCHAR) AS dst FROM u
+          UNION ALL SELECT 'c' || CAST(i AS VARCHAR), 'b' || CAST(i AS VARCHAR) FROM u
+          UNION ALL SELECT 'a' || CAST(i AS VARCHAR), 'd' || CAST(i AS VARCHAR) FROM u
+          UNION ALL SELECT 'b' || CAST(i AS VARCHAR), 'd' || CAST(i AS VARCHAR) FROM u
+          UNION ALL SELECT 'c' || CAST(i AS VARCHAR), 'd' || CAST(i AS VARCHAR)
+            FROM range(0, 20) t(i) WHERE i % 3 = 2
+          UNION ALL SELECT 'd' || CAST(i AS VARCHAR), 'c' || CAST(i + 1 AS VARCHAR)
+            FROM range(0, 19) t(i)),
+        od AS (SELECT src AS n, count(*) AS od FROM e GROUP BY src),
+        idg AS (SELECT dst AS n, count(*) AS idg FROM e GROUP BY dst),
+        forks AS (SELECT e1.src AS bsrc, e1.dst AS br_a, e2.dst AS br_b
+          FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+          JOIN od ON e1.src = od.n WHERE od.od = 2)
+        SELECT bsrc, na.dst AS sink, br_a, br_b
+        FROM forks
+          JOIN e na ON br_a = na.src
+          JOIN e nb ON br_b = nb.src AND na.dst = nb.dst
+          JOIN od oa ON br_a = oa.n JOIN od ob ON br_b = ob.n
+          JOIN idg ia ON br_a = ia.n JOIN idg ib ON br_b = ib.n
+        WHERE oa.od = 1 AND ob.od = 1 AND ia.idg = 1 AND ib.idg = 1
+        ORDER BY bsrc""")),
+
     // ---- coding consequence (VEP/SnpEff core: syn/missense/stop) ----
     // SNVs located inside CDS intervals, codon substituted on the plus
     // strand, both codons strand-oriented and translated — through

@@ -1829,6 +1829,51 @@ object PipelineOps {
         ranked AS (SELECT row_number() OVER (ORDER BY cn DESC, x, y) AS rn,
             x, y, CAST(cn AS BIGINT) AS cn
           FROM cand)
-        SELECT rn, x, y, cn FROM ranked WHERE rn <= 20 ORDER BY rn"""))
+        SELECT rn, x, y, cn FROM ranked WHERE rn <= 20 ORDER BY rn""")),
+
+    // ---- small-file compaction plan (the lakehouse table service) ----
+    // OPTIMIZE/compaction planning over a file manifest: files (docs
+    // stand in, n_chars = bytes) pack first-fit in (source, doc_id)
+    // order into target-size groups — group = floor(preceding-bytes /
+    // target), the bin assignment a Delta/Iceberg compactor computes
+    // from its manifest. The running sum is a window PARTITIONED BY
+    // source (a real deployment adds a date bucket to the key), so
+    // the plan parallelizes per table partition; the report collapses
+    // to one row per source: groups, spill groups (past-target bins),
+    // mean fill. Integer micro throughout.
+    "pipe_compaction_plan" -> Q(
+      (s, dir) => {
+        val target = 6000L
+        val planned = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("grp",
+            expr(s"coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div $target"))
+        planned.groupBy("source", "grp")
+          .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"))
+          .groupBy("source")
+          .agg(sum(col("n_files")).as("n_files"),
+            count(lit(1)).as("n_groups"),
+            sum(col("bytes")).as("total_bytes"),
+            sum(when(col("bytes") > target, 1L).otherwise(0L)).as("spill_groups"))
+          .selectExpr("source", "n_files", "n_groups", "total_bytes",
+            "spill_groups",
+            s"1000000 * total_bytes div (n_groups * ${target}L) AS fill_micro")
+          .orderBy("source")
+      },
+      Some("""WITH planned AS (SELECT source, doc_id, n_chars,
+            coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 6000
+              AS grp
+          FROM documents),
+        groups AS (SELECT source, grp, count(*) AS n_files,
+            CAST(sum(n_chars) AS BIGINT) AS bytes
+          FROM planned GROUP BY source, grp)
+        SELECT source, CAST(sum(n_files) AS BIGINT) AS n_files,
+          count(*) AS n_groups, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+          CAST(sum(CASE WHEN bytes > 6000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS spill_groups,
+          CAST(1000000 * sum(bytes) // (count(*) * 6000) AS BIGINT)
+            AS fill_micro
+        FROM groups GROUP BY source ORDER BY source"""))
   )
 }

@@ -3490,6 +3490,73 @@ object Relational {
         SELECT CAST(band_from AS BIGINT) AS band_from,
           CAST(band AS BIGINT) AS band_to, count(*) AS n_transitions
         FROM lagged WHERE prev_yr = yr - 1
-        GROUP BY band_from, band ORDER BY band_from, band_to"""))
+        GROUP BY band_from, band ORDER BY band_from, band_to""")),
+
+    // ---- weekday seasonality strength (eta^2 on floored means) ----
+    // How much of a type's daily-volume variance does day-of-week
+    // explain? Classic one-way eta^2 = SS_between / SS_total over the
+    // daily frame grouped by epoch-weekday — computed on FLOORED
+    // integer means (mean = S div N), the documented deterministic
+    // variant: exact rational means would need a per-type common
+    // denominator that neither engine's integer types carry, and the
+    // floor bias is bounded by N/scale (micro units). Squares widen
+    // to DECIMAL(38,0)/HUGEINT — daily micro mass ~1.6e13 at sf10
+    // squares to ~2.6e26, past int64 but 11 digits inside DECIMAL(38).
+    // Shape: one corpus keyed agg -> calendar-bounded frames ->
+    // broadcast means back on.
+    "rel_seasonality_strength" -> Q(
+      (s, dir) => {
+        val d = eventsTs(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("v"))
+          .withColumn("wd", expr("day % 7"))
+        val overall = d.groupBy(col("event_type").as("et2"))
+          .agg(expr("sum(v) div count(1)").as("mean_all"),
+            count(lit(1)).as("n_days"))
+        val byWd = d.groupBy("event_type", "wd")
+          .agg(expr("sum(v) div count(1)").as("mean_wd"),
+            count(lit(1)).as("n_wd"))
+        val ssb = byWd.join(broadcast(overall), col("event_type") === col("et2"))
+          .groupBy("event_type")
+          .agg(sum(expr(
+            """n_wd * CAST(mean_wd - mean_all AS DECIMAL(38,0))
+               * (mean_wd - mean_all)""")).as("ssb"))
+        val sst = d.join(broadcast(overall), col("event_type") === col("et2"))
+          .groupBy(col("event_type").as("et3"))
+          .agg(sum(expr(
+            """CAST(v - mean_all AS DECIMAL(38,0)) * (v - mean_all)"""))
+            .as("sst"), max(col("n_days")).as("n_days"))
+        ssb.join(broadcast(sst), col("event_type") === col("et3"))
+          .selectExpr("event_type", "n_days",
+            """CAST(IF(sst = 0, 0, (1000000 * ssb) div sst) AS BIGINT)
+               AS eta2_micro""")
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY event_type, day),
+        dd AS (SELECT *, day % 7 AS wd FROM d),
+        o AS (SELECT event_type, CAST(sum(v) // count(*) AS BIGINT)
+              AS mean_all, count(*) AS n_days
+          FROM dd GROUP BY event_type),
+        w AS (SELECT event_type, wd, CAST(sum(v) // count(*) AS BIGINT)
+              AS mean_wd, count(*) AS n_wd
+          FROM dd GROUP BY event_type, wd),
+        ssb AS (SELECT w.event_type,
+            sum(n_wd * CAST(mean_wd - mean_all AS HUGEINT)
+                * (mean_wd - mean_all)) AS ssb
+          FROM w JOIN o ON w.event_type = o.event_type
+          GROUP BY w.event_type),
+        sst AS (SELECT dd.event_type,
+            sum(CAST(v - mean_all AS HUGEINT) * (v - mean_all)) AS sst,
+            max(n_days) AS n_days
+          FROM dd JOIN o ON dd.event_type = o.event_type
+          GROUP BY dd.event_type)
+        SELECT ssb.event_type, n_days,
+          CAST(CASE WHEN sst = 0 THEN 0
+               ELSE (1000000 * ssb) // sst END AS BIGINT) AS eta2_micro
+        FROM ssb JOIN sst ON ssb.event_type = sst.event_type
+        ORDER BY ssb.event_type"""))
   )
 }

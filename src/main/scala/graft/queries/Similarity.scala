@@ -1381,6 +1381,16 @@ object Similarity {
     // in rounded micro so the census sums stay integer-exact, ranked
     // k=3 per vector by (cos desc, vec_id). Census per label:
     // vectors, edges, reciprocal edge count, mean edge cosine.
+    //
+    // Scale honesty (same discipline as dedup_radius_pairs): with the
+    // gate's FIXED 10 label cells, cell size grows with the corpus
+    // and the in-cell pair space is quadratic — ScaleProbe measures
+    // alpha -> 1.07/decade at gs1 exactly as the shape predicts. The
+    // production lever is the CELL COUNT: a deployment derives cells
+    // from a trained quantizer with k ~ n / targetCellSize (the
+    // ann_kmeans_ivf machinery), which holds sum(|cell|^2) ~ n *
+    // targetCellSize — linear in the corpus. The construction below
+    // is cell-count-agnostic; only the gate's cell key is fixed.
     "ann_knn_graph" -> Q(
       (s, dir) => {
         val e = vecs(s, dir)

@@ -1237,7 +1237,79 @@ object TextOps {
               source_a, source_b) AS rn, *
           FROM scored)
         SELECT rn, source_a, source_b, inter, n_union, jaccard_micro
-        FROM ranked WHERE rn <= 20 ORDER BY rn"""))
+        FROM ranked WHERE rn <= 20 ORDER BY rn""")),
+
+    // ---- rank-biased overlap between source term rankings ----
+    // The top-weighted ranking-similarity metric search analytics uses
+    // where Jaccard is too blunt: RBO_p(A,B) = (1-p) * sum_d p^(d-1)
+    // * |top_d(A) & top_d(B)| / d, here p = 0.9 truncated at depth 19
+    // (9^18 and 10^19 stay exact in int64 / DECIMAL(38) — depth 20
+    // would push 10^d past int64). Powers come from a LITERAL exact
+    // table (double pow() is not exact at 9^18, so both engines join
+    // the same integer rows), each depth term floors independently in
+    // micro, and the depth x pair fan is (k^2 x depths) on bounded
+    // frames — the corpus only ever pays the one (source, term) agg.
+    "text_rank_biased_overlap" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val top = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(Window.partitionBy("source")
+            .orderBy(col("c").desc, col("tok"))))
+          .where(col("rk") <= 19)
+          .select("source", "tok", "rk")
+        val powers = (1 to 19).map(d =>
+          (d, BigInt(9).pow(d - 1).toString, BigInt(10).pow(d).toString))
+          .toDF("d", "p9s", "p10s")
+          .selectExpr("d", "CAST(p9s AS DECIMAL(38,0)) AS p9",
+            "CAST(p10s AS DECIMAL(38,0)) AS p10")
+        val terms = top.as("l")
+          .join(broadcast(top.as("r")), col("l.tok") === col("r.tok") &&
+            col("l.source") < col("r.source"))
+          .select(col("l.source").as("sa"), col("r.source").as("sb"),
+            col("l.rk").as("rka"), col("r.rk").as("rkb"))
+          .join(broadcast(powers),
+            col("rka") <= col("d") && col("rkb") <= col("d"))
+          .groupBy("sa", "sb", "d", "p9", "p10")
+          .agg(count(lit(1)).as("inter"))
+          .selectExpr("sa", "sb",
+            "CAST((1000000 * p9 * inter) div (p10 * d) AS BIGINT) AS term_micro")
+        terms.groupBy("sa", "sb")
+          .agg(sum(col("term_micro")).as("rbo_micro"))
+          .orderBy(col("rbo_micro").desc, col("sa"), col("sb"))
+          .limit(10)
+          .withColumn("rn", row_number().over(Window.orderBy(
+            col("rbo_micro").desc, col("sa"), col("sb"))))
+          .select("rn", "sa", "sb", "rbo_micro")
+      },
+      Some(s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT source, tok, count(*) AS c
+          FROM tk WHERE tok <> '' GROUP BY source, tok),
+        top AS (SELECT source, tok, rk FROM (
+            SELECT source, tok,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, tok) AS rk
+            FROM c) WHERE rk <= 19),
+        powers(d, p9, p10) AS (VALUES ${(1 to 19).map(d =>
+          s"(${d}, ${BigInt(9).pow(d - 1)}::HUGEINT, ${BigInt(10).pow(d)}::HUGEINT)")
+          .mkString(", ")}),
+        pairs AS (SELECT l.source AS sa, r.source AS sb,
+            l.rk AS rka, r.rk AS rkb
+          FROM top l JOIN top r
+            ON l.tok = r.tok AND l.source < r.source),
+        terms AS (SELECT sa, sb,
+            CAST((1000000 * p9 * count(*)) // (p10 * d) AS BIGINT)
+              AS term_micro
+          FROM pairs JOIN powers ON rka <= d AND rkb <= d
+          GROUP BY sa, sb, d, p9, p10),
+        scored AS (SELECT sa, sb, CAST(sum(term_micro) AS BIGINT) AS rbo_micro
+          FROM terms GROUP BY sa, sb),
+        ranked AS (SELECT row_number() OVER (ORDER BY rbo_micro DESC, sa, sb)
+            AS rn, * FROM scored)
+        SELECT rn, sa, sb, rbo_micro FROM ranked WHERE rn <= 10 ORDER BY rn"""))
   )
 }
 

@@ -946,6 +946,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"existing-edge exclusion lost its anti join:\n$lp")
   }
 
+  test("pipe_compaction_plan: the packing sum is a source-partitioned window") {
+    // the manifest running sum must parallelize per table partition —
+    // a global ORDER BY window would single-partition the manifest.
+    val plan = fullPlanString(SparkEntry.queries("pipe_compaction_plan")(spark, SF))
+    assert("windowspecdefinition\\(source".r.findFirstIn(plan).isDefined,
+      s"packing window not partitioned by source:\n$plan")
+    assert(plan.contains("partial_"),
+      s"group census lost its map-side partial agg:\n$plan")
+  }
+
+  test("rel_seasonality_strength: means broadcast back, corpus aggregated once") {
+    // the eta^2 decomposition re-joins two calendar-bounded frames to
+    // the daily frame — both joins must be broadcast, and the daily
+    // collapse must keep its partial phase.
+    val plan = fullPlanString(SparkEntry.queries("rel_seasonality_strength")(spark, SF))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mean join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"calendar-bounded frame fell back to sort-merge:\n$plan")
+    assert(plan.contains("partial_"),
+      s"daily agg lost its map-side partial phase:\n$plan")
+  }
+
+  test("fmt_gfa_bubbles: degree joins read the barriered edge frame") {
+    // the edge frame is barriered once; the fork/branch/sink joins must
+    // consume the materialized frame (ExistingRDD), never re-run the
+    // GFA scan per join arm.
+    val plan = fullPlanString(SparkEntry.queries("fmt_gfa_bubbles")(spark, SF))
+    assert(plan.contains("ExistingRDD"),
+      s"degree joins re-derive the edge scan:\n$plan")
+    assert(!plan.contains("BatchScan gfa"),
+      s"a join arm re-ran the GFA scan past the barrier:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
+
   test("fmt_paf_synteny: chain windows are partitioned by (query, target, strand)") {
     // gaps-islands over the alignment frame — the lag/run-sum windows
     // must carry the 3-column partition spec (parallel per chain key),
