@@ -4815,6 +4815,71 @@ object FormatScans {
         WHERE oa.od = 1 AND ob.od = 1 AND ia.idg = 1 AND ib.idg = 1
         ORDER BY bsrc""")),
 
+    // ---- GC-bias coverage census (Picard CollectGcBiasMetrics core) ----
+    // Does coverage track reference GC content? A staged 4 kb contig
+    // with block-varying GC (each 500 bp block draws bases from a
+    // (p*29 % 100) < gc_pct(block) rule) goes through the FASTA
+    // writer; 400 50 bp reads with arithmetic starts go through the
+    // SAM writer. Both scans re-parse, the contig chops into 100 bp
+    // windows (GC counted by char deletion — same replace() semantics
+    // in both engines), reads assign to the window holding their
+    // midpoint, and the census is mean coverage per GC-percent bin.
+    // Shape: two real format scans -> one explode each -> keyed aggs;
+    // the window/read join is an equi-join on the window index.
+    "fmt_coverage_gc_bias" -> Q(
+      (s, _) => {
+        val refSql = """concat_ws('', transform(sequence(0, 3999),
+          p -> CASE WHEN (p * 29) % 100 < 20 + ((p div 500) * 7) % 60
+               THEN IF(p % 2 = 0, 'G', 'C') ELSE IF(p % 2 = 0, 'A', 'T') END))"""
+        val dir = Stage.staged("graft-gcbias") { d =>
+          s.range(1).selectExpr("'ref1' AS id",
+              "cast(null as string) AS description", s"$refSql AS sequence")
+            .write.mode("overwrite").format("fasta").save(s"$d/ref")
+          s.range(400).selectExpr(
+              "concat('r', id) AS name", "0 AS flag", "'ref1' AS reference",
+              "(id * 9) % 3950 + 1 AS start",
+              "(id * 9) % 3950 + 50 AS end", "'60' AS mapping_quality",
+              "'50M' AS cigar", "cast(null as string) AS mate_reference",
+              "repeat('A', 50) AS sequence", "repeat('I', 50) AS quality_score")
+            .write.mode("overwrite").format("sam").save(s"$d/reads")
+        }
+        val windows = GraftIO.read_fasta(s, s"$dir/ref")
+          .select(explode(expr(
+            """transform(sequence(0, 39),
+                 w -> struct(w, substring(sequence, w * 100 + 1, 100) AS ws))"""))
+            .as("x"))
+          .selectExpr("x.w AS win",
+            """CAST(5 * ((100 - length(replace(replace(x.ws, 'G', ''), 'C', '')))
+               div 5) AS INT) AS gc_bin""")
+        val cov = GraftIO.read_sam_file_records(s, s"$dir/reads")
+          .selectExpr("CAST((start + 24) div 100 AS BIGINT) AS win")
+          .groupBy("win").agg(count(lit(1)).as("reads"))
+        windows.join(cov, Seq("win"), "left")
+          .selectExpr("gc_bin", "coalesce(reads, 0L) AS reads")
+          .groupBy("gc_bin")
+          .agg(count(lit(1)).as("n_windows"), sum(col("reads")).as("n_reads"))
+          .selectExpr("gc_bin", "n_windows", "n_reads",
+            "1000000 * n_reads div n_windows AS mean_cov_micro")
+          .orderBy("gc_bin")
+      },
+      Some("""WITH base AS (SELECT p,
+            CASE WHEN (p * 29) % 100 < 20 + ((p // 500) * 7) % 60
+                 THEN 'GC' ELSE 'AT' END AS k
+          FROM range(0, 4000) t(p)),
+        win AS (SELECT p // 100 AS win,
+            CAST(5 * (sum(CASE WHEN k = 'GC' THEN 1 ELSE 0 END) // 5) AS INT)
+              AS gc_bin
+          FROM base GROUP BY p // 100),
+        rd AS (SELECT ((i * 9) % 3950 + 1 + 24) // 100 AS win,
+            count(*) AS reads
+          FROM range(0, 400) t(i) GROUP BY 1)
+        SELECT gc_bin, count(*) AS n_windows,
+          CAST(sum(coalesce(reads, 0)) AS BIGINT) AS n_reads,
+          CAST(1000000 * sum(coalesce(reads, 0)) // count(*) AS BIGINT)
+            AS mean_cov_micro
+        FROM win LEFT JOIN rd USING (win)
+        GROUP BY gc_bin ORDER BY gc_bin""")),
+
     // ---- coding consequence (VEP/SnpEff core: syn/missense/stop) ----
     // SNVs located inside CDS intervals, codon substituted on the plus
     // strand, both codons strand-oriented and translated — through

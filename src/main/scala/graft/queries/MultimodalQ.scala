@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.pipeline.Multimodal
-import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, expr, lit, max, sum, when}
 
 /** Oracle entry for the multimodal plumbing: the Spark side pushes real
   * bytes through mapPartitions + the stubbed decoder; the oracle
@@ -388,6 +388,49 @@ object MultimodalQ {
           count(*) AS n_samples,
           CAST(sum(a) AS BIGINT) AS abs_mass,
           CAST(max(a) AS INTEGER) AS max_peak
-        FROM w GROUP BY win ORDER BY win"""))
+        FROM w GROUP BY win ORDER BY win""")),
+
+    // ---- silence-run census through the real WAV decode ----
+    // The voice-activity-detection primitive: a 32-sample window is
+    // "quiet" when its mean |amplitude| is under the threshold
+    // (tuned so the synthetic ramp corpus populates every tier), and
+    // consecutive quiet windows chain into silence runs (the spans a
+    // speech pipeline trims or splits on). Decode and windowed energy
+    // reuse the mm_audio_energy path (bytes stay on executors); the
+    // run chaining is gaps-islands partitioned PER CLIP — win minus
+    // the quiet-rank is constant within a run — so the windows of a
+    // 100 TB audio corpus chain in parallel per key with no global
+    // sort. The oracle replays the ramp-generator samples closed-form.
+    "mm_audio_silence" -> Q(
+      (s, dir) => {
+        val w = Multimodal.audioEnergyWindows(
+          Multimodal.realAudioTable(s, dir)).toDF()
+        val quiet = w.where(expr("abs_sum div n_in_win < 30000"))
+        val runs = quiet
+          .withColumn("grp", expr(
+            "win - row_number() OVER (PARTITION BY doc_id ORDER BY win)"))
+          .groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("run_len"))
+        runs.groupBy("run_len")
+          .agg(count(lit(1)).as("n_runs"),
+            countDistinct(col("doc_id")).as("n_clips"))
+          .orderBy("run_len")
+      },
+      Some("""WITH g AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INTEGER) AS n
+          FROM documents),
+        w AS (SELECT g.doc_id, CAST(i.i // 32 AS INTEGER) AS win,
+            count(*) AS n_in_win,
+            CAST(sum(abs((i.i * 31 + g.doc_id * 7) % 65536 - 32768))
+              AS BIGINT) AS abs_sum
+          FROM g, range(0, 161) i(i) WHERE i.i < g.n
+          GROUP BY g.doc_id, win),
+        quiet AS (SELECT doc_id, win,
+            win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+          FROM w WHERE abs_sum // n_in_win < 30000),
+        runs AS (SELECT doc_id, grp, count(*) AS run_len
+          FROM quiet GROUP BY doc_id, grp)
+        SELECT CAST(run_len AS BIGINT) AS run_len, count(*) AS n_runs,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips
+        FROM runs GROUP BY run_len ORDER BY run_len"""))
   )
 }

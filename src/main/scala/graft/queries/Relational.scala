@@ -3557,6 +3557,61 @@ object Relational {
           CAST(CASE WHEN sst = 0 THEN 0
                ELSE (1000000 * ssb) // sst END AS BIGINT) AS eta2_micro
         FROM ssb JOIN sst ON ssb.event_type = sst.event_type
-        ORDER BY ssb.event_type"""))
+        ORDER BY ssb.event_type""")),
+
+    // ---- open-order backlog curve (orders in flight per period) ----
+    // The operations dashboard staple: +1 at order placement, -1 the
+    // day after the order's FIRST line ships, running-summed into a
+    // daily backlog, rolled to per-30-day-period peak and close. The
+    // corpus collapses twice before any ordered work: lineitem to one
+    // min-ship row per order (partial_min below the join exchange),
+    // then both events to a DELTA per day — the running sum runs on
+    // the calendar-bounded (~2400-row) day frame, the same
+    // bounded-sweep discipline as fmt_genomecov_hist. Period is the
+    // epoch-day // 30 index (engine-identical arithmetic; a calendar
+    // month needs TZ-dependent date math both engines would have to
+    // agree on).
+    "rel_order_backlog" -> Q(
+      (s, dir) => {
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(min(expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"))
+            .as("ship_day"))
+        val spans = t(s, dir, "orders")
+          .selectExpr("o_orderkey",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS order_day")
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        val deltas = spans.selectExpr("order_day AS day", "1L AS d")
+          .union(spans.selectExpr("ship_day + 1 AS day", "-1L AS d"))
+          .groupBy("day").agg(sum(col("d")).as("delta"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("backlog", sum(col("delta")).over(w))
+          .groupBy(expr("day div 30").as("period"))
+          .agg(max(col("backlog")).as("peak_backlog"),
+            expr("max_by(backlog, day)").as("close_backlog"),
+            count(lit(1)).as("n_change_days"))
+          .orderBy("period")
+      },
+      Some("""WITH fs AS (SELECT l_orderkey,
+            min(epoch_us(l_shipdate) // 86400000000) AS ship_day
+          FROM lineitem GROUP BY l_orderkey),
+        spans AS (SELECT epoch_us(o_orderdate) // 86400000000 AS order_day,
+            ship_day
+          FROM orders JOIN fs ON o_orderkey = l_orderkey),
+        deltas AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+            SELECT order_day AS day, 1 AS d FROM spans
+            UNION ALL SELECT ship_day + 1, -1 FROM spans)
+          GROUP BY day),
+        curve AS (SELECT day, delta,
+            sum(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS backlog
+          FROM deltas)
+        SELECT day // 30 AS period,
+          CAST(max(backlog) AS BIGINT) AS peak_backlog,
+          CAST(arg_max(backlog, day) AS BIGINT) AS close_backlog,
+          count(*) AS n_change_days
+        FROM curve GROUP BY period ORDER BY period"""))
   )
 }
