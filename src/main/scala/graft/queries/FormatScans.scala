@@ -4880,6 +4880,51 @@ object FormatScans {
         FROM win LEFT JOIN rd USING (win)
         GROUP BY gc_bin ORDER BY gc_bin""")),
 
+    // ---- soft-mask (lowercase) run census from FASTA ----
+    // RepeatMasker output convention: masked bases are lowercase, and
+    // the census a repeat-annotation QC wants is the run-length
+    // histogram plus total masked fraction. 200 mixed-case sequences
+    // round-trip the FASTA writer (proving the reader preserves case
+    // — soft-masking is INFORMATION, upcasing would destroy it); runs
+    // chain gaps-islands style PER SEQUENCE (pos minus masked-rank),
+    // so a terabyte of contigs chains in parallel per key. The
+    // oracle replays the (3i + j) % 17 < 5 mask rule closed-form.
+    "fmt_fasta_softmask" -> Q(
+      (s, _) => {
+        val dir = Stage.staged("graft-softmask") { d =>
+          s.range(200).selectExpr(
+              "concat('sq', id) AS id", "cast(null as string) AS description",
+              """concat_ws('', transform(sequence(0, 59),
+                   j -> CASE WHEN (3 * id + j) % 17 < 5
+                        THEN lower(substr('ACGT', cast(j % 4 as int) + 1, 1))
+                        ELSE substr('ACGT', cast(j % 4 as int) + 1, 1) END))
+                 AS sequence""")
+            .write.mode("overwrite").format("fasta").save(d.toString)
+        }
+        val chars = GraftIO.read_fasta(s, dir.toString)
+          .select(col("id"), posexplode(expr("split(sequence, '')"))
+            .as(Seq("pos", "ch")))
+          .where(expr("ascii(ch) >= 97"))
+        val runs = chars
+          .withColumn("grp", expr(
+            "pos - row_number() OVER (PARTITION BY id ORDER BY pos)"))
+          .groupBy("id", "grp").agg(count(lit(1)).as("run_len"))
+        runs.groupBy("run_len")
+          .agg(count(lit(1)).as("n_runs"),
+            sum(expr("run_len")).as("masked_bases"))
+          .orderBy("run_len")
+      },
+      Some("""WITH m AS (SELECT i, j
+          FROM range(0, 200) t(i), range(0, 60) u(j)
+          WHERE (3 * i + j) % 17 < 5),
+        runs AS (SELECT i, grp, count(*) AS run_len FROM (
+            SELECT i, j - row_number() OVER (PARTITION BY i ORDER BY j) AS grp
+            FROM m)
+          GROUP BY i, grp)
+        SELECT CAST(run_len AS BIGINT) AS run_len, count(*) AS n_runs,
+          CAST(sum(run_len) AS BIGINT) AS masked_bases
+        FROM runs GROUP BY run_len ORDER BY run_len""")),
+
     // ---- coding consequence (VEP/SnpEff core: syn/missense/stop) ----
     // SNVs located inside CDS intervals, codon substituted on the plus
     // strand, both codons strand-oriented and translated — through

@@ -3612,6 +3612,47 @@ object Relational {
           CAST(max(backlog) AS BIGINT) AS peak_backlog,
           CAST(arg_max(backlog, day) AS BIGINT) AS close_backlog,
           count(*) AS n_change_days
-        FROM curve GROUP BY period ORDER BY period"""))
+        FROM curve GROUP BY period ORDER BY period""")),
+
+    // ---- new-vs-returning user share per week ----
+    // The acquisition readout next to rel_retention_cohorts: per
+    // epoch-week, how many active users are seeing their FIRST week?
+    // The corpus collapses to the (week, user) distinct frame in one
+    // keyed agg; each user's first week is a re-aggregation of THAT
+    // frame (no second corpus scan), and the flag join keys on user —
+    // the count-distinct-by-key shape that partitions cleanly at any
+    // volume.
+    "rel_new_user_share" -> Q(
+      (s, dir) => {
+        val wkUser = eventsTs(s, dir)
+          .groupBy(expr("unix_micros(ts) div 604800000000").as("week"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_ev"))
+        val wkB = Q.barrier(wkUser)
+        val first = wkB.groupBy(col("user_id").as("u2"))
+          .agg(min(col("week")).as("first_week"))
+        wkB.join(first, col("user_id") === col("u2"))
+          .groupBy("week")
+          .agg(count(lit(1)).as("active_users"),
+            sum(when(col("week") === col("first_week"), 1L).otherwise(0L))
+              .as("new_users"),
+            sum(col("n_ev")).as("n_events"))
+          .selectExpr("week", "active_users", "new_users", "n_events",
+            "1000000 * new_users div active_users AS new_share_micro")
+          .orderBy("week")
+      },
+      Some("""WITH wk AS (SELECT epoch_us(ts) // 604800000000 AS week,
+            user_id, count(*) AS n_ev
+          FROM events GROUP BY week, user_id),
+        f AS (SELECT user_id, min(week) AS first_week
+          FROM wk GROUP BY user_id)
+        SELECT week, count(*) AS active_users,
+          CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+            AS new_users,
+          CAST(sum(n_ev) AS BIGINT) AS n_events,
+          CAST(1000000 * sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+               // count(*) AS BIGINT) AS new_share_micro
+        FROM wk JOIN f USING (user_id)
+        GROUP BY week ORDER BY week"""))
   )
 }

@@ -1450,6 +1450,39 @@ object Similarity {
           CAST(CASE WHEN sum(cos_micro) < 0 THEN -1 ELSE 1 END
                * (abs(sum(cos_micro)) // count(*)) AS BIGINT) AS mean_cos_micro
         FROM knn LEFT JOIN recip USING (label)
-        GROUP BY label ORDER BY label"""))
+        GROUP BY label ORDER BY label""")),
+
+    // ---- IVF cell-balance gauge ----
+    // The operational health check behind every cell-bounded entry
+    // (ann_ivf_topk, ann_knn_graph, dedup_semantic): how even are the
+    // cells? One keyed count over the corpus, then a 1-row census —
+    // HHI of cell shares (1e6/k = perfectly even; 1e6 = one hot
+    // cell) and the max/mean imbalance ratio a deployment alarms on
+    // before a hot cell turns a bounded pair space quadratic. The
+    // HHI numerator widens to DECIMAL(38,0)/HUGEINT: sum(c^2) x 1e6
+    // passes int64 once cells hold ~10M vectors.
+    "ann_cell_balance" -> Q(
+      (s, dir) => {
+        vecs(s, dir)
+          .groupBy("label").agg(count(lit(1)).as("c"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n_vectors"),
+            max(col("c")).as("max_cell"), min(col("c")).as("min_cell"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sq"))
+          .selectExpr("n_cells", "n_vectors", "max_cell", "min_cell",
+            """CAST((1000000 * sq) div (CAST(n_vectors AS DECIMAL(38,0))
+                 * n_vectors) AS BIGINT) AS hhi_micro""",
+            "1000000 * (max_cell * n_cells) div n_vectors AS imbalance_micro")
+      },
+      Some("""WITH c AS (SELECT label, count(*) AS c
+          FROM embeddings GROUP BY label)
+        SELECT count(*) AS n_cells, CAST(sum(c) AS BIGINT) AS n_vectors,
+          CAST(max(c) AS BIGINT) AS max_cell,
+          CAST(min(c) AS BIGINT) AS min_cell,
+          CAST((1000000 * sum(CAST(c AS HUGEINT) * c))
+               // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS hhi_micro,
+          CAST(1000000 * (max(c) * count(*)) // sum(c) AS BIGINT)
+            AS imbalance_micro
+        FROM c"""))
   )
 }
