@@ -3653,6 +3653,182 @@ object Relational {
           CAST(1000000 * sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
                // count(*) AS BIGINT) AS new_share_micro
         FROM wk JOIN f USING (user_id)
-        GROUP BY week ORDER BY week"""))
+        GROUP BY week ORDER BY week""")),
+
+    // ---- suspected duplicate invoices (tolerance-band pair sweep) ----
+    // The billing-audit staple: two orders from the SAME customer,
+    // placed within 7 days, whose totals differ by <= 4% relative gap
+    // (|a-b| / mean <= 4%, tested in integer cents as |a-b|*50 <= a+b —
+    // no float ratio, no rounding seam). The self-join keys on
+    // o_custkey, so the fan is bounded by orders-per-customer (a
+    // business constant, ~25 here), not corpus size — the same
+    // key-bounded-pair discipline as rel_market_basket. Emission is the
+    // pair list itself: audit output is the pairs, and its volume is
+    // tolerance-bounded (204 rows at sf0.1), not corpus-quadratic.
+    "rel_dup_invoices" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").selectExpr("o_custkey", "o_orderkey",
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        val a = o.select(col("o_custkey").as("cust"), col("o_orderkey").as("ok_a"),
+          col("day").as("da"), col("cents").as("ca"))
+        val b = o.select(col("o_custkey").as("cust2"), col("o_orderkey").as("ok_b"),
+          col("day").as("db"), col("cents").as("cb"))
+        a.join(b, col("cust") === col("cust2") && col("ok_a") < col("ok_b") &&
+            abs(col("da") - col("db")) <= 7 &&
+            abs(col("ca") - col("cb")) * 50 <= col("ca") + col("cb"))
+          .selectExpr("cust AS o_custkey", "ok_a", "ok_b",
+            "abs(da - db) AS day_gap",
+            "1000000 * abs(ca - cb) div (ca + cb) AS half_gap_micro")
+          .orderBy("o_custkey", "ok_a", "ok_b")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+            epoch_us(o_orderdate) // 86400000000 AS day,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+        SELECT a.o_custkey, a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+          abs(a.day - b.day) AS day_gap,
+          CAST(1000000 * abs(a.cents - b.cents)
+               // (a.cents + b.cents) AS BIGINT) AS half_gap_micro
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+          AND abs(a.day - b.day) <= 7
+          AND abs(a.cents - b.cents) * 50 <= a.cents + b.cents
+        ORDER BY a.o_custkey, ok_a, ok_b""")),
+
+    // ---- Kaplan-Meier life table (order open -> last ship), EXACT ----
+    // Right-censored survival ingredients: duration = weeks from order
+    // date to the order's LAST shipment; completed orders ('F') are
+    // events, open/pending orders are censored at their last observed
+    // shipment. Per distinct week t: n_risk (still open at t), d_events,
+    // n_censored, and the discrete hazard d/n_risk in micro units. The
+    // corpus collapses to one row per distinct week in a keyed agg
+    // BEFORE the n_risk cumulative window, so the single-partition
+    // window runs over a calendar-bounded frame (<= span/7 rows — ~520
+    // here), never the order stream; survival itself is the downstream
+    // product of (1 - hazard) and is left to the consumer because an
+    // exact cross-row product has no engine-stable integer form.
+    "rel_kaplan_meier" -> Q(
+      (s, dir) => {
+        val lastShip = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(max(expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"))
+            .as("ship_day"))
+        val durs = t(s, dir, "orders")
+          .selectExpr("o_orderkey", "o_orderstatus",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS order_day")
+          .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+          .selectExpr("(ship_day - order_day) div 7 AS t_week",
+            "IF(o_orderstatus = 'F', 1L, 0L) AS ev")
+        val perT = durs.groupBy("t_week")
+          .agg(sum(col("ev")).as("d_events"),
+            sum(expr("1 - ev")).as("n_censored"))
+        val w = Window.orderBy("t_week")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perT
+          .withColumn("n_risk",
+            expr("sum(d_events + n_censored) OVER ()") -
+              coalesce(sum(col("d_events") + col("n_censored")).over(w), lit(0L)))
+          .selectExpr("t_week", "n_risk", "d_events", "n_censored",
+            "1000000 * d_events div n_risk AS hazard_micro")
+          .orderBy("t_week")
+      },
+      Some("""WITH ls AS (SELECT l_orderkey,
+            max(epoch_us(l_shipdate) // 86400000000) AS ship_day
+          FROM lineitem GROUP BY l_orderkey),
+        durs AS (SELECT
+            (ship_day - epoch_us(o_orderdate) // 86400000000) // 7 AS t_week,
+            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+          FROM orders JOIN ls ON o_orderkey = l_orderkey),
+        pt AS (SELECT t_week, CAST(sum(ev) AS BIGINT) AS d_events,
+            CAST(sum(1 - ev) AS BIGINT) AS n_censored
+          FROM durs GROUP BY t_week),
+        cum AS (SELECT *,
+            CAST((SELECT sum(d_events + n_censored) FROM pt)
+              - coalesce(sum(d_events + n_censored) OVER (ORDER BY t_week
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+          FROM pt)
+        SELECT t_week, n_risk, d_events, n_censored,
+          CAST(1000000 * d_events // n_risk AS BIGINT) AS hazard_micro
+        FROM cum ORDER BY t_week""")),
+
+    // ---- Bowley quartile skewness per market segment, EXACT ----
+    // The robust skewness gauge ((Q3 + Q1 - 2*Q2) / (Q3 - Q1)) over
+    // order totals by customer segment. Quartiles are percentile_disc
+    // element PICKS on integer cents (the p = k/4 alignment argument
+    // from rel_rfm_segments: Spark's cume_dist>=p element and DuckDB's
+    // floor((n-1)p) element coincide), so both engines select the same
+    // stored value — no interpolation, no float seam. The numerator is
+    // signed, so the fixed-point division states truncation explicitly
+    // (Spark div truncates toward zero; DuckDB // floors — they differ
+    // at the first negative indivisible quotient, the BENCH_NOTES r8
+    // trap class). One shuffle join orders->customer, one keyed agg.
+    "rel_bowley_skew" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").selectExpr("o_custkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        val c = t(s, dir, "customer")
+          .selectExpr("c_custkey", "c_mktsegment")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            // Spark's percentile_disc returns DOUBLE even over BIGINT
+            // input; the picks are exact int values < 2^53, so the cast
+            // back to BIGINT is lossless and restores integer `div`.
+            expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("q1"),
+            expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("q2"),
+            expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("q3"))
+          .selectExpr("c_mktsegment", "n_orders", "q1", "q2", "q3",
+            "1000000 * (q3 + q1 - 2 * q2) div (q3 - q1) AS bowley_micro")
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH j AS (SELECT c_mktsegment,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        q AS (SELECT c_mktsegment, count(*) AS n_orders,
+            quantile_disc(cents, 0.25) AS q1, quantile_disc(cents, 0.50) AS q2,
+            quantile_disc(cents, 0.75) AS q3
+          FROM j GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n_orders, q1, q2, q3,
+          CAST(CASE WHEN q3 + q1 - 2 * q2 < 0
+            THEN -((-1000000 * (q3 + q1 - 2 * q2)) // (q3 - q1))
+            ELSE (1000000 * (q3 + q1 - 2 * q2)) // (q3 - q1) END AS BIGINT)
+            AS bowley_micro
+        FROM q ORDER BY c_mktsegment""")),
+
+    // ---- day-of-week x hour activity heatmap, EXACT ----
+    // The ops-dashboard census: event volume per (weekday, hour) cell
+    // plus each cell's share of its weekday in micro units. Weekday is
+    // computed ARITHMETICALLY (epoch-day mod 7, 0 = Thursday) on both
+    // sides — engine weekday functions disagree on week origin
+    // (Sunday=0 vs 1 vs ISO), and the label is a join key here, not
+    // calendar prose. One keyed agg to the 168-cell frame; the weekday
+    // totals re-aggregate THAT frame (7 rows) and broadcast back.
+    "rel_dow_hour_heatmap" -> Q(
+      (s, dir) => {
+        val cells = eventsTs(s, dir)
+          .groupBy(expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
+            expr("(unix_micros(ts) div 3600000000) % 24").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val cellsB = Q.barrier(cells)
+        val dowTot = cellsB.groupBy(col("dow").as("dow2"))
+          .agg(sum(col("n")).as("dow_n"))
+        cellsB.join(broadcast(dowTot), col("dow") === col("dow2"))
+          .selectExpr("dow", "hr", "n",
+            "1000000 * n div dow_n AS dow_share_micro")
+          .orderBy("dow", "hr")
+      },
+      Some("""WITH cells AS (SELECT
+            (epoch_us(ts) // 86400000000) % 7 AS dow,
+            (epoch_us(ts) // 3600000000) % 24 AS hr, count(*) AS n
+          FROM events GROUP BY dow, hr),
+        dt AS (SELECT dow AS dow2, CAST(sum(n) AS BIGINT) AS dow_n
+          FROM cells GROUP BY dow)
+        SELECT dow, hr, n,
+          CAST(1000000 * n // dow_n AS BIGINT) AS dow_share_micro
+        FROM cells JOIN dt ON dow = dow2
+        ORDER BY dow, hr"""))
   )
 }

@@ -1309,7 +1309,57 @@ object TextOps {
           FROM terms GROUP BY sa, sb),
         ranked AS (SELECT row_number() OVER (ORDER BY rbo_micro DESC, sa, sb)
             AS rn, * FROM scored)
-        SELECT rn, sa, sb, rbo_micro FROM ranked WHERE rn <= 10 ORDER BY rn"""))
+        SELECT rn, sa, sb, rbo_micro FROM ranked WHERE rn <= 10 ORDER BY rn""")),
+
+    // ---- Yule's characteristic K per source (word bigrams), EXACT ----
+    // The classic repetitiveness constant K = 10^4 * (S2 - S1) / S1^2
+    // (S1 = token mass, S2 = sum of squared type frequencies) — unlike
+    // TTR it is length-invariant, so sources of different sizes compare
+    // directly; template-heavy sources score high. Word BIGRAMS, not
+    // unigrams (the synthetic corpus's ~31-word unigram vocabulary
+    // saturates — the text_heaps_law lesson). Shape: one keyed agg to
+    // the (source, bigram) frame, one re-agg per source — the corpus
+    // shuffles once. S2 and the K quotient widen to DECIMAL(38,0)/
+    // HUGEINT at the SOURCE of each product: per-type counts square
+    // past int64 at corpus scale, and S1^2 does too, so the widening
+    // cannot wait for the final division (the rel_rate_correlation
+    // advice-item class).
+    "text_yule_k" -> Q(
+      (s, dir) => {
+        val bg = t(s, dir, "documents")
+          .select(col("source"),
+            expr("filter(split(text, ' '), x -> x != '')").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("source"), explode(expr(
+            """transform(sequence(1, size(w) - 1),
+               i -> concat(w[i-1], ' ', w[i]))""")).as("bg"))
+        bg.groupBy("source", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("s1"),
+            count(lit(1)).as("n_types"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+          .selectExpr("source", "s1", "n_types",
+            "CAST(s2 AS BIGINT) AS s2",
+            """CAST((10000000000 * CAST(s2 - s1 AS DECIMAL(38,0)))
+               div (CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)
+               AS yule_k_micro""")
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT source,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        bg AS (SELECT source,
+            unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+          FROM w WHERE len(w) >= 2),
+        c AS (SELECT source, bg, count(*) AS c FROM bg GROUP BY source, bg),
+        agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS s1,
+            count(*) AS n_types,
+            sum(CAST(c AS HUGEINT) * c) AS s2
+          FROM c GROUP BY source)
+        SELECT source, s1, n_types, CAST(s2 AS BIGINT) AS s2,
+          CAST((10000000000 * CAST(s2 - s1 AS HUGEINT))
+            // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) AS yule_k_micro
+        FROM agg ORDER BY source"""))
   )
 }
 
