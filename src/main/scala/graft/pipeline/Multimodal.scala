@@ -331,6 +331,37 @@ object Multimodal {
     }
   }
 
+  final case class FrameDiffRow(doc_id: Long, n_frames: Int, diff_energy: Long)
+
+  /** Inter-frame difference energy through the REAL animated-GIF
+    * decode — the scene-change / static-clip screen a video-curation
+    * pipeline runs before sampling frames for training: the sum of
+    * absolute per-pixel differences between consecutive frames, pure
+    * integers over the decoded RGB buffers (all three channels; the
+    * gray fixture makes them equal, a real decoder feeds color). A
+    * static slideshow scores ~0, a hard cut spikes. Decode and the
+    * pairwise pass stay inside mapPartitions; bytes never reach the
+    * driver. */
+  def frameDiffEnergy(videos: Dataset[RealVideoRow]): Dataset[FrameDiffRow] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions(_.map { v =>
+      val frames = ImageCodec.decodeGifFrames(v.media)
+      var e = 0L
+      var f = 1
+      while (f < frames.length) {
+        val a = frames(f - 1).pixels
+        val b = frames(f).pixels
+        var i = 0
+        while (i < a.length) {
+          e += math.abs((b(i) & 0xff) - (a(i) & 0xff))
+          i += 1
+        }
+        f += 1
+      }
+      FrameDiffRow(v.doc_id, frames.length, e)
+    })
+  }
+
   final case class ResizedRow(doc_id: Long, out_w: Int, out_h: Int, pixel_sum: Long)
 
   /** Nearest-neighbor "resize" of the pixel buffer to out_w x out_h —
@@ -441,6 +472,32 @@ object Multimodal {
         i = end
       }
       out
+    }
+  }
+
+  final case class AudioLoudnessRow(doc_id: Long, n_samples: Int, abs_sum: Long)
+
+  /** Per-clip integer loudness (total absolute amplitude mass) through
+    * the REAL WAV decode — the statistic a loudness-normalization or
+    * too-quiet/too-hot screen keys on before audio reaches a model.
+    * One linear pass per clip inside mapPartitions; integer-exact,
+    * bytes never leave the executor. (A zero-crossing-rate pass was
+    * considered and rejected for the gate: the synthetic ramp corpus
+    * is monotone within a clip, so its ZCR census is degenerate at
+    * small tiers and would verify nothing.) */
+  def audioLoudness(audio: Dataset[AudioRow]): Dataset[AudioLoudnessRow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { batch =>
+      batch.map { row =>
+        val d = AudioCodec.decodeWav(row.media)
+        var sum = 0L
+        var i = 0
+        while (i < d.samples.length) {
+          sum += math.abs(d.samples(i).toInt)
+          i += 1
+        }
+        AudioLoudnessRow(row.doc_id, d.samples.length, sum)
+      }
     }
   }
 

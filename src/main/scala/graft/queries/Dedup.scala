@@ -1122,6 +1122,77 @@ object Dedup {
           FROM range(0, 8) x(t))
         SELECT umi AS parent, CAST(3 AS BIGINT) AS n_members,
           CAST(100 + t + (1 + t % 3) + 2 AS BIGINT) AS n_reads
-        FROM g ORDER BY parent"""))
+        FROM g ORDER BY parent""")),
+
+    // ---- method-agreement audit: MinHash J>=0.8 vs SimHash dist<=3 ----
+    // The calibration question every dedup deployment answers before
+    // trusting a cheaper sketch: how much of the shingle-Jaccard pair
+    // set does the 32-bit SimHash Hamming screen recover, and what does
+    // it add? Both pair sets are computed on the same bounded audit
+    // slice (doc_id < 300 — the dedup_simhash_pairs convention, since
+    // the SimHash side is an all-pairs oracle shape), full-outer-joined
+    // on the pair key, and collapsed to one agreement row: pair counts,
+    // the intersection, and pair-set Jaccard in micro units. At 100 TB
+    // the same audit runs on a SAMPLED slice by construction — the
+    // slice predicate is the only corpus-sized touch. Denominator
+    // guarded with greatest(_, 1): an empty union must yield 0, not a
+    // divide-by-zero abort under ANSI.
+    "dedup_method_agreement" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+        val mh = lshVerifiedPairsOf(shingleSets(docs))
+          .select(col("id_a"), col("id_b"), lit(1L).as("in_mh"))
+        val sims = docs.select(col("doc_id"),
+          expr("graft_simhash32(array_distinct(split(text, ' ')))").as("simhash"))
+        val sp = sims.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+          .join(sims.select(col("doc_id").as("id_b"), col("simhash").as("hb")),
+            col("id_a") < col("id_b"))
+          .where(bit_count(expr("ha ^ hb")) <= 3)
+          .select(col("id_a"), col("id_b"), lit(1L).as("in_sh"))
+        mh.join(sp, Seq("id_a", "id_b"), "full_outer")
+          .agg(sum(coalesce(col("in_mh"), lit(0L))).as("n_minhash"),
+            sum(coalesce(col("in_sh"), lit(0L))).as("n_simhash"),
+            sum(coalesce(col("in_mh"), lit(0L)) *
+              coalesce(col("in_sh"), lit(0L))).as("n_both"))
+          .selectExpr("n_minhash", "n_simhash", "n_both",
+            """1000000 * n_both
+               div greatest(n_minhash + n_simhash - n_both, 1) AS agree_micro""")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 300),
+        sh AS (SELECT doc_id,
+            list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, len(w) - 1)]) AS sh
+          FROM w WHERE len(w) >= 3),
+        mh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE 5 * len(list_intersect(a.sh, b.sh))
+            >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        d AS (SELECT doc_id,
+            [CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+             for tok in list_distinct(string_split(text, ' '))] AS hs
+          FROM documents WHERE doc_id < 300),
+        si AS (SELECT doc_id,
+            list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1
+                        THEN 1 ELSE -1 END for h in hs]) >= 0
+                      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                 for j in range(0, 32)]) AS simhash
+          FROM d),
+        sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM si a JOIN si b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        u AS (SELECT
+            CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+            CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+          FROM mh m FULL OUTER JOIN sp p
+            ON m.id_a = p.id_a AND m.id_b = p.id_b)
+        SELECT CAST(sum(in_mh) AS BIGINT) AS n_minhash,
+          CAST(sum(in_sh) AS BIGINT) AS n_simhash,
+          CAST(sum(in_mh * in_sh) AS BIGINT) AS n_both,
+          CAST(1000000 * sum(in_mh * in_sh)
+            // greatest(sum(in_mh) + sum(in_sh) - sum(in_mh * in_sh), 1)
+            AS BIGINT) AS agree_micro
+        FROM u"""))
   )
 }

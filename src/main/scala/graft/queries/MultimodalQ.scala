@@ -431,6 +431,92 @@ object MultimodalQ {
           FROM quiet GROUP BY doc_id, grp)
         SELECT CAST(run_len AS BIGINT) AS run_len, count(*) AS n_runs,
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips
-        FROM runs GROUP BY run_len ORDER BY run_len"""))
+        FROM runs GROUP BY run_len ORDER BY run_len""")),
+
+    // ---- loudness-bin census through the real WAV decode ----
+    // The loudness-normalization screen: per-clip mean |amplitude|
+    // (integer floor of abs mass / samples, via
+    // Multimodal.audioLoudness's executor-side decode pass), bucketed
+    // into 2048-unit bins and folded into a corpus census — one row
+    // per occupied bin with clip count and id checksum. A speech
+    // pipeline drops or rescales the extreme bins before training.
+    // Output is bounded by the 16-bit amplitude range (<= 16 bins),
+    // not corpus size; the oracle replays the ramp-generator samples
+    // closed-form. Integer-exact on both engines at every tier (the
+    // per-clip phase 7*doc_id spreads clips across bins even before
+    // the mod-65536 wrap kicks in at larger doc ids).
+    "mm_audio_loudness_bins" -> Q(
+      (s, dir) => {
+        Multimodal.audioLoudness(Multimodal.realAudioTable(s, dir))
+          .toDF()
+          .groupBy(expr("(abs_sum div n_samples) div 2048").as("bin"))
+          .agg(count(lit(1)).as("n_clips"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("bin")
+      },
+      Some("""WITH g AS (SELECT doc_id, CAST(64 + doc_id % 97 AS INTEGER) AS n
+          FROM documents),
+        s AS (SELECT g.doc_id, g.n,
+            abs((i.i * 31 + g.doc_id * 7) % 65536 - 32768) AS a
+          FROM g, range(0, 161) i(i) WHERE i.i < g.n),
+        z AS (SELECT doc_id, (sum(a) // max(n)) // 2048 AS bin
+          FROM s GROUP BY doc_id)
+        SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_clips,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM z GROUP BY bin ORDER BY bin""")),
+
+    // ---- exposure-bin census through the real PNG decode ----
+    // The over/under-exposure screen an image-curation pipeline runs
+    // before training: per-image mean pixel value (byte_sum over the
+    // decoded RGB buffer div 3*w*h — the channels are equal in the
+    // gradient fixture, and floor((3s)/(3n)) == floor(s/n) so the
+    // 3-channel sum needs no correction), bucketed into 16-value bins.
+    // Reuses extractFeatures' executor-side decode (bytes never reach
+    // the driver); the census is one keyed agg over the per-image
+    // frame, output bounded by the 8-bit range (<= 16 bins). The
+    // oracle replays the (x + 2y + d) % 256 generator closed-form.
+    "mm_image_exposure_bins" -> Q(
+      (s, dir) =>
+        Multimodal.extractFeatures(realMediaStaged(s, dir),
+            useRealCodec = true)
+          .toDF()
+          .groupBy(expr("(byte_sum div (3 * width * height)) div 16").as("bin"))
+          .agg(count(lit(1)).as("n_images"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy("bin"),
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(4 + doc_id % 13 AS INTEGER) AS w,
+            CAST(4 + doc_id % 11 AS INTEGER) AS h
+          FROM documents),
+        px AS (SELECT g.doc_id, g.w, g.h,
+            sum((x.i + 2 * y.i + g.doc_id) % 256) AS s
+          FROM g, range(0, 17) x(i), range(0, 15) y(i)
+          WHERE x.i < g.w AND y.i < g.h GROUP BY g.doc_id, g.w, g.h),
+        e AS (SELECT doc_id, (s // (w * h)) // 16 AS bin FROM px)
+        SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_images,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM e GROUP BY bin ORDER BY bin""")),
+
+    // ---- inter-frame difference energy (scene-change screen) ----
+    // Per-clip Σ|frame_{f+1} - frame_f| through the REAL animated-GIF
+    // decode (Multimodal.frameDiffEnergy) — static-slideshow clips
+    // score near zero, hard cuts spike; a video pipeline drops or
+    // re-samples both tails. The oracle replays the gradient
+    // generator closed-form: consecutive frames differ by +3 mod 256
+    // per pixel, so each pixel contributes 3 unless it wraps
+    // (value >= 253 contributes 253), times 3 channels.
+    "mm_frame_diff_energy" -> Q(
+      (s, dir) =>
+        Multimodal.frameDiffEnergy(Multimodal.realVideoTable(s, dir))
+          .toDF().orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, CAST(5 + doc_id % 12 AS INTEGER) AS nf
+          FROM documents),
+        px AS (SELECT g.doc_id, g.nf,
+            3 * sum(CASE WHEN (x.i + 2 * y.i + 3 * f.i + g.doc_id) % 256 >= 253
+                         THEN 253 ELSE 3 END) AS de
+          FROM g, range(0, 16) f(i), range(0, 8) x(i), range(0, 6) y(i)
+          WHERE f.i < g.nf - 1 GROUP BY g.doc_id, g.nf)
+        SELECT doc_id, nf AS n_frames, CAST(de AS BIGINT) AS diff_energy
+        FROM px ORDER BY doc_id"""))
   )
 }

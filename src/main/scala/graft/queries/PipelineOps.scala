@@ -1874,6 +1874,58 @@ object PipelineOps {
             AS spill_groups,
           CAST(1000000 * sum(bytes) // (count(*) * 6000) AS BIGINT)
             AS fill_micro
-        FROM groups GROUP BY source ORDER BY source"""))
+        FROM groups GROUP BY source ORDER BY source""")),
+
+    // ---- dedup savings audit: tokens removed by the keep-lowest
+    //      MinHash policy ----
+    // The number a dedup run is judged by in a training-data budget
+    // review: how many TOKENS (not documents) does dropping the
+    // higher id of every J>=0.8 pair remove? Reuses the shared LSH
+    // scale path (banded equi-join — never all-pairs), joins the drop
+    // set back as a LEFT join flag onto the per-doc token counts, and
+    // collapses to one audit row; saved_micro is the fraction of
+    // corpus token mass removed, in integer micro units. At 100 TB
+    // the drop set is pair-bounded and the token frame is one map-only
+    // projection — nothing here is corpus-quadratic.
+    "pipe_dedup_savings" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents").selectExpr("doc_id",
+          "size(filter(split(text, ' '), x -> x != '')) AS n_tok")
+        val drops = Dedup.lshVerifiedPairs(s, dir)
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("dropped", lit(1))
+        toks.join(drops, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens_total"),
+            sum(expr("IF(dropped = 1, 1, 0)")).as("n_dropped"),
+            sum(expr("IF(dropped = 1, n_tok, 0)")).as("tokens_dropped"))
+          .selectExpr("n_docs", "tokens_total", "n_dropped", "tokens_dropped",
+            // 1e6 * token mass passes int64 at corpus scale — widen the
+            // product at the source (the rel_rate_correlation advice class)
+            """CAST(1000000 * CAST(tokens_dropped AS DECIMAL(38,0))
+                 div tokens_total AS BIGINT) AS saved_micro""")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents),
+        sh AS (SELECT doc_id,
+            list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, len(w) - 1)]) AS sh
+          FROM w WHERE len(w) >= 3),
+        drops AS (SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE 5 * len(list_intersect(a.sh, b.sh))
+            >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+        toks AS (SELECT doc_id,
+            len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+          FROM documents)
+        SELECT count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+          CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+          CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_dropped,
+          CAST(1000000 * sum(CASE WHEN d.doc_id IS NOT NULL THEN n_tok ELSE 0 END)
+            // sum(n_tok) AS BIGINT) AS saved_micro
+        FROM toks t LEFT JOIN drops d ON t.doc_id = d.doc_id"""))
   )
 }

@@ -3829,6 +3829,246 @@ object Relational {
         SELECT dow, hr, n,
           CAST(1000000 * n // dow_n AS BIGINT) AS dow_share_micro
         FROM cells JOIN dt ON dow = dow2
-        ORDER BY dow, hr"""))
+        ORDER BY dow, hr""")),
+
+    // ---- two-sample Kolmogorov-Smirnov distance, EXACT on $100 bins ----
+    // Does the BUILDING segment spend differently from MACHINERY? The
+    // KS statistic D = max_v |F1(v) - F2(v)| over the order-total
+    // distribution, computed EXACTLY on a $100-binned value axis:
+    // per-bin counts collapse the corpus in one keyed agg, and the ECDF
+    // cumulative window then runs over a PRICE-RANGE-bounded frame
+    // (~6000 bins — a catalog constant, like rel_kaplan_meier's
+    // calendar bound), never the order stream. The max is found by
+    // cross-multiplication — |n2*cum1 - n1*cum2| in DECIMAL(38,0)/
+    // HUGEINT (n1*n2 passes int64 at corpus scale; the
+    // rel_rate_correlation advice class, widened at the SOURCE) — so
+    // no float ECDF ever exists. Ties on D break toward the lowest
+    // bin; output is the single argmax row with D in micro units.
+    "rel_ks_two_sample" -> Q(
+      (s, dir) => {
+        val j = t(s, dir, "orders")
+          .selectExpr("o_custkey",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+          .join(t(s, dir, "customer").selectExpr("c_custkey", "c_mktsegment"),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        val bins = j.groupBy(expr("cents div 10000").as("bin"))
+          .agg(sum(expr("IF(c_mktsegment = 'BUILDING', 1L, 0L)")).as("c1"),
+            sum(expr("IF(c_mktsegment = 'MACHINERY', 1L, 0L)")).as("c2"))
+        val w = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bins
+          .withColumn("cum1", sum(col("c1")).over(w))
+          .withColumn("cum2", sum(col("c2")).over(w))
+          .withColumn("n1", expr("sum(c1) OVER ()"))
+          .withColumn("n2", expr("sum(c2) OVER ()"))
+          .withColumn("dnum", expr(
+            """abs(CAST(n2 AS DECIMAL(38,0)) * cum1
+                 - CAST(n1 AS DECIMAL(38,0)) * cum2)"""))
+          .orderBy(col("dnum").desc, col("bin").asc)
+          .limit(1)
+          .selectExpr("bin AS at_bin", "n1", "n2",
+            """CAST(1000000 * dnum
+                 div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) AS ks_micro""")
+      },
+      Some("""WITH j AS (SELECT c_mktsegment AS seg,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        bins AS (SELECT cents // 10000 AS bin,
+            sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+            sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+          FROM j GROUP BY bin),
+        cum AS (SELECT bin,
+            sum(c1) OVER (ORDER BY bin) AS cum1,
+            sum(c2) OVER (ORDER BY bin) AS cum2,
+            sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+          FROM bins),
+        d AS (SELECT bin, n1, n2,
+            abs(CAST(n2 AS HUGEINT) * cum1 - CAST(n1 AS HUGEINT) * cum2) AS dnum
+          FROM cum)
+        SELECT bin AS at_bin, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          CAST(1000000 * dnum // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_micro
+        FROM d ORDER BY dnum DESC, bin LIMIT 1""")),
+
+    // ---- Mann-Whitney U / common-language effect size, EXACT ----
+    // The nonparametric "does segment 1 stochastically dominate
+    // segment 2" test on the same $100-binned frame as
+    // rel_ks_two_sample. Tie-averaged ranks stay integer by working in
+    // DOUBLED rank units: a bin holding t values after C_prev earlier
+    // values contributes average rank (2*C_prev + t + 1)/2, so twice
+    // the group-1 rank sum is sum(c1 * (2*C_prev + t + 1)) — exact,
+    // no halves. U1x2 = R1x2 - n1*(n1+1); the common-language effect
+    // size U1/(n1*n2) is emitted in micro units (500000 = no shift).
+    // Every cross-term widens to DECIMAL(38,0)/HUGEINT at the source
+    // (c1*rank and n1*n2 both pass int64 at corpus scale). The
+    // cumulative window runs over the same price-bounded bin frame.
+    "rel_mannwhitney_u" -> Q(
+      (s, dir) => {
+        val j = t(s, dir, "orders")
+          .selectExpr("o_custkey",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+          .join(t(s, dir, "customer").selectExpr("c_custkey", "c_mktsegment"),
+            col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        val bins = j.groupBy(expr("cents div 10000").as("bin"))
+          .agg(sum(expr("IF(c_mktsegment = 'BUILDING', 1L, 0L)")).as("c1"),
+            sum(expr("IF(c_mktsegment = 'MACHINERY', 1L, 0L)")).as("c2"))
+        val w = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bins
+          .withColumn("t", col("c1") + col("c2"))
+          .withColumn("cprev", sum(col("t")).over(w) - col("t"))
+          .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+            sum(expr(
+              "CAST(c1 AS DECIMAL(38,0)) * (2 * cprev + t + 1)")).as("r1x2"))
+          .selectExpr("n1", "n2",
+            """CAST(1000000 * (r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1))
+                 div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)
+                 AS cles_micro""")
+      },
+      Some("""WITH j AS (SELECT c_mktsegment AS seg,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        bins AS (SELECT cents // 10000 AS bin,
+            sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+            sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+          FROM j GROUP BY bin),
+        cum AS (SELECT c1, c2, c1 + c2 AS t,
+            sum(c1 + c2) OVER (ORDER BY bin) - (c1 + c2) AS cprev
+          FROM bins),
+        agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+            CAST(sum(c2) AS BIGINT) AS n2,
+            sum(CAST(c1 AS HUGEINT) * (2 * cprev + t + 1)) AS r1x2
+          FROM cum)
+        SELECT n1, n2,
+          CAST(1000000 * (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1))
+            // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS cles_micro
+        FROM agg""")),
+
+    // ---- cohort LTV curve (cumulative revenue by cohort age), EXACT ----
+    // The subscription/commerce staple behind every "payback period"
+    // decision: customers are grouped by FIRST-order month (the
+    // cohort), and each cohort's revenue is tracked by age-in-months
+    // with a running cumulative (the LTV curve whose flattening point
+    // sets acquisition spend). Two keyed aggs collapse the order
+    // stream (first-order month per customer, then revenue per
+    // (cohort, age) cell); the cumulative window then runs PARTITIONED
+    // BY COHORT over a calendar-bounded frame (months^2 / 2 cells —
+    // ~3.5k rows for a 7-year corpus), so the corpus never sorts
+    // globally and cohorts accumulate in parallel.
+    "rel_cohort_ltv" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").selectExpr("o_custkey",
+          "year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS m",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        val first = o.groupBy("o_custkey").agg(min(col("m")).as("m0"))
+        val cells = o.join(first, "o_custkey")
+          .selectExpr("m0", "m - m0 AS age", "cents")
+          .groupBy("m0", "age")
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+        val w = Window.partitionBy("m0").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells.withColumn("ltv_cents", sum(col("rev_cents")).over(w))
+          .selectExpr("m0 AS cohort_m", "age", "n_orders", "rev_cents",
+            "ltv_cents")
+          .orderBy("cohort_m", "age")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+            year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) AS m,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey),
+        cells AS (SELECT m0, m - m0 AS age, count(*) AS n_orders,
+            CAST(sum(cents) AS BIGINT) AS rev_cents
+          FROM o JOIN f USING (o_custkey) GROUP BY m0, age)
+        SELECT m0 AS cohort_m, age, n_orders, rev_cents,
+          CAST(sum(rev_cents) OVER (PARTITION BY m0 ORDER BY age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS ltv_cents
+        FROM cells ORDER BY cohort_m, age""")),
+
+    // ---- order-velocity burst census (7-day sliding window), EXACT ----
+    // The fraud/abuse velocity primitive: for each customer, the
+    // maximum number of orders landing in ANY trailing 7-day window,
+    // found with a RANGE frame over epoch days — partitioned per
+    // customer, so the window is key-parallel and bounded by
+    // orders-per-customer (a business constant), never a global sort.
+    // The per-customer maxima then collapse to a census (how many
+    // customers peak at 1, 2, 3... orders/week), the frame a
+    // threshold-setting analyst reads; flagging is a WHERE on top.
+    "rel_burst_orders" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders").selectExpr("o_custkey",
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day")
+        val w = Window.partitionBy("o_custkey").orderBy("day")
+          .rangeBetween(-6, 0)
+        o.withColumn("burst", count(lit(1)).over(w))
+          .groupBy("o_custkey")
+          .agg(max(col("burst")).as("max_burst"))
+          .groupBy("max_burst")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("o_custkey")).as("cust_checksum"))
+          .orderBy("max_burst")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+            epoch_us(o_orderdate) // 86400000000 AS day
+          FROM orders),
+        b AS (SELECT o_custkey,
+            count(*) OVER (PARTITION BY o_custkey ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS burst
+          FROM o),
+        m AS (SELECT o_custkey, max(burst) AS max_burst
+          FROM b GROUP BY o_custkey)
+        SELECT CAST(max_burst AS BIGINT) AS max_burst,
+          count(*) AS n_customers,
+          CAST(sum(o_custkey) AS BIGINT) AS cust_checksum
+        FROM m GROUP BY max_burst ORDER BY max_burst""")),
+
+    // ---- unit-price dispersion per part (quartile CV), EXACT ----
+    // The price-consistency audit: per part, the coefficient of
+    // quartile variation (Q3 - Q1) / (Q3 + Q1) of the observed UNIT
+    // price across its line items — the robust "is this part priced
+    // all over the map" gauge (variance-based CVs are outlier-hostage
+    // and need sqrt). Unit cents = round(extendedprice*100) div
+    // quantity: integer truncation, positive operands, identical on
+    // both engines. Quartiles are percentile_disc element PICKS (the
+    // rel_bowley_skew alignment argument), the ratio is fixed-point
+    // micro with a nonneg numerator, and the per-part frame collapses
+    // to a dispersion-decile census — two keyed aggs, key-parallel,
+    // no global window anywhere.
+    "rel_price_dispersion" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .where(col("l_quantity") > 0)
+          .selectExpr("l_partkey",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT) AS uc")
+        val per = li.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_obs"),
+            expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY uc) AS BIGINT)").as("q1"),
+            expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY uc) AS BIGINT)").as("q3"))
+          .where(col("n_obs") >= 4)
+          .selectExpr("l_partkey",
+            "1000000 * (q3 - q1) div (q3 + q1) AS cqv_micro")
+        per.groupBy(expr("cqv_micro div 100000").as("cqv_decile"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("l_partkey")).as("part_checksum"))
+          .orderBy("cqv_decile")
+      },
+      Some("""WITH li AS (SELECT l_partkey,
+            CAST(round(l_extendedprice * 100) AS BIGINT)
+              // CAST(l_quantity AS BIGINT) AS uc
+          FROM lineitem WHERE l_quantity > 0),
+        per AS (SELECT l_partkey, count(*) AS n_obs,
+            quantile_disc(uc, 0.25) AS q1, quantile_disc(uc, 0.75) AS q3
+          FROM li GROUP BY l_partkey),
+        d AS (SELECT l_partkey,
+            1000000 * (q3 - q1) // (q3 + q1) AS cqv_micro
+          FROM per WHERE n_obs >= 4)
+        SELECT cqv_micro // 100000 AS cqv_decile, count(*) AS n_parts,
+          CAST(sum(l_partkey) AS BIGINT) AS part_checksum
+        FROM d GROUP BY cqv_decile ORDER BY cqv_decile"""))
   )
 }

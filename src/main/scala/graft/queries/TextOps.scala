@@ -1359,7 +1359,72 @@ object TextOps {
         SELECT source, s1, n_types, CAST(s2 AS BIGINT) AS s2,
           CAST((10000000000 * CAST(s2 - s1 AS HUGEINT))
             // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) AS yule_k_micro
-        FROM agg ORDER BY source"""))
+        FROM agg ORDER BY source""")),
+
+    // ---- pairwise source similarity: TF-profile cosine^2, EXACT ----
+    // Which sources write alike? Each source's word-BIGRAM frequency
+    // vector is first normalized to a PER-MILLION integer profile
+    // (p = 1e6*f div s1 — both engines floor, and normalization is
+    // what makes sources of different sizes comparable); then cos^2
+    // between profiles is exact integer arithmetic: cos2_micro =
+    // 1e6 * dot^2 / (ss_a * ss_b), no sqrt ever taken. The per-million
+    // scale also BOUNDS the arithmetic: profile entries sum to <= 1e6
+    // per source, so dot <= 1e12 and dot^2 <= 1e24 — inside
+    // DECIMAL(38,0)/HUGEINT at ANY corpus size, unlike raw-frequency
+    // cosines whose squares blow past 38 digits. Shape: one keyed agg
+    // to the (source, bigram) frame, a self-equi-join on the bigram
+    // key (pair space = shared-type cardinality x source pairs, both
+    // bounded), norms broadcast back onto the 190-row pair frame.
+    "text_source_cosine" -> Q(
+      (s, dir) => {
+        val bg = t(s, dir, "documents")
+          .select(col("source"),
+            expr("filter(split(text, ' '), x -> x != '')").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("source"), explode(expr(
+            """transform(sequence(1, size(w) - 1),
+               i -> concat(w[i-1], ' ', w[i]))""")).as("bg"))
+        val f = bg.groupBy("source", "bg").agg(count(lit(1)).as("f"))
+        val tot = f.groupBy("source").agg(sum(col("f")).as("s1"))
+        val prof = f.join(tot, "source")
+          .selectExpr("source", "bg",
+            "CAST(1000000 * CAST(f AS DECIMAL(38,0)) div s1 AS BIGINT) AS p")
+          .transform(Q.barrier)
+        val ss = prof.groupBy("source")
+          .agg(sum(expr("CAST(p AS DECIMAL(38,0)) * p")).as("ss"))
+        val a = prof.select(col("source").as("sa"), col("bg"), col("p").as("pa"))
+        val b = prof.select(col("source").as("sb"), col("bg"), col("p").as("pb"))
+        a.join(b, Seq("bg")).where(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(sum(expr("CAST(pa AS DECIMAL(38,0)) * pb")).as("dot"))
+          .join(broadcast(ss.select(col("source").as("sa"), col("ss").as("ssa"))), "sa")
+          .join(broadcast(ss.select(col("source").as("sb"), col("ss").as("ssb"))), "sb")
+          .selectExpr("sa", "sb",
+            "CAST(1000000 * (dot * dot) div (ssa * ssb) AS BIGINT) AS cos2_micro")
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH w AS (SELECT source,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        bg AS (SELECT source,
+            unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+          FROM w WHERE len(w) >= 2),
+        f AS (SELECT source, bg, count(*) AS f FROM bg GROUP BY source, bg),
+        tot AS (SELECT source, sum(f) AS s1 FROM f GROUP BY source),
+        prof AS (SELECT f.source, bg,
+            CAST(1000000 * CAST(f AS HUGEINT) // s1 AS BIGINT) AS p
+          FROM f JOIN tot ON f.source = tot.source),
+        ss AS (SELECT source, sum(CAST(p AS HUGEINT) * p) AS ss
+          FROM prof GROUP BY source),
+        dots AS (SELECT a.source AS sa, b.source AS sb,
+            sum(CAST(a.p AS HUGEINT) * b.p) AS dot
+          FROM prof a JOIN prof b ON a.bg = b.bg AND a.source < b.source
+          GROUP BY sa, sb)
+        SELECT sa, sb,
+          CAST(1000000 * (dot * dot)
+            // (x.ss * y.ss) AS BIGINT) AS cos2_micro
+        FROM dots JOIN ss x ON sa = x.source JOIN ss y ON sb = y.source
+        ORDER BY sa, sb"""))
   )
 }
 

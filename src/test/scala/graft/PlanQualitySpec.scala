@@ -989,4 +989,80 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("windowspecdefinition\\(query_name".r.findFirstIn(plan).isDefined,
       s"synteny window not partitioned by chain key:\n$plan")
   }
+
+  test("text_source_cosine: pair stage is an equi-join on the bigram key, norms broadcast") {
+    // the pairwise-source cosine survives 100 TB only if the pair space
+    // is generated by an EQUI-join on the bigram type key (bounded by
+    // shared-type cardinality), never a source x source theta scan, and
+    // the per-source norms come back as broadcasts onto the tiny pair
+    // frame.
+    val plan = fullPlanString(SparkEntry.queries("text_source_cosine")(spark, SF))
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"norm joins not broadcast:\n$plan")
+    assert("SortMergeJoin \\[bg#|BroadcastHashJoin \\[bg#|\\[coalesce\\(bg#".r
+        .findFirstIn(plan).isDefined ||
+      plan.contains("hashpartitioning(bg#"),
+      s"pair join not keyed on the bigram column:\n$plan")
+  }
+
+  test("rel_burst_orders: the velocity window is partitioned per customer") {
+    // the RANGE frame must carry the customer partition spec — a
+    // global-ordered window here would serialize the whole order
+    // stream through one task at 100 TB.
+    val plan = fullPlanString(SparkEntry.queries("rel_burst_orders")(spark, SF))
+    assert("windowspecdefinition\\(o_custkey".r.findFirstIn(plan).isDefined,
+      s"velocity window not partitioned by customer:\n$plan")
+    assert(plan.contains("partial_"),
+      s"census agg lost its map-side partial phase:\n$plan")
+  }
+
+  test("rel_cohort_ltv: the LTV window is partitioned per cohort") {
+    val plan = fullPlanString(SparkEntry.queries("rel_cohort_ltv")(spark, SF))
+    assert("windowspecdefinition\\(m0".r.findFirstIn(plan).isDefined,
+      s"LTV window not partitioned by cohort month:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
+
+  test("rel_ks_two_sample: the corpus collapses to the bin frame before any window") {
+    // the ECDF window is single-partition BY DESIGN (price-bounded
+    // frame); what must hold structurally is that the window's input
+    // is the aggregated bin frame — i.e. a partial/final agg pair sits
+    // below the Window, and the orders->customer join broadcast the
+    // dimension side.
+    val plan = fullPlanString(SparkEntry.queries("rel_ks_two_sample")(spark, SF))
+    assert(plan.contains("partial_"),
+      s"bin agg lost its map-side partial phase:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"orders->customer join not broadcast:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"no aggregate below the ECDF window:\n$plan")
+  }
+
+  test("dedup_method_agreement: the MinHash side stays banded (bb-keyed equi-join)") {
+    // the agreement audit must inherit the LSH scale shape — the
+    // J>=0.8 side generated by the band-bucket equi-join, not an
+    // all-pairs scan (the SimHash side IS bounded all-pairs by the
+    // audit-slice predicate, which is its documented design).
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(executed(
+      SparkEntry.queries("dedup_method_agreement")(spark, SF)))
+    val bandJoin = all.collect {
+      case j: BaseJoinExec if j.leftKeys.exists(_.toString.startsWith("bb#")) => j
+    }
+    assert(bandJoin.nonEmpty,
+      s"MinHash side lost the band-bucket equi-join:\n" +
+        all.map(_.nodeName).mkString(", "))
+  }
 }
