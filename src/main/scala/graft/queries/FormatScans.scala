@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.{GraftIO, TwoBit}
@@ -153,6 +153,50 @@ object FormatScans {
       java.nio.file.Files.write(d.resolve("chains.pdb"),
         sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
+
+  /** Depth histogram (reference, depth, n_positions) over the shared
+    * 300-read synthetic SAM (writer round-trip + parse_cigar block
+    * walk + two keyed aggs) — the samtools-depth core consumed by
+    * fmt_sam_depth (the histogram itself) and fmt_sam_evenness (its
+    * rollup). Per-position depth collapses to the depth histogram
+    * BEFORE any downstream stat, so consumers touch a frame bounded by
+    * max depth, never genome length. */
+  private def samDepthHist(s: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val dir = Stage.tempDir("graft_depth").toString
+    s.range(300).selectExpr(
+        "concat('q', id) AS name", "0 AS flag", "'ref1' AS reference",
+        "(id * 37) % 1000 + 1 AS start",
+        """(id * 37) % 1000 + 1 + CASE WHEN id % 3 = 0 THEN 9
+           WHEN id % 3 = 1 THEN 11 ELSE 7 END AS end""",
+        "'30' AS mapping_quality",
+        """CASE WHEN id % 3 = 0 THEN '10M' WHEN id % 3 = 1 THEN '5M2N5M'
+           ELSE '8M' END AS cigar""",
+        "cast(null as string) AS mate_reference",
+        "repeat('A', CASE WHEN id % 3 = 2 THEN 8 ELSE 10 END) AS sequence",
+        "repeat('I', CASE WHEN id % 3 = 2 THEN 8 ELSE 10 END) AS quality_score")
+      .write.mode("overwrite").format("sam").save(dir)
+    GraftIO.read_sam_file_records(s, dir)
+      .where(col("reference").isNotNull)
+      .selectExpr("reference", "start", "parse_cigar(cigar) AS ops")
+      .selectExpr("reference",
+        """aggregate(ops,
+             named_struct('cur', start, 'blocks',
+               cast(array() as array<struct<bs: bigint, ln: int>>)),
+             (acc, o) -> CASE
+               WHEN o.op IN ('M', '=', 'X') THEN named_struct(
+                 'cur', acc.cur + o.len,
+                 'blocks', concat(acc.blocks, array(named_struct('bs', acc.cur, 'ln', o.len))))
+               WHEN o.op IN ('D', 'N') THEN named_struct(
+                 'cur', acc.cur + o.len, 'blocks', acc.blocks)
+               ELSE acc END,
+             acc -> acc.blocks) AS blocks""")
+      .select(col("reference"), explode(col("blocks")).as("b"))
+      .select(col("reference"),
+        explode(expr("sequence(b.bs, b.bs + b.ln - 1)")).as("pos"))
+      .groupBy("reference", "pos").agg(count(lit(1)).as("depth"))
+      .groupBy("reference", "depth").agg(count(lit(1)).as("n_positions"))
+  }
 
   val qs: Map[String, Q] = Map(
 
@@ -3790,43 +3834,7 @@ object FormatScans {
     // HOF block walk end-to-end; the oracle regenerates the reads
     // arithmetically and replays the coverage in SQL.
     "fmt_sam_depth" -> Q(
-      (s, _) => {
-        graft.functions.GraftFunctions.registerAll(s)
-        val dir = Stage.tempDir("graft_depth").toString
-        s.range(300).selectExpr(
-            "concat('q', id) AS name", "0 AS flag", "'ref1' AS reference",
-            "(id * 37) % 1000 + 1 AS start",
-            """(id * 37) % 1000 + 1 + CASE WHEN id % 3 = 0 THEN 9
-               WHEN id % 3 = 1 THEN 11 ELSE 7 END AS end""",
-            "'30' AS mapping_quality",
-            """CASE WHEN id % 3 = 0 THEN '10M' WHEN id % 3 = 1 THEN '5M2N5M'
-               ELSE '8M' END AS cigar""",
-            "cast(null as string) AS mate_reference",
-            "repeat('A', CASE WHEN id % 3 = 2 THEN 8 ELSE 10 END) AS sequence",
-            "repeat('I', CASE WHEN id % 3 = 2 THEN 8 ELSE 10 END) AS quality_score")
-          .write.mode("overwrite").format("sam").save(dir)
-        GraftIO.read_sam_file_records(s, dir)
-          .where(col("reference").isNotNull)
-          .selectExpr("reference", "start", "parse_cigar(cigar) AS ops")
-          .selectExpr("reference",
-            """aggregate(ops,
-                 named_struct('cur', start, 'blocks',
-                   cast(array() as array<struct<bs: bigint, ln: int>>)),
-                 (acc, o) -> CASE
-                   WHEN o.op IN ('M', '=', 'X') THEN named_struct(
-                     'cur', acc.cur + o.len,
-                     'blocks', concat(acc.blocks, array(named_struct('bs', acc.cur, 'ln', o.len))))
-                   WHEN o.op IN ('D', 'N') THEN named_struct(
-                     'cur', acc.cur + o.len, 'blocks', acc.blocks)
-                   ELSE acc END,
-                 acc -> acc.blocks) AS blocks""")
-          .select(col("reference"), explode(col("blocks")).as("b"))
-          .select(col("reference"),
-            explode(expr("sequence(b.bs, b.bs + b.ln - 1)")).as("pos"))
-          .groupBy("reference", "pos").agg(count(lit(1)).as("depth"))
-          .groupBy("reference", "depth").agg(count(lit(1)).as("n_positions"))
-          .orderBy("reference", "depth")
-      },
+      (s, _) => samDepthHist(s).orderBy("reference", "depth"),
       Some("""WITH r AS (SELECT i % 3 AS kind, (i * 37) % 1000 + 1 AS s FROM range(0, 300) t(i)),
         pos AS (
           SELECT s + p AS pos FROM r, range(0, 10) q(p) WHERE kind = 0
@@ -6190,7 +6198,104 @@ object FormatScans {
           FROM p)
         SELECT i, len, n_c, n_g, n_cpg,
           CAST(1000000 * n_cpg * len // (n_c * n_g) AS BIGINT) AS oe_micro
-        FROM g ORDER BY i"""))
+        FROM g ORDER BY i""")),
+
+    // ---- coverage evenness (Picard-style uniformity gauge), EXACT ----
+    // The sequencing-run QC verdict a depth HISTOGRAM already contains:
+    // what fraction of covered positions sit at >= half the mean
+    // depth (evenness ~1 = uniform, low = peaky capture bias). The
+    // mean never materializes as a float — the per-depth test is the
+    // cross-multiplication 2*depth*n_pos >= depth_mass, and the whole
+    // statistic is a rollup of the (reference, depth, n_positions)
+    // frame from the shared samDepthHist core, so its cost is bounded
+    // by MAX DEPTH per reference, not genome length. int64 envelope:
+    // 2*depth*n_pos <= 2 * 1e6 * 3e9 at a 100 TB tier — 17 digits of
+    // headroom inside int64.
+    "fmt_sam_evenness" -> Q(
+      (s, _) => {
+        val h = samDepthHist(s).transform(Q.barrier)
+        val tot = h.groupBy(col("reference").as("ref2"))
+          .agg(sum(col("n_positions")).as("n_pos"),
+            sum(expr("depth * n_positions")).as("depth_mass"))
+        h.join(broadcast(tot), col("reference") === col("ref2"))
+          .groupBy("reference")
+          .agg(max(col("n_pos")).as("n_pos"),
+            max(col("depth_mass")).as("depth_mass"),
+            sum(expr(
+              "IF(2 * depth * n_pos >= depth_mass, n_positions, 0)"))
+              .as("n_ge_half_mean"))
+          .selectExpr("reference", "n_pos", "depth_mass", "n_ge_half_mean",
+            "1000000 * n_ge_half_mean div n_pos AS evenness_micro")
+          .orderBy("reference")
+      },
+      Some("""WITH r AS (SELECT i % 3 AS kind, (i * 37) % 1000 + 1 AS s
+          FROM range(0, 300) t(i)),
+        pos AS (
+          SELECT s + p AS pos FROM r, range(0, 10) q(p) WHERE kind = 0
+          UNION ALL SELECT s + p FROM r, range(0, 5) q(p) WHERE kind = 1
+          UNION ALL SELECT s + 7 + p FROM r, range(0, 5) q(p) WHERE kind = 1
+          UNION ALL SELECT s + p FROM r, range(0, 8) q(p) WHERE kind = 2),
+        d AS (SELECT pos, count(*) AS depth FROM pos GROUP BY pos),
+        h AS (SELECT depth, count(*) AS n_positions FROM d GROUP BY depth),
+        tot AS (SELECT CAST(sum(n_positions) AS BIGINT) AS n_pos,
+            CAST(sum(depth * n_positions) AS BIGINT) AS depth_mass
+          FROM h)
+        SELECT 'ref1' AS reference, n_pos, depth_mass,
+          CAST(sum(CASE WHEN 2 * depth * n_pos >= depth_mass
+                   THEN n_positions ELSE 0 END) AS BIGINT) AS n_ge_half_mean,
+          CAST(1000000 * sum(CASE WHEN 2 * depth * n_pos >= depth_mass
+                   THEN n_positions ELSE 0 END) // n_pos AS BIGINT)
+            AS evenness_micro
+        FROM h, tot GROUP BY n_pos, depth_mass""")),
+
+    // ---- expected sequencing errors per read (the fastp maxEE
+    //      filter), EXACT via a ppm LUT ----
+    // Expected errors = sum of 10^(-Q/10) over a read's bases — a
+    // float by definition, made engine-exact the fn_protein_gravy way:
+    // both engines index the SAME integer literal table (ppm error per
+    // phred Q, Q = 2..41), so the per-read sum is pure int64 and the
+    // maxEE census (reads per whole-expected-error bucket) hashes
+    // identically. 300 writer-round-tripped reads with a two-stride
+    // quality ramp exercise encode -> FASTQ bytes -> re-parse ->
+    // phred+33 decode -> LUT aggregate end to end. Per-read work is
+    // one map-only HOF; the census is one keyed agg.
+    "fmt_fastq_expected_errors" -> Q(
+      (s, _) => {
+        val lut = "array(630957, 501187, 398107, 316228, 251189, 199526, " +
+          "158489, 125893, 100000, 79433, 63096, 50119, 39811, 31623, " +
+          "25119, 19953, 15849, 12589, 10000, 7943, 6310, 5012, 3981, " +
+          "3162, 2512, 1995, 1585, 1259, 1000, 794, 631, 501, 398, 316, " +
+          "251, 200, 158, 126, 100, 79)"
+        val dir = Stage.tempDir("graft_ee").toString
+        s.range(300).selectExpr(
+            "concat('r', id) AS name",
+            "cast(null as string) AS description",
+            "repeat('A', 50) AS sequence",
+            // per-READ base level (id % 36) + small per-base jitter: reads
+            // span the whole maxEE range instead of all averaging the ring
+            """concat_ws('', transform(sequence(0, 49), j ->
+                 char(33 + 2 + id % 36 + (j * 3) % 5))) AS quality_scores""")
+          .write.mode("overwrite").format("fastq").save(dir)
+        GraftIO.read_fastq(s, dir)
+          .selectExpr(
+            s"""aggregate(transform(sequence(1, length(quality_scores)),
+                  i -> ascii(substring(quality_scores, i, 1)) - 33),
+                  0L, (acc, q) -> acc + element_at($lut, q - 1)) AS ee_ppm""")
+          .groupBy(expr("ee_ppm div 1000000").as("ee_bucket"))
+          .agg(count(lit(1)).as("n_reads"), sum(col("ee_ppm")).as("ppm_mass"))
+          .orderBy("ee_bucket")
+      },
+      Some("""WITH b AS (SELECT i AS id, 2 + i % 36 + (j.j * 3) % 5 AS q
+          FROM range(0, 300) t(i), range(0, 50) j(j)),
+        e AS (SELECT id, sum(([630957, 501187, 398107, 316228, 251189,
+            199526, 158489, 125893, 100000, 79433, 63096, 50119, 39811,
+            31623, 25119, 19953, 15849, 12589, 10000, 7943, 6310, 5012,
+            3981, 3162, 2512, 1995, 1585, 1259, 1000, 794, 631, 501, 398,
+            316, 251, 200, 158, 126, 100, 79])[q - 1]) AS ee_ppm
+          FROM b GROUP BY id)
+        SELECT CAST(ee_ppm // 1000000 AS BIGINT) AS ee_bucket,
+          count(*) AS n_reads, CAST(sum(ee_ppm) AS BIGINT) AS ppm_mass
+        FROM e GROUP BY ee_bucket ORDER BY ee_bucket"""))
   )
 
   /** Deterministic WARC fixture bytes (ISO 28500 framing). */
