@@ -265,7 +265,20 @@ object DumpPlans {
         |IVF cell (equi-join, sum(|cell|^2) pair space), ranks within
         |the cell partition, and the reciprocity pass re-reads the
         |BARRIERED kNN frame — the corpus parquet appears in no later
-        |stage.""".stripMargin)
+        |stage.""".stripMargin,
+    "text_source_cosine" ->
+      """Pairwise source cosine² with NO source×source scan: the pair
+        |space is an equi-join on the bigram TYPE key (bounded by
+        |shared-type cardinality); per-million integer profiles are
+        |barriered once (ExistingRDD on both join sides) and the
+        |per-source norms rejoin the 190-row pair frame by broadcast.""".stripMargin,
+    "rel_ks_two_sample" ->
+      """Two-sample KS: the corpus COLLAPSES to the $100-bin frame
+        |(map-side partial agg under the exchange) before the
+        |single-partition ECDF window ever runs — the window's input
+        |is price-range-bounded, and the orders→customer join
+        |broadcasts the dimension; the argmax is TakeOrdered, not a
+        |global sort.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
