@@ -189,10 +189,18 @@ object SeqAnalysis {
     val pairKeys = broadcast(gids.select(col("gid").as("ga"))
       .crossJoin(gids.select(col("gid").as("gb")))
       .where(col("ga") < col("gb")))
-    pairKeys.join(sk, col("gid") === col("ga") || col("gid") === col("gb"))
+    // each sketch row lands on the pairs where its genome is the A
+    // side and where it is the B side — two broadcast EQUI-joins
+    // union'd, not one OR-condition join (an OR key forces a
+    // BroadcastNestedLoopJoin that scans every sketch row against all
+    // G^2/2 pairs; the equi form hashes on the pair key)
+    val sideA = sk.join(pairKeys, col("gid") === col("ga"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("ina"), lit(0).as("inb"))
+    val sideB = sk.join(pairKeys, col("gid") === col("gb"))
+      .select(col("ga"), col("gb"), col("h"), lit(0).as("ina"), lit(1).as("inb"))
+    sideA.union(sideB)
       .groupBy("ga", "gb", "h")
-      .agg(max(when(col("gid") === col("ga"), 1).otherwise(0)).as("ina"),
-        max(when(col("gid") === col("gb"), 1).otherwise(0)).as("inb"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
       .withColumn("rk", row_number().over(Window.partitionBy("ga", "gb").orderBy("h")))
       .where(col("rk") <= sketchSize)
       .groupBy("ga", "gb")

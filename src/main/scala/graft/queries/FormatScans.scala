@@ -1579,13 +1579,13 @@ object FormatScans {
         FROM range(0, 100) t(i) ORDER BY i""")),
 
     // Cophenetic (leaf-to-leaf path) distances over the parsed tree
-    // via TreeOps.copheneticDistances: pointer-doubling ancestor
-    // closure looped TO CONVERGENCE (log-depth keyed shuffles with
-    // localCheckpoint truncation — the round-8 version unrolled
-    // exactly 4 hops and would silently truncate deeper trees), then
-    // leaf pairs meet on common ancestors and min(da+db) selects the
-    // LCA path. Branch lengths are 0.25-granular, so the double sums
-    // are exact.
+    // via TreeOps.copheneticDistances: the hybrid ancestor closure
+    // (per-tree parent-chain walk in one expression for small trees;
+    // pointer-doubling with a PROVABLE round budget for deep ones —
+    // the round-8 version unrolled exactly 4 hops and would silently
+    // truncate deeper trees), then leaf pairs meet on common
+    // ancestors and min(da+db) selects the LCA path. Branch lengths
+    // are 0.25-granular, so the double sums are exact.
     "fmt_newick_cophenetic" -> Q(
       (s, _) => {
         graft.functions.GraftFunctions.registerAll(s)
@@ -5288,7 +5288,7 @@ object FormatScans {
         val depths = closure.where(col("anc") === 0)
           .selectExpr("node AS dn", "cast(d as int) AS anc_depth")
         // the taxonomy is tiny by construction — broadcast explicitly
-        // (the checkpointed closure carries no size stats, so the
+        // (the derived closure carries no reliable size stats, so the
         // planner would otherwise start from sort-merge and rely on
         // AQE to rescue it)
         val anc = closure.selectExpr("node AS taxon", "anc")

@@ -3781,7 +3781,12 @@ object Relational {
             expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("q2"),
             expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("q3"))
           .selectExpr("c_mktsegment", "n_orders", "q1", "q2", "q3",
-            "1000000 * (q3 + q1 - 2 * q2) div (q3 - q1) AS bowley_micro")
+            // greatest(_, 1): a degenerate segment with Q1 == Q3 (one
+            // price spanning the 25th-75th percentile) has no spread
+            // to normalize by — emit 0, not a div-by-zero null/abort
+            // (q3 >= q1 always, so the guard fires only at equality,
+            // where the numerator q3 + q1 - 2*q2 is 0 too)
+            "1000000 * (q3 + q1 - 2 * q2) div greatest(q3 - q1, 1) AS bowley_micro")
           .orderBy("c_mktsegment")
       },
       Some("""WITH j AS (SELECT c_mktsegment,
@@ -3793,9 +3798,9 @@ object Relational {
           FROM j GROUP BY c_mktsegment)
         SELECT c_mktsegment, n_orders, q1, q2, q3,
           CAST(CASE WHEN q3 + q1 - 2 * q2 < 0
-            THEN -((-1000000 * (q3 + q1 - 2 * q2)) // (q3 - q1))
-            ELSE (1000000 * (q3 + q1 - 2 * q2)) // (q3 - q1) END AS BIGINT)
-            AS bowley_micro
+            THEN -((-1000000 * (q3 + q1 - 2 * q2)) // greatest(q3 - q1, 1))
+            ELSE (1000000 * (q3 + q1 - 2 * q2)) // greatest(q3 - q1, 1) END
+            AS BIGINT) AS bowley_micro
         FROM q ORDER BY c_mktsegment""")),
 
     // ---- day-of-week x hour activity heatmap, EXACT ----

@@ -1323,7 +1323,10 @@ object TextOps {
     // HUGEINT at the SOURCE of each product: per-type counts square
     // past int64 at corpus scale, and S1^2 does too, so the widening
     // cannot wait for the final division (the rel_rate_correlation
-    // advice-item class).
+    // advice-item class). S2 itself stays an internal accumulator —
+    // only the length-invariant quotient is emitted, because at
+    // exactly the corpus scale the widening exists for, a raw-S2
+    // output column would abort the final BIGINT cast.
     "text_yule_k" -> Q(
       (s, dir) => {
         val bg = t(s, dir, "documents")
@@ -1339,7 +1342,6 @@ object TextOps {
             count(lit(1)).as("n_types"),
             sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
           .selectExpr("source", "s1", "n_types",
-            "CAST(s2 AS BIGINT) AS s2",
             """CAST((10000000000 * CAST(s2 - s1 AS DECIMAL(38,0)))
                div (CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)
                AS yule_k_micro""")
@@ -1356,7 +1358,7 @@ object TextOps {
             count(*) AS n_types,
             sum(CAST(c AS HUGEINT) * c) AS s2
           FROM c GROUP BY source)
-        SELECT source, s1, n_types, CAST(s2 AS BIGINT) AS s2,
+        SELECT source, s1, n_types,
           CAST((10000000000 * CAST(s2 - s1 AS HUGEINT))
             // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) AS yule_k_micro
         FROM agg ORDER BY source""")),
@@ -1400,7 +1402,12 @@ object TextOps {
           .join(broadcast(ss.select(col("source").as("sa"), col("ss").as("ssa"))), "sa")
           .join(broadcast(ss.select(col("source").as("sb"), col("ss").as("ssb"))), "sb")
           .selectExpr("sa", "sb",
-            "CAST(1000000 * (dot * dot) div (ssa * ssb) AS BIGINT) AS cos2_micro")
+            // greatest(_, 1): a source whose bigram mass exceeds 1e6x
+            // its max per-type frequency floors every per-million
+            // profile entry to 0 and its ss with it — the guard turns
+            // that extreme-vocabulary seam into cos2 = 0, not a
+            // divide-by-zero null
+            "CAST(1000000 * (dot * dot) div greatest(ssa * ssb, 1) AS BIGINT) AS cos2_micro")
           .orderBy("sa", "sb")
       },
       Some("""WITH w AS (SELECT source,
@@ -1422,7 +1429,7 @@ object TextOps {
           GROUP BY sa, sb)
         SELECT sa, sb,
           CAST(1000000 * (dot * dot)
-            // (x.ss * y.ss) AS BIGINT) AS cos2_micro
+            // greatest(x.ss * y.ss, 1) AS BIGINT) AS cos2_micro
         FROM dots JOIN ss x ON sa = x.source JOIN ss y ON sb = y.source
         ORDER BY sa, sb"""))
   )
