@@ -185,10 +185,14 @@ object SeqAnalysis {
     val sk = hashes
       .withColumn("rk", row_number().over(Window.partitionBy("gid").orderBy("h")))
       .where(col("rk") <= sketchSize).select("gid", "h")
-    val gids = sk.select("gid").distinct()
-    val pairKeys = broadcast(gids.select(col("gid").as("ga"))
-      .crossJoin(gids.select(col("gid").as("gb")))
-      .where(col("ga") < col("gb")))
+    // pair frame: ONE genome-count-bounded row (sorted id list), then
+    // two generators expand the i<j pairs — no join node of any kind
+    // (a crossJoin-with-filter plans as a BroadcastNestedLoopJoin even
+    // at G rows, and plan gates ban that node outright)
+    val pairKeys = broadcast(sk.select("gid").distinct()
+      .agg(sort_array(collect_list(col("gid"))).as("gs"))
+      .select(explode(col("gs")).as("ga"), col("gs"))
+      .select(col("ga"), explode(expr("filter(gs, g -> g > ga)")).as("gb")))
     // each sketch row lands on the pairs where its genome is the A
     // side and where it is the B side — two broadcast EQUI-joins
     // union'd, not one OR-condition join (an OR key forces a

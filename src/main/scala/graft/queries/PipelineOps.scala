@@ -1775,13 +1775,18 @@ object PipelineOps {
     // The simplest link predictor a dedup/graph pipeline ships: for
     // every non-adjacent node pair at distance 2, the number of
     // shared neighbors, top-20 by (score desc, pair). Same synthetic
-    // ring+hash graph as pipe_triangle_stats. Shape: one wedge
-    // self-join through the shared endpoint (fan bounded by degree —
-    // the orientation x<y halves it), minus existing edges via a
-    // broadcast-able anti join; candidate mass is sum(deg^2), the
-    // quantity a 100 TB deployment caps by degree-clipping hubs
-    // BEFORE the wedge join (the same lever as pipe_triangle_stats).
-    // The final top-20 is a bounded TakeOrdered, not a global sort.
+    // ring+hash graph as pipe_triangle_stats. Shape: the adjacency is
+    // DEGREE-CLIPPED before the wedge self-join — each node keeps its
+    // c = 8 lowest-id neighbors (deterministic, no ties: neighbor ids
+    // are distinct, so both engines clip identically) — which caps
+    // the wedge candidate mass at n*c^2 instead of sum(deg^2): the
+    // synthetic hash hubs reach degree ~2500 at sf10, ~1.2e9 wedge
+    // rows unclipped, vs O(n*64) clipped. Counting common neighbors
+    // over the clipped adjacency is the standard large-graph
+    // approximation (hub neighborhoods are sampled, not enumerated).
+    // The wedge then drops existing edges via a broadcast-able anti
+    // join; the final top-20 is a bounded TakeOrdered, not a global
+    // sort.
     "pipe_link_prediction" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -1796,9 +1801,13 @@ object PipelineOps {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-        // undirected adjacency (both directions) for the wedge join
+        // undirected adjacency (both directions), degree-clipped to
+        // the c lowest-id neighbors per node before the wedge join
         val adj = e.select(col("a").as("n"), col("b").as("m"))
           .union(e.select(col("b").as("n"), col("a").as("m")))
+          .withColumn("rnb",
+            row_number().over(Window.partitionBy("n").orderBy("m")))
+          .where(col("rnb") <= 8).select("n", "m")
         val wedges = adj.as("l").join(adj.as("r"), Seq("n"))
           .where(col("l.m") < col("r.m"))
           .select(col("l.m").as("x"), col("r.m").as("y"))
@@ -1820,7 +1829,10 @@ object PipelineOps {
           FROM documents, (VALUES (1), (2)) v(k)),
         e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
           FROM raw WHERE src <> dst),
-        adj AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        adj0 AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        adj AS (SELECT n, m FROM (
+            SELECT n, m, row_number() OVER (PARTITION BY n ORDER BY m) AS rnb
+            FROM adj0) WHERE rnb <= 8),
         wedges AS (SELECT l.m AS x, r.m AS y, count(*) AS cn
           FROM adj l JOIN adj r ON l.n = r.n AND l.m < r.m
           GROUP BY l.m, r.m),

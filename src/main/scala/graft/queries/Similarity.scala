@@ -119,6 +119,43 @@ object Similarity {
     withBest.select(col("vec_id"), col("best.cid").as("cid"), col("v"))
   }
 
+  /** ann_knn_graph machinery: exact in-cell kNN edges (k=3 per vector,
+    * ties by neighbor id) over TRAINED coarse-quantizer cells sized to
+    * the corpus — k = max(8, ceil(n/64)) k-means cells from
+    * [[kmeansAssigned]], so cells hold ~64 vectors at ANY corpus size
+    * and the in-cell pair space sum(|cell|^2) ~ 64n stays linear (a
+    * FIXED cell count makes it quadratic: the round-11 ScaleProbe
+    * measured alpha -> 1.07/decade on the 10-label key). The corpus
+    * count is a 1-row staging action sizing the quantizer; assignment
+    * is map-only against the broadcast centroid pack, and the kNN
+    * join is an EQUI-join on the cell id (PlanQualitySpec pins it on
+    * this un-barriered frame). The n*k assignment term is quadratic
+    * in principle (k grows with n) but 64x below the pair space a
+    * fixed-k quantizer would cost; past ~10^7 vectors a deployment
+    * caps it with a sample-trained hierarchical quantizer. */
+  private[graft] def knnGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).transform(Q.barrier)
+    val k = math.max(8L, (e.count() + 63) / 64).toInt
+    val (assigned, _) = kmeansAssigned(e.select("vec_id", "v"), k)
+    // the quantizer drops non-key columns; rejoin the label for the
+    // census, and barrier so the left/right sides of the kNN
+    // self-join read ONE materialized assignment
+    val a = assigned.join(e.select("vec_id", "label"), "vec_id")
+      .transform(Q.barrier)
+    val l = a.select(col("cid"), col("label"), col("vec_id").as("src"),
+      col("v").as("qv"))
+    val r = a.select(col("cid").as("cid2"), col("vec_id").as("dst"), col("v"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos_micro").desc, col("dst"))
+    l.join(r, col("cid") === col("cid2") && col("src") =!= col("dst"))
+      .select(col("label"), col("src"), col("dst"),
+        expr("CAST(round(graft_cosine_sim(qv, v) * 1000000) AS BIGINT)")
+          .as("cos_micro"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("label", "src", "dst", "cos_micro")
+  }
+
   /** PQ-ADC machinery for ann_pq_adc / ann_ivfpq_topk — delegates to
     * the PUBLIC implementation ([[graft.pipeline.VectorOps.pqMachinery]],
     * the facade's pqTopK path), so the oracle gate proves the code a
@@ -1375,40 +1412,21 @@ object Similarity {
     // Graph-based indexes (HNSW/NSG) start from exactly this: each
     // vector's k nearest neighbors, and the graph's RECIPROCITY (how
     // many kNN edges point both ways) — the connectivity gauge that
-    // predicts search recall. Neighbors are found within the label
-    // cell (the same IVF-cell discipline as ann_ivf_topk: the pair
-    // space is cell-bounded, sum(|cell|^2), never corpus^2), scored
-    // in rounded micro so the census sums stay integer-exact, ranked
-    // k=3 per vector by (cos desc, vec_id). Census per label:
-    // vectors, edges, reciprocal edge count, mean edge cosine.
-    //
-    // Scale honesty (same discipline as dedup_radius_pairs): with the
-    // gate's FIXED 10 label cells, cell size grows with the corpus
-    // and the in-cell pair space is quadratic — ScaleProbe measures
-    // alpha -> 1.07/decade at gs1 exactly as the shape predicts. The
-    // production lever is the CELL COUNT: a deployment derives cells
-    // from a trained quantizer with k ~ n / targetCellSize (the
-    // ann_kmeans_ivf machinery), which holds sum(|cell|^2) ~ n *
-    // targetCellSize — linear in the corpus. The construction below
-    // is cell-count-agnostic; only the gate's cell key is fixed.
+    // predicts search recall. Neighbors are found within TRAINED
+    // coarse-quantizer cells sized to the corpus (see
+    // [[knnGraphEdges]]: k = max(8, ceil(n/64)) k-means cells via the
+    // ann_kmeans_ivf machinery, so sum(|cell|^2) ~ 64n stays LINEAR
+    // in the corpus — the round-11 fixed-10-label-cell shape measured
+    // alpha -> 1.07/decade toward n^2; growing the cell count with n
+    // is the fix, now in code). Edges are scored in rounded micro so
+    // the census sums stay integer-exact, ranked k=3 per vector by
+    // (cos desc, vec_id). Census per label: vectors, edges,
+    // reciprocal edge count, mean edge cosine. The oracle retrains
+    // the SAME quantizer (dynamic k from its own count) and replays
+    // the in-cell search exactly.
     "ann_knn_graph" -> Q(
       (s, dir) => {
-        val e = vecs(s, dir)
-        val l = e.select(col("label"), col("vec_id").as("src"),
-          col("v").as("qv"))
-        val r = e.select(col("label").as("lab2"), col("vec_id").as("dst"),
-          col("v"))
-        val w = Window.partitionBy("src")
-          .orderBy(col("cos_micro").desc, col("dst"))
-        val knn = l.join(r,
-            col("label") === col("lab2") && col("src") =!= col("dst"))
-          .select(col("label"), col("src"), col("dst"),
-            expr("CAST(round(graft_cosine_sim(qv, v) * 1000000) AS BIGINT)")
-              .as("cos_micro"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 3)
-          .select("label", "src", "dst", "cos_micro")
-        val knnB = Q.barrier(knn)
+        val knnB = Q.barrier(knnGraphEdges(s, dir))
         val rev = knnB.select(col("src").as("r_src"), col("dst").as("r_dst"))
         val recip = knnB.join(rev,
             col("src") === col("r_dst") && col("dst") === col("r_src"),
@@ -1430,13 +1448,36 @@ object Similarity {
       },
       Some("""WITH e AS (SELECT vec_id, label,
             [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        kk AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+          FROM e),
+        seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+        d1 AS (SELECT e.vec_id, s.cid, e.v,
+            round(list_sum([(e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i])
+                            for i in range(1, 65)]), 6) AS d
+          FROM e CROSS JOIN seeds s),
+        a1 AS (SELECT vec_id, cid, v FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d, cid) AS rn FROM d1)
+          WHERE rn = 1),
+        m1 AS (SELECT cid, i - 1 AS dim, round(avg(v[i]), 9) AS m
+          FROM a1, range(1, 65) AS t(i) GROUP BY cid, i),
+        c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        d2 AS (SELECT e.vec_id, e.label, e.v, c.cid,
+            round(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                            for i in range(1, 65)]), 6) AS d
+          FROM e CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, label, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d, cid) AS rn FROM d2)
+          WHERE rn = 1),
         scored AS (SELECT l.label, l.vec_id AS src, r.vec_id AS dst,
             CAST(round(
               list_sum([l.v[i] * r.v[i] for i in range(1, len(r.v) + 1)])
               / (sqrt(list_sum([x * x for x in l.v]))
                  * sqrt(list_sum([x * x for x in r.v]))) * 1000000)
               AS BIGINT) AS cos_micro
-          FROM e l JOIN e r ON l.label = r.label AND l.vec_id <> r.vec_id),
+          FROM a2 l JOIN a2 r ON l.cid = r.cid AND l.vec_id <> r.vec_id),
         knn AS (SELECT * FROM (
             SELECT *, row_number() OVER (PARTITION BY src
                 ORDER BY cos_micro DESC, dst) AS rn

@@ -912,9 +912,20 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("ann_knn_graph: neighbor search stays cell-bounded, census reads the barriered graph") {
-    // the kNN self-join must key on the label cell (equi-join, never a
-    // cartesian corpus product), and the reciprocity pass re-reads the
-    // barriered kNN frame (ExistingRDD), not the parquet corpus.
+    // the kNN self-join must be an EQUI-join on the trained quantizer
+    // cell id (never a cartesian / nested-loop corpus product) — the
+    // property that keeps the pair space sum(|cell|^2) ~ 64n linear.
+    // Pinned on the un-barriered edge frame, where the join is visible.
+    val edges = queries.Similarity.knnGraphEdges(spark, SF)
+    val ePlan = fullPlanString(edges)
+    assert(!ePlan.contains("CartesianProduct") &&
+      !ePlan.contains("BroadcastNestedLoopJoin"),
+      s"knn join lost its cell equi-key:\n$ePlan")
+    assert(ePlan.contains("SortMergeJoin") ||
+      ePlan.contains("ShuffledHashJoin") || ePlan.contains("BroadcastHashJoin"),
+      s"no hash/merge equi-join on the cell id:\n$ePlan")
+    // and the reciprocity census must re-read the barriered kNN frame
+    // (ExistingRDD), not the parquet corpus.
     val plan = fullPlanString(SparkEntry.queries("ann_knn_graph")(spark, SF))
     assert(!plan.contains("CartesianProduct"),
       s"knn join lost its cell equi-key:\n$plan")
@@ -923,6 +934,19 @@ class PlanQualitySpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(
       plan.split("== Initial Plan ==").head).length
     assert(scans == 0, s"census re-scanned parquet past the barrier:\n$plan")
+  }
+
+  test("fmt_mash_jaccard: sketch-to-pair fan rides equi-joins, not an OR-condition BNLJ") {
+    // each sketch row must hash onto the broadcast pair frame twice
+    // (A side, B side) — an OR join key would force a
+    // BroadcastNestedLoopJoin scanning every sketch row against all
+    // G^2/2 pairs.
+    val plan = fullPlanString(SparkEntry.queries("fmt_mash_jaccard")(spark, SF))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pair fan fell back to a nested-loop OR join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"fmt_mash_jaccard:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pair frame not broadcast onto the sketches:\n$plan")
   }
 
   test("new pair-stage entries broadcast their bounded frames") {

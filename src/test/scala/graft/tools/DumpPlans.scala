@@ -117,8 +117,10 @@ object DumpPlans {
     "fmt_mash_jaccard" ->
       """Mash sketching: genomes reduce to sketchSize i64 hashes BEFORE
         |any join (bottom-k window on the exploded k-mer stream); the
-        |pairwise phase joins broadcast pair keys against sketch rows —
-        |sequence data never rides an exchange.""".stripMargin,
+        |pairwise phase hashes sketch rows onto the broadcast pair keys
+        |as TWO equi-joins union'd (A side, B side — never an
+        |OR-condition nested loop); sequence data never rides an
+        |exchange.""".stripMargin,
     "rel_interval_multiinter" ->
       """N-set interval partition: per-source deltas pivot to fixed
         |columns so ONE ordered running-sum window carries all three
@@ -160,11 +162,13 @@ object DumpPlans {
         |by span count, and a junction-keyed partial-agg count as the
         |only exchange.""".stripMargin,
     "fmt_taxon_lca" ->
-      """Kraken-style LCA: the taxonomy's pointer-doubling ancestor
-        |closure (log-depth keyed rounds, localCheckpoint-truncated)
-        |BROADCASTS onto the read-hit stream; the deepest
-        |all-hits-covering ancestor falls out of two keyed aggs —
-        |reads never reshuffle on anything but their own id.""".stripMargin,
+      """Kraken-style LCA: the taxonomy's ancestor closure (hybrid —
+        |per-tree parent-chain walk in ONE expression for small trees,
+        |pointer-doubling with a provable round budget for deep ones;
+        |no per-round convergence action either way) BROADCASTS onto
+        |the read-hit stream; the deepest all-hits-covering ancestor
+        |falls out of two keyed aggs — reads never reshuffle on
+        |anything but their own id.""".stripMargin,
     "rel_time_gap_fill" ->
       """LOCF gap fill: the hour spine derives from a 1-row min/max
         |aggregate broadcast (never a global window); the
@@ -261,11 +265,12 @@ object DumpPlans {
         |history; the window formulation would shuffle + sort the full
         |log.""".stripMargin,
     "ann_knn_graph" ->
-      """kNN graph build stays cell-bounded: the self-join keys on the
-        |IVF cell (equi-join, sum(|cell|^2) pair space), ranks within
-        |the cell partition, and the reciprocity pass re-reads the
-        |BARRIERED kNN frame — the corpus parquet appears in no later
-        |stage.""".stripMargin,
+      """kNN graph build stays cell-bounded AND the bound scales: cells
+        |come from a trained quantizer sized k ~ n/64, so the
+        |self-join's equi-key holds sum(|cell|^2) ~ 64n linear in the
+        |corpus; ranking happens within the cell partition, and the
+        |reciprocity pass re-reads the BARRIERED kNN frame — the
+        |corpus parquet appears in no later stage.""".stripMargin,
     "text_source_cosine" ->
       """Pairwise source cosine² with NO source×source scan: the pair
         |space is an equi-join on the bigram TYPE key (bounded by
