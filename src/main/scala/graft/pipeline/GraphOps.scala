@@ -39,29 +39,45 @@ object GraphOps {
                     dampingPct: Int = 85): DataFrame = {
     require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
     require(dampingPct >= 0 && dampingPct <= 100, dampingPct.toString)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val base = (100L - dampingPct) * 1000000L / 100L
-    var ranks = nodes.withColumn("prm", lit(1000000L)).localCheckpoint()
-    for (_ <- 0 until iters) {
-      val contrib = ranks
-        .join(deg, ranks("node") === deg("src"))
-        // integer `div`, not `/`: Column./ is double division, whose
-        // rounding can cross an integer boundary before the floor
-        .select(col("node"), expr("prm div outdeg").as("unit"))
-        .join(edges, col("node") === edges("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("unit")).as("incoming"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          expr(s"$base + ($dampingPct * coalesce(incoming, 0L)) div 100")
-            .as("prm"))
+    // Materialize the loop INVARIANTS once: edges may arrive as an
+    // arbitrary derivation pipeline (a parquet scan + projection at
+    // best, a multi-join at worst), and every round's checkpoint action
+    // would otherwise re-execute that pipeline for the edge join AND
+    // the nodes/deg re-derivations — iters+1 full recomputes of frames
+    // that never change. The count doubles as the loop's shuffle sizing
+    // (same rationale as the CC labeler: per-round cost has a
+    // scheduling floor × partition count term, so a global knob tuned
+    // for corpus-sized shuffles inverts on the tiny per-round frames).
+    val e = edges.localCheckpoint()
+    val nEdges = e.count()
+    val loopParts = math.max(4L, math.min(nEdges / 250000L + 1L, 4096L)).toInt
+    graft.queries.Q.withShufflePartitions(e.sparkSession, loopParts) {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
         .localCheckpoint()
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()
+      val base = (100L - dampingPct) * 1000000L / 100L
+      var ranks = nodes.withColumn("prm", lit(1000000L)).localCheckpoint()
+      for (_ <- 0 until iters) {
+        val contrib = ranks
+          .join(deg, ranks("node") === deg("src"))
+          // integer `div`, not `/`: Column./ is double division, whose
+          // rounding can cross an integer boundary before the floor
+          .select(col("node"), expr("prm div outdeg").as("unit"))
+          .join(e, col("node") === e("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("unit")).as("incoming"))
+        ranks = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            expr(s"$base + ($dampingPct * coalesce(incoming, 0L)) div 100")
+              .as("prm"))
+          .localCheckpoint()
+      }
+      ranks
     }
-    ranks
   }
 
   /** Synchronous label propagation (the classic LPA community
@@ -86,19 +102,28 @@ object GraphOps {
       .union(edges.selectExpr("dst AS src", "src AS dst"))
       .distinct()
       .localCheckpoint()
-    val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
-    for (_ <- 0 until iters) {
-      labels = sym
-        .join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("src").orderBy(col("n").desc, col("label").asc)))
-        .where(col("rk") === 1)
-        .select(col("src").as("node"), col("label"))
-        .localCheckpoint()
+    // self-size the loop's shuffles from the (already materialized)
+    // edge count — per-round cost has a scheduling floor × partition
+    // count term over frames bounded by the edge list, so inheriting a
+    // corpus-tuned global knob inverts here (same rationale and sizing
+    // as the CC labeler)
+    val loopParts =
+      math.max(4L, math.min(sym.count() / 250000L + 1L, 4096L)).toInt
+    graft.queries.Q.withShufflePartitions(sym.sparkSession, loopParts) {
+      val nodes = sym.select(col("src").as("node")).distinct()
+      var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+      for (_ <- 0 until iters) {
+        labels = sym
+          .join(labels, sym("dst") === labels("node"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("src").orderBy(col("n").desc, col("label").asc)))
+          .where(col("rk") === 1)
+          .select(col("src").as("node"), col("label"))
+          .localCheckpoint()
+      }
+      labels
     }
-    labels
   }
 
   /** Triangle count + global clustering coefficient over an
@@ -135,6 +160,10 @@ object GraphOps {
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint()
     var prev = und.count()
+    // self-size the peeling rounds' shuffles from the edge count (same
+    // scheduling-floor rationale and sizing as the CC labeler)
+    val loopParts = math.max(4L, math.min(prev / 250000L + 1L, 4096L)).toInt
+    graft.queries.Q.withShufflePartitions(und.sparkSession, loopParts) {
     var done = prev == 0
     var round = 0
     while (!done && round < maxRounds) {
@@ -155,6 +184,7 @@ object GraphOps {
         s"($prev edges remain) — raise maxRounds")
     und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    } // withShufflePartitions
   }
 
   def triangleStats(edges: DataFrame, srcCol: String = "src",

@@ -38,27 +38,62 @@ object Multimodal {
     * decoded sums in closed-form SQL arithmetic: if the codec (or the
     * binary column plumbing) corrupted anything, the hashes diverge. */
   object ImageCodec {
-    def decode(bytes: Array[Byte]): FakeDecoder.Decoded = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      require(img != null, "bytes are not a decodable image")
+    // ImageIO's stream factories default to DISK-backed caching: every
+    // read()/write()/createImageInputStream() call spills the (already
+    // in-memory) byte array through a temp FILE — a create/write/read/
+    // delete round on executor-local disk PER IMAGE. With thousands of
+    // tiny media rows per partition that file churn, not pixel work,
+    // dominated the mm_real_* decode cost. The bytes never need a disk
+    // detour; cache in memory. (Executor-side object init — runs once
+    // per JVM before the first codec call.)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** BufferedImage -> flat row-major RGB bytes, bulk path. Exactly
+      * the values the per-pixel getRGB(x, y) loop produced (same
+      * ColorModel conversion), without the per-pixel method dispatch:
+      * single-band indexed images (GIF frames, palette PNGs) go
+      * through one palette LUT over the raw index raster, everything
+      * else through ONE bulk getRGB call. */
+    private def toRgbBuffer(img: java.awt.image.BufferedImage): FakeDecoder.Decoded = {
       val w = img.getWidth
       val h = img.getHeight
       val px = new Array[Byte](w * h * 3)
-      var y = 0
-      var i = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          px(i) = ((rgb >> 16) & 0xff).toByte
-          px(i + 1) = ((rgb >> 8) & 0xff).toByte
-          px(i + 2) = (rgb & 0xff).toByte
-          i += 3
-          x += 1
-        }
-        y += 1
+      val raster = img.getRaster
+      img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel
+            if raster.getNumBands == 1 &&
+              raster.getTransferType == java.awt.image.DataBuffer.TYPE_BYTE =>
+          val n = icm.getMapSize
+          val reds = new Array[Byte](n); val greens = new Array[Byte](n)
+          val blues = new Array[Byte](n)
+          icm.getReds(reds); icm.getGreens(greens); icm.getBlues(blues)
+          val idx = raster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+          var i = 0
+          var j = 0
+          while (i < w * h) {
+            val k = idx(i)
+            px(j) = reds(k); px(j + 1) = greens(k); px(j + 2) = blues(k)
+            i += 1; j += 3
+          }
+        case _ =>
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          var j = 0
+          while (i < w * h) {
+            val v = rgb(i)
+            px(j) = ((v >> 16) & 0xff).toByte
+            px(j + 1) = ((v >> 8) & 0xff).toByte
+            px(j + 2) = (v & 0xff).toByte
+            i += 1; j += 3
+          }
       }
       FakeDecoder.Decoded(w, h, px)
+    }
+
+    def decode(bytes: Array[Byte]): FakeDecoder.Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "bytes are not a decodable image")
+      toRgbBuffer(img)
     }
 
     /** Encode a grayscale gradient as PNG, pixel(x, y) given by `gray`
@@ -135,27 +170,7 @@ object Multimodal {
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
-        (0 until n).map { i =>
-          val img = reader.read(i)
-          val w = img.getWidth
-          val h = img.getHeight
-          val px = new Array[Byte](w * h * 3)
-          var y = 0
-          var j = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              px(j) = ((rgb >> 16) & 0xff).toByte
-              px(j + 1) = ((rgb >> 8) & 0xff).toByte
-              px(j + 2) = (rgb & 0xff).toByte
-              j += 3
-              x += 1
-            }
-            y += 1
-          }
-          FakeDecoder.Decoded(w, h, px)
-        }
+        (0 until n).map(i => toRgbBuffer(reader.read(i)))
       } finally {
         reader.dispose()
         iis.close()

@@ -426,9 +426,20 @@ object Dedup {
     val nEdges = sym.count() // forces the cache; sizes the loop's shuffles
     val loopParts = math.max(4L, math.min(nEdges / 250000L + 1L, 4096L)).toInt
     Q.withShufflePartitions(sym.sparkSession, loopParts) {
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var prevSum = Long.MinValue
+    // Seed with round 1 computed as ONE keyed agg: starting from
+    // labels(x) = x, the first propagation round's output is exactly
+    // min(node, min neighbor) — so fold it into the seed (one shuffle)
+    // instead of paying a full join round to derive it. Same label
+    // sequence from here on, one fewer round.
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .transform(Q.barrier)
+    // prevSum = the seed's own sum (a 1-row agg over checkpointed
+    // blocks): labels only decrease, so an unchanged sum == fixpoint —
+    // seeding the comparison lets an already-converged seed (cliques,
+    // star-shaped dup clusters) exit after ONE join round, not two.
+    var prevSum = labels.selectExpr("coalesce(sum(label), 0) AS s")
+      .collect()(0).getLong(0)
     var converged = false
     var rounds = 0
     val MaxRounds = 64 // log2-scale: diameter would need to exceed 2^64
@@ -436,17 +447,24 @@ object Dedup {
       if (rounds >= MaxRounds)
         throw new IllegalStateException(
           s"connected components failed to converge after $MaxRounds doubling rounds")
-      val viaEdges = labels.join(sym, col("node") === col("src"))
-        .select(col("dst").as("node"), col("label"))
-      val viaChain = labels.as("a")
-        .join(labels.as("b"), col("a.label") === col("b.node"))
-        .select(col("a.node").as("node"), col("b.label").as("label"))
+      // ONE join per round instead of three frames: the chain hop
+      // node -> label(label(node)) is the same join shape as the edge
+      // hop once each label row is read as an edge label(n) -> n, so
+      // both propagate through a single (src)-keyed equi-join against
+      // the label frame. The self term (labels itself) is redundant:
+      // every node n receives label(label(n)) via its chain edge, and
+      // label(label(n)) <= label(n) because label(x) <= x for all x —
+      // so dropping the self-union changes nothing. Round cost falls
+      // from ~5 exchanges (3 label sides + edges + union re-agg) to 2
+      // (labels by node, edges∪chain by src; the min-agg reuses the
+      // join's partitioning).
+      val edgesAll = sym.union(labels.select(col("label").as("src"), col("node").as("dst")))
       // localCheckpoint doubles as per-round lineage truncation: without
       // it each round's plan nests the previous round's, and the driver
       // pays quadratic planning time by round ~10. Superseded rounds'
       // blocks are freed by the ContextCleaner once unreferenced.
-      val propagated = viaEdges.union(viaChain).union(labels)
-        .groupBy("node").agg(min(col("label")).as("label"))
+      val propagated = edgesAll.join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("label"))
         .transform(Q.barrier)
       val sum0 = propagated.selectExpr("coalesce(sum(label), 0) AS s")
         .collect()(0).getLong(0)

@@ -116,7 +116,11 @@ object Similarity {
       else
         scored.withColumn("best", explode(expr(
           s"slice(array_sort(transform(cs, c -> struct($dExpr))), 1, $probes)")))
-    withBest.select(col("vec_id"), col("best.cid").as("cid"), col("v"))
+    // carry every input column through (not just vec_id + v): callers
+    // that thread payload columns alongside the vector (e.g. the radius
+    // family's original-scale vectors) keep them without re-joining the
+    // corpus by id after assignment
+    withBest.select(col("best.cid").as("cid") +: e.columns.map(col): _*)
   }
 
   /** ann_knn_graph machinery: exact in-cell kNN edges (k=3 per vector,
@@ -217,7 +221,14 @@ object Similarity {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
     val norm =
       "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
-    val en = e.select(col("vec_id"), expr(norm).as("v"))
+    // vo = the ORIGINAL vector rides alongside its normalized twin all
+    // the way through assignment and the ringed barrier, so the exact
+    // verify below needs no corpus-by-id re-join: the old
+    // `.join(e, vec_id)` shuffled the corpus a second time (both sides
+    // keyed on vec_id) purely to re-attach bytes the pipeline had
+    // already read — guide §2.4 (remove shuffles outright) / §8 (move
+    // heavy payloads once).
+    val en = e.select(col("vec_id"), expr(norm).as("v"), col("v").as("vo"))
     val (assigned0, cents) = kmeansAssigned(en)
     // Ring-partitioned bounds, same as selfPruneFrames: the per-cell
     // max radius is outlier-fragile (one isotropic member blows the
@@ -232,16 +243,15 @@ object Similarity {
     val ringed = Q.barrier(assigned0.join(broadcast(cents), Seq("cid"))
       .withColumn("md", expr("round(sqrt(graft_l2_sq(v, cv)), 6)"))
       .withColumn("rid", least(floor(col("md") / lit(0.25)).cast("int"), lit(7)))
-      .select(col("vec_id"), col("cid"), col("rid"), col("md")))
+      .select(col("vec_id"), col("cid"), col("rid"), col("md"), col("vo")))
     val cells = ringed.groupBy("cid", "rid").agg(max(col("md")).as("crad"))
     val r = math.sqrt(2.0 - 2.0 * tau)
     val survive = q.select(col("vec_id").as("q_id"), expr(norm).as("qvn"))
       .crossJoin(broadcast(cents.join(cells, Seq("cid"))))
       .where(expr("round(sqrt(graft_l2_sq(qvn, cv)), 6)") <= lit(r) + col("crad") + lit(1e-5))
       .select(col("q_id"), col("cid"), col("rid"))
-    ringed.select(col("vec_id"), col("cid"), col("rid"))
+    ringed.select(col("vec_id"), col("cid"), col("rid"), col("vo").as("v"))
       .join(broadcast(survive), Seq("cid", "rid"))
-      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
       .join(broadcast(q.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
@@ -265,13 +275,15 @@ object Similarity {
     * Shared by dedup_radius_pairs; losslessness property-checked in
     * RadiusSearchSpec. */
   private[graft] def radiusSelfPairs(e: DataFrame, tau: Double, k: Int = 8): DataFrame = {
+    // both member sides read the barriered assignment, which carries
+    // the ORIGINAL vector (selfPruneFrames threads it through the
+    // quantizer) — no corpus-by-id re-join to re-attach bytes the
+    // pipeline already read
     val (assigned, cellPairs) = selfPruneFrames(e, tau, k)
-    val orig = assigned.select(col("vec_id"), col("cid"), col("rid"))
-      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
-    val a = orig.select(col("vec_id").as("id_a"), col("cid").as("c1"),
-      col("rid").as("ring1"), col("v").as("qv"))
-    val b = orig.select(col("vec_id").as("id_b"), col("cid").as("c2"),
-      col("rid").as("ring2"), col("v").as("v"))
+    val a = assigned.select(col("vec_id").as("id_a"), col("cid").as("c1"),
+      col("rid").as("ring1"), col("vo").as("qv"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("cid").as("c2"),
+      col("rid").as("ring2"), col("vo").as("v"))
     a.join(broadcast(cellPairs), Seq("c1", "ring1"))
       .join(b, Seq("c2", "ring2"))
       .where(col("id_a") < col("id_b"))
@@ -283,8 +295,10 @@ object Similarity {
   /** The sub-cell machinery behind [[radiusSelfPairs]], shared with
     * the [[radiusPruneStats]] instrumentation so the reported survival
     * is the EXACT frame the search runs, not a re-derivation:
-    * (assigned(vec_id, cid, rid, v̂, md), cellPairs(c1, ring1, c2,
-    * ring2)).
+    * (assigned(vec_id, cid, rid, vo = ORIGINAL vector, md),
+    * cellPairs(c1, ring1, c2, ring2)). The original vector rides the
+    * barrier so the verify stage needs no corpus-by-id re-join; the
+    * normalized twin is dropped once md/rid are fixed.
     *
     * `k` is the pruning knob: more cells → tighter per-sub-cell radius
     * bounds → fewer surviving pairs and fewer Σ|c1|·|c2| candidates,
@@ -309,7 +323,10 @@ object Similarity {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
     val norm =
       "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
-    val en = e.select(col("vec_id"), expr(norm).as("v"))
+    // vo = original vector threaded through the quantizer (assignTo
+    // preserves payload columns) so the exact-verify stage never
+    // re-joins the corpus by id — see radiusSelfPairs
+    val en = e.select(col("vec_id"), expr(norm).as("v"), col("v").as("vo"))
     val (assigned0, cents) = kmeansAssigned(en, k)
     // Ring partitioning: a cell's bound is a MAX over members, so ONE
     // isotropic outlier per cell blows every crad to ~unit scale and
@@ -327,7 +344,7 @@ object Similarity {
       assigned0.join(broadcast(cents), Seq("cid"))
         .withColumn("md", expr("round(sqrt(graft_l2_sq(v, cv)), 6)"))
         .withColumn("rid", least(floor(col("md") / lit(0.25)).cast("int"), lit(7)))
-        .select(col("vec_id"), col("cid"), col("rid"), col("v"), col("md")))
+        .select(col("vec_id"), col("cid"), col("rid"), col("vo"), col("md")))
     val cells = assigned
       .groupBy("cid", "rid").agg(max(col("md")).as("crad"))
       .join(cents, Seq("cid"))
