@@ -119,10 +119,26 @@ object Multimodal {
 
     /** A 256-entry grayscale palette: with an indexed image the GIF
       * writer stores the palette verbatim, making the multi-frame
-      * round trip LOSSLESS (an RGB input would get quantized). */
-    private def grayPalette: java.awt.image.IndexColorModel = {
+      * round trip LOSSLESS (an RGB input would get quantized).
+      * A `val`: IndexColorModel is immutable and shareable — the old
+      * per-frame `def` allocated a fresh 256-entry model for EVERY
+      * frame of every clip. */
+    private val grayPalette: java.awt.image.IndexColorModel = {
       val ramp = Array.tabulate(256)(_.toByte)
       new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Per-thread GIF reader/writer: ImageIO's registry lookup +
+      * plugin construction per row is pure overhead in a mapPartitions
+      * batch loop; readers/writers are reusable after reset() but NOT
+      * thread-safe, so each executor task thread keeps its own. */
+    private val gifReader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    }
+    private val gifWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     }
 
     /** Encode `nFrames` full-size grayscale frames as one animated GIF
@@ -130,7 +146,7 @@ object Multimodal {
       * video codec), written frame-by-frame through writeToSequence. */
     def encodeGifFrames(width: Int, height: Int, nFrames: Int,
                         gray: (Int, Int, Int) => Int): Array[Byte] = {
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val writer = gifWriter.get()
       val bos = new java.io.ByteArrayOutputStream()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try {
@@ -157,14 +173,14 @@ object Multimodal {
         ios.flush()
         bos.toByteArray
       } finally {
-        writer.dispose()
+        writer.reset() // reusable across rows; per-thread instance
         ios.close()
       }
     }
 
     /** Decode every frame of an animated GIF to flat RGB buffers. */
     def decodeGifFrames(bytes: Array[Byte]): Seq[FakeDecoder.Decoded] = {
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val reader = gifReader.get()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -172,7 +188,7 @@ object Multimodal {
         val n = reader.getNumImages(true)
         (0 until n).map(i => toRgbBuffer(reader.read(i)))
       } finally {
-        reader.dispose()
+        reader.reset() // reusable across rows; per-thread instance
         iis.close()
       }
     }
@@ -256,6 +272,13 @@ object Multimodal {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
+      // the doc table ships as ONE small parquet file, so the scan is
+      // one partition — and unlike the projection-only consumers, HERE
+      // the scan stage carries the per-row codec work. Spread the
+      // (8-byte) ids across the session's cores before the heavy map
+      // (guide §2.5: unsplittable input → repartition right after the
+      // read); scale-adaptive, not a local[32] constant.
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { d =>
           val w = 4 + (d % 13).toInt
@@ -312,6 +335,9 @@ object Multimodal {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
+      // single-file scan + per-row GIF encode: parallelize the heavy
+      // map, not the 8-byte ids (see realMediaTable)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { d =>
           val nf = 5 + (d % 12).toInt
@@ -420,6 +446,9 @@ object Multimodal {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
+      // single-file scan + per-row WAV encode: parallelize the heavy
+      // map, not the 8-byte ids (see realMediaTable)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { d =>
           val n = 64 + (d % 97).toInt

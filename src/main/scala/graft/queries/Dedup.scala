@@ -56,7 +56,9 @@ object Dedup {
     * back. Expects (doc_id, text); returns
     * (id_a, id_b, inter, sz_a, sz_b), id_a < id_b. */
   private[graft] def containmentPairsOf(docs: DataFrame, minPct: Int): DataFrame = {
-    val posting = docs
+    // spread: the shingle explode runs in the scan stage (Q.spread is
+    // a no-op on an already-wide corpus)
+    val posting = Q.spread(docs, "doc_id")
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -97,7 +99,8 @@ object Dedup {
   private[graft] def editVerifiedPairsOf(docs: DataFrame, maxPct: Int = 20): DataFrame = {
     // barrier: the doc frame feeds the posting build plus two text-join
     // sides; without it the candidate self-join re-derives each.
-    val d = docs.select(col("doc_id"), col("text")).transform(Q.barrier)
+    val d = Q.spread(docs, "doc_id").select(col("doc_id"), col("text"))
+      .transform(Q.barrier)
     val posting = d
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= 3)
@@ -121,17 +124,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"), col("len_max"))
   }
 
-  /** doc_id + distinct 3-word shingles. */
+  /** doc_id + distinct 3-word shingles. The scan is spread first: the
+    * split + trigram transform + array_distinct runs IN the scan
+    * stage, and the testdata's single-file table would pin all of it
+    * to one task (Q.spread is a no-op on an already-wide corpus). */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    shingleSets(t(s, dir, "documents"))
+    shingleSets(Q.spread(t(s, dir, "documents"), "doc_id"))
   }
 
   /** 32-bit SimHash per doc via the native kernel (codegen'd; the
     * nested-HOF formulation costs ~17x interpreted). */
   private def simhashed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    t(s, dir, "documents")
+    Q.spread(t(s, dir, "documents"), "doc_id")
       .select(col("doc_id"),
         expr("graft_simhash32(array_distinct(split(text, ' ')))").as("simhash"))
   }
@@ -219,7 +225,9 @@ object Dedup {
     * sets, banded LSH buckets, and content hashes — what an incremental
     * (batch or streaming) delta probes against. */
   private[graft] def corpusDedupIndex(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val sets = shingleSets(corpus).transform(Q.barrier)
+    // spread: signature hashing runs in the corpus scan stage
+    val c = Q.spread(corpus, "doc_id")
+    val sets = shingleSets(c).transform(Q.barrier)
     val buckets = bandBucketsOf(sets).transform(Q.barrier)
     val hashes = corpus
       .select(col("doc_id"), md5(col("text").cast("binary")).as("mh"))
@@ -257,7 +265,8 @@ object Dedup {
       s"winnowingPairs: gramWidth ($gramWidth), window ($window) and " +
         s"minShared ($minShared) must all be >= 1")
     val gramCols = (0 until gramWidth).map(j => s"w[i+$j]").mkString(", ")
-    val posting = docs
+    // spread: gram hashing + window mins run in the scan stage
+    val posting = Q.spread(docs, "doc_id")
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= gramWidth + window - 1) // >= one full window
       .withColumn("hs", expr(
@@ -333,7 +342,7 @@ object Dedup {
   private[graft] def spanRemoval(docs: DataFrame, segWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(segWords >= 1, s"spanRemoval: segWords ($segWords) must be >= 1")
-    val segs = docs
+    val segs = Q.spread(docs, "doc_id")
       .where(length(col("text")) > 0)
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), col("w"),

@@ -255,7 +255,8 @@ object PipelineOps {
         // dedup_ngram_jaccard note); the distinct shuffles what the semi
         // join shuffles anyway. Checkpointed: the eval and train branches
         // both read it.
-        val grams = t(s, dir, "documents")
+        // spread: the 5-gram explode runs in the scan stage
+        val grams = Q.spread(t(s, dir, "documents"), "doc_id")
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 5)
           .select(col("doc_id"), col("source"), explode(expr(
@@ -370,7 +371,8 @@ object PipelineOps {
     // once and feed both sides, like the decontaminate entry.
     "pipe_contamination_report" -> Q(
       (s, dir) => {
-        val grams = t(s, dir, "documents")
+        // spread: the 5-gram explode runs in the scan stage
+        val grams = Q.spread(t(s, dir, "documents"), "doc_id")
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 5)
           .select(col("doc_id"), explode(expr(Gram5)).as("g"))
@@ -1228,7 +1230,7 @@ object PipelineOps {
     // frame bounded regardless of score cardinality.
     "pipe_threshold_sweep" -> Q(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = Q.spread(t(s, dir, "documents"), "doc_id")
         val weights = docs
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 2)

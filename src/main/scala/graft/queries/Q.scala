@@ -80,6 +80,24 @@ object Q {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Widen a NARROW scan before a heavy map stage. The driver's
+    * testdata ships each table as one small single-row-group parquet
+    * file, so every scan is one partition — fine for the projection
+    * feeding an aggregate, but a pipeline whose scan stage carries
+    * real per-row work (shingle explode + 32-permutation hashing,
+    * codecs) runs that work on ONE core. `maxPartitionBytes` cannot
+    * split below a row group, so the fix is an explicit key-hash
+    * repartition right after the read (guide §2.5: unsplittable input
+    * → repartition immediately). Guarded: a corpus that already scans
+    * at >= half the session's shuffle parallelism (every real multi-
+    * file deployment) passes through untouched, so at 100 TB this is
+    * a no-op, not an extra corpus shuffle. */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, col(key))
+    else df
+  }
+
   /** Materialize-once + lineage-truncation barrier. Reliable checkpoint
     * when the session has a checkpoint dir configured (survives executor
     * loss / dynamic-allocation decommission — the fault-tolerance

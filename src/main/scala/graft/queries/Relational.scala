@@ -796,9 +796,12 @@ object Relational {
     // full deterministic tie-break.
     "rel_market_basket" -> Q(
       (s, dir) => {
-        val items = t(s, dir, "lineitem")
+        // barrier: FOUR consumers (order count, part frequencies, both
+        // self-join sides) — without it each re-runs the corpus scan +
+        // the basket-distinct shuffle
+        val items = Q.barrier(t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
+          .distinct())
         val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
         val partFreq = items.groupBy(col("pk")).agg(count(lit(1)).as("n_ord"))
         val pairs = items.as("x")

@@ -1368,25 +1368,41 @@ object Similarity {
     // k x corpus intermediate rows (k bounded), no corpus self-join.
     "ann_label_margin" -> Q(
       (s, dir) => {
-        val v = vecs(s, dir)
-          .withColumn("i", expr("sequence(0, size(v) - 1)"))
-          .select(col("vec_id"), col("label"),
-            explode(arrays_zip(col("i"), col("v"))).as("z"))
-          .selectExpr("vec_id", "label", "z.i AS dim",
-            "CAST(round(z.v * 1000000) AS BIGINT) AS x")
-        val cent = Q.barrier(v.groupBy(col("label").as("clabel"), col("dim"))
-          .agg(sum(col("x")).as("sl")))
-        val bb = cent.groupBy("clabel")
-          .agg(sum(expr("CAST(sl AS DECIMAL(38,0)) * sl")).as("bb"))
-        val scored = v
-          .join(broadcast(cent), Seq("dim"))
-          .groupBy("vec_id", "label", "clabel")
-          .agg(sum(expr("CAST(x AS DECIMAL(38,0)) * sl")).as("dot"),
-            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("va"))
-          .join(broadcast(bb), Seq("clabel"))
-          .selectExpr("vec_id", "label", "clabel",
-            """CAST(IF(dot < 0, -1, 1)
-                 * (((1000000 * abs(dot)) div va) * abs(dot) div bb)
+        // The corpus stays at ROW granularity: per-label centroid sums
+        // pack into k broadcast rows (clabel, slv[64], bb) and every
+        // vector scores against all k inside one map-only projection
+        // over the packed arrays. The previous shape exploded the
+        // corpus ×64 dims, broadcast-joined per dim, and
+        // hash-aggregated |corpus|·k·64 rows back together — paying a
+        // corpus-sized explode + re-agg for arithmetic that never
+        // needed to leave the row (guide §2.3: don't shuffle what a
+        // projection can compute). Quantization, the DECIMAL(38,0)
+        // widening, and the staged div order are unchanged; integer
+        // sums are order-free, so every dot/va/bb is bit-identical.
+        val vm = vecs(s, dir).select(col("vec_id"), col("label"),
+          expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))").as("xs"))
+        val cent = vm
+          .select(col("label").as("clabel"), posexplode(col("xs")).as(Seq("dim", "x")))
+          .groupBy("clabel", "dim").agg(sum(col("x")).as("sl"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, sl))), p -> p.sl)").as("slv"))
+          .withColumn("bb", expr(
+            "aggregate(slv, CAST(0 AS DECIMAL(38,0)), (a, s) -> a + CAST(s AS DECIMAL(38,0)) * s)"))
+        // barrier: the centroid pipeline re-reads the corpus; with it
+        // materialized the embeddings parquet appears exactly ONCE in
+        // the final plan (the scoring pass) — plan-gated
+        val packed = Q.barrier(cent)
+          .agg(expr("collect_list(struct(clabel, slv, bb))").as("cs"))
+        val scored = vm.crossJoin(broadcast(packed))
+          .withColumn("va", expr(
+            "aggregate(xs, CAST(0 AS DECIMAL(38,0)), (a, x) -> a + CAST(x AS DECIMAL(38,0)) * x)"))
+          .select(col("vec_id"), col("label"), col("va"), explode(expr(
+            """transform(cs, c -> named_struct('clabel', c.clabel, 'bb', c.bb,
+                 'dot', aggregate(zip_with(xs, c.slv, (x, sl) -> CAST(x AS DECIMAL(38,0)) * sl),
+                                  CAST(0 AS DECIMAL(38,0)), (a, p) -> a + p)))""")).as("z"))
+          .selectExpr("vec_id", "label", "z.clabel AS clabel",
+            """CAST(IF(z.dot < 0, -1, 1)
+                 * (((1000000 * abs(z.dot)) div va) * abs(z.dot) div z.bb)
                AS BIGINT) AS m""")
         scored.groupBy("vec_id", "label")
           .agg(max(when(col("clabel") === col("label"), col("m"))).as("own_m"),

@@ -1081,6 +1081,12 @@ object TextOps {
     // would range-partition that rank.
     "text_heaps_law" -> Q(
       (s, dir) => {
+        // docDecile is barriered below: it feeds the first-seen join
+        // AND the per-decile mass agg, and re-deriving it would run the
+        // doc-rank window (the entry's only single-partition op) twice.
+        // toks deliberately re-derives per consumer: it is a map-only
+        // projection off the scan, cheaper to recompute than to
+        // materialize (measured both ways at sf0.1).
         val toks = t(s, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 3)
@@ -1088,10 +1094,10 @@ object TextOps {
             """transform(sequence(0, size(w) - 3),
                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))""")).as("tok"))
         val docMass = toks.groupBy("doc_id").agg(count(lit(1)).as("mass"))
-        val docDecile = docMass
+        val docDecile = Q.barrier(docMass
           .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
           .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
-          .selectExpr("doc_id", "mass", "(rn - 1) * 10 div nd + 1 AS decile")
+          .selectExpr("doc_id", "mass", "(rn - 1) * 10 div nd + 1 AS decile"))
         val firstSeen = toks.groupBy("tok").agg(min(col("doc_id")).as("doc_id"))
           .join(docDecile.select("doc_id", "decile"), Seq("doc_id"))
           .groupBy("decile").agg(count(lit(1)).as("new_types"))

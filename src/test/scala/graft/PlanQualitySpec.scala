@@ -857,16 +857,22 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("ann_label_margin: k x corpus scoring via broadcast centroids, one corpus scan") {
     // the confusable-mass census must not self-join the corpus: the
-    // centroid-sum frame is barriered (ExistingRDD) and broadcast, so
-    // the embeddings parquet appears exactly once (the scoring pass).
+    // packed centroid frame is barriered (ExistingRDD) and fans onto
+    // the corpus as ONE broadcast row (a Cross BNLJ, the assignTo
+    // packed-fan shape), so the embeddings parquet appears exactly
+    // once (the scoring pass) and the per-dim explode + corpus·k·64
+    // re-aggregation of the old shape cannot sneak back in.
     val plan = fullPlanString(SparkEntry.queries("ann_label_margin")(spark, SF))
     // count scans in the AQE FINAL plan only (the string repeats the
     // dataflow under "== Initial Plan ==")
     val finalPlan = plan.split("== Initial Plan ==").head
     val scans = "Scan parquet".r.findAllIn(finalPlan).length
     assert(scans == 1, s"expected 1 embeddings scan, got $scans:\n$finalPlan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"centroid join not broadcast:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"centroid fan not broadcast:\n$plan")
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"non-packed nested loop in the margin plan:\n${bnlj.mkString("\n")}")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("SortMergeJoin"), s"corpus-sized join in plan:\n$plan")
   }
