@@ -446,9 +446,6 @@ object Multimodal {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      // single-file scan + per-row WAV encode: parallelize the heavy
-      // map, not the 8-byte ids (see realMediaTable)
-      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { d =>
           val n = 64 + (d % 97).toInt

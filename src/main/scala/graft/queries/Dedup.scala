@@ -56,9 +56,7 @@ object Dedup {
     * back. Expects (doc_id, text); returns
     * (id_a, id_b, inter, sz_a, sz_b), id_a < id_b. */
   private[graft] def containmentPairsOf(docs: DataFrame, minPct: Int): DataFrame = {
-    // spread: the shingle explode runs in the scan stage (Q.spread is
-    // a no-op on an already-wide corpus)
-    val posting = Q.spread(docs, "doc_id")
+    val posting = docs
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -99,8 +97,7 @@ object Dedup {
   private[graft] def editVerifiedPairsOf(docs: DataFrame, maxPct: Int = 20): DataFrame = {
     // barrier: the doc frame feeds the posting build plus two text-join
     // sides; without it the candidate self-join re-derives each.
-    val d = Q.spread(docs, "doc_id").select(col("doc_id"), col("text"))
-      .transform(Q.barrier)
+    val d = docs.select(col("doc_id"), col("text")).transform(Q.barrier)
     val posting = d
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= 3)
@@ -342,7 +339,7 @@ object Dedup {
   private[graft] def spanRemoval(docs: DataFrame, segWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(segWords >= 1, s"spanRemoval: segWords ($segWords) must be >= 1")
-    val segs = Q.spread(docs, "doc_id")
+    val segs = docs
       .where(length(col("text")) > 0)
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), col("w"),
