@@ -97,20 +97,22 @@ object Bench {
     val passTotals = perPass.map(p => f"${p.map(_._2).filter(_ >= 0).sum}%.4f")
       .mkString("[", ",", "]")
     val staging = graft.queries.Stage.stagingSeconds
-    // Complete per-query JSON -> bench_full.json (the capture of stdout
-    // is tail-truncated at 2000 chars, which a 90+-query map overflows —
-    // BENCH_r03's parse failure); stdout carries it too for logs.
-    // "note", not "metric": only the compact final line below may match
-    // a '"metric"' grep, or the capture would race two candidates
+    // Complete per-query JSON -> bench_full.json ONLY. It must NOT be
+    // echoed to stdout: the driver captures a 2000-char stdout tail and
+    // the 461-entry map line lands inside that window, truncating the
+    // compact final line mid-JSON — every BENCH_r08..r12 artifact
+    // carries `parsed: null` for exactly this reason (r12 verdict item
+    // 1). The full map stays a committed file artifact.
     val full = f"""{"note":"full per-query map (median of $passes passes)","value":$total%.4f,"total_s":$total%.4f,"pass_totals":$passTotals,"staging_s":$staging%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
-    println(full)
-    // Final line: compact enough (<2000 chars) to survive the tail
-    // capture whole and parse — total, staging split out, and the
-    // slowest queries; the complete map lives in bench_full.json.
-    val top = results.sortBy(-_._2).take(25)
+    // Final line: the LAST and only large stdout line, comfortably
+    // under the driver's 2000-char tail window — total, staging split
+    // out, and the slowest queries; the complete map lives in
+    // bench_full.json. Top-10 keeps the line ~600 chars so the window
+    // also catches sbt's trailing [success] line with room to spare.
+    val top = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.4f,"total_s":$total%.4f,"pass_totals":$passTotals,"staging_s":$staging%.2f,"unit":"sec","n_queries":${results.size},"queries":$top,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()

@@ -61,6 +61,7 @@ object GraftFunctions {
     "graft_cosine_sim" -> (e => CosineSim(e(0), e(1))),
     "graft_l2_sq" -> (e => L2Sq(e(0), e(1))),
     "graft_lsh_bucket" -> (e => LshBucket(e(0), e(1))),
+    "graft_label_margin_scores" -> (e => LabelMarginScores(e(0), e(1))),
     // custom TypedImperativeAggregate (the analyzer wraps an
     // AggregateFunction builder result in AggregateExpression)
     "bottom_k_by_key" -> (e => BottomKByKey(e(0), e(1), e(2)))) ++

@@ -72,6 +72,30 @@ case class LshBucket(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "graft_lsh_bucket"
 }
 
+case class LabelMarginScores(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("clabel", IntegerType, nullable = true),
+    StructField("m", LongType, nullable = true))), containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _),
+          ArrayType(StructType(Array(
+            StructField(_, IntegerType, _, _),
+            StructField(_, ArrayType(LongType, _), _, _),
+            StructField(_, d: DecimalType, _, _))), _)) if d.scale == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"label_margin_scores requires (ARRAY<BIGINT>, ARRAY<STRUCT<INT, ARRAY<BIGINT>, DECIMAL(38,0)>>), got $t")
+  }
+  override def nullSafeEval(xs: Any, cs: Any): Any =
+    PipelineKernels.labelMarginScores(xs.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xs, cs) => s"graft.functions.PipelineKernels.labelMarginScores($xs, $cs)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LabelMarginScores =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_label_margin_scores"
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

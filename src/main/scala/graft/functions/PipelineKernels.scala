@@ -119,6 +119,103 @@ object PipelineKernels {
     out
   }
 
+  /** ann_label_margin scoring kernel: for a micro-quantized vector
+    * `xs` (ARRAY<BIGINT>) and the packed centroid list `cs`
+    * (ARRAY<STRUCT<clabel INT, slv ARRAY<BIGINT>, bb DECIMAL(38,0)>>),
+    * emit one (clabel, m) struct per centroid where
+    *   m = sign(dot) * (((1e6 * |dot|) div va) * |dot| div bb),
+    *   dot = Σ xs[i]*slv[i],  va = Σ xs[i]²
+    * — bit-identical to the DECIMAL(38,0) zip_with/aggregate HOF chain
+    * it replaces (integer sums are order-free; BigInteger divide
+    * truncates toward zero exactly like Spark's IntegralDivide on
+    * positive operands, and both stagings run on absolute values).
+    * The HOFs evaluated interpreted per row with per-element Decimal
+    * boxing — the entry's dominant remaining cost after round 12.
+    *
+    * Null semantics replay the HOF chain: a null element in xs nulls
+    * va and therefore every m; a null slv/bb or a length mismatch
+    * (zip_with's null padding) nulls that centroid's m; a null cs
+    * element yields a (null, null) struct. va = 0 or bb = 0 cannot
+    * occur on gate data (an all-zero quantized vector / empty label);
+    * the kernel returns a null m there where ANSI `div` would raise —
+    * documented divergence on an unreachable input, chosen so the
+    * kernel never kills a 100 TB job on one degenerate row. Sums
+    * accumulate in exact long arithmetic and fall back to BigInteger
+    * on overflow, so there is no 38-digit precision cliff at all. */
+  def labelMarginScores(xs: ArrayData, cs: ArrayData): ArrayData = {
+    import java.math.BigInteger
+    val nx = xs.numElements()
+    var xNull = false
+    val xv = new Array[Long](nx)
+    var i = 0
+    while (i < nx) {
+      if (xs.isNullAt(i)) xNull = true else xv(i) = xs.getLong(i)
+      i += 1
+    }
+    var va: BigInteger = null
+    if (!xNull) {
+      va = try {
+        var s = 0L; i = 0
+        while (i < nx) { s = Math.addExact(s, Math.multiplyExact(xv(i), xv(i))); i += 1 }
+        BigInteger.valueOf(s)
+      } catch { case _: ArithmeticException =>
+        var b = BigInteger.ZERO; i = 0
+        while (i < nx) { b = b.add(BigInteger.valueOf(xv(i)).multiply(BigInteger.valueOf(xv(i)))); i += 1 }
+        b
+      }
+    }
+    val million = BigInteger.valueOf(1000000L)
+    val k = cs.numElements()
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      if (cs.isNullAt(c)) {
+        out(c) = org.apache.spark.sql.catalyst.InternalRow(null, null)
+      } else {
+        val row = cs.getStruct(c, 3)
+        val clabel: Any = if (row.isNullAt(0)) null else row.getInt(0)
+        var m: Any = null
+        if (!xNull && !row.isNullAt(1) && !row.isNullAt(2)) {
+          val slv = row.getArray(1)
+          if (slv.numElements() == nx) {
+            var slvNull = false
+            var dot: BigInteger = null
+            try {
+              var s = 0L; i = 0
+              while (i < nx && !slvNull) {
+                if (slv.isNullAt(i)) slvNull = true
+                else s = Math.addExact(s, Math.multiplyExact(xv(i), slv.getLong(i)))
+                i += 1
+              }
+              if (!slvNull) dot = BigInteger.valueOf(s)
+            } catch { case _: ArithmeticException =>
+              var b = BigInteger.ZERO; i = 0
+              while (i < nx && !slvNull) {
+                if (slv.isNullAt(i)) slvNull = true
+                else b = b.add(BigInteger.valueOf(xv(i)).multiply(BigInteger.valueOf(slv.getLong(i))))
+                i += 1
+              }
+              if (!slvNull) dot = b
+            }
+            if (dot != null) {
+              val bb = row.getDecimal(2, 38, 0).toJavaBigDecimal.toBigIntegerExact
+              if (va.signum != 0 && bb.signum != 0) {
+                val dotAbs = dot.abs
+                val t1 = dotAbs.multiply(million).divide(va)
+                val t2 = t1.multiply(dotAbs).divide(bb)
+                val signed = if (dot.signum < 0) t2.negate else t2
+                m = signed.longValueExact
+              }
+            }
+          }
+        }
+        out(c) = org.apache.spark.sql.catalyst.InternalRow(clabel, m)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0

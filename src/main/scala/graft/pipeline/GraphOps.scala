@@ -182,6 +182,15 @@ object GraphOps {
     if (!done) throw new IllegalStateException(
       s"kCore(k=$k) did not stabilize within $maxRounds rounds " +
         s"($prev edges remain) — raise maxRounds")
+    // NOTE: the returned aggregation is lazy and executes after the
+    // conf restore, so it INTENTIONALLY runs at the caller's
+    // partitioning, not the loop's self-sized one — the surviving core
+    // is small and the caller's plan owns its own sizing. (An eager
+    // localCheckpoint here pinned the loop sizing but cost more than
+    // it saved: pipe_kcore 1.14 → 1.42 s back-to-back at sf0.1 —
+    // measured and reverted, r13.) The session-conf mutation inside
+    // withShufflePartitions is single-query-at-a-time by the gate's
+    // execution model; concurrent planners on one session would race.
     und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     } // withShufflePartitions

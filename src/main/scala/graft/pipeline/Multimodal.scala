@@ -45,7 +45,14 @@ object Multimodal {
     // tiny media rows per partition that file churn, not pixel work,
     // dominated the mm_real_* decode cost. The bytes never need a disk
     // detour; cache in memory. (Executor-side object init — runs once
-    // per JVM before the first codec call.)
+    // per JVM before the first codec call.) NOTE: this toggle is
+    // PROCESS-GLOBAL JVM state — any other ImageIO user in the same
+    // driver/executor JVM also loses the disk-backed stream cache. For
+    // this engine that is the intended deployment default (images are
+    // byte[] columns, always already in memory); an embedder who needs
+    // disk-cached ImageIO elsewhere must scope their own streams
+    // explicitly, as encodeGifFrames does with
+    // MemoryCacheImageOutputStream.
     javax.imageio.ImageIO.setUseCache(false)
 
     /** BufferedImage -> flat row-major RGB bytes, bulk path. Exactly
@@ -131,7 +138,13 @@ object Multimodal {
     /** Per-thread GIF reader/writer: ImageIO's registry lookup +
       * plugin construction per row is pure overhead in a mapPartitions
       * batch loop; readers/writers are reusable after reset() but NOT
-      * thread-safe, so each executor task thread keeps its own. */
+      * thread-safe, so each executor task thread keeps its own.
+      * Lifetime contract: ONE non-reentrant instance per task-pool
+      * thread, never dispose()d — it is retained (with its plugin
+      * state, a few KB) for the JVM lifetime, which is bounded for a
+      * fixed executor pool. The reset()-based reuse assumes the codec
+      * helpers are not re-entered on the same thread mid-call (true
+      * here: each encode/decode call completes before the row ends). */
     private val gifReader = new ThreadLocal[javax.imageio.ImageReader] {
       override def initialValue(): javax.imageio.ImageReader =
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
@@ -270,15 +283,18 @@ object Multimodal {
     * image geometry. */
   def realMediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
-      // the doc table ships as ONE small parquet file, so the scan is
-      // one partition — and unlike the projection-only consumers, HERE
-      // the scan stage carries the per-row codec work. Spread the
-      // (8-byte) ids across the session's cores before the heavy map
-      // (guide §2.5: unsplittable input → repartition right after the
-      // read); scale-adaptive, not a local[32] constant.
-      .repartition(s.sparkContext.defaultParallelism)
+    // the doc table ships as ONE small parquet file, so the scan is
+    // one partition — and unlike the projection-only consumers, HERE
+    // the scan stage carries the per-row codec work. Spread the
+    // (8-byte) ids across the session's cores before the heavy map
+    // (guide §2.5: unsplittable input → repartition right after the
+    // read). Q.spread carries the width guard (>= half the session
+    // parallelism passes through untouched), so on a real multi-file
+    // deployment this is a no-op, not an always-on exchange.
+    graft.queries.Q.spread(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+        "doc_id")
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { d =>
           val w = 4 + (d % 13).toInt
@@ -333,11 +349,12 @@ object Multimodal {
     * generated executor-side. */
   def realVideoTable(s: SparkSession, dir: String): Dataset[RealVideoRow] = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
-      // single-file scan + per-row GIF encode: parallelize the heavy
-      // map, not the 8-byte ids (see realMediaTable)
-      .repartition(s.sparkContext.defaultParallelism)
+    // single-file scan + per-row GIF encode: parallelize the heavy
+    // map, not the 8-byte ids; width-guarded like realMediaTable
+    graft.queries.Q.spread(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+        "doc_id")
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { d =>
           val nf = 5 + (d % 12).toInt

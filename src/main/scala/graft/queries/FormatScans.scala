@@ -163,7 +163,7 @@ object FormatScans {
     * max depth, never genome length. */
   private def samDepthHist(s: SparkSession): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val dir = Stage.tempDir("graft_depth").toString
+    val dir = Stage.stagedDir("graft_depth") { d =>
     s.range(300).selectExpr(
         "concat('q', id) AS name", "0 AS flag", "'ref1' AS reference",
         "(id * 37) % 1000 + 1 AS start",
@@ -175,7 +175,8 @@ object FormatScans {
         "cast(null as string) AS mate_reference",
         "repeat('A', CASE WHEN id % 3 = 2 THEN 8 ELSE 10 END) AS sequence",
         "repeat('I', CASE WHEN id % 3 = 2 THEN 8 ELSE 10 END) AS quality_score")
-      .write.mode("overwrite").format("sam").save(dir)
+      .write.mode("overwrite").format("sam").save(d)
+    }
     GraftIO.read_sam_file_records(s, dir)
       .where(col("reference").isNotNull)
       .selectExpr("reference", "start", "parse_cigar(cigar) AS ops")
@@ -232,10 +233,11 @@ object FormatScans {
     // copied to a temp dir so the sidecar never lands in the repo tree.
     "fmt_faidx_query" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_fai").toString
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$F/fasta/test.fasta"),
-          java.nio.file.Paths.get(s"$dir/test.fasta"))
+        val dir = Stage.stagedDir("graft_fai") { d =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$F/fasta/test.fasta"),
+            java.nio.file.Paths.get(s"$d/test.fasta")): Unit
+        }
         GraftIO.fasta_query(s, s"$dir/test.fasta",
           Seq("r1:3-8", "r2:2-5", "r2", "nope:1-3"))
           .orderBy("name", "start")
@@ -279,14 +281,15 @@ object FormatScans {
     "fmt_fastq_trim" -> Q(
       (s, _) => {
         graft.functions.GraftFunctions.registerAll(s)
-        val dir = Stage.tempDir("graft_trim").toString
+        val dir = Stage.stagedDir("graft_trim") { d =>
         s.range(200).selectExpr(
             "concat('r', id) AS name",
             "cast(null as string) AS description",
             "repeat('A', 20) AS sequence",
             """concat_ws('', transform(sequence(0, 19),
                  p -> char(33 + (id * 7 + p * 3) % 41))) AS quality_scores""")
-          .write.mode("overwrite").format("fastq").save(dir)
+          .write.mode("overwrite").format("fastq").save(d)
+        }
         GraftIO.read_fastq(s, dir)
           .selectExpr("name", "quality_score_string_to_list(quality_scores) AS q")
           .selectExpr("name", "size(q) AS len",
@@ -317,7 +320,7 @@ object FormatScans {
     // — no shuffle but the output sort.
     "fmt_fastq_adapter_trim" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_adapter").toString
+        val dir = Stage.stagedDir("graft_adapter") { d =>
         s.range(200).selectExpr(
             "concat('r', id) AS name",
             "cast(null as string) AS description",
@@ -325,7 +328,8 @@ object FormatScans {
                  IF(id % 3 = 0, 'AGATCGGAAGAGCTTTTT', '')) AS sequence""",
             """repeat('I', cast(10 + id % 20 AS int)
                  + IF(id % 3 = 0, 18, 0)) AS quality_scores""")
-          .write.mode("overwrite").format("fastq").save(dir)
+          .write.mode("overwrite").format("fastq").save(d)
+        }
         GraftIO.read_fastq(s, dir)
           .selectExpr("name", "length(sequence) AS read_len",
             "instr(sequence, 'AGATCGGAAGAGC') AS ap")
@@ -1334,7 +1338,7 @@ object FormatScans {
     // path as the tx-model entries.
     "fmt_gtf_exon_union" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_txdb_union").toString
+        val dir = Stage.stagedDir("graft_txdb_union") { d =>
         s.range(120).selectExpr("id AS rid",
             "cast(id div 3 as int) AS t", "cast(id % 3 as int) AS k")
           .where("k < 2 + t % 2")
@@ -1345,7 +1349,8 @@ object FormatScans {
             "cast(null as float) AS score", "'+' AS strand",
             "cast(null as string) AS frame",
             "map('gene_id', array(concat('G', t div 2))) AS attributes")
-          .write.mode("overwrite").format("gtf").save(dir)
+          .write.mode("overwrite").format("gtf").save(d)
+        }
         val w = Window.partitionBy("gene_id").orderBy("start", "end")
         GraftIO.read_gtf(s, dir).where("type = 'exon'")
           .selectExpr("attributes['gene_id'][0] AS gene_id", "start", "end")
@@ -1469,7 +1474,7 @@ object FormatScans {
     // oracle states the winner closed-form.
     "fmt_gff_longest_isoform" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_txdb_li").toString
+        val dir = Stage.stagedDir("graft_txdb_li") { d =>
         s.range(120).selectExpr("id AS rid",
             "cast(id div 3 as int) AS t", "cast(id % 3 as int) AS k")
           .where("k < 2 + t % 2")
@@ -1481,7 +1486,8 @@ object FormatScans {
             "cast(null as string) AS frame",
             "map('gene_id', array(concat('G', t div 2)), " +
               "'transcript_id', array(concat('T', t))) AS attributes")
-          .write.mode("overwrite").format("gtf").save(dir)
+          .write.mode("overwrite").format("gtf").save(d)
+        }
         val tx = GraftIO.read_gtf(s, dir).where("type = 'exon'")
           .selectExpr("attributes['gene_id'][0] AS gene_id",
             "attributes['transcript_id'][0] AS transcript_id",
@@ -1501,7 +1507,7 @@ object FormatScans {
 
     "fmt_gtf_tx_models" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_txdb").toString
+        val dir = Stage.stagedDir("graft_txdb") { d =>
         s.range(120).selectExpr("id AS rid",
             "cast(id div 3 as int) AS t", "cast(id % 3 as int) AS k")
           .where("k < 2 + t % 2") // transcripts alternate 2 and 3 exons
@@ -1513,7 +1519,8 @@ object FormatScans {
             "cast(null as string) AS frame",
             "map('gene_id', array(concat('G', t div 2)), " +
               "'transcript_id', array(concat('T', t))) AS attributes")
-          .write.mode("overwrite").format("gtf").save(dir)
+          .write.mode("overwrite").format("gtf").save(d)
+        }
         GraftIO.read_gtf(s, dir).where("type = 'exon'")
           .selectExpr("attributes['gene_id'][0] AS gene_id",
             "attributes['transcript_id'][0] AS transcript_id",
@@ -3342,7 +3349,7 @@ object FormatScans {
     // coordinates closed-form from the generating arithmetic.
     "fmt_gff_introns" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_introns").toString
+        val dir = Stage.stagedDir("graft_introns") { d =>
         s.range(200).selectExpr(
             "'c1' AS seqname", "'graft' AS source", "'exon' AS type",
             "1000 * (id div 4) + 200 * (id % 4) + 1 AS start",
@@ -3350,7 +3357,8 @@ object FormatScans {
             "cast(null as float) AS score", "'+' AS strand",
             "cast(null as string) AS frame",
             "map('transcript_id', array(concat('t', id div 4))) AS attributes")
-          .write.mode("overwrite").format("gff").save(dir)
+          .write.mode("overwrite").format("gff").save(d)
+        }
         val w = Window.partitionBy("transcript_id").orderBy("start")
         GraftIO.read_gff(s, dir).where("type = 'exon'")
           .selectExpr("attributes['transcript_id'][0] AS transcript_id",
@@ -3534,10 +3542,11 @@ object FormatScans {
     // closed-form from the generating arithmetic.
     "fmt_vcf_leftalign" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_la_fa")
+        val dir = Stage.stagedDir("graft_la_fa") { d =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/ref.fa"),
+            (">c1\n" + ("C" + ("A" * 9 + "G") * 40) + "\n").getBytes("UTF-8")): Unit
+        }
         val fa = s"$dir/ref.fa"
-        java.nio.file.Files.write(java.nio.file.Paths.get(fa),
-          (">c1\n" + ("C" + ("A" * 9 + "G") * 40) + "\n").getBytes("UTF-8"))
         val variants = s.range(320).selectExpr(
             "id AS key", "'c1' AS chrom",
             "cast(id % 4 as int) AS cls",
@@ -4278,7 +4287,7 @@ object FormatScans {
     // writer (attribute map rendering) on the way.
     "fmt_gtf_splice_sites" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_splice").toString
+        val dir = Stage.stagedDir("graft_splice") { d =>
         s.range(60).selectExpr(
             "'chr1' AS seqname", "'graft' AS source", "'exon' AS type",
             "10000 * (id div 4) + 1000 * (id % 4) + 1 AS start",
@@ -4288,7 +4297,8 @@ object FormatScans {
             "cast(null as string) AS frame",
             """map('gene_id', array(concat('G', cast(id div 12 as string))),
                    'transcript_id', array(concat('T', cast(id div 4 as string)))) AS attributes""")
-          .write.mode("overwrite").format("gtf").save(dir)
+          .write.mode("overwrite").format("gtf").save(d)
+        }
         val w = Window.partitionBy("tid").orderBy("start")
         GraftIO.read_gtf(s, dir)
           .selectExpr("attributes['transcript_id'][0] AS tid", "strand", "start", "end")
@@ -4469,14 +4479,15 @@ object FormatScans {
     // read cardinality after the first.
     "fmt_fastq_complexity" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_fqc").toString
+        val dir = Stage.stagedDir("graft_fqc") { d =>
         s.range(100).selectExpr(
             "concat('q', id) AS name", "cast(null as string) AS description",
             """CASE WHEN id % 10 = 0 THEN repeat('A', 40)
                 WHEN id % 10 = 5 THEN repeat('AT', 20)
                 ELSE substr(repeat('ACGTTGCA', 10), cast(id % 8 as int) + 1, 40) END AS sequence""",
             "repeat('I', 40) AS quality_scores")
-          .write.mode("overwrite").format("fastq").save(dir)
+          .write.mode("overwrite").format("fastq").save(d)
+        }
         GraftIO.read_fastq(s, dir)
           .select(col("name"), explode(expr(
             "transform(sequence(1, length(sequence) - 1), i -> substr(sequence, i, 2))")).as("d"))
@@ -4520,7 +4531,7 @@ object FormatScans {
     // two-level count-of-counts, never wider than the distinct set.
     "fmt_fastq_dup_rate" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_fqdup").toString
+        val dir = Stage.stagedDir("graft_fqdup") { d =>
         s.range(400).selectExpr(
             "concat('r', id) AS name", "cast(null as string) AS description",
             """concat(
@@ -4529,7 +4540,8 @@ object FormatScans {
                  substr('ACGT', cast((cast(floor(sqrt(id)) as bigint) div 16) % 4 as int) + 1, 1),
                  repeat('A', 30)) AS sequence""",
             "repeat('I', 33) AS quality_scores")
-          .write.mode("overwrite").format("fastq").save(dir)
+          .write.mode("overwrite").format("fastq").save(d)
+        }
         val groups = GraftIO.read_fastq(s, dir)
           .groupBy("sequence").agg(count(lit(1)).as("mult"))
         val total = groups.agg(sum(col("mult")).as("total_reads"),
@@ -5022,13 +5034,14 @@ object FormatScans {
     // the generating skip arithmetic.
     "fmt_fastq_pair_sync" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_pair").toString
-        def gen(skip: Int) = s.range(150).where(col("id") % skip =!= 0)
-          .selectExpr("concat('q', id) AS name", "cast(null as string) AS description",
-            "repeat('ACGT', cast(id % 5 as int) + 3) AS sequence",
-            "repeat('I', 4 * (cast(id % 5 as int) + 3)) AS quality_scores")
-        gen(13).write.mode("overwrite").format("fastq").save(s"$dir/r1")
-        gen(17).write.mode("overwrite").format("fastq").save(s"$dir/r2")
+        val dir = Stage.stagedDir("graft_pair") { d =>
+          def gen(skip: Int) = s.range(150).where(col("id") % skip =!= 0)
+            .selectExpr("concat('q', id) AS name", "cast(null as string) AS description",
+              "repeat('ACGT', cast(id % 5 as int) + 3) AS sequence",
+              "repeat('I', 4 * (cast(id % 5 as int) + 3)) AS quality_scores")
+          gen(13).write.mode("overwrite").format("fastq").save(s"$d/r1")
+          gen(17).write.mode("overwrite").format("fastq").save(s"$d/r2")
+        }
         val r1 = GraftIO.read_fastq(s, s"$dir/r1")
           .select(col("name"), length(col("sequence")).as("len1"))
         val r2 = GraftIO.read_fastq(s, s"$dir/r2")
@@ -5071,7 +5084,7 @@ object FormatScans {
     "fmt_sam_junctions" -> Q(
       (s, _) => {
         graft.functions.GraftFunctions.registerAll(s)
-        val dir = Stage.tempDir("graft_junc").toString
+        val dir = Stage.stagedDir("graft_junc") { d =>
         s.range(300).selectExpr(
             "concat('q', id) AS name", "0 AS flag",
             "concat('ref', 1 + id % 2) AS reference",
@@ -5089,7 +5102,8 @@ object FormatScans {
                WHEN id % 4 = 2 THEN 20 ELSE 15 END) AS sequence""",
             """repeat('I', CASE WHEN id % 4 = 0 THEN 20 WHEN id % 4 = 1 THEN 16
                WHEN id % 4 = 2 THEN 20 ELSE 15 END) AS quality_score""")
-          .write.mode("overwrite").format("sam").save(dir)
+          .write.mode("overwrite").format("sam").save(d)
+        }
         GraftIO.read_sam_file_records(s, dir)
           .where(col("reference").isNotNull && col("cigar").isNotNull)
           .selectExpr("reference",
@@ -5214,7 +5228,7 @@ object FormatScans {
     // arithmetic, never from sequence.
     "fmt_fastq_demux" -> Q(
       (s, _) => {
-        val dir = Stage.tempDir("graft_demux").toString
+        val dir = Stage.stagedDir("graft_demux") { d =>
         s.range(600).selectExpr(
             "concat('r', id) AS name", "cast(null as string) AS description",
             """concat(array_join(transform(sequence(1, 6), i -> CASE
@@ -5225,7 +5239,8 @@ object FormatScans {
                  ELSE element_at(array('A','C','G','T'), cast(id % 4 as int) + 1)
                END), ''), repeat('ACGT', 3)) AS sequence""",
             "repeat('I', 18) AS quality_scores")
-          .write.mode("overwrite").format("fastq").save(dir)
+          .write.mode("overwrite").format("fastq").save(d)
+        }
         val wl = s.createDataFrame(Seq(
             Tuple1("AAAAAA"), Tuple1("CCCCCC"), Tuple1("GGGGGG"), Tuple1("TTTTTT")))
           .toDF("wl_bc")
@@ -6266,7 +6281,7 @@ object FormatScans {
           "25119, 19953, 15849, 12589, 10000, 7943, 6310, 5012, 3981, " +
           "3162, 2512, 1995, 1585, 1259, 1000, 794, 631, 501, 398, 316, " +
           "251, 200, 158, 126, 100, 79)"
-        val dir = Stage.tempDir("graft_ee").toString
+        val dir = Stage.stagedDir("graft_ee") { d =>
         s.range(300).selectExpr(
             "concat('r', id) AS name",
             "cast(null as string) AS description",
@@ -6275,7 +6290,8 @@ object FormatScans {
             // span the whole maxEE range instead of all averaging the ring
             """concat_ws('', transform(sequence(0, 49), j ->
                  char(33 + 2 + id % 36 + (j * 3) % 5))) AS quality_scores""")
-          .write.mode("overwrite").format("fastq").save(dir)
+          .write.mode("overwrite").format("fastq").save(d)
+        }
         GraftIO.read_fastq(s, dir)
           .selectExpr(
             s"""aggregate(transform(sequence(1, length(quality_scores)),

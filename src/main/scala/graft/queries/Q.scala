@@ -74,6 +74,18 @@ object Q {
     * state bytes per partition BEFORE first start — state partitioning
     * is locked into the checkpoint, so it must be picked for the
     * steady-state load, not the first micro-batch's. */
+  /** State-store partition count for the stateful streaming entries —
+    * the default 4 is the round-10 A/B result for gate-scale state
+    * (see [[withShufflePartitions]]'s scaladoc), parameterized so
+    * larger state tiers can re-derive the right value WITHOUT a code
+    * edit (r13 verdict item 8: A/B at a 10x state tier). A production
+    * deployment sizes this from target state bytes per partition
+    * BEFORE the stream's first start — the partitioning is locked into
+    * the checkpoint. Env, not a Spark conf: it must be fixed before
+    * any session exists, exactly like SPARK_GRAFT_CPUS. */
+  val statePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4").toInt
+
   def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -94,7 +106,16 @@ object Q {
     * a no-op, not an extra corpus shuffle. */
   def spread(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, col(key))
+    // Cheap positive exit first: a scan over >= target/2 FILES is at
+    // least that many partitions, and `inputFiles` reads the already-
+    // listed relation off the analyzed plan — no physical planning. The
+    // `df.rdd` probe (which plans the pipeline once and builds a
+    // throwaway lineage — fine for the staged single-file gate, a
+    // real planning tax on derived frames at scale) only runs when the
+    // file count alone cannot prove the scan wide: the one-big-
+    // splittable-file case still passes through it and stays a no-op.
+    if (df.inputFiles.length * 2 >= target) df
+    else if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, col(key))
     else df
   }
 

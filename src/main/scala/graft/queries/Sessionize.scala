@@ -201,7 +201,7 @@ object Sessionize {
         // information-theoretic floor the batch oracle's running-sum
         // numbering implies. Shared with StatefulStreamingSpec's
         // restart-recovery case.
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val sessions = stream.groupByKey(_.user_id)
             .flatMapGroupsWithState[OpenSession, Session](
               OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn(gapUs))

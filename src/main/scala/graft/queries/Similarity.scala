@@ -102,6 +102,11 @@ object Similarity {
     * DuckDB oracle's row_number tie-break replays identically. */
   private[graft] def assignTo(e: DataFrame, centroids: DataFrame,
                               probes: Int = 1): DataFrame = {
+    // output = cid prepended to ALL of e's columns (order changed in
+    // round 12 from the old (vec_id, cid, v) — callers select by name);
+    // reserved intermediate names would clobber or ambiguate
+    require(!e.columns.exists(Set("cid", "cs", "best")),
+      s"assignTo input must not carry cid/cs/best, got ${e.columns.mkString(",")}")
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
     // graft_l2_sq = the codegen'd kernel; accumulates left-to-right,
     // bit-identical to the aggregate(zip_with(...)) HOF pair it
@@ -1393,17 +1398,19 @@ object Similarity {
         // the final plan (the scoring pass) — plan-gated
         val packed = Q.barrier(cent)
           .agg(expr("collect_list(struct(clabel, slv, bb))").as("cs"))
+        // graft_label_margin_scores = the codegen'd kernel: all k
+        // (dot, va, staged-div) scores in one exact-integer loop per
+        // row. The zip_with/aggregate HOF chain it replaces evaluated
+        // interpreted with per-element Decimal boxing — the entry's
+        // dominant remaining cost after round 12 (verdict item 4).
+        // Bit-identical: integer sums are order-free, BigInteger
+        // divide truncates like IntegralDivide on the abs-value
+        // staging, and the sf10 widening discipline is unchanged
+        // (kernel falls back from long to BigInteger on overflow).
         val scored = vm.crossJoin(broadcast(packed))
-          .withColumn("va", expr(
-            "aggregate(xs, CAST(0 AS DECIMAL(38,0)), (a, x) -> a + CAST(x AS DECIMAL(38,0)) * x)"))
-          .select(col("vec_id"), col("label"), col("va"), explode(expr(
-            """transform(cs, c -> named_struct('clabel', c.clabel, 'bb', c.bb,
-                 'dot', aggregate(zip_with(xs, c.slv, (x, sl) -> CAST(x AS DECIMAL(38,0)) * sl),
-                                  CAST(0 AS DECIMAL(38,0)), (a, p) -> a + p)))""")).as("z"))
-          .selectExpr("vec_id", "label", "z.clabel AS clabel",
-            """CAST(IF(z.dot < 0, -1, 1)
-                 * (((1000000 * abs(z.dot)) div va) * abs(z.dot) div z.bb)
-               AS BIGINT) AS m""")
+          .select(col("vec_id"), col("label"),
+            explode(expr("graft_label_margin_scores(xs, cs)")).as("z"))
+          .selectExpr("vec_id", "label", "z.clabel AS clabel", "z.m AS m")
         scored.groupBy("vec_id", "label")
           .agg(max(when(col("clabel") === col("label"), col("m"))).as("own_m"),
             max(when(col("clabel") =!= col("label"), col("m"))).as("best_m"))

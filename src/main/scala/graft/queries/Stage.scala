@@ -47,6 +47,17 @@ object Stage {
       d
     })
 
+  /** Memoized fixture directory for READER entries: `build` writes the
+    * (deterministic, sf-independent) fixture once per driver and every
+    * later invocation reuses the same directory — the same untimed-
+    * staging convention the streaming entries and Stage.staged users
+    * follow, applied to the FormatScans reader fixtures that used to
+    * re-stage through Stage.tempDir on every bench pass (r13). Writer-
+    * roundtrip entries must NOT use this: there the write is the
+    * measured operator. */
+  def stagedDir(key: String)(build: String => Unit): String =
+    staged(key)(d => build(d.toString)).toString
+
   private def deleteRecursively(p: Path): Unit =
     try {
       val f = p.toFile

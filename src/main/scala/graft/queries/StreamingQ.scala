@@ -64,7 +64,7 @@ object StreamingQ {
           stageEvents(s, dir, Stage.tempDir("graft-stream-norm"), d,
             "events.parquet", 0)
         }
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val stream = s.readStream.schema(stagedEventsSchema)
             .option("maxFilesPerTrigger", "1")
             .parquet(staged.toString)
@@ -103,7 +103,7 @@ object StreamingQ {
           stageEvents(s, dir, Stage.tempDir("graft-stream-norm"), d,
             "events.parquet", 0)
         }
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val stream = s.readStream.schema(stagedEventsSchema)
             .option("maxFilesPerTrigger", "1")
             .parquet(staged.toString)
@@ -174,7 +174,7 @@ object StreamingQ {
               scratch, d, s"sentinel$i.parquet", i + 1)
           }
         }
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val stream = s.readStream.schema(stagedEventsSchema)
             .option("maxFilesPerTrigger", "1")
             .parquet(staged.toString)
@@ -215,7 +215,7 @@ object StreamingQ {
               scratch, d, s"sentinel$i.parquet", i)
           }
         }
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val stream = s.readStream.schema(stagedEventsSchema)
             .option("maxFilesPerTrigger", "1")
             .parquet(staged.toString)
@@ -339,7 +339,7 @@ object StreamingQ {
               scratch, d, s"sentinel$i.parquet", i + 1)
           }
         }
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val known = Q.events(s, dir).where(col("event_type") === "signup")
             .select(col("user_id")).distinct()
             .withColumn("known", lit(true))
@@ -382,7 +382,7 @@ object StreamingQ {
           .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
             col("ts").as(s"${p}_ts"))
           .withWatermark(s"${p}_ts", "2 hours")
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val joined = side("click", "c").join(side("view", "v"),
             col("c_user") === col("v_user") &&
               col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
@@ -442,7 +442,7 @@ object StreamingQ {
           .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
             col("ts").as(s"${p}_ts"))
           .withWatermark(s"${p}_ts", "2 hours")
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val joined = side("click", "c").join(side("view", "v"),
             col("c_user") === col("v_user") &&
               col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
@@ -517,7 +517,7 @@ object StreamingQ {
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType)))
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val stream = s.readStream.schema(docsSchema)
             .option("maxFilesPerTrigger", "1").parquet(staged.toString)
             .selectExpr("source", "doc_id",
@@ -557,7 +557,7 @@ object StreamingQ {
           StructField("doc_id", LongType), StructField("text", StringType),
           StructField("lang", StringType), StructField("source", StringType),
           StructField("n_chars", LongType)))
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val stream = s.readStream.schema(docsSchema)
             .option("maxFilesPerTrigger", "1").parquet(staged.toString)
             .select(explode(split(col("text"), " ")).as("tok"))
@@ -589,7 +589,7 @@ object StreamingQ {
         val dir = FormatScans.pileupFixture(s)
         val tbl = "graft_stream_sam_pileup"
         s.streams.active.filter(_.name == tbl).foreach(_.stop())
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val depth = graft.functions.Pileup.baseAlignments(
               s.readStream.format("sam").load(s"$dir/reads"))
             .groupBy("pos").agg(count(lit(1)).as("depth"))
@@ -674,7 +674,7 @@ object StreamingQ {
           stageEvents(s, dir, Stage.tempDir("graft-stream-norm"), d,
             "events.parquet", 0)
         }
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val stream = s.readStream.schema(stagedEventsSchema)
             .option("maxFilesPerTrigger", "1")
             .parquet(staged.toString)
@@ -733,7 +733,7 @@ object StreamingQ {
               s"timestamp_seconds($base + id * 30) AS ts", "id AS k"),
             scratch, d, "f1.parquet", 0)
         }
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val q = s.readStream.schema(lateSchema)
             .option("maxFilesPerTrigger", "1")
             .parquet(staged.toString)
@@ -1089,7 +1089,7 @@ object StreamingQ {
           Stage.parquetFile(ev.where(expr(s"unix_micros(ts) >= ${mid}L")),
             scratch, d, "events_b.parquet", 1)
         }
-        Q.withShufflePartitions(s, 4) {
+        Q.withShufflePartitions(s, Q.statePartitions) {
           val stream = s.readStream.schema(stagedEventsSchema)
             .option("maxFilesPerTrigger", "1")
             .parquet(staged.toString)

@@ -142,7 +142,15 @@ object TextOps {
     * mean then divides once, in identical operand order on both sides.
     */
   private[graft] def bigramLmNll(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    bigramLmNllUnsorted(docs, idCol, textCol).orderBy(idCol)
+
+  /** [[bigramLmNll]] without the presentation sort — the internal form
+    * for consumers that re-aggregate the scores (perplexityBuckets):
+    * a global Sort ahead of a groupBy is pure cost, and the barrier the
+    * buckets entry puts on this frame would otherwise materialize it. */
+  private[graft] def bigramLmNllUnsorted(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // V over ALL non-empty tokens (including docs too short to produce
     // a bigram), so the smoothing denominator reflects the full
     // vocabulary. Zero-length tokens (empty text, consecutive/leading/
@@ -156,6 +164,12 @@ object TextOps {
       .select(col(idCol).as("bl_id"),
         expr(s"filter(split($textCol, ' '), x -> x != '')").as("w"))
       .where(size(col("w")) >= 2)
+    // NO spread before the explode: measured both rounds (r12 slice
+    // A/B 1.85→2.50, r13 back-to-back 1.90→2.80) — the post-shuffle
+    // stages fan to 32 tasks over KB-sized frames and the scheduling
+    // floor outweighs the single-core explode it relieves. The ln/join
+    // work per bigram is too cheap relative to one row shuffle (the
+    // r12 revert rule), unlike the md5-per-gram CMS core.
     val bg = Q.barrier(base.select(col("bl_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), i -> named_struct('prev', w[i-1], 'cur', w[i]))")).as("p"))
       .select(col("bl_id"), col("p.prev").as("prev"), col("p.cur").as("cur")))
@@ -169,7 +183,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("micro"))
       .select(col("bl_id").as(idCol), col("n_bigrams"),
         expr("round(cast(micro as double) / n_bigrams / 1e6, 6)").as("nll"))
-      .orderBy(idCol)
   }
 
   /** CCNet tercile bucketing over [[bigramLmNll]] scores
@@ -179,7 +192,12 @@ object TextOps {
     * instead of a corpus-wide ntile window. */
   private[graft] def perplexityBuckets(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val nll = bigramLmNll(docs, idCol, textCol)
+    // barrier: the NLL frame feeds BOTH the tercile-bound scan (via the
+    // broadcast subquery) and the bucketing probe side — unbarriered,
+    // the whole bigram pipeline (corpus scan, explode, LM joins, per-doc
+    // agg) re-executes once per consumer (guide §5: materialize the
+    // branch invariant once). The frame is one row per doc — tiny.
+    val nll = Q.barrier(bigramLmNllUnsorted(docs, idCol, textCol))
     val cnts = nll.groupBy("nll").agg(count(lit(1)).as("cnt"))
     val run = cnts
       .withColumn("cum", sum(col("cnt")).over(Window.orderBy("nll")
@@ -668,6 +686,13 @@ object TextOps {
     // (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT)).
     "text_heavy_hitters_cms" -> Q(
       (s, dir) => {
+        // NO spread before the gram explode: measured back-to-back in
+        // r13 (2.40 -> 4.03 s with a doc-keyed spread ahead of the
+        // barrier) — even md5-per-gram work is too cheap at this tier
+        // to pay for repartitioning the doc text plus 32-way tiny
+        // stages on every downstream consumer. Same verdict as the
+        // bigram core; the spread rule's paying cases stay the codec-
+        // heavy media tables.
         val grams = t(s, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 2)

@@ -875,6 +875,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"non-packed nested loop in the margin plan:\n${bnlj.mkString("\n")}")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("SortMergeJoin"), s"corpus-sized join in plan:\n$plan")
+    // r13: the scoring projection runs the codegen'd kernel, not the
+    // interpreted DECIMAL zip_with/aggregate HOF chain (verdict item 4)
+    assert(finalPlan.contains("graft_label_margin_scores"),
+      s"native margin kernel missing from the scoring projection:\n$finalPlan")
+    assert(!finalPlan.contains("zip_with"),
+      s"interpreted HOF back in the scoring projection:\n$finalPlan")
+  }
+
+  test("Q.spread: no-op on a pre-widened frame, repartition only on narrow scans") {
+    import org.apache.spark.sql.functions.col
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // pre-widened (>= half the session parallelism): must pass through
+    // UNTOUCHED — the guard is what makes every spread call site a
+    // no-op on a real multi-file deployment (verdict item 5)
+    val wide = spark.range(1000).toDF("doc_id").repartition(target)
+    assert(graft.queries.Q.spread(wide, "doc_id") eq wide,
+      "spread added an exchange to an already-wide frame")
+    // a single staged parquet file scans as one partition: spread must
+    // repartition it to the session parallelism
+    val dir = java.nio.file.Files.createTempDirectory("spread-narrow").toString
+    spark.range(1000).toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val narrow = spark.read.parquet(dir)
+    val sprd = graft.queries.Q.spread(narrow, "doc_id")
+    assert(sprd ne narrow, "spread ignored a narrow single-file scan")
+    assert(sprd.rdd.getNumPartitions == target,
+      s"expected $target partitions, got ${sprd.rdd.getNumPartitions}")
   }
 
   test("rel_pareto_share / rel_discount_lift: rank windows and baselines stay off the corpus") {
