@@ -62,6 +62,10 @@ object GraftFunctions {
     "graft_l2_sq" -> (e => L2Sq(e(0), e(1))),
     "graft_lsh_bucket" -> (e => LshBucket(e(0), e(1))),
     "graft_label_margin_scores" -> (e => LabelMarginScores(e(0), e(1))),
+    "graft_dot" -> (e => DotProduct(e(0), e(1))),
+    "graft_l2norm" -> (e => L2Norm(e.head)),
+    "graft_l2_normalize" -> (e => L2Normalize(e.head)),
+    "graft_radius_block_screen" -> (e => RadiusBlockScreen(e(0), e(1), e(2))),
     // custom TypedImperativeAggregate (the analyzer wraps an
     // AggregateFunction builder result in AggregateExpression)
     "bottom_k_by_key" -> (e => BottomKByKey(e(0), e(1), e(2)))) ++

@@ -96,6 +96,84 @@ case class LabelMarginScores(left: Expression, right: Expression)
   override def prettyName: String = "graft_label_margin_scores"
 }
 
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"dot requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got $t")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PipelineKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PipelineKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"l2norm requires ARRAY<DOUBLE>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    PipelineKernels.l2norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PipelineKernels.l2norm($a)")
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+  override def prettyName: String = "graft_l2norm"
+}
+
+case class RadiusBlockScreen(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  private def memberType(t: DataType): Boolean = t match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _),
+      StructField(_, ArrayType(DoubleType, _), _, _),
+      StructField(_, DoubleType, _, _))), _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("qv", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("na", DoubleType, nullable = false),
+    StructField("nb", DoubleType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (a, b, DoubleType) if memberType(a) && memberType(b) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"radius_block_screen requires (ARRAY<STRUCT<BIGINT, ARRAY<DOUBLE>, DOUBLE>> x2, DOUBLE), got $t")
+    }
+  override def nullSafeEval(a: Any, b: Any, tau: Any): Any =
+    PipelineKernels.radiusBlockScreen(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tau.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, t) =>
+      s"graft.functions.PipelineKernels.radiusBlockScreen($a, $b, $t)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RadiusBlockScreen =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "graft_radius_block_screen"
+}
+
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"l2_normalize requires ARRAY<DOUBLE>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    PipelineKernels.l2normalize(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.PipelineKernels.l2normalize($a)")
+  override protected def withNewChildInternal(c: Expression): L2Normalize = copy(child = c)
+  override def prettyName: String = "graft_l2_normalize"
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

@@ -216,6 +216,128 @@ object PipelineKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Left-to-right dot product — bit-identical to [[cosine]]'s dot
+    * accumulator (same index order, same IEEE adds). Pairs with
+    * [[l2norm]] so an n²-candidate verify stage computes each norm
+    * ONCE per vector instead of re-deriving both inside every pair:
+    *   round(dot(a,b) / (l2norm(a) * l2norm(b)), 6)
+    * replays round(cosine(a,b), 6) bit-for-bit (identical operands,
+    * identical op order), at one third the per-pair FLOPs. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      d += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    d
+  }
+
+  /** sqrt of the left-to-right sum of squares — bit-identical to the
+    * sqrt([[cosine]]'s na/nb accumulator) factors (the accumulators are
+    * independent, so hoisting them out of the interleaved loop changes
+    * no IEEE operation). */
+  def l2norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Block-pair radius prescreen for the exact cosine self-join: given
+    * two sub-cell member blocks (ARRAY<STRUCT<vec_id, vo, vn>>) and a
+    * CONSERVATIVE threshold tauMinus (tau − 1e-6 < the exact
+    * round-to-6 acceptance bound tau − 5e-7), emit one
+    * (id_a, id_b, qv, v, na, nb) struct per ordered pair with
+    * id_a < id_b and dot(vo_a, vo_b)/(vn_a·vn_b) >= tauMinus. The dot
+    * accumulates left-to-right — the SAME IEEE ops the SQL verify
+    * recomputes on the emitted rows — so the screen is a LOSSLESS
+    * superset filter (a pair the exact round(...,6) >= tau predicate
+    * accepts always clears tauMinus; RadiusSearchSpec property-checks
+    * the whole pipeline against brute force) and the declared result
+    * still comes from the unchanged exact SQL expression. Why a block
+    * kernel: at low tau the triangle prune passes most sub-cell pairs,
+    * and materializing the ~n² candidate fan as JOIN ROWS cost ~100 ns
+    * of row plumbing per pair where this loop pays ~5 ns (guide §8:
+    * decide on proxies in bulk, materialize only survivors). */
+  def radiusBlockScreen(a: ArrayData, b: ArrayData, tauMinus: Double): ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val na = a.numElements()
+    val nb = b.numElements()
+    val bids = new Array[Long](nb)
+    val bvs = new Array[Array[Double]](nb)
+    val bga = new Array[GenericArrayData](nb)
+    val bns = new Array[Double](nb)
+    var j = 0
+    while (j < nb) {
+      val r = b.getStruct(j, 3)
+      bids(j) = r.getLong(0)
+      bvs(j) = r.getArray(1).toDoubleArray()
+      bns(j) = r.getDouble(2)
+      j += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var i = 0
+    while (i < na) {
+      val r = a.getStruct(i, 3)
+      val ida = r.getLong(0)
+      val av = r.getArray(1).toDoubleArray()
+      val an = r.getDouble(2)
+      var aga: GenericArrayData = null
+      j = 0
+      while (j < nb) {
+        if (ida < bids(j)) {
+          val bv = bvs(j)
+          val n = math.min(av.length, bv.length)
+          var d = 0.0
+          var t = 0
+          while (t < n) { d += av(t) * bv(t); t += 1 }
+          if (d / (an * bns(j)) >= tauMinus) {
+            if (aga == null) aga = new GenericArrayData(av)
+            if (bga(j) == null) bga(j) = new GenericArrayData(bv)
+            out += InternalRow(ida, bids(j), aga, bga(j), an, bns(j))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Unit-normalize: x_i / sqrt(Σ x_j²), sum left-to-right — bit-
+    * identical to the SQL idiom
+    *   transform(v, x -> x / sqrt(aggregate(v, 0D, (a, y) -> a + y*y)))
+    * which re-evaluates the inner aggregate FOR EVERY ELEMENT (Catalyst
+    * does no subexpression elimination inside lambda bodies): 64×64
+    * interpreted lambda steps per row where one fused loop suffices —
+    * the radius family's quantizer paid this on every corpus pass. */
+  def l2normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    val d = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = a.getDouble(i) / d
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0

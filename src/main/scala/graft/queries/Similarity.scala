@@ -224,8 +224,12 @@ object Similarity {
     * [[graft.pipeline.VectorOps.radiusSearch]]. */
   private[graft] def radiusSearchFrames(e: DataFrame, q: DataFrame, tau: Double): DataFrame = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
-    val norm =
-      "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
+    // graft_l2_normalize = the fused codegen'd kernel; the transform/
+    // aggregate HOF idiom it replaces re-evaluated the norm aggregate
+    // per ELEMENT, interpreted (64x64 lambda steps per row) — and this
+    // normalization runs on every corpus pass of the quantizer (r13).
+    // Bit-identical: same left-to-right sum, same per-element division.
+    val norm = "graft_l2_normalize(v)"
     // vo = the ORIGINAL vector rides alongside its normalized twin all
     // the way through assignment and the ringed barrier, so the exact
     // verify below needs no corpus-by-id re-join: the old
@@ -245,21 +249,30 @@ object Similarity {
     // re-implementation. ONE barrier on the ringed frame serves its
     // two consumers (sub-cell bounds + the member side); assigned0
     // itself has a single consumer now, so it carries no barrier.
+    // vn once per vector — same prenorm-verify rationale as
+    // selfPruneFrames (the verify fan is the entry's dominant cost at
+    // low tau where the triangle prune passes most sub-cells)
     val ringed = Q.barrier(assigned0.join(broadcast(cents), Seq("cid"))
       .withColumn("md", expr("round(sqrt(graft_l2_sq(v, cv)), 6)"))
       .withColumn("rid", least(floor(col("md") / lit(0.25)).cast("int"), lit(7)))
-      .select(col("vec_id"), col("cid"), col("rid"), col("md"), col("vo")))
+      .select(col("vec_id"), col("cid"), col("rid"), col("md"), col("vo"),
+        expr("graft_l2norm(vo)").as("vn")))
     val cells = ringed.groupBy("cid", "rid").agg(max(col("md")).as("crad"))
     val r = math.sqrt(2.0 - 2.0 * tau)
     val survive = q.select(col("vec_id").as("q_id"), expr(norm).as("qvn"))
       .crossJoin(broadcast(cents.join(cells, Seq("cid"))))
       .where(expr("round(sqrt(graft_l2_sq(qvn, cv)), 6)") <= lit(r) + col("crad") + lit(1e-5))
       .select(col("q_id"), col("cid"), col("rid"))
-    ringed.select(col("vec_id"), col("cid"), col("rid"), col("vo").as("v"))
+    ringed.select(col("vec_id"), col("cid"), col("rid"), col("vo").as("v"),
+        col("vn").as("nb_s"))
       .join(broadcast(survive), Seq("cid", "rid"))
-      .join(broadcast(q.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+      .join(broadcast(q.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        expr("graft_l2norm(v)").as("na_s"))), Seq("q_id"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), expr(CosSql).as("cos"))
+      // bit-identical to round(graft_cosine_sim(qv, v), 6) — see
+      // radiusSelfPairs; norms hoisted out of the per-pair loop
+      .select(col("q_id"), col("vec_id"),
+        expr("round(graft_dot(qv, v) / (na_s * nb_s), 6)").as("cos"))
       .where(col("cos") >= tau)
       .orderBy("q_id", "vec_id")
   }
@@ -285,14 +298,37 @@ object Similarity {
     // quantizer) — no corpus-by-id re-join to re-attach bytes the
     // pipeline already read
     val (assigned, cellPairs) = selfPruneFrames(e, tau, k)
-    val a = assigned.select(col("vec_id").as("id_a"), col("cid").as("c1"),
-      col("rid").as("ring1"), col("vo").as("qv"))
-    val b = assigned.select(col("vec_id").as("id_b"), col("cid").as("c2"),
-      col("rid").as("ring2"), col("vo").as("v"))
+    // Candidates are screened BLOCK-against-BLOCK instead of row-fan:
+    // at low tau the triangle prune passes most sub-cell pairs (the
+    // ann_radius_stats gauge reads candidate_fraction 1.0 at the 10x
+    // tier), so the old a⋈cellPairs⋈b join materialized ~n² candidate
+    // ROWS just to filter them — ~100 ns of join/row plumbing per pair
+    // against ~5 ns for the same dot inside one fused loop. Members
+    // pack into one row per (cell, ring); each surviving sub-cell pair
+    // runs graft_radius_block_screen (a LOSSLESS conservative screen —
+    // threshold tau − 1e-6 < the exact round-6 acceptance bound, and
+    // the kernel's dot replays the verify's IEEE ops exactly), and the
+    // few surviving pairs re-verify through the UNCHANGED exact SQL
+    // expression, so the declared result is computed by the same
+    // arithmetic as before. Parallelism = sub-cell pairs (k·rings)² —
+    // thousands of independent block tasks at any corpus size.
+    val blocks = Q.barrier(assigned
+      .groupBy("cid", "rid")
+      .agg(expr("collect_list(struct(vec_id, vo, vn))").as("ms")))
+    val a = blocks.select(col("cid").as("c1"), col("rid").as("ring1"),
+      col("ms").as("ms_a"))
+    val b = blocks.select(col("cid").as("c2"), col("rid").as("ring2"),
+      col("ms").as("ms_b"))
     a.join(broadcast(cellPairs), Seq("c1", "ring1"))
       .join(b, Seq("c2", "ring2"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), expr(CosSql).as("cos"))
+      .select(explode(expr(
+        s"graft_radius_block_screen(ms_a, ms_b, CAST(${tau - 1e-6} AS DOUBLE))")).as("p"))
+      // bit-identical to round(graft_cosine_sim(qv, v), 6): same dot
+      // accumulator, sqrt(na)*sqrt(nb) with the same operands in the
+      // same order — the norms are computed once per VECTOR upstream
+      // (LabelMarginKernelSpec pins the prenorm identity)
+      .selectExpr("p.id_a AS id_a", "p.id_b AS id_b",
+        "round(graft_dot(p.qv, p.v) / (p.na * p.nb), 6) AS cos")
       .where(col("cos") >= tau)
       .orderBy("id_a", "id_b")
   }
@@ -326,8 +362,12 @@ object Similarity {
   private[graft] def selfPruneFrames(e: DataFrame, tau: Double,
                                      k: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(e.sparkSession)
-    val norm =
-      "transform(v, x -> x / sqrt(aggregate(v, cast(0 as double), (a, y) -> a + y * y)))"
+    // graft_l2_normalize = the fused codegen'd kernel; the transform/
+    // aggregate HOF idiom it replaces re-evaluated the norm aggregate
+    // per ELEMENT, interpreted (64x64 lambda steps per row) — and this
+    // normalization runs on every corpus pass of the quantizer (r13).
+    // Bit-identical: same left-to-right sum, same per-element division.
+    val norm = "graft_l2_normalize(v)"
     // vo = original vector threaded through the quantizer (assignTo
     // preserves payload columns) so the exact-verify stage never
     // re-joins the corpus by id — see radiusSelfPairs
@@ -345,11 +385,18 @@ object Similarity {
     // max so the oracle replays ring membership bit-for-bit.
     // Consumed by sub-cell stats AND both member sides — materialize
     // the assignment once instead of re-running Lloyd per consumer.
+    // vn = sqrt(Σ vo²) computed ONCE per vector (graft_l2norm replays
+    // the cosine kernel's norm accumulator bit-for-bit): with tau this
+    // low the triangle prune passes most cell pairs (ann_radius_stats
+    // reads candidate_fraction 1.0 at the 10x tier), so the verify
+    // stage IS ~n²/2 cosines — re-deriving both norms inside every
+    // pair was 3x the FLOPs of the dot that actually decides (r13).
     val assigned = Q.barrier(
       assigned0.join(broadcast(cents), Seq("cid"))
         .withColumn("md", expr("round(sqrt(graft_l2_sq(v, cv)), 6)"))
         .withColumn("rid", least(floor(col("md") / lit(0.25)).cast("int"), lit(7)))
-        .select(col("vec_id"), col("cid"), col("rid"), col("vo"), col("md")))
+        .select(col("vec_id"), col("cid"), col("rid"), col("vo"), col("md"),
+          expr("graft_l2norm(vo)").as("vn")))
     val cells = assigned
       .groupBy("cid", "rid").agg(max(col("md")).as("crad"))
       .join(cents, Seq("cid"))

@@ -1106,12 +1106,15 @@ object TextOps {
     // would range-partition that rank.
     "text_heaps_law" -> Q(
       (s, dir) => {
-        // docDecile is barriered below: it feeds the first-seen join
-        // AND the per-decile mass agg, and re-deriving it would run the
-        // doc-rank window (the entry's only single-partition op) twice.
-        // toks deliberately re-derives per consumer: it is a map-only
-        // projection off the scan, cheaper to recompute than to
-        // materialize (measured both ways at sf0.1).
+        // docDecile is NOT barriered: it feeds the first-seen join AND
+        // the per-decile mass agg, but re-deriving the doc-rank window
+        // twice measures FASTER than materializing it (r13 back-to-back
+        // at 32 cores, 5 passes: 1.49 s barriered vs 1.01 s re-derived,
+        // control-adjusted ~25% — the checkpoint write + the lost
+        // whole-plan view cost more than the duplicated tiny window;
+        // the round-12 driver capture read the same direction). toks
+        // likewise re-derives per consumer: a map-only projection off
+        // the scan, cheaper to recompute than to materialize.
         val toks = t(s, dir, "documents")
           .withColumn("w", split(col("text"), " "))
           .where(size(col("w")) >= 3)
@@ -1119,7 +1122,7 @@ object TextOps {
             """transform(sequence(0, size(w) - 3),
                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))""")).as("tok"))
         val docMass = toks.groupBy("doc_id").agg(count(lit(1)).as("mass"))
-        val docDecile = Q.barrier(docMass
+        val docDecile = (docMass
           .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
           .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
           .selectExpr("doc_id", "mass", "(rn - 1) * 10 div nd + 1 AS decile"))

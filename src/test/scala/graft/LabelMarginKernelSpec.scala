@@ -69,6 +69,26 @@ class LabelMarginKernelSpec extends AnyFunSuite {
     assert(a == b, s"\nhof   =$a\nkernel=$b")
   }
 
+  test("prenorm cosine (graft_dot / graft_l2norm * graft_l2norm) is bit-identical to graft_cosine_sim") {
+    // the radius family's verify stage hoists the norms out of the
+    // per-pair loop (r13); the identity must hold to the LAST BIT or
+    // the round-6 acceptance could flip on a boundary value
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = (1 to 200).map { i =>
+      ((1 to 64).map(j => math.sin(i * 64.0 + j) * (1 + (j % 7))),
+       (1 to 64).map(j => math.cos(i * 31.0 + j * 3) * (1 + (j % 5))))
+    }.toDF("a", "b")
+    val rows = df.selectExpr(
+      "graft_cosine_sim(a, b) AS c0",
+      "graft_dot(a, b) / (graft_l2norm(a) * graft_l2norm(b)) AS c1").collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
   test("null semantics replay the HOF chain") {
     // length mismatch (zip_with null padding) nulls that centroid's m
     val df = frame(Seq(
