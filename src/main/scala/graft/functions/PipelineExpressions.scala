@@ -137,10 +137,7 @@ case class RadiusBlockScreen(first: Expression, second: Expression, third: Expre
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id_a", LongType, nullable = false),
     StructField("id_b", LongType, nullable = false),
-    StructField("qv", ArrayType(DoubleType, containsNull = false), nullable = false),
-    StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false),
-    StructField("na", DoubleType, nullable = false),
-    StructField("nb", DoubleType, nullable = false))), containsNull = false)
+    StructField("c", DoubleType, nullable = false))), containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (a, b, DoubleType) if memberType(a) && memberType(b) =>

@@ -261,11 +261,16 @@ object PipelineKernels {
     * superset filter (a pair the exact round(...,6) >= tau predicate
     * accepts always clears tauMinus; RadiusSearchSpec property-checks
     * the whole pipeline against brute force) and the declared result
-    * still comes from the unchanged exact SQL expression. Why a block
+    * still comes from the unchanged SQL round-and-compare. Why a block
     * kernel: at low tau the triangle prune passes most sub-cell pairs,
     * and materializing the ~n² candidate fan as JOIN ROWS cost ~100 ns
     * of row plumbing per pair where this loop pays ~5 ns (guide §8:
-    * decide on proxies in bulk, materialize only survivors). */
+    * decide on proxies in bulk, materialize only survivors). Survivors
+    * carry only (id_a, id_b, c) — 24 bytes — NOT the vectors: on this
+    * corpus the qualifying-pair set itself is ~0.75% of n² (isotropic
+    * embeddings, the gauge's documented worst case), so re-attaching
+    * two 64-double vectors per survivor was gigabytes at the 100x tier
+    * where the raw dot the SQL round() needs is one double. */
   def radiusBlockScreen(a: ArrayData, b: ArrayData, tauMinus: Double): ArrayData = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -273,7 +278,6 @@ object PipelineKernels {
     val nb = b.numElements()
     val bids = new Array[Long](nb)
     val bvs = new Array[Array[Double]](nb)
-    val bga = new Array[GenericArrayData](nb)
     val bns = new Array[Double](nb)
     var j = 0
     while (j < nb) {
@@ -290,7 +294,6 @@ object PipelineKernels {
       val ida = r.getLong(0)
       val av = r.getArray(1).toDoubleArray()
       val an = r.getDouble(2)
-      var aga: GenericArrayData = null
       j = 0
       while (j < nb) {
         if (ida < bids(j)) {
@@ -299,11 +302,8 @@ object PipelineKernels {
           var d = 0.0
           var t = 0
           while (t < n) { d += av(t) * bv(t); t += 1 }
-          if (d / (an * bns(j)) >= tauMinus) {
-            if (aga == null) aga = new GenericArrayData(av)
-            if (bga(j) == null) bga(j) = new GenericArrayData(bv)
-            out += InternalRow(ida, bids(j), aga, bga(j), an, bns(j))
-          }
+          val c = d / (an * bns(j))
+          if (c >= tauMinus) out += InternalRow(ida, bids(j), c)
         }
         j += 1
       }

@@ -323,12 +323,13 @@ object Similarity {
       .join(b, Seq("c2", "ring2"))
       .select(explode(expr(
         s"graft_radius_block_screen(ms_a, ms_b, CAST(${tau - 1e-6} AS DOUBLE))")).as("p"))
-      // bit-identical to round(graft_cosine_sim(qv, v), 6): same dot
-      // accumulator, sqrt(na)*sqrt(nb) with the same operands in the
-      // same order — the norms are computed once per VECTOR upstream
-      // (LabelMarginKernelSpec pins the prenorm identity)
-      .selectExpr("p.id_a AS id_a", "p.id_b AS id_b",
-        "round(graft_dot(p.qv, p.v) / (p.na * p.nb), 6) AS cos")
+      // p.c is the kernel's dot/(na·nb) — bit-identical to
+      // graft_cosine_sim(qv, v) (same dot accumulator; sqrt(na)*sqrt(nb)
+      // with the same operands in the same order, norms computed once
+      // per VECTOR upstream — LabelMarginKernelSpec pins the prenorm
+      // identity). The round-and-compare that decides the declared
+      // result stays HERE in SQL, unchanged.
+      .selectExpr("p.id_a AS id_a", "p.id_b AS id_b", "round(p.c, 6) AS cos")
       .where(col("cos") >= tau)
       .orderBy("id_a", "id_b")
   }
